@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.dialect.AnsiDialect
+import graft.model._
+import graft.render.{RenderContext, SqlRenderer}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC operator semantics exercised as batch queries over the `events`
+  * table, which stands in for a change stream: event_id ≈ LSN (total
+  * order), user_id ≈ row key, ts ≈ commit time, event_type → op.
+  *
+  * Mapping (reference SURVEY §2 IDs in each query comment):
+  * signup→c(insert), click/purchase→u(update), error→d(delete),
+  * view→r(non-DML read, filtered like Begin/Commit).
+  */
+object CdcQueries {
+  import Tables._
+
+  /** event_type → op projection shared by queries and oracles. */
+  private def opCol: Column =
+    when(col("event_type") === "signup", "c")
+      .when(col("event_type").isin("click", "purchase"), "u")
+      .when(col("event_type") === "error", "d")
+      .otherwise("r")
+  private val opSql =
+    """CASE WHEN event_type = 'signup' THEN 'c'
+      |     WHEN event_type IN ('click', 'purchase') THEN 'u'
+      |     WHEN event_type = 'error' THEN 'd'
+      |     ELSE 'r' END""".stripMargin
+
+  private def cents(c: Column) = round(c * 100).cast("bigint")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 non-DML filter (sql_renderer.rs:124-128): keep c/u/d, drop reads
+    "cdc_f1_dml_filter" -> ((s, d) => {
+      events(s, d).withColumn("op", opCol)
+        .filter(col("op").isin("c", "u", "d"))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("op")
+    }),
+
+    // T1 transaction session-izer (producer.rs:98-343): gap>1h session
+    // windows per key — the stateful assembly, batch-shaped. lag+cumsum
+    // is the shuffle-once formulation (one hash partition per key).
+    "cdc_t1_sessions" -> ((s, d) => {
+      // ts arrives as BIGINT nanos (nanosAsLong); integer-div to seconds
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val secs = expr("ts div 1000000000")
+      events(s, d)
+        .withColumn("gap", secs - lag(secs, 1).over(w))
+        .withColumn("is_new", when(col("gap").isNull || col("gap") > 3600, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // O1 commit-LSN ordered delivery (consumer.rs:42-78): total order by
+    // (commit ts, lsn). Global row_number is single-partition — fine for
+    // delivery sequencing which is inherently serial at the sink.
+    "cdc_o1_order" -> ((s, d) => {
+      val w = Window.orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("event_id"), col("ts"))
+        .withColumn("seq", row_number().over(w))
+        .filter(col("seq") <= 200)
+        .select("event_id", "seq")
+        .orderBy("seq")
+    }),
+
+    // F2 LSN dedup gate (transaction_manager.rs:1586-1604): skip anything
+    // at or below the flush boundary. Boundary computed as an aggregate
+    // and broadcast-joined (no driver collect).
+    "cdc_f2_dedup_gate" -> ((s, d) => {
+      val e = events(s, d)
+      val boundary = e.agg(expr("max(event_id) div 2").as("flush_lsn"))
+      e.crossJoin(broadcast(boundary))
+        .filter(col("event_id") > col("flush_lsn"))
+        .withColumn("op", opCol)
+        .groupBy("op").agg(count(lit(1)).as("n"))
+        .orderBy("op")
+    }),
+
+    // MERGE/apply materialization (the A2/A3 + K-sink end state): latest
+    // event per key wins; a trailing delete removes the row. This is the
+    // scalable Spark shape of "apply the CDC stream to a replica".
+    "cdc_apply_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      events(s, d).withColumn("op", opCol)
+        .filter(col("op").isin("c", "u", "d"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .select(col("user_id"), col("event_id").as("last_event"),
+          cents(col("value")).as("last_value_cents"), col("n_changes"))
+        .orderBy("user_id")
+    }),
+
+    // P2+P8+P9 INSERT rendering through the library renderer (the oracle
+    // reconstructs the same string independently in SQL)
+    "cdc_p2_render_insert" -> ((s, d) => {
+      import s.implicits._
+      val ctx = RenderContext(AnsiDialect)
+      events(s, d).filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+        .as[(Long, Long, String, String)]
+        .map { case (id, uid, et, props) =>
+          val e = CdcEvent(Op.Insert, id, uid, null, "public", "events", Nil,
+            Seq(CdcColumn("event_id", id.toString), CdcColumn("user_id", uid.toString),
+              CdcColumn("event_type", et), CdcColumn("props", props)),
+            keyColumns = Seq("event_id"))
+          (id, SqlRenderer.render(ctx, e).get)
+        }
+        .toDF("event_id", "stmt")
+        .orderBy("event_id")
+    }),
+
+    // P4+P5 DELETE/WHERE rendering (replica identity DEFAULT, key from
+    // before-image)
+    "cdc_p5_render_delete" -> ((s, d) => {
+      import s.implicits._
+      val ctx = RenderContext(AnsiDialect)
+      events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id")).as[Long]
+        .map { id =>
+          val e = CdcEvent(Op.Delete, id, 0L, null, "public", "events",
+            Seq(CdcColumn("event_id", id.toString)), Nil, keyColumns = Seq("event_id"))
+          (id, SqlRenderer.render(ctx, e).get)
+        }
+        .toDF("event_id", "stmt")
+        .orderBy("event_id")
+    }),
+
+    // A1/A7 batch chunking: consecutive same-op runs capped at 500 rows
+    // per statement (CDC_BATCH_SIZE/bulk caps, config.rs:359-363)
+    "cdc_a1_chunks" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      events(s, d)
+        .withColumn("chunk", ((row_number().over(w) - 1) / 500).cast("int"))
+        .groupBy("event_type", "chunk")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type", "chunk")
+    }),
+
+    // P7 schema mapping + P11 Kafka topic/key routing
+    // (kafka.rs:215-234,166-213): topic = prefix.schema.table, key = JSON
+    // of key columns; schema map public→cdc_db for purchases
+    "cdc_p11_topic_route" -> ((s, d) => {
+      events(s, d).withColumn("op", opCol)
+        .filter(col("op").isin("c", "u", "d"))
+        .select(
+          col("event_id"),
+          concat(lit("pg2any."),
+            when(col("event_type") === "purchase", "cdc_db").otherwise("public"),
+            lit(".events_"), col("event_type")).as("topic"),
+          concat(lit("{\"user_id\":"), col("user_id"), lit("}")).as("key"),
+          col("op"))
+        .orderBy("event_id")
+    }),
+
+    // A9 statement counting: per-key per-op statement counts (the
+    // producer-side metadata aggregation, transaction_manager.rs:579-589)
+    "cdc_a9_stmt_counts" -> ((s, d) => {
+      events(s, d).withColumn("op", opCol)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("op") === "c", 1).otherwise(0)).as("n_insert"),
+          sum(when(col("op") === "u", 1).otherwise(0)).as("n_update"),
+          sum(when(col("op") === "d", 1).otherwise(0)).as("n_delete"),
+          sum(when(col("op") === "r", 1).otherwise(0)).as("n_skipped"))
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "cdc_f1_dml_filter" ->
+      s"""SELECT op, count(*) AS n,
+         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM (SELECT $opSql AS op, value FROM events)
+         |WHERE op IN ('c','u','d') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_t1_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(epoch(ts) AS BIGINT)
+        |      - lag(CAST(epoch(ts) AS BIGINT))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id,
+        |    sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "cdc_o1_order" ->
+      """SELECT event_id, CAST(seq AS INT) AS seq FROM (
+        |  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS seq
+        |  FROM events)
+        |WHERE seq <= 200 ORDER BY seq""".stripMargin,
+    "cdc_f2_dedup_gate" ->
+      s"""SELECT op, count(*) AS n
+         |FROM (SELECT $opSql AS op, event_id FROM events)
+         |WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_apply_latest" ->
+      s"""WITH dml AS (
+         |  SELECT *, $opSql AS op FROM events
+         |  WHERE $opSql IN ('c','u','d')),
+         |ranked AS (
+         |  SELECT user_id, event_id, op, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_changes
+         |  FROM dml)
+         |SELECT user_id, event_id AS last_event,
+         |  CAST(round(value*100) AS BIGINT) AS last_value_cents, n_changes
+         |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+    "cdc_p2_render_insert" ->
+      """SELECT event_id,
+        |  'INSERT INTO "public"."events" ("event_id", "user_id", "event_type", "props") VALUES ('''
+        |  || event_id || ''', ''' || user_id || ''', ''' || event_type || ''', '''
+        |  || replace(props, '''', '''''') || ''');' AS stmt
+        |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+    "cdc_p5_render_delete" ->
+      """SELECT event_id,
+        |  'DELETE FROM "public"."events" WHERE "event_id" = ''' || event_id || ''';' AS stmt
+        |FROM events WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "cdc_a1_chunks" ->
+      """SELECT event_type, CAST((rn - 1) // 500 AS INT) AS chunk, count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (SELECT event_type, event_id,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        |      FROM events)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "cdc_p11_topic_route" ->
+      s"""SELECT event_id,
+         |  'pg2any.' || CASE WHEN event_type = 'purchase' THEN 'cdc_db' ELSE 'public' END
+         |    || '.events_' || event_type AS topic,
+         |  '{"user_id":' || user_id || '}' AS key, op
+         |FROM (SELECT *, $opSql AS op FROM events)
+         |WHERE op IN ('c','u','d') ORDER BY event_id""".stripMargin,
+    "cdc_a9_stmt_counts" ->
+      s"""SELECT user_id,
+         |  CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         |  CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         |  CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         |  CAST(sum(CASE WHEN op = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+         |FROM (SELECT user_id, $opSql AS op FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (driver mandate, SURVEY §7.1 `llmops`).
+  *
+  * Determinism strategy for oracle parity:
+  *  - all hashing goes through md5 (identical hex in Spark and DuckDB)
+  *  - embedding math is quantized to BIGINT (round(x*1000)) before any
+  *    aggregation — integer dot products are order-independent and exact
+  *  - ratios are produced by a single double division of exact integers
+  */
+object LlmQueries {
+  import Tables._
+
+  /** Word tokens; texts are space-separated. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct word 3-gram shingles (empty when < 3 tokens). */
+  private def shingles: Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  private val shingleSql =
+    """list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      | for i in range(1, greatest(len(t)-1, 1))])""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: canonical doc per normalized-text hash. At 100 TB this
+    // is one hash-shuffle on a 32-hex key; the min(doc_id) keeps choice
+    // deterministic.
+    "llm_dedup_exact" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("h", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+        .orderBy("h")
+    }),
+
+    // N-gram Jaccard near-dup: shingle → inverted index → pair counts.
+    // Exact at test SF; the LSH variant below is the 100 TB path (this
+    // one's shingle self-join is quadratic in docs-per-shingle).
+    "llm_dedup_jaccard" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), explode(shingles).as("shingle"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val pairs = a.join(b,
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"), col("inter"),
+          (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
+        .withColumn("jaccard", col("inter") * lit(1.0) / col("un"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(desc("jaccard"), col("da"), col("db"))
+    }),
+
+    // MinHash + LSH banding: 8 md5-minhashes, 4 bands of 2 → candidate
+    // pairs from shared buckets. This is the scale path: cost is linear
+    // in docs + bucket-local joins, no all-pairs comparison.
+    "llm_dedup_minhash" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), explode(shingles).as("shingle"))
+      val mhAggs = (0 until 8).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val banded = mh.select(col("doc_id"),
+        explode(array((0 until 4).map(bnd =>
+          concat(lit(s"$bnd|"), col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}"))): _*))
+          .as("bucket"))
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+        .orderBy("da", "db")
+    }),
+
+    // SimHash (60-bit via md5 prefix): near-dup signature per doc.
+    "llm_simhash" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      val bits = tok
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
+        .groupBy("doc_id", "i")
+        .agg(sum(when(expr("(h >> i) & 1") === 1, 1).otherwise(-1)).as("s"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << i")).otherwise(0L))
+          .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k against a probe vector (vec_id 0),
+    // quantized to exact integer dot products. The LSH-bucketed ANN
+    // variant is in graft.llmops; this is the correctness baseline.
+    "llm_ann_cosine" -> ((s, d) => {
+      val q = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => round(x * 1000).cast("bigint")).as("qe"))
+      val withNorm = q.withColumn("nq",
+        aggregate(transform(col("qe"), x => x * x), lit(0L), (acc, x) => acc + x))
+      val probe = withNorm.filter(col("vec_id") === 0)
+        .select(col("qe").as("pe"), col("nq").as("np"))
+      withNorm.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("dp", aggregate(zip_with(col("qe"), col("pe"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("vec_id"), col("dp"),
+          (col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+            .as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Language ID: stopword-marker scoring with deterministic priority.
+    "llm_lang_id" -> ((s, d) => {
+      def cnt(m: String): Column = size(split(col("text"), m)) - 1
+      documents(s, d)
+        .withColumn("s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
+        .withColumn("s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
+        .withColumn("s_fr", cnt(" le ") + cnt(" et ") + cnt(" la "))
+        .withColumn("s_es", cnt(" el ") + cnt(" los ") + cnt(" las "))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .select(col("doc_id"), col("pred"), col("lang"),
+          when(col("pred") === col("lang"), 1).otherwise(0).as("match"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token/char ratios and a bucketed score.
+    "llm_quality" -> ((s, d) => {
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+      documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))))
+        .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_tokens"))
+        .withColumn("avg_tok_len",
+          (length(col("text")) - col("n_tokens") + 1) * lit(1.0) / col("n_tokens"))
+        .withColumn("quality",
+          when(col("n_tokens") >= 50 && col("stop_ratio") >= 0.05, 3)
+            .when(col("n_tokens") >= 20, 2)
+            .otherwise(1))
+        .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "avg_tok_len", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + BPE-ish regex segmentation per source.
+    "llm_tokens" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("ws_tokens", size(toks))
+        .withColumn("bpe_tokens",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|\\\\S', 0)")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("total_ws"),
+          sum("bpe_tokens").as("total_bpe"),
+          max("ws_tokens").as("max_ws"))
+        .orderBy("source")
+    }),
+
+    // Document fingerprinting: full-text hash + min-shingle rolling
+    // fingerprint (winnowing-lite).
+    "llm_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("fp_full", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("fp_min",
+          array_min(transform(shingles, sh => md5(sh))))
+        .select("doc_id", "fp_full", "fp_min")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal column plumbing: text treated as an opaque binary blob
+    // with typed metadata; "decode" is the deterministic stub (md5-derived
+    // fake dimensions) — the Spark-side schema/partition path is real.
+    "llm_multimodal_meta" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("blob", col("text").cast("binary"))
+        .withColumn("n_bytes", octet_length(col("blob")))
+        .withColumn("checksum", substring(md5(col("text")), 1, 8))
+        .withColumn("fake_width",
+          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1024).cast("int"))
+        .withColumn("fake_height",
+          (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1024).cast("int"))
+        .select("doc_id", "n_bytes", "checksum", "fake_width", "fake_height")
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |  count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_dedup_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1,2)
+         |SELECT da, db, inter, sa.sz + sb.sz - inter AS un,
+         |  inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM pairs JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+         |ORDER BY jaccard DESC, da, db""".stripMargin,
+    "llm_dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |mh AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+         |  min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+         |  min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+         |  min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+         |  FROM sh GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, unnest(['0|' || mh0 || mh1, '1|' || mh2 || mh3,
+         |                         '2|' || mh4 || mh5, '3|' || mh6 || mh7]) AS bucket
+         |  FROM mh)
+         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |FROM banded a JOIN banded b
+         |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY 1, 2""".stripMargin,
+    "llm_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |hv AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, i,
+        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hv, generate_series(0, 59) AS g(i) GROUP BY 1,2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_ann_cosine" ->
+      """WITH q AS (SELECT vec_id,
+        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+        |  FROM q),
+        |probe AS (SELECT qe AS pe, nq AS np FROM n WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(list_dot_product(qe::BIGINT[], (SELECT pe FROM probe)::BIGINT[]) AS BIGINT) AS dp,
+        |  list_dot_product(qe::BIGINT[], (SELECT pe FROM probe)::BIGINT[]) * 1.0
+        |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
+        |FROM n WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' the '))-1 + len(string_split(text, ' and '))-1
+        |    + len(string_split(text, ' of '))-1 AS s_en,
+        |  len(string_split(text, ' der '))-1 + len(string_split(text, ' und '))-1
+        |    + len(string_split(text, ' die '))-1 AS s_de,
+        |  len(string_split(text, ' le '))-1 + len(string_split(text, ' et '))-1
+        |    + len(string_split(text, ' la '))-1 AS s_fr,
+        |  len(string_split(text, ' el '))-1 + len(string_split(text, ' los '))-1
+        |    + len(string_split(text, ' las '))-1 AS s_es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred,
+        |  lang,
+        |  CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = lang
+        |    THEN 1 ELSE 0 END AS match
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "llm_quality" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(t) AS n_tokens,
+        |    len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) AS n_stop,
+        |    length(text) AS n_chars
+        |  FROM b)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_stop AS INT) AS n_stop,
+        |  n_stop * 1.0 / n_tokens AS stop_ratio,
+        |  (n_chars - n_tokens + 1) * 1.0 / n_tokens AS avg_tok_len,
+        |  CAST(CASE WHEN n_tokens >= 50 AND n_stop * 1.0 / n_tokens >= 0.05 THEN 3
+        |       WHEN n_tokens >= 20 THEN 2 ELSE 1 END AS INT) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "llm_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))) AS BIGINT) AS total_bpe,
+        |  CAST(max(len(string_split(text, ' '))) AS INT) AS max_ws
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id,
+         |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_full,
+         |  list_min([md5(x) for x in $shingleSql]) AS fp_min
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS checksum,
+        |  CAST(('0x' || substr(md5(text),1,4))::BIGINT % 1024 AS INT) AS fake_width,
+        |  CAST(('0x' || substr(md5(text),5,4))::BIGINT % 1024 AS INT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY §2.11: everything Catalyst supplies
+  * for free — aggregation, joins incl. broadcast/semi/anti, windows,
+  * rollup, distinct, set ops, top-k, scalar functions).
+  *
+  * Determinism rules shared with the DuckDB oracles:
+  *  - money sums go through `round(x*100)` → BIGINT cents (exact int
+  *    arithmetic; never order-dependent double accumulation)
+  *  - every query ends in a total ORDER BY
+  *  - limits always have a unique tie-break key
+  */
+object RelationalQueries {
+  import Tables._
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("bigint")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: full-scan partial-agg; map-side combine keeps the
+    // shuffle at |groups| not |rows| — the plan that survives 100 TB.
+    "q1_pricing" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("bigint").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("disc_price_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // top-k with deterministic tie-break: sort + limit (TakeOrderedAndProject
+    // physical op — no full sort at scale)
+    "q2_top_orders" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy(desc("total_cents"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // 3-way join: orders⋈customer broadcast-able at small SF, lineitem fact
+    // stays partitioned; group on dims only
+    "q3_revenue" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val o = orders(s, d)
+      val c = customer(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment", "order_year")
+    }),
+
+    // broadcast dim chain: customer⋈nation⋈region, both dims broadcast
+    "q4_region_stats" -> ((s, d) => {
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy("r_name")
+    }),
+
+    // window functions: rank orders per customer (row_number, top 3)
+    "q5_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("total_cents"), asc("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // grouping sets / rollup with sentinel labels (null-ordering-proof)
+    "q6_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("bigint").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // distinct aggregation
+    "q7_distinct" -> ((s, d) => {
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // anti join: customers with no big-ticket orders, counted per nation
+    // (filter pushed below the join build side)
+    "q8_no_orders" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    // semi join: brands having a high-quantity lineitem
+    "q9_hot_brands" -> ((s, d) => {
+      val p = part(s, d)
+      val l = lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_partkey"))
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+
+    // set operations: INTERSECT / EXCEPT on user activity
+    "q10_setops" -> ((s, d) => {
+      val e = events(s, d)
+      val buyers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val errorers = e.filter(col("event_type") === "error").select("user_id").distinct()
+      val signups = e.filter(col("event_type") === "signup").select("user_id").distinct()
+      buyers.intersect(errorers).except(signups.filter(col("user_id") % 7 === 0))
+        .orderBy("user_id")
+    }),
+
+    // scalar function battery: string/math/conditional
+    "q11_scalars" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("name5"),
+        length(col("p_name")).as("name_len"),
+        (col("p_size") % 7).as("size_mod7"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_retailprice") > 1500, "premium")
+          .when(col("p_retailprice") > 1000, "standard")
+          .otherwise("budget").as("tier"),
+        cents(col("p_retailprice")).as("price_cents"))
+        .orderBy("p_partkey")
+    }),
+
+    // date/time functions over orders
+    "q12_dates" -> ((s, d) => {
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"))
+        .filter(col("y") === 1995)
+        .orderBy("o_orderkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_price_cents,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_top_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+        |FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q3_revenue" ->
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q4_region_stats" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |  CAST(rk AS INT) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q6_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1,2""".stripMargin,
+    "q7_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_no_orders" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_hot_brands" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity >= 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_setops" ->
+      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        | INTERSECT
+        | SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'signup' AND user_id % 7 = 0
+        |ORDER BY user_id""".stripMargin,
+    "q11_scalars" ->
+      """SELECT p_partkey, upper(substring(p_name, 1, 5)) AS name5,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  CAST(p_size % 7 AS INT) AS size_mod7,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  CASE WHEN p_retailprice > 1500 THEN 'premium'
+        |       WHEN p_retailprice > 1000 THEN 'standard'
+        |       ELSE 'budget' END AS tier,
+        |  CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q12_dates" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day_str
+        |FROM orders WHERE year(o_orderdate) = 1995 ORDER BY o_orderkey""".stripMargin)
+}
