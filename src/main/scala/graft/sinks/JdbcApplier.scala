@@ -1,0 +1,96 @@
+package graft.sinks
+
+import graft.coalesce.CoalesceConfig
+import graft.model.CdcEvent
+import graft.operators.EventToStmt
+import graft.render.RenderContext
+import org.apache.spark.sql.Dataset
+import java.sql.{Connection, DriverManager}
+
+/** K1/F2: exactly-once transactional JDBC applier for `foreachBatch`.
+  *
+  * Reproduces the reference's pre-commit-hook protocol
+  * (destination_factory.rs:60-93): the checkpoint (here: batchId) is
+  * written *inside* the same destination transaction as the data, so a
+  * crash between apply and Spark's own commit log leaves the destination
+  * either fully behind (batch re-applied, gate skips it) or fully ahead
+  * (gate skips the replay). Statements are coalesced (A1-A7) and applied
+  * in LSN order — the destination connection is inherently serial, exactly
+  * like the reference's single consumer (consumer.rs:26-123).
+  *
+  * Scale note: this sink is for OLTP destinations (MySQL/SQLServer/SQLite
+  * semantics). The 100 TB path is ParquetReplicaSink's partitioned MERGE.
+  */
+class JdbcApplier(
+    url: String,
+    ctx: RenderContext,
+    appId: String = "graft",
+    cfg: CoalesceConfig = CoalesceConfig(),
+    statementBatchSize: Int = 1000) extends Serializable {
+
+  private val checkpointTable = "graft_checkpoint"
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** Create checkpoint bookkeeping (idempotent). */
+  def init(): Unit = withConn { c =>
+    val st = c.createStatement()
+    try st.execute(
+      s"CREATE TABLE $checkpointTable (app VARCHAR(64) PRIMARY KEY, batch_id BIGINT)")
+    catch { case _: java.sql.SQLException => () } // exists
+    finally st.close()
+  }
+
+  def lastCommitted(): Long = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT batch_id FROM $checkpointTable WHERE app = '$appId'")
+      if (rs.next()) rs.getLong(1) else -1L
+    } finally st.close()
+  }
+
+  /** The foreachBatch body. Events ordered by (lsn) stream through the
+    * structured coalescer into one destination transaction per statement
+    * batch; the final batch carries the checkpoint update. */
+  def applyBatch(events: Dataset[CdcEvent], batchId: Long): Unit = {
+    if (batchId <= lastCommitted()) return // F2 dedup gate on replay
+    val ordered = events.orderBy(events("lsn")).toLocalIterator()
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        val buf = new scala.collection.mutable.ArrayBuffer[CdcEvent](statementBatchSize)
+        def flush(last: Boolean): Unit = {
+          if (buf.nonEmpty || last) {
+            val sqls = EventToStmt.renderBatch(ctx, buf.toSeq, cfg)
+            val st = c.createStatement()
+            try sqls.foreach(sql => st.execute(sql.stripSuffix(";")))
+            finally st.close()
+            buf.clear()
+          }
+          if (last) {
+            // pre-commit hook analog: checkpoint inside the same txn
+            val up = c.createStatement()
+            try {
+              val n = up.executeUpdate(
+                s"UPDATE $checkpointTable SET batch_id = $batchId WHERE app = '$appId'")
+              if (n == 0) up.executeUpdate(
+                s"INSERT INTO $checkpointTable VALUES ('$appId', $batchId)")
+            } finally up.close()
+            c.commit()
+          }
+        }
+        while (ordered.hasNext) {
+          buf += ordered.next()
+          if (buf.size >= statementBatchSize) flush(last = false)
+        }
+        flush(last = true)
+      } catch {
+        case e: Throwable => c.rollback(); throw e
+      }
+    }
+  }
+}

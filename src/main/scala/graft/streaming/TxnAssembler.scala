@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** T1: transaction session-izer (reference producer.rs:98-343).
+  *
+  * The reference runs a state machine over the serial WAL stream: Begin
+  * opens a normal transaction, DML appends, Commit seals; protocol-v2
+  * streamed transactions arrive chunked (StreamStart/StreamStop segments,
+  * StreamCommit seals, StreamAbort discards) and may interleave with each
+  * other. Here the same machine is keyed state in
+  * `flatMapGroupsWithState` — one state per txid, so interleaved streamed
+  * transactions are handled by construction, and StreamAbort drops state
+  * without ever touching the sink (T2: nothing is persisted until the
+  * epoch containing the Commit is itself committed).
+  */
+object TxnAssembler {
+
+  /** Control ops beyond the DML set (producer.rs match arms). */
+  object Ctl {
+    val Begin = "begin"
+    val Commit = "commit"
+    val StreamStart = "stream_start"
+    val StreamStop = "stream_stop"
+    val StreamCommit = "stream_commit"
+    val StreamAbort = "stream_abort"
+  }
+
+  /** Buffered per-txid state. */
+  final case class TxBuf(events: List[CdcEvent], streaming: Boolean, open: Boolean)
+
+  implicit val txEnc: Encoder[CdcTransaction] = Encoders.product[CdcTransaction]
+  implicit val bufEnc: Encoder[TxBuf] = Encoders.product[TxBuf]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** The per-group state transition; pure so it unit-tests without a
+    * stream. Returns sealed transactions to emit. */
+  def step(txid: Long, batch: Seq[CdcEvent], state: Option[TxBuf])
+      : (Option[TxBuf], Seq[CdcTransaction]) = {
+    var buf = state.getOrElse(TxBuf(Nil, streaming = false, open = false))
+    val out = Seq.newBuilder[CdcTransaction]
+    // WAL order within the group: events carry their LSN
+    batch.sortBy(_.lsn).foreach { e =>
+      e.op match {
+        case Ctl.Begin =>
+          buf = TxBuf(Nil, streaming = false, open = true)
+        case Ctl.StreamStart =>
+          buf = if (buf.open) buf.copy(streaming = true)
+            else TxBuf(Nil, streaming = true, open = true)
+        case Ctl.StreamStop => // segment boundary: keep buffering
+        case Ctl.Commit | Ctl.StreamCommit =>
+          val events = buf.events.reverse
+          out += CdcTransaction(txid, e.lsn, e.commitTs, events)
+          buf = TxBuf(Nil, streaming = false, open = false)
+        case Ctl.StreamAbort =>
+          buf = TxBuf(Nil, streaming = false, open = false)
+        case _ =>
+          buf = buf.copy(events = e :: buf.events, open = true)
+      }
+    }
+    val keep = if (buf.open || buf.events.nonEmpty) Some(buf) else None
+    (keep, out.result())
+  }
+
+  /** Streaming form: one state entry per in-flight txid. */
+  def assemble(events: Dataset[CdcEvent]): Dataset[CdcTransaction] = {
+    events
+      .groupByKey(_.txid)
+      .flatMapGroupsWithState[TxBuf, CdcTransaction](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (txid: Long, it: Iterator[CdcEvent], state: GroupState[TxBuf]) =>
+          val (keep, out) = step(txid, it.toSeq, state.getOption)
+          keep match {
+            case Some(b) => state.update(b)
+            case None => if (state.exists) state.remove()
+          }
+          out.iterator
+      }
+  }
+
+  /** Batch form (backfill / recovery replay): pgoutput delivers committed
+    * transactions contiguously, so grouping by txid and sorting by LSN
+    * reproduces the same sealed transactions (SURVEY §2.2 T1 note). */
+  def assembleBatch(events: Dataset[CdcEvent]): Dataset[CdcTransaction] = {
+    events
+      .groupByKey(_.txid)
+      .flatMapGroups { (txid: Long, it: Iterator[CdcEvent]) =>
+        step(txid, it.toSeq, None)._2.iterator
+      }
+  }
+}
