@@ -1,0 +1,145 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (driver mandate).
+  *
+  * Scale design: every operator is a fixed number of hash-partitioned
+  * shuffles keyed on content-derived keys; nothing is quadratic in the
+  * corpus except within explicit candidate buckets.
+  *  - exact: one shuffle on a 128-bit hash
+  *  - minhash LSH: shingle explode (map-side), one groupBy(doc) for
+  *    signatures, band explode, one groupBy(bucket-pair) — candidates
+  *    only ever compared within a band bucket
+  *  - ngram jaccard: exact verification, for candidate pairs or small
+  *    corpora — the shingle inverted index join is the quadratic one,
+  *    so at scale feed it ONLY LSH candidates
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per canonical-content hash. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = TextOps.contentHash(col(textCol))
+    df.withColumn("__h", h)
+      .groupBy("__h")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+      .withColumnRenamed("__h", "content_hash")
+  }
+
+  /** Mersenne prime 2^31-1: the affine minhash family modulus. */
+  val MinhashP: Long = 2147483647L
+  /** Fixed affine coefficients (a_i, b_i) — one cheap integer hash per
+    * seed derived from a single base md5, instead of k md5 invocations
+    * per shingle (k-fold md5 measured ~2× slower end-to-end at sf0.1). */
+  val MinhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1583L, 507), (2671L, 1231L), (3877L, 2089L), (5099L, 3181L),
+    (6317L, 4327L), (7561L, 5443L), (8783L, 6563L), (10037L, 7687L))
+
+  /** Per-doc minhash signature columns mh0..mh{k-1}.
+    *
+    * Shape matters twice here:
+    *  - explode once, then k partial-aggregated min()s. The tempting
+    *    no-shuffle alternative — k × array_min(transform(...)) in one
+    *    projection — is 5× slower because CollapseProject re-inlines the
+    *    shingle construction into every signature column (measured at
+    *    sf0.1: 54 s vs 11 s). The explode computes shingles exactly
+    *    once, and the min() partial agg keeps the shuffle at |docs|.
+    *  - one 60-bit md5-derived base hash per shingle, then the affine
+    *    family h_i = (a_i·h + b_i) mod 2^31-1 — h < 2^31 so products
+    *    stay in long range; identical arithmetic is SQL-expressible for
+    *    the oracle. */
+  def minhashSignatures(df: DataFrame, k: Int = 8, shingleN: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k <= MinhashCoeffs.size, s"at most ${MinhashCoeffs.size} minhash seeds")
+    // dedup=false: min() is insensitive to duplicate shingles, so skip
+    // the distinct shuffle
+    val sh = TextOps.shingleRows(df, shingleN, idCol, textCol, dedup = false)
+      .withColumn("h", TextOps.tokenHash60(col("shingle")) % MinhashP)
+    val aggs = (0 until k).map { i =>
+      val (a, b) = MinhashCoeffs(i)
+      min((col("h") * a + b) % MinhashP).as(s"mh$i")
+    }
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: bands of `rowsPerBand` signatures → bucket ids. */
+  def lshBuckets(sigs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                 idCol: String = "doc_id"): DataFrame = {
+    val bands = k / rowsPerBand
+    val bucketCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      // "-" separator: (12,345) must not collide with (123,45)
+      concat_ws("-", lit(b) +: parts: _*)
+    }
+    sigs.select(col(idCol), explode(array(bucketCols: _*)).as("bucket"))
+  }
+
+  /** Candidate near-dup pairs (a<b) from shared LSH buckets. */
+  def minhashCandidates(df: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                        shingleN: Int = 3, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val buckets = lshBuckets(
+      minhashSignatures(df, k, shingleN, idCol, textCol), k, rowsPerBand, idCol)
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs above a threshold.
+    * `candidates` (da, db) restricts the comparison set; None = all
+    * pairs via the shingle inverted index (small corpora only). */
+  def ngramJaccard(df: DataFrame, threshold: Double, shingleN: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = TextOps.shingleRows(df, shingleN, idCol, textCol)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val joined = a.join(b, col("a.shingle") === col("b.shingle") &&
+      col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+    val restricted = candidates match {
+      case Some(c) => joined.join(c, Seq("da", "db"), "left_semi")
+      case None => joined
+    }
+    restricted
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed(idCol, "da").withColumnRenamed("sz", "sza"), "da")
+      .join(sizes.withColumnRenamed(idCol, "db").withColumnRenamed("sz", "szb"), "db")
+      .withColumn("un", col("sza") + col("szb") - col("inter"))
+      .withColumn("jaccard", col("inter") * lit(1.0) / col("un"))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "inter", "un", "jaccard")
+  }
+
+  /** 60-bit SimHash per document. */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextOps.tokenHash60(col("tok")))
+    tok.select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
+      .groupBy(idCol, "i")
+      .agg(sum(when(expr("(h >> i) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy(idCol)
+      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << i")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two simhash columns (near-dup test). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** End-to-end near-dedup: LSH candidates verified by exact Jaccard,
+    * then keep min-id per duplicate component (greedy: a doc is dropped
+    * if any smaller-id doc is near-identical — one pass, no iterative
+    * connected components; good enough for dedup where clusters are
+    * small and transitivity holds at high thresholds). */
+  def nearDedup(df: DataFrame, threshold: Double = 0.8,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cands = minhashCandidates(df, idCol = idCol, textCol = textCol)
+    val verified = ngramJaccard(df, threshold, idCol = idCol, textCol = textCol,
+      candidates = Some(cands))
+    val drops = verified.select(col("db").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -14,17 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
   import Tables._
+  import graft.llmops.{Dedup, Similarity, TextOps}
 
   /** Word tokens; texts are space-separated. */
-  private def toks: Column = split(col("text"), " ")
+  private def toks: Column = TextOps.tokens(col("text"))
 
   /** Distinct word 3-gram shingles (empty when < 3 tokens). */
-  private def shingles: Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2), element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  private def shingles: Column = TextOps.shingles(col("text"), 3)
 
   private val shingleSql =
     """list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -35,10 +31,8 @@ object LlmQueries {
     // is one hash-shuffle on a 32-hex key; the min(doc_id) keeps choice
     // deterministic.
     "llm_dedup_exact" -> ((s, d) => {
-      documents(s, d)
-        .withColumn("h", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-        .groupBy("h")
-        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      Dedup.exact(documents(s, d))
+        .select(col("content_hash").as("h"), col("n_dups").as("n"), col("keep_id"))
         .orderBy("h")
     }),
 
@@ -46,21 +40,7 @@ object LlmQueries {
     // Exact at test SF; the LSH variant below is the 100 TB path (this
     // one's shingle self-join is quadratic in docs-per-shingle).
     "llm_dedup_jaccard" -> ((s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), explode(shingles).as("shingle"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val pairs = a.join(b,
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-        .select(col("da"), col("db"), col("inter"),
-          (col("sa.sz") + col("sb.sz") - col("inter")).as("un"))
-        .withColumn("jaccard", col("inter") * lit(1.0) / col("un"))
-        .filter(col("jaccard") >= 0.8)
+      Dedup.ngramJaccard(documents(s, d), threshold = 0.8)
         .orderBy(desc("jaccard"), col("da"), col("db"))
     }),
 
@@ -68,57 +48,20 @@ object LlmQueries {
     // pairs from shared buckets. This is the scale path: cost is linear
     // in docs + bucket-local joins, no all-pairs comparison.
     "llm_dedup_minhash" -> ((s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), explode(shingles).as("shingle"))
-      val mhAggs = (0 until 8).map(i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
-      val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-      val banded = mh.select(col("doc_id"),
-        explode(array((0 until 4).map(bnd =>
-          concat(lit(s"$bnd|"), col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}"))): _*))
-          .as("bucket"))
-      val a = banded.as("a"); val b = banded.as("b")
-      a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+      Dedup.minhashCandidates(documents(s, d), k = 8, rowsPerBand = 2)
         .orderBy("da", "db")
     }),
 
     // SimHash (60-bit via md5 prefix): near-dup signature per doc.
     "llm_simhash" -> ((s, d) => {
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-      val bits = tok
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
-        .groupBy("doc_id", "i")
-        .agg(sum(when(expr("(h >> i) & 1") === 1, 1).otherwise(-1)).as("s"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << i")).otherwise(0L))
-          .as("simhash"))
-        .orderBy("doc_id")
+      Dedup.simhash(documents(s, d)).orderBy("doc_id")
     }),
 
     // Brute-force cosine top-k against a probe vector (vec_id 0),
     // quantized to exact integer dot products. The LSH-bucketed ANN
     // variant is in graft.llmops; this is the correctness baseline.
-    "llm_ann_cosine" -> ((s, d) => {
-      val q = embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => round(x * 1000).cast("bigint")).as("qe"))
-      val withNorm = q.withColumn("nq",
-        aggregate(transform(col("qe"), x => x * x), lit(0L), (acc, x) => acc + x))
-      val probe = withNorm.filter(col("vec_id") === 0)
-        .select(col("qe").as("pe"), col("nq").as("np"))
-      withNorm.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
-        .withColumn("dp", aggregate(zip_with(col("qe"), col("pe"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
-        .select(col("vec_id"), col("dp"),
-          (col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
-            .as("cosine"))
-        .orderBy(desc("cosine"), col("vec_id"))
-        .limit(10)
-    }),
+    "llm_ann_cosine" -> ((s, d) =>
+      Similarity.bruteForceTopK(embeddings(s, d), probeId = 0, k = 10)),
 
     // Language ID: stopword-marker scoring with deterministic priority.
     "llm_lang_id" -> ((s, d) => {
@@ -175,9 +118,8 @@ object LlmQueries {
     // fingerprint (winnowing-lite).
     "llm_fingerprint" -> ((s, d) => {
       documents(s, d)
-        .withColumn("fp_full", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-        .withColumn("fp_min",
-          array_min(transform(shingles, sh => md5(sh))))
+        .withColumn("fp_full", TextOps.contentHash(col("text")))
+        .withColumn("fp_min", TextOps.minShingleFingerprint(col("text")))
         .select("doc_id", "fp_full", "fp_min")
         .orderBy("doc_id")
     }),
@@ -217,23 +159,27 @@ object LlmQueries {
          |  JOIN sizes sb ON db = sb.doc_id
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          |ORDER BY jaccard DESC, da, db""".stripMargin,
-    "llm_dedup_minhash" ->
+    "llm_dedup_minhash" -> {
+      val coeffs = graft.llmops.Dedup.MinhashCoeffs
+      val p = graft.llmops.Dedup.MinhashP
+      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $p) AS mh$i"
+      }.mkString(", ")
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
-         |mh AS (SELECT doc_id,
-         |  min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-         |  min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-         |  min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-         |  min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-         |  FROM sh GROUP BY 1),
+         |hv AS (SELECT doc_id,
+         |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
          |banded AS (
-         |  SELECT doc_id, unnest(['0|' || mh0 || mh1, '1|' || mh2 || mh3,
-         |                         '2|' || mh4 || mh5, '3|' || mh6 || mh7]) AS bucket
+         |  SELECT doc_id, unnest([
+         |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
+         |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
          |  FROM mh)
          |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |FROM banded a JOIN banded b
          |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |ORDER BY 1, 2""".stripMargin,
+         |ORDER BY 1, 2""".stripMargin
+    },
     "llm_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),

@@ -1,0 +1,112 @@
+package graft
+
+import graft.llmops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Library-level tests for the LLM-data-pipeline operators (the
+  * oracle-checked query layer covers SQL parity; these cover the
+  * non-SQL-expressible behavior: recall, dedup end states, stubs). */
+class LlmOpsSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup: hash groups partition the corpus") {
+    val d = Dedup.exact(docs)
+    val total = d.agg(sum("n_dups")).collect()(0).getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("minhash LSH candidates achieve full recall on high-jaccard pairs") {
+    // ground truth: all pairs with jaccard >= 0.9 (strong near-dups)
+    val truth = Dedup.ngramJaccard(docs, 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain near-dups")
+    val recall = truth.intersect(cands).size.toDouble / truth.size
+    assert(recall >= 0.95, s"LSH recall $recall too low (truth=${truth.size})")
+  }
+
+  test("nearDedup drops exactly the larger-id member of each verified pair") {
+    val verified = Dedup.ngramJaccard(docs, 0.8,
+      candidates = Some(Dedup.minhashCandidates(docs)))
+    val expectedDrops = verified.select("db").distinct().count()
+    val kept = Dedup.nearDedup(docs, 0.8)
+    assert(kept.count() == docs.count() - expectedDrops)
+    assert(expectedDrops > 0, "should find near-dups in test data")
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    val pair = Dedup.ngramJaccard(docs, 0.95).select("da", "db").first()
+    val (a, b) = (pair.getLong(0), pair.getLong(1))
+    val sh = Dedup.simhash(docs)
+    val ha = sh.filter(col("doc_id") === a).select("simhash").first().getLong(0)
+    val hb = sh.filter(col("doc_id") === b).select("simhash").first().getLong(0)
+    val dist = java.lang.Long.bitCount(ha ^ hb)
+    assert(dist <= 12, s"near-identical docs should have close simhash (got $dist)")
+    // unrelated docs are far apart on average: sample one distant pair
+    val hc = sh.filter(col("doc_id") === 3).select("simhash").first().getLong(0)
+    val hd = sh.filter(col("doc_id") === 4).select("simhash").first().getLong(0)
+    assert(java.lang.Long.bitCount(hc ^ hd) > dist)
+  }
+
+  test("sign-LSH ANN finds planted near-duplicates (the ANN contract)") {
+    // the driver's synthetic embeddings are near-orthogonal (top-1 cosine
+    // ≈ 0.2), where ANN has nothing to find — plant real neighbors
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val base = (0L until 100L).map(i => (i, vec()))
+    val planted = Seq((100L, perturb(base(5)._2)), (101L, perturb(base(17)._2)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val bucketed = Similarity.bucketize(df).cache()
+    val top5 = Similarity.signLshTopK(bucketed, probeId = 5L, k = 1, radius = 1)
+      .select("vec_id").first().getLong(0)
+    val top17 = Similarity.signLshTopK(bucketed, probeId = 17L, k = 1, radius = 1)
+      .select("vec_id").first().getLong(0)
+    bucketed.unpersist()
+    assert(top5 == 100L, s"probe 5's planted twin not found (got $top5)")
+    assert(top17 == 101L, s"probe 17's planted twin not found (got $top17)")
+    // and agrees with brute force on the planted structure
+    assert(Similarity.bruteForceTopK(df, 5L, 1).select("vec_id").first().getLong(0) == 100L)
+  }
+
+  test("embedding cosine near-dup finds the planted twin structure") {
+    // label column groups vectors; same-label vectors are correlated in
+    // the synthetic data — at minimum the operator must be symmetric-free
+    // (a<b) and deterministic
+    val pairs = Similarity.cosineNearDup(embs, 0.95, bits = 4)
+    val collected = pairs.collect()
+    collected.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    // deterministic across runs
+    val again = Similarity.cosineNearDup(embs, 0.95, bits = 4).collect()
+    assert(collected.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("multimodal stub: schema, batch shape, determinism") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "image", "source",
+      "application/octet-stream")
+    val feats = Multimodal.decodeStub(media, batchSize = 32, featureDim = 8)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(f => f.width >= 0 && f.width < 1024))
+    // deterministic: same input → same features
+    val again = Multimodal.decodeStub(media, batchSize = 7).collect()
+    assert(rows.sortBy(_.media_id).map(_.checksum)
+      .sameElements(again.sortBy(_.media_id).map(_.checksum)))
+    // n_bytes matches payload length
+    assert(rows.forall(f => f.n_bytes > 0))
+  }
+
+  test("frame sampling stub: deterministic frame keys") {
+    val media = Multimodal.asMedia(docs.limit(3), "doc_id", "text", "video",
+      "source", "video/mp4")
+    val frames = Multimodal.sampleFrames(media, nFrames = 10, stride = 3)
+    assert(frames.count() == 3 * 4) // 0,3,6,9
+    assert(frames.select("frame_key").distinct().count() == 12)
+  }
+}
