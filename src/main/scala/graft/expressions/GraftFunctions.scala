@@ -1,0 +1,30 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Column + SQL surface for the engine's native expressions. */
+object GraftFunctions {
+
+  /** md5_prefix60(str) — 60-bit md5-derived hash as BIGINT. */
+  def md5_prefix60(c: Column): Column =
+    GraftColumnBridge.column(
+      Md5Prefix60(GraftColumnBridge.expression(c.cast("string"))))
+
+  /** Register SQL names on a session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
+}
+
+/** SparkSessionExtensions entry point:
+  * .config("spark.sql.extensions", "graft.expressions.GraftExtensions") */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix60(exprs.head)))
+}

@@ -73,10 +73,12 @@ object TextOps {
         else when(rest.map(r => s >= r).reduce(_ && _), code).otherwise(acc)
     }
 
-  /** 60-bit token hash (md5 prefix) — the SimHash ingredient; 60 bits
-    * keeps the value in signed-long range for SQL parity. */
+  /** 60-bit token hash (md5 prefix) — the minhash/simhash base hash;
+    * 60 bits keeps the value in signed-long range for SQL parity.
+    * Native codegen'd expression (graft.expressions.Md5Prefix60),
+    * semantically = conv(substring(md5(x),1,15),16,10). */
   def tokenHash60(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+    graft.expressions.GraftFunctions.md5_prefix60(tok)
 
   /** Rolling-window min-hash fingerprint over shingles
     * (winnowing-lite): min(md5(shingle)). */

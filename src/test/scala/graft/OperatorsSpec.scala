@@ -1,0 +1,106 @@
+package graft
+
+import graft.expressions.GraftFunctions
+import graft.model._
+import graft.operators.{ColumnTransform, ColumnTransforms, Retry, TableMapping}
+import graft.streaming.GraftConfig
+import org.apache.spark.sql.functions._
+
+/** Column transforms (§2.10 made real), retry/backoff (O3), error
+  * taxonomy (E6), env config (E5), native expressions. */
+class OperatorsSpec extends SparkSpecBase {
+
+  private val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private val ev = CdcEvent("c", 1, 1, ts, "public", "users", Nil,
+    Seq(CdcColumn("id", "1"), CdcColumn("name", "alice"),
+      CdcColumn("ssn", "123-45-6789"), CdcColumn("email", "A@B.COM")),
+    keyColumns = Seq("id"))
+
+  test("column transforms: rename, exclude, uppercase/static/null (config.rs:238-293)") {
+    val mapping = Map("public.users" -> TableMapping(
+      targetSchema = Some("cdc"),
+      targetTable = Some("users_v2"),
+      excludedColumns = Set("ssn"),
+      transforms = Map(
+        "name" -> ColumnTransform.Uppercase,
+        "email" -> ColumnTransform.Lowercase)))
+    val out = ColumnTransforms.apply(mapping)(ev)
+    assert(out.schema == "cdc" && out.table == "users_v2")
+    assert(!out.after.exists(_.name == "ssn"))
+    assert(out.after.find(_.name == "name").get.value == "ALICE")
+    assert(out.after.find(_.name == "email").get.value == "a@b.com")
+    assert(out.after.find(_.name == "id").get.value == "1") // identity
+  }
+
+  test("column transforms: static and nullify") {
+    val mapping = Map("users" -> TableMapping(transforms = Map(
+      "name" -> ColumnTransform.StaticValue("REDACTED"),
+      "email" -> ColumnTransform.Nullify)))
+    val out = ColumnTransforms.apply(mapping)(ev)
+    assert(out.after.find(_.name == "name").get.value == "REDACTED")
+    assert(out.after.find(_.name == "email").get.value == null)
+  }
+
+  test("unmapped tables pass through untouched") {
+    assert(ColumnTransforms.apply(Map.empty)(ev) == ev)
+  }
+
+  test("retry: backoff schedule 2^n capped at 30 (consumer.rs:260-269)") {
+    assert((0 to 6).map(Retry.backoffSeconds) == Seq(1, 2, 4, 8, 16, 32, 32).map(
+      s => math.min(s, 30)))
+  }
+
+  test("retry: transient errors retried, permanent rethrown immediately (E6)") {
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = Retry.withRetry(maxAttempts = 4, sleep = s => slept += s) {
+      calls += 1
+      if (calls < 3) throw new java.net.SocketTimeoutException("transient")
+      42
+    }
+    assert(out == 42 && calls == 3 && slept.toSeq == Seq(1, 2))
+
+    var permCalls = 0
+    assertThrows[java.sql.SQLSyntaxErrorException] {
+      Retry.withRetry(maxAttempts = 4, sleep = _ => ()) {
+        permCalls += 1
+        throw new java.sql.SQLSyntaxErrorException("bad sql")
+      }
+    }
+    assert(permCalls == 1)
+  }
+
+  test("error taxonomy: SQLSTATE 08xxx/40xxx transient, others permanent") {
+    assert(Retry.classify(new java.sql.SQLException("conn", "08001")) == Retry.Transient)
+    assert(Retry.classify(new java.sql.SQLException("deadlock", "40001")) == Retry.Transient)
+    assert(Retry.classify(new java.sql.SQLException("constraint", "23505")) == Retry.Permanent)
+    assert(Retry.classify(new InterruptedException) == Retry.Cancelled)
+  }
+
+  test("config env parity: schema mappings format (env.rs:180-208)") {
+    assert(GraftConfig.parseSchemaMappings("public:cdc_db,sales:sales_db") ==
+      Map("public" -> "cdc_db", "sales" -> "sales_db"))
+    assert(GraftConfig.parseSchemaMappings("") == Map.empty)
+    val c = GraftConfig.fromEnv(Map("CDC_BATCH_SIZE" -> "500",
+      "CDC_SCHEMA_MAPPINGS" -> "a:b"))
+    assert(c.batchSize == 500 && c.schemaMappings == Map("a" -> "b"))
+    assert(c.bulkInsertThreshold == 500 && c.heartbeatSeconds == 10)
+  }
+
+  test("md5_prefix60 native expression matches the composed form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq("hello", "world", "", "日本語テスト", "a b c").toDF("s")
+    val both = df.select(
+      GraftFunctions.md5_prefix60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"),
+      expr("md5_prefix60(s)").as("sqlform"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"native != composed for $r")
+      assert(r.getLong(0) == r.getLong(2))
+    }
+    // codegen: the expression must not fall back to interpreted eval
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"))
+  }
+}
