@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed change-rate aggregation with watermarked late-data
+  * handling.
+  *
+  * The reference has no event-time windowing — WAL total order makes
+  * "late" impossible (SURVEY §2.11) — but the moment CDC events transit a
+  * broker (the Debezium path), per-partition reordering appears and
+  * watermarks become the correct tool. This operator is the engine's
+  * change-rate telemetry: events per (table, op) per tumbling window,
+  * tolerating `lateness` of disorder, emitting finalized windows only
+  * (append mode — safe for downstream sinks).
+  *
+  * Scale: state is |tables × ops × open windows|, independent of event
+  * volume; the watermark bounds open windows, so state is O(tables).
+  */
+object EventRates {
+
+  /** envelope stream → windowed rates. Append-mode compatible. */
+  def windowed(envelope: DataFrame, window_ : String = "1 minute",
+               lateness: String = "2 minutes"): DataFrame =
+    envelope
+      .filter(col("op").isin("c", "u", "d", "t"))
+      .withWatermark("commitTs", lateness)
+      .groupBy(
+        window(col("commitTs"), window_).as("w"),
+        col("table"), col("op"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("txid").as("approx_txns"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("table"), col("op"), col("n_events"), col("approx_txns"))
+}

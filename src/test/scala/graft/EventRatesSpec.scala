@@ -1,0 +1,50 @@
+package graft
+
+import graft.model._
+import graft.streaming.EventRates
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Watermarked windowed aggregation: on-time, late-but-tolerated, and
+  * too-late events. */
+class EventRatesSpec extends SparkSpecBase {
+
+  private def ev(op: String, lsn: Long, minuteOfHour: Int, sec: Int): CdcEvent =
+    CdcEvent(op, lsn, lsn, java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:$minuteOfHour%02d:$sec%02d"), "public", "t1",
+      Nil, Seq(CdcColumn("id", lsn.toString)), keyColumns = Seq("id"))
+
+  test("tumbling windows finalize past the watermark; too-late events drop") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[CdcEvent]
+    val q = EventRates.windowed(mem.toDF(), "1 minute", "2 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rates").start()
+    try {
+      // window [10:00,10:01): three inserts; [10:01,10:02): one delete
+      mem.addData(ev("c", 1, 0, 10), ev("c", 2, 0, 20), ev("c", 3, 0, 40),
+        ev("d", 4, 1, 15))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed window end + lateness
+      assert(spark.sql("SELECT * FROM rates").count() == 0)
+
+      // advance event time far enough to finalize the 10:00 window
+      mem.addData(ev("u", 5, 5, 0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT table, op, n_events FROM rates ORDER BY window_start, op")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains(("t1", "c", 3L)))
+      assert(rows.contains(("t1", "d", 1L)))
+
+      // a too-late event (behind the watermark) must NOT resurrect the
+      // finalized window
+      mem.addData(ev("c", 6, 0, 50))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT sum(n_events) FROM rates WHERE op = 'c'")
+        .collect()(0).getLong(0)
+      assert(after == 3L, "late event leaked into a finalized window")
+    } finally q.stop()
+  }
+}
