@@ -154,6 +154,41 @@ object RelationalQueries {
         .orderBy("p_partkey")
     }),
 
+    // as-of join (no native Spark equivalent — graft.operators
+    // RelationalExt union+window formulation, one shuffle): each error
+    // event matched to the user's most recent purchase at-or-before it
+    "q13_asof" -> ((s, d) => {
+      val e = events(s, d)
+      val errors = e.filter(col("event_type") === "error")
+      val purchases = e.filter(col("event_type") === "purchase")
+      graft.operators.RelationalExt.asOfJoin(
+        errors, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "value"), prefix = "p_",
+        rightTiebreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("p_event_id").as("purchase_id"),
+          cents(col("p_value")).as("purchase_cents"))
+        .orderBy("event_id")
+    }),
+
+    // banded range join (bucketed interval join — cost |left|·density,
+    // not |left|·|right|): purchases within the hour before each error
+    "q14_range" -> ((s, d) => {
+      val e = events(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.RelationalExt.rangeJoin(
+        errors, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        before = 3600L * 1000000000L, after = 0L,
+        rightPayload = Seq("event_id"), prefix = "p_")
+        .select(col("event_id").as("error_id"), col("p_event_id").as("purchase_id"))
+        .orderBy("error_id", "purchase_id")
+    }),
+
     // date/time functions over orders
     "q12_dates" -> ((s, d) => {
       orders(s, d).select(
@@ -238,6 +273,20 @@ object RelationalQueries {
         |       ELSE 'budget' END AS tier,
         |  CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q13_asof" ->
+      """SELECT e.event_id, e.user_id, p.event_id AS purchase_id,
+        |  CAST(round(p.value*100) AS BIGINT) AS purchase_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q14_range" ->
+      """SELECT e.event_id AS error_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p
+        |  ON p.user_id = e.user_id
+        |  AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |  AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+        |ORDER BY 1, 2""".stripMargin,
     "q12_dates" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
         |  CAST(month(o_orderdate) AS INT) AS m,
