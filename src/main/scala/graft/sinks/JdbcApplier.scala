@@ -30,6 +30,12 @@ class JdbcApplier(
 
   private val checkpointTable = "graft_checkpoint"
 
+  /** K2/K3 bulk fast path: tables where bulk loading failed once are
+    * memoized and permanently fall back to rendered SQL
+    * (sqlserver.rs:20-21,197-200 failure memo). */
+  @transient private lazy val bulkFailureMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(url)
     try f(c) finally c.close()
@@ -65,10 +71,12 @@ class JdbcApplier(
         val buf = new scala.collection.mutable.ArrayBuffer[CdcEvent](statementBatchSize)
         def flush(last: Boolean): Unit = {
           if (buf.nonEmpty || last) {
-            val sqls = EventToStmt.renderBatch(ctx, buf.toSeq, cfg)
-            val st = c.createStatement()
-            try sqls.foreach(sql => st.execute(sql.stripSuffix(";")))
-            finally st.close()
+            if (!tryBulkInsert(c, buf.toSeq)) {
+              val sqls = EventToStmt.renderBatch(ctx, buf.toSeq, cfg)
+              val st = c.createStatement()
+              try sqls.foreach(sql => st.execute(sql.stripSuffix(";")))
+              finally st.close()
+            }
             buf.clear()
           }
           if (last) {
@@ -91,6 +99,54 @@ class JdbcApplier(
       } catch {
         case e: Throwable => c.rollback(); throw e
       }
+    }
+  }
+
+  /** E3 bulk detection (transaction_manager.rs:1274-1350): a statement
+    * run that is 100% same-shape non-binary INSERTs of at least
+    * `bulkInsertThreshold` rows goes through a PreparedStatement batch
+    * (the JDBC-generic analog of LOAD DATA / TDS bulk) — the destination
+    * parses ONE statement instead of re-parsing multi-VALUES text.
+    * Value normalization matches Dialect.renderValue minus quoting
+    * (bool t/f → 1/0). Returns false to fall back to rendered SQL;
+    * a failure memoizes the table permanently (K3 behavior) and lets
+    * the batch retry take the fallback path. */
+  private def tryBulkInsert(c: Connection, events: Seq[CdcEvent]): Boolean = {
+    if (events.size < cfg.bulkInsertThreshold) return false
+    val first = events.head
+    val sameShape = first.op == "c" && events.forall { e =>
+      e.op == "c" && e.schema == first.schema && e.table == first.table &&
+        e.after.map(_.name) == first.after.map(_.name) &&
+        !e.after.exists(_.isBinary)
+    }
+    if (!sameShape) return false
+    val table = ctx.qualified(first.schema, first.table)
+    if (bulkFailureMemo.contains(table)) return false
+    val d = ctx.dialect
+    val cols = first.after.map(col => d.quoteIdentifier(col.name))
+    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+      cols.map(_ => "?").mkString("(", ", ", ")")
+    try {
+      val ps = c.prepareStatement(sql)
+      try {
+        events.foreach { e =>
+          e.after.zipWithIndex.foreach { case (col, i) =>
+            col.value match {
+              case null => ps.setNull(i + 1, java.sql.Types.VARCHAR)
+              case "t" => ps.setString(i + 1, "1")
+              case "f" => ps.setString(i + 1, "0")
+              case v => ps.setString(i + 1, v)
+            }
+          }
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally ps.close()
+      true
+    } catch {
+      case e: java.sql.SQLException =>
+        bulkFailureMemo.add(table)
+        throw e // rollback + retry takes the fallback path
     }
   }
 }

@@ -58,6 +58,13 @@ object TxnAssembler {
           buf = TxBuf(Nil, streaming = false, open = false)
         case _ =>
           buf = buf.copy(events = e :: buf.events, open = true)
+          // envelope-marked commit (is_final_batch on the last DML of a
+          // tx, types.rs:66-70): seal without a separate Commit event —
+          // the wire shape the cdcwal source delivers
+          if (e.isFinalBatch) {
+            out += CdcTransaction(txid, e.lsn, e.commitTs, buf.events.reverse)
+            buf = TxBuf(Nil, streaming = false, open = false)
+          }
       }
     }
     val keep = if (buf.open || buf.events.nonEmpty) Some(buf) else None

@@ -11,9 +11,12 @@ class TxnAssemblerSpec extends SparkSpecBase {
   private val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
 
   private def ev(op: String, lsn: Long, txid: Long): CdcEvent =
+    // isFinalBatch=false: these fixtures delimit txs with explicit
+    // Begin/Commit control events (the pgoutput shape); the
+    // envelope-marked commit path is tested separately
     CdcEvent(op, lsn, txid, ts, "public", "t1", Nil,
       if (op == "c" || op == "u") Seq(CdcColumn("id", lsn.toString)) else Nil,
-      keyColumns = Seq("id"))
+      keyColumns = Seq("id"), isFinalBatch = false)
 
   test("step: begin → DML → commit seals a transaction (producer.rs:140-197)") {
     val batch = Seq(ev(Ctl.Begin, 1, 7), ev("c", 2, 7), ev("c", 3, 7), ev(Ctl.Commit, 4, 7))
