@@ -63,6 +63,14 @@ object LlmQueries {
     "llm_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), probeId = 0, k = 10)),
 
+    // Embedding-cosine near-dup: sign-bucketed all-pairs (only pairs
+    // sharing the 8-bit sign bucket are compared — the embedding-space
+    // analog of LSH banding; quantized math keeps it oracle-exact).
+    "llm_cos_neardup" -> ((s, d) => {
+      graft.llmops.Similarity.cosineNearDup(embeddings(s, d), threshold = 0.1, bits = 8)
+        .orderBy("va", "vb")
+    }),
+
     // Language ID: stopword-marker scoring with deterministic priority.
     "llm_lang_id" -> ((s, d) => {
       def cnt(m: String): Column = size(split(col("text"), m)) - 1
@@ -204,6 +212,22 @@ object LlmQueries {
         |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
         |FROM n WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_cos_neardup" ->
+      """WITH q AS (SELECT vec_id,
+        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, qe,
+        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq,
+        |    list_sum([CASE WHEN qe[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
+        |              for i in range(0, 8)]) AS bucket
+        |  FROM q)
+        |SELECT a.vec_id AS va, c.vec_id AS vb,
+        |  list_dot_product(a.qe::BIGINT[], c.qe::BIGINT[]) * 1.0
+        |    / sqrt(CAST(a.nq * c.nq AS DOUBLE)) AS cosine
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE list_dot_product(a.qe::BIGINT[], c.qe::BIGINT[]) * 1.0
+        |    / sqrt(CAST(a.nq * c.nq AS DOUBLE)) >= 0.1
+        |ORDER BY 1, 2""".stripMargin,
     "llm_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
         |  len(string_split(text, ' the '))-1 + len(string_split(text, ' and '))-1
