@@ -21,12 +21,13 @@ sealed trait Dialect extends Serializable {
     if (schema == null || schema.isEmpty) quoteIdentifier(table)
     else s"${quoteIdentifier(schema)}.${quoteIdentifier(table)}"
 
-  /** Hex literal for binary payloads: X'...' (ANSI/MySQL/SQLite) vs 0x...
-    * (SQL Server) (dialects/ansi.rs:35-39, sqlserver.rs:30-33). */
+  /** Hex literal for binary payloads: X'...' (ANSI/MySQL/SQLite/Kafka)
+    * vs 0x... (SQL Server); lowercase digits match the reference's
+    * push_hex_ascii (dialect.rs:74-81, ansi.rs:35-39, sqlserver.rs:30-33). */
   def renderHex(bytes: Array[Byte]): String = {
     val sb = new StringBuilder(bytes.length * 2 + 3)
     sb.append("X'")
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.append('\'')
     sb.toString
   }
@@ -88,30 +89,36 @@ case object SqlServerDialect extends Dialect {
   override def renderHex(bytes: Array[Byte]): String = {
     val sb = new StringBuilder(bytes.length * 2 + 2)
     sb.append("0x")
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
   }
   override def maxRowsPerInsert: Int = 1000
 }
 
-/** SQLite: ANSI quoting; TRUNCATE unsupported → DELETE FROM
+/** SQLite: ANSI quoting; no namespaces — the schema is dropped
+  * (dialects/sqlite.rs:13-16); TRUNCATE unsupported → DELETE FROM
   * (dialects/sqlite.rs:26-33). */
 case object SqliteDialect extends Dialect {
   val name = "sqlite"
   def quoteIdentifier(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
+  override def qualifyTable(schema: String, table: String): String =
+    quoteIdentifier(table)
   override def truncateSql(qualifiedTable: String): Option[String] =
     Some(s"DELETE FROM $qualifiedTable;")
 }
 
-/** Kafka "dialect": identifiers pass through the envelope; binary is
-  * base64 (destinations/kafka.rs:109-117); no TRUNCATE statement. */
+/** Kafka "dialect": ANSI quoting, schema dropped (topic routing carries
+  * it instead, dialects/kafka.rs qualify_table), X'' hex like ANSI; no
+  * TRUNCATE statement (dialects/kafka.rs:25-27). Base64 for binary
+  * exists only inside the JSON envelope (kafka.rs:109-117), which is
+  * DebeziumEnvelope's concern, not the SQL dialect's. */
 case object KafkaDialect extends Dialect {
   val name = "kafka"
   def quoteIdentifier(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
-  override def renderHex(bytes: Array[Byte]): String =
-    "'" + java.util.Base64.getEncoder.encodeToString(bytes) + "'"
+  override def qualifyTable(schema: String, table: String): String =
+    quoteIdentifier(table)
   override def truncateSql(qualifiedTable: String): Option[String] = None
 }
 

@@ -22,10 +22,12 @@ class DialectSpec extends AnyFunSuite {
     assert(SqliteDialect.quoteIdentifier("col") == "\"col\"")
   }
 
-  test("qualified table names") {
+  test("qualified table names; SQLite/Kafka drop the schema (sqlite.rs:13-16)") {
     assert(MySqlDialect.qualifyTable("public", "t1") == "`public`.`t1`")
     assert(SqlServerDialect.qualifyTable("dbo", "t1") == "[dbo].[t1]")
     assert(AnsiDialect.qualifyTable(null, "t1") == "\"t1\"")
+    assert(SqliteDialect.qualifyTable("public", "t1") == "\"t1\"")
+    assert(KafkaDialect.qualifyTable("public", "t1") == "\"t1\"")
   }
 
   test("NULL / bool / text literal rendering (ansi.rs:41-73)") {
@@ -44,15 +46,13 @@ class DialectSpec extends AnyFunSuite {
     assert(AnsiDialect.renderValue(CdcColumn("c", """a\b""")) == """'a\b'""")
   }
 
-  test("binary hex forms: X'..' vs 0x.. vs base64 (ansi.rs:35-39, sqlserver.rs:30-33, kafka.rs:109-117)") {
+  test("binary hex forms: lowercase X'..' vs 0x.. (dialect.rs:74-81, sqlserver.rs:30-33)") {
     val bin = CdcColumn("c", "\\xdeadBEEF", isBinary = true)
-    assert(AnsiDialect.renderValue(bin) == "X'DEADBEEF'")
-    assert(MySqlDialect.renderValue(bin) == "X'DEADBEEF'")
-    assert(SqliteDialect.renderValue(bin) == "X'DEADBEEF'")
-    assert(SqlServerDialect.renderValue(bin) == "0xDEADBEEF")
-    val b64 = java.util.Base64.getEncoder.encodeToString(
-      Array(0xde, 0xad, 0xbe, 0xef).map(_.toByte))
-    assert(KafkaDialect.renderValue(bin) == s"'$b64'")
+    assert(AnsiDialect.renderValue(bin) == "X'deadbeef'")
+    assert(MySqlDialect.renderValue(bin) == "X'deadbeef'")
+    assert(SqliteDialect.renderValue(bin) == "X'deadbeef'")
+    assert(KafkaDialect.renderValue(bin) == "X'deadbeef'")
+    assert(SqlServerDialect.renderValue(bin) == "0xdeadbeef")
   }
 
   test("truncate forms (sqlite.rs:26-33, kafka.rs:25-27)") {

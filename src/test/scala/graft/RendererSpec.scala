@@ -73,7 +73,7 @@ class RendererSpec extends AnyFunSuite {
     assert(SqlRenderer.render(RenderContext(MySqlDialect), e).get ==
       "TRUNCATE TABLE `public`.`t1`; TRUNCATE TABLE `public`.`t2`;")
     assert(SqlRenderer.render(RenderContext(SqliteDialect), e).get ==
-      "DELETE FROM \"public\".\"t1\"; DELETE FROM \"public\".\"t2\";")
+      "DELETE FROM \"t1\"; DELETE FROM \"t2\";")
     assert(SqlRenderer.render(RenderContext(KafkaDialect), e).isEmpty)
   }
 
