@@ -20,11 +20,21 @@ object DebeziumEnvelope {
 
   /** before/after arrays of (name,value,isBinary) → JSON object string.
     * map_from_entries keeps the dynamic per-event column set
-    * (kafka.rs:128-164 infers schema per (table, column-set)). */
-  private def imageJson(image: Column): Column =
+    * (kafka.rs:128-164 infers schema per (table, column-set)).
+    * Binary values go out base64-encoded (kafka.rs:109-117) — hex-form
+    * payloads ("\\x...") are decoded first. */
+  private def imageJson(image: Column): Column = {
+    def jsonValue(c: Column): Column = {
+      val v = c.getField("value")
+      when(c.getField("isBinary") && v.isNotNull,
+        when(v.startsWith("\\x"), base64(unhex(v.substr(lit(3), length(v)))))
+          .otherwise(base64(v.cast("binary"))))
+        .otherwise(v)
+    }
     when(image.isNull.or(size(image) === 0), lit(null).cast("string"))
       .otherwise(to_json(map_from_entries(
-        transform(image, c => struct(c.getField("name"), c.getField("value"))))))
+        transform(image, c => struct(c.getField("name"), jsonValue(c).as("value"))))))
+  }
 
   /** Key = JSON of key columns taken from before (u/d) else after (c) —
     * the insert-key fallback of kafka.rs:294-344. */

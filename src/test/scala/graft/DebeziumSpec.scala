@@ -67,6 +67,20 @@ class DebeziumSpec extends SparkSpecBase {
     assert(back(2).before.map(c => c.name -> c.value).toMap == Map("order_id" -> "9"))
   }
 
+  test("binary image values go out base64 (kafka.rs:109-117)") {
+    import spark.implicits._
+    val e = CdcEvent("c", 20, 3, ts, "public", "blobs", Nil,
+      Seq(CdcColumn("id", "1"), CdcColumn("payload", "\\xdeadbeef", isBinary = true)),
+      keyColumns = Seq("id"))
+    val v = DebeziumEnvelope.project(Seq(e).toDF(), "p")
+      .select("value").as[String].first()
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      Array(0xde, 0xad, 0xbe, 0xef).map(_.toByte))
+    // the image is a JSON string inside the payload JSON → escaped quotes
+    assert(v.contains(s"""\\"payload\\":\\"$b64\\""""), v)
+    assert(v.contains("""\"id\":\"1\""""))
+  }
+
   test("whole-stage codegen covers the envelope projection (no UDFs)") {
     import spark.implicits._
     val plan = DebeziumEnvelope.project(events.toDF(), "p")
