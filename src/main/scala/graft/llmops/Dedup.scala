@@ -114,16 +114,22 @@ object Dedup {
       .select("da", "db", "inter", "un", "jaccard")
   }
 
-  /** 60-bit SimHash per document. */
+  /** 60-bit SimHash per document.
+    *
+    * Shape: 60 per-bit sums as aggregation COLUMNS over the token rows —
+    * not an explode of 60 bit-positions per token, which multiplies the
+    * row count 60× before the shuffle. One groupBy(doc), map-side
+    * partial aggregation, rows stay |tokens|. */
   def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", TextOps.tokenHash60(col("tok")))
-    tok.select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
-      .groupBy(idCol, "i")
-      .agg(sum(when(expr("(h >> i) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy(idCol)
-      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << i")).otherwise(0L))
-        .as("simhash"))
+    val bitAggs = (0 until 60).map(i =>
+      sum(expr(s"CAST((h >> $i) & 1 AS INT) * 2 - 1")).as(s"b$i"))
+    tok.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
   }
 
   /** Hamming distance between two simhash columns (near-dup test). */
