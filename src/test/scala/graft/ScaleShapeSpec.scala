@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Scale-machinery checks: bucketed co-located joins (no shuffle) and
+  * salted skew joins (correctness under replication). */
+class ScaleShapeSpec extends SparkSpecBase {
+
+  test("bucketed tables join without a shuffle exchange (co-located q3 shape)") {
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    // the 100 TB layout: fact and dim co-bucketed on the join key
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_b")
+    // broadcast would hide the point at this size — force SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (if (p.isInstanceOf[ShuffleExchangeExec]) 1 else 0) +
+          p.children.map(shuffles).sum
+      // only the final groupBy(status) may shuffle — the JOIN must not
+      assert(shuffles(plan) <= 1,
+        s"bucketed join shuffled: ${plan.toString.take(1200)}")
+      assert(plan.toString.contains("SortMergeJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("salted join: same result as plain join, key spread across salts") {
+    import spark.implicits._
+    // one pathologically hot key
+    val left = ((1 to 1000).map(i => (7L, i)) ++ Seq((8L, 1), (9L, 2)))
+      .toDF("k", "payload")
+    val right = Seq((7L, "hot"), (8L, "a"), (9L, "b")).toDF("k", "name")
+    val plain = left.join(right, "k").count()
+    val salted = Skew.saltedJoin(left, right, "k", factor = 8,
+      discriminator = "payload")
+    assert(salted.count() == plain)
+    // the hot key's rows really spread over multiple salt partitions
+    val spread = left.filter($"k" === 7)
+      .withColumn("s", pmod(hash($"k", $"payload"), lit(8)))
+      .select("s").distinct().count()
+    assert(spread > 4, s"salting left the hot key on $spread partitions")
+  }
+
+  test("stateless llmops transforms run unchanged on streams") {
+    import graft.llmops.TextOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .withColumn("h", TextOps.contentHash(col("text")))
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("pred", TextOps.languagePredict(
+        TextOps.languageScores(col("text"), Seq(
+          "en" -> Seq(" the "), "de" -> Seq(" der ")))))
+      .writeStream.format("memory").queryName("llm_stream").start()
+    try {
+      mem.addData((1L, "a the b the c"), (2L, "x der y"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, n_tokens, pred FROM llm_stream ORDER BY doc_id")
+        .collect()
+      assert(rows(0).getInt(1) == 5 && rows(0).getString(2) == "en")
+      assert(rows(1).getString(2) == "de")
+    } finally q.stop()
+  }
+}
