@@ -12,6 +12,12 @@ object GraftFunctions {
     GraftColumnBridge.column(
       Md5Prefix60(GraftColumnBridge.expression(c.cast("string"))))
 
+  /** minhash_agg(baseHash, k) — k affine minhashes as array<bigint>
+    * in one native aggregate. */
+  def minhash_agg(c: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MinHashAgg(GraftColumnBridge.expression(c), k).toAggregateExpression())
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -56,11 +56,13 @@ object Dedup {
     // the distinct shuffle
     val sh = TextOps.shingleRows(df, shingleN, idCol, textCol, dedup = false)
       .withColumn("h", TextOps.tokenHash60(col("shingle")) % MinhashP)
-    val aggs = (0 until k).map { i =>
-      val (a, b) = MinhashCoeffs(i)
-      min((col("h") * a + b) % MinhashP).as(s"mh$i")
-    }
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    // one native TypedImperativeAggregate carries all k minhashes in a
+    // primitive long[] buffer (graft.expressions.MinHashAgg), replacing
+    // k separate min() aggregation columns
+    sh.groupBy(idCol)
+      .agg(graft.expressions.GraftFunctions.minhash_agg(col("h"), k).as("__mh"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH banding: bands of `rowsPerBand` signatures → bucket ids. */

@@ -186,9 +186,11 @@ object CdcQueries {
          |WHERE op IN ('c','u','d') GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_t1_sessions" ->
       """WITH g AS (
+        |  -- epoch_ns // 1e9: integer floor matching Spark's `ts div 1e9`
+        |  -- (CAST(epoch(ts) AS BIGINT) would ROUND the fractional second)
         |  SELECT user_id, event_id, ts,
-        |    CAST(epoch(ts) AS BIGINT)
-        |      - lag(CAST(epoch(ts) AS BIGINT))
+        |    epoch_ns(ts) // 1000000000
+        |      - lag(epoch_ns(ts) // 1000000000)
         |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events),
         |m AS (
