@@ -189,6 +189,35 @@ object RelationalQueries {
         .orderBy("error_id", "purchase_id")
     }),
 
+    // exact median via window rank (no approx sketches — deterministic
+    // for oracle parity; quantities are integral doubles)
+    "q15_median" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .filter(col("rn") === expr("(n+1) div 2") || col("rn") === expr("(n+2) div 2"))
+        .groupBy("l_returnflag")
+        .agg((sum("l_quantity") / count(lit(1))).as("median_qty"),
+          max("n").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // cube grouping sets (all 4 combinations)
+    "q16_cube" -> ((s, d) => {
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
     // date/time functions over orders
     "q12_dates" -> ((s, d) => {
       orders(s, d).select(
@@ -273,6 +302,23 @@ object RelationalQueries {
         |       ELSE 'budget' END AS tier,
         |  CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q15_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  sum(l_quantity) / count(*) AS median_qty,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     "q13_asof" ->
       """SELECT e.event_id, e.user_id, p.event_id AS purchase_id,
         |  CAST(round(p.value*100) AS BIGINT) AS purchase_cents
