@@ -133,8 +133,21 @@ object Coalescer {
 
   /** A2/A3: same-shape UPDATE run → VALUES-JOIN when every WHERE is pure
     * non-NULL key equality and SET∩KEY=∅ (coalescing.rs:777-871); else
-    * CASE-WHEN (coalescing.rs:570-642). Single statement passes through. */
-  def buildUpdate(run: Seq[UpdateRow], dialect: Dialect): String = {
+    * CASE-WHEN (coalescing.rs:570-642). Single statement passes through.
+    *
+    * Duplicate-key squash (deliberate fix over the reference): two
+    * updates to the SAME key inside one run must apply last-wins, but a
+    * CASE picks its FIRST matching WHEN and a VALUES-JOIN with duplicate
+    * keys is ambiguous — the reference emits WHENs in arrival order and
+    * so silently applies first-wins (coalescing.rs:618-626, no dedup in
+    * its grouping). Found by the equivalence property test; fixed by
+    * keeping only the last update per WHERE signature. */
+  def buildUpdate(rawRun: Seq[UpdateRow], dialect: Dialect): String = {
+    val run: Seq[UpdateRow] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[(String, Option[String])], UpdateRow]
+      rawRun.foreach(u => m += (u.where -> u)) // later statement wins
+      m.values.toSeq
+    }
     val h = run.head
     if (run.size == 1) {
       val sets = h.setColumns.zip(h.setValues)

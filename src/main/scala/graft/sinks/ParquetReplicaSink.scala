@@ -37,11 +37,11 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String]) extends Serializabl
         survivors.unionByName(
           winners.filter(col("op") =!= "d").drop("op", "lsn"))
     }
-    // snapshot isolation: write to a temp dir then swap would be ideal;
-    // for local parquet, cache + overwrite (Delta MERGE at scale)
-    val materialized = next.cache()
-    materialized.count()
+    // the new snapshot's lineage reads the path being overwritten —
+    // localCheckpoint severs it (cache() could evict under pressure and
+    // recompute mid-overwrite); Delta/Iceberg MERGE replaces this whole
+    // read-modify-write at scale
+    val materialized = next.localCheckpoint(eager = true)
     materialized.write.mode(SaveMode.Overwrite).parquet(path)
-    materialized.unpersist()
   }
 }
