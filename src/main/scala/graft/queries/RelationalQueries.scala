@@ -189,6 +189,40 @@ object RelationalQueries {
         .orderBy("error_id", "purchase_id")
     }),
 
+    // TPC-H Q7 shape: 5-way join chain, fact partitioned, all dims
+    // broadcast; nation joined twice under different roles
+    "q17_nation_trade" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val sup = supplier(s, d)
+      val o = orders(s, d)
+      val c = customer(s, d)
+      val sn = nation(s, d).select(col("n_nationkey").as("s_nkey"),
+        col("n_name").as("supp_nation"))
+      val cn = nation(s, d).select(col("n_nationkey").as("c_nkey"),
+        col("n_name").as("cust_nation"))
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nkey"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation")
+    }),
+
+    // TPC-H Q18 shape: group-having subquery joined back to the fact
+    "q18_big_orders" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("bigint").as("total_qty"))
+        .filter(col("total_qty") > 150)
+      orders(s, d).join(big, col("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("total_cents"), col("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // exact median via window rank (no approx sketches — deterministic
     // for oracle parity; quantities are integral doubles)
     "q15_median" -> ((s, d) => {
@@ -302,6 +336,26 @@ object RelationalQueries {
         |       ELSE 'budget' END AS tier,
         |  CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q17_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, total_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q15_median" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity,

@@ -51,12 +51,13 @@ class JdbcApplier(
   }
 
   def lastCommitted(): Long = withConn { c =>
-    val st = c.createStatement()
+    val ps = c.prepareStatement(
+      s"SELECT batch_id FROM $checkpointTable WHERE app = ?")
     try {
-      val rs = st.executeQuery(
-        s"SELECT batch_id FROM $checkpointTable WHERE app = '$appId'")
+      ps.setString(1, appId)
+      val rs = ps.executeQuery()
       if (rs.next()) rs.getLong(1) else -1L
-    } finally st.close()
+    } finally ps.close()
   }
 
   /** The foreachBatch body. Events ordered by (lsn) stream through the
@@ -81,12 +82,16 @@ class JdbcApplier(
           }
           if (last) {
             // pre-commit hook analog: checkpoint inside the same txn
-            val up = c.createStatement()
+            val up = c.prepareStatement(
+              s"UPDATE $checkpointTable SET batch_id = ? WHERE app = ?")
             try {
-              val n = up.executeUpdate(
-                s"UPDATE $checkpointTable SET batch_id = $batchId WHERE app = '$appId'")
-              if (n == 0) up.executeUpdate(
-                s"INSERT INTO $checkpointTable VALUES ('$appId', $batchId)")
+              up.setLong(1, batchId); up.setString(2, appId)
+              if (up.executeUpdate() == 0) {
+                val ins = c.prepareStatement(
+                  s"INSERT INTO $checkpointTable VALUES (?, ?)")
+                try { ins.setString(1, appId); ins.setLong(2, batchId); ins.executeUpdate() }
+                finally ins.close()
+              }
             } finally up.close()
             c.commit()
           }
