@@ -43,23 +43,33 @@ object Bench {
     }
 
     // min of 2 runs per query: single-shot numbers on a shared box mix
-    // JIT/scheduling noise into the measurement
+    // JIT/scheduling noise into the measurement. A failed run is recorded
+    // in "errors", never as a (fast) wall time.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case t: Throwable =>
+              errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
+                .replaceAll("[\"\\n\\r]", " ").take(200)
+              None
+          }
         }
-        name -> times.min
+        name -> (if (times.nonEmpty) times.min else -1.0)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,7 +82,7 @@ object Coalescer {
                 r.where.map(_._1) == first.where.map(_._1)
             case _ => false
           })) j += 1
-          out += buildUpdate(arr.slice(i, j).map(_.asInstanceOf[UpdateRow]), dialect)
+          out ++= buildUpdates(arr.slice(i, j).map(_.asInstanceOf[UpdateRow]), dialect, cfg)
           i = j
         case first: DeleteRow =>
           var j = i
@@ -91,7 +91,7 @@ object Coalescer {
               r.table == first.table && r.where.map(_._1) == first.where.map(_._1)
             case _ => false
           })) j += 1
-          out += buildDelete(arr.slice(i, j).map(_.asInstanceOf[DeleteRow]))
+          out ++= buildDeletes(arr.slice(i, j).map(_.asInstanceOf[DeleteRow]), cfg)
           i = j
         case RawSql(_, sql) =>
           out += sql
@@ -131,35 +131,78 @@ object Coalescer {
     case (c, None) => s"$c IS NULL"
   }
 
+  private def singleUpdate(u: UpdateRow): String = {
+    val sets = u.setColumns.zip(u.setValues)
+      .map { case (c, v) => s"$c = $v" }.mkString(", ")
+    s"UPDATE ${u.table} SET $sets WHERE ${u.where.map(pred).mkString(" AND ")};"
+  }
+
   /** A2/A3: same-shape UPDATE run → VALUES-JOIN when every WHERE is pure
     * non-NULL key equality and SET∩KEY=∅ (coalescing.rs:777-871); else
     * CASE-WHEN (coalescing.rs:570-642). Single statement passes through.
     *
-    * Duplicate-key squash (deliberate fix over the reference): two
-    * updates to the SAME key inside one run must apply last-wins, but a
-    * CASE picks its FIRST matching WHEN and a VALUES-JOIN with duplicate
-    * keys is ambiguous — the reference emits WHENs in arrival order and
-    * so silently applies first-wins (coalescing.rs:618-626, no dedup in
-    * its grouping). Found by the equivalence property test; fixed by
-    * keeping only the last update per WHERE signature. */
-  def buildUpdate(rawRun: Seq[UpdateRow], dialect: Dialect): String = {
+    * Two deliberate fixes over the reference, both found by the
+    * equivalence property test (CoalesceEquivalenceSpec):
+    *
+    * 1. Duplicate-key squash: two updates to the SAME key inside one run
+    *    must apply last-wins, but a CASE picks its FIRST matching WHEN —
+    *    the reference emits WHENs in arrival order and silently applies
+    *    first-wins (coalescing.rs:618-626, no dedup in its grouping). We
+    *    keep only the last update per WHERE signature.
+    *
+    * 2. Key-mutating runs never merge: when SET columns overlap WHERE key
+    *    columns, a statement can move a row INTO a later statement's WHERE
+    *    (`SET k=2 WHERE k=1; SET v=9 WHERE k=2`), which no single combined
+    *    statement — CASE-WHEN included, since it evaluates against the
+    *    pre-statement snapshot — can reproduce. Such runs are emitted as
+    *    one UPDATE per event, sequential-exact.
+    *
+    * Output is additionally chunked so no statement's estimated size
+    * exceeds cfg.maxStatementBytes, mirroring the reference's
+    * 80%-of-max_allowed_packet group accounting for UPDATE groups
+    * (coalescing.rs:1010-1025). */
+  def buildUpdates(rawRun: Seq[UpdateRow], dialect: Dialect,
+                   cfg: CoalesceConfig = CoalesceConfig()): Seq[String] = {
+    val keyCols = rawRun.head.where.map(_._1)
+    if (rawRun.head.setColumns.intersect(keyCols).nonEmpty)
+      return rawRun.map(singleUpdate) // fix 2: sequential-exact
     val run: Seq[UpdateRow] = {
       val m = scala.collection.mutable.LinkedHashMap.empty[Seq[(String, Option[String])], UpdateRow]
-      rawRun.foreach(u => m += (u.where -> u)) // later statement wins
+      rawRun.foreach(u => m += (u.where -> u)) // fix 1: later statement wins
       m.values.toSeq
     }
-    val h = run.head
-    if (run.size == 1) {
-      val sets = h.setColumns.zip(h.setValues)
-        .map { case (c, v) => s"$c = $v" }.mkString(", ")
-      return s"UPDATE ${h.table} SET $sets WHERE ${h.where.map(pred).mkString(" AND ")};"
+    if (run.size == 1) return Seq(singleUpdate(run.head))
+    val valuesJoin = run.forall(_.where.forall(_._2.isDefined)) &&
+      dialect.supportsUpdateJoin
+    // Per-row rendered-size estimate for the chosen shape (upper bound).
+    def rowCost(r: UpdateRow): Int = {
+      val whereLen = r.where.map { case (c, v) => c.length + v.map(_.length).getOrElse(8) + 8 }.sum
+      val setLen = r.setValues.map(_.length + 8).sum
+      if (valuesJoin) whereLen + setLen + 24
+      else r.setColumns.size * (whereLen + 16) + setLen + whereLen + 8
     }
-    val keyCols = h.where.map(_._1)
-    val valuesJoinOk =
-      run.forall(_.where.forall(_._2.isDefined)) &&
-        h.setColumns.intersect(keyCols).isEmpty
-    if (valuesJoinOk) buildValuesJoin(run, dialect)
-    else buildCaseWhen(run)
+    chunkBy(run, rowCost, cfg.maxStatementBytes).map { chunk =>
+      if (chunk.size == 1) singleUpdate(chunk.head)
+      else if (valuesJoin) buildValuesJoin(chunk, dialect)
+      else buildCaseWhen(chunk)
+    }
+  }
+
+  /** Greedy run-cutting by estimated statement bytes (always admits at
+    * least one row per chunk so oversized single rows still emit). */
+  private def chunkBy[T](run: Seq[T], cost: T => Int, cap: Int): Seq[Seq[T]] = {
+    val out = ArrayBuffer.empty[Seq[T]]
+    val cur = ArrayBuffer.empty[T]
+    var acc = 0
+    run.foreach { r =>
+      val c = cost(r)
+      if (cur.nonEmpty && acc + c > cap) {
+        out += cur.toSeq; cur.clear(); acc = 0
+      }
+      cur += r; acc += c
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
   }
 
   private def buildCaseWhen(run: Seq[UpdateRow]): String = {
@@ -213,15 +256,22 @@ object Coalescer {
     }
   }
 
-  /** A4: OR-combined DELETE (coalescing.rs:332-357). */
-  def buildDelete(run: Seq[DeleteRow]): String = {
-    val h = run.head
-    if (run.size == 1)
-      s"DELETE FROM ${h.table} WHERE ${h.where.map(pred).mkString(" AND ")};"
-    else {
-      val orWhere = run
-        .map(r => s"(${r.where.map(pred).mkString(" AND ")})").mkString(" OR ")
-      s"DELETE FROM ${h.table} WHERE $orWhere;"
+  /** A4: OR-combined DELETE (coalescing.rs:332-357), chunked so no
+    * statement's estimated size exceeds cfg.maxStatementBytes (mirrors
+    * the reference's DELETE group accounting, coalescing.rs:1055-1062). */
+  def buildDeletes(run: Seq[DeleteRow],
+                   cfg: CoalesceConfig = CoalesceConfig()): Seq[String] = {
+    def rowCost(r: DeleteRow): Int =
+      r.where.map { case (c, v) => c.length + v.map(_.length).getOrElse(8) + 8 }.sum + 6
+    chunkBy(run, rowCost, cfg.maxStatementBytes).map { chunk =>
+      val h = chunk.head
+      if (chunk.size == 1)
+        s"DELETE FROM ${h.table} WHERE ${h.where.map(pred).mkString(" AND ")};"
+      else {
+        val orWhere = chunk
+          .map(r => s"(${r.where.map(pred).mkString(" AND ")})").mkString(" OR ")
+        s"DELETE FROM ${h.table} WHERE $orWhere;"
+      }
     }
   }
 

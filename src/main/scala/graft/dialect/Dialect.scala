@@ -61,6 +61,12 @@ sealed trait Dialect extends Serializable {
   /** Hard row cap per multi-value INSERT (SQL Server 1000,
     * destinations/sqlserver.rs:19). */
   def maxRowsPerInsert: Int = Int.MaxValue
+
+  /** Whether the dialect has a derived-table UPDATE-JOIN shape for the
+    * A3 VALUES-JOIN rewrite (coalescing.rs:644-678: MySQL JOIN-SET,
+    * SQL Server UPDATE-FROM-JOIN, SQLite UPDATE-FROM); ANSI/Kafka have
+    * no portable form and fall back to CASE-WHEN. */
+  def supportsUpdateJoin: Boolean = false
 }
 
 /** ANSI default: "ident" quoting, '' escape (dialects/ansi.rs:11-27). */
@@ -73,6 +79,7 @@ case object AnsiDialect extends Dialect {
 /** MySQL: backtick quoting, backslash escaping in strings
   * (dialects/mysql.rs:8-22,50-63). */
 case object MySqlDialect extends Dialect {
+  override def supportsUpdateJoin: Boolean = true
   val name = "mysql"
   def quoteIdentifier(ident: String): String =
     "`" + ident.replace("`", "``") + "`"
@@ -83,6 +90,7 @@ case object MySqlDialect extends Dialect {
 /** SQL Server: [ident] quoting with ]] escape, 0x... binary, 1000-row
   * multi-VALUES cap (dialects/sqlserver.rs:8-33, sqlserver.rs:19). */
 case object SqlServerDialect extends Dialect {
+  override def supportsUpdateJoin: Boolean = true
   val name = "sqlserver"
   def quoteIdentifier(ident: String): String =
     "[" + ident.replace("]", "]]") + "]"
@@ -99,6 +107,7 @@ case object SqlServerDialect extends Dialect {
   * (dialects/sqlite.rs:13-16); TRUNCATE unsupported → DELETE FROM
   * (dialects/sqlite.rs:26-33). */
 case object SqliteDialect extends Dialect {
+  override def supportsUpdateJoin: Boolean = true
   val name = "sqlite"
   def quoteIdentifier(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""

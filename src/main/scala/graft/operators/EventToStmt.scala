@@ -13,29 +13,32 @@ import graft.render.{RenderContext, RenderException, SqlRenderer}
   */
 object EventToStmt {
 
-  def toStmt(ctx: RenderContext, e: CdcEvent): Option[DmlStmt] = {
+  /** One event → zero or more structured statements. Multi-table TRUNCATE
+    * yields one RawSql PER table — multi-statement strings are rejected by
+    * JDBC drivers, and the reference executes each truncate separately. */
+  def toStmts(ctx: RenderContext, e: CdcEvent): Seq[DmlStmt] = {
     val d = ctx.dialect
     val table = ctx.qualified(e.schema, e.table)
     e.op match {
       case Op.Insert =>
-        Some(InsertRow(table,
+        Seq(InsertRow(table,
           e.after.map(c => d.quoteIdentifier(c.name)),
           e.after.map(d.renderValue)))
       case Op.Update =>
-        Some(UpdateRow(table,
+        Seq(UpdateRow(table,
           e.after.map(c => d.quoteIdentifier(c.name)),
           e.after.map(d.renderValue),
           wherePairs(d, e)))
       case Op.Delete =>
-        Some(DeleteRow(table, wherePairs(d, e)))
+        Seq(DeleteRow(table, wherePairs(d, e)))
       case Op.Truncate =>
-        SqlRenderer.renderTruncate(ctx, e) match {
-          case "" => None
-          case sql => Some(RawSql(table, sql))
-        }
-      case _ => None
+        SqlRenderer.renderTruncate(ctx, e).map(sql => RawSql(table, sql))
+      case _ => Nil
     }
   }
+
+  def toStmt(ctx: RenderContext, e: CdcEvent): Option[DmlStmt] =
+    toStmts(ctx, e).headOption
 
   /** Key predicate as structured (quotedCol, Option[literal]) pairs —
     * same identity rules as SqlRenderer.whereClause (P5). */
@@ -62,5 +65,5 @@ object EventToStmt {
     * sink path (E3 analog, transaction_manager.rs:1274-1408). */
   def renderBatch(ctx: RenderContext, events: Seq[CdcEvent],
                   cfg: CoalesceConfig = CoalesceConfig()): Seq[String] =
-    Coalescer.coalesce(events.flatMap(toStmt(ctx, _)), ctx.dialect, cfg)
+    Coalescer.coalesce(events.flatMap(toStmts(ctx, _)), ctx.dialect, cfg)
 }

@@ -28,17 +28,22 @@ class RenderException(msg: String) extends RuntimeException(msg)
 
 object SqlRenderer {
 
-  /** P1 render dispatcher (sql_renderer.rs:77-130): non-DML → None. */
-  def render(ctx: RenderContext, e: CdcEvent): Option[String] = e.op match {
-    case Op.Insert => Some(renderInsert(ctx, e))
-    case Op.Update => Some(renderUpdate(ctx, e))
-    case Op.Delete => Some(renderDelete(ctx, e))
-    case Op.Truncate => renderTruncate(ctx, e) match {
-      case "" => None
-      case s => Some(s)
-    }
-    case _ => None
+  /** P1 render dispatcher (sql_renderer.rs:77-130): non-DML → Nil.
+    * A multi-table TRUNCATE event yields one statement PER table — JDBC
+    * drivers reject multi-statement strings, and the reference likewise
+    * executes each truncate separately (sql_renderer.rs:300-320). */
+  def renderStatements(ctx: RenderContext, e: CdcEvent): Seq[String] = e.op match {
+    case Op.Insert => Seq(renderInsert(ctx, e))
+    case Op.Update => Seq(renderUpdate(ctx, e))
+    case Op.Delete => Seq(renderDelete(ctx, e))
+    case Op.Truncate => renderTruncate(ctx, e)
+    case _ => Nil
   }
+
+  /** Single-statement convenience for Insert/Update/Delete call sites;
+    * for Truncate use renderStatements (an event may carry many tables). */
+  def render(ctx: RenderContext, e: CdcEvent): Option[String] =
+    renderStatements(ctx, e).headOption
 
   /** P2 (sql_renderer.rs:148-177): column order = event order. */
   def renderInsert(ctx: RenderContext, e: CdcEvent): String = {
@@ -67,7 +72,7 @@ object SqlRenderer {
 
   /** P6 (sql_renderer.rs:300-320): one statement per table; dialects
     * without truncate emit nothing. */
-  def renderTruncate(ctx: RenderContext, e: CdcEvent): String = {
+  def renderTruncate(ctx: RenderContext, e: CdcEvent): Seq[String] = {
     val tables =
       if (e.truncateTables.nonEmpty) e.truncateTables else Seq(e.table)
     tables.flatMap { t =>
@@ -76,7 +81,7 @@ object SqlRenderer {
         case _ => (e.schema, t)
       }
       ctx.dialect.truncateSql(ctx.qualified(sch, tbl))
-    }.mkString(" ")
+    }
   }
 
   /** P5 key-predicate builder (sql_renderer.rs:323-377).

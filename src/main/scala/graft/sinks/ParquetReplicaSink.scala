@@ -4,44 +4,86 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The 100 TB-scale apply path: maintain a replica table as partitioned
-  * parquet via MERGE semantics (the A2/A3 "VALUES-JOIN UPDATE" becomes a
-  * real join, SURVEY §4).
+/** The 100 TB-scale apply path: maintain a replica table as hash-bucketed
+  * parquet via MERGE semantics with partition pruning (the A2/A3
+  * "VALUES-JOIN UPDATE" becomes a real join, SURVEY §4; MERGE intent of
+  * the reference's coalescing.rs:644-871).
   *
-  * Each micro-batch: reduce the batch to one winner per key
-  * (latest (lsn) wins — run-length squashing of the whole batch), then
-  * join against the current snapshot: new keys appended, updated keys
-  * replaced, deleted keys dropped. All shuffles are keyed on the replica
-  * key, so at scale this is one hash-shuffle of the (small) batch plus a
-  * co-partitioned join against the snapshot; with Delta/Iceberg this maps
-  * 1:1 onto MERGE INTO (file-level pruning replacing the full rewrite).
+  * Layout: `path/bucket=N/…` where `bucket = pmod(hash(key…), numBuckets)`.
+  * Each micro-batch:
+  *   1. squash the batch to one winner per key (latest lsn wins);
+  *   2. compute the batch's TOUCHED buckets (≤ numBuckets driver-side ints);
+  *   3. read ONLY those partitions (partition pruning — untouched buckets'
+  *      files are never opened), anti-join + union the winners;
+  *   4. dynamic-partition-overwrite: only touched partitions are rewritten,
+  *      untouched buckets' files stay byte-identical on disk.
+  *
+  * Per-batch cost is therefore O(touched-bucket data + batch), NOT
+  * O(snapshot): at 100 TB with numBuckets sized so a bucket is a few GB,
+  * a small batch rewrites a few partitions instead of the whole table.
+  * The `localCheckpoint` materializes only the touched buckets' next
+  * state (it must, since their input files are about to be overwritten).
+  * A bucket whose rows are all deleted is overwritten with an explicit
+  * empty-but-schema'd file so reads of a drained table keep the schema.
+  *
+  * With Delta/Iceberg this maps 1:1 onto MERGE INTO with file-level
+  * pruning; plain parquet + explicit buckets reproduces the same pruning
+  * with no table-format dependency.
   */
-class ParquetReplicaSink(path: String, keyCols: Seq[String]) extends Serializable {
+class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 64)
+    extends Serializable {
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+
+  /** Current replica content without the bucket bookkeeping column. */
+  def snapshot(spark: SparkSession): DataFrame =
+    spark.read.parquet(path).drop("bucket")
 
   /** batch: envelope rows flattened to (key..., payload columns, op, lsn). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(desc("lsn"))
-    val winners = batch
+    val winners = withBucket(batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn"))
 
     val current: Option[DataFrame] =
       try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
 
-    val next = current match {
-      case None => winners.filter(col("op") =!= "d").drop("op", "lsn")
+    current match {
+      case None =>
+        winners.filter(col("op") =!= "d").drop("op", "lsn")
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
       case Some(cur) =>
-        val survivors = cur.join(winners.select(keyCols.map(col): _*),
-          keyCols, "left_anti")
-        survivors.unionByName(
+        // ≤ numBuckets ints — bounded driver collect, not data-sized
+        val touched = winners.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.isEmpty) return
+        // partition pruning: only touched buckets' files are read
+        val curTouched = cur.filter(col("bucket").isin(touched.map(Int.box): _*))
+        val survivors = curTouched.join(
+          winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val next = survivors.unionByName(
           winners.filter(col("op") =!= "d").drop("op", "lsn"))
+        // materialize the touched buckets' next state before overwriting
+        // their input files — O(touched), not O(snapshot)
+        val materialized = next.localCheckpoint(eager = true)
+        materialized.write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(path)
+        // dynamic overwrite writes nothing for a bucket that drained to
+        // zero rows — overwrite those partition dirs with an explicit
+        // empty (schema-carrying) file so stale rows don't survive
+        val remaining = materialized.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val payload = materialized.drop("bucket")
+        touched.filterNot(remaining).foreach { b =>
+          payload.limit(0).repartition(1)
+            .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=$b")
+        }
     }
-    // the new snapshot's lineage reads the path being overwritten —
-    // localCheckpoint severs it (cache() could evict under pressure and
-    // recompute mid-overwrite); Delta/Iceberg MERGE replaces this whole
-    // read-modify-write at scale
-    val materialized = next.localCheckpoint(eager = true)
-    materialized.write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -20,13 +20,29 @@ import scala.jdk.CollectionConverters._
   * `commit:true` marks a commit boundary (the event is the last of its
   * transaction) — mirroring is_final_batch (types.rs:66-70).
   *
-  * Segment-level pruning: file names carry no LSN metadata, so ranges
-  * scan every segment; a production transport would be the pgoutput
-  * socket, where this question disappears. Lines are cheap to skip.
+  * Segment-level pruning: each segment's [minLsn, maxLsn, counts] is
+  * computed once and cached per JVM, keyed by (path, length, mtime) —
+  * a sealed segment is never re-read on later triggers, so per-trigger
+  * cost is O(new segments), not O(all WAL retained). This mirrors the
+  * structure the reference's `{txid}_{seq:06}` segment naming carries
+  * (transaction_manager.rs:434-437). An appended-to (still-open)
+  * segment changes length and is re-scanned — correct, since its range
+  * is still growing.
   */
 object WalSegmentIO {
 
   private val mapper = new ObjectMapper()
+
+  /** Cached per-segment metadata (the seek index the reference keeps in
+    * its segment names + .meta files). `events`=0 marks an empty file. */
+  final case class SegMeta(min: Long, max: Long, events: Int,
+                           firstCommit: Option[Long], lastCommit: Option[Long])
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, SegMeta)]()
+
+  /** Test instrumentation: number of segment-file opens since JVM start. */
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
 
   def segmentFiles(dir: String): Seq[File] = {
     val d = new File(dir)
@@ -35,28 +51,107 @@ object WalSegmentIO {
       .sortBy(_.getName).toSeq
   }
 
-  def readLines(dir: String): Iterator[JsonNode] =
-    segmentFiles(dir).iterator.flatMap { f =>
-      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty).map(mapper.readTree)
+  private def readFile(f: File): Iterator[JsonNode] = {
+    filesOpened.incrementAndGet()
+    Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.iterator
+      .filter(_.nonEmpty).map(mapper.readTree)
+  }
+
+  def segMeta(f: File): SegMeta = {
+    val key = f.getAbsolutePath
+    val (len, mtime) = (f.length(), f.lastModified())
+    val cached = metaCache.get(key)
+    if (cached != null && cached._1 == len && cached._2 == mtime) cached._3
+    else {
+      var min = Long.MaxValue; var max = Long.MinValue; var cnt = 0
+      var first: Option[Long] = None; var last: Option[Long] = None
+      readFile(f).foreach { n =>
+        val l = n.get("lsn").asLong()
+        min = math.min(min, l); max = math.max(max, l); cnt += 1
+        if (n.path("commit").asBoolean(false)) {
+          if (first.isEmpty) first = Some(l)
+          last = Some(l)
+        }
+      }
+      val m = if (cnt == 0) SegMeta(Long.MaxValue, Long.MinValue, 0, None, None)
+              else SegMeta(min, max, cnt, first, last)
+      metaCache.put(key, (len, mtime, m))
+      m
     }
+  }
+
+  def readLines(dir: String): Iterator[JsonNode] =
+    segmentFiles(dir).iterator.flatMap(readFile)
+
+  /** Range read with segment pruning: files whose cached [min,max] does
+    * not overlap (fromEx, toInc] are never opened. */
+  def readLinesInRange(dir: String, fromEx: Long, toInc: Long): Iterator[JsonNode] =
+    segmentFiles(dir).iterator
+      .filter { f =>
+        val m = segMeta(f); m.events > 0 && m.max > fromEx && m.min <= toInc
+      }
+      .flatMap(readFile)
+      .filter { n =>
+        val lsn = n.get("lsn").asLong(); lsn > fromEx && lsn <= toInc
+      }
 
   /** Highest commit-boundary LSN > from, visiting at most `cap` events
-    * past `from` (admission control); `from` itself if none. */
+    * past `from` (admission control); `from` itself if none.
+    *
+    * Progress guarantee: when the first transaction past `from` alone
+    * exceeds `cap`, returning `from` forever would stall the stream (no
+    * batch would ever be planned). Like the reference's bounded channel —
+    * which backpressures but still drains large transactions — we then
+    * admit at least one whole transaction: the first commit boundary past
+    * `from`, regardless of size. */
   def lastCommitBoundary(dir: String, from: Long, cap: Option[Long]): Long = {
     var seen = 0L
     var boundary = from
-    val it = readLines(dir)
-    while (it.hasNext) {
-      val n = it.next()
-      val lsn = n.get("lsn").asLong()
-      if (lsn > from) {
-        seen += 1
-        if (cap.exists(seen > _)) return boundary
-        if (n.path("commit").asBoolean(false)) boundary = lsn
+    var capped = false
+    val files = segmentFiles(dir)
+    val it = files.iterator
+    while (it.hasNext && !capped) {
+      val f = it.next()
+      val m = segMeta(f)
+      if (m.events == 0 || m.max <= from) () // prune: nothing past from
+      else if (m.min > from && cap.forall(c => seen + m.events <= c)) {
+        // whole file admitted from cached meta — file not reopened
+        seen += m.events
+        m.lastCommit.foreach(l => boundary = math.max(boundary, l))
+      } else {
+        val lines = readFile(f)
+        while (lines.hasNext && !capped) {
+          val n = lines.next()
+          val lsn = n.get("lsn").asLong()
+          if (lsn > from) {
+            seen += 1
+            if (cap.exists(seen > _)) capped = true
+            else if (n.path("commit").asBoolean(false))
+              boundary = math.max(boundary, lsn)
+          }
+        }
       }
     }
-    boundary
+    if (capped && boundary == from) firstCommitAfter(dir, from).getOrElse(from)
+    else boundary
+  }
+
+  /** First commit-boundary LSN > from (cached-meta fast path when the
+    * whole segment lies past `from`). */
+  private def firstCommitAfter(dir: String, from: Long): Option[Long] = {
+    val it = segmentFiles(dir).iterator
+    while (it.hasNext) {
+      val f = it.next()
+      val m = segMeta(f)
+      if (m.events > 0 && m.max > from) {
+        if (m.min > from && m.firstCommit.isDefined) return m.firstCommit
+        val hit = readFile(f)
+          .filter(n => n.get("lsn").asLong() > from && n.path("commit").asBoolean(false))
+          .map(_.get("lsn").asLong())
+        if (hit.hasNext) return Some(hit.next())
+      }
+    }
+    None
   }
 
   /** ACK feedback: applied LSN persisted via atomic tmp-rename —
@@ -115,10 +210,7 @@ object WalSegmentIO {
 
 class WalPartitionReader(dir: String, fromExclusive: Long, toInclusive: Long)
     extends PartitionReader[InternalRow] {
-  private val it = WalSegmentIO.readLines(dir).filter { n =>
-    val lsn = n.get("lsn").asLong()
-    lsn > fromExclusive && lsn <= toInclusive
-  }
+  private val it = WalSegmentIO.readLinesInRange(dir, fromExclusive, toInclusive)
   private var current: InternalRow = _
   override def next(): Boolean =
     if (it.hasNext) { current = WalSegmentIO.toRow(it.next()); true } else false

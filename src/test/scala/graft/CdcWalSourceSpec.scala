@@ -49,6 +49,43 @@ class CdcWalSourceSpec extends SparkSpecBase {
     assert(WalSegmentIO.lastCommitBoundary(dir, 2, Some(3)) == 4)
   }
 
+  test("admission progress guarantee: a transaction bigger than the cap still admits") {
+    val dir = Files.createTempDirectory("wal2b").toFile.getAbsolutePath
+    // one 6-event transaction committing at lsn 6, cap 3: returning `from`
+    // forever would stall the stream — at least one whole tx must admit
+    writeSegment(dir, "000001", txLines(1, Seq(1, 2, 3, 4, 5, 6)))
+    assert(WalSegmentIO.lastCommitBoundary(dir, 0, Some(3)) == 6)
+    // but a cap that already found a smaller boundary still honors it
+    writeSegment(dir, "000002", txLines(2, Seq(7, 8, 9, 10)))
+    assert(WalSegmentIO.lastCommitBoundary(dir, 6, Some(2)) == 6 ||
+      WalSegmentIO.lastCommitBoundary(dir, 6, Some(2)) == 10) // tx2 alone > cap → admits
+    assert(WalSegmentIO.lastCommitBoundary(dir, 6, Some(2)) == 10)
+  }
+
+  test("segment pruning: per-trigger file opens are O(new segments), not O(all WAL)") {
+    val dir = Files.createTempDirectory("wal-prune").toFile.getAbsolutePath
+    (1 to 20).foreach { i =>
+      writeSegment(dir, f"$i%06d", txLines(i, Seq(i * 10L, i * 10L + 1)))
+    }
+    WalSegmentIO.lastCommitBoundary(dir, 0, None) // populate the seg-meta cache
+    val before = WalSegmentIO.filesOpened.get()
+    // steady-state triggers on unchanged WAL: zero file opens
+    (1 to 5).foreach(_ => WalSegmentIO.lastCommitBoundary(dir, 0, None))
+    assert(WalSegmentIO.filesOpened.get() == before,
+      "boundary scan reopened sealed segments")
+    // a new segment costs exactly one open (its own)
+    writeSegment(dir, "000021", txLines(21, Seq(210L, 211L)))
+    WalSegmentIO.lastCommitBoundary(dir, 0, None)
+    assert(WalSegmentIO.filesOpened.get() == before + 1,
+      "new-segment trigger must open only the new file")
+    // range reads prune non-overlapping segments entirely
+    val mid = WalSegmentIO.filesOpened.get()
+    val rows = WalSegmentIO.readLinesInRange(dir, 200L, 211L).size
+    assert(rows == 3) // tx20: 200 excluded, 201 in; tx21: 210, 211 in
+    assert(WalSegmentIO.filesOpened.get() - mid <= 2,
+      "range read opened segments outside the LSN range")
+  }
+
   test("end-to-end micro-batch read with restart recovery and ACK") {
     val dir = Files.createTempDirectory("wal3").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("wal3-ckpt").toFile.getAbsolutePath

@@ -57,14 +57,25 @@ class CoalesceEquivalenceSpec extends SparkSpecBase {
             Seq(lit(nextId.toString), lit(s"a$nextId"), lit(s"b'${rnd.nextInt(100)}")))
         } else if (c < 7) {
           val id = live.toSeq(rnd.nextInt(live.size))
-          // sometimes SET the key column too → forces CASE-WHEN shape
-          if (rnd.nextBoolean())
-            UpdateRow("\"t\"", Seq("\"a\""), Seq(lit(s"u${rnd.nextInt(100)}")),
-              Seq("\"id\"" -> Some(lit(id.toString))))
-          else
-            UpdateRow("\"t\"", Seq("\"a\"", "\"b\""),
-              Seq(lit(s"u${rnd.nextInt(100)}"), lit(s"w${rnd.nextInt(100)}")),
-              Seq("\"id\"" -> Some(lit(id.toString))))
+          rnd.nextInt(3) match {
+            case 0 =>
+              UpdateRow("\"t\"", Seq("\"a\""), Seq(lit(s"u${rnd.nextInt(100)}")),
+                Seq("\"id\"" -> Some(lit(id.toString))))
+            case 1 =>
+              UpdateRow("\"t\"", Seq("\"a\"", "\"b\""),
+                Seq(lit(s"u${rnd.nextInt(100)}"), lit(s"w${rnd.nextInt(100)}")),
+                Seq("\"id\"" -> Some(lit(id.toString))))
+            case _ =>
+              // KEY-MUTATING update (SET ∩ WHERE keys ≠ ∅): a statement can
+              // move a row into a later statement's WHERE, so these runs must
+              // never merge — sequential-exact emission is asserted by the
+              // equivalence check. Chains arise naturally when a later pick
+              // hits the freshly-assigned id.
+              nextId += 1
+              live -= id; live += nextId
+              UpdateRow("\"t\"", Seq("\"id\""), Seq(lit(nextId.toString)),
+                Seq("\"id\"" -> Some(lit(id.toString))))
+          }
         } else {
           val id = live.toSeq(rnd.nextInt(live.size))
           live -= id

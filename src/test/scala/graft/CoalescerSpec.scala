@@ -43,15 +43,43 @@ class CoalescerSpec extends AnyFunSuite {
     assert(out.forall(_.length <= 140)) // prefix + one row may overflow slightly
   }
 
-  test("A2: CASE-WHEN update for non-key-equality shapes") {
-    // key column also being SET forces CASE-WHEN fallback
+  test("key-mutating updates (SET∩KEY≠∅) never merge — sequential-exact") {
+    // `SET id=… WHERE id=…` can move a row into a later statement's WHERE;
+    // no combined statement (CASE-WHEN included, which evaluates against the
+    // pre-statement snapshot) reproduces sequential apply. Emit one-per-event.
     val u1 = UpdateRow("`t1`", Seq("`id`", "`v`"), Seq("10", "'a'"), Seq("`id`" -> Some("1")))
     val u2 = UpdateRow("`t1`", Seq("`id`", "`v`"), Seq("20", "'b'"), Seq("`id`" -> Some("2")))
     val out = Coalescer.coalesce(Seq(u1, u2), MySqlDialect, cfg)
+    assert(out == Seq(
+      "UPDATE `t1` SET `id` = 10, `v` = 'a' WHERE `id` = 1;",
+      "UPDATE `t1` SET `id` = 20, `v` = 'b' WHERE `id` = 2;"))
+  }
+
+  test("A2: CASE-WHEN update when the dialect lacks UPDATE-JOIN") {
+    import graft.dialect.AnsiDialect
+    val u1 = UpdateRow("\"t1\"", Seq("\"v\""), Seq("'a'"), Seq("\"id\"" -> Some("1")))
+    val u2 = UpdateRow("\"t1\"", Seq("\"v\""), Seq("'b'"), Seq("\"id\"" -> Some("2")))
+    val out = Coalescer.coalesce(Seq(u1, u2), AnsiDialect, cfg)
     assert(out.size == 1)
     val sql = out.head
-    assert(sql.startsWith("UPDATE `t1` SET `id` = CASE WHEN `id` = 1 THEN 10 WHEN `id` = 2 THEN 20 ELSE `id` END"))
-    assert(sql.endsWith("WHERE (`id` = 1) OR (`id` = 2);"))
+    assert(sql.startsWith(
+      "UPDATE \"t1\" SET \"v\" = CASE WHEN \"id\" = 1 THEN 'a' WHEN \"id\" = 2 THEN 'b' ELSE \"v\" END"))
+    assert(sql.endsWith("WHERE (\"id\" = 1) OR (\"id\" = 2);"))
+  }
+
+  test("UPDATE/DELETE runs are chunked by maxStatementBytes (coalescing.rs:1010-1062)") {
+    val small = CoalesceConfig(maxStatementBytes = 120)
+    val ups = (1 to 40).map(i =>
+      UpdateRow("`t`", Seq("`v`"), Seq(s"'val$i'"), Seq("`id`" -> Some(i.toString))))
+    val upOut = Coalescer.coalesce(ups, MySqlDialect, small)
+    assert(upOut.size > 1, "update run must split under the byte cap")
+    assert(upOut.forall(_.length < 4 * 120), "no unbounded UPDATE statement")
+    val dels = (1 to 40).map(i => DeleteRow("`t`", Seq("`id`" -> Some(i.toString))))
+    val delOut = Coalescer.coalesce(dels, MySqlDialect, small)
+    assert(delOut.size > 1, "delete run must split under the byte cap")
+    assert(delOut.forall(_.length <= 2 * 120), "no unbounded DELETE statement")
+    // and chunked apply is still last-wins-equivalent: all ids covered once
+    assert(delOut.mkString(" ").split("`id` = ").length == 41)
   }
 
   test("A3: VALUES-JOIN rewrite when WHERE is pure key equality (MySQL shape)") {

@@ -67,14 +67,17 @@ class RendererSpec extends AnyFunSuite {
     }
   }
 
-  test("TRUNCATE: multi-table, dialect-dependent (sql_renderer.rs:300-320)") {
+  test("TRUNCATE: multi-table → one statement per table (JDBC rejects multi-statement strings)") {
     val e = CdcEvent(Op.Truncate, 1L, 1L, ts, "public", "t1",
       Seq.empty, Seq.empty, truncateTables = Seq("public.t1", "public.t2"))
-    assert(SqlRenderer.render(RenderContext(MySqlDialect), e).get ==
-      "TRUNCATE TABLE `public`.`t1`; TRUNCATE TABLE `public`.`t2`;")
-    assert(SqlRenderer.render(RenderContext(SqliteDialect), e).get ==
-      "DELETE FROM \"t1\"; DELETE FROM \"t2\";")
-    assert(SqlRenderer.render(RenderContext(KafkaDialect), e).isEmpty)
+    assert(SqlRenderer.renderStatements(RenderContext(MySqlDialect), e) ==
+      Seq("TRUNCATE TABLE `public`.`t1`;", "TRUNCATE TABLE `public`.`t2`;"))
+    assert(SqlRenderer.renderStatements(RenderContext(SqliteDialect), e) ==
+      Seq("DELETE FROM \"t1\";", "DELETE FROM \"t2\";"))
+    assert(SqlRenderer.renderStatements(RenderContext(KafkaDialect), e).isEmpty)
+    // and the coalescer path emits one RawSql per table
+    import graft.operators.EventToStmt
+    assert(EventToStmt.toStmts(RenderContext(MySqlDialect), e).size == 2)
   }
 
   test("schema mapping: config rename, null→public (sql_renderer.rs:28-37)") {
