@@ -18,6 +18,17 @@ object GraftFunctions {
     GraftColumnBridge.column(
       MinHashAgg(GraftColumnBridge.expression(c), k).toAggregateExpression())
 
+  /** dot_q(a, b) — exact integer dot product of two array<bigint>. */
+  def dot_q(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotQ(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** hyperplane_buckets(v, seed, bands, bits) — banded sign-LSH bucket
+    * ids (array<bigint>, one per band) of a quantized vector. */
+  def hyperplane_buckets(v: Column, seed: Long, bands: Int, bits: Int): Column =
+    GraftColumnBridge.column(
+      HyperplaneBuckets(GraftColumnBridge.expression(v), seed, bands, bits))
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

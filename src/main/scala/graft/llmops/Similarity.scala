@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.expressions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -9,34 +10,49 @@ import org.apache.spark.sql.functions._
   * any aggregation, so dot products are exact integers (order-independent,
   * reproducible across engines) and only the final cosine division is
   * floating point. 64-dim ±~5σ floats quantized at 1e3 stay far below
-  * 2^53, so the integer math never loses a bit.
+  * 2^53, so the integer math never loses a bit. Dot products run through
+  * the native codegen'd `dot_q` expression (graft.expressions.DotQ), not
+  * interpreted higher-order functions.
   *
   * Scale paths:
   *  - bruteForceTopK: one broadcast of the probe + full scan; exact.
   *    Right answer for "top-k of one query against the corpus".
-  *  - signLshTopK: sign-bit bucketing (random-hyperplane LSH with
-  *    axis-aligned planes). The corpus is bucketed once (reusable,
-  *    write it out partitioned by bucket at 100 TB); each query probes
-  *    its own bucket plus `probes-1` nearest buckets by Hamming
-  *    distance — bounded work per query instead of a full scan.
+  *  - banded hyperplane LSH (`bandBuckets`): `bands` independent bucket
+  *    tables of `bitsPerBand` random-hyperplane sign bits each. A pair at
+  *    angle θ shares a given band with probability (1-θ/π)^bits; the
+  *    union over bands recovers the recall a single bucket table loses at
+  *    hyperplane boundaries, while more bits per band keep buckets small
+  *    (work per bucket is quadratic in bucket size). At 100 TB the
+  *    bucket table is written out once partitioned by (band, bucket);
+  *    `signLshTopK` probes it with a literal (band, bucket-IN-list)
+  *    predicate — partition pruning, not a scan-and-filter.
   */
 object Similarity {
+
+  /** Fixed hyperplane-family seed; baked into oracle SQL as literals. */
+  val DefaultSeed: Long = 1069L
+  val DefaultBands: Int = 10
+  val DefaultBitsPerBand: Int = 10
 
   /** array<float> → array<bigint> milli-quantized. */
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => round(x * scale).cast("bigint"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors (codegen'd). */
+  def dotQ(a: Column, b: Column): Column = GraftFunctions.dot_q(a, b)
 
   def normQ(a: Column): Column = dotQ(a, a)
+
+  /** (id, qe, nq): the reusable quantized form of the corpus. */
+  def quantized(embeddings: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol), quantize(col(vecCol)).as("qe"))
+      .withColumn("nq", normQ(col("qe")))
 
   /** Exact cosine top-k of `probeId` against all other vectors. */
   def bruteForceTopK(embeddings: DataFrame, probeId: Long, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = embeddings.select(col(idCol), quantize(col(vecCol)).as("qe"))
-      .withColumn("nq", normQ(col("qe")))
+    val q = quantized(embeddings, idCol, vecCol)
     val probe = q.filter(col(idCol) === probeId)
       .select(col("qe").as("pe"), col("nq").as("np"))
     q.filter(col(idCol) =!= probeId)
@@ -49,30 +65,58 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-bit bucket id over the first `bits` dimensions. */
-  def signBucket(vec: Column, bits: Int = 8): Column =
-    (0 until bits).map(i =>
-      when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** Exploded banded bucket table (id, band, bucket). This is the LSH
+    * index: at scale, persist it partitioned by (band, bucket) and
+    * reuse it for every probe / near-dup pass. */
+  def bandBuckets(q: DataFrame, bands: Int = DefaultBands,
+                  bitsPerBand: Int = DefaultBitsPerBand,
+                  seed: Long = DefaultSeed, idCol: String = "vec_id"): DataFrame =
+    q.select(col(idCol),
+        posexplode(GraftFunctions.hyperplane_buckets(col("qe"), seed, bands, bitsPerBand)))
+      .toDF(idCol, "band", "bucket")
 
-  /** Bucket the corpus once; reusable across queries. Bucket signs come
-    * from the quantized vector so bucketing and scoring share one
-    * representation. */
-  def bucketize(embeddings: DataFrame, bits: Int = 8,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol), quantize(col(vecCol)).as("qe"))
-      .withColumn("nq", normQ(col("qe")))
-      .withColumn("bucket", signBucket(col("qe"), bits))
+  /** All bucket ids within Hamming distance `radius` of `b` (multi-probe
+    * enumeration: C(bits,0)+..+C(bits,radius) values — literal IN-list). */
+  def hammingBall(b: Long, bits: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(r =>
+      (0 until bits).combinations(r).map(
+        _.foldLeft(b)((acc, i) => acc ^ (1L << i)))).distinct
 
-  /** Approximate cosine top-k: scan only buckets within Hamming
-    * distance `radius` of the probe's bucket. */
-  def signLshTopK(bucketed: DataFrame, probeId: Long, k: Int, radius: Int = 1,
-                  idCol: String = "vec_id"): DataFrame = {
-    val probe = bucketed.filter(col(idCol) === probeId)
-      .select(col("qe").as("pe"), col("nq").as("np"), col("bucket").as("pbucket"))
-    bucketed.filter(col(idCol) =!= probeId)
+  /** Approximate cosine top-k via the banded LSH index: the probe's
+    * `bands` buckets (each expanded to its Hamming-`radius` ball) are
+    * pushed down as literal (band, bucket-IN-list) predicates — with a
+    * (band, bucket)-partitioned index layout this prunes to
+    * bands·C(bits,≤radius) buckets instead of scanning the corpus. */
+  def signLshTopK(embeddings: DataFrame, probeId: Long, k: Int, radius: Int = 1,
+                  bands: Int = DefaultBands, bitsPerBand: Int = DefaultBitsPerBand,
+                  seed: Long = DefaultSeed, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val q = quantized(embeddings, idCol, vecCol)
+    signLshTopKIndexed(q, bandBuckets(q, bands, bitsPerBand, seed, idCol),
+      probeId, k, radius, bitsPerBand, idCol)
+  }
+
+  /** The serving-path form: `q` and `buckets` are the persisted index.
+    * One driver-side fetch of the probe row is the ANN-serving pattern
+    * (the probe is a single query vector, not a distributed dataset). */
+  def signLshTopKIndexed(q: DataFrame, buckets: DataFrame, probeId: Long,
+                         k: Int, radius: Int, bitsPerBand: Int = DefaultBitsPerBand,
+                         idCol: String = "vec_id"): DataFrame = {
+    val pBuckets = buckets.filter(col(idCol) === probeId)
+      .select("band", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    require(pBuckets.nonEmpty, s"probe $probeId not found in bucket index")
+    val probePred = pBuckets.map { case (band, b) =>
+      col("band") === band &&
+        col("bucket").isin(hammingBall(b, bitsPerBand, radius): _*)
+    }.reduce(_ || _)
+    val candIds = buckets.filter(probePred)
+      .filter(col(idCol) =!= probeId)
+      .select(idCol).distinct()
+    val probe = q.filter(col(idCol) === probeId)
+      .select(col("qe").as("pe"), col("nq").as("np"))
+    candIds.join(q, idCol)
       .crossJoin(broadcast(probe))
-      .filter(bit_count(col("bucket").bitwiseXOR(col("pbucket"))) <= radius)
       .withColumn("dp", dotQ(col("qe"), col("pe")))
       .withColumn("cosine",
         col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
@@ -81,19 +125,34 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact all-pairs cosine above a threshold (embedding near-dup).
-    * Bucketed self-join: only pairs sharing a sign bucket are compared —
-    * the embedding-space analog of minhash banding. */
-  def cosineNearDup(embeddings: DataFrame, threshold: Double, bits: Int = 8,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = bucketize(embeddings, bits, idCol, vecCol)
-    val a = b.as("a"); val c = b.as("b")
-    a.join(c, col("a.bucket") === col("b.bucket") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("dp", dotQ(col("a.qe"), col("b.qe")))
+  /** All-pairs cosine ≥ threshold restricted to banded-LSH candidate
+    * pairs (pairs sharing ≥1 band bucket), verified exactly.
+    *
+    * Scale shape: candidates come from bucket-local equality joins on
+    * (band, bucket) — never an all-pairs comparison — and the pair list
+    * is deduplicated *before* vectors are re-attached, so the wide `qe`
+    * arrays cross the shuffle once per side, not once per band. Bucket
+    * size stays ~N/2^bits per band regardless of corpus size skew in
+    * any single axis direction (planes are random, not axis-aligned). */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double,
+                    bands: Int = DefaultBands, bitsPerBand: Int = DefaultBitsPerBand,
+                    seed: Long = DefaultSeed, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = quantized(embeddings, idCol, vecCol)
+    val bk = bandBuckets(q, bands, bitsPerBand, seed, idCol)
+    val a = bk.as("a"); val b = bk.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("va"), col(s"b.$idCol").as("vb"))
+      .distinct()
+    val qa = q.select(col(idCol).as("va"), col("qe").as("qa"), col("nq").as("na"))
+    val qb = q.select(col(idCol).as("vb"), col("qe").as("qb"), col("nq").as("nb"))
+    cand.join(qa, "va").join(qb, "vb")
+      .withColumn("dp", dotQ(col("qa"), col("qb")))
       .withColumn("cosine",
-        col("dp") * lit(1.0) / sqrt((col("a.nq") * col("b.nq")).cast("double")))
+        col("dp") * lit(1.0) / sqrt((col("na") * col("nb")).cast("double")))
       .filter(col("cosine") >= threshold)
-      .select(col(s"a.$idCol").as("va"), col(s"b.$idCol").as("vb"), col("cosine"))
+      .select(col("va"), col("vb"), col("cosine"))
   }
 }

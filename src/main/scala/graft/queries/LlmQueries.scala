@@ -58,16 +58,24 @@ object LlmQueries {
     }),
 
     // Brute-force cosine top-k against a probe vector (vec_id 0),
-    // quantized to exact integer dot products. The LSH-bucketed ANN
-    // variant is in graft.llmops; this is the correctness baseline.
+    // quantized to exact integer dot products. This is the correctness
+    // baseline for the LSH-pruned variant below.
     "llm_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), probeId = 0, k = 10)),
 
-    // Embedding-cosine near-dup: sign-bucketed all-pairs (only pairs
-    // sharing the 8-bit sign bucket are compared — the embedding-space
-    // analog of LSH banding; quantized math keeps it oracle-exact).
+    // ANN top-k via the banded hyperplane-LSH index: the probe's band
+    // buckets (Hamming-radius-1 multi-probe) become literal
+    // (band, bucket-IN-list) predicates — partition-prunable at scale —
+    // and only candidates are scored. Oracle mirrors the same planes.
+    "llm_ann_lsh" -> ((s, d) =>
+      Similarity.signLshTopK(embeddings(s, d), probeId = 0, k = 10, radius = 1)),
+
+    // Embedding-cosine near-dup: banded random-hyperplane LSH candidate
+    // pairs (a pair is compared iff it shares ≥1 of the 10 band buckets
+    // of 10 sign bits each), verified by exact quantized cosine. The
+    // oracle reproduces the identical plane family from shared literals.
     "llm_cos_neardup" -> ((s, d) => {
-      graft.llmops.Similarity.cosineNearDup(embeddings(s, d), threshold = 0.1, bits = 8)
+      Similarity.cosineNearDup(embeddings(s, d), threshold = 0.1)
         .orderBy("va", "vb")
     }),
 
@@ -212,22 +220,61 @@ object LlmQueries {
         |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
         |FROM n WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
-    "llm_cos_neardup" ->
-      """WITH q AS (SELECT vec_id,
-        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
-        |  FROM embeddings),
-        |b AS (SELECT vec_id, qe,
-        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq,
-        |    list_sum([CASE WHEN qe[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
-        |              for i in range(0, 8)]) AS bucket
-        |  FROM q)
-        |SELECT a.vec_id AS va, c.vec_id AS vb,
-        |  list_dot_product(a.qe::BIGINT[], c.qe::BIGINT[]) * 1.0
-        |    / sqrt(CAST(a.nq * c.nq AS DOUBLE)) AS cosine
-        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-        |WHERE list_dot_product(a.qe::BIGINT[], c.qe::BIGINT[]) * 1.0
-        |    / sqrt(CAST(a.nq * c.nq AS DOUBLE)) >= 0.1
-        |ORDER BY 1, 2""".stripMargin,
+    "llm_cos_neardup" -> {
+      import graft.expressions.Hyperplanes
+      val (seed, bands, bits, dim) = (Similarity.DefaultSeed,
+        Similarity.DefaultBands, Similarity.DefaultBitsPerBand, 64)
+      // band-tagged bucket strings: 't-<bucket>' ≙ Spark's (band, bucket)
+      // two-column join key; plane literals shared with HyperplaneBuckets
+      val bandExprs = (0 until bands).map(t =>
+        s"'$t-' || CAST(${Hyperplanes.bucketSql(seed, t, bits, dim)} AS VARCHAR)")
+        .mkString(",\n    ")
+      s"""WITH q AS (SELECT vec_id,
+         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+         |  FROM q),
+         |banded AS (SELECT vec_id, unnest([
+         |    $bandExprs]) AS bucket FROM n),
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |         FROM banded a JOIN banded b
+         |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT va, vb,
+         |  list_dot_product(na.qe::BIGINT[], nb.qe::BIGINT[]) * 1.0
+         |    / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) AS cosine
+         |FROM cand JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id
+         |WHERE list_dot_product(na.qe::BIGINT[], nb.qe::BIGINT[]) * 1.0
+         |    / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) >= 0.1
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "llm_ann_lsh" -> {
+      import graft.expressions.Hyperplanes
+      val (seed, bands, bits, dim) = (Similarity.DefaultSeed,
+        Similarity.DefaultBands, Similarity.DefaultBitsPerBand, 64)
+      val bktCols = (0 until bands).map(t =>
+        s"${Hyperplanes.bucketSql(seed, t, bits, dim)} AS bkt$t").mkString(",\n  ")
+      // Hamming-radius-1 multi-probe: candidate iff some band bucket is
+      // within 1 bit of the probe's — identical set to Spark's
+      // hammingBall IN-list enumeration
+      val ors = (0 until bands).map(t =>
+        s"bit_count(xor(b.bkt$t, p.bkt$t)) <= 1").mkString("\n    OR ")
+      s"""WITH q AS (SELECT vec_id,
+         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+         |  FROM q),
+         |b AS (SELECT vec_id, qe, nq,
+         |  $bktCols FROM n),
+         |p AS (SELECT * FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |  CAST(list_dot_product(b.qe::BIGINT[], p.qe::BIGINT[]) AS BIGINT) AS dp,
+         |  list_dot_product(b.qe::BIGINT[], p.qe::BIGINT[]) * 1.0
+         |    / sqrt(CAST(b.nq * p.nq AS DOUBLE)) AS cosine
+         |FROM b, p WHERE b.vec_id <> 0 AND ($ors)
+         |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin
+    },
     "llm_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
         |  len(string_split(text, ' the '))-1 + len(string_split(text, ' and '))-1

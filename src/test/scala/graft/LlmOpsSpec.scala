@@ -62,27 +62,79 @@ class LlmOpsSpec extends SparkSpecBase {
     val base = (0L until 100L).map(i => (i, vec()))
     val planted = Seq((100L, perturb(base(5)._2)), (101L, perturb(base(17)._2)))
     val df = (base ++ planted).toDF("vec_id", "embedding")
-    val bucketed = Similarity.bucketize(df).cache()
-    val top5 = Similarity.signLshTopK(bucketed, probeId = 5L, k = 1, radius = 1)
+    val top5 = Similarity.signLshTopK(df, probeId = 5L, k = 1, radius = 1)
       .select("vec_id").first().getLong(0)
-    val top17 = Similarity.signLshTopK(bucketed, probeId = 17L, k = 1, radius = 1)
+    val top17 = Similarity.signLshTopK(df, probeId = 17L, k = 1, radius = 1)
       .select("vec_id").first().getLong(0)
-    bucketed.unpersist()
     assert(top5 == 100L, s"probe 5's planted twin not found (got $top5)")
     assert(top17 == 101L, s"probe 17's planted twin not found (got $top17)")
     // and agrees with brute force on the planted structure
     assert(Similarity.bruteForceTopK(df, 5L, 1).select("vec_id").first().getLong(0) == 100L)
   }
 
-  test("embedding cosine near-dup finds the planted twin structure") {
-    // label column groups vectors; same-label vectors are correlated in
-    // the synthetic data — at minimum the operator must be symmetric-free
-    // (a<b) and deterministic
-    val pairs = Similarity.cosineNearDup(embs, 0.95, bits = 4)
+  test("sign-LSH top-k probes only the Hamming ball of the probe's buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = Similarity.quantized(df).cache()
+    val bk = Similarity.bandBuckets(q)
+    // the candidate filter must be literal (band, bucket) predicates —
+    // the same enumeration signLshTopKIndexed pushes down — so the
+    // candidate count equals the sum of matching-bucket rows, not N
+    val probeBuckets = bk.filter(col("vec_id") === 3L)
+      .select("band", "bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pred = probeBuckets.map { case (band, b) =>
+      col("band") === band &&
+        col("bucket").isin(Similarity.hammingBall(b, 10, 1): _*)
+    }.reduce(_ || _)
+    val candViaFilter = bk.filter(pred).filter(col("vec_id") =!= 3L)
+      .select("vec_id").distinct().count()
+    val topAll = Similarity.signLshTopKIndexed(q, bk, probeId = 3L,
+      k = 1000, radius = 1).count()
+    q.unpersist()
+    assert(topAll == candViaFilter,
+      s"top-k scored $topAll rows but the pruned bucket set holds $candViaFilter")
+    assert(candViaFilter < 200, "pruning must not degenerate to a full scan")
+  }
+
+  test("banded LSH near-dup recall vs exact brute force on planted twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 300L).map(i => (i, vec()))
+    // 30 planted twins at cosine ≈ 0.98-0.99
+    val twins = (0 until 30).map { j =>
+      (1000L + j, base(j * 7)._2.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val all = base ++ twins
+    val df = all.toDF("vec_id", "embedding")
+    // exact ground truth, same quantized math, computed driver-side
+    val qv = all.map { case (id, v) => (id, v.map(x => math.round(x * 1000).toLong)) }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dp = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val truth = (for {
+      i <- qv.indices; j <- (i + 1) until qv.size
+      if cos(qv(i)._2, qv(j)._2) >= 0.9
+    } yield (math.min(qv(i)._1, qv(j)._1), math.max(qv(i)._1, qv(j)._1))).toSet
+    assert(truth.size >= 25, s"expected ≥25 planted high-cosine pairs, got ${truth.size}")
+    val found = Similarity.cosineNearDup(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), "LSH-verified pairs must be exact (no false positives)")
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"banded LSH recall $recall too low (truth=${truth.size})")
+  }
+
+  test("embedding cosine near-dup is symmetric-free and deterministic") {
+    val pairs = Similarity.cosineNearDup(embs, 0.3)
     val collected = pairs.collect()
     collected.foreach(r => assert(r.getLong(0) < r.getLong(1)))
-    // deterministic across runs
-    val again = Similarity.cosineNearDup(embs, 0.95, bits = 4).collect()
+    // deterministic across runs (fixed hyperplane seed)
+    val again = Similarity.cosineNearDup(embs, 0.3).collect()
     assert(collected.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
