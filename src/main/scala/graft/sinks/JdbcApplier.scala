@@ -109,13 +109,14 @@ class JdbcApplier(
 
   /** E3 bulk detection (transaction_manager.rs:1274-1350): a statement
     * run that is 100% same-shape non-binary INSERTs of at least
-    * `bulkInsertThreshold` rows goes through a PreparedStatement batch
-    * (the JDBC-generic analog of LOAD DATA / TDS bulk) — the destination
-    * parses ONE statement instead of re-parsing multi-VALUES text.
-    * Value normalization matches Dialect.renderValue minus quoting
-    * (bool t/f → 1/0). Returns false to fall back to rendered SQL;
-    * a failure memoizes the table permanently (K3 behavior) and lets
-    * the batch retry take the fallback path. */
+    * `bulkInsertThreshold` rows takes a per-dialect bulk fast path:
+    * MySQL attempts LOAD DATA LOCAL INFILE from an in-memory TSV
+    * (mysql.rs:204-345), SQL Server binds typed values — the TDS
+    * ColumnData analog (sqlserver.rs:326-361) — and everything else
+    * uses the generic PreparedStatement batch. Returns false to fall
+    * back to rendered SQL; a failure memoizes the table permanently
+    * (K3 failure memo, sqlserver.rs:20-21,197-200) and lets the batch
+    * retry take the fallback path. */
   private def tryBulkInsert(c: Connection, events: Seq[CdcEvent]): Boolean = {
     if (events.size < cfg.bulkInsertThreshold) return false
     val first = events.head
@@ -132,11 +133,16 @@ class JdbcApplier(
     val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
       cols.map(_ => "?").mkString("(", ", ", ")")
     try {
+      if (d == graft.dialect.MySqlDialect && tryMysqlLoadData(c, table, cols, events))
+        return true
+      val typed = d == graft.dialect.SqlServerDialect
       val ps = c.prepareStatement(sql)
       try {
         events.foreach { e =>
           e.after.zipWithIndex.foreach { case (col, i) =>
-            col.value match {
+            if (typed)
+              BulkLoad.bindTyped(ps, i + 1, BulkLoad.parseSqlValue(d.renderValue(col)))
+            else col.value match {
               case null => ps.setNull(i + 1, java.sql.Types.VARCHAR)
               case "t" => ps.setString(i + 1, "1")
               case "f" => ps.setString(i + 1, "0")
@@ -153,5 +159,34 @@ class JdbcApplier(
         bulkFailureMemo.add(table)
         throw e // rollback + retry takes the fallback path
     }
+  }
+
+  /** K2 fast path: render → TSV → LOAD DATA LOCAL INFILE streamed from
+    * memory, inside the surrounding destination transaction. Connector/J
+    * exposes the in-memory stream via `setLocalInfileInputStream` on its
+    * Statement (URL needs allowLoadLocalInfile=true); connectors without
+    * that method (embedded Derby in tests) return false and the generic
+    * batch runs instead — the same graceful fallback as the reference's
+    * local_infile probe (mysql.rs:204-258). */
+  private def tryMysqlLoadData(c: Connection, table: String,
+                               quotedCols: Seq[String], events: Seq[CdcEvent]): Boolean = {
+    val st = c.createStatement()
+    try {
+      val target =
+        try st.unwrap(classOf[java.sql.Statement]) catch { case _: Throwable => st }
+      val m =
+        try Some(target.getClass.getMethod(
+          "setLocalInfileInputStream", classOf[java.io.InputStream]))
+        catch { case _: NoSuchMethodException => None }
+      m match {
+        case Some(meth) =>
+          val rows = events.map(_.after.map(col => ctx.dialect.renderValue(col)))
+          val tsv = BulkLoad.generateTsvBuffer(rows)
+          meth.invoke(target, new java.io.ByteArrayInputStream(tsv))
+          target.execute(BulkLoad.loadDataSql(table, quotedCols))
+          true
+        case None => false
+      }
+    } finally st.close()
   }
 }
