@@ -50,7 +50,9 @@ object Lsn {
   * (pg2any-lib/src/sql_renderer.rs:161-173). */
 final case class CdcColumn(name: String, value: String, isBinary: Boolean = false)
 
-/** A single change event — the "row" of the engine. */
+/** A single change event — the "row" of the engine. `origin` is the
+  * replication origin that produced the change (null = locally
+  * originated) — the F4 filter's discriminator (config.rs:228-236). */
 final case class CdcEvent(
     op: String,
     lsn: Long,
@@ -63,7 +65,8 @@ final case class CdcEvent(
     replicaIdentity: String = ReplicaIdentity.Default,
     keyColumns: Seq[String] = Seq.empty,
     truncateTables: Seq[String] = Seq.empty,
-    isFinalBatch: Boolean = true) {
+    isFinalBatch: Boolean = true,
+    origin: String = null) {
 
   def get(cols: Seq[CdcColumn], name: String): Option[CdcColumn] =
     cols.find(_.name == name)
@@ -97,5 +100,6 @@ object CdcSchema {
     StructField("replicaIdentity", StringType, nullable = false),
     StructField("keyColumns", ArrayType(StringType), nullable = true),
     StructField("truncateTables", ArrayType(StringType), nullable = true),
-    StructField("isFinalBatch", BooleanType, nullable = false)))
+    StructField("isFinalBatch", BooleanType, nullable = false),
+    StructField("origin", StringType, nullable = true)))
 }

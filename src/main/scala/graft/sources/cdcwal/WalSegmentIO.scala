@@ -205,7 +205,8 @@ object WalSegmentIO {
     Option(utf8(n, "replicaIdentity")).getOrElse(UTF8String.fromString("DEFAULT")),
     strArray(n, "keyColumns"),
     strArray(n, "truncateTables"),
-    n.path("commit").asBoolean(false)))
+    n.path("commit").asBoolean(false),
+    utf8(n, "origin")))
 }
 
 class WalPartitionReader(dir: String, fromExclusive: Long, toInclusive: Long)

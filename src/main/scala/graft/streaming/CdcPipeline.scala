@@ -20,11 +20,20 @@ object CdcPipeline {
 
   implicit val eventEnc: Encoder[CdcEvent] = Encoders.product[CdcEvent]
 
-  /** envelope DataFrame → typed event stream (F1 filter applied). */
-  def toEvents(envelope: DataFrame): Dataset[CdcEvent] =
-    envelope
+  /** envelope DataFrame → typed event stream (F1 filter applied; F4
+    * origin filter when configured). `origin` is optional in the wire
+    * envelope — absent means locally originated (null). */
+  def toEvents(envelope: DataFrame,
+               originFilter: OriginFilter = OriginFilter.Any): Dataset[CdcEvent] = {
+    val withOrigin =
+      if (envelope.columns.contains("origin")) envelope
+      else envelope.withColumn("origin",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+    withOrigin
       .filter(col("op").isin("c", "u", "d", "t"))
+      .filter(OriginFilter.predicate(originFilter))
       .as[CdcEvent]
+  }
 
   /** Start the apply pipeline into a JDBC destination. */
   def startJdbc(
@@ -53,6 +62,29 @@ object CdcPipeline {
     graft.render.DebeziumEnvelope.project(envelope, topicPrefix)
 }
 
+/** F4: replication-origin filtering (config.rs:228-236). `NoOrigin`
+  * keeps only locally-originated changes (the loop-prevention setting),
+  * `Any` keeps everything, `Origin(name)` keeps one specific origin. */
+sealed trait OriginFilter extends Serializable
+object OriginFilter {
+  case object NoOrigin extends OriginFilter
+  case object Any extends OriginFilter
+  final case class Origin(name: String) extends OriginFilter
+
+  def predicate(f: OriginFilter): org.apache.spark.sql.Column = f match {
+    case Any => org.apache.spark.sql.functions.lit(true)
+    case NoOrigin => col("origin").isNull
+    case Origin(n) => col("origin") === n
+  }
+
+  /** Env form: "none" / "any" / any other string = a specific origin. */
+  def parse(s: String): OriginFilter = s.trim.toLowerCase match {
+    case "none" => NoOrigin
+    case "any" | "" => Any
+    case _ => Origin(s.trim)
+  }
+}
+
 /** E5: CDC_* environment parity (reference env.rs:58-173). Only the
   * engine-relevant knobs — queue/file-layout vars are obsolete here. */
 final case class GraftConfig(
@@ -61,9 +93,48 @@ final case class GraftConfig(
     maxRowsPerInsert: Int = Int.MaxValue,
     segmentBytes: Long = 64L * 1024 * 1024,
     heartbeatSeconds: Int = 10,
-    schemaMappings: Map[String, String] = Map.empty)
+    schemaMappings: Map[String, String] = Map.empty,
+    slotName: String = "graft_slot",
+    publication: String = "graft_pub",
+    protocolVersion: Int = 1,
+    streaming: Boolean = false,
+    twoPhase: Boolean = false,
+    originFilter: OriginFilter = OriginFilter.Any) {
+
+  /** The reference's builder validation truth table (config.rs:617-663):
+    * slot-name injection guard, protocol 1–4, streaming ⇒ v2+,
+    * two-phase ⇒ v3+, positive sizes. Left = first violation. */
+  def validate(): Either[String, GraftConfig] = {
+    GraftConfig.validateSlotName(slotName) match {
+      case Some(err) => return Left(err)
+      case None => ()
+    }
+    if (publication.isEmpty) Left("Publication name is required")
+    else if (protocolVersion < 1 || protocolVersion > 4)
+      Left("Protocol version must be between 1 and 4")
+    else if (streaming && protocolVersion < 2)
+      Left("Streaming requires protocol version 2 or higher")
+    else if (twoPhase && protocolVersion < 3)
+      Left("Two-phase commit requires protocol version 3 or higher")
+    else if (batchSize <= 0) Left("Batch size must be greater than 0")
+    else if (segmentBytes <= 0) Left("Segment size must be greater than 0")
+    else Right(this)
+  }
+}
 
 object GraftConfig {
+  /** Slot-name injection guard (slot.rs:99-115): PostgreSQL restricts
+    * slot names to `[a-z0-9_]`; validating against that set — rather
+    * than escaping — makes the name safe for SQL interpolation at every
+    * boundary. None = valid. */
+  def validateSlotName(slotName: String): Option[String] =
+    if (slotName.isEmpty) Some("Replication slot name is required")
+    else if (!slotName.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'))
+      Some(s"Invalid replication slot name ${"\"" + slotName + "\""}: " +
+        "only lower-case letters, digits, and underscores are allowed")
+    else None
+
   /** Parse `public:cdc_db,sales:sales_db` (env.rs:180-208). */
   def parseSchemaMappings(s: String): Map[String, String] =
     s.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap { pair =>
@@ -83,6 +154,16 @@ object GraftConfig {
       .map(_.toLong * 1024 * 1024).getOrElse(64L * 1024 * 1024),
     heartbeatSeconds =
       env.get("CDC_HEARTBEAT_INTERVAL").map(_.toInt).getOrElse(10),
-    schemaMappings = env.get("CDC_SCHEMA_MAPPINGS")
-      .map(parseSchemaMappings).getOrElse(Map.empty))
+    // the reference spells it CDC_SCHEMA_MAPPING (env.rs:180); the
+    // plural form is kept for back-compat with earlier rounds
+    schemaMappings = env.get("CDC_SCHEMA_MAPPING")
+      .orElse(env.get("CDC_SCHEMA_MAPPINGS"))
+      .map(parseSchemaMappings).getOrElse(Map.empty),
+    slotName = env.getOrElse("CDC_REPLICATION_SLOT", "graft_slot"),
+    publication = env.getOrElse("CDC_PUBLICATION", "graft_pub"),
+    protocolVersion = env.get("CDC_PROTOCOL_VERSION").map(_.toInt).getOrElse(1),
+    streaming = env.get("CDC_STREAMING").exists(_.toBoolean),
+    twoPhase = env.get("CDC_TWO_PHASE").exists(_.toBoolean),
+    originFilter = env.get("CDC_ORIGIN_FILTER")
+      .map(OriginFilter.parse).getOrElse(OriginFilter.Any))
 }

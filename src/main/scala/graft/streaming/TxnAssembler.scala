@@ -71,21 +71,46 @@ object TxnAssembler {
     (keep, out.result())
   }
 
-  /** Streaming form: one state entry per in-flight txid. */
-  def assemble(events: Dataset[CdcEvent]): Dataset[CdcTransaction] = {
+  /** Streaming form: one state entry per in-flight txid.
+    *
+    * `abandonedTxTimeoutMs` evicts state for a txid that stops arriving
+    * without ever sealing (a producer crash mid-transaction). The
+    * reference holds the same state in an unbounded HashMap and leaks it
+    * forever (producer.rs:99-100) — the timeout is a strict improvement:
+    * without it, 100 TB of WAL with occasional dead txids grows executor
+    * state without bound. A late Commit after eviction seals an empty
+    * transaction, which is exactly what replaying the WAL range delivers
+    * anyway (the epoch that buffered the lost events was never
+    * committed). */
+  def assemble(events: Dataset[CdcEvent],
+               abandonedTxTimeoutMs: Option[Long] = None): Dataset[CdcTransaction] = {
+    val timeoutConf =
+      if (abandonedTxTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.txid)
       .flatMapGroupsWithState[TxBuf, CdcTransaction](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (txid: Long, it: Iterator[CdcEvent], state: GroupState[TxBuf]) =>
-          val (keep, out) = step(txid, it.toSeq, state.getOption)
-          keep match {
-            case Some(b) => state.update(b)
-            case None => if (state.exists) state.remove()
-          }
-          out.iterator
-      }
+        OutputMode.Append, timeoutConf)(groupFn(abandonedTxTimeoutMs))
   }
+
+  /** The per-group streaming callback, factored out so the timeout path
+    * is testable with `TestGroupState` (no wall clock, no query). */
+  private[graft] def groupFn(abandonedTxTimeoutMs: Option[Long])(
+      txid: Long, it: Iterator[CdcEvent],
+      state: GroupState[TxBuf]): Iterator[CdcTransaction] =
+    if (state.hasTimedOut) {
+      state.remove() // abandoned txid: discard, emit nothing (T2 analog)
+      Iterator.empty
+    } else {
+      val (keep, out) = step(txid, it.toSeq, state.getOption)
+      keep match {
+        case Some(b) =>
+          state.update(b)
+          abandonedTxTimeoutMs.foreach(state.setTimeoutDuration)
+        case None => if (state.exists) state.remove()
+      }
+      out.iterator
+    }
 
   /** Batch form (backfill / recovery replay): pgoutput delivers committed
     * transactions contiguously, so grouping by txid and sorting by LSN

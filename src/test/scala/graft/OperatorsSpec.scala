@@ -85,6 +85,59 @@ class OperatorsSpec extends SparkSpecBase {
       "CDC_SCHEMA_MAPPINGS" -> "a:b"))
     assert(c.batchSize == 500 && c.schemaMappings == Map("a" -> "b"))
     assert(c.bulkInsertThreshold == 500 && c.heartbeatSeconds == 10)
+    // reference spelling (env.rs:180) also accepted
+    assert(GraftConfig.fromEnv(Map("CDC_SCHEMA_MAPPING" -> "x:y"))
+      .schemaMappings == Map("x" -> "y"))
+  }
+
+  test("config validation truth table (config.rs:617-663)") {
+    val ok = GraftConfig()
+    assert(ok.validate() == Right(ok))
+    // protocol bounds
+    assert(ok.copy(protocolVersion = 0).validate().isLeft)
+    assert(ok.copy(protocolVersion = 5).validate().isLeft)
+    (1 to 4).foreach(v => assert(ok.copy(protocolVersion = v).validate().isRight))
+    // streaming ⇒ v2+
+    assert(ok.copy(streaming = true, protocolVersion = 1).validate() ==
+      Left("Streaming requires protocol version 2 or higher"))
+    assert(ok.copy(streaming = true, protocolVersion = 2).validate().isRight)
+    // two-phase ⇒ v3+
+    assert(ok.copy(twoPhase = true, protocolVersion = 2).validate() ==
+      Left("Two-phase commit requires protocol version 3 or higher"))
+    assert(ok.copy(twoPhase = true, protocolVersion = 3).validate().isRight)
+    // sizes
+    assert(ok.copy(batchSize = 0).validate().isLeft)
+    assert(ok.copy(segmentBytes = 0).validate().isLeft)
+    // publication required
+    assert(ok.copy(publication = "").validate() == Left("Publication name is required"))
+  }
+
+  test("slot-name injection guard (slot.rs:99-115)") {
+    assert(GraftConfig.validateSlotName("my_slot_01").isEmpty)
+    assert(GraftConfig.validateSlotName("").isDefined)
+    assert(GraftConfig.validateSlotName("My_Slot").isDefined) // upper case
+    assert(GraftConfig.validateSlotName("slot-1").isDefined) // dash
+    assert(GraftConfig.validateSlotName("s'; DROP TABLE x--").isDefined)
+    assert(GraftConfig.fromEnv(Map("CDC_REPLICATION_SLOT" -> "bad name"))
+      .validate().isLeft)
+  }
+
+  test("origin filter semantics (F4, config.rs:228-236)") {
+    import spark.implicits._
+    import graft.streaming.{CdcPipeline, OriginFilter}
+    assert(OriginFilter.parse("none") == OriginFilter.NoOrigin)
+    assert(OriginFilter.parse("any") == OriginFilter.Any)
+    assert(OriginFilter.parse("upstream_a") == OriginFilter.Origin("upstream_a"))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def e(lsn: Long, origin: String) =
+      CdcEvent("c", lsn, 1L, ts, "public", "t1", Nil,
+        Seq(CdcColumn("id", lsn.toString)), keyColumns = Seq("id"), origin = origin)
+    val df = Seq(e(1, null), e(2, "up_a"), e(3, "up_b")).toDF()
+    def lsns(f: OriginFilter): Set[Long] =
+      CdcPipeline.toEvents(df, f).collect().map(_.lsn).toSet
+    assert(lsns(OriginFilter.Any) == Set(1L, 2L, 3L))
+    assert(lsns(OriginFilter.NoOrigin) == Set(1L))
+    assert(lsns(OriginFilter.Origin("up_a")) == Set(2L))
   }
 
   test("md5_prefix60 native expression matches the composed form") {

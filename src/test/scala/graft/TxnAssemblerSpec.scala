@@ -82,6 +82,52 @@ class TxnAssemblerSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("abandoned txid state is evicted on timeout (TestGroupState, no clock)") {
+    // A txid that opens but never commits must not leak state forever
+    // (the reference leaks the same state, producer.rs:99-100).
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val timeoutMs = Some(60000L)
+    // 1) open a tx: state kept, processing-time timeout registered
+    val s1 = TestGroupState.create[TxnAssembler.TxBuf](
+      Optional.empty[TxnAssembler.TxBuf](), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = TxnAssembler.groupFn(timeoutMs)(
+      500L, Iterator(ev(Ctl.Begin, 1, 500), ev("c", 2, 500)), s1)
+    assert(out1.isEmpty && s1.isUpdated)
+    assert(s1.getTimeoutTimestampMs.isPresent &&
+      s1.getTimeoutTimestampMs.get() == 61000L)
+    // 2) the timeout fires with no new events: state evicted, no output
+    val s2 = TestGroupState.create[TxnAssembler.TxBuf](
+      Optional.of(s1.get), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 61001L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = TxnAssembler.groupFn(timeoutMs)(500L, Iterator.empty, s2)
+    assert(out2.isEmpty && s2.isRemoved,
+      "abandoned state must be dropped when the timeout fires")
+    // 3) a late Commit after eviction seals an EMPTY transaction — the
+    // pre-eviction events are gone, exactly like a WAL-replay boundary
+    val s3 = TestGroupState.create[TxnAssembler.TxBuf](
+      Optional.empty[TxnAssembler.TxBuf](), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 70000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out3 = TxnAssembler.groupFn(timeoutMs)(
+      500L, Iterator(ev(Ctl.Commit, 3, 500)), s3).toSeq
+    assert(out3.size == 1 && out3.head.events.isEmpty)
+  }
+
+  test("without a timeout configured, no timeout is ever registered") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val s = TestGroupState.create[TxnAssembler.TxBuf](
+      Optional.empty[TxnAssembler.TxBuf](), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    TxnAssembler.groupFn(None)(700L, Iterator(ev(Ctl.Begin, 1, 700), ev("c", 2, 700)), s)
+    assert(s.isUpdated && !s.getTimeoutTimestampMs.isPresent)
+  }
+
   test("batch assembly groups complete transactions") {
     import spark.implicits._
     val events = Seq(
