@@ -1,0 +1,66 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** E4: the Prometheus scrape surface over [[CdcMetricsListener]]
+  * (reference monitoring/metrics_server.rs — HTTP :8080, text format).
+  *
+  * JDK-built-in HTTP server, zero dependencies, one daemon thread —
+  * metrics serving must never compete with executor threads. `port = 0`
+  * binds an ephemeral port (tests); the reference's default is 8080.
+  * Endpoints: `/metrics` (Prometheus text exposition v0.0.4) and
+  * `/health` (200 "ok"), matching the reference server's surface.
+  */
+class MetricsServer(listener: CdcMetricsListener, port: Int = 8080) {
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+
+  server.createContext("/metrics", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      respond(ex, 200, MetricsServer.render(listener.snapshot()),
+        "text/plain; version=0.0.4; charset=utf-8")
+  })
+  server.createContext("/health", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      respond(ex, 200, "ok", "text/plain; charset=utf-8")
+  })
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  def start(): MetricsServer = {
+    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-metrics-server"); t.setDaemon(true); t
+    })
+    server.start()
+    this
+  }
+
+  /** The actually-bound port (differs from the requested one when 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+}
+
+object MetricsServer {
+  /** Prometheus text exposition: `# TYPE` line + sample per metric.
+    * Counters end in `_total`; everything else is a gauge. */
+  def render(snapshot: Map[String, Double]): String = {
+    val sb = new StringBuilder
+    snapshot.toSeq.sortBy(_._1).foreach { case (name, value) =>
+      val kind = if (name.endsWith("_total")) "counter" else "gauge"
+      sb.append(s"# TYPE $name $kind\n")
+      val v = if (value == value.floor && !value.isInfinite) value.toLong.toString
+              else value.toString
+      sb.append(s"$name $v\n")
+    }
+    sb.toString
+  }
+}
