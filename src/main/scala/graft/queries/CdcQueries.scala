@@ -121,6 +121,46 @@ object CdcQueries {
         .orderBy("event_id")
     }),
 
+    // P3 UPDATE rendering through the library renderer: SET from the
+    // after-image, WHERE from the before-image key (the
+    // where_clause_fix_tests.rs regression contract)
+    "cdc_p3_render_update" -> ((s, d) => {
+      import s.implicits._
+      val ctx = RenderContext(AnsiDialect)
+      events(s, d).filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("vc"))
+        .as[(Long, Long, String, Long)]
+        .map { case (id, uid, et, vc) =>
+          val e = CdcEvent(Op.Update, id, uid, null, "public", "events",
+            before = Seq(CdcColumn("event_id", id.toString)),
+            after = Seq(CdcColumn("event_type", et),
+              CdcColumn("value_cents", vc.toString)),
+            keyColumns = Seq("event_id"))
+          (id, SqlRenderer.render(ctx, e).get)
+        }
+        .toDF("event_id", "stmt")
+        .orderBy("event_id")
+    }),
+
+    // P6 TRUNCATE rendering: one statement per table; the SQLite dialect
+    // maps TRUNCATE → DELETE FROM and drops the namespace
+    // (dialects/sqlite.rs:13-16,26-33)
+    "cdc_p6_render_truncate" -> ((s, d) => {
+      import s.implicits._
+      val ansiCtx = RenderContext(AnsiDialect)
+      val sqliteCtx = RenderContext(graft.dialect.SqliteDialect)
+      events(s, d).select("event_type").distinct().as[String]
+        .map { et =>
+          val e = CdcEvent(Op.Truncate, 0L, 0L, null, "public", s"events_$et",
+            Nil, Nil, truncateTables = Seq(s"events_$et"))
+          (et, SqlRenderer.renderTruncate(ansiCtx, e).head,
+            SqlRenderer.renderTruncate(sqliteCtx, e).head)
+        }
+        .toDF("event_type", "stmt", "stmt_sqlite")
+        .orderBy("event_type")
+    }),
+
     // P4+P5 DELETE/WHERE rendering (replica identity DEFAULT, key from
     // before-image)
     "cdc_p5_render_delete" -> ((s, d) => {
@@ -231,6 +271,18 @@ object CdcQueries {
         |  || event_id || ''', ''' || user_id || ''', ''' || event_type || ''', '''
         |  || replace(props, '''', '''''') || ''');' AS stmt
         |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+    "cdc_p3_render_update" ->
+      """SELECT event_id,
+        |  'UPDATE "public"."events" SET "event_type" = ''' || event_type
+        |  || ''', "value_cents" = ''' || CAST(round(value*100) AS BIGINT)
+        |  || ''' WHERE "event_id" = ''' || event_id || ''';' AS stmt
+        |FROM events WHERE event_type IN ('click','purchase')
+        |ORDER BY event_id""".stripMargin,
+    "cdc_p6_render_truncate" ->
+      """SELECT DISTINCT event_type,
+        |  'TRUNCATE TABLE "public"."events_' || event_type || '";' AS stmt,
+        |  'DELETE FROM "events_' || event_type || '";' AS stmt_sqlite
+        |FROM events ORDER BY event_type""".stripMargin,
     "cdc_p5_render_delete" ->
       """SELECT event_id,
         |  'DELETE FROM "public"."events" WHERE "event_id" = ''' || event_id || ''';' AS stmt
