@@ -104,6 +104,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(shuffles.size <= 2, s"exact dedup shuffles: ${shuffles.size}")
   }
 
+  test("banded-LSH near-dup: equality joins only, no cartesian, no row-level UDFs") {
+    val d = q("llm_cos_neardup")
+    d.count()
+    val all = collectAll(executed(d))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "near-dup candidate generation must stay bucket-local")
+    val s = planString(d)
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"),
+      "hot path must stay codegen-able (native expressions, no UDFs)")
+  }
+
+  test("LSH ANN probe: literal bucket IN-list predicates reach the filter") {
+    val d = q("llm_ann_lsh")
+    d.count()
+    val all = collectAll(executed(d))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    // the probe must appear as literal (band, bucket IN (...)) predicates —
+    // the prunable form — not as a join against the whole bucket table
+    val s = planString(d)
+    assert(s.contains("IN (") || s.contains("INSET") || s.contains("IN ("),
+      s"probe filter not literal-IN shaped: ${s.take(1200)}")
+  }
+
   test("cdc sessionization: one hash partitioning by user serves window AND groupBy") {
     val d = q("cdc_t1_sessions")
     d.count()
