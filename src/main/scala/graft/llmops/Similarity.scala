@@ -125,6 +125,103 @@ object Similarity {
       .limit(k)
   }
 
+  /** One IVF centroid: (cluster id, sum-vector, its squared norm). */
+  final case class IvfCentroid(cluster: Long, ce: Seq[Long], nc: Long)
+
+  /** Assignment as a PURE PROJECTION: centroids are index metadata (K
+    * rows), so they ride along as literals and the argmax-cosine runs
+    * inside whole-stage codegen — zero shuffles, unlike the textbook
+    * crossJoin + window-argmin which shuffles N·K rows. Ties break to
+    * the lowest cluster id (struct max on (cos, -cluster)). */
+  private def assignByCentroids(q: DataFrame, cents: Seq[IvfCentroid],
+                                idCol: String): DataFrame = {
+    val scored = cents.map { c =>
+      struct(
+        (dotQ(col("qe"), typedLit(c.ce)) /
+          (sqrt(col("nq").cast("double")) * lit(math.sqrt(c.nc.toDouble)))).as("c"),
+        lit(-c.cluster).as("negCl"))
+    }
+    q.withColumn("__best", array_max(array(scored: _*)))
+      .select(col(idCol), (-col("__best.negCl")).as("cluster"))
+  }
+
+  /** Driver-side exact cosine between a centroid and a probe vector. */
+  private def centroidCos(ce: Seq[Long], nc: Long, pe: Seq[Long], np: Long): Double = {
+    var dp = 0L; var i = 0
+    while (i < ce.length) { dp += ce(i) * pe(i); i += 1 }
+    dp / (math.sqrt(nc.toDouble) * math.sqrt(np.toDouble))
+  }
+
+  /** IVF index over the quantized corpus: (centroids, assignment).
+    *
+    * Deterministic and integer-exact so the DuckDB oracle reproduces it:
+    * seeds are the `k` lowest-id vectors; one Lloyd refinement replaces
+    * each seed with the element-wise SUM of its assigned vectors (cosine
+    * is scale-invariant, so sum ≡ mean with no fractional drift); the
+    * final assignment is against the refined centroids. Production would
+    * iterate Lloyd to convergence on a sample — the index layout, probe
+    * pruning, and scoring are identical. Centroid norms can exceed
+    * sqrt-of-long-product range, so centroid cosines use
+    * sqrt(nq)·sqrt(nc), never sqrt(nq·nc).
+    *
+    * Shape at 100 TB: centroids are K·dim longs of driver/broadcast
+    * metadata (K ~ sqrt(N)); assignment is a projection (no shuffle);
+    * the refinement is a K-row partial aggregation (dim sum columns,
+    * map-side combined — not a dim-fold row explosion). Written out
+    * partitioned by `cluster`, a probe reads nprobe/K of the corpus —
+    * real partition pruning. */
+  def ivfIndex(q: DataFrame, k: Int = DefaultIvfClusters, dim: Int = 64,
+               idCol: String = "vec_id"): (Seq[IvfCentroid], DataFrame) = {
+    val seeds = q.filter(col(idCol) < k)
+      .select(col(idCol), col("qe"), col("nq")).collect()
+      .map(r => IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    val assign0 = assignByCentroids(q, seeds, idCol)
+    val sumCols = (0 until dim).map(i =>
+      sum(element_at(col("qe"), i + 1)).as(s"s$i"))
+    val refined = assign0.join(q, idCol).groupBy("cluster")
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect()
+      .map { r =>
+        val ce = (0 until dim).map(i => r.getLong(i + 1))
+        IvfCentroid(r.getLong(0), ce, ce.map(x => x * x).sum)
+      }.toSeq.sortBy(_.cluster)
+    (refined, assignByCentroids(q, refined, idCol))
+  }
+
+  val DefaultIvfClusters: Int = 16
+  val DefaultIvfProbes: Int = 4
+
+  /** IVF ANN top-k: rank centroids by probe cosine (driver-side — the
+    * centroid table IS index metadata), take the best `nprobe` clusters
+    * as a literal IN-list (partition-prunable on a cluster-partitioned
+    * assignment layout), score only their members exactly. Per-query
+    * work = K centroid scores + ~N·nprobe/K exact scores instead of N. */
+  def ivfTopK(embeddings: DataFrame, probeId: Long, k: Int,
+              nClusters: Int = DefaultIvfClusters, nprobe: Int = DefaultIvfProbes,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = quantized(embeddings, idCol, vecCol)
+    val (cents, assign) = ivfIndex(q, nClusters, idCol = idCol)
+    val probeRow = q.filter(col(idCol) === probeId).select("qe", "nq").head()
+    val pe = probeRow.getSeq[Long](0)
+    val np = probeRow.getLong(1)
+    val probeClusters = cents
+      .map(c => (centroidCos(c.ce, c.nc, pe, np), c.cluster))
+      .sortBy { case (cos, cl) => (-cos, cl) }
+      .take(nprobe).map(_._2)
+    val probe = q.filter(col(idCol) === probeId)
+      .select(col("qe").as("pe"), col("nq").as("np"))
+    assign.filter(col("cluster").isin(probeClusters: _*))
+      .filter(col(idCol) =!= probeId)
+      .join(q, idCol)
+      .crossJoin(broadcast(probe))
+      .withColumn("dp", dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .select(col(idCol), col("dp"), col("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs cosine ≥ threshold restricted to banded-LSH candidate
     * pairs (pairs sharing ≥1 band bucket), verified exactly.
     *

@@ -70,6 +70,13 @@ object LlmQueries {
     "llm_ann_lsh" -> ((s, d) =>
       Similarity.signLshTopK(embeddings(s, d), probeId = 0, k = 10, radius = 1)),
 
+    // IVF ANN top-k: deterministic-seed k-means-lite index (one
+    // integer-exact Lloyd refinement with sum-centroids), probe ranks
+    // centroids and scans only the best nprobe clusters via a literal
+    // IN-list — the cluster-pruned scale path next to the LSH one.
+    "llm_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(embeddings(s, d), probeId = 0, k = 10)),
+
     // Embedding-cosine near-dup: banded random-hyperplane LSH candidate
     // pairs (a pair is compared iff it shares ≥1 of the 10 band buckets
     // of 10 sign bits each), verified by exact quantized cosine. The
@@ -274,6 +281,56 @@ object LlmQueries {
          |    / sqrt(CAST(b.nq * p.nq AS DOUBLE)) AS cosine
          |FROM b, p WHERE b.vec_id <> 0 AND ($ors)
          |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin
+    },
+    "llm_ann_ivf" -> {
+      val (k, nprobe, dim) =
+        (Similarity.DefaultIvfClusters, Similarity.DefaultIvfProbes, 64)
+      // centroid cosines use sqrt(nq)*sqrt(nc) (norm products overflow
+      // BIGINT for sum-centroids); final scoring matches llm_ann_cosine
+      s"""WITH q AS (SELECT vec_id,
+         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+         |  FROM q),
+         |seeds AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc
+         |          FROM n WHERE vec_id < $k),
+         |a0 AS (SELECT vec_id, cluster FROM (
+         |    SELECT n.vec_id, s.cluster, row_number() OVER (
+         |      PARTITION BY n.vec_id ORDER BY
+         |        list_dot_product(n.qe::BIGINT[], s.ce::BIGINT[])
+         |          / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(s.nc AS DOUBLE))) DESC,
+         |        s.cluster) AS rn
+         |    FROM n, seeds s) WHERE rn = 1),
+         |cent AS (SELECT cluster, list(s ORDER BY i) AS ce FROM (
+         |    SELECT a0.cluster, g.i, CAST(sum(n.qe[g.i]) AS BIGINT) AS s
+         |    FROM a0 JOIN n USING (vec_id), generate_series(1, $dim) AS g(i)
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |centn AS (SELECT cluster, ce,
+         |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
+         |  FROM cent),
+         |asg AS (SELECT vec_id, cluster FROM (
+         |    SELECT n.vec_id, c.cluster, row_number() OVER (
+         |      PARTITION BY n.vec_id ORDER BY
+         |        list_dot_product(n.qe::BIGINT[], c.ce::BIGINT[])
+         |          / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC,
+         |        c.cluster) AS rn
+         |    FROM n, centn c) WHERE rn = 1),
+         |probe AS (SELECT qe AS pe, nq AS np FROM n WHERE vec_id = 0),
+         |pc AS (SELECT cluster FROM (
+         |    SELECT c.cluster, row_number() OVER (ORDER BY
+         |        list_dot_product(c.ce::BIGINT[], (SELECT pe FROM probe)::BIGINT[])
+         |          / (sqrt(CAST(c.nc AS DOUBLE))
+         |             * sqrt(CAST((SELECT np FROM probe) AS DOUBLE))) DESC,
+         |        c.cluster) AS rn
+         |    FROM centn c) WHERE rn <= $nprobe)
+         |SELECT n.vec_id,
+         |  CAST(list_dot_product(n.qe::BIGINT[], (SELECT pe FROM probe)::BIGINT[]) AS BIGINT) AS dp,
+         |  list_dot_product(n.qe::BIGINT[], (SELECT pe FROM probe)::BIGINT[]) * 1.0
+         |    / sqrt(CAST(n.nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
+         |FROM n JOIN asg USING (vec_id)
+         |WHERE asg.cluster IN (SELECT cluster FROM pc) AND n.vec_id <> 0
+         |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
     },
     "llm_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,

@@ -129,6 +129,31 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"banded LSH recall $recall too low (truth=${truth.size})")
   }
 
+  test("IVF ANN: planted twin found, probe scans only nprobe clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 150L).map(i => (i, vec()))
+    val twin = (500L, base(40)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    val df = (base :+ twin).toDF("vec_id", "embedding")
+    // the twin lands in probe 40's own cluster (cosine ≈ 0.999), so even
+    // nprobe=1 must find it; use defaults (nprobe=4) for margin
+    val top = Similarity.ivfTopK(df, probeId = 40L, k = 1)
+      .select("vec_id").first().getLong(0)
+    assert(top == 500L, s"planted twin not found by IVF probe (got $top)")
+    // pruning contract: the scored candidate set is exactly the members
+    // of the probed clusters, not the corpus
+    val q = Similarity.quantized(df).cache()
+    val (cents, assign) = Similarity.ivfIndex(q)
+    val clusterSizes = assign.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = Similarity.ivfTopK(df, probeId = 40L, k = 10000).count()
+    q.unpersist()
+    assert(all < 151, "IVF probe must not scan the whole corpus")
+    assert(clusterSizes.values.sum == 151L, "every vector assigned exactly once")
+  }
+
   test("embedding cosine near-dup is symmetric-free and deterministic") {
     val pairs = Similarity.cosineNearDup(embs, 0.3)
     val collected = pairs.collect()
