@@ -29,19 +29,44 @@ object GraftFunctions {
     GraftColumnBridge.column(
       HyperplaneBuckets(GraftColumnBridge.expression(v), seed, bands, bits))
 
+  /** cdc_to_sql(eventStruct, dialect) — render a CDC envelope struct to
+    * destination SQL (null for non-DML). */
+  def cdc_to_sql(event: Column, dialect: String): Column =
+    GraftColumnBridge.column(
+      CdcToSql(GraftColumnBridge.expression(event), dialect))
+
+  private[expressions] def cdcToSqlFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    val dialect = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"cdc_to_sql dialect must be a string literal, got $other")
+    }
+    CdcToSql(exprs.head, dialect)
+  }
+
   /** Register SQL names on a session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_to_sql", cdcToSqlFromExprs, "built-in")
+  }
 }
 
 /** SparkSessionExtensions entry point:
   * .config("spark.sql.extensions", "graft.expressions.GraftExtensions") */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Prefix60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("cdc_to_sql"),
+      new ExpressionInfo(classOf[CdcToSql].getName, "cdc_to_sql"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.cdcToSqlFromExprs(exprs)))
+  }
 }

@@ -1,8 +1,6 @@
 package graft.queries
 
-import graft.dialect.AnsiDialect
 import graft.model._
-import graft.render.{RenderContext, SqlRenderer}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +29,11 @@ object CdcQueries {
       |     ELSE 'r' END""".stripMargin
 
   private def cents(c: Column) = round(c * 100).cast("bigint")
+
+  /** A CdcColumn struct literal for cdc_to_sql event construction. */
+  private def cdcColStruct(name: String, value: Column): Column =
+    struct(lit(name).as("name"), value.cast("string").as("value"),
+      lit(false).as("isBinary"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 non-DML filter (sql_renderer.rs:124-128): keep c/u/d, drop reads
@@ -102,78 +105,77 @@ object CdcQueries {
         .orderBy("user_id")
     }),
 
-    // P2+P8+P9 INSERT rendering through the library renderer (the oracle
-    // reconstructs the same string independently in SQL)
+    // P2+P8+P9 INSERT rendering through the native cdc_to_sql Catalyst
+    // expression — no object-serialization boundary, stays inside
+    // WholeStageCodegen (the oracle reconstructs the same string
+    // independently in SQL)
     "cdc_p2_render_insert" -> ((s, d) => {
-      import s.implicits._
-      val ctx = RenderContext(AnsiDialect)
       events(s, d).filter(col("event_type") === "signup")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
-        .as[(Long, Long, String, String)]
-        .map { case (id, uid, et, props) =>
-          val e = CdcEvent(Op.Insert, id, uid, null, "public", "events", Nil,
-            Seq(CdcColumn("event_id", id.toString), CdcColumn("user_id", uid.toString),
-              CdcColumn("event_type", et), CdcColumn("props", props)),
-            keyColumns = Seq("event_id"))
-          (id, SqlRenderer.render(ctx, e).get)
-        }
-        .toDF("event_id", "stmt")
+        .select(col("event_id"),
+          graft.expressions.GraftFunctions.cdc_to_sql(struct(
+            lit(Op.Insert).as("op"),
+            col("event_id").as("lsn"),
+            lit("public").as("schema"),
+            lit("events").as("table"),
+            array(
+              cdcColStruct("event_id", col("event_id")),
+              cdcColStruct("user_id", col("user_id")),
+              cdcColStruct("event_type", col("event_type")),
+              cdcColStruct("props", col("props"))).as("after"),
+            array(lit("event_id")).as("keyColumns")), "ansi").as("stmt"))
         .orderBy("event_id")
     }),
 
-    // P3 UPDATE rendering through the library renderer: SET from the
-    // after-image, WHERE from the before-image key (the
-    // where_clause_fix_tests.rs regression contract)
+    // P3 UPDATE rendering through cdc_to_sql: SET from the after-image,
+    // WHERE from the before-image key (the where_clause_fix_tests.rs
+    // regression contract)
     "cdc_p3_render_update" -> ((s, d) => {
-      import s.implicits._
-      val ctx = RenderContext(AnsiDialect)
       events(s, d).filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          cents(col("value")).as("vc"))
-        .as[(Long, Long, String, Long)]
-        .map { case (id, uid, et, vc) =>
-          val e = CdcEvent(Op.Update, id, uid, null, "public", "events",
-            before = Seq(CdcColumn("event_id", id.toString)),
-            after = Seq(CdcColumn("event_type", et),
-              CdcColumn("value_cents", vc.toString)),
-            keyColumns = Seq("event_id"))
-          (id, SqlRenderer.render(ctx, e).get)
-        }
-        .toDF("event_id", "stmt")
+        .select(col("event_id"),
+          graft.expressions.GraftFunctions.cdc_to_sql(struct(
+            lit(Op.Update).as("op"),
+            col("event_id").as("lsn"),
+            lit("public").as("schema"),
+            lit("events").as("table"),
+            array(cdcColStruct("event_id", col("event_id"))).as("before"),
+            array(
+              cdcColStruct("event_type", col("event_type")),
+              cdcColStruct("value_cents", cents(col("value")))).as("after"),
+            array(lit("event_id")).as("keyColumns")), "ansi").as("stmt"))
         .orderBy("event_id")
     }),
 
-    // P6 TRUNCATE rendering: one statement per table; the SQLite dialect
-    // maps TRUNCATE → DELETE FROM and drops the namespace
+    // P6 TRUNCATE rendering via cdc_to_sql (ANSI) + the SQLite dialect's
+    // TRUNCATE → DELETE FROM with the namespace dropped
     // (dialects/sqlite.rs:13-16,26-33)
     "cdc_p6_render_truncate" -> ((s, d) => {
-      import s.implicits._
-      val ansiCtx = RenderContext(AnsiDialect)
-      val sqliteCtx = RenderContext(graft.dialect.SqliteDialect)
-      events(s, d).select("event_type").distinct().as[String]
-        .map { et =>
-          val e = CdcEvent(Op.Truncate, 0L, 0L, null, "public", s"events_$et",
-            Nil, Nil, truncateTables = Seq(s"events_$et"))
-          (et, SqlRenderer.renderTruncate(ansiCtx, e).head,
-            SqlRenderer.renderTruncate(sqliteCtx, e).head)
-        }
-        .toDF("event_type", "stmt", "stmt_sqlite")
+      events(s, d).select("event_type").distinct()
+        .select(col("event_type"),
+          graft.expressions.GraftFunctions.cdc_to_sql(struct(
+            lit(Op.Truncate).as("op"),
+            lit("public").as("schema"),
+            concat(lit("events_"), col("event_type")).as("table")),
+            "ansi").as("stmt"),
+          graft.expressions.GraftFunctions.cdc_to_sql(struct(
+            lit(Op.Truncate).as("op"),
+            lit("public").as("schema"),
+            concat(lit("events_"), col("event_type")).as("table")),
+            "sqlite").as("stmt_sqlite"))
         .orderBy("event_type")
     }),
 
-    // P4+P5 DELETE/WHERE rendering (replica identity DEFAULT, key from
-    // before-image)
+    // P4+P5 DELETE/WHERE rendering via cdc_to_sql (replica identity
+    // DEFAULT, key from before-image)
     "cdc_p5_render_delete" -> ((s, d) => {
-      import s.implicits._
-      val ctx = RenderContext(AnsiDialect)
       events(s, d).filter(col("event_type") === "error")
-        .select(col("event_id")).as[Long]
-        .map { id =>
-          val e = CdcEvent(Op.Delete, id, 0L, null, "public", "events",
-            Seq(CdcColumn("event_id", id.toString)), Nil, keyColumns = Seq("event_id"))
-          (id, SqlRenderer.render(ctx, e).get)
-        }
-        .toDF("event_id", "stmt")
+        .select(col("event_id"),
+          graft.expressions.GraftFunctions.cdc_to_sql(struct(
+            lit(Op.Delete).as("op"),
+            col("event_id").as("lsn"),
+            lit("public").as("schema"),
+            lit("events").as("table"),
+            array(cdcColStruct("event_id", col("event_id"))).as("before"),
+            array(lit("event_id")).as("keyColumns")), "ansi").as("stmt"))
         .orderBy("event_id")
     }),
 

@@ -156,4 +156,45 @@ class OperatorsSpec extends SparkSpecBase {
     val plan = both.queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"))
   }
+
+  test("cdc_to_sql native expression: SQL surface, codegen, renderer parity") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "alice"), (2L, "it's bob")).toDF("id", "name")
+    val ev = struct(
+      lit("c").as("op"), col("id").as("lsn"),
+      lit("public").as("schema"), lit("t1").as("table"),
+      array(struct(lit("id").as("name"), col("id").cast("string").as("value"),
+          lit(false).as("isBinary")),
+        struct(lit("name").as("name"), col("name").as("value"),
+          lit(false).as("isBinary"))).as("after"),
+      array(lit("id")).as("keyColumns"))
+    val out = df.select(
+      GraftFunctions.cdc_to_sql(ev, "ansi").as("col_form"),
+      GraftFunctions.cdc_to_sql(ev, "mysql").as("mysql_form"))
+    val rows = out.collect()
+    assert(rows(0).getString(0) ==
+      """INSERT INTO "public"."t1" ("id", "name") VALUES ('1', 'alice');""")
+    assert(rows(1).getString(0) ==
+      """INSERT INTO "public"."t1" ("id", "name") VALUES ('2', 'it''s bob');""")
+    assert(rows(1).getString(1) ==
+      "INSERT INTO `public`.`t1` (`id`, `name`) VALUES ('2', 'it''s bob');")
+    // renderer parity: the expression and the library renderer agree
+    val viaLib = graft.render.SqlRenderer.render(
+      graft.render.RenderContext(graft.dialect.AnsiDialect),
+      graft.model.CdcEvent("c", 1L, 0L, null, "public", "t1", Nil,
+        Seq(graft.model.CdcColumn("id", "1"), graft.model.CdcColumn("name", "alice")),
+        keyColumns = Seq("id"))).get
+    assert(rows(0).getString(0) == viaLib)
+    // non-DML renders null; SQL registration works
+    df.createOrReplaceTempView("cdc_expr_probe")
+    val sqlOut = spark.sql(
+      """SELECT cdc_to_sql(named_struct('op', 'r'), 'ansi') AS s FROM cdc_expr_probe""")
+      .collect()
+    assert(sqlOut.forall(_.isNullAt(0)))
+    // plan stays codegen-compatible: no object serialization boundary
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      plan.take(500))
+  }
 }
