@@ -262,6 +262,79 @@ object RelationalQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"))
         .filter(col("y") === 1995)
         .orderBy("o_orderkey")
+    }),
+
+    // TPC-H Q8 shape: market share — 6-way join (nation twice under
+    // different roles, region filter), conditional-vs-total aggregation
+    // per year; all dims broadcast, the one fact-fact join partitioned
+    "q19_market_share" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val o = orders(s, d)
+      val c = customer(s, d)
+      val sup = supplier(s, d)
+      val cn = nation(s, d).select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_region"))
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val sn = nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("cn_region") === r("r_regionkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(sn), sup("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0L))
+            .as("nation_cents"),
+          sum(rev).as("total_cents"))
+        .withColumn("mkt_share",
+          col("nation_cents") * lit(1.0) / col("total_cents"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q21 shape: exists/not-exists as semi-join + uniqueness test —
+    // suppliers who were the SOLE latest shipper on a multi-supplier
+    // order. Aggregation-based formulation: one shuffle per groupBy on
+    // l_orderkey (reused clustering), no correlated per-row subqueries.
+    "q20_waiting_supplier" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val om = l.groupBy("l_orderkey")
+        .agg(max("l_shipdate").as("max_ship"),
+          countDistinct("l_suppkey").as("n_supp"))
+        .filter(col("n_supp") >= 2)
+      val atMax = l.join(om, "l_orderkey")
+        .filter(col("l_shipdate") === col("max_ship"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val sole = atMax.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_max")).filter(col("n_max") === 1)
+      atMax.join(sole, Seq("l_orderkey"), "left_semi")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape: scalar "above global average" filter + anti join
+    // against a filtered fact (no high-value order). The average is
+    // compared by integer cross-multiplication (bal_cents·n > sum_cents)
+    // — exact, no double-average drift; the anti-join's filter is pushed
+    // into the orders scan.
+    "q21_idle_customers" -> ((s, d) => {
+      val c = customer(s, d)
+      val posAvg = c.filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("pos_sum"),
+          count(lit(1)).as("pos_n"))
+      val bigOrders = orders(s, d).filter(col("o_totalprice") > 300000)
+      c.crossJoin(broadcast(posAvg))
+        .filter(cents(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+        .orderBy("c_mktsegment")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -392,5 +465,50 @@ object RelationalQueries {
         |  CAST(month(o_orderdate) AS INT) AS m,
         |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
         |  strftime(o_orderdate, '%Y-%m-%d') AS day_str
-        |FROM orders WHERE year(o_orderdate) = 1995 ORDER BY o_orderkey""".stripMargin)
+        |FROM orders WHERE year(o_orderdate) = 1995 ORDER BY o_orderkey""".stripMargin,
+    "q19_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS rev
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |SELECT CAST(o_year AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT)
+        |    AS nation_cents,
+        |  CAST(sum(rev) AS BIGINT) AS total_cents,
+        |  sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) * 1.0
+        |    / sum(rev) AS mkt_share
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_waiting_supplier" ->
+      """WITH om AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2),
+        |at_max AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN om ON l.l_orderkey = om.l_orderkey
+        |    AND l.l_shipdate = om.max_ship),
+        |sole AS (
+        |  SELECT l_orderkey FROM at_max GROUP BY 1 HAVING count(*) = 1)
+        |SELECT s_name, numwait FROM (
+        |  SELECT l_suppkey, count(*) AS numwait
+        |  FROM at_max WHERE l_orderkey IN (SELECT l_orderkey FROM sole)
+        |  GROUP BY 1) w JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q21_idle_customers" ->
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS pos_sum,
+        |    count(*) AS pos_n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer, pos
+        |WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
