@@ -296,10 +296,16 @@ object RelationalQueries {
 
     // TPC-H Q21 shape: exists/not-exists as semi-join + uniqueness test —
     // suppliers who were the SOLE latest shipper on a multi-supplier
-    // order. Aggregation-based formulation: one shuffle per groupBy on
-    // l_orderkey (reused clustering), no correlated per-row subqueries.
+    // order. The fact is hash-partitioned on l_orderkey ONCE; every
+    // orderkey-keyed step after it (both groupBys, the join, the
+    // distinct, the semi join) reuses that clustering — a HashPartitioning
+    // on a key satisfies any grouping that includes the key — so the
+    // whole exists/not-exists chain costs one fact shuffle plus the
+    // final per-supplier aggregation. No correlated per-row subqueries.
     "q20_waiting_supplier" -> ((s, d) => {
       val l = lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(col("l_orderkey"))
       val om = l.groupBy("l_orderkey")
         .agg(max("l_shipdate").as("max_ship"),
           countDistinct("l_suppkey").as("n_supp"))

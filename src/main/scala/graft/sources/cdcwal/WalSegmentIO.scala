@@ -47,14 +47,25 @@ object WalSegmentIO {
   def segmentFiles(dir: String): Seq[File] = {
     val d = new File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("segment-") && f.getName.endsWith(".jsonl"))
+      .filter(f => f.getName.startsWith("segment-") &&
+        (f.getName.endsWith(".jsonl") || f.getName.endsWith(".jsonl.gz")))
       .sortBy(_.getName).toSeq
   }
 
+  /** Plain or gzip'd segments (the reference's PG2ANY_ENABLE_COMPRESSION
+    * storage, storage/compressed.rs — here just a transport codec; seek
+    * indexing is the [min,max] LSN cache, which applies to both). */
   private def readFile(f: File): Iterator[JsonNode] = {
     filesOpened.incrementAndGet()
-    Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.iterator
-      .filter(_.nonEmpty).map(mapper.readTree)
+    val lines =
+      if (f.getName.endsWith(".gz")) {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(
+            Files.newInputStream(f.toPath)), StandardCharsets.UTF_8))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+        finally in.close()
+      } else Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.toVector
+    lines.iterator.filter(_.nonEmpty).map(mapper.readTree)
   }
 
   def segMeta(f: File): SegMeta = {

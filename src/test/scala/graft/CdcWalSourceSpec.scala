@@ -167,4 +167,42 @@ class CdcWalSourceSpec extends SparkSpecBase {
     assert(before(1).isNullAt(1)) // null value preserved
     assert(r.getBoolean(7))
   }
+
+  test("gzip'd segments: transparent transport codec, pruning included") {
+    // the reference's compression feature flag (storage/compressed.rs)
+    // maps to a transport codec here: segment-*.jsonl.gz read through
+    // the same index/pruning machinery as plain segments
+    val dir = Files.createTempDirectory("walgz").toFile.getAbsolutePath
+    def writeGz(name: String, lines: Seq[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(Paths.get(dir, s"segment-$name.jsonl.gz")))
+      try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    writeGz("000001", txLines(1, Seq(1, 2, 3)))
+    writeSegment(dir, "000002", txLines(2, Seq(4, 5))) // mixed plain + gz
+    assert(WalSegmentIO.lastCommitBoundary(dir, 0, None) == 5)
+    val ckpt = Files.createTempDirectory("walgz-ckpt").toFile.getAbsolutePath
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format("graft.sources.cdcwal.CdcWalSource")
+      .option("path", dir)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("lsn").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    // cached [min,max] pruning applies to gz segments too
+    val before = WalSegmentIO.filesOpened.get()
+    assert(WalSegmentIO.readLinesInRange(dir, 3, 5).size == 2)
+    assert(WalSegmentIO.filesOpened.get() - before <= 1,
+      "gz segment outside the range should have been pruned via cache")
+  }
 }

@@ -104,6 +104,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(shuffles.size <= 2, s"exact dedup shuffles: ${shuffles.size}")
   }
 
+  test("q19 market share: every dim join broadcasts; one fact-fact shuffle join") {
+    val d = q("q19_market_share")
+    d.count()
+    val s = planString(d)
+    // 5 dim joins (customer, nation×2, region, supplier) all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 5, s.take(1500))
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q20 waiting supplier: groupBys reuse the l_orderkey clustering") {
+    val d = q("q20_waiting_supplier")
+    d.count()
+    val shuffles = collectAll(executed(d)).collect { case s: ShuffleExchangeExec => s }
+    // orderkey-clustered agg chain + final suppkey agg + top-k exchange:
+    // the three orderkey-keyed steps must share one partitioning
+    assert(shuffles.size <= 5, s"waiting-supplier shuffles: ${shuffles.size}")
+  }
+
   test("banded-LSH near-dup: equality joins only, no cartesian, no row-level UDFs") {
     val d = q("llm_cos_neardup")
     d.count()
