@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.dialect.Dialect
+import graft.render.RenderContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** E1/E2 app runner — the `run_cdc_app` analog (reference app.rs:51-234,
+  * client.rs:54-160): env config → validation → cdcwal source → event
+  * filter (F1/F4) → exactly-once JDBC apply, with the metrics scrape
+  * server up and a JVM shutdown hook draining the in-flight epoch
+  * (`query.stop()` ≙ the reference's SIGTERM → CancellationToken → drain
+  * path, O4).
+  *
+  * All wiring lives in [[build]] so tests can drive the full composition
+  * without a process; `main` adds only the process-lifecycle shell.
+  *
+  * Env surface (beyond GraftConfig's CDC_* set):
+  *   GRAFT_WAL_DIR      — cdcwal segment directory (required)
+  *   GRAFT_DEST_URL     — destination JDBC url (required)
+  *   GRAFT_CHECKPOINT   — checkpoint location (required)
+  *   GRAFT_DIALECT      — ansi|mysql|sqlserver|sqlite (default ansi)
+  *   GRAFT_METRICS_PORT — scrape port (default 8080; -1 disables)
+  *   CDC_MAX_EVENTS_PER_TRIGGER — admission cap (optional)
+  */
+object GraftApp {
+
+  final case class Wiring(query: StreamingQuery,
+                          metrics: Option[MetricsServer],
+                          listener: CdcMetricsListener)
+
+  /** Validate config, wire source→filter→sink, start metrics. */
+  def build(spark: SparkSession, cfg: GraftConfig, env: Map[String, String],
+            trigger: Trigger = Trigger.ProcessingTime(0)): Wiring = {
+    cfg.validate() match {
+      case Left(err) => throw new IllegalArgumentException(s"invalid config: $err")
+      case Right(_) => ()
+    }
+    val walDir = env.getOrElse("GRAFT_WAL_DIR",
+      throw new IllegalArgumentException("GRAFT_WAL_DIR is required"))
+    val destUrl = env.getOrElse("GRAFT_DEST_URL",
+      throw new IllegalArgumentException("GRAFT_DEST_URL is required"))
+    val ckpt = env.getOrElse("GRAFT_CHECKPOINT",
+      throw new IllegalArgumentException("GRAFT_CHECKPOINT is required"))
+    val dialect = Dialect.forName(env.getOrElse("GRAFT_DIALECT", "ansi"))
+
+    val listener = new CdcMetricsListener
+    spark.streams.addListener(listener)
+    val metricsPort = env.get("GRAFT_METRICS_PORT").map(_.toInt).getOrElse(8080)
+    val metrics =
+      if (metricsPort < 0) None
+      else Some(new MetricsServer(listener, metricsPort).start())
+
+    val reader = spark.readStream
+      .format("graft.sources.cdcwal.CdcWalSource")
+      .option("path", walDir)
+    env.get("CDC_MAX_EVENTS_PER_TRIGGER")
+      .foreach(n => reader.option("maxEventsPerTrigger", n))
+    val envelope = reader.load()
+
+    val ctx = RenderContext(dialect, cfg.schemaMappings)
+    val events = CdcPipeline.toEvents(envelope, cfg.originFilter)
+    val applier = new graft.sinks.JdbcApplier(destUrl, ctx, cfg.slotName,
+      graft.coalesce.CoalesceConfig(
+        maxRowsPerInsert = cfg.maxRowsPerInsert,
+        bulkInsertThreshold = cfg.bulkInsertThreshold),
+      cfg.batchSize)
+    applier.init()
+    val query = events.writeStream
+      .queryName(s"graft-app-${cfg.slotName}")
+      .option("checkpointLocation", ckpt)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.CdcEvent],
+                       batchId: Long) =>
+        applier.applyBatch(batch, batchId)
+      }
+      .start()
+    Wiring(query, metrics, listener)
+  }
+
+  /** Drain and release everything (idempotent). */
+  def shutdown(w: Wiring): Unit = {
+    try w.query.stop() finally w.metrics.foreach(_.stop())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    val w = build(spark, GraftConfig.fromEnv(sys.env), sys.env)
+    // SIGTERM/SIGINT → drain in-flight epoch, final flush, clean exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() => shutdown(w)))
+    w.query.awaitTermination()
+  }
+}

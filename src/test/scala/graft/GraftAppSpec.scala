@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.{GraftApp, GraftConfig}
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+
+/** E1 app-runner composition driven end-to-end: env → validated config →
+  * cdcwal source → exactly-once Derby apply → metrics scrape → drain. */
+class GraftAppSpec extends SparkSpecBase {
+
+  private def writeSegment(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, s"segment-$name.jsonl"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  private def txLines(txid: Int, lsns: Seq[Long]): Seq[String] =
+    lsns.zipWithIndex.map { case (lsn, i) =>
+      val commit = i == lsns.size - 1
+      s"""{"op":"c","lsn":$lsn,"txid":$txid,"commitTsMs":1704067200000,""" +
+        s""""schema":"public","table":"t1","after":[{"name":"id","value":"$lsn"}],""" +
+        s""""keyColumns":["id"],"commit":$commit}"""
+    }
+
+  test("build: full composition applies WAL to the destination and serves metrics") {
+    val wal = Files.createTempDirectory("app-wal").toFile.getAbsolutePath
+    val db = Files.createTempDirectory("app-db").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("app-ckpt").toFile.getAbsolutePath
+    writeSegment(wal, "000001", txLines(1, Seq(1, 2, 3)))
+    val url = s"jdbc:derby:$db/app;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE SCHEMA \"public\"")
+    c.createStatement().execute(
+      "CREATE TABLE \"public\".\"t1\" (\"id\" VARCHAR(32) PRIMARY KEY)")
+
+    val env = Map(
+      "GRAFT_WAL_DIR" -> wal, "GRAFT_DEST_URL" -> url,
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "0")
+    val w = GraftApp.build(spark, GraftConfig(), env, Trigger.AvailableNow())
+    try {
+      w.query.awaitTermination()
+      val rs = c.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM \"public\".\"t1\"")
+      rs.next()
+      assert(rs.getLong(1) == 3)
+      // metrics server is live on its ephemeral port
+      val port = w.metrics.get.boundPort
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port/metrics")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    } finally {
+      GraftApp.shutdown(w)
+      GraftApp.shutdown(w) // idempotent
+      c.close()
+    }
+  }
+
+  test("build rejects invalid config and missing env up front") {
+    val err = intercept[IllegalArgumentException] {
+      GraftApp.build(spark, GraftConfig(slotName = "Bad Slot"), Map.empty)
+    }
+    assert(err.getMessage.contains("Invalid replication slot name"))
+    val err2 = intercept[IllegalArgumentException] {
+      GraftApp.build(spark, GraftConfig(), Map.empty)
+    }
+    assert(err2.getMessage.contains("GRAFT_WAL_DIR"))
+  }
+}
