@@ -18,7 +18,7 @@ object Bench {
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",
-    "llm_tokens", "llm_quality")
+    "llm_tokens", "llm_quality", "llm_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

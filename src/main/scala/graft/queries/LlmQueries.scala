@@ -86,6 +86,49 @@ object LlmQueries {
         .orderBy("va", "vb")
     }),
 
+    // End-to-end curation pipeline — the composition a training-data
+    // run actually executes: quality gate → language gate → exact dedup
+    // (min-id per content hash) → LSH-candidate near-dedup verified by
+    // exact Jaccard → per-source corpus stats. Each stage is the same
+    // operator the standalone queries check; this query pins the
+    // composition order and end state.
+    "llm_curate" -> ((s, d) => {
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+      def cnt(m: String): Column = size(split(col("text"), m)) - 1
+      val scored = documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))))
+        .withColumn("s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
+        .withColumn("s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
+        .withColumn("s_fr", cnt(" le ") + cnt(" et ") + cnt(" la "))
+        .withColumn("s_es", cnt(" el ") + cnt(" los ") + cnt(" las "))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+      val filtered = scored
+        .filter(col("n_tokens") >= 20 &&
+          col("n_stop") * lit(1.0) / col("n_tokens") >= 0.05 &&
+          col("pred") === "en")
+        .select("doc_id", "source", "text")
+      val keepExact = Dedup.exact(filtered)
+        .select(col("keep_id").as("doc_id"))
+      val exactKept = filtered.join(keepExact, "doc_id")
+      val kept = Dedup.nearDedup(exactKept, 0.8)
+      kept
+        .withColumn("ws_tokens", size(toks))
+        .withColumn("bpe_tokens",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|\\\\S', 0)")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("total_ws"),
+          sum("bpe_tokens").as("total_bpe"))
+        .orderBy("source")
+    }),
+
     // Language ID: stopword-marker scoring with deterministic priority.
     "llm_lang_id" -> ((s, d) => {
       def cnt(m: String): Column = size(split(col("text"), m)) - 1
@@ -331,6 +374,63 @@ object LlmQueries {
          |FROM n JOIN asg USING (vec_id)
          |WHERE asg.cluster IN (SELECT cluster FROM pc) AND n.vec_id <> 0
          |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
+    },
+    "llm_curate" -> {
+      val coeffs = graft.llmops.Dedup.MinhashCoeffs
+      val p = graft.llmops.Dedup.MinhashP
+      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $p) AS mh$i"
+      }.mkString(", ")
+      s"""WITH scored AS (SELECT doc_id, source, text,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '),
+         |        x -> x IN ('the','a','and','of','to','in','is'))) AS n_stop,
+         |    len(string_split(text, ' the '))-1 + len(string_split(text, ' and '))-1
+         |      + len(string_split(text, ' of '))-1 AS s_en,
+         |    len(string_split(text, ' der '))-1 + len(string_split(text, ' und '))-1
+         |      + len(string_split(text, ' die '))-1 AS s_de,
+         |    len(string_split(text, ' le '))-1 + len(string_split(text, ' et '))-1
+         |      + len(string_split(text, ' la '))-1 AS s_fr,
+         |    len(string_split(text, ' el '))-1 + len(string_split(text, ' los '))-1
+         |      + len(string_split(text, ' las '))-1 AS s_es
+         |  FROM documents),
+         |f AS (SELECT doc_id, source, text FROM scored
+         |  WHERE n_tokens >= 20 AND n_stop * 1.0 / n_tokens >= 0.05
+         |    AND (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = 'en'),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+         |    FROM f) GROUP BY h),
+         |fe AS (SELECT f.* FROM f JOIN ex USING (doc_id)),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fe),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |hv AS (SELECT doc_id,
+         |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, unnest([
+         |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
+         |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
+         |  FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2),
+         |drops AS (SELECT DISTINCT p2.db FROM pairs p2
+         |  JOIN cand c ON p2.da = c.da AND p2.db = c.db
+         |  JOIN sizes sa ON p2.da = sa.doc_id
+         |  JOIN sizes sb ON p2.db = sb.doc_id
+         |  WHERE p2.inter * 1.0 / (sa.sz + sb.sz - p2.inter) >= 0.8)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws,
+         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\\S'))) AS BIGINT)
+         |    AS total_bpe
+         |FROM fe WHERE doc_id NOT IN (SELECT db FROM drops)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "llm_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
