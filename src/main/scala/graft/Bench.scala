@@ -9,8 +9,20 @@ import org.apache.spark.sql.SparkSession
   * Headline set = the queries that exercise the scale-sensitive paths:
   * full-scan agg, shuffled + broadcast joins, windows, the CDC session /
   * apply operators, and the LSH dedup + quantized ANN llm ops.
+  *
+  * "value" sums the ROUND-1 query set only, so round-over-round totals
+  * compare the same work; queries added in later rounds are measured in
+  * "queries" and summed in "total_all".
   */
 object Bench {
+  /** The round-1 headline set — the regression-gate total. */
+  private val round1Set = Seq(
+    "q1_pricing", "q2_top_orders", "q3_revenue", "q4_region_stats",
+    "q5_window_rank", "q6_rollup", "q13_asof", "q14_range",
+    "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
+    "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
+    "llm_ann_cosine", "llm_cos_neardup", "llm_tokens", "llm_quality")
+
   private val headline = Seq(
     "q1_pricing", "q2_top_orders", "q3_revenue", "q4_region_stats",
     "q5_window_rank", "q6_rollup", "q13_asof", "q14_range",
@@ -69,9 +81,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val r1 = results.filter(r => round1Set.contains(r._1))
+      .map(_._2).filter(_ >= 0).sum
+    val totalAll = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -96,8 +96,20 @@ object Dedup {
   def ngramJaccard(df: DataFrame, threshold: Double, shingleN: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = TextOps.shingleRows(df, shingleN, idCol, textCol)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val allSh = TextOps.shingleRows(df, shingleN, idCol, textCol)
+    // With candidates, the inverted-index self-join runs over candidate
+    // docs ONLY (semi-join the shingle rows first) — at scale the
+    // candidate set is a vanishing fraction of the corpus, and joining
+    // the full index just to semi-filter afterwards would dominate the
+    // whole pipeline. Sizes still come from the full rows (unchanged).
+    val sh = candidates match {
+      case Some(c) =>
+        val candDocs = c.select(col("da").as(idCol))
+          .union(c.select(col("db").as(idCol))).distinct()
+        allSh.join(candDocs, Seq(idCol), "left_semi")
+      case None => allSh
+    }
+    val sizes = allSh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val joined = a.join(b, col("a.shingle") === col("b.shingle") &&
       col(s"a.$idCol") < col(s"b.$idCol"))
