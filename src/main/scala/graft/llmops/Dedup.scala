@@ -149,6 +149,23 @@ object Dedup {
   /** Hamming distance between two simhash columns (near-dup test). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Eval-set contamination check: docs sharing ≥ `minShared` distinct
+    * shingles with any document of the evaluation set. The eval set's
+    * shingle vocabulary is small (eval sets are, by definition) —
+    * broadcast it; per-doc overlap is then one map-side join plus a
+    * single groupBy(doc) count, linear in the corpus at any scale. */
+  def contamination(df: DataFrame, evalDocs: DataFrame, minShared: Int = 3,
+                    shingleN: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val evalSh = TextOps.shingleRows(evalDocs, shingleN, idCol, textCol)
+      .select("shingle").distinct()
+    // shingleRows dedup=true → (id, shingle) distinct, so count = distinct overlap
+    TextOps.shingleRows(df, shingleN, idCol, textCol)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** End-to-end near-dedup: LSH candidates verified by exact Jaccard,
     * then keep min-id per duplicate component (greedy: a doc is dropped
     * if any smaller-id doc is near-identical — one pass, no iterative

@@ -84,4 +84,29 @@ object TextOps {
     * (winnowing-lite): min(md5(shingle)). */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), sh => md5(sh)))
+
+  /** PII patterns — RE2-compatible subset (no backrefs/lookarounds) so
+    * the same patterns run under Spark (java.util.regex) and DuckDB. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Redact emails, IPv4s, then phone-shaped numbers (order matters:
+    * an IPv4 must not be half-eaten by the phone pattern). Pure
+    * codegen'd regexp_replace chain — linear scan per doc. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** (emails, ips, phones) found — the audit counts for a scrub pass. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))))
+  }
 }

@@ -86,6 +86,19 @@ object LlmQueries {
         .orderBy("va", "vb")
     }),
 
+    // Eval-set contamination: docs whose shingle overlap with the
+    // "held-out" set (doc_id < 20 stands in for an eval benchmark)
+    // crosses the threshold — the decontamination gate every training
+    // corpus needs. Eval vocabulary broadcasts; corpus side is one
+    // map-side join + per-doc count.
+    "llm_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.contamination(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), minShared = 3)
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation pipeline — the composition a training-data
     // run actually executes: quality gate → language gate → exact dedup
     // (min-id per content hash) → LSH-candidate near-dedup verified by
@@ -375,6 +388,14 @@ object LlmQueries {
          |WHERE asg.cluster IN (SELECT cluster FROM pc) AND n.vec_id <> 0
          |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
     },
+    "llm_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+         |SELECT s.doc_id, count(*) AS shared_shingles
+         |FROM sh s JOIN ev ON s.shingle = ev.shingle
+         |WHERE s.doc_id >= 20
+         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
     "llm_curate" -> {
       val coeffs = graft.llmops.Dedup.MinhashCoeffs
       val p = graft.llmops.Dedup.MinhashP

@@ -163,6 +163,39 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(collected.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("PII scrub: emails, IPv4s, phone shapes redacted; counts audit") {
+    import spark.implicits._
+    import graft.llmops.TextOps
+    val df = Seq(
+      (1L, "contact alice@example.com or +1 555-123-4567 at 192.168.0.1 now"),
+      (2L, "server 10.0.0.255 logs to bob.smith@corp.co.uk daily"),
+      (3L, "no sensitive content in this row at all")).toDF("doc_id", "text")
+    val (em, ip, ph) = TextOps.piiCounts(col("text"))
+    val out = df.select(col("doc_id"), TextOps.scrubPii(col("text")).as("clean"),
+      em.as("emails"), ip.as("ips"), ph.as("phones")).orderBy("doc_id").collect()
+    assert(out(0).getString(1) ==
+      "contact <EMAIL> or +1 <PHONE> at <IP> now")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 1 && out(0).getInt(4) == 1)
+    assert(out(1).getString(1) == "server <IP> logs to <EMAIL> daily")
+    assert(out(2).getString(1) == "no sensitive content in this row at all")
+    assert(out(2).getInt(2) == 0 && out(2).getInt(3) == 0 && out(2).getInt(4) == 0)
+  }
+
+  test("contamination check flags shingle overlap with the eval set only") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "something about the quick brown fox jumps over whatever"), // 4 shared
+      (2L, "quick brown dog sleeps here"), // ≤1 shared shingle
+      (3L, "completely unrelated words entirely different content")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, evalSet, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L), s"got $hits")
+    assert(hits(1L) >= 3)
+  }
+
   test("multimodal stub: schema, batch shape, determinism") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "image", "source",
       "application/octet-stream")
