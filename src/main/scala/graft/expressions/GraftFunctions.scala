@@ -45,12 +45,33 @@ object GraftFunctions {
     CdcToSql(exprs.head, dialect)
   }
 
+  private def litLong(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+        v.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+  private[expressions] def hyperplaneBucketsFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    HyperplaneBuckets(exprs.head,
+      litLong(exprs(1), "seed"),
+      litLong(exprs(2), "bands").toInt,
+      litLong(exprs(3), "bitsPerBand").toInt)
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "cdc_to_sql", cdcToSqlFromExprs, "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_q", exprs => DotQ(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_buckets", hyperplaneBucketsFromExprs, "built-in")
   }
 }
 
@@ -68,5 +89,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CdcToSql].getName, "cdc_to_sql"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.cdcToSqlFromExprs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotQ(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.hyperplaneBucketsFromExprs(exprs)))
   }
 }

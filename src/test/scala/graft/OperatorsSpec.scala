@@ -157,6 +157,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"))
   }
 
+  test("dot_q and hyperplane_buckets SQL surface matches the Column forms") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((Seq(1L, 2L, 3L), Seq(4L, -5L, 6L))).toDF("a", "b")
+      .createOrReplaceTempView("vec_probe")
+    val r = spark.sql(
+      "SELECT dot_q(a, b) AS d, hyperplane_buckets(a, 1069, 2, 4) AS hb FROM vec_probe")
+      .collect().head
+    assert(r.getLong(0) == 1L * 4 - 2 * 5 + 3 * 6)
+    val viaCol = Seq((Seq(1L, 2L, 3L), Seq(4L, -5L, 6L))).toDF("a", "b")
+      .select(GraftFunctions.hyperplane_buckets(col("a"), 1069L, 2, 4).as("hb"))
+      .collect().head.getSeq[Long](0)
+    assert(r.getSeq[Long](1) == viaCol)
+    assert(viaCol.size == 2)
+  }
+
   test("cdc_to_sql native expression: SQL surface, codegen, renderer parity") {
     import spark.implicits._
     GraftFunctions.register(spark)
