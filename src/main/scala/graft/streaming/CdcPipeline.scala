@@ -60,6 +60,72 @@ object CdcPipeline {
     * tests use the memory sink. */
   def debeziumRows(envelope: DataFrame, topicPrefix: String): DataFrame =
     graft.render.DebeziumEnvelope.project(envelope, topicPrefix)
+
+  /** The 100 TB warehouse pipeline: envelope stream → one hash-bucketed
+    * parquet replica PER TABLE under `rootPath/<schema>.<table>/`,
+    * MERGE'd per micro-batch with bucket-partition pruning
+    * (ParquetReplicaSink). Schema-fluid events flatten per table: one
+    * column per observed column name, values from the after-image with
+    * before-image fallback for delete keys. Replay-idempotent by
+    * construction — re-applying a batch upserts identical winners and
+    * re-deletes absent keys — so no batchId gate is needed.
+    *
+    * Tables apply sequentially within a batch (each apply is itself a
+    * distributed job; WAL order across tables is preserved by LSN
+    * squash within each key, and cross-table ordering has no observable
+    * effect on per-table end state). */
+  def startWarehouse(envelope: DataFrame, rootPath: String, checkpointDir: String,
+                     numBuckets: Int = 64,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    toEvents(envelope).writeStream
+      .queryName("graft-warehouse")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
+        applyWarehouseBatch(batch, rootPath, numBuckets, batchId)
+      }
+      .start()
+
+  /** One micro-batch of the warehouse apply (factored for batch tests). */
+  def applyWarehouseBatch(batch: Dataset[CdcEvent], rootPath: String,
+                          numBuckets: Int, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val df = batch.toDF()
+      .withColumn("__after", map_from_arrays(col("after.name"), col("after.value")))
+      .withColumn("__before", map_from_arrays(col("before.name"), col("before.value")))
+    df.cache()
+    try {
+      // per-(schema, table): column set + key set observed in the batch
+      // null-safe: WAL-sourced events carry NULL (not empty) images on
+      // one side; concat(null, x) is null and would drop the table
+      val emptyNames = array().cast("array<string>")
+      val tables = df.filter(col("op").isin("c", "u", "d"))
+        .select(col("schema"), col("table"),
+          explode(concat(
+            coalesce(col("after.name"), emptyNames),
+            coalesce(col("before.name"), emptyNames))).as("colName"),
+          col("keyColumns"))
+        .groupBy("schema", "table")
+        .agg(collect_set("colName").as("cols"),
+          first("keyColumns").as("keys"))
+        .collect()
+      tables.foreach { row =>
+        val (sch, tbl) = (row.getString(0), row.getString(1))
+        val cols = row.getSeq[String](2).sorted
+        val keys = row.getSeq[String](3)
+        val flat = df
+          .filter(col("schema") <=> lit(sch) && col("table") === tbl &&
+            col("op").isin("c", "u", "d"))
+          .select(col("op") +: col("lsn") +: cols.map(c =>
+            coalesce(element_at(col("__after"), c),
+              element_at(col("__before"), c)).as(c)): _*)
+        val name = Seq(Option(sch), Some(tbl)).flatten.mkString(".")
+        new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", keys, numBuckets)
+          .applyBatch(spark, flat, batchId)
+      }
+    } finally df.unpersist()
+  }
 }
 
 /** F4: replication-origin filtering (config.rs:228-236). `NoOrigin`

@@ -95,4 +95,68 @@ class ParquetReplicaSpec extends SparkSpecBase {
     val got = sink.snapshot(spark).as[(Int, Int)].collect().toMap
     assert(got(42) == 4242 && got.size == 200 && got(41) == 41)
   }
+
+  test("streaming multi-table warehouse: per-table replicas, replay idempotent") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.CdcPipeline
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("wh").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("wh-ckpt").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(op: String, lsn: Long, table: String, id: Int, v: Int): CdcEvent = {
+      val cols = Seq(CdcColumn("id", id.toString), CdcColumn("val", v.toString))
+      if (op == "d")
+        CdcEvent(op, lsn, 1L, ts, "public", table,
+          Seq(CdcColumn("id", id.toString)), Nil, keyColumns = Seq("id"))
+      else CdcEvent(op, lsn, 1L, ts, "public", table, Nil, cols, keyColumns = Seq("id"))
+    }
+    val mem = MemoryStream[CdcEvent]
+    mem.addData(
+      ev("c", 1, "t1", 1, 10), ev("c", 2, "t1", 2, 20), ev("u", 3, "t1", 1, 11),
+      ev("c", 4, "t2", 7, 70), ev("d", 5, "t1", 2, 0))
+    val q = CdcPipeline.startWarehouse(mem.toDF(), root, ckpt, numBuckets = 4)
+    q.awaitTermination()
+    def rows(t: String): Map[String, String] =
+      spark.read.parquet(s"$root/public.$t").drop("bucket")
+        .collect().map(r => r.getString(r.fieldIndex("id")) ->
+          r.getString(r.fieldIndex("val"))).toMap
+    assert(rows("t1") == Map("1" -> "11")) // id 2 deleted, id 1 updated
+    assert(rows("t2") == Map("7" -> "70"))
+    // replay the same batch manually: end state unchanged (idempotence)
+    val batch = Seq(
+      ev("c", 1, "t1", 1, 10), ev("c", 2, "t1", 2, 20), ev("u", 3, "t1", 1, 11),
+      ev("c", 4, "t2", 7, 70), ev("d", 5, "t1", 2, 0)).toDS()
+    CdcPipeline.applyWarehouseBatch(batch, root, 4, batchId = 0)
+    assert(rows("t1") == Map("1" -> "11"))
+    assert(rows("t2") == Map("7" -> "70"))
+    // next batch touches only t2
+    CdcPipeline.applyWarehouseBatch(
+      Seq(ev("u", 6, "t2", 7, 71)).toDS(), root, 4, batchId = 1)
+    assert(rows("t2") == Map("7" -> "71"))
+    assert(rows("t1") == Map("1" -> "11"))
+  }
+
+  test("warehouse from the cdcwal source: null before-images handled") {
+    import graft.streaming.CdcPipeline
+    val wal = java.nio.file.Files.createTempDirectory("wh-wal").toFile.getAbsolutePath
+    val root = java.nio.file.Files.createTempDirectory("wh2").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("wh2-ckpt").toFile.getAbsolutePath
+    val lines = (1 to 3).map { i =>
+      s"""{"op":"c","lsn":$i,"txid":1,"commitTsMs":1704067200000,""" +
+        s""""schema":"public","table":"t1","after":[{"name":"id","value":"$i"},""" +
+        s"""{"name":"val","value":"${i * 10}"}],"keyColumns":["id"],"commit":${i == 3}}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(wal, "segment-000001.jsonl"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val envelope = spark.readStream
+      .format("graft.sources.cdcwal.CdcWalSource").option("path", wal).load()
+    val q = CdcPipeline.startWarehouse(envelope, root, ckpt, numBuckets = 4)
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/public.t1").drop("bucket")
+      .collect().map(r => r.getString(r.fieldIndex("id")) ->
+        r.getString(r.fieldIndex("val"))).toMap
+    assert(got == Map("1" -> "10", "2" -> "20", "3" -> "30"))
+  }
 }
