@@ -36,9 +36,12 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
 
-  /** Current replica content without the bucket bookkeeping column. */
+  /** Current replica content without the bucket bookkeeping column.
+    * mergeSchema: after schema evolution, bucket files differ — schema
+    * must be the union, or columns only present in newer files would be
+    * silently dropped when an older file seeds the inferred schema. */
   def snapshot(spark: SparkSession): DataFrame =
-    spark.read.parquet(path).drop("bucket")
+    spark.read.option("mergeSchema", "true").parquet(path).drop("bucket")
 
   /** batch: envelope rows flattened to (key..., payload columns, op, lsn). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
@@ -49,7 +52,8 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       .drop("__rn"))
 
     val current: Option[DataFrame] =
-      try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
+      try Some(spark.read.option("mergeSchema", "true").parquet(path))
+      catch { case _: Throwable => None }
 
     current match {
       case None =>
@@ -64,8 +68,12 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
         val curTouched = cur.filter(col("bucket").isin(touched.map(Int.box): _*))
         val survivors = curTouched.join(
           winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+        // allowMissingColumns: schema evolution — a column added (or no
+        // longer emitted) mid-stream fills null on the side lacking it
+        // instead of failing the whole apply
         val next = survivors.unionByName(
-          winners.filter(col("op") =!= "d").drop("op", "lsn"))
+          winners.filter(col("op") =!= "d").drop("op", "lsn"),
+          allowMissingColumns = true)
         // materialize the touched buckets' next state before overwriting
         // their input files — O(touched), not O(snapshot)
         val materialized = next.localCheckpoint(eager = true)

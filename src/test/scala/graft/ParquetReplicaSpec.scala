@@ -159,4 +159,24 @@ class ParquetReplicaSpec extends SparkSpecBase {
         r.getString(r.fieldIndex("val"))).toMap
     assert(got == Map("1" -> "10", "2" -> "20", "3" -> "30"))
   }
+
+  test("schema evolution: a column added mid-stream backfills null") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("evo").toFile.getAbsolutePath
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 4)
+    val b1 = Seq(("1", "a", "c", 1L), ("2", "b", "c", 2L))
+      .toDF("id", "val", "op", "lsn")
+    sink.applyBatch(spark, b1, 0)
+    // batch 2 carries a new column
+    val b2 = Seq(("3", "c", "x", "c", 3L), ("1", "a2", "y", "u", 4L))
+      .toDF("id", "val", "extra", "op", "lsn")
+    sink.applyBatch(spark, b2, 1)
+    val got = sink.snapshot(spark).collect()
+      .map(r => r.getString(r.fieldIndex("id")) ->
+        (r.getString(r.fieldIndex("val")),
+          Option(r.getString(r.fieldIndex("extra"))))).toMap
+    assert(got("1") == ("a2", Some("y")))
+    assert(got("3") == ("c", Some("x")))
+    assert(got("2") == ("b", None), "pre-evolution row backfills null")
+  }
 }
