@@ -122,11 +122,16 @@ object LlmQueries {
             .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
             .when(col("s_fr") >= col("s_es"), "fr")
             .otherwise("es"))
+      // the filtered corpus feeds three branches (exact dedup, LSH
+      // near-dedup, final stats); localCheckpoint materializes the
+      // regex-heavy gate output once instead of recomputing it per
+      // branch (lazy: first action triggers it)
       val filtered = scored
         .filter(col("n_tokens") >= 20 &&
           col("n_stop") * lit(1.0) / col("n_tokens") >= 0.05 &&
           col("pred") === "en")
         .select("doc_id", "source", "text")
+        .localCheckpoint(false)
       val keepExact = Dedup.exact(filtered)
         .select(col("keep_id").as("doc_id"))
       val exactKept = filtered.join(keepExact, "doc_id")
