@@ -86,10 +86,33 @@ object CdcPipeline {
       }
       .start()
 
+  /** F2 gate for the warehouse root: refuses STALE batch replays (an old
+    * batch re-applied after later deletes would resurrect rows). Written
+    * AFTER the data, so a crash between data and gate replays the SAME
+    * batch — which the MERGE apply handles idempotently. The
+    * underscore-prefixed file is invisible to parquet discovery. */
+  private def lastWarehouseBatch(root: String): Long = {
+    val p = java.nio.file.Paths.get(root, "_graft_last_batch")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else -1L
+  }
+
+  private def writeWarehouseBatch(root: String, batchId: Long): Unit = {
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve("_graft_last_batch.tmp")
+    java.nio.file.Files.writeString(tmp, batchId.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("_graft_last_batch"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** One micro-batch of the warehouse apply (factored for batch tests). */
   def applyWarehouseBatch(batch: Dataset[CdcEvent], rootPath: String,
                           numBuckets: Int, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
+    if (batchId <= lastWarehouseBatch(rootPath)) return // stale replay
     val spark = batch.sparkSession
     val df = batch.toDF()
       .withColumn("__after", map_from_arrays(col("after.name"), col("after.value")))
@@ -124,6 +147,7 @@ object CdcPipeline {
         new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", keys, numBuckets)
           .applyBatch(spark, flat, batchId)
       }
+      writeWarehouseBatch(rootPath, batchId)
     } finally df.unpersist()
   }
 }

@@ -113,4 +113,77 @@ class ChaosSpec extends SparkSpecBase {
       s"row count: got ${got.size}, expected ${expected.size}")
     assert(got == expected)
   }
+
+  test("warehouse path: same chaos workload, replica equals the event-log fold") {
+    val rnd = new scala.util.Random(1337)
+    val live = scala.collection.mutable.Set.empty[Int]
+    val expected = scala.collection.mutable.Map.empty[Int, Int]
+    var lsn = 0L
+    var nextId = 0
+    val txs: Seq[Seq[Ev]] = (1 to 30).map { txid =>
+      val n = 1 + rnd.nextInt(20)
+      val evs = (1 to n).map { _ =>
+        lsn += 1
+        val choice = rnd.nextInt(10)
+        if (choice < 5 || live.isEmpty) {
+          nextId += 1; live += nextId
+          expected(nextId) = nextId * 10
+          Ev("c", lsn, txid, nextId, nextId * 10, commit = false)
+        } else if (choice < 8) {
+          val id = live.toSeq(rnd.nextInt(live.size))
+          expected(id) = expected(id) + 1
+          Ev("u", lsn, txid, id, expected(id), commit = false)
+        } else {
+          val id = live.toSeq(rnd.nextInt(live.size))
+          live -= id; expected.remove(id)
+          Ev("d", lsn, txid, id, 0, commit = false)
+        }
+      }
+      evs.init :+ evs.last.copy(commit = true)
+    }
+
+    val dir = Files.createTempDirectory("chaos-wh-wal").toFile.getAbsolutePath
+    val root = Files.createTempDirectory("chaos-wh").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("chaos-wh-ckpt").toFile.getAbsolutePath
+
+    def runOnce(): Unit = {
+      val q = CdcPipeline.startWarehouse(
+        spark.readStream.format("graft.sources.cdcwal.CdcWalSource")
+          .option("path", dir).load(),
+        root, ckpt, numBuckets = 8)
+      q.awaitTermination()
+    }
+
+    val waves = txs.grouped(6).toSeq
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      Files.write(Paths.get(dir, f"segment-$i%06d.jsonl"),
+        wave.flatten.map(_.json).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      runOnce()
+      if (i == 1) runOnce() // pure replay: must be a no-op
+    }
+    import spark.implicits._
+    def toEvents(evs: Seq[Ev]) = evs
+      .map(e => graft.model.CdcEvent(e.op, e.lsn, e.txid, null, null, "t1",
+        if (e.op == "c") Nil else Seq(graft.model.CdcColumn("id", e.id.toString)),
+        if (e.op == "d") Nil else Seq(graft.model.CdcColumn("id", e.id.toString),
+          graft.model.CdcColumn("val", e.v.toString)),
+        keyColumns = Seq("id")))
+    // STALE replay: re-applying the FIRST wave after later deletes must
+    // be refused by the batch gate (it would resurrect deleted rows)
+    CdcPipeline.applyWarehouseBatch(toEvents(txs.take(6).flatten).toDS(),
+      root, 8, batchId = 0)
+    // crash-before-gate: gate lost, LATEST wave re-applied with its own
+    // batchId — the MERGE apply itself must be idempotent
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_graft_last_batch"))
+    CdcPipeline.applyWarehouseBatch(toEvents(txs.drop(24).flatten).toDS(),
+      root, 8, batchId = 4)
+
+    val got = spark.read.option("mergeSchema", "true").parquet(s"$root/t1")
+      .drop("bucket").collect()
+      .map(r => r.getString(r.fieldIndex("id")).toInt ->
+        r.getString(r.fieldIndex("val")).toInt).toMap
+    assert(got.size == expected.size,
+      s"row count: got ${got.size}, expected ${expected.size}")
+    assert(got == expected)
+  }
 }
