@@ -48,15 +48,19 @@ object WalSegmentIO {
     val d = new File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("segment-") &&
-        (f.getName.endsWith(".jsonl") || f.getName.endsWith(".jsonl.gz")))
+        (f.getName.endsWith(".jsonl") || f.getName.endsWith(".jsonl.gz") ||
+          f.getName.endsWith(".pgo")))
       .sortBy(_.getName).toSeq
   }
+
+  /** One WAL record in transport-independent form: its LSN, whether it
+    * is a commit boundary, and a lazy row builder. */
+  final case class Rec(lsn: Long, commit: Boolean, make: () => InternalRow)
 
   /** Plain or gzip'd segments (the reference's PG2ANY_ENABLE_COMPRESSION
     * storage, storage/compressed.rs — here just a transport codec; seek
     * indexing is the [min,max] LSN cache, which applies to both). */
-  private def readFile(f: File): Iterator[JsonNode] = {
-    filesOpened.incrementAndGet()
+  private def readJsonNodes(f: File): Iterator[JsonNode] = {
     val lines =
       if (f.getName.endsWith(".gz")) {
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -68,6 +72,71 @@ object WalSegmentIO {
     lines.iterator.filter(_.nonEmpty).map(mapper.readTree)
   }
 
+  /** Transport-independent record reader: JSON-line segments, or binary
+    * `.pgo` segments of framed pgoutput messages
+    * ([lsn:Int64][len:Int32][payload]) decoded by PgOutputDecoder/
+    * Assembler. A .pgo segment must be self-contained: Relation
+    * messages precede the first DML touching them (capture tools
+    * re-emit relation metadata at segment rotation, as pgoutput itself
+    * does per session). Commit boundaries are the Commit/StreamCommit
+    * events (JSON transport: the `commit:true` marker). */
+  private def readFile(f: File): Iterator[Rec] = {
+    filesOpened.incrementAndGet()
+    if (f.getName.endsWith(".pgo")) readPgo(f)
+    else readJsonNodes(f).map(n => Rec(
+      n.get("lsn").asLong(), n.path("commit").asBoolean(false), () => toRow(n)))
+  }
+
+  private def readPgo(f: File): Iterator[Rec] = {
+    import graft.sources.pgoutput.PgOutputAssembler
+    val bb = java.nio.ByteBuffer.wrap(Files.readAllBytes(f.toPath))
+    var state = PgOutputAssembler.State()
+    val out = Vector.newBuilder[Rec]
+    while (bb.remaining() >= 12) {
+      val lsn = bb.getLong()
+      val len = bb.getInt()
+      val payload = new Array[Byte](len)
+      bb.get(payload)
+      val (st2, evs) = PgOutputAssembler.onFrame(state, lsn, payload)
+      state = st2
+      evs.foreach { e =>
+        val isCommit = e.op == "commit" || e.op == "stream_commit"
+        out += Rec(e.lsn, isCommit, () => eventToRow(e))
+      }
+    }
+    out.result().iterator
+  }
+
+  /** CdcEvent → InternalRow in CdcSchema.envelope order (the .pgo path's
+    * analog of [[toRow]]). */
+  private def eventToRow(e: graft.model.CdcEvent): InternalRow = {
+    def utf8s(s: String): UTF8String =
+      if (s == null) null else UTF8String.fromString(s)
+    def cols(cs: Seq[graft.model.CdcColumn]): ArrayData =
+      new GenericArrayData(cs.map(c => new GenericInternalRow(Array[Any](
+        utf8s(c.name), utf8s(c.value), c.isBinary)): Any).toArray)
+    def strs(ss: Seq[String]): ArrayData =
+      new GenericArrayData(ss.map(utf8s(_): Any).toArray)
+    new GenericInternalRow(Array[Any](
+      utf8s(e.op),
+      e.lsn,
+      e.txid,
+      if (e.commitTs == null) null
+      else {
+        val i = e.commitTs.toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      },
+      utf8s(e.schema),
+      utf8s(e.table),
+      cols(e.before),
+      cols(e.after),
+      utf8s(e.replicaIdentity),
+      strs(e.keyColumns),
+      strs(e.truncateTables),
+      e.isFinalBatch,
+      utf8s(e.origin)))
+  }
+
   def segMeta(f: File): SegMeta = {
     val key = f.getAbsolutePath
     val (len, mtime) = (f.length(), f.lastModified())
@@ -76,12 +145,11 @@ object WalSegmentIO {
     else {
       var min = Long.MaxValue; var max = Long.MinValue; var cnt = 0
       var first: Option[Long] = None; var last: Option[Long] = None
-      readFile(f).foreach { n =>
-        val l = n.get("lsn").asLong()
-        min = math.min(min, l); max = math.max(max, l); cnt += 1
-        if (n.path("commit").asBoolean(false)) {
-          if (first.isEmpty) first = Some(l)
-          last = Some(l)
+      readFile(f).foreach { r =>
+        min = math.min(min, r.lsn); max = math.max(max, r.lsn); cnt += 1
+        if (r.commit) {
+          if (first.isEmpty) first = Some(r.lsn)
+          last = Some(r.lsn)
         }
       }
       val m = if (cnt == 0) SegMeta(Long.MaxValue, Long.MinValue, 0, None, None)
@@ -91,20 +159,18 @@ object WalSegmentIO {
     }
   }
 
-  def readLines(dir: String): Iterator[JsonNode] =
+  def readLines(dir: String): Iterator[Rec] =
     segmentFiles(dir).iterator.flatMap(readFile)
 
   /** Range read with segment pruning: files whose cached [min,max] does
     * not overlap (fromEx, toInc] are never opened. */
-  def readLinesInRange(dir: String, fromEx: Long, toInc: Long): Iterator[JsonNode] =
+  def readLinesInRange(dir: String, fromEx: Long, toInc: Long): Iterator[Rec] =
     segmentFiles(dir).iterator
       .filter { f =>
         val m = segMeta(f); m.events > 0 && m.max > fromEx && m.min <= toInc
       }
       .flatMap(readFile)
-      .filter { n =>
-        val lsn = n.get("lsn").asLong(); lsn > fromEx && lsn <= toInc
-      }
+      .filter(r => r.lsn > fromEx && r.lsn <= toInc)
 
   /** Highest commit-boundary LSN > from, visiting at most `cap` events
     * past `from` (admission control); `from` itself if none.
@@ -130,15 +196,13 @@ object WalSegmentIO {
         seen += m.events
         m.lastCommit.foreach(l => boundary = math.max(boundary, l))
       } else {
-        val lines = readFile(f)
-        while (lines.hasNext && !capped) {
-          val n = lines.next()
-          val lsn = n.get("lsn").asLong()
-          if (lsn > from) {
+        val recs = readFile(f)
+        while (recs.hasNext && !capped) {
+          val r = recs.next()
+          if (r.lsn > from) {
             seen += 1
             if (cap.exists(seen > _)) capped = true
-            else if (n.path("commit").asBoolean(false))
-              boundary = math.max(boundary, lsn)
+            else if (r.commit) boundary = math.max(boundary, r.lsn)
           }
         }
       }
@@ -157,8 +221,8 @@ object WalSegmentIO {
       if (m.events > 0 && m.max > from) {
         if (m.min > from && m.firstCommit.isDefined) return m.firstCommit
         val hit = readFile(f)
-          .filter(n => n.get("lsn").asLong() > from && n.path("commit").asBoolean(false))
-          .map(_.get("lsn").asLong())
+          .filter(r => r.lsn > from && r.commit)
+          .map(_.lsn)
         if (hit.hasNext) return Some(hit.next())
       }
     }
@@ -225,7 +289,7 @@ class WalPartitionReader(dir: String, fromExclusive: Long, toInclusive: Long)
   private val it = WalSegmentIO.readLinesInRange(dir, fromExclusive, toInclusive)
   private var current: InternalRow = _
   override def next(): Boolean =
-    if (it.hasNext) { current = WalSegmentIO.toRow(it.next()); true } else false
+    if (it.hasNext) { current = it.next().make(); true } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
 }

@@ -205,4 +205,57 @@ class CdcWalSourceSpec extends SparkSpecBase {
     assert(WalSegmentIO.filesOpened.get() - before <= 1,
       "gz segment outside the range should have been pruned via cache")
   }
+
+  test("binary pgoutput segments stream through the source end-to-end") {
+    import java.nio.ByteBuffer
+    def msg(build: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(256); build(b)
+      val a = new Array[Byte](b.position()); b.rewind(); b.get(a); a
+    }
+    def cstr(b: ByteBuffer, v: String): Unit = { b.put(v.getBytes("UTF-8")); b.put(0.toByte) }
+    def text(b: ByteBuffer, v: String): Unit = {
+      b.put('t'.toByte); b.putInt(v.length); b.put(v.getBytes("UTF-8"))
+    }
+    val frames: Seq[(Long, Array[Byte])] = Seq(
+      1L -> msg { b => b.put('R'.toByte); b.putInt(42); cstr(b, "public"); cstr(b, "t9")
+        b.put('d'.toByte); b.putShort(2.toShort)
+        b.put(1.toByte); cstr(b, "id"); b.putInt(25); b.putInt(-1)
+        b.put(0.toByte); cstr(b, "v"); b.putInt(25); b.putInt(-1) },
+      2L -> msg { b => b.put('B'.toByte); b.putLong(9L); b.putLong(0L); b.putInt(55) },
+      3L -> msg { b => b.put('I'.toByte); b.putInt(42); b.put('N'.toByte)
+        b.putShort(2.toShort); text(b, "7"); text(b, "seventy") },
+      4L -> msg { b => b.put('C'.toByte); b.put(0.toByte); b.putLong(4L)
+        b.putLong(5L); b.putLong(0L) },
+      // an open transaction past the commit: must NOT be delivered
+      5L -> msg { b => b.put('B'.toByte); b.putLong(9L); b.putLong(0L); b.putInt(56) },
+      6L -> msg { b => b.put('I'.toByte); b.putInt(42); b.put('N'.toByte)
+        b.putShort(2.toShort); text(b, "8"); text(b, "eighty") })
+    val dir = Files.createTempDirectory("walpgo").toFile.getAbsolutePath
+    val seg = ByteBuffer.allocate(4096)
+    frames.foreach { case (lsn, payload) =>
+      seg.putLong(lsn); seg.putInt(payload.length); seg.put(payload)
+    }
+    val segBytes = new Array[Byte](seg.position()); seg.rewind(); seg.get(segBytes)
+    Files.write(Paths.get(dir, "segment-000001.pgo"), segBytes)
+
+    assert(WalSegmentIO.lastCommitBoundary(dir, 0, None) == 4L)
+
+    val ckpt = Files.createTempDirectory("walpgo-ckpt").toFile.getAbsolutePath
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    val q = spark.readStream
+      .format("graft.sources.cdcwal.CdcWalSource")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.selectExpr("op", "lsn", "coalesce(after[1].value, '')").collect()
+          .foreach(r => seen.add((r.getString(0), r.getLong(1), r.getString(2))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = seen.toArray(Array.empty[(String, Long, String)]).sortBy(_._2)
+    // boundary snapped at the commit (lsn 4): the open tx 56 not delivered
+    assert(got.map(_._1).toSeq == Seq("begin", "c", "commit"))
+    assert(got.find(_._1 == "c").get._3 == "seventy")
+  }
 }
