@@ -86,6 +86,27 @@ object LlmQueries {
         .orderBy("va", "vb")
     }),
 
+    // Sequence packing: assign documents to fixed-token-budget training
+    // sequences by running token count — greedy starting-offset binning,
+    // packed independently per source shard (packing is inherently
+    // sequential, so the scale unit is the shard: one window partition
+    // per source, never a global order).
+    "llm_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      documents(s, d)
+        .withColumn("bpe", TextOps.bpeTokenCount(col("text")))
+        .withColumn("cum", sum("bpe").over(w))
+        .withColumn("seq_id", expr("(cum - bpe) div 2048"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("bpe").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "seq_id")
+    }),
+
     // Eval-set contamination: docs whose shingle overlap with the
     // "held-out" set (doc_id < 20 stands in for an eval benchmark)
     // crosses the threshold — the decontamination gate every training
@@ -393,6 +414,18 @@ object LlmQueries {
          |WHERE asg.cluster IN (SELECT cluster FROM pc) AND n.vec_id <> 0
          |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
     },
+    "llm_pack" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS bpe
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, bpe,
+        |    sum(bpe) OVER (PARTITION BY source ORDER BY doc_id
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT source, CAST((cum - bpe) // 2048 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_contamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
