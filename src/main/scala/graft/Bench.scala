@@ -56,13 +56,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of 2 runs per query: single-shot numbers on a shared box mix
-    // JIT/scheduling noise into the measurement. A failed run is recorded
-    // in "errors", never as a (fast) wall time.
+    // min of 3 runs per query: single-shot numbers on a shared box mix
+    // JIT/scheduling noise into the measurement (observed up to ~2×
+    // swings between whole runs). A failed run is recorded in "errors",
+    // never as a (fast) wall time.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).flatMap { _ =>
+        val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
