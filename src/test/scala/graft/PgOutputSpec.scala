@@ -171,4 +171,40 @@ class PgOutputSpec extends AnyFunSuite {
       PgOutputDecoder.parse(Array('Z'.toByte, 0, 0))
     }
   }
+
+  test("randomized round-trip: encode → decode → assemble preserves every image") {
+    val rnd = new scala.util.Random(4242)
+    def randStr(): String = {
+      val pool = "abcXYZ019 'quo\\te\u00e9\u65e5"
+      (0 until 1 + rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    var lsn = 0L
+    def nextLsn(): Long = { lsn += 1; lsn }
+    val relId = 500
+    val nCols = 2 + rnd.nextInt(4)
+    val colNames = (0 until nCols).map(i => s"c$i")
+    val relFrame = nextLsn() -> relationMsg(relId, "public", "rt", 'd',
+      colNames.map(n => n -> (n == "c0")))
+    // 40 transactions of random inserts with text/null values
+    case class Truth(txid: Long, rows: Seq[Seq[Option[String]]])
+    val truths = (1 to 40).map { t =>
+      Truth(1000L + t, (0 until 1 + rnd.nextInt(5)).map(_ =>
+        colNames.map(_ => if (rnd.nextInt(5) == 0) None else Some(randStr()))))
+    }
+    val frames = relFrame +: truths.flatMap { tr =>
+      (nextLsn() -> beginMsg(tr.txid, 0L)) +:
+        tr.rows.map(vals => nextLsn() -> insertMsg(relId, vals)) :+
+        (nextLsn() -> commitMsg(lsn + 1, 0L))
+    }
+    val (_, evs) = PgOutputAssembler.assembleAll(frames)
+    // every sealed transaction carries exactly the generated images
+    truths.foreach { tr =>
+      val (kept, sealed_) = TxnAssembler.step(tr.txid,
+        evs.filter(_.txid == tr.txid), None)
+      assert(kept.isEmpty && sealed_.size == 1, s"tx ${tr.txid} not sealed")
+      val got = sealed_.head.events.map(_.after.map(c => Option(c.value)))
+      assert(got == tr.rows.map(_.toSeq),
+        s"tx ${tr.txid}: images diverged after round-trip")
+    }
+  }
 }
