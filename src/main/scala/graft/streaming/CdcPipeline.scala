@@ -24,14 +24,23 @@ object CdcPipeline {
     * origin filter when configured). `origin` is optional in the wire
     * envelope — absent means locally originated (null). */
   def toEvents(envelope: DataFrame,
-               originFilter: OriginFilter = OriginFilter.Any): Dataset[CdcEvent] = {
+               originFilter: OriginFilter = OriginFilter.Any): Dataset[CdcEvent] =
+    toAllEvents(envelope, originFilter)
+      .filter(col("op").isin("c", "u", "d", "t"))
+
+  /** Like toEvents but KEEPS transaction-control events (begin/commit/
+    * stream_*) — consumers that run the transaction assembler need the
+    * framing. The origin filter applies to DML only: dropping a foreign
+    * tx's data while keeping its (empty) framing preserves assembly. */
+  def toAllEvents(envelope: DataFrame,
+                  originFilter: OriginFilter = OriginFilter.Any): Dataset[CdcEvent] = {
     val withOrigin =
       if (envelope.columns.contains("origin")) envelope
       else envelope.withColumn("origin",
         org.apache.spark.sql.functions.lit(null).cast("string"))
     withOrigin
-      .filter(col("op").isin("c", "u", "d", "t"))
-      .filter(OriginFilter.predicate(originFilter))
+      .filter(!col("op").isin("c", "u", "d", "t") ||
+        OriginFilter.predicate(originFilter))
       .as[CdcEvent]
   }
 
@@ -76,13 +85,22 @@ object CdcPipeline {
     * effect on per-table end state). */
   def startWarehouse(envelope: DataFrame, rootPath: String, checkpointDir: String,
                      numBuckets: Int = 64,
-                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    toEvents(envelope).writeStream
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     originFilter: OriginFilter = OriginFilter.Any): StreamingQuery =
+    // Transactions are ASSEMBLED before apply: a raw-DML apply would
+    // materialize events of a streamed (v2) transaction that later
+    // ABORTS — its events precede a later commit boundary, but only the
+    // assembler sees the StreamAbort and discards them (same contract as
+    // the JDBC chain). Envelope-marked streams (isFinalBatch) seal
+    // per-event and pass through unchanged.
+    TxnAssembler.assemble(toAllEvents(envelope, originFilter))
+      .writeStream
       .queryName("graft-warehouse")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
-        applyWarehouseBatch(batch, rootPath, numBuckets, batchId)
+      .foreachBatch { (txs: Dataset[graft.model.CdcTransaction], batchId: Long) =>
+        applyWarehouseBatch(
+          txs.flatMap(_.events)(eventEnc), rootPath, numBuckets, batchId)
       }
       .start()
 

@@ -179,4 +179,36 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(got("3") == ("c", Some("x")))
     assert(got("2") == ("b", None), "pre-evolution row backfills null")
   }
+
+  test("warehouse path discards aborted streamed transactions") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.CdcPipeline
+    import graft.streaming.TxnAssembler.Ctl
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("wh-abort").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("wh-abort-ckpt").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ctl(op: String, lsn: Long, txid: Long) =
+      CdcEvent(op, lsn, txid, ts, null, null, Nil, Nil, isFinalBatch = false)
+    def ins(lsn: Long, txid: Long, id: Int, fin: Boolean) =
+      CdcEvent("c", lsn, txid, ts, "public", "t1", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("val", (id * 10).toString)),
+        keyColumns = Seq("id"), isFinalBatch = fin)
+    val mem = MemoryStream[CdcEvent]
+    mem.addData(
+      // streamed tx 77: one insert, then ABORTED — must never land
+      ctl(Ctl.StreamStart, 1, 77), ins(2, 77, 999, fin = false),
+      ctl(Ctl.StreamStop, 3, 77), ctl(Ctl.StreamAbort, 4, 77),
+      // a normal committed tx via explicit framing
+      ctl(Ctl.Begin, 5, 78), ins(6, 78, 1, fin = false), ctl(Ctl.Commit, 7, 78),
+      // and an envelope-marked single-event tx
+      ins(8, 79, 2, fin = true))
+    val q = CdcPipeline.startWarehouse(mem.toDF(), root, ckpt, numBuckets = 4)
+    q.awaitTermination()
+    val ids = spark.read.option("mergeSchema", "true").parquet(s"$root/public.t1")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("1", "2"), s"got $ids")
+  }
 }
