@@ -145,6 +145,18 @@ class PlanAuditSpec extends SparkSpecBase {
       s"probe filter not literal-IN shaped: ${s.take(1200)}")
   }
 
+  test("curation pipeline and IVF probe: no cartesian, no UDF fallbacks") {
+    for (name <- Seq("llm_curate", "llm_ann_ivf", "llm_contamination", "llm_pack")) {
+      val d = q(name)
+      d.count()
+      val all = collectAll(executed(d))
+      assert(!all.exists(_.isInstanceOf[CartesianProductExec]), s"$name cartesian")
+      val s = planString(d)
+      assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"),
+        s"$name fell back to a row UDF")
+    }
+  }
+
   test("cdc sessionization: one hash partitioning by user serves window AND groupBy") {
     val d = q("cdc_t1_sessions")
     d.count()
