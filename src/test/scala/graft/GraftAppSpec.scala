@@ -66,4 +66,37 @@ class GraftAppSpec extends SparkSpecBase {
     }
     assert(err2.getMessage.contains("GRAFT_WAL_DIR"))
   }
+
+  test("origin filter flows env -> source -> pipeline -> destination (F4 e2e)") {
+    import graft.streaming.OriginFilter
+    val wal = Files.createTempDirectory("app-wal2").toFile.getAbsolutePath
+    val db = Files.createTempDirectory("app-db2").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("app-ckpt2").toFile.getAbsolutePath
+    // two local rows + one replicated from a foreign origin
+    writeSegment(wal, "000001", Seq(
+      txLines(1, Seq(1L)).head,
+      txLines(2, Seq(2L)).head.replace(""""commit":true""",
+        """"origin":"upstream_b","commit":true"""),
+      txLines(3, Seq(3L)).head))
+    val url = s"jdbc:derby:$db/app;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE SCHEMA \"public\"")
+    c.createStatement().execute(
+      "CREATE TABLE \"public\".\"t1\" (\"id\" VARCHAR(32) PRIMARY KEY)")
+    val env = Map(
+      "GRAFT_WAL_DIR" -> wal, "GRAFT_DEST_URL" -> url,
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "-1",
+      "CDC_ORIGIN_FILTER" -> "none")
+    val cfg = graft.streaming.GraftConfig.fromEnv(env)
+    assert(cfg.originFilter == OriginFilter.NoOrigin)
+    val w = GraftApp.build(spark, cfg, env, Trigger.AvailableNow())
+    try {
+      w.query.awaitTermination()
+      val rs = c.createStatement()
+        .executeQuery("SELECT \"id\" FROM \"public\".\"t1\" ORDER BY \"id\"")
+      val ids = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toSeq
+      assert(ids == Seq("1", "3"), s"foreign-origin row must be filtered: $ids")
+      assert(w.metrics.isEmpty, "metrics disabled via port -1")
+    } finally { GraftApp.shutdown(w); c.close() }
+  }
 }
