@@ -172,9 +172,13 @@ object Similarity {
     * real partition pruning. */
   def ivfIndex(q: DataFrame, k: Int = DefaultIvfClusters, dim: Int = 64,
                idCol: String = "vec_id"): (Seq[IvfCentroid], DataFrame) = {
-    val seeds = q.filter(col(idCol) < k)
+    // seeds = the k lowest OBSERVED ids (not `id < k`: sparse or
+    // non-zero-based id spaces would yield short or empty seed sets and
+    // silently null clusters downstream)
+    val seeds = q.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col("qe"), col("nq")).collect()
       .map(r => IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    require(seeds.nonEmpty, "ivfIndex: corpus is empty, nothing to seed from")
     val assign0 = assignByCentroids(q, seeds, idCol)
     val sumCols = (0 until dim).map(i =>
       sum(element_at(col("qe"), i + 1)).as(s"s$i"))

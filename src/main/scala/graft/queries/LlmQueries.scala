@@ -376,7 +376,7 @@ object LlmQueries {
          |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
          |  FROM q),
          |seeds AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc
-         |          FROM n WHERE vec_id < $k),
+         |          FROM n ORDER BY vec_id LIMIT $k),
          |a0 AS (SELECT vec_id, cluster FROM (
          |    SELECT n.vec_id, s.cluster, row_number() OVER (
          |      PARTITION BY n.vec_id ORDER BY

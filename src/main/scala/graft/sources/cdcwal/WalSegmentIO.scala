@@ -92,16 +92,24 @@ object WalSegmentIO {
     val bb = java.nio.ByteBuffer.wrap(Files.readAllBytes(f.toPath))
     var state = PgOutputAssembler.State()
     val out = Vector.newBuilder[Rec]
-    while (bb.remaining() >= 12) {
+    var torn = false
+    while (!torn && bb.remaining() >= 12) {
       val lsn = bb.getLong()
       val len = bb.getInt()
-      val payload = new Array[Byte](len)
-      bb.get(payload)
-      val (st2, evs) = PgOutputAssembler.onFrame(state, lsn, payload)
-      state = st2
-      evs.foreach { e =>
-        val isCommit = e.op == "commit" || e.op == "stream_commit"
-        out += Rec(e.lsn, isCommit, () => eventToRow(e))
+      if (len < 0 || bb.remaining() < len) {
+        // torn trailing frame: a still-open segment caught mid-append.
+        // Stop at the last complete frame — the grown file changes
+        // length, so segMeta re-scans it on the next trigger.
+        torn = true
+      } else {
+        val payload = new Array[Byte](len)
+        bb.get(payload)
+        val (st2, evs) = PgOutputAssembler.onFrame(state, lsn, payload)
+        state = st2
+        evs.foreach { e =>
+          val isCommit = e.op == "commit" || e.op == "stream_commit"
+          out += Rec(e.lsn, isCommit, () => eventToRow(e))
+        }
       }
     }
     out.result().iterator

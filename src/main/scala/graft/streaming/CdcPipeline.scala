@@ -44,25 +44,46 @@ object CdcPipeline {
       .as[CdcEvent]
   }
 
-  /** Start the apply pipeline into a JDBC destination. */
+  /** Start the apply pipeline into a JDBC destination.
+    *
+    * Events are ASSEMBLED into transactions before apply (same contract
+    * as the warehouse chain): raw DML of a protocol-v2 streamed
+    * transaction may precede a later StreamAbort, and only the assembler
+    * sees the abort and discards the buffer — applying raw DML would
+    * materialize aborted changes. Envelope-marked streams (isFinalBatch
+    * on each DML) seal per-event inside the assembler, so the plain
+    * cdcwal envelope path is unchanged. Sealed transactions flatten back
+    * to events; the DML filter preserves F1 for any stray non-DML op. */
   def startJdbc(
       envelope: DataFrame,
       ctx: RenderContext,
       url: String,
       checkpointDir: String,
       appId: String = "graft",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      originFilter: OriginFilter = OriginFilter.Any): StreamingQuery = {
     val applier = new JdbcApplier(url, ctx, appId)
     applier.init()
-    toEvents(envelope).writeStream
-      .queryName(s"graft-cdc-$appId")
+    startAssembled(envelope, originFilter, s"graft-cdc-$appId", checkpointDir,
+      trigger) { (batch, batchId) => applier.applyBatch(batch, batchId) }
+  }
+
+  /** Shared assembled-apply scaffold: envelope → TxnAssembler → sealed
+    * transactions flattened to DML events → `apply` per micro-batch. */
+  private[graft] def startAssembled(
+      envelope: DataFrame, originFilter: OriginFilter, name: String,
+      checkpointDir: String, trigger: Trigger)(
+      apply: (Dataset[CdcEvent], Long) => Unit): StreamingQuery =
+    TxnAssembler.assemble(toAllEvents(envelope, originFilter))
+      .writeStream
+      .queryName(name)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
-        applier.applyBatch(batch, batchId)
+      .foreachBatch { (txs: Dataset[graft.model.CdcTransaction], batchId: Long) =>
+        apply(txs.flatMap(_.events)(eventEnc)
+          .filter(col("op").isin("c", "u", "d", "t")), batchId)
       }
       .start()
-  }
 
   /** Kafka-envelope pipeline: envelope → Debezium topic/key/value rows.
     * Attach .format("kafka") + bootstrap options to go to a real broker;
@@ -91,47 +112,60 @@ object CdcPipeline {
     // materialize events of a streamed (v2) transaction that later
     // ABORTS — its events precede a later commit boundary, but only the
     // assembler sees the StreamAbort and discards them (same contract as
-    // the JDBC chain). Envelope-marked streams (isFinalBatch) seal
-    // per-event and pass through unchanged.
-    TxnAssembler.assemble(toAllEvents(envelope, originFilter))
-      .writeStream
-      .queryName("graft-warehouse")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (txs: Dataset[graft.model.CdcTransaction], batchId: Long) =>
-        applyWarehouseBatch(
-          txs.flatMap(_.events)(eventEnc), rootPath, numBuckets, batchId)
-      }
-      .start()
+    // the JDBC chain, which routes through the same scaffold).
+    startAssembled(envelope, originFilter, "graft-warehouse", checkpointDir,
+      trigger) { (batch, batchId) =>
+      applyWarehouseBatch(batch, rootPath, numBuckets, batchId)
+    }
 
   /** F2 gate for the warehouse root: refuses STALE batch replays (an old
     * batch re-applied after later deletes would resurrect rows). Written
     * AFTER the data, so a crash between data and gate replays the SAME
     * batch — which the MERGE apply handles idempotently. The
-    * underscore-prefixed file is invisible to parquet discovery. */
-  private def lastWarehouseBatch(root: String): Long = {
-    val p = java.nio.file.Paths.get(root, "_graft_last_batch")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toLong
-    else -1L
+    * underscore-prefixed file is invisible to parquet discovery.
+    *
+    * Resolved through the Hadoop FileSystem of `root` (not java.nio), so
+    * the gate travels with the data on hdfs:// and s3a:// roots, same as
+    * the parquet it protects. */
+  private def gatePath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_last_batch")
+
+  private def lastWarehouseBatch(spark: SparkSession, root: String): Long = {
+    val p = gatePath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
   }
 
-  private def writeWarehouseBatch(root: String, batchId: Long): Unit = {
-    val dir = java.nio.file.Paths.get(root)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve("_graft_last_batch.tmp")
-    java.nio.file.Files.writeString(tmp, batchId.toString)
-    java.nio.file.Files.move(tmp, dir.resolve("_graft_last_batch"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def writeWarehouseBatch(spark: SparkSession, root: String,
+                                  batchId: Long): Unit = {
+    val dst = gatePath(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_graft_last_batch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext rename-with-overwrite is atomic where the FS supports
+    // it (HDFS, local); on object stores the window between delete and
+    // re-create is covered by the apply's own idempotence.
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** One micro-batch of the warehouse apply (factored for batch tests). */
   def applyWarehouseBatch(batch: Dataset[CdcEvent], rootPath: String,
                           numBuckets: Int, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
-    if (batchId <= lastWarehouseBatch(rootPath)) return // stale replay
     val spark = batch.sparkSession
+    if (batchId <= lastWarehouseBatch(spark, rootPath)) return // stale replay
     val df = batch.toDF()
       .withColumn("__after", map_from_arrays(col("after.name"), col("after.value")))
       .withColumn("__before", map_from_arrays(col("before.name"), col("before.value")))
@@ -165,7 +199,7 @@ object CdcPipeline {
         new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", keys, numBuckets)
           .applyBatch(spark, flat, batchId)
       }
-      writeWarehouseBatch(rootPath, batchId)
+      writeWarehouseBatch(spark, rootPath, batchId)
     } finally df.unpersist()
   }
 }

@@ -59,22 +59,19 @@ object GraftApp {
     val envelope = reader.load()
 
     val ctx = RenderContext(dialect, cfg.schemaMappings)
-    val events = CdcPipeline.toEvents(envelope, cfg.originFilter)
     val applier = new graft.sinks.JdbcApplier(destUrl, ctx, cfg.slotName,
       graft.coalesce.CoalesceConfig(
         maxRowsPerInsert = cfg.maxRowsPerInsert,
         bulkInsertThreshold = cfg.bulkInsertThreshold),
       cfg.batchSize)
     applier.init()
-    val query = events.writeStream
-      .queryName(s"graft-app-${cfg.slotName}")
-      .option("checkpointLocation", ckpt)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.CdcEvent],
-                       batchId: Long) =>
-        applier.applyBatch(batch, batchId)
-      }
-      .start()
+    // Transaction assembly before apply (same scaffold as startJdbc /
+    // startWarehouse): protocol-v2 streamed DML whose transaction later
+    // StreamAborts must never reach the destination.
+    val query = CdcPipeline.startAssembled(envelope, cfg.originFilter,
+      s"graft-app-${cfg.slotName}", ckpt, trigger) { (batch, batchId) =>
+      applier.applyBatch(batch, batchId)
+    }
     Wiring(query, metrics, listener)
   }
 

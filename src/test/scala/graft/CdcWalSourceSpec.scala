@@ -258,4 +258,44 @@ class CdcWalSourceSpec extends SparkSpecBase {
     assert(got.map(_._1).toSeq == Seq("begin", "c", "commit"))
     assert(got.find(_._1 == "c").get._3 == "seventy")
   }
+
+  test("torn trailing .pgo frame stops at the last complete frame") {
+    import java.nio.ByteBuffer
+    def msg(build: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(256); build(b)
+      val a = new Array[Byte](b.position()); b.rewind(); b.get(a); a
+    }
+    val begin = (tx: Int) => msg { b =>
+      b.put('B'.toByte); b.putLong(9L); b.putLong(0L); b.putInt(tx)
+    }
+    val commit = msg { b =>
+      b.put('C'.toByte); b.put(0.toByte); b.putLong(2L); b.putLong(3L); b.putLong(0L)
+    }
+    val dir = Files.createTempDirectory("walpgo-torn").toFile.getAbsolutePath
+    val seg = ByteBuffer.allocate(4096)
+    def frame(lsn: Long, p: Array[Byte]): Unit = {
+      seg.putLong(lsn); seg.putInt(p.length); seg.put(p)
+    }
+    frame(1L, begin(60)); frame(2L, commit)
+    // a torn trailing frame: full header claims 40 payload bytes, only 3
+    // are on disk yet (a still-open segment caught mid-append)
+    seg.putLong(3L); seg.putInt(40); seg.put(Array[Byte](1, 2, 3))
+    val tornLen = seg.position()
+    val bytes = new Array[Byte](tornLen); seg.rewind(); seg.get(bytes)
+    val f = Paths.get(dir, "segment-000001.pgo")
+    Files.write(f, bytes)
+    // no BufferUnderflowException; only the complete frames decode
+    val ops = WalSegmentIO.readLines(dir).map(_.lsn).toSeq
+    assert(ops == Seq(1L, 2L))
+    // the segment grows to complete the frame → re-scan picks it up
+    val seg2 = ByteBuffer.allocate(4096)
+    seg2.put(bytes, 0, tornLen - 12 - 3) // drop the torn partial
+    val b3 = begin(61)
+    seg2.putLong(3L); seg2.putInt(b3.length); seg2.put(b3)
+    val bytes2 = new Array[Byte](seg2.position()); seg2.rewind(); seg2.get(bytes2)
+    Files.write(f, bytes2)
+    f.toFile.setLastModified(System.currentTimeMillis() + 1000)
+    val ops2 = WalSegmentIO.readLines(dir).map(_.lsn).toSeq
+    assert(ops2 == Seq(1L, 2L, 3L))
+  }
 }

@@ -127,6 +127,35 @@ class PipelineSpec extends SparkSpecBase {
     assert(count(url, "SELECT COUNT(*) FROM \"public\".\"t1\"") == 100)
   }
 
+  test("JDBC chain discards aborted streamed transactions (v2 protocol)") {
+    import graft.streaming.TxnAssembler.Ctl
+    val url = derbyUrl("abort")
+    createT1(url)
+    val ckpt = Files.createTempDirectory("graft-abort-ckpt").toFile.getAbsolutePath
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ctl(op: String, lsn: Long, txid: Long) =
+      CdcEvent(op, lsn, txid, ts, null, null, Nil, Nil, isFinalBatch = false)
+    def insTx(id: Int, lsn: Long, txid: Long, fin: Boolean) =
+      CdcEvent("c", lsn, txid, ts, null, "t1", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("val", (id * 10).toString)),
+        keyColumns = Seq("id"), isFinalBatch = fin)
+    val mem = MemoryStream[CdcEvent]
+    mem.addData(
+      // streamed tx 77 aborts — its insert must never reach Derby
+      ctl(Ctl.StreamStart, 1, 77), insTx(999, 2, 77, fin = false),
+      ctl(Ctl.StreamStop, 3, 77), ctl(Ctl.StreamAbort, 4, 77),
+      // explicit Begin/Commit framing commits
+      ctl(Ctl.Begin, 5, 78), insTx(1, 6, 78, fin = false), ctl(Ctl.Commit, 7, 78),
+      // envelope-marked single-event tx commits
+      insTx(2, 8, 79, fin = true))
+    val q = CdcPipeline.startJdbc(mem.toDF(), ctx, url, ckpt, "abort")
+    q.processAllAvailable(); q.stop()
+    assert(count(url, "SELECT COUNT(*) FROM \"public\".\"t1\"") == 2)
+    assert(count(url,
+      "SELECT COUNT(*) FROM \"public\".\"t1\" WHERE \"id\" = '999'") == 0)
+  }
+
   test("update/delete key from before-image survives the full pipeline") {
     val url = derbyUrl("keys")
     createT1(url)
