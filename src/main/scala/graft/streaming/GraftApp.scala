@@ -27,11 +27,21 @@ object GraftApp {
 
   final case class Wiring(query: StreamingQuery,
                           metrics: Option[MetricsServer],
-                          listener: CdcMetricsListener)
+                          listener: CdcMetricsListener,
+                          capture: Option[graft.sources.pgwire.ReplicationClient] = None,
+                          captureThread: Option[Thread] = None)
 
-  /** Validate config, wire source→filter→sink, start metrics. */
+  /** Validate config, wire source→filter→sink, start metrics.
+    *
+    * When GRAFT_PG_HOST is set (or `captureTransport` is injected for
+    * tests), a live-capture thread runs the replication client against
+    * the upstream walsender, writing `.pgo` segments into GRAFT_WAL_DIR
+    * while the Spark pipeline consumes them — the full socket→segment→
+    * source→destination chain in one process. Without it, segments are
+    * produced externally (the reference's own capture split). */
   def build(spark: SparkSession, cfg: GraftConfig, env: Map[String, String],
-            trigger: Trigger = Trigger.ProcessingTime(0)): Wiring = {
+            trigger: Trigger = Trigger.ProcessingTime(0),
+            captureTransport: Option[() => graft.sources.pgwire.PgWire.WireTransport] = None): Wiring = {
     cfg.validate() match {
       case Left(err) => throw new IllegalArgumentException(s"invalid config: $err")
       case Right(_) => ()
@@ -43,6 +53,29 @@ object GraftApp {
     val ckpt = env.getOrElse("GRAFT_CHECKPOINT",
       throw new IllegalArgumentException("GRAFT_CHECKPOINT is required"))
     val dialect = Dialect.forName(env.getOrElse("GRAFT_DIALECT", "ansi"))
+
+    // live capture (optional): replication client → .pgo segments.
+    // Started BEFORE the query so the first trigger can already see WAL.
+    val transportFactory: Option[() => graft.sources.pgwire.PgWire.WireTransport] =
+      captureTransport.orElse(env.get("GRAFT_PG_HOST").map { host => () =>
+        val t = graft.sources.pgwire.PgWire.socketTransport(
+          host, env.get("GRAFT_PG_PORT").map(_.toInt).getOrElse(5432))
+        graft.sources.pgwire.PgWire.handshake(t,
+          env.getOrElse("GRAFT_PG_USER", "postgres"),
+          env.get("GRAFT_PG_PASSWORD"))
+        t
+      })
+    val capture = transportFactory.map { mk =>
+      val startLsn = graft.model.Lsn(
+        graft.sources.cdcwal.WalSegmentIO.readFeedback(walDir).getOrElse(0L))
+      (new graft.sources.pgwire.ReplicationClient(mk(), cfg, walDir), startLsn)
+    }
+    val captureThread = capture.map { case (client, startLsn) =>
+      val th = new Thread(() => client.run(startLsn), "graft-capture")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
 
     val listener = new CdcMetricsListener
     spark.streams.addListener(listener)
@@ -72,12 +105,19 @@ object GraftApp {
       s"graft-app-${cfg.slotName}", ckpt, trigger) { (batch, batchId) =>
       applier.applyBatch(batch, batchId)
     }
-    Wiring(query, metrics, listener)
+    Wiring(query, metrics, listener, capture.map(_._1), captureThread)
   }
 
-  /** Drain and release everything (idempotent). */
+  /** Drain and release everything (idempotent): capture first (final
+    * standby status + CopyDone), then the query's in-flight epoch, then
+    * the metrics server. */
   def shutdown(w: Wiring): Unit = {
-    try w.query.stop() finally w.metrics.foreach(_.stop())
+    try {
+      w.capture.foreach(_.stop())
+      w.captureThread.foreach(_.join(30000))
+    } finally {
+      try w.query.stop() finally w.metrics.foreach(_.stop())
+    }
   }
 
   def main(args: Array[String]): Unit = {
