@@ -30,7 +30,9 @@ object Bench {
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",
-    "llm_tokens", "llm_quality", "llm_curate")
+    "llm_tokens", "llm_quality", "llm_curate",
+    "llm_dedup_cluster", "llm_quality_rep", "llm_tfidf", "llm_mix",
+    "llm_sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -166,6 +166,67 @@ object Dedup {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Connected components over an undirected edge set (aCol, bCol):
+    * the TRANSITIVE closure of near-duplicate pairs, where greedy min-id
+    * dropping under-merges chains (a~b, b~c, a≁c is one cluster here).
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * takes the min over neighbor labels, then rewrites every label by
+    * its own label (path halving), so convergence is O(log diameter)
+    * rounds, not O(diameter). Each round is two hash-shuffles of the
+    * edge list; `localCheckpoint` truncates the plan between rounds
+    * (iterative lineage otherwise grows exponentially). Labels only
+    * decrease, so the fixpoint (min id of the component) is reached
+    * deterministically regardless of partitioning. At 100 TB this is
+    * the standard alternating-contraction shape (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — public
+    * literature); near-dup clusters have tiny diameters, so expected
+    * rounds ≈ 3-4.
+    *
+    * Returns (id, comp) for every vertex that appears in an edge;
+    * comp = min doc id reachable. */
+  def connectedComponents(edges: DataFrame, aCol: String = "da",
+                          bCol: String = "db", maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    // each round both propagates (labels ⋈ edges) and pointer-jumps
+    // (labels ⋈ labels): self-joins on an iteratively-rebuilt plan
+    // collide on attribute ids, so every round snapshots the label
+    // table (eager localCheckpoint truncates lineage — iterative plans
+    // otherwise grow without bound) and `view()` re-wraps the snapshot
+    // RDD with FRESH attribute ids per use site
+    def view(snap: DataFrame): DataFrame =
+      spark.createDataFrame(snap.rdd, snap.schema)
+    val symSnap = edges.select(col(aCol).as("id"), col(bCol).as("nb"))
+      .union(edges.select(col(bCol).as("id"), col(aCol).as("nb")))
+      .localCheckpoint(true)
+    var labelsSnap = view(symSnap).select("id").distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val viaNb = view(symSnap)
+        .join(view(labelsSnap).withColumnRenamed("id", "nb"), "nb")
+        .select(col("id"), col("comp"))
+      val stepMin = view(labelsSnap).union(viaNb)
+        .groupBy("id").agg(min("comp").as("comp"))
+      val mapSide = view(labelsSnap)
+        .select(col("id").as("cid"), col("comp").as("ccomp"))
+      val jumpedSnap = stepMin
+        .join(mapSide, col("comp") === col("cid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = view(jumpedSnap).as("n")
+        .join(view(labelsSnap).as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .head(1).nonEmpty
+      labelsSnap = jumpedSnap
+      iter += 1
+    }
+    labelsSnap
+  }
+
   /** End-to-end near-dedup: LSH candidates verified by exact Jaccard,
     * then keep min-id per duplicate component (greedy: a doc is dropped
     * if any smaller-id doc is near-identical — one pass, no iterative

@@ -243,6 +243,114 @@ object LlmQueries {
           (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1024).cast("int"))
         .select("doc_id", "n_bytes", "checksum", "fake_width", "fake_height")
         .orderBy("doc_id")
+    }),
+
+    // Near-dup CLUSTERS: transitive closure over LSH-candidate pairs
+    // verified by exact Jaccard — the correct grouping when duplicate
+    // chains exceed pairwise reach (a~b~c). Iterative min-label
+    // propagation with pointer jumping (Dedup.connectedComponents);
+    // cluster id = min doc_id of the component.
+    "llm_dedup_cluster" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cands = Dedup.minhashCandidates(docs)
+      val verified = Dedup.ngramJaccard(docs, 0.8, candidates = Some(cands))
+        .select("da", "db")
+      val comp = Dedup.connectedComponents(verified)
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("cluster"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified deterministic sampling: per-source keep rate, membership
+    // decided by an md5 hash of the doc id — reproducible on any engine,
+    // no RNG state, embarrassingly parallel (a pure filter: no shuffle,
+    // pushes below everything downstream).
+    "llm_sample_stratified" -> ((s, d) => {
+      val pct = lit(20) +
+        (substring(col("source"), 4, 10).cast("int") * 7) % 60
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+      documents(s, d)
+        .withColumn("keep_pct", pct)
+        .filter(h < pct)
+        .select("doc_id", "source", "keep_pct")
+        .orderBy("doc_id")
+    }),
+
+    // Source mixing under token budgets: each source contributes
+    // documents in doc_id order until its token budget is exhausted —
+    // the mixture-weights step of training-data assembly. Window is
+    // partitioned per source (the scale unit), never global.
+    "llm_mix" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      documents(s, d)
+        .withColumn("bpe", TextOps.bpeTokenCount(col("text")))
+        .withColumn("budget",
+          lit(300) + (substring(col("source"), 4, 10).cast("int") * 37) % 400)
+        .withColumn("cum", sum("bpe").over(w))
+        .filter(col("cum") <= col("budget"))
+        .groupBy("source")
+        .agg(first("budget").as("budget"),
+          count(lit(1)).as("n_docs"),
+          sum("bpe").as("tokens_used"))
+        .orderBy("source")
+    }),
+
+    // Repetition quality signals (the within-document duplication family
+    // of heuristic quality filters): duplicate-word fraction, top-word
+    // concentration, duplicate-2-gram fraction. Shape: explode → count
+    // per (doc, term) → per-doc aggregate; rows stay |tokens|, partial
+    // aggregation map-side — never a per-doc pairwise comparison.
+    "llm_quality_rep" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wordCounts = docs
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+          max("cnt").as("top_cnt"))
+      val gramCounts = TextOps.shingleRows(docs, 2, dedup = false)
+        .groupBy("doc_id", "shingle").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n2"), count(lit(1)).as("d2"))
+      wordCounts.join(gramCounts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          ((col("n") - col("n_distinct")) * lit(1.0) / col("n"))
+            .as("dup_word_frac"),
+          (col("top_cnt") * lit(1.0) / col("n")).as("top_word_frac"),
+          coalesce((col("n2") - col("d2")) * lit(1.0) / col("n2"), lit(0.0))
+            .as("dup_2gram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top terms per source. idf is rounded to integer
+    // milli-units (ln is the only float step; rounding makes the score
+    // engine-exact), so ranking and the hash compare are deterministic.
+    // Shape: one (source, term) count shuffle + one broadcast-size df
+    // table; top-k via per-source window, never a global sort.
+    "llm_tfidf" -> ((s, d) => {
+      val nSources = documents(s, d).select("source").distinct().count()
+      val tf = documents(s, d)
+        .select(col("source"), explode(toks).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term")
+        .agg(countDistinct("source").as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(desc("score_milli"), col("term"))
+      tf.join(broadcast(df_), "term")
+        .withColumn("idf_milli",
+          round(log(lit(nSources.toDouble) / col("df")) * 1000).cast("bigint"))
+        .withColumn("score_milli", col("tf") * col("idf_milli"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("source", "rank", "term", "tf", "df", "score_milli")
+        .orderBy("source", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -544,5 +652,97 @@ object LlmQueries {
         |  substr(md5(text), 1, 8) AS checksum,
         |  CAST(('0x' || substr(md5(text),1,4))::BIGINT % 1024 AS INT) AS fake_width,
         |  CAST(('0x' || substr(md5(text),5,4))::BIGINT % 1024 AS INT) AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_dedup_cluster" -> {
+      val coeffs = graft.llmops.Dedup.MinhashCoeffs
+      val p = graft.llmops.Dedup.MinhashP
+      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $p) AS mh$i"
+      }.mkString(", ")
+      // same candidate+verify pipeline as llm_dedup_minhash/_jaccard,
+      // then min-reachable-id closure via a recursive CTE
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |hv AS (SELECT doc_id,
+         |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, unnest([
+         |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
+         |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
+         |  FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM banded a JOIN banded b
+         |           ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1,2),
+         |verified AS (SELECT i.da, i.db FROM inter i
+         |  JOIN cand USING (da, db)
+         |  JOIN sizes sa ON i.da = sa.doc_id
+         |  JOIN sizes sb ON i.db = sb.doc_id
+         |  WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.8),
+         |sym AS (SELECT da AS id, db AS nb FROM verified
+         |        UNION ALL SELECT db, da FROM verified),
+         |reach AS (SELECT DISTINCT id, id AS r FROM sym
+         |          UNION
+         |          SELECT s.id, reach.r FROM sym s JOIN reach ON reach.id = s.nb),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT comp.id AS doc_id, comp.cluster, cs.cluster_size
+         |FROM comp JOIN cs USING (cluster) ORDER BY doc_id""".stripMargin
+    },
+    "llm_sample_stratified" ->
+      """SELECT doc_id, source,
+        |  20 + (CAST(substr(source, 4) AS INT) * 7) % 60 AS keep_pct
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100
+        |  < 20 + (CAST(substr(source, 4) AS INT) * 7) % 60
+        |ORDER BY doc_id""".stripMargin,
+    "llm_mix" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS bpe,
+        |    300 + (CAST(substr(source, 4) AS INT) * 37) % 400 AS budget
+        |  FROM documents),
+        |c AS (SELECT *, sum(bpe) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+        |SELECT source, CAST(min(budget) AS INT) AS budget,
+        |  count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS tokens_used
+        |FROM c WHERE cum <= budget GROUP BY source ORDER BY source""".stripMargin,
+    "llm_quality_rep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1,2),
+        |w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |    count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_cnt
+        |  FROM c GROUP BY 1),
+        |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+        |    for i in range(1, greatest(len(t), 1))]) AS gg FROM toks),
+        |cg AS (SELECT doc_id, gg, count(*) AS c2 FROM g GROUP BY 1,2),
+        |w2 AS (SELECT doc_id, CAST(sum(c2) AS BIGINT) AS n2,
+        |    count(*) AS d2 FROM cg GROUP BY 1)
+        |SELECT w.doc_id, n, n_distinct,
+        |  (n - n_distinct) * 1.0 / n AS dup_word_frac,
+        |  top_cnt * 1.0 / n AS top_word_frac,
+        |  coalesce((n2 - d2) * 1.0 / n2, 0.0) AS dup_2gram_frac
+        |FROM w LEFT JOIN w2 ON w.doc_id = w2.doc_id ORDER BY w.doc_id""".stripMargin,
+    "llm_tfidf" ->
+      """WITH tr AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tfc AS (SELECT source, term, count(*) AS tf FROM tr GROUP BY 1,2),
+        |dfc AS (SELECT term, count(DISTINCT source) AS df FROM tfc GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+        |sc AS (SELECT t.source, t.term, t.tf, d.df,
+        |    t.tf * CAST(round(ln((SELECT n FROM ns) * 1.0 / d.df) * 1000) AS BIGINT)
+        |      AS score_milli
+        |  FROM tfc t JOIN dfc d USING (term)),
+        |r AS (SELECT source, term, tf, df, score_milli,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score_milli DESC, term) AS rank
+        |  FROM sc)
+        |SELECT source, CAST(rank AS INT) AS rank, term, tf, df, score_milli
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
 }

@@ -38,6 +38,24 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(expectedDrops > 0, "should find near-dups in test data")
   }
 
+  test("connectedComponents computes the transitive closure of pair edges") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11: greedy pairwise grouping
+    // cannot see 1~3, the closure must
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer path exercises the pointer-jumping rounds
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("da", "db")
+    val c2 = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.size == 40 && c2.values.forall(_ == 1L))
+    // empty edge set: no vertices, no failure
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("da", "db")).count() == 0)
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val pair = Dedup.ngramJaccard(docs, 0.95).select("da", "db").first()
     val (a, b) = (pair.getLong(0), pair.getLong(1))
