@@ -74,9 +74,18 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
         val next = survivors.unionByName(
           winners.filter(col("op") =!= "d").drop("op", "lsn"),
           allowMissingColumns = true)
+        // repartition by bucket BEFORE materializing: without it each
+        // shuffle partition writes a sliver into every touched bucket
+        // dir (touched × partitions files per batch) and the replica
+        // degenerates into a small-files swamp; with it a rewrite
+        // leaves ~one well-sized file per bucket. Buckets are sized a
+        // few GB (numBuckets chosen per table volume), so one task per
+        // bucket is the right write granularity.
         // materialize the touched buckets' next state before overwriting
         // their input files — O(touched), not O(snapshot)
-        val materialized = next.localCheckpoint(eager = true)
+        val materialized = next
+          .repartition(math.max(touched.length, 1), col("bucket"))
+          .localCheckpoint(eager = true)
         materialized.write
           .mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

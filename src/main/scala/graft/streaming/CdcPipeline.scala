@@ -185,20 +185,36 @@ object CdcPipeline {
         .agg(collect_set("colName").as("cols"),
           first("keyColumns").as("keys"))
         .collect()
-      tables.foreach { row =>
-        val (sch, tbl) = (row.getString(0), row.getString(1))
-        val cols = row.getSeq[String](2).sorted
-        val keys = row.getSeq[String](3)
-        val flat = df
-          .filter(col("schema") <=> lit(sch) && col("table") === tbl &&
-            col("op").isin("c", "u", "d"))
-          .select(col("op") +: col("lsn") +: cols.map(c =>
-            coalesce(element_at(col("__after"), c),
-              element_at(col("__before"), c)).as(c)): _*)
-        val name = Seq(Option(sch), Some(tbl)).flatten.mkString(".")
-        new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", keys, numBuckets)
-          .applyBatch(spark, flat, batchId)
-      }
+      // Per-table applies are independent (distinct paths, per-key LSN
+      // squash inside each) — run them as CONCURRENT Spark jobs so many
+      // small tables fill the cluster instead of serializing scheduler
+      // round-trips. Each job is itself distributed; the pool only
+      // overlaps job submission/IO, so a handful of threads suffices.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(math.max(tables.length, 1), 4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val applies = tables.toSeq.map { row =>
+          scala.concurrent.Future {
+            val (sch, tbl) = (row.getString(0), row.getString(1))
+            val cols = row.getSeq[String](2).sorted
+            val keys = row.getSeq[String](3)
+            val flat = df
+              .filter(col("schema") <=> lit(sch) && col("table") === tbl &&
+                col("op").isin("c", "u", "d"))
+              .select(col("op") +: col("lsn") +: cols.map(c =>
+                coalesce(element_at(col("__after"), c),
+                  element_at(col("__before"), c)).as(c)): _*)
+            val name = Seq(Option(sch), Some(tbl)).flatten.mkString(".")
+            new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", keys, numBuckets)
+              .applyBatch(spark, flat, batchId)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(applies),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       writeWarehouseBatch(spark, rootPath, batchId)
     } finally df.unpersist()
   }
