@@ -328,6 +328,57 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-entropy quality signal (the perplexity-proxy family of
+    // heuristic filters): unigram entropy per document. All floating
+    // steps are per-row deterministic functions of small integers
+    // (ln(cnt) rounded to micro-units BEFORE summation), so the
+    // aggregate is an exact integer sum — order-independent across
+    // partitions, reproducible on any engine. H = ln(n) - Σc·ln(c)/n.
+    "llm_entropy" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n"),
+          sum(col("cnt") *
+            round(log(col("cnt").cast("double")) * 1e6).cast("bigint"))
+            .as("s_micro"))
+        .select(col("doc_id"), col("n"),
+          round((log(col("n").cast("double")) -
+            col("s_micro") * lit(1.0) / (lit(1e6) * col("n"))) * 1000)
+            .cast("bigint").as("entropy_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source embedding analytics: integer-exact sum-centroid (cosine
+    // is scale-invariant, so sum ≡ mean) and cohesion = mean cosine to
+    // the centroid, with per-row cosines rounded to micro-units before
+    // the sum so the aggregate is order-independent. Centroids broadcast
+    // back (K rows of index metadata); the per-row score is a codegen'd
+    // dot product — one groupBy(source) shuffle total.
+    "llm_embed_stats" -> ((s, d) => {
+      val dim = 64
+      val q = Similarity.quantized(embeddings(s, d))
+      val src = documents(s, d).select(col("doc_id").as("vec_id"), col("source"))
+      val joined = q.join(src, "vec_id")
+      val sumCols = (0 until dim).map(i =>
+        sum(element_at(col("qe"), i + 1)).as(s"s$i"))
+      val cents = joined.groupBy("source").agg(sumCols.head, sumCols.tail: _*)
+        .select(col("source"),
+          array((0 until dim).map(i => col(s"s$i")): _*).as("ce"))
+        .withColumn("nc", Similarity.dotQ(col("ce"), col("ce")))
+      joined.join(broadcast(cents), "source")
+        .withColumn("cm",
+          round(Similarity.dotQ(col("qe"), col("ce")) * lit(1.0) /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double")))
+            * 1e6).cast("bigint"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("nc").as("centroid_norm"),
+          (sum("cm") * lit(1.0) / (lit(1e6) * count(lit(1)))).as("cohesion"))
+        .orderBy("source")
+    }),
+
     // TF-IDF top terms per source. idf is rounded to integer
     // milli-units (ln is the only float step; rounding makes the score
     // engine-exact), so ranking and the hash compare are deterministic.
@@ -729,6 +780,42 @@ object LlmQueries {
         |  top_cnt * 1.0 / n AS top_word_frac,
         |  coalesce((n2 - d2) * 1.0 / n2, 0.0) AS dup_2gram_frac
         |FROM w LEFT JOIN w2 ON w.doc_id = w2.doc_id ORDER BY w.doc_id""".stripMargin,
+    "llm_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1,2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(cnt * CAST(round(ln(cnt) * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS s_micro
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n,
+        |  CAST(round((ln(n) - s_micro * 1.0 / (1000000.0 * n)) * 1000) AS BIGINT)
+        |    AS entropy_milli
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "llm_embed_stats" ->
+      """WITH q AS (SELECT vec_id,
+        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+        |  FROM q),
+        |j AS (SELECT d.source, n.vec_id, n.qe, n.nq
+        |      FROM n JOIN documents d ON n.vec_id = d.doc_id),
+        |cent AS (SELECT source, list(s ORDER BY i) AS ce FROM (
+        |    SELECT j.source, g.i, CAST(sum(j.qe[g.i]) AS BIGINT) AS s
+        |    FROM j, generate_series(1, 64) AS g(i) GROUP BY 1,2) GROUP BY 1),
+        |cn AS (SELECT source, ce,
+        |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
+        |  FROM cent),
+        |sc AS (SELECT j.source, c.nc,
+        |    CAST(round(list_dot_product(j.qe::BIGINT[], c.ce::BIGINT[]) * 1.0
+        |      / (sqrt(CAST(j.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM j JOIN cn c USING (source))
+        |SELECT source, count(*) AS n_vecs,
+        |  CAST(min(nc) AS BIGINT) AS centroid_norm,
+        |  CAST(sum(cm) AS BIGINT) * 1.0 / (1000000.0 * count(*)) AS cohesion
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "llm_tfidf" ->
       """WITH tr AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |            FROM documents),

@@ -165,4 +165,49 @@ class PlanAuditSpec extends SparkSpecBase {
     // the user_id clustering; plus final orderBy range exchange
     assert(shuffles.size <= 3, s"sessionization shuffles: ${shuffles.size}")
   }
+
+  test("stratified sampling is a pure scan-side filter (no shuffle before agg)") {
+    val d = q("llm_sample_stratified")
+    d.count()
+    // the sampling predicate must run in the scan stage: the only
+    // exchanges are the final total-order sort (+ AQE bookkeeping) —
+    // no hash shuffle is needed to DECIDE membership
+    val shuffles = collectAll(executed(d)).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"sampling shuffles: ${shuffles.size}")
+    assert(!planString(d).contains("ScalaUDF"))
+  }
+
+  test("tf-idf: document-frequency side broadcasts; no cartesian, no UDFs") {
+    val d = q("llm_tfidf")
+    d.count()
+    val all = collectAll(executed(d))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "df table should broadcast-join the tf table")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!planString(d).contains("ScalaUDF"))
+  }
+
+  test("mixing and repetition queries: per-source windows, no global single partition") {
+    for (name <- Seq("llm_mix", "llm_quality_rep")) {
+      val d = q(name)
+      d.count()
+      val s = planString(d)
+      // a Window over an empty partitionBy moves ALL data to one
+      // partition — the scale-killer shape these queries must avoid
+      assert(!s.contains("Window [") || !s.contains("windowspecdefinition()"),
+        s"$name has an unpartitioned window")
+      assert(!collectAll(executed(d)).exists(_.isInstanceOf[CartesianProductExec]))
+    }
+  }
+
+  test("near-dup clustering: rounds shuffle the label table, never explode pairs") {
+    // one propagation round over a synthetic edge set: the join keys are
+    // equality (nb = id), so the plan is hash joins — no cartesian, no
+    // UDF, and the label table is the only thing shuffled
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val comp = graft.llmops.Dedup.connectedComponents(edges)
+    comp.count()
+    assert(!collectAll(executed(comp)).exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
