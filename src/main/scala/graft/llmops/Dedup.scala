@@ -102,7 +102,11 @@ object Dedup {
     // candidate set is a vanishing fraction of the corpus, and joining
     // the full index just to semi-filter afterwards would dominate the
     // whole pipeline. Sizes still come from the full rows (unchanged).
-    val sh = candidates match {
+    // lazy checkpoint: the candidate pipeline (usually the whole
+    // minhash+LSH chain) is referenced twice below (doc semi-join +
+    // pair semi-join); without it each reference re-evaluates the chain
+    val cands = candidates.map(_.localCheckpoint(false))
+    val sh = cands match {
       case Some(c) =>
         val candDocs = c.select(col("da").as(idCol))
           .union(c.select(col("db").as(idCol))).distinct()
@@ -114,7 +118,7 @@ object Dedup {
     val joined = a.join(b, col("a.shingle") === col("b.shingle") &&
       col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
-    val restricted = candidates match {
+    val restricted = cands match {
       case Some(c) => joined.join(c, Seq("da", "db"), "left_semi")
       case None => joined
     }
@@ -196,8 +200,15 @@ object Dedup {
     // RDD with FRESH attribute ids per use site
     def view(snap: DataFrame): DataFrame =
       spark.createDataFrame(snap.rdd, snap.schema)
-    val symSnap = edges.select(col(aCol).as("id"), col(bCol).as("nb"))
-      .union(edges.select(col(bCol).as("id"), col(aCol).as("nb")))
+    // snapshot the edge list FIRST: `edges` is typically the output of
+    // a whole candidate+verify pipeline, and building the symmetric
+    // closure from the raw plan would evaluate that pipeline once per
+    // union side
+    val edgeSnap = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    val symSnap = view(edgeSnap)
+      .select(col("a").as("id"), col("b").as("nb"))
+      .union(view(edgeSnap).select(col("b").as("id"), col("a").as("nb")))
       .localCheckpoint(true)
     var labelsSnap = view(symSnap).select("id").distinct()
       .withColumn("comp", col("id"))
