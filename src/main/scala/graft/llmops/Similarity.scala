@@ -205,6 +205,18 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = quantized(embeddings, idCol, vecCol)
     val (cents, assign) = ivfIndex(q, nClusters, idCol = idCol)
+    ivfTopKIndexed(q, cents, assign, probeId, k, nprobe, idCol)
+  }
+
+  /** The serving-path form: `q`/`cents`/`assign` are the persisted IVF
+    * index (build once with [[ivfIndex]], write `assign` partitioned by
+    * `cluster`; centroids are K rows of driver metadata). Per probe:
+    * K driver-side centroid scores, then an exact scan restricted to
+    * the `nprobe` best clusters via a literal IN-list — partition
+    * pruning on the cluster layout, never a corpus scan. */
+  def ivfTopKIndexed(q: DataFrame, cents: Seq[IvfCentroid], assign: DataFrame,
+                     probeId: Long, k: Int, nprobe: Int = DefaultIvfProbes,
+                     idCol: String = "vec_id"): DataFrame = {
     val probeRow = q.filter(col(idCol) === probeId).select("qe", "nq").head()
     val pe = probeRow.getSeq[Long](0)
     val np = probeRow.getLong(1)
