@@ -107,7 +107,11 @@ object WalSegmentIO {
         val (st2, evs) = PgOutputAssembler.onFrame(state, lsn, payload)
         state = st2
         evs.foreach { e =>
-          val isCommit = e.op == "commit" || e.op == "stream_commit"
+          // admission boundaries: all seal ops (a Prepare is NOT one —
+          // conservative: a prepared-but-uncommitted tx stays whole in
+          // a later batch together with its Commit Prepared)
+          val isCommit = e.op == "commit" || e.op == "stream_commit" ||
+            e.op == "commit_prepared"
           out += Rec(e.lsn, isCommit, () => eventToRow(e))
         }
       }

@@ -117,6 +117,28 @@ object PgOutputAssembler {
       case StreamAbortMsg(xid, _) =>
         (state, Seq(CdcEvent(Ctl.StreamAbort, walStart, xid, null, null, null,
           Nil, Nil)))
+      // two-phase (v3+): BeginPrepare opens like Begin (carries its xid
+      // up front); Prepare parks the buffer; CommitPrepared seals it —
+      // possibly much later, and txid-keyed assembly tolerates any
+      // interleaving in between; RollbackPrepared discards. The v4
+      // StreamPrepare parks a streamed transaction the same way.
+      case BeginPrepareMsg(_, _, _, xid, _) =>
+        (state.copy(currentXid = xid),
+          Seq(CdcEvent(Ctl.Begin, walStart, xid, null, null, null, Nil, Nil,
+            origin = state.origin)))
+      case PrepareMsg(_, prepareLsn, _, ts, xid, _) =>
+        (state.copy(origin = null),
+          Seq(CdcEvent(Ctl.Prepare, math.max(walStart, prepareLsn), xid,
+            tsOf(ts), null, null, Nil, Nil, origin = state.origin)))
+      case StreamPrepareMsg(_, prepareLsn, _, ts, xid, _) =>
+        (state, Seq(CdcEvent(Ctl.Prepare, math.max(walStart, prepareLsn), xid,
+          tsOf(ts), null, null, Nil, Nil)))
+      case CommitPreparedMsg(_, commitLsn, _, ts, xid, _) =>
+        (state, Seq(CdcEvent(Ctl.CommitPrepared, math.max(walStart, commitLsn),
+          xid, tsOf(ts), null, null, Nil, Nil)))
+      case RollbackPreparedMsg(_, _, _, _, ts, xid, _) =>
+        (state, Seq(CdcEvent(Ctl.RollbackPrepared, walStart, xid, tsOf(ts),
+          null, null, Nil, Nil)))
     }
   }
 

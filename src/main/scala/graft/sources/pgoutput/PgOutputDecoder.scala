@@ -63,6 +63,19 @@ object PgOutputDecoder {
   final case class StreamCommitMsg(xid: Long, flags: Int, commitLsn: Long,
                                    endLsn: Long, commitTsMicros: Long) extends PgMessage
   final case class StreamAbortMsg(xid: Long, subXid: Long) extends PgMessage
+  // two-phase commit family (protocol v3+; Stream Prepare v4)
+  final case class BeginPrepareMsg(prepareLsn: Long, endLsn: Long,
+                                   tsMicros: Long, xid: Long, gid: String) extends PgMessage
+  final case class PrepareMsg(flags: Int, prepareLsn: Long, endLsn: Long,
+                              tsMicros: Long, xid: Long, gid: String) extends PgMessage
+  final case class CommitPreparedMsg(flags: Int, commitLsn: Long, endLsn: Long,
+                                     tsMicros: Long, xid: Long, gid: String) extends PgMessage
+  final case class RollbackPreparedMsg(flags: Int, prepareEndLsn: Long,
+                                       rollbackEndLsn: Long, prepareTsMicros: Long,
+                                       rollbackTsMicros: Long, xid: Long,
+                                       gid: String) extends PgMessage
+  final case class StreamPrepareMsg(flags: Int, prepareLsn: Long, endLsn: Long,
+                                    tsMicros: Long, xid: Long, gid: String) extends PgMessage
 
   final class DecodeException(msg: String) extends RuntimeException(msg)
 
@@ -160,6 +173,18 @@ object PgOutputDecoder {
       case 'c' => StreamCommitMsg(uint32(b), b.get().toInt,
         b.getLong(), b.getLong(), b.getLong())
       case 'A' => StreamAbortMsg(uint32(b), uint32(b))
+      // two-phase (v3+): Begin Prepare / Prepare / Commit Prepared /
+      // Rollback Prepared; Stream Prepare is the v4 streamed form
+      case 'b' => BeginPrepareMsg(b.getLong(), b.getLong(), b.getLong(),
+        uint32(b), cstr(b))
+      case 'P' => PrepareMsg(b.get().toInt, b.getLong(), b.getLong(),
+        b.getLong(), uint32(b), cstr(b))
+      case 'K' => CommitPreparedMsg(b.get().toInt, b.getLong(), b.getLong(),
+        b.getLong(), uint32(b), cstr(b))
+      case 'r' => RollbackPreparedMsg(b.get().toInt, b.getLong(), b.getLong(),
+        b.getLong(), b.getLong(), uint32(b), cstr(b))
+      case 'p' => StreamPrepareMsg(b.get().toInt, b.getLong(), b.getLong(),
+        b.getLong(), uint32(b), cstr(b))
       case other => throw new DecodeException(s"unknown pgoutput message '$other'")
     }
   }

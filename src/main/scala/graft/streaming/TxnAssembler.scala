@@ -26,6 +26,13 @@ object TxnAssembler {
     val StreamStop = "stream_stop"
     val StreamCommit = "stream_commit"
     val StreamAbort = "stream_abort"
+    // two-phase family (protocol v3+): Prepare parks the buffer (the
+    // coordinator may commit much later, with other transactions in
+    // between — keyed state holds it); CommitPrepared seals,
+    // RollbackPrepared discards
+    val Prepare = "prepare"
+    val CommitPrepared = "commit_prepared"
+    val RollbackPrepared = "rollback_prepared"
   }
 
   /** Buffered per-txid state. */
@@ -50,11 +57,12 @@ object TxnAssembler {
           buf = if (buf.open) buf.copy(streaming = true)
             else TxBuf(Nil, streaming = true, open = true)
         case Ctl.StreamStop => // segment boundary: keep buffering
-        case Ctl.Commit | Ctl.StreamCommit =>
+        case Ctl.Prepare => // prepared: park until Commit/Rollback Prepared
+        case Ctl.Commit | Ctl.StreamCommit | Ctl.CommitPrepared =>
           val events = buf.events.reverse
           out += CdcTransaction(txid, e.lsn, e.commitTs, events)
           buf = TxBuf(Nil, streaming = false, open = false)
-        case Ctl.StreamAbort =>
+        case Ctl.StreamAbort | Ctl.RollbackPrepared =>
           buf = TxBuf(Nil, streaming = false, open = false)
         case _ =>
           buf = buf.copy(events = e :: buf.events, open = true)

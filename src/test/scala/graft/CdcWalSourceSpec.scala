@@ -259,6 +259,39 @@ class CdcWalSourceSpec extends SparkSpecBase {
     assert(got.find(_._1 == "c").get._3 == "seventy")
   }
 
+  test("commit-prepared is an admission boundary; bare prepare is not") {
+    import java.nio.ByteBuffer
+    def msg(build: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(256); build(b)
+      val a = new Array[Byte](b.position()); b.rewind(); b.get(a); a
+    }
+    def cstr(b: ByteBuffer, v: String): Unit = { b.put(v.getBytes("UTF-8")); b.put(0.toByte) }
+    val frames: Seq[(Long, Array[Byte])] = Seq(
+      1L -> msg { b => b.put('b'.toByte); b.putLong(1L); b.putLong(2L)
+        b.putLong(0L); b.putInt(70); cstr(b, "g1") },
+      2L -> msg { b => b.put('P'.toByte); b.put(0.toByte); b.putLong(2L)
+        b.putLong(3L); b.putLong(0L); b.putInt(70); cstr(b, "g1") })
+    val dir = Files.createTempDirectory("wal2pc").toFile.getAbsolutePath
+    val seg = ByteBuffer.allocate(2048)
+    frames.foreach { case (lsn, p) => seg.putLong(lsn); seg.putInt(p.length); seg.put(p) }
+    def write(): Unit = {
+      val bytes = new Array[Byte](seg.position())
+      seg.asReadOnlyBuffer().rewind()
+      val ro = seg.duplicate(); ro.rewind(); ro.get(bytes, 0, bytes.length)
+      Files.write(Paths.get(dir, "segment-000001.pgo"), bytes)
+    }
+    write()
+    // prepared but not yet committed: no admission boundary
+    assert(WalSegmentIO.lastCommitBoundary(dir, 0, None) == 0L)
+    // Commit Prepared arrives → boundary advances past it
+    seg.putLong(9L)
+    val cp = msg { b => b.put('K'.toByte); b.put(0.toByte); b.putLong(9L)
+      b.putLong(10L); b.putLong(0L); b.putInt(70); cstr(b, "g1") }
+    seg.putInt(cp.length); seg.put(cp)
+    write()
+    assert(WalSegmentIO.lastCommitBoundary(dir, 0, None) == 9L)
+  }
+
   test("torn trailing .pgo frame stops at the last complete frame") {
     import java.nio.ByteBuffer
     def msg(build: ByteBuffer => Unit): Array[Byte] = {

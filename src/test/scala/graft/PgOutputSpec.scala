@@ -172,6 +172,67 @@ class PgOutputSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase family decodes and assembles: prepare parks, commit-prepared seals") {
+    val ts = 757382400000000L
+    def beginPrepare(xid: Long, gid: String): Array[Byte] = {
+      val b = buf(); b.put('b'.toByte); b.putLong(100L); b.putLong(101L)
+      b.putLong(ts); b.putInt(xid.toInt); cstr(b, gid); out(b)
+    }
+    def prepare(xid: Long, gid: String): Array[Byte] = {
+      val b = buf(); b.put('P'.toByte); b.put(0.toByte); b.putLong(100L)
+      b.putLong(101L); b.putLong(ts); b.putInt(xid.toInt); cstr(b, gid); out(b)
+    }
+    def commitPrepared(xid: Long, gid: String, lsn: Long): Array[Byte] = {
+      val b = buf(); b.put('K'.toByte); b.put(0.toByte); b.putLong(lsn)
+      b.putLong(lsn + 1); b.putLong(ts); b.putInt(xid.toInt); cstr(b, gid); out(b)
+    }
+    def rollbackPrepared(xid: Long, gid: String): Array[Byte] = {
+      val b = buf(); b.put('r'.toByte); b.put(0.toByte); b.putLong(100L)
+      b.putLong(102L); b.putLong(ts); b.putLong(ts + 5); b.putInt(xid.toInt)
+      cstr(b, gid); out(b)
+    }
+
+    // raw decode sanity
+    PgOutputDecoder.parse(prepare(801, "gid-a")) match {
+      case PrepareMsg(0, 100L, 101L, `ts`, 801L, "gid-a") => ()
+      case other => fail(s"$other")
+    }
+    PgOutputDecoder.parse(rollbackPrepared(802, "gid-b")) match {
+      case RollbackPreparedMsg(0, 100L, 102L, _, _, 802L, "gid-b") => ()
+      case other => fail(s"$other")
+    }
+
+    // prepared tx 801 commits LATER, with tx 900 fully running in
+    // between; prepared tx 802 rolls back — its insert must vanish
+    val frames = Seq(
+      1L -> relationMsg(42, "public", "t1", 'd', Seq("id" -> true)),
+      2L -> beginPrepare(801, "gid-a"),
+      3L -> insertMsg(42, Seq(Some("1"))),
+      4L -> prepare(801, "gid-a"),
+      5L -> beginPrepare(802, "gid-b"),
+      6L -> insertMsg(42, Seq(Some("666"))),
+      7L -> prepare(802, "gid-b"),
+      8L -> beginMsg(900, ts),
+      9L -> insertMsg(42, Seq(Some("2"))),
+      10L -> commitMsg(10L, ts),
+      11L -> rollbackPrepared(802, "gid-b"),
+      12L -> commitPrepared(801, "gid-a", 12L))
+    val (_, evs) = PgOutputAssembler.assembleAll(frames)
+    // fold through the transaction assembler per txid (batch form)
+    val byTx = evs.groupBy(_.txid).map { case (txid, es) =>
+      txid -> TxnAssembler.step(txid, es, None)._2
+    }
+    assert(byTx(801L).size == 1)
+    assert(byTx(801L).head.events.map(e => e.get(e.after, "id").get.value) == Seq("1"))
+    assert(byTx(801L).head.commitLsn == 12L)
+    assert(byTx(802L).isEmpty, "rolled-back prepared tx must not seal")
+    assert(byTx(900L).size == 1)
+    // an un-resolved prepared tx keeps state (parked, not dropped)
+    val (keep, emitted) = TxnAssembler.step(803L, Seq(
+      evs.find(_.txid == 801L).get.copy(txid = 803L)), None)
+    assert(emitted.isEmpty && keep.isDefined)
+  }
+
   test("randomized round-trip: encode → decode → assemble preserves every image") {
     val rnd = new scala.util.Random(4242)
     def randStr(): String = {
