@@ -26,7 +26,8 @@ object Bench {
   private val headline = Seq(
     "q1_pricing", "q2_top_orders", "q3_revenue", "q4_region_stats",
     "q5_window_rank", "q6_rollup", "q13_asof", "q14_range",
-    "q19_market_share", "q20_waiting_supplier",
+    "q19_market_share", "q20_waiting_supplier", "q22_nation_balance",
+    "q23_event_windows",
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",

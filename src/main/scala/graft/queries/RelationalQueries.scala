@@ -341,6 +341,39 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_cust"),
           sum(cents(col("c_acctbal"))).as("bal_cents"))
         .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q11 shape: GROUP totals filtered against a fraction of the
+    // GLOBAL total (HAVING over aggregates vs a scalar subquery). The
+    // global total is a one-row broadcast; the group side is one
+    // partial-aggregated shuffle on the group key. Integer cents make
+    // the 4% threshold exact: total*25 > global (no float division).
+    "q22_nation_balance" -> ((s, d) => {
+      val perNation = supplier(s, d)
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("s_acctbal"))).as("bal_cents"))
+      val global = perNation.agg(sum("bal_cents").as("global_cents"))
+      perNation.crossJoin(broadcast(global))
+        .filter(col("bal_cents") * 25 > col("global_cents"))
+        .select("n_name", "bal_cents")
+        .orderBy(desc("bal_cents"), col("n_name"))
+    }),
+
+    // Tumbling-window event aggregation: 10-minute windows per event
+    // type — the batch form of the streaming windowed aggregate, as pure
+    // integer bucket arithmetic on the nanosecond timestamps (engine-
+    // exact; the window id IS floor(ts / width)). One partial-aggregated
+    // shuffle on (type, window).
+    "q23_event_windows" -> ((s, d) => {
+      events(s, d)
+        .withColumn("win_id", expr("ts div 600000000000"))
+        .groupBy("event_type", "win_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("event_type", "win_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -516,5 +549,20 @@ object RelationalQueries {
         |WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos_n > pos_sum
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_nation_balance" ->
+      """WITH per AS (
+        |  SELECT n_name,
+        |    CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, bal_cents FROM per
+        |WHERE bal_cents * 25 > (SELECT CAST(sum(bal_cents) AS BIGINT) FROM per)
+        |ORDER BY bal_cents DESC, n_name""".stripMargin,
+    "q23_event_windows" ->
+      """SELECT event_type, epoch_ns(ts) // 600000000000 AS win_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
