@@ -83,4 +83,59 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("frame_idx"),
         md5(concat(col("media_id"), lit(":"), col("frame_idx"))).as("frame_key"))
   }
+
+  final case class ResizedMedia(media_id: Long, kind: String, bytes: Array[Byte],
+                                width: Int, height: Int, orig_bytes: Int)
+  implicit val resizedEnc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
+
+  /** STUB resize: the image-preprocessing step of a multimodal ingest
+    * (real impl: decode → scale to `targetW`×`targetH` → re-encode, per
+    * batch). The stub emits a deterministic payload derived from the
+    * input (md5-keyed, length `targetW·targetH/64` as a stand-in for a
+    * re-encoded thumbnail), so downstream size accounting and
+    * repartitioning are exercised with realistic byte volumes. */
+  def resizeStub(items: Dataset[MediaItem], targetW: Int, targetH: Int,
+                 batchSize: Int = 64): Dataset[ResizedMedia] = {
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // >>> real codec init once per batch here <<<
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.iterator.map { m =>
+          val src = Option(m.bytes).getOrElse(Array.emptyByteArray)
+          val seed = md.digest(src ++ s":${targetW}x$targetH".getBytes)
+          val outLen = math.max(16, targetW * targetH / 64)
+          val out = Array.tabulate(outLen)(i => seed(i % seed.length))
+          ResizedMedia(m.media_id, m.kind, out, targetW, targetH, src.length)
+        }
+      }
+    }
+  }
+
+  /** Audio-chunking stub: fixed-size windows over the byte stream with
+    * overlap — pure arithmetic on lengths (no decode), so the chunk
+    * table (the unit of downstream ASR/embedding work) is real. One row
+    * per chunk: (media_id, chunk_idx, offset, length). */
+  def chunkAudio(items: Dataset[MediaItem], chunkBytes: Int,
+                 overlapBytes: Int = 0): DataFrame = {
+    require(overlapBytes < chunkBytes, "overlap must be smaller than the chunk")
+    val step = chunkBytes - overlapBytes
+    items.toDF()
+      .withColumn("n_bytes", octet_length(col("bytes")))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        greatest(ceil((col("n_bytes") - lit(overlapBytes)) / lit(step)) - 1, lit(0))
+          .cast("int"))))
+      .select(col("media_id"), col("chunk_idx"),
+        (col("chunk_idx") * step).as("offset"),
+        least(lit(chunkBytes), col("n_bytes") - col("chunk_idx") * step)
+          .as("length"))
+      .filter(col("length") > 0)
+  }
+
+  /** Features → the similarity stack: the extracted feature vectors ARE
+    * an embedding column, so every ANN/near-dup operator applies
+    * unchanged. This is the composition a multimodal dedup pipeline
+    * runs (decode → embed → cosine near-dup). */
+  def featureEmbeddings(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF().select(col("media_id").as("vec_id"),
+      col("feature").as("embedding"))
 }

@@ -237,4 +237,49 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(frames.count() == 3 * 4) // 0,3,6,9
     assert(frames.select("frame_key").distinct().count() == 12)
   }
+
+  test("resize stub: target dims, deterministic payloads, batch amortization shape") {
+    val media = Multimodal.asMedia(docs.limit(10), "doc_id", "text", "image",
+      "source", "image/png")
+    val resized = Multimodal.resizeStub(media, targetW = 64, targetH = 64)
+    val rows = resized.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.width == 64 && r.height == 64))
+    assert(rows.forall(_.bytes.length == 64 * 64 / 64))
+    assert(rows.forall(_.orig_bytes > 0))
+    val again = Multimodal.resizeStub(media, 64, 64, batchSize = 3).collect()
+    assert(rows.sortBy(_.media_id).map(_.bytes.toSeq)
+      .sameElements(again.sortBy(_.media_id).map(_.bytes.toSeq)))
+  }
+
+  test("audio chunking: offsets/lengths tile the stream with overlap") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaItem(1L, "audio", Array.fill[Byte](2500)(7), "s", "audio/wav"),
+      Multimodal.MediaItem(2L, "audio", Array.fill[Byte](999)(7), "s", "audio/wav"))
+      .toDS()
+    val chunks = Multimodal.chunkAudio(media, chunkBytes = 1000, overlapBytes = 200)
+      .selectExpr("media_id", "chunk_idx",
+        "CAST(offset AS BIGINT) AS offset", "CAST(length AS BIGINT) AS length")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(c => (c._1, c._2))
+    // media 1: step 800 → offsets 0,800,1600 cover 2500 bytes
+    val m1 = chunks.filter(_._1 == 1L)
+    assert(m1.map(_._3).toSeq == Seq(0L, 800L, 1600L))
+    assert(m1.last._4 == 900L) // tail chunk truncated to stream end
+    // media 2: single short chunk
+    val m2 = chunks.filter(_._1 == 2L)
+    assert(m2.map(c => (c._3, c._4)).toSeq == Seq((0L, 999L)))
+  }
+
+  test("multimodal features feed the similarity stack unchanged") {
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text", "image",
+      "source", "image/png")
+    val feats = Multimodal.decodeStub(media, featureDim = 8)
+    val emb = Multimodal.featureEmbeddings(feats)
+    val probe = emb.select("vec_id").orderBy("vec_id").head().getLong(0)
+    val top = Similarity.bruteForceTopK(emb, probeId = probe, k = 5)
+    assert(top.count() == 5)
+    assert(top.select("vec_id").collect().forall(_.getLong(0) != probe))
+  }
 }
