@@ -213,6 +213,16 @@ object Dedup {
     var labelsSnap = view(symSnap).select("id").distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // convergence detection: labels are MONOTONE (min/least only ever
+    // lower them), so the fixpoint is reached exactly when the label-sum
+    // stops decreasing — one cheap scan aggregation per round on the
+    // checkpointed table, instead of a full self-join diff. decimal(38)
+    // keeps the sum exact at any vertex count.
+    def labelSum(snap: DataFrame): java.math.BigDecimal = {
+      val r = view(snap).agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labelsSnap)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -228,10 +238,9 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = view(jumpedSnap).as("n")
-        .join(view(labelsSnap).as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .head(1).nonEmpty
+      val newSum = labelSum(jumpedSnap)
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       labelsSnap = jumpedSnap
       iter += 1
     }
