@@ -1,0 +1,108 @@
+package graft
+
+import graft.model.{CdcColumn, CdcEvent}
+import graft.streaming.{TxnSpill, TxnAssembler}
+import graft.streaming.TxnAssembler.Ctl
+import org.apache.spark.sql.functions.col
+import java.nio.file.Files
+
+/** Disk-spilled transaction resolution: large streamed transactions
+  * seal via txid semi-joins against a parquet pending area — no
+  * executor-memory buffering — with the same abort/commit semantics the
+  * keyed assembler provides. */
+class TxnSpillSpec extends SparkSpecBase {
+
+  private val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ctl(op: String, lsn: Long, txid: Long) =
+    CdcEvent(op, lsn, txid, ts, null, null, Nil, Nil, isFinalBatch = false)
+  private def ins(lsn: Long, txid: Long, id: Int, fin: Boolean = false) =
+    CdcEvent("c", lsn, txid, ts, "public", "t1", Nil,
+      Seq(CdcColumn("id", id.toString), CdcColumn("val", (id * 10).toString)),
+      keyColumns = Seq("id"), isFinalBatch = fin)
+
+  private def newSpill(): String =
+    Files.createTempDirectory("txspill").toFile.getAbsolutePath
+
+  private def readyIds(r: TxnSpill.Resolved): Seq[String] =
+    r.ready.filter(col("op") === "c")
+      .selectExpr("after[0].value").collect().map(_.getString(0)).sorted.toSeq
+
+  test("DML parks until its commit arrives; aborts drop it; spill drains") {
+    import spark.implicits._
+    val spill = newSpill()
+    // batch 1: open streamed tx 77 (no commit yet) + self-sealed tx 79
+    val r1 = TxnSpill.resolve(Seq(
+      ctl(Ctl.StreamStart, 1, 77), ins(2, 77, 999),
+      ctl(Ctl.StreamStop, 3, 77),
+      ins(4, 79, 2, fin = true)).toDS(), spill)
+    assert(readyIds(r1) == Seq("2"))
+    r1.commit()
+
+    // batch 2: tx 77 aborts — parked DML must vanish, nothing applied
+    val r2 = TxnSpill.resolve(Seq(ctl(Ctl.StreamAbort, 5, 77)).toDS(), spill)
+    assert(readyIds(r2).isEmpty)
+    r2.commit()
+
+    // batch 3: fresh framed tx 78 commits; spill is empty of 77
+    val r3 = TxnSpill.resolve(Seq(
+      ctl(Ctl.Begin, 6, 78), ins(7, 78, 1), ctl(Ctl.Commit, 8, 78)).toDS(), spill)
+    assert(readyIds(r3) == Seq("1"))
+    r3.commit()
+    val r4 = TxnSpill.resolve(spark.emptyDataset[CdcEvent], spill)
+    assert(r4.ready.count() == 0)
+  }
+
+  test("a transaction larger than any batch seals across batches, memory-free") {
+    import spark.implicits._
+    val spill = newSpill()
+    // 3 chunks of a single streamed tx 500, commit only in the last
+    val r1 = TxnSpill.resolve(
+      (ctl(Ctl.StreamStart, 1, 500) +: (1 to 4000).map(i => ins(10 + i, 500, i)))
+        .toDS(), spill)
+    assert(r1.ready.count() == 0); r1.commit()
+    val r2 = TxnSpill.resolve(
+      (4001 to 8000).map(i => ins(10 + i, 500, i)).toDS(), spill)
+    assert(r2.ready.count() == 0); r2.commit()
+    val r3 = TxnSpill.resolve(
+      ((8001 to 10000).map(i => ins(10 + i, 500, i))
+        :+ ctl(Ctl.StreamCommit, 99999, 500)).toDS(), spill)
+    assert(r3.ready.count() == 10000, "whole tx seals when its commit lands")
+    r3.commit()
+    val drained = TxnSpill.resolve(spark.emptyDataset[CdcEvent], spill)
+    assert(drained.ready.count() == 0)
+  }
+
+  test("replaying a batch against the pre-commit spill recomputes the same seal") {
+    import spark.implicits._
+    val spill = newSpill()
+    val r1 = TxnSpill.resolve(Seq(
+      ctl(Ctl.Begin, 1, 60), ins(2, 60, 7)).toDS(), spill)
+    r1.commit()
+    val batch2 = Seq(ctl(Ctl.Commit, 3, 60), ins(4, 61, 8, fin = true))
+    // crash between apply and commit(): resolve runs twice on same spill
+    val a = TxnSpill.resolve(batch2.toDS(), spill)
+    val firstIds = readyIds(a) // apply happened, then crash — no commit()
+    val b = TxnSpill.resolve(batch2.toDS(), spill)
+    assert(readyIds(b) == firstIds && firstIds == Seq("7", "8"))
+    b.commit()
+  }
+
+  test("e2e: spill warehouse chain discards aborted streamed txs (assembler parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("wh-spill").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("wh-spill-ckpt").toFile.getAbsolutePath
+    val mem = MemoryStream[CdcEvent]
+    mem.addData(
+      ctl(Ctl.StreamStart, 1, 77), ins(2, 77, 999),
+      ctl(Ctl.StreamStop, 3, 77), ctl(Ctl.StreamAbort, 4, 77),
+      ctl(Ctl.Begin, 5, 78), ins(6, 78, 1), ctl(Ctl.Commit, 7, 78),
+      ins(8, 79, 2, fin = true))
+    val q = TxnSpill.startWarehouseSpill(mem.toDF(), root, ckpt, numBuckets = 4)
+    q.awaitTermination()
+    val ids = spark.read.option("mergeSchema", "true").parquet(s"$root/public.t1")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("1", "2"), s"got $ids")
+  }
+}
