@@ -74,6 +74,36 @@ object WarehouseDemo {
     val cnt = spark.read.option("mergeSchema", "true")
       .parquet(s"$root/public.t1").count()
     println(s"final row count: $cnt (expect ${n - 100})")
+
+    // SURVEY §6 capacity analog: ONE streamed (v2) transaction larger
+    // than any sane executor buffer, sealed via the TxnSpill disk path —
+    // DML chunks arrive across three batches, commit in the last, and
+    // nothing scales with transaction size but parquet bytes.
+    val bigTx = math.max(n * 5, 1000000)
+    val root2 = Files.createTempDirectory("wh-demo-bigtx").toFile.getAbsolutePath
+    val spill = s"$root2/_txspill"
+    def chunk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .map(i => ev("c", 10 + i, i, i).copy(isFinalBatch = false))
+    def ctl(op: String, lsn: Long) = spark.createDataset(Seq(
+      CdcEvent(op, lsn, 1L, ts, null, null, Nil, Nil, isFinalBatch = false)))
+    val t2 = System.nanoTime()
+    val b0 = ctl(graft.streaming.TxnAssembler.Ctl.StreamStart, 1)
+      .union(chunk(0, bigTx / 3))
+    val r0 = graft.streaming.TxnSpill.resolve(b0, spill)
+    graft.streaming.CdcPipeline.applyWarehouseBatch(r0.ready.as[CdcEvent], root2, 64, 0)
+    r0.commit()
+    val r1 = graft.streaming.TxnSpill.resolve(chunk(bigTx / 3, 2 * bigTx / 3), spill)
+    graft.streaming.CdcPipeline.applyWarehouseBatch(r1.ready.as[CdcEvent], root2, 64, 1)
+    r1.commit()
+    val b2 = chunk(2 * bigTx / 3, bigTx)
+      .union(ctl(graft.streaming.TxnAssembler.Ctl.StreamCommit, bigTx + 100))
+    val r2 = graft.streaming.TxnSpill.resolve(b2, spill)
+    graft.streaming.CdcPipeline.applyWarehouseBatch(r2.ready.as[CdcEvent], root2, 64, 2)
+    r2.commit()
+    val bigSecs = (System.nanoTime() - t2) / 1e9
+    val bigCnt = spark.read.parquet(s"$root2/public.t1").count()
+    println(f"single $bigTx-row streamed tx via TxnSpill: sealed+applied in " +
+      f"$bigSecs%.2f s (${bigTx / bigSecs}%.0f rows/s); replica rows: $bigCnt")
     spark.stop()
   }
 }
