@@ -33,7 +33,8 @@ object Bench {
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",
     "llm_tokens", "llm_quality", "llm_curate",
     "llm_dedup_cluster", "llm_quality_rep", "llm_tfidf", "llm_mix",
-    "llm_sample_stratified", "llm_entropy", "llm_embed_stats")
+    "llm_sample_stratified", "llm_entropy", "llm_embed_stats",
+    "llm_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -86,6 +86,18 @@ object LlmQueries {
         .orderBy("va", "vb")
     }),
 
+    // Semantic dedup: drop documents whose EMBEDDING near-duplicates a
+    // smaller-id document (banded-LSH candidates verified by exact
+    // quantized cosine) — the "same meaning, different words" dedup
+    // pass that textual near-dedup misses. Per-source keep counts.
+    "llm_dedup_semantic" -> ((s, d) => {
+      val drops = Similarity.cosineNearDup(embeddings(s, d), threshold = 0.45)
+        .select(col("vb").as("doc_id")).distinct()
+      documents(s, d).join(drops, Seq("doc_id"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // Sequence packing: assign documents to fixed-token-budget training
     // sequences by running token count — greedy starting-offset binning,
     // packed independently per source shard (packing is inherently
@@ -404,6 +416,30 @@ object LlmQueries {
         .orderBy("source", "rank")
     }))
 
+  /** Shared banded-hyperplane-LSH candidate CTEs (plane literals
+    * identical to the Spark-side HyperplaneBuckets family). */
+  private lazy val cosNearDupCtes: String = {
+    import graft.expressions.Hyperplanes
+    val (seed, bands, bits, dim) = (Similarity.DefaultSeed,
+      Similarity.DefaultBands, Similarity.DefaultBitsPerBand, 64)
+    // band-tagged bucket strings: 't-<bucket>' ≙ Spark's (band, bucket)
+    // two-column join key
+    val bandExprs = (0 until bands).map(t =>
+      s"'$t-' || CAST(${Hyperplanes.bucketSql(seed, t, bits, dim)} AS VARCHAR)")
+      .mkString(",\n    ")
+    s"""WITH q AS (SELECT vec_id,
+       |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qe,
+       |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+       |  FROM q),
+       |banded AS (SELECT vec_id, unnest([
+       |    $bandExprs]) AS bucket FROM n),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |         FROM banded a JOIN banded b
+       |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
@@ -468,34 +504,24 @@ object LlmQueries {
         |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
         |FROM n WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
-    "llm_cos_neardup" -> {
-      import graft.expressions.Hyperplanes
-      val (seed, bands, bits, dim) = (Similarity.DefaultSeed,
-        Similarity.DefaultBands, Similarity.DefaultBitsPerBand, 64)
-      // band-tagged bucket strings: 't-<bucket>' ≙ Spark's (band, bucket)
-      // two-column join key; plane literals shared with HyperplaneBuckets
-      val bandExprs = (0 until bands).map(t =>
-        s"'$t-' || CAST(${Hyperplanes.bucketSql(seed, t, bits, dim)} AS VARCHAR)")
-        .mkString(",\n    ")
-      s"""WITH q AS (SELECT vec_id,
-         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, qe,
-         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
-         |  FROM q),
-         |banded AS (SELECT vec_id, unnest([
-         |    $bandExprs]) AS bucket FROM n),
-         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |         FROM banded a JOIN banded b
-         |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    "llm_cos_neardup" ->
+      s"""${cosNearDupCtes}
          |SELECT va, vb,
          |  list_dot_product(na.qe::BIGINT[], nb.qe::BIGINT[]) * 1.0
          |    / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) AS cosine
          |FROM cand JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id
          |WHERE list_dot_product(na.qe::BIGINT[], nb.qe::BIGINT[]) * 1.0
          |    / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) >= 0.1
-         |ORDER BY 1, 2""".stripMargin
-    },
+         |ORDER BY 1, 2""".stripMargin,
+    "llm_dedup_semantic" ->
+      s"""${cosNearDupCtes},
+         |drops AS (SELECT DISTINCT vb FROM cand
+         |  JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id
+         |  WHERE list_dot_product(na.qe::BIGINT[], nb.qe::BIGINT[]) * 1.0
+         |    / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) >= 0.45)
+         |SELECT source, count(*) AS n_kept
+         |FROM documents WHERE doc_id NOT IN (SELECT vb FROM drops)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_ann_lsh" -> {
       import graft.expressions.Hyperplanes
       val (seed, bands, bits, dim) = (Similarity.DefaultSeed,
