@@ -103,4 +103,35 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
         }
     }
   }
+
+  /** Maintenance compaction: rewrite buckets whose file count exceeds
+    * `maxFilesPerBucket` into one file each (schema unified to the
+    * merged view). Normal MERGE rewrites already leave ~one file per
+    * touched bucket; fragmentation accumulates from drained-bucket
+    * markers and schema-evolution eras. Run this OFFLINE (no concurrent
+    * applyBatch on the same table): it is a per-bucket overwrite, so a
+    * crash mid-compact loses no rows — each bucket rewrite is all-or-
+    * nothing and re-runnable. Returns the compacted bucket ids. */
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 4): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val fragmented = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map { s =>
+        val b = s.getPath.getName.stripPrefix("bucket=").toInt
+        val nFiles = fs.listStatus(s.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        (b, nFiles)
+      }
+      .filter(_._2 > maxFilesPerBucket)
+      .map(_._1).sorted
+    fragmented.foreach { b =>
+      val dir = s"$path/bucket=$b"
+      val rows = spark.read.option("mergeSchema", "true").parquet(dir)
+        .localCheckpoint(true) // materialize before overwriting its input
+      rows.repartition(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    fragmented
+  }
 }

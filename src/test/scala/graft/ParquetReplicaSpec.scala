@@ -211,4 +211,38 @@ class ParquetReplicaSpec extends SparkSpecBase {
       .select("id").collect().map(_.getString(0)).toSet
     assert(ids == Set("1", "2"), s"got $ids")
   }
+
+  test("compact rewrites fragmented buckets only; content and schema preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val path = java.nio.file.Files.createTempDirectory("replica-compact")
+      .toFile.getAbsolutePath
+    val sink = new graft.sinks.ParquetReplicaSink(path, Seq("id"), numBuckets = 4)
+    // fragment bucket dirs artificially: many tiny writes into one bucket
+    val seed = (1 to 200).map(i => ("c", i.toLong, i.toString, s"v$i"))
+      .toDF("op", "lsn", "id", "val")
+    sink.applyBatch(spark, seed, 0L)
+    // append extra files to one bucket dir (simulating era fragmentation)
+    val frag = new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket=")).head
+    (1 to 6).foreach { i =>
+      spark.createDataFrame(Seq(("x" + i, "y" + i))).toDF("id", "val")
+        .repartition(1).write.mode("append").parquet(frag.getAbsolutePath)
+    }
+    val before = sink.snapshot(spark).collect().map(_.toSeq).toSet
+    def files(dir: java.io.File) =
+      dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(frag) > 4)
+    val untouched = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("bucket=") && f != frag)
+      .map(f => f.getName -> files(f)).toMap
+
+    val compacted = sink.compact(spark, maxFilesPerBucket = 4)
+    assert(compacted == Seq(frag.getName.stripPrefix("bucket=").toInt))
+    assert(files(frag) == 1, "fragmented bucket collapses to one file")
+    // non-fragmented buckets untouched; every row survives
+    new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("bucket=") && f.getName != frag.getName)
+      .foreach(f => assert(files(f) == untouched(f.getName)))
+    assert(sink.snapshot(spark).collect().map(_.toSeq).toSet == before)
+  }
 }
