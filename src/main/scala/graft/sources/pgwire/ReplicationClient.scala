@@ -14,10 +14,14 @@ import java.nio.ByteBuffer
   *   - XLogData frames append [lsn][len][payload] to the current open
   *     segment (flushed at commit boundaries, so a reader sees whole
   *     transactions; a torn tail frame is tolerated by readPgo);
-  *   - segments rotate at `segmentBytes`, and every new segment is
-  *     SELF-CONTAINED: the cached Relation/Type messages re-emit at its
-  *     head (the invariant WalSegmentIO documents, mirroring pgoutput's
-  *     own per-session relation re-send);
+  *   - segments rotate at `segmentBytes`, but ONLY at transaction-idle
+  *     points (after Commit/Prepare/StreamStop/StreamCommit/abort
+  *     frames) — never between Begin..Commit or inside a stream block,
+  *     where a fresh per-segment decoder would lose the txid/inStream
+  *     framing; every new segment is SELF-CONTAINED: the cached
+  *     Relation/Type messages re-emit at its head (the invariant
+  *     WalSegmentIO documents, mirroring pgoutput's own per-session
+  *     relation re-send);
   *   - keepalives (and a wall-clock interval) answer with Standby Status
   *     Update carrying the sink's `flush.lsn` ACK — the slot's
   *     confirmed_flush advances only past data the DESTINATION flushed,
@@ -58,6 +62,13 @@ final class ReplicationClient(
   private var segBytes = 0L
   private var segIndex = 0
   private var lastReceived = 0L
+  // Transaction framing state: a segment may only begin at a point where
+  // a FRESH decoder (PgOutputAssembler.State()) can pick up — i.e. not
+  // between Begin..Commit / BeginPrepare..Prepare of a normal tx and not
+  // inside a StreamStart..StreamStop block. Rotating mid-frame would
+  // orphan the new segment's DML (txid=0, lost inStream) because only
+  // Relation/Type metadata re-emits at the segment head.
+  private var txIdle = true
 
   private def openSegment(atLsn: Long): Unit = {
     segIndex += 1
@@ -74,8 +85,14 @@ final class ReplicationClient(
     segBytes += 12 + payload.length
   }
 
+  /** Rotate only when the just-appended frame left the stream at a
+    * transaction boundary AND the segment is over size — a huge single
+    * transaction therefore grows its segment past `segmentBytes` (the
+    * reference's per-tx segment files have the same disk bound,
+    * transaction_manager.rs:638-706); what is never allowed is a
+    * boundary mid-transaction. */
   private def maybeRotate(nextLsn: Long): Unit =
-    if (segBytes >= cfg.segmentBytes) {
+    if (txIdle && segBytes >= cfg.segmentBytes) {
       seg.close()
       openSegment(nextLsn)
     }
@@ -133,11 +150,21 @@ final class ReplicationClient(
               case XLogData(walStart, _, _, payload) =>
                 lastReceived = math.max(lastReceived, walStart)
                 cacheMeta(payload)
+                // rotate LAZILY, before the next frame while still idle —
+                // an over-size segment waits here until the in-flight tx
+                // seals, and the new segment always opens with a fresh
+                // transaction (never a trailing metadata-only segment)
                 maybeRotate(walStart)
                 append(walStart, payload)
-                // commit boundaries flush so readers see sealed txs
-                val tag = payload(0).toChar
-                if (tag == 'C' || tag == 'c') seg.flush()
+                payload(0).toChar match {
+                  case 'B' | 'b' | 'S' => txIdle = false // tx/block opens
+                  case 'C' | 'P' | 'E' | 'c' | 'A' | 'K' | 'r' | 'p' =>
+                    // tx sealed / parked / block closed: flush so readers
+                    // see whole transactions
+                    txIdle = true
+                    seg.flush()
+                  case _ => () // DML / Relation / Type / Origin / Message
+                }
               case Keepalive(walEnd, _, replyRequested) =>
                 lastReceived = math.max(lastReceived, walEnd)
                 if (replyRequested) { sendStatus(replyRequested = false); lastStatus = clockMicros() }

@@ -194,9 +194,14 @@ object CdcPipeline {
         math.min(math.max(tables.length, 1), 4))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val jobGroup = s"graft-warehouse-$batchId"
       try {
         val applies = tables.toSeq.map { row =>
           scala.concurrent.Future {
+            // per-thread: tag this table's jobs so a sibling failure can
+            // cancel them (interruptOnCancel stops running tasks too)
+            spark.sparkContext.setJobGroup(jobGroup,
+              s"warehouse apply batch=$batchId", interruptOnCancel = true)
             val (sch, tbl) = (row.getString(0), row.getString(1))
             val cols = row.getSeq[String](2).sorted
             val keys = row.getSeq[String](3)
@@ -211,9 +216,19 @@ object CdcPipeline {
               .applyBatch(spark, flat, batchId)
           }
         }
-        scala.concurrent.Await.result(
+        try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(applies),
           scala.concurrent.duration.Duration.Inf)
+        catch { case e: Throwable =>
+          // One table failed: STOP the siblings before propagating.
+          // The streaming retry replays this batch; an apply from the
+          // failed attempt still rewriting buckets would race the
+          // replay's reads of the same dirs.
+          pool.shutdownNow()
+          spark.sparkContext.cancelJobGroup(jobGroup)
+          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+          throw e
+        }
       } finally pool.shutdown()
       writeWarehouseBatch(spark, rootPath, batchId)
     } finally df.unpersist()

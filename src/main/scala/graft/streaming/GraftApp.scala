@@ -22,6 +22,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   GRAFT_DIALECT      — ansi|mysql|sqlserver|sqlite (default ansi)
   *   GRAFT_METRICS_PORT — scrape port (default 8080; -1 disables)
   *   CDC_MAX_EVENTS_PER_TRIGGER — admission cap (optional)
+  *   GRAFT_PG_HOST/PORT/USER/PASSWORD/DATABASE — live capture upstream
+  *     (optional; database defaults to "postgres", as libpq does)
   */
 object GraftApp {
 
@@ -60,10 +62,7 @@ object GraftApp {
       captureTransport.orElse(env.get("GRAFT_PG_HOST").map { host => () =>
         val t = graft.sources.pgwire.PgWire.socketTransport(
           host, env.get("GRAFT_PG_PORT").map(_.toInt).getOrElse(5432))
-        graft.sources.pgwire.PgWire.handshake(t,
-          env.getOrElse("GRAFT_PG_USER", "postgres"),
-          env.get("GRAFT_PG_PASSWORD"))
-        t
+        connectTransport(t, env)
       })
     val capture = transportFactory.map { mk =>
       val startLsn = graft.model.Lsn(
@@ -106,6 +105,20 @@ object GraftApp {
       applier.applyBatch(batch, batchId)
     }
     Wiring(query, metrics, listener, capture.map(_._1), captureThread)
+  }
+
+  /** Open the wire session on a fresh transport: StartupMessage FIRST
+    * (the server waits for it before saying anything — handshaking
+    * without it deadlocks both sides), then the authentication
+    * conversation. Factored so tests can drive the exact production
+    * byte order through a scripted transport. */
+  def connectTransport(t: graft.sources.pgwire.PgWire.WireTransport,
+                       env: Map[String, String]): graft.sources.pgwire.PgWire.WireTransport = {
+    val user = env.getOrElse("GRAFT_PG_USER", "postgres")
+    t.send(graft.sources.pgwire.PgWire.startup(
+      user, env.getOrElse("GRAFT_PG_DATABASE", "postgres")))
+    graft.sources.pgwire.PgWire.handshake(t, user, env.get("GRAFT_PG_PASSWORD"))
+    t
   }
 
   /** Drain and release everything (idempotent): capture first (final

@@ -100,6 +100,35 @@ class GraftAppSpec extends SparkSpecBase {
     } finally { GraftApp.shutdown(w); c.close() }
   }
 
+  test("connectTransport sends StartupMessage BEFORE reading the handshake") {
+    import graft.sources.pgwire.PgWire
+    // A real server says NOTHING until it receives the StartupMessage —
+    // a transport that throws if read before any send models that.
+    val sent = new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]()
+    val t = new PgWire.WireTransport {
+      private var step = 0
+      override def send(bytes: Array[Byte]): Unit = sent.add(bytes)
+      override def read(): PgWire.Backend = {
+        assert(!sent.isEmpty, "read before startup was sent: live deadlock")
+        step += 1
+        step match {
+          case 1 => PgWire.Backend('R', Array[Byte](0, 0, 0, 0)) // AuthenticationOk
+          case _ => PgWire.Backend('Z', Array[Byte]('I'.toByte)) // ReadyForQuery
+        }
+      }
+      override def close(): Unit = ()
+    }
+    GraftApp.connectTransport(t, Map(
+      "GRAFT_PG_USER" -> "u1", "GRAFT_PG_DATABASE" -> "db9"))
+    // first bytes on the wire are the StartupMessage (untagged, proto 3.0)
+    val first = sent.get(0)
+    val body = new String(first, 8, first.length - 8, StandardCharsets.UTF_8)
+    assert(java.nio.ByteBuffer.wrap(first).getInt(4) == 196608)
+    assert(body.contains("user\u0000u1\u0000"))
+    assert(body.contains("database\u0000db9\u0000"))
+    assert(body.contains("replication\u0000database\u0000"))
+  }
+
   test("live capture chain: walsender frames -> segments -> source -> Derby") {
     import WalsenderFixtures._
     val wal = Files.createTempDirectory("app-wal3").toFile.getAbsolutePath

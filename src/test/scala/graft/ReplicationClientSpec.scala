@@ -104,6 +104,51 @@ class ReplicationClientSpec extends SparkSpecBase {
     assert(inserts == Seq("1", "2"))
   }
 
+  test("rotation waits for a transaction boundary — a segment never splits a tx") {
+    val dir = Files.createTempDirectory("replcli3").toFile.getAbsolutePath
+    val t = new FakeWalsender
+    // segBytes=1: EVERY frame is over budget, so rotation is requested
+    // constantly — it may only actually happen at tx-idle points
+    val client = new ReplicationClient(t, newCfg(segBytes = 1), dir)
+    val runner = new Thread(() => client.run(Lsn(0L)))
+    runner.start()
+    t.frames.put(xlog(1, relation(42, "t1")))
+    t.frames.put(xlog(2, begin(500)))
+    (3 to 12).foreach(i => t.frames.put(xlog(i, insert(42, i.toString, "x"))))
+    t.frames.put(xlog(13, commit(13)))
+    t.frames.put(xlog(14, begin(501)))
+    t.frames.put(xlog(15, insert(42, "15", "y")))
+    t.frames.put(xlog(16, commit(16)))
+    t.frames.put(keepalive(17, reply = true))
+    val deadline = System.currentTimeMillis() + 20000
+    while (client.statusUpdatesSent.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    client.stop()
+    t.frames.put(keepalive(18, reply = false))
+    runner.join(20000)
+    assert(!runner.isAlive)
+
+    val segs = WalSegmentIO.segmentFiles(dir)
+    assert(segs.size >= 2, s"expected rotation, got ${segs.map(_.getName)}")
+    // EVERY segment decodes stand-alone, and no DML row ever falls out
+    // of its transaction framing (txid=0 would mean a mid-tx split)
+    var dmlSeen = 0
+    segs.foreach { f =>
+      val solo = Files.createTempDirectory("solo3").toFile.getAbsolutePath
+      Files.copy(f.toPath, Paths.get(solo, f.getName))
+      WalSegmentIO.readLines(solo).foreach { r =>
+        val row = r.make()
+        val op = row.getUTF8String(0).toString
+        if (op == "c" || op == "u" || op == "d") {
+          dmlSeen += 1
+          assert(row.getLong(2) != 0L,
+            s"DML with txid=0 in ${f.getName}: segment split mid-transaction")
+        }
+      }
+    }
+    assert(dmlSeen == 11)
+  }
+
   test("resumed session continues segment numbering (no overwrite)") {
     val dir = Files.createTempDirectory("replcli2").toFile.getAbsolutePath
 
