@@ -1,22 +1,28 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** The 100 TB-scale apply path: maintain a replica table as hash-bucketed
   * parquet via MERGE semantics with partition pruning (the A2/A3
   * "VALUES-JOIN UPDATE" becomes a real join, SURVEY §4; MERGE intent of
   * the reference's coalescing.rs:644-871).
   *
-  * Layout: `path/bucket=N/…` where `bucket = pmod(hash(key…), numBuckets)`.
-  * Each micro-batch:
+  * Layout: `path/bucket=N/…` where `bucket = pmod(hash(key…), numBuckets)`,
+  * plus a `_graft_table.json` sidecar holding the table's unified payload
+  * schema and its bucket count. Each micro-batch:
   *   1. squash the batch to one winner per key (latest lsn wins);
   *   2. compute the batch's TOUCHED buckets (≤ numBuckets driver-side ints);
-  *   3. read ONLY those partitions (partition pruning — untouched buckets'
-  *      files are never opened), anti-join + union the winners;
-  *   4. dynamic-partition-overwrite: only touched partitions are rewritten,
-  *      untouched buckets' files stay byte-identical on disk.
+  *   3. read ONLY those partition dirs with the sidecar schema — planning
+  *      cost (file listing + footer I/O) is O(touched), never O(all files):
+  *      no full-table `mergeSchema` scan happens on any batch;
+  *   4. anti-join + union the winners, dynamic-partition-overwrite: only
+  *      touched partitions are rewritten, untouched buckets' files stay
+  *      byte-identical on disk.
   *
   * Per-batch cost is therefore O(touched-bucket data + batch), NOT
   * O(snapshot): at 100 TB with numBuckets sized so a bucket is a few GB,
@@ -26,6 +32,16 @@ import org.apache.spark.sql.functions._
   * A bucket whose rows are all deleted is overwritten with an explicit
   * empty-but-schema'd file so reads of a drained table keep the schema.
   *
+  * Schema evolution: a batch carrying a column the sidecar lacks widens
+  * the sidecar FIRST (atomic tmp+rename), then applies — so a crash
+  * between the two leaves a schema that is wider than any file (reads
+  * null-fill), never a file wider than the schema (which would silently
+  * drop the column on the next rewrite).
+  *
+  * The sidecar also records numBuckets: an applier constructed with a
+  * different count fails fast instead of scattering keys across two
+  * incompatible hash layouts (see [[rebucket]] for changing it).
+  *
   * With Delta/Iceberg this maps 1:1 onto MERGE INTO with file-level
   * pruning; plain parquet + explicit buckets reproduces the same pruning
   * with no table-format dependency.
@@ -33,15 +49,103 @@ import org.apache.spark.sql.functions._
 class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 64)
     extends Serializable {
 
+  /** Test/ops instrumentation: data files planned for read by the last
+    * applyBatch — the O(touched) contract made observable. */
+  @transient @volatile var lastPlannedFiles: Seq[String] = Nil
+
+  private def root = new Path(path)
+  private def fsOf(spark: SparkSession): FileSystem =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
 
-  /** Current replica content without the bucket bookkeeping column.
-    * mergeSchema: after schema evolution, bucket files differ — schema
-    * must be the union, or columns only present in newer files would be
-    * silently dropped when an older file seeds the inferred schema. */
-  def snapshot(spark: SparkSession): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path).drop("bucket")
+  // ---------------------------------------------------------------- sidecar
+
+  private def sidecarPath = new Path(path, "_graft_table.json")
+
+  /** (numBuckets, payload schema) recorded for the table; None before the
+    * first batch (or for a pre-sidecar legacy table — see the fallback in
+    * [[unifiedSchema]]). */
+  private[graft] def readSidecar(spark: SparkSession): Option[(Int, StructType)] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(sidecarPath)) None
+    else {
+      val in = fs.open(sidecarPath)
+      val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      Some((node.get("numBuckets").asInt(),
+        org.apache.spark.sql.types.DataType.fromJson(node.get("schema").toString)
+          .asInstanceOf[StructType]))
+    }
+  }
+
+  private def writeSidecar(spark: SparkSession, schema: StructType): Unit = {
+    val fs = fsOf(spark)
+    fs.mkdirs(root)
+    val tmp = new Path(path, "_graft_table.json.tmp")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("numBuckets", numBuckets)
+    node.set[com.fasterxml.jackson.databind.JsonNode](
+      "schema", mapper.readTree(schema.json))
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(sidecarPath.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, sidecarPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Sidecar schema unified with this batch's columns. Returns
+    * (schema, evolved?) — evolved means the sidecar must be rewritten.
+    * A legacy table without a sidecar pays ONE mergeSchema inference and
+    * is migrated on its next batch. */
+  private def unifiedSchema(spark: SparkSession,
+                            batchPayload: StructType): (StructType, Boolean) =
+    readSidecar(spark) match {
+      case Some((n, s)) =>
+        require(n == numBuckets,
+          s"replica at $path was written with numBuckets=$n, applier configured " +
+            s"with $numBuckets — run rebucket() instead of mixing hash layouts")
+        val known = s.fieldNames.toSet
+        val added = batchPayload.fields.filterNot(f => known.contains(f.name))
+        (StructType(s.fields ++ added), added.nonEmpty)
+      case None if bucketDirs(spark).nonEmpty =>
+        // pre-sidecar table: one-time full inference, then self-migrate
+        val inferred = StructType(spark.read.option("mergeSchema", "true")
+          .parquet(path).drop("bucket").schema)
+        val known = inferred.fieldNames.toSet
+        val added = batchPayload.fields.filterNot(f => known.contains(f.name))
+        (StructType(inferred.fields ++ added), true)
+      case None => (batchPayload, true)
+    }
+
+  private def bucketDirs(spark: SparkSession): Seq[Path] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath)
+  }
+
+  private def emptyWith(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Current replica content without the bucket bookkeeping column. With
+    * a sidecar the read needs no schema inference at all; a legacy table
+    * falls back to mergeSchema (schema evolution left files of several
+    * eras — the union must win, or columns only present in newer files
+    * would be silently dropped). */
+  def snapshot(spark: SparkSession): DataFrame = readSidecar(spark) match {
+    case Some((_, s)) =>
+      if (bucketDirs(spark).isEmpty) emptyWith(spark, s)
+      else spark.read
+        .schema(StructType(s.fields :+ StructField("bucket", IntegerType)))
+        .option("basePath", path).parquet(path).drop("bucket")
+    case None => spark.read.option("mergeSchema", "true").parquet(path).drop("bucket")
+  }
+
+  // ------------------------------------------------------------------ apply
 
   /** batch: envelope rows flattened to (key..., payload columns, op, lsn). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
@@ -51,87 +155,191 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       .filter(col("__rn") === 1)
       .drop("__rn"))
 
-    val current: Option[DataFrame] =
-      try Some(spark.read.option("mergeSchema", "true").parquet(path))
-      catch { case _: Throwable => None }
+    val batchPayload = StructType(winners.drop("op", "lsn", "bucket").schema)
+    val (schema, evolved) = unifiedSchema(spark, batchPayload)
+    // widen the sidecar BEFORE touching data (see class doc)
+    if (evolved) writeSidecar(spark, schema)
 
-    current match {
-      case None =>
-        winners.filter(col("op") =!= "d").drop("op", "lsn")
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
-      case Some(cur) =>
-        // ≤ numBuckets ints — bounded driver collect, not data-sized
-        val touched = winners.select("bucket").distinct()
-          .collect().map(_.getInt(0)).sorted
-        if (touched.isEmpty) return
-        // partition pruning: only touched buckets' files are read
-        val curTouched = cur.filter(col("bucket").isin(touched.map(Int.box): _*))
-        val survivors = curTouched.join(
-          winners.select(keyCols.map(col): _*), keyCols, "left_anti")
-        // allowMissingColumns: schema evolution — a column added (or no
-        // longer emitted) mid-stream fills null on the side lacking it
-        // instead of failing the whole apply
-        val next = survivors.unionByName(
-          winners.filter(col("op") =!= "d").drop("op", "lsn"),
-          allowMissingColumns = true)
-        // repartition by bucket BEFORE materializing: without it each
-        // shuffle partition writes a sliver into every touched bucket
-        // dir (touched × partitions files per batch) and the replica
-        // degenerates into a small-files swamp; with it a rewrite
-        // leaves ~one well-sized file per bucket. Buckets are sized a
-        // few GB (numBuckets chosen per table volume), so one task per
-        // bucket is the right write granularity.
-        // materialize the touched buckets' next state before overwriting
-        // their input files — O(touched), not O(snapshot)
-        val materialized = next
-          .repartition(math.max(touched.length, 1), col("bucket"))
-          .localCheckpoint(eager = true)
-        materialized.write
-          .mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(path)
-        // dynamic overwrite writes nothing for a bucket that drained to
-        // zero rows — overwrite those partition dirs with an explicit
-        // empty (schema-carrying) file so stale rows don't survive
-        val remaining = materialized.select("bucket").distinct()
-          .collect().map(_.getInt(0)).toSet
-        val payload = materialized.drop("bucket")
-        touched.filterNot(remaining).foreach { b =>
-          payload.limit(0).repartition(1)
-            .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=$b")
-        }
+    // ≤ numBuckets ints — bounded driver collect, not data-sized
+    val touched = winners.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val fs = fsOf(spark)
+    val touchedDirs = touched.map(b => new Path(path, s"bucket=$b"))
+      .filter(fs.exists).map(_.toString)
+
+    if (touchedDirs.isEmpty) {
+      // nothing to merge with: plain insert of the batch winners
+      lastPlannedFiles = Nil
+      winners.filter(col("op") =!= "d").drop("op", "lsn")
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+    } else {
+      // partition pruning: ONLY touched bucket dirs are listed/opened,
+      // and the explicit schema means no footer is read for inference
+      val cur = spark.read
+        .schema(StructType(schema.fields :+ StructField("bucket", IntegerType)))
+        .option("basePath", path)
+        .parquet(touchedDirs: _*)
+      lastPlannedFiles = cur.inputFiles.toSeq
+      val survivors = cur.join(
+        winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+      // allowMissingColumns: schema evolution — a column added (or no
+      // longer emitted) mid-stream fills null on the side lacking it
+      // instead of failing the whole apply
+      val next = survivors.unionByName(
+        winners.filter(col("op") =!= "d").drop("op", "lsn"),
+        allowMissingColumns = true)
+      // repartition by bucket BEFORE materializing: without it each
+      // shuffle partition writes a sliver into every touched bucket
+      // dir (touched × partitions files per batch) and the replica
+      // degenerates into a small-files swamp; with it a rewrite
+      // leaves ~one well-sized file per bucket. Buckets are sized a
+      // few GB (numBuckets chosen per table volume), so one task per
+      // bucket is the right write granularity.
+      // materialize the touched buckets' next state before overwriting
+      // their input files — O(touched), not O(snapshot)
+      val materialized = next
+        .repartition(math.max(touched.length, 1), col("bucket"))
+        .localCheckpoint(eager = true)
+      materialized.write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+      // dynamic overwrite writes nothing for a bucket that drained to
+      // zero rows — overwrite those partition dirs with an explicit
+      // empty (schema-carrying) file so stale rows don't survive
+      val remaining = materialized.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val payload = materialized.drop("bucket")
+      touched.filterNot(remaining).foreach { b =>
+        payload.limit(0).repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=$b")
+      }
     }
   }
 
+  // --------------------------------------------------------------- truncate
+
+  /** P6 on the warehouse chain: drop EVERY row of the replica while
+    * keeping its schema readable (the reference truncates every
+    * destination, sql_renderer.rs:300-320; SQLite's DELETE-all analog,
+    * dialects/sqlite.rs:26-33). All bucket dirs are removed and one
+    * empty schema-carrying marker is left so plain `spark.read.parquet`
+    * of the table keeps working. Idempotent — a batch replay truncates
+    * an already-empty table. */
+  def truncate(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) return
+    val schema = readSidecar(spark).map(_._2).getOrElse {
+      if (bucketDirs(spark).isEmpty) return
+      StructType(spark.read.option("mergeSchema", "true")
+        .parquet(path).drop("bucket").schema)
+    }
+    bucketDirs(spark).foreach(d => fs.delete(d, true))
+    writeSidecar(spark, schema)
+    emptyWith(spark, schema).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=0")
+  }
+
+  // ---------------------------------------------------------------- compact
+
   /** Maintenance compaction: rewrite buckets whose file count exceeds
-    * `maxFilesPerBucket` into one file each (schema unified to the
-    * merged view). Normal MERGE rewrites already leave ~one file per
-    * touched bucket; fragmentation accumulates from drained-bucket
-    * markers and schema-evolution eras. Run this OFFLINE (no concurrent
-    * applyBatch on the same table): it is a per-bucket overwrite, so a
-    * crash mid-compact loses no rows — each bucket rewrite is all-or-
-    * nothing and re-runnable. Returns the compacted bucket ids. */
+    * `maxFilesPerBucket` into one file each. Normal MERGE rewrites
+    * already leave ~one file per touched bucket; fragmentation
+    * accumulates from drained-bucket markers and schema-evolution eras.
+    * Run OFFLINE (no concurrent applyBatch on the same table).
+    *
+    * Crash-safe by construction: the compacted copy is fully written to
+    * a sibling `_compact_bucket=N` dir (underscore-hidden from parquet
+    * discovery, `_SUCCESS`-committed) BEFORE the original dir is
+    * replaced, and [[recover]] rolls any interrupted swap forward (tmp
+    * committed → finish the rename) or back (tmp partial → delete it) on
+    * the next run. At no point is the only copy of a bucket in memory —
+    * unlike a localCheckpoint, which dies with an executor.
+    * Returns the compacted bucket ids. */
   def compact(spark: SparkSession, maxFilesPerBucket: Int = 4): Seq[Int] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark)
     if (!fs.exists(root)) return Seq.empty
-    val fragmented = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map { s =>
-        val b = s.getPath.getName.stripPrefix("bucket=").toInt
-        val nFiles = fs.listStatus(s.getPath)
-          .count(_.getPath.getName.endsWith(".parquet"))
+    recover(spark)
+    val schemaOpt = readSidecar(spark).map(_._2)
+    val fragmented = bucketDirs(spark)
+      .map { d =>
+        val b = d.getName.stripPrefix("bucket=").toInt
+        val nFiles = fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
         (b, nFiles)
       }
       .filter(_._2 > maxFilesPerBucket)
       .map(_._1).sorted
     fragmented.foreach { b =>
-      val dir = s"$path/bucket=$b"
-      val rows = spark.read.option("mergeSchema", "true").parquet(dir)
-        .localCheckpoint(true) // materialize before overwriting its input
-      rows.repartition(1).write.mode(SaveMode.Overwrite).parquet(dir)
+      val dir = new Path(path, s"bucket=$b")
+      val tmp = new Path(path, s"_compact_bucket=$b")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val reader = schemaOpt match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read.option("mergeSchema", "true")
+      }
+      reader.parquet(dir.toString)
+        .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
     }
     fragmented
+  }
+
+  /** Finish (or undo) any compaction swap a crash interrupted. Safe to
+    * call any time the table is offline; compact() calls it first. */
+  def recover(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_bucket="))
+      .foreach { t =>
+        val dst = new Path(path, t.getPath.getName.stripPrefix("_compact_"))
+        if (fs.exists(new Path(t.getPath, "_SUCCESS"))) {
+          // tmp fully committed: the swap rolls FORWARD
+          if (fs.exists(dst)) fs.delete(dst, true)
+          fs.rename(t.getPath, dst)
+        } else fs.delete(t.getPath, true) // partial write: roll back
+      }
+  }
+
+  // --------------------------------------------------------------- rebucket
+
+  /** Offline bucket-count evolution: a table that grew 100× since its
+    * numBuckets was chosen ends with multi-TB buckets, and the
+    * per-touched-bucket rewrite degrades toward full-table cost. This
+    * re-hashes every row into `newNumBuckets` partitions in a sibling
+    * staging dir, then swaps it in (same committed-before-replace
+    * discipline as [[compact]]; an interrupted swap rolls forward on
+    * re-run). The sidecar records the new count, so any applier still
+    * configured with the old one fails fast instead of corrupting the
+    * layout. Returns a sink bound to the new count. */
+  def rebucket(spark: SparkSession, newNumBuckets: Int): ParquetReplicaSink = {
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    val fs = fsOf(spark)
+    val staging = new Path(root.getParent, root.getName + "._rebucket")
+    val next = new ParquetReplicaSink(path, keyCols, newNumBuckets)
+    if (fs.exists(staging) &&
+        fs.exists(new Path(staging, "_graft_rebucket_done"))) {
+      // a previous run crashed mid-swap: roll forward
+      if (fs.exists(root)) fs.delete(root, true)
+      fs.rename(staging, root)
+      return next
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val snap = snapshot(spark)
+    val schema = StructType(snap.schema)
+    snap.withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(newNumBuckets)))
+      .repartition(newNumBuckets, col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(staging.toString)
+    // staging sidecar + done-marker make the staging dir self-contained
+    new ParquetReplicaSink(staging.toString, keyCols, newNumBuckets)
+      .writeSidecar(spark, schema)
+    fs.create(new Path(staging, "_graft_rebucket_done"), true).close()
+    fs.delete(root, true)
+    fs.rename(staging, root)
+    next
   }
 }

@@ -185,6 +185,15 @@ object CdcPipeline {
         .agg(collect_set("colName").as("cols"),
           first("keyColumns").as("keys"))
         .collect()
+      // P6 on the warehouse chain: op="t" truncates every listed table
+      // (the reference truncates every destination, sql_renderer.rs:
+      // 300-320). One row per truncated table — bounded driver collect.
+      // LSN order matters WITHIN the batch: DML that follows the last
+      // truncate must survive it, DML before it must not apply.
+      val truncLsn: Map[String, Long] = df.filter(col("op") === "t")
+        .select(explode(col("truncateTables")).as("tname"), col("lsn"))
+        .groupBy("tname").agg(max("lsn").as("maxLsn"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // Per-table applies are independent (distinct paths, per-key LSN
       // squash inside each) — run them as CONCURRENT Spark jobs so many
       // small tables fill the cluster instead of serializing scheduler
@@ -205,19 +214,34 @@ object CdcPipeline {
             val (sch, tbl) = (row.getString(0), row.getString(1))
             val cols = row.getSeq[String](2).sorted
             val keys = row.getSeq[String](3)
+            val name = Seq(Option(sch), Some(tbl)).flatten.mkString(".")
+            val cut = truncLsn.get(name)
             val flat = df
               .filter(col("schema") <=> lit(sch) && col("table") === tbl &&
-                col("op").isin("c", "u", "d"))
+                col("op").isin("c", "u", "d") &&
+                // pre-truncate DML is dead on arrival — the truncate
+                // wipes it; only post-truncate changes apply
+                cut.map(l => col("lsn") > l).getOrElse(lit(true)))
               .select(col("op") +: col("lsn") +: cols.map(c =>
                 coalesce(element_at(col("__after"), c),
                   element_at(col("__before"), c)).as(c)): _*)
-            val name = Seq(Option(sch), Some(tbl)).flatten.mkString(".")
-            new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", keys, numBuckets)
-              .applyBatch(spark, flat, batchId)
+            val sink = new graft.sinks.ParquetReplicaSink(
+              s"$rootPath/$name", keys, numBuckets)
+            if (cut.isDefined) sink.truncate(spark)
+            sink.applyBatch(spark, flat, batchId)
+          }
+        }
+        // truncated tables with NO DML in the batch still truncate
+        val dmlTables = tables.map(row => Seq(Option(row.getString(0)),
+          Some(row.getString(1))).flatten.mkString(".")).toSet
+        val truncOnly = truncLsn.keys.filterNot(dmlTables).toSeq.map { name =>
+          scala.concurrent.Future {
+            new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", Nil, numBuckets)
+              .truncate(spark)
           }
         }
         try scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(applies),
+          scala.concurrent.Future.sequence(applies ++ truncOnly),
           scala.concurrent.duration.Duration.Inf)
         catch { case e: Throwable =>
           // One table failed: STOP the siblings before propagating.

@@ -1,32 +1,42 @@
 package graft.streaming
 
 import graft.model.{CdcEvent, CdcSchema}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Disk-spilled transaction resolution for ARBITRARILY LARGE streamed
   * transactions — the distributed analog of the reference's per-tx disk
-  * segments (transaction_manager.rs writes 8 MB-buffered segment files;
-  * SURVEY §6's capacity target is a 3M-row single transaction).
+  * segments (transaction_manager.rs writes 8 MB-buffered per-transaction
+  * segment files; SURVEY §6's capacity target is a 3M-row single
+  * transaction).
   *
   * `TxnAssembler` holds a transaction's events in keyed executor state:
   * right for OLTP-sized transactions, wrong for bulk loads, where one
   * txid's buffer = the whole load. Here NO events are held in state at
-  * all: unresolved DML parks in a parquet spill area, and sealing is a
-  * txid semi-join —
-  *   - DML of transactions whose Commit/StreamCommit/CommitPrepared is
-  *     visible (this batch or earlier spill) flows out for apply;
-  *   - DML of aborted transactions is dropped;
-  *   - everything else is REWRITTEN to the spill, whose size is bounded
-  *     by in-flight transaction volume (exactly the reference's disk
-  *     bound), not by executor memory.
+  * all: unresolved DML parks under `spill/pending/txid=X/` — the same
+  * per-transaction file layout as the reference's `{txid}_{seq:06}.sql`
+  * segments — and each micro-batch is APPEND-ONLY:
+  *   - new unresolved DML appends new files into its txid dir (existing
+  *     files are never rewritten — write volume per trigger is O(new
+  *     events), not O(all pending), no matter how long a huge
+  *     transaction stays in flight);
+  *   - a Commit/StreamCommit/CommitPrepared seals its txid: ONLY that
+  *     txid's dir is read (plus the batch's own DML) and flows out for
+  *     apply — seal cost is O(sealed tx), not O(all pending);
+  *   - StreamAbort/RollbackPrepared marks its dir for deletion;
+  *   - `commit()` (call AFTER the apply succeeded) deletes the resolved
+  *     txid dirs — a handful of directory removes, no data rewrite.
   *
   * Crash-safety contract: callers must `apply` the sealed output BEFORE
-  * calling `commit()` (which atomically swaps the spill). A crash
-  * between the two replays the batch against the OLD spill — the same
-  * sealed set recomputes, and the idempotent MERGE apply absorbs the
-  * re-apply. Envelope-marked events (isFinalBatch) are their own seal
-  * and never touch the spill.
+  * calling `commit()`. A crash between the two replays the batch: the
+  * same control events re-seal the same pending dirs, and the idempotent
+  * MERGE apply absorbs the re-apply. A crash before the apply replays
+  * the batch too, which re-APPENDS its parked rows — the seal therefore
+  * de-duplicates on (txid, lsn), the WAL's own identity, so a row parked
+  * twice seals once. Envelope-marked events (isFinalBatch) are their own
+  * seal and never touch the spill.
   */
 object TxnSpill {
 
@@ -38,53 +48,68 @@ object TxnSpill {
 
   final case class Resolved(ready: DataFrame, commit: () => Unit)
 
-  private def pendingPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "pending")
-  private def nextPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "pending.next")
+  private def pendingPath(dir: String) = new Path(dir, "pending")
 
-  private def readPending(spark: SparkSession, dir: String): DataFrame = {
-    val p = pendingPath(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.schema(CdcSchema.envelope).parquet(p.toString)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CdcSchema.envelope)
-  }
+  /** Envelope schema with txid as the (partition) column it becomes on
+    * disk — files under `txid=X/` don't store the column itself. */
+  private val pendingSchema: StructType = CdcSchema.envelope
 
   /** Resolve one micro-batch against the spill at `spillDir`. Returns the
     * sealed DML (ready for an idempotent apply, WAL lsn preserved) and a
-    * `commit` thunk that atomically replaces the spill with the still-
-    * unresolved remainder — call it ONLY after the apply succeeded. */
+    * `commit` thunk that deletes the resolved transactions' pending dirs
+    * — call it ONLY after the apply succeeded. */
   def resolve(batch: Dataset[CdcEvent], spillDir: String): Resolved = {
     val spark = batch.sparkSession
-    val all = batch.toDF().unionByName(readPending(spark, spillDir),
-      allowMissingColumns = true)
-    // control projections are tiny (one row per transaction)
-    val sealedTx = all.filter(col("op").isin(Commits: _*))
-      .select("txid").distinct()
-    val abortedTx = all.filter(col("op").isin(Aborts: _*))
-      .select("txid").distinct()
-    val dml = all.filter(col("op").isin(Dml: _*))
+    val fs = pendingPath(spillDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val df = batch.toDF()
+    // control projections are tiny: one row per transaction RESOLVED in
+    // this batch (not per pending transaction) — bounded driver collects
+    val sealedTx = df.filter(col("op").isin(Commits: _*)).select("txid").distinct()
+    val abortedTx = df.filter(col("op").isin(Aborts: _*)).select("txid").distinct()
+    val sealedIds = sealedTx.collect().map(_.getLong(0)).toSeq.sorted
+    val abortedIds = abortedTx.collect().map(_.getLong(0)).toSeq.sorted
+
+    val dml = df.filter(col("op").isin(Dml: _*))
     val selfSealed = dml.filter(col("isFinalBatch"))
     val framed = dml.filter(!col("isFinalBatch"))
-    val out = selfSealed.unionByName(
-      framed.join(sealedTx, Seq("txid"), "left_semi"))
-    // unresolved = framed DML with neither seal nor abort yet; aborts
-    // themselves must survive in the spill ONLY until their DML is gone
-    // (here: abort resolves in the same pass, so control rows never park)
-    val remaining = framed
+
+    // APPEND-ONLY park: this batch's still-unresolved framed DML goes
+    // into new files under its txid dir; nothing existing is rewritten
+    val newPark = framed
       .join(sealedTx, Seq("txid"), "left_anti")
       .join(abortedTx, Seq("txid"), "left_anti")
-    // write the remainder NOW (to a side path) so `commit` is a pure
-    // metadata swap — the data job runs before the caller's apply, the
-    // rename after it
-    val next = nextPath(spillDir)
-    remaining.write.mode("overwrite").parquet(next.toString)
+    // repartition by txid first: ONE file per in-flight txid per trigger
+    // (not one per txid × shuffle partition) — a long-lived streamed tx
+    // accumulates k files over k triggers, read once at seal. The
+    // shuffle is O(new events), the small-files win is what keeps the
+    // seal-time read cheap.
+    newPark.repartition(col("txid"))
+      .write.mode("append").partitionBy("txid")
+      .parquet(pendingPath(spillDir).toString)
+
+    // seal: batch DML of sealed txs + ONLY the sealed txids' pending dirs
+    val sealedDirs = sealedIds
+      .map(x => new Path(pendingPath(spillDir), s"txid=$x"))
+      .filter(fs.exists).map(_.toString)
+    val fromPending =
+      if (sealedDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pendingSchema)
+      else spark.read.schema(pendingSchema)
+        .option("basePath", pendingPath(spillDir).toString)
+        .parquet(sealedDirs: _*)
+    val out = selfSealed
+      .unionByName(framed.join(sealedTx, Seq("txid"), "left_semi"))
+      .unionByName(fromPending.select(df.columns.map(col): _*))
+      // (txid, lsn) is the WAL identity: a crash-replayed batch appends
+      // its parked rows twice; the seal must still emit each event once
+      .dropDuplicates("txid", "lsn")
+
     val commit = () => {
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = next.getFileSystem(conf)
-      val dst = pendingPath(spillDir)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(next, dst)
-      ()
+      (sealedIds ++ abortedIds).foreach { x =>
+        val d = new Path(pendingPath(spillDir), s"txid=$x")
+        if (fs.exists(d)) fs.delete(d, true)
+      }
     }
     Resolved(out, commit)
   }

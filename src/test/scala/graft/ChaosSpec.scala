@@ -29,6 +29,8 @@ class ChaosSpec extends SparkSpecBase {
           s""""schema":null,"table":"t1","before":$key,"after":$img,"keyColumns":["id"],"commit":$commit}"""
         case "d" => s"""{"op":"d","lsn":$lsn,"txid":$txid,"commitTsMs":0,""" +
           s""""schema":null,"table":"t1","before":$key,"keyColumns":["id"],"commit":$commit}"""
+        case "t" => s"""{"op":"t","lsn":$lsn,"txid":$txid,"commitTsMs":0,""" +
+          s""""schema":null,"table":"t1","truncateTables":["t1"],"commit":$commit}"""
       }
     }
   }
@@ -121,25 +123,39 @@ class ChaosSpec extends SparkSpecBase {
     var lsn = 0L
     var nextId = 0
     val txs: Seq[Seq[Ev]] = (1 to 30).map { txid =>
-      val n = 1 + rnd.nextInt(20)
-      val evs = (1 to n).map { _ =>
+      if (txid == 15) {
+        // a TRUNCATE wave mid-workload: everything before it dies, the
+        // same-tx inserts AFTER it must survive (reference P6)
+        live.clear(); expected.clear()
         lsn += 1
-        val choice = rnd.nextInt(10)
-        if (choice < 5 || live.isEmpty) {
-          nextId += 1; live += nextId
+        val t = Ev("t", lsn, txid, 0, 0, commit = false)
+        val ins = (1 to 2).map { _ =>
+          lsn += 1; nextId += 1; live += nextId
           expected(nextId) = nextId * 10
           Ev("c", lsn, txid, nextId, nextId * 10, commit = false)
-        } else if (choice < 8) {
-          val id = live.toSeq(rnd.nextInt(live.size))
-          expected(id) = expected(id) + 1
-          Ev("u", lsn, txid, id, expected(id), commit = false)
-        } else {
-          val id = live.toSeq(rnd.nextInt(live.size))
-          live -= id; expected.remove(id)
-          Ev("d", lsn, txid, id, 0, commit = false)
         }
+        (t +: ins.init) :+ ins.last.copy(commit = true)
+      } else {
+        val n = 1 + rnd.nextInt(20)
+        val evs = (1 to n).map { _ =>
+          lsn += 1
+          val choice = rnd.nextInt(10)
+          if (choice < 5 || live.isEmpty) {
+            nextId += 1; live += nextId
+            expected(nextId) = nextId * 10
+            Ev("c", lsn, txid, nextId, nextId * 10, commit = false)
+          } else if (choice < 8) {
+            val id = live.toSeq(rnd.nextInt(live.size))
+            expected(id) = expected(id) + 1
+            Ev("u", lsn, txid, id, expected(id), commit = false)
+          } else {
+            val id = live.toSeq(rnd.nextInt(live.size))
+            live -= id; expected.remove(id)
+            Ev("d", lsn, txid, id, 0, commit = false)
+          }
+        }
+        evs.init :+ evs.last.copy(commit = true)
       }
-      evs.init :+ evs.last.copy(commit = true)
     }
 
     val dir = Files.createTempDirectory("chaos-wh-wal").toFile.getAbsolutePath

@@ -212,6 +212,200 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(ids == Set("1", "2"), s"got $ids")
   }
 
+  test("warehouse TRUNCATE empties the replica; post-truncate DML survives; replay idempotent") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.CdcPipeline
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh-trunc").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ins(lsn: Long, table: String, id: Int, v: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", table, Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("val", v.toString)),
+        keyColumns = Seq("id"))
+    def trunc(lsn: Long, tables: String*) =
+      CdcEvent("t", lsn, 1L, ts, "public", tables.head.split("\\.").last, Nil, Nil,
+        truncateTables = tables)
+
+    // batch 0: seed two tables
+    CdcPipeline.applyWarehouseBatch(Seq(
+      ins(1, "t1", 1, 10), ins(2, "t1", 2, 20), ins(3, "t2", 7, 70)).toDS(),
+      root, 4, batchId = 0)
+    def rows(t: String): Map[String, String] =
+      new graft.sinks.ParquetReplicaSink(s"$root/public.$t", Seq("id"), 4)
+        .snapshot(spark).collect()
+        .map(r => r.getString(r.fieldIndex("id")) ->
+          r.getString(r.fieldIndex("val"))).toMap
+    assert(rows("t1") == Map("1" -> "10", "2" -> "20"))
+
+    // batch 1: pre-truncate DML (dead), TRUNCATE t1, post-truncate insert
+    val b1 = Seq(
+      ins(10, "t1", 3, 30),              // wiped by the truncate below
+      trunc(11, "public.t1"),
+      ins(12, "t1", 4, 40))              // must SURVIVE the truncate
+    CdcPipeline.applyWarehouseBatch(b1.toDS(), root, 4, batchId = 1)
+    assert(rows("t1") == Map("4" -> "40"),
+      "only post-truncate rows survive; pre-existing + pre-truncate rows wiped")
+    assert(rows("t2") == Map("7" -> "70"), "other tables untouched")
+
+    // same-batch replay (crash between data and gate): identical end state
+    CdcPipeline.applyWarehouseBatch(b1.toDS(), root, 4, batchId = 1)
+    assert(rows("t1") == Map("4" -> "40"))
+
+    // batch 2: truncate-ONLY batch (no DML for the table at all)
+    CdcPipeline.applyWarehouseBatch(Seq(trunc(20, "public.t2")).toDS(),
+      root, 4, batchId = 2)
+    assert(rows("t2").isEmpty, "truncate with no DML still empties the replica")
+    // and the empty replica keeps a readable schema for plain readers
+    assert(spark.read.parquet(s"$root/public.t2").count() == 0)
+
+    // batch 3: the drained table accepts new rows
+    CdcPipeline.applyWarehouseBatch(Seq(ins(30, "t2", 8, 80)).toDS(),
+      root, 4, batchId = 3)
+    assert(rows("t2") == Map("8" -> "80"))
+  }
+
+  test("multi-table TRUNCATE event empties every listed replica") {
+    import graft.model.CdcEvent
+    import graft.streaming.CdcPipeline
+    import graft.model.CdcColumn
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh-trunc2").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ins(lsn: Long, table: String, id: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", table, Nil,
+        Seq(CdcColumn("id", id.toString)), keyColumns = Seq("id"))
+    CdcPipeline.applyWarehouseBatch(Seq(
+      ins(1, "a", 1), ins(2, "b", 2), ins(3, "c", 3)).toDS(), root, 4, 0)
+    // one TRUNCATE listing two tables (pgoutput sends multi-table truncates)
+    CdcPipeline.applyWarehouseBatch(Seq(
+      CdcEvent("t", 10, 1L, ts, "public", "a", Nil, Nil,
+        truncateTables = Seq("public.a", "public.b"))).toDS(), root, 4, 1)
+    def count(t: String) = new graft.sinks.ParquetReplicaSink(
+      s"$root/public.$t", Seq("id"), 4).snapshot(spark).count()
+    assert(count("a") == 0 && count("b") == 0 && count("c") == 1)
+  }
+
+  test("applyBatch plans only touched-bucket files (O(touched) planning)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("plan").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 16)
+    sink.applyBatch(spark,
+      (1 to 200).map(i => (i, i, "c", i.toLong)).toDF("id", "val", "op", "lsn"), 0)
+    val totalFiles = new File(path).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(totalFiles >= 10, s"seed should spread files over buckets: $totalFiles")
+
+    val touchedBucket = Seq((42, 0)).toDF("id", "x")
+      .selectExpr("pmod(hash(id), 16) AS b").collect()(0).getInt(0)
+    sink.applyBatch(spark,
+      Seq((42, 4242, "u", 1000L)).toDF("id", "val", "op", "lsn"), 1)
+    assert(sink.lastPlannedFiles.nonEmpty)
+    assert(sink.lastPlannedFiles.forall(_.contains(s"bucket=$touchedBucket")),
+      s"planned files outside the touched bucket: ${sink.lastPlannedFiles}")
+  }
+
+  test("compact recovery: committed swap rolls forward, partial swap rolls back") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("compact-rec").toFile.getAbsolutePath
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 2)
+    sink.applyBatch(spark,
+      (1 to 50).map(i => (i, i, "c", i.toLong)).toDF("id", "val", "op", "lsn"), 0)
+    val before = sink.snapshot(spark).collect().map(_.toSeq).toSet
+    val buckets = new File(path).listFiles().filter(_.getName.startsWith("bucket="))
+    assert(buckets.length == 2)
+
+    // crash AFTER tmp committed, AFTER old dir deleted, BEFORE rename:
+    // simulate by moving a bucket dir to its committed tmp name
+    val victim = buckets.head
+    val tmp = new File(path, "_compact_" + victim.getName)
+    assert(victim.renameTo(tmp))
+    new File(tmp, "_SUCCESS").createNewFile() // Spark job commit marker
+    sink.recover(spark)
+    assert(new File(path, victim.getName).exists() && !tmp.exists())
+    assert(sink.snapshot(spark).collect().map(_.toSeq).toSet == before,
+      "roll-forward restores every row")
+
+    // crash MID-write (no _SUCCESS): tmp is garbage, original intact
+    val partial = new File(path, "_compact_" + buckets.last.getName)
+    partial.mkdirs()
+    new File(partial, "part-junk.parquet").createNewFile()
+    sink.recover(spark)
+    assert(!partial.exists(), "uncommitted tmp rolled back")
+    assert(sink.snapshot(spark).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("rebucket re-hashes content-identically and later applies resume correctly") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("rebucket").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 4)
+    sink.applyBatch(spark,
+      (1 to 300).map(i => (i, i * 10, "c", i.toLong)).toDF("id", "val", "op", "lsn"), 0)
+    val before = sink.snapshot(spark).collect().map(_.toSeq).toSet
+
+    val sink32 = sink.rebucket(spark, 32)
+    val dirs = new File(path).listFiles().filter(_.getName.startsWith("bucket="))
+      .map(_.getName).toSet
+    assert(dirs.size > 4, s"expected >4 bucket dirs after rebucket, got $dirs")
+    assert(sink32.snapshot(spark).collect().map(_.toSeq).toSet == before,
+      "rebucket must be content-identical")
+
+    // an applier still configured with the OLD count fails fast
+    val stale = intercept[IllegalArgumentException] {
+      sink.applyBatch(spark,
+        Seq((1, 11, "u", 1000L)).toDF("id", "val", "op", "lsn"), 1)
+    }
+    assert(stale.getMessage.contains("rebucket"))
+
+    // the new-count applier merges correctly into the new layout
+    sink32.applyBatch(spark,
+      Seq((1, 11, "u", 1000L), (301, 3010, "c", 1001L))
+        .toDF("id", "val", "op", "lsn"), 1)
+    val after = sink32.snapshot(spark).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(after(1) == 11 && after(301) == 3010 && after.size == 301)
+  }
+
+  test("warehouse 2PC: prepare parks across batches; commit_prepared applies; rollback leaves nothing") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.{CdcPipeline, TxnAssembler}
+    import graft.streaming.TxnAssembler.Ctl
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("wh-2pc").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("wh-2pc-ckpt").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ctl(op: String, lsn: Long, txid: Long) =
+      CdcEvent(op, lsn, txid, ts, null, null, Nil, Nil, isFinalBatch = false)
+    def ins(lsn: Long, txid: Long, id: Int) =
+      CdcEvent("c", lsn, txid, ts, "public", "t1", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("val", (id * 10).toString)),
+        keyColumns = Seq("id"), isFinalBatch = false)
+
+    val mem = MemoryStream[CdcEvent]
+    // batch 1: tx 90 prepares (must NOT apply yet); tx 91 prepares too
+    mem.addData(
+      ctl(Ctl.Begin, 1, 90), ins(2, 90, 1), ctl(Ctl.Prepare, 3, 90),
+      ctl(Ctl.Begin, 4, 91), ins(5, 91, 666), ctl(Ctl.Prepare, 6, 91))
+    val q1 = CdcPipeline.startWarehouse(mem.toDF(), root, ckpt, numBuckets = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(!new File(s"$root/public.t1").exists(),
+      "prepared-but-uncommitted transactions must not materialize")
+
+    // batch 2 (k batches later): tx 90 commits, tx 91 rolls back
+    mem.addData(ctl(Ctl.CommitPrepared, 10, 90), ctl(Ctl.RollbackPrepared, 11, 91))
+    val q2 = CdcPipeline.startWarehouse(mem.toDF(), root, ckpt, numBuckets = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination()
+    val rows = new graft.sinks.ParquetReplicaSink(s"$root/public.t1", Seq("id"), 4)
+      .snapshot(spark).collect()
+      .map(r => r.getString(r.fieldIndex("id"))).toSet
+    assert(rows == Set("1"),
+      s"commit_prepared applies, rollback_prepared leaves no rows: got $rows")
+  }
+
   test("compact rewrites fragmented buckets only; content and schema preserved") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

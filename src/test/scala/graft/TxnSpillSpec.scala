@@ -87,6 +87,69 @@ class TxnSpillSpec extends SparkSpecBase {
     b.commit()
   }
 
+  test("append-only spill: a trigger writes O(new events), never rewrites the backlog") {
+    import spark.implicits._
+    val spill = newSpill()
+    def spillBytes(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      walk(new java.io.File(spill))
+    }
+    def fileMtimes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(new java.io.File(spill)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+
+    // batch 1: park a LARGE chunk of streamed tx 500
+    val r1 = TxnSpill.resolve(
+      (ctl(Ctl.StreamStart, 1, 500) +: (1 to 5000).map(i => ins(10 + i, 500, i)))
+        .toDS(), spill)
+    r1.commit()
+    val bigBytes = spillBytes()
+    val bigFiles = fileMtimes()
+    assert(bigBytes > 0)
+
+    // batch 2: a SMALL increment of the same in-flight tx — the write
+    // volume must be O(100 rows), and batch-1 files must be untouched
+    val r2 = TxnSpill.resolve(
+      (5001 to 5100).map(i => ins(10 + i, 500, i)).toDS(), spill)
+    r2.commit()
+    val added = spillBytes() - bigBytes
+    assert(added > 0 && added < bigBytes / 4,
+      s"trigger wrote $added bytes against a $bigBytes-byte backlog — " +
+        "spill must not be rewritten per trigger")
+    bigFiles.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() == m,
+        s"pre-existing spill file rewritten: $p")
+    }
+
+    // the whole tx still seals exactly once
+    val r3 = TxnSpill.resolve(
+      Seq(ctl(Ctl.StreamCommit, 99999, 500)).toDS(), spill)
+    assert(r3.ready.count() == 5100)
+    r3.commit()
+    assert(TxnSpill.resolve(spark.emptyDataset[CdcEvent], spill).ready.count() == 0)
+  }
+
+  test("crash-replayed append before apply still seals each event exactly once") {
+    import spark.implicits._
+    val spill = newSpill()
+    val batch1 = (ctl(Ctl.StreamStart, 1, 42) +: (1 to 50).map(i => ins(10 + i, 42, i)))
+    // crash BEFORE apply: the same batch resolves twice against the same
+    // spill — its rows are appended twice
+    TxnSpill.resolve(batch1.toDS(), spill).commit()
+    TxnSpill.resolve(batch1.toDS(), spill).commit()
+    val sealedTx = TxnSpill.resolve(
+      Seq(ctl(Ctl.StreamCommit, 999, 42)).toDS(), spill)
+    assert(sealedTx.ready.count() == 50, "duplicate park must seal exactly once")
+    sealedTx.commit()
+  }
+
   test("e2e: spill warehouse chain discards aborted streamed txs (assembler parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
