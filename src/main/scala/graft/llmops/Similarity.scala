@@ -171,7 +171,7 @@ object Similarity {
     * partitioned by `cluster`, a probe reads nprobe/K of the corpus —
     * real partition pruning. */
   def ivfIndex(q: DataFrame, k: Int = DefaultIvfClusters, dim: Int = 64,
-               idCol: String = "vec_id"): (Seq[IvfCentroid], DataFrame) = {
+               idCol: String = "vec_id", rounds: Int = 1): (Seq[IvfCentroid], DataFrame) = {
     // seeds = the k lowest OBSERVED ids (not `id < k`: sparse or
     // non-zero-based id spaces would yield short or empty seed sets and
     // silently null clusters downstream)
@@ -179,17 +179,40 @@ object Similarity {
       .select(col(idCol), col("qe"), col("nq")).collect()
       .map(r => IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
     require(seeds.nonEmpty, "ivfIndex: corpus is empty, nothing to seed from")
-    val assign0 = assignByCentroids(q, seeds, idCol)
     val sumCols = (0 until dim).map(i =>
       sum(element_at(col("qe"), i + 1)).as(s"s$i"))
-    val refined = assign0.join(q, idCol).groupBy("cluster")
-      .agg(sumCols.head, sumCols.tail: _*)
-      .collect()
-      .map { r =>
-        val ce = (0 until dim).map(i => r.getLong(i + 1))
-        IvfCentroid(r.getLong(0), ce, ce.map(x => x * x).sum)
-      }.toSeq.sortBy(_.cluster)
-    (refined, assignByCentroids(q, refined, idCol))
+    // Lloyd, integer-exact per round; `rounds`=1 is the oracle-mirrored
+    // default, higher values iterate to assignment stability (seed bias
+    // washes out; each round is the same sum-centroid refinement, so
+    // determinism is preserved at every round count). Each assignment is
+    // a literal-centroid projection — K·dim longs of driver metadata per
+    // round, never a shuffled cross join.
+    var cents = seeds
+    var assign = assignByCentroids(q, cents, idCol)
+    var round = 0
+    var stable = false
+    while (round < rounds && !stable) {
+      val refined = assign.join(q, idCol).groupBy("cluster")
+        .agg(sumCols.head, sumCols.tail: _*)
+        .collect()
+        .map { r =>
+          val ce = (0 until dim).map(i => r.getLong(i + 1))
+          IvfCentroid(r.getLong(0), ce, ce.map(x => x * x).sum)
+        }.toSeq.sortBy(_.cluster)
+      val next = assignByCentroids(q, refined, idCol)
+      if (round < rounds - 1) {
+        // converged when no vector changes cluster (scan + join, no
+        // driver materialization of the assignment)
+        stable = assign.withColumnRenamed("cluster", "__c0")
+          .join(next, idCol)
+          .filter(col("__c0") =!= col("cluster"))
+          .isEmpty
+      }
+      cents = refined
+      assign = next
+      round += 1
+    }
+    (cents, assign)
   }
 
   val DefaultIvfClusters: Int = 16

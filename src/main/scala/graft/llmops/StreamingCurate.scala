@@ -1,0 +1,173 @@
+package graft.llmops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming curation — the training-data INTAKE shape: document files
+  * arrive as a stream, curated parquet leaves, and the final state equals
+  * the batch `llm_curate` pipeline run over the same corpus (tested).
+  *
+  * The batch pipeline is quality gate → language gate → exact dedup →
+  * LSH near-dedup (exact n-gram-Jaccard verified) → curated set. The
+  * gates are stateless; the dedups need memory of everything already
+  * admitted. That memory lives in an on-disk store (not executor state —
+  * a 100 TB corpus's dedup index outgrows any state store):
+  *
+  *   store/seen/b<batchId>/    exact-kept docs (id, source, text, hash)
+  *   store/buckets/b<batchId>/ their LSH bucket index (bucket, doc_id)
+  *   store/curated/b<batchId>/ the final curated additions
+  *
+  * Every trigger writes ONLY its own `b<batchId>` subdirs (mode
+  * Overwrite), so a replayed epoch rewrites the same dirs with the same
+  * content instead of appending duplicates — reads always exclude the
+  * current batch's dirs, making the recompute deterministic. Per-trigger
+  * cost: gates are O(new docs); exact dedup anti-joins the new docs'
+  * hashes against the seen store (hash shuffle, map-side prunable);
+  * near-dedup joins the new docs' LSH buckets against the bucket index
+  * and exact-verifies only bucket-sharing pairs — O(new + collisions),
+  * never an all-pairs pass. At 100 TB the bucket index would be
+  * persisted partitioned by bucket prefix so the join prunes; the seal
+  * semantics are unchanged.
+  *
+  * Parity contract with batch `llm_curate` (kept-set equality) holds
+  * when docs arrive in ascending doc_id order (the batch tie-break drops
+  * the larger id of a near-dup pair; out-of-order arrival would need to
+  * retract an already-emitted doc, which an append-only intake cannot).
+  */
+object StreamingCurate {
+
+  /** The batch curation gate — quality (length, stopword ratio) +
+    * language-ID (en) — EXACTLY the expressions `llm_curate` uses (the
+    * batch query calls this function, so they cannot drift). */
+  def gate(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    def cnt(m: String): Column = size(split(col("text"), m)) - 1
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin(stop.map(lit(_)): _*))))
+      .withColumn("s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
+      .withColumn("s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
+      .withColumn("s_fr", cnt(" le ") + cnt(" et ") + cnt(" la "))
+      .withColumn("s_es", cnt(" el ") + cnt(" los ") + cnt(" las "))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .filter(col("n_tokens") >= 20 &&
+        col("n_stop") * lit(1.0) / col("n_tokens") >= 0.05 &&
+        col("pred") === "en")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+  }
+
+  private val seenSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("text", StringType), StructField("content_hash", StringType)))
+  private val bucketSchema = StructType(Seq(
+    StructField("bucket", StringType), StructField("doc_id", LongType)))
+
+  /** Read every PRIOR batch's subdir of `dir` (b<k> with k < batchId) —
+    * never the current batch's own output, so a crash-replay recomputes
+    * from the same inputs. */
+  private def readPrior(spark: SparkSession, dir: Path, batchId: Long,
+                        schema: StructType): DataFrame = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+        .filter(_.getPath.getName.stripPrefix("b").toLong < batchId)
+        .map(_.getPath.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** One intake trigger: gate, dedup against the store, emit curated
+    * additions. Factored from the stream for batch tests. */
+  def applyBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val gated = gate(batch)
+    val hashed = gated.withColumn("content_hash",
+      TextOps.contentHash(col("text")))
+
+    val seen = readPrior(spark, new Path(storeDir, "seen"), batchId, seenSchema)
+    // exact dedup: min doc_id per hash WITHIN the batch, then drop any
+    // hash the store has already admitted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy("doc_id")
+    val newExactKept = hashed
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(seen.select("content_hash"), Seq("content_hash"), "left_anti")
+      .localCheckpoint(false) // feeds buckets, verify, and three writes
+
+    // near-dedup: candidates = bucket collisions (new×store ∪ new×new),
+    // verified by EXACT n-gram Jaccard — same predicate as the batch path
+    val newBuckets = Dedup.lshBuckets(Dedup.minhashSignatures(newExactKept))
+    val storeBuckets = readPrior(
+      spark, new Path(storeDir, "buckets"), batchId, bucketSchema)
+    val vsStore = storeBuckets.as("a")
+      .join(newBuckets.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val vsNew = newBuckets.as("a")
+      .join(newBuckets.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val cands = vsStore.unionByName(vsNew).distinct()
+    val corpus = seen.select("doc_id", "text")
+      .unionByName(newExactKept.select("doc_id", "text"))
+    val verified = Dedup.ngramJaccard(corpus, 0.8, candidates = Some(cands))
+    val drops = verified.select(col("db").as("doc_id")).distinct()
+    val curated = newExactKept.join(drops, Seq("doc_id"), "left_anti")
+
+    // per-batch dirs, Overwrite: replay rewrites, never duplicates
+    def out(kind: String) = s"$storeDir/$kind/b$batchId"
+    newExactKept.select("doc_id", "source", "text", "content_hash")
+      .write.mode("overwrite").parquet(out("seen"))
+    newBuckets.select("bucket", "doc_id")
+      .write.mode("overwrite").parquet(out("buckets"))
+    curated.select("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(out("curated"))
+  }
+
+  /** The streaming intake: a stream of (doc_id, source, text) rows in,
+    * curated parquet out under `storeDir/curated/`. */
+  def start(docs: DataFrame, storeDir: String, checkpointDir: String,
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-curate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, storeDir, id) }
+      .start()
+
+  /** All curated docs admitted so far. */
+  def curated(spark: SparkSession, storeDir: String): DataFrame =
+    readPrior(spark, new Path(storeDir, "curated"), Long.MaxValue,
+      StructType(seenSchema.filterNot(_.name == "content_hash")))
+
+  /** The batch `llm_curate` per-source stats over the curated stream
+    * state — comparable 1:1 with the batch query's output. */
+  def stats(spark: SparkSession, storeDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    curated(spark, storeDir)
+      .withColumn("ws_tokens", size(toks))
+      .withColumn("bpe_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|\\\\S', 0)")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_ws"),
+        sum("bpe_tokens").as("total_bpe"))
+      .orderBy("source")
+  }
+}

@@ -139,31 +139,13 @@ object LlmQueries {
     // operator the standalone queries check; this query pins the
     // composition order and end state.
     "llm_curate" -> ((s, d) => {
-      val stop = Seq("the", "a", "and", "of", "to", "in", "is")
-      def cnt(m: String): Column = size(split(col("text"), m)) - 1
-      val scored = documents(s, d)
-        .withColumn("n_tokens", size(toks))
-        .withColumn("n_stop",
-          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))))
-        .withColumn("s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
-        .withColumn("s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
-        .withColumn("s_fr", cnt(" le ") + cnt(" et ") + cnt(" la "))
-        .withColumn("s_es", cnt(" el ") + cnt(" los ") + cnt(" las "))
-        .withColumn("pred",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
-            && col("s_en") >= col("s_es"), "en")
-            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-            .when(col("s_fr") >= col("s_es"), "fr")
-            .otherwise("es"))
-      // the filtered corpus feeds three branches (exact dedup, LSH
+      // the gate is SHARED with the streaming intake
+      // (StreamingCurate.gate) so batch and stream cannot drift.
+      // The filtered corpus feeds three branches (exact dedup, LSH
       // near-dedup, final stats); localCheckpoint materializes the
       // regex-heavy gate output once instead of recomputing it per
       // branch (lazy: first action triggers it)
-      val filtered = scored
-        .filter(col("n_tokens") >= 20 &&
-          col("n_stop") * lit(1.0) / col("n_tokens") >= 0.05 &&
-          col("pred") === "en")
-        .select("doc_id", "source", "text")
+      val filtered = graft.llmops.StreamingCurate.gate(documents(s, d))
         .localCheckpoint(false)
       val keepExact = Dedup.exact(filtered)
         .select(col("keep_id").as("doc_id"))

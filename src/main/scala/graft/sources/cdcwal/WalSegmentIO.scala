@@ -44,6 +44,11 @@ object WalSegmentIO {
   /** Test instrumentation: number of segment-file opens since JVM start. */
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test instrumentation: bytes actually fetched from segment files —
+    * the observable for the intra-segment seek contract (a tail-range
+    * read of an indexed segment fetches ≪ the segment size). */
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+
   def segmentFiles(dir: String): Seq[File] = {
     val d = new File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -80,17 +85,43 @@ object WalSegmentIO {
     * re-emit relation metadata at segment rotation, as pgoutput itself
     * does per session). Commit boundaries are the Commit/StreamCommit
     * events (JSON transport: the `commit:true` marker). */
-  private def readFile(f: File): Iterator[Rec] = {
+  /** `fromExclusive` is a pruning HINT: the caller will discard events
+    * with lsn ≤ it, so an indexed .pgo segment may seek past any sync
+    * point whose recorded max-lsn is ≤ the hint. Long.MinValue = no
+    * pruning (full decode). */
+  private def readFile(f: File, fromExclusive: Long = Long.MinValue): Iterator[Rec] = {
     filesOpened.incrementAndGet()
-    if (f.getName.endsWith(".pgo")) readPgo(f)
-    else readJsonNodes(f).map(n => Rec(
-      n.get("lsn").asLong(), n.path("commit").asBoolean(false), () => toRow(n)))
+    if (f.getName.endsWith(".pgo")) readPgo(f, fromExclusive)
+    else {
+      bytesRead.addAndGet(f.length())
+      readJsonNodes(f).map(n => Rec(
+        n.get("lsn").asLong(), n.path("commit").asBoolean(false), () => toRow(n)))
+    }
   }
 
-  private def readPgo(f: File): Iterator[Rec] = {
+  /** Parse a `.idx` seek sidecar: (metaFrames(offset,len), syncs(offset,
+    * maxLsn)). Defensive — any malformed content disables the index
+    * (a torn sidecar must never lose events, only speed). */
+  private def parseIdx(idx: File): Option[(Seq[(Long, Int)], Seq[(Long, Long)])] =
+    try {
+      val metas = Vector.newBuilder[(Long, Int)]
+      val syncs = Vector.newBuilder[(Long, Long)]
+      Files.readAllLines(idx.toPath, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          line.split(" ") match {
+            case Array("m", off, len) => metas += ((off.toLong, len.toInt))
+            case Array("s", off, lsn) => syncs += ((off.toLong, lsn.toLong))
+            case _ => return None
+          }
+        }
+      Some((metas.result(), syncs.result()))
+    } catch { case _: Exception => None }
+
+  private def decodeFrames(bb: java.nio.ByteBuffer,
+                           init: graft.sources.pgoutput.PgOutputAssembler.State)
+      : Iterator[Rec] = {
     import graft.sources.pgoutput.PgOutputAssembler
-    val bb = java.nio.ByteBuffer.wrap(Files.readAllBytes(f.toPath))
-    var state = PgOutputAssembler.State()
+    var state = init
     val out = Vector.newBuilder[Rec]
     var torn = false
     while (!torn && bb.remaining() >= 12) {
@@ -117,6 +148,51 @@ object WalSegmentIO {
       }
     }
     out.result().iterator
+  }
+
+  private def readPgo(f: File, fromExclusive: Long): Iterator[Rec] = {
+    import graft.sources.pgoutput.PgOutputAssembler
+    // intra-segment seek (reference gzip sync-point analog,
+    // storage/compressed.rs:20-58): if a .idx sidecar offers a sync
+    // point whose events are all ≤ the prune hint, decode only the
+    // metadata frames before it (to rebuild the relation cache — a sync
+    // point is tx-idle by construction, so the rest of a fresh decoder
+    // state is valid) plus the tail from the sync offset.
+    val idxFile = new File(f.getParentFile, f.getName + ".idx")
+    val seekTo: Option[(Long, Seq[(Long, Int)])] =
+      if (fromExclusive == Long.MinValue || !idxFile.exists()) None
+      else parseIdx(idxFile).flatMap { case (metas, syncs) =>
+        syncs.filter(_._2 <= fromExclusive).map(_._1)
+          .filter(off => off > 0 && off <= f.length()).maxOption
+          .map(off => (off, metas.filter(_._1 < off)))
+      }
+    seekTo match {
+      case Some((off, metas)) =>
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          var state = PgOutputAssembler.State()
+          metas.foreach { case (mOff, mLen) =>
+            raf.seek(mOff)
+            val buf = new Array[Byte](mLen)
+            raf.readFully(buf)
+            bytesRead.addAndGet(mLen.toLong)
+            val mb = java.nio.ByteBuffer.wrap(buf)
+            val lsn = mb.getLong(); val len = mb.getInt()
+            val payload = new Array[Byte](len); mb.get(payload)
+            state = PgOutputAssembler.onFrame(state, lsn, payload)._1
+          }
+          val tailLen = (raf.length() - off).toInt
+          val tail = new Array[Byte](tailLen)
+          raf.seek(off)
+          raf.readFully(tail)
+          bytesRead.addAndGet(tailLen.toLong)
+          decodeFrames(java.nio.ByteBuffer.wrap(tail), state)
+        } finally raf.close()
+      case None =>
+        val all = Files.readAllBytes(f.toPath)
+        bytesRead.addAndGet(all.length.toLong)
+        decodeFrames(java.nio.ByteBuffer.wrap(all), PgOutputAssembler.State())
+    }
   }
 
   /** CdcEvent → InternalRow in CdcSchema.envelope order (the .pgo path's
@@ -172,7 +248,7 @@ object WalSegmentIO {
   }
 
   def readLines(dir: String): Iterator[Rec] =
-    segmentFiles(dir).iterator.flatMap(readFile)
+    segmentFiles(dir).iterator.flatMap(readFile(_))
 
   /** Range read with segment pruning: files whose cached [min,max] does
     * not overlap (fromEx, toInc] are never opened. */
@@ -181,7 +257,7 @@ object WalSegmentIO {
       .filter { f =>
         val m = segMeta(f); m.events > 0 && m.max > fromEx && m.min <= toInc
       }
-      .flatMap(readFile)
+      .flatMap(readFile(_, fromEx))
       .filter(r => r.lsn > fromEx && r.lsn <= toInc)
 
   /** Highest commit-boundary LSN > from, visiting at most `cap` events
@@ -208,7 +284,7 @@ object WalSegmentIO {
         seen += m.events
         m.lastCommit.foreach(l => boundary = math.max(boundary, l))
       } else {
-        val recs = readFile(f)
+        val recs = readFile(f, from)
         while (recs.hasNext && !capped) {
           val r = recs.next()
           if (r.lsn > from) {
@@ -232,7 +308,7 @@ object WalSegmentIO {
       val m = segMeta(f)
       if (m.events > 0 && m.max > from) {
         if (m.min > from && m.firstCommit.isDefined) return m.firstCommit
-        val hit = readFile(f)
+        val hit = readFile(f, from)
           .filter(r => r.lsn > from && r.commit)
           .map(_.lsn)
         if (hit.hasNext) return Some(hit.next())

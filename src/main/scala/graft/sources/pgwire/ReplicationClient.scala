@@ -36,7 +36,8 @@ final class ReplicationClient(
     cfg: GraftConfig,
     walDir: String,
     statusIntervalMicros: Long = 10L * 1000 * 1000,
-    clockMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
+    clockMicros: () => Long = () => System.currentTimeMillis() * 1000L,
+    syncEveryBytes: Long = 8L * 1024 * 1024) {
 
   import ReplicationProtocol._
 
@@ -69,21 +70,55 @@ final class ReplicationClient(
   // orphan the new segment's DML (txid=0, lost inStream) because only
   // Relation/Type metadata re-emits at the segment head.
   private var txIdle = true
+  // intra-segment seek index (the reference's gzip sync-point analog,
+  // storage/compressed.rs:20-58): sync entries (byteOffset, maxLsn) at
+  // tx-idle flush points every `syncEveryBytes`, plus the byte spans of
+  // every Relation/Type frame so a seeking reader can rebuild the
+  // metadata cache without decoding the skipped data frames
+  private var syncEntries = Vector.empty[(Long, Long)]
+  private var metaFrames = Vector.empty[(Long, Int)]
+  private var lastSyncOffset = 0L
 
   private def openSegment(atLsn: Long): Unit = {
     segIndex += 1
     segFile = new File(walDir, f"segment-$segIndex%06d.pgo")
     seg = new BufferedOutputStream(new FileOutputStream(segFile))
     segBytes = 0L
+    syncEntries = Vector.empty
+    metaFrames = Vector.empty
+    lastSyncOffset = 0L
     relationCache.foreach { case (_, payload) => append(atLsn, payload) }
   }
 
   private def append(lsn: Long, payload: Array[Byte]): Unit = {
+    val tag = payload(0).toChar
+    if (tag == 'R' || tag == 'Y')
+      metaFrames :+= (segBytes, 12 + payload.length)
     val header = ByteBuffer.allocate(12)
     header.putLong(lsn); header.putInt(payload.length)
     seg.write(header.array()); seg.write(payload)
     segBytes += 12 + payload.length
   }
+
+  /** At a tx-idle flush point: record a sync entry if enough bytes
+    * accumulated, and (re)write the tiny `.idx` sidecar atomically. A
+    * fresh decoder state is valid at exactly these offsets (same
+    * invariant as segment rotation), given the metadata frames are
+    * replayed first — which is what the `m` entries are for. */
+  private def maybeSync(): Unit =
+    if (segBytes - lastSyncOffset >= syncEveryBytes) {
+      syncEntries :+= (segBytes, lastReceived)
+      lastSyncOffset = segBytes
+      val sb = new StringBuilder
+      metaFrames.foreach { case (off, len) => sb.append(s"m $off $len\n") }
+      syncEntries.foreach { case (off, lsn) => sb.append(s"s $off $lsn\n") }
+      val tmp = new File(walDir, segFile.getName + ".idx.tmp")
+      java.nio.file.Files.writeString(tmp.toPath, sb.toString)
+      java.nio.file.Files.move(tmp.toPath,
+        new File(walDir, segFile.getName + ".idx").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** Rotate only when the just-appended frame left the stream at a
     * transaction boundary AND the segment is over size — a huge single
@@ -163,6 +198,7 @@ final class ReplicationClient(
                     // see whole transactions
                     txIdle = true
                     seg.flush()
+                    maybeSync()
                   case _ => () // DML / Relation / Type / Origin / Message
                 }
               case Keepalive(walEnd, _, replyRequested) =>

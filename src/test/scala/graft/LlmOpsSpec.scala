@@ -172,6 +172,48 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(clusterSizes.values.sum == 151L, "every vector assigned exactly once")
   }
 
+  test("iterated IVF reaches recall >= 0.9 vs brute force at K=64 (sf0.1)") {
+    import graft.llmops.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val ids = emb.select(col("vec_id").cast("long")).orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val probes = Seq(ids.head, ids(ids.length / 2), ids.last)
+    // quantized corpus + iterated index built ONCE, probed three times
+    // (the serving pattern); localCheckpoint: many Lloyd rounds re-read it
+    val q = Similarity.quantized(emb).localCheckpoint(true)
+    val bf = probes.map { p =>
+      p -> Similarity.bruteForceTopK(emb, p, 64)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    def recallAt(cents: Seq[Similarity.IvfCentroid],
+                 assign: org.apache.spark.sql.DataFrame,
+                 nprobe: Int): Double = {
+      val rs = probes.map { p =>
+        val ivf = Similarity.ivfTopKIndexed(q, cents, assign, p, 64, nprobe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        ivf.intersect(bf(p)).size.toDouble / bf(p).size
+      }
+      rs.sum / rs.size
+    }
+    val (c1, a1raw) = Similarity.ivfIndex(q) // one round (the oracle form)
+    val a1 = a1raw.localCheckpoint(true)
+    val (cN, aNraw) = Similarity.ivfIndex(q, rounds = 10) // to stability
+    val aN = aNraw.localCheckpoint(true)
+    Seq(4, 8, 12).foreach { np =>
+      info(s"nprobe=$np recall 1-round=${recallAt(c1, a1, np)} " +
+        s"iterated=${recallAt(cN, aN, np)}")
+    }
+    // iterating to stability must not lose recall vs the seed-biased
+    // single round (the reason the knob exists)
+    assert(recallAt(cN, aN, 8) >= recallAt(c1, a1, 8) - 1e-9)
+    // the synthetic embeddings are near-uniform (no real cluster
+    // structure), so ≥0.9 recall needs probing 12 of 16 cells; on
+    // clustered corpora the same index hits it at far lower nprobe
+    val avg = recallAt(cN, aN, 12)
+    assert(avg >= 0.9, s"IVF recall too low at nprobe=12: $avg")
+  }
+
   test("embedding cosine near-dup is symmetric-free and deterministic") {
     val pairs = Similarity.cosineNearDup(embs, 0.3)
     val collected = pairs.collect()
@@ -212,6 +254,60 @@ class LlmOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits.keySet == Set(1L), s"got $hits")
     assert(hits(1L) >= 3)
+  }
+
+  test("streaming curation equals the batch llm_curate pipeline on the same corpus") {
+    import graft.llmops.{Dedup, StreamingCurate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // the batch pipeline's kept set (exact composition of llm_curate)
+    val filtered = StreamingCurate.gate(docs).localCheckpoint(false)
+    val keepExact = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
+    val exactKept = filtered.join(keepExact, "doc_id")
+    val batchKept = Dedup.nearDedup(exactKept, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty)
+
+    // stream the same corpus in 3 id-ordered chunks
+    val store = java.nio.file.Files.createTempDirectory("curate-store")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("curate-ckpt")
+      .toFile.getAbsolutePath
+    val rows = docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    chunks.foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      val q = StreamingCurate.start(
+        mem.toDF().toDF("doc_id", "source", "text"), store, ckpt)
+      q.awaitTermination()
+    }
+
+    val streamKept = StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept,
+      s"stream-vs-batch kept diff: extra=${streamKept -- batchKept} " +
+        s"missing=${batchKept -- streamKept}")
+
+    // and the per-source stats agree with the batch query's output
+    val batchStats = graft.queries.LlmQueries.queries("llm_curate")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val streamStats = StreamingCurate.stats(spark, store)
+      .collect().map(_.toSeq).toSeq
+    assert(streamStats == batchStats)
+
+    // replaying the last trigger's applyBatch overwrites, never duplicates
+    val lastId = new java.io.File(s"$store/curated").listFiles()
+      .map(_.getName.stripPrefix("b").toLong).max
+    StreamingCurate.applyBatch(
+      chunks.last.toSeq.toDF("doc_id", "source", "text"), store, lastId)
+    val replayKept = StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayKept == batchKept, "epoch replay must be idempotent")
   }
 
   test("multimodal stub: schema, batch shape, determinism") {
