@@ -218,9 +218,60 @@ object CdcQueries {
           sum(when(col("op") === "d", 1).otherwise(0)).as("n_delete"),
           sum(when(col("op") === "r", 1).otherwise(0)).as("n_skipped"))
         .orderBy("user_id")
+    }),
+
+    // P6 on the WAREHOUSE chain, end-to-end under the oracle gate: the
+    // event stream — with a mid-stream TRUNCATE at max(lsn)/2 — applies
+    // through applyWarehouseBatch into a real hash-bucketed replica
+    // (truncate wipes the table, post-truncate DML survives in LSN
+    // order), and the replica's content is read back and compared to
+    // the declarative fold the oracle computes.
+    "cdc_truncate_fold" -> ((s, d) => {
+      import graft.streaming.CdcPipeline
+      val e = events(s, d)
+      val cut = e.agg(expr("max(event_id) div 2")).head().getLong(0)
+      val dml = e.withColumn("op", opCol)
+        .filter(col("op").isin("c", "u", "d"))
+        .select(col("op"), col("event_id").cast("long").as("lsn"),
+          col("user_id").cast("string").as("uid"),
+          cents(col("value")).cast("string").as("v"))
+      val evs = dml.map { r =>
+        val (op, lsn, uid, v) =
+          (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))
+        if (op == "d")
+          CdcEvent("d", lsn, 1L, null, "public", "evfold",
+            Seq(CdcColumn("id", uid)), Nil, keyColumns = Seq("id"))
+        else CdcEvent(op, lsn, 1L, null, "public", "evfold", Nil,
+          Seq(CdcColumn("id", uid), CdcColumn("val", v)),
+          keyColumns = Seq("id"))
+      }(CdcPipeline.eventEnc)
+      val trunc = s.createDataset(Seq(
+        CdcEvent("t", cut, 1L, null, "public", "evfold", Nil, Nil,
+          truncateTables = Seq("public.evfold"))))(CdcPipeline.eventEnc)
+      val root = java.nio.file.Files.createTempDirectory("evfold")
+        .toFile.getAbsolutePath
+      CdcPipeline.applyWarehouseBatch(evs.unionByName(trunc), root, 8, 0L)
+      new graft.sinks.ParquetReplicaSink(s"$root/public.evfold", Seq("id"), 8)
+        .snapshot(s)
+        .select(col("id").cast("bigint").as("user_id"),
+          col("val").cast("bigint").as("last_value_cents"))
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "cdc_truncate_fold" ->
+      s"""WITH dml AS (
+         |  SELECT CAST(event_id AS BIGINT) AS lsn,
+         |    CAST(user_id AS VARCHAR) AS id,
+         |    CAST(round(value*100) AS BIGINT) AS v, $opSql AS op
+         |  FROM events WHERE $opSql IN ('c','u','d')),
+         |cut AS (SELECT max(event_id) // 2 AS cut FROM events),
+         |post AS (SELECT dml.* FROM dml, cut WHERE lsn > cut),
+         |ranked AS (SELECT id, v, op,
+         |    row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+         |  FROM post)
+         |SELECT CAST(id AS BIGINT) AS user_id, v AS last_value_cents
+         |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
     "cdc_f1_dml_filter" ->
       s"""SELECT op, count(*) AS n,
          |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
