@@ -17,7 +17,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Env surface (beyond GraftConfig's CDC_* set):
   *   GRAFT_WAL_DIR      — cdcwal segment directory (required)
-  *   GRAFT_DEST_URL     — destination JDBC url (required)
+  *   GRAFT_DEST_URL     — destination JDBC url (required unless
+  *     GRAFT_WAREHOUSE_DIR selects the warehouse mode)
+  *   GRAFT_WAREHOUSE_DIR — parquet-replica root: replicate into
+  *     per-table hash-bucketed parquet (the 100 TB path) instead of a
+  *     JDBC destination; GRAFT_WAREHOUSE_BUCKETS (default 64) sizes the
+  *     layout, GRAFT_WAREHOUSE_SPILL=true routes through the disk-spill
+  *     sealer for arbitrarily large streamed transactions
   *   GRAFT_CHECKPOINT   — checkpoint location (required)
   *   GRAFT_DIALECT      — ansi|mysql|sqlserver|sqlite (default ansi)
   *   GRAFT_METRICS_PORT — scrape port (default 8080; -1 disables)
@@ -50,8 +56,11 @@ object GraftApp {
     }
     val walDir = env.getOrElse("GRAFT_WAL_DIR",
       throw new IllegalArgumentException("GRAFT_WAL_DIR is required"))
-    val destUrl = env.getOrElse("GRAFT_DEST_URL",
-      throw new IllegalArgumentException("GRAFT_DEST_URL is required"))
+    val warehouseDir = env.get("GRAFT_WAREHOUSE_DIR")
+    val destUrl = env.get("GRAFT_DEST_URL")
+    if (warehouseDir.isEmpty && destUrl.isEmpty)
+      throw new IllegalArgumentException(
+        "GRAFT_DEST_URL is required (or GRAFT_WAREHOUSE_DIR for warehouse mode)")
     val ckpt = env.getOrElse("GRAFT_CHECKPOINT",
       throw new IllegalArgumentException("GRAFT_CHECKPOINT is required"))
     val dialect = Dialect.forName(env.getOrElse("GRAFT_DIALECT", "ansi"))
@@ -90,19 +99,31 @@ object GraftApp {
       .foreach(n => reader.option("maxEventsPerTrigger", n))
     val envelope = reader.load()
 
-    val ctx = RenderContext(dialect, cfg.schemaMappings)
-    val applier = new graft.sinks.JdbcApplier(destUrl, ctx, cfg.slotName,
-      graft.coalesce.CoalesceConfig(
-        maxRowsPerInsert = cfg.maxRowsPerInsert,
-        bulkInsertThreshold = cfg.bulkInsertThreshold),
-      cfg.batchSize)
-    applier.init()
-    // Transaction assembly before apply (same scaffold as startJdbc /
-    // startWarehouse): protocol-v2 streamed DML whose transaction later
-    // StreamAborts must never reach the destination.
-    val query = CdcPipeline.startAssembled(envelope, cfg.originFilter,
-      s"graft-app-${cfg.slotName}", ckpt, trigger) { (batch, batchId) =>
-      applier.applyBatch(batch, batchId)
+    val query = warehouseDir match {
+      case Some(root) =>
+        // warehouse mode: per-table hash-bucketed parquet replicas (the
+        // 100 TB path); spill form bounds executor memory for huge txs
+        val buckets = env.get("GRAFT_WAREHOUSE_BUCKETS").map(_.toInt).getOrElse(64)
+        if (env.get("GRAFT_WAREHOUSE_SPILL").exists(_.toBoolean))
+          TxnSpill.startWarehouseSpill(envelope, root, ckpt, buckets,
+            trigger, cfg.originFilter)
+        else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
+          trigger, cfg.originFilter)
+      case None =>
+        val ctx = RenderContext(dialect, cfg.schemaMappings)
+        val applier = new graft.sinks.JdbcApplier(destUrl.get, ctx, cfg.slotName,
+          graft.coalesce.CoalesceConfig(
+            maxRowsPerInsert = cfg.maxRowsPerInsert,
+            bulkInsertThreshold = cfg.bulkInsertThreshold),
+          cfg.batchSize)
+        applier.init()
+        // Transaction assembly before apply (same scaffold as startJdbc /
+        // startWarehouse): protocol-v2 streamed DML whose transaction later
+        // StreamAborts must never reach the destination.
+        CdcPipeline.startAssembled(envelope, cfg.originFilter,
+          s"graft-app-${cfg.slotName}", ckpt, trigger) { (batch, batchId) =>
+          applier.applyBatch(batch, batchId)
+        }
     }
     Wiring(query, metrics, listener, capture.map(_._1), captureThread)
   }

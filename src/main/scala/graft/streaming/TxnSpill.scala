@@ -114,6 +114,35 @@ object TxnSpill {
     Resolved(out, commit)
   }
 
+  /** Maintenance: drop pending dirs of ABANDONED transactions — txids
+    * whose producer died mid-transaction and whose seal can therefore
+    * never arrive. The safe watermark is the slot's restart boundary
+    * (`SlotReconcile`/flush-LSN): WAL below it is acknowledged, so a
+    * commit for a transaction whose every parked event is older can no
+    * longer be delivered. Without reaping, a 100 TB stream with
+    * occasional dead txids grows the spill without bound (the
+    * reference's file queue leaks the same way; its assembler timeout
+    * is the in-memory analog of this). Returns the reaped txids. */
+  def reapAbandoned(spark: SparkSession, spillDir: String,
+                    watermarkLsn: Long): Seq[Long] = {
+    val pending = pendingPath(spillDir)
+    val fs = pending.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pending)) return Seq.empty
+    val txDirs = fs.listStatus(pending).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("txid="))
+    val reaped = txDirs.flatMap { d =>
+      val txid = d.getPath.getName.stripPrefix("txid=").toLong
+      // one tiny read per candidate dir: the max lsn parked for the txid
+      val maxLsn = spark.read.schema(pendingSchema)
+        .option("basePath", pending.toString)
+        .parquet(d.getPath.toString)
+        .agg(max("lsn")).head().getLong(0)
+      if (maxLsn < watermarkLsn) { fs.delete(d.getPath, true); Some(txid) }
+      else None
+    }
+    reaped.sorted
+  }
+
   /** The warehouse chain for large transactions: envelope → spill-based
     * sealing → per-table bucket-pruned MERGE. Same exactly-once contract
     * as `startWarehouse` (stale-batch gate + idempotent apply), with

@@ -100,6 +100,25 @@ class GraftAppSpec extends SparkSpecBase {
     } finally { GraftApp.shutdown(w); c.close() }
   }
 
+  test("warehouse mode: GRAFT_WAREHOUSE_DIR replicates WAL into bucketed parquet") {
+    val wal = Files.createTempDirectory("app-wh-wal").toFile.getAbsolutePath
+    val root = Files.createTempDirectory("app-wh").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("app-wh-ckpt").toFile.getAbsolutePath
+    writeSegment(wal, "000001", txLines(1, Seq(1, 2, 3)))
+    val env = Map(
+      "GRAFT_WAL_DIR" -> wal, "GRAFT_WAREHOUSE_DIR" -> root,
+      "GRAFT_WAREHOUSE_BUCKETS" -> "4",
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "-1")
+    val w = GraftApp.build(spark, GraftConfig(), env, Trigger.AvailableNow())
+    try {
+      w.query.awaitTermination()
+      val ids = new graft.sinks.ParquetReplicaSink(
+        s"$root/public.t1", Seq("id"), 4).snapshot(spark)
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(ids == Set("1", "2", "3"))
+    } finally GraftApp.shutdown(w)
+  }
+
   test("connectTransport sends StartupMessage BEFORE reading the handshake") {
     import graft.sources.pgwire.PgWire
     // A real server says NOTHING until it receives the StartupMessage —

@@ -406,6 +406,29 @@ class ParquetReplicaSpec extends SparkSpecBase {
       s"commit_prepared applies, rollback_prepared leaves no rows: got $rows")
   }
 
+  test("warehouse origin filter: foreign-origin DML never reaches the replica") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.{CdcPipeline, OriginFilter}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("wh-origin").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("wh-origin-ckpt").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ins(lsn: Long, id: Int, origin: String) =
+      CdcEvent("c", lsn, 1L, ts, "public", "t1", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("val", (id * 10).toString)),
+        keyColumns = Seq("id"), isFinalBatch = true, origin = origin)
+    val mem = MemoryStream[CdcEvent]
+    mem.addData(ins(1, 1, null), ins(2, 666, "upstream_b"), ins(3, 2, null))
+    val q = CdcPipeline.startWarehouse(mem.toDF(), root, ckpt, numBuckets = 4,
+      originFilter = OriginFilter.NoOrigin)
+    q.awaitTermination()
+    val ids = new graft.sinks.ParquetReplicaSink(s"$root/public.t1", Seq("id"), 4)
+      .snapshot(spark).select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("1", "2"), s"foreign-origin row must be filtered: $ids")
+  }
+
   test("compact rewrites fragmented buckets only; content and schema preserved") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

@@ -150,6 +150,26 @@ class TxnSpillSpec extends SparkSpecBase {
     sealedTx.commit()
   }
 
+  test("reapAbandoned drops only dead-below-watermark txids") {
+    import spark.implicits._
+    val spill = newSpill()
+    // tx 10: parked entirely below the watermark, no seal → abandoned
+    // tx 20: parked but has an event AT/ABOVE the watermark → alive
+    TxnSpill.resolve(Seq(
+      ctl(Ctl.StreamStart, 1, 10), ins(2, 10, 1),
+      ctl(Ctl.StreamStart, 3, 20), ins(4, 20, 2), ins(100, 20, 3)).toDS(),
+      spill).commit()
+    val reaped = TxnSpill.reapAbandoned(spark, spill, watermarkLsn = 50L)
+    assert(reaped == Seq(10L))
+    // the alive tx still seals completely after the reap
+    val r = TxnSpill.resolve(Seq(ctl(Ctl.StreamCommit, 200, 20)).toDS(), spill)
+    assert(readyIds(r).sorted == Seq("2", "3"))
+    r.commit()
+    // an abandoned commit arriving anyway seals an EMPTY tx — harmless
+    val late = TxnSpill.resolve(Seq(ctl(Ctl.StreamCommit, 201, 10)).toDS(), spill)
+    assert(late.ready.count() == 0)
+  }
+
   test("e2e: spill warehouse chain discards aborted streamed txs (assembler parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
