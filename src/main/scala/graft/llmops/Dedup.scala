@@ -90,12 +90,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for pairs above a threshold.
-    * `candidates` (da, db) restricts the comparison set; None = all
-    * pairs via the shingle inverted index (small corpora only). */
-  def ngramJaccard(df: DataFrame, threshold: Double, shingleN: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text",
-                   candidates: Option[DataFrame] = None): DataFrame = {
+  /** Shared shingle-overlap core: (da, db, inter, sza, szb) for every
+    * overlapping pair. `candidates` (da, db) restricts the comparison
+    * set; None = all pairs via the shingle inverted index (small
+    * corpora only). */
+  private def pairOverlap(df: DataFrame, shingleN: Int, idCol: String,
+                          textCol: String,
+                          candidates: Option[DataFrame]): DataFrame = {
     val allSh = TextOps.shingleRows(df, shingleN, idCol, textCol)
     // With candidates, the inverted-index self-join runs over candidate
     // docs ONLY (semi-join the shingle rows first) — at scale the
@@ -126,11 +127,32 @@ object Dedup {
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed(idCol, "da").withColumnRenamed("sz", "sza"), "da")
       .join(sizes.withColumnRenamed(idCol, "db").withColumnRenamed("sz", "szb"), "db")
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs above a threshold. */
+  def ngramJaccard(df: DataFrame, threshold: Double, shingleN: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   candidates: Option[DataFrame] = None): DataFrame =
+    pairOverlap(df, shingleN, idCol, textCol, candidates)
       .withColumn("un", col("sza") + col("szb") - col("inter"))
       .withColumn("jaccard", col("inter") * lit(1.0) / col("un"))
       .filter(col("jaccard") >= threshold)
       .select("da", "db", "inter", "un", "jaccard")
-  }
+
+  /** Containment near-dup: inter / min(|A|,|B|) ≥ threshold — catches a
+    * small document EMBEDDED in a larger one (quotes, concatenated
+    * shards, boilerplate wrappers), where Jaccard dilutes toward
+    * |small|/|large| and no usable threshold exists. Standard alongside
+    * Jaccard in training-data dedup (the "containment" of Broder's
+    * resemblance/containment pair). Same inverted-index shape and the
+    * same LSH-candidate restriction path as [[ngramJaccard]]. */
+  def ngramContainment(df: DataFrame, threshold: Double, shingleN: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       candidates: Option[DataFrame] = None): DataFrame =
+    pairOverlap(df, shingleN, idCol, textCol, candidates)
+      .withColumn("containment", col("inter") * lit(1.0) / least(col("sza"), col("szb")))
+      .filter(col("containment") >= threshold)
+      .select("da", "db", "inter", "containment")
 
   /** 60-bit SimHash per document.
     *

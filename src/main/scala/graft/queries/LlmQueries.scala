@@ -44,6 +44,16 @@ object LlmQueries {
         .orderBy(desc("jaccard"), col("da"), col("db"))
     }),
 
+    // Containment dedup: a small doc EMBEDDED in a larger one (quote,
+    // concatenated shard) — Jaccard dilutes toward |small|/|large| and
+    // misses it; containment = inter/min(|A|,|B|) catches it. Same
+    // inverted-index shape as the jaccard query; at scale both run
+    // candidate-restricted (see llm_curate's LSH chain).
+    "llm_containment" -> ((s, d) => {
+      Dedup.ngramContainment(documents(s, d), threshold = 0.9)
+        .orderBy(desc("containment"), col("da"), col("db"))
+    }),
+
     // MinHash + LSH banding: 8 md5-minhashes, 4 bands of 2 → candidate
     // pairs from shared buckets. This is the scale path: cost is linear
     // in docs + bucket-local joins, no all-pairs comparison.
@@ -373,6 +383,39 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Label-centroid classification over the embedding corpus — the
+    // embedding-quality eval a pipeline runs after labeling: per-label
+    // integer-exact sum centroid (cosine is scale-invariant, so sum ≡
+    // mean), every vector assigned to its max-cosine centroid
+    // (micro-rounded, label-asc tie-break), confusion-matrix counts
+    // out. One groupBy for centroids (K·dim longs, broadcast back) +
+    // a 10-way scored join + per-vector argmax — no all-pairs work.
+    "llm_label_classify" -> ((s, d) => {
+      val dim = 64
+      val q = Similarity.quantized(embeddings(s, d))
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val joined = q.join(lab, "vec_id")
+      val sumCols = (0 until dim).map(i =>
+        sum(element_at(col("qe"), i + 1)).as(s"s$i"))
+      val cents = joined.groupBy(col("label").as("pred"))
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(col("pred"),
+          array((0 until dim).map(i => col(s"s$i")): _*).as("ce"))
+        .withColumn("nc", Similarity.dotQ(col("ce"), col("ce")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("cm"), col("pred"))
+      joined.crossJoin(broadcast(cents))
+        .withColumn("cm",
+          round(Similarity.dotQ(col("qe"), col("ce")) * lit(1.0) /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double")))
+            * 1e6).cast("bigint"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("label", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }),
+
     // TF-IDF top terms per source. idf is rounded to integer
     // milli-units (ln is the only float step; rounding makes the score
     // engine-exact), so ranking and the hash compare are deterministic.
@@ -441,6 +484,20 @@ object LlmQueries {
          |  JOIN sizes sb ON db = sb.doc_id
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          |ORDER BY jaccard DESC, da, db""".stripMargin,
+    "llm_containment" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1,2)
+         |SELECT da, db, inter,
+         |  inter * 1.0 / least(sa.sz, sb.sz) AS containment
+         |FROM pairs JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.9
+         |ORDER BY containment DESC, da, db""".stripMargin,
     "llm_dedup_minhash" -> {
       val coeffs = graft.llmops.Dedup.MinhashCoeffs
       val p = graft.llmops.Dedup.MinhashP
@@ -824,6 +881,29 @@ object LlmQueries {
         |  CAST(min(nc) AS BIGINT) AS centroid_norm,
         |  CAST(sum(cm) AS BIGINT) * 1.0 / (1000000.0 * count(*)) AS cohesion
         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "llm_label_classify" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qe,
+        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+        |  FROM q),
+        |cent AS (SELECT label AS pred, list(s ORDER BY i) AS ce FROM (
+        |    SELECT n.label, g.i, CAST(sum(n.qe[g.i]) AS BIGINT) AS s
+        |    FROM n, generate_series(1, 64) AS g(i) GROUP BY 1,2) GROUP BY 1),
+        |cn AS (SELECT pred, ce,
+        |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
+        |  FROM cent),
+        |sc AS (SELECT n.vec_id, n.label, c.pred,
+        |    CAST(round(list_dot_product(n.qe::BIGINT[], c.ce::BIGINT[]) * 1.0
+        |      / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM n CROSS JOIN cn c),
+        |r AS (SELECT vec_id, label, pred,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, pred) AS rn
+        |  FROM sc)
+        |SELECT label, pred, count(*) AS n
+        |FROM r WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "llm_tfidf" ->
       """WITH tr AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |            FROM documents),

@@ -374,9 +374,34 @@ object RelationalQueries {
           sum(cents(col("value"))).as("value_cents"),
           countDistinct("user_id").as("n_users"))
         .orderBy("event_type", "win_id")
+    }),
+
+    // GROUPING SETS with an ASYMMETRIC set list — ((rf,ls),(ls),()) is
+    // neither a rollup nor a cube, the shape reporting queries actually
+    // use. Spark expands to one Expand + a single partial-aggregated
+    // shuffle, same as rollup/cube.
+    "q24_grouping_sets" -> ((s, d) => {
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("bigint").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q24_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY 1,2""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

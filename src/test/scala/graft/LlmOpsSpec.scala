@@ -38,6 +38,20 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(expectedDrops > 0, "should find near-dups in test data")
   }
 
+  test("containment catches an embedded document that jaccard misses") {
+    import graft.llmops.Dedup
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val small = (20 to 30).map(i => s"w$i").mkString(" ") // fully embedded
+    val df = Seq((1L, big), (2L, small),
+      (3L, "totally different words entirely here")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(df, 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cont == Seq((1L, 2L)), s"embedded doc must be flagged: $cont")
+    // jaccard dilutes to ~|small|/|big| and misses the same pair
+    assert(Dedup.ngramJaccard(df, 0.8).count() == 0)
+  }
+
   test("connectedComponents computes the transitive closure of pair edges") {
     import spark.implicits._
     // chain 1-2-3 plus isolated pair 10-11: greedy pairwise grouping
