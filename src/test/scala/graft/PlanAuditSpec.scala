@@ -200,6 +200,22 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("label classifier: centroid side broadcasts; grouping sets is one Expand+agg") {
+    // llm_label_classify: the K-centroid table must ride along as a
+    // BroadcastNestedLoopJoin/BroadcastExchange (K rows), never a
+    // shuffled join of corpus × centroids
+    val lc = planString(q("llm_label_classify"))
+    assert(lc.contains("Broadcast"), lc.take(2000))
+    assert(!lc.contains("SortMergeJoin"), lc.take(2000))
+    // q24: GROUPING SETS must plan as a single Expand feeding one
+    // partial-aggregated shuffle — not one scan per grouping set
+    val gs = planString(q("q24_grouping_sets"))
+    assert(gs.contains("Expand"), gs.take(2000))
+    assert("(?s)Scan parquet".r.findAllIn(gs).size == 1,
+      "grouping sets must scan lineitem exactly once:\n" + gs.take(2000))
+    assert(gs.contains("partial_count") || gs.contains("partial"), gs.take(2000))
+  }
+
   test("near-dup clustering: rounds shuffle the label table, never explode pairs") {
     // one propagation round over a synthetic edge set: the join keys are
     // equality (nb = id), so the plan is hash joins — no cartesian, no
