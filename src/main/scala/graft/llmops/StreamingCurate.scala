@@ -1,5 +1,6 @@
 package graft.llmops
 
+import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -150,6 +151,60 @@ object StreamingCurate {
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, storeDir, id) }
       .start()
+
+  /** Maintenance: fold the accumulated per-batch subdirs of each store
+    * kind into ONE dir, so listing cost stays flat over months of
+    * triggers. The fold keeps the HIGHEST folded batch id as the merged
+    * dir's name — every future batch (id > it) still reads it, and the
+    * current-batch-exclusion rule is untouched. Run OFFLINE (between
+    * streaming runs — same discipline as ParquetReplicaSink.compact):
+    * write-merged-then-delete order means a crash mid-fold leaves
+    * duplicate rows at worst, which the (hash / doc_id) dedup semantics
+    * of every reader absorb. Returns folded dir counts per kind. */
+  def compactStore(spark: SparkSession, storeDir: String): Map[String, Int] =
+    Seq("seen" -> seenSchema, "buckets" -> bucketSchema,
+      "curated" -> StructType(seenSchema.filterNot(_.name == "content_hash")))
+      .map { case (kind, schema) =>
+        val dir = new Path(storeDir, kind)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        // finish (or discard) a fold a crash interrupted: a committed
+        // staging dir rolls forward, a partial one rolls back — at no
+        // point is the only copy of the store in memory
+        val staged = new Path(dir, "_fold")
+        if (fs.exists(staged)) {
+          val done = fs.exists(new Path(staged, "_SUCCESS"))
+          val tgt = new Path(staged, "_target")
+          if (done && fs.exists(tgt)) {
+            val in = fs.open(tgt)
+            val name = try new String(in.readAllBytes(), UTF_8).trim
+              finally in.close()
+            val maxId = name.stripPrefix("b").toLong
+            fs.listStatus(dir).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+              .filter(_.getPath.getName.stripPrefix("b").toLong <= maxId)
+              .foreach(p => fs.delete(p.getPath, true))
+            fs.delete(tgt, false)
+            fs.rename(staged, new Path(dir, name))
+          } else fs.delete(staged, true)
+        }
+        val parts =
+          if (!fs.exists(dir)) Seq.empty
+          else fs.listStatus(dir).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+            .sortBy(_.getPath.getName.stripPrefix("b").toLong)
+        if (parts.size <= 1) kind -> parts.size
+        else {
+          val name = parts.last.getPath.getName
+          spark.read.schema(schema)
+            .parquet(parts.map(_.getPath.toString): _*)
+            .write.mode("overwrite").parquet(staged.toString)
+          val out = fs.create(new Path(staged, "_target"), true)
+          try out.write(name.getBytes(UTF_8)) finally out.close()
+          parts.foreach(p => fs.delete(p.getPath, true))
+          fs.rename(staged, new Path(dir, name))
+          kind -> parts.size
+        }
+      }.toMap
 
   /** All curated docs admitted so far. */
   def curated(spark: SparkSession, storeDir: String): DataFrame =

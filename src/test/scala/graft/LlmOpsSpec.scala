@@ -322,6 +322,30 @@ class LlmOpsSpec extends SparkSpecBase {
     val replayKept = StreamingCurate.curated(spark, store)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(replayKept == batchKept, "epoch replay must be idempotent")
+
+    // offline store fold: per-batch dirs collapse to one per kind,
+    // content identical; an uncommitted staged fold is rolled back
+    val junk = new java.io.File(s"$store/seen/_fold")
+    junk.mkdirs()
+    new java.io.File(junk, "part-junk.parquet").createNewFile()
+    val folded = StreamingCurate.compactStore(spark, store)
+    assert(folded.values.forall(_ >= 1), s"$folded")
+    Seq("seen", "buckets", "curated").foreach { kind =>
+      val dirs = new java.io.File(s"$store/$kind").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      assert(dirs.length == 1, s"$kind not folded: ${dirs.map(_.getName).toSeq}")
+    }
+    assert(StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == batchKept,
+      "fold must preserve the curated set")
+    // and a later batch still composes against the folded store
+    val extra = Seq((999999L, chunks.head.head._2,
+      chunks.head.head._3)).toDF("doc_id", "source", "text")
+    StreamingCurate.applyBatch(extra, store, lastId + 1)
+    val afterKept = StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterKept == batchKept,
+      "an exact duplicate of a folded doc must still be rejected")
   }
 
   test("multimodal stub: schema, batch shape, determinism") {
