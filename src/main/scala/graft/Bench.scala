@@ -27,14 +27,15 @@ object Bench {
     "q1_pricing", "q2_top_orders", "q3_revenue", "q4_region_stats",
     "q5_window_rank", "q6_rollup", "q13_asof", "q14_range",
     "q19_market_share", "q20_waiting_supplier", "q22_nation_balance",
-    "q23_event_windows", "q24_grouping_sets",
+    "q23_event_windows", "q24_grouping_sets", "q25_pivot", "q26_rolling",
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",
     "llm_tokens", "llm_quality", "llm_curate",
     "llm_dedup_cluster", "llm_quality_rep", "llm_tfidf", "llm_mix",
     "llm_sample_stratified", "llm_entropy", "llm_embed_stats",
-    "llm_dedup_semantic", "llm_label_classify")
+    "llm_dedup_semantic", "llm_label_classify", "llm_lm_score",
+    "llm_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -416,6 +416,67 @@ object LlmQueries {
         .orderBy("label", "pred")
     }),
 
+    // Corpus-trained bigram language-model scoring (the CCNet/KenLM-style
+    // perplexity quality filter): one pass builds the LM — C(w,next) and
+    // its context marginal C(w) — as distributed tables, then every doc
+    // is scored by its average bigram cross-entropy −(1/m)·Σ ln p(next|w)
+    // with each ln micro-rounded BEFORE the sum so the aggregate is
+    // order-independent and engine-exact. Low score = typical text, high
+    // = gibberish/outliers. At 100 TB: two token-key shuffles (bigram
+    // counts, context counts are derived from them without re-reading
+    // the corpus) + one doc-key shuffle; the "model" never leaves the
+    // cluster — no driver state, no vocabulary cap.
+    "llm_lm_score" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"), toks.as("t"))
+      // bigram occurrences via posexplode + codegen'd element_at (the
+      // measured-fast shingle shape); posexplode is 0-based, element_at
+      // 1-based → (i+1, i+2) is the (w, next) pair
+      val bg = t.select(col("doc_id"),
+          posexplode(col("t")).as(Seq("i", "w")),
+          col("t"))
+        .filter(col("i") < size(col("t")) - 1)
+        .select(col("doc_id"), col("w"),
+          element_at(col("t"), col("i") + 2).as("nxt"))
+      val cb = bg.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
+      // context marginal from the bigram table itself: C(w) = Σ_next C(w,next)
+      val cc = cb.groupBy("w").agg(sum("cb").as("cc"))
+      val lnMicro = (c: Column) =>
+        round(log(c.cast("double")) * 1e6).cast("bigint")
+      bg.groupBy("doc_id", "w", "nxt").agg(count(lit(1)).as("cnt"))
+        .join(cb, Seq("w", "nxt"))
+        .join(cc, Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          sum(col("cnt") * (lnMicro(col("cc")) - lnMicro(col("cb"))))
+            .as("s_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s_micro") * lit(1.0) / (lit(1000.0) * col("n_bigrams")))
+            .cast("bigint").as("xent_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // Dataset-card mixture report: the per-source summary a training run
+    // publishes before consuming a corpus — volume (docs/tokens/chars),
+    // exact-dup rate (distinct content hashes vs docs), and language mix.
+    // One groupBy(source) shuffle; every statistic is an exact integer
+    // (mean in milli-chars via one double division of exact sums).
+    "llm_dataset_card" -> ((s, d) => {
+      documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(toks).as("n_toks"),
+          graft.llmops.TextOps.contentHash(col("text")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          countDistinct("h").as("n_uniq"),
+          countDistinct("lang").as("n_langs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          round(sum("n_chars") * lit(1000.0) / count(lit(1)))
+            .cast("bigint").as("avg_chars_milli"))
+        .orderBy("source")
+    }),
+
     // TF-IDF top terms per source. idf is rounded to integer
     // milli-units (ln is the only float step; rounding makes the score
     // engine-exact), so ranking and the hash compare are deterministic.
@@ -750,6 +811,32 @@ object LlmQueries {
         |  CAST(CASE WHEN n_tokens >= 50 AND n_stop * 1.0 / n_tokens >= 0.05 THEN 3
         |       WHEN n_tokens >= 20 THEN 2 ELSE 1 END AS INT) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+    "llm_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([t[i] for i in range(1, greatest(len(t), 1))]) AS w,
+        |    unnest([t[i+1] for i in range(1, greatest(len(t), 1))]) AS nxt
+        |  FROM t),
+        |cb AS (SELECT w, nxt, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w, CAST(sum(cb) AS BIGINT) AS cc FROM cb GROUP BY 1),
+        |dt AS (SELECT doc_id, w, nxt, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(cnt * (CAST(round(ln(cc.cc::DOUBLE) * 1e6) AS BIGINT)
+        |                  - CAST(round(ln(cb.cb::DOUBLE) * 1e6) AS BIGINT)))
+        |      AS BIGINT) AS s_micro
+        |  FROM dt JOIN cb USING (w, nxt) JOIN cc USING (w) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(round(s_micro * 1.0 / (1000.0 * n_bigrams)) AS BIGINT) AS xent_milli
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "llm_dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_uniq,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(round(sum(n_chars) * 1000.0 / count(*)) AS BIGINT) AS avg_chars_milli
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_tokens" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws,

@@ -392,9 +392,59 @@ object RelationalQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("cnt"), col("sum_qty"))
         .orderBy("returnflag", "linestatus")
+    }),
+
+    // PIVOT: per-order-year revenue by order status. Spark's pivot with
+    // EXPLICIT values compiles to one conditional aggregation — no
+    // second distinct-values job, which at 100 TB would be an extra full
+    // scan just to learn the column list; missing cells coalesce to 0.
+    "q25_pivot" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("c", cents(col("o_totalprice")))
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum("c"))
+        .select(col("yr"),
+          coalesce(col("F"), lit(0L)).as("f_cents"),
+          coalesce(col("O"), lit(0L)).as("o_cents"),
+          coalesce(col("P"), lit(0L)).as("p_cents"))
+        .orderBy("yr")
+    }),
+
+    // Rolling 7-day per-user spend over the event stream — a RANGE-frame
+    // window (time-interval preceding .. current row), the sliding-
+    // aggregate shape behavioral dashboards use. One shuffle on user_id;
+    // the frame is a sliding accumulator within each partition, never a
+    // self-join. (ts is epoch nanos here — see TESTDATA.md on NANOS.)
+    "q26_rolling" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+        .rangeBetween(-7L * 86400L * 1000000000L, 0L)
+      events(s, d)
+        .withColumn("c", cents(col("value")))
+        .withColumn("roll_cents", sum("c").over(w))
+        .select(col("event_id"), col("user_id"), col("roll_cents"))
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q25_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS o_cents,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS p_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS roll_cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "q24_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

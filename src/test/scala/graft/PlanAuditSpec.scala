@@ -216,6 +216,30 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(gs.contains("partial_count") || gs.contains("partial"), gs.take(2000))
   }
 
+  test("lm scoring, dataset card, pivot, rolling window: scale shapes hold") {
+    // llm_lm_score: LM counts join back by token keys — hash joins only,
+    // never a cartesian; no UDFs (everything codegen'd)
+    val lm = q("llm_lm_score")
+    lm.count()
+    assert(!collectAll(executed(lm)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!planString(lm).contains("ScalaUDF"), planString(lm).take(2000))
+    // llm_dataset_card: ONE scan of documents, partial (map-side) agg
+    val card = planString(q("llm_dataset_card"))
+    assert("(?s)Scan parquet".r.findAllIn(card).size == 1,
+      "dataset card must scan documents exactly once:\n" + card.take(2000))
+    assert(card.contains("partial"), card.take(2000))
+    // q25: explicit pivot values → one scan, one aggregation — no
+    // hidden distinct-values job materializes as a second scan
+    val pv = planString(q("q25_pivot"))
+    assert("(?s)Scan parquet".r.findAllIn(pv).size == 1,
+      "pivot must scan orders exactly once:\n" + pv.take(2000))
+    // q26: the RANGE frame must ride a user_id-partitioned window —
+    // an empty partitionBy would drag the whole stream to one task
+    val rl = planString(q("q26_rolling"))
+    assert(!rl.contains("windowspecdefinition()"),
+      "rolling window lost its partitioning:\n" + rl.take(2000))
+  }
+
   test("near-dup clustering: rounds shuffle the label table, never explode pairs") {
     // one propagation round over a synthetic edge set: the join keys are
     // equality (nb = id), so the plan is hash joins — no cartesian, no
