@@ -32,4 +32,25 @@ object EventRates {
         approx_count_distinct("txid").as("approx_txns"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("table"), col("op"), col("n_events"), col("approx_txns"))
+
+  /** Per-table activity sessions via Spark's native `session_window`:
+    * events closer than `gap` merge into one dynamic-length session
+    * (write bursts become one row; the quiet table shows none). The
+    * watermark finalizes sessions whose gap has passed, so streaming
+    * state is O(open sessions per table), independent of event volume.
+    *
+    * The same expression runs unchanged over a static DataFrame (the
+    * watermark is a no-op there), which is what the parity test
+    * asserts — one definition, both execution modes. */
+  def sessionized(envelope: DataFrame, gap: String = "5 minutes",
+                  lateness: String = "2 minutes"): DataFrame =
+    envelope
+      .filter(col("op").isin("c", "u", "d", "t"))
+      .withWatermark("commitTs", lateness)
+      .groupBy(session_window(col("commitTs"), gap).as("w"), col("table"))
+      .agg(count(lit(1)).as("n_events"),
+        min("lsn").as("first_lsn"), max("lsn").as("last_lsn"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("table"), col("n_events"), col("first_lsn"), col("last_lsn"))
 }

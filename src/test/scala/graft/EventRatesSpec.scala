@@ -47,4 +47,39 @@ class EventRatesSpec extends SparkSpecBase {
       assert(after == 3L, "late event leaked into a finalized window")
     } finally q.stop()
   }
+
+  test("session windows merge bursts and match the batch run exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // burst at 10:00..10:02 (one session), quiet, burst at 10:20 (another)
+    val data = Seq(
+      ev("c", 1, 0, 10), ev("c", 2, 0, 50), ev("u", 3, 2, 30),
+      ev("d", 4, 20, 0), ev("c", 5, 20, 30))
+    val mem = MemoryStream[CdcEvent]
+    val q = EventRates.sessionized(mem.toDF(), "5 minutes", "1 minute")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // push the watermark far past the last session's gap to finalize it
+      mem.addData(ev("c", 99, 59, 0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT session_start, session_end, table, n_events,
+          |       first_lsn, last_lsn
+          |FROM sessions WHERE last_lsn < 99 ORDER BY session_start""".stripMargin)
+        .collect().toSeq
+      // the burst of 3 merged into ONE dynamic-length session, the later
+      // burst into another
+      assert(streamed.map(_.getLong(3)) == Seq(3L, 2L), streamed.mkString("\n"))
+      // exact parity with the same expression over a static DataFrame
+      val batch = EventRates.sessionized(data.toDF(), "5 minutes", "1 minute")
+        .orderBy("session_start")
+        .select("session_start", "session_end", "table", "n_events",
+          "first_lsn", "last_lsn")
+        .collect().toSeq
+      assert(streamed == batch, s"stream:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+    } finally q.stop()
+  }
 }
