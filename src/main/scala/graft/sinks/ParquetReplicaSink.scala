@@ -60,6 +60,14 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
 
+  /** Key-sorted within each write partition: parquet row-group min/max
+    * stats then prune key lookups inside a bucket (the [[lookup]] serving
+    * path), and sorted runs compress better. Partition-local sort — no
+    * extra shuffle. No-op for a keyless (truncate-only) handle. */
+  private def sortedByKey(df: DataFrame): DataFrame =
+    if (keyCols.isEmpty) df
+    else df.sortWithinPartitions(keyCols.map(col): _*)
+
   // ---------------------------------------------------------------- sidecar
 
   private def sidecarPath = new Path(path, "_graft_table.json")
@@ -198,8 +206,8 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       // bucket is the right write granularity.
       // materialize the touched buckets' next state before overwriting
       // their input files — O(touched), not O(snapshot)
-      val materialized = next
-        .repartition(math.max(touched.length, 1), col("bucket"))
+      val materialized = sortedByKey(
+        next.repartition(math.max(touched.length, 1), col("bucket")))
         .localCheckpoint(eager = true)
       materialized.write
         .mode(SaveMode.Overwrite)
@@ -279,8 +287,8 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
         case Some(s) => spark.read.schema(s)
         case None => spark.read.option("mergeSchema", "true")
       }
-      reader.parquet(dir.toString)
-        .repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      sortedByKey(reader.parquet(dir.toString).repartition(1))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       fs.delete(dir, true)
       fs.rename(tmp, dir)
     }
@@ -302,6 +310,35 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
           fs.rename(t.getPath, dst)
         } else fs.delete(t.getPath, true) // partial write: roll back
       }
+  }
+
+  // ----------------------------------------------------------------- lookup
+
+  /** Point-lookup serving path. The key's bucket is an expression over
+    * LITERALS — `pmod(hash(k…), numBuckets)` — so Catalyst constant-folds
+    * it and partition pruning reads exactly ONE bucket dir out of
+    * `numBuckets`; inside it, the key-equality predicates prune row
+    * groups via the sorted-by-key file layout. O(one bucket's matching
+    * row groups) per lookup, never a table scan.
+    *
+    * Key values must match the stored column types (the same values the
+    * batch hashed on the way in). */
+  def lookup(spark: SparkSession, key: Seq[Any]): DataFrame = {
+    require(key.length == keyCols.length,
+      s"lookup key arity ${key.length} != key columns ${keyCols.length}")
+    val preds = keyCols.zip(key)
+      .map { case (c, v) => col(c) === lit(v) }
+      .reduce(_ && _)
+    readSidecar(spark) match {
+      case Some((_, s)) if bucketDirs(spark).nonEmpty =>
+        spark.read
+          .schema(StructType(s.fields :+ StructField("bucket", IntegerType)))
+          .option("basePath", path).parquet(path)
+          .filter(col("bucket") === pmod(hash(key.map(lit): _*), lit(numBuckets)))
+          .filter(preds)
+          .drop("bucket")
+      case _ => snapshot(spark).filter(preds) // legacy/empty: no pruning
+    }
   }
 
   // --------------------------------------------------------------- rebucket
@@ -330,8 +367,9 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     if (fs.exists(staging)) fs.delete(staging, true)
     val snap = snapshot(spark)
     val schema = StructType(snap.schema)
-    snap.withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(newNumBuckets)))
-      .repartition(newNumBuckets, col("bucket"))
+    sortedByKey(
+      snap.withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(newNumBuckets)))
+        .repartition(newNumBuckets, col("bucket")))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(staging.toString)
     // staging sidecar + done-marker make the staging dir self-contained

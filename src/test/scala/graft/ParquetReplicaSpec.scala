@@ -462,4 +462,47 @@ class ParquetReplicaSpec extends SparkSpecBase {
       .foreach(f => assert(files(f) == untouched(f.getName)))
     assert(sink.snapshot(spark).collect().map(_.toSeq).toSet == before)
   }
+
+  test("lookup prunes to one bucket dir; files are key-sorted for row-group pruning") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("replica-lookup").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 8)
+    sink.applyBatch(spark,
+      (1 to 400).map(i => (i.toString, i * 10, "c", i.toLong))
+        .toDF("id", "val", "op", "lsn"), 0)
+
+    // point lookup returns the row and PLANS only one bucket directory —
+    // the constant-folded bucket predicate must partition-prune
+    val hit = sink.lookup(spark, Seq("42"))
+    assert(hit.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("42", 420)))
+    // post-pruning scan metrics: of the 8 bucket dirs (one file each),
+    // the constant-folded bucket predicate admits exactly one file
+    val finalPlan = hit.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value == 1,
+      s"lookup must read exactly one file, read ${scan.metrics("numFiles").value}")
+    // a missing key still prunes and returns empty
+    assert(sink.lookup(spark, Seq("no_such")).count() == 0)
+
+    // every data file is sorted by key (the row-group pruning layout);
+    // merge rewrites and compaction must both preserve it
+    sink.applyBatch(spark, Seq(("42", 421, "u", 1000L))
+      .toDF("id", "val", "op", "lsn"), 1)
+    sink.compact(spark, maxFilesPerBucket = 0) // force full compaction
+    new File(path).listFiles().filter(_.getName.startsWith("bucket="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .foreach { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("id").collect().map(_.getString(0)).toSeq
+        assert(ids == ids.sorted, s"${f.getName} not key-sorted")
+      }
+    assert(sink.lookup(spark, Seq("42")).collect().head.getInt(1) == 421)
+  }
 }
