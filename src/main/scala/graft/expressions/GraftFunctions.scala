@@ -29,6 +29,11 @@ object GraftFunctions {
     GraftColumnBridge.column(
       HyperplaneBuckets(GraftColumnBridge.expression(v), seed, bands, bits))
 
+  /** quantize8(v) — per-vector symmetric int8 quantization of an
+    * array<float> embedding (array<bigint> in [-127, 127]). */
+  def quantize8(v: Column): Column =
+    GraftColumnBridge.column(Quantize8(GraftColumnBridge.expression(v)))
+
   /** cdc_to_sql(eventStruct, dialect) — render a CDC envelope struct to
     * destination SQL (null for non-DML). */
   def cdc_to_sql(event: Column, dialect: String): Column =
@@ -72,6 +77,8 @@ object GraftFunctions {
       "dot_q", exprs => DotQ(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "hyperplane_buckets", hyperplaneBucketsFromExprs, "built-in")
+    reg.createOrReplaceTempFunction(
+      "quantize8", exprs => Quantize8(exprs.head), "built-in")
   }
 }
 
@@ -99,5 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.hyperplaneBucketsFromExprs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("quantize8"),
+      new ExpressionInfo(classOf[Quantize8].getName, "quantize8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Quantize8(exprs.head)))
   }
 }

@@ -82,7 +82,66 @@ case class HyperplaneBuckets(child: Expression, seed: Long, bands: Int,
     copy(child = newChild)
 }
 
+/** Per-vector symmetric int8 quantization of an `array<float>` embedding:
+  * `q_i = round(x_i * 127 / max|x|)`, the 4-bytes/dim → 1 compression of
+  * a serving ANN index. One codegen'd pass per row (max-abs scan + scale)
+  * — a higher-order-function formulation re-evaluates the interpreted
+  * `array_max` lambda per ELEMENT, O(dim²) per row.
+  *
+  * Rounding is half-away-from-zero, bit-matching DuckDB/C `round()` for
+  * the oracle (`java.lang.Math.round` half-up would differ on negative
+  * .5 boundaries). An all-zero vector quantizes to zeros.
+  */
+case class Quantize8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantize8 requires array<float> input, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize8"
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOpsUtil.quantize8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.VectorOpsUtil.quantize8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Quantize8 =
+    copy(child = newChild)
+}
+
 object VectorOpsUtil {
+
+  def quantize8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var mx = 0f
+    var i = 0
+    while (i < n) {
+      val a = Math.abs(v.getFloat(i)); if (a > mx) mx = a; i += 1
+    }
+    val out = new Array[Long](n)
+    if (mx > 0f) {
+      // float→double promotion then one double multiply — the same IEEE
+      // op sequence as the oracle's `x * (127.0 / list_max(...))`
+      val scale = 127.0d / mx
+      i = 0
+      while (i < n) {
+        val x = v.getFloat(i) * scale
+        // half away from zero, exactly (no `floor(x+0.5)` ulp hazard)
+        val ax = Math.abs(x)
+        val fl = Math.floor(ax)
+        val m = fl.toLong + (if (ax - fl >= 0.5d) 1L else 0L)
+        out(i) = if (x < 0) -m else m
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
 
   def dotQ(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())

@@ -282,4 +282,55 @@ object Dedup {
     val drops = verified.select(col("db").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Winnowing fingerprints (the MOSS local-fingerprint family): the set
+    * of window-minima of the positional shingle-hash sequence. Unlike the
+    * global sketches above (minhash/simhash summarize the WHOLE document),
+    * winnowing guarantees any shared run of ≥ `w + n - 1` tokens
+    * contributes at least one common fingerprint — it catches partial
+    * overlap (quoted passages, concatenated shards) that whole-document
+    * sketches dilute away.
+    *
+    * Shape: positional shingle hashes (posexplode, codegen'd element_at
+    * construction — same bulk path as [[TextOps.shingleRows]]), then ONE
+    * partition-local window min per doc and a distinct. Rows stay
+    * |tokens|; the only shuffle is the per-doc window partition.
+    * Returns (idCol, m) — the doc's fingerprint set. */
+  def winnowFingerprints(df: DataFrame, shingleN: Int = 3, w: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = df
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol), col("__t"), posexplode(col("__t")))
+      .filter(col("pos") <= size(col("__t")) - shingleN)
+    val parts = col("col") +:
+      (2 to shingleN).map(j => element_at(col("__t"), col("pos") + j))
+    val hashed = base.select(col(idCol), col("pos"),
+      TextOps.tokenHash60(concat_ws(" ", parts: _*)).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos").rowsBetween(-(w - 1), 0)
+    hashed
+      .withColumn("m", min("h").over(win))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col(idCol), col("m")).distinct()
+  }
+
+  /** Winnowing candidate pairs: docs sharing ≥ `minShared` fingerprints.
+    * `dfCap` drops ubiquitous fingerprints first (document frequency
+    * > cap ⇒ boilerplate/stop-fingerprint — the standard index trim that
+    * also bounds the inverted-index join: every posting list is ≤ dfCap,
+    * so the pair blow-up is ≤ dfCap per fingerprint, never corpus²). */
+  def winnowPairs(df: DataFrame, dfCap: Int = 50, minShared: Int = 2,
+                  shingleN: Int = 3, w: Int = 4,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(df, shingleN, w, idCol, textCol)
+      .localCheckpoint(false) // both join sides + df-filter reuse it
+    val rare = fps.groupBy("m").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("m")
+    val idx = fps.join(rare, "m")
+    idx.select(col("m"), col(idCol).as("da"))
+      .join(idx.select(col("m"), col(idCol).as("db")), "m")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -49,6 +49,42 @@ object Similarity {
     embeddings.select(col(idCol), quantize(col(vecCol)).as("qe"))
       .withColumn("nq", normQ(col("qe")))
 
+  /** Per-vector symmetric int8 quantization: scale = 127 / max|x|, the
+    * serving-path compression (4 bytes/dim → 1) every large ANN index
+    * uses. Cosine is scale-invariant, so the per-vector scale cancels in
+    * the quantized cosine up to rounding — int8 keeps rank fidelity while
+    * the index shrinks 4×. Values live in [-127, 127]; a 64-dim int8
+    * norm is ≤ 64·127² ≈ 2^20, so norm products stay far under 2^53 and
+    * the integer dot products are exact and order-independent.
+    * Native codegen'd expression (graft.expressions.Quantize8) — one
+    * pass per row; a higher-order-function formulation re-evaluates the
+    * interpreted max-abs lambda per element. */
+  def quantize8(v: Column): Column = GraftFunctions.quantize8(v)
+
+  /** (id, q8, n8): the int8-quantized corpus form. */
+  def quantized8(embeddings: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol), quantize8(col(vecCol)).as("q8"))
+      .withColumn("n8", dotQ(col("q8"), col("q8")))
+
+  /** Exact top-k over the int8-quantized index — the compressed serving
+    * path (same shape as [[bruteForceTopK]]: broadcast probe, codegen'd
+    * integer dot products, TakeOrdered). */
+  def bruteForceTopK8(embeddings: DataFrame, probeId: Long, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = quantized8(embeddings, idCol, vecCol)
+    val probe = q.filter(col(idCol) === probeId)
+      .select(col("q8").as("p8"), col("n8").as("np8"))
+    q.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("dp8", dotQ(col("q8"), col("p8")))
+      .withColumn("cosine8",
+        col("dp8") * lit(1.0) / sqrt((col("n8") * col("np8")).cast("double")))
+      .select(col(idCol), col("dp8"), col("cosine8"))
+      .orderBy(desc("cosine8"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact cosine top-k of `probeId` against all other vectors. */
   def bruteForceTopK(embeddings: DataFrame, probeId: Long, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -87,6 +87,13 @@ object LlmQueries {
     "llm_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embeddings(s, d), probeId = 0, k = 10)),
 
+    // Top-k over the int8-quantized index (per-vector symmetric scale,
+    // native codegen'd quantize8): the 4×-compressed serving path. The
+    // integer dot products stay exact, so the oracle hash-matches — what
+    // changes vs llm_ann_cosine is only the index representation cost.
+    "llm_quant_ann" -> ((s, d) =>
+      Similarity.bruteForceTopK8(embeddings(s, d), probeId = 0, k = 10)),
+
     // Embedding-cosine near-dup: banded random-hyperplane LSH candidate
     // pairs (a pair is compared iff it shares ≥1 of the 10 band buckets
     // of 10 sign bits each), verified by exact quantized cosine. The
@@ -231,6 +238,52 @@ object LlmQueries {
         .withColumn("fp_min", TextOps.minShingleFingerprint(col("text")))
         .select("doc_id", "fp_full", "fp_min")
         .orderBy("doc_id")
+    }),
+
+    // Winnowing (MOSS) fingerprint overlap: local window-min fingerprints
+    // guarantee any shared token run ≥ w+n-1 leaves a common fingerprint —
+    // the partial-overlap detector global sketches (minhash/simhash)
+    // dilute away. df-capped inverted index bounds every posting list, so
+    // the pair join is ≤ dfCap² per fingerprint, never corpus².
+    "llm_winnow" -> ((s, d) =>
+      Dedup.winnowPairs(documents(s, d), dfCap = 50, minShared = 2)
+        .orderBy(desc("shared"), col("da"), col("db"))),
+
+    // Fixed-token-window chunking with overlap (chunk=64, stride=48):
+    // the context-window prep step between curation and packing. Pure
+    // per-row explode — no shuffle at all; chunk content addressed by
+    // hash so the output stays compact at any corpus size.
+    "llm_chunk" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .select(col("doc_id"), col("t"),
+          posexplode(expr("sequence(0, CAST((n - 1) div 48 AS INT))")))
+        .withColumn("ctoks", slice(col("t"), col("col") * 48 + 1, lit(64)))
+        .select(col("doc_id"),
+          col("pos").cast("bigint").as("chunk_id"),
+          size(col("ctoks")).cast("bigint").as("n_tok"),
+          md5(array_join(col("ctoks"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Corpus token histogram (Zipf profile): top-100 tokens with rank and
+    // corpus share. The groupBy shrinks |corpus tokens| rows to |vocab|
+    // with map-side partial aggregation; the rank window runs on the
+    // vocab-sized aggregate, and the scalar total broadcasts.
+    "llm_zipf" -> ((s, d) => {
+      val tokCounts = documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = tokCounts.agg(sum("cnt").cast("bigint").as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cnt"), col("token"))
+      tokCounts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 100)
+        .select(col("token"), col("cnt"), col("rank"),
+          (col("cnt") * lit(1.0) / col("total")).as("share"))
+        .orderBy("rank")
     }),
 
     // Multimodal column plumbing: text treated as an opaque binary blob
@@ -849,6 +902,55 @@ object LlmQueries {
          |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_full,
          |  list_min([md5(x) for x in $shingleSql]) AS fp_min
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "llm_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t,
+        |    unnest(range(1, greatest(len(t) - 1, 1))) AS p FROM toks),
+        |hv AS (SELECT doc_id, p,
+        |    ('0x' || substr(md5(t[p] || ' ' || t[p+1] || ' ' || t[p+2]),1,15))::BIGINT AS h
+        |  FROM pos),
+        |wm AS (SELECT doc_id, p, min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM hv),
+        |fps AS (SELECT DISTINCT doc_id, m FROM wm WHERE p >= 4),
+        |rare AS (SELECT m FROM fps GROUP BY m HAVING count(*) <= 50),
+        |idx AS (SELECT f.doc_id, f.m FROM fps f JOIN rare r ON f.m = r.m)
+        |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |FROM idx a JOIN idx b ON a.m = b.m AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY shared DESC, da, db""".stripMargin,
+    "llm_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, t, n,
+        |    unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_id FROM t)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(t, chunk_id * 48 + 1,
+        |    least(chunk_id * 48 + 64, n))) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(t, chunk_id * 48 + 1,
+        |    least(chunk_id * 48 + 64, n)), ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g),
+        |r AS (SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank FROM g)
+        |SELECT token, cnt, rank, cnt * 1.0 / (SELECT total FROM t) AS share
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "llm_quant_ann" ->
+      """WITH mx AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(y))) AS mx FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    [CAST(round(x * (127.0 / mx)) AS BIGINT) for x in embedding] AS q8 FROM mx),
+        |n AS (SELECT vec_id, q8,
+        |    CAST(list_dot_product(q8::BIGINT[], q8::BIGINT[]) AS BIGINT) AS n8 FROM q),
+        |probe AS (SELECT q8 AS p8, n8 AS np8 FROM n WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(list_dot_product(q8::BIGINT[], (SELECT p8 FROM probe)::BIGINT[]) AS BIGINT) AS dp8,
+        |  list_dot_product(q8::BIGINT[], (SELECT p8 FROM probe)::BIGINT[]) * 1.0
+        |    / sqrt(CAST(n8 * (SELECT np8 FROM probe) AS DOUBLE)) AS cosine8
+        |FROM n WHERE vec_id <> 0
+        |ORDER BY cosine8 DESC, vec_id LIMIT 10""".stripMargin,
     "llm_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -52,6 +52,88 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(Dedup.ngramJaccard(df, 0.8).count() == 0)
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared passages") {
+    import spark.implicits._
+    // two docs sharing a 12-token passage (≥ w+n-1 = 6 tokens ⇒ at least
+    // one common window minimum is guaranteed by the winnowing theorem),
+    // embedded in otherwise disjoint text
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $passage epsilon zeta"),
+      (2L, s"one two three four five six $passage seven eight"),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, dfCap = 50, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"shared passage must fingerprint-match: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair")
+  }
+
+  test("winnowing df-cap drops boilerplate fingerprints from the index") {
+    import spark.implicits._
+    // 8 docs all containing the same boilerplate header, pairwise
+    // otherwise disjoint: with the cap below 8 the header's fingerprints
+    // are trimmed and NO pair survives; without it every pair matches
+    val header = (1 to 10).map(i => s"hdr$i").mkString(" ")
+    val df = (1 to 8).map(i =>
+      (i.toLong, s"$header " + (1 to 20).map(j => s"body${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(df, dfCap = 7, minShared = 1).count() == 0)
+    assert(Dedup.winnowPairs(df, dfCap = 8, minShared = 1).count() == 8L * 7 / 2)
+  }
+
+  test("quantize8: native expression parity, bounds, SQL surface, codegen") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val q8 = Similarity.quantized8(embs)
+    // bounds: all values in [-127, 127], max abs exactly 127 per vector
+    val bounds = q8.select(
+      array_max(transform(col("q8"), x => abs(x))).as("mx"),
+      array_min(col("q8")).as("mn")).collect()
+    assert(bounds.forall(r => r.getLong(0) == 127L && r.getLong(1) >= -127L))
+    // parity with the reference double-math formulation (interpreted HOF)
+    val composed = embs.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        round(x * (lit(127.0) / array_max(transform(col("embedding"), y => abs(y)))))
+          .cast("bigint")).as("ref8"))
+    val joined = q8.join(composed, "vec_id")
+      .filter(col("q8") =!= col("ref8"))
+    assert(joined.count() == 0, "native quantize8 != composed form")
+    // SQL surface
+    val viaSql = embs.limit(1).createOrReplaceTempView("q8probe")
+    val r = spark.sql("SELECT quantize8(embedding) AS q FROM q8probe").collect()
+    assert(r.head.getSeq[Long](0).forall(v => math.abs(v) <= 127))
+    // int8 ranking stays faithful: top-10 by quantized cosine overlaps
+    // exact top-10 in ≥ 8 of 10 (rank fidelity of symmetric int8)
+    val exact = Similarity.bruteForceTopK(embs, 0, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Similarity.bruteForceTopK8(embs, 0, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 8,
+      s"int8 recall@10 too low: ${exact.intersect(quant).size}")
+  }
+
+  test("chunking tiles every document: coverage and overlap invariants") {
+    import spark.implicits._
+    val chunks = graft.queries.LlmQueries.queries("llm_chunk")(spark, sfDir)
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val agg = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tok").as("tok_sum"),
+        max("n_tok").as("max_tok"))
+      .join(toks, "doc_id").collect()
+    agg.foreach { r =>
+      val (nc, tokSum, maxTok, n) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(nc == (n - 1) / 48 + 1, s"chunk count wrong for n=$n")
+      assert(maxTok <= 64)
+      // stride-48/len-64 tiling re-covers 16 overlap tokens per interior
+      // boundary: sum(n_tok) = n + 16·(full chunks before the tail)
+      val overlapped = (0L until nc).map(i =>
+        math.min(64L, n - i * 48L)).sum
+      assert(tokSum == overlapped, s"coverage mismatch for n=$n")
+    }
+  }
+
   test("connectedComponents computes the transitive closure of pair edges") {
     import spark.implicits._
     // chain 1-2-3 plus isolated pair 10-11: greedy pairwise grouping
