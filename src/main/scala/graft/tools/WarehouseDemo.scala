@@ -104,6 +104,24 @@ object WarehouseDemo {
     val bigCnt = spark.read.parquet(s"$root2/public.t1").count()
     println(f"single $bigTx-row streamed tx via TxnSpill: sealed+applied in " +
       f"$bigSecs%.2f s (${bigTx / bigSecs}%.0f rows/s); replica rows: $bigCnt")
+
+    // Durable LSH dedup index: incremental corpus intake against the
+    // persisted signature index (llmops.LshIndexStore) — batch 2 plants
+    // exact copies of batch-1 docs and must catch them via the index,
+    // reading only the touched part dirs.
+    val idxRoot = Files.createTempDirectory("wh-demo-lsh").toFile.getAbsolutePath
+    val store = new graft.llmops.LshIndexStore(s"$idxRoot/idx", simThreshold = 0.9)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val t3 = System.nanoTime()
+    val h1 = store.addBatch(spark, docs.filter($"doc_id" < 2500), 0L).count()
+    val dupes = docs.filter($"doc_id" >= 2500 && $"doc_id" < 2600)
+    val h2 = store.addBatch(spark,
+      docs.filter($"doc_id" < 100).withColumn("doc_id", $"doc_id" + 90000)
+        .unionByName(dupes), 1L).count()
+    val lshSecs = (System.nanoTime() - t3) / 1e9
+    println(f"LSH index intake: 2500-doc seed + 200-doc increment in " +
+      f"$lshSecs%.2f s; increment hits: $h2 (100 planted copies), " +
+      s"planned dirs: ${store.lastPlannedDirs.size}")
     spark.stop()
   }
 }
