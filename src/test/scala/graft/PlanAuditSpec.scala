@@ -250,4 +250,41 @@ class PlanAuditSpec extends SparkSpecBase {
     comp.count()
     assert(!collectAll(executed(comp)).exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("winnow, chunk, zipf, int8 ANN: scale shapes hold") {
+    // llm_winnow: fingerprint join is equality-keyed (hash join, never
+    // cartesian); all hashing codegen'd, no UDF fallback
+    val wn = q("llm_winnow")
+    wn.count()
+    assert(!collectAll(executed(wn)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!planString(wn).contains("ScalaUDF"), planString(wn).take(2000))
+    // llm_chunk: pure per-row explode — ZERO shuffles before the final
+    // presentation sort
+    val ck = q("llm_chunk")
+    ck.count()
+    val ckShuffles = collectAll(executed(ck))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(ckShuffles <= 1, // the ORDER BY only
+      s"chunking must not shuffle before the output sort ($ckShuffles):\n" +
+        planString(ck).take(2000))
+    // llm_zipf: partial (map-side) agg shrinks to vocab before the rank
+    // window; the scalar total is a broadcast, not a shuffled join
+    val zf = q("llm_zipf")
+    zf.count()
+    val zfPlan = planString(zf)
+    assert(zfPlan.contains("partial"), zfPlan.take(2000))
+    assert(zfPlan.contains("BroadcastNestedLoopJoin") ||
+      zfPlan.contains("BroadcastExchange"), zfPlan.take(2000))
+    // llm_quant_ann: quantize8 is a native expression inside codegen —
+    // no interpreted higher-order lambdas in the scored scan; probe
+    // broadcasts; TakeOrdered for the top-k
+    val qa = q("llm_quant_ann")
+    qa.count()
+    val qaPlan = planString(qa)
+    assert(!qaPlan.contains("LambdaFunction"),
+      "int8 path must not fall back to interpreted HOFs:\n" + qaPlan.take(2000))
+    assert(qaPlan.contains("TakeOrderedAndProject"), qaPlan.take(2000))
+    assert(collectAll(executed(qa)).exists(_.isInstanceOf[BroadcastHashJoinExec])
+      || qaPlan.contains("BroadcastNestedLoopJoin"), qaPlan.take(2000))
+  }
 }
