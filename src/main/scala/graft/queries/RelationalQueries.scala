@@ -240,6 +240,49 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // TPC-H Q17 shape (small-quantity revenue): a correlated scalar
+    // subquery — avg quantity per part — expressed Spark-first as a
+    // per-part aggregate joined back to the fact. The comparison
+    // `qty < 0.2·avg` is cross-multiplied to exact integers
+    // (5·qty·cnt < sum) so no float threshold wobbles the row set.
+    // Both sides shuffle on l_partkey once; the part filter broadcasts.
+    "q27_small_qty" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val parts = part(s, d).filter(col("p_size") <= 15)
+        .select("p_partkey", "p_brand")
+      val perPart = li.groupBy("l_partkey").agg(
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        count(lit(1)).as("cnt_p"))
+      li.join(perPart, "l_partkey")
+        .filter(col("l_quantity").cast("bigint") * 5 * col("cnt_p") <
+          col("sum_qty"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          sum(cents(col("l_extendedprice"))).as("lost_cents"))
+        .withColumn("avg_yearly_cents", expr("lost_cents div 7"))
+        .orderBy("p_brand")
+    }),
+
+    // exact multi-quantile (p25/p50/p75/p90) per group via window ranks —
+    // the deterministic discrete quantile (smallest value with
+    // rn = ceil(p·n)); integer rank targets, no interpolation, no approx
+    // sketches. One window partition per group (the scale unit).
+    "q28_quantiles" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+      lineitem(s, d)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .select(col("l_returnflag"), col("price_cents"), col("rn"), col("n"),
+          explode(array(lit(25L), lit(50L), lit(75L), lit(90L))).as("pq"))
+        .filter(col("rn") === expr("(n * pq + 99) div 100"))
+        .select("l_returnflag", "pq", "price_cents")
+        .orderBy("l_returnflag", "pq")
+    }),
+
     // cube grouping sets (all 4 combinations)
     "q16_cube" -> ((s, d) => {
       lineitem(s, d)
@@ -555,6 +598,35 @@ object RelationalQueries {
         |  CAST(max(n) AS BIGINT) AS n
         |FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_small_qty" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    count(*) AS cnt_p
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT l.l_partkey, l.l_extendedprice
+        |      FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+        |      WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.cnt_p < pp.sum_qty)
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS lost_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) // 7
+        |    AS avg_yearly_cents
+        |FROM f JOIN part ON f.l_partkey = p_partkey
+        |WHERE p_size <= 15
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_quantiles" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+        |        l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |e AS (SELECT l_returnflag, price_cents, rn, n,
+        |    unnest([25, 50, 75, 90]) AS pq FROM r)
+        |SELECT l_returnflag, CAST(pq AS BIGINT) AS pq, price_cents
+        |FROM e WHERE rn = (n * pq + 99) // 100
+        |ORDER BY l_returnflag, pq""".stripMargin,
     "q16_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS cnt

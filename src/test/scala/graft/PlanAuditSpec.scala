@@ -251,6 +251,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!collectAll(executed(comp)).exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("q27 small-qty: one fact shuffle on l_partkey; part dim broadcasts") {
+    val sq = q("q27_small_qty")
+    sq.count()
+    assert(!collectAll(executed(sq)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(planString(sq).contains("BroadcastHashJoin"), planString(sq).take(2000))
+    // quantiles ride per-group windows, never an empty partitionBy
+    val qt = planString(q("q28_quantiles"))
+    assert(!qt.contains("windowspecdefinition()"), qt.take(2000))
+  }
+
   test("winnow, chunk, zipf, int8 ANN: scale shapes hold") {
     // llm_winnow: fingerprint join is equality-keyed (hash join, never
     // cartesian); all hashing codegen'd, no UDF fallback
