@@ -327,4 +327,38 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("va"), col("vb"), col("cosine"))
   }
+
+  /** Batch retrieval: approximate top-k for EVERY probe in one plan —
+    * the many-queries-at-once shape (RAG corpus scoring, eval-set
+    * retrieval) where per-probe driver loops would serialize. Probe rows
+    * (`probePred`) join the banded bucket index on (band, bucket) — ONE
+    * shuffle keyed by bucket, never probe × corpus — candidates dedup
+    * per (probe, cand), exact quantized cosine, per-probe window top-k.
+    * With the (band, bucket)-partitioned persisted index this is the
+    * bulk companion of [[signLshTopKIndexed]]'s single-probe pruning. */
+  def signLshTopKBatch(embeddings: DataFrame, probePred: Column, k: Int,
+                       bands: Int = DefaultBands, bitsPerBand: Int = DefaultBitsPerBand,
+                       seed: Long = DefaultSeed, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val q = quantized(embeddings, idCol, vecCol)
+    val bk = bandBuckets(q, bands, bitsPerBand, seed, idCol)
+    val p = bk.filter(probePred).as("p")
+    val c = bk.as("c")
+    val cand = p.join(c,
+        col("p.band") === col("c.band") && col("p.bucket") === col("c.bucket") &&
+          col(s"p.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"p.$idCol").as("pid"), col(s"c.$idCol").as("cid"))
+      .distinct()
+    val qp = q.select(col(idCol).as("pid"), col("qe").as("pe"), col("nq").as("np"))
+    val qc = q.select(col(idCol).as("cid"), col("qe").as("ce"), col("nq").as("nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("cosine"), col("cid"))
+    cand.join(qp, "pid").join(qc, "cid")
+      .withColumn("dp", dotQ(col("pe"), col("ce")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("np") * col("nc")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("pid", "cid", "dp", "cosine", "rank")
+  }
 }

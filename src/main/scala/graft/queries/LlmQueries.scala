@@ -94,6 +94,14 @@ object LlmQueries {
     "llm_quant_ann" -> ((s, d) =>
       Similarity.bruteForceTopK8(embeddings(s, d), probeId = 0, k = 10)),
 
+    // Batch retrieval: approximate top-5 for probes 0..4 in ONE plan —
+    // probe buckets join the banded index (shuffle keyed by bucket,
+    // never probe × corpus), per-probe window top-k. The many-queries
+    // retrieval shape; oracle mirrors the same plane literals.
+    "llm_ann_batch" -> ((s, d) =>
+      Similarity.signLshTopKBatch(embeddings(s, d), col("vec_id") < 5, k = 5)
+        .orderBy("pid", "rank")),
+
     // Embedding-cosine near-dup: banded random-hyperplane LSH candidate
     // pairs (a pair is compared iff it shares ≥1 of the 10 band buckets
     // of 10 sign bits each), verified by exact quantized cosine. The
@@ -579,7 +587,43 @@ object LlmQueries {
        |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
   }
 
+  /** Directional batch-retrieval CTEs: probes (vec_id < 5) × corpus via
+    * the same band-tagged bucket strings as [[cosNearDupCtes]]. */
+  private lazy val lshBatchCtes: String = {
+    import graft.expressions.Hyperplanes
+    val (seed, bands, bits, dim) = (Similarity.DefaultSeed,
+      Similarity.DefaultBands, Similarity.DefaultBitsPerBand, 64)
+    val bandExprs = (0 until bands).map(t =>
+      s"'$t-' || CAST(${Hyperplanes.bucketSql(seed, t, bits, dim)} AS VARCHAR)")
+      .mkString(",\n    ")
+    s"""WITH q AS (SELECT vec_id,
+       |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qe,
+       |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+       |  FROM q),
+       |banded AS (SELECT vec_id, unnest([
+       |    $bandExprs]) AS bucket FROM n),
+       |cand AS (SELECT DISTINCT p.vec_id AS pid, c.vec_id AS cid
+       |         FROM banded p JOIN banded c
+       |           ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+       |         WHERE p.vec_id < 5)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_ann_batch" ->
+      s"""${lshBatchCtes},
+         |scored AS (SELECT pid, cid,
+         |    CAST(list_dot_product(np.qe::BIGINT[], nc.qe::BIGINT[]) AS BIGINT) AS dp,
+         |    list_dot_product(np.qe::BIGINT[], nc.qe::BIGINT[]) * 1.0
+         |      / sqrt(CAST(np.nq * nc.nq AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n np ON pid = np.vec_id JOIN n nc ON cid = nc.vec_id),
+         |ranked AS (SELECT pid, cid, dp, cosine,
+         |    CAST(row_number() OVER (PARTITION BY pid
+         |      ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT pid, cid, dp, cosine, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         |  count(*) AS n, min(doc_id) AS keep_id

@@ -69,6 +69,34 @@ class LlmOpsSpec extends SparkSpecBase {
       "disjoint doc must not pair")
   }
 
+  test("winnowing theorem property: every shared run ≥ w+n-1 tokens is detected") {
+    import spark.implicits._
+    // 40 seeded random doc pairs; pair i shares a contiguous run of
+    // 6..25 tokens (always ≥ w+n-1 = 6) at a random offset inside
+    // otherwise pair-unique text. The winnowing guarantee says each pair
+    // MUST share ≥1 fingerprint — a single bulk call checks all 40.
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 40).flatMap { i =>
+      val runLen = 6 + rnd.nextInt(20)
+      val run = (0 until runLen).map(j => s"run${i}_$j")
+      def filler(side: Int, n: Int) =
+        (0 until n).map(j => s"f${i}_${side}_$j")
+      val a = filler(0, rnd.nextInt(15)) ++ run ++ filler(1, rnd.nextInt(15))
+      val b = filler(2, rnd.nextInt(15)) ++ run ++ filler(3, rnd.nextInt(15))
+      Seq((i * 2L, a.mkString(" ")), (i * 2L + 1, b.mkString(" ")))
+    }
+    val pairs = Dedup.winnowPairs(rows.toDF("doc_id", "text"),
+      dfCap = 1000, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 40).foreach { i =>
+      assert(pairs.contains((i * 2L, i * 2L + 1)),
+        s"pair $i (shared run) must fingerprint-match")
+    }
+    // fillers are pair-unique: no cross-pair match should appear
+    assert(pairs.forall(p => p._2 == p._1 + 1 && p._1 % 2 == 0),
+      s"unexpected cross-pair matches: ${pairs.filterNot(p => p._2 == p._1 + 1)}")
+  }
+
   test("winnowing df-cap drops boilerplate fingerprints from the index") {
     import spark.implicits._
     // 8 docs all containing the same boilerplate header, pairwise
@@ -80,6 +108,32 @@ class LlmOpsSpec extends SparkSpecBase {
       .toDF("doc_id", "text")
     assert(Dedup.winnowPairs(df, dfCap = 7, minShared = 1).count() == 0)
     assert(Dedup.winnowPairs(df, dfCap = 8, minShared = 1).count() == 8L * 7 / 2)
+  }
+
+  test("batch LSH retrieval finds every probe's planted twin in one plan") {
+    // random embeddings are near-orthogonal (nothing for ANN to find) —
+    // plant a perturbation twin for each of 5 probes and require the
+    // batch form to rank it first for ALL probes simultaneously
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val base = (0L until 100L).map(i => (i, vec()))
+    val planted = (0L until 5L).map(p => (100L + p, perturb(base(p.toInt)._2)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val top = Similarity.signLshTopKBatch(df, col("vec_id") < 5, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 5L).foreach { p =>
+      assert(top.get(p).contains(100L + p),
+        s"probe $p's planted twin not ranked first: ${top.get(p)}")
+    }
+    // the twins are symmetric probes of each other: nothing else may
+    // outrank a true twin, matching per-probe brute force
+    (0L until 5L).foreach { p =>
+      assert(Similarity.bruteForceTopK(df, p, 1)
+        .select("vec_id").first().getLong(0) == 100L + p)
+    }
   }
 
   test("quantize8: native expression parity, bounds, SQL surface, codegen") {
