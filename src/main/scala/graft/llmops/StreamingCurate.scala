@@ -28,9 +28,14 @@ import org.apache.spark.sql.types._
   * hashes against the seen store (hash shuffle, map-side prunable);
   * near-dedup joins the new docs' LSH buckets against the bucket index
   * and exact-verifies only bucket-sharing pairs — O(new + collisions),
-  * never an all-pairs pass. At 100 TB the bucket index would be
-  * persisted partitioned by bucket prefix so the join prunes; the seal
-  * semantics are unchanged.
+  * never an all-pairs pass.
+  *
+  * The bucket index is persisted PARTITIONED:
+  * `buckets/b<k>/part=P` with `part = pmod(hash(bucket), NumParts)` —
+  * a trigger lists the incoming docs' touched parts (≤ NumParts ints)
+  * and reads only those subdirs, so bucket-index I/O per trigger is
+  * O(touched + new), never O(index) (the same pruning discipline as
+  * [[LshIndexStore]] and the warehouse replica sink).
   *
   * Parity contract with batch `llm_curate` (kept-set equality) holds
   * when docs arrive in ascending doc_id order (the batch tie-break drops
@@ -72,6 +77,15 @@ object StreamingCurate {
   private val bucketSchema = StructType(Seq(
     StructField("bucket", StringType), StructField("doc_id", LongType)))
 
+  /** Bucket-index hash partition count (`part=P` subdirs per batch). */
+  val NumParts = 64
+
+  /** Instrumentation: bucket-index leaf dirs planned by the last
+    * applyBatch — the O(touched) contract made observable. */
+  @volatile var lastBucketDirsPlanned: Seq[String] = Nil
+
+  private def partOf(bucket: Column): Column = pmod(hash(bucket), lit(NumParts))
+
   /** Read every PRIOR batch's subdir of `dir` (b<k> with k < batchId) —
     * never the current batch's own output, so a crash-replay recomputes
     * from the same inputs. */
@@ -88,6 +102,28 @@ object StreamingCurate {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** Prior batches' bucket-index rows restricted to `touched` parts —
+    * only `b<k>/part=P` leaf dirs that can contain a colliding bucket
+    * are listed or opened (O(touched), never O(index)). */
+  private def readPriorBuckets(spark: SparkSession, dir: Path, batchId: Long,
+                               touched: Set[Int]): DataFrame = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val leafDirs =
+      if (!fs.exists(dir)) Seq.empty
+      else for {
+        b <- fs.listStatus(dir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+          .filter(_.getPath.getName.stripPrefix("b").toLong < batchId)
+        p <- touched.toSeq.sorted
+        leaf = new Path(b.getPath, s"part=$p") if fs.exists(leaf)
+      } yield leaf.toString
+    lastBucketDirsPlanned = leafDirs
+    if (leafDirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketSchema)
+    else spark.read.schema(bucketSchema).parquet(leafDirs: _*)
   }
 
   /** One intake trigger: gate, dedup against the store, emit curated
@@ -112,8 +148,12 @@ object StreamingCurate {
     // near-dedup: candidates = bucket collisions (new×store ∪ new×new),
     // verified by EXACT n-gram Jaccard — same predicate as the batch path
     val newBuckets = Dedup.lshBuckets(Dedup.minhashSignatures(newExactKept))
-    val storeBuckets = readPrior(
-      spark, new Path(storeDir, "buckets"), batchId, bucketSchema)
+      .localCheckpoint(false) // feeds the part-list, two joins, one write
+    // ≤ NumParts ints: the only store parts a new bucket can collide with
+    val touched = newBuckets.select(partOf(col("bucket")).as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val storeBuckets = readPriorBuckets(
+      spark, new Path(storeDir, "buckets"), batchId, touched)
     val vsStore = storeBuckets.as("a")
       .join(newBuckets.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -133,8 +173,8 @@ object StreamingCurate {
     def out(kind: String) = s"$storeDir/$kind/b$batchId"
     newExactKept.select("doc_id", "source", "text", "content_hash")
       .write.mode("overwrite").parquet(out("seen"))
-    newBuckets.select("bucket", "doc_id")
-      .write.mode("overwrite").parquet(out("buckets"))
+    newBuckets.select(col("bucket"), col("doc_id"), partOf(col("bucket")).as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(out("buckets"))
     curated.select("doc_id", "source", "text")
       .write.mode("overwrite").parquet(out("curated"))
   }
@@ -195,9 +235,26 @@ object StreamingCurate {
         if (parts.size <= 1) kind -> parts.size
         else {
           val name = parts.last.getPath.getName
-          spark.read.schema(schema)
-            .parquet(parts.map(_.getPath.toString): _*)
-            .write.mode("overwrite").parquet(staged.toString)
+          // the bucket index's b-dirs are partitioned tables — read their
+          // part=P leaf dirs directly (several roots would make partition
+          // discovery conflict), then re-derive the part column on write
+          val inputDirs =
+            if (kind == "buckets") parts.flatMap(b =>
+              fs.listStatus(b.getPath).toSeq
+                .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+                .map(_.getPath.toString))
+            else parts.map(_.getPath.toString)
+          val merged = spark.read.schema(schema)
+            .parquet(inputDirs: _*)
+            .select(schema.fieldNames.map(col): _*)
+          // the bucket index keeps its part=P pruning layout across folds
+          val writer =
+            if (kind == "buckets")
+              merged.withColumn("part", partOf(col("bucket")))
+                .repartition(NumParts, col("part"))
+                .write.partitionBy("part")
+            else merged.write
+          writer.mode("overwrite").parquet(staged.toString)
           val out = fs.create(new Path(staged, "_target"), true)
           try out.write(name.getBytes(UTF_8)) finally out.close()
           parts.foreach(p => fs.delete(p.getPath, true))

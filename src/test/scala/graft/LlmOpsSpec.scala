@@ -482,6 +482,22 @@ class LlmOpsSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(afterKept == batchKept,
       "an exact duplicate of a folded doc must still be rejected")
+
+    // a NEAR-dup (one appended token — jaccard n/(n+1) ≥ 0.8) of a
+    // curated doc exercises the PARTITIONED bucket index after the fold:
+    // rejected, and the index read planned only the touched part dirs
+    val curatedRow = rows.find(r => batchKept.contains(r._1)).get
+    val nearDup = Seq((999998L, curatedRow._2, curatedRow._3 + " the"))
+      .toDF("doc_id", "source", "text")
+    StreamingCurate.applyBatch(nearDup, store, lastId + 2)
+    assert(StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == batchKept,
+      "a near-dup of a folded doc must be rejected via the bucket index")
+    assert(StreamingCurate.lastBucketDirsPlanned.nonEmpty,
+      "near-dup check must have read the bucket index")
+    assert(StreamingCurate.lastBucketDirsPlanned.size < StreamingCurate.NumParts,
+      s"one doc must touch a few parts, planned " +
+        s"${StreamingCurate.lastBucketDirsPlanned.size}")
   }
 
   test("multimodal stub: schema, batch shape, determinism") {
