@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-time windowed change-rate aggregation with watermarked late-data
@@ -53,4 +53,46 @@ object EventRates {
       .select(col("w.start").as("session_start"),
         col("w.end").as("session_end"),
         col("table"), col("n_events"), col("first_lsn"), col("last_lsn"))
+
+  /** Deterministic key rendering for the join: the key columns' values
+    * (after-image first — deletes may carry the key only in `before`),
+    * pipe-joined in keyColumns order. Tiny per-event arrays — the
+    * interpreted lambdas are not a bulk-scan cost. */
+  private def keyRepr: Column = {
+    val img = when(size(col("after")) > 0, col("after")).otherwise(col("before"))
+    concat_ws("|", transform(col("keyColumns"), k =>
+      element_at(map_from_entries(transform(img,
+        c => struct(c("name"), c("value")))), k)))
+  }
+
+  /** Short-lived-row telemetry: a stream-stream INTERVAL join — every
+    * insert matched with a delete of the same (table, key) arriving
+    * within `horizon` of it. Churn like this (rows created then deleted
+    * moments later) is invisible to per-op rates but dominates replica
+    * write amplification, so it is the signal to alert on.
+    *
+    * Both sides are watermarked and the join condition bounds `d_ts`
+    * inside `[i_ts, i_ts + horizon]`, so Spark evicts join state as the
+    * watermark passes — state is O(events inside the horizon), never the
+    * stream's history. Inner join: matches emit as they arrive (append
+    * mode), no watermark wait. */
+  def shortLived(envelope: DataFrame, horizon: String = "10 minutes",
+                 lateness: String = "2 minutes"): DataFrame = {
+    val ins = envelope.filter(col("op") === "c")
+      .select(col("table").as("i_table"), keyRepr.as("i_key"),
+        col("commitTs").as("i_ts"), col("lsn").as("i_lsn"))
+      .withWatermark("i_ts", lateness)
+    val del = envelope.filter(col("op") === "d")
+      .select(col("table").as("d_table"), keyRepr.as("d_key"),
+        col("commitTs").as("d_ts"), col("lsn").as("d_lsn"))
+      .withWatermark("d_ts", lateness)
+    ins.join(del,
+      col("i_table") === col("d_table") && col("i_key") === col("d_key") &&
+        col("d_lsn") > col("i_lsn") &&
+        col("d_ts") >= col("i_ts") &&
+        col("d_ts") <= col("i_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("i_table").as("table"), col("i_key").as("key"),
+        col("i_ts"), col("d_ts"), col("i_lsn"), col("d_lsn"),
+        (unix_millis(col("d_ts")) - unix_millis(col("i_ts"))).as("lifetime_ms"))
+  }
 }

@@ -82,4 +82,40 @@ class EventRatesSpec extends SparkSpecBase {
       assert(streamed == batch, s"stream:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: short-lived rows within the horizon only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def kev(op: String, lsn: Long, minuteOfHour: Int, id: String): CdcEvent =
+      CdcEvent(op, lsn, lsn, java.sql.Timestamp.valueOf(
+        f"2024-01-01 10:$minuteOfHour%02d:00"), "public", "t1",
+        Nil, Seq(CdcColumn("id", id)), keyColumns = Seq("id"))
+    val mem = MemoryStream[CdcEvent]
+    val q = EventRates.shortLived(mem.toDF(), "10 minutes", "1 minute")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("churn").start()
+    try {
+      mem.addData(
+        kev("c", 1, 0, "a"), kev("d", 2, 3, "a"),   // a: deleted after 3 min → emit
+        kev("c", 3, 0, "b"),                        // b: never deleted → silent
+        kev("d", 4, 1, "c"),                        // c: delete without insert → silent
+        kev("c", 5, 0, "e"), kev("d", 6, 20, "e"),  // e: outlives the horizon → silent
+        kev("c", 7, 2, "a"))                        // a re-inserted, not re-deleted
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT table, key, lifetime_ms, i_lsn, d_lsn FROM churn ORDER BY key")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(rows.toSeq == Seq(("t1", "a", 180000L, 1L, 2L)),
+        s"only a's 3-minute lifetime qualifies: ${rows.mkString(",")}")
+      // a DELETE arriving later but inside a pending insert's horizon
+      // still matches (the join buffers inserts until the watermark
+      // passes their horizon)
+      mem.addData(kev("d", 8, 9, "b"))
+      q.processAllAvailable()
+      val b = spark.sql("SELECT key, lifetime_ms FROM churn WHERE key = 'b'")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(b.toSeq == Seq(("b", 540000L)), b.mkString(","))
+    } finally q.stop()
+  }
 }
