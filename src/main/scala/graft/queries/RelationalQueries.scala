@@ -264,6 +264,33 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // TPC-H Q5 shape (local supplier volume): the 6-table join. customer
+    // and supplier SCALE with the corpus, so they join by shuffle (AQE
+    // may still broadcast them while they fit — the plan must not force
+    // it); nation/region are fixed-size dims and broadcast explicitly.
+    // The co-location predicate (customer and supplier share a nation)
+    // prunes join output, not scans. Revenue in exact cents per nation.
+    "q29_local_volume" -> ((s, d) => {
+      val li = lineitem(s, d).select("l_orderkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      val ord = orders(s, d).filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_custkey")
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val reg = region(s, d).filter(col("r_name").isin("AMERICA", "ASIA"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue_cents"), col("n_name"))
+    }),
+
     // exact multi-quantile (p25/p50/p75/p90) per group via window ranks —
     // the deterministic discrete quantile (smallest value with
     // rn = ceil(p·n)); integer rank targets, no interpolation, no approx
@@ -614,6 +641,20 @@ object RelationalQueries {
         |FROM f JOIN part ON f.l_partkey = p_partkey
         |WHERE p_size <= 15
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) = 1996 AND r_name IN ('AMERICA', 'ASIA')
+        |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "q28_quantiles" ->
       """WITH r AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
