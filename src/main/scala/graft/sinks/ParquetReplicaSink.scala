@@ -258,6 +258,14 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     * accumulates from drained-bucket markers and schema-evolution eras.
     * Run OFFLINE (no concurrent applyBatch on the same table).
     *
+    * `zorderBy`: when set (2+ columns), rewritten files are laid out
+    * along the rank-bucketed Morton curve over those columns
+    * ([[graft.operators.ZOrder.curve]]) instead of key order — parquet
+    * row-group min/max stats then prune selective predicates on ANY of
+    * the listed columns (multi-dimensional data skipping), at the cost
+    * of the key-sorted layout [[lookup]] prefers. Pick per table by its
+    * read pattern.
+    *
     * Crash-safe by construction: the compacted copy is fully written to
     * a sibling `_compact_bucket=N` dir (underscore-hidden from parquet
     * discovery, `_SUCCESS`-committed) BEFORE the original dir is
@@ -266,7 +274,8 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     * the next run. At no point is the only copy of a bucket in memory —
     * unlike a localCheckpoint, which dies with an executor.
     * Returns the compacted bucket ids. */
-  def compact(spark: SparkSession, maxFilesPerBucket: Int = 4): Seq[Int] = {
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 4,
+              zorderBy: Seq[String] = Nil): Seq[Int] = {
     val fs = fsOf(spark)
     if (!fs.exists(root)) return Seq.empty
     recover(spark)
@@ -287,8 +296,13 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
         case Some(s) => spark.read.schema(s)
         case None => spark.read.option("mergeSchema", "true")
       }
-      sortedByKey(reader.parquet(dir.toString).repartition(1))
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val in = reader.parquet(dir.toString).repartition(1)
+      val laidOut =
+        if (zorderBy.nonEmpty)
+          in.withColumn("__z", graft.operators.ZOrder.curve(zorderBy))
+            .sortWithinPartitions("__z").drop("__z")
+        else sortedByKey(in)
+      laidOut.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       fs.delete(dir, true)
       fs.rename(tmp, dir)
     }

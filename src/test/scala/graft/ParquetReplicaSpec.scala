@@ -463,6 +463,43 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(sink.snapshot(spark).collect().map(_.toSeq).toSet == before)
   }
 
+  test("z-order compaction: every listed dimension prunes under chunked min/max stats") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("replica-zorder").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 1)
+    // 64×64 grid; ids decorrelated from (a, b) so key order gives no
+    // accidental locality on either dimension
+    val rows = (0 until 4096).map { i =>
+      val id = (i * 2654435761L) % 4096
+      (id.toString, i / 64, i % 64, "c", i.toLong)
+    }
+    sink.applyBatch(spark, rows.toDF("id", "a", "b", "op", "lsn"), 0)
+    sink.compact(spark, maxFilesPerBucket = 0, zorderBy = Seq("a", "b"))
+
+    // stored order = file order (single file, single read partition)
+    val stored = spark.read.parquet(s"$path/bucket=0")
+      .select("a", "b").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(stored.length == 4096)
+    // simulate 16 row groups of 256 rows; a 1/8-wide strip on EITHER
+    // dimension must overlap at most half the chunks (single-dim sort
+    // would overlap ~all chunks on the other dimension)
+    val chunks = stored.grouped(256).toSeq
+    def overlapping(dim: ((Int, Int)) => Int, lo: Int, hi: Int): Int =
+      chunks.count { c =>
+        val v = c.map(dim); v.min <= hi && v.max >= lo
+      }
+    val aOverlap = overlapping(_._1, 8, 15)
+    val bOverlap = overlapping(_._2, 8, 15)
+    assert(aOverlap <= 8, s"a-strip must prune most chunks, overlapped $aOverlap/16")
+    assert(bOverlap <= 8, s"b-strip must prune most chunks, overlapped $bOverlap/16")
+    // content preserved and point lookup still correct
+    assert(spark.read.parquet(s"$path/bucket=0").count() == 4096)
+    val probe = rows(1234)
+    assert(sink.lookup(spark, Seq(probe._1))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((probe._2, probe._3)))
+  }
+
   test("lookup prunes to one bucket dir; files are key-sorted for row-group pruning") {
     import spark.implicits._
     val path = Files.createTempDirectory("replica-lookup").toFile.getAbsolutePath + "/t1"
