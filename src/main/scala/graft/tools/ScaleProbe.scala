@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.llmops.{Dedup, LshIndexStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the dedup/index operators at ~20× the sf0.1 corpus:
+  * 100k synthetic documents (deterministic generator, ~1% planted
+  * near-dups) through winnowing-pair detection and the durable LSH
+  * index intake. Prints wall times + result sizes — the "does the shape
+  * hold off the toy corpus" probe the bench queries can't give (their
+  * documents table stays 5k rows at every SF).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nDocs = sys.env.getOrElse("GRAFT_PROBE_DOCS", "100000").toInt
+    // deterministic corpus: 40-word docs from a 5000-token vocabulary,
+    // token choice keyed by md5 of (doc, pos); every 100th doc is a
+    // near-copy of its predecessor (one token changed)
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(0, 39), p ->
+          concat('w', CAST(CAST(conv(substr(md5(concat(
+            CAST(CASE WHEN id % 100 = 99 AND p > 0 THEN id - 1 ELSE id END
+              AS STRING), '_', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)
+            % 5000 AS STRING))))""").as("text"))
+      .localCheckpoint(true)
+    println(s"corpus: ${docs.count()} docs, " +
+      s"${docs.agg(sum(size(split(col("text"), " ")))).first().getLong(0)} tokens")
+
+    var t0 = System.nanoTime()
+    val pairs = Dedup.winnowPairs(docs, dfCap = 50, minShared = 2).count()
+    println(f"winnowPairs: $pairs pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"(expect ≈ ${nDocs / 100} planted)")
+
+    val idxPath = java.nio.file.Files.createTempDirectory("scale-lsh")
+      .toFile.getAbsolutePath + "/idx"
+    val store = new LshIndexStore(idxPath, simThreshold = 0.5)
+    val batchSize = nDocs / 4
+    (0 until 4).foreach { b =>
+      t0 = System.nanoTime()
+      val hits = store.addBatch(spark,
+        docs.filter(col("doc_id") >= b * batchSize &&
+          col("doc_id") < (b + 1) * batchSize), b.toLong).count()
+      println(f"lsh intake batch $b: $batchSize docs, $hits hits in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(planned ${store.lastPlannedDirs.size} part dirs)")
+    }
+    val indexed = store.indexRows(spark).select("doc_id").distinct().count()
+    println(s"index: $indexed distinct docs")
+    t0 = System.nanoTime()
+    store.compact(spark)
+    println(f"index compaction in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}
