@@ -259,6 +259,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // quantiles ride per-group windows, never an empty partitionBy
     val qt = planString(q("q28_quantiles"))
     assert(!qt.contains("windowspecdefinition()"), qt.take(2000))
+    // q29: fixed dims (nation, region) broadcast; no cartesian anywhere
+    val lv = q("q29_local_volume")
+    lv.count()
+    assert(!collectAll(executed(lv)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(planString(lv).contains("BroadcastHashJoin"), planString(lv).take(2000))
   }
 
   test("winnow, chunk, zipf, int8 ANN: scale shapes hold") {
