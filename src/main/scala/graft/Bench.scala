@@ -29,6 +29,7 @@ object Bench {
     "q19_market_share", "q20_waiting_supplier", "q22_nation_balance",
     "q23_event_windows", "q24_grouping_sets", "q25_pivot", "q26_rolling",
     "q27_small_qty", "q28_quantiles", "q29_local_volume",
+    "q30_promo_share", "q31_disjunctive", "q32_priority_exists",
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",

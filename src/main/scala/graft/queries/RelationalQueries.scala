@@ -291,6 +291,59 @@ object RelationalQueries {
         .orderBy(desc("revenue_cents"), col("n_name"))
     }),
 
+    // TPC-H Q14 shape (promo revenue share): conditional aggregation —
+    // one scan-join, two sums from the same rows via CASE, the percent
+    // as integer basis points (exact cross-multiplied division).
+    "q30_promo_share" -> ((s, d) => {
+      val li = lineitem(s, d).select("l_partkey", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      val p = part(s, d).select("p_partkey", "p_type")
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      li.filter(year(col("l_shipdate")) === 1996)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+          .as("promo_cents"),
+          sum(rev).as("total_cents"))
+        .withColumn("promo_bps",
+          expr("(promo_cents * 10000) div total_cents"))
+        .orderBy("ship_month")
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicates): an OR of conjunction
+    // arms over part × lineitem attributes. The arms push to the join
+    // output as ONE predicate (no union of three scans) while the shared
+    // p_partkey equality stays the single join key.
+    "q31_disjunctive" -> ((s, d) => {
+      val li = lineitem(s, d).select("l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      val p = part(s, d).select("p_partkey", "p_brand", "p_size")
+      val arm1 = col("p_brand") === "Brand#12" && col("p_size") <= 5 &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11
+      val arm2 = col("p_brand") === "Brand#23" && col("p_size") <= 10 &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20
+      val arm3 = col("p_brand") === "Brand#34" && col("p_size") <= 15 &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q4 shape (priority counts with EXISTS): orders having at
+    // least one returned lineitem, counted per priority — the
+    // left-semi-join + aggregate composition (never a row-multiplying
+    // inner join feeding a distinct).
+    "q32_priority_exists" -> ((s, d) => {
+      val returned = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      orders(s, d)
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // exact multi-quantile (p25/p50/p75/p90) per group via window ranks —
     // the deterministic discrete quantile (smallest value with
     // rn = ceil(p·n)); integer rank targets, no interpolation, no approx
@@ -655,6 +708,39 @@ object RelationalQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE year(o_orderdate) = 1996 AND r_name IN ('AMERICA', 'ASIA')
         |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q30_promo_share" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) * 10000
+        |    // CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |      AS BIGINT) AS promo_bps
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE year(l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size <= 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size <= 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size <= 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q32_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_quantiles" ->
       """WITH r AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
