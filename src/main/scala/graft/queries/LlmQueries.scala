@@ -94,6 +94,30 @@ object LlmQueries {
     "llm_quant_ann" -> ((s, d) =>
       Similarity.bruteForceTopK8(embeddings(s, d), probeId = 0, k = 10)),
 
+    // Corpus clustering analysis: the IVF index's clusters × the labeled
+    // embeddings — per-cluster size, dominant label, and purity (does
+    // the geometric clustering recover the labeling?). Assignment is the
+    // same literal-centroid projection as the ANN index (no shuffled
+    // cross join); stats are one groupBy + a cluster-partitioned window.
+    "llm_cluster_stats" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (_, assign) = Similarity.ivfIndex(Similarity.quantized(emb))
+      val byLab = assign
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(desc("n"), col("label"))
+      byLab
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_vecs", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("n_vecs"),
+          col("label").as("top_label"), col("n").as("top_label_n"),
+          expr("(n * 1000) div n_vecs").as("purity_milli"))
+        .orderBy("cluster")
+    }),
+
     // Batch retrieval: approximate top-5 for probes 0..4 in ONE plan —
     // probe buckets join the banded index (shuffle keyed by bucket,
     // never probe × corpus), per-probe window top-k. The many-queries
@@ -587,6 +611,43 @@ object LlmQueries {
        |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
   }
 
+  /** The 1-round IVF index recomputed in SQL (q → n → seeds → a0 →
+    * cent → centn → asg) — shared by the ANN probe and the clustering
+    * stats oracles. Centroid cosines use sqrt(nq)·sqrt(nc) (norm
+    * products overflow BIGINT for sum-centroids). */
+  private lazy val ivfCtes: String = {
+    val (k, dim) = (Similarity.DefaultIvfClusters, 64)
+    s"""WITH q AS (SELECT vec_id,
+       |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qe,
+       |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+       |  FROM q),
+       |seeds AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc
+       |          FROM n ORDER BY vec_id LIMIT $k),
+       |a0 AS (SELECT vec_id, cluster FROM (
+       |    SELECT n.vec_id, s.cluster, row_number() OVER (
+       |      PARTITION BY n.vec_id ORDER BY
+       |        list_dot_product(n.qe::BIGINT[], s.ce::BIGINT[])
+       |          / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(s.nc AS DOUBLE))) DESC,
+       |        s.cluster) AS rn
+       |    FROM n, seeds s) WHERE rn = 1),
+       |cent AS (SELECT cluster, list(s ORDER BY i) AS ce FROM (
+       |    SELECT a0.cluster, g.i, CAST(sum(n.qe[g.i]) AS BIGINT) AS s
+       |    FROM a0 JOIN n USING (vec_id), generate_series(1, $dim) AS g(i)
+       |    GROUP BY 1, 2) GROUP BY 1),
+       |centn AS (SELECT cluster, ce,
+       |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
+       |  FROM cent),
+       |asg AS (SELECT vec_id, cluster FROM (
+       |    SELECT n.vec_id, c.cluster, row_number() OVER (
+       |      PARTITION BY n.vec_id ORDER BY
+       |        list_dot_product(n.qe::BIGINT[], c.ce::BIGINT[])
+       |          / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC,
+       |        c.cluster) AS rn
+       |    FROM n, centn c) WHERE rn = 1)""".stripMargin
+  }
+
   /** Directional batch-retrieval CTEs: probes (vec_id < 5) × corpus via
     * the same band-tagged bucket strings as [[cosNearDupCtes]]. */
   private lazy val lshBatchCtes: String = {
@@ -611,6 +672,19 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_cluster_stats" ->
+      s"""$ivfCtes,
+         |lab AS (SELECT asg.cluster, e.label, count(*) AS n
+         |        FROM asg JOIN embeddings e USING (vec_id)
+         |        GROUP BY 1, 2),
+         |top AS (SELECT cluster, label, n,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n DESC, label) AS rn,
+         |    CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs
+         |  FROM lab)
+         |SELECT cluster, n_vecs, label AS top_label, n AS top_label_n,
+         |  (n * 1000) // n_vecs AS purity_milli
+         |FROM top WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "llm_ann_batch" ->
       s"""${lshBatchCtes},
          |scored AS (SELECT pid, cid,
@@ -747,39 +821,8 @@ object LlmQueries {
          |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin
     },
     "llm_ann_ivf" -> {
-      val (k, nprobe, dim) =
-        (Similarity.DefaultIvfClusters, Similarity.DefaultIvfProbes, 64)
-      // centroid cosines use sqrt(nq)*sqrt(nc) (norm products overflow
-      // BIGINT for sum-centroids); final scoring matches llm_ann_cosine
-      s"""WITH q AS (SELECT vec_id,
-         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, qe,
-         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
-         |  FROM q),
-         |seeds AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc
-         |          FROM n ORDER BY vec_id LIMIT $k),
-         |a0 AS (SELECT vec_id, cluster FROM (
-         |    SELECT n.vec_id, s.cluster, row_number() OVER (
-         |      PARTITION BY n.vec_id ORDER BY
-         |        list_dot_product(n.qe::BIGINT[], s.ce::BIGINT[])
-         |          / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(s.nc AS DOUBLE))) DESC,
-         |        s.cluster) AS rn
-         |    FROM n, seeds s) WHERE rn = 1),
-         |cent AS (SELECT cluster, list(s ORDER BY i) AS ce FROM (
-         |    SELECT a0.cluster, g.i, CAST(sum(n.qe[g.i]) AS BIGINT) AS s
-         |    FROM a0 JOIN n USING (vec_id), generate_series(1, $dim) AS g(i)
-         |    GROUP BY 1, 2) GROUP BY 1),
-         |centn AS (SELECT cluster, ce,
-         |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
-         |  FROM cent),
-         |asg AS (SELECT vec_id, cluster FROM (
-         |    SELECT n.vec_id, c.cluster, row_number() OVER (
-         |      PARTITION BY n.vec_id ORDER BY
-         |        list_dot_product(n.qe::BIGINT[], c.ce::BIGINT[])
-         |          / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC,
-         |        c.cluster) AS rn
-         |    FROM n, centn c) WHERE rn = 1),
+      val nprobe = Similarity.DefaultIvfProbes
+      s"""$ivfCtes,
          |probe AS (SELECT qe AS pe, nq AS np FROM n WHERE vec_id = 0),
          |pc AS (SELECT cluster FROM (
          |    SELECT c.cluster, row_number() OVER (ORDER BY
