@@ -30,6 +30,8 @@ object Bench {
     "q23_event_windows", "q24_grouping_sets", "q25_pivot", "q26_rolling",
     "q27_small_qty", "q28_quantiles", "q29_local_volume",
     "q30_promo_share", "q31_disjunctive", "q32_priority_exists",
+    "q33_custdist", "q34_top_supplier", "q35_ship_priority",
+    "q36_ntile", "q37_event_gaps",
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",
@@ -38,7 +40,8 @@ object Bench {
     "llm_sample_stratified", "llm_entropy", "llm_embed_stats",
     "llm_dedup_semantic", "llm_label_classify", "llm_lm_score",
     "llm_dataset_card", "llm_winnow", "llm_chunk", "llm_zipf",
-    "llm_quant_ann", "llm_ann_batch", "llm_cluster_stats")
+    "llm_quant_ann", "llm_ann_batch", "llm_cluster_stats",
+    "llm_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,6 +54,23 @@ object LlmQueries {
         .orderBy(desc("containment"), col("da"), col("db"))
     }),
 
+    // Cross-doc boilerplate ratio (the C4-style repeated-ngram signal):
+    // fraction of a doc's DISTINCT shingles that appear in >= 3 docs —
+    // headers/footers/navigation text score high and get gated out of a
+    // training mix. Same inverted-index shape as the dedup chain: one
+    // shingle explode, a partial-aggregated document-frequency count,
+    // and a join back; the df table is the only wide shuffle.
+    "llm_boilerplate" -> ((s, d) => {
+      val sh = TextOps.shingleRows(documents(s, d), 3)
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_milli", expr("(n_boiler * 1000) div n_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH banding: 8 md5-minhashes, 4 bands of 2 → candidate
     // pairs from shared buckets. This is the scale path: cost is linear
     // in docs + bucket-local joins, no all-pairs comparison.
@@ -730,6 +747,17 @@ object LlmQueries {
          |  JOIN sizes sb ON db = sb.doc_id
          |WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.9
          |ORDER BY containment DESC, da, db""".stripMargin,
+    "llm_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |    // count(*) AS boiler_milli
+         |FROM sh JOIN df ON sh.shingle = df.shingle
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_dedup_minhash" -> {
       val coeffs = graft.llmops.Dedup.MinhashCoeffs
       val p = graft.llmops.Dedup.MinhashP

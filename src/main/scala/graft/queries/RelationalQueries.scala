@@ -549,6 +549,94 @@ object RelationalQueries {
         .withColumn("roll_cents", sum("c").over(w))
         .select(col("event_id"), col("user_id"), col("roll_cents"))
         .orderBy("event_id")
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join so zero-order customers survive into the c_count=0 bucket.
+    // The orders-side filter belongs to the JOIN (outer-join semantics),
+    // so it's applied to the right side BEFORE the join and pushes into
+    // the orders scan; both sides shuffle on custkey once, and the
+    // distribution re-aggregation is |distinct counts| rows.
+    "q33_custdist" -> ((s, d) => {
+      val c = customer(s, d).select("c_custkey")
+      val o = orders(s, d).filter(col("o_orderstatus") =!= "P")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q15 shape (top supplier by quarterly revenue): per-supplier
+    // aggregate compared against the GLOBAL max — a one-row broadcast,
+    // and the equality is on exact integer cents so "all ties win" is
+    // deterministic (no float-max drift). One fact shuffle on suppkey.
+    "q34_top_supplier" -> ((s, d) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val perSupp = lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1996 &&
+          month(col("l_shipdate")) <= 3)
+        .groupBy("l_suppkey")
+        .agg(sum(rev).as("total_cents"))
+      val mx = perSupp.agg(max("total_cents").as("max_cents"))
+      perSupp.crossJoin(broadcast(mx))
+        .filter(col("total_cents") === col("max_cents"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q12 shape (shipping-priority buckets): one scan-join with
+    // BOTH counts from the same rows via CASE — never two scans or a
+    // pivot job; group keys are low-cardinality so the agg shuffle is
+    // tiny and map-side combined.
+    "q35_ship_priority" -> ((s, d) => {
+      val li = lineitem(s, d).filter(year(col("l_shipdate")) === 1996)
+        .select("l_orderkey", "l_linestatus")
+      val o = orders(s, d).select("o_orderkey", "o_orderpriority")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // ntile equal-frequency bucketing (quartiles of order value per
+    // priority class): one window partition per priority — the scale
+    // unit, same contract as q28 — with a unique tie-break so bucket
+    // assignment is deterministic on both engines; the output is the
+    // 4-row-per-group histogram (count + bucket bounds).
+    "q36_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("total_cents"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min("total_cents").as("lo_cents"),
+          max("total_cents").as("hi_cents"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
+
+    // lag window: per-user inter-event gap. ts is an epoch-nano int64 on
+    // the Spark side but DuckDB TRUNCATES the parquet TIMESTAMP(NANOS)
+    // to microseconds on read, so both the gap arithmetic AND the window
+    // order run on the truncated micros (`ts div 1000` ≡ epoch_us) —
+    // sub-microsecond ordering would otherwise disagree between engines.
+    // One shuffle on user_id, the lag itself is a partition-local scan;
+    // the first event of each user yields NULL on both engines.
+    "q37_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .select(col("event_id"), col("user_id"), col("gap_us"))
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -838,5 +926,49 @@ object RelationalQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q34_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |      AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 3
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q35_ship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_ntile" ->
+      """SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+        |  count(*) AS n, min(total_cents) AS lo_cents,
+        |  max(total_cents) AS hi_cents
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |        ntile(4) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY CAST(round(o_totalprice*100) AS BIGINT),
+        |            o_orderkey) AS quartile
+        |      FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q37_event_gaps" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin)
 }
