@@ -302,4 +302,47 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(collectAll(executed(qa)).exists(_.isInstanceOf[BroadcastHashJoinExec])
       || qaPlan.contains("BroadcastNestedLoopJoin"), qaPlan.take(2000))
   }
+
+  test("custdist, top-supplier, ship-priority, ntile, lag, boilerplate: scale shapes") {
+    // q33: the orders-side status filter pushes into the scan (outer-join
+    // semantics put it BELOW the join); no cartesian anywhere
+    val cd = q("q33_custdist")
+    cd.count()
+    assert(!collectAll(executed(cd)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(planString(cd).contains("o_orderstatus"), planString(cd).take(2000))
+    // q34: the global max is a one-row broadcast, supplier dim broadcasts —
+    // never a shuffled join against a scalar
+    val ts = q("q34_top_supplier")
+    ts.count()
+    val tsPlan = planString(ts)
+    assert(tsPlan.contains("BroadcastNestedLoopJoin") ||
+      tsPlan.contains("BroadcastExchange"), tsPlan.take(2000))
+    assert(!collectAll(executed(ts)).exists(_.isInstanceOf[CartesianProductExec]))
+    // q35: the shipdate filter pushes to the lineitem scan; CASE buckets
+    // aggregate with map-side combine (one partial + one final)
+    val sp = planString(q("q35_ship_priority"))
+    assert(sp.contains("partial"), sp.take(2000))
+    // q36/q37: windows must keep their partitioning — an empty
+    // partitionBy drags the whole table to one task
+    for (name <- Seq("q36_ntile", "q37_event_gaps")) {
+      val s = planString(q(name))
+      assert(!s.contains("windowspecdefinition()"),
+        s"$name lost its window partitioning:\n" + s.take(2000))
+    }
+    // q37: user_id clustering + output sort only — lag adds no extra
+    // exchange beyond them
+    val eg = q("q37_event_gaps")
+    eg.count()
+    val egShuffles = collectAll(executed(eg))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(egShuffles <= 2, s"lag-gap shuffles: $egShuffles")
+    // llm_boilerplate: codegen'd shingle explode + df count with partial
+    // agg; equality joins only, no UDF fallback
+    val bp = q("llm_boilerplate")
+    bp.count()
+    assert(!collectAll(executed(bp)).exists(_.isInstanceOf[CartesianProductExec]))
+    val bpPlan = planString(bp)
+    assert(!bpPlan.contains("ScalaUDF"), bpPlan.take(2000))
+    assert(bpPlan.contains("partial"), bpPlan.take(2000))
+  }
 }
