@@ -18,6 +18,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       MinHashAgg(GraftColumnBridge.expression(c), k).toAggregateExpression())
 
+  /** kmv_agg(hash, k) — KMV cardinality sketch: the k smallest distinct
+    * hashes as an ascending array<bigint> (bounded O(k) partial state,
+    * map-side combined). */
+  def kmv_agg(c: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KmvAgg(GraftColumnBridge.expression(c), k).toAggregateExpression())
+
   /** dot_q(a, b) — exact integer dot product of two array<bigint>. */
   def dot_q(a: Column, b: Column): Column =
     GraftColumnBridge.column(

@@ -1,0 +1,60 @@
+package graft.llmops
+
+import graft.expressions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches over corpus attributes.
+  *
+  * KMV (k-minimum-values): keep the k smallest distinct uniform hashes
+  * of a set; the kth one measures the set's density in hash space, so
+  * distinct ≈ (k-1)·H / h_k with standard error ~1/sqrt(k-2). The
+  * reference engine has no distinct-count surface; this belongs to the
+  * training-data analytics family — vocabulary / shingle-space /
+  * near-dup-space sizing at 100 TB, where an exact distinct is a full
+  * shuffle of the key space and an HLL is not reproducible across
+  * engines (implementation-defined registers). KMV over a shared md5
+  * hash is BOTH sub-linear and deterministic: the DuckDB oracle computes
+  * the identical estimate.
+  *
+  * Scale shape: [[graft.expressions.KmvAgg]] is a TypedImperativeAggregate
+  * with O(k) partial state, so the sketch is map-side combined — each
+  * scan partition ships ≤ k longs, never its hash set. Sketch union =
+  * buffer merge, which also makes the state foldable for streaming or a
+  * stored per-partition sketch index.
+  */
+object Sketch {
+
+  /** Hash-space width: 48-bit hashes keep (k-1)·2^48 inside BIGINT on
+    * both engines (60-bit would overflow the estimator's numerator). */
+  val HashBits = 48
+  val HashSpace: Long = 1L << HashBits
+
+  /** 48-bit uniform hash: the top 12 hex chars of md5 — the 60-bit
+    * native prefix shifted right 12, which equals DuckDB's
+    * ('0x' || substr(md5(x),1,12))::BIGINT. */
+  def hash48(v: Column): Column = shiftright(TextOps.tokenHash60(v), 12)
+
+  /** KMV sketch column (ascending array of ≤ k smallest hashes). */
+  def kmvSketch(value: Column, k: Int = 256): Column =
+    GraftFunctions.kmv_agg(hash48(value), k)
+
+  /** Distinct-count estimate from a sketch array: exact when the group
+    * had fewer than k distinct values (the sketch IS the set), else
+    * (k-1)·H div h_k — integer arithmetic end to end. */
+  def kmvEstimate(sketch: Column, k: Int = 256): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      // integer `div`, not `/` (which widens to double and loses exact
+      // low bits past 2^53 — the oracle divides exactly)
+      .otherwise(call_function("div",
+        lit((k - 1).toLong * HashSpace),
+        greatest(element_at(sketch, k), lit(1L))))
+
+  /** Per-group distinct-count estimate of `value`: one map-side-combined
+    * aggregation, shuffle volume O(groups · k). */
+  def kmvDistinct(df: DataFrame, groupCol: String, value: Column,
+                  k: Int = 256): DataFrame =
+    df.groupBy(groupCol)
+      .agg(kmvSketch(value, k).as("sk"))
+      .select(col(groupCol), kmvEstimate(col("sk"), k).as("n_est"))
+}

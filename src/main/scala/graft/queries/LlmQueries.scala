@@ -71,6 +71,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // KMV distinct-count sketch: per-source shingle-space size estimated
+    // from the 256 smallest md5-derived hashes (native bounded-state
+    // aggregate, map-side combined — each partition ships ≤ k longs, the
+    // 100 TB alternative to an exact distinct's full key shuffle). The
+    // shared hash makes the estimate deterministic, so the oracle
+    // reproduces it bit-for-bit — unlike HLL. Exact count alongside;
+    // err_permille documents the sketch's actual accuracy.
+    "llm_kmv_distinct" -> ((s, d) => {
+      import graft.llmops.Sketch
+      val sh = TextOps.shingleRows(documents(s, d), 3,
+        idCol = "source", dedup = false)
+      val est = Sketch.kmvDistinct(sh, "source", col("shingle"), k = 256)
+      val exact = sh.select(col("source"), Sketch.hash48(col("shingle")).as("h"))
+        .groupBy("source").agg(countDistinct("h").as("n_exact"))
+      est.join(exact, "source")
+        .withColumn("err_permille",
+          expr("abs(n_est - n_exact) * 1000 div n_exact"))
+        .orderBy("source")
+    }),
+
     // MinHash + LSH banding: 8 md5-minhashes, 4 bands of 2 → candidate
     // pairs from shared buckets. This is the scale path: cost is linear
     // in docs + bucket-local joins, no all-pairs comparison.
@@ -747,6 +767,23 @@ object LlmQueries {
          |  JOIN sizes sb ON db = sb.doc_id
          |WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.9
          |ORDER BY containment DESC, da, db""".stripMargin,
+    "llm_kmv_distinct" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT source, unnest($shingleSql) AS shingle FROM toks),
+         |d AS (SELECT DISTINCT source,
+         |    ('0x' || substr(md5(shingle),1,12))::BIGINT AS h FROM sh),
+         |ranked AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n FROM d),
+         |est AS (SELECT source,
+         |    CASE WHEN n < 256 THEN n
+         |         ELSE 71776119061217280 // greatest(h, 1) END AS n_est
+         |  FROM ranked WHERE rn = least(n, 256)),
+         |exact AS (SELECT source, count(*) AS n_exact FROM d GROUP BY 1)
+         |SELECT est.source, n_est, n_exact,
+         |  abs(n_est - n_exact) * 1000 // n_exact AS err_permille
+         |FROM est JOIN exact ON est.source = exact.source
+         |ORDER BY est.source""".stripMargin,
     "llm_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),

@@ -12,6 +12,35 @@ class LlmOpsSpec extends SparkSpecBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("KMV sketch: accuracy, partition invariance, exact below k") {
+    import graft.llmops.{Sketch, TextOps}
+    val sh = TextOps.shingleRows(docs, 3, idCol = "source", dedup = false)
+    // accuracy: k=256 → stderr ~6%; every source within ±20% of exact
+    val est = Sketch.kmvDistinct(sh, "source", col("shingle"), k = 256)
+    val exact = sh.select(col("source"), Sketch.hash48(col("shingle")).as("h"))
+      .groupBy("source").agg(countDistinct("h").as("n_exact"))
+    val joined = est.join(exact, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, x) = (r.getAs[Long]("n_est"), r.getAs[Long]("n_exact"))
+      assert(math.abs(e - x).toDouble / x <= 0.20,
+        s"${r.getString(0)}: est=$e exact=$x")
+    }
+    // partition invariance: the sketch is a commutative bounded merge —
+    // any partitioning of the input produces the identical estimate
+    val a = Sketch.kmvDistinct(sh.repartition(2), "source", col("shingle"))
+      .orderBy("source").collect().toSeq
+    val b = Sketch.kmvDistinct(sh.repartition(13), "source", col("shingle"))
+      .orderBy("source").collect().toSeq
+    assert(a == b)
+    // below k the sketch IS the distinct set: estimate exact
+    import spark.implicits._
+    val tiny = Seq(("g", "a"), ("g", "b"), ("g", "a"), ("g", "c"))
+      .toDF("source", "shingle")
+    val t = Sketch.kmvDistinct(tiny, "source", col("shingle"), k = 16).collect()
+    assert(t.head.getAs[Long]("n_est") == 3L)
+  }
+
   test("exact dedup: hash groups partition the corpus") {
     val d = Dedup.exact(docs)
     val total = d.agg(sum("n_dups")).collect()(0).getLong(0)

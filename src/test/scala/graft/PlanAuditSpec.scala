@@ -336,6 +336,15 @@ class PlanAuditSpec extends SparkSpecBase {
     val egShuffles = collectAll(executed(eg))
       .count(_.isInstanceOf[ShuffleExchangeExec])
     assert(egShuffles <= 2, s"lag-gap shuffles: $egShuffles")
+    // llm_kmv_distinct: the sketch aggregate must be map-side combined
+    // (partial_kmv_agg before the shuffle) — the O(k)-per-partition
+    // property is the whole point of the operator
+    val kv = q("llm_kmv_distinct")
+    kv.count()
+    val kvPlan = planString(kv)
+    assert(kvPlan.contains("partial_kmv_agg"),
+      "kmv sketch lost its map-side combine:\n" + kvPlan.take(2000))
+    assert(!collectAll(executed(kv)).exists(_.isInstanceOf[CartesianProductExec]))
     // llm_boilerplate: codegen'd shingle explode + df count with partial
     // agg; equality joins only, no UDF fallback
     val bp = q("llm_boilerplate")
