@@ -637,6 +637,51 @@ object RelationalQueries {
         .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
         .select(col("event_id"), col("user_id"), col("gap_us"))
         .orderBy("event_id")
+    }),
+
+    // JSON extraction: events.props is a JSON string; pull a typed field
+    // out in the scan stage (codegen'd path expression, no UDF) and
+    // aggregate it — the semi-structured column pattern every event
+    // pipeline hits. One scan, partial agg.
+    "q38_json" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // UNPIVOT (wide → long): three lineitem measures melt into
+    // (measure, value) rows via one Expand over one scan — never three
+    // unioned scans — then aggregate per (returnflag, measure). Each
+    // measure is pre-quantized to exact integers.
+    "q39_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("bigint").as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          round(col("l_discount") * 10000).cast("bigint").as("disc_bp"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty_c"), col("price_c"), col("disc_bp")),
+          "measure", "v")
+        .groupBy("l_returnflag", "measure")
+        .agg(sum("v").as("total"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // Ordered string aggregation: the listagg/string_agg shape —
+    // collect_set per group, sorted BEFORE joining so the string is
+    // deterministic (never rely on aggregation arrival order).
+    "q40_stragg" -> ((s, d) => {
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_set("c_mktsegment")), "|")
+          .as("segments"),
+          countDistinct("c_mktsegment").as("n_segments"))
+        .orderBy("c_nationkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -970,5 +1015,35 @@ object RelationalQueries {
       """SELECT event_id, user_id,
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q38_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_unpivot" ->
+      """WITH base AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount*10000) AS BIGINT) AS disc_bp
+        |  FROM lineitem),
+        |long AS (
+        |  SELECT l_returnflag, 'qty_c' AS measure, qty_c AS v FROM base
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_c', price_c FROM base
+        |  UNION ALL
+        |  SELECT l_returnflag, 'disc_bp', disc_bp FROM base)
+        |SELECT l_returnflag, measure,
+        |  CAST(sum(v) AS BIGINT) AS total, count(*) AS n
+        |FROM long GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q40_stragg" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+        |    AS segments,
+        |  count(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
 }

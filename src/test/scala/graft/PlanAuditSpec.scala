@@ -336,6 +336,15 @@ class PlanAuditSpec extends SparkSpecBase {
     val egShuffles = collectAll(executed(eg))
       .count(_.isInstanceOf[ShuffleExchangeExec])
     assert(egShuffles <= 2, s"lag-gap shuffles: $egShuffles")
+    // q38: JSON path extraction stays a codegen'd scan-stage projection
+    val js = planString(q("q38_json"))
+    assert(!js.contains("ScalaUDF") && !js.contains("BatchEvalPython"),
+      js.take(2000))
+    // q39: unpivot is ONE Expand over ONE scan, never unioned re-scans
+    val up = planString(q("q39_unpivot"))
+    assert(up.contains("Expand"), up.take(2000))
+    assert("(?s)Scan parquet".r.findAllIn(up).size == 1,
+      "unpivot must scan lineitem exactly once:\n" + up.take(2000))
     // llm_kmv_distinct: the sketch aggregate must be map-side combined
     // (partial_kmv_agg before the shuffle) — the O(k)-per-partition
     // property is the whole point of the operator
