@@ -57,4 +57,57 @@ object Sketch {
     df.groupBy(groupCol)
       .agg(kmvSketch(value, k).as("sk"))
       .select(col(groupCol), kmvEstimate(col("sk"), k).as("n_est"))
+
+  // ------------------------------------------------------------ streaming
+
+  final case class HashArrival(group: String, h: Long)
+  final case class KmvState(mins: Seq[Long])
+  final case class KmvRunning(group: String, n_est: Long)
+
+  /** Scala-side estimator — the same integer arithmetic as
+    * [[kmvEstimate]] (exact below k, (k-1)·H div h_k at k). */
+  private def estimate(size: Int, kth: Long, k: Int): Long =
+    if (size < k) size.toLong
+    else (k - 1).toLong * HashSpace / math.max(kth, 1L)
+
+  /** Streaming running distinct-count per group: `mapGroupsWithState`
+    * whose state IS the KMV buffer — ≤ k longs per group however large
+    * the stream grows (sketches are the bounded-state alternative to
+    * exact streaming distinct, whose state is the key set). Each trigger
+    * merges the group's new hashes (union + re-take-k, the batch
+    * aggregate's merge) and emits the refreshed estimate, so after any
+    * prefix of the stream the estimate equals the batch sketch over the
+    * same rows (tested). Use OutputMode.Update. */
+  def kmvStream(rows: DataFrame, groupCol: String, value: Column,
+                k: Int = 256): org.apache.spark.sql.Dataset[KmvRunning] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val arrEnc: Encoder[HashArrival] = Encoders.product[HashArrival]
+    implicit val stEnc: Encoder[KmvState] = Encoders.product[KmvState]
+    implicit val outEnc: Encoder[KmvRunning] = Encoders.product[KmvRunning]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    rows
+      .select(col(groupCol).cast("string").as("group"), hash48(value).as("h"))
+      .as[HashArrival]
+      .groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[HashArrival], st: GroupState[KmvState]) =>
+          val buf = new java.util.TreeSet[java.lang.Long]()
+          st.getOption.foreach(_.mins.foreach(m => buf.add(m)))
+          it.foreach { a =>
+            if (buf.size() < k) buf.add(a.h)
+            else if (a.h < buf.last()) {
+              if (buf.add(a.h)) buf.remove(buf.last())
+            }
+          }
+          val mins = {
+            val out = new Array[Long](buf.size())
+            val bi = buf.iterator(); var i = 0
+            while (bi.hasNext) { out(i) = bi.next().longValue(); i += 1 }
+            out.toSeq
+          }
+          st.update(KmvState(mins))
+          KmvRunning(g, estimate(mins.size, if (mins.nonEmpty) mins.last else 1L, k))
+      }
+  }
 }

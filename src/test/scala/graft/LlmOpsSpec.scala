@@ -41,6 +41,40 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(t.head.getAs[Long]("n_est") == 3L)
   }
 
+  test("streaming KMV fold converges to the batch sketch on the same corpus") {
+    import graft.llmops.{Sketch, TextOps}
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val sh = TextOps.shingleRows(
+      mem.toDF().toDF("doc_id", "source", "text"), 3,
+      idCol = "source", dedup = false)
+    val est = Sketch.kmvStream(sh, "source", col("shingle"))
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("kmv_out").start()
+    try {
+      rows.grouped(math.max(rows.size / 3, 1)).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // memory sink in update mode appends refreshed rows; latest per group
+    // is the running estimate after the final trigger
+    val streamed = spark.sql(
+      """SELECT `group`, n_est FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY `group` ORDER BY n_est DESC) AS rn FROM kmv_out) x
+        |WHERE rn = 1""".stripMargin)
+    val batch = Sketch.kmvDistinct(
+      TextOps.shingleRows(docs, 3, idCol = "source", dedup = false),
+      "source", col("shingle"))
+    val s = streamed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = batch.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == b, s"stream=$s\nbatch=$b")
+  }
+
   test("exact dedup: hash groups partition the corpus") {
     val d = Dedup.exact(docs)
     val total = d.agg(sum("n_dups")).collect()(0).getLong(0)
