@@ -682,6 +682,24 @@ object RelationalQueries {
           .as("segments"),
           countDistinct("c_mktsegment").as("n_segments"))
         .orderBy("c_nationkey")
+    }),
+
+    // Rank-family window battery: percent_rank / cume_dist / nth_value
+    // over one per-priority window (the scale unit). The unique
+    // tie-break makes the default RANGE frame equal a ROWS frame on both
+    // engines; the ratios are single double divisions of exact integer
+    // ranks, so they reproduce bit-for-bit.
+    "q41_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("total_cents"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("nth10", nth_value(col("total_cents"), 10).over(w))
+        .select("o_orderkey", "o_orderpriority", "pr", "cd", "nth10")
+        .orderBy("o_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1045,5 +1063,16 @@ object RelationalQueries {
         |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
         |    AS segments,
         |  count(DISTINCT c_mktsegment) AS n_segments
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(total_cents, 10) OVER w AS nth10
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |        CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY total_cents, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
 }
