@@ -34,6 +34,7 @@ object Bench {
     "q36_ntile", "q37_event_gaps", "q38_json", "q39_unpivot", "q40_stragg",
     "q41_rank_family",
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
+    "cdc_transforms",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",
     "llm_ann_cosine", "llm_ann_lsh", "llm_ann_ivf", "llm_cos_neardup",
     "llm_tokens", "llm_quality", "llm_curate",

@@ -43,6 +43,41 @@ final case class TableMapping(
 
 object ColumnTransforms {
 
+  /** Bulk-path (Column DSL) form of the mapping, for DataFrame pipelines
+    * where rows must stay rows: a codegen'd `filter` + `transform` over
+    * an envelope image column (array<struct<name, value, isBinary>>) —
+    * exclusions drop elements, per-column transforms rewrite values via
+    * a folded CASE on the column name. No UDF, no deserialization.
+    * `Fn` transforms carry arbitrary Scala and stay event-level — they
+    * are rejected here. */
+  def imageColumn(img: org.apache.spark.sql.Column,
+                  m: TableMapping): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(!m.transforms.values.exists(_.isInstanceOf[ColumnTransform.Fn]),
+      "Fn transforms are event-level only (arbitrary Scala cannot codegen)")
+    val kept =
+      if (m.excludedColumns.isEmpty) img
+      else filter(img, c =>
+        !c.getField("name").isin(m.excludedColumns.toSeq.map(lit(_)): _*))
+    if (m.transforms.isEmpty) kept
+    else transform(kept, c => {
+      val value = m.transforms.foldLeft(c.getField("value")) {
+        case (acc, (name, t)) =>
+          val applied = t match {
+            case ColumnTransform.Identity => c.getField("value")
+            case ColumnTransform.Uppercase => upper(c.getField("value"))
+            case ColumnTransform.Lowercase => lower(c.getField("value"))
+            case ColumnTransform.StaticValue(v) => lit(v)
+            case ColumnTransform.Nullify => lit(null).cast("string")
+            case ColumnTransform.Fn(_) => c.getField("value") // unreachable
+          }
+          when(c.getField("name") === name, applied).otherwise(acc)
+      }
+      struct(c.getField("name").as("name"), value.as("value"),
+        c.getField("isBinary").as("isBinary"))
+    })
+  }
+
   private def transformImage(cols: Seq[CdcColumn], m: TableMapping): Seq[CdcColumn] =
     cols.filterNot(c => m.excludedColumns.contains(c.name)).map { c =>
       m.transforms.get(c.name) match {

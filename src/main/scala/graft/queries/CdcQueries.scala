@@ -256,9 +256,43 @@ object CdcQueries {
         .select(col("id").cast("bigint").as("user_id"),
           col("val").cast("bigint").as("last_value_cents"))
         .orderBy("user_id")
+    }),
+
+    // §2.10 column transforms on the BULK path: the declared-but-unwired
+    // reference surface (config.rs:238-293) as a codegen'd filter +
+    // transform over the envelope image — uppercase one column, exclude
+    // another — rows never deserialize (the event-level Scala form
+    // serves the typed Dataset path; OperatorsSpec covers it).
+    "cdc_transforms" -> ((s, d) => {
+      import graft.operators.{ColumnTransform, ColumnTransforms, TableMapping}
+      val img = array(
+        cdcColStruct("event_type", col("event_type")),
+        cdcColStruct("props", col("props")),
+        cdcColStruct("value_cents", cents(col("value"))))
+      val m = TableMapping(
+        excludedColumns = Set("props"),
+        transforms = Map("event_type" -> ColumnTransform.Uppercase))
+      events(s, d)
+        .select(col("event_id").as("lsn"),
+          ColumnTransforms.imageColumn(img, m).as("after"))
+        .select(col("lsn"), explode(col("after")).as("c"))
+        .select(col("lsn"), col("c.name").as("col_name"),
+          col("c.value").as("col_value"))
+        .orderBy("lsn", "col_name")
     }))
 
   val oracles: Map[String, String] = Map(
+    "cdc_transforms" ->
+      """WITH base AS (
+        |  SELECT event_id AS lsn, 'event_type' AS col_name,
+        |    upper(event_type) AS col_value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'value_cents',
+        |    CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)
+        |  FROM events)
+        |SELECT lsn, col_name, col_value FROM base
+        |ORDER BY lsn, col_name""".stripMargin,
     "cdc_truncate_fold" ->
       s"""WITH dml AS (
          |  SELECT CAST(event_id AS BIGINT) AS lsn,

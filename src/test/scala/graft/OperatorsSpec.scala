@@ -45,6 +45,34 @@ class OperatorsSpec extends SparkSpecBase {
     assert(ColumnTransforms.apply(Map.empty)(ev) == ev)
   }
 
+  test("bulk-path imageColumn equals the event-level transform") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val m = TableMapping(
+      excludedColumns = Set("ssn"),
+      transforms = Map(
+        "name" -> ColumnTransform.Uppercase,
+        "email" -> ColumnTransform.Lowercase,
+        "id" -> ColumnTransform.StaticValue("X")))
+    // event-level (typed) result
+    val expected = ColumnTransforms.apply(Map("public.users" -> m))(ev)
+      .after.map(c => (c.name, c.value))
+    // bulk-path (Column DSL) result over the same image
+    val img = array(ev.after.map(c => struct(
+      lit(c.name).as("name"), lit(c.value).as("value"),
+      lit(c.isBinary).as("isBinary"))): _*)
+    val got = Seq(1).toDF("x")
+      .select(explode(ColumnTransforms.imageColumn(img, m)).as("c"))
+      .select(col("c.name"), col("c.value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // Fn transforms cannot codegen — rejected at plan-build time
+    intercept[IllegalArgumentException] {
+      ColumnTransforms.imageColumn(img,
+        TableMapping(transforms = Map("name" -> ColumnTransform.Fn(identity))))
+    }
+  }
+
   test("retry: backoff schedule 2^n capped at 30 (consumer.rs:260-269)") {
     assert((0 to 6).map(Retry.backoffSeconds) == Seq(1, 2, 4, 8, 16, 32, 32).map(
       s => math.min(s, 30)))
