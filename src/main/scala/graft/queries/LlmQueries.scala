@@ -26,6 +26,30 @@ object LlmQueries {
     """list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       | for i in range(1, greatest(len(t)-1, 1))])""".stripMargin
 
+  /** Shared DuckDB CTE chain: shingles → minhash → LSH bands → distinct
+    * candidate pairs `cand(da, db)` — mirrors
+    * `Dedup.minhashCandidates(k = 8, rowsPerBand = 2)`. */
+  private lazy val minhashCandSql: String = {
+    val coeffs = graft.llmops.Dedup.MinhashCoeffs
+    val p = graft.llmops.Dedup.MinhashP
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS mh$i"
+    }.mkString(", ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+       |hv AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, unnest([
+       |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
+       |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
+       |  FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM banded a JOIN banded b
+       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per normalized-text hash. At 100 TB this
     // is one hash-shuffle on a 32-hex key; the min(doc_id) keeps choice
@@ -96,6 +120,23 @@ object LlmQueries {
     // in docs + bucket-local joins, no all-pairs comparison.
     "llm_dedup_minhash" -> ((s, d) => {
       Dedup.minhashCandidates(documents(s, d), k = 8, rowsPerBand = 2)
+        .orderBy("da", "db")
+    }),
+
+    // Edit-distance verify over the LSH candidates: character-level
+    // Levenshtein as the second-stage check token-set metrics can't
+    // replace (reorderings keep Jaccard high but edit distance large).
+    // Only candidate pairs pay the O(len²) DP — the candidate set is
+    // LSH-bounded, never all-pairs; both engines implement the same
+    // unit-cost metric so the distances are oracle-exact.
+    "llm_edit_distance" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cands = Dedup.minhashCandidates(docs, k = 8, rowsPerBand = 2)
+      val ta = docs.select(col("doc_id").as("da"), col("text").as("ta"))
+      val tb = docs.select(col("doc_id").as("db"), col("text").as("tb"))
+      cands.join(ta, "da").join(tb, "db")
+        .select(col("da"), col("db"),
+          levenshtein(col("ta"), col("tb")).cast("bigint").as("edit_dist"))
         .orderBy("da", "db")
     }),
 
@@ -795,27 +836,16 @@ object LlmQueries {
          |    // count(*) AS boiler_milli
          |FROM sh JOIN df ON sh.shingle = df.shingle
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "llm_dedup_minhash" -> {
-      val coeffs = graft.llmops.Dedup.MinhashCoeffs
-      val p = graft.llmops.Dedup.MinhashP
-      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        s"min((h * $a + $b) % $p) AS mh$i"
-      }.mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
-         |hv AS (SELECT doc_id,
-         |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
-         |banded AS (
-         |  SELECT doc_id, unnest([
-         |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
-         |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
-         |  FROM mh)
-         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |FROM banded a JOIN banded b
-         |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |ORDER BY 1, 2""".stripMargin
-    },
+    "llm_dedup_minhash" ->
+      s"""WITH $minhashCandSql
+         |SELECT da, db FROM cand ORDER BY 1, 2""".stripMargin,
+    "llm_edit_distance" ->
+      s"""WITH $minhashCandSql
+         |SELECT da, db,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM cand JOIN documents ta ON da = ta.doc_id
+         |  JOIN documents tb ON db = tb.doc_id
+         |ORDER BY 1, 2""".stripMargin,
     "llm_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
