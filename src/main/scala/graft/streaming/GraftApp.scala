@@ -24,6 +24,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     JDBC destination; GRAFT_WAREHOUSE_BUCKETS (default 64) sizes the
   *     layout, GRAFT_WAREHOUSE_SPILL=true routes through the disk-spill
   *     sealer for arbitrarily large streamed transactions
+  *   GRAFT_CURATE_DIR   — training-data intake mode: stream document
+  *     parquet (doc_id, source, text) from this directory through the
+  *     curation pipeline (quality/language gates, exact + LSH near
+  *     dedup) into GRAFT_CURATE_STORE (required with it); replaces the
+  *     CDC chain, so GRAFT_WAL_DIR/GRAFT_DEST_URL are not required
   *   GRAFT_CHECKPOINT   — checkpoint location (required)
   *   GRAFT_DIALECT      — ansi|mysql|sqlserver|sqlite (default ansi)
   *   GRAFT_METRICS_PORT — scrape port (default 8080; -1 disables)
@@ -54,6 +59,29 @@ object GraftApp {
       case Left(err) => throw new IllegalArgumentException(s"invalid config: $err")
       case Right(_) => ()
     }
+    val ckpt = env.getOrElse("GRAFT_CHECKPOINT",
+      throw new IllegalArgumentException("GRAFT_CHECKPOINT is required"))
+
+    // curation-intake mode: a training-data pipeline instead of the CDC
+    // chain — document parquet in, curated store out (StreamingCurate)
+    env.get("GRAFT_CURATE_DIR").foreach { docsDir =>
+      val store = env.getOrElse("GRAFT_CURATE_STORE",
+        throw new IllegalArgumentException(
+          "GRAFT_CURATE_STORE is required with GRAFT_CURATE_DIR"))
+      val listener = new CdcMetricsListener
+      spark.streams.addListener(listener)
+      val metricsPort = env.get("GRAFT_METRICS_PORT").map(_.toInt).getOrElse(8080)
+      val metrics =
+        if (metricsPort < 0) None
+        else Some(new MetricsServer(listener, metricsPort).start())
+      val docs = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .parquet(docsDir)
+      return Wiring(
+        graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger),
+        metrics, listener)
+    }
+
     val walDir = env.getOrElse("GRAFT_WAL_DIR",
       throw new IllegalArgumentException("GRAFT_WAL_DIR is required"))
     val warehouseDir = env.get("GRAFT_WAREHOUSE_DIR")
@@ -61,8 +89,6 @@ object GraftApp {
     if (warehouseDir.isEmpty && destUrl.isEmpty)
       throw new IllegalArgumentException(
         "GRAFT_DEST_URL is required (or GRAFT_WAREHOUSE_DIR for warehouse mode)")
-    val ckpt = env.getOrElse("GRAFT_CHECKPOINT",
-      throw new IllegalArgumentException("GRAFT_CHECKPOINT is required"))
     val dialect = Dialect.forName(env.getOrElse("GRAFT_DIALECT", "ansi"))
 
     // live capture (optional): replication client → .pgo segments.

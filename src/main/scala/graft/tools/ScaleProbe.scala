@@ -59,6 +59,19 @@ object ScaleProbe {
     t0 = System.nanoTime()
     store.compact(spark)
     println(f"index compaction in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // KMV sketch soak: distinct-token estimate over the full corpus
+    // (4M token instances, 5k true vocabulary) — the map-side-combined
+    // aggregate must stay scan-bound, and the estimate lands within the
+    // k=256 error envelope
+    t0 = System.nanoTime()
+    val sh = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("g", lit("corpus"))
+    val est = graft.llmops.Sketch.kmvDistinct(sh, "g", col("tok"))
+      .first().getAs[Long]("n_est")
+    println(f"kmv distinct-token estimate: $est (true 5000) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

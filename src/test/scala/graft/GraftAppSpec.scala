@@ -119,6 +119,37 @@ class GraftAppSpec extends SparkSpecBase {
     } finally GraftApp.shutdown(w)
   }
 
+  test("curate mode: GRAFT_CURATE_DIR streams documents through the curation store") {
+    import org.apache.spark.sql.functions._
+    val docsDir = Files.createTempDirectory("app-cur-docs").toFile.getAbsolutePath
+    val store = Files.createTempDirectory("app-cur-store").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("app-cur-ckpt").toFile.getAbsolutePath
+    // two passing docs (en, long enough, stopworded) + one twin of the
+    // first (near-dup, must be dropped) + one too-short reject
+    val base = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river of the old town in the morning light of a summer day"
+    import spark.implicits._
+    // last-word-only change: 1 of 25 shingles differs → jaccard ≈ 0.92
+    Seq((1L, "srcA", base),
+      (2L, "srcB", base.replace("summer day", "summer eve")),
+      (3L, "srcA", "too short"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val env = Map(
+      "GRAFT_CURATE_DIR" -> docsDir, "GRAFT_CURATE_STORE" -> store,
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "-1")
+    val w = GraftApp.build(spark, GraftConfig(), env,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      w.query.awaitTermination()
+      val curated = graft.llmops.StreamingCurate.curated(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // doc 1 admitted; doc 2 is a near-dup of 1 (larger id drops);
+      // doc 3 fails the quality gate
+      assert(curated == Set(1L), s"curated=$curated")
+    } finally GraftApp.shutdown(w)
+  }
+
   test("connectTransport sends StartupMessage BEFORE reading the handshake") {
     import graft.sources.pgwire.PgWire
     // A real server says NOTHING until it receives the StartupMessage —
