@@ -684,6 +684,22 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // TPC-H Q6 shape (selective-scan revenue): no join at all — the
+    // point is the SCAN: every predicate is a plain column comparison
+    // (date range, not year() — a function call would block pushdown) so
+    // all four filters reach the parquet reader as PushedFilters and
+    // row-group stats prune before any row materializes.
+    "q42_selective" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Rank-family window battery: percent_rank / cume_dist / nth_value
     // over one per-priority window (the scale unit). The unique
     // tie-break makes the default RANGE frame equal a ROWS frame on both
@@ -1064,6 +1080,16 @@ object RelationalQueries {
         |    AS segments,
         |  count(DISTINCT c_mktsegment) AS n_segments
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_selective" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q41_rank_family" ->
       """SELECT o_orderkey, o_orderpriority,
         |  percent_rank() OVER w AS pr,

@@ -336,6 +336,17 @@ class PlanAuditSpec extends SparkSpecBase {
     val egShuffles = collectAll(executed(eg))
       .count(_.isInstanceOf[ShuffleExchangeExec])
     assert(egShuffles <= 2, s"lag-gap shuffles: $egShuffles")
+    // q42: ALL four predicates reach the parquet scan as PushedFilters
+    // (date range + discount band + quantity cap) and the scan reads
+    // only the four referenced columns
+    val sel = planString(q("q42_selective"))
+    // the display truncates the filter list — the leading pushed
+    // predicates prove the scan-level filtering is in effect
+    assert(sel.contains("PushedFilters: [IsNotNull(l_shipdate)") &&
+      sel.contains("GreaterThanOrEqual(l_shipda"), sel.take(2500))
+    assert(sel.contains(
+      "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      "q42 must read exactly its four columns:\n" + sel.take(2500))
     // q38: JSON path extraction stays a codegen'd scan-stage projection
     val js = planString(q("q38_json"))
     assert(!js.contains("ScalaUDF") && !js.contains("BatchEvalPython"),
