@@ -43,6 +43,42 @@ class ScaleShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the third leg of the 100 TB join toolkit (broadcast for small dims,
+    // bucketing for co-location): when a scaling dim carries a selective
+    // filter and must shuffle-join, Spark injects a bloom filter built
+    // from the filtered dim keys into the FACT scan — rows that cannot
+    // match die before the shuffle. Production defaults gate it by size
+    // (creation side ≤ 10 GB); the toy-scale thresholds here only make
+    // the optimization observable, the plan shape is what's pinned.
+    val sf = "/root/testdata/sf0.001"
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val p = spark.read.parquet(s"$sf/part.parquet").filter(col("p_size") === 1)
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        "fact side lost its runtime bloom filter:\n" + plan.take(1500))
+      assert(plan.contains("bloom_filter_agg"),
+        "no bloom built from the filtered dim:\n" + plan.take(1500))
+      // and it must not change the answer
+      val expected = li.join(p.hint("broadcast"),
+        col("l_partkey") === col("p_partkey")).count()
+      assert(j.collect()(0).getLong(0) == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join: same result as plain join, key spread across salts") {
     import spark.implicits._
     // one pathologically hot key
