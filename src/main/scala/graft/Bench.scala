@@ -32,7 +32,7 @@ object Bench {
     "q30_promo_share", "q31_disjunctive", "q32_priority_exists",
     "q33_custdist", "q34_top_supplier", "q35_ship_priority",
     "q36_ntile", "q37_event_gaps", "q38_json", "q39_unpivot", "q40_stragg",
-    "q41_rank_family", "q42_selective",
+    "q41_rank_family", "q42_selective", "q43_arrays", "q44_bagops",
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "cdc_transforms",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",

@@ -684,6 +684,40 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // Array / higher-order-function battery surfaced at the query level:
+    // collect_list → sort → fold (aggregate), max, distinct-count, and a
+    // canonical string form — per-order arrays stay small (lineitems per
+    // order), so the collect is bounded by the group, never the table.
+    "q43_arrays" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_quantity") * 100).cast("bigint").as("qty_c"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list("qty_c")).as("qtys"))
+        .select(col("l_orderkey"),
+          size(col("qtys")).as("n"),
+          aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total"),
+          array_max(col("qtys")).as("max_q"),
+          size(array_distinct(col("qtys"))).as("n_distinct"),
+          array_join(col("qtys"), ",").as("qty_str"))
+        .orderBy("l_orderkey")
+    }),
+
+    // Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): keep
+    // multiplicity — the dedup-free form `distinct`-based set ops can't
+    // express. Planned as hash joins on the value with count matching,
+    // not a sort of the whole input.
+    "q44_bagops" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id")
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id")
+      purchases.exceptAll(errors)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
     // TPC-H Q6 shape (selective-scan revenue): no join at all — the
     // point is the SCAN: every predicate is a plain column comparison
     // (date range, not year() — a function call would block pushdown) so
@@ -1080,6 +1114,23 @@ object RelationalQueries {
         |    AS segments,
         |  count(DISTINCT c_mktsegment) AS n_segments
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_arrays" ->
+      """SELECT l_orderkey,
+        |  CAST(len(qtys) AS INT) AS n,
+        |  CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS total,
+        |  CAST(list_aggregate(qtys, 'max') AS BIGINT) AS max_q,
+        |  CAST(len(list_distinct(qtys)) AS INT) AS n_distinct,
+        |  array_to_string(qtys, ',') AS qty_str
+        |FROM (SELECT l_orderkey,
+        |        list_sort(list(CAST(round(l_quantity*100) AS BIGINT))) AS qtys
+        |      FROM lineitem GROUP BY 1)
+        |ORDER BY l_orderkey""".stripMargin,
+    "q44_bagops" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_selective" ->
       """SELECT
         |  CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))
