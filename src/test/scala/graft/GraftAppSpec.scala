@@ -61,10 +61,21 @@ class GraftAppSpec extends SparkSpecBase {
       GraftApp.build(spark, GraftConfig(slotName = "Bad Slot"), Map.empty)
     }
     assert(err.getMessage.contains("Invalid replication slot name"))
+    // checkpoint is required by EVERY mode (CDC and curate), so it is
+    // validated first; WAL dir only once a CDC mode is implied
     val err2 = intercept[IllegalArgumentException] {
       GraftApp.build(spark, GraftConfig(), Map.empty)
     }
-    assert(err2.getMessage.contains("GRAFT_WAL_DIR"))
+    assert(err2.getMessage.contains("GRAFT_CHECKPOINT"))
+    val err3 = intercept[IllegalArgumentException] {
+      GraftApp.build(spark, GraftConfig(), Map("GRAFT_CHECKPOINT" -> "/tmp/x"))
+    }
+    assert(err3.getMessage.contains("GRAFT_WAL_DIR"))
+    val err4 = intercept[IllegalArgumentException] {
+      GraftApp.build(spark, GraftConfig(),
+        Map("GRAFT_CHECKPOINT" -> "/tmp/x", "GRAFT_CURATE_DIR" -> "/tmp/d"))
+    }
+    assert(err4.getMessage.contains("GRAFT_CURATE_STORE"))
   }
 
   test("origin filter flows env -> source -> pipeline -> destination (F4 e2e)") {
