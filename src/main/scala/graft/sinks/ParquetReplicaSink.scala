@@ -309,6 +309,48 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     fragmented
   }
 
+  /** Retention / TTL maintenance: delete every row matching `pred`
+    * (e.g. `col("ts") < cutoff` or a GDPR key list), rewriting ONLY the
+    * buckets that actually contain matches — a probe aggregation finds
+    * them first, so a retention pass over a mostly-compliant table
+    * touches almost nothing. Each rewrite reuses [[compact]]'s
+    * committed-staging swap ([[recover]] heals interruptions), and a
+    * bucket drained to zero keeps a schema-carrying marker, same as the
+    * MERGE path. Run OFFLINE (no concurrent applyBatch). Returns the
+    * rewritten bucket ids. */
+  def retain(spark: SparkSession, pred: org.apache.spark.sql.Column): Seq[Int] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) return Seq.empty
+    recover(spark)
+    val schemaOpt = readSidecar(spark).map(_._2)
+    def reader = schemaOpt match {
+      case Some(s) =>
+        spark.read.schema(StructType(s.fields :+ StructField("bucket", IntegerType)))
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    if (bucketDirs(spark).isEmpty) return Seq.empty
+    // probe: which buckets hold matching rows (≤ numBuckets ints —
+    // predicate + bucket column both prune/push into the scan)
+    val touched = reader.option("basePath", path).parquet(path)
+      .filter(pred)
+      .select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    touched.foreach { b =>
+      val dir = new Path(path, s"bucket=$b")
+      val tmp = new Path(path, s"_compact_bucket=$b")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // null-safe complement: a row where pred is NULL is KEPT (it does
+      // not match the deletion predicate) — bare !pred would drop it
+      val kept = sortedByKey(
+        reader.option("basePath", path).parquet(dir.toString)
+          .filter(!coalesce(pred, lit(false))).drop("bucket").repartition(1))
+      kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
+    }
+    touched.toSeq
+  }
+
   /** Finish (or undo) any compaction swap a crash interrupted. Safe to
     * call any time the table is offline; compact() calls it first. */
   def recover(spark: SparkSession): Unit = {

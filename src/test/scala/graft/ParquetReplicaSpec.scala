@@ -305,6 +305,43 @@ class ParquetReplicaSpec extends SparkSpecBase {
       s"planned files outside the touched bucket: ${sink.lastPlannedFiles}")
   }
 
+  test("retain: TTL deletion rewrites only matching buckets; null pred keeps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-retain").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 16)
+    // ids 1..200, val = id; "expired" = val <= 10 (10 ids hit at most 10
+    // of 16 buckets, so some buckets MUST stay untouched)
+    sink.applyBatch(spark,
+      (1 to 200).map(i => (i, i, "c", i.toLong)).toDF("id", "val", "op", "lsn"), 0)
+    // record untouched buckets' files to prove they are not rewritten
+    val expiredBuckets = spark.read.option("basePath", path).parquet(path)
+      .filter(col("val") <= 10).select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    def bucketFiles(b: Int): Set[String] = {
+      val d = new java.io.File(path, s"bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getAbsolutePath).filter(_.endsWith(".parquet")).toSet
+    }
+    val untouchedFiles = (0 until 16).filterNot(expiredBuckets)
+      .flatMap(bucketFiles).toSet
+    assert(untouchedFiles.nonEmpty)
+    val rewritten = sink.retain(spark, col("val") <= 10)
+    assert(rewritten.toSet == expiredBuckets)
+    val after = sink.snapshot(spark).select("id").as[Int].collect().toSet
+    assert(after == (11 to 200).toSet)
+    val afterFiles = (0 until 16).flatMap(bucketFiles).toSet
+    assert(untouchedFiles.subsetOf(afterFiles),
+      "retain rewrote buckets with no matches")
+    // null predicate values keep the row (not-matching, not dropped)
+    val rewritten2 = sink.retain(spark,
+      when(col("val") > 195, lit(true)).otherwise(lit(null).cast("boolean")))
+    assert(sink.snapshot(spark).count() == 185)
+    assert(rewritten2.nonEmpty)
+    // idempotent: nothing left to delete → zero buckets touched
+    assert(sink.retain(spark, col("val") <= 10).isEmpty)
+  }
+
   test("compact recovery: committed swap rolls forward, partial swap rolls back") {
     import spark.implicits._
     val path = Files.createTempDirectory("compact-rec").toFile.getAbsolutePath
