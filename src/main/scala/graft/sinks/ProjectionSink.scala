@@ -1,0 +1,114 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Secondary access path for a warehouse replica: the same rows
+  * REORGANIZED into a hash-bucketed layout on a DIFFERENT column (the
+  * "index key"), so a point query on that column reads ONE bucket out of
+  * `numBuckets` instead of scanning the primary layout. The primary
+  * replica ([[ParquetReplicaSink]]) stays the source of truth; this is
+  * the warehouse analog of a covering secondary index.
+  *
+  * Maintenance from the CDC batch: the NEW image's index value places
+  * the upsert; the BEFORE image's index value locates the stored row it
+  * replaces — an index-key change MOVES the row across buckets, and only
+  * the before image knows the source bucket. Correct maintenance
+  * therefore requires updates/deletes to carry the index column in their
+  * before image (PostgreSQL `REPLICA IDENTITY FULL`, or an index key
+  * that is part of the replica identity); the apply fails fast when the
+  * old value is absent instead of leaving a phantom row behind.
+  *
+  * Batch contract (pre-flattened, same shape as the warehouse apply):
+  * `op, lsn, <primaryKey...>, <payload incl. indexKey>, __old_idx`
+  * where `__old_idx` is the before-image index value (null for
+  * inserts). Per batch:
+  *   1. squash to one winner per primary key (latest lsn);
+  *   2. touched buckets = hash(old index values) ∪ hash(new ones) —
+  *      a bounded driver collect (≤ numBuckets ints);
+  *   3. read ONLY touched dirs, anti-join the batch's primary keys
+  *      (removing every stored version, wherever it lives among the
+  *      touched buckets), union the winners, dynamic-overwrite.
+  * Replay-idempotent by construction (same winners, same removals);
+  * the pipeline-level stale-batch gate guards ordering, same as the
+  * primary replica. Projection schema is fixed at definition — evolve
+  * by rebuild, the usual secondary-index discipline.
+  */
+class ProjectionSink(path: String, primaryKey: Seq[String], indexKey: String,
+                     numBuckets: Int = 64) extends Serializable {
+
+  private def root = new Path(path)
+  private def fsOf(spark: SparkSession) =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(hash(c), lit(numBuckets))
+
+  /** apply one batch; see class doc for the expected columns. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
+    require(batch.columns.contains("__old_idx"),
+      "projection batch must carry __old_idx (the before-image index value)")
+    // fail fast on u/d without a before-image index value — applying
+    // them would strand the old row in an unknown bucket
+    val blind = batch.filter(col("op").isin("u", "d") && col("__old_idx").isNull)
+    require(blind.isEmpty,
+      s"update/delete without a before-image $indexKey: the projection " +
+        "requires REPLICA IDENTITY FULL (or the index key in the identity)")
+
+    val w = Window.partitionBy(primaryKey.map(col): _*).orderBy(desc("lsn"))
+    val winners = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+    val payload = winners.filter(col("op") =!= "d")
+      .drop("op", "lsn", "__old_idx")
+      .withColumn("bucket", bucketOf(col(indexKey)))
+
+    // ≤ 2·numBuckets ints: where stored versions may live (old values of
+    // EVERY event — a mid-batch move leaves nothing behind) + where the
+    // winners land
+    val touched = batch.filter(col("__old_idx").isNotNull)
+      .select(bucketOf(col("__old_idx")).as("b"))
+      .union(payload.select(col("bucket").as("b")))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    val fs = fsOf(spark)
+    val schema = StructType(payload.drop("bucket").schema)
+    val touchedDirs = touched.toSeq.sorted
+      .map(b => new Path(path, s"bucket=$b")).filter(fs.exists).map(_.toString)
+    val next =
+      if (touchedDirs.isEmpty) payload
+      else {
+        val cur = spark.read
+          .schema(StructType(schema.fields :+ StructField("bucket", IntegerType)))
+          .option("basePath", path).parquet(touchedDirs: _*)
+        cur.join(winners.select(primaryKey.map(col): _*), primaryKey, "left_anti")
+          .unionByName(payload)
+      }
+    val materialized = next
+      .repartition(math.max(touched.size, 1), col("bucket"))
+      .sortWithinPartitions(indexKey)
+      .localCheckpoint(true)
+    materialized.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+    // drained buckets keep a schema-carrying marker (same as the replica)
+    val remaining = materialized.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    touched.filterNot(remaining).foreach { b =>
+      materialized.drop("bucket").limit(0).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=$b")
+    }
+  }
+
+  /** Point query on the index key: the bucket is constant-folded from
+    * the literal, so exactly one dir of `numBuckets` is read; inside it
+    * the index-sorted layout prunes row groups. */
+  def lookup(spark: SparkSession, value: Any): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+      .filter(col("bucket") === pmod(hash(lit(value)), lit(numBuckets)))
+      .filter(col(indexKey) === lit(value))
+      .drop("bucket")
+}

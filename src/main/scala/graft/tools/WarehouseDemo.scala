@@ -122,6 +122,23 @@ object WarehouseDemo {
     println(f"LSH index intake: 2500-doc seed + 200-doc increment in " +
       f"$lshSecs%.2f s; increment hits: $h2 (100 planted copies), " +
       s"planned dirs: ${store.lastPlannedDirs.size}")
+
+    // Secondary projection: the same rows re-bucketed on a non-primary
+    // column; a point query on it reads ONE bucket of 64
+    import org.apache.spark.sql.functions.{col, lit, pmod, hash => shash}
+    val projRoot = Files.createTempDirectory("wh-demo-proj").toFile.getAbsolutePath
+    val proj = new graft.sinks.ProjectionSink(
+      s"$projRoot/by_group", Seq("id"), "grp", numBuckets = 64)
+    val t4 = System.nanoTime()
+    proj.applyBatch(spark, spark.range(n)
+      .select(col("id"), pmod(shash(col("id")), lit(5000)).as("grp"),
+        (col("id") * 10).as("v"), lit("c").as("op"), col("id").as("lsn"),
+        lit(null).cast("int").as("__old_idx")), 0)
+    val projSecs = (System.nanoTime() - t4) / 1e9
+    val probe = proj.lookup(spark, 42)
+    val hits = probe.count()
+    println(f"secondary projection: $n rows re-bucketed by grp in " +
+      f"$projSecs%.2f s; point lookup grp=42 -> $hits rows from one bucket")
     spark.stop()
   }
 }

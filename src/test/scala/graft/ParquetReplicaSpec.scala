@@ -1,6 +1,6 @@
 package graft
 
-import graft.sinks.ParquetReplicaSink
+import graft.sinks.{ParquetReplicaSink, ProjectionSink}
 import java.io.File
 import java.nio.file.Files
 
@@ -535,6 +535,60 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(sink.lookup(spark, Seq(probe._1))
       .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq ==
       Seq((probe._2, probe._3)))
+  }
+
+  test("projection: secondary layout follows moves, deletes, replays; lookup prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-proj").toFile.getAbsolutePath + "/idx"
+    val proj = new ProjectionSink(path, Seq("id"), "user", numBuckets = 8)
+    def df(rows: Seq[(Int, String, Int, String, Long, String)]) = rows
+      .toDF("id", "user", "val", "op", "lsn", "__old_idx")
+
+    // batch 0: inserts across three index values
+    proj.applyBatch(spark, df(Seq(
+      (1, "alice", 10, "c", 1L, null),
+      (2, "bob", 20, "c", 2L, null),
+      (3, "alice", 30, "c", 3L, null))), 0)
+    assert(proj.lookup(spark, "alice").select("id").as[Int].collect().toSet
+      == Set(1, 3))
+
+    // batch 1: id=1 MOVES alice→carol (old bucket must drop it), id=2
+    // updates in place, id=3 deletes
+    val b1 = df(Seq(
+      (1, "carol", 11, "u", 4L, "alice"),
+      (2, "bob", 21, "u", 5L, "bob"),
+      (3, "alice", 0, "d", 6L, "alice")))
+    proj.applyBatch(spark, b1, 1)
+    assert(proj.lookup(spark, "alice").count() == 0)
+    assert(proj.lookup(spark, "carol").select("id", "val").as[(Int, Int)]
+      .collect().toSeq == Seq((1, 11)))
+    assert(proj.lookup(spark, "bob").select("val").as[Int].collect().toSeq
+      == Seq(21))
+
+    // replay of batch 1: idempotent
+    proj.applyBatch(spark, b1, 1)
+    assert(proj.lookup(spark, "carol").count() == 1)
+    assert(proj.lookup(spark, "alice").count() == 0)
+
+    // lookup plans exactly one bucket dir (constant-folded bucket)
+    val hit = proj.lookup(spark, "carol")
+    hit.collect()
+    val plan = hit.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value == 1,
+      s"projection lookup read ${scan.metrics("numFiles").value} files")
+
+    // u/d without a before-image index value is refused up front
+    intercept[IllegalArgumentException] {
+      proj.applyBatch(spark, df(Seq((2, "bob", 22, "u", 7L, null))), 2)
+    }
   }
 
   test("lookup prunes to one bucket dir; files are key-sorted for row-group pruning") {
