@@ -114,6 +114,58 @@ object TxnSpill {
     Resolved(out, commit)
   }
 
+  /** Maintenance: fold a long-lived in-flight transaction's per-trigger
+    * appended files into one per txid dir. Appends stay O(new events)
+    * per trigger, but a transaction streaming across k triggers leaves k
+    * files — harmless at seal time until k grows to thousands (listing +
+    * open overhead). Offline discipline (no concurrent resolve on the
+    * same spill): committed-staging swap, same as the replica's
+    * compact — a crash leaves either the old files or the folded copy,
+    * and re-running compactPending first (before resuming the stream)
+    * heals an interrupted swap: a committed staging dir rolls forward,
+    * a partial one rolls back. Returns the txids folded. */
+  def compactPending(spark: SparkSession, spillDir: String,
+                     maxFilesPerTxid: Int = 16): Seq[Long] = {
+    val pending = pendingPath(spillDir)
+    val fs = pending.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pending)) return Seq.empty
+    // heal any swap a crash interrupted (underscore dirs are invisible
+    // to the seal — roll a committed fold forward so its rows reappear)
+    fs.listStatus(pending).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_fold_txid="))
+      .foreach { t =>
+        val dst = new Path(pending, t.getPath.getName.stripPrefix("_fold_"))
+        if (fs.exists(new Path(t.getPath, "_SUCCESS")) && !fs.exists(dst))
+          fs.rename(t.getPath, dst)
+        else fs.delete(t.getPath, true)
+      }
+    val txDirs = fs.listStatus(pending).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("txid="))
+    val folded = txDirs.flatMap { d =>
+      val files = fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      if (files.length <= maxFilesPerTxid) None
+      else {
+        val txid = d.getPath.getName.stripPrefix("txid=").toLong
+        val tmp = new Path(pending, s"_fold_txid=$txid")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        spark.read.schema(pendingSchema)
+          .option("basePath", pending.toString)
+          .parquet(d.getPath.toString)
+          // the seal dedups on (txid, lsn) anyway; folding dedups early
+          // so replay-appended duplicates stop occupying disk
+          .dropDuplicates("txid", "lsn")
+          .drop("txid") // partition column — not stored in files
+          .repartition(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(d.getPath, true)
+        fs.rename(tmp, d.getPath)
+        Some(txid)
+      }
+    }
+    folded.sorted
+  }
+
   /** Maintenance: drop pending dirs of ABANDONED transactions — txids
     * whose producer died mid-transaction and whose seal can therefore
     * never arrive. The safe watermark is the slot's restart boundary

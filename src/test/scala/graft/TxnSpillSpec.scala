@@ -136,6 +136,34 @@ class TxnSpillSpec extends SparkSpecBase {
     assert(TxnSpill.resolve(spark.emptyDataset[CdcEvent], spill).ready.count() == 0)
   }
 
+  test("compactPending folds a long-lived txid's files; seal unchanged; heals crashes") {
+    import spark.implicits._
+    val spill = newSpill()
+    // one tx streaming across 20 triggers → 20 appended files
+    (0 until 20).foreach { k =>
+      TxnSpill.resolve(Seq(ins(k.toLong + 1, txid = 7, id = k)).toDS(), spill)
+    }
+    val dir = new java.io.File(s"$spill/pending/txid=7")
+    def nFiles = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 20)
+    val folded = TxnSpill.compactPending(spark, spill, maxFilesPerTxid = 4)
+    assert(folded == Seq(7L))
+    assert(nFiles == 1, s"expected one folded file, got $nFiles")
+    // below threshold → untouched on a second run
+    assert(TxnSpill.compactPending(spark, spill, maxFilesPerTxid = 4).isEmpty)
+    // crash simulation: committed fold staged, target dir gone → heal
+    // rolls the fold forward and the rows survive
+    val staged = new java.io.File(s"$spill/pending/_fold_txid=7")
+    assert(dir.renameTo(staged))
+    TxnSpill.compactPending(spark, spill)
+    assert(dir.exists() && !staged.exists())
+    // the seal still emits all 20 events exactly once
+    val r = TxnSpill.resolve(
+      Seq(ctl(TxnAssembler.Ctl.StreamCommit, 1000, txid = 7)).toDS(), spill)
+    assert(readyIds(r).size == 20)
+    r.commit()
+  }
+
   test("crash-replayed append before apply still seals each event exactly once") {
     import spark.implicits._
     val spill = newSpill()
