@@ -64,24 +64,33 @@ object GraftApp {
 
     // curation-intake mode: a training-data pipeline instead of the CDC
     // chain — document parquet in, curated store out (StreamingCurate)
-    env.get("GRAFT_CURATE_DIR").foreach { docsDir =>
-      val store = env.getOrElse("GRAFT_CURATE_STORE",
-        throw new IllegalArgumentException(
-          "GRAFT_CURATE_STORE is required with GRAFT_CURATE_DIR"))
-      val listener = new CdcMetricsListener
-      spark.streams.addListener(listener)
-      val metricsPort = env.get("GRAFT_METRICS_PORT").map(_.toInt).getOrElse(8080)
-      val metrics =
-        if (metricsPort < 0) None
-        else Some(new MetricsServer(listener, metricsPort).start())
-      val docs = spark.readStream
-        .schema("doc_id LONG, source STRING, text STRING")
-        .parquet(docsDir)
-      return Wiring(
-        graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger),
-        metrics, listener)
+    env.get("GRAFT_CURATE_DIR") match {
+      case Some(docsDir) =>
+        val store = env.getOrElse("GRAFT_CURATE_STORE",
+          throw new IllegalArgumentException(
+            "GRAFT_CURATE_STORE is required with GRAFT_CURATE_DIR"))
+        val listener = new CdcMetricsListener
+        spark.streams.addListener(listener)
+        val metricsPort =
+          env.get("GRAFT_METRICS_PORT").map(_.toInt).getOrElse(8080)
+        val metrics =
+          if (metricsPort < 0) None
+          else Some(new MetricsServer(listener, metricsPort).start())
+        val docs = spark.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .parquet(docsDir)
+        Wiring(
+          graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger),
+          metrics, listener)
+      case None => buildCdc(spark, cfg, env, trigger, captureTransport, ckpt)
     }
+  }
 
+  /** The CDC chains (JDBC / warehouse), factored from [[build]]. */
+  private def buildCdc(spark: SparkSession, cfg: GraftConfig,
+                       env: Map[String, String], trigger: Trigger,
+                       captureTransport: Option[() => graft.sources.pgwire.PgWire.WireTransport],
+                       ckpt: String): Wiring = {
     val walDir = env.getOrElse("GRAFT_WAL_DIR",
       throw new IllegalArgumentException("GRAFT_WAL_DIR is required"))
     val warehouseDir = env.get("GRAFT_WAREHOUSE_DIR")
