@@ -33,6 +33,7 @@ object Bench {
     "q33_custdist", "q34_top_supplier", "q35_ship_priority",
     "q36_ntile", "q37_event_gaps", "q38_json", "q39_unpivot", "q40_stragg",
     "q41_rank_family", "q42_selective", "q43_arrays", "q44_bagops",
+    "q45_sql_notin", "q46_sql_latest",
     "cdc_t1_sessions", "cdc_apply_latest", "cdc_a1_chunks",
     "cdc_transforms",
     "llm_dedup_exact", "llm_dedup_minhash", "llm_simhash",

@@ -78,6 +78,14 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
+    // aggregates register like any expression — the analyzer wraps the
+    // AggregateFunction in an AggregateExpression at resolution
+    reg.createOrReplaceTempFunction(
+      "minhash_agg",
+      exprs => MinHashAgg(exprs.head, litLong(exprs(1), "k").toInt), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_agg",
+      exprs => KmvAgg(exprs.head, litLong(exprs(1), "k").toInt), "built-in")
     reg.createOrReplaceTempFunction(
       "cdc_to_sql", cdcToSqlFromExprs, "built-in")
     reg.createOrReplaceTempFunction(

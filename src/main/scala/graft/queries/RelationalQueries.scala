@@ -684,6 +684,35 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // Pure-SQL entry surface: the engine accepts ANSI SQL directly
+    // (spark.sql over registered views) — NOT IN with a subquery plans
+    // as a null-aware anti join, the trap-laden form left_anti shortcuts
+    // get wrong when the subquery can yield NULLs.
+    "q45_sql_notin" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("v_orders")
+      customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment FROM v_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM v_orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    }),
+
+    // Pure-SQL CTE + window dedup (the QUALIFY idiom spelled as a
+    // subquery): latest order per customer by date with key tie-break.
+    "q46_sql_latest" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM v_orders)
+        SELECT o_custkey, o_orderkey,
+          date_format(o_orderdate, 'yyyy-MM-dd') AS order_day
+        FROM ranked WHERE rn = 1 ORDER BY o_custkey""")
+    }),
+
     // Array / higher-order-function battery surfaced at the query level:
     // collect_list → sort → fold (aggregate), max, distinct-count, and a
     // canonical string form — per-order arrays stay small (lineitems per
@@ -1114,6 +1143,20 @@ object RelationalQueries {
         |    AS segments,
         |  count(DISTINCT c_mktsegment) AS n_segments
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_sql_notin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q46_sql_latest" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        |FROM ranked WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q43_arrays" ->
       """SELECT l_orderkey,
         |  CAST(len(qtys) AS INT) AS n,

@@ -39,6 +39,18 @@ class LlmOpsSpec extends SparkSpecBase {
       .toDF("source", "shingle")
     val t = Sketch.kmvDistinct(tiny, "source", col("shingle"), k = 16).collect()
     assert(t.head.getAs[Long]("n_est") == 3L)
+    // the SQL surface resolves the aggregates too (analyzer wraps the
+    // AggregateFunction) and agrees with the Column form
+    graft.expressions.GraftFunctions.register(spark)
+    tiny.createOrReplaceTempView("kmv_tiny")
+    val viaSql = spark.sql(
+      """SELECT source, kmv_agg(shiftright(md5_prefix60(shingle), 12), 16) AS sk
+        |FROM kmv_tiny GROUP BY source""".stripMargin)
+      .select(col("source"), size(col("sk")).as("n")).collect()
+    assert(viaSql.head.getInt(1) == 3)
+    assert(spark.sql(
+      "SELECT minhash_agg(md5_prefix60(shingle) % 2147483647, 4) FROM kmv_tiny")
+      .head().getSeq[Long](0).length == 4)
   }
 
   test("streaming KMV fold converges to the batch sketch on the same corpus") {
