@@ -336,6 +336,13 @@ class PlanAuditSpec extends SparkSpecBase {
     val egShuffles = collectAll(executed(eg))
       .count(_.isInstanceOf[ShuffleExchangeExec])
     assert(egShuffles <= 2, s"lag-gap shuffles: $egShuffles")
+    // q45 (SQL NOT IN): plans as an anti join, not a per-row subquery
+    val ni = q("q45_sql_notin")
+    ni.count()
+    val niPlan = planString(ni)
+    assert(niPlan.contains("Anti"), niPlan.take(2000))
+    // q46 (SQL CTE + window dedup): the window keeps its partitioning
+    assert(!planString(q("q46_sql_latest")).contains("windowspecdefinition()"))
     // q42: ALL four predicates reach the parquet scan as PushedFilters
     // (date range + discount band + quantity cap) and the scan reads
     // only the four referenced columns
