@@ -44,7 +44,8 @@ object Bench {
     "llm_dedup_semantic", "llm_label_classify", "llm_lm_score",
     "llm_dataset_card", "llm_winnow", "llm_chunk", "llm_zipf",
     "llm_quant_ann", "llm_ann_batch", "llm_cluster_stats",
-    "llm_boilerplate", "llm_kmv_distinct", "llm_edit_distance")
+    "llm_boilerplate", "llm_kmv_distinct", "llm_edit_distance",
+    "llm_dataset_diff", "llm_dup_matrix", "llm_len_hist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

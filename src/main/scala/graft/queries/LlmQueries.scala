@@ -123,6 +123,64 @@ object LlmQueries {
         .orderBy("da", "db")
     }),
 
+    // Corpus length profile: power-of-two histogram of document token
+    // counts (the shape plot every dataset card carries). The bucket is
+    // the BINARY LENGTH of the count — integer-exact floor(log2)+1 on
+    // both engines, no float log. One scan, map-side partials.
+    "llm_len_hist" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("bucket", length(bin(col("n_tokens"))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("bucket")
+    }),
+
+    // Dataset snapshot diff: what changed between two corpus versions —
+    // the release-engineering step before retraining. Content hashes
+    // compare via one full-outer join on doc_id (hash-partitioned both
+    // sides, no data movement beyond the ids+hashes). The "v2" snapshot
+    // is derived deterministically from v1 so the oracle can rebuild it:
+    // doc_id%10=0 removed, %7=0 edited, %13=0 re-added under a new id.
+    "llm_dataset_diff" -> ((s, d) => {
+      val base = documents(s, d)
+      val v1 = base.select(col("doc_id"),
+        TextOps.contentHash(col("text")).as("h1"))
+      val v2 = base.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), TextOps.contentHash(
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("h2"))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            TextOps.contentHash(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
+    // Cross-source duplication matrix: where near-dup candidate pairs
+    // come from — the contamination-between-sources report that decides
+    // which source to drop. Pairs from the LSH index (never all-pairs),
+    // sources attached by two hash joins, pair order canonicalized.
+    "llm_dup_matrix" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cands = Dedup.minhashCandidates(docs, k = 8, rowsPerBand = 2)
+      val sa = docs.select(col("doc_id").as("da"), col("source").as("src_a"))
+      val sb = docs.select(col("doc_id").as("db"), col("source").as("src_b"))
+      cands.join(sa, "da").join(sb, "db")
+        .select(least(col("src_a"), col("src_b")).as("s1"),
+          greatest(col("src_a"), col("src_b")).as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("s1", "s2")
+    }),
+
     // Edit-distance verify over the LSH candidates: character-level
     // Levenshtein as the second-stage check token-set metrics can't
     // replace (reorderings keep Jaccard high but edit distance large).
@@ -839,6 +897,39 @@ object LlmQueries {
     "llm_dedup_minhash" ->
       s"""WITH $minhashCandSql
          |SELECT da, db FROM cand ORDER BY 1, 2""".stripMargin,
+    "llm_len_hist" ->
+      """SELECT CAST(length(bin(len(string_split(text, ' ')))) AS INT)
+        |    AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(min(len(string_split(text, ' '))) AS INT) AS min_tokens,
+        |  CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h1
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END),
+        |      '\s+', ' ', 'g')) AS h2
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 = h2 THEN 'unchanged'
+        |            ELSE 'changed' END AS status, count(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_dup_matrix" ->
+      s"""WITH $minhashCandSql
+         |SELECT least(a.source, b.source) AS s1,
+         |  greatest(a.source, b.source) AS s2, count(*) AS n_pairs
+         |FROM cand JOIN documents a ON da = a.doc_id
+         |  JOIN documents b ON db = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_edit_distance" ->
       s"""WITH $minhashCandSql
          |SELECT da, db,
