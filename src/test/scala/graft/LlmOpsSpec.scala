@@ -53,6 +53,36 @@ class LlmOpsSpec extends SparkSpecBase {
       .head().getSeq[Long](0).length == 4)
   }
 
+  test("KMV buffer property: any update/merge split equals sorted-distinct-take-k") {
+    import graft.expressions.KmvAgg
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.types.LongType
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val agg = KmvAgg(BoundReference(0, LongType, nullable = true), k = 8)
+    def row(v: Long) = new GenericInternalRow(Array[Any](v))
+    val gen = for {
+      values <- Gen.listOf(Gen.chooseNum(0L, 40L)) // dense range → duplicates
+      cut <- Gen.chooseNum(0, 10)
+    } yield (values, cut)
+    val prop = Prop.forAll(gen) { case (values, cut) =>
+      // split the stream at an arbitrary point, aggregate each side in
+      // its own buffer, merge — must equal one sorted-distinct-take-k,
+      // and a serialize/deserialize round-trip must not change it
+      val (l, r) = values.splitAt(math.min(cut, values.size))
+      val b1 = l.foldLeft(agg.createAggregationBuffer())((b, v) =>
+        agg.update(b, row(v)))
+      val b2 = r.foldLeft(agg.createAggregationBuffer())((b, v) =>
+        agg.update(b, row(v)))
+      val merged = agg.merge(b1, agg.deserialize(agg.serialize(b2)))
+      val got = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq
+      got == values.distinct.sorted.take(8)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("streaming KMV fold converges to the batch sketch on the same corpus") {
     import graft.llmops.{Sketch, TextOps}
     import spark.implicits._
