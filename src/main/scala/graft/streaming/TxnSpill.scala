@@ -135,9 +135,14 @@ object TxnSpill {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_fold_txid="))
       .foreach { t =>
         val dst = new Path(pending, t.getPath.getName.stripPrefix("_fold_"))
-        if (fs.exists(new Path(t.getPath, "_SUCCESS")) && !fs.exists(dst))
+        if (fs.exists(new Path(t.getPath, "_SUCCESS"))) {
+          // a committed fold always rolls FORWARD: the staging dir is the
+          // one copy guaranteed complete, while a still-existing dst may
+          // be a partially-deleted original (the recursive delete below
+          // is not atomic) — same rule as ParquetReplicaSink.recover
+          if (fs.exists(dst)) fs.delete(dst, true)
           fs.rename(t.getPath, dst)
-        else fs.delete(t.getPath, true)
+        } else fs.delete(t.getPath, true)
       }
     val txDirs = fs.listStatus(pending).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("txid="))

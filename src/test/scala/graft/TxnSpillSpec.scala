@@ -164,6 +164,38 @@ class TxnSpillSpec extends SparkSpecBase {
     r.commit()
   }
 
+  test("heal rolls a committed fold FORWARD over a partially-deleted original") {
+    import spark.implicits._
+    val spill = newSpill()
+    (0 until 8).foreach { k =>
+      TxnSpill.resolve(Seq(ins(k.toLong + 1, txid = 9, id = k)).toDS(), spill)
+    }
+    assert(TxnSpill.compactPending(spark, spill, maxFilesPerTxid = 4) == Seq(9L))
+    val dir = new java.io.File(s"$spill/pending/txid=9")
+    val staged = new java.io.File(s"$spill/pending/_fold_txid=9")
+    // crash window inside the fold's swap: the staging dir is complete
+    // (committed, _SUCCESS present) AND the original still exists but the
+    // recursive delete got partway — its data files are gone
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        if (f.isDirectory) copyDir(f, new java.io.File(dst, f.getName))
+        else Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath)
+      }
+    }
+    copyDir(dir, staged)
+    assert(new java.io.File(staged, "_SUCCESS").exists())
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    // heal must prefer the guaranteed-complete staging copy — rolling
+    // BACK here (keeping the gutted original) would silently lose the tx
+    TxnSpill.compactPending(spark, spill)
+    assert(dir.exists() && !staged.exists())
+    val r = TxnSpill.resolve(
+      Seq(ctl(TxnAssembler.Ctl.StreamCommit, 1000, txid = 9)).toDS(), spill)
+    assert(readyIds(r).size == 8, "committed fold's rows must survive the heal")
+    r.commit()
+  }
+
   test("crash-replayed append before apply still seals each event exactly once") {
     import spark.implicits._
     val spill = newSpill()
