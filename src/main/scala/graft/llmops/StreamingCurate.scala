@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   * admitted. That memory lives in an on-disk store (not executor state —
   * a 100 TB corpus's dedup index outgrows any state store):
   *
-  *   store/seen/b<batchId>/    exact-kept docs (id, source, text, hash)
-  *   store/buckets/b<batchId>/ their LSH bucket index (bucket, doc_id)
+  *   store/seen/b<batchId>/    exact-kept hashes (doc_id, content_hash)
+  *   store/text/b<batchId>/    exact-kept text    (doc_id, text)
+  *   store/buckets/b<batchId>/ the LSH bucket index (bucket, doc_id)
   *   store/curated/b<batchId>/ the final curated additions
   *
   * Every trigger writes ONLY its own `b<batchId>` subdirs (mode
@@ -30,12 +31,20 @@ import org.apache.spark.sql.types._
   * and exact-verifies only bucket-sharing pairs — O(new + collisions),
   * never an all-pairs pass.
   *
-  * The bucket index is persisted PARTITIONED:
-  * `buckets/b<k>/part=P` with `part = pmod(hash(bucket), NumParts)` —
-  * a trigger lists the incoming docs' touched parts (≤ NumParts ints)
-  * and reads only those subdirs, so bucket-index I/O per trigger is
-  * O(touched + new), never O(index) (the same pruning discipline as
-  * [[LshIndexStore]] and the warehouse replica sink).
+  * EVERY store the trigger reads is persisted PARTITIONED, so no
+  * per-trigger read ever scans what has already been admitted:
+  *   - `buckets/b<k>/part=P`, `part = pmod(hash(bucket), NumParts)` —
+  *     pruned to the new docs' bucket parts;
+  *   - `seen/b<k>/part=P`, `part = pmod(hash(content_hash), NumParts)` —
+  *     the exact-dedup anti-join reads only the parts the new docs'
+  *     hashes can land in (an equal prior hash is always in the same
+  *     part, so the pruning is lossless);
+  *   - `text/b<k>/part=P`, `part = pmod(hash(doc_id), NumParts)` — the
+  *     Jaccard-verify corpus read fetches only the parts holding the
+  *     store-side candidate doc_ids (O(collisions), not O(corpus)).
+  * A trigger therefore lists ≤ NumParts ints per store and plans
+  * O(touched + new) leaf dirs — the same pruning discipline as
+  * [[LshIndexStore]] and the warehouse replica sink.
   *
   * Parity contract with batch `llm_curate` (kept-set equality) holds
   * when docs arrive in ascending doc_id order (the batch tie-break drops
@@ -72,19 +81,25 @@ object StreamingCurate {
   }
 
   private val seenSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("source", StringType),
-    StructField("text", StringType), StructField("content_hash", StringType)))
+    StructField("doc_id", LongType), StructField("content_hash", StringType)))
+  private val textSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
   private val bucketSchema = StructType(Seq(
     StructField("bucket", StringType), StructField("doc_id", LongType)))
+  private val curatedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("text", StringType)))
 
-  /** Bucket-index hash partition count (`part=P` subdirs per batch). */
+  /** Hash partition count (`part=P` subdirs per batch, every store). */
   val NumParts = 64
 
-  /** Instrumentation: bucket-index leaf dirs planned by the last
-    * applyBatch — the O(touched) contract made observable. */
+  /** Instrumentation: leaf dirs planned by the last applyBatch's store
+    * reads — the O(touched) contract made observable. */
   @volatile var lastBucketDirsPlanned: Seq[String] = Nil
+  @volatile var lastSeenDirsPlanned: Seq[String] = Nil
+  @volatile var lastTextDirsPlanned: Seq[String] = Nil
 
-  private def partOf(bucket: Column): Column = pmod(hash(bucket), lit(NumParts))
+  private def partOf(c: Column): Column = pmod(hash(c), lit(NumParts))
 
   /** Read every PRIOR batch's subdir of `dir` (b<k> with k < batchId) —
     * never the current batch's own output, so a crash-replay recomputes
@@ -104,11 +119,13 @@ object StreamingCurate {
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
-  /** Prior batches' bucket-index rows restricted to `touched` parts —
-    * only `b<k>/part=P` leaf dirs that can contain a colliding bucket
-    * are listed or opened (O(touched), never O(index)). */
-  private def readPriorBuckets(spark: SparkSession, dir: Path, batchId: Long,
-                               touched: Set[Int]): DataFrame = {
+  /** Prior batches' rows of a part-partitioned store restricted to
+    * `touched` parts — only `b<k>/part=P` leaf dirs that can contain a
+    * matching key are listed or opened (O(touched), never O(store)).
+    * Returns (rows, plannedLeafDirs). */
+  private def readPriorParts(spark: SparkSession, dir: Path, batchId: Long,
+                             touched: Set[Int], schema: StructType)
+      : (DataFrame, Seq[String]) = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val leafDirs =
       if (!fs.exists(dir)) Seq.empty
@@ -119,29 +136,41 @@ object StreamingCurate {
         p <- touched.toSeq.sorted
         leaf = new Path(b.getPath, s"part=$p") if fs.exists(leaf)
       } yield leaf.toString
-    lastBucketDirsPlanned = leafDirs
-    if (leafDirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketSchema)
-    else spark.read.schema(bucketSchema).parquet(leafDirs: _*)
+    val df =
+      if (leafDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(leafDirs: _*)
+    (df, leafDirs)
   }
+
+  /** ≤ NumParts ints: the only store parts a batch's keys can live in.
+    * A bounded driver collect (the part list, never the keys). */
+  private def touchedParts(keyed: DataFrame, key: Column): Set[Int] =
+    keyed.select(partOf(key).as("p")).distinct()
+      .collect().map(_.getInt(0)).toSet
 
   /** One intake trigger: gate, dedup against the store, emit curated
     * additions. Factored from the stream for batch tests. */
   def applyBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val gated = gate(batch)
-    val hashed = gated.withColumn("content_hash",
-      TextOps.contentHash(col("text")))
-
-    val seen = readPrior(spark, new Path(storeDir, "seen"), batchId, seenSchema)
     // exact dedup: min doc_id per hash WITHIN the batch, then drop any
-    // hash the store has already admitted
+    // hash the store has already admitted. The anti-join reads ONLY the
+    // seen-store parts the batch's own hashes can land in — an equal
+    // prior hash is in the same part, so the pruning is lossless.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash").orderBy("doc_id")
-    val newExactKept = hashed
+    val batchKept = gated
+      .withColumn("content_hash", TextOps.contentHash(col("text")))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
+      .localCheckpoint(false) // feeds the part-list and the anti-join
+    val hashParts = touchedParts(batchKept, col("content_hash"))
+    val (seen, seenDirs) = readPriorParts(
+      spark, new Path(storeDir, "seen"), batchId, hashParts, seenSchema)
+    lastSeenDirsPlanned = seenDirs
+    val newExactKept = batchKept
       .join(seen.select("content_hash"), Seq("content_hash"), "left_anti")
       .localCheckpoint(false) // feeds buckets, verify, and three writes
 
@@ -149,21 +178,29 @@ object StreamingCurate {
     // verified by EXACT n-gram Jaccard — same predicate as the batch path
     val newBuckets = Dedup.lshBuckets(Dedup.minhashSignatures(newExactKept))
       .localCheckpoint(false) // feeds the part-list, two joins, one write
-    // ≤ NumParts ints: the only store parts a new bucket can collide with
-    val touched = newBuckets.select(partOf(col("bucket")).as("p"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val storeBuckets = readPriorBuckets(
-      spark, new Path(storeDir, "buckets"), batchId, touched)
+    val bucketParts = touchedParts(newBuckets, col("bucket"))
+    val (storeBuckets, bucketDirs) = readPriorParts(
+      spark, new Path(storeDir, "buckets"), batchId, bucketParts, bucketSchema)
+    lastBucketDirsPlanned = bucketDirs
     val vsStore = storeBuckets.as("a")
       .join(newBuckets.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .localCheckpoint(false) // O(collisions); feeds the part-list + cands
     val vsNew = newBuckets.as("a")
       .join(newBuckets.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
     val cands = vsStore.unionByName(vsNew).distinct()
-    val corpus = seen.select("doc_id", "text")
+    // the verify corpus: ONLY the store docs that are left-side
+    // candidates (text parts pruned by their doc_ids) + the new docs —
+    // O(collisions + new) text read, never the whole admitted corpus
+    val daParts = touchedParts(vsStore, col("da"))
+    val (storeText, textDirs) = readPriorParts(
+      spark, new Path(storeDir, "text"), batchId, daParts, textSchema)
+    lastTextDirsPlanned = textDirs
+    val corpus = storeText
       .unionByName(newExactKept.select("doc_id", "text"))
     val verified = Dedup.ngramJaccard(corpus, 0.8, candidates = Some(cands))
     val drops = verified.select(col("db").as("doc_id")).distinct()
@@ -171,8 +208,12 @@ object StreamingCurate {
 
     // per-batch dirs, Overwrite: replay rewrites, never duplicates
     def out(kind: String) = s"$storeDir/$kind/b$batchId"
-    newExactKept.select("doc_id", "source", "text", "content_hash")
-      .write.mode("overwrite").parquet(out("seen"))
+    newExactKept
+      .select(col("doc_id"), col("content_hash"), partOf(col("content_hash")).as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(out("seen"))
+    newExactKept
+      .select(col("doc_id"), col("text"), partOf(col("doc_id")).as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(out("text"))
     newBuckets.select(col("bucket"), col("doc_id"), partOf(col("bucket")).as("part"))
       .write.mode("overwrite").partitionBy("part").parquet(out("buckets"))
     curated.select("doc_id", "source", "text")
@@ -202,9 +243,11 @@ object StreamingCurate {
     * duplicate rows at worst, which the (hash / doc_id) dedup semantics
     * of every reader absorb. Returns folded dir counts per kind. */
   def compactStore(spark: SparkSession, storeDir: String): Map[String, Int] =
-    Seq("seen" -> seenSchema, "buckets" -> bucketSchema,
-      "curated" -> StructType(seenSchema.filterNot(_.name == "content_hash")))
-      .map { case (kind, schema) =>
+    Seq(("seen", seenSchema, Some("content_hash")),
+      ("text", textSchema, Some("doc_id")),
+      ("buckets", bucketSchema, Some("bucket")),
+      ("curated", curatedSchema, None))
+      .map { case (kind, schema, partKey) =>
         val dir = new Path(storeDir, kind)
         val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
         // finish (or discard) a fold a crash interrupted: a committed
@@ -235,11 +278,11 @@ object StreamingCurate {
         if (parts.size <= 1) kind -> parts.size
         else {
           val name = parts.last.getPath.getName
-          // the bucket index's b-dirs are partitioned tables — read their
+          // partitioned kinds' b-dirs are partitioned tables — read their
           // part=P leaf dirs directly (several roots would make partition
           // discovery conflict), then re-derive the part column on write
           val inputDirs =
-            if (kind == "buckets") parts.flatMap(b =>
+            if (partKey.isDefined) parts.flatMap(b =>
               fs.listStatus(b.getPath).toSeq
                 .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
                 .map(_.getPath.toString))
@@ -247,13 +290,14 @@ object StreamingCurate {
           val merged = spark.read.schema(schema)
             .parquet(inputDirs: _*)
             .select(schema.fieldNames.map(col): _*)
-          // the bucket index keeps its part=P pruning layout across folds
-          val writer =
-            if (kind == "buckets")
-              merged.withColumn("part", partOf(col("bucket")))
+          // partitioned kinds keep their part=P pruning layout across folds
+          val writer = partKey match {
+            case Some(key) =>
+              merged.withColumn("part", partOf(col(key)))
                 .repartition(NumParts, col("part"))
                 .write.partitionBy("part")
-            else merged.write
+            case None => merged.write
+          }
           writer.mode("overwrite").parquet(staged.toString)
           val out = fs.create(new Path(staged, "_target"), true)
           try out.write(name.getBytes(UTF_8)) finally out.close()
@@ -266,7 +310,7 @@ object StreamingCurate {
   /** All curated docs admitted so far. */
   def curated(spark: SparkSession, storeDir: String): DataFrame =
     readPrior(spark, new Path(storeDir, "curated"), Long.MaxValue,
-      StructType(seenSchema.filterNot(_.name == "content_hash")))
+      curatedSchema)
 
   /** The batch `llm_curate` per-source stats over the curated stream
     * state — comparable 1:1 with the batch query's output. */

@@ -571,7 +571,7 @@ class LlmOpsSpec extends SparkSpecBase {
     new java.io.File(junk, "part-junk.parquet").createNewFile()
     val folded = StreamingCurate.compactStore(spark, store)
     assert(folded.values.forall(_ >= 1), s"$folded")
-    Seq("seen", "buckets", "curated").foreach { kind =>
+    Seq("seen", "text", "buckets", "curated").foreach { kind =>
       val dirs = new java.io.File(s"$store/$kind").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("b"))
       assert(dirs.length == 1, s"$kind not folded: ${dirs.map(_.getName).toSeq}")
@@ -579,14 +579,20 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(StreamingCurate.curated(spark, store)
       .select("doc_id").collect().map(_.getLong(0)).toSet == batchKept,
       "fold must preserve the curated set")
-    // and a later batch still composes against the folded store
-    val extra = Seq((999999L, chunks.head.head._2,
-      chunks.head.head._3)).toDF("doc_id", "source", "text")
+    // and a later batch still composes against the folded store: an
+    // exact duplicate of a doc the pipeline ADMITTED (gate-passing)
+    val dupRow = rows.find(r => batchKept.contains(r._1)).get
+    val extra = Seq((999999L, dupRow._2, dupRow._3))
+      .toDF("doc_id", "source", "text")
     StreamingCurate.applyBatch(extra, store, lastId + 1)
     val afterKept = StreamingCurate.curated(spark, store)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(afterKept == batchKept,
       "an exact duplicate of a folded doc must still be rejected")
+    // the exact-dedup anti-join read only the one part the dup's hash
+    // lands in — never the whole seen store
+    assert(StreamingCurate.lastSeenDirsPlanned.size == 1,
+      s"one doc = one hash part, planned ${StreamingCurate.lastSeenDirsPlanned}")
 
     // a NEAR-dup (one appended token — jaccard n/(n+1) ≥ 0.8) of a
     // curated doc exercises the PARTITIONED bucket index after the fold:
@@ -603,6 +609,13 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(StreamingCurate.lastBucketDirsPlanned.size < StreamingCurate.NumParts,
       s"one doc must touch a few parts, planned " +
         s"${StreamingCurate.lastBucketDirsPlanned.size}")
+    // the Jaccard-verify corpus read planned only the candidate doc's
+    // text part (O(collisions)), not the whole admitted corpus
+    assert(StreamingCurate.lastTextDirsPlanned.nonEmpty,
+      "verify must have fetched the store-side candidate's text")
+    assert(StreamingCurate.lastTextDirsPlanned.size < StreamingCurate.NumParts,
+      s"one candidate = few text parts, planned " +
+        s"${StreamingCurate.lastTextDirsPlanned.size}")
   }
 
   test("multimodal stub: schema, batch shape, determinism") {
