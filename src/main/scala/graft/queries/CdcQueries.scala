@@ -65,14 +65,19 @@ object CdcQueries {
     }),
 
     // O1 commit-LSN ordered delivery (consumer.rs:42-78): total order by
-    // (commit ts, lsn). Global row_number is single-partition — fine for
-    // delivery sequencing which is inherently serial at the sink.
+    // (commit ts, lsn). Delivery sequencing is inherently serial at the
+    // sink, but the QUERY need not be: the next-200 cut is a distributed
+    // TakeOrderedAndProject; only the 200 survivors get their delivery
+    // seq. The window's partition key is a non-foldable constant
+    // (pmod(event_id,1)=0) so the 200-row window plans with a real
+    // partition spec — see llm_zipf for the idiom's rationale.
     "cdc_o1_order" -> ((s, d) => {
-      val w = Window.orderBy("ts", "event_id")
+      val w = Window.partitionBy(pmod(col("event_id"), lit(1)))
+        .orderBy("ts", "event_id")
       events(s, d)
         .select(col("event_id"), col("ts"))
+        .orderBy("ts", "event_id").limit(200)
         .withColumn("seq", row_number().over(w))
-        .filter(col("seq") <= 200)
         .select("event_id", "seq")
         .orderBy("seq")
     }),

@@ -437,18 +437,27 @@ object LlmQueries {
 
     // Corpus token histogram (Zipf profile): top-100 tokens with rank and
     // corpus share. The groupBy shrinks |corpus tokens| rows to |vocab|
-    // with map-side partial aggregation; the rank window runs on the
-    // vocab-sized aggregate, and the scalar total broadcasts.
+    // with map-side partial aggregation; the top-100 cut is a DISTRIBUTED
+    // TakeOrderedAndProject (per-partition heaps), never a global sort of
+    // the vocabulary — a web corpus's token space is effectively
+    // unbounded (URLs, typos), so no single task may ever see all of it.
+    // Only the 100 survivors are ranked: the window sits ABOVE the limit
+    // so its one task sees exactly 100 rows, and its partition key is a
+    // NON-FOLDABLE constant (pmod(cnt,1)=0 — EliminateWindowPartitions
+    // strips foldable keys) so the plan carries a real partition spec
+    // instead of the all-tuples warning path. PlanAuditSpec enforces the
+    // bounded-input rule for every global window on the surface.
     "llm_zipf" -> ((s, d) => {
       val tokCounts = documents(s, d)
         .select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = tokCounts.agg(sum("cnt").cast("bigint").as("total"))
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("cnt"), lit(1)))
         .orderBy(desc("cnt"), col("token"))
-      tokCounts.crossJoin(broadcast(total))
+      tokCounts.orderBy(desc("cnt"), col("token")).limit(100)
+        .crossJoin(broadcast(total))
         .withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= 100)
         .select(col("token"), col("cnt"), col("rank"),
           (col("cnt") * lit(1.0) / col("total")).as("share"))
         .orderBy("rank")

@@ -381,4 +381,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!bpPlan.contains("ScalaUDF"), bpPlan.take(2000))
     assert(bpPlan.contains("partial"), bpPlan.take(2000))
   }
+
+  test("NO registered query plans an unpartitioned window over unbounded input") {
+    // An empty-partition-spec WindowExec drags its entire input to one
+    // task — a scale-killer that stays invisible at test SF. The one
+    // legal shape is a global window whose input an explicit global
+    // limit has already cut to a bounded set (TakeOrderedAndProject /
+    // GlobalLimit below it in the same subtree): the single task then
+    // sees O(k) rows by construction. Enforced over EVERY registered
+    // query, so a future query can't reintroduce the scale-killer.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    def bounded(p: SparkPlan): Boolean = collectAll(p).exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: CollectLimitExec => true
+      case _ => false
+    }
+    val all = RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries
+    val offenders = all.keys.toSeq.sorted.flatMap { name =>
+      val bad = collectAll(executed(q(name))).exists {
+        case w: WindowExec if w.partitionSpec.isEmpty => !bounded(w.child)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => !bounded(w.child)
+        case _ => false
+      }
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec over unbounded input in: ${offenders.mkString(", ")}")
+  }
 }
