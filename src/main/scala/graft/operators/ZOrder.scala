@@ -23,10 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
+  /** Lay `df` out along the curve: rows sorted (within the partition) by
+    * the interleaved rank-bucket value of `cols`.
+    *
+    * GUARDED entry point: the rank windows are a per-write-partition
+    * total order, so the input MUST already be a single partition (one
+    * rewrite task per bucket — [[graft.sinks.ParquetReplicaSink.compact]]
+    * feeds `repartition(1)` per bucket dir). On a distributed DataFrame
+    * the global windows would silently drag the whole table to one task;
+    * this fails fast instead. */
+  def layout(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+             bits: Int = 10): org.apache.spark.sql.DataFrame = {
+    val n = df.rdd.getNumPartitions
+    require(n <= 1,
+      s"ZOrder.layout is an offline per-rewrite-task transform: input has " +
+        s"$n partitions — collect each bucket into one partition first " +
+        "(repartition(1) per bucket dir), or the global rank windows " +
+        "would single-task the whole table")
+    df.withColumn("__z", curve(cols, bits))
+      .sortWithinPartitions("__z").drop("__z")
+  }
+
   /** The interleaved curve value (≤ 63 bits: `bits × cols.size ≤ 63`).
     * Columns must be orderable; ties rank arbitrarily but
-    * deterministically within a sort (ntile over the orderBy). */
-  def curve(cols: Seq[String], bits: Int = 10): Column = {
+    * deterministically within a sort (ntile over the orderBy). Private:
+    * the unpartitioned ntile windows are only safe behind [[layout]]'s
+    * single-partition guard. */
+  private def curve(cols: Seq[String], bits: Int = 10): Column = {
     require(cols.size >= 2 && cols.size <= 6, "z-order needs 2-6 columns")
     require(bits * cols.size <= 63, s"$bits bits × ${cols.size} cols > 63")
     val ranks = cols.map(c =>

@@ -260,7 +260,7 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     *
     * `zorderBy`: when set (2+ columns), rewritten files are laid out
     * along the rank-bucketed Morton curve over those columns
-    * ([[graft.operators.ZOrder.curve]]) instead of key order — parquet
+    * ([[graft.operators.ZOrder.layout]]) instead of key order — parquet
     * row-group min/max stats then prune selective predicates on ANY of
     * the listed columns (multi-dimensional data skipping), at the cost
     * of the key-sorted layout [[lookup]] prefers. Pick per table by its
@@ -298,9 +298,7 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       }
       val in = reader.parquet(dir.toString).repartition(1)
       val laidOut =
-        if (zorderBy.nonEmpty)
-          in.withColumn("__z", graft.operators.ZOrder.curve(zorderBy))
-            .sortWithinPartitions("__z").drop("__z")
+        if (zorderBy.nonEmpty) graft.operators.ZOrder.layout(in, zorderBy)
         else sortedByKey(in)
       laidOut.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       fs.delete(dir, true)

@@ -241,4 +241,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
       plan.take(500))
   }
+
+  test("ZOrder.layout fails fast on distributed input, works per rewrite task") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, i * 7 % 100)).toDF("a", "b")
+    // misuse: a multi-partition table would be silently single-tasked by
+    // the rank windows — must refuse instead
+    val multi = df.repartition(8)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.layout(multi, Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("one partition"))
+    // the supported shape: one rewrite task per bucket
+    val laid = graft.operators.ZOrder.layout(df.repartition(1), Seq("a", "b"))
+    val rows = laid.collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getInt(0)).toSet == (1 to 100).toSet)
+  }
 }
