@@ -24,8 +24,21 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *
   * Batch contract (pre-flattened, same shape as the warehouse apply):
   * `op, lsn, <primaryKey...>, <payload incl. indexKey>, __old_idx`
-  * where `__old_idx` is the before-image index value (null for
-  * inserts). Per batch:
+  * where `__old_idx` is the before-image index value.
+  *
+  * `__old_idx` on INSERTS: a 'c' with a NULL `__old_idx` asserts its
+  * primary key is ABSENT from the projection — locating a stored row
+  * would need its (unknown) old index value, and probing all buckets
+  * per batch would defeat the pruning this sink exists for. An
+  * insert that may REPLACE a stored row (snapshot re-load, a
+  * delete+reinsert collapsed across batches) must carry the stored
+  * row's index value in `__old_idx`, exactly like an update — it is
+  * then treated as a move and the old-bucket copy is removed (tested).
+  * Violating the contract (null-`__old_idx` 'c' over a live key whose
+  * stored index value hashes elsewhere) strands the old row; rebuild
+  * via [[truncate]] + re-load, the usual secondary-index discipline.
+  *
+  * Per batch:
   *   1. squash to one winner per primary key (latest lsn);
   *   2. touched buckets = hash(old index values) ∪ hash(new ones) —
   *      a bounded driver collect (≤ numBuckets ints);
@@ -111,4 +124,87 @@ class ProjectionSink(path: String, primaryKey: Seq[String], indexKey: String,
       .filter(col("bucket") === pmod(hash(lit(value)), lit(numBuckets)))
       .filter(col(indexKey) === lit(value))
       .drop("bucket")
+
+  private def bucketDirs(spark: SparkSession): Seq[Path] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath)
+  }
+
+  /** P6 parity for the secondary path: drop every projected row while
+    * keeping the layout readable — a truncated base table must not keep
+    * serving deleted rows through its projection (the reference
+    * truncates every destination, sql_renderer.rs:300-320). Idempotent;
+    * an empty schema-carrying marker keeps `lookup` planning. */
+  def truncate(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    if (bucketDirs(spark).isEmpty) return
+    val schema = StructType(spark.read.option("mergeSchema", "true")
+      .option("basePath", path).parquet(path).drop("bucket").schema)
+    bucketDirs(spark).foreach(d => fs.delete(d, true))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=0")
+  }
+
+  /** Maintenance compaction: rewrite buckets fragmented past
+    * `maxFilesPerBucket` into one index-sorted file each, via the same
+    * committed-staging swap as the primary replica ([[recover]] heals a
+    * crash mid-swap). Run OFFLINE. Returns the compacted bucket ids. */
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 4): Seq[Int] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) return Seq.empty
+    recover(spark)
+    val fragmented = bucketDirs(spark)
+      .map { d =>
+        val b = d.getName.stripPrefix("bucket=").toInt
+        (b, fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")))
+      }
+      .filter(_._2 > maxFilesPerBucket).map(_._1).sorted
+    fragmented.foreach { b =>
+      val dir = new Path(path, s"bucket=$b")
+      val tmp = new Path(path, s"_compact_bucket=$b")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      spark.read.option("mergeSchema", "true").parquet(dir.toString)
+        .repartition(1).sortWithinPartitions(indexKey)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
+    }
+    fragmented
+  }
+
+  /** Finish (or undo) a compaction swap a crash interrupted: a committed
+    * staging dir (`_SUCCESS` present) always rolls FORWARD over any
+    * partially-deleted original; a partial staging dir rolls back. Safe
+    * whenever the projection is offline; [[compact]] calls it first. */
+  def recover(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_bucket="))
+      .foreach { t =>
+        val dst = new Path(path, t.getPath.getName.stripPrefix("_compact_"))
+        if (fs.exists(new Path(t.getPath, "_SUCCESS"))) {
+          if (fs.exists(dst)) fs.delete(dst, true)
+          fs.rename(t.getPath, dst)
+        } else fs.delete(t.getPath, true)
+      }
+  }
+}
+
+/** A declared secondary projection of a warehouse table, so pipeline-
+  * level operations (the op="t" truncate wave, maintenance modes) can
+  * reach every derived layout of a base table without the caller
+  * wiring sinks by hand. `table` is the qualified warehouse name
+  * ("schema.table" — the same key the truncate message carries). */
+final case class ProjectionDef(table: String, primaryKey: Seq[String],
+                               indexKey: String, numBuckets: Int = 64) {
+  /** Layout convention: projections live under the warehouse root in an
+    * underscore dir (invisible to table discovery), one per index key. */
+  def path(rootPath: String): String = s"$rootPath/_proj/$table/$indexKey"
+  def sink(rootPath: String): ProjectionSink =
+    new ProjectionSink(path(rootPath), primaryKey, indexKey, numBuckets)
 }

@@ -107,7 +107,8 @@ object CdcPipeline {
   def startWarehouse(envelope: DataFrame, rootPath: String, checkpointDir: String,
                      numBuckets: Int = 64,
                      trigger: Trigger = Trigger.AvailableNow(),
-                     originFilter: OriginFilter = OriginFilter.Any): StreamingQuery =
+                     originFilter: OriginFilter = OriginFilter.Any,
+                     projections: Seq[graft.sinks.ProjectionDef] = Nil): StreamingQuery =
     // Transactions are ASSEMBLED before apply: a raw-DML apply would
     // materialize events of a streamed (v2) transaction that later
     // ABORTS — its events precede a later commit boundary, but only the
@@ -115,7 +116,7 @@ object CdcPipeline {
     // the JDBC chain, which routes through the same scaffold).
     startAssembled(envelope, originFilter, "graft-warehouse", checkpointDir,
       trigger) { (batch, batchId) =>
-      applyWarehouseBatch(batch, rootPath, numBuckets, batchId)
+      applyWarehouseBatch(batch, rootPath, numBuckets, batchId, projections)
     }
 
   /** F2 gate for the warehouse root: refuses STALE batch replays (an old
@@ -160,9 +161,13 @@ object CdcPipeline {
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** One micro-batch of the warehouse apply (factored for batch tests). */
+  /** One micro-batch of the warehouse apply (factored for batch tests).
+    * `projections`: declared secondary layouts; a table's op="t"
+    * truncates them WITH the base replica (a truncated table must not
+    * keep serving dropped rows through a secondary path). */
   def applyWarehouseBatch(batch: Dataset[CdcEvent], rootPath: String,
-                          numBuckets: Int, batchId: Long): Unit = {
+                          numBuckets: Int, batchId: Long,
+                          projections: Seq[graft.sinks.ProjectionDef] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     if (batchId <= lastWarehouseBatch(spark, rootPath)) return // stale replay
@@ -227,7 +232,12 @@ object CdcPipeline {
                   element_at(col("__before"), c)).as(c)): _*)
             val sink = new graft.sinks.ParquetReplicaSink(
               s"$rootPath/$name", keys, numBuckets)
-            if (cut.isDefined) sink.truncate(spark)
+            if (cut.isDefined) {
+              sink.truncate(spark)
+              // every declared secondary layout of the table goes with it
+              projections.filter(_.table == name)
+                .foreach(_.sink(rootPath).truncate(spark))
+            }
             sink.applyBatch(spark, flat, batchId)
           }
         }
@@ -238,6 +248,8 @@ object CdcPipeline {
           scala.concurrent.Future {
             new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", Nil, numBuckets)
               .truncate(spark)
+            projections.filter(_.table == name)
+              .foreach(_.sink(rootPath).truncate(spark))
           }
         }
         try scala.concurrent.Await.result(

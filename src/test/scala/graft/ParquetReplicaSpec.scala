@@ -589,6 +589,106 @@ class ParquetReplicaSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       proj.applyBatch(spark, df(Seq((2, "bob", 22, "u", 7L, null))), 2)
     }
+
+    // a 'c' CARRYING __old_idx is a move: a re-load insert over a live
+    // key relocates the stored row instead of stranding it (the
+    // null-__old_idx form asserts key absence — class contract)
+    proj.applyBatch(spark, df(Seq((1, "dave", 12, "c", 8L, "carol"))), 3)
+    assert(proj.lookup(spark, "carol").count() == 0,
+      "re-load insert must remove the old-bucket copy")
+    assert(proj.lookup(spark, "dave").select("id", "val").as[(Int, Int)]
+      .collect().toSeq == Seq((1, 12)))
+  }
+
+  test("projection lifecycle: truncate, compact, crash recovery") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("proj-life").toFile.getAbsolutePath + "/idx"
+    val proj = new ProjectionSink(path, Seq("id"), "grp", numBuckets = 4)
+    def batch(b: Long, rows: Seq[(Int, Int, Int)]): Unit =
+      proj.applyBatch(spark, rows.map { case (id, g, v) => (id, g, v, "c", id.toLong, null: String) }
+        .toDF("id", "grp", "val", "op", "lsn", "__old_idx"), b)
+    batch(0, Seq((100, 42, 0)))
+    val bucketDir = new File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .maxBy(f => f.listFiles().count(_.getName.endsWith(".parquet")))
+    // fragment the bucket the way eras do (appended small files)
+    (1 until 6).foreach { k =>
+      Seq((100 + k, 42, k)).toDF("id", "grp", "val")
+        .coalesce(1).write.mode("append").parquet(bucketDir.getAbsolutePath)
+    }
+    assert(proj.lookup(spark, 42).count() == 6)
+    assert(bucketDir.listFiles().count(_.getName.endsWith(".parquet")) > 4)
+
+    // compact folds it to one index-sorted file; lookups unchanged
+    val compacted = proj.compact(spark, maxFilesPerBucket = 4)
+    assert(compacted.nonEmpty)
+    assert(bucketDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(proj.lookup(spark, 42).count() == 6)
+
+    // crash mid-swap: committed staging + gutted original → recover
+    // rolls FORWARD and the rows survive
+    val staged = new File(path, "_compact_" + bucketDir.getName)
+    staged.mkdirs()
+    bucketDir.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new File(staged, f.getName).toPath)
+    }
+    bucketDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    proj.recover(spark)
+    assert(!staged.exists() && bucketDir.exists())
+    assert(proj.lookup(spark, 42).count() == 6)
+    // a partial (uncommitted) staging dir rolls back
+    val junk = new File(path, "_compact_bucket=99")
+    junk.mkdirs()
+    new File(junk, "part-junk.parquet").createNewFile()
+    proj.recover(spark)
+    assert(!junk.exists())
+
+    // truncate drops every row, keeps the layout readable + writable
+    proj.truncate(spark)
+    assert(proj.lookup(spark, 42).count() == 0)
+    assert(spark.read.option("basePath", path).parquet(path).count() == 0)
+    batch(10, Seq((200, 42, 1)))
+    assert(proj.lookup(spark, 42).select("id").as[Int].collect().toSeq == Seq(200))
+    // idempotent on an already-empty projection
+    proj.truncate(spark); proj.truncate(spark)
+    assert(proj.lookup(spark, 42).count() == 0)
+  }
+
+  test("warehouse TRUNCATE wave reaches declared projections") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.CdcPipeline
+    import graft.sinks.ProjectionDef
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh-projtrunc").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ins(lsn: Long, table: String, id: Int, g: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", table, Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", g.toString)),
+        keyColumns = Seq("id"))
+    def trunc(lsn: Long, tables: String*) =
+      CdcEvent("t", lsn, 1L, ts, "public", tables.head.split("\\.").last, Nil, Nil,
+        truncateTables = tables)
+    val defs = Seq(ProjectionDef("public.t1", Seq("id"), "grp", numBuckets = 4))
+    // seed the base table and (by hand, as a bootstrap would) its projection
+    CdcPipeline.applyWarehouseBatch(Seq(
+      ins(1, "t1", 1, 7), ins(2, "t1", 2, 7)).toDS(), root, 4, 0, defs)
+    val proj = defs.head.sink(root)
+    proj.applyBatch(spark, Seq((1, 7, "c", 1L, null: String), (2, 7, "c", 2L, null: String))
+      .toDF("id", "grp", "op", "lsn", "__old_idx"), 0)
+    assert(proj.lookup(spark, 7).count() == 2)
+
+    // a truncate-with-DML batch empties base AND projection
+    CdcPipeline.applyWarehouseBatch(Seq(
+      trunc(10, "public.t1"), ins(11, "t1", 3, 7)).toDS(), root, 4, 1, defs)
+    assert(proj.lookup(spark, 7).count() == 0,
+      "truncated base must not keep serving rows through its projection")
+    // a truncate-ONLY batch reaches the projection too
+    proj.applyBatch(spark, Seq((4, 7, "c", 12L, null: String))
+      .toDF("id", "grp", "op", "lsn", "__old_idx"), 1)
+    CdcPipeline.applyWarehouseBatch(Seq(trunc(20, "public.t1")).toDS(),
+      root, 4, 2, defs)
+    assert(proj.lookup(spark, 7).count() == 0)
   }
 
   test("lookup prunes to one bucket dir; files are key-sorted for row-group pruning") {
