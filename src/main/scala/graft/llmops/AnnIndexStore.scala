@@ -1,0 +1,195 @@
+package graft.llmops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.expressions.GraftFunctions
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED ANN serving indexes — the on-disk form of the `*Indexed`
+  * paths in [[Similarity]], laid out so every per-probe read is real
+  * parquet partition pruning, never a corpus scan:
+  *
+  *   root/vectors/part=P        (vec_id, qe, nq)   P = pmod(hash(id), NumParts)
+  *   root/lsh_buckets/band=B/part=P (bucket, vec_id)  P = pmod(bucket, NumParts)
+  *   root/ivf/cluster=C         (vec_id, qe, nq)   the posting lists WITH
+  *                                                 their vectors (classic IVF)
+  *   root/ivf_centroids         (cluster, ce, nc)  K rows of index metadata
+  *   root/_meta                 build parameters (seed/bands/bits/...)
+  *
+  * Serving cost per probe, in planned FILES (asserted in tests):
+  *   - probe-vector fetch: ONE `vectors/part=P` dir — the bucket is
+  *     constant-folded from the literal probe id (the replica-lookup
+  *     trick, ParquetReplicaSink.lookup);
+  *   - LSH candidates: `bands × |Hamming ball|` (band, part) dirs of the
+  *     bucket index — the probe's bucket IN-lists are literals, so
+  *     Catalyst partition-prunes the layout;
+  *   - IVF members: the `nprobe` best `cluster=C` dirs only; centroids
+  *     are a K-row read.
+  * The candidate-vector gather (LSH) joins the id-keyed vectors store —
+  * rows move, not the corpus; IVF needs no gather at all because the
+  * posting lists carry their vectors.
+  *
+  * Build once offline, serve many: the same discipline as
+  * [[LshIndexStore]] (dedup) and the warehouse replica.
+  */
+final class AnnIndexStore(root: String) extends Serializable {
+
+  import AnnIndexStore.NumParts
+
+  private def metaPath = new Path(root, "_meta")
+  private def fsOf(spark: SparkSession) =
+    metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeMeta(spark: SparkSession, kv: Map[String, String]): Unit = {
+    val out = fsOf(spark).create(metaPath, true)
+    try out.write(kv.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession): Map[String, String] = {
+    val in = fsOf(spark).open(metaPath)
+    val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    txt.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+  }
+
+  /** Quantize the corpus and write the id-part-pruned vectors store
+    * (shared by both index kinds; probe fetches read ONE part dir). */
+  private def writeVectors(embeddings: DataFrame, idCol: String,
+                           vecCol: String): DataFrame = {
+    val q = Similarity.quantized(embeddings, idCol, vecCol)
+      .withColumnRenamed(idCol, "vec_id")
+    q.withColumn("part", pmod(hash(col("vec_id")), lit(NumParts)).cast("int"))
+      .repartition(NumParts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$root/vectors")
+    q
+  }
+
+  /** Build + persist the banded-LSH serving index. */
+  def writeLsh(embeddings: DataFrame,
+               bands: Int = Similarity.DefaultBands,
+               bitsPerBand: Int = Similarity.DefaultBitsPerBand,
+               seed: Long = Similarity.DefaultSeed,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val q = writeVectors(embeddings, idCol, vecCol)
+    Similarity.bandBuckets(q, bands, bitsPerBand, seed, "vec_id")
+      .withColumn("part", pmod(col("bucket"), lit(NumParts)).cast("int"))
+      .repartition(col("band"), col("part"))
+      .write.mode("overwrite").partitionBy("band", "part")
+      .parquet(s"$root/lsh_buckets")
+    writeMeta(embeddings.sparkSession, Map(
+      "kind" -> "lsh", "bands" -> bands.toString,
+      "bitsPerBand" -> bitsPerBand.toString, "seed" -> seed.toString,
+      "numParts" -> NumParts.toString))
+  }
+
+  /** Serve one probe from the persisted LSH index: the probe's buckets
+    * (expanded to their Hamming-`radius` balls) become literal
+    * (band, part, bucket-IN-list) predicates — partition pruning reads
+    * O(bands · ball) index dirs, then the bounded candidate set joins
+    * the vectors store for exact rescoring. */
+  def lshTopK(spark: SparkSession, probeId: Long, k: Int,
+              radius: Int = 1): DataFrame = {
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("lsh"), s"$root is not an LSH index")
+    val bands = meta("bands").toInt
+    val bits = meta("bitsPerBand").toInt
+    val seed = meta("seed").toLong
+    val probe = probeVector(spark, probeId)
+    // the probe's banded buckets: a 1-row job over the pruned fetch —
+    // never an index scan by id (the bucket index has no id layout)
+    val pB = probe.select(
+        posexplode(GraftFunctions.hyperplane_buckets(col("qe"), seed, bands, bits)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pred = pB.map { case (band, b) =>
+      val ball = Similarity.hammingBall(b, bits, radius)
+      col("band") === band &&
+        col("part").isin(ball.map(x => (x % NumParts).toInt).distinct: _*) &&
+        col("bucket").isin(ball: _*)
+    }.reduce(_ || _)
+    val cand = spark.read.parquet(s"$root/lsh_buckets")
+      .filter(pred)
+      .filter(col("vec_id") =!= probeId)
+      .select("vec_id").distinct()
+    val vecs = spark.read.parquet(s"$root/vectors").drop("part")
+    score(cand.join(vecs, "vec_id"), probe, probeId, k)
+  }
+
+  /** Build + persist the IVF serving index: posting lists carry their
+    * vectors (partitioned by cluster), centroids are K metadata rows. */
+  def writeIvf(embeddings: DataFrame,
+               nClusters: Int = Similarity.DefaultIvfClusters,
+               dim: Int = 64, rounds: Int = 1,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    val q = writeVectors(embeddings, idCol, vecCol)
+    val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
+    assign.join(q, "vec_id")
+      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$root/ivf")
+    import spark.implicits._
+    cents.toDF("cluster", "ce", "nc").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/ivf_centroids")
+    writeMeta(spark, Map(
+      "kind" -> "ivf", "nClusters" -> nClusters.toString,
+      "dim" -> dim.toString, "numParts" -> NumParts.toString))
+  }
+
+  /** Serve one probe from the persisted IVF index: K centroid scores on
+    * the driver pick `nprobe` clusters; the member scan is a literal
+    * cluster IN-list — partition pruning reads only those posting dirs,
+    * which already carry the vectors (no gather join at all). */
+  def ivfTopK(spark: SparkSession, probeId: Long, k: Int,
+              nprobe: Int = Similarity.DefaultIvfProbes): DataFrame = {
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
+    val cents = spark.read.parquet(s"$root/ivf_centroids")
+      .collect()
+      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val probe = probeVector(spark, probeId)
+    val pRow = probe.select("qe", "nq").head()
+    val (pe, np) = (pRow.getSeq[Long](0), pRow.getLong(1))
+    val probeClusters = cents
+      .map(c => (Similarity.centroidCos(c.ce, c.nc, pe, np), c.cluster))
+      .sortBy { case (cos, cl) => (-cos, cl) }
+      .take(nprobe).map(_._2)
+    val members = spark.read.parquet(s"$root/ivf")
+      .filter(col("cluster").isin(probeClusters: _*))
+      .filter(col("vec_id") =!= probeId)
+      .drop("cluster")
+    score(members, probe, probeId, k)
+  }
+
+  /** The probe row via the constant-folded part bucket: hash(lit(id))
+    * folds to a literal, so partition pruning reads exactly one
+    * `vectors/part=P` dir (same trick as ParquetReplicaSink.lookup). */
+  private def probeVector(spark: SparkSession, probeId: Long): DataFrame =
+    spark.read.parquet(s"$root/vectors")
+      .filter(col("part") === pmod(hash(lit(probeId)), lit(NumParts)))
+      .filter(col("vec_id") === probeId)
+      .drop("part")
+
+  private def score(candidates: DataFrame, probe: DataFrame, probeId: Long,
+                    k: Int): DataFrame = {
+    val p = broadcast(probe.select(col("qe").as("pe"), col("nq").as("np")))
+    candidates.crossJoin(p)
+      .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .select(col("vec_id"), col("dp"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+}
+
+object AnnIndexStore {
+  /** Sub-partition count for the id-hash (vectors) and bucket-mod
+    * (lsh_buckets) layouts — bounds dir counts while keeping every
+    * serving read O(probed partitions). */
+  val NumParts = 64
+}

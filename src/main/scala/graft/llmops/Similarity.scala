@@ -182,7 +182,7 @@ object Similarity {
   }
 
   /** Driver-side exact cosine between a centroid and a probe vector. */
-  private def centroidCos(ce: Seq[Long], nc: Long, pe: Seq[Long], np: Long): Double = {
+  private[llmops] def centroidCos(ce: Seq[Long], nc: Long, pe: Seq[Long], np: Long): Double = {
     var dp = 0L; var i = 0
     while (i < ce.length) { dp += ce(i) * pe(i); i += 1 }
     dp / (math.sqrt(nc.toDouble) * math.sqrt(np.toDouble))

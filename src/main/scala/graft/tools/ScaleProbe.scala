@@ -72,6 +72,40 @@ object ScaleProbe {
       .first().getAs[Long]("n_est")
     println(f"kmv distinct-token estimate: $est (true 5000) in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // persisted ANN serving indexes: build both layouts over synthetic
+    // embeddings with planted twins, serve a probe from disk, report
+    // wall time — the pruning contract itself is pinned by
+    // AnnIndexStoreSpec's planned-files assertions
+    val nVecs = 20000
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until nVecs.toLong).map(i => (i, vec()))
+    val twin = (nVecs.toLong,
+      base(5)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    val embs = (base :+ twin).toDF("vec_id", "embedding")
+      .repartition(32).localCheckpoint(true)
+    val annRoot = java.nio.file.Files.createTempDirectory("scale-ann")
+      .toFile.getAbsolutePath
+    val lshIdx = new graft.llmops.AnnIndexStore(s"$annRoot/lsh")
+    t0 = System.nanoTime()
+    lshIdx.writeLsh(embs)
+    println(f"ann lsh index build: ${nVecs + 1} vecs in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    val lshTop = lshIdx.lshTopK(spark, probeId = 5L, k = 1)
+      .first().getLong(0)
+    println(f"ann lsh serve: top-1 = $lshTop (expect $nVecs) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val ivfIdx = new graft.llmops.AnnIndexStore(s"$annRoot/ivf")
+    t0 = System.nanoTime()
+    ivfIdx.writeIvf(embs, nClusters = 64)
+    println(f"ann ivf index build (64 clusters): in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    val ivfN = ivfIdx.ivfTopK(spark, probeId = 5L, k = 10, nprobe = 8).count()
+    println(f"ann ivf serve: $ivfN results (8/64 clusters) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

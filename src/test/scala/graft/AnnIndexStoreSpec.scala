@@ -1,0 +1,115 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import graft.llmops.{AnnIndexStore, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN serving indexes: results must equal the in-memory
+  * `*Indexed` forms, and every per-probe read must PLAN only the probed
+  * partitions — asserted on real FileSourceScanExec metrics, so the
+  * layouts are proven prunable by Catalyst, not by hand-listing. */
+class AnnIndexStoreSpec extends SparkSpecBase {
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: File): Int =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) 1 else 0 }
+      else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+    walk(new File(dir))
+  }
+
+  /** (pathFragment → numFiles) for every parquet scan in the final plan. */
+  private def scanFiles(df: DataFrame): Seq[(String, Long)] = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      // AQE hides materialized subplans behind stage/reuse wrappers with
+      // empty `children` — descend into the wrapped plan explicitly
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: all(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        p +: all(r.child)
+      case _ =>
+        (p +: p.children.flatMap(all)) ++ p.subqueries.flatMap(all)
+    }
+    all(plan).collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.mkString(",") -> s.metrics("numFiles").value
+    }
+  }
+
+  private def planted(seed: Int, n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val base = (0L until n.toLong).map(i => (i, vec()))
+    val twins = Seq((n.toLong, perturb(base(5)._2)), (n + 1L, perturb(base(17)._2)))
+    (base ++ twins).toDF("vec_id", "embedding")
+  }
+
+  test("persisted LSH index: serves the in-memory result, plans only probed buckets") {
+    val df = planted(7, 100)
+    val root = Files.createTempDirectory("ann-lsh").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeLsh(df)
+
+    // parity with the in-memory form, planted twin found
+    val served = store.lshTopK(spark, probeId = 5L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inMem = Similarity.signLshTopK(df, probeId = 5L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == inMem, s"served=$served inMem=$inMem")
+    assert(served.head._1 == 100L, "planted twin must rank first")
+
+    // pruning: the bucket-index scan plans a fraction of the layout, the
+    // probe-vector fetch plans exactly one part dir
+    val scans = scanFiles(store.lshTopK(spark, probeId = 5L, k = 3))
+    val bucketTotal = parquetFiles(s"$root/lsh_buckets")
+    val bucketScan = scans.filter(_._1.contains("lsh_buckets")).map(_._2).sum
+    assert(bucketScan > 0 && bucketScan < bucketTotal / 2,
+      s"bucket index must partition-prune: planned $bucketScan of $bucketTotal files")
+    val vecScans = scans.filter(_._1.contains("vectors")).map(_._2)
+    assert(vecScans.min == 1,
+      s"probe fetch must read ONE vectors part dir, scans=$vecScans")
+  }
+
+  test("persisted IVF index: serves the in-memory result, plans only probed clusters") {
+    val df = planted(41, 120)
+    val root = Files.createTempDirectory("ann-ivf").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeIvf(df, nClusters = 16)
+
+    val served = store.ivfTopK(spark, probeId = 5L, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inMem = Similarity.ivfTopK(df, probeId = 5L, k = 3, nClusters = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == inMem, s"served=$served inMem=$inMem")
+
+    val scans = scanFiles(store.ivfTopK(spark, probeId = 5L, k = 3, nprobe = 4))
+    val ivfTotal = parquetFiles(s"$root/ivf")
+    val memberScan = scans.filter(_._1.contains("/ivf")).map(_._2).sum
+    assert(memberScan > 0 && memberScan <= ivfTotal / 2,
+      s"member scan must prune to nprobe clusters: planned $memberScan of $ivfTotal")
+    val vecScans = scans.filter(_._1.contains("vectors")).map(_._2)
+    assert(vecScans.nonEmpty && vecScans.min == 1,
+      s"probe fetch must read ONE vectors part dir, scans=$vecScans")
+  }
+
+  test("index kind guard: serving the wrong kind fails fast") {
+    val df = planted(3, 30)
+    val root = Files.createTempDirectory("ann-kind").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeLsh(df)
+    intercept[IllegalArgumentException] {
+      store.ivfTopK(spark, probeId = 1L, k = 1)
+    }
+  }
+}
