@@ -35,6 +35,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   CDC_MAX_EVENTS_PER_TRIGGER — admission cap (optional)
   *   GRAFT_PG_HOST/PORT/USER/PASSWORD/DATABASE — live capture upstream
   *     (optional; database defaults to "postgres", as libpq does)
+  *
+  * MAINTENANCE mode (offline — replaces streaming entirely; [[build]]
+  * refuses the combination, which is how the library's run-offline
+  * discipline for these verbs is enforced at the process level):
+  *   GRAFT_MAINTENANCE  — comma-separated verbs:
+  *     compact       every warehouse table (and each declared projection
+  *                   under `_proj/`) folds buckets fragmented past
+  *                   GRAFT_COMPACT_MAX_FILES (default 4); per-table
+  *                   z-order via GRAFT_ZORDER="tbl=c1,c2;..."
+  *     retain        delete rows matching GRAFT_RETAIN_PREDICATE (SQL
+  *                   boolean expr) from GRAFT_RETAIN_TABLE
+  *     rebucket      re-hash GRAFT_REBUCKET_TABLE to GRAFT_REBUCKET_TO
+  *                   buckets (keys via GRAFT_TABLE_KEYS)
+  *     spill         fold long-lived txid dirs of the warehouse spill
+  *                   (GRAFT_SPILL_MAX_FILES, default 16) and reap
+  *                   abandoned txids below GRAFT_SPILL_WATERMARK (if set)
+  *     curate-store  fold the curation store's per-batch dirs
+  *                   (GRAFT_CURATE_STORE)
+  *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR)
+  *   GRAFT_TABLE_KEYS — "c1,c2" for all tables, or per-table
+  *     "tbl=c1,c2;tbl2=c3" (keeps rewrites key-sorted; rebucket requires
+  *     the target table's keys)
   */
 object GraftApp {
 
@@ -59,6 +81,11 @@ object GraftApp {
       case Left(err) => throw new IllegalArgumentException(s"invalid config: $err")
       case Right(_) => ()
     }
+    // the maintenance verbs rewrite the same dirs the streaming sinks
+    // write — one process must never do both
+    require(!env.contains("GRAFT_MAINTENANCE"),
+      "GRAFT_MAINTENANCE is offline-only: run it in its own process, " +
+        "with no streaming pipeline (use GraftApp.maintenance)")
     val ckpt = env.getOrElse("GRAFT_CHECKPOINT",
       throw new IllegalArgumentException("GRAFT_CHECKPOINT is required"))
 
@@ -177,6 +204,110 @@ object GraftApp {
     t
   }
 
+  /** OFFLINE maintenance: run the env-selected verbs (class doc lists
+    * them) and return one human-readable summary line per action taken.
+    * Every verb already carries its own crash-safety (committed-staging
+    * swaps, roll-forward heals), so an interrupted maintenance run is
+    * re-runnable as-is. */
+  def maintenance(spark: SparkSession, env: Map[String, String]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val verbs = env.getOrElse("GRAFT_MAINTENANCE", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(verbs.nonEmpty, "GRAFT_MAINTENANCE must list at least one verb")
+    def whRoot = env.getOrElse("GRAFT_WAREHOUSE_DIR",
+      throw new IllegalArgumentException(
+        "GRAFT_WAREHOUSE_DIR is required for warehouse maintenance"))
+    val buckets = env.get("GRAFT_WAREHOUSE_BUCKETS").map(_.toInt).getOrElse(64)
+    // "c1,c2" for all tables, or "tbl=c1,c2;tbl2=c3" per table
+    def keysFor(table: String): Seq[String] =
+      env.get("GRAFT_TABLE_KEYS").map { s =>
+        if (!s.contains("=")) s.split(",").map(_.trim).toSeq
+        else s.split(";").map(_.split("=", 2)).collectFirst {
+          case Array(t, ks) if t.trim == table => ks.split(",").map(_.trim).toSeq
+        }.getOrElse(Seq.empty)
+      }.getOrElse(Seq.empty)
+    def zorderFor(table: String): Seq[String] =
+      env.get("GRAFT_ZORDER").toSeq
+        .flatMap(_.split(";")).map(_.split("=", 2)).collectFirst {
+          case Array(t, cs) if t.trim == table => cs.split(",").map(_.trim).toSeq
+        }.getOrElse(Seq.empty)
+    def fsOf(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def tableDirs(root: String): Seq[String] = {
+      val r = new Path(root); val fs = fsOf(r)
+      if (!fs.exists(r)) Seq.empty
+      else fs.listStatus(r).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.getName).sorted
+    }
+
+    verbs.toSeq.flatMap {
+      case "compact" =>
+        val maxFiles = env.get("GRAFT_COMPACT_MAX_FILES").map(_.toInt).getOrElse(4)
+        val tables = tableDirs(whRoot).map { t =>
+          val done = new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/$t", keysFor(t), buckets)
+            .compact(spark, maxFiles, zorderFor(t))
+          s"compact $t: ${done.size} buckets"
+        }
+        // declared projections live under _proj/<table>/<indexKey>; the
+        // path encodes everything their compaction needs
+        val projRoot = new Path(whRoot, "_proj")
+        val projections = for {
+          t <- { val fs = fsOf(projRoot)
+            if (!fs.exists(projRoot)) Seq.empty
+            else fs.listStatus(projRoot).toSeq.filter(_.isDirectory) }
+          idx <- fsOf(projRoot).listStatus(t.getPath).toSeq.filter(_.isDirectory)
+        } yield {
+          val done = new graft.sinks.ProjectionSink(
+            idx.getPath.toString, Nil, idx.getPath.getName)
+            .compact(spark, maxFiles)
+          s"compact projection ${t.getPath.getName}/${idx.getPath.getName}: " +
+            s"${done.size} buckets"
+        }
+        tables ++ projections
+      case "retain" =>
+        val table = env.getOrElse("GRAFT_RETAIN_TABLE",
+          throw new IllegalArgumentException("GRAFT_RETAIN_TABLE is required"))
+        val pred = env.getOrElse("GRAFT_RETAIN_PREDICATE",
+          throw new IllegalArgumentException("GRAFT_RETAIN_PREDICATE is required"))
+        val done = new graft.sinks.ParquetReplicaSink(
+          s"$whRoot/$table", keysFor(table), buckets)
+          .retain(spark, org.apache.spark.sql.functions.expr(pred))
+        Seq(s"retain $table [$pred]: ${done.size} buckets rewritten")
+      case "rebucket" =>
+        val table = env.getOrElse("GRAFT_REBUCKET_TABLE",
+          throw new IllegalArgumentException("GRAFT_REBUCKET_TABLE is required"))
+        val to = env.getOrElse("GRAFT_REBUCKET_TO",
+          throw new IllegalArgumentException("GRAFT_REBUCKET_TO is required")).toInt
+        val keys = keysFor(table)
+        require(keys.nonEmpty,
+          s"rebucket needs $table's key columns via GRAFT_TABLE_KEYS")
+        new graft.sinks.ParquetReplicaSink(s"$whRoot/$table", keys, buckets)
+          .rebucket(spark, to)
+        Seq(s"rebucket $table: -> $to buckets")
+      case "spill" =>
+        val spillDir = s"$whRoot/_txspill"
+        val maxFiles = env.get("GRAFT_SPILL_MAX_FILES").map(_.toInt).getOrElse(16)
+        val folded = TxnSpill.compactPending(spark, spillDir, maxFiles)
+        val reaped = env.get("GRAFT_SPILL_WATERMARK").map(_.toLong)
+          .map(TxnSpill.reapAbandoned(spark, spillDir, _)).getOrElse(Seq.empty)
+        Seq(s"spill: folded ${folded.size} txids, reaped ${reaped.size}")
+      case "curate-store" =>
+        val store = env.getOrElse("GRAFT_CURATE_STORE",
+          throw new IllegalArgumentException("GRAFT_CURATE_STORE is required"))
+        val folded = graft.llmops.StreamingCurate.compactStore(spark, store)
+        Seq(s"curate-store: folded " +
+          folded.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }.mkString(","))
+      case "lsh-index" =>
+        val dir = env.getOrElse("GRAFT_INDEX_DIR",
+          throw new IllegalArgumentException("GRAFT_INDEX_DIR is required"))
+        new graft.llmops.LshIndexStore(dir).compact(spark)
+        Seq(s"lsh-index: compacted $dir")
+      case v =>
+        throw new IllegalArgumentException(s"unknown maintenance verb: $v")
+    }
+  }
+
   /** Drain and release everything (idempotent): capture first (final
     * standby status + CopyDone), then the query's in-flight epoch, then
     * the metrics server. */
@@ -195,6 +326,12 @@ object GraftApp {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
+    if (sys.env.contains("GRAFT_MAINTENANCE")) {
+      // offline maintenance run: verbs, summary, exit — never a query
+      maintenance(spark, sys.env).foreach(println)
+      spark.stop()
+      return
+    }
     val w = build(spark, GraftConfig.fromEnv(sys.env), sys.env)
     // SIGTERM/SIGINT → drain in-flight epoch, final flush, clean exit
     Runtime.getRuntime.addShutdownHook(new Thread(() => shutdown(w)))

@@ -161,6 +161,101 @@ class GraftAppSpec extends SparkSpecBase {
     } finally GraftApp.shutdown(w)
   }
 
+  test("maintenance mode: env-selected verbs operate the replica without Scala") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.sinks.{ParquetReplicaSink, ProjectionDef}
+    import graft.streaming.TxnSpill
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("app-maint").toFile.getAbsolutePath
+
+    // a warehouse table with one fragmented bucket
+    val sink = new ParquetReplicaSink(s"$root/public.t1", Seq("id"), 4)
+    sink.applyBatch(spark,
+      (1 to 100).map(i => (i, i * 10, "c", i.toLong)).toDF("id", "val", "op", "lsn"), 0)
+    val tblBucket = new java.io.File(s"$root/public.t1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).head
+    (0 until 6).foreach { k =>
+      Seq((1000 + k, k)).toDF("id", "val")
+        .coalesce(1).write.mode("append").parquet(tblBucket.getAbsolutePath)
+    }
+    assert(tblBucket.listFiles().count(_.getName.endsWith(".parquet")) > 4)
+
+    // a declared projection, fragmented the same way
+    val proj = ProjectionDef("public.t1", Seq("id"), "grp", 4).sink(root)
+    proj.applyBatch(spark, Seq((1, 7, "c", 1L, null: String))
+      .toDF("id", "grp", "op", "lsn", "__old_idx"), 0)
+    val projBucket = new java.io.File(s"$root/_proj/public.t1/grp").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).head
+    (0 until 6).foreach { k =>
+      Seq((100 + k, 7)).toDF("id", "grp")
+        .coalesce(1).write.mode("append").parquet(projBucket.getAbsolutePath)
+    }
+
+    // a long-lived spill txid with many appended files
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until 20).foreach { k =>
+      TxnSpill.resolve(Seq(CdcEvent("c", k.toLong + 1, 7L, ts, "public", "t1",
+        Nil, Seq(CdcColumn("id", k.toString)), keyColumns = Seq("id"),
+        isFinalBatch = false)).toDS(),
+        s"$root/_txspill")
+    }
+
+    val env = Map(
+      "GRAFT_MAINTENANCE" -> "compact,retain,spill",
+      "GRAFT_WAREHOUSE_DIR" -> root, "GRAFT_WAREHOUSE_BUCKETS" -> "4",
+      "GRAFT_TABLE_KEYS" -> "id",
+      "GRAFT_RETAIN_TABLE" -> "public.t1",
+      "GRAFT_RETAIN_PREDICATE" -> "val >= 900",
+      "GRAFT_SPILL_MAX_FILES" -> "4")
+    val lines = GraftApp.maintenance(spark, env)
+    assert(lines.exists(_.startsWith("compact public.t1:")), lines.mkString("; "))
+    assert(lines.exists(_.startsWith("compact projection public.t1/grp:")))
+    assert(lines.exists(_.startsWith("retain public.t1")))
+    assert(lines.contains("spill: folded 1 txids, reaped 0"))
+    // compaction folded both fragmented buckets
+    assert(tblBucket.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(projBucket.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // retention deleted the matching rows, kept the rest
+    val vals = sink.snapshot(spark).select("val").as[Int].collect()
+    assert(vals.forall(_ < 900) && vals.length == 100 - 11 + 6)
+    // the folded spill txid still seals completely afterwards
+    val sealedTx = TxnSpill.resolve(Seq(CdcEvent(
+      graft.streaming.TxnAssembler.Ctl.StreamCommit, 1000L, 7L, ts, null, null,
+      Nil, Nil)).toDS(), s"$root/_txspill")
+    assert(sealedTx.ready.count() == 20)
+    sealedTx.commit()
+
+    // offline discipline: maintenance cannot ride along with streaming
+    val err = intercept[IllegalArgumentException] {
+      GraftApp.build(spark, GraftConfig(), env +
+        ("GRAFT_CHECKPOINT" -> "/tmp/x", "GRAFT_WAL_DIR" -> "/tmp/y"))
+    }
+    assert(err.getMessage.contains("offline-only"))
+    // unknown verbs fail fast
+    intercept[IllegalArgumentException] {
+      GraftApp.maintenance(spark, env + ("GRAFT_MAINTENANCE" -> "defrag"))
+    }
+  }
+
+  test("maintenance mode: curate-store fold via env") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("app-maint-cur").toFile.getAbsolutePath
+    val base = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river of the old town in the morning light of a summer day"
+    graft.llmops.StreamingCurate.applyBatch(
+      Seq((1L, "srcA", base)).toDF("doc_id", "source", "text"), store, 0)
+    graft.llmops.StreamingCurate.applyBatch(
+      Seq((2L, "srcB", base + " extra words beyond the original text here"))
+        .toDF("doc_id", "source", "text"), store, 1)
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "curate-store", "GRAFT_CURATE_STORE" -> store))
+    assert(lines.exists(_.startsWith("curate-store: folded")), lines.mkString)
+    assert(new java.io.File(s"$store/curated").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("b")) == 1)
+    assert(graft.llmops.StreamingCurate.curated(spark, store).count() == 2)
+  }
+
   test("connectTransport sends StartupMessage BEFORE reading the handshake") {
     import graft.sources.pgwire.PgWire
     // A real server says NOTHING until it receives the StartupMessage —
