@@ -221,15 +221,17 @@ object CdcPipeline {
             val keys = row.getSeq[String](3)
             val name = Seq(Option(sch), Some(tbl)).flatten.mkString(".")
             val cut = truncLsn.get(name)
-            val flat = df
+            val tableEvents = df
               .filter(col("schema") <=> lit(sch) && col("table") === tbl &&
                 col("op").isin("c", "u", "d") &&
                 // pre-truncate DML is dead on arrival — the truncate
                 // wipes it; only post-truncate changes apply
                 cut.map(l => col("lsn") > l).getOrElse(lit(true)))
-              .select(col("op") +: col("lsn") +: cols.map(c =>
-                coalesce(element_at(col("__after"), c),
-                  element_at(col("__before"), c)).as(c)): _*)
+            val flatCols = cols.map(c =>
+              coalesce(element_at(col("__after"), c),
+                element_at(col("__before"), c)).as(c))
+            val flat = tableEvents
+              .select(col("op") +: col("lsn") +: flatCols: _*)
             val sink = new graft.sinks.ParquetReplicaSink(
               s"$rootPath/$name", keys, numBuckets)
             if (cut.isDefined) {
@@ -239,6 +241,16 @@ object CdcPipeline {
                 .foreach(_.sink(rootPath).truncate(spark))
             }
             sink.applyBatch(spark, flat, batchId)
+            // declared projections are maintained from the SAME batch:
+            // the before image supplies the old index value (null on a
+            // plain insert; the projection fails fast on a u/d missing
+            // it — its REPLICA IDENTITY FULL contract)
+            projections.filter(_.table == name).foreach { d =>
+              val projFlat = tableEvents.select(
+                col("op") +: col("lsn") +: (flatCols :+
+                  element_at(col("__before"), d.indexKey).as("__old_idx")): _*)
+              d.sink(rootPath).applyBatch(spark, projFlat, batchId)
+            }
           }
         }
         // truncated tables with NO DML in the batch still truncate

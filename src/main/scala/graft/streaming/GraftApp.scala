@@ -57,8 +57,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   GRAFT_TABLE_KEYS — "c1,c2" for all tables, or per-table
   *     "tbl=c1,c2;tbl2=c3" (keeps rewrites key-sorted; rebucket requires
   *     the target table's keys)
+  *
+  * Declared projections (warehouse mode + maintenance):
+  *   GRAFT_PROJECTIONS — "schema.table:indexKey;..." declares secondary
+  *     layouts the warehouse chain maintains from each batch's
+  *     before/after images (primary keys via GRAFT_TABLE_KEYS) and the
+  *     op="t" wave truncates with their base table
   */
 object GraftApp {
+
+  /** GRAFT_TABLE_KEYS: "c1,c2" for every table, or "tbl=c1,c2;tbl2=c3". */
+  private def tableKeys(env: Map[String, String], table: String): Seq[String] =
+    env.get("GRAFT_TABLE_KEYS").map { s =>
+      if (!s.contains("=")) s.split(",").map(_.trim).toSeq
+      else s.split(";").map(_.split("=", 2)).collectFirst {
+        case Array(t, ks) if t.trim == table => ks.split(",").map(_.trim).toSeq
+      }.getOrElse(Seq.empty)
+    }.getOrElse(Seq.empty)
+
+  /** GRAFT_PROJECTIONS: "schema.table:indexKey;..." → declared defs. */
+  private def parseProjections(env: Map[String, String],
+                               numBuckets: Int): Seq[graft.sinks.ProjectionDef] =
+    env.get("GRAFT_PROJECTIONS").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { spec =>
+        spec.split(":", 2) match {
+          case Array(table, idx) if idx.nonEmpty =>
+            val keys = tableKeys(env, table.trim)
+            require(keys.nonEmpty,
+              s"projection ${table.trim}:$idx needs the table's primary " +
+                "key via GRAFT_TABLE_KEYS")
+            graft.sinks.ProjectionDef(table.trim, keys, idx.trim, numBuckets)
+          case _ => throw new IllegalArgumentException(
+            s"GRAFT_PROJECTIONS entry '$spec' is not schema.table:indexKey")
+        }
+      }
 
   final case class Wiring(query: StreamingQuery,
                           metrics: Option[MetricsServer],
@@ -166,11 +199,12 @@ object GraftApp {
         // warehouse mode: per-table hash-bucketed parquet replicas (the
         // 100 TB path); spill form bounds executor memory for huge txs
         val buckets = env.get("GRAFT_WAREHOUSE_BUCKETS").map(_.toInt).getOrElse(64)
+        val projections = parseProjections(env, buckets)
         if (env.get("GRAFT_WAREHOUSE_SPILL").exists(_.toBoolean))
           TxnSpill.startWarehouseSpill(envelope, root, ckpt, buckets,
-            trigger, cfg.originFilter)
+            trigger, cfg.originFilter, projections)
         else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
-          trigger, cfg.originFilter)
+          trigger, cfg.originFilter, projections)
       case None =>
         val ctx = RenderContext(dialect, cfg.schemaMappings)
         val applier = new graft.sinks.JdbcApplier(destUrl.get, ctx, cfg.slotName,
@@ -218,14 +252,7 @@ object GraftApp {
       throw new IllegalArgumentException(
         "GRAFT_WAREHOUSE_DIR is required for warehouse maintenance"))
     val buckets = env.get("GRAFT_WAREHOUSE_BUCKETS").map(_.toInt).getOrElse(64)
-    // "c1,c2" for all tables, or "tbl=c1,c2;tbl2=c3" per table
-    def keysFor(table: String): Seq[String] =
-      env.get("GRAFT_TABLE_KEYS").map { s =>
-        if (!s.contains("=")) s.split(",").map(_.trim).toSeq
-        else s.split(";").map(_.split("=", 2)).collectFirst {
-          case Array(t, ks) if t.trim == table => ks.split(",").map(_.trim).toSeq
-        }.getOrElse(Seq.empty)
-      }.getOrElse(Seq.empty)
+    def keysFor(table: String): Seq[String] = tableKeys(env, table)
     def zorderFor(table: String): Seq[String] =
       env.get("GRAFT_ZORDER").toSeq
         .flatMap(_.split(";")).map(_.split("=", 2)).collectFirst {

@@ -208,7 +208,8 @@ object TxnSpill {
                           checkpointDir: String, numBuckets: Int = 64,
                           trigger: org.apache.spark.sql.streaming.Trigger =
                             org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-                          originFilter: OriginFilter = OriginFilter.Any)
+                          originFilter: OriginFilter = OriginFilter.Any,
+                          projections: Seq[graft.sinks.ProjectionDef] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     CdcPipeline.toAllEvents(envelope, originFilter)
       .writeStream
@@ -218,7 +219,8 @@ object TxnSpill {
       .foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
         val r = resolve(batch, s"$rootPath/_txspill")
         CdcPipeline.applyWarehouseBatch(
-          r.ready.as[CdcEvent](CdcPipeline.eventEnc), rootPath, numBuckets, batchId)
+          r.ready.as[CdcEvent](CdcPipeline.eventEnc), rootPath, numBuckets,
+          batchId, projections)
         r.commit()
       }
       .start()

@@ -670,25 +670,69 @@ class ParquetReplicaSpec extends SparkSpecBase {
       CdcEvent("t", lsn, 1L, ts, "public", tables.head.split("\\.").last, Nil, Nil,
         truncateTables = tables)
     val defs = Seq(ProjectionDef("public.t1", Seq("id"), "grp", numBuckets = 4))
-    // seed the base table and (by hand, as a bootstrap would) its projection
+    // the warehouse chain itself populates the declared projection
     CdcPipeline.applyWarehouseBatch(Seq(
       ins(1, "t1", 1, 7), ins(2, "t1", 2, 7)).toDS(), root, 4, 0, defs)
     val proj = defs.head.sink(root)
-    proj.applyBatch(spark, Seq((1, 7, "c", 1L, null: String), (2, 7, "c", 2L, null: String))
-      .toDF("id", "grp", "op", "lsn", "__old_idx"), 0)
-    assert(proj.lookup(spark, 7).count() == 2)
+    assert(proj.lookup(spark, "7").count() == 2,
+      "declared projection must be maintained by the warehouse apply")
 
-    // a truncate-with-DML batch empties base AND projection
+    // a truncate-with-DML batch empties base AND projection; the
+    // post-truncate insert survives in both
     CdcPipeline.applyWarehouseBatch(Seq(
-      trunc(10, "public.t1"), ins(11, "t1", 3, 7)).toDS(), root, 4, 1, defs)
-    assert(proj.lookup(spark, 7).count() == 0,
+      trunc(10, "public.t1"), ins(11, "t1", 3, 8)).toDS(), root, 4, 1, defs)
+    assert(proj.lookup(spark, "7").count() == 0,
       "truncated base must not keep serving rows through its projection")
+    assert(proj.lookup(spark, "8").select("id").collect()
+      .map(_.getString(0)).toSeq == Seq("3"))
     // a truncate-ONLY batch reaches the projection too
-    proj.applyBatch(spark, Seq((4, 7, "c", 12L, null: String))
-      .toDF("id", "grp", "op", "lsn", "__old_idx"), 1)
     CdcPipeline.applyWarehouseBatch(Seq(trunc(20, "public.t1")).toDS(),
       root, 4, 2, defs)
-    assert(proj.lookup(spark, 7).count() == 0)
+    assert(proj.lookup(spark, "8").count() == 0)
+  }
+
+  test("warehouse chain maintains declared projections through moves and deletes") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.CdcPipeline
+    import graft.sinks.ProjectionDef
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh-projdml").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ins(lsn: Long, id: Int, g: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", "t1", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", g.toString)),
+        keyColumns = Seq("id"))
+    // REPLICA IDENTITY FULL shapes: before images carry the index column
+    def upd(lsn: Long, id: Int, oldG: Int, newG: Int) =
+      CdcEvent("u", lsn, 1L, ts, "public", "t1",
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", oldG.toString)),
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", newG.toString)),
+        keyColumns = Seq("id"))
+    def del(lsn: Long, id: Int, oldG: Int) =
+      CdcEvent("d", lsn, 1L, ts, "public", "t1",
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", oldG.toString)), Nil,
+        keyColumns = Seq("id"))
+    val defs = Seq(ProjectionDef("public.t1", Seq("id"), "grp", numBuckets = 8))
+    CdcPipeline.applyWarehouseBatch(Seq(
+      ins(1, 1, 7), ins(2, 2, 7), ins(3, 3, 9)).toDS(), root, 4, 0, defs)
+    val proj = defs.head.sink(root)
+    assert(proj.lookup(spark, "7").select("id").collect()
+      .map(_.getString(0)).toSet == Set("1", "2"))
+
+    // id=1 MOVES 7→9 (old bucket must drop it), id=2 deleted
+    CdcPipeline.applyWarehouseBatch(Seq(
+      upd(10, 1, 7, 9), del(11, 2, 7)).toDS(), root, 4, 1, defs)
+    assert(proj.lookup(spark, "7").count() == 0, "moved+deleted rows must leave")
+    assert(proj.lookup(spark, "9").select("id").collect()
+      .map(_.getString(0)).toSet == Set("1", "3"))
+    // projection agrees with the base replica row-for-row
+    val base = new graft.sinks.ParquetReplicaSink(s"$root/public.t1", Seq("id"), 4)
+      .snapshot(spark).select("id", "grp").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val projAll = spark.read.option("basePath", defs.head.path(root))
+      .parquet(defs.head.path(root)).select("id", "grp").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(projAll == base, s"projection $projAll != base $base")
   }
 
   test("lookup prunes to one bucket dir; files are key-sorted for row-group pruning") {
