@@ -45,7 +45,8 @@ object Bench {
     "llm_dataset_card", "llm_winnow", "llm_chunk", "llm_zipf",
     "llm_quant_ann", "llm_ann_batch", "llm_cluster_stats",
     "llm_boilerplate", "llm_kmv_distinct", "llm_edit_distance",
-    "llm_dataset_diff", "llm_dup_matrix", "llm_len_hist")
+    "llm_dataset_diff", "llm_dup_matrix", "llm_len_hist",
+    "llm_pmi_bigrams", "llm_split_assign", "llm_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

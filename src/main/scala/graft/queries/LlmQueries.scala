@@ -138,6 +138,75 @@ object LlmQueries {
         .orderBy("bucket")
     }),
 
+    // Corpus-level PMI collocations (phrase mining — the tokenizer/vocab
+    // step that decides which word pairs merit merged tokens): lift =
+    // P(xy) / (P(x)·P(y)) over the whole corpus in integer milli-units
+    // (identical div chain on both engines — no float log), support ≥ 10,
+    // top-50 via TakeOrdered. Shapes: one bigram shuffle, vocab-sized
+    // unigram joins, scalar totals broadcast.
+    "llm_pmi_bigrams" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"), toks.as("t"))
+      val bg = t.select(posexplode(col("t")).as(Seq("i", "w")), col("t"))
+        .filter(col("i") < size(col("t")) - 1)
+        .select(col("w"), element_at(col("t"), col("i") + 2).as("nxt"))
+      val cb = bg.groupBy("w", "nxt").agg(count(lit(1)).as("cxy"))
+      val uni = t.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(sum("c").cast("bigint").as("n_uni"))
+      val nBi = cb.agg(sum("cxy").cast("bigint").as("n_bi"))
+      cb.filter(col("cxy") >= 10)
+        .join(uni.select(col("w"), col("c").as("cx")), "w")
+        .join(uni.select(col("w").as("nxt"), col("c").as("cy")), "nxt")
+        .crossJoin(broadcast(nUni))
+        .crossJoin(broadcast(nBi))
+        // magnitude-staged div chain keeps every intermediate < 2^60
+        .withColumn("lift_milli",
+          expr("((cxy * n_uni * 1000) div (cx * cy)) * n_uni div n_bi"))
+        .select(col("w"), col("nxt"), col("cxy"), col("lift_milli"))
+        .orderBy(desc("lift_milli"), col("w"), col("nxt"))
+        .limit(50)
+    }),
+
+    // Deterministic train/val/test split assignment: the split a doc
+    // lands in must be a pure function of its id (stable across reruns,
+    // engines, and corpus growth — never random()). 48-bit md5 bucket
+    // mod 100 → 90/5/5. One scan, map-side partials, no shuffle beyond
+    // the tiny groupBy.
+    "llm_split_assign" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("b",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("b") < 90, "train").when(col("b") < 95, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks)).cast("bigint").as("n_tokens"))
+        .orderBy("source", "split")
+    }),
+
+    // Vocab coverage at candidate sizes (the "how big must the
+    // tokenizer vocabulary be" curve): share of all token occurrences
+    // covered by the top-K vocabulary, K ∈ {100, 500, 2000}. Each cut
+    // is a distributed TakeOrdered over the vocab-sized aggregate —
+    // no global rank window, no cumulative sort of the vocabulary.
+    "llm_vocab_coverage" -> ((s, d) => {
+      val tc = documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val total = tc.agg(sum("c").cast("bigint").as("total"))
+      Seq(100, 500, 2000).map { k =>
+        tc.orderBy(desc("c"), col("token")).limit(k)
+          .agg(sum("c").cast("bigint").as("covered"))
+          .withColumn("k", lit(k))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("covered"),
+          expr("covered * 1000000 div total").as("covered_ppm"))
+        .orderBy("k")
+    }),
+
     // Dataset snapshot diff: what changed between two corpus versions —
     // the release-engineering step before retraining. Content hashes
     // compare via one full-outer join on doc_id (hash-partitioned both
@@ -913,6 +982,51 @@ object LlmQueries {
         |  CAST(min(len(string_split(text, ' '))) AS INT) AS min_tokens,
         |  CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_pmi_bigrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT
+        |    unnest([t[i] for i in range(1, greatest(len(t), 1))]) AS w,
+        |    unnest([t[i+1] for i in range(1, greatest(len(t), 1))]) AS nxt
+        |  FROM t),
+        |cb AS (SELECT w, nxt, count(*) AS cxy FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+        |totb AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_bi FROM cb)
+        |SELECT w, nxt, cxy,
+        |  ((cxy * n_uni * 1000) // (cx * cy)) * n_uni // n_bi AS lift_milli
+        |FROM (SELECT cb.w, cb.nxt, cb.cxy, a.c AS cx, b.c AS cy
+        |      FROM cb JOIN uc a ON cb.w = a.w JOIN uc b ON cb.nxt = b.w
+        |      WHERE cb.cxy >= 10)
+        |CROSS JOIN tot CROSS JOIN totb
+        |ORDER BY lift_milli DESC, w, nxt LIMIT 50""".stripMargin,
+    "llm_split_assign" ->
+      """WITH b AS (SELECT source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+        |      AS b,
+        |    len(string_split(text, ' ')) AS nt
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "llm_vocab_coverage" ->
+      """WITH tc AS (SELECT token, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc),
+        |cuts AS (
+        |  SELECT 100 AS k, CAST(sum(c) AS BIGINT) AS covered
+        |    FROM (SELECT c, token FROM tc ORDER BY c DESC, token LIMIT 100)
+        |  UNION ALL
+        |  SELECT 500, CAST(sum(c) AS BIGINT)
+        |    FROM (SELECT c, token FROM tc ORDER BY c DESC, token LIMIT 500)
+        |  UNION ALL
+        |  SELECT 2000, CAST(sum(c) AS BIGINT)
+        |    FROM (SELECT c, token FROM tc ORDER BY c DESC, token LIMIT 2000))
+        |SELECT k, covered, covered * 1000000 // total AS covered_ppm
+        |FROM cuts CROSS JOIN tot ORDER BY k""".stripMargin,
     "llm_dataset_diff" ->
       """WITH v1 AS (SELECT doc_id,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h1

@@ -382,6 +382,34 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(bpPlan.contains("partial"), bpPlan.take(2000))
   }
 
+  test("pmi, split-assign, vocab-coverage: scale shapes hold") {
+    // llm_pmi_bigrams: scalar totals broadcast (never shuffled joins),
+    // no cartesian beyond the 1-row broadcasts, top-50 is TakeOrdered
+    val pmi = q("llm_pmi_bigrams")
+    pmi.count()
+    assert(!collectAll(executed(pmi)).exists(_.isInstanceOf[CartesianProductExec]))
+    val pmiPlan = planString(pmi)
+    assert(pmiPlan.contains("TakeOrderedAndProject"), pmiPlan.take(2000))
+    assert(pmiPlan.contains("BroadcastNestedLoopJoin") ||
+      pmiPlan.contains("BroadcastExchange"), pmiPlan.take(2000))
+    assert(pmiPlan.contains("partial"), pmiPlan.take(2000))
+    // llm_split_assign: pure scan → map-side partial agg; the hash
+    // bucket is a projection, never a shuffle key explosion
+    val sa = q("llm_split_assign")
+    sa.count()
+    val saShuffles = collectAll(executed(sa))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(saShuffles <= 2, s"split-assign shuffles: $saShuffles") // agg + sort
+    assert(planString(sa).contains("partial"), planString(sa).take(2000))
+    // llm_vocab_coverage: every cut is a TakeOrdered over the vocab
+    // aggregate — no global sort, no rank window
+    val vc = q("llm_vocab_coverage")
+    vc.count()
+    val vcPlan = planString(vc)
+    assert(vcPlan.contains("TakeOrderedAndProject"), vcPlan.take(2000))
+    assert(!vcPlan.contains("windowspecdefinition"), vcPlan.take(2000))
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
