@@ -73,6 +73,39 @@ object ScaleProbe {
     println(f"kmv distinct-token estimate: $est (true 5000) in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // streaming-curation intake soak: the per-trigger cost must track
+    // the BATCH, not everything already admitted — every store read is
+    // part-pruned (seen by content-hash, text by doc-id, buckets by LSH
+    // bucket). Four equal batches; if any read were O(corpus), trigger
+    // times would climb with the store.
+    val curStore = java.nio.file.Files.createTempDirectory("scale-curate")
+      .toFile.getAbsolutePath + "/store"
+    // curation docs: long English-looking text so the gate admits them
+    val curDocs = spark.range(20000)
+      .select(col("id").as("doc_id"), lit("probe").as("source"),
+        expr("""concat('the quick brown fox and the lazy dog of the old town ',
+          concat_ws(' ', transform(sequence(0, 29), p ->
+            concat('tok', CAST(CAST(conv(substr(md5(concat(CAST(id AS STRING),
+              '_', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)
+              % 4000 AS STRING)))))""").as("text"))
+      .localCheckpoint(true)
+    val curBatch = 5000
+    val trigSecs = (0 until 4).map { b =>
+      t0 = System.nanoTime()
+      graft.llmops.StreamingCurate.applyBatch(
+        curDocs.filter(col("doc_id") >= b * curBatch &&
+          col("doc_id") < (b + 1) * curBatch), curStore, b.toLong)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"curate trigger $b: $curBatch docs in $secs%.1f s (planned " +
+        s"seen=${graft.llmops.StreamingCurate.lastSeenDirsPlanned.size} " +
+        s"text=${graft.llmops.StreamingCurate.lastTextDirsPlanned.size} " +
+        s"bucket=${graft.llmops.StreamingCurate.lastBucketDirsPlanned.size} dirs)")
+      secs
+    }
+    val curN = graft.llmops.StreamingCurate.curated(spark, curStore).count()
+    println(f"curate intake: $curN admitted; trigger 3 / trigger 1 = " +
+      f"${trigSecs(3) / trigSecs(1)}%.2f (flat = no O(corpus) read)")
+
     // persisted ANN serving indexes: build both layouts over synthetic
     // embeddings with planted twins, serve a probe from disk, report
     // wall time — the pruning contract itself is pinned by
