@@ -165,6 +165,50 @@ final class AnnIndexStore(root: String) extends Serializable {
     score(members, probe, probeId, k)
   }
 
+  /** Incremental intake: add a batch of new vectors to the persisted
+    * index WITHOUT a rebuild — append-only into the same pruned
+    * layouts, so serving reads stay O(probed partitions) and the write
+    * is O(batch).
+    *
+    * LSH: the new vectors' band buckets append under their
+    * (band, part) dirs. IVF: new members are assigned to the EXISTING
+    * centroids (a literal-centroid projection — the standard serving
+    * practice; rebuild with [[writeIvf]] when drift warrants) and
+    * append under their cluster dirs. Ids must be fresh — the store
+    * has no replace semantics (a dedup gate belongs upstream). */
+  def append(embeddings: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    val meta = readMeta(spark)
+    val q = Similarity.quantized(embeddings, idCol, vecCol)
+      .withColumnRenamed(idCol, "vec_id")
+    q.withColumn("part", pmod(hash(col("vec_id")), lit(NumParts)).cast("int"))
+      .repartition(col("part"))
+      .write.mode("append").partitionBy("part")
+      .parquet(s"$root/vectors")
+    meta("kind") match {
+      case "lsh" =>
+        Similarity.bandBuckets(q, meta("bands").toInt,
+            meta("bitsPerBand").toInt, meta("seed").toLong, "vec_id")
+          .withColumn("part", pmod(col("bucket"), lit(NumParts)).cast("int"))
+          .repartition(col("band"), col("part"))
+          .write.mode("append").partitionBy("band", "part")
+          .parquet(s"$root/lsh_buckets")
+      case "ivf" =>
+        val cents = spark.read.parquet(s"$root/ivf_centroids")
+          .collect()
+          .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+          .toSeq
+        Similarity.assignToCentroids(q, cents, "vec_id")
+          .join(q, "vec_id")
+          .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+          .repartition(col("cluster"))
+          .write.mode("append").partitionBy("cluster")
+          .parquet(s"$root/ivf")
+      case k => throw new IllegalArgumentException(s"unknown index kind $k")
+    }
+  }
+
   /** The probe row via the constant-folded part bucket: hash(lit(id))
     * folds to a literal, so partition pruning reads exactly one
     * `vectors/part=P` dir (same trick as ParquetReplicaSink.lookup). */

@@ -169,6 +169,13 @@ object Similarity {
     * inside whole-stage codegen — zero shuffles, unlike the textbook
     * crossJoin + window-argmin which shuffles N·K rows. Ties break to
     * the lowest cluster id (struct max on (cos, -cluster)). */
+  /** Public form of the literal-centroid assignment for index
+    * maintenance (AnnIndexStore.append): new vectors join an EXISTING
+    * centroid set without re-clustering. */
+  def assignToCentroids(q: DataFrame, cents: Seq[IvfCentroid],
+                        idCol: String = "vec_id"): DataFrame =
+    assignByCentroids(q, cents, idCol)
+
   private def assignByCentroids(q: DataFrame, cents: Seq[IvfCentroid],
                                 idCol: String): DataFrame = {
     val scored = cents.map { c =>

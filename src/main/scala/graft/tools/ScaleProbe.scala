@@ -130,6 +130,14 @@ object ScaleProbe {
       .first().getLong(0)
     println(f"ann lsh serve: top-1 = $lshTop (expect $nVecs) in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // incremental intake: append a twin of vec 6, serve it immediately
+    t0 = System.nanoTime()
+    lshIdx.append(Seq((nVecs + 1L,
+      base(6)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding"))
+    val appTop = lshIdx.lshTopK(spark, probeId = 6L, k = 1).first().getLong(0)
+    println(f"ann lsh append+serve: top-1 = $appTop (expect ${nVecs + 1}) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     val ivfIdx = new graft.llmops.AnnIndexStore(s"$annRoot/ivf")
     t0 = System.nanoTime()
     ivfIdx.writeIvf(embs, nClusters = 64)

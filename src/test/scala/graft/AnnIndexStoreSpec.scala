@@ -103,6 +103,39 @@ class AnnIndexStoreSpec extends SparkSpecBase {
       s"probe fetch must read ONE vectors part dir, scans=$vecScans")
   }
 
+  test("incremental append: new vectors serve from both index kinds without rebuild") {
+    import spark.implicits._
+    val df = planted(19, 80)
+    val rnd = new scala.util.Random(77)
+    // a later batch containing a close twin of base vector 9
+    val probeVec = df.filter(col("vec_id") === 9L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val batch2 = Seq(
+      (500L, probeVec.map(x => x + 0.02f * rnd.nextGaussian().toFloat)),
+      (501L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+
+    val lshRoot = Files.createTempDirectory("ann-app-lsh").toFile.getAbsolutePath + "/idx"
+    val lsh = new AnnIndexStore(lshRoot)
+    lsh.writeLsh(df)
+    lsh.append(batch2)
+    val lshTop = lsh.lshTopK(spark, probeId = 9L, k = 1)
+      .select("vec_id").head().getLong(0)
+    assert(lshTop == 500L, s"appended twin must be served (got $lshTop)")
+    // and the appended vector itself is probe-able (vectors store grew)
+    assert(lsh.lshTopK(spark, probeId = 500L, k = 1)
+      .select("vec_id").head().getLong(0) == 9L)
+
+    val ivfRoot = Files.createTempDirectory("ann-app-ivf").toFile.getAbsolutePath + "/idx"
+    val ivf = new AnnIndexStore(ivfRoot)
+    ivf.writeIvf(df, nClusters = 8)
+    ivf.append(batch2)
+    // the twin lands in 9's cluster (same nearest centroid) → top-1
+    val ivfTop = ivf.ivfTopK(spark, probeId = 9L, k = 1, nprobe = 2)
+      .select("vec_id").head().getLong(0)
+    assert(ivfTop == 500L, s"appended twin must be served from IVF (got $ivfTop)")
+  }
+
   test("index kind guard: serving the wrong kind fails fast") {
     val df = planted(3, 30)
     val root = Files.createTempDirectory("ann-kind").toFile.getAbsolutePath + "/idx"
