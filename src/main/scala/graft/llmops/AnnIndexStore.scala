@@ -209,6 +209,43 @@ final class AnnIndexStore(root: String) extends Serializable {
     }
   }
 
+  /** Maintenance: fold the files `append` accumulates back to ~one per
+    * partition dir (k appends leave k files per touched dir; serving
+    * correctness is unaffected but open/list overhead grows). Offline
+    * discipline (no concurrent append/serve); each layout rewrites via
+    * a committed-staging swap — a crash leaves either the old files or
+    * the folded copy, and re-running compact first heals an interrupted
+    * swap (committed staging rolls FORWARD over a partially-deleted
+    * original, as everywhere else in this library). */
+  def compact(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    val kind = readMeta(spark)("kind")
+    val layouts: Seq[(String, Seq[String])] =
+      ("vectors", Seq("part")) +: (kind match {
+        case "lsh" => Seq(("lsh_buckets", Seq("band", "part")))
+        case _ => Seq(("ivf", Seq("cluster")))
+      })
+    layouts.foreach { case (name, partCols) =>
+      val dir = new Path(root, name)
+      val staged = new Path(root, s"_compact_$name")
+      // heal first: committed staging wins, partial staging rolls back
+      if (fs.exists(staged)) {
+        if (fs.exists(new Path(staged, "_SUCCESS"))) {
+          if (fs.exists(dir)) fs.delete(dir, true)
+          fs.rename(staged, dir)
+        } else fs.delete(staged, true)
+      }
+      if (fs.exists(dir)) {
+        val df = spark.read.parquet(dir.toString)
+        df.repartition(partCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partCols: _*)
+          .parquet(staged.toString)
+        fs.delete(dir, true)
+        fs.rename(staged, dir)
+      }
+    }
+  }
+
   /** The probe row via the constant-folded part bucket: hash(lit(id))
     * folds to a literal, so partition pruning reads exactly one
     * `vectors/part=P` dir (same trick as ParquetReplicaSink.lookup). */

@@ -54,6 +54,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     curate-store  fold the curation store's per-batch dirs
   *                   (GRAFT_CURATE_STORE)
   *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR)
+  *     ann-index     fold append-accumulated files of a persisted ANN
+  *                   serving index (GRAFT_ANN_DIR)
   *   GRAFT_TABLE_KEYS — "c1,c2" for all tables, or per-table
   *     "tbl=c1,c2;tbl2=c3" (keeps rewrites key-sorted; rebucket requires
   *     the target table's keys)
@@ -330,6 +332,11 @@ object GraftApp {
           throw new IllegalArgumentException("GRAFT_INDEX_DIR is required"))
         new graft.llmops.LshIndexStore(dir).compact(spark)
         Seq(s"lsh-index: compacted $dir")
+      case "ann-index" =>
+        val dir = env.getOrElse("GRAFT_ANN_DIR",
+          throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
+        new graft.llmops.AnnIndexStore(dir).compact(spark)
+        Seq(s"ann-index: compacted $dir")
       case v =>
         throw new IllegalArgumentException(s"unknown maintenance verb: $v")
     }

@@ -136,6 +136,52 @@ class AnnIndexStoreSpec extends SparkSpecBase {
     assert(ivfTop == 500L, s"appended twin must be served from IVF (got $ivfTop)")
   }
 
+  test("compact folds appended files; serving unchanged; heals a crashed swap") {
+    import spark.implicits._
+    val df = planted(29, 60)
+    val root = Files.createTempDirectory("ann-cmp").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeLsh(df)
+    val rnd = new scala.util.Random(5)
+    (0 until 4).foreach { b =>
+      store.append(Seq((1000L + b, Array.fill(64)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding"))
+    }
+    val before = store.lshTopK(spark, probeId = 5L, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val filesBefore = parquetFiles(s"$root/lsh_buckets")
+    store.compact(spark)
+    assert(parquetFiles(s"$root/lsh_buckets") < filesBefore,
+      s"compact must shrink the file count (was $filesBefore)")
+    assert(store.lshTopK(spark, probeId = 5L, k = 3)
+      .collect().map(_.getLong(0)).toSeq == before)
+
+    // crash window: committed staging + gutted vectors dir → compact
+    // heals by rolling the staging forward
+    val vec = new File(s"$root/vectors")
+    val staged = new File(s"$root/_compact_vectors")
+    def copyDir(src: File, dst: File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        if (f.isDirectory) copyDir(f, new File(dst, f.getName))
+        else java.nio.file.Files.copy(f.toPath, new File(dst, f.getName).toPath)
+      }
+    }
+    copyDir(vec, staged)
+    assert(new File(staged, "_SUCCESS").exists())
+    def gut(f: File): Unit =
+      Option(f.listFiles()).getOrElse(Array.empty).foreach { c =>
+        if (c.isDirectory) gut(c)
+        else if (c.getName.endsWith(".parquet")) assert(c.delete())
+      }
+    gut(vec)
+    store.compact(spark)
+    assert(!staged.exists())
+    assert(store.lshTopK(spark, probeId = 5L, k = 3)
+      .collect().map(_.getLong(0)).toSeq == before,
+      "committed staging must roll forward — the rows survive the crash")
+  }
+
   test("index kind guard: serving the wrong kind fails fast") {
     val df = planted(3, 30)
     val root = Files.createTempDirectory("ann-kind").toFile.getAbsolutePath + "/idx"

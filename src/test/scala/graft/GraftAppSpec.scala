@@ -254,6 +254,19 @@ class GraftAppSpec extends SparkSpecBase {
     assert(new java.io.File(s"$store/curated").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("b")) == 1)
     assert(graft.llmops.StreamingCurate.curated(spark, store).count() == 2)
+
+    // ann-index verb folds a persisted ANN store via env too
+    val annDir = Files.createTempDirectory("app-maint-ann")
+      .toFile.getAbsolutePath + "/idx"
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ann = new graft.llmops.AnnIndexStore(annDir)
+    ann.writeLsh(vecs)
+    val annLines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index", "GRAFT_ANN_DIR" -> annDir))
+    assert(annLines == Seq(s"ann-index: compacted $annDir"))
+    assert(ann.lshTopK(spark, probeId = 1L, k = 1).count() == 1)
   }
 
   test("connectTransport sends StartupMessage BEFORE reading the handshake") {
