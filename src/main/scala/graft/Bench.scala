@@ -46,7 +46,8 @@ object Bench {
     "llm_quant_ann", "llm_ann_batch", "llm_cluster_stats",
     "llm_boilerplate", "llm_kmv_distinct", "llm_edit_distance",
     "llm_dataset_diff", "llm_dup_matrix", "llm_len_hist",
-    "llm_pmi_bigrams", "llm_split_assign", "llm_vocab_coverage")
+    "llm_pmi_bigrams", "llm_split_assign", "llm_vocab_coverage",
+    "llm_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -207,6 +207,40 @@ object LlmQueries {
         .orderBy("k")
     }),
 
+    // Cross-split leakage (the decontamination check every split
+    // pipeline needs): val/test docs sharing ≥ 5 distinct 3-shingles
+    // with any train doc — near-copies that a hash split cannot see.
+    // Scale shape: an inverted-index equality join on the shingle,
+    // df-capped at 50 (ubiquitous shingles are boilerplate, and the
+    // cap bounds every posting list) — never an all-pairs comparison.
+    "llm_split_leakage" -> ((s, d) => {
+      val sp = documents(s, d)
+        .withColumn("b",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("b") < 90, "train").when(col("b") < 95, "val")
+            .otherwise("test"))
+        .select("doc_id", "split")
+      val sh = TextOps.shingleRows(documents(s, d), 3)
+      val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+      val shf = sh.join(dfCap.select("shingle"), "shingle")
+        .join(sp, "doc_id")
+      val train = shf.filter(col("split") === "train")
+        .select(col("doc_id").as("train_id"), col("shingle"))
+      val eval = shf.filter(col("split") =!= "train")
+        .select(col("doc_id").as("doc_id"), col("split"), col("shingle"))
+      eval.join(train, "shingle")
+        .groupBy("doc_id", "split", "train_id")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .groupBy("doc_id", "split")
+        .agg(count(lit(1)).as("n_train_docs"),
+          max("shared").cast("bigint").as("max_shared"))
+        .orderBy("doc_id")
+    }),
+
     // Dataset snapshot diff: what changed between two corpus versions —
     // the release-engineering step before retraining. Content hashes
     // compare via one full-outer join on doc_id (hash-partitioned both
@@ -1027,6 +1061,27 @@ object LlmQueries {
         |    FROM (SELECT c, token FROM tc ORDER BY c DESC, token LIMIT 2000))
         |SELECT k, covered, covered * 1000000 // total AS covered_ppm
         |FROM cuts CROSS JOIN tot ORDER BY k""".stripMargin,
+    "llm_split_leakage" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+         |              % 100 < 90 THEN 'train'
+         |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+         |              % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50),
+         |shf AS (SELECT sh.doc_id, sh.shingle, sp.split
+         |  FROM sh JOIN keep USING (shingle) JOIN sp USING (doc_id)),
+         |pairs AS (SELECT e.doc_id, e.split, t.doc_id AS train_id,
+         |    count(*) AS shared
+         |  FROM shf e JOIN shf t ON e.shingle = t.shingle
+         |  WHERE e.split <> 'train' AND t.split = 'train'
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+         |SELECT doc_id, split, count(*) AS n_train_docs,
+         |  CAST(max(shared) AS BIGINT) AS max_shared
+         |FROM pairs GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "llm_dataset_diff" ->
       """WITH v1 AS (SELECT doc_id,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h1

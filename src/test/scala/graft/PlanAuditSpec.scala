@@ -408,6 +408,12 @@ class PlanAuditSpec extends SparkSpecBase {
     val vcPlan = planString(vc)
     assert(vcPlan.contains("TakeOrderedAndProject"), vcPlan.take(2000))
     assert(!vcPlan.contains("windowspecdefinition"), vcPlan.take(2000))
+    // llm_split_leakage: inverted-index equality join only — df-capped
+    // posting lists, no cartesian, no UDFs
+    val lk = q("llm_split_leakage")
+    lk.count()
+    assert(!collectAll(executed(lk)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!planString(lk).contains("ScalaUDF"), planString(lk).take(2000))
   }
 
   test("NO registered query plans an unpartitioned window over unbounded input") {
