@@ -116,6 +116,25 @@ class ProjectionSink(path: String, primaryKey: Seq[String], indexKey: String,
     }
   }
 
+  /** Bootstrap / rebuild: write the ENTIRE projection layout from a
+    * snapshot of the base table (every row, no op/lsn bookkeeping) —
+    * how a projection is first built over an existing replica, and the
+    * documented recovery from a violated insert contract. One
+    * bucket-partitioned write of the snapshot; subsequent CDC batches
+    * maintain it incrementally via [[applyBatch]]. */
+  def bootstrap(spark: SparkSession, snapshot: DataFrame): Unit = {
+    require(snapshot.columns.contains(indexKey),
+      s"snapshot lacks the index column $indexKey")
+    val fs = fsOf(spark)
+    if (fs.exists(root)) fs.delete(root, true)
+    snapshot
+      .withColumn("bucket", bucketOf(col(indexKey)))
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions(indexKey)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
+  }
+
   /** Point query on the index key: the bucket is constant-folded from
     * the literal, so exactly one dir of `numBuckets` is read; inside it
     * the index-sorted layout prunes row groups. */

@@ -56,6 +56,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR)
   *     ann-index     fold append-accumulated files of a persisted ANN
   *                   serving index (GRAFT_ANN_DIR)
+  *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
+  *                   projection from its base replica's snapshot — how
+  *                   a projection is added to an existing warehouse
   *   GRAFT_TABLE_KEYS — "c1,c2" for all tables, or per-table
   *     "tbl=c1,c2;tbl2=c3" (keeps rewrites key-sorted; rebucket requires
   *     the target table's keys)
@@ -337,6 +340,16 @@ object GraftApp {
           throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
         new graft.llmops.AnnIndexStore(dir).compact(spark)
         Seq(s"ann-index: compacted $dir")
+      case "project-bootstrap" =>
+        val defs = parseProjections(env, buckets)
+        require(defs.nonEmpty,
+          "GRAFT_PROJECTIONS is required for project-bootstrap")
+        defs.map { pd =>
+          val base = new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/${pd.table}", pd.primaryKey, buckets)
+          pd.sink(whRoot).bootstrap(spark, base.snapshot(spark))
+          s"project-bootstrap ${pd.table}:${pd.indexKey}"
+        }
       case v =>
         throw new IllegalArgumentException(s"unknown maintenance verb: $v")
     }

@@ -226,6 +226,16 @@ class GraftAppSpec extends SparkSpecBase {
     assert(sealedTx.ready.count() == 20)
     sealedTx.commit()
 
+    // project-bootstrap: declare a projection late, build it from the
+    // base replica's snapshot via env alone
+    val bootLines = GraftApp.maintenance(spark, env +
+      ("GRAFT_MAINTENANCE" -> "project-bootstrap",
+        "GRAFT_PROJECTIONS" -> "public.t1:val"))
+    assert(bootLines == Seq("project-bootstrap public.t1:val"))
+    val bootProj = graft.sinks.ProjectionDef("public.t1", Seq("id"), "val", 4)
+      .sink(root)
+    assert(bootProj.lookup(spark, 0).count() == 1, "bootstrapped lookup by val")
+
     // offline discipline: maintenance cannot ride along with streaming
     val err = intercept[IllegalArgumentException] {
       GraftApp.build(spark, GraftConfig(), env +

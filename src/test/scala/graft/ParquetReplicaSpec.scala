@@ -691,6 +691,38 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(proj.lookup(spark, "8").count() == 0)
   }
 
+  test("projection bootstrap from a replica snapshot; CDC batches maintain it after") {
+    import graft.model.{CdcColumn, CdcEvent}
+    import graft.streaming.CdcPipeline
+    import graft.sinks.ProjectionDef
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh-projboot").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ins(lsn: Long, id: Int, g: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", "t1", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", g.toString)),
+        keyColumns = Seq("id"))
+    // an EXISTING replica, built before any projection was declared
+    CdcPipeline.applyWarehouseBatch(
+      (1 to 50).map(i => ins(i.toLong, i, i % 5)).toDS(), root, 4, 0)
+    val base = new graft.sinks.ParquetReplicaSink(s"$root/public.t1", Seq("id"), 4)
+    // declare late; bootstrap the projection from the live snapshot
+    val d = ProjectionDef("public.t1", Seq("id"), "grp", numBuckets = 8)
+    val proj = d.sink(root)
+    proj.bootstrap(spark, base.snapshot(spark))
+    assert(proj.lookup(spark, "3").count() == 10)
+    // from here the warehouse chain maintains it incrementally
+    def upd(lsn: Long, id: Int, oldG: Int, newG: Int) =
+      CdcEvent("u", lsn, 1L, ts, "public", "t1",
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", oldG.toString)),
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", newG.toString)),
+        keyColumns = Seq("id"))
+    CdcPipeline.applyWarehouseBatch(Seq(upd(100, 3, 3, 4)).toDS(), root, 4, 1, Seq(d))
+    assert(proj.lookup(spark, "3").count() == 9)
+    assert(proj.lookup(spark, "4").select("id").collect()
+      .map(_.getString(0)).toSet.contains("3"))
+  }
+
   test("warehouse chain maintains declared projections through moves and deletes") {
     import graft.model.{CdcColumn, CdcEvent}
     import graft.streaming.CdcPipeline
