@@ -41,6 +41,16 @@ final class AnnIndexStore(root: String) extends Serializable {
   private def fsOf(spark: SparkSession) =
     metaPath.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Rebuild barrier: a (re)build over an existing root first DROPS the
+    * old _meta, so a crash mid-build leaves a meta-less root that every
+    * serve/append fails fast on ("missing meta") instead of the stale
+    * meta silently describing half-overwritten layouts. Writing _meta
+    * last (writeLsh/writeIvf) is then the commit point of the build. */
+  private def clearMeta(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    if (fs.exists(metaPath)) fs.delete(metaPath, false)
+  }
+
   private def writeMeta(spark: SparkSession, kv: Map[String, String]): Unit = {
     val out = fsOf(spark).create(metaPath, true)
     try out.write(kv.toSeq.sorted.map { case (k, v) => s"$k=$v" }
@@ -74,6 +84,7 @@ final class AnnIndexStore(root: String) extends Serializable {
                bitsPerBand: Int = Similarity.DefaultBitsPerBand,
                seed: Long = Similarity.DefaultSeed,
                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    clearMeta(embeddings.sparkSession)
     val q = writeVectors(embeddings, idCol, vecCol)
     Similarity.bandBuckets(q, bands, bitsPerBand, seed, "vec_id")
       .withColumn("part", pmod(col("bucket"), lit(NumParts)).cast("int"))
@@ -89,19 +100,37 @@ final class AnnIndexStore(root: String) extends Serializable {
   /** Serve one probe from the persisted LSH index: the probe's buckets
     * (expanded to their Hamming-`radius` balls) become literal
     * (band, part, bucket-IN-list) predicates — partition pruning reads
-    * O(bands · ball) index dirs, then the bounded candidate set joins
-    * the vectors store for exact rescoring. */
+    * O(bands · ball) index dirs. The surviving candidate set is bounded
+    * (bands × ball × bucket occupancy), so its ids come back to the
+    * driver and the rescore gather is a SECOND pruned read of the
+    * vectors store — literal `part`/`vec_id` IN-lists, never a corpus
+    * scan (the id→part bucket is recomputed in the same pruned job the
+    * candidates come from, so it matches the write layout by
+    * construction). */
   def lshTopK(spark: SparkSession, probeId: Long, k: Int,
               radius: Int = 1): DataFrame = {
+    val probe = probeVector(spark, probeId)
+    val cand = lshCandidates(spark, probeId, radius).collect()
+    score(gatherVectors(spark, cand.map(r => (r.getLong(0), r.getInt(1)))),
+      probe, probeId, k)
+  }
+
+  /** The pruned candidate read behind [[lshTopK]] — exposed
+    * (package-private) so plan tests can assert the bucket-index scan's
+    * partition pruning; the serving path collects it eagerly. Output:
+    * (vec_id, part) — `part` is the candidate's id-hash part bucket,
+    * recomputed here so the gather's IN-lists match the write layout by
+    * construction. */
+  private[graft] def lshCandidates(spark: SparkSession, probeId: Long,
+                                   radius: Int): DataFrame = {
     val meta = readMeta(spark)
     require(meta.get("kind").contains("lsh"), s"$root is not an LSH index")
     val bands = meta("bands").toInt
     val bits = meta("bitsPerBand").toInt
     val seed = meta("seed").toLong
-    val probe = probeVector(spark, probeId)
     // the probe's banded buckets: a 1-row job over the pruned fetch —
     // never an index scan by id (the bucket index has no id layout)
-    val pB = probe.select(
+    val pB = probeVector(spark, probeId).select(
         posexplode(GraftFunctions.hyperplane_buckets(col("qe"), seed, bands, bits)))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val pred = pB.map { case (band, b) =>
@@ -110,12 +139,26 @@ final class AnnIndexStore(root: String) extends Serializable {
         col("part").isin(ball.map(x => (x % NumParts).toInt).distinct: _*) &&
         col("bucket").isin(ball: _*)
     }.reduce(_ || _)
-    val cand = spark.read.parquet(s"$root/lsh_buckets")
+    spark.read.parquet(s"$root/lsh_buckets")
       .filter(pred)
       .filter(col("vec_id") =!= probeId)
-      .select("vec_id").distinct()
-    val vecs = spark.read.parquet(s"$root/vectors").drop("part")
-    score(cand.join(vecs, "vec_id"), probe, probeId, k)
+      .select(col("vec_id"),
+        pmod(hash(col("vec_id")), lit(NumParts)).cast("int").as("part"))
+      .distinct()
+  }
+
+  /** The pruned rescore gather: candidate ids (with their id-hash part
+    * buckets) become literal IN-lists on the vectors store — planned
+    * files are O(distinct candidate parts), asserted in
+    * AnnIndexStoreSpec, instead of the whole `vectors/` layout. */
+  private def gatherVectors(spark: SparkSession,
+                            idParts: Seq[(Long, Int)]): DataFrame = {
+    val base = spark.read.parquet(s"$root/vectors")
+    if (idParts.isEmpty) base.limit(0).drop("part")
+    else base
+      .filter(col("part").isin(idParts.map(_._2).distinct: _*))
+      .filter(col("vec_id").isin(idParts.map(_._1).distinct: _*))
+      .drop("part")
   }
 
   /** Build + persist the IVF serving index: posting lists carry their
@@ -125,6 +168,7 @@ final class AnnIndexStore(root: String) extends Serializable {
                dim: Int = 64, rounds: Int = 1,
                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = embeddings.sparkSession
+    clearMeta(spark)
     val q = writeVectors(embeddings, idCol, vecCol)
     val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
     assign.join(q, "vec_id")

@@ -164,11 +164,6 @@ object Similarity {
   /** One IVF centroid: (cluster id, sum-vector, its squared norm). */
   final case class IvfCentroid(cluster: Long, ce: Seq[Long], nc: Long)
 
-  /** Assignment as a PURE PROJECTION: centroids are index metadata (K
-    * rows), so they ride along as literals and the argmax-cosine runs
-    * inside whole-stage codegen — zero shuffles, unlike the textbook
-    * crossJoin + window-argmin which shuffles N·K rows. Ties break to
-    * the lowest cluster id (struct max on (cos, -cluster)). */
   /** Public form of the literal-centroid assignment for index
     * maintenance (AnnIndexStore.append): new vectors join an EXISTING
     * centroid set without re-clustering. */
@@ -176,6 +171,11 @@ object Similarity {
                         idCol: String = "vec_id"): DataFrame =
     assignByCentroids(q, cents, idCol)
 
+  /** Assignment as a PURE PROJECTION: centroids are index metadata (K
+    * rows), so they ride along as literals and the argmax-cosine runs
+    * inside whole-stage codegen — zero shuffles, unlike the textbook
+    * crossJoin + window-argmin which shuffles N·K rows. Ties break to
+    * the lowest cluster id (struct max on (cos, -cluster)). */
   private def assignByCentroids(q: DataFrame, cents: Seq[IvfCentroid],
                                 idCol: String): DataFrame = {
     val scored = cents.map { c =>

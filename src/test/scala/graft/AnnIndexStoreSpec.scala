@@ -71,14 +71,25 @@ class AnnIndexStoreSpec extends SparkSpecBase {
 
     // pruning: the bucket-index scan plans a fraction of the layout, the
     // probe-vector fetch plans exactly one part dir
-    val scans = scanFiles(store.lshTopK(spark, probeId = 5L, k = 3))
+    // the candidate read (executed eagerly inside lshTopK) must
+    // partition-prune the bucket layout to the probe's literal
+    // (band, part, bucket) predicates
     val bucketTotal = parquetFiles(s"$root/lsh_buckets")
-    val bucketScan = scans.filter(_._1.contains("lsh_buckets")).map(_._2).sum
+    val bucketScan = scanFiles(store.lshCandidates(spark, probeId = 5L, radius = 1))
+      .filter(_._1.contains("lsh_buckets")).map(_._2).sum
     assert(bucketScan > 0 && bucketScan < bucketTotal / 2,
       s"bucket index must partition-prune: planned $bucketScan of $bucketTotal files")
+    val scans = scanFiles(store.lshTopK(spark, probeId = 5L, k = 3))
+    // EVERY vectors read must be pruned: the probe fetch plans one part
+    // dir and the candidate gather plans only the candidates' part dirs
+    // — the SUM across all vectors scans stays a fraction of the store
+    // (a full-store rescore gather would alone plan every file)
+    val vecTotal = parquetFiles(s"$root/vectors")
     val vecScans = scans.filter(_._1.contains("vectors")).map(_._2)
-    assert(vecScans.min == 1,
+    assert(vecScans.nonEmpty && vecScans.min == 1,
       s"probe fetch must read ONE vectors part dir, scans=$vecScans")
+    assert(vecScans.sum < vecTotal / 2,
+      s"all vectors reads together must stay pruned: planned ${vecScans.sum} of $vecTotal files, scans=$vecScans")
   }
 
   test("persisted IVF index: serves the in-memory result, plans only probed clusters") {
@@ -180,6 +191,24 @@ class AnnIndexStoreSpec extends SparkSpecBase {
     assert(store.lshTopK(spark, probeId = 5L, k = 3)
       .collect().map(_.getLong(0)).toSeq == before,
       "committed staging must roll forward — the rows survive the crash")
+  }
+
+  test("crashed rebuild: old _meta is dropped first, serving fails fast") {
+    val df = planted(13, 40)
+    val root = Files.createTempDirectory("ann-meta").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeLsh(df)
+    assert(store.lshTopK(spark, probeId = 5L, k = 1).count() == 1)
+    // a rebuild whose corpus evaluation blows up mid-build: the old
+    // (lsh) _meta must already be gone, so the half-built root serves
+    // "missing meta", never a stale-meta hybrid of old and new layouts
+    val poison = df.withColumn("embedding",
+      when(col("vec_id") < 0, col("embedding"))
+        .otherwise(raise_error(lit("boom")).cast("void").cast("array<float>")))
+    intercept[Exception] { store.writeIvf(poison, nClusters = 4) }
+    assert(!new File(s"$root/_meta").exists(),
+      "rebuild must clear the old _meta before touching layouts")
+    intercept[Exception] { store.lshTopK(spark, probeId = 5L, k = 1) }
   }
 
   test("index kind guard: serving the wrong kind fails fast") {
