@@ -38,8 +38,30 @@ final class AnnIndexStore(root: String) extends Serializable {
   import AnnIndexStore.NumParts
 
   private def metaPath = new Path(root, "_meta")
+  private def tombPath = new Path(root, "_tombstones")
   private def fsOf(spark: SparkSession) =
     metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Retraction: tombstone `ids` so serving never surfaces them again;
+    * the rows are physically removed at the next [[compact]] (which
+    * also clears the tombstones). Between delete and compact the
+    * tombstone set is a driver-bounded id list (the same maintenance
+    * cadence that bounds append file counts) — serving filters against
+    * it, so correctness never waits on compaction. A tombstoned id
+    * stays dead until compacted out; re-adding it is not supported
+    * (fresh ids only, as with [[append]]). */
+  def delete(spark: SparkSession, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "delete: empty id set")
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(tombPath.toString)
+  }
+
+  /** The current tombstone set (empty when none have been written). */
+  private def tombstoned(spark: SparkSession): Set[Long] =
+    if (!fsOf(spark).exists(tombPath)) Set.empty
+    else spark.read.parquet(tombPath.toString)
+      .collect().map(_.getLong(0)).toSet
 
   /** Rebuild barrier: a (re)build over an existing root first DROPS the
     * old _meta, so a crash mid-build leaves a meta-less root that every
@@ -109,10 +131,12 @@ final class AnnIndexStore(root: String) extends Serializable {
     * construction). */
   def lshTopK(spark: SparkSession, probeId: Long, k: Int,
               radius: Int = 1): DataFrame = {
+    val dead = tombstoned(spark)
+    require(!dead(probeId), s"probe $probeId is tombstoned")
     val probe = probeVector(spark, probeId)
     val cand = lshCandidates(spark, probeId, radius).collect()
-    score(gatherVectors(spark, cand.map(r => (r.getLong(0), r.getInt(1)))),
-      probe, probeId, k)
+      .map(r => (r.getLong(0), r.getInt(1))).filterNot(p => dead(p._1))
+    score(gatherVectors(spark, cand), probe, probeId, k)
   }
 
   /** The pruned candidate read behind [[lshTopK]] — exposed
@@ -161,6 +185,142 @@ final class AnnIndexStore(root: String) extends Serializable {
       .drop("part")
   }
 
+  /** Batch retrieval against the persisted LSH index: top-k for EVERY
+    * probe id in ONE serving plan — the bulk companion of [[lshTopK]]
+    * (eval-set retrieval, RAG corpus scoring), where a per-probe driver
+    * loop would re-plan and re-scan per query.
+    *
+    * Same pruning discipline, amortized across the batch:
+    *   - ONE pruned probe-vector fetch (id-part IN-lists);
+    *   - ONE pruned bucket-index read covering the UNION of all probes'
+    *     (band, part, bucket-ball) predicates, joined to the local
+    *     probe→ball table to attribute candidates per probe;
+    *   - ONE pruned gather of the union candidate set, then a per-probe
+    *     window top-k (partitioned by probe — never a global sort).
+    * Planned files = union of probed partitions (asserted in the spec).
+    * Probe batches are driver-bounded (ids, buckets and candidate pairs
+    * come to the driver) — thousands of probes, not a dataset-sized
+    * join; for probe sets that are themselves a corpus, use
+    * [[Similarity.signLshTopKBatch]]'s all-distributed shuffle form.
+    *
+    * Output: (pid, vec_id, dp, cosine, rank) — per probe, `rank` 1..k,
+    * row-for-row equal to [[lshTopK]] of that probe (spec-asserted). */
+  def lshTopKBatch(spark: SparkSession, probeIds: Seq[Long], k: Int,
+                   radius: Int = 1): DataFrame = {
+    import spark.implicits._
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("lsh"), s"$root is not an LSH index")
+    require(probeIds.nonEmpty, "empty probe set")
+    val bands = meta("bands").toInt
+    val bits = meta("bitsPerBand").toInt
+    val seed = meta("seed").toLong
+    val probes = probeVectors(spark, probeIds)
+    // every probe's banded buckets in one job over the pruned fetch,
+    // then the Hamming balls expand on the driver: bounded by
+    // |probes| · bands · C(bits, ≤radius)
+    val pB = probes.select(col("vec_id").as("pid"),
+        posexplode(GraftFunctions.hyperplane_buckets(col("qe"), seed, bands, bits)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ball = pB.flatMap { case (pid, band, b) =>
+      Similarity.hammingBall(b, bits, radius).map(bb => (pid, band, bb))
+    }.distinct
+    // one bucket-index read for the whole batch: per band, the union of
+    // all probes' parts and buckets (the local ball table re-attributes
+    // collisions to their probes — a cross-probe bucket hit is real: the
+    // bucket genuinely contains candidates for both probes)
+    val pred = ball.groupBy(_._2).map { case (band, rows) =>
+      val buckets = rows.map(_._3).distinct
+      col("band") === band &&
+        col("part").isin(buckets.map(x => (x % NumParts).toInt).distinct: _*) &&
+        col("bucket").isin(buckets: _*)
+    }.reduce(_ || _)
+    val ballDf = ball.toSeq.toDF("pid", "band", "bucket")
+    val dead = tombstoned(spark)
+    require(!probeIds.exists(dead), "probe set contains tombstoned ids")
+    val pairs = spark.read.parquet(s"$root/lsh_buckets")
+      .filter(pred)
+      .join(broadcast(ballDf), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        pmod(hash(col("vec_id")), lit(NumParts)).cast("int").as("part"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filterNot(p => dead(p._2))
+    val pairsDf = pairs.toSeq.toDF("pid", "vec_id", "part")
+    val vecs = gatherVectors(spark, pairs.map(p => (p._2, p._3)).distinct)
+    val pv = broadcast(probes.select(col("vec_id").as("pid"),
+      col("qe").as("pe"), col("nq").as("np")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
+    vecs.join(broadcast(pairsDf.drop("part")), "vec_id")
+      .join(pv, "pid")
+      .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("pid", "vec_id", "dp", "cosine", "rank")
+  }
+
+  /** Batch retrieval against the persisted IVF index: top-k for every
+    * probe in ONE serving plan. Centroid ranking stays driver-side (the
+    * centroid table IS index metadata); the member scan is ONE read
+    * pruned to the UNION of all probes' nprobe clusters, re-attributed
+    * per probe by the local (pid, cluster) table — posting lists carry
+    * their vectors, so there is no gather join at all.
+    * Output as [[lshTopKBatch]]; row-for-row equal to [[ivfTopK]]. */
+  def ivfTopKBatch(spark: SparkSession, probeIds: Seq[Long], k: Int,
+                   nprobe: Int = Similarity.DefaultIvfProbes): DataFrame = {
+    import spark.implicits._
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
+    require(probeIds.nonEmpty, "empty probe set")
+    val dead = tombstoned(spark)
+    require(!probeIds.exists(dead), "probe set contains tombstoned ids")
+    val cents = spark.read.parquet(s"$root/ivf_centroids")
+      .collect()
+      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val probes = probeVectors(spark, probeIds)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val probeClusters = probes.flatMap { case (pid, pe, np) =>
+      cents.map(c => (Similarity.centroidCos(c.ce, c.nc, pe, np), c.cluster))
+        .sortBy { case (cos, cl) => (-cos, cl) }
+        .take(nprobe).map { case (_, cl) => (pid, cl) }
+    }
+    val pcDf = probeClusters.toSeq.toDF("pid", "cluster")
+    val pvDf = probes.toSeq.toDF("pid", "pe", "np")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
+    dropDead(spark.read.parquet(s"$root/ivf")
+        .filter(col("cluster").isin(probeClusters.map(_._2).distinct: _*)), dead)
+      .join(broadcast(pcDf), Seq("cluster"))
+      .filter(col("vec_id") =!= col("pid"))
+      .join(broadcast(pvDf), "pid")
+      .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("pid", "vec_id", "dp", "cosine", "rank")
+  }
+
+  /** Tombstone filter for streaming-shaped reads (IVF members, whose
+    * posting lists carry vectors): an IN-set exclusion on the bounded
+    * dead-id list — a no-op when nothing is tombstoned. */
+  private def dropDead(df: DataFrame, dead: Set[Long]): DataFrame =
+    if (dead.isEmpty) df else df.filter(!col("vec_id").isin(dead.toSeq: _*))
+
+  /** Pruned multi-probe fetch: each probe id contributes a
+    * constant-folded (part, vec_id) equality pair, so the batch fetch
+    * plans only the probes' part dirs (the multi-id form of
+    * [[probeVector]]). */
+  private def probeVectors(spark: SparkSession, probeIds: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$root/vectors")
+      .filter(probeIds.map(id =>
+        col("part") === pmod(hash(lit(id)), lit(NumParts)) &&
+          col("vec_id") === id).reduce(_ || _))
+      .drop("part")
+
   /** Build + persist the IVF serving index: posting lists carry their
     * vectors (partitioned by cluster), centroids are K metadata rows. */
   def writeIvf(embeddings: DataFrame,
@@ -179,9 +339,13 @@ final class AnnIndexStore(root: String) extends Serializable {
     import spark.implicits._
     cents.toDF("cluster", "ce", "nc").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/ivf_centroids")
+    // build-time assignment quality: the baseline the per-append drift
+    // numbers are judged against (rebuild-due telemetry)
+    val (bm, bp) = driftStats(assign)
     writeMeta(spark, Map(
       "kind" -> "ivf", "nClusters" -> nClusters.toString,
-      "dim" -> dim.toString, "numParts" -> NumParts.toString))
+      "dim" -> dim.toString, "numParts" -> NumParts.toString,
+      "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
   }
 
   /** Serve one probe from the persisted IVF index: K centroid scores on
@@ -192,6 +356,8 @@ final class AnnIndexStore(root: String) extends Serializable {
               nprobe: Int = Similarity.DefaultIvfProbes): DataFrame = {
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
+    val dead = tombstoned(spark)
+    require(!dead(probeId), s"probe $probeId is tombstoned")
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
       .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
@@ -206,7 +372,7 @@ final class AnnIndexStore(root: String) extends Serializable {
       .filter(col("cluster").isin(probeClusters: _*))
       .filter(col("vec_id") =!= probeId)
       .drop("cluster")
-    score(members, probe, probeId, k)
+    score(dropDead(members, dead), probe, probeId, k)
   }
 
   /** Incremental intake: add a batch of new vectors to the persisted
@@ -243,27 +409,64 @@ final class AnnIndexStore(root: String) extends Serializable {
           .collect()
           .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
           .toSeq
-        Similarity.assignToCentroids(q, cents, "vec_id")
-          .join(q, "vec_id")
+        val assign = Similarity.assignToCentroids(q, cents, "vec_id")
+        assign.join(q, "vec_id")
           .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
           .repartition(col("cluster"))
           .write.mode("append").partitionBy("cluster")
           .parquet(s"$root/ivf")
+        // centroids are frozen at build time, so appended batches drift:
+        // record this batch's assignment quality into _meta so the
+        // ann-index maintenance verb can report when a rebuild is due
+        val (m, p) = driftStats(assign)
+        writeMeta(spark, meta ++ Map(
+          "drift_appends" ->
+            (meta.get("drift_appends").map(_.toInt).getOrElse(0) + 1).toString,
+          "drift_last_mean" -> f"$m%.6f", "drift_last_p95" -> f"$p%.6f"))
       case k => throw new IllegalArgumentException(s"unknown index kind $k")
+    }
+  }
+
+  /** Mean / p95 cosine DISTANCE (1 − cos) of an assignment to its
+    * centroids — one partial aggregation over the batch. */
+  private def driftStats(assign: DataFrame): (Double, Double) = {
+    val r = assign.agg(
+      avg(lit(1.0) - col("cos")),
+      percentile_approx(lit(1.0) - col("cos"), lit(0.95), lit(10000))).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** The recorded centroid-drift telemetry, human-readable (None until
+    * an IVF append has run): per-append mean/p95 distance-to-centroid
+    * vs the build-time baseline. Rising numbers mean the frozen
+    * centroids no longer describe the appended data — rebuild with
+    * [[writeIvf]]. */
+  def driftReport(spark: SparkSession): Option[String] = {
+    val meta = readMeta(spark)
+    meta.get("drift_last_mean").map { m =>
+      s"drift: appends=${meta.getOrElse("drift_appends", "?")} " +
+        s"last mean=$m p95=${meta.getOrElse("drift_last_p95", "?")} " +
+        s"(build mean=${meta.getOrElse("drift_build_mean", "?")} " +
+        s"p95=${meta.getOrElse("drift_build_p95", "?")})"
     }
   }
 
   /** Maintenance: fold the files `append` accumulates back to ~one per
     * partition dir (k appends leave k files per touched dir; serving
-    * correctness is unaffected but open/list overhead grows). Offline
-    * discipline (no concurrent append/serve); each layout rewrites via
-    * a committed-staging swap — a crash leaves either the old files or
-    * the folded copy, and re-running compact first heals an interrupted
-    * swap (committed staging rolls FORWARD over a partially-deleted
-    * original, as everywhere else in this library). */
+    * correctness is unaffected but open/list overhead grows), and
+    * physically remove tombstoned rows from every layout (the
+    * tombstones themselves clear once all layouts are purged — a crash
+    * mid-way leaves them in place, so serving keeps filtering and a
+    * re-run finishes the purge). Offline discipline (no concurrent
+    * append/serve); each layout rewrites via a committed-staging swap —
+    * a crash leaves either the old files or the folded copy, and
+    * re-running compact first heals an interrupted swap (committed
+    * staging rolls FORWARD over a partially-deleted original, as
+    * everywhere else in this library). */
   def compact(spark: SparkSession): Unit = {
     val fs = fsOf(spark)
     val kind = readMeta(spark)("kind")
+    val dead = tombstoned(spark)
     val layouts: Seq[(String, Seq[String])] =
       ("vectors", Seq("part")) +: (kind match {
         case "lsh" => Seq(("lsh_buckets", Seq("band", "part")))
@@ -280,7 +483,7 @@ final class AnnIndexStore(root: String) extends Serializable {
         } else fs.delete(staged, true)
       }
       if (fs.exists(dir)) {
-        val df = spark.read.parquet(dir.toString)
+        val df = dropDead(spark.read.parquet(dir.toString), dead)
         df.repartition(partCols.map(col): _*)
           .write.mode("overwrite").partitionBy(partCols: _*)
           .parquet(staged.toString)
@@ -288,6 +491,9 @@ final class AnnIndexStore(root: String) extends Serializable {
         fs.rename(staged, dir)
       }
     }
+    // all layouts purged → the tombstones have been folded in; clearing
+    // them last keeps serving correct across any crash window above
+    if (dead.nonEmpty) fs.delete(tombPath, true)
   }
 
   /** The probe row via the constant-folded part bucket: hash(lit(id))

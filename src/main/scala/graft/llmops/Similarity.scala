@@ -175,7 +175,9 @@ object Similarity {
     * rows), so they ride along as literals and the argmax-cosine runs
     * inside whole-stage codegen — zero shuffles, unlike the textbook
     * crossJoin + window-argmin which shuffles N·K rows. Ties break to
-    * the lowest cluster id (struct max on (cos, -cluster)). */
+    * the lowest cluster id (struct max on (cos, -cluster)). The winning
+    * cosine rides along as `cos` — assignment quality telemetry
+    * (AnnIndexStore's centroid-drift report) for free. */
   private def assignByCentroids(q: DataFrame, cents: Seq[IvfCentroid],
                                 idCol: String): DataFrame = {
     val scored = cents.map { c =>
@@ -185,7 +187,8 @@ object Similarity {
         lit(-c.cluster).as("negCl"))
     }
     q.withColumn("__best", array_max(array(scored: _*)))
-      .select(col(idCol), (-col("__best.negCl")).as("cluster"))
+      .select(col(idCol), (-col("__best.negCl")).as("cluster"),
+        col("__best.c").as("cos"))
   }
 
   /** Driver-side exact cosine between a centroid and a probe vector. */

@@ -55,7 +55,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   (GRAFT_CURATE_STORE)
   *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR)
   *     ann-index     fold append-accumulated files of a persisted ANN
-  *                   serving index (GRAFT_ANN_DIR)
+  *                   serving index (GRAFT_ANN_DIR); GRAFT_ANN_DELETE=
+  *                   id,id,… retracts vectors (tombstone + physical
+  *                   fold); reports IVF centroid-drift telemetry
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -338,8 +340,17 @@ object GraftApp {
       case "ann-index" =>
         val dir = env.getOrElse("GRAFT_ANN_DIR",
           throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
-        new graft.llmops.AnnIndexStore(dir).compact(spark)
-        Seq(s"ann-index: compacted $dir")
+        val store = new graft.llmops.AnnIndexStore(dir)
+        // optional retraction first: GRAFT_ANN_DELETE=id,id,… tombstones
+        // the ids, and the compact below folds them out physically
+        val deleted = env.get("GRAFT_ANN_DELETE").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+        if (deleted.nonEmpty) store.delete(spark, deleted)
+        store.compact(spark)
+        (if (deleted.nonEmpty)
+           Seq(s"ann-index: retracted ${deleted.size} ids") else Seq.empty) ++
+          Seq(s"ann-index: compacted $dir") ++
+          store.driftReport(spark).map(d => s"ann-index: $d")
       case "project-bootstrap" =>
         val defs = parseProjections(env, buckets)
         require(defs.nonEmpty,

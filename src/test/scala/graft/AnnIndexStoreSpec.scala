@@ -193,6 +193,121 @@ class AnnIndexStoreSpec extends SparkSpecBase {
       "committed staging must roll forward — the rows survive the crash")
   }
 
+  test("batch probe serving: one plan, per-probe parity, union-pruned reads") {
+    val df = planted(57, 110)
+    val probes = Seq(5L, 17L, 30L, 64L)
+
+    // LSH: batch result must be row-for-row the per-probe result
+    val lshRoot = Files.createTempDirectory("ann-b-lsh").toFile.getAbsolutePath + "/idx"
+    val lsh = new AnnIndexStore(lshRoot)
+    lsh.writeLsh(df)
+    val lshBatch = lsh.lshTopKBatch(spark, probes, k = 3)
+    val byPid = lshBatch.collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toSeq).toMap
+    probes.foreach { pid =>
+      val single = lsh.lshTopK(spark, pid, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(byPid.getOrElse(pid, Seq.empty) == single,
+        s"batch must equal per-probe serving for pid=$pid")
+    }
+    assert(byPid(5L).head._1 == 110L, "planted twin of 5 must rank first in batch")
+    // the one serving plan's vector reads stay pruned to the union of
+    // probe + candidate parts — never the whole store
+    val vecTotal = parquetFiles(s"$lshRoot/vectors")
+    val vecScans = scanFiles(lsh.lshTopKBatch(spark, probes, k = 3))
+      .filter(_._1.contains("vectors")).map(_._2)
+    assert(vecScans.nonEmpty && vecScans.sum < vecTotal,
+      s"batch gather must stay pruned: planned ${vecScans.sum} of $vecTotal files")
+
+    // IVF: same contract; the member scan prunes to the UNION of all
+    // probes' nprobe clusters inside the single plan
+    val ivfRoot = Files.createTempDirectory("ann-b-ivf").toFile.getAbsolutePath + "/idx"
+    val ivf = new AnnIndexStore(ivfRoot)
+    ivf.writeIvf(df, nClusters = 16)
+    val ivfBatch = ivf.ivfTopKBatch(spark, probes, k = 3, nprobe = 4)
+    val ivfByPid = ivfBatch.collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toSeq).toMap
+    probes.foreach { pid =>
+      val single = ivf.ivfTopK(spark, pid, k = 3, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ivfByPid.getOrElse(pid, Seq.empty) == single,
+        s"IVF batch must equal per-probe serving for pid=$pid")
+    }
+    val ivfTotal = parquetFiles(s"$ivfRoot/ivf")
+    val memberScan = scanFiles(ivf.ivfTopKBatch(spark, probes, k = 3, nprobe = 4))
+      .filter(_._1.contains("/ivf")).map(_._2).sum
+    assert(memberScan > 0 && memberScan < ivfTotal,
+      s"batch member scan must prune to the probed-cluster union: $memberScan of $ivfTotal")
+  }
+
+  test("retraction: deleted ids never surface; compact purges them physically") {
+    import spark.implicits._
+    val df = planted(23, 90)   // twins: 90 ~ base(5), 91 ~ base(17)
+    val lshRoot = Files.createTempDirectory("ann-del-lsh").toFile.getAbsolutePath + "/idx"
+    val lsh = new AnnIndexStore(lshRoot)
+    lsh.writeLsh(df)
+    assert(lsh.lshTopK(spark, 5L, k = 1).head().getLong(0) == 90L)
+
+    // tombstone the twin: serving must skip it IMMEDIATELY (pre-compact)
+    lsh.delete(spark, Seq(90L))
+    val afterDel = lsh.lshTopK(spark, 5L, k = 5).collect().map(_.getLong(0))
+    assert(!afterDel.contains(90L), s"tombstoned id surfaced: ${afterDel.toSeq}")
+    assert(!lsh.lshTopKBatch(spark, Seq(5L, 17L), k = 5)
+      .collect().map(_.getLong(1)).contains(90L))
+    intercept[IllegalArgumentException] { lsh.lshTopK(spark, 90L, k = 1) }
+
+    // compact folds the tombstone out of BOTH layouts and clears it
+    lsh.compact(spark)
+    assert(!new File(s"$lshRoot/_tombstones").exists())
+    assert(spark.read.parquet(s"$lshRoot/vectors")
+      .filter(col("vec_id") === 90L).isEmpty, "vectors row must be purged")
+    assert(spark.read.parquet(s"$lshRoot/lsh_buckets")
+      .filter(col("vec_id") === 90L).isEmpty, "bucket rows must be purged")
+    assert(!lsh.lshTopK(spark, 5L, k = 5)
+      .collect().map(_.getLong(0)).contains(90L))
+
+    // IVF: same contract, including the append→delete→serve sequence
+    val ivfRoot = Files.createTempDirectory("ann-del-ivf").toFile.getAbsolutePath + "/idx"
+    val ivf = new AnnIndexStore(ivfRoot)
+    ivf.writeIvf(df, nClusters = 8)
+    val rnd = new scala.util.Random(11)
+    val probeVec = df.filter(col("vec_id") === 17L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    ivf.append(Seq((200L, probeVec.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding"))
+    assert(ivf.ivfTopK(spark, 17L, k = 1, nprobe = 2).head().getLong(0) == 200L)
+    ivf.delete(spark, Seq(200L))
+    assert(!ivf.ivfTopK(spark, 17L, k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).contains(200L))
+    assert(!ivf.ivfTopKBatch(spark, Seq(17L), k = 5, nprobe = 2)
+      .collect().map(_.getLong(1)).contains(200L))
+    ivf.compact(spark)
+    assert(spark.read.parquet(s"$ivfRoot/ivf")
+      .filter(col("vec_id") === 200L).isEmpty, "posting row must be purged")
+    assert(!ivf.ivfTopK(spark, 17L, k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).contains(200L))
+  }
+
+  test("IVF drift telemetry: appends record mean/p95 distance vs build baseline") {
+    import spark.implicits._
+    val df = planted(31, 70)
+    val root = Files.createTempDirectory("ann-drift").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeIvf(df, nClusters = 8)
+    assert(store.driftReport(spark).isEmpty, "no drift before any append")
+    val rnd = new scala.util.Random(9)
+    store.append(Seq((300L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding"))
+    val rep1 = store.driftReport(spark)
+    assert(rep1.exists(r => r.startsWith("drift: appends=1") &&
+      r.contains("build mean=")), rep1.toString)
+    store.append(Seq((301L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding"))
+    assert(store.driftReport(spark).exists(_.startsWith("drift: appends=2")))
+  }
+
   test("crashed rebuild: old _meta is dropped first, serving fails fast") {
     val df = planted(13, 40)
     val root = Files.createTempDirectory("ann-meta").toFile.getAbsolutePath + "/idx"

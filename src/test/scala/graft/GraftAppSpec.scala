@@ -277,6 +277,26 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_MAINTENANCE" -> "ann-index", "GRAFT_ANN_DIR" -> annDir))
     assert(annLines == Seq(s"ann-index: compacted $annDir"))
     assert(ann.lshTopK(spark, probeId = 1L, k = 1).count() == 1)
+
+    // retraction via env: GRAFT_ANN_DELETE tombstones + folds out
+    val delLines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index", "GRAFT_ANN_DIR" -> annDir,
+      "GRAFT_ANN_DELETE" -> "7, 9"))
+    assert(delLines.head == "ann-index: retracted 2 ids", delLines.mkString)
+    assert(!ann.lshTopK(spark, probeId = 1L, k = 30)
+      .collect().map(_.getLong(0)).exists(Set(7L, 9L)))
+
+    // IVF store: after an append, the verb reports centroid drift
+    val ivfDir = Files.createTempDirectory("app-maint-ivf")
+      .toFile.getAbsolutePath + "/idx"
+    val ivf = new graft.llmops.AnnIndexStore(ivfDir)
+    ivf.writeIvf(vecs, nClusters = 4)
+    ivf.append(Seq((100L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding"))
+    val ivfLines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index", "GRAFT_ANN_DIR" -> ivfDir))
+    assert(ivfLines.exists(l => l.startsWith("ann-index: drift: appends=1")
+      && l.contains("build mean=")), ivfLines.mkString)
   }
 
   test("connectTransport sends StartupMessage BEFORE reading the handshake") {
