@@ -6,11 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` + typed metadata.
   *
-  * The decode/feature-extract step is a clearly-marked STUB (no image/
-  * audio libraries in this environment); the Spark-side contract — the
-  * schema, the per-partition batch shape, the partitioning — is real and
-  * tested. Swapping `decodeStub` for a JNI/ONNX decoder changes nothing
-  * upstream or downstream.
+  * IMAGE decode and resize are REAL — `javax.imageio` ships in the JDK
+  * (PNG/JPEG/GIF/BMP), so [[decodeImage]] reads actual pixel dimensions
+  * and extracts a luminance-grid feature, and [[resizeImage]] rescales
+  * and re-encodes. Only VIDEO (and exotic codecs) keep the
+  * clearly-marked deterministic stubs ([[decodeStub]], [[sampleFrames]])
+  * — no video codec exists in this environment; the Spark-side
+  * contract — schema, per-partition batch shape, partitioning — is
+  * identical on both paths, so swapping the stub for a JNI/ONNX decoder
+  * changes nothing upstream or downstream.
   *
   * Batch shape: `mapPartitions` pulls `batchSize` items at a time
   * (mirroring Arrow-batch UDF execution) so a real decoder can amortize
@@ -47,9 +51,95 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** STUB decoder: deterministic pseudo-features from the payload hash.
-    * A real implementation decodes pixels/samples here — per batch, so
-    * codec setup amortizes. Everything around it is production-shaped. */
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/
+    * BMP): actual pixel dimensions plus a `featureDim`-strip mean-
+    * luminance feature in [-1, 1] — deterministic, pixel-derived, and
+    * cheap (pixels are sampled on a ≤256-point grid per axis, so a
+    * 4k image costs the same as a thumbnail). Undecodable payloads
+    * fail loudly with the media id (route bad rows upstream; silent
+    * nulls would poison downstream similarity). Runs per batch inside
+    * `mapPartitions` like every decoder here. */
+  def decodeImage(items: Dataset[MediaItem], batchSize: Int = 64,
+                  featureDim: Int = 8): Dataset[MediaFeatures] = {
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ImageIO readers are looked up per call; batch grouping kept so
+        // heavier codecs can init once per batch
+        batch.iterator.map { m =>
+          require(m.kind == "image",
+            s"decodeImage on kind=${m.kind} (media ${m.media_id})")
+          val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null,
+            s"media ${m.media_id}: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val stepX = math.max(1, w / 256)
+          val stepY = math.max(1, h / 256)
+          val feature = Array.tabulate(featureDim) { i =>
+            // strip i covers x ∈ [i·w/dim, (i+1)·w/dim)
+            val x0 = i * w / featureDim
+            val x1 = math.max(x0 + 1, (i + 1) * w / featureDim)
+            var sum = 0.0; var n = 0
+            var y = 0
+            while (y < h) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                n += 1; x += stepX
+              }
+              y += stepY
+            }
+            if (n == 0) 0f else ((sum / n) / 127.5 - 1.0).toFloat
+          }
+          val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          MediaFeatures(m.media_id, m.kind, bytes.length,
+            digest.take(4).map(b => f"${b & 0xff}%02x").mkString,
+            width = w, height = h, feature = feature)
+        }
+      }
+    }
+  }
+
+  /** REAL image resize via `java.awt` + `javax.imageio`: decode, scale
+    * to `targetW`×`targetH` (area-ish smooth scaling), re-encode PNG.
+    * Deterministic (PNG encoding carries no timestamps), so re-runs and
+    * replays produce byte-identical thumbnails. */
+  def resizeImage(items: Dataset[MediaItem], targetW: Int, targetH: Int,
+                  batchSize: Int = 64): Dataset[ResizedMedia] = {
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val src = Option(m.bytes).getOrElse(Array.emptyByteArray)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(src))
+          require(img != null,
+            s"media ${m.media_id}: payload is not a decodable image")
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          ResizedMedia(m.media_id, m.kind, buf.toByteArray,
+            targetW, targetH, src.length)
+        }
+      }
+    }
+  }
+
+  /** STUB decoder for kinds the JDK cannot decode (VIDEO — no codec in
+    * this environment): deterministic pseudo-features from the payload
+    * hash. A real implementation decodes frames here — per batch, so
+    * codec setup amortizes. Everything around it is production-shaped;
+    * images use the real [[decodeImage]]. */
   def decodeStub(items: Dataset[MediaItem], batchSize: Int = 64,
                  featureDim: Int = 8): Dataset[MediaFeatures] = {
     items.mapPartitions { it =>
@@ -88,10 +178,10 @@ object Multimodal {
                                 width: Int, height: Int, orig_bytes: Int)
   implicit val resizedEnc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
 
-  /** STUB resize: the image-preprocessing step of a multimodal ingest
-    * (real impl: decode → scale to `targetW`×`targetH` → re-encode, per
-    * batch). The stub emits a deterministic payload derived from the
-    * input (md5-keyed, length `targetW·targetH/64` as a stand-in for a
+  /** STUB resize for non-image kinds (video thumbnailing needs a codec
+    * this environment lacks; images use the real [[resizeImage]]). The
+    * stub emits a deterministic payload derived from the input
+    * (md5-keyed, length `targetW·targetH/64` as a stand-in for a
     * re-encoded thumbnail), so downstream size accounting and
     * repartitioning are exercised with realistic byte volumes. */
   def resizeStub(items: Dataset[MediaItem], targetW: Int, targetH: Int,

@@ -567,8 +567,10 @@ object LlmQueries {
     }),
 
     // Multimodal column plumbing: text treated as an opaque binary blob
-    // with typed metadata; "decode" is the deterministic stub (md5-derived
-    // fake dimensions) — the Spark-side schema/partition path is real.
+    // with typed metadata. This ORACLE query uses md5-derived fake
+    // dimensions so DuckDB can reproduce it; real image decode/resize
+    // (actual pixels via javax.imageio) lives in Multimodal.decodeImage/
+    // resizeImage and is pinned by LlmOpsSpec.
     "llm_multimodal_meta" -> ((s, d) => {
       documents(s, d)
         .withColumn("blob", col("text").cast("binary"))

@@ -618,8 +618,8 @@ class LlmOpsSpec extends SparkSpecBase {
         s"${StreamingCurate.lastTextDirsPlanned.size}")
   }
 
-  test("multimodal stub: schema, batch shape, determinism") {
-    val media = Multimodal.asMedia(docs, "doc_id", "text", "image", "source",
+  test("multimodal stub (video kinds): schema, batch shape, determinism") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "video", "source",
       "application/octet-stream")
     val feats = Multimodal.decodeStub(media, batchSize = 32, featureDim = 8)
     val rows = feats.collect()
@@ -642,9 +642,81 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(frames.select("frame_key").distinct().count() == 12)
   }
 
-  test("resize stub: target dims, deterministic payloads, batch amortization shape") {
-    val media = Multimodal.asMedia(docs.limit(10), "doc_id", "text", "image",
-      "source", "image/png")
+  test("real image decode: actual pixel dims + luminance feature via javax.imageio") {
+    import spark.implicits._
+    // generate REAL PNGs: a horizontal dark→light gradient, per-doc size
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaItem(1L, "image", png(32, 20), "s", "image/png"),
+      Multimodal.MediaItem(2L, "image", png(64, 48), "s", "image/png"),
+      Multimodal.MediaItem(3L, "image", png(8, 8), "s", "image/png")).toDS()
+    val feats = Multimodal.decodeImage(media, batchSize = 2, featureDim = 4)
+      .collect().sortBy(_.media_id)
+    // REAL dimensions come back from the decoder, not hash fakes
+    assert(feats.map(f => (f.width, f.height)).toSeq ==
+      Seq((32, 20), (64, 48), (8, 8)))
+    assert(feats.forall(_.feature.length == 4))
+    // the gradient shows up in the feature: strips get monotonically
+    // brighter left → right, spanning most of [-1, 1]
+    feats.foreach { f =>
+      assert(f.feature.toSeq == f.feature.sorted.toSeq,
+        s"luminance strips must brighten left->right: ${f.feature.toSeq}")
+      assert(f.feature.head < -0.5f && f.feature.last > 0.5f)
+    }
+    // undecodable payload fails loudly with the media id
+    val bad = Seq(Multimodal.MediaItem(9L, "image",
+      Array[Byte](1, 2, 3), "s", "image/png")).toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImage(bad).collect()
+    }
+    assert(err.getMessage.contains("9") ||
+      Option(err.getCause).exists(_.getMessage.contains("9")))
+  }
+
+  test("real image resize: rescaled + re-encoded PNG round-trips at target dims") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaItem(1L, "image", png(40, 30), "s", "image/png"),
+      Multimodal.MediaItem(2L, "image", png(16, 16), "s", "image/png")).toDS()
+    val resized = Multimodal.resizeImage(media, targetW = 8, targetH = 8)
+      .collect().sortBy(_.media_id)
+    assert(resized.forall(r => r.width == 8 && r.height == 8))
+    assert(resized.map(_.orig_bytes).toSeq == media.collect().sortBy(_.media_id)
+      .map(_.bytes.length).toSeq)
+    // the output IS a decodable PNG at the target dimensions
+    resized.foreach { r =>
+      val round = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.bytes))
+      assert(round != null && round.getWidth == 8 && round.getHeight == 8)
+    }
+    // deterministic across batch sizes: byte-identical thumbnails
+    val again = Multimodal.resizeImage(media, 8, 8, batchSize = 1)
+      .collect().sortBy(_.media_id)
+    assert(resized.map(_.bytes.toSeq).toSeq == again.map(_.bytes.toSeq).toSeq)
+  }
+
+  test("resize stub (video kinds): target dims, deterministic payloads, batch shape") {
+    val media = Multimodal.asMedia(docs.limit(10), "doc_id", "text", "video",
+      "source", "video/mp4")
     val resized = Multimodal.resizeStub(media, targetW = 64, targetH = 64)
     val rows = resized.collect()
     assert(rows.length == 10)
@@ -677,8 +749,8 @@ class LlmOpsSpec extends SparkSpecBase {
   }
 
   test("multimodal features feed the similarity stack unchanged") {
-    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text", "image",
-      "source", "image/png")
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text", "video",
+      "source", "video/mp4")
     val feats = Multimodal.decodeStub(media, featureDim = 8)
     val emb = Multimodal.featureEmbeddings(feats)
     val probe = emb.select("vec_id").orderBy("vec_id").head().getLong(0)
