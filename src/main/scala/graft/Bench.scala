@@ -73,29 +73,46 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of 3 runs per query: single-shot numbers on a shared box mix
-    // JIT/scheduling noise into the measurement (observed up to ~2×
-    // swings between whole runs). A failed run is recorded in "errors",
-    // never as a (fast) wall time.
+    // Median of 3 INTERLEAVED passes per query. Back-to-back repeats of
+    // a ~1 s query all land inside the same shared-box contention window
+    // (minutes long), so even a min-of-3 recorded 6× phantom swings two
+    // rounds running. Sweeping the whole set three times instead puts a
+    // query's repetitions minutes apart — at most one pass sits in any
+    // contention window, and the median ignores it. "spread" reports
+    // max/min per query where the passes disagreed >1.5×, so residual
+    // noise is visible IN the artifact instead of needing a re-measure.
+    // A failed run is recorded in "errors", never as a (fast) wall time.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 3).flatMap { _ =>
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    (1 to 3).foreach { _ =>
+      headline.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            Some((System.nanoTime() - t0) / 1e9)
+            times(name) = times.getOrElse(name, Nil) :+
+              (System.nanoTime() - t0) / 1e9
           } catch {
             case t: Throwable =>
               errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
                 .replaceAll("[\"\\n\\r]", " ").take(200)
-              None
           }
         }
-        name -> (if (times.nonEmpty) times.min else -1.0)
       }
     }
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      val ts = times.getOrElse(name, Nil).sorted
+      name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
+    }
+    val spread = headline.flatMap { name =>
+      val ts = times.getOrElse(name, Nil)
+      if (ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 1.5)
+        Some(name -> ts.max / ts.min)
+      else None
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val spreadJson = spread.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -103,7 +120,7 @@ object Bench {
       .map(_._2).filter(_ >= 0).sum
     val totalAll = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"errors":$errJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

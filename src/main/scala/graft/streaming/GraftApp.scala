@@ -29,6 +29,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     curation pipeline (quality/language gates, exact + LSH near
   *     dedup) into GRAFT_CURATE_STORE (required with it); replaces the
   *     CDC chain, so GRAFT_WAL_DIR/GRAFT_DEST_URL are not required
+  *   GRAFT_KAFKA_BROKERS — kafka mode: publish Debezium envelopes via
+  *     the built-in kafka sink instead of applying SQL;
+  *     GRAFT_KAFKA_TOPIC_PREFIX (default "cdc") routes
+  *     {prefix}.{schema}.{table}; GRAFT_KAFKA_FORMAT/GRAFT_KAFKA_PATH
+  *     are the sandbox test seam (no broker here)
   *   GRAFT_CHECKPOINT   — checkpoint location (required)
   *   GRAFT_DIALECT      — ansi|mysql|sqlserver|sqlite (default ansi)
   *   GRAFT_METRICS_PORT — scrape port (default 8080; -1 disables)
@@ -162,9 +167,11 @@ object GraftApp {
       throw new IllegalArgumentException("GRAFT_WAL_DIR is required"))
     val warehouseDir = env.get("GRAFT_WAREHOUSE_DIR")
     val destUrl = env.get("GRAFT_DEST_URL")
-    if (warehouseDir.isEmpty && destUrl.isEmpty)
+    val kafkaBrokers = env.get("GRAFT_KAFKA_BROKERS")
+    if (warehouseDir.isEmpty && destUrl.isEmpty && kafkaBrokers.isEmpty)
       throw new IllegalArgumentException(
-        "GRAFT_DEST_URL is required (or GRAFT_WAREHOUSE_DIR for warehouse mode)")
+        "GRAFT_DEST_URL is required (or GRAFT_WAREHOUSE_DIR for warehouse " +
+          "mode, or GRAFT_KAFKA_BROKERS for kafka mode)")
     val dialect = Dialect.forName(env.getOrElse("GRAFT_DIALECT", "ansi"))
 
     // live capture (optional): replication client → .pgo segments.
@@ -212,6 +219,28 @@ object GraftApp {
             trigger, cfg.originFilter, projections)
         else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
           trigger, cfg.originFilter, projections)
+      case None if kafkaBrokers.isDefined =>
+        // kafka mode: assembled transactions → Debezium envelope rows →
+        // the built-in kafka sink (at-least-once, the reference's own
+        // model — the delivery barrier/retry contract the transport must
+        // honor is documented+tested in sinks/KafkaDelivery). Assembly
+        // before publish for the same reason as JDBC: StreamAborted v2
+        // transactions must never reach a topic.
+        val prefix = env.getOrElse("GRAFT_KAFKA_TOPIC_PREFIX", "cdc")
+        val format = env.getOrElse("GRAFT_KAFKA_FORMAT", "kafka")
+        CdcPipeline.startAssembled(envelope, cfg.originFilter,
+          s"graft-kafka-${cfg.slotName}", ckpt, trigger) { (batch, _) =>
+          val rows = CdcPipeline.debeziumRows(batch.toDF(), prefix)
+          val writer = rows.write.format(format)
+            .option("kafka.bootstrap.servers", kafkaBrokers.get)
+          // GRAFT_KAFKA_FORMAT is a test seam (no broker/connector in the
+          // sandbox): parquet+GRAFT_KAFKA_PATH captures the exact rows the
+          // kafka sink would publish
+          env.get("GRAFT_KAFKA_PATH") match {
+            case Some(p) => writer.mode("append").save(p)
+            case None => writer.save()
+          }
+        }
       case None =>
         val ctx = RenderContext(dialect, cfg.schemaMappings)
         val applier = new graft.sinks.JdbcApplier(destUrl.get, ctx, cfg.slotName,

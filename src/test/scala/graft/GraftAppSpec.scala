@@ -130,6 +130,30 @@ class GraftAppSpec extends SparkSpecBase {
     } finally GraftApp.shutdown(w)
   }
 
+  test("kafka mode: GRAFT_KAFKA_BROKERS publishes Debezium rows via the sink seam") {
+    val wal = Files.createTempDirectory("app-k-wal").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("app-k-out").toFile.getAbsolutePath + "/rows"
+    val ckpt = Files.createTempDirectory("app-k-ckpt").toFile.getAbsolutePath
+    writeSegment(wal, "000001", txLines(1, Seq(1, 2, 3)))
+    val env = Map(
+      "GRAFT_WAL_DIR" -> wal, "GRAFT_KAFKA_BROKERS" -> "broker:9092",
+      "GRAFT_KAFKA_TOPIC_PREFIX" -> "cdc",
+      // sandbox seam: capture the exact rows format("kafka") would get
+      "GRAFT_KAFKA_FORMAT" -> "parquet", "GRAFT_KAFKA_PATH" -> out,
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "-1")
+    val w = GraftApp.build(spark, GraftConfig(), env, Trigger.AvailableNow())
+    try {
+      w.query.awaitTermination()
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length == 3)
+      val topics = rows.map(_.getAs[String]("topic")).toSet
+      assert(topics == Set("cdc.public.t1"), s"topic routing: $topics")
+      val keys = rows.map(_.getAs[String]("key")).toSet
+      assert(keys == Set("""{"id":"1"}""", """{"id":"2"}""", """{"id":"3"}"""))
+      assert(rows.forall(_.getAs[String]("value").contains("\"op\":\"c\"")))
+    } finally GraftApp.shutdown(w)
+  }
+
   test("curate mode: GRAFT_CURATE_DIR streams documents through the curation store") {
     import org.apache.spark.sql.functions._
     val docsDir = Files.createTempDirectory("app-cur-docs").toFile.getAbsolutePath
