@@ -159,9 +159,17 @@ object LlmQueries {
         .join(uni.select(col("w").as("nxt"), col("c").as("cy")), "nxt")
         .crossJoin(broadcast(nUni))
         .crossJoin(broadcast(nBi))
-        // magnitude-staged div chain keeps every intermediate < 2^60
-        .withColumn("lift_milli",
-          expr("((cxy * n_uni * 1000) div (cx * cy)) * n_uni div n_bi"))
+        // 128-bit-wide staged chain: DECIMAL(38,0) here ≡ HUGEINT in the
+        // oracle, so products like cxy·1000·n_uni can never wrap a Long
+        // (Spark wraps silently, DuckDB errors — parity would break only
+        // at scale, invisibly). Every intermediate stays < 1e38 up to
+        // ~3e17 corpus tokens; `div` truncation is identical on both
+        // engines, so the values are unchanged from the Long chain
+        // wherever that chain didn't overflow.
+        .withColumn("lift_milli", expr(
+          "CAST(CAST(CAST(cxy AS DECIMAL(38,0)) * 1000 * n_uni div " +
+            "(CAST(cx AS DECIMAL(38,0)) * cy) AS DECIMAL(38,0)) " +
+            "* n_uni div n_bi AS BIGINT)"))
         .select(col("w"), col("nxt"), col("cxy"), col("lift_milli"))
         .orderBy(desc("lift_milli"), col("w"), col("nxt"))
         .limit(50)
@@ -1030,7 +1038,9 @@ object LlmQueries {
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
         |totb AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_bi FROM cb)
         |SELECT w, nxt, cxy,
-        |  ((cxy * n_uni * 1000) // (cx * cy)) * n_uni // n_bi AS lift_milli
+        |  CAST(((CAST(cxy AS HUGEINT) * 1000 * n_uni)
+        |        // (CAST(cx AS HUGEINT) * cy)) * n_uni // n_bi
+        |    AS BIGINT) AS lift_milli
         |FROM (SELECT cb.w, cb.nxt, cb.cxy, a.c AS cx, b.c AS cy
         |      FROM cb JOIN uc a ON cb.w = a.w JOIN uc b ON cb.nxt = b.w
         |      WHERE cb.cxy >= 10)

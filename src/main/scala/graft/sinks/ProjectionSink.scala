@@ -133,6 +133,12 @@ class ProjectionSink(path: String, primaryKey: Seq[String], indexKey: String,
       .sortWithinPartitions(indexKey)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)
+    // an EMPTY snapshot writes no bucket dirs (partitionBy on an empty
+    // frame emits only _SUCCESS) and a later lookup would fail schema
+    // inference — leave the same schema-carrying marker truncate uses
+    if (bucketDirs(spark).isEmpty)
+      snapshot.drop("bucket").limit(0).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=0")
   }
 
   /** Point query on the index key: the bucket is constant-folded from

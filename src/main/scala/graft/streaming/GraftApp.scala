@@ -66,6 +66,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
+  *     project-check  row-count parity between each declared projection
+  *                   and its base replica — the cheap divergence
+  *                   tripwire for a violated insert contract (repair =
+  *                   project-bootstrap)
   *   GRAFT_TABLE_KEYS — "c1,c2" for all tables, or per-table
   *     "tbl=c1,c2;tbl2=c3" (keeps rewrites key-sorted; rebucket requires
   *     the target table's keys)
@@ -389,6 +393,24 @@ object GraftApp {
             s"$whRoot/${pd.table}", pd.primaryKey, buckets)
           pd.sink(whRoot).bootstrap(spark, base.snapshot(spark))
           s"project-bootstrap ${pd.table}:${pd.indexKey}"
+        }
+      case "project-check" =>
+        // divergence detector: a projection must hold exactly the base
+        // replica's rows (one per key). The insert contract (a 'c' for a
+        // live key strands the old projected row while the base MERGE
+        // self-heals) is the one way they can silently drift apart —
+        // row-count parity is the cheap tripwire that notices it, and
+        // project-bootstrap is the documented repair
+        val defs = parseProjections(env, buckets)
+        require(defs.nonEmpty, "GRAFT_PROJECTIONS is required for project-check")
+        defs.map { pd =>
+          val base = new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/${pd.table}", pd.primaryKey, buckets)
+            .snapshot(spark).count()
+          val proj = spark.read.parquet(pd.path(whRoot)).count()
+          val verdict =
+            if (base == proj) "OK" else "DIVERGED (run project-bootstrap)"
+          s"project-check ${pd.table}:${pd.indexKey}: base=$base proj=$proj $verdict"
         }
       case v =>
         throw new IllegalArgumentException(s"unknown maintenance verb: $v")

@@ -260,6 +260,29 @@ class GraftAppSpec extends SparkSpecBase {
       .sink(root)
     assert(bootProj.lookup(spark, 0).count() == 1, "bootstrapped lookup by val")
 
+    // project-check: row-count parity passes on the fresh bootstrap...
+    val okLines = GraftApp.maintenance(spark, env +
+      ("GRAFT_MAINTENANCE" -> "project-check",
+        "GRAFT_PROJECTIONS" -> "public.t1:val"))
+    assert(okLines.length == 1 && okLines.head.endsWith("OK"), okLines.mkString)
+    // ...and trips after a violated insert contract strands an extra row
+    // (a 'c' re-delivered for a live key: base MERGE self-heals to one
+    // row, the projection keeps both old and new). The strand value must
+    // hash to a DIFFERENT bucket than id=1's stored val (10) — same
+    // bucket would be anti-joined away (a lucky self-heal, not a strand)
+    def bucketOf(v: Int): Int = spark.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(v)),
+        org.apache.spark.sql.functions.lit(4))).head().getInt(0)
+    val strandVal = (424242 to 424299).find(v => bucketOf(v) != bucketOf(10)).get
+    bootProj.applyBatch(spark, Seq((1, strandVal, "c", 999L, null: String))
+      .toDF("id", "val", "op", "lsn", "__old_idx"), 99)
+    val divLines = GraftApp.maintenance(spark, env +
+      ("GRAFT_MAINTENANCE" -> "project-check",
+        "GRAFT_PROJECTIONS" -> "public.t1:val"))
+    assert(divLines.head.contains("DIVERGED"), divLines.mkString)
+
     // offline discipline: maintenance cannot ride along with streaming
     val err = intercept[IllegalArgumentException] {
       GraftApp.build(spark, GraftConfig(), env +

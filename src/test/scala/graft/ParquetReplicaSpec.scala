@@ -723,6 +723,24 @@ class ParquetReplicaSpec extends SparkSpecBase {
       .map(_.getString(0)).toSet.contains("3"))
   }
 
+  test("projection bootstrap from an EMPTY snapshot leaves a lookup-able layout") {
+    import graft.sinks.ProjectionDef
+    import spark.implicits._
+    val root = Files.createTempDirectory("wh-projboot-empty").toFile.getAbsolutePath
+    // empty-table bootstrap: partitionBy on an empty frame writes no
+    // bucket dirs, so without the marker a lookup dies on schema
+    // inference — the marker keeps the projection servable
+    val proj = ProjectionDef("public.t1", Seq("id"), "grp", numBuckets = 8)
+      .sink(root)
+    proj.bootstrap(spark,
+      Seq.empty[(String, String)].toDF("id", "grp"))
+    assert(proj.lookup(spark, "3").count() == 0)
+    // and the incremental chain can populate it afterwards
+    proj.applyBatch(spark, Seq(("7", "3", "c", 1L, null: String))
+      .toDF("id", "grp", "op", "lsn", "__old_idx"), 0)
+    assert(proj.lookup(spark, "3").count() == 1)
+  }
+
   test("warehouse chain maintains declared projections through moves and deletes") {
     import graft.model.{CdcColumn, CdcEvent}
     import graft.streaming.CdcPipeline
