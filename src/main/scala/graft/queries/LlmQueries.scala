@@ -175,6 +175,35 @@ object LlmQueries {
         .limit(50)
     }),
 
+    // PII scrubbing — the redaction pass every released training corpus
+    // runs (emails/IPv4s → placeholder tokens, per-doc counts kept for
+    // the audit trail). Pure codegen'd regexp expressions, no UDFs, one
+    // scan; patterns are restricted to the RE2 ∩ Java-regex common
+    // subset (character classes, \b, bounded repeats — no backrefs or
+    // lookaround) so the oracle engine matches byte-for-byte. The
+    // synthetic corpus carries no PII, so a tenth of the docs get
+    // deterministic planted PII (same construction in the oracle) —
+    // the scrub is verified doing real work, not vacuously.
+    "llm_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      documents(s, d)
+        .withColumn("t2", when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact u"),
+              col("doc_id").cast("string"), lit("@example.com from 10.0.0."),
+              (col("doc_id") % 255).cast("string")))
+          .otherwise(col("text")))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("t2"), lit(email), lit(0))).cast("bigint"))
+        .withColumn("n_ips",
+          size(regexp_extract_all(col("t2"), lit(ip), lit(0))).cast("bigint"))
+        .withColumn("red", regexp_replace(
+          regexp_replace(col("t2"), email, "<EMAIL>"), ip, "<IP>"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          md5(col("red")).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split assignment: the split a doc
     // lands in must be a pure function of its id (stable across reruns,
     // engines, and corpus growth — never random()). 48-bit md5 bucket
@@ -607,6 +636,29 @@ object LlmQueries {
       comp.join(sizes, "comp")
         .select(col("id").as("doc_id"), col("comp").as("cluster"),
           col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup retention POLICY: within each near-dup cluster keep the
+    // LONGEST member (ties → lowest id) — the real curation rule
+    // (drop-min-id discards the best copy whenever the fullest document
+    // isn't the oldest). Same candidates→verify→components pipeline as
+    // llm_dedup_cluster; the winner is one cluster-partitioned window
+    // (never a global sort), singleton docs are their own cluster.
+    "llm_dedup_keep_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cands = Dedup.minhashCandidates(docs)
+      val verified = Dedup.ngramJaccard(docs, 0.8, candidates = Some(cands))
+        .select("da", "db")
+      val comp = Dedup.connectedComponents(verified)
+      val all = docs.select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(desc("n_tokens"), col("doc_id"))
+      all
+        .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+        .select(col("doc_id"), col("cluster"), col("n_tokens"), col("keep"))
         .orderBy("doc_id")
     }),
 
@@ -1046,6 +1098,23 @@ object LlmQueries {
         |      WHERE cb.cxy >= 10)
         |CROSS JOIN tot CROSS JOIN totb
         |ORDER BY lift_milli DESC, w, nxt LIMIT 50""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact u' ||
+        |        CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' ||
+        |        CAST(doc_id % 255 AS VARCHAR)
+        |      ELSE text END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(t2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "llm_split_assign" ->
       """WITH b AS (SELECT source,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
@@ -1462,6 +1531,54 @@ object LlmQueries {
          |cs AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
          |SELECT comp.id AS doc_id, comp.cluster, cs.cluster_size
          |FROM comp JOIN cs USING (cluster) ORDER BY doc_id""".stripMargin
+    },
+    "llm_dedup_keep_best" -> {
+      val coeffs = graft.llmops.Dedup.MinhashCoeffs
+      val p = graft.llmops.Dedup.MinhashP
+      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $p) AS mh$i"
+      }.mkString(", ")
+      // the llm_dedup_cluster closure, finished with the keep-longest
+      // window per cluster (singletons = their own cluster via LEFT JOIN)
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |hv AS (SELECT doc_id,
+         |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, unnest([
+         |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
+         |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
+         |  FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM banded a JOIN banded b
+         |           ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1,2),
+         |verified AS (SELECT i.da, i.db FROM inter i
+         |  JOIN cand USING (da, db)
+         |  JOIN sizes sa ON i.da = sa.doc_id
+         |  JOIN sizes sb ON i.db = sb.doc_id
+         |  WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.8),
+         |sym AS (SELECT da AS id, db AS nb FROM verified
+         |        UNION ALL SELECT db, da FROM verified),
+         |reach AS (SELECT DISTINCT id, id AS r FROM sym
+         |          UNION
+         |          SELECT s.id, reach.r FROM sym s JOIN reach ON reach.id = s.nb),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+         |alld AS (SELECT t.doc_id,
+         |    CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |    coalesce(comp.cluster, t.doc_id) AS cluster
+         |  FROM toks t LEFT JOIN comp ON t.doc_id = comp.id)
+         |SELECT doc_id, cluster, n_tokens,
+         |  CAST(CASE WHEN row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_tokens DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT)
+         |    AS keep
+         |FROM alld ORDER BY doc_id""".stripMargin
     },
     "llm_sample_stratified" ->
       """SELECT doc_id, source,

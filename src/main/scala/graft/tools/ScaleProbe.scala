@@ -147,6 +147,36 @@ object ScaleProbe {
     val ivfN = ivfIdx.ivfTopK(spark, probeId = 5L, k = 10, nprobe = 8).count()
     println(f"ann ivf serve: $ivfN results (8/64 clusters) in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // batch serving: 50 probes in ONE plan against each persisted layout
+    // — the per-probe driver loop this replaces would re-plan 50×; the
+    // planted twin must still rank first for its probe
+    val probeSet = (0L until 50L).toSeq
+    t0 = System.nanoTime()
+    val lshBatch = lshIdx.lshTopKBatch(spark, probeSet, k = 3)
+      .collect()
+    val batchTop5 = lshBatch.filter(r => r.getLong(0) == 5L && r.getLong(4) == 1L)
+      .map(_.getLong(1)).headOption.getOrElse(-1L)
+    println(f"ann lsh batch serve: ${probeSet.size} probes, ${lshBatch.length} " +
+      f"rows in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"(probe 5 top-1 = $batchTop5, expect $nVecs)")
+    t0 = System.nanoTime()
+    val ivfBatch = ivfIdx.ivfTopKBatch(spark, probeSet, k = 3, nprobe = 8).count()
+    println(f"ann ivf batch serve: ${probeSet.size} probes, $ivfBatch rows in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // retraction: tombstone the planted twin — it must vanish from
+    // serving immediately, and compact must purge it physically
+    t0 = System.nanoTime()
+    lshIdx.delete(spark, Seq(nVecs.toLong))
+    val afterDel = lshIdx.lshTopK(spark, probeId = 5L, k = 1).first().getLong(0)
+    require(afterDel != nVecs.toLong,
+      s"tombstoned twin must not serve (got $afterDel)")
+    lshIdx.compact(spark)
+    val afterCompact = lshIdx.lshTopK(spark, probeId = 5L, k = 1).first().getLong(0)
+    require(afterCompact != nVecs.toLong, "purged twin resurfaced after compact")
+    println(f"ann retraction: delete + filtered serve + compacted purge in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (post-delete top-1 = $afterDel)")
     spark.stop()
   }
 }
