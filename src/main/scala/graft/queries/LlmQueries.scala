@@ -895,6 +895,144 @@ object LlmQueries {
         .filter(col("rank") <= 5)
         .select("source", "rank", "term", "tf", "df", "score_milli")
         .orderBy("source", "rank")
+    }),
+
+    // Block-level exact dedup (the CCNet paragraph-dedup analog with
+    // deterministic 16-token block boundaries — the corpus here is flat
+    // token text, so fixed blocks stand in for '\n\n' paragraphs): each
+    // block kept only at its FIRST corpus occurrence (min (doc_id, idx)),
+    // docs reassembled from surviving blocks. At 100 TB this is one
+    // md5-key window (partitioned by block hash — the dedup unit) plus a
+    // per-doc reassembly groupBy; no doc ever compares against another
+    // directly. kept_hash addresses the rewritten text without shipping
+    // it (cf. reference row-identity hashing, pg2any-lib/src/sql.rs).
+    "llm_block_dedup" -> ((s, d) => {
+      val blocks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .select(col("doc_id"), col("t"),
+          posexplode(expr("sequence(0, CAST((n - 1) div 16 AS INT))")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("block_idx"),
+          array_join(slice(col("t"), col("col") * 16 + 1, lit(16)), " ").as("btext"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("btext"))).orderBy("doc_id", "block_idx")
+      blocks
+        .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum("kept").as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("kept") === 1,
+                struct(col("block_idx"), col("btext"))))),
+              x => x.getField("btext")),
+            " ")).as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-span statistics (the distributed approximation of
+    // suffix-array substring dedup, "Deduplicating Training Data Makes
+    // LMs Better": exact suffix arrays don't distribute; corpus-frequent
+    // fixed-k token windows recover the same signal): per doc, the
+    // fraction of token positions covered by ANY 8-gram occurring >= 2
+    // times corpus-wide. One gram-hash shuffle for global counts, then
+    // coverage = distinct positions under the (bounded: 8x dup windows)
+    // exploded span — never a suffix sort, never all-pairs.
+    "llm_dup_spans" -> ((s, d) => {
+      val k = 8
+      val docs = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      val wins = docs.filter(col("n_tokens") >= k)
+        .select(col("doc_id"), col("t"),
+          posexplode(expr(s"sequence(0, CAST(n_tokens - $k AS INT))")))
+        .select(col("doc_id"), col("pos"),
+          md5(array_join(slice(col("t"), col("pos") + 1, lit(k)), " ")).as("gr"))
+      val counts = wins.groupBy("gr").agg(count(lit(1)).as("c"))
+      val dup = wins.join(counts.filter(col("c") >= 2), "gr")
+      val cov = dup
+        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      val ws = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val dw = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      docs.select("doc_id", "n_tokens")
+        .join(ws, Seq("doc_id"), "left")
+        .join(dw, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("n_cov"), lit(0L)).as("n_cov"))
+        .withColumn("cov_milli", expr("(n_cov * 1000) div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source document caps (the RefinedWeb/C4 domain-cap rule: no
+    // source may dominate the mix): deterministic md5-ordered selection
+    // of at most cap docs per source. The window is partitioned by
+    // source — the scale unit — and the filter drops everything past the
+    // cap, so output is bounded by sources x cap regardless of corpus
+    // size. A skewed mega-source still sorts only within its partition
+    // (salt + re-window per source if one source exceeds a task).
+    "llm_source_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      documents(s, d)
+        .withColumn("cap",
+          lit(8) + (substring(col("source"), 4, 10).cast("int") * 5) % 12)
+        .withColumn("h", md5(concat(lit("cap-"), col("doc_id").cast("string"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= col("cap"))
+        .select(col("doc_id"), col("source"), col("cap"), col("rnk"))
+        .orderBy("source", "rnk")
+    }),
+
+    // Embedding outliers: the 5 vectors FARTHEST from their own label's
+    // centroid (lowest cosine) — the mislabel/noise sweep a labeled
+    // corpus runs before training. Same integer-exact sum-centroid as
+    // llm_label_classify but joined back only to the OWN label (K·dim
+    // longs broadcast), ranked by a label-partitioned window — no
+    // cross-label fanout, no global sort.
+    "llm_embed_outliers" -> ((s, d) => {
+      val dim = 64
+      val q = Similarity.quantized(embeddings(s, d))
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val joined = q.join(lab, "vec_id")
+      val sumCols = (0 until dim).map(i =>
+        sum(element_at(col("qe"), i + 1)).as(s"s$i"))
+      val cents = joined.groupBy("label").agg(sumCols.head, sumCols.tail: _*)
+        .select(col("label"),
+          array((0 until dim).map(i => col(s"s$i")): _*).as("ce"))
+        .withColumn("nc", Similarity.dotQ(col("ce"), col("ce")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("cm"), col("vec_id"))
+      joined.join(broadcast(cents), "label")
+        .withColumn("cm",
+          round(Similarity.dotQ(col("qe"), col("ce")) * lit(1.0) /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double")))
+            * 1e6).cast("bigint"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("label"), col("rnk"), col("vec_id"), col("cm"))
+        .orderBy("label", "rnk")
+    }),
+
+    // Deterministic corpus shuffle + sharding (the training-order step:
+    // a reproducible global permutation, materialized as shard files):
+    // shard = md5(seed||id) mod 8, within-shard position by a second
+    // hash ordering. Shard-partitioned windows only — the permutation is
+    // embarrassingly parallel and stable under re-runs, unlike rand().
+    "llm_shuffle_shard" -> ((s, d) => {
+      import graft.expressions.GraftFunctions.md5_prefix60
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      documents(s, d)
+        .withColumn("h", md5_prefix60(concat(lit("sh42-"), col("doc_id").cast("string"))))
+        .withColumn("shard", (col("h") % 8).cast("int"))
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
     }))
 
   /** Shared banded-hyperplane-LSH candidate CTEs (plane literals
@@ -1688,5 +1826,84 @@ object LlmQueries {
         |      ORDER BY score_milli DESC, term) AS rank
         |  FROM sc)
         |SELECT source, CAST(rank AS INT) AS rank, term, tf, df, score_milli
-        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "llm_block_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |b AS (SELECT doc_id, t, n,
+        |    unnest(range(0, ((n - 1) // 16) + 1)) AS block_idx FROM t),
+        |bt AS (SELECT doc_id, block_idx,
+        |    array_to_string(list_slice(t, block_idx * 16 + 1,
+        |      least(block_idx * 16 + 16, n)), ' ') AS btext FROM b),
+        |k AS (SELECT doc_id, block_idx, btext,
+        |    CASE WHEN row_number() OVER (PARTITION BY md5(btext)
+        |      ORDER BY doc_id, block_idx) = 1 THEN 1 ELSE 0 END AS kept
+        |  FROM bt)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(btext, ' ' ORDER BY block_idx)
+        |    FILTER (WHERE kept = 1), '')) AS kept_hash
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, t, len(t) AS n,
+        |    unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS pos FROM t),
+        |g AS (SELECT doc_id, pos,
+        |    md5(array_to_string(list_slice(t, pos + 1, pos + 8), ' ')) AS gr
+        |  FROM w),
+        |c AS (SELECT gr, count(*) AS c FROM g GROUP BY 1),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gr) WHERE c.c >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov FROM (
+        |    SELECT doc_id, pos + unnest(range(0, 8)) AS p FROM d) GROUP BY 1),
+        |ws AS (SELECT doc_id, count(*) AS n_windows FROM g GROUP BY 1),
+        |dw AS (SELECT doc_id, count(*) AS n_dup_windows FROM d GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  coalesce(ws.n_windows, 0) AS n_windows,
+        |  coalesce(dw.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(cov.n_cov, 0) AS n_cov,
+        |  coalesce(cov.n_cov, 0) * 1000 // len(t.t) AS cov_milli
+        |FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id
+        |  LEFT JOIN dw ON t.doc_id = dw.doc_id
+        |  LEFT JOIN cov ON t.doc_id = cov.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "llm_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    8 + (CAST(substr(source, 4) AS INT) * 5) % 12 AS cap,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('cap-' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(cap AS INT) AS cap, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= cap ORDER BY source, rnk""".stripMargin,
+    "llm_embed_outliers" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qe,
+        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+        |  FROM q),
+        |cent AS (SELECT label, list(s ORDER BY i) AS ce FROM (
+        |    SELECT n.label, g.i, CAST(sum(n.qe[g.i]) AS BIGINT) AS s
+        |    FROM n, generate_series(1, 64) AS g(i) GROUP BY 1,2) GROUP BY 1),
+        |cn AS (SELECT label, ce,
+        |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
+        |  FROM cent),
+        |sc AS (SELECT n.vec_id, n.label,
+        |    CAST(round(list_dot_product(n.qe::BIGINT[], c.ce::BIGINT[]) * 1.0
+        |      / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM n JOIN cn c USING (label)),
+        |r AS (SELECT label, vec_id, cm,
+        |    row_number() OVER (PARTITION BY label ORDER BY cm, vec_id) AS rnk
+        |  FROM sc)
+        |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, cm
+        |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
+    "llm_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('sh42-' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |      AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin)
 }

@@ -416,6 +416,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!planString(lk).contains("ScalaUDF"), planString(lk).take(2000))
   }
 
+  test("block-dedup, dup-spans, source-cap, outliers, shuffle-shard: scale shapes") {
+    // llm_block_dedup: the dedup window is partitioned by the block
+    // hash (never global), reassembly is a partial-aggregated groupBy
+    val bd = q("llm_block_dedup")
+    bd.count()
+    assert(!collectAll(executed(bd)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(planString(bd).contains("partial"), planString(bd).take(2000))
+    // llm_dup_spans: equality hash joins on the gram hash only — no
+    // cartesian, no UDFs, counts partial-aggregated map-side
+    val ds = q("llm_dup_spans")
+    ds.count()
+    val dsPlan = planString(ds)
+    assert(!collectAll(executed(ds)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!dsPlan.contains("ScalaUDF"), dsPlan.take(2000))
+    assert(dsPlan.contains("partial"), dsPlan.take(2000))
+    // llm_embed_outliers: the K-centroid side broadcasts; the per-label
+    // rank window carries a group-limit (rnk <= 5 is constant) so each
+    // task keeps a 5-row heap instead of sorting whole label partitions
+    val eo = q("llm_embed_outliers")
+    eo.count()
+    val eoPlan = planString(eo)
+    assert(collectAll(executed(eo)).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      eoPlan.take(2000))
+    assert(eoPlan.contains("WindowGroupLimit"), eoPlan.take(2000))
+    // llm_source_cap / llm_shuffle_shard: windows partitioned by the
+    // scale unit; shuffle count stays at partition + output sort
+    for (name <- Seq("llm_source_cap", "llm_shuffle_shard")) {
+      val df = q(name)
+      df.count()
+      val nShuffles = collectAll(executed(df))
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(nShuffles <= 2, s"$name shuffles: $nShuffles")
+    }
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
