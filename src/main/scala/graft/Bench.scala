@@ -47,7 +47,9 @@ object Bench {
     "llm_boilerplate", "llm_kmv_distinct", "llm_edit_distance",
     "llm_dataset_diff", "llm_dup_matrix", "llm_len_hist",
     "llm_pmi_bigrams", "llm_split_assign", "llm_vocab_coverage",
-    "llm_split_leakage", "llm_pii_scrub", "llm_dedup_keep_best")
+    "llm_split_leakage", "llm_pii_scrub", "llm_dedup_keep_best",
+    "llm_block_dedup", "llm_dup_spans", "llm_source_cap",
+    "llm_embed_outliers", "llm_shuffle_shard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

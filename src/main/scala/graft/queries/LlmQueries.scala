@@ -1033,6 +1033,48 @@ object LlmQueries {
         .withColumn("pos", row_number().over(w).cast("bigint"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
+    }),
+
+    // ANN index-quality eval: recall@10 of the banded-LSH retrieval
+    // against the exact brute-force top-10, per probe — the audit that
+    // decides whether an approximate index is trustworthy before it
+    // serves. At 100 TB the eval runs on a probe SAMPLE (5 here): the
+    // exact baseline broadcasts the sample against one corpus scan
+    // (|sample| × N scored rows, probe-partitioned top-k), while the
+    // LSH side pays only bucket-collision candidates. Output is integer
+    // counts — engine-exact, no float drift. On THIS corpus the reading
+    // is honestly low: isotropic noise has no true neighbors, so sign-LSH
+    // collisions rarely coincide with the (near-zero-cosine) exact top-10
+    // — the planted-twin tests (LlmOpsSpec/ScaleProbe) show the same
+    // index at ~full recall when real near-duplicates exist.
+    "llm_ann_recall" -> ((s, d) => {
+      val k = 10
+      val q = Similarity.quantized(embeddings(s, d))
+      val probes = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
+      val corpus = q.select(col("vec_id").as("cid"), col("qe").as("ce"),
+        col("nq").as("nc"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy(desc("cosine"), col("cid"))
+      val exact = corpus.crossJoin(broadcast(probes))
+        .filter(col("cid") =!= col("pid"))
+        .withColumn("cosine",
+          Similarity.dotQ(col("ce"), col("pe")) * lit(1.0) /
+            sqrt((col("nc") * col("np")).cast("double")))
+        .withColumn("rnk", row_number().over(wP))
+        .filter(col("rnk") <= k)
+        .select("pid", "cid")
+      val lsh = Similarity.signLshTopKBatch(embeddings(s, d),
+          col("vec_id") < 5, k = k)
+        .select(col("pid"), col("cid"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("pid", "cid"), "left")
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_milli", expr("(n_hit * 1000) div n_exact"))
+        .select(col("pid").as("probe_id"), col("n_exact"), col("n_hit"),
+          col("recall_milli"))
+        .orderBy("probe_id")
     }))
 
   /** Shared banded-hyperplane-LSH candidate CTEs (plane literals
@@ -1905,5 +1947,26 @@ object LlmQueries {
         |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
         |    AS BIGINT) AS pos
-        |FROM h ORDER BY shard, pos""".stripMargin)
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "llm_ann_recall" ->
+      s"""${lshBatchCtes},
+         |ex AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      list_dot_product(c.qe::BIGINT[], p.qe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(c.nq * p.nq AS DOUBLE)) DESC, c.vec_id) AS rnk
+         |  FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         |ext AS (SELECT pid, cid FROM ex WHERE rnk <= 10),
+         |lsh AS (SELECT pid, cid FROM (SELECT pid, cid,
+         |    row_number() OVER (PARTITION BY pid ORDER BY
+         |      list_dot_product(np.qe::BIGINT[], nc.qe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(np.nq * nc.nq AS DOUBLE)) DESC, cid) AS rnk
+         |  FROM cand JOIN n np ON pid = np.vec_id JOIN n nc ON cid = nc.vec_id)
+         |  WHERE rnk <= 10)
+         |SELECT ext.pid AS probe_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN lsh.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN lsh.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000
+         |    // count(*) AS BIGINT) AS recall_milli
+         |FROM ext LEFT JOIN lsh ON ext.pid = lsh.pid AND ext.cid = lsh.cid
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

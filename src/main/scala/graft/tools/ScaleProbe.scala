@@ -41,6 +41,31 @@ object ScaleProbe {
     println(f"winnowPairs: $pairs pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       s"(expect ≈ ${nDocs / 100} planted)")
 
+    // block-dedup + dup-span soak: the REAL registered query code over
+    // the same 100k corpus (written as a temp documents.parquet so the
+    // query reads exactly what it would in production). Planted truth:
+    // every 100th doc copies 39/40 tokens of its predecessor, so blocks
+    // 1..2 (p16..39) of each planted pair are corpus-duplicates (2 drops
+    // per pair) and both members' positions p1..39 sit under duplicated
+    // 8-grams (cov_milli = 975). Both must come out EXACT at volume.
+    val corpusDir = java.nio.file.Files.createTempDirectory("scale-docs")
+      .toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    t0 = System.nanoTime()
+    val bd = graft.queries.LlmQueries.queries("llm_block_dedup")(spark, corpusDir)
+    val nDropped = bd.agg(sum(expr("n_blocks - n_kept"))).first().getLong(0)
+    println(f"block dedup: $nDropped blocks dropped in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (expect ${2 * (nDocs / 100)})")
+    require(nDropped == 2L * (nDocs / 100),
+      s"planted block-dup count off: $nDropped")
+    t0 = System.nanoTime()
+    val ds = graft.queries.LlmQueries.queries("llm_dup_spans")(spark, corpusDir)
+    val nCovered = ds.filter(col("cov_milli") >= 900).count()
+    println(f"dup spans: $nCovered docs >=90%% covered in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (expect ${2 * (nDocs / 100)})")
+    require(nCovered == 2L * (nDocs / 100),
+      s"planted span-coverage count off: $nCovered")
+
     val idxPath = java.nio.file.Files.createTempDirectory("scale-lsh")
       .toFile.getAbsolutePath + "/idx"
     val store = new LshIndexStore(idxPath, simThreshold = 0.5)
