@@ -64,6 +64,27 @@ class BlockDedupStore(path: String, blockTokens: Int = 16,
 
   private def markerPath(batchId: Long) = new Path(path, s"_applied/$batchId")
 
+  /** The part modulus is LAYOUT, not configuration: planning prunes by
+    * `pmod(hash, numParts)`, so opening a store with a different value
+    * silently plans dirs that don't exist — blocks get re-owned instead
+    * of deduped. Persist it on first write; refuse a mismatched open.
+    * (Underscore-prefixed, so parquet dir listing ignores it.) */
+  private def enforceParts(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val p = new Path(path, "_parts")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val v = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      in.close()
+      require(v == numParts,
+        s"block store at $path was built with numParts=$v, opened with $numParts")
+    } else {
+      val out = fs.create(p, true)
+      out.write(numParts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
   /** Full block ownership table (tests/maintenance; intake reads prune). */
   def indexRows(spark: SparkSession): DataFrame =
     if (batchDirs(spark).isEmpty)
@@ -94,6 +115,7 @@ class BlockDedupStore(path: String, blockTokens: Int = 16,
   def addBatch(spark: SparkSession, docs: DataFrame, batchId: Long,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fs = fsOf(spark)
+    enforceParts(fs)
     if (fs.exists(markerPath(batchId)))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
 
@@ -176,6 +198,7 @@ class BlockDedupStore(path: String, blockTokens: Int = 16,
       return
     }
     if (batchDirs(spark).isEmpty) return
+    enforceParts(fs)
     if (fs.exists(staging)) fs.delete(staging, true)
     indexRows(spark)
       .select(col("bhash"), col("doc_id"), col("block_idx"),
@@ -183,11 +206,13 @@ class BlockDedupStore(path: String, blockTokens: Int = 16,
       .repartition(numParts, col("part"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
       .parquet(staging.toString)
-    val markers = new Path(path, "_applied")
-    if (fs.exists(markers))
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, markers, fs, new Path(staging, "_applied"), false,
-        spark.sessionState.newHadoopConf())
+    for (side <- Seq("_applied", "_parts")) {
+      val src = new Path(path, side)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, src, fs, new Path(staging, side), false,
+          spark.sessionState.newHadoopConf())
+    }
     fs.create(done, true).close()
     fs.delete(root, true)
     fs.rename(staging, root)

@@ -76,6 +76,27 @@ class LshIndexStore(path: String, simThreshold: Double = 0.5,
 
   private def markerPath(batchId: Long) = new Path(path, s"_applied/$batchId")
 
+  /** The part modulus is LAYOUT, not configuration: planning prunes by
+    * `pmod(hash(bucket), numParts)`, so opening a store with a different
+    * value silently plans dirs that don't exist — dup candidates are
+    * missed instead of found. Persist it on first write; refuse a
+    * mismatched open. (Underscore-prefixed: parquet listing ignores it.) */
+  private def enforceParts(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val p = new Path(path, "_parts")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val v = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      in.close()
+      require(v == numParts,
+        s"LSH index at $path was built with numParts=$v, opened with $numParts")
+    } else {
+      val out = fs.create(p, true)
+      out.write(numParts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
   /** Full index content (tests/maintenance; production reads prune). */
   def indexRows(spark: SparkSession): DataFrame =
     if (batchDirs(spark).isEmpty)
@@ -93,6 +114,7 @@ class LshIndexStore(path: String, simThreshold: Double = 0.5,
   def addBatch(spark: SparkSession, docs: DataFrame, batchId: Long,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fs = fsOf(spark)
+    enforceParts(fs)
     if (fs.exists(markerPath(batchId)))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], hitSchema)
 
@@ -179,6 +201,7 @@ class LshIndexStore(path: String, simThreshold: Double = 0.5,
       return
     }
     if (batchDirs(spark).isEmpty) return
+    enforceParts(fs)
     if (fs.exists(staging)) fs.delete(staging, true)
     indexRows(spark)
       .select(col("bucket"), col("doc_id"), col("sig"),
@@ -186,13 +209,16 @@ class LshIndexStore(path: String, simThreshold: Double = 0.5,
       .repartition(numParts, col("part"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
       .parquet(staging.toString)
-    // applied-markers survive compaction (replayed old batches must
-    // still be recognized)
-    val markers = new Path(path, "_applied")
-    if (fs.exists(markers))
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, markers, fs, new Path(staging, "_applied"), false,
-        spark.sessionState.newHadoopConf())
+    // applied-markers + the layout modulus survive compaction (replayed
+    // old batches must still be recognized; mismatched re-opens must
+    // still be refused)
+    for (side <- Seq("_applied", "_parts")) {
+      val src = new Path(path, side)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, src, fs, new Path(staging, side), false,
+          spark.sessionState.newHadoopConf())
+    }
     fs.create(done, true).close()
     fs.delete(root, true)
     fs.rename(staging, root)

@@ -58,7 +58,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   abandoned txids below GRAFT_SPILL_WATERMARK (if set)
   *     curate-store  fold the curation store's per-batch dirs
   *                   (GRAFT_CURATE_STORE)
-  *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR)
+  *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR;
+  *                   GRAFT_INDEX_PARTS if the store was built with a
+  *                   non-default part count — the folded layout must
+  *                   use the SAME modulus or intake planning misses it)
+  *     block-store   compact the durable block-dedup ownership store
+  *                   (GRAFT_BLOCK_DIR; GRAFT_BLOCK_PARTS likewise)
   *     ann-index     fold append-accumulated files of a persisted ANN
   *                   serving index (GRAFT_ANN_DIR); GRAFT_ANN_DELETE=
   *                   id,id,… retracts vectors (tombstone + physical
@@ -368,8 +373,15 @@ object GraftApp {
       case "lsh-index" =>
         val dir = env.getOrElse("GRAFT_INDEX_DIR",
           throw new IllegalArgumentException("GRAFT_INDEX_DIR is required"))
-        new graft.llmops.LshIndexStore(dir).compact(spark)
+        val parts = env.get("GRAFT_INDEX_PARTS").map(_.toInt).getOrElse(64)
+        new graft.llmops.LshIndexStore(dir, numParts = parts).compact(spark)
         Seq(s"lsh-index: compacted $dir")
+      case "block-store" =>
+        val dir = env.getOrElse("GRAFT_BLOCK_DIR",
+          throw new IllegalArgumentException("GRAFT_BLOCK_DIR is required"))
+        val parts = env.get("GRAFT_BLOCK_PARTS").map(_.toInt).getOrElse(64)
+        new graft.llmops.BlockDedupStore(dir, numParts = parts).compact(spark)
+        Seq(s"block-store: compacted $dir")
       case "ann-index" =>
         val dir = env.getOrElse("GRAFT_ANN_DIR",
           throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))

@@ -66,6 +66,30 @@ object ScaleProbe {
     require(nCovered == 2L * (nDocs / 100),
       s"planted span-coverage count off: $nCovered")
 
+    // durable block-dedup intake at volume: 4 sequential batches of the
+    // same corpus through BlockDedupStore — per-trigger planning must
+    // stay O(touched parts) and the planted block-dups must all land
+    // (each planted pair straddles NO batch boundary here, so counts
+    // match the batch operator exactly)
+    val blkPath = java.nio.file.Files.createTempDirectory("scale-blk")
+      .toFile.getAbsolutePath + "/blk"
+    val blkStore = new graft.llmops.BlockDedupStore(blkPath)
+    val blkBatch = nDocs / 4
+    var blkDropped = 0L
+    (0 until 4).foreach { b =>
+      t0 = System.nanoTime()
+      val out = blkStore.addBatch(spark,
+        docs.filter(col("doc_id") >= b * blkBatch &&
+          col("doc_id") < (b + 1) * blkBatch), b.toLong)
+      val dropped = out.agg(sum(expr("n_blocks - n_kept"))).first().getLong(0)
+      blkDropped += dropped
+      println(f"block intake batch $b: $blkBatch docs, $dropped dropped in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(planned ${blkStore.lastPlannedDirs.size} part dirs)")
+    }
+    require(blkDropped == 2L * (nDocs / 100),
+      s"streamed block-dup count off: $blkDropped")
+
     val idxPath = java.nio.file.Files.createTempDirectory("scale-lsh")
       .toFile.getAbsolutePath + "/idx"
     val store = new LshIndexStore(idxPath, simThreshold = 0.5)

@@ -71,6 +71,20 @@ class BlockDedupStoreSpec extends SparkSpecBase {
     assert(store.indexRows(spark).count() == before)
   }
 
+  test("a mismatched part modulus is refused, not silently mis-planned") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("blk-parts").toFile.getAbsolutePath + "/blk"
+    new BlockDedupStore(path, numParts = 16)
+      .addBatch(spark, Seq(doc(1L, Seq("p1", "p2", "p3")))
+        .toDF("doc_id", "text"), 0L)
+    val err = intercept[IllegalArgumentException] {
+      new BlockDedupStore(path, numParts = 64)
+        .addBatch(spark, Seq(doc(2L, Seq("q1", "q2", "q3")))
+          .toDF("doc_id", "text"), 1L)
+    }
+    assert(err.getMessage.contains("numParts=16"))
+  }
+
   test("crash heal: lost marker replays idempotently; compact folds batches") {
     import spark.implicits._
     val path = Files.createTempDirectory("blk-crash").toFile.getAbsolutePath + "/blk"

@@ -344,6 +344,25 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_MAINTENANCE" -> "ann-index", "GRAFT_ANN_DIR" -> ivfDir))
     assert(ivfLines.exists(l => l.startsWith("ann-index: drift: appends=1")
       && l.contains("build mean=")), ivfLines.mkString)
+
+    // block-store verb folds the block-dedup ownership store via env
+    val blkDir = Files.createTempDirectory("app-maint-blk")
+      .toFile.getAbsolutePath + "/blk"
+    val blk = new graft.llmops.BlockDedupStore(blkDir, numParts = 8)
+    val blkText = (0 until 16).map(j => s"blk_w$j").mkString(" ")
+    blk.addBatch(spark, Seq((1L, blkText)).toDF("doc_id", "text"), 0L)
+    blk.addBatch(spark,
+      Seq((2L, blkText + " " + blkText.replace("blk_", "other_")))
+        .toDF("doc_id", "text"), 1L)
+    val blkLines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "block-store", "GRAFT_BLOCK_DIR" -> blkDir,
+      "GRAFT_BLOCK_PARTS" -> "8"))
+    assert(blkLines == Seq(s"block-store: compacted $blkDir"))
+    assert(new java.io.File(blkDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 1)
+    // folded ownership still dedups: doc 3 repeating doc 1's block keeps 0
+    assert(blk.addBatch(spark, Seq((3L, blkText)).toDF("doc_id", "text"), 2L)
+      .first().getLong(2) == 0L)
   }
 
   test("connectTransport sends StartupMessage BEFORE reading the handshake") {

@@ -119,4 +119,17 @@ class LshIndexStoreSpec extends SparkSpecBase {
     assert(store.indexRows(spark).collect().map(_.toSeq).toSet == before)
     assert(!fs.exists(staging))
   }
+
+  test("a mismatched part modulus is refused, not silently mis-planned") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("lshidx-parts")
+      .toFile.getAbsolutePath + "/idx"
+    new LshIndexStore(path, numParts = 16)
+      .addBatch(spark, corpus(1 to 3, "a").toDF("doc_id", "text"), 0L)
+    val err = intercept[IllegalArgumentException] {
+      new LshIndexStore(path, numParts = 64)
+        .addBatch(spark, corpus(4 to 6, "b").toDF("doc_id", "text"), 1L)
+    }
+    assert(err.getMessage.contains("numParts=16"))
+  }
 }
