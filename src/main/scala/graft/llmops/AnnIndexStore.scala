@@ -451,6 +451,50 @@ final class AnnIndexStore(root: String) extends Serializable {
     }
   }
 
+  /** True when the LAST append's assignment quality exceeded the build
+    * baseline by `ratio` on mean OR p95 distance-to-centroid (no
+    * appends yet → false). The decision input for [[rebuildIvf]]. */
+  def driftExceeds(spark: SparkSession, ratio: Double): Boolean = {
+    val meta = readMeta(spark)
+    (for {
+      lm <- meta.get("drift_last_mean"); bm <- meta.get("drift_build_mean")
+      lp <- meta.get("drift_last_p95"); bp <- meta.get("drift_build_p95")
+    } yield lm.toDouble > bm.toDouble * ratio ||
+      lp.toDouble > bp.toDouble * ratio).getOrElse(false)
+  }
+
+  /** The drift-warranted recovery: re-cluster the WHOLE store (original
+    * + appended vectors, tombstoned ids excluded) against fresh
+    * centroids, overwrite the posting layout, and reset the drift
+    * baseline — after this [[driftReport]] is empty until the next
+    * append. The vectors store is reused in place; only the IVF layout
+    * rebuilds (O(store) — an offline maintenance cost, vs O(batch)
+    * appends between rebuilds). */
+  def rebuildIvf(spark: SparkSession, rounds: Int = 1): Unit = {
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
+    val (nClusters, dim) = (meta("nClusters").toInt, meta("dim").toInt)
+    val dead = tombstoned(spark)
+    // sever lineage from the dirs being overwritten; vectors/ itself is
+    // only read, but ivfIndex consumes q several times
+    val q = dropDead(spark.read.parquet(s"$root/vectors").drop("part"), dead)
+      .localCheckpoint(true)
+    val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
+    assign.join(q, "vec_id")
+      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$root/ivf")
+    import spark.implicits._
+    cents.toDF("cluster", "ce", "nc").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/ivf_centroids")
+    val (bm, bp) = driftStats(assign)
+    writeMeta(spark, Map(
+      "kind" -> "ivf", "nClusters" -> nClusters.toString,
+      "dim" -> dim.toString, "numParts" -> NumParts.toString,
+      "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
+  }
+
   /** Maintenance: fold the files `append` accumulates back to ~one per
     * partition dir (k appends leave k files per touched dir; serving
     * correctness is unaffected but open/list overhead grows), and

@@ -936,8 +936,10 @@ object LlmQueries {
     // fixed-k token windows recover the same signal): per doc, the
     // fraction of token positions covered by ANY 8-gram occurring >= 2
     // times corpus-wide. One gram-hash shuffle for global counts, then
-    // coverage = distinct positions under the (bounded: 8x dup windows)
-    // exploded span — never a suffix sort, never all-pairs.
+    // coverage by exact interval union: dup windows all have length 8,
+    // so union = sum(min(8, gap-to-previous-start)) over one
+    // doc-partitioned window — no 8x position explode, no distinct
+    // shuffle. Never a suffix sort, never all-pairs.
     "llm_dup_spans" -> ((s, d) => {
       val k = 8
       val docs = documents(s, d)
@@ -950,10 +952,14 @@ object LlmQueries {
           md5(array_join(slice(col("t"), col("pos") + 1, lit(k)), " ")).as("gr"))
       val counts = wins.groupBy("gr").agg(count(lit(1)).as("c"))
       val dup = wins.join(counts.filter(col("c") >= 2), "gr")
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
       val cov = dup
-        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
-        .distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+        .withColumn("prev", lag("pos", 1).over(wd))
+        .withColumn("add",
+          when(col("prev").isNull, lit(k))
+            .otherwise(least(lit(k), col("pos") - col("prev"))))
+        .groupBy("doc_id").agg(sum("add").as("n_cov"))
       val ws = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
       val dw = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
       docs.select("doc_id", "n_tokens")
@@ -1895,8 +1901,11 @@ object LlmQueries {
         |  FROM w),
         |c AS (SELECT gr, count(*) AS c FROM g GROUP BY 1),
         |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gr) WHERE c.c >= 2),
-        |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov FROM (
-        |    SELECT doc_id, pos + unnest(range(0, 8)) AS p FROM d) GROUP BY 1),
+        |cov AS (SELECT doc_id, CAST(sum(CASE WHEN prev IS NULL THEN 8
+        |      ELSE least(8, pos - prev) END) AS BIGINT) AS n_cov FROM (
+        |    SELECT doc_id, pos,
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |    FROM d) GROUP BY 1),
         |ws AS (SELECT doc_id, count(*) AS n_windows FROM g GROUP BY 1),
         |dw AS (SELECT doc_id, count(*) AS n_dup_windows FROM d GROUP BY 1)
         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,

@@ -67,7 +67,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     ann-index     fold append-accumulated files of a persisted ANN
   *                   serving index (GRAFT_ANN_DIR); GRAFT_ANN_DELETE=
   *                   id,id,… retracts vectors (tombstone + physical
-  *                   fold); reports IVF centroid-drift telemetry
+  *                   fold); reports IVF centroid-drift telemetry;
+  *                   GRAFT_ANN_REBUILD_IF_DRIFT=<ratio> re-clusters the
+  *                   whole store (fresh centroids, reset baseline) when
+  *                   the last append drifted past baseline×ratio
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -392,10 +395,21 @@ object GraftApp {
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
         if (deleted.nonEmpty) store.delete(spark, deleted)
         store.compact(spark)
+        // optional drift-gated rebuild: GRAFT_ANN_REBUILD_IF_DRIFT=<r>
+        // re-clusters when the last append's distance-to-centroid
+        // exceeded the build baseline by ×r (mean or p95)
+        val rebuildLine = env.get("GRAFT_ANN_REBUILD_IF_DRIFT")
+          .map(_.toDouble).map { r =>
+            if (store.driftExceeds(spark, r)) {
+              store.rebuildIvf(spark)
+              s"ann-index: rebuilt ivf (drift exceeded x$r)"
+            } else s"ann-index: drift within x$r - no rebuild"
+          }
         (if (deleted.nonEmpty)
            Seq(s"ann-index: retracted ${deleted.size} ids") else Seq.empty) ++
           Seq(s"ann-index: compacted $dir") ++
-          store.driftReport(spark).map(d => s"ann-index: $d")
+          store.driftReport(spark).map(d => s"ann-index: $d") ++
+          rebuildLine.toSeq
       case "project-bootstrap" =>
         val defs = parseProjections(env, buckets)
         require(defs.nonEmpty,

@@ -345,6 +345,36 @@ class GraftAppSpec extends SparkSpecBase {
     assert(ivfLines.exists(l => l.startsWith("ann-index: drift: appends=1")
       && l.contains("build mean=")), ivfLines.mkString)
 
+    // drift-gated rebuild: a TIGHT-cluster build (baseline ≈ 0) that
+    // absorbs off-distribution appends must trip the threshold, rebuild
+    // with fresh centroids, and reset the telemetry; a second run with
+    // no further appends reports within-bounds
+    val drfDir = Files.createTempDirectory("app-maint-drf")
+      .toFile.getAbsolutePath + "/idx"
+    val drf = new graft.llmops.AnnIndexStore(drfDir)
+    val anchors = (0 until 4).map(a =>
+      Array.fill(64)(rnd.nextGaussian().toFloat))
+    val tight = (0L until 32L).map(i => (i,
+      anchors((i % 4).toInt).map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    drf.writeIvf(tight, nClusters = 4)
+    drf.append((100L until 106L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding"))
+    assert(drf.driftExceeds(spark, 2.0), "off-distribution append must drift")
+    val drfLines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index", "GRAFT_ANN_DIR" -> drfDir,
+      "GRAFT_ANN_REBUILD_IF_DRIFT" -> "2.0"))
+    assert(drfLines.exists(_.startsWith("ann-index: rebuilt ivf")),
+      drfLines.mkString)
+    assert(drf.driftReport(spark).isEmpty, "rebuild must reset the baseline")
+    assert(drf.ivfTopK(spark, probeId = 100L, k = 3, nprobe = 4).count() == 3,
+      "appended ids serve from the rebuilt posting lists")
+    val calm = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index", "GRAFT_ANN_DIR" -> drfDir,
+      "GRAFT_ANN_REBUILD_IF_DRIFT" -> "2.0"))
+    assert(calm.exists(_.contains("no rebuild")), calm.mkString)
+
     // block-store verb folds the block-dedup ownership store via env
     val blkDir = Files.createTempDirectory("app-maint-blk")
       .toFile.getAbsolutePath + "/blk"
