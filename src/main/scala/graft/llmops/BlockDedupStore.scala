@@ -110,14 +110,47 @@ class BlockDedupStore(path: String, blockTokens: Int = 16,
 
   /** Ingest one batch: returns the rewritten docs (doc_id, n_blocks,
     * n_kept, kept_text) and records the new block owners. A batch whose
-    * `_applied` marker exists returns no rows and writes nothing
-    * (replay no-op — the caller's sink already holds the rewrite). */
+    * `_applied` marker exists writes NOTHING and recomputes the same
+    * rewrite from the durable ownership (this batch's owner rows are
+    * already on disk) — so a caller that persists the rewrite downstream
+    * can replay a crashed trigger and converge, instead of losing the
+    * batch to an empty no-op. */
   def addBatch(spark: SparkSession, docs: DataFrame, batchId: Long,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fs = fsOf(spark)
     enforceParts(fs)
-    if (fs.exists(markerPath(batchId)))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    if (fs.exists(markerPath(batchId))) {
+      // replay path: kept = the rows this batch's original run recorded
+      // as owners; read prunes to the batch's touched parts as usual
+      val blocks = blockRows(docs, idCol, textCol).localCheckpoint(true)
+      val touched = blocks.select(partOf(col("bhash")).as("p")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val dirs = for {
+        b <- batchDirs(spark) // INCLUDING this batch's own dir
+        p <- touched.toSeq.sorted
+        dir = new Path(b, s"part=$p") if fs.exists(dir)
+      } yield dir.toString
+      lastPlannedDirs = dirs
+      val owners =
+        if (dirs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], rowSchema)
+        else spark.read.schema(StructType(rowSchema.fields ++ Seq(
+            StructField("batch", LongType), StructField("part", IntegerType))))
+          .option("basePath", path).parquet(dirs: _*)
+          .drop("batch", "part")
+      return blocks
+        .join(owners.withColumn("kept", lit(1)),
+          Seq("bhash", "doc_id", "block_idx"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(coalesce(col("kept"), lit(0))).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("kept") === 1,
+                struct(col("block_idx"), col("btext"))))),
+              x => x.getField("btext")),
+            " ").as("kept_text"))
+    }
 
     // the blocks feed three consumers (touched-part collect, the kept
     // computation, the write) — materialize the split/md5 work once

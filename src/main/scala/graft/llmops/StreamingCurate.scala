@@ -151,8 +151,17 @@ object StreamingCurate {
       .collect().map(_.getInt(0)).toSet
 
   /** One intake trigger: gate, dedup against the store, emit curated
-    * additions. Factored from the stream for batch tests. */
-  def applyBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    * additions. Factored from the stream for batch tests.
+    *
+    * `blockRewrite = true` adds the CCNet-style paragraph-dedup stage to
+    * the intake: admitted docs are rewritten block-by-block against
+    * everything ever admitted (a [[BlockDedupStore]] at
+    * `storeDir/blocks`, sharing the store's replay discipline — a
+    * replayed trigger recomputes the same rewrite from durable
+    * ownership). Docs whose every block is already owned elsewhere
+    * vanish from the curated set. */
+  def applyBatch(batch: DataFrame, storeDir: String, batchId: Long,
+                 blockRewrite: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val gated = gate(batch)
     // exact dedup: min doc_id per hash WITHIN the batch, then drop any
@@ -216,7 +225,16 @@ object StreamingCurate {
       .write.mode("overwrite").partitionBy("part").parquet(out("text"))
     newBuckets.select(col("bucket"), col("doc_id"), partOf(col("bucket")).as("part"))
       .write.mode("overwrite").partitionBy("part").parquet(out("buckets"))
-    curated.select("doc_id", "source", "text")
+    val emitted =
+      if (!blockRewrite) curated.select("doc_id", "source", "text")
+      else {
+        val rew = new BlockDedupStore(s"$storeDir/blocks")
+          .addBatch(spark, curated.select("doc_id", "text"), batchId)
+        curated.select("doc_id", "source")
+          .join(rew.filter(col("n_kept") > 0)
+            .select(col("doc_id"), col("kept_text").as("text")), "doc_id")
+      }
+    emitted.select("doc_id", "source", "text")
       .write.mode("overwrite").parquet(out("curated"))
   }
 
@@ -224,13 +242,15 @@ object StreamingCurate {
     * curated parquet out under `storeDir/curated/`. */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
             trigger: org.apache.spark.sql.streaming.Trigger =
-              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            blockRewrite: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .queryName("graft-curate")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, storeDir, id) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, storeDir, id, blockRewrite) }
       .start()
 
   /** Maintenance: fold the accumulated per-batch subdirs of each store

@@ -28,7 +28,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     parquet (doc_id, source, text) from this directory through the
   *     curation pipeline (quality/language gates, exact + LSH near
   *     dedup) into GRAFT_CURATE_STORE (required with it); replaces the
-  *     CDC chain, so GRAFT_WAL_DIR/GRAFT_DEST_URL are not required
+  *     CDC chain, so GRAFT_WAL_DIR/GRAFT_DEST_URL are not required;
+  *     GRAFT_CURATE_BLOCKS=true adds the block-granular (paragraph)
+  *     dedup rewrite stage backed by a BlockDedupStore at
+  *     <store>/blocks
   *   GRAFT_KAFKA_BROKERS — kafka mode: publish Debezium envelopes via
   *     the built-in kafka sink instead of applying SQL;
   *     GRAFT_KAFKA_TOPIC_PREFIX (default "cdc") routes
@@ -164,7 +167,8 @@ object GraftApp {
           .schema("doc_id LONG, source STRING, text STRING")
           .parquet(docsDir)
         Wiring(
-          graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger),
+          graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger,
+            blockRewrite = env.get("GRAFT_CURATE_BLOCKS").exists(_.toBoolean)),
           metrics, listener)
       case None => buildCdc(spark, cfg, env, trigger, captureTransport, ckpt)
     }

@@ -60,14 +60,17 @@ class BlockDedupStoreSpec extends SparkSpecBase {
     store.addBatch(spark, seed, 0L)
     // one 1-block doc touches exactly 1 part of 16
     val one = Seq((500L, blockText("lone", 0))).toDF("doc_id", "text")
-    store.addBatch(spark, one, 1L)
+    val first = store.addBatch(spark, one, 1L).collect().toSet
     assert(store.lastPlannedDirs.nonEmpty)
     val partsRead = store.lastPlannedDirs.map(_.split("/part=").last.toInt).toSet
     assert(partsRead.size == 1, s"1-block doc must read 1 of 16 parts: $partsRead")
 
-    // replay of an applied batch: no rows out, index unchanged
+    // replay of an applied batch: the index is untouched and the SAME
+    // rewrite comes back (recomputed from durable ownership), so a
+    // downstream sink can persist it again and converge
     val before = store.indexRows(spark).count()
-    assert(store.addBatch(spark, one, 1L).isEmpty)
+    val replay = store.addBatch(spark, one, 1L).collect().toSet
+    assert(replay == first, s"replay rewrite must match: $replay vs $first")
     assert(store.indexRows(spark).count() == before)
   }
 

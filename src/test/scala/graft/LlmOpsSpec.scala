@@ -618,6 +618,33 @@ class LlmOpsSpec extends SparkSpecBase {
         s"${StreamingCurate.lastTextDirsPlanned.size}")
   }
 
+  test("curate block-rewrite: admitted docs rewritten against all admitted blocks") {
+    import graft.llmops.StreamingCurate
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("curate-blk")
+      .toFile.getAbsolutePath + "/store"
+    // three 16-token blocks; every doc passes the quality/language gate
+    val A = "the quick brown fox jumps over the lazy dog and runs to the old town hall"
+    val B = "a silver river flows in the green valley and the miller grinds corn of gold wheat"
+    val C = "is it true that the moon shines of silver light and the stars dance in night"
+    val b0 = Seq((1L, "s", s"$A $B")).toDF("doc_id", "source", "text")
+    val b1 = Seq((2L, "s", s"$A $C"), (3L, "s", s"$A $A"))
+      .toDF("doc_id", "source", "text")
+    StreamingCurate.applyBatch(b0, store, 0L, blockRewrite = true)
+    StreamingCurate.applyBatch(b1, store, 1L, blockRewrite = true)
+    val kept = StreamingCurate.curated(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(kept(1L) == s"$A $B", "first owner keeps its full text")
+    assert(kept(2L) == C, "cross-batch shared block is rewritten away")
+    assert(!kept.contains(3L), "a doc with zero surviving blocks vanishes")
+    // a replayed trigger converges to the same curated content (the
+    // ownership store recomputes the rewrite instead of emitting empty)
+    StreamingCurate.applyBatch(b1, store, 1L, blockRewrite = true)
+    val replay = StreamingCurate.curated(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(replay == kept, s"replay must converge: $replay vs $kept")
+  }
+
   test("multimodal stub (video kinds): schema, batch shape, determinism") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "video", "source",
       "application/octet-stream")
