@@ -700,6 +700,48 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Temperature-scaled mixture weights (the multilingual p_i^alpha
+    // sampling trick at alpha = 1/2): per-source mass is flattened
+    // through sqrt so low-resource sources are upsampled relative to
+    // proportional sampling. sqrt of an integer is correctly rounded on
+    // both engines; each sqrt is quantized to milli-units BEFORE the
+    // denominator sum so all downstream arithmetic is exact integers
+    // (order-independent), then one bps integer division. Shape: one
+    // per-source aggregate + a broadcast 1-row totals frame — nothing
+    // after the scan grows with corpus size.
+    "llm_mix_temperature" -> ((s, d) => {
+      val per = documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .withColumn("s_milli",
+          round(sqrt(col("n_docs")) * 1000).cast("bigint"))
+      val tot = per.agg(sum("n_docs").as("tot_docs"), sum("s_milli").as("tot_s"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("chars"),
+          expr("n_docs * 10000 div tot_docs").as("prop_bps"),
+          expr("s_milli * 10000 div tot_s").as("temp_bps"))
+        .orderBy("source")
+    }),
+
+    // First-occurrence novelty rate (the "how much NEW text does each
+    // doc contribute" curation signal): a 3-gram shingle is novel only
+    // in the earliest doc containing it. One groupBy(shingle) finds the
+    // first owner, one shingle-key join carries it back — both sides
+    // hash-partition on the shingle so the exchange is reused, and no
+    // doc ever compares against another directly. Docs below 3 tokens
+    // have no shingles and drop out on both engines.
+    "llm_novelty" -> ((s, d) => {
+      val sh = TextOps.shingleRows(documents(s, d), n = 3)
+      val firstOwner = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      sh.join(firstOwner, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novel_bps", expr("n_novel * 10000 div n_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition quality signals (the within-document duplication family
     // of heuristic quality filters): duplicate-word fraction, top-word
     // concentration, duplicate-2-gram fraction. Shape: explode → count
@@ -1783,6 +1825,28 @@ object LlmQueries {
         |SELECT source, CAST(min(budget) AS INT) AS budget,
         |  count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS tokens_used
         |FROM c WHERE cum <= budget GROUP BY source ORDER BY source""".stripMargin,
+    "llm_mix_temperature" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(round(sqrt(count(*)) * 1000) AS BIGINT) AS s_milli
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(s_milli) AS BIGINT) AS tot_s FROM per)
+        |SELECT source, n_docs, chars,
+        |  CAST(n_docs * 10000 // tot_docs AS BIGINT) AS prop_bps,
+        |  CAST(s_milli * 10000 // tot_s AS BIGINT) AS temp_bps
+        |FROM per, tot ORDER BY source""".stripMargin,
+    "llm_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000 // count(*) AS BIGINT) AS novel_bps
+        |FROM sh JOIN f USING (shingle) GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_quality_rep" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),

@@ -639,6 +639,35 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Gap-based sessionization: a session opens at a user's first event
+    // or wherever the inter-event gap exceeds 30 minutes; the session id
+    // is the running count of boundary flags. Both windows share the one
+    // (user_id) partitioning — a single shuffle, then partition-local lag
+    // + running sum merged into one WindowExec; the per-session rollup is
+    // an ordinary partial-aggregated groupBy. Timestamps are quantized to
+    // micros (`ts div 1000` ≡ epoch_us) for cross-engine order parity,
+    // same as q37. The scale unit is the user — no global window, and a
+    // 100 TB event log sessionizes in one pass.
+    "q47_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+        .withColumn("boundary",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum("boundary").over(running))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          (max("ts_us") - min("ts_us")).as("span_us"),
+          sum(cents(col("value"))).as("value_cents"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_id", "session_no")
+    }),
+
     // JSON extraction: events.props is a JSON string; pull a typed field
     // out in the scan stage (codegen'd path expression, no UDF) and
     // aggregate it — the semi-structured column pattern every event
@@ -1113,6 +1142,23 @@ object RelationalQueries {
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q47_sessionize" ->
+      """WITH g AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |sess AS (SELECT *, CAST(sum(CASE WHEN gap_us IS NULL
+        |      OR gap_us > 1800000000 THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_no
+        |  FROM g)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q38_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)

@@ -451,6 +451,38 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("mix-temperature, novelty, sessionize: scale shapes hold") {
+    // llm_mix_temperature: per-source agg is map-side partial; the
+    // 1-row totals frame joins back as a broadcast, never a shuffle
+    val mt = q("llm_mix_temperature")
+    mt.count()
+    val mtPlan = planString(mt)
+    assert(mtPlan.contains("partial"), mtPlan.take(2000))
+    assert(mtPlan.contains("BroadcastNestedLoopJoin") ||
+      mtPlan.contains("BroadcastExchange"), mtPlan.take(2000))
+    // llm_novelty: shingle-keyed equality join only — no cartesian, no
+    // UDFs; first-owner agg and the join share the shingle hash
+    // partitioning so the carry-back adds no extra exchange on the
+    // aggregate side
+    val nv = q("llm_novelty")
+    nv.count()
+    val nvPlan = planString(nv)
+    assert(!collectAll(executed(nv)).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!nvPlan.contains("ScalaUDF"), nvPlan.take(2000))
+    assert(nvPlan.contains("partial"), nvPlan.take(2000))
+    // q47_sessionize: both windows (lag + running boundary sum) ride ONE
+    // (user_id) hash partitioning; with the groupBy and output sort the
+    // whole plan is ≤3 exchanges, and no window goes global
+    val sz = q("q47_sessionize")
+    sz.count()
+    val szPlan = planString(sz)
+    assert(!szPlan.contains("windowspecdefinition()"),
+      "sessionize lost its window partitioning:\n" + szPlan.take(2000))
+    val szShuffles = collectAll(executed(sz))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(szShuffles <= 3, s"sessionize shuffles: $szShuffles")
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
