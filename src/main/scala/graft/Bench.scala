@@ -50,7 +50,8 @@ object Bench {
     "llm_split_leakage", "llm_pii_scrub", "llm_dedup_keep_best",
     "llm_block_dedup", "llm_dup_spans", "llm_source_cap",
     "llm_embed_outliers", "llm_shuffle_shard", "llm_ann_recall",
-    "llm_mix_temperature", "llm_novelty", "q47_sessionize")
+    "llm_mix_temperature", "llm_novelty", "q47_sessionize",
+    "llm_quality_trim", "llm_bpe_pairs", "q48_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -524,6 +524,61 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source quality trimming (the "keep the best 20% of each
+    // source" curation budget): a composite integer score — stopword
+    // bps in the high digits, token count as tie-break mass — ranks
+    // docs within their source; rank and source size ride ONE
+    // (source)-partitioned exchange (row_number + count merge into one
+    // WindowExec), then an ordinary partial-agg roll-up. The scale
+    // unit is the source; no global window, and the exact-integer
+    // score makes the kept set identical on both engines.
+    "llm_quality_trim" -> ((s, d) => {
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+      val W = org.apache.spark.sql.expressions.Window
+      val rnW = W.partitionBy("source").orderBy(desc("score"), col("doc_id"))
+      // same partition+order spec with an explicit full frame so the
+      // count rides the SAME WindowExec as row_number (one sort, one pass)
+      val allW = rnW.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val kept = col("rn") * 5 <= col("n_src")
+      documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("bigint"))
+        .withColumn("score",
+          expr("n_stop * 10000 div n_tokens") * 1000000L + col("n_tokens"))
+        .withColumn("rn", row_number().over(rnW).cast("bigint"))
+        .withColumn("n_src", count(lit(1)).over(allW))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(kept, col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+          min(when(kept, col("score"))).as("min_kept_score"))
+        .orderBy("source")
+    }),
+
+    // BPE merge-pair statistics (the first iteration of byte-pair-
+    // encoding tokenizer training): adjacent character-pair frequencies
+    // over the corpus, weighted by word frequency. The distinct-word
+    // vocabulary — orders of magnitude smaller than the corpus — is
+    // built first, so the char-pair explosion runs over |vocab| rows,
+    // exactly how production BPE trainers factor the count. Top-50 cut
+    // is a distributed TakeOrdered with the pair string as tie-break.
+    "llm_bpe_pairs" -> ((s, d) => {
+      val vocab = documents(s, d)
+        .select(explode(toks).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      vocab
+        .select(col("cnt"), split(col("w"), "").as("cs"))
+        .select(col("cnt"), col("cs"), posexplode(col("cs")))
+        .filter(col("pos") < size(col("cs")) - 1)
+        .select(concat(col("col"), element_at(col("cs"), col("pos") + 2))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), col("pair"))
+        .limit(50)
+    }),
+
     // Token counting: whitespace + BPE-ish regex segmentation per source.
     "llm_tokens" -> ((s, d) => {
       documents(s, d)
@@ -1624,6 +1679,40 @@ object LlmQueries {
         |  CAST(CASE WHEN n_tokens >= 50 AND n_stop * 1.0 / n_tokens >= 0.05 THEN 3
         |       WHEN n_tokens >= 20 THEN 2 ELSE 1 END AS INT) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+    "llm_quality_trim" ->
+      """WITH q AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT)
+        |      AS n_stop
+        |  FROM documents),
+        |sc AS (SELECT source, doc_id, n_tokens,
+        |    (n_stop * 10000 // n_tokens) * 1000000 + n_tokens AS score
+        |  FROM q),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn * 5 <= n_src THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN rn * 5 <= n_src THEN n_tokens ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  CAST(min(CASE WHEN rn * 5 <= n_src THEN score END) AS BIGINT)
+        |    AS min_kept_score
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_bpe_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT unnest(t) AS w FROM toks),
+        |wc AS (SELECT w, count(*) AS cnt FROM w WHERE len(w) >= 2
+        |  GROUP BY 1),
+        |p AS (SELECT cnt,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || w[i+1]))
+        |      AS pair
+        |  FROM wc)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+        |FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
     "llm_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT doc_id,

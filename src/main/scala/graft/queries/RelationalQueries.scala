@@ -668,6 +668,34 @@ object RelationalQueries {
         .orderBy("user_id", "session_no")
     }),
 
+    // Ordered conversion funnel: signup → view → click → purchase, each
+    // stage counted only when its FIRST occurrence falls strictly after
+    // the previous stage's first occurrence. One conditional-min groupBy
+    // per user collapses the event log to a 4-timestamp row (map-side
+    // partial agg), then a single global roll-up of 0/1 flags — the
+    // whole funnel is two aggregates and the heavy one keys on user_id,
+    // so a 100 TB event log funnels in one shuffle. Timestamps quantized
+    // to micros (`ts div 1000` ≡ epoch_us) as in q37/q47.
+    "q48_funnel" -> ((s, d) => {
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts_us"))).as(s"t_$t")
+      val per = events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .groupBy("user_id")
+        .agg(firstTs("signup"), firstTs("view"),
+          firstTs("click"), firstTs("purchase"))
+      val s1 = col("t_signup").isNotNull
+      val s2 = s1 && col("t_view") > col("t_signup")
+      val s3 = s2 && col("t_click") > col("t_view")
+      val s4 = s3 && col("t_purchase") > col("t_click")
+      def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+      per.agg(count(lit(1)).as("n_users"),
+        sum(flag(s1)).as("n_signup"),
+        sum(flag(s2)).as("n_then_view"),
+        sum(flag(s3)).as("n_then_click"),
+        sum(flag(s4)).as("n_then_purchase"))
+    }),
+
     // JSON extraction: events.props is a JSON string; pull a typed field
     // out in the scan stage (codegen'd path expression, no UDF) and
     // aggregate it — the semi-structured column pattern every event
@@ -1159,6 +1187,29 @@ object RelationalQueries {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q48_funnel" ->
+      """WITH per AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |      AS t_signup,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_then_view,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |    AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_then_click,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |    AND t_click > t_view AND t_purchase > t_click
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_then_purchase
+        |FROM per""".stripMargin,
     "q38_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)

@@ -483,6 +483,40 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(szShuffles <= 3, s"sessionize shuffles: $szShuffles")
   }
 
+  test("quality-trim, bpe-pairs, funnel: scale shapes hold") {
+    // llm_quality_trim: row_number and count share the ONE
+    // (source)-partitioned exchange — a single WindowExec, no global
+    // window, and the roll-up aggregates partially
+    val qt = q("llm_quality_trim")
+    qt.count()
+    val qtPlan = planString(qt)
+    assert(!qtPlan.contains("windowspecdefinition()"),
+      "quality-trim lost its window partitioning:\n" + qtPlan.take(2000))
+    val qtWindows = collectAll(executed(qt)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(qtWindows == 1, s"quality-trim WindowExecs: $qtWindows")
+    assert(qtPlan.contains("partial"), qtPlan.take(2000))
+    // llm_bpe_pairs: the char-pair explosion runs over the distinct-word
+    // vocabulary (post-aggregation), not the corpus; the top-50 cut is a
+    // distributed TakeOrdered, and both aggs combine map-side
+    val bp = q("llm_bpe_pairs")
+    bp.count()
+    val bpPlan = planString(bp)
+    assert(bpPlan.contains("TakeOrderedAndProject"), bpPlan.take(2000))
+    assert(bpPlan.contains("partial"), bpPlan.take(2000))
+    assert(!bpPlan.contains("ScalaUDF"), bpPlan.take(2000))
+    // q48_funnel: the heavy agg keys on user_id with map-side combine;
+    // the global roll-up sees one row per user — 2 shuffles total
+    // (user agg + single-partition final agg)
+    val fu = q("q48_funnel")
+    fu.count()
+    val fuPlan = planString(fu)
+    assert(fuPlan.contains("partial"), fuPlan.take(2000))
+    val fuShuffles = collectAll(executed(fu))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(fuShuffles <= 2, s"funnel shuffles: $fuShuffles")
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
