@@ -51,7 +51,8 @@ object Bench {
     "llm_block_dedup", "llm_dup_spans", "llm_source_cap",
     "llm_embed_outliers", "llm_shuffle_shard", "llm_ann_recall",
     "llm_mix_temperature", "llm_novelty", "q47_sessionize",
-    "llm_quality_trim", "llm_bpe_pairs", "q48_funnel")
+    "llm_quality_trim", "llm_bpe_pairs", "q48_funnel",
+    "llm_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

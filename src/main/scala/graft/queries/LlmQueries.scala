@@ -947,6 +947,42 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance weights (data selection via importance
+    // resampling): per-doc average log-likelihood ratio between a
+    // target-domain unigram LM (here: the English slice) and the
+    // whole-corpus LM, add-1 smoothed over the shared vocabulary.
+    // High-weight docs "look like" the target domain — the standard
+    // domain-targeted selection signal. All four ln terms are
+    // micro-quantized on exact integers (the llm_lm_score idiom) so
+    // the sum is order-independent; the totals frame is 1 row and
+    // broadcasts. Scale: two token-keyed aggregates + one token-keyed
+    // join — never doc-vs-doc, vocabulary ≪ corpus.
+    "llm_dsir_weights" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(toks).as("w"))
+      val vocab = tok.groupBy("w").agg(
+        count(lit(1)).as("cc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = vocab.agg(sum("cc").as("tc"), sum("ct").as("tt"),
+        count(lit(1)).as("v"))
+      val lnMicro = (c: Column) =>
+        round(log(c.cast("double")) * 1e6).cast("bigint")
+      val lr = vocab.crossJoin(broadcast(tot))
+        .select(col("w"),
+          (lnMicro(col("ct") + 1) - lnMicro(col("tt") + col("v"))
+            - lnMicro(col("cc") + 1) + lnMicro(col("tc") + col("v")))
+            .as("lr_micro"))
+      tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .join(lr, Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"),
+          sum(col("cnt") * col("lr_micro")).as("w_micro"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("w_micro") * lit(1.0) / (lit(1000.0) * col("n_tokens")))
+            .cast("bigint").as("w_milli"))
+        .orderBy("doc_id")
+    }),
+
     // Dataset-card mixture report: the per-source summary a training run
     // publishes before consuming a corpus — volume (docs/tokens/chars),
     // exact-dup rate (distinct content hashes vs docs), and language mix.
@@ -1730,6 +1766,26 @@ object LlmQueries {
         |SELECT doc_id, n_bigrams,
         |  CAST(round(s_micro * 1.0 / (1000.0 * n_bigrams)) AS BIGINT) AS xent_milli
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "llm_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, count(*) AS cc,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ct
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS tc,
+        |    CAST(sum(ct) AS BIGINT) AS tt, count(*) AS nv FROM v),
+        |lr AS (SELECT w,
+        |    CAST(round(ln((ct + 1)::DOUBLE) * 1e6) AS BIGINT)
+        |    - CAST(round(ln((tt + nv)::DOUBLE) * 1e6) AS BIGINT)
+        |    - CAST(round(ln((cc + 1)::DOUBLE) * 1e6) AS BIGINT)
+        |    + CAST(round(ln((tc + nv)::DOUBLE) * 1e6) AS BIGINT) AS lr_micro
+        |  FROM v, tot),
+        |dt AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(round(sum(cnt * lr_micro) * 1.0 / (1000.0 * sum(cnt)))
+        |    AS BIGINT) AS w_milli
+        |FROM dt JOIN lr USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_dataset_card" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

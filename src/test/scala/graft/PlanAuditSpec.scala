@@ -517,6 +517,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(fuShuffles <= 2, s"funnel shuffles: $fuShuffles")
   }
 
+  test("dsir-weights: token-keyed joins only, 1-row totals broadcast") {
+    // llm_dsir_weights: both aggregates and the carry-back join key on
+    // the token — never doc-vs-doc; the corpus/target totals frame is
+    // one row and must arrive as a broadcast, not a shuffle; all log-
+    // ratio arithmetic is codegen'd (no UDFs)
+    val dw = q("llm_dsir_weights")
+    dw.count()
+    val plan = planString(dw)
+    val nodes = collectAll(executed(dw))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("ScalaUDF"), plan.take(2000))
+    assert(plan.contains("partial"), plan.take(2000))
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
