@@ -101,6 +101,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered exact top-k: only vectors satisfying `predicate`
+    * are scored. The filter applies BEFORE quantization, so at scale it
+    * pushes into the parquet scan (with a metadata-partitioned or
+    * z-ordered layout the pruning is physical) — a filtered vector
+    * search must shrink the candidate set first, never post-filter a
+    * full-corpus top-k, or the k survivors of the filter may not be the
+    * filtered top-k at all. */
+  def filteredTopK(embeddings: DataFrame, probeId: Long, k: Int,
+                   predicate: Column, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val probe = quantized(embeddings.filter(col(idCol) === probeId), idCol, vecCol)
+      .select(col("qe").as("pe"), col("nq").as("np"))
+    quantized(embeddings.filter(predicate && col(idCol) =!= probeId), idCol, vecCol)
+      .crossJoin(broadcast(probe))
+      .withColumn("dp", dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .select(col(idCol), col("dp"), col("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** Exploded banded bucket table (id, band, bucket). This is the LSH
     * index: at scale, persist it partitioned by (band, bucket) and
     * reuse it for every probe / near-dup pass. */

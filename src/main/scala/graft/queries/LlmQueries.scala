@@ -356,6 +356,16 @@ object LlmQueries {
     "llm_ann_lsh" -> ((s, d) =>
       Similarity.signLshTopK(embeddings(s, d), probeId = 0, k = 10, radius = 1)),
 
+    // Metadata-filtered ANN: top-10 nearest RESTRICTED to label=3 (the
+    // "vector search with a WHERE clause" every retrieval stack needs —
+    // e.g. same-language or same-license neighbors only). The predicate
+    // shrinks the candidate set before any scoring, pushed down to the
+    // scan; post-filtering a global top-k would silently return fewer
+    // (or wrong) neighbors.
+    "llm_ann_filtered" -> ((s, d) =>
+      Similarity.filteredTopK(embeddings(s, d), probeId = 0, k = 10,
+        predicate = col("label") === 3)),
+
     // IVF ANN top-k: deterministic-seed k-means-lite index (one
     // integer-exact Lloyd refinement with sum-centroids), probe ranks
     // centroids and scans only the best nprobe clusters via a literal
@@ -1538,6 +1548,20 @@ object LlmQueries {
         |  list_dot_product(qe::BIGINT[], (SELECT pe FROM probe)::BIGINT[]) * 1.0
         |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
         |FROM n WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_ann_filtered" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qe,
+        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+        |  FROM q),
+        |probe AS (SELECT qe AS pe, nq AS np FROM n WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(list_dot_product(qe::BIGINT[], (SELECT pe FROM probe)::BIGINT[]) AS BIGINT) AS dp,
+        |  list_dot_product(qe::BIGINT[], (SELECT pe FROM probe)::BIGINT[]) * 1.0
+        |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
+        |FROM n WHERE vec_id <> 0 AND label = 3
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "llm_cos_neardup" ->
       s"""${cosNearDupCtes}

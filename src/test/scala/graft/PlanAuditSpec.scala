@@ -517,6 +517,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(fuShuffles <= 2, s"funnel shuffles: $fuShuffles")
   }
 
+  test("ann-filtered: metadata predicate pushed to the scan, then top-k") {
+    // llm_ann_filtered: the label filter must shrink the candidate set
+    // BEFORE scoring — pushed into the parquet scan (physical pruning
+    // with a metadata-aware layout), with the top-k a TakeOrdered over
+    // the filtered set only
+    val af = q("llm_ann_filtered")
+    af.count()
+    val plan = planString(af)
+    assert(plan.contains("EqualTo(label,3)"),
+      "label predicate not pushed to the scan:\n" + plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("dsir-weights: token-keyed joins only, 1-row totals broadcast") {
     // llm_dsir_weights: both aggregates and the carry-back join key on
     // the token — never doc-vs-doc; the corpus/target totals frame is
