@@ -3,17 +3,19 @@ package graft.llmops
 import java.nio.charset.StandardCharsets.UTF_8
 import graft.expressions.GraftFunctions
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PERSISTED ANN serving indexes — the on-disk form of the `*Indexed`
   * paths in [[Similarity]], laid out so every per-probe read is real
   * parquet partition pruning, never a corpus scan:
   *
-  *   root/vectors/part=P        (vec_id, qe, nq)   P = pmod(hash(id), NumParts)
+  *   root/vectors/part=P        (vec_id, [metaCols...,] qe, nq)
+  *                                                 P = pmod(hash(id), NumParts)
   *   root/lsh_buckets/band=B/part=P (bucket, vec_id)  P = pmod(bucket, NumParts)
-  *   root/ivf/cluster=C         (vec_id, qe, nq)   the posting lists WITH
-  *                                                 their vectors (classic IVF)
+  *   root/ivf/cluster=C         (vec_id, qe, nq [, metaCols...])   posting
+  *                                                 lists WITH their vectors
+  *                                                 (classic IVF)
   *   root/ivf_centroids         (cluster, ce, nc)  K rows of index metadata
   *   root/_meta                 build parameters (seed/bands/bits/...)
   *
@@ -88,11 +90,16 @@ final class AnnIndexStore(root: String) extends Serializable {
   }
 
   /** Quantize the corpus and write the id-part-pruned vectors store
-    * (shared by both index kinds; probe fetches read ONE part dir). */
+    * (shared by both index kinds; probe fetches read ONE part dir).
+    * `metaCols` ride along as plain columns — the store then supports
+    * metadata-FILTERED serving (see the `where` params). */
   private def writeVectors(embeddings: DataFrame, idCol: String,
-                           vecCol: String): DataFrame = {
-    val q = Similarity.quantized(embeddings, idCol, vecCol)
-      .withColumnRenamed(idCol, "vec_id")
+                           vecCol: String,
+                           metaCols: Seq[String]): DataFrame = {
+    val q = embeddings.select(
+        col(idCol).as("vec_id") +: (metaCols.map(col) :+
+          Similarity.quantize(col(vecCol)).as("qe")): _*)
+      .withColumn("nq", Similarity.normQ(col("qe")))
     q.withColumn("part", pmod(hash(col("vec_id")), lit(NumParts)).cast("int"))
       .repartition(NumParts, col("part"))
       .write.mode("overwrite").partitionBy("part")
@@ -100,14 +107,21 @@ final class AnnIndexStore(root: String) extends Serializable {
     q
   }
 
-  /** Build + persist the banded-LSH serving index. */
+  /** The metadata columns this store was built with (empty for a plain
+    * index). */
+  private def metaColsOf(meta: Map[String, String]): Seq[String] =
+    meta.getOrElse("metaCols", "").split(",").filter(_.nonEmpty).toSeq
+
+  /** Build + persist the banded-LSH serving index. `metaCols` are
+    * stored next to each vector, enabling filtered serving. */
   def writeLsh(embeddings: DataFrame,
                bands: Int = Similarity.DefaultBands,
                bitsPerBand: Int = Similarity.DefaultBitsPerBand,
                seed: Long = Similarity.DefaultSeed,
-               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               metaCols: Seq[String] = Nil): Unit = {
     clearMeta(embeddings.sparkSession)
-    val q = writeVectors(embeddings, idCol, vecCol)
+    val q = writeVectors(embeddings, idCol, vecCol, metaCols)
     Similarity.bandBuckets(q, bands, bitsPerBand, seed, "vec_id")
       .withColumn("part", pmod(col("bucket"), lit(NumParts)).cast("int"))
       .repartition(col("band"), col("part"))
@@ -116,7 +130,8 @@ final class AnnIndexStore(root: String) extends Serializable {
     writeMeta(embeddings.sparkSession, Map(
       "kind" -> "lsh", "bands" -> bands.toString,
       "bitsPerBand" -> bitsPerBand.toString, "seed" -> seed.toString,
-      "numParts" -> NumParts.toString))
+      "numParts" -> NumParts.toString,
+      "metaCols" -> metaCols.mkString(",")))
   }
 
   /** Serve one probe from the persisted LSH index: the probe's buckets
@@ -130,13 +145,18 @@ final class AnnIndexStore(root: String) extends Serializable {
     * candidates come from, so it matches the write layout by
     * construction). */
   def lshTopK(spark: SparkSession, probeId: Long, k: Int,
-              radius: Int = 1): DataFrame = {
+              radius: Int = 1, where: Option[Column] = None): DataFrame = {
     val dead = tombstoned(spark)
     require(!dead(probeId), s"probe $probeId is tombstoned")
     val probe = probeVector(spark, probeId)
     val cand = lshCandidates(spark, probeId, radius).collect()
       .map(r => (r.getLong(0), r.getInt(1))).filterNot(p => dead(p._1))
-    score(gatherVectors(spark, cand), probe, probeId, k)
+    // metadata filter: the vectors store carries the declared metaCols,
+    // so the predicate lands on the (already bounded) candidate gather
+    // BEFORE scoring — filtered ANN may return < k when the filter is
+    // selective; widen `radius` to deepen the candidate pool
+    val cands = where.foldLeft(gatherVectors(spark, cand))(_.filter(_))
+    score(cands, probe, probeId, k)
   }
 
   /** The pruned candidate read behind [[lshTopK]] — exposed
@@ -206,7 +226,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     * Output: (pid, vec_id, dp, cosine, rank) — per probe, `rank` 1..k,
     * row-for-row equal to [[lshTopK]] of that probe (spec-asserted). */
   def lshTopKBatch(spark: SparkSession, probeIds: Seq[Long], k: Int,
-                   radius: Int = 1): DataFrame = {
+                   radius: Int = 1, where: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val meta = readMeta(spark)
     require(meta.get("kind").contains("lsh"), s"$root is not an LSH index")
@@ -247,7 +267,10 @@ final class AnnIndexStore(root: String) extends Serializable {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .filterNot(p => dead(p._2))
     val pairsDf = pairs.toSeq.toDF("pid", "vec_id", "part")
-    val vecs = gatherVectors(spark, pairs.map(p => (p._2, p._3)).distinct)
+    // metadata filter on the gathered candidates (they carry metaCols),
+    // before scoring/ranking — same contract as lshTopK's `where`
+    val vecs = where.foldLeft(
+      gatherVectors(spark, pairs.map(p => (p._2, p._3)).distinct))(_.filter(_))
     val pv = broadcast(probes.select(col("vec_id").as("pid"),
       col("qe").as("pe"), col("nq").as("np")))
     val w = org.apache.spark.sql.expressions.Window
@@ -270,7 +293,8 @@ final class AnnIndexStore(root: String) extends Serializable {
     * their vectors, so there is no gather join at all.
     * Output as [[lshTopKBatch]]; row-for-row equal to [[ivfTopK]]. */
   def ivfTopKBatch(spark: SparkSession, probeIds: Seq[Long], k: Int,
-                   nprobe: Int = Similarity.DefaultIvfProbes): DataFrame = {
+                   nprobe: Int = Similarity.DefaultIvfProbes,
+                   where: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
@@ -280,7 +304,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
       .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-    val probes = probeVectors(spark, probeIds)
+    val probes = probeVectors(spark, probeIds).select("vec_id", "qe", "nq")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val probeClusters = probes.flatMap { case (pid, pe, np) =>
       cents.map(c => (Similarity.centroidCos(c.ce, c.nc, pe, np), c.cluster))
@@ -291,8 +315,9 @@ final class AnnIndexStore(root: String) extends Serializable {
     val pvDf = probes.toSeq.toDF("pid", "pe", "np")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
-    dropDead(spark.read.parquet(s"$root/ivf")
-        .filter(col("cluster").isin(probeClusters.map(_._2).distinct: _*)), dead)
+    where.foldLeft(dropDead(spark.read.parquet(s"$root/ivf")
+        .filter(col("cluster").isin(probeClusters.map(_._2).distinct: _*)),
+        dead))(_.filter(_))
       .join(broadcast(pcDf), Seq("cluster"))
       .filter(col("vec_id") =!= col("pid"))
       .join(broadcast(pvDf), "pid")
@@ -326,13 +351,15 @@ final class AnnIndexStore(root: String) extends Serializable {
   def writeIvf(embeddings: DataFrame,
                nClusters: Int = Similarity.DefaultIvfClusters,
                dim: Int = 64, rounds: Int = 1,
-               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               metaCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
     clearMeta(spark)
-    val q = writeVectors(embeddings, idCol, vecCol)
+    val q = writeVectors(embeddings, idCol, vecCol, metaCols)
     val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
     assign.join(q, "vec_id")
-      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+      .select(Seq("vec_id", "qe", "nq", "cluster").map(col) ++
+        metaCols.map(col): _*)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$root/ivf")
@@ -345,6 +372,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     writeMeta(spark, Map(
       "kind" -> "ivf", "nClusters" -> nClusters.toString,
       "dim" -> dim.toString, "numParts" -> NumParts.toString,
+      "metaCols" -> metaCols.mkString(","),
       "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
   }
 
@@ -353,7 +381,8 @@ final class AnnIndexStore(root: String) extends Serializable {
     * cluster IN-list — partition pruning reads only those posting dirs,
     * which already carry the vectors (no gather join at all). */
   def ivfTopK(spark: SparkSession, probeId: Long, k: Int,
-              nprobe: Int = Similarity.DefaultIvfProbes): DataFrame = {
+              nprobe: Int = Similarity.DefaultIvfProbes,
+              where: Option[Column] = None): DataFrame = {
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
     val dead = tombstoned(spark)
@@ -368,10 +397,14 @@ final class AnnIndexStore(root: String) extends Serializable {
       .map(c => (Similarity.centroidCos(c.ce, c.nc, pe, np), c.cluster))
       .sortBy { case (cos, cl) => (-cos, cl) }
       .take(nprobe).map(_._2)
-    val members = spark.read.parquet(s"$root/ivf")
-      .filter(col("cluster").isin(probeClusters: _*))
-      .filter(col("vec_id") =!= probeId)
-      .drop("cluster")
+    // posting lists carry the declared metaCols, so a metadata filter
+    // applies inside the cluster-pruned member scan — before scoring,
+    // never post-top-k; widen `nprobe` when the filter is selective
+    val members = where.foldLeft(
+        spark.read.parquet(s"$root/ivf")
+          .filter(col("cluster").isin(probeClusters: _*))
+          .filter(col("vec_id") =!= probeId)
+          .drop("cluster"))(_.filter(_))
     score(dropDead(members, dead), probe, probeId, k)
   }
 
@@ -390,8 +423,13 @@ final class AnnIndexStore(root: String) extends Serializable {
              vecCol: String = "embedding"): Unit = {
     val spark = embeddings.sparkSession
     val meta = readMeta(spark)
-    val q = Similarity.quantized(embeddings, idCol, vecCol)
-      .withColumnRenamed(idCol, "vec_id")
+    val metaCols = metaColsOf(meta)
+    require(metaCols.forall(embeddings.columns.contains),
+      s"append batch must carry the store's metaCols $metaCols")
+    val q = embeddings.select(
+        col(idCol).as("vec_id") +: (metaCols.map(col) :+
+          Similarity.quantize(col(vecCol)).as("qe")): _*)
+      .withColumn("nq", Similarity.normQ(col("qe")))
     q.withColumn("part", pmod(hash(col("vec_id")), lit(NumParts)).cast("int"))
       .repartition(col("part"))
       .write.mode("append").partitionBy("part")
@@ -411,7 +449,8 @@ final class AnnIndexStore(root: String) extends Serializable {
           .toSeq
         val assign = Similarity.assignToCentroids(q, cents, "vec_id")
         assign.join(q, "vec_id")
-          .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+          .select(Seq("vec_id", "qe", "nq", "cluster").map(col) ++
+            metaCols.map(col): _*)
           .repartition(col("cluster"))
           .write.mode("append").partitionBy("cluster")
           .parquet(s"$root/ivf")
@@ -477,11 +516,13 @@ final class AnnIndexStore(root: String) extends Serializable {
     val dead = tombstoned(spark)
     // sever lineage from the dirs being overwritten; vectors/ itself is
     // only read, but ivfIndex consumes q several times
+    val metaCols = metaColsOf(meta)
     val q = dropDead(spark.read.parquet(s"$root/vectors").drop("part"), dead)
       .localCheckpoint(true)
     val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
     assign.join(q, "vec_id")
-      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+      .select(Seq("vec_id", "qe", "nq", "cluster").map(col) ++
+        metaCols.map(col): _*)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$root/ivf")
@@ -492,6 +533,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     writeMeta(spark, Map(
       "kind" -> "ivf", "nClusters" -> nClusters.toString,
       "dim" -> dim.toString, "numParts" -> NumParts.toString,
+      "metaCols" -> metaCols.mkString(","),
       "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
   }
 

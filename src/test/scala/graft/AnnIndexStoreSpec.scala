@@ -326,6 +326,63 @@ class AnnIndexStoreSpec extends SparkSpecBase {
     intercept[Exception] { store.lshTopK(spark, probeId = 5L, k = 1) }
   }
 
+  test("filtered serving: metadata predicate restricts both index kinds") {
+    // label = vec_id % 3 rides the layouts as a declared metaCol; a
+    // filtered serve must equal client-side filtering of the unfiltered
+    // ranking (same candidates, same scores — the filter only restricts),
+    // and survive append batches that carry the same metadata
+    val df = planted(19, 60)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+
+    def expectFiltered(all: Seq[(Long, Double)], k: Int): Seq[Long] =
+      all.filter(_._1 % 3 == 1L).take(k).map(_._1)
+
+    // LSH
+    val lshRoot = Files.createTempDirectory("ann-flt-lsh").toFile.getAbsolutePath + "/idx"
+    val lsh = new AnnIndexStore(lshRoot)
+    lsh.writeLsh(df, metaCols = Seq("label"))
+    val lshAll = lsh.lshTopK(spark, probeId = 5L, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val lshGot = lsh.lshTopK(spark, probeId = 5L, k = 3,
+        where = Some(col("label") === 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(lshGot.nonEmpty && lshGot == expectFiltered(lshAll, 3),
+      s"lsh filtered=$lshGot all=$lshAll")
+
+    // IVF (posting lists carry the metadata — no gather at all)
+    val ivfRoot = Files.createTempDirectory("ann-flt-ivf").toFile.getAbsolutePath + "/idx"
+    val ivf = new AnnIndexStore(ivfRoot)
+    ivf.writeIvf(df, nClusters = 4, metaCols = Seq("label"))
+    val ivfAll = ivf.ivfTopK(spark, probeId = 5L, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val ivfGot = ivf.ivfTopK(spark, probeId = 5L, k = 3,
+        where = Some(col("label") === 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivfGot.nonEmpty && ivfGot == expectFiltered(ivfAll, 3),
+      s"ivf filtered=$ivfGot all=$ivfAll")
+
+    // append carries the metadata; a batch missing it is refused
+    import spark.implicits._
+    val batch = Seq((200L, Array.fill(64)(0.01f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(1))
+    lsh.append(batch)
+    val afterAppend = lsh.lshTopK(spark, probeId = 5L, k = 1000,
+        where = Some(col("label") === 1)).collect().map(_.getLong(0)).toSeq
+    assert(afterAppend.forall(id => id % 3 == 1L || id == 200L))
+    intercept[IllegalArgumentException] {
+      lsh.append(Seq((201L, Array.fill(64)(0.01f))).toDF("vec_id", "embedding"))
+    }
+
+    // batch probe serving honors the same filter
+    val batchGot = lsh.lshTopKBatch(spark, Seq(5L, 17L), k = 3,
+        where = Some(col("label") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batchGot.nonEmpty &&
+      batchGot.filter(_._1 == 5L).map(_._2) ==
+        lsh.lshTopK(spark, 5L, k = 3, where = Some(col("label") === 1))
+          .collect().map(_.getLong(0)).toSeq)
+  }
+
   test("index kind guard: serving the wrong kind fails fast") {
     val df = planted(3, 30)
     val root = Files.createTempDirectory("ann-kind").toFile.getAbsolutePath + "/idx"
