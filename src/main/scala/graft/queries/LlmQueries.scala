@@ -957,6 +957,42 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Count-min-sketch frequency estimates: the bounded-memory
+    // approximate counter for corpus statistics that must not hold the
+    // full vocabulary (d=4 salted hash rows × w=1024 buckets — the
+    // sketch is ≤ 4096 counters REGARDLESS of corpus size, merged by
+    // plain addition so it is order-independent and exactly
+    // reproducible, unlike Misra-Gries-style heaps whose merge is order-
+    // dependent). Estimates (min over rows) are ≥ the true count by
+    // construction; the query reports both against the exact counts for
+    // a fixed probe vocabulary so the overestimate is visible. Shape:
+    // one explode → one (r, bucket) partial-agg shuffle bounded at d·w
+    // groups; probe lookups broadcast.
+    "llm_cms_counts" -> ((s, d) => {
+      import s.implicits._
+      val wdt = 1024
+      val salts = 0 until 4
+      val tok = documents(s, d).select(explode(toks).as("t"))
+      def bucketOf(salt: Int, c: Column) =
+        pmod(TextOps.tokenHash60(concat(lit(s"cms$salt"), c)), lit(wdt.toLong))
+      val cms = tok
+        .select(posexplode(array(salts.map(r => bucketOf(r, col("t"))): _*)))
+        .toDF("r", "bucket")
+        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      val probes = Seq("the", "a", "and", "of", "to", "in", "is")
+      val pb = probes.toDF("tok")
+        .select(col("tok"), posexplode(array(salts.map(r =>
+          bucketOf(r, col("tok"))): _*)))
+        .toDF("tok", "r", "bucket")
+      val est = broadcast(pb).join(cms, Seq("r", "bucket"))
+        .groupBy("tok").agg(min("c").as("n_est"))
+      val exact = tok.filter(col("t").isin(probes: _*))
+        .groupBy(col("t").as("tok")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, "tok")
+        .withColumn("n_over", col("n_est") - col("n_exact"))
+        .orderBy("tok")
+    }),
+
     // DSIR-style importance weights (data selection via importance
     // resampling): per-doc average log-likelihood ratio between a
     // target-domain unigram LM (here: the English slice) and the
@@ -1790,6 +1826,28 @@ object LlmQueries {
         |SELECT doc_id, n_bigrams,
         |  CAST(round(s_micro * 1.0 / (1000.0 * n_bigrams)) AS BIGINT) AS xent_milli
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "llm_cms_counts" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(r)),
+        |b AS (SELECT r.r,
+        |    ('0x' || substr(md5('cms' || r.r || t), 1, 15))::BIGINT % 1024
+        |      AS bucket
+        |  FROM tok, r),
+        |cms AS (SELECT r, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        |probes AS (SELECT unnest(
+        |    ['the','a','and','of','to','in','is']) AS tok),
+        |pb AS (SELECT tok, r.r,
+        |    ('0x' || substr(md5('cms' || r.r || tok), 1, 15))::BIGINT % 1024
+        |      AS bucket
+        |  FROM probes, r),
+        |est AS (SELECT tok, CAST(min(c) AS BIGINT) AS n_est
+        |  FROM pb JOIN cms USING (r, bucket) GROUP BY 1),
+        |ex AS (SELECT t AS tok, count(*) AS n_exact FROM tok
+        |  WHERE t IN ('the','a','and','of','to','in','is') GROUP BY 1)
+        |SELECT tok, n_est, n_exact,
+        |  CAST(n_est - n_exact AS BIGINT) AS n_over
+        |FROM est JOIN ex USING (tok) ORDER BY tok""".stripMargin,
     "llm_dsir_weights" ->
       """WITH tok AS (SELECT doc_id, lang,
         |    unnest(string_split(text, ' ')) AS w FROM documents),

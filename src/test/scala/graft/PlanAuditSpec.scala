@@ -530,6 +530,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("cms-counts: sketch bounded at d*w groups, probe lookup broadcast") {
+    // llm_cms_counts: the sketch aggregation partial-combines map-side
+    // into at most d·w = 4096 groups (corpus-size-independent state);
+    // the probe table joins as a broadcast, and nothing is a UDF
+    val cm = q("llm_cms_counts")
+    cm.count()
+    val plan = planString(cm)
+    assert(plan.contains("partial"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("ScalaUDF"), plan.take(2000))
+    assert(!collectAll(executed(cm)).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("dsir-weights: token-keyed joins only, 1-row totals broadcast") {
     // llm_dsir_weights: both aggregates and the carry-back join key on
     // the token — never doc-vs-doc; the corpus/target totals frame is
