@@ -189,12 +189,23 @@ object ScaleProbe {
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     val ivfIdx = new graft.llmops.AnnIndexStore(s"$annRoot/ivf")
     t0 = System.nanoTime()
-    ivfIdx.writeIvf(embs, nClusters = 64)
-    println(f"ann ivf index build (64 clusters): in " +
+    ivfIdx.writeIvf(embs.withColumn("label", (col("vec_id") % 4).cast("int")),
+      nClusters = 64, metaCols = Seq("label"))
+    println(f"ann ivf index build (64 clusters, metaCols=label): in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     t0 = System.nanoTime()
     val ivfN = ivfIdx.ivfTopK(spark, probeId = 5L, k = 10, nprobe = 8).count()
     println(f"ann ivf serve: $ivfN results (8/64 clusters) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // metadata-filtered serve: the predicate applies inside the SAME
+    // cluster-pruned posting read (label rides the posting lists) — the
+    // restriction must never leak other labels or widen the scan
+    t0 = System.nanoTime()
+    val flt = ivfIdx.ivfTopK(spark, probeId = 5L, k = 10, nprobe = 8,
+      where = Some(col("label") === 2)).collect()
+    require(flt.nonEmpty && flt.forall(_.getLong(0) % 4 == 2L),
+      "filtered serve leaked labels")
+    println(f"ann ivf filtered serve: ${flt.length} results (label=2 only) in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // batch serving: 50 probes in ONE plan against each persisted layout
