@@ -58,6 +58,37 @@ object Sketch {
       .agg(kmvSketch(value, k).as("sk"))
       .select(col(groupCol), kmvEstimate(col("sk"), k).as("n_est"))
 
+  // ------------------------------------------------- count-min sketch
+
+  /** Count-min sketch: d salted hash rows × w buckets of plain counters.
+    * Unlike heap-based heavy-hitter summaries (Misra-Gries/SpaceSaving),
+    * whose merge is order-dependent, CMS cells merge by ADDITION — the
+    * sketch is order-independent, exactly reproducible, and therefore
+    * both oracle-checkable (llm_cms_counts) and streaming-foldable with
+    * exact batch parity. Point estimates (min over the d rows) are ≥ the
+    * true count, within n/w with probability 1−(1/2)^d. */
+  def cmsBucket(value: Column, r: Int, w: Int): Column =
+    pmod(TextOps.tokenHash60(concat(lit(s"cms$r"), value)), lit(w.toLong))
+
+  /** The sketch as a (r, bucket, c) table — ≤ d·w rows regardless of
+    * input size; one partial-agg shuffle bounded at d·w groups. */
+  def cmsTable(df: DataFrame, value: Column, d: Int = 4,
+               w: Int = 1024): DataFrame =
+    df.select(posexplode(array((0 until d).map(r => cmsBucket(value, r, w)): _*)))
+      .toDF("r", "bucket")
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+
+  /** Point estimates for a probe set: min over the d rows. Probes
+    * broadcast (a probe vocabulary is driver-small by definition). */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, probeCol: String,
+                  d: Int = 4, w: Int = 1024): DataFrame =
+    broadcast(probes
+        .select(col(probeCol), posexplode(array((0 until d).map(r =>
+          cmsBucket(col(probeCol), r, w)): _*)))
+        .toDF(probeCol, "r", "bucket"))
+      .join(cms, Seq("r", "bucket"))
+      .groupBy(probeCol).agg(min("c").as("n_est"))
+
   // ------------------------------------------------------------ streaming
 
   final case class HashArrival(group: String, h: Long)
@@ -108,6 +139,40 @@ object Sketch {
           }
           st.update(KmvState(mins))
           KmvRunning(g, estimate(mins.size, if (mins.nonEmpty) mins.last else 1L, k))
+      }
+  }
+
+  final case class CmsArrival(key: String)
+  final case class CmsCell(r: Int, bucket: Long, c: Long)
+
+  /** Streaming CMS fold: state per touched (r, bucket) cell is ONE long,
+    * bounded at d·w cells total however large the stream grows; each
+    * trigger adds the cell's new arrivals and emits the refreshed count.
+    * Because the merge is addition, after any stream prefix every cell
+    * equals [[cmsTable]] over the same rows EXACTLY (tested) — the
+    * sketch can fold live and be compared/unioned with batch sketches.
+    * Use OutputMode.Update. */
+  def cmsStream(rows: DataFrame, value: Column, d: Int = 4,
+                w: Int = 1024): org.apache.spark.sql.Dataset[CmsCell] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val arrEnc: Encoder[CmsArrival] = Encoders.product[CmsArrival]
+    implicit val outEnc: Encoder[CmsCell] = Encoders.product[CmsCell]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    rows
+      .select(posexplode(array((0 until d).map(r => cmsBucket(value, r, w)): _*)))
+      .toDF("r", "bucket")
+      .select(concat_ws(":", col("r"), col("bucket")).as("key"))
+      .as[CmsArrival]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CmsArrival], st: GroupState[Long]) =>
+          var n = st.getOption.getOrElse(0L)
+          it.foreach(_ => n += 1L)
+          st.update(n)
+          val Array(r, b) = key.split(":")
+          CmsCell(r.toInt, b.toLong, n)
       }
   }
 }

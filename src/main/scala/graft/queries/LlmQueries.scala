@@ -970,22 +970,11 @@ object LlmQueries {
     // groups; probe lookups broadcast.
     "llm_cms_counts" -> ((s, d) => {
       import s.implicits._
-      val wdt = 1024
-      val salts = 0 until 4
+      import graft.llmops.Sketch
       val tok = documents(s, d).select(explode(toks).as("t"))
-      def bucketOf(salt: Int, c: Column) =
-        pmod(TextOps.tokenHash60(concat(lit(s"cms$salt"), c)), lit(wdt.toLong))
-      val cms = tok
-        .select(posexplode(array(salts.map(r => bucketOf(r, col("t"))): _*)))
-        .toDF("r", "bucket")
-        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      val cms = Sketch.cmsTable(tok, col("t"))
       val probes = Seq("the", "a", "and", "of", "to", "in", "is")
-      val pb = probes.toDF("tok")
-        .select(col("tok"), posexplode(array(salts.map(r =>
-          bucketOf(r, col("tok"))): _*)))
-        .toDF("tok", "r", "bucket")
-      val est = broadcast(pb).join(cms, Seq("r", "bucket"))
-        .groupBy("tok").agg(min("c").as("n_est"))
+      val est = Sketch.cmsEstimate(cms, probes.toDF("tok"), "tok")
       val exact = tok.filter(col("t").isin(probes: _*))
         .groupBy(col("t").as("tok")).agg(count(lit(1)).as("n_exact"))
       est.join(exact, "tok")

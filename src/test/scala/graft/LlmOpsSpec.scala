@@ -117,6 +117,37 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(s == b, s"stream=$s\nbatch=$b")
   }
 
+  test("streaming CMS fold equals the batch sketch cell-for-cell") {
+    import graft.llmops.{Sketch, TextOps}
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val tokStream = mem.toDF().toDF("doc_id", "text")
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+    val cells = Sketch.cmsStream(tokStream, col("t"), d = 4, w = 256)
+    val q = cells.writeStream.outputMode("update")
+      .format("memory").queryName("cms_out").start()
+    try {
+      rows.grouped(math.max(rows.size / 3, 1)).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update mode re-emits refreshed cells; the max count per cell is the
+    // final fold (counts only grow)
+    val streamed = spark.sql(
+      "SELECT r, bucket, max(c) AS c FROM cms_out GROUP BY 1, 2")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketch.cmsTable(
+        docs.select(explode(TextOps.tokens(col("text"))).as("t")),
+        col("t"), d = 4, w = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"cells differ: stream-only=${streamed.toSet -- batch.toSet} " +
+        s"batch-only=${batch.toSet -- streamed.toSet}")
+  }
+
   test("exact dedup: hash groups partition the corpus") {
     val d = Dedup.exact(docs)
     val total = d.agg(sum("n_dups")).collect()(0).getLong(0)
