@@ -52,7 +52,8 @@ object Bench {
     "llm_embed_outliers", "llm_shuffle_shard", "llm_ann_recall",
     "llm_mix_temperature", "llm_novelty", "q47_sessionize",
     "llm_quality_trim", "llm_bpe_pairs", "q48_funnel",
-    "llm_dsir_weights", "llm_ann_filtered", "llm_cms_counts")
+    "llm_dsir_weights", "llm_ann_filtered", "llm_cms_counts",
+    "llm_curate_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

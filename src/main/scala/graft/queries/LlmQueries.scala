@@ -50,6 +50,63 @@ object LlmQueries {
        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain for the curation pipeline — quality/language
+    * gate `f` → exact-dedup survivors `fe` → near-dup `drops` (mirrors
+    * StreamingCurate.gate → Dedup.exact → Dedup.nearDedup); consumed by
+    * both `llm_curate` (final per-source stats) and `llm_curate_funnel`
+    * (per-stage survivor counts). */
+  private lazy val curateCtes: String = {
+    val coeffs = graft.llmops.Dedup.MinhashCoeffs
+    val p = graft.llmops.Dedup.MinhashP
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS mh$i"
+    }.mkString(", ")
+    s"""WITH scored AS (SELECT doc_id, source, text,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> x IN ('the','a','and','of','to','in','is'))) AS n_stop,
+       |    len(string_split(text, ' the '))-1 + len(string_split(text, ' and '))-1
+       |      + len(string_split(text, ' of '))-1 AS s_en,
+       |    len(string_split(text, ' der '))-1 + len(string_split(text, ' und '))-1
+       |      + len(string_split(text, ' die '))-1 AS s_de,
+       |    len(string_split(text, ' le '))-1 + len(string_split(text, ' et '))-1
+       |      + len(string_split(text, ' la '))-1 AS s_fr,
+       |    len(string_split(text, ' el '))-1 + len(string_split(text, ' los '))-1
+       |      + len(string_split(text, ' las '))-1 AS s_es
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, text FROM scored
+       |  WHERE n_tokens >= 20 AND n_stop * 1.0 / n_tokens >= 0.05
+       |    AND (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = 'en'),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+       |    FROM f) GROUP BY h),
+       |fe AS (SELECT f.* FROM f JOIN ex USING (doc_id)),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fe),
+       |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+       |hv AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, unnest([
+       |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
+       |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
+       |  FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM banded a JOIN banded b
+       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2),
+       |drops AS (SELECT DISTINCT p2.db FROM pairs p2
+       |  JOIN cand c ON p2.da = c.da AND p2.db = c.db
+       |  JOIN sizes sa ON p2.da = sa.doc_id
+       |  JOIN sizes sb ON p2.db = sb.doc_id
+       |  WHERE p2.inter * 1.0 / (sa.sz + sb.sz - p2.inter) >= 0.8)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per normalized-text hash. At 100 TB this
     // is one hash-shuffle on a 32-hex key; the min(doc_id) keeps choice
@@ -495,6 +552,36 @@ object LlmQueries {
           sum("ws_tokens").as("total_ws"),
           sum("bpe_tokens").as("total_bpe"))
         .orderBy("source")
+    }),
+
+    // Curation funnel report: how many documents (and tokens) survive
+    // each stage of the curation pipeline — raw → quality/language gate
+    // → exact dedup → near dedup. The observability every large-scale
+    // curation run publishes before training consumes the output: a
+    // stage that suddenly drops 40% is a data incident, invisible if
+    // only the final corpus is counted. Reuses the SAME stage operators
+    // as llm_curate (gate/exact/nearDedup — batch ≡ stream by the
+    // shared-gate contract), so the funnel can never disagree with the
+    // pipeline; each stage row is one partial-agg count, the union is 4
+    // rows.
+    "llm_curate_funnel" -> ((s, d) => {
+      val raw = documents(s, d)
+      val filtered = graft.llmops.StreamingCurate.gate(raw)
+        .localCheckpoint(false)
+      val keepExact = Dedup.exact(filtered)
+        .select(col("keep_id").as("doc_id"))
+      val exactKept = filtered.join(keepExact, "doc_id")
+        .localCheckpoint(false)
+      val nearKept = Dedup.nearDedup(exactKept, 0.8)
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(toks)), lit(0L)).cast("bigint").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("0_raw", raw)
+        .unionByName(stage("1_gate", filtered))
+        .unionByName(stage("2_exact", exactKept))
+        .unionByName(stage("3_near", nearKept))
+        .orderBy("stage")
     }),
 
     // Language ID: stopword-marker scoring with deterministic priority.
@@ -1672,63 +1759,28 @@ object LlmQueries {
          |FROM sh s JOIN ev ON s.shingle = ev.shingle
          |WHERE s.doc_id >= 20
          |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
-    "llm_curate" -> {
-      val coeffs = graft.llmops.Dedup.MinhashCoeffs
-      val p = graft.llmops.Dedup.MinhashP
-      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        s"min((h * $a + $b) % $p) AS mh$i"
-      }.mkString(", ")
-      s"""WITH scored AS (SELECT doc_id, source, text,
-         |    len(string_split(text, ' ')) AS n_tokens,
-         |    len(list_filter(string_split(text, ' '),
-         |        x -> x IN ('the','a','and','of','to','in','is'))) AS n_stop,
-         |    len(string_split(text, ' the '))-1 + len(string_split(text, ' and '))-1
-         |      + len(string_split(text, ' of '))-1 AS s_en,
-         |    len(string_split(text, ' der '))-1 + len(string_split(text, ' und '))-1
-         |      + len(string_split(text, ' die '))-1 AS s_de,
-         |    len(string_split(text, ' le '))-1 + len(string_split(text, ' et '))-1
-         |      + len(string_split(text, ' la '))-1 AS s_fr,
-         |    len(string_split(text, ' el '))-1 + len(string_split(text, ' los '))-1
-         |      + len(string_split(text, ' las '))-1 AS s_es
-         |  FROM documents),
-         |f AS (SELECT doc_id, source, text FROM scored
-         |  WHERE n_tokens >= 20 AND n_stop * 1.0 / n_tokens >= 0.05
-         |    AND (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = 'en'),
-         |ex AS (SELECT min(doc_id) AS doc_id FROM (
-         |    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
-         |    FROM f) GROUP BY h),
-         |fe AS (SELECT f.* FROM f JOIN ex USING (doc_id)),
-         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fe),
-         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
-         |hv AS (SELECT doc_id,
-         |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
-         |banded AS (
-         |  SELECT doc_id, unnest([
-         |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
-         |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
-         |  FROM mh),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM banded a JOIN banded b
-         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2),
-         |drops AS (SELECT DISTINCT p2.db FROM pairs p2
-         |  JOIN cand c ON p2.da = c.da AND p2.db = c.db
-         |  JOIN sizes sa ON p2.da = sa.doc_id
-         |  JOIN sizes sb ON p2.db = sb.doc_id
-         |  WHERE p2.inter * 1.0 / (sa.sz + sb.sz - p2.inter) >= 0.8)
+    "llm_curate" ->
+      s"""$curateCtes
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws,
          |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\\S'))) AS BIGINT)
          |    AS total_bpe
          |FROM fe WHERE doc_id NOT IN (SELECT db FROM drops)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_curate_funnel" ->
+      s"""$curateCtes,
+         |near AS (SELECT * FROM fe
+         |  WHERE doc_id NOT IN (SELECT db FROM drops))
+         |SELECT '0_raw' AS stage, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM documents
+         |UNION ALL SELECT '1_gate', count(*),
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM f
+         |UNION ALL SELECT '2_exact', count(*),
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM fe
+         |UNION ALL SELECT '3_near', count(*),
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM near
+         |ORDER BY stage""".stripMargin,
     "llm_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
         |  len(string_split(text, ' the '))-1 + len(string_split(text, ' and '))-1

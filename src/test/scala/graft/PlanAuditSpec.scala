@@ -530,6 +530,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("curate-funnel: four stage roll-ups, no UDF, partial aggregation") {
+    // llm_curate_funnel: each stage row is a 1-row partial-agg count
+    // over the shared curation operators; the union is 4 rows total and
+    // nothing in the chain is a UDF or cartesian
+    val cf = q("llm_curate_funnel")
+    assert(cf.count() == 4)
+    val plan = planString(cf)
+    assert(plan.contains("partial"), plan.take(2000))
+    assert(!plan.contains("ScalaUDF"), plan.take(2000))
+    assert(!collectAll(executed(cf)).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("cms-counts: sketch bounded at d*w groups, probe lookup broadcast") {
     // llm_cms_counts: the sketch aggregation partial-combines map-side
     // into at most d·w = 4096 groups (corpus-size-independent state);
