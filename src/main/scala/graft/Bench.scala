@@ -79,18 +79,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Median of 3 INTERLEAVED passes per query. Back-to-back repeats of
+    // Median of 5 INTERLEAVED passes per query. Back-to-back repeats of
     // a ~1 s query all land inside the same shared-box contention window
     // (minutes long), so even a min-of-3 recorded 6× phantom swings two
-    // rounds running. Sweeping the whole set three times instead puts a
-    // query's repetitions minutes apart — at most one pass sits in any
-    // contention window, and the median ignores it. "spread" reports
-    // max/min per query where the passes disagreed >1.5×, so residual
-    // noise is visible IN the artifact instead of needing a re-measure.
-    // A failed run is recorded in "errors", never as a (fast) wall time.
+    // rounds running. Sweeping the whole set instead puts a query's
+    // repetitions minutes apart; five sweeps let the median discard TWO
+    // contended passes (an A/B re-run of interleaved median-of-3 still
+    // moved 6/91 sub-second queries >30% when two passes of one run
+    // were slow). "spread" reports max/min per query where the passes
+    // disagreed >1.5×, so residual noise is visible IN the artifact
+    // instead of needing a re-measure. A failed run is recorded in
+    // "errors", never as a (fast) wall time.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    (1 to 3).foreach { _ =>
+    (1 to 5).foreach { _ =>
       headline.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val t0 = System.nanoTime()
