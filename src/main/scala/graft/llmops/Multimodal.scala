@@ -9,8 +9,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode and resize are REAL — `javax.imageio` ships in the JDK
   * (PNG/JPEG/GIF/BMP), so [[decodeImage]] reads actual pixel dimensions
   * and extracts a luminance-grid feature, and [[resizeImage]] rescales
-  * and re-encodes. Only VIDEO (and exotic codecs) keep the
-  * clearly-marked deterministic stubs ([[decodeStub]], [[sampleFrames]])
+  * and re-encodes. AUDIO decode is REAL too — `javax.sound.sampled`
+  * ships in the JDK (WAV/AIFF/AU containers, PCM 8/16-bit), so
+  * [[decodeAudio]] reads actual sample rate / channel / frame counts
+  * and extracts an RMS-energy strip feature. Only VIDEO (and exotic
+  * codecs) keep the clearly-marked deterministic stubs
+  * ([[decodeStub]], [[sampleFrames]])
   * — no video codec exists in this environment; the Spark-side
   * contract — schema, per-partition batch shape, partitioning — is
   * identical on both paths, so swapping the stub for a JNI/ONNX decoder
@@ -134,6 +138,100 @@ object Multimodal {
       }
     }
   }
+
+  final case class AudioFeatures(media_id: Long, n_bytes: Int, checksum: String,
+                                 sample_rate: Int, channels: Int, n_frames: Long,
+                                 duration_ms: Long, feature: Array[Float])
+  implicit val audioEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM 8/16-bit signed or unsigned, either endianness):
+    * actual sample rate, channel count, frame count and duration, plus
+    * a `featureDim`-strip RMS-energy feature in [-1, 1] — the audio
+    * analog of [[decodeImage]]'s luminance strips. Per-strip work is
+    * strided to ≤8192 frames, so an hour-long file costs the same as a
+    * clip. Undecodable or non-PCM payloads fail loudly with the media
+    * id (silent nulls would poison downstream similarity). */
+  def decodeAudio(items: Dataset[MediaItem], batchSize: Int = 64,
+                  featureDim: Int = 8): Dataset[AudioFeatures] = {
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          require(m.kind == "audio",
+            s"decodeAudio on kind=${m.kind} (media ${m.media_id})")
+          val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
+          val ain =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"media ${m.media_id}: payload is not decodable audio", e)
+            }
+          val fmt = ain.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          require(signed ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            s"media ${m.media_id}: unsupported audio encoding $enc (PCM only)")
+          val bits = fmt.getSampleSizeInBits
+          require(bits == 8 || bits == 16,
+            s"media ${m.media_id}: $bits-bit PCM unsupported (8/16 only)")
+          val data = ain.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val channels = fmt.getChannels
+          val nFrames = data.length / frameSize
+          def sample(frame: Int, ch: Int): Double = {
+            val off = frame * frameSize + ch * (bits / 8)
+            if (bits == 8) {
+              if (signed) data(off) / 128.0
+              else ((data(off) & 0xff) - 128) / 128.0
+            } else {
+              val (lo, hi) =
+                if (fmt.isBigEndian) (data(off + 1), data(off))
+                else (data(off), data(off + 1))
+              if (signed) ((hi << 8) | (lo & 0xff)) / 32768.0
+              else ((((hi & 0xff) << 8) | (lo & 0xff)) - 32768) / 32768.0
+            }
+          }
+          val feature = Array.tabulate(featureDim) { i =>
+            if (nFrames == 0) -1f
+            else {
+              // strip i covers frames [i·n/dim, (i+1)·n/dim)
+              val f0 = (i.toLong * nFrames / featureDim).toInt
+              val f1 = math.max(f0 + 1,
+                ((i + 1).toLong * nFrames / featureDim).toInt)
+              val stride = math.max(1, (f1 - f0) / 8192)
+              var sumSq = 0.0; var n = 0; var f = f0
+              while (f < f1) {
+                var c = 0
+                while (c < channels) {
+                  val s = sample(f, c); sumSq += s * s; n += 1; c += 1
+                }
+                f += stride
+              }
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+              (rms * 2 - 1).toFloat
+            }
+          }
+          val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          val sr = fmt.getSampleRate.toInt
+          AudioFeatures(m.media_id, bytes.length,
+            digest.take(4).map(b => f"${b & 0xff}%02x").mkString,
+            sample_rate = sr, channels = channels, n_frames = nFrames.toLong,
+            duration_ms = if (sr <= 0) 0L else nFrames.toLong * 1000 / sr,
+            feature = feature)
+        }
+      }
+    }
+  }
+
+  /** Audio features → the similarity stack, mirroring
+    * [[featureEmbeddings]]: RMS-strip vectors ARE an embedding column,
+    * so near-dup detection over audio reuses every ANN operator. */
+  def audioEmbeddings(features: Dataset[AudioFeatures]): DataFrame =
+    features.toDF().select(col("media_id").as("vec_id"),
+      col("feature").as("embedding"))
 
   /** STUB decoder for kinds the JDK cannot decode (VIDEO — no codec in
     * this environment): deterministic pseudo-features from the payload

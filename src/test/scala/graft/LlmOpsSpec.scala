@@ -806,6 +806,75 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(m2.map(c => (c._3, c._4)).toSeq == Seq((0L, 999L)))
   }
 
+  test("real audio decode: sample rate/frames/duration + RMS strips via javax.sound.sampled") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // generate a REAL WAV: PCM sine at a known amplitude so strip RMS
+    // is analytically checkable (RMS of A·sin = A/√2)
+    def wav(sr: Int, seconds: Double, amp: Double, bits: Int,
+            channels: Int): Array[Byte] = {
+      val signed = bits == 16
+      val fmt = new AudioFormat(sr.toFloat, bits, channels, signed, false)
+      val n = (sr * seconds).toInt
+      val bytesPerSample = bits / 8
+      val data = new Array[Byte](n * bytesPerSample * channels)
+      for (i <- 0 until n; c <- 0 until channels) {
+        val v = math.sin(2 * math.Pi * 440 * i / sr) * amp
+        val off = (i * channels + c) * bytesPerSample
+        if (bits == 16) {
+          val s = (v * 32767).toInt
+          data(off) = (s & 0xff).toByte
+          data(off + 1) = ((s >> 8) & 0xff).toByte
+        } else data(off) = ((v * 127).toInt + 128).toByte // 8-bit unsigned
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaItem(1L, "audio", wav(8000, 1.0, 0.5, 16, 1), "s", "audio/wav"),
+      Multimodal.MediaItem(2L, "audio", wav(16000, 0.5, 0.25, 16, 2), "s", "audio/wav"),
+      Multimodal.MediaItem(3L, "audio", wav(8000, 0.25, 0.5, 8, 1), "s", "audio/wav"),
+      Multimodal.MediaItem(4L, "audio", wav(8000, 0.1, 0.0, 16, 1), "s", "audio/wav"))
+      .toDS()
+    val feats = Multimodal.decodeAudio(media, batchSize = 2, featureDim = 4)
+      .collect().sortBy(_.media_id)
+    // REAL container metadata comes back from the decoder
+    assert(feats.map(f => (f.sample_rate, f.channels, f.n_frames, f.duration_ms))
+      .toSeq == Seq((8000, 1, 8000L, 1000L), (16000, 2, 8000L, 500L),
+        (8000, 1, 2000L, 250L), (8000, 1, 800L, 100L)))
+    // strip RMS of an A-amplitude sine is A/√2; feature = 2·rms − 1
+    def expectedStrip(a: Double): Float = (2 * a / math.sqrt(2) - 1).toFloat
+    assert(feats(0).feature.forall(v => math.abs(v - expectedStrip(0.5)) < 0.02),
+      s"16-bit mono strips: ${feats(0).feature.toSeq}")
+    assert(feats(1).feature.forall(v => math.abs(v - expectedStrip(0.25)) < 0.02),
+      s"stereo strips: ${feats(1).feature.toSeq}")
+    assert(feats(2).feature.forall(v => math.abs(v - expectedStrip(0.5)) < 0.05),
+      s"8-bit unsigned strips: ${feats(2).feature.toSeq}")
+    // silence → rms 0 → strips at −1
+    assert(feats(3).feature.forall(v => math.abs(v - (-1f)) < 0.02),
+      s"silence strips: ${feats(3).feature.toSeq}")
+    // deterministic across batch sizes
+    val again = Multimodal.decodeAudio(media, batchSize = 1, featureDim = 4)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+    // undecodable payload fails loudly with the media id
+    val bad = Seq(Multimodal.MediaItem(9L, "audio",
+      Array[Byte](1, 2, 3), "s", "audio/wav")).toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(bad).collect()
+    }
+    assert(err.getMessage.contains("9") ||
+      Option(err.getCause).exists(_.getMessage.contains("9")))
+    // audio embeddings feed the ANN stack unchanged
+    val emb = Multimodal.audioEmbeddings(
+      Multimodal.decodeAudio(media, featureDim = 8))
+    assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(emb.count() == 4)
+  }
+
   test("multimodal features feed the similarity stack unchanged") {
     val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text", "video",
       "source", "video/mp4")
