@@ -830,6 +830,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws a deterministic uniform u from md5(doc_id) and an
+    // exponential cost −ln(u)/w with w = token count; the k smallest
+    // costs ARE a weight-proportional sample. Deterministic (no RNG
+    // state — any engine reproduces the same sample), embarrassingly
+    // parallel, and the k-cut is a distributed TakeOrdered, never a
+    // global sort. ln is micro-quantized on both engines (the proven
+    // lm-score idiom) and the /w division stays in exact integers, so
+    // selection is engine-identical; the float key never leaves the plan.
+    "llm_weighted_sample" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+      val u = (h + 1).cast("double") / lit(1152921504606846976.0) // 2^60
+      documents(s, d)
+        .withColumn("w", greatest(size(toks).cast("bigint"), lit(1L)))
+        .withColumn("cost_micro", round(-log(u) * 1e6).cast("bigint"))
+        .withColumn("pri", expr("cost_micro * 1000000 div w"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(200)
+        .select(col("doc_id"), col("source"), col("w"))
+        .orderBy("doc_id")
+    }),
+
     // Source mixing under token budgets: each source contributes
     // documents in doc_id order until its token budget is exhausted —
     // the mixture-weights step of training-data assembly. Window is
@@ -2083,6 +2106,17 @@ object LlmQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100
         |  < 20 + (CAST(substr(source, 4) AS INT) * 7) % 60
         |ORDER BY doc_id""".stripMargin,
+    "llm_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, w,
+        |    CAST(round(-ln((h + 1) / 1152921504606846976.0) * 1000000)
+        |      AS BIGINT) * 1000000 // w AS pri
+        |  FROM t),
+        |s AS (SELECT doc_id, source, w FROM k ORDER BY pri, doc_id LIMIT 200)
+        |SELECT doc_id, source, w FROM s ORDER BY doc_id""".stripMargin,
     "llm_mix" ->
       """WITH b AS (SELECT doc_id, source,
         |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS bpe,
