@@ -1,0 +1,152 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: train on a corpus, encode at scale.
+  *
+  * Scale factoring (the one every production BPE trainer uses):
+  *  - corpus-scale work is ONE word-count aggregation shuffle; the
+  *    merge loop never sees the corpus, only the word-frequency
+  *    dictionary, which Zipf keeps orders of magnitude smaller and
+  *    [[wordCounts]] caps explicitly (`vocabCap`, a distributed
+  *    TakeOrdered — the dropped tail is the lowest-frequency words,
+  *    which by construction can never win a merge vote anyway).
+  *  - the greedy merge loop runs driver-side over the BOUNDED dict
+  *    (O(nMerges · dictChars)); deterministic tie-break (count desc,
+  *    pair asc) so any two runs — or engines — learn identical merges.
+  *  - corpus encoding is vocabulary-sized, not corpus-sized: each
+  *    DISTINCT word is encoded once (`mapPartitions` over the word
+  *    dict with the broadcast merge table), then token occurrences
+  *    join back on the word key — relational shuffles end to end; the
+  *    per-word imperative loop never touches a corpus-sized row count.
+  */
+object Bpe {
+
+  final case class Merge(a: String, b: String, rank: Int)
+
+  /** Word-frequency dictionary, capped to the `vocabCap` most frequent
+    * words (count desc, word asc — a distributed TakeOrdered cut). */
+  def wordCounts(docs: DataFrame, vocabCap: Int = 1 << 16,
+                 textCol: String = "text"): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w"))
+      .limit(vocabCap)
+
+  /** Classic greedy BPE training over a word-frequency dictionary:
+    * start from single characters, repeatedly merge the most frequent
+    * adjacent symbol pair (weighted by word frequency), `nMerges`
+    * times or until no pair reaches `minPairCount`. Deterministic:
+    * ties break on the lexicographically smallest (a, b). */
+  def train(wordFreq: Seq[(String, Long)], nMerges: Int,
+            minPairCount: Long = 2L): Array[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }.toArray
+    val merges = Array.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (best, bestCnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (bestCnt < minPairCount) done = true
+        else {
+          merges += Merge(best._1, best._2, rank)
+          val joined = best._1 + best._2
+          words = words.map { case (syms, c) =>
+            if (syms.length < 2) (syms, c)
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == best._1 &&
+                    syms(i + 1) == best._2) { out += joined; i += 2 }
+                else { out += syms(i); i += 1 }
+              }
+              (out.result(), c)
+            }
+          }
+          rank += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode one word with a ranked merge table: repeatedly apply the
+    * lowest-rank applicable merge — the exact inference rule paired
+    * with [[train]]'s greedy construction. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.split("").filter(_.nonEmpty)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+        }
+        i += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j == bestIdx) { out += syms(j) + syms(j + 1); j += 2 }
+          else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Corpus encode, vocabulary-factored: encode each DISTINCT word once
+    * (the imperative loop runs over |vocab| rows, never the corpus),
+    * then join subtoken counts back onto token occurrences. Returns one
+    * row per doc: (doc_id, n_ws_tokens, n_bpe_tokens) — the token
+    * accounting a training-data budget runs on. The word dict is tiny
+    * after the distinct, so AQE broadcasts the join side. */
+  def encodeCorpus(docs: DataFrame, merges: Array[Merge],
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.map(m => (m.a, m.b) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val encoded = words.as[String].mapPartitions { it =>
+      val r = bc.value
+      it.map(w => (w, encodeWord(w, r).length.toLong))
+    }.toDF("w", "n_sub")
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(encoded, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ws_tokens"), sum("n_sub").as("n_bpe_tokens"))
+  }
+
+  /** One-call pipeline: cap the dict, train, encode — the shape a
+    * tokenizer-budget job runs. */
+  def trainAndEncode(spark: SparkSession, docs: DataFrame, nMerges: Int,
+                     vocabCap: Int = 1 << 16): (Array[Merge], DataFrame) = {
+    val dict = wordCounts(docs, vocabCap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = train(dict, nMerges)
+    (merges, encodeCorpus(docs, merges))
+  }
+}

@@ -66,6 +66,28 @@ object ScaleProbe {
     require(nCovered == 2L * (nDocs / 100),
       s"planted span-coverage count off: $nCovered")
 
+    // BPE soak: one word-count shuffle caps the dict, the merge loop
+    // runs on the bounded dict, and corpus encode is vocab-factored —
+    // per-word imperative work never scales with nDocs. Sanity bound:
+    // subtokens sit between the word count (every word ≥1 unit) and
+    // half the character count (200 merges on a 5000-word vocab must
+    // at least halve the unmerged char-level encoding).
+    t0 = System.nanoTime()
+    val (bpeMerges, bpeEnc) = graft.llmops.Bpe.trainAndEncode(
+      spark, docs, nMerges = 200, vocabCap = 8192)
+    val bpeAgg = bpeEnc.agg(count(lit(1)), sum("n_ws_tokens"),
+      sum("n_bpe_tokens")).first()
+    val (bpeDocs, wsTok, bpeTok) =
+      (bpeAgg.getLong(0), bpeAgg.getLong(1), bpeAgg.getLong(2))
+    val nChars = docs.agg(sum(length(regexp_replace(col("text"), " ", ""))))
+      .first().getLong(0)
+    println(f"bpe: ${bpeMerges.length} merges, $bpeTok subtokens / " +
+      f"$wsTok words / $nChars chars in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    require(bpeDocs == nDocs && wsTok == nDocs * 40L,
+      s"bpe encode lost rows: $bpeDocs docs, $wsTok words")
+    require(bpeTok >= wsTok && bpeTok * 2 <= nChars,
+      s"bpe compression off: $bpeTok subtokens, $wsTok words, $nChars chars")
+
     // durable block-dedup intake at volume: 4 sequential batches of the
     // same corpus through BlockDedupStore — per-trigger planning must
     // stay O(touched parts) and the planted block-dups must all land

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llmops.{Dedup, Multimodal, Similarity}
+import graft.llmops.{Bpe, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Library-level tests for the LLM-data-pipeline operators (the
@@ -804,6 +804,66 @@ class LlmOpsSpec extends SparkSpecBase {
     // media 2: single short chunk
     val m2 = chunks.filter(_._1 == 2L)
     assert(m2.map(c => (c._3, c._4)).toSeq == Seq((0L, 999L)))
+  }
+
+  test("BPE train: greedy merges match the hand-computed golden sequence") {
+    // classic BPE teaching corpus: {hug:10, pug:5, pun:12, bun:4, hugs:5}
+    val dict = Seq("hug" -> 10L, "pug" -> 5L, "pun" -> 12L,
+      "bun" -> 4L, "hugs" -> 5L)
+    val merges = Bpe.train(dict, nMerges = 3)
+    // pair counts round 1: (u,g)=10+5+5=20, (u,n)=12+4=16, (h,u)=15,
+    // (p,u)=17, (b,u)=4, (g,s)=5 → merge (u,g)
+    // round 2: (h,ug)=15, (p,ug)=5, (p,u)=12, (u,n)=16, (b,u)=4,
+    // (ug,s)=5 → merge (u,n)
+    // round 3: (h,ug)=15, (p,ug)=5, (p,un)=12, (b,un)=4, (ug,s)=5
+    //   → merge (h,ug)
+    assert(merges.map(m => (m.a, m.b)).toSeq ==
+      Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    assert(merges.map(_.rank).toSeq == Seq(0, 1, 2))
+    // encode with the learned table follows the same merge order
+    val ranks = merges.map(m => (m.a, m.b) -> m.rank).toMap
+    assert(Bpe.encodeWord("hug", ranks).toSeq == Seq("hug"))
+    assert(Bpe.encodeWord("pug", ranks).toSeq == Seq("p", "ug"))
+    assert(Bpe.encodeWord("pun", ranks).toSeq == Seq("p", "un"))
+    assert(Bpe.encodeWord("hugs", ranks).toSeq == Seq("hug", "s"))
+    // unseen word: merges apply where they can, chars elsewhere
+    assert(Bpe.encodeWord("bug", ranks).toSeq == Seq("b", "ug"))
+    // round-trip: concatenation always reconstructs the word
+    Seq("hug", "pug", "pun", "bun", "hugs", "bug", "zzz").foreach { w =>
+      assert(Bpe.encodeWord(w, ranks).mkString == w)
+    }
+  }
+
+  test("BPE corpus encode: vocab-factored counts, monotone under more merges") {
+    val corpus = docs.limit(200)
+    val (merges, encoded) = Bpe.trainAndEncode(spark, corpus, nMerges = 30,
+      vocabCap = 4096)
+    assert(merges.length == 30)
+    // deterministic: retraining learns the identical table
+    val (again, _) = Bpe.trainAndEncode(spark, corpus, nMerges = 30,
+      vocabCap = 4096)
+    assert(merges.map(m => (m.a, m.b, m.rank)).toSeq ==
+      again.map(m => (m.a, m.b, m.rank)).toSeq)
+    val rows = encoded.collect()
+    assert(rows.length == corpus.count())
+    // BPE tokens per doc: at least the whitespace count (a word is ≥1
+    // subtoken), at most the character count
+    val byId = corpus.select(col("doc_id"),
+        size(org.apache.spark.sql.functions.split(col("text"), " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, nws, nbpe) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nbpe >= nws, s"doc $id: $nbpe subtokens < $nws words")
+      assert(nws.toInt <= byId(id))
+    }
+    // more merges → never more subtokens (longer learned units)
+    val (_, encoded60) = Bpe.trainAndEncode(spark, corpus, nMerges = 60,
+      vocabCap = 4096)
+    val m30 = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    encoded60.collect().foreach { r =>
+      assert(r.getLong(2) <= m30(r.getLong(0)),
+        s"doc ${r.getLong(0)}: 60-merge encode grew the token count")
+    }
   }
 
   test("real audio decode: sample rate/frames/duration + RMS strips via javax.sound.sampled") {

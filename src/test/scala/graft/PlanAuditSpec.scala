@@ -572,6 +572,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("partial"), plan.take(2000))
   }
 
+  test("weighted sample: TakeOrdered k-cut, no full-table sort, no UDF") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    val d = q("llm_weighted_sample")
+    d.count()
+    val all = collectAll(executed(d))
+    // the k-smallest-cost cut must be a distributed TakeOrdered —
+    // a global SortExec over the corpus would serialize 100 TB
+    assert(all.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "A-ES k-cut must plan as TakeOrderedAndProject")
+    // the only full Sort allowed is the final presentation order of the
+    // 200 survivors (sits above the global limit)
+    def underLimit(p: SparkPlan): Boolean = collectAll(p).exists {
+      case _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    val badSorts = all.collect {
+      case s: SortExec if s.global && !underLimit(s.child) => s
+    }
+    assert(badSorts.isEmpty, s"global sort of unbounded input: $badSorts")
+    assert(!planString(d).contains("ScalaUDF"))
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
