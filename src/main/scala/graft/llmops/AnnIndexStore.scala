@@ -51,19 +51,70 @@ final class AnnIndexStore(root: String) extends Serializable {
     * cadence that bounds append file counts) — serving filters against
     * it, so correctness never waits on compaction. A tombstoned id
     * stays dead until compacted out; re-adding it is not supported
-    * (fresh ids only, as with [[append]]). */
+    * (fresh ids only, as with [[append]]).
+    *
+    * Each call appends one file; when the dir exceeds
+    * [[AnnIndexStore.MaxTombstoneFiles]] files it is folded back to one
+    * (committed-staging swap — a crash leaves either the old files or
+    * the folded copy, and the next load heals an interrupted swap), so
+    * a retraction-heavy period never accumulates unbounded small files
+    * between compacts. */
   def delete(spark: SparkSession, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "delete: empty id set")
     import spark.implicits._
+    healTombFold(spark)
     ids.toDF("vec_id").coalesce(1)
       .write.mode("append").parquet(tombPath.toString)
+    val fs = fsOf(spark)
+    val nFiles = fs.listStatus(tombPath)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    if (nFiles > AnnIndexStore.MaxTombstoneFiles) {
+      val staged = new Path(root, "_tombstones_fold")
+      spark.read.parquet(tombPath.toString).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      fs.delete(tombPath, true)
+      fs.rename(staged, tombPath)
+    }
+    tombCache = null // invalidate the memoized serve-path set
   }
 
+  /** Roll an interrupted tombstone fold forward (committed staging wins)
+    * or back (partial staging is discarded; the original is intact). */
+  private def healTombFold(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    val staged = new Path(root, "_tombstones_fold")
+    if (fs.exists(staged)) {
+      if (fs.exists(new Path(staged, "_SUCCESS"))) {
+        if (fs.exists(tombPath)) fs.delete(tombPath, true)
+        fs.rename(staged, tombPath)
+      } else fs.delete(staged, true)
+    }
+  }
+
+  /** Memoized tombstone set: loaded from disk at most once per store
+    * instance between mutations (delete/compact through THIS instance
+    * invalidate it; external writers need a fresh instance, the same
+    * single-writer discipline every maintenance verb here assumes).
+    * Serving a batch of probes re-reads nothing. */
+  @transient @volatile private var tombCache: Set[Long] = _
+  /** Observability for the spec: physical tombstone loads performed. */
+  @transient private[graft] var tombLoads: Int = 0
+
   /** The current tombstone set (empty when none have been written). */
-  private def tombstoned(spark: SparkSession): Set[Long] =
-    if (!fsOf(spark).exists(tombPath)) Set.empty
-    else spark.read.parquet(tombPath.toString)
-      .collect().map(_.getLong(0)).toSet
+  private def tombstoned(spark: SparkSession): Set[Long] = {
+    val cached = tombCache
+    if (cached != null) cached
+    else {
+      healTombFold(spark)
+      val loaded =
+        if (!fsOf(spark).exists(tombPath)) Set.empty[Long]
+        else spark.read.parquet(tombPath.toString)
+          .collect().map(_.getLong(0)).toSet
+      tombLoads += 1
+      tombCache = loaded
+      loaded
+    }
+  }
 
   /** Rebuild barrier: a (re)build over an existing root first DROPS the
     * old _meta, so a crash mid-build leaves a meta-less root that every
@@ -221,7 +272,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     * Probe batches are driver-bounded (ids, buckets and candidate pairs
     * come to the driver) — thousands of probes, not a dataset-sized
     * join; for probe sets that are themselves a corpus, use
-    * [[Similarity.signLshTopKBatch]]'s all-distributed shuffle form.
+    * [[lshTopKBatchDistributed]] (no driver candidate materialization).
     *
     * Output: (pid, vec_id, dp, cosine, rank) — per probe, `rank` 1..k,
     * row-for-row equal to [[lshTopK]] of that probe (spec-asserted). */
@@ -285,13 +336,141 @@ final class AnnIndexStore(root: String) extends Serializable {
       .select("pid", "vec_id", "dp", "cosine", "rank")
   }
 
+  /** CORPUS-SIZED batch retrieval against the persisted LSH index: the
+    * probe set is itself a Dataset (eval-set contamination sweep,
+    * full-corpus RAG scoring) and NOTHING probe- or candidate-sized
+    * ever reaches the driver — the all-distributed companion of
+    * [[lshTopKBatch]] (which collects probe buckets and candidate
+    * pairs, bounded and faster for driver-sized probe sets).
+    *
+    * Shape: probe ids join the vectors store by id (one keyed shuffle);
+    * each probe's band buckets expand to their Hamming-`radius` balls
+    * as a LITERAL XOR-mask array (hammingBall(b) = hammingBall(0) ⊕ b,
+    * so the C(bits,≤radius) masks are plan constants — the expansion is
+    * a projection, not a driver enumeration); candidates come from ONE
+    * (band, bucket)-keyed shuffle join against the full bucket index —
+    * a corpus-sized probe sweep touches every bucket by definition, so
+    * partition pruning is not the lever here, shuffle keying is; the
+    * gather joins the vectors store by id; the per-probe top-k is a
+    * pid-partitioned window. Every leaf of the plan is a file scan or
+    * the caller's probe Dataset (spec-asserted — no LocalRelation, no
+    * collect). Only the bounded tombstone id set rides the driver.
+    *
+    * Tombstoned PROBE ids yield no output rows (the driver-bounded form
+    * rejects them eagerly; a distributed probe set is filtered instead).
+    * Row-for-row equal to [[lshTopKBatch]] on the same live probe ids
+    * (spec-asserted). Output: (pid, vec_id, dp, cosine, rank). */
+  def lshTopKBatchDistributed(probes: DataFrame, k: Int, radius: Int = 1,
+                              where: Option[Column] = None,
+                              idCol: String = "vec_id"): DataFrame = {
+    val spark = probes.sparkSession
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("lsh"), s"$root is not an LSH index")
+    val bands = meta("bands").toInt
+    val bits = meta("bitsPerBand").toInt
+    val seed = meta("seed").toLong
+    val dead = tombstoned(spark)
+    val vecs = spark.read.parquet(s"$root/vectors").drop("part")
+    val probeIds = probes.select(col(idCol).cast("long").as("vec_id"))
+    val probeVecs = dropDead(
+        vecs.select("vec_id", "qe", "nq").join(probeIds, "vec_id"), dead)
+      .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
+    // slim (pid, band, bucket) before the ball explosion so the wide
+    // quantized arrays never multiply by bands × |ball|
+    val masks = Similarity.hammingBall(0L, bits, radius)
+    val ball = probeVecs
+      .select(col("pid"),
+        posexplode(GraftFunctions.hyperplane_buckets(col("pe"), seed, bands, bits)))
+      .toDF("pid", "band", "bucket0")
+      .select(col("pid"), col("band"),
+        explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
+    val cand = spark.read.parquet(s"$root/lsh_buckets")
+      .select("band", "bucket", "vec_id")
+      .join(ball, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select("pid", "vec_id").distinct()
+    val candVecs = where.foldLeft(dropDead(vecs, dead))(_.filter(_))
+      .select(Seq("vec_id", "qe", "nq").map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
+    cand.join(candVecs, "vec_id")
+      .join(probeVecs, "pid")
+      .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("pid", "vec_id", "dp", "cosine", "rank")
+  }
+
+  /** CORPUS-SIZED batch retrieval against the persisted IVF index — the
+    * all-distributed companion of [[ivfTopKBatch]]. Centroids stay
+    * driver-side (K rows of index METADATA, not candidates); each
+    * probe's nprobe-best clusters are computed as a pure projection
+    * over the literal centroid set (array_sort of (−cos, cluster)
+    * structs — the same (cos desc, cluster asc) ranking, bitwise-equal
+    * arithmetic, as the driver-side form), then ONE cluster-keyed
+    * shuffle join against the posting lists (which carry their vectors
+    * — still no gather) and a pid-partitioned window top-k. No probe or
+    * candidate data touches the driver; every plan leaf is a file scan
+    * or the probe Dataset (spec-asserted). Tombstoned probe ids yield
+    * no rows. Output as [[ivfTopKBatch]], row-parity spec-asserted. */
+  def ivfTopKBatchDistributed(probes: DataFrame, k: Int,
+                              nprobe: Int = Similarity.DefaultIvfProbes,
+                              where: Option[Column] = None,
+                              idCol: String = "vec_id"): DataFrame = {
+    val spark = probes.sparkSession
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
+    val dead = tombstoned(spark)
+    val cents = spark.read.parquet(s"$root/ivf_centroids")
+      .collect()
+      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val vecs = spark.read.parquet(s"$root/vectors").drop("part")
+    val probeIds = probes.select(col(idCol).cast("long").as("vec_id"))
+    val probeVecs = dropDead(
+        vecs.select("vec_id", "qe", "nq").join(probeIds, "vec_id"), dead)
+      .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
+    // (−cos, cluster) structs over the literal centroids: ascending
+    // array_sort IS the (cos desc, cluster asc) driver ranking; the
+    // arithmetic mirrors centroidCos term for term (exact integer dot,
+    // sqrt(nc)·sqrt(np) product) so the cluster choice cannot diverge
+    val scored = cents.map { c =>
+      struct(
+        (-(Similarity.dotQ(col("pe"), typedLit(c.ce)) * lit(1.0) /
+          (lit(math.sqrt(c.nc.toDouble)) * sqrt(col("np").cast("double")))))
+          .as("negCos"),
+        lit(c.cluster).as("cl"))
+    }
+    val pc = probeVecs
+      .select(col("pid"),
+        explode(slice(array_sort(array(scored: _*)), 1, nprobe)).as("pc"))
+      .select(col("pid"), col("pc.cl").as("cluster"))
+    val members = where.foldLeft(
+      dropDead(spark.read.parquet(s"$root/ivf"), dead))(_.filter(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
+    members.join(pc, "cluster")
+      .filter(col("vec_id") =!= col("pid"))
+      .join(probeVecs, "pid")
+      .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("pid", "vec_id", "dp", "cosine", "rank")
+  }
+
   /** Batch retrieval against the persisted IVF index: top-k for every
     * probe in ONE serving plan. Centroid ranking stays driver-side (the
     * centroid table IS index metadata); the member scan is ONE read
     * pruned to the UNION of all probes' nprobe clusters, re-attributed
     * per probe by the local (pid, cluster) table — posting lists carry
     * their vectors, so there is no gather join at all.
-    * Output as [[lshTopKBatch]]; row-for-row equal to [[ivfTopK]]. */
+    * Output as [[lshTopKBatch]]; row-for-row equal to [[ivfTopK]].
+    * For probe sets that are themselves a corpus, use
+    * [[ivfTopKBatchDistributed]]. */
   def ivfTopKBatch(spark: SparkSession, probeIds: Seq[Long], k: Int,
                    nprobe: Int = Similarity.DefaultIvfProbes,
                    where: Option[Column] = None): DataFrame = {
@@ -580,6 +759,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     // all layouts purged → the tombstones have been folded in; clearing
     // them last keeps serving correct across any crash window above
     if (dead.nonEmpty) fs.delete(tombPath, true)
+    tombCache = null
   }
 
   /** The probe row via the constant-folded part bucket: hash(lit(id))
@@ -609,4 +789,9 @@ object AnnIndexStore {
     * (lsh_buckets) layouts — bounds dir counts while keeping every
     * serving read O(probed partitions). */
   val NumParts = 64
+
+  /** Fold threshold for the one-file-per-delete tombstone appends: past
+    * this many files the dir is rewritten to one file inside delete(),
+    * bounding both the file count and the (memoized) load cost. */
+  val MaxTombstoneFiles = 8
 }

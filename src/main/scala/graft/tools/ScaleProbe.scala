@@ -247,6 +247,36 @@ object ScaleProbe {
     println(f"ann ivf batch serve: ${probeSet.size} probes, $ivfBatch rows in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // distributed batch serving: a CORPUS-SIZED probe set (10k ids — half
+    // the corpus) through the all-distributed forms, where the driver-
+    // bounded batch path would materialize ~10k probes × bands × ball
+    // candidate pairs on the driver. One plan per layout, no collect in
+    // the path; the planted twin must rank first for its probe, and a
+    // spot-check probe must agree row-for-row with the driver-bounded
+    // serving it mirrors.
+    val bigProbes = spark.range(0, 10000).select(col("id").as("vec_id"))
+    t0 = System.nanoTime()
+    val distRows = lshIdx.lshTopKBatchDistributed(bigProbes, k = 3)
+      .localCheckpoint(true)
+    val distN = distRows.count()
+    val distTop5 = distRows.filter(col("pid") === 5L && col("rank") === 1L)
+      .select("vec_id").first().getLong(0)
+    println(f"ann lsh DISTRIBUTED batch: 10000 probes, $distN rows in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (probe 5 top-1 = $distTop5, " +
+      s"expect $nVecs)")
+    require(distTop5 == nVecs.toLong, "distributed serve lost the planted twin")
+    val spotDist = distRows.filter(col("pid") === 17L)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val spotDriver = lshIdx.lshTopKBatch(spark, Seq(17L), k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    require(spotDist == spotDriver,
+      s"distributed/driver-bounded parity broke: $spotDist vs $spotDriver")
+    t0 = System.nanoTime()
+    val ivfDistN = ivfIdx.ivfTopKBatchDistributed(bigProbes, k = 3, nprobe = 8)
+      .count()
+    println(f"ann ivf DISTRIBUTED batch: 10000 probes, $ivfDistN rows in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // retraction: tombstone the planted twin — it must vanish from
     // serving immediately, and compact must purge it physically
     t0 = System.nanoTime()

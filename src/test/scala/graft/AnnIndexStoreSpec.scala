@@ -242,6 +242,105 @@ class AnnIndexStoreSpec extends SparkSpecBase {
       s"batch member scan must prune to the probed-cluster union: $memberScan of $ivfTotal")
   }
 
+  test("distributed batch retrieval: parity with driver-bounded serving, no driver candidates") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val df = planted(83, 120)   // twins: 120 ~ base(5), 121 ~ base(17)
+    // probe set as a DATASET (Range leaf — nothing driver-materialized)
+    val probes = spark.range(0, 40).select(col("id").as("vec_id"))
+
+    def leaves(d: DataFrame) = d.queryExecution.optimizedPlan.collectLeaves()
+
+    // LSH: row-parity with the driver-bounded batch on the same live ids
+    val lshRoot = Files.createTempDirectory("ann-d-lsh").toFile.getAbsolutePath + "/idx"
+    val lsh = new AnnIndexStore(lshRoot)
+    lsh.writeLsh(df)
+    val dist = lsh.lshTopKBatchDistributed(probes, k = 3)
+    // plan-level no-collect contract: every leaf is a file scan or the
+    // probe Dataset — no LocalRelation (the driver-bounded form's
+    // collected ball/pair tables would appear as exactly that)
+    assert(!leaves(dist).exists(_.isInstanceOf[LocalRelation]),
+      s"distributed plan must not carry driver-materialized relations:\n" +
+        leaves(dist).map(_.nodeName).mkString(", "))
+    assert(leaves(lsh.lshTopKBatch(spark, Seq(5L), k = 3))
+      .exists(_.isInstanceOf[LocalRelation]),
+      "sanity: the driver-bounded form DOES materialize local relations")
+    val distRows = dist.collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toSeq).toMap
+    val driver = lsh.lshTopKBatch(spark, (0L until 40L).toSeq, k = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toSeq).toMap
+    assert(distRows == driver,
+      s"distributed/driver-bounded parity broke (dist=${distRows.size} pids, " +
+        s"driver=${driver.size} pids)")
+    assert(distRows(5L).head._1 == 120L, "planted twin of 5 must rank first")
+
+    // IVF: same parity + plan contract
+    val ivfRoot = Files.createTempDirectory("ann-d-ivf").toFile.getAbsolutePath + "/idx"
+    val ivf = new AnnIndexStore(ivfRoot)
+    ivf.writeIvf(df, nClusters = 16)
+    val ivfDist = ivf.ivfTopKBatchDistributed(probes, k = 3, nprobe = 4)
+    assert(!leaves(ivfDist).exists(_.isInstanceOf[LocalRelation]),
+      "IVF distributed plan must not carry driver-materialized relations")
+    val ivfDistRows = ivfDist.collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toSeq).toMap
+    val ivfDriver = ivf.ivfTopKBatch(spark, (0L until 40L).toSeq, k = 3, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toSeq).toMap
+    assert(ivfDistRows == ivfDriver, "IVF distributed/driver-bounded parity broke")
+
+    // tombstoned ids: dropped from probes AND candidates (the documented
+    // distributed contract — no eager require on a lazy probe Dataset)
+    lsh.delete(spark, Seq(120L))
+    val afterDel = lsh.lshTopKBatchDistributed(
+      spark.range(0, 130).select(col("id").as("vec_id")), k = 5).collect()
+    assert(!afterDel.exists(_.getLong(1) == 120L), "tombstoned candidate surfaced")
+    assert(!afterDel.exists(_.getLong(0) == 120L), "tombstoned probe produced rows")
+  }
+
+  test("tombstones: one load per serve batch (memoized), files fold past the bound") {
+    val df = planted(67, 60)
+    val root = Files.createTempDirectory("ann-tomb").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeLsh(df)
+
+    // ten one-id deletes → without folding, ten files; the fold keeps
+    // the dir at or under the bound (+1 in-flight append)
+    (0 until 10).foreach(i => store.delete(spark, Seq(40L + i)))
+    val tombFiles = parquetFiles(s"$root/_tombstones")
+    assert(tombFiles <= AnnIndexStore.MaxTombstoneFiles,
+      s"tombstone dir must fold: $tombFiles files after 10 deletes")
+    // the folded set still blankets serving
+    val served = store.lshTopK(spark, 5L, k = 1000).collect().map(_.getLong(0))
+    assert((40L until 50L).forall(id => !served.contains(id)),
+      "folded tombstones must keep filtering serving")
+
+    // memoization: a fresh instance loads the set ONCE across many
+    // serves; a delete invalidates and forces exactly one reload
+    val fresh = new AnnIndexStore(root)
+    fresh.lshTopK(spark, 5L, k = 3).collect()
+    fresh.lshTopK(spark, 17L, k = 3).collect()
+    fresh.lshTopKBatch(spark, Seq(5L, 17L), k = 3).collect()
+    assert(fresh.tombLoads == 1,
+      s"serve batch must read tombstones once, read ${fresh.tombLoads}×")
+    fresh.delete(spark, Seq(51L))
+    fresh.lshTopK(spark, 5L, k = 3).collect()
+    fresh.lshTopK(spark, 17L, k = 3).collect()
+    assert(fresh.tombLoads == 2,
+      s"post-delete serving must reload exactly once, read ${fresh.tombLoads}×")
+    // and compact clears + invalidates: the next serve reloads empty
+    fresh.compact(spark)
+    val postCompact = fresh.lshTopK(spark, 5L, k = 1000).collect().map(_.getLong(0))
+    assert((40L to 51L).forall(id => !postCompact.contains(id)),
+      "purged ids must stay gone after compact")
+  }
+
   test("retraction: deleted ids never surface; compact purges them physically") {
     import spark.implicits._
     val df = planted(23, 90)   // twins: 90 ~ base(5), 91 ~ base(17)
