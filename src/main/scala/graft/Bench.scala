@@ -53,7 +53,7 @@ object Bench {
     "llm_mix_temperature", "llm_novelty", "q47_sessionize",
     "llm_quality_trim", "llm_bpe_pairs", "q48_funnel",
     "llm_dsir_weights", "llm_ann_filtered", "llm_cms_counts",
-    "llm_curate_funnel")
+    "llm_curate_funnel", "llm_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,8 +127,25 @@ object Bench {
     val r1 = results.filter(r => round1Set.contains(r._1))
       .map(_._2).filter(_ >= 0).sum
     val totalAll = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the artifact as a FILE (atomic rename), so a stdout
+    // capture that keeps only the tail can never truncate the queries
+    // map. SPARK_GRAFT_BENCH_OUT overrides the default path.
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json"))
+    try {
+      val tmp = java.nio.file.Files.createTempFile(
+        outPath.getParent, ".bench", ".json.tmp")
+      java.nio.file.Files.write(tmp,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, outPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case t: Throwable =>
+      System.err.println(s"bench artifact write failed: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

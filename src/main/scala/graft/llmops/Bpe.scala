@@ -25,12 +25,22 @@ object Bpe {
 
   final case class Merge(a: String, b: String, rank: Int)
 
+  /** The word stream every BPE surface here tokenizes from: whitespace
+    * tokens, empties dropped, and tokens containing U+001F (the UNIT
+    * SEPARATOR control char) dropped — that char is reserved as the
+    * symbol-boundary marker in the engine-parity encoding of merge
+    * state, and a control char inside a training token is corpus noise
+    * anyway. One filter site so train, encode and vocab derivation can
+    * never disagree on what a "word" is. */
+  private def words(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("\u001f"))
+
   /** Word-frequency dictionary, capped to the `vocabCap` most frequent
     * words (count desc, word asc — a distributed TakeOrdered cut). */
   def wordCounts(docs: DataFrame, vocabCap: Int = 1 << 16,
                  textCol: String = "text"): DataFrame =
-    docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
+    words(docs, textCol)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("w"))
       .limit(vocabCap)
@@ -127,14 +137,13 @@ object Bpe {
     import spark.implicits._
     val ranks = merges.map(m => (m.a, m.b) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0).distinct()
-    val encoded = words.as[String].mapPartitions { it =>
+    val distinctWords = words(docs, textCol).distinct()
+    val encoded = distinctWords.as[String].mapPartitions { it =>
       val r = bc.value
       it.map(w => (w, encodeWord(w, r).length.toLong))
     }.toDF("w", "n_sub")
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && !col("w").contains("\u001f"))
       .join(encoded, "w")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_ws_tokens"), sum("n_sub").as("n_bpe_tokens"))
@@ -148,5 +157,80 @@ object Bpe {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val merges = train(dict, nMerges)
     (merges, encodeCorpus(docs, merges))
+  }
+
+  /** The subtoken VOCABULARY the encoder can emit for this corpus under
+    * `merges`: every distinct subtoken of the encoded distinct-word
+    * set, id'd 1..|V| in subtoken sort order — a pure function of
+    * (corpus, merges), so any engine derives byte-identical ids.
+    * Output: (token, token_id).
+    *
+    * Scale note: |V| ≤ |distinct words| · max word length and in
+    * practice ~merges + alphabet — a bounded METADATA table (like IVF
+    * centroids), so the single-partition row_number window is over
+    * vocab rows, never the corpus. */
+  def vocabOf(docs: DataFrame, merges: Array[Merge],
+              textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.map(m => (m.a, m.b) -> m.rank).toMap)
+    words(docs, textCol).distinct().as[String]
+      .mapPartitions { it => val r = bc.value; it.flatMap(encodeWord(_, r)) }
+      .toDF("token").distinct()
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("token")).cast("long"))
+  }
+
+  /** Persist / load the id ↔ subtoken vocab table — the artifact a
+    * training-data emitter ships WITH the token-id sequences (ids are
+    * meaningless without it). One parquet dir; vocab tables are
+    * metadata-sized. */
+  def writeVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select("token_id", "token").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  def loadVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("token", "token_id")
+
+  /** Per-doc TOKEN-ID SEQUENCES — the form a training-data emitter
+    * hands to the trainer: (doc_id, ids array<bigint>), ids resolved
+    * against `vocab` (from [[vocabOf]] or [[loadVocab]]).
+    *
+    * Vocabulary-factored like [[encodeCorpus]]: each DISTINCT word is
+    * encoded once and carries its id sub-sequence (the per-word loop
+    * runs over |vocab| rows); documents reassemble by joining word
+    * occurrences and flattening the sub-sequences in word order — the
+    * wide work is two relational joins plus per-DOC array folds, never
+    * a corpus-sized imperative pass. Words absent from `vocab` (frozen
+    * vocab, evolving corpus) are dropped from the sequence — the
+    * standard frozen-tokenizer contract; re-derive the vocab to cover
+    * them. */
+  def encodeCorpusIds(docs: DataFrame, merges: Array[Merge], vocab: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.map(m => (m.a, m.b) -> m.rank).toMap)
+    val wordSubs = words(docs, textCol).distinct().as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.flatMap { w =>
+          encodeWord(w, r).iterator.zipWithIndex.map { case (t, i) => (w, i, t) }
+        }
+      }.toDF("w", "p", "token")
+    val wordIds = wordSubs.join(vocab, "token")
+      .groupBy("w")
+      .agg(collect_list(struct(col("p"), col("token_id"))).as("ps"))
+      .select(col("w"),
+        transform(array_sort(col("ps")), s => s.getField("token_id")).as("wids"))
+    docs.select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
+      .toDF(idCol, "wp", "w")
+      .filter(length(col("w")) > 0 && !col("w").contains("\u001f"))
+      .join(wordIds, "w")
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("wp"), col("wids"))).as("ws"))
+      .select(col(idCol),
+        flatten(transform(array_sort(col("ws")), s => s.getField("wids"))).as("ids"))
   }
 }

@@ -107,6 +107,23 @@ object LlmQueries {
        |  WHERE p2.inter * 1.0 / (sa.sz + sb.sz - p2.inter) >= 0.8)""".stripMargin
   }
 
+  /** BPE pipeline constants shared by the Spark queries and the
+    * generated oracle: merge count, training-dict cap, min pair count. */
+  private val BpeMerges = 16
+  private val BpeCap = 4096
+
+  /** Per-doc BPE token-id sequences for the `documents` table — the
+    * full train→vocab→encode pipeline (graft.llmops.Bpe), shared by
+    * `llm_bpe_encode` and `llm_pack`. Returns (doc_id, ids). */
+  private def bpeSeq(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.Bpe
+    val docs = documents(s, d)
+    val dict = Bpe.wordCounts(docs, BpeCap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = Bpe.train(dict, BpeMerges)
+    Bpe.encodeCorpusIds(docs, merges, Bpe.vocabOf(docs, merges))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per normalized-text hash. At 100 TB this
     // is one hash-shuffle on a 32-hex key; the min(doc_id) keeps choice
@@ -494,14 +511,18 @@ object LlmQueries {
     // sequences by running token count — greedy starting-offset binning,
     // packed independently per source shard (packing is inherently
     // sequential, so the scale unit is the shard: one window partition
-    // per source, never a global order).
+    // per source, never a global order). Budgets come from the REAL
+    // tokenizer's per-doc id sequences (bpeSeq), not a regex proxy — the
+    // packing a trainer sees is the packing the tokenizer produces.
     "llm_pack" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       documents(s, d)
-        .withColumn("bpe", TextOps.bpeTokenCount(col("text")))
+        .join(bpeSeq(s, d).select(col("doc_id"),
+          size(col("ids")).cast("long").as("bpe")), Seq("doc_id"), "left")
+        .withColumn("bpe", coalesce(col("bpe"), lit(0L)))
         .withColumn("cum", sum("bpe").over(w))
         .withColumn("seq_id", expr("(cum - bpe) div 2048"))
         .groupBy("source", "seq_id")
@@ -674,6 +695,22 @@ object LlmQueries {
         .groupBy("pair").agg(sum("cnt").as("freq"))
         .orderBy(desc("freq"), col("pair"))
         .limit(50)
+    }),
+
+    // Full BPE tokenization to TOKEN-ID SEQUENCES: train merges on the
+    // capped word-frequency dict, derive the id↔subtoken vocab, encode
+    // every doc to its id array — the artifact a training-data emitter
+    // hands to the trainer. Emitted per doc as (count, head-of-sequence,
+    // sum) so the id arrays are oracle-hashable as scalars; the oracle
+    // replays the ENTIRE pipeline (train + vocab + encode) in SQL, so a
+    // single diverging merge or id anywhere breaks the hash.
+    "llm_bpe_encode" -> ((s, d) => {
+      bpeSeq(s, d).select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          concat_ws("-", transform(slice(col("ids"), 1, 12),
+            _.cast("string"))).as("ids_head"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("ids_sum"))
+        .orderBy("doc_id")
     }),
 
     // Token counting: whitespace + BPE-ish regex segmentation per source.
@@ -1445,7 +1482,94 @@ object LlmQueries {
        |         WHERE p.vec_id < 5)""".stripMargin
   }
 
+  /** DuckDB replay of the WHOLE BPE pipeline, ending at
+    * `bseq(doc_id, ids)` — per-doc token-id sequences.
+    *
+    * The merge loop is UNROLLED as [[BpeMerges]] CTE iterations over a
+    * chr(31)-encoded symbol string (each symbol wrapped ␟sym␟, so a
+    * merge (a,b) is one left-to-right non-overlapping `replace` of
+    * ␟a␟␟b␟ → ␟ab␟ — exactly the greedy application the Scala trainer
+    * performs; symbol boundaries can't be crossed because words
+    * containing U+001F are excluded from the word stream on both
+    * engines). Each iteration recounts weighted pairs over the CAPPED
+    * training dict (wt*), picks the argmax with the (count desc, pair
+    * asc) tie-break, and applies it to BOTH the training dict and the
+    * uncapped all-words table (wa*) — so encoding covers words beyond
+    * the cap, like Bpe.encodeCorpusIds. A below-min-count round applies
+    * a chr(31) sentinel pair that can never match (the trainer's early
+    * stop). State CTEs are MATERIALIZED: wt{i}/wa{i} are referenced
+    * twice per iteration and un-materialized inlining doubles the plan
+    * per level. Vocab ids are row_number over sorted distinct
+    * subtokens — the Bpe.vocabOf contract. */
+  private lazy val bpeSeqCtes: String = {
+    val b = new StringBuilder
+    b ++= s"""tokw AS MATERIALIZED (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 AND NOT contains(w, chr(31))
+      |  GROUP BY 1),
+      |wt0 AS MATERIALIZED (
+      |  SELECT w, cnt, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s
+      |  FROM tokw ORDER BY cnt DESC, w LIMIT $BpeCap),
+      |wa0 AS MATERIALIZED (
+      |  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s
+      |  FROM tokw),
+      |""".stripMargin
+    (0 until BpeMerges).foreach { i =>
+      b ++= s"""p$i AS MATERIALIZED (
+        |  SELECT a, b, sum(cnt) AS pc FROM (
+        |    SELECT cnt,
+        |      unnest([syms[j] for j in range(1, len(syms))]) AS a,
+        |      unnest([syms[j+1] for j in range(1, len(syms))]) AS b
+        |    FROM (SELECT cnt, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS syms
+        |          FROM wt$i))
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (
+        |  SELECT a, b FROM p$i WHERE pc >= 2 ORDER BY pc DESC, a, b LIMIT 1),
+        |bx$i AS (
+        |  SELECT * FROM b$i UNION ALL
+        |  SELECT chr(31), chr(31) WHERE NOT EXISTS (SELECT 1 FROM b$i)),
+        |wt${i + 1} AS MATERIALIZED (
+        |  SELECT w, cnt, replace(s, chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                         chr(31)||a||b||chr(31)) AS s
+        |  FROM wt$i, bx$i),
+        |wa${i + 1} AS MATERIALIZED (
+        |  SELECT w, replace(s, chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                    chr(31)||a||b||chr(31)) AS s
+        |  FROM wa$i, bx$i),
+        |""".stripMargin
+    }
+    b ++= s"""benc AS (
+      |  SELECT w, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS subs
+      |  FROM wa$BpeMerges),
+      |bvocab AS (
+      |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT unnest(subs) AS tok FROM benc)),
+      |bws AS (
+      |  SELECT w, unnest(subs) AS tok,
+      |         unnest(range(1, len(subs)+1)) AS p FROM benc),
+      |bwid AS (
+      |  SELECT bws.w, list(bvocab.tid ORDER BY bws.p) AS wids
+      |  FROM bws JOIN bvocab ON bws.tok = bvocab.tok GROUP BY bws.w),
+      |bdt AS (
+      |  SELECT doc_id, w, wp FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |           unnest(range(1, len(string_split(text, ' '))+1)) AS wp
+      |    FROM documents)
+      |  WHERE len(w) > 0 AND NOT contains(w, chr(31))),
+      |bseq AS (
+      |  SELECT doc_id, flatten(list(wids ORDER BY wp)) AS ids
+      |  FROM bdt JOIN bwid ON bdt.w = bwid.w GROUP BY doc_id)""".stripMargin
+    b.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_bpe_encode" ->
+      s"""WITH $bpeSeqCtes
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+         |  array_to_string(ids[1:12], '-') AS ids_head,
+         |  CAST(list_sum(ids) AS BIGINT) AS ids_sum
+         |FROM bseq ORDER BY doc_id""".stripMargin,
     "llm_cluster_stats" ->
       s"""$ivfCtes,
          |lab AS (SELECT asg.cluster, e.label, count(*) AS n
@@ -1763,17 +1887,18 @@ object LlmQueries {
          |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
     },
     "llm_pack" ->
-      """WITH b AS (SELECT doc_id, source,
-        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS bpe
-        |  FROM documents),
-        |c AS (SELECT doc_id, source, bpe,
-        |    sum(bpe) OVER (PARTITION BY source ORDER BY doc_id
-        |                   ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM b)
-        |SELECT source, CAST((cum - bpe) // 2048 AS BIGINT) AS seq_id,
-        |  count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS seq_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $bpeSeqCtes,
+         |b AS (SELECT d.doc_id, d.source,
+         |    coalesce(len(bseq.ids), 0)::BIGINT AS bpe
+         |  FROM documents d LEFT JOIN bseq ON d.doc_id = bseq.doc_id),
+         |c AS (SELECT doc_id, source, bpe,
+         |    sum(bpe) OVER (PARTITION BY source ORDER BY doc_id
+         |                   ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b)
+         |SELECT source, CAST((cum - bpe) // 2048 AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS seq_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_contamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),

@@ -866,6 +866,67 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("BPE token-id emission: golden ids, vocab round-trip, rank-order equivalence") {
+    import spark.implicits._
+    // teaching corpus as documents: the 3-merge table is the golden one
+    // above ((u,g), (u,n), (h,ug)); vocab ids are sorted-subtoken ranks
+    val corpus = Seq(
+      (0L, "hug hug hug hug hug hug hug hug hug hug"),
+      (1L, "pug pug pug pug pug"),
+      (2L, "pun pun pun pun pun pun pun pun pun pun pun pun"),
+      (3L, "bun bun bun bun"),
+      (4L, "hugs hugs hugs hugs hugs")).toDF("doc_id", "text")
+    val dict = Bpe.wordCounts(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = Bpe.train(dict, nMerges = 3)
+    val vocab = Bpe.vocabOf(corpus, merges)
+    // encoded words: hug→[hug], pug→[p,ug], pun→[p,un], bun→[b,un],
+    // hugs→[hug,s] → distinct subtokens sorted: b,hug,p,s,ug,un → 1..6
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vmap == Map("b" -> 1L, "hug" -> 2L, "p" -> 3L, "s" -> 4L,
+      "ug" -> 5L, "un" -> 6L), s"unexpected vocab: $vmap")
+    val ids = Bpe.encodeCorpusIds(corpus, merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ids(0L) == Seq.fill(10)(vmap("hug")))
+    assert(ids(1L) == (1 to 5).flatMap(_ => Seq(vmap("p"), vmap("ug"))))
+    assert(ids(4L) == (1 to 5).flatMap(_ => Seq(vmap("hug"), vmap("s"))))
+
+    // persisted vocab round-trips and serves the same encoding
+    val vDir = java.nio.file.Files.createTempDirectory("bpe-vocab")
+      .toFile.getAbsolutePath + "/vocab"
+    Bpe.writeVocab(vocab, vDir)
+    val loaded = Bpe.loadVocab(spark, vDir)
+    val ids2 = Bpe.encodeCorpusIds(corpus, merges, loaded)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ids2 == ids, "loaded vocab must reproduce the id sequences")
+
+    // rank-order equivalence: encodeWord (lowest-rank-first inference)
+    // must equal applying the learned merges fully, in rank order — the
+    // property the SQL oracle's unrolled replay relies on; checked over
+    // a trained table on real corpus words
+    val bigDocs = docs.limit(300)
+    val bigDict = Bpe.wordCounts(bigDocs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bigMerges = Bpe.train(bigDict, nMerges = 40)
+    val bigRanks = bigMerges.map(m => (m.a, m.b) -> m.rank).toMap
+    def applyInRankOrder(w: String): Seq[String] =
+      bigMerges.sortBy(_.rank).foldLeft(w.split("").filter(_.nonEmpty).toSeq) {
+        (syms, m) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == m.a && syms(i + 1) == m.b) {
+              out += m.a + m.b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+      }
+    bigDict.map(_._1).foreach { w =>
+      assert(Bpe.encodeWord(w, bigRanks).toSeq == applyInRankOrder(w),
+        s"rank-order/inference divergence on '$w'")
+    }
+  }
+
   test("real audio decode: sample rate/frames/duration + RMS strips via javax.sound.sampled") {
     import spark.implicits._
     import javax.sound.sampled._
