@@ -99,6 +99,32 @@ object StreamingCurate {
   @volatile var lastSeenDirsPlanned: Seq[String] = Nil
   @volatile var lastTextDirsPlanned: Seq[String] = Nil
 
+  /** Per-trigger funnel observability: cumulative per-stage survivor
+    * counts across every trigger this JVM has run — the STREAMING
+    * companion of the batch `llm_curate_funnel` query (same stage
+    * names: 0_raw → 1_gate → 2_exact → 3_near, plus 4_blocks when the
+    * paragraph-rewrite stage is on). Scraped through [[MetricsServer]]
+    * as `graft_curate_stage_docs_total{stage="..."}` +
+    * `graft_curate_triggers_total`, so a gate suddenly dropping most of
+    * its input pages someone MID-RUN — the incident the batch query
+    * only explains after the fact. Counts are O(batch) jobs taken after
+    * the trigger's writes commit (checkpointed inputs, no store reads). */
+  private val stageDocs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val triggersTotal = new java.util.concurrent.atomic.AtomicLong(0)
+  private def bump(stage: String, n: Long): Unit =
+    stageDocs.computeIfAbsent(stage,
+      _ => new java.util.concurrent.atomic.AtomicLong()).addAndGet(n)
+
+  /** Prometheus-shaped snapshot of the funnel counters (merged into the
+    * /metrics exposition by the curate-mode app wiring). */
+  def metricsSnapshot(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    stageDocs.asScala.map { case (st, v) =>
+      s"""graft_curate_stage_docs_total{stage="$st"}""" -> v.get.toDouble
+    }.toMap + ("graft_curate_triggers_total" -> triggersTotal.get.toDouble)
+  }
+
   private def partOf(c: Column): Column = pmod(hash(c), lit(NumParts))
 
   /** Read every PRIOR batch's subdir of `dir` (b<k> with k < batchId) —
@@ -236,6 +262,17 @@ object StreamingCurate {
       }
     emitted.select("doc_id", "source", "text")
       .write.mode("overwrite").parquet(out("curated"))
+
+    // funnel counters LAST — the trigger's durable writes never wait on
+    // observability; each count is an O(batch) job over checkpointed (or
+    // gate-only) plans
+    bump("0_raw", batch.count())
+    bump("1_gate", gated.count())
+    bump("2_exact", newExactKept.count())
+    bump("3_near", curated.count())
+    if (blockRewrite)
+      bump("4_blocks", spark.read.parquet(out("curated")).count())
+    triggersTotal.incrementAndGet()
   }
 
   /** The streaming intake: a stream of (doc_id, source, text) rows in,

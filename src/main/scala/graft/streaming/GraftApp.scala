@@ -162,7 +162,9 @@ object GraftApp {
           env.get("GRAFT_METRICS_PORT").map(_.toInt).getOrElse(8080)
         val metrics =
           if (metricsPort < 0) None
-          else Some(new MetricsServer(listener, metricsPort).start())
+          // curate mode also exposes the per-trigger funnel counters
+          else Some(new MetricsServer(listener, metricsPort,
+            () => graft.llmops.StreamingCurate.metricsSnapshot()).start())
         val docs = spark.readStream
           .schema("doc_id LONG, source STRING, text STRING")
           .parquet(docsDir)

@@ -13,13 +13,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Endpoints: `/metrics` (Prometheus text exposition v0.0.4) and
   * `/health` (200 "ok"), matching the reference server's surface.
   */
-class MetricsServer(listener: CdcMetricsListener, port: Int = 8080) {
+class MetricsServer(listener: CdcMetricsListener, port: Int = 8080,
+                    extra: () => Map[String, Double] = () => Map.empty) {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
 
   server.createContext("/metrics", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
-      respond(ex, 200, MetricsServer.render(listener.snapshot()),
+      respond(ex, 200, MetricsServer.render(listener.snapshot() ++ extra()),
         "text/plain; version=0.0.4; charset=utf-8")
   })
   server.createContext("/health", new HttpHandler {
@@ -51,12 +52,19 @@ class MetricsServer(listener: CdcMetricsListener, port: Int = 8080) {
 
 object MetricsServer {
   /** Prometheus text exposition: `# TYPE` line + sample per metric.
-    * Counters end in `_total`; everything else is a gauge. */
+    * Counters end in `_total`; everything else is a gauge. Names may
+    * carry `{label="..."}` suffixes — the TYPE line uses the base name
+    * and is emitted once per metric family, samples keep their labels. */
   def render(snapshot: Map[String, Double]): String = {
     val sb = new StringBuilder
+    var lastBase = ""
     snapshot.toSeq.sortBy(_._1).foreach { case (name, value) =>
-      val kind = if (name.endsWith("_total")) "counter" else "gauge"
-      sb.append(s"# TYPE $name $kind\n")
+      val base = name.takeWhile(_ != '{')
+      if (base != lastBase) {
+        val kind = if (base.endsWith("_total")) "counter" else "gauge"
+        sb.append(s"# TYPE $base $kind\n")
+        lastBase = base
+      }
       val v = if (value == value.floor && !value.isInfinite) value.toLong.toString
               else value.toString
       sb.append(s"$name $v\n")

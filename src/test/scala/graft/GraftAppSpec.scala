@@ -185,6 +185,56 @@ class GraftAppSpec extends SparkSpecBase {
     } finally GraftApp.shutdown(w)
   }
 
+  test("curate mode: /metrics exposes per-stage funnel counters that climb per trigger") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("app-curm-docs").toFile.getAbsolutePath
+    val store = Files.createTempDirectory("app-curm-store").toFile.getAbsolutePath
+    val base = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river of the old town in the morning light of a summer day"
+
+    def scrapeStages(port: Int): Map[String, Long] = {
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port/metrics")
+        .toURL.openConnection()
+      val body = new String(conn.getInputStream.readAllBytes())
+      val re = """graft_curate_stage_docs_total\{stage="([^"]+)"\} (\d+)""".r
+      re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+    def runSoak(docs: Seq[(Long, String, String)]): Map[String, Long] = {
+      docs.toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(docsDir)
+      val ckpt = Files.createTempDirectory("app-curm-ckpt").toFile.getAbsolutePath
+      val w = GraftApp.build(spark, GraftConfig(), Map(
+        "GRAFT_CURATE_DIR" -> docsDir, "GRAFT_CURATE_STORE" -> store,
+        "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "0"),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      try {
+        w.query.awaitTermination()
+        scrapeStages(w.metrics.get.boundPort)
+      } finally GraftApp.shutdown(w)
+    }
+
+    // soak 1: two gate-passing docs + one reject → the funnel narrows
+    val s1 = runSoak(Seq(
+      (10L, "srcA", base), (11L, "srcB", base + " extra words here then"),
+      (12L, "srcA", "too short")))
+    assert(s1.getOrElse("0_raw", 0L) >= 3 && s1.getOrElse("1_gate", 0L) >= 2 &&
+      s1("0_raw") > s1("1_gate"),
+      s"soak-1 funnel must narrow at the gate: $s1")
+    assert(s1.contains("2_exact") && s1.contains("3_near"), s1.toString)
+
+    // soak 2 (fresh docs, same JVM): every stage counter must CLIMB —
+    // the live pager signal the batch funnel query can't give
+    val s2 = runSoak(Seq(
+      (20L, "srcB", "the tall ships sail out of the harbor and the wind " +
+        "of the north carries them past the cliffs to the open sea at dawn"),
+      (21L, "srcA", "still way too short")))
+    Seq("0_raw", "1_gate", "2_exact", "3_near").foreach { st =>
+      assert(s2.getOrElse(st, 0L) > s1.getOrElse(st, 0L),
+        s"stage $st must climb across triggers: ${s1.get(st)} -> ${s2.get(st)}")
+    }
+  }
+
   test("maintenance mode: env-selected verbs operate the replica without Scala") {
     import graft.model.{CdcColumn, CdcEvent}
     import graft.sinks.{ParquetReplicaSink, ProjectionDef}
