@@ -1,0 +1,214 @@
+package graft.llmops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DURABLE sketch store: KMV (per-group distinct-count) and count-min
+  * (token-frequency) sketches persisted as first-class artifacts, not
+  * just operator state. `Sketch.kmvStream`/`cmsStream` keep their
+  * buffers in the streaming checkpoint — correct, but the sketch then
+  * lives and dies with one query; a months-long intake wants the sketch
+  * ON DISK: union-able with other stores, bootstrappable after a
+  * restart, servable without the stream running. Both sketches here
+  * merge EXACTLY (KMV: distinct-union re-take-k; CMS: cell addition),
+  * so the stored form equals the batch sketch over everything ever
+  * ingested — spec-asserted, including across a kill → resume.
+  *
+  * Layout (the per-batch-dir replay discipline of [[StreamingCurate]]):
+  *   root/kmv/b<batchId>/part=P   (group, mins array<bigint>)
+  *                                 P = pmod(hash(group), numParts)
+  *   root/cms/b<batchId>/         (r, bucket, c) — ≤ d·w rows per batch
+  * Every trigger overwrites ONLY its own b<id> dir, so a crash-replayed
+  * epoch rewrites the same rows instead of double-counting (the CMS
+  * would otherwise over-add on replay; KMV union is idempotent anyway).
+  *
+  * Scale shape: a trigger writes O(batch groups · k) KMV rows and ≤ d·w
+  * CMS cells — map-side-combined aggregates, never raw values. Reads
+  * merge the b-dirs; [[compact]] folds them to one so read fan-in stays
+  * flat over months of triggers. Per-group serving reads prune to the
+  * group's hash part (literal part predicates, the house lookup trick).
+  */
+final class SketchStore(root: String, k: Int = 256, d: Int = 4,
+                        w: Int = 1024, numParts: Int = 64) extends Serializable {
+
+  private def kmvDir = new Path(root, "kmv")
+  private def cmsDir = new Path(root, "cms")
+  private def fsOf(spark: SparkSession) =
+    kmvDir.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def partOf(c: Column): Column = pmod(hash(c), lit(numParts))
+
+  /** One KMV intake trigger: per-group batch sketches land under
+    * `kmv/b<batchId>` (Overwrite — replay-safe). */
+  def addKmvBatch(batch: DataFrame, groupCol: String, value: Column,
+                  batchId: Long): Unit =
+    batch.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(Sketch.kmvSketch(value, k).as("mins"))
+      .withColumn("part", partOf(col("group")))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(new Path(kmvDir, s"b$batchId").toString)
+
+  /** One CMS intake trigger: the batch's d·w-bounded cell table lands
+    * under `cms/b<batchId>`. */
+  def addCmsBatch(batch: DataFrame, value: Column, batchId: Long): Unit =
+    Sketch.cmsTable(batch, value, d, w).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new Path(cmsDir, s"b$batchId").toString)
+
+  /** Leaf dirs of the per-batch layout. For the part-partitioned kmv
+    * kind the LEAF `part=P` dirs are returned (several partitioned
+    * roots would make partition discovery conflict — the same lesson
+    * as StreamingCurate.compactStore); `parts` restricts to the probed
+    * hash parts. */
+  private def batchDirs(spark: SparkSession, dir: Path, leafParts: Boolean,
+                        parts: Option[Set[Int]] = None): Seq[String] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(dir)) Seq.empty
+    else for {
+      b <- fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+      leaf <- (leafParts, parts) match {
+        case (false, _) => Seq(b.getPath.toString)
+        case (true, None) => fs.listStatus(b.getPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+          .map(_.getPath.toString)
+        case (true, Some(ps)) => ps.toSeq.sorted
+          .map(p => new Path(b.getPath, s"part=$p"))
+          .filter(fs.exists(_)).map(_.toString)
+      }
+    } yield leaf
+  }
+
+  /** The merged per-group KMV rows (group, mins): distinct-union of the
+    * per-batch buffers, re-cut to the k smallest — the exact batch
+    * sketch over everything ingested. */
+  private def kmvMerged(spark: SparkSession,
+                        parts: Option[Set[Int]] = None): DataFrame = {
+    val dirs = batchDirs(spark, kmvDir, leafParts = true, parts)
+    require(dirs.nonEmpty, s"$root/kmv is empty")
+    spark.read.schema("group STRING, mins ARRAY<BIGINT>").parquet(dirs: _*)
+      .groupBy("group")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+        1, k).as("mins"))
+  }
+
+  /** Distinct-count estimates for every stored group — equals
+    * `Sketch.kmvDistinct` over the full ingested input. */
+  def kmvEstimates(spark: SparkSession): DataFrame =
+    kmvMerged(spark)
+      .select(col("group"), Sketch.kmvEstimate(col("mins"), k).as("n_est"))
+
+  /** Pruned per-group serving: only the probed groups' hash-part dirs
+    * are read (literal part list), not the whole store. */
+  def kmvEstimateFor(spark: SparkSession, groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "empty group set")
+    // the probed groups' hash parts via ONE 1-row job over the same
+    // hash expression the write layout used (no hand-ported murmur3)
+    val partRow = spark.range(1)
+      .select(groups.map(g => partOf(lit(g)).cast("int")): _*).head()
+    val partSet = groups.indices.map(partRow.getInt).toSet
+    kmvMerged(spark, Some(partSet))
+      .filter(col("group").isin(groups: _*))
+      .select(col("group"), Sketch.kmvEstimate(col("mins"), k).as("n_est"))
+  }
+
+  /** The merged CMS cell table (r, bucket, c): per-batch cells ADD —
+    * equals `Sketch.cmsTable` over the full ingested input. */
+  def cmsCells(spark: SparkSession): DataFrame = {
+    val dirs = batchDirs(spark, cmsDir, leafParts = false)
+    require(dirs.nonEmpty, s"$root/cms is empty")
+    spark.read.schema("r INT, bucket BIGINT, c BIGINT").parquet(dirs: _*)
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+  }
+
+  /** Point frequency estimates for a probe vocabulary, served from the
+    * stored sketch. */
+  def cmsEstimate(spark: SparkSession, probes: DataFrame,
+                  probeCol: String): DataFrame =
+    Sketch.cmsEstimate(cmsCells(spark), probes, probeCol, d, w)
+
+  /** Streaming KMV intake: the store IS the state. Resume from the
+    * checkpoint re-runs at most the last epoch, which rewrites its own
+    * b<id> dir — estimates after resume equal the batch sketch over the
+    * full input (spec-asserted). */
+  def startKmv(docs: DataFrame, groupCol: String, value: Column,
+               checkpointDir: String,
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-kmv-sketch")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        addKmvBatch(b, groupCol, value, id) }
+      .start()
+
+  /** Streaming CMS intake — same discipline as [[startKmv]]. */
+  def startCms(docs: DataFrame, value: Column, checkpointDir: String,
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-cms-sketch")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        addCmsBatch(b, value, id) }
+      .start()
+
+  /** Maintenance: fold the accumulated b-dirs of each sketch kind into
+    * ONE dir named after the highest folded batch id (future batches
+    * still sort after it; the current-batch-exclusion rule is moot here
+    * because merges are associative). Offline, committed-staging swap
+    * with roll-forward heal — the same discipline as every store in
+    * this library. Returns folded dir counts per kind. */
+  def compact(spark: SparkSession): Map[String, Int] = {
+    val fs = fsOf(spark)
+    Seq(("kmv", kmvDir), ("cms", cmsDir)).map { case (kind, dir) =>
+      val staged = new Path(dir, "_fold")
+      if (fs.exists(staged)) {
+        if (fs.exists(new Path(staged, "_SUCCESS"))) {
+          // roll forward: folded dirs were not all deleted yet
+          val tgt = new Path(staged, "_target")
+          if (fs.exists(tgt)) {
+            val in = fs.open(tgt)
+            val name = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+            val maxId = name.stripPrefix("b").toLong
+            fs.listStatus(dir).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+              .filter(_.getPath.getName.stripPrefix("b").toLong <= maxId)
+              .foreach(p => fs.delete(p.getPath, true))
+            fs.delete(tgt, false)
+            fs.rename(staged, new Path(dir, name))
+          } else fs.delete(staged, true)
+        } else fs.delete(staged, true)
+      }
+      val parts =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+          .sortBy(_.getPath.getName.stripPrefix("b").toLong)
+      if (parts.size <= 1) kind -> parts.size
+      else {
+        val name = parts.last.getPath.getName
+        val merged =
+          if (kind == "kmv")
+            kmvMerged(spark).withColumn("part", partOf(col("group")))
+              .repartition(col("part"))
+          else cmsCells(spark).coalesce(1)
+        val writer =
+          if (kind == "kmv") merged.write.partitionBy("part") else merged.write
+        writer.mode("overwrite").parquet(staged.toString)
+        val out = fs.create(new Path(staged, "_target"), true)
+        try out.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        parts.foreach(p => fs.delete(p.getPath, true))
+        fs.rename(staged, new Path(dir, name))
+        kind -> parts.size
+      }
+    }.toMap
+  }
+}

@@ -67,6 +67,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   use the SAME modulus or intake planning misses it)
   *     block-store   compact the durable block-dedup ownership store
   *                   (GRAFT_BLOCK_DIR; GRAFT_BLOCK_PARTS likewise)
+  *     sketch-store  fold the durable KMV/CMS sketch store's per-batch
+  *                   dirs (GRAFT_SKETCH_STORE)
   *     ann-index     fold append-accumulated files of a persisted ANN
   *                   serving index (GRAFT_ANN_DIR); GRAFT_ANN_DELETE=
   *                   id,id,… retracts vectors (tombstone + physical
@@ -391,6 +393,12 @@ object GraftApp {
         val parts = env.get("GRAFT_BLOCK_PARTS").map(_.toInt).getOrElse(64)
         new graft.llmops.BlockDedupStore(dir, numParts = parts).compact(spark)
         Seq(s"block-store: compacted $dir")
+      case "sketch-store" =>
+        val dir = env.getOrElse("GRAFT_SKETCH_STORE",
+          throw new IllegalArgumentException("GRAFT_SKETCH_STORE is required"))
+        val folded = new graft.llmops.SketchStore(dir).compact(spark)
+        Seq(s"sketch-store: folded " +
+          folded.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }.mkString(","))
       case "ann-index" =>
         val dir = env.getOrElse("GRAFT_ANN_DIR",
           throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))

@@ -1,0 +1,161 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import graft.llmops.{Sketch, SketchStore}
+import org.apache.spark.sql.functions._
+
+/** The durable sketch store: persisted KMV/CMS state must equal the
+  * batch sketch over everything ever ingested — across batches, across
+  * a kill → resume, and across compaction. */
+class SketchStoreSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def corpus(n: Int, off: Int = 0) =
+    (0 until n).map { i =>
+      val src = s"src${(i + off) % 3}"
+      (i.toLong + off, src,
+        (0 until 20).map(j => s"tok${(i * 31 + off * 7 + j * 13) % 400}")
+          .mkString(" "))
+    }.toDF("doc_id", "source", "text")
+
+  private def tokens(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+
+  test("KMV: batched intake + compact equal the one-shot batch sketch") {
+    val root = Files.createTempDirectory("sk-kmv").toFile.getAbsolutePath + "/sk"
+    val store = new SketchStore(root)
+    val full = corpus(300)
+    // three uneven batches
+    Seq((0, 100), (100, 80), (180, 120)).zipWithIndex.foreach {
+      case ((lo, n), id) =>
+        store.addKmvBatch(
+          tokens(full.filter(col("doc_id") >= lo && col("doc_id") < lo + n)),
+          "source", col("tok"), id.toLong)
+    }
+    val expect = Sketch.kmvDistinct(tokens(full), "source", col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def got() = store.kmvEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got() == expect, s"merged store must equal batch sketch: " +
+      s"${got()} vs $expect")
+
+    // replay safety: re-adding an epoch (same id, same rows) is a no-op
+    store.addKmvBatch(
+      tokens(full.filter(col("doc_id") >= 100 && col("doc_id") < 180)),
+      "source", col("tok"), 1L)
+    assert(got() == expect, "replayed epoch must not change the sketch")
+
+    // pruned per-group serving agrees with the full read
+    val one = store.kmvEstimateFor(spark, Seq("src1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("src1" -> expect("src1")))
+
+    // compact folds the b-dirs; estimates unchanged
+    val folded = store.compact(spark)
+    assert(folded("kmv") == 3, s"fold count: $folded")
+    assert(new File(s"$root/kmv").listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("b")) == 1)
+    assert(got() == expect, "compaction must preserve the sketch")
+  }
+
+  test("CMS: cells add across batches; estimates equal the batch table") {
+    val root = Files.createTempDirectory("sk-cms").toFile.getAbsolutePath + "/sk"
+    val store = new SketchStore(root)
+    val full = corpus(250)
+    Seq((0, 150), (150, 100)).zipWithIndex.foreach { case ((lo, n), id) =>
+      store.addCmsBatch(
+        tokens(full.filter(col("doc_id") >= lo && col("doc_id") < lo + n)),
+        col("tok"), id.toLong)
+    }
+    val expectCells = Sketch.cmsTable(tokens(full), col("tok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotCells = store.cmsCells(spark)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCells == expectCells, "summed cells must equal the batch table")
+
+    // point estimates from the stored sketch ≥ exact counts (CMS bound)
+    val probes = Seq("tok1", "tok17", "tok399").toDF("tok")
+    val est = store.cmsEstimate(spark, probes, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = tokens(full).filter(col("tok").isin("tok1", "tok17", "tok399"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"$t: estimate ${est(t)} below exact $n")
+    }
+    assert(store.compact(spark)("cms") == 2)
+    val afterFold = store.cmsCells(spark)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterFold == expectCells)
+  }
+
+  test("streaming intake: kill -> resume equals the batch sketch over the full input") {
+    val root = Files.createTempDirectory("sk-rs").toFile.getAbsolutePath + "/sk"
+    val srcDir = Files.createTempDirectory("sk-rs-src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("sk-rs-ck").toFile.getAbsolutePath
+    val store = new SketchStore(root)
+
+    // each landed batch is its own subdir — glob them (the file source
+    // does not recurse), one file per trigger for several epochs per run
+    def stream() = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+
+    // run 1: two files, then the query STOPS (kill)
+    corpus(120).write.mode("overwrite").parquet(s"$srcDir/f1")
+    corpus(90, off = 120).write.mode("overwrite").parquet(s"$srcDir/f2")
+    val q1 = store.startKmv(
+      tokens(stream()), "source", col("tok"), ckpt)
+    q1.awaitTermination()
+
+    // more data lands while the intake is down
+    corpus(140, off = 300).write.mode("overwrite").parquet(s"$srcDir/f3")
+
+    // run 2: RESUME from the same checkpoint — only the new file runs
+    val q2 = store.startKmv(
+      tokens(stream()), "source", col("tok"), ckpt)
+    q2.awaitTermination()
+
+    val full = corpus(120)
+      .unionByName(corpus(90, off = 120))
+      .unionByName(corpus(140, off = 300))
+    val expect = Sketch.kmvDistinct(tokens(full), "source", col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = store.kmvEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect,
+      s"resumed store must equal the batch sketch: $got vs $expect")
+
+    // the CMS side through the same kill -> resume shape
+    val cmsCkpt = Files.createTempDirectory("sk-rs-ck2").toFile.getAbsolutePath
+    val c1 = store.startCms(tokens(stream()).select("tok"), col("tok"), cmsCkpt)
+    c1.awaitTermination()
+    corpus(60, off = 440).write.mode("overwrite").parquet(s"$srcDir/f4")
+    val c2 = store.startCms(tokens(stream()).select("tok"), col("tok"), cmsCkpt)
+    c2.awaitTermination()
+    val full4 = full.unionByName(corpus(60, off = 440))
+    val expectCells = Sketch.cmsTable(tokens(full4), col("tok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotCells = store.cmsCells(spark)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCells == expectCells,
+      "resumed CMS cells must equal the batch table over the full input")
+  }
+
+  test("maintenance verb: sketch-store folds via env") {
+    val root = Files.createTempDirectory("sk-verb").toFile.getAbsolutePath + "/sk"
+    val store = new SketchStore(root)
+    (0 until 3).foreach { id =>
+      store.addKmvBatch(tokens(corpus(50, off = id * 50)), "source",
+        col("tok"), id.toLong)
+    }
+    val lines = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "sketch-store", "GRAFT_SKETCH_STORE" -> root))
+    assert(lines.exists(_.startsWith("sketch-store: folded")), lines.mkString)
+    assert(new File(s"$root/kmv").listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("b")) == 1)
+  }
+}
