@@ -162,24 +162,26 @@ object Bpe {
   /** The subtoken VOCABULARY the encoder can emit for this corpus under
     * `merges`: every distinct subtoken of the encoded distinct-word
     * set, id'd 1..|V| in subtoken sort order — a pure function of
-    * (corpus, merges), so any engine derives byte-identical ids.
+    * (corpus, merges), so any engine derives identical ids.
     * Output: (token, token_id).
     *
-    * Scale note: |V| ≤ |distinct words| · max word length and in
-    * practice ~merges + alphabet — a bounded METADATA table (like IVF
-    * centroids), so the single-partition row_number window is over
-    * vocab rows, never the corpus. */
+    * Scale note: the distinct-subtoken set is bounded by ~alphabet +
+    * |merges| (every multi-char subtoken is a merge output), so — like
+    * IVF centroids — the vocab is DRIVER METADATA: the distributed part
+    * is the per-word encode + distinct, the bounded survivor set sorts
+    * and ids on the driver (no global window/sort anywhere in the
+    * plan; the returned table broadcasts into the encode join). */
   def vocabOf(docs: DataFrame, merges: Array[Merge],
               textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       merges.map(m => (m.a, m.b) -> m.rank).toMap)
-    words(docs, textCol).distinct().as[String]
+    val toks = words(docs, textCol).distinct().as[String]
       .mapPartitions { it => val r = bc.value; it.flatMap(encodeWord(_, r)) }
-      .toDF("token").distinct()
-      .withColumn("token_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("token")).cast("long"))
+      .distinct().collect().sorted
+    toks.zipWithIndex.map { case (t, i) => (t, i + 1L) }.toSeq
+      .toDF("token", "token_id")
   }
 
   /** Persist / load the id ↔ subtoken vocab table — the artifact a

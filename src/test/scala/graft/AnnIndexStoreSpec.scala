@@ -480,6 +480,21 @@ class AnnIndexStoreSpec extends SparkSpecBase {
       batchGot.filter(_._1 == 5L).map(_._2) ==
         lsh.lshTopK(spark, 5L, k = 3, where = Some(col("label") === 1))
           .collect().map(_.getLong(0)).toSeq)
+
+    // ...and so does the distributed form (filter inside the candidate
+    // gather, before scoring — same rows as the driver-bounded batch)
+    val probesDf = spark.range(0, 20).select(col("id").as("vec_id"))
+    val distGot = lsh.lshTopKBatchDistributed(probesDf, k = 3,
+        where = Some(col("label") === 1)).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val drvGot = lsh.lshTopKBatch(spark, (0L until 20L).toSeq, k = 3,
+        where = Some(col("label") === 1)).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(distGot == drvGot,
+      s"distributed filtered serving diverged: $distGot vs $drvGot")
+    assert(distGot.forall(t => t._3 % 3 == 1L || t._3 == 200L))
   }
 
   test("index kind guard: serving the wrong kind fails fast") {
