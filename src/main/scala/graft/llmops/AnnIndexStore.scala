@@ -462,6 +462,25 @@ final class AnnIndexStore(root: String) extends Serializable {
       .select("pid", "vec_id", "dp", "cosine", "rank")
   }
 
+  /** Kind-dispatching distributed sweep — the operational entry behind
+    * the `ann-sweep` maintenance verb: serve a probe DATASET against
+    * whichever layout this store holds (LSH → `radius`, IVF →
+    * `nprobe`). Output: (pid, vec_id, dp, cosine, rank). */
+  def sweepDistributed(probes: DataFrame, k: Int, radius: Int = 1,
+                       nprobe: Int = Similarity.DefaultIvfProbes,
+                       where: Option[Column] = None): DataFrame =
+    readMeta(probes.sparkSession)("kind") match {
+      case "lsh" => lshTopKBatchDistributed(probes, k, radius, where)
+      case "ivf" => ivfTopKBatchDistributed(probes, k, nprobe, where)
+      case kind => throw new IllegalArgumentException(s"unknown index kind $kind")
+    }
+
+  /** Every live (non-tombstoned) id in the store — the "self" probe set
+    * of a full-corpus sweep (self-join contamination / near-dup audit). */
+  def liveIds(spark: SparkSession): DataFrame =
+    dropDead(spark.read.parquet(s"$root/vectors").select("vec_id"),
+      tombstoned(spark))
+
   /** Batch retrieval against the persisted IVF index: top-k for every
     * probe in ONE serving plan. Centroid ranking stays driver-side (the
     * centroid table IS index metadata); the member scan is ONE read

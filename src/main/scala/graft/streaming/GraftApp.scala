@@ -69,6 +69,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   (GRAFT_BLOCK_DIR; GRAFT_BLOCK_PARTS likewise)
   *     sketch-store  fold the durable KMV/CMS sketch store's per-batch
   *                   dirs (GRAFT_SKETCH_STORE)
+  *     ann-sweep     distributed batch retrieval against a persisted
+  *                   ANN index (GRAFT_ANN_DIR): top-GRAFT_ANN_K (def
+  *                   10) per probe written to GRAFT_ANN_SWEEP_OUT;
+  *                   probes = GRAFT_ANN_PROBES parquet of vec_id, or
+  *                   "self"/unset = every live id (full-corpus sweep);
+  *                   GRAFT_ANN_RADIUS / GRAFT_ANN_NPROBE tune the
+  *                   LSH / IVF candidate widths — no driver candidate
+  *                   materialization at any probe-set size
   *     ann-index     fold append-accumulated files of a persisted ANN
   *                   serving index (GRAFT_ANN_DIR); GRAFT_ANN_DELETE=
   *                   id,id,… retracts vectors (tombstone + physical
@@ -424,6 +432,26 @@ object GraftApp {
           Seq(s"ann-index: compacted $dir") ++
           store.driftReport(spark).map(d => s"ann-index: $d") ++
           rebuildLine.toSeq
+      case "ann-sweep" =>
+        val dir = env.getOrElse("GRAFT_ANN_DIR",
+          throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
+        val out = env.getOrElse("GRAFT_ANN_SWEEP_OUT",
+          throw new IllegalArgumentException("GRAFT_ANN_SWEEP_OUT is required"))
+        val k = env.get("GRAFT_ANN_K").map(_.toInt).getOrElse(10)
+        val store = new graft.llmops.AnnIndexStore(dir)
+        // probe set: a parquet of vec_id (eval-set contamination sweep)
+        // or "self" = every live id (full-corpus near-dup / RAG audit)
+        val probes = env.get("GRAFT_ANN_PROBES") match {
+          case None | Some("self") => store.liveIds(spark)
+          case Some(p) => spark.read.parquet(p)
+        }
+        store.sweepDistributed(probes, k,
+            radius = env.get("GRAFT_ANN_RADIUS").map(_.toInt).getOrElse(1),
+            nprobe = env.get("GRAFT_ANN_NPROBE").map(_.toInt)
+              .getOrElse(graft.llmops.Similarity.DefaultIvfProbes))
+          .write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).select("pid").distinct().count()
+        Seq(s"ann-sweep: top-$k for $n probes -> $out")
       case "project-bootstrap" =>
         val defs = parseProjections(env, buckets)
         require(defs.nonEmpty,

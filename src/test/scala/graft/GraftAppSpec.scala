@@ -345,6 +345,28 @@ class GraftAppSpec extends SparkSpecBase {
     }
   }
 
+  test("maintenance mode: ann-sweep serves a full-corpus top-k via env") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val twin = (40L, base(5)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    val embs = (base :+ twin).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("app-sweep").toFile.getAbsolutePath + "/idx"
+    new graft.llmops.AnnIndexStore(dir).writeLsh(embs)
+    val out = Files.createTempDirectory("app-sweep-out").toFile.getAbsolutePath + "/top"
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-sweep", "GRAFT_ANN_DIR" -> dir,
+      "GRAFT_ANN_SWEEP_OUT" -> out, "GRAFT_ANN_K" -> "3"))
+    assert(lines.exists(_.startsWith("ann-sweep: top-3 for")), lines.mkString)
+    val res = spark.read.parquet(out)
+    assert(res.columns.toSeq == Seq("pid", "vec_id", "dp", "cosine", "rank"))
+    // the self-sweep covers the corpus and finds the planted twin
+    val top5 = res.filter(org.apache.spark.sql.functions.col("pid") === 5L)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0))
+    assert(top5.headOption.contains(40L), s"twin not found: ${top5.toSeq}")
+  }
+
   test("maintenance mode: curate-store fold via env") {
     import spark.implicits._
     val store = Files.createTempDirectory("app-maint-cur").toFile.getAbsolutePath
