@@ -53,7 +53,7 @@ object Bench {
     "llm_mix_temperature", "llm_novelty", "q47_sessionize",
     "llm_quality_trim", "llm_bpe_pairs", "q48_funnel",
     "llm_dsir_weights", "llm_ann_filtered", "llm_cms_counts",
-    "llm_curate_funnel", "llm_bpe_encode")
+    "llm_curate_funnel", "llm_bpe_encode", "llm_pack_emit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

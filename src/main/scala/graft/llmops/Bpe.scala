@@ -235,4 +235,48 @@ object Bpe {
       .select(col(idCol),
         flatten(transform(array_sort(col("ws")), s => s.getField("wids"))).as("ids"))
   }
+
+  /** PACKED training sequences from per-doc id arrays ([[encodeCorpusIds]]
+    * output joined with a shard column): concatenate each shard's docs in
+    * id order and cut every `budget` tokens — docs STRADDLE sequence
+    * boundaries (standard trainer packing), so every sequence except a
+    * shard's last is exactly full. Output: (srcCol, seq_id, ids).
+    *
+    * Scale factoring: packing is inherently sequential, so the scale
+    * unit is the shard — one window partition per `srcCol` computes
+    * each doc's running start offset; the doc→sequence attribution is a
+    * per-doc explode over the ≤ ⌈len/budget⌉+1 sequences the doc
+    * overlaps, with the overlapping id slice carried along; sequences
+    * reassemble with a (shard, seq) groupBy + ordered array flatten.
+    * No corpus-sized imperative pass, no global order — the same
+    * shard-window discipline as the `llm_pack` budget report. */
+  def packSequences(docIds: DataFrame, budget: Int,
+                    srcCol: String = "source", idCol: String = "doc_id",
+                    idsCol: String = "ids"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val B = lit(budget.toLong)
+    docIds
+      .select(col(srcCol), col(idCol), col(idsCol).as("ids"),
+        size(col(idsCol)).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("start", sum("len").over(w) - col("len"))
+      // every sequence this doc overlaps: floor(start/B)..floor((end-1)/B)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start div ${budget.toLong}"),
+          expr(s"(start + len - 1) div ${budget.toLong}"))))
+      // the doc's id slice that falls inside [seq·B, (seq+1)·B)
+      .withColumn("frm", greatest(col("start"), col("seq_id") * B))
+      .withColumn("to", least(col("start") + col("len"), (col("seq_id") + 1) * B))
+      .withColumn("sl", slice(col("ids"),
+        (col("frm") - col("start") + 1).cast("int"),
+        (col("to") - col("frm")).cast("int")))
+      .groupBy(srcCol, "seq_id")
+      .agg(collect_list(struct(col("start"), col("sl"))).as("parts"))
+      .select(col(srcCol), col("seq_id"),
+        flatten(transform(array_sort(col("parts")), s => s.getField("sl")))
+          .as("ids"))
+  }
 }

@@ -532,6 +532,25 @@ object LlmQueries {
         .orderBy("source", "seq_id")
     }),
 
+    // PACKED sequence emission — the actual trainer hand-off: each
+    // source shard's docs concatenate in id order and cut every 256
+    // tokens, docs straddling sequence boundaries (split, not padded).
+    // Every sequence except a shard's last is exactly full by
+    // construction; emitted as (count, head, sum) scalars so the packed
+    // id arrays hash against the oracle's full-pipeline replay.
+    "llm_pack_emit" -> ((s, d) => {
+      import graft.llmops.Bpe
+      Bpe.packSequences(
+          bpeSeq(s, d).join(documents(s, d).select("doc_id", "source"), "doc_id"),
+          budget = 256)
+        .select(col("source"), col("seq_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          concat_ws("-", transform(slice(col("ids"), 1, 8),
+            _.cast("string"))).as("ids_head"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("ids_sum"))
+        .orderBy("source", "seq_id")
+    }),
+
     // Eval-set contamination: docs whose shingle overlap with the
     // "held-out" set (doc_id < 20 stands in for an eval benchmark)
     // crosses the threshold — the decontamination gate every training
@@ -1564,6 +1583,39 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_pack_emit" -> {
+      val B = 256
+      s"""WITH $bpeSeqCtes,
+         |pk0 AS (
+         |  SELECT d.source, b.doc_id, b.ids, len(b.ids)::BIGINT AS l
+         |  FROM bseq b JOIN documents d USING (doc_id)
+         |  WHERE len(b.ids) > 0),
+         |pk1 AS (
+         |  SELECT source, doc_id, ids, l,
+         |    (sum(l) OVER (PARTITION BY source ORDER BY doc_id
+         |                 ROWS UNBOUNDED PRECEDING) - l)::BIGINT AS start
+         |  FROM pk0),
+         |pk2 AS (
+         |  SELECT source, doc_id, ids, l, start,
+         |    unnest(range((start // $B)::BIGINT,
+         |                 ((start + l - 1) // $B + 1)::BIGINT)) AS seq_id
+         |  FROM pk1),
+         |pk3 AS (
+         |  SELECT source, seq_id, start,
+         |    ids[(greatest(start, seq_id * $B) - start + 1):
+         |        (greatest(start, seq_id * $B) - start
+         |         + least(start + l, (seq_id + 1) * $B)
+         |         - greatest(start, seq_id * $B))] AS sl
+         |  FROM pk2),
+         |pk AS (
+         |  SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+         |    flatten(list(sl ORDER BY start)) AS ids
+         |  FROM pk3 GROUP BY 1, 2)
+         |SELECT source, seq_id, CAST(len(ids) AS BIGINT) AS n_ids,
+         |  array_to_string(ids[1:8], '-') AS ids_head,
+         |  CAST(list_sum(ids) AS BIGINT) AS ids_sum
+         |FROM pk ORDER BY source, seq_id""".stripMargin
+    },
     "llm_bpe_encode" ->
       s"""WITH $bpeSeqCtes
          |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,

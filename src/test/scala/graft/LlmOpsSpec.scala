@@ -927,6 +927,43 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("BPE sequence packing: exact-full sequences, order-preserving round-trip") {
+    import spark.implicits._
+    val corpus = docs.limit(150).withColumn("source",
+      (col("doc_id") % 3).cast("string"))
+    val dict = Bpe.wordCounts(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = Bpe.train(dict, nMerges = 20)
+    val vocab = Bpe.vocabOf(corpus, merges)
+    val perDoc = Bpe.encodeCorpusIds(corpus, merges, vocab)
+      .join(corpus.select("doc_id", "source"), "doc_id")
+    val packed = Bpe.packSequences(perDoc, budget = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+
+    // every sequence except each shard's last is exactly full; seq ids
+    // are dense from 0
+    packed.groupBy(_._1).foreach { case (src, seqs) =>
+      val byId = seqs.sortBy(_._2)
+      assert(byId.map(_._2).toSeq == byId.indices.map(_.toLong),
+        s"$src: seq ids not dense")
+      byId.dropRight(1).foreach { case (_, sid, ids) =>
+        assert(ids.length == 100, s"$src seq $sid not full: ${ids.length}")
+      }
+      assert(byId.last._3.nonEmpty)
+    }
+
+    // concatenating the sequences in order round-trips the concatenated
+    // per-doc streams — packing loses and reorders nothing
+    val streams = perDoc.collect()
+      .map(r => (r.getAs[String]("source"), r.getLong(0), r.getSeq[Long](1)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).flatMap(_._3).toSeq).toMap
+    packed.groupBy(_._1).foreach { case (src, seqs) =>
+      val repacked = seqs.sortBy(_._2).flatMap(_._3).toSeq
+      assert(repacked == streams(src), s"$src: packing mangled the stream")
+    }
+  }
+
   test("real audio decode: sample rate/frames/duration + RMS strips via javax.sound.sampled") {
     import spark.implicits._
     import javax.sound.sampled._
