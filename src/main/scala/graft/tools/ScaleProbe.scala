@@ -88,6 +88,28 @@ object ScaleProbe {
     require(bpeTok >= wsTok && bpeTok * 2 <= nChars,
       s"bpe compression off: $bpeTok subtokens, $wsTok words, $nChars chars")
 
+    // token-id emission + packing at volume: the id path must agree
+    // with the count path token-for-token (sum of id-array lengths ==
+    // the count encode's subtoken total), and packing must cut exact
+    // fixed-budget sequences with nothing lost
+    t0 = System.nanoTime()
+    val bpeVocab = graft.llmops.Bpe.vocabOf(docs, bpeMerges)
+    val docIds = graft.llmops.Bpe.encodeCorpusIds(docs, bpeMerges, bpeVocab)
+      .withColumn("source", (col("doc_id") % 8).cast("string"))
+      .localCheckpoint(true)
+    val idTok = docIds.agg(sum(size(col("ids")))).first().getLong(0)
+    require(idTok == bpeTok,
+      s"id emission disagrees with count encode: $idTok vs $bpeTok")
+    val packed = graft.llmops.Bpe.packSequences(docIds, budget = 2048)
+    val pk = packed.agg(count(lit(1)), sum(size(col("ids"))),
+      sum(when(size(col("ids")) === 2048, 1L).otherwise(0L))).first()
+    val (nSeqs, packTok, fullSeqs) = (pk.getLong(0), pk.getLong(1), pk.getLong(2))
+    require(packTok == bpeTok, s"packing lost tokens: $packTok vs $bpeTok")
+    require(fullSeqs >= nSeqs - 8, // ≤1 partial sequence per shard
+      s"non-final partial sequences: $fullSeqs full of $nSeqs")
+    println(f"bpe ids+pack: |vocab|=${bpeVocab.count()} ids=$idTok " +
+      f"-> $nSeqs seqs ($fullSeqs full) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // durable block-dedup intake at volume: 4 sequential batches of the
     // same corpus through BlockDedupStore — per-trigger planning must
     // stay O(touched parts) and the planted block-dups must all land
