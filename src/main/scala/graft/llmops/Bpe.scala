@@ -195,6 +195,26 @@ object Bpe {
   def loadVocab(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("token", "token_id")
 
+  /** The COMPLETE persisted tokenizer: `path/merges` (the ranked merge
+    * table — without it the vocab can't encode NEW text) + `path/vocab`
+    * (id ↔ subtoken). Train once offline (the `bpe-train` maintenance
+    * verb), then any job — this engine or another — loads it and
+    * encodes byte-identically. Both tables are metadata-sized. */
+  def writeTokenizer(spark: SparkSession, path: String,
+                     merges: Array[Merge], vocab: DataFrame): Unit = {
+    import spark.implicits._
+    merges.toSeq.map(m => (m.a, m.b, m.rank)).toDF("a", "b", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    writeVocab(vocab, s"$path/vocab")
+  }
+
+  def loadTokenizer(spark: SparkSession, path: String): (Array[Merge], DataFrame) = {
+    val merges = spark.read.parquet(s"$path/merges").collect()
+      .map(r => Merge(r.getString(0), r.getString(1), r.getInt(2)))
+      .sortBy(_.rank)
+    (merges, loadVocab(spark, s"$path/vocab"))
+  }
+
   /** Per-doc TOKEN-ID SEQUENCES — the form a training-data emitter
     * hands to the trainer: (doc_id, ids array<bigint>), ids resolved
     * against `vocab` (from [[vocabOf]] or [[loadVocab]]).

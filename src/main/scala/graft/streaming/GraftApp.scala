@@ -77,6 +77,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_RADIUS / GRAFT_ANN_NPROBE tune the
   *                   LSH / IVF candidate widths — no driver candidate
   *                   materialization at any probe-set size
+  *     bpe-train     train a BPE tokenizer on GRAFT_BPE_DOCS parquet
+  *                   (GRAFT_BPE_MERGES, def 200; GRAFT_BPE_VOCAB_CAP,
+  *                   def 65536; GRAFT_BPE_TEXT_COL, def text) and
+  *                   persist the complete artifact (merges + vocab)
+  *                   to GRAFT_BPE_OUT for Bpe.loadTokenizer
   *     ann-index     fold append-accumulated files of a persisted ANN
   *                   serving index (GRAFT_ANN_DIR); GRAFT_ANN_DELETE=
   *                   id,id,… retracts vectors (tombstone + physical
@@ -452,6 +457,22 @@ object GraftApp {
           .write.mode("overwrite").parquet(out)
         val n = spark.read.parquet(out).select("pid").distinct().count()
         Seq(s"ann-sweep: top-$k for $n probes -> $out")
+      case "bpe-train" =>
+        val docsDir = env.getOrElse("GRAFT_BPE_DOCS",
+          throw new IllegalArgumentException("GRAFT_BPE_DOCS is required"))
+        val out = env.getOrElse("GRAFT_BPE_OUT",
+          throw new IllegalArgumentException("GRAFT_BPE_OUT is required"))
+        val nMerges = env.get("GRAFT_BPE_MERGES").map(_.toInt).getOrElse(200)
+        val cap = env.get("GRAFT_BPE_VOCAB_CAP").map(_.toInt).getOrElse(1 << 16)
+        val textCol = env.getOrElse("GRAFT_BPE_TEXT_COL", "text")
+        val docs = spark.read.parquet(docsDir)
+        val dict = graft.llmops.Bpe.wordCounts(docs, cap, textCol).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val merges = graft.llmops.Bpe.train(dict, nMerges)
+        val vocab = graft.llmops.Bpe.vocabOf(docs, merges, textCol)
+        graft.llmops.Bpe.writeTokenizer(spark, out, merges, vocab)
+        Seq(s"bpe-train: ${merges.length} merges, " +
+          s"|vocab|=${vocab.count()} -> $out")
       case "project-bootstrap" =>
         val defs = parseProjections(env, buckets)
         require(defs.nonEmpty,

@@ -367,6 +367,32 @@ class GraftAppSpec extends SparkSpecBase {
     assert(top5.headOption.contains(40L), s"twin not found: ${top5.toSeq}")
   }
 
+  test("maintenance mode: bpe-train persists a tokenizer that encodes on load") {
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("app-bpe-docs").toFile.getAbsolutePath
+    Seq((0L, "hug hug hug hug hug hug hug hug hug hug"),
+      (1L, "pug pug pug pug pug"),
+      (2L, "pun pun pun pun pun pun pun pun pun pun pun pun"),
+      (3L, "bun bun bun bun"), (4L, "hugs hugs hugs hugs hugs"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    val out = Files.createTempDirectory("app-bpe-out").toFile.getAbsolutePath + "/tok"
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> out, "GRAFT_BPE_MERGES" -> "3"))
+    assert(lines.exists(_.startsWith("bpe-train: 3 merges")), lines.mkString)
+    // the loaded artifact reproduces the golden teaching-corpus table
+    // and encodes new documents without retraining
+    val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, out)
+    assert(merges.map(m => (m.a, m.b)).toSeq ==
+      Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    val ids = graft.llmops.Bpe.encodeCorpusIds(
+        Seq((9L, "bug hug")).toDF("doc_id", "text"), merges, vocab)
+      .head().getSeq[Long](1)
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids == Seq(vmap("b"), vmap("ug"), vmap("hug")),
+      s"loaded tokenizer must encode: $ids vs $vmap")
+  }
+
   test("maintenance mode: curate-store fold via env") {
     import spark.implicits._
     val store = Files.createTempDirectory("app-maint-cur").toFile.getAbsolutePath
