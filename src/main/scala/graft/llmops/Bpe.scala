@@ -256,6 +256,35 @@ object Bpe {
         flatten(transform(array_sort(col("ws")), s => s.getField("wids"))).as("ids"))
   }
 
+  /** Inverse of [[encodeCorpusIds]] for auditing emitted sequences:
+    * resolve each id array back to its subtoken concatenation (word
+    * boundaries are not recoverable — BPE encoding drops them — so the
+    * output is the concatenated subtoken stream, which round-trips
+    * `concat(words)` exactly). One explode + broadcast vocab join +
+    * per-row ordered rebuild; O(total ids). Unknown ids fail loudly
+    * (inner join drops them and the length check below catches it)
+    * rather than silently skipping corrupt data. */
+  def decode(seqs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+             idsCol: String = "ids"): DataFrame = {
+    val resolved = seqs.select(col(idCol), posexplode(col(idsCol)))
+      .toDF(idCol, "p", "token_id")
+      .join(broadcast(vocab), "token_id")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_resolved"),
+        collect_list(struct(col("p"), col("token"))).as("ts"))
+    // LEFT join from the sequence side: a row whose ids didn't all
+    // resolve keeps its identity (n_resolved < n_ids) instead of
+    // silently vanishing through an inner join
+    seqs.select(col(idCol), size(col(idsCol)).cast("long").as("n_ids"))
+      .join(resolved, Seq(idCol), "left")
+      .select(col(idCol),
+        when(coalesce(col("n_resolved"), lit(0L)) === col("n_ids"),
+          concat_ws("", transform(array_sort(col("ts")),
+            s => s.getField("token"))))
+          .otherwise(raise_error(concat(lit("decode: unknown token ids in "),
+            col(idCol).cast("string")))).as("text"))
+  }
+
   /** PACKED training sequences from per-doc id arrays ([[encodeCorpusIds]]
     * output joined with a shard column): concatenate each shard's docs in
     * id order and cut every `budget` tokens — docs STRADDLE sequence

@@ -900,6 +900,18 @@ class LlmOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(ids2 == ids, "loaded vocab must reproduce the id sequences")
 
+    // decode round-trips the id sequences to the concatenated word
+    // stream (word boundaries are consumed by encoding), and fails
+    // loudly on ids outside the vocab
+    val decoded = Bpe.decode(
+        Bpe.encodeCorpusIds(corpus, merges, vocab), vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded(0L) == "hug" * 10 && decoded(1L) == "pug" * 5 &&
+      decoded(4L) == "hugs" * 5, s"decode mangled: $decoded")
+    intercept[Exception] {
+      Bpe.decode(Seq((7L, Seq(999L))).toDF("doc_id", "ids"), vocab).collect()
+    }
+
     // rank-order equivalence: encodeWord (lowest-rank-first inference)
     // must equal applying the learned merges fully, in rank order — the
     // property the SQL oracle's unrolled replay relies on; checked over
