@@ -53,7 +53,8 @@ object Bench {
     "llm_mix_temperature", "llm_novelty", "q47_sessionize",
     "llm_quality_trim", "llm_bpe_pairs", "q48_funnel",
     "llm_dsir_weights", "llm_ann_filtered", "llm_cms_counts",
-    "llm_curate_funnel", "llm_bpe_encode", "llm_pack_emit")
+    "llm_curate_funnel", "llm_bpe_encode", "llm_pack_emit",
+    "llm_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -532,6 +532,37 @@ object LlmQueries {
         .orderBy("source", "seq_id")
     }),
 
+    // Tokenizer fertility — the standard tokenizer-fit report: per
+    // source, ids-per-word (fertility) and chars-per-id (compression)
+    // in exact milli units from the REAL trained tokenizer's id
+    // sequences. A source whose fertility spikes is one the learned
+    // merges don't fit (wrong language/domain for the training dict) —
+    // the signal that drives per-source tokenizer/budget decisions.
+    // Word/char counts use the encoder's own word stream (non-empty,
+    // no U+001F), so the ratios are internally consistent.
+    "llm_bpe_fertility" -> ((s, d) => {
+      val wsF = expr(
+        "filter(split(text, ' '), w -> length(w) > 0 AND NOT contains(w, chr(31)))")
+      documents(s, d)
+        .join(bpeSeq(s, d), Seq("doc_id"), "left")
+        .withColumn("n_ids", coalesce(size(col("ids")).cast("long"), lit(0L)))
+        .withColumn("n_words", size(wsF).cast("long"))
+        .withColumn("n_chars",
+          expr("aggregate(filter(split(text, ' '), " +
+            "w -> length(w) > 0 AND NOT contains(w, chr(31))), " +
+            "0L, (a, w) -> a + length(w))"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_ids").as("n_ids"),
+          sum("n_chars").as("n_chars"))
+        .withColumn("fertility_milli",
+          expr("(n_ids * 1000) div greatest(n_words, 1)"))
+        .withColumn("compression_milli",
+          expr("(n_chars * 1000) div greatest(n_ids, 1)"))
+        .orderBy("source")
+    }),
+
     // PACKED sequence emission — the actual trainer hand-off: each
     // source shard's docs concatenate in id order and cut every 256
     // tokens, docs straddling sequence boundaries (split, not padded).
@@ -1583,6 +1614,29 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_bpe_fertility" ->
+      s"""WITH $bpeSeqCtes,
+         |fw AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_words,
+         |         sum(len(w))::BIGINT AS n_chars
+         |  FROM bdt GROUP BY 1),
+         |fd AS (
+         |  SELECT d.source,
+         |    coalesce(len(b.ids), 0)::BIGINT AS n_ids,
+         |    coalesce(fw.n_words, 0)::BIGINT AS n_words,
+         |    coalesce(fw.n_chars, 0)::BIGINT AS n_chars
+         |  FROM documents d
+         |  LEFT JOIN bseq b ON d.doc_id = b.doc_id
+         |  LEFT JOIN fw ON d.doc_id = fw.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_ids) * 1000 // greatest(sum(n_words), 1) AS BIGINT)
+         |    AS fertility_milli,
+         |  CAST(sum(n_chars) * 1000 // greatest(sum(n_ids), 1) AS BIGINT)
+         |    AS compression_milli
+         |FROM fd GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_pack_emit" -> {
       val B = 256
       s"""WITH $bpeSeqCtes,

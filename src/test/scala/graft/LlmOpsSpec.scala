@@ -974,6 +974,26 @@ class LlmOpsSpec extends SparkSpecBase {
       val repacked = seqs.sortBy(_._2).flatMap(_._3).toSeq
       assert(repacked == streams(src), s"$src: packing mangled the stream")
     }
+
+    // boundary budgets: 1 (every token its own sequence), 7 (straddles
+    // everywhere), and larger-than-any-shard (exactly one sequence per
+    // shard) — the same invariants must hold at each
+    val total = streams.values.map(_.size).sum
+    Seq(1, 7, 1 << 20).foreach { b =>
+      val p = Bpe.packSequences(perDoc, budget = b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(p.map(_._3.size).sum == total, s"budget $b lost tokens")
+      p.groupBy(_._1).foreach { case (src, seqs) =>
+        val byId = seqs.sortBy(_._2)
+        assert(byId.map(_._2).toSeq == byId.indices.map(_.toLong))
+        byId.dropRight(1).foreach { case (_, _, ids) =>
+          assert(ids.length == b, s"budget $b: non-final not full") }
+        assert(byId.sortBy(_._2).flatMap(_._3).toSeq == streams(src),
+          s"budget $b: $src stream mangled")
+        if (b == 1 << 20)
+          assert(byId.size == 1, s"budget $b: expected one sequence per shard")
+      }
+    }
   }
 
   test("real audio decode: sample rate/frames/duration + RMS strips via javax.sound.sampled") {

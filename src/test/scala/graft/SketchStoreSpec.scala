@@ -145,6 +145,55 @@ class SketchStoreSpec extends SparkSpecBase {
       "resumed CMS cells must equal the batch table over the full input")
   }
 
+  test("compact crash windows: committed staging rolls forward, partial rolls back") {
+    val root = Files.createTempDirectory("sk-heal").toFile.getAbsolutePath + "/sk"
+    val store = new SketchStore(root)
+    val full = corpus(120)
+    (0 until 3).foreach { id =>
+      store.addKmvBatch(tokens(full.filter(
+          col("doc_id") >= id * 40 && col("doc_id") < (id + 1) * 40)),
+        "source", col("tok"), id.toLong)
+    }
+    val expect = store.kmvEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    def copyDir(src: File, dst: File): Unit = {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) copyDir(f, new File(dst, f.getName))
+        else java.nio.file.Files.copy(f.toPath, new File(dst, f.getName).toPath)
+      }
+    }
+
+    // COMMITTED crash window: a finished fold (staging + _SUCCESS +
+    // _target) whose original b-dirs were only partially deleted —
+    // compact must roll FORWARD (keep the folded copy, drop originals)
+    val kmvDir = new File(s"$root/kmv")
+    store.compact(spark) // produce the folded layout to replay from
+    val folded = kmvDir.listFiles().filter(_.getName.startsWith("b")).head
+    val staged = new File(kmvDir, "_fold")
+    copyDir(folded, staged)
+    val tgt = new File(staged, "_target")
+    java.nio.file.Files.write(tgt.toPath, folded.getName.getBytes)
+    assert(new File(staged, "_SUCCESS").exists())
+    store.compact(spark)
+    assert(!staged.exists(), "committed staging must be consumed")
+    assert(store.kmvEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect,
+      "roll-forward must preserve the sketch")
+
+    // PARTIAL crash window: staging without _SUCCESS — discarded, the
+    // original dirs untouched
+    val staged2 = new File(kmvDir, "_fold")
+    staged2.mkdirs()
+    java.nio.file.Files.write(
+      new File(staged2, "part-garbage.parquet").toPath, Array[Byte](1, 2))
+    store.compact(spark)
+    assert(!staged2.exists(), "partial staging must be rolled back")
+    assert(store.kmvEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+  }
+
   test("maintenance verb: sketch-store folds via env") {
     val root = Files.createTempDirectory("sk-verb").toFile.getAbsolutePath + "/sk"
     val store = new SketchStore(root)
