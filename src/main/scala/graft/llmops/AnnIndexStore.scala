@@ -63,20 +63,30 @@ final class AnnIndexStore(root: String) extends Serializable {
     require(ids.nonEmpty, "delete: empty id set")
     import spark.implicits._
     healTombFold(spark)
-    ids.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(tombPath.toString)
     val fs = fsOf(spark)
-    val nFiles = fs.listStatus(tombPath)
-      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    if (nFiles > AnnIndexStore.MaxTombstoneFiles) {
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode(if (fs.exists(tombPath)) "append" else "overwrite")
+      .parquet(tombPath.toString)
+    if (tombFiles(spark).size > AnnIndexStore.MaxTombstoneFiles) {
       val staged = new Path(root, "_tombstones_fold")
-      spark.read.parquet(tombPath.toString).distinct()
+      spark.read.parquet(tombFiles(spark): _*).distinct()
         .coalesce(1).write.mode("overwrite").parquet(staged.toString)
       fs.delete(tombPath, true)
       fs.rename(staged, tombPath)
     }
     tombCache = null // invalidate the memoized serve-path set
   }
+
+  /** The tombstone dir's data files. Reads go through this explicit
+    * file list because the dir itself is underscore-prefixed (hidden
+    * from accidental partition discovery of the store root) — reading
+    * the DIRECTORY path makes Spark's hidden-path filter warn "All
+    * paths were ignored" on every load. */
+  private def tombFiles(spark: SparkSession): Seq[String] =
+    fsOf(spark).listStatus(tombPath).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
 
   /** Roll an interrupted tombstone fold forward (committed staging wins)
     * or back (partial staging is discarded; the original is intact). */
@@ -106,9 +116,11 @@ final class AnnIndexStore(root: String) extends Serializable {
     if (cached != null) cached
     else {
       healTombFold(spark)
+      val files =
+        if (!fsOf(spark).exists(tombPath)) Seq.empty else tombFiles(spark)
       val loaded =
-        if (!fsOf(spark).exists(tombPath)) Set.empty[Long]
-        else spark.read.parquet(tombPath.toString)
+        if (files.isEmpty) Set.empty[Long]
+        else spark.read.parquet(files: _*)
           .collect().map(_.getLong(0)).toSet
       tombLoads += 1
       tombCache = loaded
