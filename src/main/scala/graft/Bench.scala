@@ -134,8 +134,10 @@ object Bench {
     // Also persist the artifact as a FILE (atomic rename), so a stdout
     // capture that keeps only the tail can never truncate the queries
     // map. SPARK_GRAFT_BENCH_OUT overrides the default path.
+    // toAbsolutePath: a bare-filename override has a null getParent,
+    // which would NPE the temp-file creation below
     val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json"))
+      "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")).toAbsolutePath
     try {
       val tmp = java.nio.file.Files.createTempFile(
         outPath.getParent, ".bench", ".json.tmp")

@@ -383,7 +383,10 @@ final class AnnIndexStore(root: String) extends Serializable {
     val seed = meta("seed").toLong
     val dead = tombstoned(spark)
     val vecs = spark.read.parquet(s"$root/vectors").drop("part")
-    val probeIds = probes.select(col(idCol).cast("long").as("vec_id"))
+    // distinct: a caller-supplied probe Dataset may carry duplicate ids,
+    // which would duplicate every candidate row and corrupt the
+    // per-probe rank numbering
+    val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
     val probeVecs = dropDead(
         vecs.select("vec_id", "qe", "nq").join(probeIds, "vec_id"), dead)
       .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
@@ -440,7 +443,8 @@ final class AnnIndexStore(root: String) extends Serializable {
       .collect()
       .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val vecs = spark.read.parquet(s"$root/vectors").drop("part")
-    val probeIds = probes.select(col(idCol).cast("long").as("vec_id"))
+    // distinct: duplicate probe ids would corrupt per-probe ranks
+    val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
     val probeVecs = dropDead(
         vecs.select("vec_id", "qe", "nq").join(probeIds, "vec_id"), dead)
       .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))

@@ -224,10 +224,12 @@ object Bpe {
     * runs over |vocab| rows); documents reassemble by joining word
     * occurrences and flattening the sub-sequences in word order — the
     * wide work is two relational joins plus per-DOC array folds, never
-    * a corpus-sized imperative pass. Words absent from `vocab` (frozen
-    * vocab, evolving corpus) are dropped from the sequence — the
-    * standard frozen-tokenizer contract; re-derive the vocab to cover
-    * them. */
+    * a corpus-sized imperative pass. Words whose encoding is not FULLY
+    * covered by `vocab` (frozen vocab, evolving corpus) are dropped
+    * WHOLE from the sequence — the frozen-tokenizer contract; emitting
+    * the covered fragment of a word would hand the trainer a silently
+    * corrupted sub-word (asserted in the spec). Re-derive the vocab to
+    * cover new words. */
   def encodeCorpusIds(docs: DataFrame, merges: Array[Merge], vocab: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -238,12 +240,18 @@ object Bpe {
       .mapPartitions { it =>
         val r = bc.value
         it.flatMap { w =>
-          encodeWord(w, r).iterator.zipWithIndex.map { case (t, i) => (w, i, t) }
+          val subs = encodeWord(w, r)
+          subs.iterator.zipWithIndex.map { case (t, i) =>
+            (w, i, t, subs.length) }
         }
-      }.toDF("w", "p", "token")
+      }.toDF("w", "p", "token", "n_sub")
     val wordIds = wordSubs.join(vocab, "token")
       .groupBy("w")
-      .agg(collect_list(struct(col("p"), col("token_id"))).as("ps"))
+      .agg(collect_list(struct(col("p"), col("token_id"))).as("ps"),
+        count(lit(1)).as("n_res"), first("n_sub").as("n_sub"))
+      // all-or-nothing per word: a partial vocab hit must not leak a
+      // truncated id fragment into the sequence
+      .filter(col("n_res") === col("n_sub"))
       .select(col("w"),
         transform(array_sort(col("ps")), s => s.getField("token_id")).as("wids"))
     docs.select(col(idCol), posexplode(TextOps.tokens(col(textCol))))

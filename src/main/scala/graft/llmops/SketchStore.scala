@@ -56,41 +56,52 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
       .write.mode("overwrite")
       .parquet(new Path(cmsDir, s"b$batchId").toString)
 
-  /** Leaf dirs of the per-batch layout. For the part-partitioned kmv
-    * kind the LEAF `part=P` dirs are returned (several partitioned
-    * roots would make partition discovery conflict — the same lesson
-    * as StreamingCurate.compactStore); `parts` restricts to the probed
-    * hash parts. */
-  private def batchDirs(spark: SparkSession, dir: Path, leafParts: Boolean,
-                        parts: Option[Set[Int]] = None): Seq[String] = {
+  private def bDirsOf(spark: SparkSession, dir: Path): Seq[Path] = {
     val fs = fsOf(spark)
     if (!fs.exists(dir)) Seq.empty
-    else for {
-      b <- fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-      leaf <- (leafParts, parts) match {
-        case (false, _) => Seq(b.getPath.toString)
-        case (true, None) => fs.listStatus(b.getPath).toSeq
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+      .map(_.getPath)
+  }
+
+  /** Leaf dirs of the part-partitioned kmv layout under the given
+    * b-dirs — LEAF `part=P` dirs (several partitioned roots would make
+    * partition discovery conflict — the StreamingCurate lesson);
+    * `parts` restricts to the probed hash parts. */
+  private def kmvLeaves(spark: SparkSession, bdirs: Seq[Path],
+                        parts: Option[Set[Int]]): Seq[String] = {
+    val fs = fsOf(spark)
+    for {
+      b <- bdirs
+      leaf <- parts match {
+        case None => fs.listStatus(b).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
           .map(_.getPath.toString)
-        case (true, Some(ps)) => ps.toSeq.sorted
-          .map(p => new Path(b.getPath, s"part=$p"))
+        case Some(ps) => ps.toSeq.sorted
+          .map(p => new Path(b, s"part=$p"))
           .filter(fs.exists(_)).map(_.toString)
       }
     } yield leaf
   }
 
-  /** The merged per-group KMV rows (group, mins): distinct-union of the
-    * per-batch buffers, re-cut to the k smallest — the exact batch
-    * sketch over everything ingested. */
-  private def kmvMerged(spark: SparkSession,
-                        parts: Option[Set[Int]] = None): DataFrame = {
-    val dirs = batchDirs(spark, kmvDir, leafParts = true, parts)
-    require(dirs.nonEmpty, s"$root/kmv is empty")
+  /** KMV merge over explicit leaf dirs: distinct-union of the buffers,
+    * re-cut to the k smallest — the exact batch-sketch merge. */
+  private def kmvMergeOf(spark: SparkSession, dirs: Seq[String]): DataFrame =
     spark.read.schema("group STRING, mins ARRAY<BIGINT>").parquet(dirs: _*)
       .groupBy("group")
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
         1, k).as("mins"))
+
+  /** The merged per-group KMV rows (group, mins) over everything
+    * ingested. Heals an interrupted fold first — a crash between the
+    * fold's delete and rename leaves the only copy in staging, which a
+    * non-healing read would miss. */
+  private def kmvMerged(spark: SparkSession,
+                        parts: Option[Set[Int]] = None): DataFrame = {
+    BatchDirFold.heal(spark, kmvDir)
+    val dirs = kmvLeaves(spark, bDirsOf(spark, kmvDir), parts)
+    require(dirs.nonEmpty, s"$root/kmv is empty")
+    kmvMergeOf(spark, dirs)
   }
 
   /** Distinct-count estimates for every stored group — equals
@@ -113,13 +124,18 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
       .select(col("group"), Sketch.kmvEstimate(col("mins"), k).as("n_est"))
   }
 
-  /** The merged CMS cell table (r, bucket, c): per-batch cells ADD —
-    * equals `Sketch.cmsTable` over the full ingested input. */
-  def cmsCells(spark: SparkSession): DataFrame = {
-    val dirs = batchDirs(spark, cmsDir, leafParts = false)
-    require(dirs.nonEmpty, s"$root/cms is empty")
+  private def cmsSumOf(spark: SparkSession, dirs: Seq[String]): DataFrame =
     spark.read.schema("r INT, bucket BIGINT, c BIGINT").parquet(dirs: _*)
       .groupBy("r", "bucket").agg(sum("c").as("c"))
+
+  /** The merged CMS cell table (r, bucket, c): per-batch cells ADD —
+    * equals `Sketch.cmsTable` over the full ingested input. Heals an
+    * interrupted fold first (see [[kmvMerged]]). */
+  def cmsCells(spark: SparkSession): DataFrame = {
+    BatchDirFold.heal(spark, cmsDir)
+    val dirs = bDirsOf(spark, cmsDir).map(_.toString)
+    require(dirs.nonEmpty, s"$root/cms is empty")
+    cmsSumOf(spark, dirs)
   }
 
   /** Point frequency estimates for a probe vocabulary, served from the
@@ -158,57 +174,24 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
         addCmsBatch(b, value, id) }
       .start()
 
-  /** Maintenance: fold the accumulated b-dirs of each sketch kind into
-    * ONE dir named after the highest folded batch id (future batches
-    * still sort after it; the current-batch-exclusion rule is moot here
-    * because merges are associative). Offline, committed-staging swap
-    * with roll-forward heal — the same discipline as every store in
-    * this library. Returns folded dir counts per kind. */
-  def compact(spark: SparkSession): Map[String, Int] = {
-    val fs = fsOf(spark)
+  /** Maintenance: fold the accumulated b-dirs of each sketch kind via
+    * the shared [[BatchDirFold]] protocol — every b-dir EXCEPT the
+    * newest folds into one dir named after the highest folded id. The
+    * newest is excluded because it may belong to a checkpoint-
+    * uncommitted trigger whose replay Overwrites its own b<id> dir: had
+    * the fold merged everything under that name, the replay would
+    * replace the whole merged store with one batch. Offline discipline;
+    * crash-healed staging swap. Returns folded dir counts per kind. */
+  def compact(spark: SparkSession): Map[String, Int] =
     Seq(("kmv", kmvDir), ("cms", cmsDir)).map { case (kind, dir) =>
-      val staged = new Path(dir, "_fold")
-      if (fs.exists(staged)) {
-        if (fs.exists(new Path(staged, "_SUCCESS"))) {
-          // roll forward: folded dirs were not all deleted yet
-          val tgt = new Path(staged, "_target")
-          if (fs.exists(tgt)) {
-            val in = fs.open(tgt)
-            val name = try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-            val maxId = name.stripPrefix("b").toLong
-            fs.listStatus(dir).toSeq
-              .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-              .filter(_.getPath.getName.stripPrefix("b").toLong <= maxId)
-              .foreach(p => fs.delete(p.getPath, true))
-            fs.delete(tgt, false)
-            fs.rename(staged, new Path(dir, name))
-          } else fs.delete(staged, true)
-        } else fs.delete(staged, true)
-      }
-      val parts =
-        if (!fs.exists(dir)) Seq.empty
-        else fs.listStatus(dir).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-          .sortBy(_.getPath.getName.stripPrefix("b").toLong)
-      if (parts.size <= 1) kind -> parts.size
-      else {
-        val name = parts.last.getPath.getName
-        val merged =
-          if (kind == "kmv")
-            kmvMerged(spark).withColumn("part", partOf(col("group")))
-              .repartition(col("part"))
-          else cmsCells(spark).coalesce(1)
-        val writer =
-          if (kind == "kmv") merged.write.partitionBy("part") else merged.write
-        writer.mode("overwrite").parquet(staged.toString)
-        val out = fs.create(new Path(staged, "_target"), true)
-        try out.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        parts.foreach(p => fs.delete(p.getPath, true))
-        fs.rename(staged, new Path(dir, name))
-        kind -> parts.size
-      }
+      kind -> BatchDirFold.fold(spark, dir, (folded, staged) =>
+        if (kind == "kmv")
+          kmvMergeOf(spark, kmvLeaves(spark, folded, None))
+            .withColumn("part", partOf(col("group")))
+            .repartition(col("part"))
+            .write.partitionBy("part").mode("overwrite").parquet(staged)
+        else
+          cmsSumOf(spark, folded.map(_.toString)).coalesce(1)
+            .write.mode("overwrite").parquet(staged))
     }.toMap
-  }
 }

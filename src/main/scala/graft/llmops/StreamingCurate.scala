@@ -132,6 +132,7 @@ object StreamingCurate {
     * from the same inputs. */
   private def readPrior(spark: SparkSession, dir: Path, batchId: Long,
                         schema: StructType): DataFrame = {
+    BatchDirFold.heal(spark, dir) // an interrupted fold may hold the only copy
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val dirs =
       if (!fs.exists(dir)) Seq.empty
@@ -152,6 +153,7 @@ object StreamingCurate {
   private def readPriorParts(spark: SparkSession, dir: Path, batchId: Long,
                              touched: Set[Int], schema: StructType)
       : (DataFrame, Seq[String]) = {
+    BatchDirFold.heal(spark, dir) // an interrupted fold may hold the only copy
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val leafDirs =
       if (!fs.exists(dir)) Seq.empty
@@ -291,14 +293,17 @@ object StreamingCurate {
       .start()
 
   /** Maintenance: fold the accumulated per-batch subdirs of each store
-    * kind into ONE dir, so listing cost stays flat over months of
-    * triggers. The fold keeps the HIGHEST folded batch id as the merged
-    * dir's name — every future batch (id > it) still reads it, and the
-    * current-batch-exclusion rule is untouched. Run OFFLINE (between
-    * streaming runs — same discipline as ParquetReplicaSink.compact):
-    * write-merged-then-delete order means a crash mid-fold leaves
-    * duplicate rows at worst, which the (hash / doc_id) dedup semantics
-    * of every reader absorb. Returns folded dir counts per kind. */
+    * kind via the shared [[BatchDirFold]] protocol, so listing cost
+    * stays flat over months of triggers. Every b-dir EXCEPT the newest
+    * folds into one dir named after the highest FOLDED id — the newest
+    * is excluded because it may belong to a checkpoint-uncommitted
+    * trigger whose replay Overwrites its own `b<id>` dir; folding it in
+    * would let that replay replace the entire merged store with one
+    * batch's rows. Future batches (id > folded name) still read the
+    * folded dir and the current-batch-exclusion rule is untouched. Run
+    * OFFLINE (between streaming runs — same discipline as
+    * ParquetReplicaSink.compact); interrupted swaps heal on the next
+    * fold OR the next store read. Returns folded dir counts per kind. */
   def compactStore(spark: SparkSession, storeDir: String): Map[String, Int] =
     Seq(("seen", seenSchema, Some("content_hash")),
       ("text", textSchema, Some("doc_id")),
@@ -307,43 +312,16 @@ object StreamingCurate {
       .map { case (kind, schema, partKey) =>
         val dir = new Path(storeDir, kind)
         val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        // finish (or discard) a fold a crash interrupted: a committed
-        // staging dir rolls forward, a partial one rolls back — at no
-        // point is the only copy of the store in memory
-        val staged = new Path(dir, "_fold")
-        if (fs.exists(staged)) {
-          val done = fs.exists(new Path(staged, "_SUCCESS"))
-          val tgt = new Path(staged, "_target")
-          if (done && fs.exists(tgt)) {
-            val in = fs.open(tgt)
-            val name = try new String(in.readAllBytes(), UTF_8).trim
-              finally in.close()
-            val maxId = name.stripPrefix("b").toLong
-            fs.listStatus(dir).toSeq
-              .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-              .filter(_.getPath.getName.stripPrefix("b").toLong <= maxId)
-              .foreach(p => fs.delete(p.getPath, true))
-            fs.delete(tgt, false)
-            fs.rename(staged, new Path(dir, name))
-          } else fs.delete(staged, true)
-        }
-        val parts =
-          if (!fs.exists(dir)) Seq.empty
-          else fs.listStatus(dir).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-            .sortBy(_.getPath.getName.stripPrefix("b").toLong)
-        if (parts.size <= 1) kind -> parts.size
-        else {
-          val name = parts.last.getPath.getName
+        kind -> BatchDirFold.fold(spark, dir, (folded, staged) => {
           // partitioned kinds' b-dirs are partitioned tables — read their
           // part=P leaf dirs directly (several roots would make partition
           // discovery conflict), then re-derive the part column on write
           val inputDirs =
-            if (partKey.isDefined) parts.flatMap(b =>
-              fs.listStatus(b.getPath).toSeq
+            if (partKey.isDefined) folded.flatMap(b =>
+              fs.listStatus(b).toSeq
                 .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
                 .map(_.getPath.toString))
-            else parts.map(_.getPath.toString)
+            else folded.map(_.toString)
           val merged = spark.read.schema(schema)
             .parquet(inputDirs: _*)
             .select(schema.fieldNames.map(col): _*)
@@ -355,13 +333,8 @@ object StreamingCurate {
                 .write.partitionBy("part")
             case None => merged.write
           }
-          writer.mode("overwrite").parquet(staged.toString)
-          val out = fs.create(new Path(staged, "_target"), true)
-          try out.write(name.getBytes(UTF_8)) finally out.close()
-          parts.foreach(p => fs.delete(p.getPath, true))
-          fs.rename(staged, new Path(dir, name))
-          kind -> parts.size
-        }
+          writer.mode("overwrite").parquet(staged)
+        })
       }.toMap
 
   /** All curated docs admitted so far. */

@@ -58,7 +58,12 @@ object MetricsServer {
   def render(snapshot: Map[String, Double]): String = {
     val sb = new StringBuilder
     var lastBase = ""
-    snapshot.toSeq.sortBy(_._1).foreach { case (name, value) =>
+    // sort by (base, name), not bare name: '{' sorts after letters, so
+    // a name sorting between a family's bare and labeled samples would
+    // otherwise split the family and emit a duplicate TYPE line (which
+    // Prometheus parsers reject)
+    snapshot.toSeq.sortBy { case (n, _) => (n.takeWhile(_ != '{'), n) }
+      .foreach { case (name, value) =>
       val base = name.takeWhile(_ != '{')
       if (base != lastBase) {
         val kind = if (base.endsWith("_total")) "counter" else "gauge"

@@ -403,12 +403,17 @@ class GraftAppSpec extends SparkSpecBase {
     graft.llmops.StreamingCurate.applyBatch(
       Seq((2L, "srcB", base + " extra words beyond the original text here"))
         .toDF("doc_id", "source", "text"), store, 1)
+    graft.llmops.StreamingCurate.applyBatch(
+      Seq((3L, "srcA", "the tall ships sail out of the harbor and the " +
+        "wind of the north carries them past the cliffs to the open sea"))
+        .toDF("doc_id", "source", "text"), store, 2)
     val lines = GraftApp.maintenance(spark, Map(
       "GRAFT_MAINTENANCE" -> "curate-store", "GRAFT_CURATE_STORE" -> store))
     assert(lines.exists(_.startsWith("curate-store: folded")), lines.mkString)
+    // b0+b1 fold; b2 (the newest — possibly a replayable epoch) stays
     assert(new java.io.File(s"$store/curated").listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("b")) == 1)
-    assert(graft.llmops.StreamingCurate.curated(spark, store).count() == 2)
+      .count(f => f.isDirectory && f.getName.startsWith("b")) == 2)
+    assert(graft.llmops.StreamingCurate.curated(spark, store).count() == 3)
 
     // ann-index verb folds a persisted ANN store via env too
     val annDir = Files.createTempDirectory("app-maint-ann")

@@ -595,7 +595,8 @@ class LlmOpsSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(replayKept == batchKept, "epoch replay must be idempotent")
 
-    // offline store fold: per-batch dirs collapse to one per kind,
+    // offline store fold: all but the NEWEST per-batch dir collapse to
+    // one per kind (the newest may be a replayable uncommitted epoch),
     // content identical; an uncommitted staged fold is rolled back
     val junk = new java.io.File(s"$store/seen/_fold")
     junk.mkdirs()
@@ -605,7 +606,8 @@ class LlmOpsSpec extends SparkSpecBase {
     Seq("seen", "text", "buckets", "curated").foreach { kind =>
       val dirs = new java.io.File(s"$store/$kind").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      assert(dirs.length == 1, s"$kind not folded: ${dirs.map(_.getName).toSeq}")
+      assert(dirs.length == 2,
+        s"$kind must fold to folded+newest: ${dirs.map(_.getName).toSeq}")
     }
     assert(StreamingCurate.curated(spark, store)
       .select("doc_id").collect().map(_.getLong(0)).toSet == batchKept,
@@ -899,6 +901,15 @@ class LlmOpsSpec extends SparkSpecBase {
     val ids2 = Bpe.encodeCorpusIds(corpus, merges, loaded)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(ids2 == ids, "loaded vocab must reproduce the id sequences")
+
+    // frozen-vocab contract: a word whose encoding is only PARTIALLY
+    // covered by the vocab ('z' unseen; 'zug' -> [z, ug]) drops WHOLE —
+    // emitting the covered fragment would corrupt the sequence
+    val frozen = Bpe.encodeCorpusIds(
+        Seq((8L, "zug hug")).toDF("doc_id", "text"), merges, vocab)
+      .head().getSeq[Long](1)
+    assert(frozen == Seq(vmap("hug")),
+      s"partially-covered word must drop whole: $frozen")
 
     // decode round-trips the id sequences to the concatenated word
     // stream (word boundaries are consumed by encoding), and fails

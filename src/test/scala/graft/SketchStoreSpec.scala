@@ -52,11 +52,13 @@ class SketchStoreSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(one == Map("src1" -> expect("src1")))
 
-    // compact folds the b-dirs; estimates unchanged
+    // compact folds all but the NEWEST b-dir (a replayable uncommitted
+    // epoch must never find the merged store under its own name);
+    // estimates unchanged
     val folded = store.compact(spark)
-    assert(folded("kmv") == 3, s"fold count: $folded")
+    assert(folded("kmv") == 2, s"fold count: $folded")
     assert(new File(s"$root/kmv").listFiles().count(f =>
-      f.isDirectory && f.getName.startsWith("b")) == 1)
+      f.isDirectory && f.getName.startsWith("b")) == 2)
     assert(got() == expect, "compaction must preserve the sketch")
   }
 
@@ -64,10 +66,11 @@ class SketchStoreSpec extends SparkSpecBase {
     val root = Files.createTempDirectory("sk-cms").toFile.getAbsolutePath + "/sk"
     val store = new SketchStore(root)
     val full = corpus(250)
-    Seq((0, 150), (150, 100)).zipWithIndex.foreach { case ((lo, n), id) =>
-      store.addCmsBatch(
-        tokens(full.filter(col("doc_id") >= lo && col("doc_id") < lo + n)),
-        col("tok"), id.toLong)
+    Seq((0, 100), (100, 100), (200, 50)).zipWithIndex.foreach {
+      case ((lo, n), id) =>
+        store.addCmsBatch(
+          tokens(full.filter(col("doc_id") >= lo && col("doc_id") < lo + n)),
+          col("tok"), id.toLong)
     }
     val expectCells = Sketch.cmsTable(tokens(full), col("tok"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -85,7 +88,7 @@ class SketchStoreSpec extends SparkSpecBase {
     exact.foreach { case (t, n) =>
       assert(est(t) >= n, s"$t: estimate ${est(t)} below exact $n")
     }
-    assert(store.compact(spark)("cms") == 2)
+    assert(store.compact(spark)("cms") == 2) // b0+b1 fold, b2 stays
     val afterFold = store.cmsCells(spark)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(afterFold == expectCells)
@@ -170,7 +173,8 @@ class SketchStoreSpec extends SparkSpecBase {
     // compact must roll FORWARD (keep the folded copy, drop originals)
     val kmvDir = new File(s"$root/kmv")
     store.compact(spark) // produce the folded layout to replay from
-    val folded = kmvDir.listFiles().filter(_.getName.startsWith("b")).head
+    val folded = kmvDir.listFiles().filter(_.getName.startsWith("b"))
+      .minBy(_.getName.stripPrefix("b").toLong) // the folded dir, not the live newest
     val staged = new File(kmvDir, "_fold")
     copyDir(folded, staged)
     val tgt = new File(staged, "_target")
@@ -205,6 +209,6 @@ class SketchStoreSpec extends SparkSpecBase {
       "GRAFT_MAINTENANCE" -> "sketch-store", "GRAFT_SKETCH_STORE" -> root))
     assert(lines.exists(_.startsWith("sketch-store: folded")), lines.mkString)
     assert(new File(s"$root/kmv").listFiles().count(f =>
-      f.isDirectory && f.getName.startsWith("b")) == 1)
+      f.isDirectory && f.getName.startsWith("b")) == 2)
   }
 }
