@@ -54,7 +54,9 @@ object Bench {
     "llm_quality_trim", "llm_bpe_pairs", "q48_funnel",
     "llm_dsir_weights", "llm_ann_filtered", "llm_cms_counts",
     "llm_curate_funnel", "llm_bpe_encode", "llm_pack_emit",
-    "llm_bpe_fertility")
+    "llm_bpe_fertility",
+    "llm_hll_distinct", "llm_hist_quantile", "llm_bloom_decontam",
+    "llm_rp_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -192,6 +192,52 @@ object Dedup {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Bloom bit position r of a shingle: k independent md5-salted hashes
+    * into an m-bit address space. */
+  private def bloomPos(sh: Column, r: Int, mBits: Int): Column =
+    pmod(TextOps.tokenHash60(concat(lit(s"bloom$r:"), sh)), lit(mBits.toLong))
+
+  /** Bloom-filter form of the decontamination gate's benchmark side:
+    * the eval set's shingles folded into a set of ≤ mBits bit positions.
+    *
+    * Why this exists next to [[contamination]]: that gate broadcasts the
+    * eval set's DISTINCT SHINGLE STRINGS, which is fine for one
+    * benchmark but grows linearly with the held-out corpus — a sweep
+    * against a large eval union (every benchmark ever published) stops
+    * being broadcastable. The Bloom form is bounded at mBits rows
+    * (64 Ki positions ≈ 512 KiB as a bitset) REGARDLESS of benchmark
+    * size, at the price of a quantified, deterministic false-positive
+    * rate (~(1-e^{-kn/m})^k; same md5 hashes on both engines, so even
+    * the false positives are oracle-reproducible). */
+  def bloomBits(evalDocs: DataFrame, mBits: Int = 1 << 16, kHashes: Int = 4,
+                shingleN: Int = 3, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    TextOps.shingleRows(evalDocs, shingleN, idCol, textCol)
+      .select(explode(array((0 until kHashes).map(r =>
+        bloomPos(col("shingle"), r, mBits)): _*)).as("bit"))
+      .distinct()
+
+  /** Corpus docs whose count of bloom-POSITIVE distinct shingles (all k
+    * positions set) reaches `minShared` — flag-then-verify companion to
+    * [[contamination]]. One shingle scan, a broadcast join against the
+    * bounded bit table, two bounded partial aggregations. */
+  def bloomContamination(df: DataFrame, bits: DataFrame, minShared: Int = 3,
+                         mBits: Int = 1 << 16, kHashes: Int = 4,
+                         shingleN: Int = 3, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    TextOps.shingleRows(df, shingleN, idCol, textCol)
+      .select(col(idCol), col("shingle"),
+        posexplode(array((0 until kHashes).map(r =>
+          bloomPos(col("shingle"), r, mBits)): _*)).as(Seq("r", "bit")))
+      .join(broadcast(bits), "bit")
+      // a shingle is bloom-positive iff ALL k of its positions are set:
+      // count the DISTINCT matched hash indices (two r's may share a bit)
+      .groupBy(idCol, "shingle")
+      .agg(countDistinct("r").as("nr"))
+      .filter(col("nr") === kHashes)
+      .groupBy(idCol).agg(count(lit(1)).as("n_flagged"))
+      .filter(col("n_flagged") >= minShared)
+
   /** Connected components over an undirected edge set (aCol, bCol):
     * the TRANSITIVE closure of near-duplicate pairs, where greedy min-id
     * dropping under-merges chains (a~b, b~c, a≁c is one cluster here).

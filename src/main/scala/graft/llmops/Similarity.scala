@@ -49,6 +49,36 @@ object Similarity {
     embeddings.select(col(idCol), quantize(col(vecCol)).as("qe"))
       .withColumn("nq", normQ(col("qe")))
 
+  /** Johnson–Lindenstrauss Rademacher projection: reduce a quantized
+    * dim-64 embedding to `outDim` integer components, qr_j = <qe, s_j>
+    * with s_j the same deterministic ±1 family the sign-LSH planes use
+    * ([[graft.expressions.Hyperplanes]], distinct seed) — so the exact
+    * projection replays as SQL literals for the oracle. JL: pairwise
+    * dot products are preserved within ~1/sqrt(outDim) relative error,
+    * which turns a 64-dim scan into a 16-dim one — the 4× cheaper
+    * FIRST-PASS scoring space of a rerank pipeline (score everything
+    * reduced, rerank the shortlist full-width). Integer end to end:
+    * |qr_j| ≤ dim·|qe|_max keeps every product inside BIGINT with the
+    * norms multiplied as doubles. */
+  val RpSeed: Long = 7331L
+  val RpDim: Int = 16
+
+  def rpProject(qe: Column, seed: Long = RpSeed, outDim: Int = RpDim,
+                inDim: Int = 64): Column =
+    array((0 until outDim).map { j =>
+      dotQ(qe, typedlit(graft.expressions.Hyperplanes
+        .planeCoeffs(seed, j, inDim).map(_.toLong).toSeq))
+    }: _*)
+
+  /** (id, qr, nr): the reduced-space corpus — [[quantized]]'s shape one
+    * projection down. */
+  def rpReduced(embeddings: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding", seed: Long = RpSeed,
+                outDim: Int = RpDim): DataFrame =
+    quantized(embeddings, idCol, vecCol)
+      .select(col(idCol), rpProject(col("qe"), seed, outDim).as("qr"))
+      .withColumn("nr", normQ(col("qr")))
+
   /** Per-vector symmetric int8 quantization: scale = 127 / max|x|, the
     * serving-path compression (4 bytes/dim → 1) every large ANN index
     * uses. Cosine is scale-invariant, so the per-vector scale cancels in

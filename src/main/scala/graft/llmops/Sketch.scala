@@ -58,6 +58,74 @@ object Sketch {
       .agg(kmvSketch(value, k).as("sk"))
       .select(col(groupCol), kmvEstimate(col("sk"), k).as("n_est"))
 
+  // ---------------------------------------------------- hyperloglog
+  //
+  // HLL complements KMV on the other axis of the state/accuracy
+  // trade: KMV state is k longs PER GROUP and exact below k distinct;
+  // HLL state is m 6-bit registers per group REGARDLESS of distinct
+  // count, merges by per-register max (order-independent), and unions
+  // across stores/streams for free. Library HLLs (approx_count_distinct)
+  // are implementation-defined and can't be oracle-checked; this one
+  // fixes the hash (md5), the register layout (top 8 bits of the
+  // 48-bit hash) and the estimator's integer arithmetic, so the DuckDB
+  // oracle reproduces the estimate bit-for-bit. Raw-regime estimator
+  // only (no linear-counting small-range patch, which needs float ln):
+  // sized at m=256 the raw regime starts at ~2.5·m = 640 distinct —
+  // below that the estimate reads high and err_permille says so.
+
+  /** Register count m = 2^HllP. */
+  val HllP = 8
+  val HllM = 1 << HllP
+  /** alpha_256 = 0.7213/(1 + 1.079/256), fixed at micro precision so
+    * both engines multiply by the same integer. */
+  val HllAlphaMicro = 718273L
+  /** Fixed-point scale for sum(2^-M_j): one term is 2^(41-M_j), M_j in
+    * [0, 41] (40 hash bits below the register index + the all-zeros
+    * case). Max sum = m·2^41 = 2^49 — inside BIGINT. */
+  val HllRhoMax = 41
+
+  /** Register index (top HllP bits of the 48-bit hash) and rank
+    * rho = leading-zeros-in-40-bits + 1 for one value. */
+  def hllBucket(h: Column): Column = shiftright(h, 48 - HllP)
+  def hllRho(h: Column): Column = {
+    val rem = h.bitwiseAND(lit((1L << (48 - HllP)) - 1))
+    when(rem === 0L, lit(HllRhoMax))
+      .otherwise(lit(HllRhoMax) - length(bin(rem)))
+      .cast("long")
+  }
+
+  /** The sketch as a (group, bucket, r) register table — ≤ m rows per
+    * group however large the group; one partial-agg shuffle. Registers
+    * merge by MAX, so cell tables from different stores/batches union
+    * exactly (same contract the durable store leans on). */
+  def hllCells(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val h = hash48(value)
+    df.select(col(groupCol), hllBucket(h).as("bucket"), hllRho(h).as("r"))
+      .groupBy(groupCol, "bucket").agg(max("r").as("r"))
+  }
+
+  /** Distinct estimate from a register table: E = alpha·m²/sum(2^-M_j),
+    * fixed-point at 2^41 with absent registers contributing 2^41 each.
+    * The numerator alpha_micro·m²·2^41 ≈ 1.0e23 rides DECIMAL(38,0)
+    * (HUGEINT in the oracle); the div chain order is part of the
+    * contract. */
+  def hllEstimates(cells: DataFrame, groupCol: String): DataFrame =
+    cells.groupBy(groupCol)
+      .agg(sum(expr(s"shiftleft(1L, $HllRhoMax - r)")).as("s_present"),
+        count(lit(1)).as("v"))
+      .withColumn("s",
+        col("s_present") + (lit(HllM.toLong) - col("v")) * lit(1L << HllRhoMax))
+      .withColumn("n_est", expr(
+        s"CAST(CAST($HllAlphaMicro AS DECIMAL(38,0)) * ${HllM.toLong * HllM} " +
+          s"* ${1L << HllRhoMax} div s div 1000000 AS BIGINT)"))
+      .select(col(groupCol), col("n_est"))
+
+  /** Per-group HLL distinct estimate: fixed m-register state per group,
+    * the constant-size alternative to KMV's k-longs when group counts
+    * explode. */
+  def hllDistinct(df: DataFrame, groupCol: String, value: Column): DataFrame =
+    hllEstimates(hllCells(df, groupCol, value), groupCol)
+
   // ------------------------------------------------- count-min sketch
 
   /** Count-min sketch: d salted hash rows × w buckets of plain counters.
@@ -139,6 +207,50 @@ object Sketch {
           }
           st.update(KmvState(mins))
           KmvRunning(g, estimate(mins.size, if (mins.nonEmpty) mins.last else 1L, k))
+      }
+  }
+
+  final case class HllArrival(group: String, bucket: Int, r: Int)
+  final case class HllState(regs: Seq[Int])
+  final case class HllRunning(group: String, n_est: Long)
+
+  /** The estimator over raw registers (absent/zero = 0), exactly the
+    * integer chain of [[hllEstimates]] via BigInt. */
+  private[llmops] def hllEstimate(regs: Array[Int]): Long = {
+    var s = BigInt(0)
+    var j = 0
+    while (j < HllM) { s += BigInt(1) << (HllRhoMax - regs(j)); j += 1 }
+    (BigInt(HllAlphaMicro) * (HllM.toLong * HllM) * (BigInt(1) << HllRhoMax)
+      / s / 1000000).toLong
+  }
+
+  /** Streaming running HLL estimate per group: state IS the m-register
+    * array — fixed size per group forever. Register merge is max, so
+    * after any stream prefix the estimate equals [[hllDistinct]] over
+    * the same rows (tested). Use OutputMode.Update. */
+  def hllStream(rows: DataFrame, groupCol: String, value: Column)
+      : org.apache.spark.sql.Dataset[HllRunning] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val arrEnc: Encoder[HllArrival] = Encoders.product[HllArrival]
+    implicit val stEnc: Encoder[HllState] = Encoders.product[HllState]
+    implicit val outEnc: Encoder[HllRunning] = Encoders.product[HllRunning]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val h = hash48(value)
+    rows
+      .select(col(groupCol).cast("string").as("group"),
+        hllBucket(h).cast("int").as("bucket"), hllRho(h).cast("int").as("r"))
+      .as[HllArrival]
+      .groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[HllArrival], st: GroupState[HllState]) =>
+          val regs = st.getOption.map(_.regs.toArray)
+            .getOrElse(new Array[Int](HllM))
+          it.foreach { a =>
+            if (a.r > regs(a.bucket)) regs(a.bucket) = a.r
+          }
+          st.update(HllState(regs.toSeq))
+          HllRunning(g, hllEstimate(regs))
       }
   }
 

@@ -34,6 +34,7 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
 
   private def kmvDir = new Path(root, "kmv")
   private def cmsDir = new Path(root, "cms")
+  private def hllDir = new Path(root, "hll")
   private def fsOf(spark: SparkSession) =
     kmvDir.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -124,6 +125,64 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
       .select(col("group"), Sketch.kmvEstimate(col("mins"), k).as("n_est"))
   }
 
+  /** One HLL intake trigger: the batch's per-group register cells
+    * (≤ m rows per group) land under `hll/b<batchId>` — same
+    * Overwrite-own-dir replay discipline as KMV. */
+  def addHllBatch(batch: DataFrame, groupCol: String, value: Column,
+                  batchId: Long): Unit =
+    Sketch.hllCells(
+        batch.select(col(groupCol).cast("string").as("group"), value.as("__v")),
+        "group", col("__v"))
+      .withColumn("part", partOf(col("group")))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(new Path(hllDir, s"b$batchId").toString)
+
+  /** HLL register merge over explicit leaf dirs: per-register MAX — the
+    * exact sketch union. (Leaf listing reuses [[kmvLeaves]] — same
+    * part-partitioned layout.) */
+  private def hllMergeOf(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    spark.read.schema("group STRING, bucket BIGINT, r BIGINT").parquet(dirs: _*)
+      .groupBy("group", "bucket").agg(max("r").as("r"))
+
+  private def hllMerged(spark: SparkSession,
+                        parts: Option[Set[Int]] = None): DataFrame = {
+    BatchDirFold.heal(spark, hllDir)
+    val dirs = kmvLeaves(spark, bDirsOf(spark, hllDir), parts)
+    require(dirs.nonEmpty, s"$root/hll is empty")
+    hllMergeOf(spark, dirs)
+  }
+
+  /** Distinct-count estimates for every stored group — equals
+    * `Sketch.hllDistinct` over the full ingested input. */
+  def hllEstimates(spark: SparkSession): DataFrame =
+    Sketch.hllEstimates(hllMerged(spark), "group")
+
+  /** Pruned per-group HLL serving (literal part list, like
+    * [[kmvEstimateFor]]). */
+  def hllEstimateFor(spark: SparkSession, groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "empty group set")
+    val partRow = spark.range(1)
+      .select(groups.map(g => partOf(lit(g)).cast("int")): _*).head()
+    val partSet = groups.indices.map(partRow.getInt).toSet
+    Sketch.hllEstimates(
+      hllMerged(spark, Some(partSet)).filter(col("group").isin(groups: _*)),
+      "group")
+  }
+
+  /** Streaming HLL intake — same discipline as [[startKmv]]. */
+  def startHll(docs: DataFrame, groupCol: String, value: Column,
+               checkpointDir: String,
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-hll-sketch")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        addHllBatch(b, groupCol, value, id) }
+      .start()
+
   private def cmsSumOf(spark: SparkSession, dirs: Seq[String]): DataFrame =
     spark.read.schema("r INT, bucket BIGINT, c BIGINT").parquet(dirs: _*)
       .groupBy("r", "bucket").agg(sum("c").as("c"))
@@ -183,15 +242,22 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
     * replace the whole merged store with one batch. Offline discipline;
     * crash-healed staging swap. Returns folded dir counts per kind. */
   def compact(spark: SparkSession): Map[String, Int] =
-    Seq(("kmv", kmvDir), ("cms", cmsDir)).map { case (kind, dir) =>
+    Seq(("kmv", kmvDir), ("cms", cmsDir), ("hll", hllDir)).map { case (kind, dir) =>
       kind -> BatchDirFold.fold(spark, dir, (folded, staged) =>
-        if (kind == "kmv")
-          kmvMergeOf(spark, kmvLeaves(spark, folded, None))
-            .withColumn("part", partOf(col("group")))
-            .repartition(col("part"))
-            .write.partitionBy("part").mode("overwrite").parquet(staged)
-        else
-          cmsSumOf(spark, folded.map(_.toString)).coalesce(1)
-            .write.mode("overwrite").parquet(staged))
+        kind match {
+          case "kmv" =>
+            kmvMergeOf(spark, kmvLeaves(spark, folded, None))
+              .withColumn("part", partOf(col("group")))
+              .repartition(col("part"))
+              .write.partitionBy("part").mode("overwrite").parquet(staged)
+          case "hll" =>
+            hllMergeOf(spark, kmvLeaves(spark, folded, None))
+              .withColumn("part", partOf(col("group")))
+              .repartition(col("part"))
+              .write.partitionBy("part").mode("overwrite").parquet(staged)
+          case _ =>
+            cmsSumOf(spark, folded.map(_.toString)).coalesce(1)
+              .write.mode("overwrite").parquet(staged)
+        })
     }.toMap
 }

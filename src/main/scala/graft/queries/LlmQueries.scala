@@ -189,6 +189,27 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // HLL distinct-count sketch — KMV's complement on the state axis:
+    // m=256 six-bit registers per group REGARDLESS of distinct count
+    // (KMV is k longs and exact below k), register merge = max so
+    // sketches union across batches/stores for free. Fixed md5-derived
+    // register layout + integer estimator chain make it the rare
+    // oracle-checkable HLL (library approx_count_distinct registers are
+    // implementation-defined). Raw-regime estimator (no linear-counting
+    // patch — float ln); err_permille reports honest accuracy.
+    "llm_hll_distinct" -> ((s, d) => {
+      import graft.llmops.Sketch
+      val sh = TextOps.shingleRows(documents(s, d), 3,
+        idCol = "source", dedup = false)
+      val est = Sketch.hllDistinct(sh, "source", col("shingle"))
+      val exact = sh.select(col("source"), Sketch.hash48(col("shingle")).as("h"))
+        .groupBy("source").agg(countDistinct("h").as("n_exact"))
+      est.join(exact, "source")
+        .withColumn("err_permille",
+          expr("abs(n_est - n_exact) * 1000 div n_exact"))
+        .orderBy("source")
+    }),
+
     // MinHash + LSH banding: 8 md5-minhashes, 4 bands of 2 → candidate
     // pairs from shared buckets. This is the scale path: cost is linear
     // in docs + bucket-local joins, no all-pairs comparison.
@@ -210,6 +231,54 @@ object LlmQueries {
           min("n_tokens").as("min_tokens"),
           max("n_tokens").as("max_tokens"))
         .orderBy("bucket")
+    }),
+
+    // Percentiles WITHOUT a global sort: a log-linear (HdrHistogram-
+    // style) histogram — 16 sub-buckets per power-of-two octave, so
+    // bucket width ≤ 1/16 of the value (≤ 6.25% relative error) while
+    // the whole histogram for a 2^63 range is ~950 buckets. The
+    // mergeable form of percentile monitoring at 100 TB: per (source,
+    // bucket) counts are one map-side-combined shuffle bounded at
+    // sources·buckets, the quantile read is a window over that tiny
+    // table — exact per-source sort never happens (the `exact` column
+    // here is the sf-scale audit of the approximation, same role as
+    // the sketch queries' err_permille). All bucket math is integer
+    // bit ops, identical on both engines.
+    "llm_hist_quantile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val qs = Seq(500L, 900L, 990L)
+      val binned = docs.select(col("source"), expr(
+        "CASE WHEN n_chars < 32 THEN n_chars " +
+          "ELSE (CAST(length(bin(n_chars)) AS BIGINT) - 6) * 16 " +
+          "+ (shiftright(n_chars, length(bin(n_chars)) - 5) & 15) + 32 END")
+        .as("idx"))
+      val counts = binned.groupBy("source", "idx").agg(count(lit(1)).as("c"))
+      val approx = counts
+        .withColumn("cum",
+          sum("c").over(Window.partitionBy("source").orderBy("idx")))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
+        .select(col("source"), col("idx"), col("c"), col("cum"), col("n"),
+          explode(typedlit(qs)).as("q_permille"))
+        .withColumn("target", expr("(q_permille * n + 999) div 1000"))
+        .filter(col("cum") >= col("target") &&
+          col("cum") - col("c") < col("target"))
+        .withColumn("approx_lo", expr(
+          "CASE WHEN idx < 32 THEN idx ELSE shiftleft(16 + (idx - 32) % 16, " +
+            "CAST((idx - 32) div 16 + 1 AS INT)) END"))
+        .select("source", "q_permille", "approx_lo")
+      val exact = docs.select(col("source"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("n_chars")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .select(col("source"), col("n_chars"), col("rn"), col("n"),
+          explode(typedlit(qs)).as("q_permille"))
+        .filter(col("rn") === expr("(q_permille * n + 999) div 1000"))
+        .select(col("source"), col("q_permille"), col("n_chars").as("exact"))
+      approx.join(exact, Seq("source", "q_permille"))
+        .withColumn("err_permille",
+          expr("abs(approx_lo - exact) * 1000 div exact"))
+        .orderBy("source", "q_permille")
     }),
 
     // Corpus-level PMI collocations (phrase mining — the tokenizer/vocab
@@ -423,6 +492,40 @@ object LlmQueries {
     "llm_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), probeId = 0, k = 10)),
 
+    // Random-projection (Johnson–Lindenstrauss) first-pass ANN: score
+    // in a 16-dim Rademacher-projected space (4× less arithmetic +
+    // memory traffic per candidate than the 64-dim scan) — the cheap
+    // first stage of a score-everything-reduced, rerank-the-shortlist
+    // pipeline. The ±1 projection family is the deterministic
+    // Hyperplanes generator under its own seed, so the oracle replays
+    // the projection as SQL literals; in_exact10 audits how much of
+    // the true top-10 the reduced space already finds.
+    "llm_rp_ann" -> ((s, d) => {
+      val q = Similarity.quantized(embeddings(s, d))
+      val red = Similarity.rpReduced(embeddings(s, d))
+      val probe = red.filter(col("vec_id") === 0)
+        .select(col("qr").as("pr"), col("nr").as("np"))
+      val topR = red.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .withColumn("dp_r", Similarity.dotQ(col("qr"), col("pr")))
+        // norms multiplied as doubles: each fits 2^53 exactly, and the
+        // one rounded product is the same IEEE op on both engines
+        .withColumn("cosine_r", col("dp_r") * lit(1.0) /
+          sqrt(col("nr").cast("double") * col("np").cast("double")))
+        .orderBy(desc("cosine_r"), col("vec_id"))
+        .limit(10)
+      val probeF = q.filter(col("vec_id") === 0)
+        .select(col("qe").as("pe"), col("nq").as("npf"))
+      val topF = q.filter(col("vec_id") =!= 0).crossJoin(broadcast(probeF))
+        .withColumn("cosine", Similarity.dotQ(col("qe"), col("pe")) *
+          lit(1.0) / sqrt((col("nq") * col("npf")).cast("double")))
+        .orderBy(desc("cosine"), col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(1L).as("in_exact10"))
+      topR.select("vec_id", "dp_r", "cosine_r")
+        .join(topF, Seq("vec_id"), "left")
+        .na.fill(0L, Seq("in_exact10"))
+        .orderBy(desc("cosine_r"), col("vec_id"))
+    }),
+
     // ANN top-k via the banded hyperplane-LSH index: the probe's band
     // buckets (Hamming-radius-1 multi-probe) become literal
     // (band, bucket-IN-list) predicates — partition-prunable at scale —
@@ -592,6 +695,28 @@ object LlmQueries {
       Dedup.contamination(
         docs.filter(col("doc_id") >= 20),
         docs.filter(col("doc_id") < 20), minShared = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-filter decontamination — the same gate when the eval union
+    // outgrows a string broadcast: benchmark shingles fold into a
+    // 64 Ki-position bit table (bounded regardless of benchmark size,
+    // ~512 KiB as a bitset), the corpus side is one shingle scan +
+    // broadcast bit join. False positives are part of the semantics —
+    // md5-deterministic, so the oracle reproduces them too; n_exact
+    // alongside audits the FP behavior (n_flagged ≥ n_exact always).
+    "llm_bloom_decontam" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") < 20)
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val flagged = Dedup.bloomContamination(
+        corpus, Dedup.bloomBits(bench), minShared = 3)
+      val exact = TextOps.shingleRows(corpus, 3)
+        .join(broadcast(TextOps.shingleRows(bench, 3)
+          .select("shingle").distinct()), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      flagged.join(exact, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_exact"))
         .orderBy("doc_id")
     }),
 
@@ -1751,6 +1876,26 @@ object LlmQueries {
          |  abs(n_est - n_exact) * 1000 // n_exact AS err_permille
          |FROM est JOIN exact ON est.source = exact.source
          |ORDER BY est.source""".stripMargin,
+    "llm_hll_distinct" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT source, unnest($shingleSql) AS shingle FROM toks),
+         |hv AS (SELECT source,
+         |    ('0x' || substr(md5(shingle),1,12))::BIGINT AS h FROM sh),
+         |cells AS (SELECT source, h >> 40 AS bucket,
+         |    max(CASE WHEN (h & 1099511627775) = 0 THEN 41
+         |        ELSE 41 - length(bin(h & 1099511627775)) END) AS r
+         |  FROM hv GROUP BY 1, 2),
+         |est AS (SELECT source,
+         |    CAST(718273::HUGEINT * 65536 * 2199023255552
+         |      // (sum(1::BIGINT << (41 - r))
+         |          + (256 - count(*)) * 2199023255552)
+         |      // 1000000 AS BIGINT) AS n_est
+         |  FROM cells GROUP BY 1),
+         |exact AS (SELECT source, count(DISTINCT h) AS n_exact FROM hv GROUP BY 1)
+         |SELECT est.source, n_est, n_exact,
+         |  abs(n_est - n_exact) * 1000 // n_exact AS err_permille
+         |FROM est JOIN exact ON est.source = exact.source
+         |ORDER BY est.source""".stripMargin,
     "llm_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
@@ -1772,6 +1917,40 @@ object LlmQueries {
         |  CAST(min(len(string_split(text, ' '))) AS INT) AS min_tokens,
         |  CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_hist_quantile" ->
+      """WITH b AS (SELECT source,
+        |    CASE WHEN n_chars < 32 THEN n_chars
+        |      ELSE (length(bin(n_chars)) - 6) * 16
+        |        + ((n_chars >> (length(bin(n_chars)) - 5)) & 15) + 32
+        |    END AS idx
+        |  FROM documents),
+        |counts AS (SELECT source, idx, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT source, idx, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY idx) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM counts),
+        |q AS (SELECT unnest([500, 900, 990]) AS q_permille),
+        |ap AS (SELECT source, q_permille,
+        |    CASE WHEN idx < 32 THEN idx
+        |      ELSE (16 + (idx - 32) % 16) << ((idx - 32) // 16 + 1) END
+        |      AS approx_lo
+        |  FROM cum CROSS JOIN q
+        |  WHERE cum >= (q_permille * n + 999) // 1000
+        |    AND cum - c < (q_permille * n + 999) // 1000),
+        |ranked AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |ex AS (SELECT source, q_permille, n_chars AS exact
+        |  FROM ranked CROSS JOIN q
+        |  WHERE rn = (q_permille * n + 999) // 1000)
+        |SELECT ap.source, CAST(ap.q_permille AS BIGINT) AS q_permille,
+        |  CAST(approx_lo AS BIGINT) AS approx_lo,
+        |  CAST(exact AS BIGINT) AS exact,
+        |  abs(approx_lo - exact) * 1000 // exact AS err_permille
+        |FROM ap JOIN ex ON ap.source = ex.source
+        |  AND ap.q_permille = ex.q_permille
+        |ORDER BY 1, 2""".stripMargin,
     "llm_pmi_bigrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT
@@ -1914,6 +2093,45 @@ object LlmQueries {
         |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
         |FROM n WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_rp_ann" -> {
+      import graft.llmops.Similarity
+      import graft.expressions.Hyperplanes
+      val projExprs = (0 until Similarity.RpDim).map(j =>
+        s"CAST(list_dot_product(qe::BIGINT[], " +
+          s"${Hyperplanes.coeffSqlList(Similarity.RpSeed, j, 64)}::BIGINT[]) " +
+          "AS BIGINT)")
+      s"""WITH q AS (SELECT vec_id,
+         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |red AS (SELECT vec_id,
+         |    [${projExprs.mkString(",\n     ")}] AS qr
+         |  FROM q),
+         |rn AS (SELECT vec_id, qr,
+         |    CAST(list_dot_product(qr::BIGINT[], qr::BIGINT[]) AS BIGINT) AS nr
+         |  FROM red),
+         |probe AS (SELECT qr AS pr, nr AS np FROM rn WHERE vec_id = 0),
+         |topr AS (SELECT vec_id,
+         |    CAST(list_dot_product(qr::BIGINT[], (SELECT pr FROM probe)::BIGINT[]) AS BIGINT) AS dp_r,
+         |    list_dot_product(qr::BIGINT[], (SELECT pr FROM probe)::BIGINT[]) * 1.0
+         |      / sqrt(CAST(nr AS DOUBLE) * CAST((SELECT np FROM probe) AS DOUBLE)) AS cosine_r
+         |  FROM rn WHERE vec_id <> 0
+         |  ORDER BY cosine_r DESC, vec_id LIMIT 10),
+         |n AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+         |  FROM q),
+         |pf AS (SELECT qe AS pe, nq AS npf FROM n WHERE vec_id = 0),
+         |topf AS (SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY
+         |        list_dot_product(qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) * 1.0
+         |          / sqrt(CAST(nq * (SELECT npf FROM pf) AS DOUBLE)) DESC,
+         |        vec_id) AS rk
+         |    FROM n WHERE vec_id <> 0) WHERE rk <= 10)
+         |SELECT t.vec_id, dp_r, cosine_r,
+         |  CAST(CASE WHEN topf.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_exact10
+         |FROM topr t LEFT JOIN topf ON t.vec_id = topf.vec_id
+         |ORDER BY cosine_r DESC, t.vec_id""".stripMargin
+    },
     "llm_ann_filtered" ->
       """WITH q AS (SELECT vec_id, label,
         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
@@ -2013,6 +2231,29 @@ object LlmQueries {
          |FROM sh s JOIN ev ON s.shingle = ev.shingle
          |WHERE s.doc_id >= 20
          |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    "llm_bloom_decontam" -> {
+      val posExprs = (0 until 4).map(r =>
+        s"('0x' || substr(md5('bloom$r:' || shingle),1,15))::BIGINT % 65536")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |pos AS (SELECT doc_id, shingle,
+         |    unnest([0, 1, 2, 3]) AS r,
+         |    unnest([${posExprs.mkString(",\n      ")}]) AS bit
+         |  FROM sh),
+         |bbits AS (SELECT DISTINCT bit FROM pos WHERE doc_id < 20),
+         |flag AS (SELECT p.doc_id, p.shingle
+         |  FROM pos p JOIN bbits USING (bit) WHERE p.doc_id >= 20
+         |  GROUP BY 1, 2 HAVING count(DISTINCT p.r) = 4),
+         |fl AS (SELECT doc_id, count(*) AS n_flagged FROM flag
+         |  GROUP BY 1 HAVING count(*) >= 3),
+         |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |ex AS (SELECT sh.doc_id, count(*) AS n_exact
+         |  FROM sh JOIN bsh USING (shingle) WHERE sh.doc_id >= 20 GROUP BY 1)
+         |SELECT fl.doc_id, n_flagged,
+         |  CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact
+         |FROM fl LEFT JOIN ex ON fl.doc_id = ex.doc_id
+         |ORDER BY fl.doc_id""".stripMargin
+    },
     "llm_curate" ->
       s"""$curateCtes
          |SELECT source, count(*) AS n_docs,

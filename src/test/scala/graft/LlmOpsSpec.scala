@@ -148,6 +148,125 @@ class LlmOpsSpec extends SparkSpecBase {
         s"batch-only=${batch.toSet -- streamed.toSet}")
   }
 
+  test("HLL sketch: accuracy in the raw regime, partition + merge invariance") {
+    import graft.llmops.Sketch
+    import spark.implicits._
+    // known cardinality well above 2.5·m = 640 (the raw-estimator
+    // regime): 20k distinct strings, m=256 → stderr ~1.04/16 ≈ 6.5%
+    val df = spark.range(20000)
+      .select(lit("g").as("g"), concat(lit("v"), col("id")).as("v"))
+    val est = Sketch.hllDistinct(df, "g", col("v")).collect()(0).getLong(1)
+    assert(math.abs(est - 20000).toDouble / 20000 <= 0.20, s"est=$est")
+    // partition invariance (register merge is max — order-free)
+    val a = Sketch.hllDistinct(df.repartition(2), "g", col("v")).collect()(0).getLong(1)
+    val b = Sketch.hllDistinct(df.repartition(13), "g", col("v")).collect()(0).getLong(1)
+    assert(a == b && a == est)
+    // sketch union: cells from two disjoint halves, unioned + re-maxed,
+    // give the same estimate as one pass over everything
+    val h1 = Sketch.hllCells(df.filter(col("id") < 10000), "g", col("v"))
+    val h2 = Sketch.hllCells(df.filter(col("id") >= 10000), "g", col("v"))
+    val merged = Sketch.hllEstimates(
+      h1.union(h2).groupBy("g", "bucket").agg(max("r").as("r")), "g")
+      .collect()(0).getLong(1)
+    assert(merged == est, s"union=$merged whole=$est")
+    // duplicates never move the estimate (it counts DISTINCT)
+    val dup = Sketch.hllDistinct(df.union(df), "g", col("v")).collect()(0).getLong(1)
+    assert(dup == est)
+  }
+
+  test("streaming HLL fold equals the batch estimate after any prefix") {
+    import graft.llmops.{Sketch, TextOps}
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val sh = TextOps.shingleRows(
+      mem.toDF().toDF("doc_id", "source", "text"), 3,
+      idCol = "source", dedup = false)
+    val est = Sketch.hllStream(sh, "source", col("shingle"))
+    val q = est.writeStream.outputMode("update")
+      .format("memory").queryName("hll_out").start()
+    try {
+      rows.grouped(math.max(rows.size / 3, 1)).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // registers only grow → the estimate is nondecreasing; max = latest
+    val streamed = spark.sql(
+      "SELECT `group`, max(n_est) AS n_est FROM hll_out GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Sketch.hllDistinct(
+      TextOps.shingleRows(docs, 3, idCol = "source", dedup = false),
+      "source", col("shingle"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+  }
+
+  test("bloom decontamination: no false negatives, bounded bit table") {
+    val bench = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bits = Dedup.bloomBits(bench)
+    assert(bits.count() <= (1 << 16).toLong)
+    val flagged = Dedup.bloomContamination(corpus, bits)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Dedup.contamination(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    // a Bloom filter can only over-report: every exact-gate hit flagged
+    assert(exact.nonEmpty && exact.subsetOf(flagged),
+      s"missed=${exact -- flagged}")
+    // determinism: same bits, same flags, across partitionings
+    val flagged2 = Dedup.bloomContamination(corpus.repartition(7), bits)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged2 == flagged)
+  }
+
+  test("random projection: planted twins survive, cosine preserved within JL error") {
+    import spark.implicits._
+    // the JL contract is about CLEAR neighbors: a twin at cosine ~0.99
+    // must stay the top hit through the 64→16 projection. (Re-ranking
+    // noise-level cosine differences — e.g. a uniform-random corpus
+    // where rank 10 and rank 50 differ by 0.01 — is explicitly NOT
+    // preserved at 1/sqrt(16) ≈ 25% relative error; the llm_rp_ann
+    // in_exact10 column audits that honestly.)
+    val rnd = new scala.util.Random(17)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val base = vec()
+    val twin = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val rows = (0L, base.toSeq) +: (1L, twin.toSeq) +:
+      (2L to 100L).map(i => (i, vec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val red = Similarity.rpReduced(df)
+    val probe = red.filter(col("vec_id") === 0)
+      .select(col("qr").as("pr"), col("nr").as("np"))
+    val top = red.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .withColumn("c", Similarity.dotQ(col("qr"), col("pr")) * lit(1.0) /
+        sqrt(col("nr").cast("double") * col("np").cast("double")))
+      .orderBy(desc("c"), col("vec_id"))
+      .collect()
+    assert(top.head.getLong(0) == 1L,
+      s"planted twin must top the reduced ranking: ${top.take(3).mkString(",")}")
+    // and its reduced cosine still reads as a clear near-duplicate
+    assert(top.head.getAs[Double]("c") > 0.8)
+    // cosine preservation: reduced vs full-width cosine within ~3σ of
+    // the 1/sqrt(16) JL error for every corpus vector
+    val q = Similarity.quantized(df)
+    val pf = q.filter(col("vec_id") === 0)
+      .select(col("qe").as("pe"), col("nq").as("npf"))
+    val full = q.filter(col("vec_id") =!= 0).crossJoin(broadcast(pf))
+      .withColumn("cf", Similarity.dotQ(col("qe"), col("pe")) * lit(1.0) /
+        sqrt((col("nq") * col("npf")).cast("double")))
+      .select("vec_id", "cf").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    top.foreach { r =>
+      val d = math.abs(r.getAs[Double]("c") - full(r.getLong(0)))
+      assert(d <= 0.75, s"vec ${r.getLong(0)}: reduced ${r.getAs[Double]("c")} " +
+        s"vs full ${full(r.getLong(0))} drift $d")
+    }
+  }
+
   test("exact dedup: hash groups partition the corpus") {
     val d = Dedup.exact(docs)
     val total = d.agg(sum("n_dups")).collect()(0).getLong(0)

@@ -148,6 +148,64 @@ class SketchStoreSpec extends SparkSpecBase {
       "resumed CMS cells must equal the batch table over the full input")
   }
 
+  test("HLL: batched intake, replay, pruned serving, compact, kill -> resume") {
+    val root = Files.createTempDirectory("sk-hll").toFile.getAbsolutePath + "/sk"
+    val store = new SketchStore(root)
+    val full = corpus(300)
+    Seq((0, 100), (100, 80), (180, 120)).zipWithIndex.foreach {
+      case ((lo, n), id) =>
+        store.addHllBatch(
+          tokens(full.filter(col("doc_id") >= lo && col("doc_id") < lo + n)),
+          "source", col("tok"), id.toLong)
+    }
+    val expect = Sketch.hllDistinct(tokens(full), "source", col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def got() = store.hllEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got() == expect,
+      s"merged HLL store must equal batch sketch: ${got()} vs $expect")
+
+    // replay: re-adding an epoch overwrites its own dir — no drift
+    store.addHllBatch(
+      tokens(full.filter(col("doc_id") >= 100 && col("doc_id") < 180)),
+      "source", col("tok"), 1L)
+    assert(got() == expect)
+
+    // pruned per-group serving
+    val one = store.hllEstimateFor(spark, Seq("src1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("src1" -> expect("src1")))
+
+    // compact folds all but the newest; estimates unchanged
+    assert(store.compact(spark)("hll") == 2)
+    assert(new File(s"$root/hll").listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("b")) == 2)
+    assert(got() == expect)
+
+    // streaming intake with a kill -> resume equals one batch sketch
+    val srcDir = Files.createTempDirectory("sk-hll-src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("sk-hll-ck").toFile.getAbsolutePath
+    val root2 = Files.createTempDirectory("sk-hll2").toFile.getAbsolutePath + "/sk"
+    val store2 = new SketchStore(root2)
+    def stream() = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    corpus(120).write.mode("overwrite").parquet(s"$srcDir/f1")
+    val q1 = store2.startHll(tokens(stream()), "source", col("tok"), ckpt)
+    q1.awaitTermination()
+    corpus(140, off = 300).write.mode("overwrite").parquet(s"$srcDir/f2")
+    val q2 = store2.startHll(tokens(stream()), "source", col("tok"), ckpt)
+    q2.awaitTermination()
+    val full2 = corpus(120).unionByName(corpus(140, off = 300))
+    val expect2 = Sketch.hllDistinct(tokens(full2), "source", col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got2 = store2.hllEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == expect2,
+      s"resumed HLL store must equal the batch sketch: $got2 vs $expect2")
+  }
+
   test("compact crash windows: committed staging rolls forward, partial rolls back") {
     val root = Files.createTempDirectory("sk-heal").toFile.getAbsolutePath + "/sk"
     val store = new SketchStore(root)
