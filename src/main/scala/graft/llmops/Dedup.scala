@@ -238,6 +238,34 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_flagged"))
       .filter(col("n_flagged") >= minShared)
 
+  /** Persist the Bloom benchmark artifact: `dir/bits` (the position
+    * set) + `dir/meta` (m/k/shingle parameters, so a serving side can
+    * never silently hash into a different address space than the
+    * artifact was built in). */
+  def writeBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 evalDocs: DataFrame, mBits: Int = 1 << 16, kHashes: Int = 4,
+                 shingleN: Int = 3, idCol: String = "doc_id",
+                 textCol: String = "text"): Unit = {
+    bloomBits(evalDocs, mBits, kHashes, shingleN, idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bits")
+    import spark.implicits._
+    Seq((mBits, kHashes, shingleN)).toDF("m_bits", "k_hashes", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[bloomContamination]] against a persisted artifact — parameters
+    * come from the artifact's own meta, not the caller. */
+  def bloomContaminationFrom(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, df: DataFrame, minShared: Int = 3,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val bits = spark.read.schema("bit BIGINT").parquet(s"$dir/bits")
+    bloomContamination(df, bits, minShared,
+      mBits = meta.getAs[Int]("m_bits"), kHashes = meta.getAs[Int]("k_hashes"),
+      shingleN = meta.getAs[Int]("shingle_n"), idCol = idCol, textCol = textCol)
+  }
+
   /** Connected components over an undirected edge set (aCol, bCol):
     * the TRANSITIVE closure of near-duplicate pairs, where greedy min-id
     * dropping under-merges chains (a~b, b~c, a≁c is one cluster here).

@@ -102,7 +102,8 @@ object StreamingCurate {
   /** Per-trigger funnel observability: cumulative per-stage survivor
     * counts across every trigger this JVM has run — the STREAMING
     * companion of the batch `llm_curate_funnel` query (same stage
-    * names: 0_raw → 1_gate → 2_exact → 3_near, plus 4_blocks when the
+    * names: 0_raw → 1_gate → 2_exact → 3_near, plus 1b_bloom when the
+    * benchmark-decontamination stage is on and 4_blocks when the
     * paragraph-rewrite stage is on). Scraped through [[MetricsServer]]
     * as `graft_curate_stage_docs_total{stage="..."}` +
     * `graft_curate_triggers_total`, so a gate suddenly dropping most of
@@ -189,9 +190,22 @@ object StreamingCurate {
     * ownership). Docs whose every block is already owned elsewhere
     * vanish from the curated set. */
   def applyBatch(batch: DataFrame, storeDir: String, batchId: Long,
-                 blockRewrite: Boolean = false): Unit = {
+                 blockRewrite: Boolean = false,
+                 decontamDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val gated = gate(batch)
+    val gated0 = gate(batch)
+    // optional Bloom decontamination against a persisted benchmark
+    // artifact (Dedup.writeBloom): docs whose bloom-positive shingle
+    // count crosses the gate threshold never enter the corpus. The bit
+    // table is bounded (≤ m rows) however large the benchmark union —
+    // re-read per trigger so a refreshed artifact takes effect without
+    // a restart; the read is O(bits), not O(benchmark).
+    val gated = decontamDir match {
+      case None => gated0
+      case Some(dir) =>
+        val flagged = Dedup.bloomContaminationFrom(spark, dir, gated0)
+        gated0.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+    }
     // exact dedup: min doc_id per hash WITHIN the batch, then drop any
     // hash the store has already admitted. The anti-join reads ONLY the
     // seen-store parts the batch's own hashes can land in — an equal
@@ -269,7 +283,8 @@ object StreamingCurate {
     // observability; each count is an O(batch) job over checkpointed (or
     // gate-only) plans
     bump("0_raw", batch.count())
-    bump("1_gate", gated.count())
+    bump("1_gate", gated0.count())
+    if (decontamDir.isDefined) bump("1b_bloom", gated.count())
     bump("2_exact", newExactKept.count())
     bump("3_near", curated.count())
     if (blockRewrite)
@@ -282,14 +297,15 @@ object StreamingCurate {
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-            blockRewrite: Boolean = false)
+            blockRewrite: Boolean = false,
+            decontamDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .queryName("graft-curate")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, storeDir, id, blockRewrite) }
+        applyBatch(b, storeDir, id, blockRewrite, decontamDir) }
       .start()
 
   /** Maintenance: fold the accumulated per-batch subdirs of each store

@@ -31,7 +31,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     CDC chain, so GRAFT_WAL_DIR/GRAFT_DEST_URL are not required;
   *     GRAFT_CURATE_BLOCKS=true adds the block-granular (paragraph)
   *     dedup rewrite stage backed by a BlockDedupStore at
-  *     <store>/blocks
+  *     <store>/blocks; GRAFT_CURATE_DECONTAM=<dir> adds the Bloom
+  *     benchmark-decontamination stage served from a bloom-bits
+  *     artifact
   *   GRAFT_KAFKA_BROKERS — kafka mode: publish Debezium envelopes via
   *     the built-in kafka sink instead of applying SQL;
   *     GRAFT_KAFKA_TOPIC_PREFIX (default "cdc") routes
@@ -77,6 +79,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_RADIUS / GRAFT_ANN_NPROBE tune the
   *                   LSH / IVF candidate widths — no driver candidate
   *                   materialization at any probe-set size
+  *     bloom-bits    build/refresh the Bloom decontamination artifact
+  *                   from a benchmark corpus (GRAFT_BLOOM_BENCH parquet
+  *                   of doc_id,text → GRAFT_BLOOM_OUT; GRAFT_BLOOM_M /
+  *                   GRAFT_BLOOM_K / GRAFT_BLOOM_SHINGLE tune the
+  *                   filter, defaults 65536/4/3); the curate intake
+  *                   serves it via GRAFT_CURATE_DECONTAM=<dir>
   *     bpe-train     train a BPE tokenizer on GRAFT_BPE_DOCS parquet
   *                   (GRAFT_BPE_MERGES, def 200; GRAFT_BPE_VOCAB_CAP,
   *                   def 65536; GRAFT_BPE_TEXT_COL, def text) and
@@ -185,7 +193,8 @@ object GraftApp {
           .parquet(docsDir)
         Wiring(
           graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger,
-            blockRewrite = env.get("GRAFT_CURATE_BLOCKS").exists(_.toBoolean)),
+            blockRewrite = env.get("GRAFT_CURATE_BLOCKS").exists(_.toBoolean),
+            decontamDir = env.get("GRAFT_CURATE_DECONTAM")),
           metrics, listener)
       case None => buildCdc(spark, cfg, env, trigger, captureTransport, ckpt)
     }
@@ -457,6 +466,20 @@ object GraftApp {
           .write.mode("overwrite").parquet(out)
         val n = spark.read.parquet(out).select("pid").distinct().count()
         Seq(s"ann-sweep: top-$k for $n probes -> $out")
+      case "bloom-bits" =>
+        // build/refresh the decontamination artifact from a benchmark
+        // corpus (doc_id, text); GRAFT_CURATE_DECONTAM then serves it
+        val bench = env.getOrElse("GRAFT_BLOOM_BENCH",
+          throw new IllegalArgumentException("GRAFT_BLOOM_BENCH is required"))
+        val out = env.getOrElse("GRAFT_BLOOM_OUT",
+          throw new IllegalArgumentException("GRAFT_BLOOM_OUT is required"))
+        val m = env.get("GRAFT_BLOOM_M").map(_.toInt).getOrElse(1 << 16)
+        val kh = env.get("GRAFT_BLOOM_K").map(_.toInt).getOrElse(4)
+        val sn = env.get("GRAFT_BLOOM_SHINGLE").map(_.toInt).getOrElse(3)
+        graft.llmops.Dedup.writeBloom(spark, out,
+          spark.read.parquet(bench), m, kh, sn)
+        val nBits = spark.read.parquet(s"$out/bits").count()
+        Seq(s"bloom-bits: $nBits of $m positions set (k=$kh, n=$sn) -> $out")
       case "bpe-train" =>
         val docsDir = env.getOrElse("GRAFT_BPE_DOCS",
           throw new IllegalArgumentException("GRAFT_BPE_DOCS is required"))

@@ -770,6 +770,63 @@ class LlmOpsSpec extends SparkSpecBase {
         s"${StreamingCurate.lastTextDirsPlanned.size}")
   }
 
+  test("curate decontam stage: bloom-flagged docs never enter, counters publish") {
+    import graft.llmops.{Dedup, StreamingCurate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // the artifact via the maintenance verb (benchmark = docs < 20)
+    val benchDir = java.nio.file.Files.createTempDirectory("bloom-bench")
+      .toFile.getAbsolutePath + "/bench"
+    val bloomDir = java.nio.file.Files.createTempDirectory("bloom-art")
+      .toFile.getAbsolutePath + "/bloom"
+    docs.filter(col("doc_id") < 20).select("doc_id", "text")
+      .write.parquet(benchDir)
+    val lines = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bloom-bits",
+      "GRAFT_BLOOM_BENCH" -> benchDir, "GRAFT_BLOOM_OUT" -> bloomDir))
+    assert(lines.exists(_.startsWith("bloom-bits:")), lines.mkString)
+
+    // expected batch composition: gate -> bloom drop -> exact -> near
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val gated = StreamingCurate.gate(corpus).localCheckpoint(false)
+    val flagged = Dedup.bloomContaminationFrom(spark, bloomDir, gated)
+      .select("doc_id")
+    val decon = gated.join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    val keepExact = Dedup.exact(decon).select(col("keep_id").as("doc_id"))
+    val expect = Dedup.nearDedup(decon.join(keepExact, "doc_id"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.count() > 0, "benchmark overlap must exist in the corpus")
+
+    // stream the corpus with the decontam stage on
+    val store = java.nio.file.Files.createTempDirectory("curate-dc-store")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("curate-dc-ckpt")
+      .toFile.getAbsolutePath
+    val rows = corpus.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String)]
+    rows.grouped(math.max(rows.length / 2, 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      val q = StreamingCurate.start(
+        mem.toDF().toDF("doc_id", "source", "text"), store, ckpt,
+        decontamDir = Some(bloomDir))
+      q.awaitTermination()
+    }
+    val streamKept = StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == expect,
+      s"extra=${streamKept -- expect} missing=${expect -- streamKept}")
+    // no flagged doc survived, and the funnel shows the stage
+    val flaggedIds = flagged.collect().map(_.getLong(0)).toSet
+    assert(streamKept.intersect(flaggedIds).isEmpty)
+    val snap = StreamingCurate.metricsSnapshot()
+    assert(snap.keys.exists(_.contains("1b_bloom")),
+      s"decontam stage counter missing: ${snap.keys}")
+  }
+
   test("curate block-rewrite: admitted docs rewritten against all admitted blocks") {
     import graft.llmops.StreamingCurate
     import spark.implicits._

@@ -594,6 +594,45 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!planString(d).contains("ScalaUDF"))
   }
 
+  test("hll, hist-quantile, bloom-decontam, rp-ann: scale shapes hold") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    // llm_hll_distinct: the register table is a map-side-combined
+    // aggregation bounded at sources·m groups; no UDF, no cartesian
+    val hll = q("llm_hll_distinct")
+    hll.count()
+    val hplan = planString(hll)
+    assert(hplan.contains("partial"), hplan.take(2000))
+    assert(!hplan.contains("ScalaUDF"), hplan.take(2000))
+    assert(!collectAll(executed(hll)).exists(_.isInstanceOf[CartesianProductExec]))
+
+    // llm_hist_quantile: the histogram is a partial-agg bounded at
+    // sources·buckets; every window is source-partitioned (the global
+    // registry sweep below would catch an unpartitioned one); no UDF
+    val hq = q("llm_hist_quantile")
+    hq.count()
+    val qplan = planString(hq)
+    assert(qplan.contains("partial"), qplan.take(2000))
+    assert(!qplan.contains("ScalaUDF"), qplan.take(2000))
+
+    // llm_bloom_decontam: the bounded bit table must BROADCAST to the
+    // corpus-side shingle scan — the whole point of the bloom form
+    val bd = q("llm_bloom_decontam")
+    bd.count()
+    val bplan = planString(bd)
+    assert(bplan.contains("BroadcastExchange"), bplan.take(2000))
+    assert(!bplan.contains("ScalaUDF"), bplan.take(2000))
+    assert(!collectAll(executed(bd)).exists(_.isInstanceOf[CartesianProductExec]))
+
+    // llm_rp_ann: projection is codegen'd dot products (no UDF); both
+    // top-10 cuts are TakeOrdered, never a global sort of the corpus
+    val rp = q("llm_rp_ann")
+    rp.count()
+    val rplan = planString(rp)
+    assert(collectAll(executed(rp)).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      rplan.take(2000))
+    assert(!rplan.contains("ScalaUDF"), rplan.take(2000))
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
