@@ -157,6 +157,57 @@ object Sketch {
       .join(cms, Seq("r", "bucket"))
       .groupBy(probeCol).agg(min("c").as("n_est"))
 
+  // ------------------------------------- log-linear histogram (quantiles)
+
+  /** Log-linear (HdrHistogram-style) value histogram: 16 sub-buckets
+    * per power-of-two octave, so bucket width ≤ 1/16 of the value
+    * (≤ 6.25% relative error) and a full 2^63 range is ~950 buckets.
+    * The mergeable percentile sketch: per (group, idx) counts ADD, so
+    * the histogram is order-independent, streaming-foldable and
+    * store-unionable exactly like CMS — percentiles at 100 TB without
+    * a global sort. All bucket math is integer bit ops reproducible in
+    * the oracle engine (llm_hist_quantile). */
+  def histBucket(v: Column): Column = {
+    val vv = v.cast("bigint")
+    val bl = length(bin(vv)).cast("bigint") // bit length of v
+    when(vv < 32, vv).otherwise(
+      (bl - 6) * 16 +
+        call_function("shiftright", vv, (bl - 5).cast("int"))
+          .bitwiseAND(lit(15L)) + 32)
+  }
+
+  /** Lower edge of bucket `idx` — the quantile read-out value. */
+  def histBucketLo(idx: Column): Column =
+    when(idx < 32, idx).otherwise(
+      call_function("shiftleft", lit(16L) + (idx - 32) % 16,
+        (call_function("div", idx - 32, lit(16L)) + 1).cast("int")))
+
+  /** The histogram as a (group, idx, c) table — one map-side-combined
+    * shuffle bounded at groups·buckets. */
+  def histTable(df: DataFrame, groupCol: String, value: Column): DataFrame =
+    df.select(col(groupCol), histBucket(value).as("idx"))
+      .groupBy(groupCol, "idx").agg(count(lit(1)).as("c"))
+
+  /** Per-group quantile read-out from a histogram table: for each
+    * q (permille) the lower edge of the bucket where the cumulative
+    * count crosses ceil(q·n/1000). A window over the tiny bucket table,
+    * never a sort of the underlying values. */
+  def histQuantiles(hist: DataFrame, groupCol: String,
+                    qPermille: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy(groupCol).orderBy("idx")))
+      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col("idx"), col("c"), col("cum"), col("n"),
+        explode(typedlit(qPermille)).as("q_permille"))
+      .withColumn("target", expr("(q_permille * n + 999) div 1000"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("c") < col("target"))
+      .select(col(groupCol), col("q_permille"),
+        histBucketLo(col("idx")).as("approx_lo"))
+  }
+
   // ------------------------------------------------------------ streaming
 
   final case class HashArrival(group: String, h: Long)
@@ -251,6 +302,34 @@ object Sketch {
           }
           st.update(HllState(regs.toSeq))
           HllRunning(g, hllEstimate(regs))
+      }
+  }
+
+  final case class HistCell(group: String, idx: Long, c: Long)
+
+  /** Streaming histogram fold: state per touched (group, idx) cell is
+    * ONE long, bounded at groups·buckets; cells ADD, so after any
+    * stream prefix every cell equals [[histTable]] over the same rows
+    * exactly (tested) and [[histQuantiles]] reads percentiles off the
+    * stream's running state. Use OutputMode.Update. */
+  def histStream(rows: DataFrame, groupCol: String, value: Column)
+      : org.apache.spark.sql.Dataset[HistCell] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val keyEnc: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val outEnc: Encoder[HistCell] = Encoders.product[HistCell]
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    rows
+      .select(col(groupCol).cast("string").as("group"),
+        histBucket(value).as("idx"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: (String, Long), it: Iterator[(String, Long)], st: GroupState[Long]) =>
+          var n = st.getOption.getOrElse(0L)
+          it.foreach(_ => n += 1L)
+          st.update(n)
+          HistCell(k._1, k._2, n)
       }
   }
 

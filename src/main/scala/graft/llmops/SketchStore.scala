@@ -4,20 +4,24 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** DURABLE sketch store: KMV (per-group distinct-count) and count-min
-  * (token-frequency) sketches persisted as first-class artifacts, not
-  * just operator state. `Sketch.kmvStream`/`cmsStream` keep their
-  * buffers in the streaming checkpoint — correct, but the sketch then
-  * lives and dies with one query; a months-long intake wants the sketch
-  * ON DISK: union-able with other stores, bootstrappable after a
-  * restart, servable without the stream running. Both sketches here
-  * merge EXACTLY (KMV: distinct-union re-take-k; CMS: cell addition),
-  * so the stored form equals the batch sketch over everything ever
-  * ingested — spec-asserted, including across a kill → resume.
+/** DURABLE sketch store: the whole sketch family — KMV (per-group
+  * distinct-count), count-min (token-frequency), HLL (fixed-register
+  * distinct-count) and the log-linear histogram (per-group quantiles)
+  * — persisted as first-class artifacts, not just operator state. The
+  * `Sketch.*Stream` folds keep their buffers in the streaming
+  * checkpoint — correct, but the sketch then lives and dies with one
+  * query; a months-long intake wants the sketch ON DISK: union-able
+  * with other stores, bootstrappable after a restart, servable without
+  * the stream running. Every sketch here merges EXACTLY (KMV:
+  * distinct-union re-take-k; CMS/hist: cell addition; HLL: register
+  * max), so the stored form equals the batch sketch over everything
+  * ever ingested — spec-asserted, including across a kill → resume.
   *
   * Layout (the per-batch-dir replay discipline of [[StreamingCurate]]):
   *   root/kmv/b<batchId>/part=P   (group, mins array<bigint>)
   *                                 P = pmod(hash(group), numParts)
+  *   root/hll/b<batchId>/part=P   (group, bucket, r) — ≤ m rows/group
+  *   root/hist/b<batchId>/part=P  (group, idx, c) — ≤ buckets rows/group
   *   root/cms/b<batchId>/         (r, bucket, c) — ≤ d·w rows per batch
   * Every trigger overwrites ONLY its own b<id> dir, so a crash-replayed
   * epoch rewrites the same rows instead of double-counting (the CMS
@@ -35,6 +39,7 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
   private def kmvDir = new Path(root, "kmv")
   private def cmsDir = new Path(root, "cms")
   private def hllDir = new Path(root, "hll")
+  private def histDir = new Path(root, "hist")
   private def fsOf(spark: SparkSession) =
     kmvDir.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -183,6 +188,64 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
         addHllBatch(b, groupCol, value, id) }
       .start()
 
+  /** One histogram intake trigger: the batch's (group, idx, c) bucket
+    * table lands under `hist/b<batchId>` — cells ADD like CMS, stored
+    * group-part-partitioned like KMV for pruned serving. */
+  def addHistBatch(batch: DataFrame, groupCol: String, value: Column,
+                   batchId: Long): Unit =
+    Sketch.histTable(
+        batch.select(col(groupCol).cast("string").as("group"), value.as("__v")),
+        "group", col("__v"))
+      .withColumn("part", partOf(col("group")))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(new Path(histDir, s"b$batchId").toString)
+
+  private def histSumOf(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    spark.read.schema("group STRING, idx BIGINT, c BIGINT").parquet(dirs: _*)
+      .groupBy("group", "idx").agg(sum("c").as("c"))
+
+  private def histMerged(spark: SparkSession,
+                         parts: Option[Set[Int]] = None): DataFrame = {
+    BatchDirFold.heal(spark, histDir)
+    val dirs = kmvLeaves(spark, bDirsOf(spark, histDir), parts)
+    require(dirs.nonEmpty, s"$root/hist is empty")
+    histSumOf(spark, dirs)
+  }
+
+  /** The merged histogram (group, idx, c) over everything ingested —
+    * equals `Sketch.histTable` over the full input. */
+  def histCells(spark: SparkSession): DataFrame = histMerged(spark)
+
+  /** Per-group quantile read-out from the stored histogram. */
+  def histQuantiles(spark: SparkSession, qPermille: Seq[Long]): DataFrame =
+    Sketch.histQuantiles(histMerged(spark), "group", qPermille)
+
+  /** Pruned per-group quantile serving (literal part list). */
+  def histQuantilesFor(spark: SparkSession, groups: Seq[String],
+                       qPermille: Seq[Long]): DataFrame = {
+    require(groups.nonEmpty, "empty group set")
+    val partRow = spark.range(1)
+      .select(groups.map(g => partOf(lit(g)).cast("int")): _*).head()
+    val partSet = groups.indices.map(partRow.getInt).toSet
+    Sketch.histQuantiles(
+      histMerged(spark, Some(partSet)).filter(col("group").isin(groups: _*)),
+      "group", qPermille)
+  }
+
+  /** Streaming histogram intake — same discipline as [[startKmv]]. */
+  def startHist(docs: DataFrame, groupCol: String, value: Column,
+                checkpointDir: String,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-hist-sketch")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        addHistBatch(b, groupCol, value, id) }
+      .start()
+
   private def cmsSumOf(spark: SparkSession, dirs: Seq[String]): DataFrame =
     spark.read.schema("r INT, bucket BIGINT, c BIGINT").parquet(dirs: _*)
       .groupBy("r", "bucket").agg(sum("c").as("c"))
@@ -242,19 +305,20 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
     * replace the whole merged store with one batch. Offline discipline;
     * crash-healed staging swap. Returns folded dir counts per kind. */
   def compact(spark: SparkSession): Map[String, Int] =
-    Seq(("kmv", kmvDir), ("cms", cmsDir), ("hll", hllDir)).map { case (kind, dir) =>
+    Seq(("kmv", kmvDir), ("cms", cmsDir), ("hll", hllDir), ("hist", histDir))
+      .map { case (kind, dir) =>
+      def partitioned(df: DataFrame, staged: String): Unit =
+        df.withColumn("part", partOf(col("group")))
+          .repartition(col("part"))
+          .write.partitionBy("part").mode("overwrite").parquet(staged)
       kind -> BatchDirFold.fold(spark, dir, (folded, staged) =>
         kind match {
           case "kmv" =>
-            kmvMergeOf(spark, kmvLeaves(spark, folded, None))
-              .withColumn("part", partOf(col("group")))
-              .repartition(col("part"))
-              .write.partitionBy("part").mode("overwrite").parquet(staged)
+            partitioned(kmvMergeOf(spark, kmvLeaves(spark, folded, None)), staged)
           case "hll" =>
-            hllMergeOf(spark, kmvLeaves(spark, folded, None))
-              .withColumn("part", partOf(col("group")))
-              .repartition(col("part"))
-              .write.partitionBy("part").mode("overwrite").parquet(staged)
+            partitioned(hllMergeOf(spark, kmvLeaves(spark, folded, None)), staged)
+          case "hist" =>
+            partitioned(histSumOf(spark, kmvLeaves(spark, folded, None)), staged)
           case _ =>
             cmsSumOf(spark, folded.map(_.toString)).coalesce(1)
               .write.mode("overwrite").parquet(staged)

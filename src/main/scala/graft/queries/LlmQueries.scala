@@ -246,27 +246,11 @@ object LlmQueries {
     // bit ops, identical on both engines.
     "llm_hist_quantile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.llmops.Sketch
       val docs = documents(s, d)
       val qs = Seq(500L, 900L, 990L)
-      val binned = docs.select(col("source"), expr(
-        "CASE WHEN n_chars < 32 THEN n_chars " +
-          "ELSE (CAST(length(bin(n_chars)) AS BIGINT) - 6) * 16 " +
-          "+ (shiftright(n_chars, length(bin(n_chars)) - 5) & 15) + 32 END")
-        .as("idx"))
-      val counts = binned.groupBy("source", "idx").agg(count(lit(1)).as("c"))
-      val approx = counts
-        .withColumn("cum",
-          sum("c").over(Window.partitionBy("source").orderBy("idx")))
-        .withColumn("n", sum("c").over(Window.partitionBy("source")))
-        .select(col("source"), col("idx"), col("c"), col("cum"), col("n"),
-          explode(typedlit(qs)).as("q_permille"))
-        .withColumn("target", expr("(q_permille * n + 999) div 1000"))
-        .filter(col("cum") >= col("target") &&
-          col("cum") - col("c") < col("target"))
-        .withColumn("approx_lo", expr(
-          "CASE WHEN idx < 32 THEN idx ELSE shiftleft(16 + (idx - 32) % 16, " +
-            "CAST((idx - 32) div 16 + 1 AS INT)) END"))
-        .select("source", "q_permille", "approx_lo")
+      val approx = Sketch.histQuantiles(
+        Sketch.histTable(docs, "source", col("n_chars")), "source", qs)
       val exact = docs.select(col("source"), col("n_chars"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("source").orderBy("n_chars")))

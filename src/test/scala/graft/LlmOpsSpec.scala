@@ -204,6 +204,54 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("histogram sketch: bucket bounds, quantile read-out, streaming fold parity") {
+    import graft.llmops.Sketch
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // bucket correctness: lower edge ≤ v < next edge, width ≤ v/16
+    val vals = Seq(1L, 31L, 32L, 33L, 47L, 48L, 100L, 1023L, 1024L,
+      999999L, (1L << 40) + 12345L).toDF("v")
+    val checked = vals
+      .select(col("v"), Sketch.histBucket(col("v")).as("idx"))
+      .select(col("v"), col("idx"), Sketch.histBucketLo(col("idx")).as("lo"),
+        Sketch.histBucketLo(col("idx") + 1).as("hi"))
+      .collect()
+    checked.foreach { r =>
+      val (v, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(lo <= v && v < hi, s"v=$v not in [$lo, $hi)")
+      assert(v < 32 || (hi - lo) * 16 <= v + 16, s"v=$v width ${hi - lo}")
+    }
+    // quantile read-out: p500 over 1..1000 lands in the bucket of 500
+    val seqDf = spark.range(1, 1001)
+      .select(lit("g").as("g"), col("id").as("v"))
+    val p = Sketch.histQuantiles(
+        Sketch.histTable(seqDf, "g", col("v")), "g", Seq(500L))
+      .collect()(0).getAs[Long]("approx_lo")
+    assert(p <= 500 && 500 < p + p / 16 + 2, s"p500 bucket lo=$p")
+    // streaming fold equals the batch table cell-for-cell
+    val rows = docs.select(col("source"), col("n_chars"))
+      .as[(String, Long)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val cells = Sketch.histStream(
+      mem.toDF().toDF("source", "n_chars"), "source", col("n_chars"))
+    val q = cells.writeStream.outputMode("update")
+      .format("memory").queryName("hist_out").start()
+    try {
+      rows.grouped(math.max(rows.size / 3, 1)).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.sql(
+      "SELECT `group`, idx, max(c) AS c FROM hist_out GROUP BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketch.histTable(docs, "source", col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"stream-only=${streamed.toSet -- batch.toSet} " +
+        s"batch-only=${batch.toSet -- streamed.toSet}")
+  }
+
   test("bloom decontamination: no false negatives, bounded bit table") {
     val bench = docs.filter(col("doc_id") < 20)
     val corpus = docs.filter(col("doc_id") >= 20)

@@ -206,6 +206,46 @@ class SketchStoreSpec extends SparkSpecBase {
       s"resumed HLL store must equal the batch sketch: $got2 vs $expect2")
   }
 
+  test("hist: batched intake + compact + pruned quantiles equal the batch histogram") {
+    val root = Files.createTempDirectory("sk-hist").toFile.getAbsolutePath + "/sk"
+    val store = new SketchStore(root)
+    val full = corpus(300)
+    val lenCol = length(col("text")).cast("long")
+    Seq((0, 100), (100, 80), (180, 120)).zipWithIndex.foreach {
+      case ((lo, n), id) =>
+        store.addHistBatch(
+          full.filter(col("doc_id") >= lo && col("doc_id") < lo + n),
+          "source", lenCol, id.toLong)
+    }
+    val expectCells = Sketch.histTable(full, "source", lenCol)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cells() = store.histCells(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells() == expectCells)
+
+    // replay overwrites its own dir — counts never double
+    store.addHistBatch(
+      full.filter(col("doc_id") >= 100 && col("doc_id") < 180),
+      "source", lenCol, 1L)
+    assert(cells() == expectCells)
+
+    // quantile serving (full + part-pruned) equals the batch read-out
+    val qs = Seq(500L, 900L)
+    val expectQ = Sketch.histQuantiles(
+        Sketch.histTable(full, "source", lenCol), "source", qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotQ = store.histQuantiles(spark, qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotQ == expectQ)
+    val one = store.histQuantilesFor(spark, Seq("src2"), qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(one == expectQ.filter(_._1._1 == "src2"))
+
+    // compact folds all but the newest; cells unchanged
+    assert(store.compact(spark)("hist") == 2)
+    assert(cells() == expectCells)
+  }
+
   test("compact crash windows: committed staging rolls forward, partial rolls back") {
     val root = Files.createTempDirectory("sk-heal").toFile.getAbsolutePath + "/sk"
     val store = new SketchStore(root)
