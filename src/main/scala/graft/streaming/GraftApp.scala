@@ -3,6 +3,7 @@ package graft.streaming
 import graft.dialect.Dialect
 import graft.render.RenderContext
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat, count, lit, pmod, size, sum, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** E1/E2 app runner — the `run_cdc_app` analog (reference app.rs:51-234,
@@ -97,6 +98,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_REBUILD_IF_DRIFT=<ratio> re-clusters the
   *                   whole store (fresh centroids, reset baseline) when
   *                   the last append drifted past baseline×ratio
+  *     emit-shards   the last mile: GRAFT_EMIT_DOCS parquet
+  *                   (doc_id, text[, ...]) encoded with the
+  *                   GRAFT_EMIT_TOKENIZER artifact into packed
+  *                   GRAFT_EMIT_BUDGET-token id sequences (def 2048),
+  *                   md5-shuffle-assigned to GRAFT_EMIT_SHARDS shards
+  *                   (def 64), written shard-partitioned to
+  *                   GRAFT_EMIT_OUT — the layout a trainer's loader
+  *                   mounts
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -496,6 +505,36 @@ object GraftApp {
         graft.llmops.Bpe.writeTokenizer(spark, out, merges, vocab)
         Seq(s"bpe-train: ${merges.length} merges, " +
           s"|vocab|=${vocab.count()} -> $out")
+      case "emit-shards" =>
+        // the last mile of the training-data pipeline: curated docs +
+        // a frozen tokenizer artifact -> packed fixed-budget token-id
+        // shards on disk, the layout a trainer's data loader mounts.
+        // Deterministic md5 shard assignment decorrelates doc order
+        // from source order (the shuffle-shard discipline); packing is
+        // per-shard windows only, so shards scale independently.
+        val docsDir = env.getOrElse("GRAFT_EMIT_DOCS",
+          throw new IllegalArgumentException("GRAFT_EMIT_DOCS is required"))
+        val tok = env.getOrElse("GRAFT_EMIT_TOKENIZER",
+          throw new IllegalArgumentException("GRAFT_EMIT_TOKENIZER is required"))
+        val out = env.getOrElse("GRAFT_EMIT_OUT",
+          throw new IllegalArgumentException("GRAFT_EMIT_OUT is required"))
+        val budget = env.get("GRAFT_EMIT_BUDGET").map(_.toInt).getOrElse(2048)
+        val nShards = env.get("GRAFT_EMIT_SHARDS").map(_.toInt).getOrElse(64)
+        val docs = spark.read.parquet(docsDir)
+        val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
+        val ids = graft.llmops.Bpe.encodeCorpusIds(docs, merges, vocab)
+          .withColumn("shard", pmod(graft.llmops.TextOps.tokenHash60(
+            concat(lit("shard:"), col("doc_id"))), lit(nShards.toLong)))
+        val packed = graft.llmops.Bpe.packSequences(ids, budget,
+          srcCol = "shard")
+        packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+        val stats = spark.read.parquet(out)
+          .agg(count(lit(1)), sum(size(col("ids"))),
+            sum(when(size(col("ids")) === budget, 1L).otherwise(0L)))
+          .head()
+        Seq(s"emit-shards: ${stats.getLong(0)} sequences " +
+          s"(${stats.getLong(2)} full at $budget), " +
+          s"${stats.getLong(1)} tokens across $nShards shards -> $out")
       case "project-bootstrap" =>
         val defs = parseProjections(env, buckets)
         require(defs.nonEmpty,

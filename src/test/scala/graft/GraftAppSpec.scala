@@ -393,6 +393,55 @@ class GraftAppSpec extends SparkSpecBase {
       s"loaded tokenizer must encode: $ids vs $vmap")
   }
 
+  test("maintenance mode: emit-shards packs tokenizer ids into mounted shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, size, sum}
+    val docsDir = Files.createTempDirectory("app-emit-docs").toFile.getAbsolutePath
+    // corpus the hug/pug tokenizer fully covers, long enough to pack
+    val words = Seq("hug", "pug", "pun", "bun", "hugs")
+    val docs = (0L until 20L).map { i =>
+      (i, (0 until 30).map(j => words(((i + j) % 5).toInt)).mkString(" "))
+    }
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    val tok = Files.createTempDirectory("app-emit-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("app-emit-out").toFile.getAbsolutePath + "/shards"
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "emit-shards", "GRAFT_EMIT_DOCS" -> docsDir,
+      "GRAFT_EMIT_TOKENIZER" -> tok, "GRAFT_EMIT_OUT" -> out,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "4"))
+    assert(lines.exists(_.startsWith("emit-shards:")), lines.mkString)
+
+    // the emitted layout: shard-partitioned, every sequence <= budget,
+    // every non-final sequence per shard exactly full
+    val packed = spark.read.parquet(out)
+    assert(packed.select("shard").distinct().count() > 1)
+    val bad = packed.filter(size(col("ids")) > 64).count()
+    assert(bad == 0)
+    val lastPerShard = packed
+      .withColumn("mx", max("seq_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")))
+      .filter(col("seq_id") < col("mx"))
+      .filter(size(col("ids")) =!= 64).count()
+    assert(lastPerShard == 0, "every non-final sequence must be exactly full")
+
+    // conservation: emitted token count equals the encodable corpus's
+    val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
+    val expectTokens = graft.llmops.Bpe.encodeCorpusIds(
+        spark.read.parquet(docsDir), merges, vocab)
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    val gotTokens = packed.agg(sum(size(col("ids")))).head().getLong(0)
+    assert(gotTokens == expectTokens,
+      s"token conservation: $gotTokens vs $expectTokens")
+
+    // and the emitted ids decode back to real text (audit path)
+    val one = packed.limit(1).select(col("seq_id").as("doc_id"), col("ids"))
+    val txt = graft.llmops.Bpe.decode(one, vocab).head().getString(1)
+    assert(txt.nonEmpty && txt.forall(c => "hugspunb".contains(c)))
+  }
+
   test("maintenance mode: curate-store fold via env") {
     import spark.implicits._
     val store = Files.createTempDirectory("app-maint-cur").toFile.getAbsolutePath
