@@ -510,6 +510,16 @@ object LlmQueries {
         .orderBy(desc("cosine_r"), col("vec_id"))
     }),
 
+    // Two-stage reduced-then-rerank retrieval: the llm_rp_ann first
+    // pass cut to a 50-candidate shortlist (distributed TakeOrdered),
+    // reranked at full width — final scores are TRUE cosines, the
+    // reduced space only chose who gets reranked. The standard
+    // cost/recall dial of a large serving stack (here 4× cheaper scan,
+    // 10% rerank) expressed as two codegen'd passes.
+    "llm_rp_rerank" -> ((s, d) =>
+      Similarity.rpRerankTopK(embeddings(s, d), probeId = 0, k = 10,
+        shortlist = 50)),
+
     // ANN top-k via the banded hyperplane-LSH index: the probe's band
     // buckets (Hamming-radius-1 multi-probe) become literal
     // (band, bucket-IN-list) predicates — partition-prunable at scale —
@@ -2115,6 +2125,38 @@ object LlmQueries {
          |    AS in_exact10
          |FROM topr t LEFT JOIN topf ON t.vec_id = topf.vec_id
          |ORDER BY cosine_r DESC, t.vec_id""".stripMargin
+    },
+    "llm_rp_rerank" -> {
+      import graft.llmops.Similarity
+      import graft.expressions.Hyperplanes
+      val projExprs = (0 until Similarity.RpDim).map(j =>
+        s"CAST(list_dot_product(qe::BIGINT[], " +
+          s"${Hyperplanes.coeffSqlList(Similarity.RpSeed, j, 64)}::BIGINT[]) " +
+          "AS BIGINT)")
+      s"""WITH q AS (SELECT vec_id,
+         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |red AS (SELECT vec_id,
+         |    [${projExprs.mkString(",\n     ")}] AS qr
+         |  FROM q),
+         |rn AS (SELECT vec_id, qr,
+         |    CAST(list_dot_product(qr::BIGINT[], qr::BIGINT[]) AS BIGINT) AS nr
+         |  FROM red),
+         |probe AS (SELECT qr AS pr, nr AS np FROM rn WHERE vec_id = 0),
+         |short AS (SELECT vec_id FROM rn WHERE vec_id <> 0
+         |  ORDER BY list_dot_product(qr::BIGINT[], (SELECT pr FROM probe)::BIGINT[]) * 1.0
+         |      / sqrt(CAST(nr AS DOUBLE) * CAST((SELECT np FROM probe) AS DOUBLE)) DESC,
+         |    vec_id LIMIT 50),
+         |n AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+         |  FROM q),
+         |pf AS (SELECT qe AS pe, nq AS npf FROM n WHERE vec_id = 0)
+         |SELECT n.vec_id,
+         |  CAST(list_dot_product(n.qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) AS BIGINT) AS dp,
+         |  list_dot_product(n.qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) * 1.0
+         |    / sqrt(CAST(n.nq * (SELECT npf FROM pf) AS DOUBLE)) AS cosine
+         |FROM n JOIN short USING (vec_id)
+         |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
     },
     "llm_ann_filtered" ->
       """WITH q AS (SELECT vec_id, label,

@@ -166,6 +166,26 @@ object ScaleProbe {
     println(f"kmv distinct-token estimate: $est (true 5000) in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // Bloom decontamination soak: benchmark = every 200th doc; its
+    // ~19k distinct shingles fold into a 1 Mi-position bit table (the
+    // broadcast stays 128 KiB as a bitset NO MATTER how big the
+    // benchmark grows); the full corpus scans against it in one pass.
+    // Every benchmark member must flag itself (a Bloom filter cannot
+    // miss); false positives are counted honestly.
+    t0 = System.nanoTime()
+    val bloomM = 1 << 20
+    val bench = docs.filter(col("doc_id") % 200 === 0)
+    val bloomBits = Dedup.bloomBits(bench, mBits = bloomM)
+    val flaggedIds = Dedup.bloomContamination(docs, bloomBits,
+        minShared = 3, mBits = bloomM)
+      .collect().map(_.getLong(0)).toSet
+    val benchIds = (0L until nDocs.toLong by 200L).toSet
+    require(benchIds.subsetOf(flaggedIds),
+      s"bloom missed planted contamination: ${(benchIds -- flaggedIds).take(5)}")
+    println(f"bloom decontam: ${flaggedIds.size} flagged of $nDocs docs " +
+      f"(${benchIds.size} planted, ${flaggedIds.size - benchIds.size} FPs) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // streaming-curation intake soak: the per-trigger cost must track
     // the BATCH, not everything already admitted — every store read is
     // part-pruned (seen by content-hash, text by doc-id, buckets by LSH

@@ -315,6 +315,26 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("rp rerank: full shortlist equals brute force; small shortlist keeps twins") {
+    // shortlist >= corpus: the rerank IS brute force, row for row
+    val all = Similarity.bruteForceTopK(embs, probeId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rr = Similarity.rpRerankTopK(embs, probeId = 0, k = 10,
+        shortlist = embs.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rr == all, s"full-shortlist rerank must equal brute force")
+    // final scores are TRUE cosines even at a small shortlist: every
+    // returned row's (id, dp) must appear in the exact scoring
+    val exactAll = Similarity.bruteForceTopK(embs, probeId = 0,
+        k = embs.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.rpRerankTopK(embs, probeId = 0, k = 10, shortlist = 50)
+      .collect().foreach { r =>
+        assert(exactAll(r.getLong(0)) == r.getLong(1),
+          s"rerank must report full-width scores for ${r.getLong(0)}")
+      }
+  }
+
   test("exact dedup: hash groups partition the corpus") {
     val d = Dedup.exact(docs)
     val total = d.agg(sum("n_dups")).collect()(0).getLong(0)
