@@ -191,7 +191,8 @@ object StreamingCurate {
     * vanish from the curated set. */
   def applyBatch(batch: DataFrame, storeDir: String, batchId: Long,
                  blockRewrite: Boolean = false,
-                 decontamDir: Option[String] = None): Unit = {
+                 decontamDir: Option[String] = None,
+                 sketchDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val gated0 = gate(batch)
     // optional Bloom decontamination against a persisted benchmark
@@ -279,6 +280,20 @@ object StreamingCurate {
     emitted.select("doc_id", "source", "text")
       .write.mode("overwrite").parquet(out("curated"))
 
+    // optional corpus telemetry: fold the ADMITTED batch into a durable
+    // SketchStore — per-source length-percentile histogram + distinct-
+    // shingle HLL — so "what does my corpus look like NOW" is a bounded
+    // sketch read, never a corpus scan. Same b<id> replay discipline as
+    // every other store write in this trigger; O(batch) cost.
+    sketchDir.foreach { dir =>
+      val sk = new SketchStore(dir)
+      val admitted = curated.select("doc_id", "source", "text")
+      sk.addHistBatch(admitted, "source", length(col("text")), batchId)
+      sk.addHllBatch(
+        TextOps.shingleRows(admitted, 3, idCol = "source", dedup = false),
+        "source", col("shingle"), batchId)
+    }
+
     // funnel counters LAST — the trigger's durable writes never wait on
     // observability; each count is an O(batch) job over checkpointed (or
     // gate-only) plans
@@ -298,14 +313,15 @@ object StreamingCurate {
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
             blockRewrite: Boolean = false,
-            decontamDir: Option[String] = None)
+            decontamDir: Option[String] = None,
+            sketchDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .queryName("graft-curate")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, storeDir, id, blockRewrite, decontamDir) }
+        applyBatch(b, storeDir, id, blockRewrite, decontamDir, sketchDir) }
       .start()
 
   /** Maintenance: fold the accumulated per-batch subdirs of each store

@@ -34,7 +34,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     dedup rewrite stage backed by a BlockDedupStore at
   *     <store>/blocks; GRAFT_CURATE_DECONTAM=<dir> adds the Bloom
   *     benchmark-decontamination stage served from a bloom-bits
-  *     artifact
+  *     artifact; GRAFT_CURATE_SKETCH=<dir> folds each trigger's
+  *     ADMITTED docs into a durable SketchStore (per-source length
+  *     histogram + distinct-shingle HLL) — running corpus telemetry
+  *     without a corpus scan
   *   GRAFT_KAFKA_BROKERS — kafka mode: publish Debezium envelopes via
   *     the built-in kafka sink instead of applying SQL;
   *     GRAFT_KAFKA_TOPIC_PREFIX (default "cdc") routes
@@ -203,7 +206,8 @@ object GraftApp {
         Wiring(
           graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger,
             blockRewrite = env.get("GRAFT_CURATE_BLOCKS").exists(_.toBoolean),
-            decontamDir = env.get("GRAFT_CURATE_DECONTAM")),
+            decontamDir = env.get("GRAFT_CURATE_DECONTAM"),
+            sketchDir = env.get("GRAFT_CURATE_SKETCH")),
           metrics, listener)
       case None => buildCdc(spark, cfg, env, trigger, captureTransport, ckpt)
     }

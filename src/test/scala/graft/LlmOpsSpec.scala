@@ -895,6 +895,46 @@ class LlmOpsSpec extends SparkSpecBase {
       s"decontam stage counter missing: ${snap.keys}")
   }
 
+  test("curate sketch telemetry: store equals batch sketches over the admitted corpus") {
+    import graft.llmops.{Sketch, SketchStore, StreamingCurate, TextOps}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("curate-sk-store")
+      .toFile.getAbsolutePath
+    val skDir = java.nio.file.Files.createTempDirectory("curate-sk-sketch")
+      .toFile.getAbsolutePath + "/sk"
+    val ckpt = java.nio.file.Files.createTempDirectory("curate-sk-ckpt")
+      .toFile.getAbsolutePath
+    val rows = docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String)]
+    rows.grouped(math.max(rows.length / 2, 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      val q = StreamingCurate.start(
+        mem.toDF().toDF("doc_id", "source", "text"), store, ckpt,
+        sketchDir = Some(skDir))
+      q.awaitTermination()
+    }
+    val admitted = StreamingCurate.curated(spark, store)
+    assert(admitted.count() > 0)
+    val sk = new SketchStore(skDir)
+    // histogram: stored cells ≡ batch histTable over the admitted docs
+    val gotHist = sk.histCells(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expHist = Sketch.histTable(admitted, "source", length(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotHist == expHist)
+    // HLL: stored estimates ≡ batch hllDistinct over admitted shingles
+    val gotHll = sk.hllEstimates(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expHll = Sketch.hllDistinct(
+        TextOps.shingleRows(admitted, 3, idCol = "source", dedup = false),
+        "source", col("shingle"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotHll == expHll, s"$gotHll vs $expHll")
+  }
+
   test("curate block-rewrite: admitted docs rewritten against all admitted blocks") {
     import graft.llmops.StreamingCurate
     import spark.implicits._
