@@ -166,6 +166,27 @@ object ScaleProbe {
     println(f"kmv distinct-token estimate: $est (true 5000) in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // HLL + histogram soak over the same corpus: both sketches are one
+    // bounded partial-agg pass; HLL must land in its ~6.5% envelope on
+    // the 5000-token vocabulary, the histogram p50 must straddle the
+    // 40-words-per-doc corpus's known length distribution
+    t0 = System.nanoTime()
+    val hllEst = graft.llmops.Sketch.hllDistinct(sh, "g", col("tok"))
+      .first().getAs[Long]("n_est")
+    require(math.abs(hllEst - 5000) <= 1000,
+      s"hll estimate $hllEst outside envelope (true 5000)")
+    println(f"hll distinct-token estimate: $hllEst (true 5000) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    val p50 = graft.llmops.Sketch.histQuantiles(
+        graft.llmops.Sketch.histTable(
+          docs.select(lit("g").as("g"), length(col("text")).as("len")),
+          "g", col("len")),
+        "g", Seq(500L))
+      .first().getAs[Long]("approx_lo")
+    println(f"hist p50 doc length: $p50 chars in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // Bloom decontamination soak: benchmark = every 200th doc; its
     // ~19k distinct shingles fold into a 1 Mi-position bit table (the
     // broadcast stays 128 KiB as a bitset NO MATTER how big the

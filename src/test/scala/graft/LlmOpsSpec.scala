@@ -252,6 +252,42 @@ class LlmOpsSpec extends SparkSpecBase {
         s"batch-only=${batch.toSet -- streamed.toSet}")
   }
 
+  test("histogram bucket property: containment, monotonicity, width over random longs") {
+    import graft.llmops.Sketch
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // evaluate the bucket expressions once over a generated value table
+    // (Column-level math — the same path the queries use). Range capped
+    // at 2^60: the top octave's NEXT edge (2^63) is unrepresentable, so
+    // the open upper bound only holds below it (documented).
+    val gen = Gen.listOfN(200, Gen.chooseNum(1L, 1L << 60))
+    val prop = Prop.forAll(gen) { vs =>
+      val rows = vs.toDF("v")
+        .select(col("v"), Sketch.histBucket(col("v")).as("idx"))
+        .select(col("v"), col("idx"),
+          Sketch.histBucketLo(col("idx")).as("lo"),
+          Sketch.histBucketLo(col("idx") + 1).as("hi"))
+        .collect()
+      rows.forall { r =>
+        val (v, idx, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        lo <= v && v < hi &&                 // containment
+        (v < 32 || (hi - lo) * 16 <= v + 16) && // ≤ 6.25% relative width
+        idx >= 0
+      } && {
+        // monotonicity: sorting by bucket never inverts value order by
+        // more than one bucket width — equivalent: lo is nondecreasing
+        // in idx over the observed buckets
+        val byIdx = rows.map(r => r.getLong(1) -> r.getLong(2)).distinct.sortBy(_._1)
+        byIdx.sliding(2).forall {
+          case Array((i1, l1), (i2, l2)) => l1 < l2 && i1 < i2
+          case _ => true
+        }
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("bloom decontamination: no false negatives, bounded bit table") {
     val bench = docs.filter(col("doc_id") < 20)
     val corpus = docs.filter(col("doc_id") >= 20)
