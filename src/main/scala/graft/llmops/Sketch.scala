@@ -58,6 +58,40 @@ object Sketch {
       .agg(kmvSketch(value, k).as("sk"))
       .select(col(groupCol), kmvEstimate(col("sk"), k).as("n_est"))
 
+  // ---------------------------------------------- kmv set algebra
+
+  /** Pairwise set-overlap estimates BETWEEN sketches (the theta-sketch
+    * idea on the KMV buffer): for groups a < b, combine their k-min
+    * buffers into the union's k smallest hashes U; θ = max(U) estimates
+    * |A∪B| exactly as [[kmvEstimate]]; and because every h ∈ U below
+    * each buffer's max is in that set's buffer iff it is in the set,
+    * |U ∩ ska ∩ skb| / |U| estimates the Jaccard. All integer over the
+    * shared md5 hashes — the estimates (not just the machinery) are
+    * oracle-exact. Cost: groups² pairs of k-long arrays — group count
+    * is small by construction (sources, shards, snapshots), the CORPUS
+    * is only read once to build the sketches.
+    *
+    * Input: (groupCol, sk array<bigint>) as built by [[kmvSketch]].
+    * Output: (ga, gb, n_union_est, jacc_est_milli) for ga < gb. */
+  def kmvPairOverlap(sketches: DataFrame, groupCol: String,
+                     k: Int = 256): DataFrame = {
+    val a = sketches.select(col(groupCol).as("ga"), col("sk").as("ska"))
+    val b = sketches.select(col(groupCol).as("gb"), col("sk").as("skb"))
+    a.join(b, col("ga") < col("gb"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("theta", element_at(col("u"), size(col("u"))))
+      .withColumn("n_union_est",
+        when(size(col("u")) < k, size(col("u")).cast("long"))
+          .otherwise(call_function("div",
+            lit((k - 1).toLong * HashSpace), greatest(col("theta"), lit(1L)))))
+      .withColumn("ni",
+        size(array_intersect(col("u"),
+          array_intersect(col("ska"), col("skb")))).cast("long"))
+      .withColumn("jacc_est_milli",
+        call_function("div", col("ni") * 1000L, size(col("u")).cast("long")))
+      .select(col("ga"), col("gb"), col("n_union_est"), col("jacc_est_milli"))
+  }
+
   // ---------------------------------------------------- hyperloglog
   //
   // HLL complements KMV on the other axis of the state/accuracy

@@ -189,6 +189,42 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // KMV set algebra (the theta-sketch idea): pairwise shingle-space
+    // overlap BETWEEN sources estimated from the k-min buffers alone —
+    // the dedup-planning signal ("which source pairs overlap enough to
+    // near-dedup across?") at sketch cost: the corpus is read once to
+    // build 20 sketches; the pairwise pass touches only k-long arrays.
+    // Estimates are integer-deterministic over the shared md5 hashes,
+    // so the oracle reproduces them exactly; exact union/jaccard ride
+    // along as the sf-scale audit.
+    "llm_kmv_overlap" -> ((s, d) => {
+      import graft.llmops.Sketch
+      val sh = TextOps.shingleRows(documents(s, d), 3,
+        idCol = "source", dedup = false)
+      val sk = sh.groupBy("source")
+        .agg(Sketch.kmvSketch(col("shingle"), 256).as("sk"))
+      val est = Sketch.kmvPairOverlap(sk, "source")
+      val dSet = sh.select(col("source"), Sketch.hash48(col("shingle")).as("h"))
+        .distinct()
+      val sizes = dSet.groupBy("source").agg(count(lit(1)).as("sz"))
+      val xi = dSet.as("a")
+        .join(dSet.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("ga"), col("b.source").as("gb"))
+        .agg(count(lit(1)).as("xi"))
+      val exact = sizes.select(col("source").as("ga"), col("sz").as("sza"))
+        .join(sizes.select(col("source").as("gb"), col("sz").as("szb")),
+          col("ga") < col("gb"))
+        .join(xi, Seq("ga", "gb"), "left")
+        .na.fill(0L, Seq("xi"))
+        .withColumn("n_union_exact", col("sza") + col("szb") - col("xi"))
+        .withColumn("jacc_exact_milli",
+          expr("xi * 1000 div n_union_exact"))
+        .select("ga", "gb", "n_union_exact", "jacc_exact_milli")
+      est.join(exact, Seq("ga", "gb"))
+        .orderBy("ga", "gb")
+    }),
+
     // HLL distinct-count sketch — KMV's complement on the state axis:
     // m=256 six-bit registers per group REGARDLESS of distinct count
     // (KMV is k longs and exact below k), register merge = max so
@@ -1870,6 +1906,49 @@ object LlmQueries {
          |  abs(n_est - n_exact) * 1000 // n_exact AS err_permille
          |FROM est JOIN exact ON est.source = exact.source
          |ORDER BY est.source""".stripMargin,
+    "llm_kmv_overlap" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT source, unnest($shingleSql) AS shingle FROM toks),
+         |d AS (SELECT DISTINCT source,
+         |    ('0x' || substr(md5(shingle),1,12))::BIGINT AS h FROM sh),
+         |ranked AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT source, h FROM ranked WHERE rn <= 256),
+         |srcs AS (SELECT DISTINCT source FROM d),
+         |prs AS (SELECT a.source AS ga, b.source AS gb
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |pu AS (SELECT p.ga, p.gb, s.h FROM prs p
+         |  JOIN sk s ON s.source = p.ga OR s.source = p.gb
+         |  GROUP BY 1, 2, 3),
+         |ru AS (SELECT ga, gb, h,
+         |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM pu),
+         |uk AS (SELECT ga, gb, h FROM ru WHERE rn <= 256),
+         |th AS (SELECT ga, gb, max(h) AS theta, count(*) AS usz
+         |  FROM uk GROUP BY 1, 2),
+         |inter AS (SELECT uk.ga, uk.gb, count(*) AS ni FROM uk
+         |  JOIN sk x ON x.source = uk.ga AND x.h = uk.h
+         |  JOIN sk y ON y.source = uk.gb AND y.h = uk.h
+         |  GROUP BY 1, 2),
+         |est AS (SELECT th.ga, th.gb,
+         |    CASE WHEN usz < 256 THEN usz
+         |      ELSE 71776119061217280 // greatest(theta, 1) END AS n_union_est,
+         |    coalesce(ni, 0) * 1000 // usz AS jacc_est_milli
+         |  FROM th LEFT JOIN inter ON th.ga = inter.ga AND th.gb = inter.gb),
+         |sizes AS (SELECT source, count(*) AS sz FROM d GROUP BY 1),
+         |xi AS (SELECT a.source AS ga, b.source AS gb, count(*) AS xi
+         |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT p.ga, p.gb,
+         |    sa.sz + sb.sz - coalesce(xi.xi, 0) AS n_union_exact,
+         |    coalesce(xi.xi, 0) * 1000
+         |      // (sa.sz + sb.sz - coalesce(xi.xi, 0)) AS jacc_exact_milli
+         |  FROM prs p JOIN sizes sa ON p.ga = sa.source
+         |  JOIN sizes sb ON p.gb = sb.source
+         |  LEFT JOIN xi ON p.ga = xi.ga AND p.gb = xi.gb)
+         |SELECT est.ga, est.gb, n_union_est, jacc_est_milli,
+         |  n_union_exact, jacc_exact_milli
+         |FROM est JOIN ex ON est.ga = ex.ga AND est.gb = ex.gb
+         |ORDER BY 1, 2""".stripMargin,
     "llm_hll_distinct" ->
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT source, unnest($shingleSql) AS shingle FROM toks),

@@ -148,6 +148,41 @@ class LlmOpsSpec extends SparkSpecBase {
         s"batch-only=${batch.toSet -- streamed.toSet}")
   }
 
+  test("KMV pair overlap: estimates track known set overlap from buffers alone") {
+    import graft.llmops.Sketch
+    import spark.implicits._
+    // two synthetic sets with EXACT 50% Jaccard: A = 0..9999,
+    // B = 5000..14999 → |A∪B| = 15000, |A∩B| = 5000, J = 1/3
+    val df = spark.range(15000)
+      .select(col("id"),
+        when(col("id") < 10000, lit("A")).otherwise(lit("B")).as("g1"),
+        concat(lit("v"), col("id")).as("v"))
+    val rows = df.select(col("g1").as("g"), col("v"))
+      .union(df.filter(col("id") >= 5000 && col("id") < 10000)
+        .select(lit("B").as("g"), col("v")))
+    val sk = rows.groupBy("g").agg(Sketch.kmvSketch(col("v"), 256).as("sk"))
+    val est = Sketch.kmvPairOverlap(sk, "g").collect()(0)
+    val (nu, jm) = (est.getAs[Long]("n_union_est"),
+      est.getAs[Long]("jacc_est_milli"))
+    // union 15000 within the ~6% KMV envelope (3σ margin)
+    assert(math.abs(nu - 15000).toDouble / 15000 <= 0.20, s"union est $nu")
+    // jaccard 333 milli within the binomial envelope of k=256 draws
+    assert(math.abs(jm - 333) <= 100, s"jaccard est $jm")
+    // determinism across partitionings
+    val sk2 = rows.repartition(13).groupBy("g")
+      .agg(Sketch.kmvSketch(col("v"), 256).as("sk"))
+    val est2 = Sketch.kmvPairOverlap(sk2, "g").collect()(0)
+    assert(est2.getAs[Long]("n_union_est") == nu &&
+      est2.getAs[Long]("jacc_est_milli") == jm)
+    // disjoint sets: zero estimated overlap
+    val dj = Seq(("X", "x1"), ("X", "x2"), ("Y", "y1"), ("Y", "y2"))
+      .toDF("g", "v")
+    val dsk = dj.groupBy("g").agg(Sketch.kmvSketch(col("v"), 256).as("sk"))
+    val dest = Sketch.kmvPairOverlap(dsk, "g").collect()(0)
+    assert(dest.getAs[Long]("jacc_est_milli") == 0L)
+    assert(dest.getAs[Long]("n_union_est") == 4L) // exact below k
+  }
+
   test("HLL sketch: accuracy in the raw regime, partition + merge invariance") {
     import graft.llmops.Sketch
     import spark.implicits._
