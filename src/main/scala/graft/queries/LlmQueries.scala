@@ -386,6 +386,42 @@ object LlmQueries {
         .orderBy("source", "split")
     }),
 
+    // Cluster-aware (leakage-SAFE) split assignment — the FIX for what
+    // llm_split_leakage measures: hash the near-dup CLUSTER id, not the
+    // doc id, so an entire duplicate cluster lands in one split and no
+    // verified near-dup pair can straddle train/test (cross_pairs = 0
+    // by construction, emitted and oracle-checked). Same candidates →
+    // verify → components pipeline as llm_dedup_cluster; singletons
+    // hash their own id, so the split stays stable as the corpus grows.
+    "llm_split_bycluster" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cands = Dedup.minhashCandidates(docs)
+      val verified = Dedup.ngramJaccard(docs, 0.8, candidates = Some(cands))
+        .select("da", "db")
+      val comp = Dedup.connectedComponents(verified)
+      val assign = docs.select(col("doc_id"), size(toks).cast("bigint").as("nt"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+        .withColumn("b",
+          conv(substring(md5(col("cluster").cast("string")), 1, 12), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("b") < 90, "train").when(col("b") < 95, "val")
+            .otherwise("test"))
+        .select("doc_id", "cluster", "split", "nt")
+      val cross = verified
+        .join(assign.select(col("doc_id").as("da"), col("split").as("spa")), "da")
+        .join(assign.select(col("doc_id").as("db"), col("split").as("spb")), "db")
+        .filter(col("spa") =!= col("spb"))
+        .agg(count(lit(1)).as("cross_pairs"))
+      assign.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster").as("n_clusters"),
+          sum("nt").as("n_tokens"))
+        .crossJoin(broadcast(cross))
+        .orderBy("split")
+    }),
+
     // Vocab coverage at candidate sizes (the "how big must the
     // tokenizer vocabulary be" curve): share of all token occurrences
     // covered by the top-K vocabulary, K ∈ {100, 500, 2000}. Each cut
@@ -2072,6 +2108,61 @@ object LlmQueries {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "llm_split_bycluster" -> {
+      val coeffs = graft.llmops.Dedup.MinhashCoeffs
+      val p = graft.llmops.Dedup.MinhashP
+      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $p) AS mh$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |hv AS (SELECT doc_id,
+         |  ('0x' || substr(md5(shingle),1,15))::BIGINT % $p AS h FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM hv GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, unnest([
+         |    '0' || '-' || mh0 || '-' || mh1, '1' || '-' || mh2 || '-' || mh3,
+         |    '2' || '-' || mh4 || '-' || mh5, '3' || '-' || mh6 || '-' || mh7]) AS bucket
+         |  FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM banded a JOIN banded b
+         |           ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1,2),
+         |verified AS (SELECT i.da, i.db FROM inter i
+         |  JOIN cand USING (da, db)
+         |  JOIN sizes sa ON i.da = sa.doc_id
+         |  JOIN sizes sb ON i.db = sb.doc_id
+         |  WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.8),
+         |sym AS (SELECT da AS id, db AS nb FROM verified
+         |        UNION ALL SELECT db, da FROM verified),
+         |reach AS (SELECT DISTINCT id, id AS r FROM sym
+         |          UNION
+         |          SELECT s.id, reach.r FROM sym s JOIN reach ON reach.id = s.nb),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+         |asg AS (SELECT d.doc_id,
+         |    coalesce(comp.cluster, d.doc_id) AS cluster,
+         |    CASE WHEN ('0x' || substr(md5(CAST(coalesce(comp.cluster, d.doc_id)
+         |          AS VARCHAR)), 1, 12))::BIGINT % 100 < 90 THEN 'train'
+         |      WHEN ('0x' || substr(md5(CAST(coalesce(comp.cluster, d.doc_id)
+         |          AS VARCHAR)), 1, 12))::BIGINT % 100 < 95 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    len(string_split(d.text, ' ')) AS nt
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+         |x AS (SELECT count(*) AS cross_pairs FROM verified v
+         |  JOIN asg a ON v.da = a.doc_id
+         |  JOIN asg b ON v.db = b.doc_id
+         |  WHERE a.split <> b.split)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster) AS n_clusters,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  (SELECT cross_pairs FROM x) AS cross_pairs
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "llm_vocab_coverage" ->
       """WITH tc AS (SELECT token, count(*) AS c
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
