@@ -185,6 +185,42 @@ class GraftAppSpec extends SparkSpecBase {
     } finally GraftApp.shutdown(w)
   }
 
+  test("curate mode: decontam + sketch env options wire through the app path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("app-curd-docs").toFile.getAbsolutePath
+    val store = Files.createTempDirectory("app-curd-store").toFile.getAbsolutePath
+    val skDir = Files.createTempDirectory("app-curd-sk").toFile.getAbsolutePath + "/sk"
+    val bloomDir = Files.createTempDirectory("app-curd-bl").toFile.getAbsolutePath + "/bloom"
+    val ckpt = Files.createTempDirectory("app-curd-ckpt").toFile.getAbsolutePath
+    val base = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river of the old town in the morning light of a summer day"
+    val other = "the tall ships sail out of the harbor and the wind " +
+      "of the north carries them past the cliffs to the open sea at dawn"
+    // benchmark = the base text → doc 1 is contaminated, doc 2 is clean
+    graft.llmops.Dedup.writeBloom(spark, bloomDir,
+      Seq((100L, base)).toDF("doc_id", "text"))
+    Seq((1L, "srcA", base), (2L, "srcB", other))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val w = GraftApp.build(spark, GraftConfig(), Map(
+      "GRAFT_CURATE_DIR" -> docsDir, "GRAFT_CURATE_STORE" -> store,
+      "GRAFT_CURATE_DECONTAM" -> bloomDir, "GRAFT_CURATE_SKETCH" -> skDir,
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "-1"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      w.query.awaitTermination()
+      val curated = graft.llmops.StreamingCurate.curated(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(curated == Set(2L),
+        s"benchmark-contaminated doc must be gated out: $curated")
+      // the sketch store reflects the ADMITTED corpus (doc 2 only)
+      val hist = new graft.llmops.SketchStore(skDir).histCells(spark)
+        .agg(sum("c")).head().getLong(0)
+      assert(hist == 1L, s"sketch store must hold exactly the admitted doc: $hist")
+    } finally GraftApp.shutdown(w)
+  }
+
   test("curate mode: /metrics exposes per-stage funnel counters that climb per trigger") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
