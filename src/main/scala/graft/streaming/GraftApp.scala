@@ -83,6 +83,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_RADIUS / GRAFT_ANN_NPROBE tune the
   *                   LSH / IVF candidate widths — no driver candidate
   *                   materialization at any probe-set size
+  *     sketch-serve  read the durable sketch store without Scala: one
+  *                   line per stored kind (KMV/HLL estimates, histogram
+  *                   quantiles); GRAFT_SKETCH_GROUPS=g1,g2 prunes the
+  *                   read to the probed groups' hash parts,
+  *                   GRAFT_SKETCH_QUANTILES=500,990 picks the permille
+  *                   read-outs
   *     bloom-bits    build/refresh the Bloom decontamination artifact
   *                   from a benchmark corpus (GRAFT_BLOOM_BENCH parquet
   *                   of doc_id,text → GRAFT_BLOOM_OUT; GRAFT_BLOOM_M /
@@ -434,6 +440,37 @@ object GraftApp {
         val folded = new graft.llmops.SketchStore(dir).compact(spark)
         Seq(s"sketch-store: folded " +
           folded.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }.mkString(","))
+      case "sketch-serve" =>
+        // read side of the sketch store without Scala: per-group
+        // distinct estimates (KMV and/or HLL) and histogram quantiles,
+        // pruned to GRAFT_SKETCH_GROUPS when given (literal part list),
+        // full-store otherwise. One status line per sketch kind.
+        val dir = env.getOrElse("GRAFT_SKETCH_STORE",
+          throw new IllegalArgumentException("GRAFT_SKETCH_STORE is required"))
+        val sk = new graft.llmops.SketchStore(dir)
+        val groups = env.get("GRAFT_SKETCH_GROUPS").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val qs = env.get("GRAFT_SKETCH_QUANTILES").toSeq
+          .flatMap(_.split(",")).map(_.trim.toLong)
+        def fmt(df: org.apache.spark.sql.DataFrame): String =
+          df.orderBy(df.columns.map(col): _*).collect()
+            .map(r => r.toSeq.mkString(":")).mkString(" ")
+        def kindLine(kind: String, body: => String): Option[String] =
+          if (new java.io.File(s"$dir/$kind").exists())
+            Some(s"sketch-serve $kind: " + body)
+          else None
+        kindLine("kmv", fmt(
+          if (groups.nonEmpty) sk.kmvEstimateFor(spark, groups)
+          else sk.kmvEstimates(spark))).toSeq ++
+        kindLine("hll", fmt(
+          if (groups.nonEmpty) sk.hllEstimateFor(spark, groups)
+          else sk.hllEstimates(spark))).toSeq ++
+        kindLine("hist", fmt(
+          if (groups.nonEmpty)
+            sk.histQuantilesFor(spark, groups,
+              if (qs.nonEmpty) qs else Seq(500L, 900L, 990L))
+          else sk.histQuantiles(spark,
+            if (qs.nonEmpty) qs else Seq(500L, 900L, 990L)))).toSeq
       case "ann-index" =>
         val dir = env.getOrElse("GRAFT_ANN_DIR",
           throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))

@@ -296,6 +296,25 @@ class SketchStoreSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
   }
 
+  test("maintenance verb: sketch-serve reads estimates and quantiles via env") {
+    val root = Files.createTempDirectory("sk-serve").toFile.getAbsolutePath + "/sk"
+    val store = new SketchStore(root)
+    val full = corpus(200)
+    store.addKmvBatch(tokens(full), "source", col("tok"), 0L)
+    store.addHllBatch(tokens(full), "source", col("tok"), 0L)
+    store.addHistBatch(full, "source", length(col("text")).cast("long"), 0L)
+    val lines = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "sketch-serve", "GRAFT_SKETCH_STORE" -> root,
+      "GRAFT_SKETCH_GROUPS" -> "src1", "GRAFT_SKETCH_QUANTILES" -> "500"))
+    assert(lines.exists(_.startsWith("sketch-serve kmv: src1:")), lines.mkString("|"))
+    assert(lines.exists(_.startsWith("sketch-serve hll: src1:")), lines.mkString("|"))
+    assert(lines.exists(l => l.startsWith("sketch-serve hist: src1:500:")),
+      lines.mkString("|"))
+    // the pruned serve line carries the same estimate as the direct read
+    val direct = store.kmvEstimateFor(spark, Seq("src1")).head().getLong(1)
+    assert(lines.exists(_.contains(s"src1:$direct")), lines.mkString("|"))
+  }
+
   test("maintenance verb: sketch-store folds via env") {
     val root = Files.createTempDirectory("sk-verb").toFile.getAbsolutePath + "/sk"
     val store = new SketchStore(root)
