@@ -56,7 +56,8 @@ object Bench {
     "llm_curate_funnel", "llm_bpe_encode", "llm_pack_emit",
     "llm_bpe_fertility",
     "llm_hll_distinct", "llm_hist_quantile", "llm_bloom_decontam",
-    "llm_rp_ann", "llm_rp_rerank", "llm_kmv_overlap", "llm_split_bycluster")
+    "llm_rp_ann", "llm_rp_rerank", "llm_kmv_overlap", "llm_split_bycluster",
+    "llm_mix_schedule")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1176,6 +1176,40 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Mixture SCHEDULE: turn the temperature weights into an integer
+    // allocation of 1000 sequence slots — the artifact a data loader
+    // actually consumes (llm_mix_temperature's weights say "how much",
+    // this says "exactly how many"). Hamilton largest-remainder method:
+    // floor every share, then the leftover slots go to the largest
+    // integer remainders (ties → source name) — Σ seats = 1000 exactly,
+    // no float drift, deterministic on both engines. The remainder rank
+    // is a broadcast self-join over the SOURCE-sized aggregate (small
+    // by construction, like the sketch-pair pass) — no global window.
+    "llm_mix_schedule" -> ((s, d) => {
+      val per = documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_milli",
+          round(sqrt(col("n_docs")) * 1000).cast("bigint"))
+      val tot = per.agg(sum("s_milli").as("tot_s"))
+      val based = per.crossJoin(broadcast(tot))
+        .withColumn("fl", expr("s_milli * 1000 div tot_s"))
+        .withColumn("rem", expr("s_milli * 1000 % tot_s"))
+      val leftover = based.agg((lit(1000L) - sum("fl")).as("lo"))
+      val ahead = based.select(col("rem").as("rem_b"), col("source").as("src_b"))
+      based.join(broadcast(ahead),
+          col("rem_b") > col("rem") ||
+            (col("rem_b") === col("rem") && col("src_b") < col("source")),
+          "left")
+        .groupBy("source", "s_milli", "fl")
+        .agg((count(col("src_b")) + 1L).as("rk"))
+        .crossJoin(broadcast(leftover))
+        .withColumn("seats",
+          col("fl") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+        .select("source", "s_milli", "seats")
+        .orderBy("source")
+    }),
+
     // First-occurrence novelty rate (the "how much NEW text does each
     // doc contribute" curation signal): a 3-gram shingle is novel only
     // in the earliest doc containing it. One groupBy(shingle) finds the
@@ -2834,6 +2868,25 @@ object LlmQueries {
         |  top_cnt * 1.0 / n AS top_word_frac,
         |  coalesce((n2 - d2) * 1.0 / n2, 0.0) AS dup_2gram_frac
         |FROM w LEFT JOIN w2 ON w.doc_id = w2.doc_id ORDER BY w.doc_id""".stripMargin,
+    "llm_mix_schedule" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |    CAST(round(sqrt(n_docs) * 1000) AS BIGINT) AS s_milli FROM per),
+        |tot AS (SELECT CAST(sum(s_milli) AS BIGINT) AS tot_s FROM w),
+        |based AS (SELECT source, s_milli,
+        |    s_milli * 1000 // tot_s AS fl,
+        |    s_milli * 1000 % tot_s AS rem
+        |  FROM w CROSS JOIN tot),
+        |lo AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS lo FROM based),
+        |rk AS (SELECT a.source, a.s_milli, a.fl,
+        |    1 + count(b.source) AS rk
+        |  FROM based a LEFT JOIN based b
+        |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, s_milli,
+        |  CAST(fl + CASE WHEN rk <= (SELECT lo FROM lo) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS seats
+        |FROM rk ORDER BY 1""".stripMargin,
     "llm_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
