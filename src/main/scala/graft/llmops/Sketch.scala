@@ -77,7 +77,9 @@ object Sketch {
                      k: Int = 256): DataFrame = {
     val a = sketches.select(col(groupCol).as("ga"), col("sk").as("ska"))
     val b = sketches.select(col(groupCol).as("gb"), col("sk").as("skb"))
-    a.join(b, col("ga") < col("gb"))
+    // group-sized right side: broadcast the non-equi pair join so it
+    // plans as a BNLJ, never a shuffled cartesian
+    a.join(broadcast(b), col("ga") < col("gb"))
       .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
       .withColumn("theta", element_at(col("u"), size(col("u"))))
       .withColumn("n_union_est",

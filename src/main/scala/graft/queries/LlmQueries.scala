@@ -213,7 +213,7 @@ object LlmQueries {
         .groupBy(col("a.source").as("ga"), col("b.source").as("gb"))
         .agg(count(lit(1)).as("xi"))
       val exact = sizes.select(col("source").as("ga"), col("sz").as("sza"))
-        .join(sizes.select(col("source").as("gb"), col("sz").as("szb")),
+        .join(broadcast(sizes.select(col("source").as("gb"), col("sz").as("szb"))),
           col("ga") < col("gb"))
         .join(xi, Seq("ga", "gb"), "left")
         .na.fill(0L, Seq("xi"))

@@ -631,6 +631,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(collectAll(executed(rp)).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       rplan.take(2000))
     assert(!rplan.contains("ScalaUDF"), rplan.take(2000))
+
+    // kmv-overlap / mix-schedule: the pairwise/rank non-equi joins run
+    // over GROUP-sized aggregates and must plan as broadcast nested
+    // loops, never shuffled cartesians; no UDFs anywhere
+    for (name <- Seq("llm_kmv_overlap", "llm_mix_schedule")) {
+      val df = q(name)
+      df.count()
+      assert(!collectAll(executed(df)).exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name plans a cartesian product")
+      assert(!planString(df).contains("ScalaUDF"), name)
+    }
   }
 
   test("NO registered query plans an unpartitioned window over unbounded input") {
