@@ -57,7 +57,7 @@ object Bench {
     "llm_bpe_fertility",
     "llm_hll_distinct", "llm_hist_quantile", "llm_bloom_decontam",
     "llm_rp_ann", "llm_rp_rerank", "llm_kmv_overlap", "llm_split_bycluster",
-    "llm_mix_schedule")
+    "llm_mix_schedule", "llm_exact_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -244,6 +244,43 @@ object Sketch {
         histBucketLo(col("idx")).as("approx_lo"))
   }
 
+  /** EXACT per-group quantiles without a per-group sort: two passes.
+    * Pass 1 = the log-linear histogram finds, for every (group, q),
+    * the bucket where the cumulative count crosses the target rank and
+    * how deep in that bucket the answer sits. Pass 2 re-scans with the
+    * crossing buckets broadcast, so ONLY values inside a crossing
+    * bucket survive to the rank window — with 16 sub-buckets per
+    * octave that is ~1/16 of a group per read-out on smooth data
+    * (degenerate all-equal groups collapse to one bucket, where any
+    * method pays the same). The exact answer of a global sort at the
+    * cost of one bounded aggregation + one pruned window. */
+  def exactQuantiles(df: DataFrame, groupCol: String, value: Column,
+                     qPermille: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = histTable(df, groupCol, value)
+    val sel = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy(groupCol).orderBy("idx")))
+      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col("idx"), col("c"), col("cum"), col("n"),
+        explode(typedlit(qPermille)).as("q_permille"))
+      .withColumn("target", expr("(q_permille * n + 999) div 1000"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("c") < col("target"))
+      .select(col(groupCol), col("idx"), col("q_permille"),
+        (col("target") - (col("cum") - col("c"))).as("k_in_bucket"))
+    // ties on equal v may rank in any order — the SELECTED value (the
+    // k-th order statistic) is identical regardless, so the read-out
+    // is deterministic without a tie-break column
+    val w = Window.partitionBy(groupCol, "q_permille").orderBy("v")
+    df.select(col(groupCol), value.as("v"),
+        histBucket(value).as("idx"))
+      .join(broadcast(sel), Seq(groupCol, "idx"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") === col("k_in_bucket"))
+      .select(col(groupCol), col("q_permille"), col("v").as("exact"))
+  }
+
   // ------------------------------------------------------------ streaming
 
   final case class HashArrival(group: String, h: Long)

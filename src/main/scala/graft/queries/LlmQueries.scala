@@ -301,6 +301,20 @@ object LlmQueries {
         .orderBy("source", "q_permille")
     }),
 
+    // EXACT per-source percentiles WITHOUT a per-source sort: the
+    // histogram finds each read-out's crossing bucket and in-bucket
+    // rank (pass 1, bounded aggregate), then only values inside a
+    // crossing bucket survive to the rank window (pass 2, ~1/16 of a
+    // group per read-out on smooth data) — a global sort's answer at
+    // two bounded passes. The oracle replays the plain order statistic,
+    // so the hash match PROVES the two-pass trick is exact.
+    "llm_exact_quantile" -> ((s, d) => {
+      import graft.llmops.Sketch
+      Sketch.exactQuantiles(documents(s, d), "source", col("n_chars"),
+          Seq(500L, 900L, 990L))
+        .orderBy("source", "q_permille")
+    }),
+
     // Corpus-level PMI collocations (phrase mining — the tokenizer/vocab
     // step that decides which word pairs merit merged tokens): lift =
     // P(xy) / (P(x)·P(y)) over the whole corpus in integer milli-units
@@ -2093,6 +2107,17 @@ object LlmQueries {
         |  abs(approx_lo - exact) * 1000 // exact AS err_permille
         |FROM ap JOIN ex ON ap.source = ex.source
         |  AND ap.q_permille = ex.q_permille
+        |ORDER BY 1, 2""".stripMargin,
+    "llm_exact_quantile" ->
+      """WITH q AS (SELECT unnest([500, 900, 990]) AS q_permille),
+        |ranked AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(q_permille AS BIGINT) AS q_permille,
+        |  CAST(n_chars AS BIGINT) AS exact
+        |FROM ranked CROSS JOIN q
+        |WHERE rn = (q_permille * n + 999) // 1000
         |ORDER BY 1, 2""".stripMargin,
     "llm_pmi_bigrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -323,6 +323,31 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("two-pass exact quantile equals the order statistic, including under ties") {
+    import graft.llmops.Sketch
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qs = Seq(250L, 500L, 900L, 990L)
+    // skewed + tie-heavy data: quadratic residues mod 997 over 3 groups,
+    // plus one all-equal group (the degenerate single-bucket case)
+    val df = spark.range(6000)
+      .select(concat(lit("g"), col("id") % 3).as("g"),
+        ((col("id") * col("id")) % 997 + 1).as("v"))
+      .union(spark.range(100).select(lit("const").as("g"), lit(42L).as("v")))
+    val got = Sketch.exactQuantiles(df, "g", col("v"), qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = df
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .select(col("g"), col("v"), col("rn"), col("n"),
+        explode(typedlit(qs)).as("q"))
+      .filter(col("rn") === expr("(q * n + 999) div 1000"))
+      .collect().map(r => (r.getString(0), r.getLong(4)) -> r.getLong(1)).toMap
+    assert(got == expect,
+      s"two-pass=${got.toSeq.sorted}\nsort=${expect.toSeq.sorted}")
+    assert(qs.forall(q => got(("const", q)) == 42L))
+  }
+
   test("bloom decontamination: no false negatives, bounded bit table") {
     val bench = docs.filter(col("doc_id") < 20)
     val corpus = docs.filter(col("doc_id") >= 20)
