@@ -81,7 +81,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   probes = GRAFT_ANN_PROBES parquet of vec_id, or
   *                   "self"/unset = every live id (full-corpus sweep);
   *                   GRAFT_ANN_RADIUS / GRAFT_ANN_NPROBE tune the
-  *                   LSH / IVF candidate widths — no driver candidate
+  *                   LSH / IVF candidate widths; GRAFT_ANN_WHERE adds
+  *                   a metadata predicate over the store's metaCols
+  *                   (filter-then-score) — no driver candidate
   *                   materialization at any probe-set size
   *     sketch-serve  read the durable sketch store without Scala: one
   *                   line per stored kind (KMV/HLL estimates, histogram
@@ -512,7 +514,12 @@ object GraftApp {
         store.sweepDistributed(probes, k,
             radius = env.get("GRAFT_ANN_RADIUS").map(_.toInt).getOrElse(1),
             nprobe = env.get("GRAFT_ANN_NPROBE").map(_.toInt)
-              .getOrElse(graft.llmops.Similarity.DefaultIvfProbes))
+              .getOrElse(graft.llmops.Similarity.DefaultIvfProbes),
+            // metadata-filtered sweep: a SQL predicate over the store's
+            // declared metaCols (e.g. "label = 3"), applied inside the
+            // pruned candidate read — same contract as filtered serving
+            where = env.get("GRAFT_ANN_WHERE")
+              .map(org.apache.spark.sql.functions.expr))
           .write.mode("overwrite").parquet(out)
         val n = spark.read.parquet(out).select("pid").distinct().count()
         Seq(s"ann-sweep: top-$k for $n probes -> $out")

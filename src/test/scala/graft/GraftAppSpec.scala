@@ -401,6 +401,23 @@ class GraftAppSpec extends SparkSpecBase {
     val top5 = res.filter(org.apache.spark.sql.functions.col("pid") === 5L)
       .orderBy("rank").select("vec_id").collect().map(_.getLong(0))
     assert(top5.headOption.contains(40L), s"twin not found: ${top5.toSeq}")
+
+    // metadata-filtered sweep via GRAFT_ANN_WHERE: rebuild with a label
+    // metaCol, restrict to label=1 — no foreign-label id may surface
+    val dir2 = Files.createTempDirectory("app-sweep2").toFile.getAbsolutePath + "/idx"
+    val labeled = (base :+ twin).map { case (i, v) => (i, v, (i % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    new graft.llmops.AnnIndexStore(dir2)
+      .writeLsh(labeled, metaCols = Seq("label"))
+    val out2 = Files.createTempDirectory("app-sweep2-out").toFile.getAbsolutePath + "/top"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-sweep", "GRAFT_ANN_DIR" -> dir2,
+      "GRAFT_ANN_SWEEP_OUT" -> out2, "GRAFT_ANN_K" -> "3",
+      "GRAFT_ANN_WHERE" -> "label = 1"))
+    val odd = spark.read.parquet(out2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(odd.nonEmpty && odd.forall(_ % 2 == 1),
+      s"filtered sweep leaked foreign labels: $odd")
   }
 
   test("maintenance mode: bpe-train persists a tokenizer that encodes on load") {
