@@ -238,29 +238,63 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_flagged"))
       .filter(col("n_flagged") >= minShared)
 
-  /** Persist the Bloom benchmark artifact: `dir/bits` (the position
-    * set) + `dir/meta` (m/k/shingle parameters, so a serving side can
-    * never silently hash into a different address space than the
-    * artifact was built in). */
+  /** Persist the Bloom benchmark artifact — VERSIONED so a live serving
+    * side (the curate intake re-reads the artifact per trigger) can
+    * never observe a half-refreshed one: each build writes a complete
+    * `dir/v<N>/{bits,meta}` (bits = the position set, meta = m/k/shingle
+    * so serving can never hash into a different address space than the
+    * build), then atomically swings `dir/CURRENT` to N via a temp-file
+    * rename. In-flight readers of v<N-1> finish against their complete
+    * version; the PREVIOUS version is removed only when the new pointer
+    * is durable (older ones are already gone by induction). */
   def writeBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
                  evalDocs: DataFrame, mBits: Int = 1 << 16, kHashes: Int = 4,
                  shingleN: Int = 3, idCol: String = "doc_id",
-                 textCol: String = "text"): Unit = {
+                 textCol: String = "text"): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new Path(root, "CURRENT")
+    val prev = currentBloomVersion(fs, cur)
+    val next = prev.getOrElse(0L) + 1L
     bloomBits(evalDocs, mBits, kHashes, shingleN, idCol, textCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v$next/bits")
     import spark.implicits._
     Seq((mBits, kHashes, shingleN)).toDF("m_bits", "k_hashes", "shingle_n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v$next/meta")
+    val tmp = new Path(root, s"_CURRENT.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(cur, false)
+    fs.rename(tmp, cur)
+    prev.foreach(p => fs.delete(new Path(root, s"v$p"), true))
+    spark.read.schema("bit BIGINT").parquet(s"$dir/v$next/bits").count()
   }
 
+  private def currentBloomVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                  cur: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+
   /** [[bloomContamination]] against a persisted artifact — parameters
-    * come from the artifact's own meta, not the caller. */
+    * come from the artifact's own meta, not the caller; the version is
+    * resolved ONCE per call, so bits and meta always come from the same
+    * complete build even if a refresh lands mid-read. */
   def bloomContaminationFrom(spark: org.apache.spark.sql.SparkSession,
                              dir: String, df: DataFrame, minShared: Int = 3,
                              idCol: String = "doc_id",
                              textCol: String = "text"): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val bits = spark.read.schema("bit BIGINT").parquet(s"$dir/bits")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = currentBloomVersion(fs, new Path(root, "CURRENT")).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no CURRENT bloom version"))
+    val meta = spark.read.parquet(s"$dir/v$v/meta").head()
+    val bits = spark.read.schema("bit BIGINT").parquet(s"$dir/v$v/bits")
     bloomContamination(df, bits, minShared,
       mBits = meta.getAs[Int]("m_bits"), kHashes = meta.getAs[Int]("k_hashes"),
       shingleN = meta.getAs[Int]("shingle_n"), idCol = idCol, textCol = textCol)

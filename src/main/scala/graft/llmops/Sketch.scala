@@ -224,12 +224,14 @@ object Sketch {
     df.select(col(groupCol), histBucket(value).as("idx"))
       .groupBy(groupCol, "idx").agg(count(lit(1)).as("c"))
 
-  /** Per-group quantile read-out from a histogram table: for each
-    * q (permille) the lower edge of the bucket where the cumulative
-    * count crosses ceil(q·n/1000). A window over the tiny bucket table,
-    * never a sort of the underlying values. */
-  def histQuantiles(hist: DataFrame, groupCol: String,
-                    qPermille: Seq[Long]): DataFrame = {
+  /** The ONE crossing-bucket selection both quantile read-outs share:
+    * for every (group, q) the bucket where the cumulative count crosses
+    * target = ceil(q·n/1000), plus how deep in that bucket the answer
+    * sits. A window over the tiny bucket table — factored so the
+    * approximate and exact read-outs can never disagree on the rank
+    * convention. */
+  private def crossingBuckets(hist: DataFrame, groupCol: String,
+                              qPermille: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     hist
       .withColumn("cum",
@@ -240,9 +242,17 @@ object Sketch {
       .withColumn("target", expr("(q_permille * n + 999) div 1000"))
       .filter(col("cum") >= col("target") &&
         col("cum") - col("c") < col("target"))
+      .select(col(groupCol), col("idx"), col("q_permille"),
+        (col("target") - (col("cum") - col("c"))).as("k_in_bucket"))
+  }
+
+  /** Per-group quantile read-out from a histogram table: for each
+    * q (permille) the lower edge of the crossing bucket. */
+  def histQuantiles(hist: DataFrame, groupCol: String,
+                    qPermille: Seq[Long]): DataFrame =
+    crossingBuckets(hist, groupCol, qPermille)
       .select(col(groupCol), col("q_permille"),
         histBucketLo(col("idx")).as("approx_lo"))
-  }
 
   /** EXACT per-group quantiles without a per-group sort: two passes.
     * Pass 1 = the log-linear histogram finds, for every (group, q),
@@ -257,18 +267,8 @@ object Sketch {
   def exactQuantiles(df: DataFrame, groupCol: String, value: Column,
                      qPermille: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = histTable(df, groupCol, value)
-    val sel = hist
-      .withColumn("cum",
-        sum("c").over(Window.partitionBy(groupCol).orderBy("idx")))
-      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
-      .select(col(groupCol), col("idx"), col("c"), col("cum"), col("n"),
-        explode(typedlit(qPermille)).as("q_permille"))
-      .withColumn("target", expr("(q_permille * n + 999) div 1000"))
-      .filter(col("cum") >= col("target") &&
-        col("cum") - col("c") < col("target"))
-      .select(col(groupCol), col("idx"), col("q_permille"),
-        (col("target") - (col("cum") - col("c"))).as("k_in_bucket"))
+    val sel = crossingBuckets(histTable(df, groupCol, value),
+      groupCol, qPermille)
     // ties on equal v may rank in any order — the SELECTED value (the
     // k-th order statistic) is identical regardless, so the read-out
     // is deterministic without a tie-break column

@@ -45,6 +45,16 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
 
   private def partOf(c: Column): Column = pmod(hash(c), lit(numParts))
 
+  /** The probed groups' hash parts via ONE 1-row job over the same hash
+    * expression the write layout used — shared by every pruned-serving
+    * path so the read side can never drift from the write scheme. */
+  private def partsOf(spark: SparkSession, groups: Seq[String]): Set[Int] = {
+    require(groups.nonEmpty, "empty group set")
+    val partRow = spark.range(1)
+      .select(groups.map(g => partOf(lit(g)).cast("int")): _*).head()
+    groups.indices.map(partRow.getInt).toSet
+  }
+
   /** One KMV intake trigger: per-group batch sketches land under
     * `kmv/b<batchId>` (Overwrite — replay-safe). */
   def addKmvBatch(batch: DataFrame, groupCol: String, value: Column,
@@ -119,13 +129,7 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
   /** Pruned per-group serving: only the probed groups' hash-part dirs
     * are read (literal part list), not the whole store. */
   def kmvEstimateFor(spark: SparkSession, groups: Seq[String]): DataFrame = {
-    require(groups.nonEmpty, "empty group set")
-    // the probed groups' hash parts via ONE 1-row job over the same
-    // hash expression the write layout used (no hand-ported murmur3)
-    val partRow = spark.range(1)
-      .select(groups.map(g => partOf(lit(g)).cast("int")): _*).head()
-    val partSet = groups.indices.map(partRow.getInt).toSet
-    kmvMerged(spark, Some(partSet))
+    kmvMerged(spark, Some(partsOf(spark, groups)))
       .filter(col("group").isin(groups: _*))
       .select(col("group"), Sketch.kmvEstimate(col("mins"), k).as("n_est"))
   }
@@ -164,15 +168,11 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
 
   /** Pruned per-group HLL serving (literal part list, like
     * [[kmvEstimateFor]]). */
-  def hllEstimateFor(spark: SparkSession, groups: Seq[String]): DataFrame = {
-    require(groups.nonEmpty, "empty group set")
-    val partRow = spark.range(1)
-      .select(groups.map(g => partOf(lit(g)).cast("int")): _*).head()
-    val partSet = groups.indices.map(partRow.getInt).toSet
+  def hllEstimateFor(spark: SparkSession, groups: Seq[String]): DataFrame =
     Sketch.hllEstimates(
-      hllMerged(spark, Some(partSet)).filter(col("group").isin(groups: _*)),
+      hllMerged(spark, Some(partsOf(spark, groups)))
+        .filter(col("group").isin(groups: _*)),
       "group")
-  }
 
   /** Streaming HLL intake — same discipline as [[startKmv]]. */
   def startHll(docs: DataFrame, groupCol: String, value: Column,
@@ -222,15 +222,11 @@ final class SketchStore(root: String, k: Int = 256, d: Int = 4,
 
   /** Pruned per-group quantile serving (literal part list). */
   def histQuantilesFor(spark: SparkSession, groups: Seq[String],
-                       qPermille: Seq[Long]): DataFrame = {
-    require(groups.nonEmpty, "empty group set")
-    val partRow = spark.range(1)
-      .select(groups.map(g => partOf(lit(g)).cast("int")): _*).head()
-    val partSet = groups.indices.map(partRow.getInt).toSet
+                       qPermille: Seq[Long]): DataFrame =
     Sketch.histQuantiles(
-      histMerged(spark, Some(partSet)).filter(col("group").isin(groups: _*)),
+      histMerged(spark, Some(partsOf(spark, groups)))
+        .filter(col("group").isin(groups: _*)),
       "group", qPermille)
-  }
 
   /** Streaming histogram intake — same discipline as [[startKmv]]. */
   def startHist(docs: DataFrame, groupCol: String, value: Column,

@@ -283,11 +283,16 @@ object StreamingCurate {
     // optional corpus telemetry: fold the ADMITTED batch into a durable
     // SketchStore — per-source length-percentile histogram + distinct-
     // shingle HLL — so "what does my corpus look like NOW" is a bounded
-    // sketch read, never a corpus scan. Same b<id> replay discipline as
-    // every other store write in this trigger; O(batch) cost.
+    // sketch read, never a corpus scan. Sketches read BACK the trigger's
+    // committed curated output (not an upstream plan), so they always
+    // describe exactly what was emitted — including the block-rewrite
+    // stage's dropped docs and rewritten text. Same b<id> replay
+    // discipline as every other store write; O(batch) cost.
     sketchDir.foreach { dir =>
       val sk = new SketchStore(dir)
-      val admitted = curated.select("doc_id", "source", "text")
+      val admitted = spark.read
+        .schema("doc_id LONG, source STRING, text STRING")
+        .parquet(out("curated"))
       sk.addHistBatch(admitted, "source", length(col("text")), batchId)
       sk.addHllBatch(
         TextOps.shingleRows(admitted, 3, idCol = "source", dedup = false),

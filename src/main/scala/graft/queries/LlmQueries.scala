@@ -1687,6 +1687,33 @@ object LlmQueries {
         .orderBy("probe_id")
     }))
 
+  /** Shared JL-random-projection CTEs (projection literals identical to
+    * the Spark-side `Similarity.rpProject` family): quantized corpus
+    * `q/n/pf` (full-width) and reduced `red/rn/probe` — the common
+    * prefix of `llm_rp_ann` and `llm_rp_rerank`, factored so a seed or
+    * dim change can never desynchronize the paired oracles. */
+  private lazy val rpCtes: String = {
+    import graft.expressions.Hyperplanes
+    val projExprs = (0 until Similarity.RpDim).map(j =>
+      s"CAST(list_dot_product(qe::BIGINT[], " +
+        s"${Hyperplanes.coeffSqlList(Similarity.RpSeed, j, 64)}::BIGINT[]) " +
+        "AS BIGINT)")
+    s"""q AS (SELECT vec_id,
+       |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+       |  FROM embeddings),
+       |red AS (SELECT vec_id,
+       |    [${projExprs.mkString(",\n     ")}] AS qr
+       |  FROM q),
+       |rn AS (SELECT vec_id, qr,
+       |    CAST(list_dot_product(qr::BIGINT[], qr::BIGINT[]) AS BIGINT) AS nr
+       |  FROM red),
+       |probe AS (SELECT qr AS pr, nr AS np FROM rn WHERE vec_id = 0),
+       |n AS (SELECT vec_id, qe,
+       |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+       |  FROM q),
+       |pf AS (SELECT qe AS pe, nq AS npf FROM n WHERE vec_id = 0)""".stripMargin
+  }
+
   /** Shared banded-hyperplane-LSH candidate CTEs (plane literals
     * identical to the Spark-side HyperplaneBuckets family). */
   private lazy val cosNearDupCtes: String = {
@@ -2316,33 +2343,14 @@ object LlmQueries {
         |    / sqrt(CAST(nq * (SELECT np FROM probe) AS DOUBLE)) AS cosine
         |FROM n WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
-    "llm_rp_ann" -> {
-      import graft.llmops.Similarity
-      import graft.expressions.Hyperplanes
-      val projExprs = (0 until Similarity.RpDim).map(j =>
-        s"CAST(list_dot_product(qe::BIGINT[], " +
-          s"${Hyperplanes.coeffSqlList(Similarity.RpSeed, j, 64)}::BIGINT[]) " +
-          "AS BIGINT)")
-      s"""WITH q AS (SELECT vec_id,
-         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
-         |  FROM embeddings),
-         |red AS (SELECT vec_id,
-         |    [${projExprs.mkString(",\n     ")}] AS qr
-         |  FROM q),
-         |rn AS (SELECT vec_id, qr,
-         |    CAST(list_dot_product(qr::BIGINT[], qr::BIGINT[]) AS BIGINT) AS nr
-         |  FROM red),
-         |probe AS (SELECT qr AS pr, nr AS np FROM rn WHERE vec_id = 0),
+    "llm_rp_ann" ->
+      s"""WITH $rpCtes,
          |topr AS (SELECT vec_id,
          |    CAST(list_dot_product(qr::BIGINT[], (SELECT pr FROM probe)::BIGINT[]) AS BIGINT) AS dp_r,
          |    list_dot_product(qr::BIGINT[], (SELECT pr FROM probe)::BIGINT[]) * 1.0
          |      / sqrt(CAST(nr AS DOUBLE) * CAST((SELECT np FROM probe) AS DOUBLE)) AS cosine_r
          |  FROM rn WHERE vec_id <> 0
          |  ORDER BY cosine_r DESC, vec_id LIMIT 10),
-         |n AS (SELECT vec_id, qe,
-         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
-         |  FROM q),
-         |pf AS (SELECT qe AS pe, nq AS npf FROM n WHERE vec_id = 0),
          |topf AS (SELECT vec_id FROM (
          |    SELECT vec_id, row_number() OVER (ORDER BY
          |        list_dot_product(qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) * 1.0
@@ -2353,40 +2361,19 @@ object LlmQueries {
          |  CAST(CASE WHEN topf.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
          |    AS in_exact10
          |FROM topr t LEFT JOIN topf ON t.vec_id = topf.vec_id
-         |ORDER BY cosine_r DESC, t.vec_id""".stripMargin
-    },
-    "llm_rp_rerank" -> {
-      import graft.llmops.Similarity
-      import graft.expressions.Hyperplanes
-      val projExprs = (0 until Similarity.RpDim).map(j =>
-        s"CAST(list_dot_product(qe::BIGINT[], " +
-          s"${Hyperplanes.coeffSqlList(Similarity.RpSeed, j, 64)}::BIGINT[]) " +
-          "AS BIGINT)")
-      s"""WITH q AS (SELECT vec_id,
-         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
-         |  FROM embeddings),
-         |red AS (SELECT vec_id,
-         |    [${projExprs.mkString(",\n     ")}] AS qr
-         |  FROM q),
-         |rn AS (SELECT vec_id, qr,
-         |    CAST(list_dot_product(qr::BIGINT[], qr::BIGINT[]) AS BIGINT) AS nr
-         |  FROM red),
-         |probe AS (SELECT qr AS pr, nr AS np FROM rn WHERE vec_id = 0),
+         |ORDER BY cosine_r DESC, t.vec_id""".stripMargin,
+    "llm_rp_rerank" ->
+      s"""WITH $rpCtes,
          |short AS (SELECT vec_id FROM rn WHERE vec_id <> 0
          |  ORDER BY list_dot_product(qr::BIGINT[], (SELECT pr FROM probe)::BIGINT[]) * 1.0
          |      / sqrt(CAST(nr AS DOUBLE) * CAST((SELECT np FROM probe) AS DOUBLE)) DESC,
-         |    vec_id LIMIT 50),
-         |n AS (SELECT vec_id, qe,
-         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
-         |  FROM q),
-         |pf AS (SELECT qe AS pe, nq AS npf FROM n WHERE vec_id = 0)
+         |    vec_id LIMIT 50)
          |SELECT n.vec_id,
          |  CAST(list_dot_product(n.qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) AS BIGINT) AS dp,
          |  list_dot_product(n.qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) * 1.0
          |    / sqrt(CAST(n.nq * (SELECT npf FROM pf) AS DOUBLE)) AS cosine
          |FROM n JOIN short USING (vec_id)
-         |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
-    },
+         |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin,
     "llm_ann_filtered" ->
       """WITH q AS (SELECT vec_id, label,
         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe

@@ -457,8 +457,12 @@ object GraftApp {
         def fmt(df: org.apache.spark.sql.DataFrame): String =
           df.orderBy(df.columns.map(col): _*).collect()
             .map(r => r.toSeq.mkString(":")).mkString(" ")
+        // Hadoop FS existence, not java.io.File — the store may live on
+        // hdfs:// or s3a://, where a local-path check is silently false
+        val skRoot = new org.apache.hadoop.fs.Path(dir)
+        val skFs = skRoot.getFileSystem(spark.sessionState.newHadoopConf())
         def kindLine(kind: String, body: => String): Option[String] =
-          if (new java.io.File(s"$dir/$kind").exists())
+          if (skFs.exists(new org.apache.hadoop.fs.Path(skRoot, kind)))
             Some(s"sketch-serve $kind: " + body)
           else None
         kindLine("kmv", fmt(
@@ -533,9 +537,8 @@ object GraftApp {
         val m = env.get("GRAFT_BLOOM_M").map(_.toInt).getOrElse(1 << 16)
         val kh = env.get("GRAFT_BLOOM_K").map(_.toInt).getOrElse(4)
         val sn = env.get("GRAFT_BLOOM_SHINGLE").map(_.toInt).getOrElse(3)
-        graft.llmops.Dedup.writeBloom(spark, out,
+        val nBits = graft.llmops.Dedup.writeBloom(spark, out,
           spark.read.parquet(bench), m, kh, sn)
-        val nBits = spark.read.parquet(s"$out/bits").count()
         Seq(s"bloom-bits: $nBits of $m positions set (k=$kh, n=$sn) -> $out")
       case "bpe-train" =>
         val docsDir = env.getOrElse("GRAFT_BPE_DOCS",
@@ -576,9 +579,17 @@ object GraftApp {
         val packed = graft.llmops.Bpe.packSequences(ids, budget,
           srcCol = "shard")
         packed.write.mode("overwrite").partitionBy("shard").parquet(out)
-        val stats = spark.read.parquet(out)
-          .agg(count(lit(1)), sum(size(col("ids"))),
-            sum(when(size(col("ids")) === budget, 1L).otherwise(0L)))
+        // explicit schema + coalesced sums: an empty emission (vocab
+        // covers nothing / empty corpus) must report "0 sequences",
+        // not die on schema inference or a null sum
+        val stats = spark.read
+          .schema("seq_id BIGINT, ids ARRAY<BIGINT>, shard BIGINT")
+          .parquet(out)
+          .agg(count(lit(1)),
+            org.apache.spark.sql.functions.coalesce(
+              sum(size(col("ids"))), lit(0L)),
+            org.apache.spark.sql.functions.coalesce(
+              sum(when(size(col("ids")) === budget, 1L).otherwise(0L)), lit(0L)))
           .head()
         Seq(s"emit-shards: ${stats.getLong(0)} sequences " +
           s"(${stats.getLong(2)} full at $budget), " +
