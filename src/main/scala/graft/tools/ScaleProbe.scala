@@ -223,12 +223,25 @@ object ScaleProbe {
               '_', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)
               % 4000 AS STRING)))))""").as("text"))
       .localCheckpoint(true)
+    // ... with the round-7 optional stages ON: a persisted bloom gate
+    // (a disjoint benchmark, so nothing in the corpus is dropped by it)
+    // and the per-trigger sketch-store telemetry — the per-trigger cost
+    // must STAY flat with both stages paying O(batch + bits) each.
+    val bloomDir = java.nio.file.Files.createTempDirectory("scale-bloom")
+      .toFile.getAbsolutePath + "/bloom"
+    Dedup.writeBloom(spark, bloomDir, spark.range(200)
+      .select(col("id").as("doc_id"),
+        expr("concat('benchmark sentence number ', CAST(id AS STRING), " +
+          "' unrelated to the probe corpus entirely')").as("text")))
+    val sketchDir = java.nio.file.Files.createTempDirectory("scale-sketch")
+      .toFile.getAbsolutePath + "/sk"
     val curBatch = 5000
     val trigSecs = (0 until 4).map { b =>
       t0 = System.nanoTime()
       graft.llmops.StreamingCurate.applyBatch(
         curDocs.filter(col("doc_id") >= b * curBatch &&
-          col("doc_id") < (b + 1) * curBatch), curStore, b.toLong)
+          col("doc_id") < (b + 1) * curBatch), curStore, b.toLong,
+        decontamDir = Some(bloomDir), sketchDir = Some(sketchDir))
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"curate trigger $b: $curBatch docs in $secs%.1f s (planned " +
         s"seen=${graft.llmops.StreamingCurate.lastSeenDirsPlanned.size} " +
@@ -239,6 +252,12 @@ object ScaleProbe {
     val curN = graft.llmops.StreamingCurate.curated(spark, curStore).count()
     println(f"curate intake: $curN admitted; trigger 3 / trigger 1 = " +
       f"${trigSecs(3) / trigSecs(1)}%.2f (flat = no O(corpus) read)")
+    // telemetry sanity: the sketch store's histogram covers exactly the
+    // admitted corpus
+    val skDocs = new graft.llmops.SketchStore(sketchDir).histCells(spark)
+      .agg(sum(col("c"))).first().getLong(0)
+    require(skDocs == curN, s"sketch store covers $skDocs of $curN admitted")
+    println(s"curate sketch telemetry: $skDocs docs folded (== admitted)")
 
     // persisted ANN serving indexes: build both layouts over synthetic
     // embeddings with planted twins, serve a probe from disk, report
