@@ -184,6 +184,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor in
+    * a bounded anchor batch, the k highest-cosine vectors carrying a
+    * DIFFERENT label — the "looks similar, isn't the same thing"
+    * examples a contrastive trainer pairs with its positives (the
+    * negatives that actually move the loss; random negatives are
+    * mostly trivial). One corpus scan against the broadcast anchor
+    * batch: |anchors|·N scored rows, per-anchor top-k via a rank
+    * window over the anchor partitioning (WindowGroupLimit keeps a
+    * k-row heap per task) — never corpus × corpus. The label
+    * inequality filters BEFORE scoring, same discipline as
+    * [[filteredTopK]]. At serving scale the identical shape runs
+    * against the persisted ANN layouts with a label `where=`
+    * ([[AnnIndexStore]]); this is the exact-mining pass over a
+    * training minibatch of anchors. */
+  def hardNegatives(embeddings: DataFrame, anchorPred: Column, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = embeddings
+      .select(col(idCol), col(labelCol), quantize(col(vecCol)).as("qe"))
+      .withColumn("nq", normQ(col("qe")))
+    val anchors = q.filter(anchorPred).select(
+      col(idCol).as("anchor_id"), col(labelCol).as("anchor_label"),
+      col("qe").as("ae"), col("nq").as("na"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy(desc("cosine"), col(idCol))
+    q.crossJoin(broadcast(anchors))
+      .filter(col(labelCol) =!= col("anchor_label"))
+      .withColumn("dp", dotQ(col("qe"), col("ae")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("na")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"), col("dp"), col("cosine"), col("rank"))
+      .orderBy("anchor_id", "rank")
+  }
+
   /** Exploded banded bucket table (id, band, bucket). This is the LSH
     * index: at scale, persist it partitioned by (band, bucket) and
     * reuse it for every probe / near-dup pass. */

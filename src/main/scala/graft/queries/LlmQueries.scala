@@ -1685,6 +1685,73 @@ object LlmQueries {
         .select(col("pid").as("probe_id"), col("n_exact"), col("n_hit"),
           col("recall_milli"))
         .orderBy("probe_id")
+    }),
+
+    // Soft dedup: instead of DROPPING duplicates, DOWNWEIGHT them —
+    // every copy of a content hash carries weight 1/n (micro units,
+    // integer-exact 1000000 div n), so duplicated content contributes
+    // exactly one doc's worth of mass corpus-wide no matter how many
+    // sources carry it. The per-source effective doc/token mass is what
+    // a repetition-aware sampler feeds its epoch math (sample
+    // proportional to unique content, not raw copies — the soft
+    // alternative when hard dedup would throw away provenance). Two
+    // shuffles: content-hash groupBy for copy counts, source groupBy
+    // for the report; the join carries only (h, n).
+    "llm_dedup_soft" -> ((s, d) => {
+      val dd = documents(s, d).select(col("source"),
+        TextOps.contentHash(col("text")).as("h"), size(toks).as("ntok"))
+      val counts = dd.groupBy("h").agg(count(lit(1)).as("n"))
+      dd.join(counts, "h")
+        .withColumn("w_micro", expr("1000000 div n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w_micro").as("eff_docs_micro"),
+          sum("ntok").cast("bigint").as("n_tokens"),
+          sum(col("ntok") * col("w_micro")).as("eff_tokens_micro"))
+        .orderBy("source")
+    }),
+
+    // Hard-negative mining: for each of 8 anchor vectors, the 5 most
+    // cosine-similar vectors with a DIFFERENT label — the contrastive-
+    // training pairs that actually move an embedding model's loss.
+    // Anchors broadcast against ONE corpus scan; label inequality
+    // filters before scoring; per-anchor top-k is a WindowGroupLimit
+    // rank window (k-row heap per task, no global sort).
+    "llm_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(embeddings(s, d), col("vec_id") < 8, k = 5)),
+
+    // Feature-hashed (hashing-trick) bag-of-words embeddings: every
+    // token hashes into one of 16 dims, carrying a ±1 sign drawn from
+    // the same 60-bit md5 family — a document embedding from text
+    // alone, no model. Kept SPARSE as (doc, dim, val) end-to-end: the
+    // probe-doc dot product is a dim-key join against a broadcast
+    // 16-row probe vector, norms are per-doc sums of squares — all
+    // integer-exact, so the oracle hash-matches. The model-free
+    // retrieval baseline (and the fallback when embeddings don't
+    // exist yet for a new corpus).
+    "llm_feature_embed" -> ((s, d) => {
+      import graft.expressions.GraftFunctions.md5_prefix60
+      val dims = 16
+      val tok = documents(s, d).select(col("doc_id"), explode(toks).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("h", md5_prefix60(col("w")))
+      val fv = tok
+        .withColumn("dim", expr(s"pmod(h, $dims)"))
+        .withColumn("sgn", expr(s"1 - 2 * pmod(h div $dims, 2)"))
+        .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
+      val norms = fv.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nq"))
+      val probe = fv.filter(col("doc_id") === 0)
+        .select(col("dim"), col("v").as("pv"))
+      val pn = norms.filter(col("doc_id") === 0).select(col("nq").as("np"))
+      fv.join(broadcast(probe), "dim")
+        .groupBy("doc_id").agg(sum(col("v") * col("pv")).as("dp"))
+        .join(norms, "doc_id")
+        .crossJoin(broadcast(pn))
+        .filter(col("doc_id") =!= 0 && col("nq") > 0)
+        .withColumn("cosine",
+          col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+        .select(col("doc_id"), col("dp"), col("cosine"))
+        .orderBy(desc("cosine"), col("doc_id")).limit(10)
     }))
 
   /** Shared JL-random-projection CTEs (projection literals identical to
@@ -3076,5 +3143,55 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN lsh.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000
          |    // count(*) AS BIGINT) AS recall_milli
          |FROM ext LEFT JOIN lsh ON ext.pid = lsh.pid AND ext.cid = lsh.cid
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_dedup_soft" ->
+      """WITH h AS (SELECT source,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |    len(string_split(text, ' ')) AS ntok
+        |  FROM documents),
+        |c AS (SELECT h, count(*) AS n FROM h GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(1000000 // n) AS BIGINT) AS eff_docs_micro,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ntok * (1000000 // n)) AS BIGINT) AS eff_tokens_micro
+        |FROM h JOIN c USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qe,
+        |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+        |  FROM q),
+        |a AS (SELECT vec_id AS anchor_id, label AS albl, qe AS ae, nq AS na
+        |  FROM n WHERE vec_id < 8),
+        |scored AS (SELECT a.anchor_id, n.vec_id AS neg_id,
+        |    n.label AS neg_label,
+        |    CAST(list_dot_product(n.qe::BIGINT[], a.ae::BIGINT[]) AS BIGINT) AS dp,
+        |    list_dot_product(n.qe::BIGINT[], a.ae::BIGINT[]) * 1.0
+        |      / sqrt(CAST(n.nq * a.na AS DOUBLE)) AS cosine
+        |  FROM n JOIN a ON n.label <> a.albl),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY cosine DESC, neg_id) AS BIGINT) AS rank FROM scored)
+        |SELECT anchor_id, neg_id, neg_label, dp, cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    "llm_feature_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |hv AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h
+        |  FROM tok WHERE len(w) > 0),
+        |fv AS (SELECT doc_id, h % 16 AS dim,
+        |    CAST(sum(1 - 2 * ((h // 16) % 2)) AS BIGINT) AS v
+        |  FROM hv GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, CAST(sum(v*v) AS BIGINT) AS nq
+        |  FROM fv GROUP BY 1),
+        |probe AS (SELECT dim, v AS pv FROM fv WHERE doc_id = 0),
+        |pn AS (SELECT nq AS np FROM norms WHERE doc_id = 0),
+        |dps AS (SELECT fv.doc_id, CAST(sum(v * pv) AS BIGINT) AS dp
+        |  FROM fv JOIN probe USING (dim) GROUP BY 1)
+        |SELECT dps.doc_id, dp,
+        |  dp * 1.0 / sqrt(CAST(nq * (SELECT np FROM pn) AS DOUBLE)) AS cosine
+        |FROM dps JOIN norms USING (doc_id)
+        |WHERE dps.doc_id <> 0 AND nq > 0
+        |ORDER BY cosine DESC, dps.doc_id LIMIT 10""".stripMargin)
 }

@@ -644,6 +644,42 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup-soft, hard-negatives, feature-embed: scale shapes hold") {
+    // llm_dedup_soft: both aggregates map-side partial; the (h, n)
+    // copy-count join is a plain equality hash join — no cartesian
+    val sd = q("llm_dedup_soft")
+    sd.count()
+    val sdPlan = planString(sd)
+    assert(sdPlan.contains("partial"), sdPlan.take(2000))
+    assert(!collectAll(executed(sd)).exists(_.isInstanceOf[CartesianProductExec]))
+
+    // llm_hard_negatives: the bounded anchor batch BROADCASTS against
+    // one corpus scan (a broadcast nested-loop by construction — the
+    // label inequality is the join condition), and the per-anchor
+    // top-k carries a WindowGroupLimit (k-row heap per task, no full
+    // partition sorts); scoring is the codegen'd dot_q, no UDFs
+    val hn = q("llm_hard_negatives")
+    hn.count()
+    val hnPlan = planString(hn)
+    assert(hnPlan.contains("BroadcastExchange"), hnPlan.take(2000))
+    assert(hnPlan.contains("WindowGroupLimit"), hnPlan.take(2000))
+    assert(!hnPlan.contains("ScalaUDF"), hnPlan.take(2000))
+    assert(!collectAll(executed(hn)).exists(_.isInstanceOf[CartesianProductExec]))
+
+    // llm_feature_embed: sparse (doc, dim, val) all the way — the
+    // probe vector (≤16 rows) broadcasts into the dim-key join, the
+    // final top-10 is a TakeOrdered cut, aggregation is partial
+    val fe = q("llm_feature_embed")
+    fe.count()
+    val fePlan = planString(fe)
+    assert(fePlan.contains("BroadcastExchange"), fePlan.take(2000))
+    assert(collectAll(executed(fe)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      fePlan.take(2000))
+    assert(fePlan.contains("partial"), fePlan.take(2000))
+    assert(!collectAll(executed(fe)).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
