@@ -1752,6 +1752,52 @@ object LlmQueries {
           col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
         .select(col("doc_id"), col("dp"), col("cosine"))
         .orderBy(desc("cosine"), col("doc_id")).limit(10)
+    }),
+
+    // Interpolated Kneser-Ney bigram perplexity — the production-grade
+    // upgrade of llm_lm_score's raw MLE: P(next|w) = (C(w,next) − D)/C(w)
+    //   + D·N1+(w,·)/C(w) · N1+(·,next)/T
+    // with absolute discount D = 0.75 and the backoff mass going to the
+    // CONTINUATION probability (how many contexts a word completes, not
+    // how often it occurs — the "san francisco" correction). With
+    // milli-scaled integer counts the probability is the exact ratio
+    //   num/(1000·C(w)·T), num = (1000·C(w,next) − 750)·T
+    //                            + 750·N1+(w,·)·N1+(·,next)
+    // (C ≥ 1 keeps the discounted term positive), so per-bigram lns
+    // micro-round on exact integers — order-independent sums, oracle
+    // hash-exact. All model tables are token-keyed aggregates of the
+    // one bigram scan; T is a 1-row broadcast; never doc-vs-doc.
+    "llm_lm_kn" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"), toks.as("t"))
+      val bg = t.select(col("doc_id"),
+          posexplode(col("t")).as(Seq("i", "w")), col("t"))
+        .filter(col("i") < size(col("t")) - 1)
+        .select(col("doc_id"), col("w"),
+          element_at(col("t"), col("i") + 2).as("nxt"))
+      val cb = bg.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
+      // one pass over the bigram-type table yields C(w) and N1+(w,·)
+      val cc = cb.groupBy("w")
+        .agg(sum("cb").as("cc"), count(lit(1)).as("n1w"))
+      val n1n = cb.groupBy("nxt").agg(count(lit(1)).as("n1n"))
+      val tt = cb.agg(count(lit(1)).as("tt"))
+      val lnMicro = (c: Column) =>
+        round(log(c.cast("double")) * 1e6).cast("bigint")
+      bg.groupBy("doc_id", "w", "nxt").agg(count(lit(1)).as("cnt"))
+        .join(cb, Seq("w", "nxt"))
+        .join(cc, Seq("w"))
+        .join(n1n, Seq("nxt"))
+        .crossJoin(broadcast(tt))
+        .withColumn("num", (lit(1000) * col("cb") - lit(750)) * col("tt")
+          + lit(750) * col("n1w") * col("n1n"))
+        .withColumn("den", lit(1000) * col("cc") * col("tt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          sum(col("cnt") * (lnMicro(col("den")) - lnMicro(col("num"))))
+            .as("s_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s_micro") * lit(1.0) / (lit(1000.0) * col("n_bigrams")))
+            .cast("bigint").as("xent_milli"))
+        .orderBy("doc_id")
     }))
 
   /** Shared JL-random-projection CTEs (projection literals identical to
@@ -3193,5 +3239,31 @@ object LlmQueries {
         |  dp * 1.0 / sqrt(CAST(nq * (SELECT np FROM pn) AS DOUBLE)) AS cosine
         |FROM dps JOIN norms USING (doc_id)
         |WHERE dps.doc_id <> 0 AND nq > 0
-        |ORDER BY cosine DESC, dps.doc_id LIMIT 10""".stripMargin)
+        |ORDER BY cosine DESC, dps.doc_id LIMIT 10""".stripMargin,
+    "llm_lm_kn" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([t[i] for i in range(1, greatest(len(t), 1))]) AS w,
+        |    unnest([t[i+1] for i in range(1, greatest(len(t), 1))]) AS nxt
+        |  FROM t),
+        |cb AS (SELECT w, nxt, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w, CAST(sum(cb) AS BIGINT) AS cc,
+        |    count(*) AS n1w FROM cb GROUP BY 1),
+        |n1n AS (SELECT nxt, count(*) AS n1n FROM cb GROUP BY 1),
+        |tt AS (SELECT count(*) AS tt FROM cb),
+        |dt AS (SELECT doc_id, w, nxt, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        |terms AS (SELECT doc_id, cnt,
+        |    (1000 * cb.cb - 750) * (SELECT tt FROM tt)
+        |      + 750 * cc.n1w * n1n.n1n AS num,
+        |    1000 * cc.cc * (SELECT tt FROM tt) AS den
+        |  FROM dt JOIN cb USING (w, nxt) JOIN cc USING (w)
+        |    JOIN n1n USING (nxt)),
+        |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(cnt * (CAST(round(ln(den::DOUBLE) * 1e6) AS BIGINT)
+        |                  - CAST(round(ln(num::DOUBLE) * 1e6) AS BIGINT)))
+        |      AS BIGINT) AS s_micro
+        |  FROM terms GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(round(s_micro * 1.0 / (1000.0 * n_bigrams)) AS BIGINT) AS xent_milli
+        |FROM sc ORDER BY doc_id""".stripMargin)
 }

@@ -678,6 +678,18 @@ class PlanAuditSpec extends SparkSpecBase {
       fePlan.take(2000))
     assert(fePlan.contains("partial"), fePlan.take(2000))
     assert(!collectAll(executed(fe)).exists(_.isInstanceOf[CartesianProductExec]))
+
+    // llm_lm_kn: all model tables are token-keyed hash joins off one
+    // bigram scan; the 1-row T total broadcasts; no UDF, no cartesian
+    // beyond the broadcast single-row join
+    val kn = q("llm_lm_kn")
+    kn.count()
+    val knPlan = planString(kn)
+    assert(knPlan.contains("partial"), knPlan.take(2000))
+    assert(knPlan.contains("BroadcastExchange") ||
+      knPlan.contains("BroadcastNestedLoopJoin"), knPlan.take(2000))
+    assert(!knPlan.contains("ScalaUDF"), knPlan.take(2000))
+    assert(!collectAll(executed(kn)).exists(_.isInstanceOf[CartesianProductExec]))
   }
 
   test("NO registered query plans an unpartitioned window over unbounded input") {
