@@ -1,0 +1,165 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword segmenter: the OTHER major
+  * tokenizer family next to [[Bpe]]. Where BPE composes greedily from
+  * merges, a unigram segmenter picks, per word, the GLOBALLY best
+  * segmentation under per-piece log-probabilities — exact Viterbi
+  * decoding over all substring splits. This implementation is the
+  * frequency-seeded form (piece probability ∝ corpus substring
+  * frequency over the selected vocab — hard-EM round zero, the seed
+  * state every SentencePiece training run starts from).
+  *
+  * Scale factoring (identical discipline to [[Bpe]]):
+  *  - corpus-scale work is ONE word-count shuffle ([[Bpe.wordCounts]]'
+  *    shape); substring counting, vocab selection and per-word Viterbi
+  *    all run over the BOUNDED word dict, never the corpus;
+  *  - the vocab (top-V pieces + all single chars) is DRIVER METADATA
+  *    like BPE merges / IVF centroids — ≤ vocabSize + alphabet rows —
+  *    broadcast into the per-word decode;
+  *  - corpus results join back on the word key (each DISTINCT word is
+  *    decoded once; occurrences pay a hash join, not a DP).
+  *
+  * Engine-exact determinism (the oracle replays every step in SQL):
+  *  - piece log-probs are micro-rounded lns of exact integer
+  *    (freq, total) pairs: lnp = round(ln freq·1e6) − round(ln tot·1e6);
+  *  - a path's score is a SUM of those integers, so the Viterbi argmax
+  *    is order-independent; ties break (score desc, n_pieces asc,
+  *    split-start asc) — fixed on both engines;
+  *  - unknown single chars (possible when the dict cap drops a word's
+  *    only occurrence of a char) decode with the defined UNK penalty
+  *    lnp = −round(ln tot·1e6) (pseudo-frequency 1), so decoding is
+  *    TOTAL: every word segments, nothing throws.
+  */
+object Unigram {
+
+  val MaxPieceLen = 4
+  val DefaultVocabSize = 512
+
+  /** Position bound for the ORACLE's unrolled Viterbi DP (the Scala
+    * decoder handles any length). Corpus words here are ≤ 8 chars; a
+    * corpus with longer words needs the unroll widened in step — a
+    * mismatch surfaces as a missing dp row → a hash mismatch, never a
+    * silent wrong answer. */
+  val OracleMaxWordLen = 12
+
+  final case class Piece(piece: String, freq: Long)
+  final case class Vocab(pieces: Array[Piece], total: Long) {
+    lazy val lnTotMicro: Long = lnMicro(total)
+    lazy val lnpMicro: Map[String, Long] =
+      pieces.iterator.map(p => p.piece -> (lnMicro(p.freq) - lnTotMicro)).toMap
+  }
+
+  def lnMicro(x: Long): Long = Math.round(Math.log(x.toDouble) * 1e6)
+
+  /** All substrings of length 1..[[MaxPieceLen]] of the dict words,
+    * weighted by word frequency — the seed-piece frequency table.
+    * Bounded: |dict| · maxWordLen · MaxPieceLen rows pre-aggregation,
+    * map-side combined down to the distinct-piece count. */
+  def pieceCounts(wordFreq: DataFrame): DataFrame =
+    wordFreq.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, least(length(w), $MaxPieceLen)),
+           |  l -> transform(sequence(1, length(w) - l + 1),
+           |    s -> substring(w, s, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+
+  /** Select the vocab: top `vocabSize` pieces by (freq desc, piece asc)
+    * — a distributed TakeOrdered cut — UNION all single-char pieces
+    * (guaranteed coverage), then collect: the result is bounded driver
+    * metadata. `total` is the vocab's frequency mass (the probability
+    * denominator). */
+  def trainVocab(docs: DataFrame, vocabSize: Int = DefaultVocabSize,
+                 vocabCap: Int = 1 << 16, textCol: String = "text"): Vocab = {
+    val pc = pieceCounts(Bpe.wordCounts(docs, vocabCap, textCol))
+    val top = pc.orderBy(desc("freq"), col("piece")).limit(vocabSize)
+    val chars = pc.filter(length(col("piece")) === 1)
+    val rows = top.union(chars).distinct()
+      .collect().map(r => Piece(r.getString(0), r.getLong(1)))
+      .sortBy(p => (p.piece, p.freq))
+    Vocab(rows, rows.map(_.freq).sum)
+  }
+
+  /** Exact Viterbi decode of one word under the vocab: maximize the
+    * summed piece log-prob over every segmentation into pieces of
+    * length ≤ [[MaxPieceLen]] (single chars always available, unknown
+    * ones at the UNK penalty). Ties: fewer pieces, then earliest
+    * split start. Returns (pieces, scoreMicro). O(len · MaxPieceLen). */
+  def segmentWord(word: String, vocab: Vocab): (Array[String], Long) = {
+    val n = word.length
+    if (n == 0) return (Array.empty, 0L)
+    val lnp = vocab.lnpMicro
+    val unk = -vocab.lnTotMicro
+    // dp over end positions: score, piece count, backpointer
+    val score = Array.fill(n + 1)(Long.MinValue)
+    val np = Array.fill(n + 1)(Int.MaxValue)
+    val back = Array.fill(n + 1)(-1)
+    score(0) = 0L; np(0) = 0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - MaxPieceLen)
+      while (j < i) {
+        if (score(j) != Long.MinValue) {
+          val piece = word.substring(j, i)
+          val p = lnp.get(piece) match {
+            case Some(v) => Some(v)
+            case None => if (i - j == 1) Some(unk) else None
+          }
+          p.foreach { v =>
+            val s = score(j) + v
+            val k = np(j) + 1
+            // (score desc, np asc, j asc): strict improvement keeps the
+            // smallest j among equals because j iterates ascending
+            if (s > score(i) || (s == score(i) && k < np(i))) {
+              score(i) = s; np(i) = k; back(i) = j
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val pieces = Array.newBuilder[String]
+    var at = n
+    val stack = scala.collection.mutable.Stack.empty[String]
+    while (at > 0) { val j = back(at); stack.push(word.substring(j, at)); at = j }
+    while (stack.nonEmpty) pieces += stack.pop()
+    (pieces.result(), score(n))
+  }
+
+  /** Corpus segmentation, vocabulary-factored: decode each DISTINCT
+    * word once (mapPartitions over the word dict with the broadcast
+    * vocab — the imperative DP never sees a corpus-sized row count),
+    * then join per-word (n_pieces, score) back onto token occurrences.
+    * Output per doc: (doc_id, n_ws_tokens, n_pieces, nll_milli) where
+    * nll_milli is the mean negative log-likelihood per piece in
+    * milli-nats — the unigram-LM fit signal a tokenizer-budget job
+    * reads next to BPE fertility. */
+  def segmentCorpus(docs: DataFrame, vocab: Vocab,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    val distinctWords = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val decoded = distinctWords.as[String].mapPartitions { it =>
+      val v = bc.value
+      it.map { w =>
+        val (pieces, s) = segmentWord(w, v)
+        (w, pieces.length.toLong, s)
+      }
+    }.toDF("w", "n_pieces_w", "score_micro_w")
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(decoded, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum("n_pieces_w").as("n_pieces"),
+        sum("score_micro_w").as("s_micro"))
+      .select(col(idCol), col("n_ws_tokens"), col("n_pieces"),
+        round(-col("s_micro") * lit(1.0) / (lit(1000.0) * col("n_pieces")))
+          .cast("bigint").as("nll_milli"))
+  }
+}

@@ -1798,6 +1798,25 @@ object LlmQueries {
           round(col("s_micro") * lit(1.0) / (lit(1000.0) * col("n_bigrams")))
             .cast("bigint").as("xent_milli"))
         .orderBy("doc_id")
+    }),
+
+    // Unigram-LM (SentencePiece-style) segmentation — the OTHER major
+    // tokenizer family next to BPE: per word, the GLOBALLY optimal
+    // split under per-piece log-probs via exact Viterbi decoding
+    // (frequency-seeded probabilities = hard-EM round zero). Corpus
+    // work is one word-count shuffle; vocab selection is a distributed
+    // TakeOrdered; the DP runs once per DISTINCT word with the
+    // broadcast ≤(V+alphabet)-piece vocab, and occurrences join back
+    // on the word key. Output: per-doc piece counts + mean NLL per
+    // piece (milli-nats) — the unigram fit signal a tokenizer-budget
+    // job reads next to BPE fertility. The oracle replays the WHOLE
+    // pipeline: substring counting, the top-V cut, micro-rounded
+    // integer log-probs, and the Viterbi DP unrolled by position with
+    // the identical (score desc, pieces asc, start asc) tie-break.
+    "llm_unigram_encode" -> ((s, d) => {
+      import graft.llmops.Unigram
+      val docs = documents(s, d)
+      Unigram.segmentCorpus(docs, Unigram.trainVocab(docs)).orderBy("doc_id")
     }))
 
   /** Shared JL-random-projection CTEs (projection literals identical to
@@ -1992,7 +2011,87 @@ object LlmQueries {
     b.toString
   }
 
+  /** DuckDB replay of the whole unigram-segmenter pipeline
+    * ([[graft.llmops.Unigram]]): capped word dict → substring piece
+    * counts → top-V ∪ single-char vocab → micro-rounded integer
+    * log-probs → Viterbi DP UNROLLED by end position (dp1..dpN CTEs,
+    * each an argmax over the ≤MaxPieceLen predecessor states with the
+    * (score desc, pieces asc, start asc) tie-break — exactly
+    * `Unigram.segmentWord`'s loop order) → per-doc roll-up. Unknown
+    * single chars decode at the UNK penalty −ln(total), mirroring the
+    * decoder's totality rule. */
+  private lazy val unigramCtes: String = {
+    import graft.llmops.Unigram
+    val (pl, v, cap, ml) = (Unigram.MaxPieceLen, Unigram.DefaultVocabSize,
+      1 << 16, Unigram.OracleMaxWordLen)
+    val b = new StringBuilder
+    b ++= s"""wc AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 AND NOT contains(w, chr(31))
+      |  GROUP BY 1 ORDER BY cnt DESC, w LIMIT $cap),
+      |subs AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+      |    SELECT cnt, substr(w, s, l) AS piece
+      |    FROM wc, generate_series(1, $pl) AS gl(l),
+      |         generate_series(1, $ml) AS gs(s)
+      |    WHERE s + l - 1 <= len(w))
+      |  GROUP BY 1),
+      |vtop AS (SELECT piece, freq FROM subs ORDER BY freq DESC, piece LIMIT $v),
+      |vocab AS (SELECT DISTINCT piece, freq FROM
+      |  (SELECT * FROM vtop UNION ALL
+      |   SELECT piece, freq FROM subs WHERE len(piece) = 1)),
+      |tot AS (SELECT CAST(round(ln(sum(freq)::DOUBLE) * 1e6) AS BIGINT) AS lntot
+      |  FROM vocab),
+      |lnp AS (SELECT piece, CAST(round(ln(freq::DOUBLE) * 1e6) AS BIGINT)
+      |    - (SELECT lntot FROM tot) AS lnp FROM vocab),
+      |dw AS (SELECT DISTINCT w FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |cnd AS (SELECT w, s - 1 AS j, s + l - 1 AS i, substr(w, s, l) AS piece, l
+      |  FROM dw, generate_series(1, $pl) AS gl(l),
+      |       generate_series(1, $ml) AS gs(s)
+      |  WHERE s + l - 1 <= len(w)),
+      |pieces AS MATERIALIZED (SELECT c.w, c.j, c.i,
+      |    COALESCE(lnp.lnp, CASE WHEN c.l = 1
+      |      THEN -(SELECT lntot FROM tot) END) AS lnp
+      |  FROM cnd c LEFT JOIN lnp ON lnp.piece = c.piece
+      |  WHERE lnp.lnp IS NOT NULL OR c.l = 1),
+      |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS np FROM dw),
+      |""".stripMargin
+    (1 to ml).foreach { i =>
+      val js = math.max(0, i - pl) until i
+      val branches = js.map { j =>
+        s"""    SELECT p.w, d.sc + p.lnp AS sc, d.np + 1 AS np, p.j
+           |    FROM pieces p JOIN dp$j d ON p.w = d.w AND p.j = $j AND p.i = $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      b ++= s"""dp$i AS MATERIALIZED (SELECT w, sc, np FROM (
+        |  SELECT w, sc, np, row_number() OVER (PARTITION BY w
+        |      ORDER BY sc DESC, np ASC, j ASC) AS rn FROM (
+        |$branches
+        |  )) WHERE rn = 1),
+        |""".stripMargin
+    }
+    val finals = (1 to ml).map(i =>
+      s"  SELECT d.w, d.sc, d.np FROM dp$i d JOIN dw USING (w) WHERE len(w) = $i")
+      .mkString("\n  UNION ALL\n")
+    b ++= s"""wseg AS (
+      |$finals
+      |),
+      |wd AS (SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0)""".stripMargin
+    b.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_unigram_encode" ->
+      s"""WITH $unigramCtes,
+         |agg AS (SELECT doc_id, count(*) AS n_ws_tokens,
+         |    CAST(sum(np) AS BIGINT) AS n_pieces,
+         |    CAST(sum(sc) AS BIGINT) AS s_micro
+         |  FROM wd JOIN wseg USING (w) GROUP BY 1)
+         |SELECT doc_id, n_ws_tokens, n_pieces,
+         |  CAST(round(-s_micro * 1.0 / (1000.0 * n_pieces)) AS BIGINT) AS nll_milli
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "llm_bpe_fertility" ->
       s"""WITH $bpeSeqCtes,
          |fw AS (

@@ -690,6 +690,16 @@ class PlanAuditSpec extends SparkSpecBase {
       knPlan.contains("BroadcastNestedLoopJoin"), knPlan.take(2000))
     assert(!knPlan.contains("ScalaUDF"), knPlan.take(2000))
     assert(!collectAll(executed(kn)).exists(_.isInstanceOf[CartesianProductExec]))
+
+    // llm_unigram_encode: the per-word Viterbi is vocabulary-factored —
+    // the decoded word dict joins occurrences as a hash join (AQE
+    // broadcasts the tiny dict side); roll-up partial-aggregated;
+    // no cartesian
+    val ug = q("llm_unigram_encode")
+    ug.count()
+    val ugPlan = planString(ug)
+    assert(ugPlan.contains("partial"), ugPlan.take(2000))
+    assert(!collectAll(executed(ug)).exists(_.isInstanceOf[CartesianProductExec]))
   }
 
   test("NO registered query plans an unpartitioned window over unbounded input") {
