@@ -57,7 +57,9 @@ object Bench {
     "llm_bpe_fertility",
     "llm_hll_distinct", "llm_hist_quantile", "llm_bloom_decontam",
     "llm_rp_ann", "llm_rp_rerank", "llm_kmv_overlap", "llm_split_bycluster",
-    "llm_mix_schedule", "llm_exact_quantile")
+    "llm_mix_schedule", "llm_exact_quantile",
+    "llm_dedup_soft", "llm_hard_negatives", "llm_feature_embed",
+    "llm_lm_kn", "llm_unigram_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,10 +96,16 @@ object Bench {
     // disagreed >1.5×, so residual noise is visible IN the artifact
     // instead of needing a re-measure. A failed run is recorded in
     // "errors", never as a (fast) wall time.
+    // Dev-only subset filter (comma-separated names) for perf
+    // iteration on one query; the driver never sets it, so the
+    // driver-run bench always measures the full headline set.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val measured = headline.filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     (1 to 5).foreach { _ =>
-      headline.foreach { name =>
+      measured.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val t0 = System.nanoTime()
           try {
@@ -112,11 +120,11 @@ object Bench {
         }
       }
     }
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = measured.filter(SparkEntry.queries.contains).map { name =>
       val ts = times.getOrElse(name, Nil).sorted
       name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
     }
-    val spread = headline.flatMap { name =>
+    val spread = measured.flatMap { name =>
       val ts = times.getOrElse(name, Nil)
       if (ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 1.5)
         Some(name -> ts.max / ts.min)

@@ -410,9 +410,15 @@ object LlmQueries {
     "llm_split_bycluster" -> ((s, d) => {
       val docs = documents(s, d)
       val cands = Dedup.minhashCandidates(docs)
+      // the verified pair set feeds BOTH the component closure and the
+      // cross-split audit below — snapshot it once (the whole
+      // candidate+verify pipeline would otherwise run twice; at
+      // warehouse scale this is the pair table you'd persist anyway)
       val verified = Dedup.ngramJaccard(docs, 0.8, candidates = Some(cands))
-        .select("da", "db")
+        .select("da", "db").localCheckpoint(true)
       val comp = Dedup.connectedComponents(verified)
+      // assign is read three times (two audit joins + the roll-up) —
+      // snapshot the small (doc, cluster, split, nt) table too
       val assign = docs.select(col("doc_id"), size(toks).cast("bigint").as("nt"))
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
@@ -423,6 +429,7 @@ object LlmQueries {
           when(col("b") < 90, "train").when(col("b") < 95, "val")
             .otherwise("test"))
         .select("doc_id", "cluster", "split", "nt")
+        .localCheckpoint(true)
       val cross = verified
         .join(assign.select(col("doc_id").as("da"), col("split").as("spa")), "da")
         .join(assign.select(col("doc_id").as("db"), col("split").as("spb")), "db")
@@ -1554,24 +1561,29 @@ object LlmQueries {
           posexplode(expr(s"sequence(0, CAST(n_tokens - $k AS INT))")))
         .select(col("doc_id"), col("pos"),
           md5(array_join(slice(col("t"), col("pos") + 1, lit(k)), " ")).as("gr"))
-      val counts = wins.groupBy("gr").agg(count(lit(1)).as("c"))
-      val dup = wins.join(counts.filter(col("c") >= 2), "gr")
+      // ONE evaluation of the corpus-sized window table: the duplicate
+      // count is a gr-partitioned window function (a groupBy +
+      // join-back would re-run the explode+md5 for the probe side),
+      // the dup filter rides the same pass, and coverage + dup-window
+      // counts fuse into a single doc aggregation. n_windows is pure
+      // arithmetic on n_tokens — no extra pass at all.
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("gr")
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      val cov = dup
+      val covdw = wins
+        .withColumn("c", count(lit(1)).over(wg))
+        .filter(col("c") >= 2)
         .withColumn("prev", lag("pos", 1).over(wd))
         .withColumn("add",
           when(col("prev").isNull, lit(k))
             .otherwise(least(lit(k), col("pos") - col("prev"))))
-        .groupBy("doc_id").agg(sum("add").as("n_cov"))
-      val ws = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-      val dw = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_windows"), sum("add").as("n_cov"))
       docs.select("doc_id", "n_tokens")
-        .join(ws, Seq("doc_id"), "left")
-        .join(dw, Seq("doc_id"), "left")
-        .join(cov, Seq("doc_id"), "left")
+        .join(covdw, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          when(col("n_tokens") >= k, col("n_tokens") - (k - 1))
+            .otherwise(lit(0L)).cast("bigint").as("n_windows"),
           coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
           coalesce(col("n_cov"), lit(0L)).as("n_cov"))
         .withColumn("cov_milli", expr("(n_cov * 1000) div n_tokens"))
