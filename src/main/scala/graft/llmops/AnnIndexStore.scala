@@ -371,9 +371,18 @@ final class AnnIndexStore(root: String) extends Serializable {
     * Tombstoned PROBE ids yield no output rows (the driver-bounded form
     * rejects them eagerly; a distributed probe set is filtered instead).
     * Row-for-row equal to [[lshTopKBatch]] on the same live probe ids
-    * (spec-asserted). Output: (pid, vec_id, dp, cosine, rank). */
+    * (spec-asserted). Output: (pid, vec_id, dp, cosine, rank).
+    *
+    * `pairWhere` is a PER-PROBE pair predicate evaluated after the
+    * candidate↔probe join but BEFORE scoring/ranking: candidate
+    * metadata columns appear under their declared names, the probe's
+    * under `p_<name>` — e.g. `col("label") =!= col("p_label")` turns
+    * the sweep into distributed hard-negative mining (for every anchor,
+    * nearest vectors with a DIFFERENT label), the contrastive-training
+    * companion of the plain `where` filter. */
   def lshTopKBatchDistributed(probes: DataFrame, k: Int, radius: Int = 1,
                               where: Option[Column] = None,
+                              pairWhere: Option[Column] = None,
                               idCol: String = "vec_id"): DataFrame = {
     val spark = probes.sparkSession
     val meta = readMeta(spark)
@@ -381,6 +390,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     val bands = meta("bands").toInt
     val bits = meta("bitsPerBand").toInt
     val seed = meta("seed").toLong
+    val metaCols = metaColsOf(meta)
     val dead = tombstoned(spark)
     val vecs = spark.read.parquet(s"$root/vectors").drop("part")
     // distinct: a caller-supplied probe Dataset may carry duplicate ids,
@@ -388,8 +398,10 @@ final class AnnIndexStore(root: String) extends Serializable {
     // per-probe rank numbering
     val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
     val probeVecs = dropDead(
-        vecs.select("vec_id", "qe", "nq").join(probeIds, "vec_id"), dead)
-      .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
+        vecs.select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
+          .join(probeIds, "vec_id"), dead)
+      .select(col("vec_id").as("pid") +: col("qe").as("pe") +:
+        col("nq").as("np") +: metaCols.map(c => col(c).as(s"p_$c")): _*)
     // slim (pid, band, bucket) before the ball explosion so the wide
     // quantized arrays never multiply by bands × |ball|
     val masks = Similarity.hammingBall(0L, bits, radius)
@@ -406,11 +418,11 @@ final class AnnIndexStore(root: String) extends Serializable {
       .filter(col("vec_id") =!= col("pid"))
       .select("pid", "vec_id").distinct()
     val candVecs = where.foldLeft(dropDead(vecs, dead))(_.filter(_))
-      .select(Seq("vec_id", "qe", "nq").map(col): _*)
+      .select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
-    cand.join(candVecs, "vec_id")
-      .join(probeVecs, "pid")
+    pairWhere.foldLeft(
+        cand.join(candVecs, "vec_id").join(probeVecs, "pid"))(_.filter(_))
       .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
       .withColumn("cosine",
         col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
@@ -430,14 +442,19 @@ final class AnnIndexStore(root: String) extends Serializable {
     * — still no gather) and a pid-partitioned window top-k. No probe or
     * candidate data touches the driver; every plan leaf is a file scan
     * or the probe Dataset (spec-asserted). Tombstoned probe ids yield
-    * no rows. Output as [[ivfTopKBatch]], row-parity spec-asserted. */
+    * no rows. Output as [[ivfTopKBatch]], row-parity spec-asserted.
+    * `pairWhere` as on [[lshTopKBatchDistributed]] — a per-probe pair
+    * predicate over candidate metadata (declared names) vs probe
+    * metadata (`p_<name>`), applied before scoring. */
   def ivfTopKBatchDistributed(probes: DataFrame, k: Int,
                               nprobe: Int = Similarity.DefaultIvfProbes,
                               where: Option[Column] = None,
+                              pairWhere: Option[Column] = None,
                               idCol: String = "vec_id"): DataFrame = {
     val spark = probes.sparkSession
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
+    val metaCols = metaColsOf(meta)
     val dead = tombstoned(spark)
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
@@ -446,8 +463,10 @@ final class AnnIndexStore(root: String) extends Serializable {
     // distinct: duplicate probe ids would corrupt per-probe ranks
     val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
     val probeVecs = dropDead(
-        vecs.select("vec_id", "qe", "nq").join(probeIds, "vec_id"), dead)
-      .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
+        vecs.select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
+          .join(probeIds, "vec_id"), dead)
+      .select(col("vec_id").as("pid") +: col("qe").as("pe") +:
+        col("nq").as("np") +: metaCols.map(c => col(c).as(s"p_$c")): _*)
     // (−cos, cluster) structs over the literal centroids: ascending
     // array_sort IS the (cos desc, cluster asc) driver ranking; the
     // arithmetic mirrors centroidCos term for term (exact integer dot,
@@ -467,9 +486,10 @@ final class AnnIndexStore(root: String) extends Serializable {
       dropDead(spark.read.parquet(s"$root/ivf"), dead))(_.filter(_))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
-    members.join(pc, "cluster")
-      .filter(col("vec_id") =!= col("pid"))
-      .join(probeVecs, "pid")
+    pairWhere.foldLeft(
+        members.join(pc, "cluster")
+          .filter(col("vec_id") =!= col("pid"))
+          .join(probeVecs, "pid"))(_.filter(_))
       .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
       .withColumn("cosine",
         col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
@@ -484,10 +504,11 @@ final class AnnIndexStore(root: String) extends Serializable {
     * `nprobe`). Output: (pid, vec_id, dp, cosine, rank). */
   def sweepDistributed(probes: DataFrame, k: Int, radius: Int = 1,
                        nprobe: Int = Similarity.DefaultIvfProbes,
-                       where: Option[Column] = None): DataFrame =
+                       where: Option[Column] = None,
+                       pairWhere: Option[Column] = None): DataFrame =
     readMeta(probes.sparkSession)("kind") match {
-      case "lsh" => lshTopKBatchDistributed(probes, k, radius, where)
-      case "ivf" => ivfTopKBatchDistributed(probes, k, nprobe, where)
+      case "lsh" => lshTopKBatchDistributed(probes, k, radius, where, pairWhere)
+      case "ivf" => ivfTopKBatchDistributed(probes, k, nprobe, where, pairWhere)
       case kind => throw new IllegalArgumentException(s"unknown index kind $kind")
     }
 

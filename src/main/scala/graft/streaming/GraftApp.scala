@@ -83,8 +83,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_RADIUS / GRAFT_ANN_NPROBE tune the
   *                   LSH / IVF candidate widths; GRAFT_ANN_WHERE adds
   *                   a metadata predicate over the store's metaCols
-  *                   (filter-then-score) — no driver candidate
-  *                   materialization at any probe-set size
+  *                   (filter-then-score); GRAFT_ANN_PAIR_WHERE adds a
+  *                   per-probe PAIR predicate (candidate metaCols vs
+  *                   the probe's as p_<name> — "label <> p_label" =
+  *                   distributed hard-negative mining) — no driver
+  *                   candidate materialization at any probe-set size
   *     sketch-serve  read the durable sketch store without Scala: one
   *                   line per stored kind (KMV/HLL estimates, histogram
   *                   quantiles); GRAFT_SKETCH_GROUPS=g1,g2 prunes the
@@ -523,6 +526,11 @@ object GraftApp {
             // declared metaCols (e.g. "label = 3"), applied inside the
             // pruned candidate read — same contract as filtered serving
             where = env.get("GRAFT_ANN_WHERE")
+              .map(org.apache.spark.sql.functions.expr),
+            // per-probe PAIR predicate (candidate metaCols vs the
+            // probe's as p_<name>, e.g. "label <> p_label" = hard-
+            // negative mining), applied before scoring
+            pairWhere = env.get("GRAFT_ANN_PAIR_WHERE")
               .map(org.apache.spark.sql.functions.expr))
           .write.mode("overwrite").parquet(out)
         val n = spark.read.parquet(out).select("pid").distinct().count()

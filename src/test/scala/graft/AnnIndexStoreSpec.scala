@@ -497,6 +497,51 @@ class AnnIndexStoreSpec extends SparkSpecBase {
     assert(distGot.forall(t => t._3 % 3 == 1L || t._3 == 200L))
   }
 
+  test("distributed hard-negative sweep: pair predicate equals exact mining") {
+    // label rides both layouts; pairWhere "label <> p_label" must turn
+    // the sweep into hard-negative mining — per probe, the nearest
+    // DIFFERENT-label vectors, ranked over the filtered candidates
+    val df = planted(23, 50)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val probesDf = spark.range(0, 6).select(col("id").as("vec_id"))
+
+    // IVF with nprobe = nClusters covers the whole corpus, so the
+    // sweep must equal the in-memory exact miner row for row
+    val ivfRoot = Files.createTempDirectory("ann-hn-ivf").toFile.getAbsolutePath + "/idx"
+    val ivf = new AnnIndexStore(ivfRoot)
+    ivf.writeIvf(df, nClusters = 4, metaCols = Seq("label"))
+    val got = ivf.ivfTopKBatchDistributed(probesDf, k = 5, nprobe = 4,
+        pairWhere = Some(col("label") =!= col("p_label")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val want = graft.llmops.Similarity.hardNegatives(df, col("vec_id") < 6, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got.nonEmpty && got == want,
+      s"ivf hard negatives diverged: $got vs $want")
+
+    // LSH: ranking over the pair-filtered candidate set must equal
+    // client-side filtering + re-ranking of the UNRESTRICTED sweep
+    val lshRoot = Files.createTempDirectory("ann-hn-lsh").toFile.getAbsolutePath + "/idx"
+    val lsh = new AnnIndexStore(lshRoot)
+    lsh.writeLsh(df, metaCols = Seq("label"))
+    val lshGot = lsh.lshTopKBatchDistributed(probesDf, k = 3,
+        pairWhere = Some(col("label") =!= col("p_label")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val lshAll = lsh.lshTopKBatchDistributed(probesDf, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    val lshWant = lshAll.groupBy(_._1).toSeq.flatMap { case (pid, rows) =>
+      rows.filter { case (_, cid, _, _) => cid % 3 != pid % 3 }
+        .sortBy { case (_, cid, cos, _) => (-cos, cid) }
+        .take(3).zipWithIndex
+        .map { case ((_, cid, _, _), i) => (pid, cid, i + 1L) }
+    }.sortBy(t => (t._1, t._3))
+    assert(lshGot.nonEmpty && lshGot == lshWant,
+      s"lsh hard negatives diverged: $lshGot vs $lshWant")
+    assert(lshGot.forall { case (pid, cid, _) => cid % 3 != pid % 3 })
+  }
+
   test("index kind guard: serving the wrong kind fails fast") {
     val df = planted(3, 30)
     val root = Files.createTempDirectory("ann-kind").toFile.getAbsolutePath + "/idx"
