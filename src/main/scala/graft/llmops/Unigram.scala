@@ -128,6 +128,24 @@ object Unigram {
     (pieces.result(), score(n))
   }
 
+  /** Persist the segmenter artifact: the bounded (piece, freq) table
+    * (total re-derives on load as Σ freq — no separate meta to drift).
+    * The frozen-tokenizer artifact a serving/emit job mounts, the
+    * unigram sibling of [[Bpe.writeTokenizer]]. */
+  def writeVocab(spark: org.apache.spark.sql.SparkSession, path: String,
+                 vocab: Vocab): Unit = {
+    import spark.implicits._
+    vocab.pieces.toSeq.map(p => (p.piece, p.freq)).toDF("piece", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Vocab = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => Piece(r.getString(0), r.getLong(1)))
+      .sortBy(p => (p.piece, p.freq))
+    Vocab(rows, rows.map(_.freq).sum)
+  }
+
   /** Corpus segmentation, vocabulary-factored: decode each DISTINCT
     * word once (mapPartitions over the word dict with the broadcast
     * vocab — the imperative DP never sees a corpus-sized row count),

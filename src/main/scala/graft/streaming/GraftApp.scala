@@ -112,6 +112,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_REBUILD_IF_DRIFT=<ratio> re-clusters the
   *                   whole store (fresh centroids, reset baseline) when
   *                   the last append drifted past baseline×ratio
+  *     unigram-train train a unigram (SentencePiece-style) segmenter
+  *                   vocab on GRAFT_UNIGRAM_DOCS parquet
+  *                   (GRAFT_UNIGRAM_VOCAB, def 512;
+  *                   GRAFT_UNIGRAM_VOCAB_CAP, def 65536;
+  *                   GRAFT_UNIGRAM_TEXT_COL, def text) and persist the
+  *                   piece table to GRAFT_UNIGRAM_OUT for
+  *                   Unigram.loadVocab
   *     emit-shards   the last mile: GRAFT_EMIT_DOCS parquet
   *                   (doc_id, text[, ...]) encoded with the
   *                   GRAFT_EMIT_TOKENIZER artifact into packed
@@ -564,6 +571,23 @@ object GraftApp {
         graft.llmops.Bpe.writeTokenizer(spark, out, merges, vocab)
         Seq(s"bpe-train: ${merges.length} merges, " +
           s"|vocab|=${vocab.count()} -> $out")
+      case "unigram-train" =>
+        // the unigram sibling of bpe-train: substring-frequency vocab
+        // over the capped word dict, persisted for Unigram.loadVocab
+        val docsDir = env.getOrElse("GRAFT_UNIGRAM_DOCS",
+          throw new IllegalArgumentException("GRAFT_UNIGRAM_DOCS is required"))
+        val out = env.getOrElse("GRAFT_UNIGRAM_OUT",
+          throw new IllegalArgumentException("GRAFT_UNIGRAM_OUT is required"))
+        val vSize = env.get("GRAFT_UNIGRAM_VOCAB").map(_.toInt)
+          .getOrElse(graft.llmops.Unigram.DefaultVocabSize)
+        val uCap = env.get("GRAFT_UNIGRAM_VOCAB_CAP").map(_.toInt)
+          .getOrElse(1 << 16)
+        val uText = env.getOrElse("GRAFT_UNIGRAM_TEXT_COL", "text")
+        val uVocab = graft.llmops.Unigram.trainVocab(
+          spark.read.parquet(docsDir), vSize, uCap, uText)
+        graft.llmops.Unigram.writeVocab(spark, out, uVocab)
+        Seq(s"unigram-train: |pieces|=${uVocab.pieces.length}, " +
+          s"total=${uVocab.total} -> $out")
       case "emit-shards" =>
         // the last mile of the training-data pipeline: curated docs +
         // a frozen tokenizer artifact -> packed fixed-budget token-id

@@ -418,6 +418,42 @@ class GraftAppSpec extends SparkSpecBase {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(odd.nonEmpty && odd.forall(_ % 2 == 1),
       s"filtered sweep leaked foreign labels: $odd")
+
+    // hard-negative sweep via GRAFT_ANN_PAIR_WHERE: every returned
+    // (probe, candidate) pair must carry DIFFERENT labels
+    val out3 = Files.createTempDirectory("app-sweep3-out").toFile.getAbsolutePath + "/top"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-sweep", "GRAFT_ANN_DIR" -> dir2,
+      "GRAFT_ANN_SWEEP_OUT" -> out3, "GRAFT_ANN_K" -> "3",
+      "GRAFT_ANN_PAIR_WHERE" -> "label <> p_label"))
+    val pairs = spark.read.parquet(out3)
+      .select("pid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall { case (p, c) => p % 2 != c % 2 },
+      s"hard-negative sweep returned same-label pairs: ${pairs.take(5).toSeq}")
+  }
+
+  test("maintenance mode: unigram-train persists a vocab that decodes on load") {
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("app-ug-docs").toFile.getAbsolutePath
+    Seq((0L, "hug hug hug hug pug pug pun pun bun hugs"),
+      (1L, "hug pug pun bun hugs hug hug pun"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    val out = Files.createTempDirectory("app-ug-out").toFile.getAbsolutePath + "/vocab"
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "unigram-train",
+      "GRAFT_UNIGRAM_DOCS" -> docsDir, "GRAFT_UNIGRAM_OUT" -> out))
+    assert(lines.exists(_.startsWith("unigram-train: |pieces|=")), lines.mkString)
+    val loaded = graft.llmops.Unigram.loadVocab(spark, out)
+    val trained = graft.llmops.Unigram.trainVocab(spark.read.parquet(docsDir))
+    assert(loaded.pieces.toSeq == trained.pieces.toSeq &&
+      loaded.total == trained.total)
+    // the loaded artifact decodes identically to the in-session vocab
+    Seq("hug", "hugs", "pun").foreach { w =>
+      val (gp, gs) = graft.llmops.Unigram.segmentWord(w, loaded)
+      val (wp, ws) = graft.llmops.Unigram.segmentWord(w, trained)
+      assert(gp.toSeq == wp.toSeq && gs == ws)
+    }
   }
 
   test("maintenance mode: bpe-train persists a tokenizer that encodes on load") {
