@@ -110,6 +110,24 @@ object ScaleProbe {
     println(f"bpe ids+pack: |vocab|=${bpeVocab.count()} ids=$idTok " +
       f"-> $nSeqs seqs ($fullSeqs full) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // Unigram-segmenter soak: vocab selection (substring counting over
+    // the BOUNDED word dict + a TakeOrdered cut) and per-DISTINCT-word
+    // Viterbi — corpus-scale cost is the word-count shuffle and the
+    // occurrence join back, never a per-doc DP. Bounds: every word is
+    // ≥1 piece, every piece ≥1 char.
+    t0 = System.nanoTime()
+    val ugVocab = graft.llmops.Unigram.trainVocab(docs)
+    val ugAgg = graft.llmops.Unigram.segmentCorpus(docs, ugVocab)
+      .agg(count(lit(1)), sum("n_ws_tokens"), sum("n_pieces")).first()
+    val (ugDocs, ugWs, ugPieces) =
+      (ugAgg.getLong(0), ugAgg.getLong(1), ugAgg.getLong(2))
+    require(ugDocs == nDocs && ugWs == nDocs * 40L,
+      s"unigram segment lost rows: $ugDocs docs, $ugWs words")
+    require(ugPieces >= ugWs && ugPieces <= nChars,
+      s"unigram piece count out of bounds: $ugPieces ($ugWs words, $nChars chars)")
+    println(f"unigram: |vocab|=${ugVocab.pieces.length} pieces=$ugPieces " +
+      f"/ $ugWs words / $nChars chars in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // durable block-dedup intake at volume: 4 sequential batches of the
     // same corpus through BlockDedupStore — per-trigger planning must
     // stay O(touched parts) and the planted block-dups must all land
@@ -358,6 +376,21 @@ object ScaleProbe {
       .count()
     println(f"ann ivf DISTRIBUTED batch: 10000 probes, $ivfDistN rows in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // hard-negative distributed sweep over the labeled IVF store: the
+    // pair predicate (candidate label ≠ probe's p_label) must hold for
+    // EVERY returned row — audited distributed (label = vec_id % 4 by
+    // construction), no driver sample
+    t0 = System.nanoTime()
+    val hnAgg = ivfIdx.ivfTopKBatchDistributed(bigProbes, k = 3, nprobe = 8,
+        pairWhere = Some(col("label") =!= col("p_label")))
+      .agg(count(lit(1)),
+        sum(when(expr("pid % 4 = vec_id % 4"), 1L).otherwise(0L))).first()
+    val (hnRows, hnSame) = (hnAgg.getLong(0), hnAgg.getLong(1))
+    require(hnRows > 0 && hnSame == 0,
+      s"hard-negative sweep returned $hnSame same-label rows of $hnRows")
+    println(f"ann ivf hard-negative sweep: 10000 probes, $hnRows rows, " +
+      f"0 same-label in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // retraction: tombstone the planted twin — it must vanish from
     // serving immediately, and compact must purge it physically
