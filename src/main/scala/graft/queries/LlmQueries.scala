@@ -1829,7 +1829,21 @@ object LlmQueries {
       import graft.llmops.Unigram
       val docs = documents(s, d)
       Unigram.segmentCorpus(docs, Unigram.trainVocab(docs)).orderBy("doc_id")
-    }))
+    }),
+
+    // Train a model IN the engine: fastText/DCLM-style logistic-
+    // regression quality classifier — integer-milli features from the
+    // resident quality signals, weak labels from the language gate,
+    // 3 full-batch gradient-descent steps. Each step is ONE map-side-
+    // combined aggregate over one corpus scan (exact integer gradient
+    // sums — σ is micro-rounded immediately, the ln-micro idiom);
+    // weights live on the driver between steps like IVF centroids and
+    // re-enter as literals. The oracle replays the UNROLLED training
+    // loop, so one diverging gradient sum or weight update breaks the
+    // hash. Output: final weights + the confusion matrix (decision
+    // z ≥ 0 — integer-exact, no σ at predict time).
+    "llm_quality_classifier" -> ((s, d) =>
+      graft.llmops.Classifier.trainReport(documents(s, d), steps = 3)))
 
   /** Shared JL-random-projection CTEs (projection literals identical to
     * the Spark-side `Similarity.rpProject` family): quantized corpus
@@ -2094,7 +2108,61 @@ object LlmQueries {
     b.toString
   }
 
+  /** DuckDB replay of the classifier training loop
+    * ([[graft.llmops.Classifier]]): features CTE, then per step an
+    * exact-integer gradient aggregate (σ micro-rounded inside) and a
+    * weight-update row — UNROLLED, each step reading the previous
+    * step's 1-row weight CTE — ending in the confusion roll-up under
+    * the final weights. Arithmetic mirrors the Scala term for term
+    * (same double divisions, same HALF_UP rounding). */
+  private lazy val classifierCtes: String = {
+    val (steps, lr) = (3, 100L)
+    val b = new StringBuilder
+    b ++= """cf AS (SELECT
+      |    CAST(lang = 'en' AS BIGINT) AS y,
+      |    (len(list_filter(string_split(text, ' '), x ->
+      |        x IN ('the','a','and','of','to','in','is'))) * 1000)
+      |      // len(string_split(text, ' ')) AS x1,
+      |    least(len(string_split(text, ' ')), 1000) AS x2,
+      |    (len(list_distinct(string_split(text, ' '))) * 1000)
+      |      // len(string_split(text, ' ')) AS x3
+      |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+      |cw0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS w1,
+      |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+      |""".stripMargin
+    (1 to steps).foreach { i =>
+      b ++= s"""cs$i AS (SELECT count(*) AS n,
+        |    CAST(sum(e * 1000) AS BIGINT) AS g0,
+        |    CAST(sum(e * x1) AS BIGINT) AS g1,
+        |    CAST(sum(e * x2) AS BIGINT) AS g2,
+        |    CAST(sum(e * x3) AS BIGINT) AS g3
+        |  FROM (SELECT x1, x2, x3,
+        |      CAST(round(1e6 / (1 + exp(-((wb*1000 + w1*x1 + w2*x2 + w3*x3)::DOUBLE)
+        |        / 1e9))) AS BIGINT) - y * 1000000 AS e
+        |    FROM cf, cw${i - 1})),
+        |cw$i AS (SELECT
+        |    wb - CAST(round(($lr * g0) / (n * 1000.0 * 1000.0)) AS BIGINT) AS wb,
+        |    w1 - CAST(round(($lr * g1) / (n * 1000.0 * 1000.0)) AS BIGINT) AS w1,
+        |    w2 - CAST(round(($lr * g2) / (n * 1000.0 * 1000.0)) AS BIGINT) AS w2,
+        |    w3 - CAST(round(($lr * g3) / (n * 1000.0 * 1000.0)) AS BIGINT) AS w3
+        |  FROM cs$i, cw${i - 1}),
+        |""".stripMargin
+    }
+    b ++= s"""conf AS (SELECT
+      |    CAST(sum(CASE WHEN y = 1 AND z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN y = 0 AND z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN y = 0 AND z < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |    CAST(sum(CASE WHEN y = 1 AND z < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM (SELECT y, wb*1000 + w1*x1 + w2*x2 + w3*x3 AS z FROM cf, cw$steps))""".stripMargin
+    b.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_quality_classifier" ->
+      s"""WITH $classifierCtes
+         |SELECT CAST(3 AS BIGINT) AS steps, wb AS w_bias, w1 AS w_stop,
+         |  w2 AS w_len, w3 AS w_dis, tp, fp, tn, fn
+         |FROM cw3, conf""".stripMargin,
     "llm_unigram_encode" ->
       s"""WITH $unigramCtes,
          |agg AS (SELECT doc_id, count(*) AS n_ws_tokens,

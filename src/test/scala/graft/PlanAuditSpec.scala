@@ -691,6 +691,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!knPlan.contains("ScalaUDF"), knPlan.take(2000))
     assert(!collectAll(executed(kn)).exists(_.isInstanceOf[CartesianProductExec]))
 
+    // llm_quality_classifier: the served plan (confusion under the
+    // trained literal weights) is ONE scan + a partial-aggregated
+    // roll-up — weights are driver metadata, nothing corpus-sized
+    // joins anything
+    val qc = q("llm_quality_classifier")
+    qc.count()
+    val qcPlan = planString(qc)
+    assert(qcPlan.contains("partial"), qcPlan.take(2000))
+    assert(!qcPlan.contains("ScalaUDF"), qcPlan.take(2000))
+    assert(!collectAll(executed(qc)).exists(_.isInstanceOf[CartesianProductExec]))
+
     // llm_unigram_encode: the per-word Viterbi is vocabulary-factored —
     // the decoded word dict joins occurrences as a hash join (AQE
     // broadcasts the tiny dict side); roll-up partial-aggregated;
