@@ -82,6 +82,46 @@ object Classifier {
       upd(w.w2, g.getLong(3)), upd(w.w3, g.getLong(4)))
   }
 
+  /** Train `steps` full-batch GD steps from zero weights. */
+  def trainWeights(docs: DataFrame, steps: Int = 3, lrMilli: Long = 100L,
+                   targetLang: String = "en"): Weights = {
+    val feats = features(docs, targetLang)
+    var w = Weights(0L, 0L, 0L, 0L)
+    (0 until steps).foreach(_ => w = step(feats, w, lrMilli))
+    w
+  }
+
+  /** Persist/load the trained weight row — the model ARTIFACT a gate
+    * mounts (one bounded file, the tokenizer-artifact pattern). */
+  def writeWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+                   w: Weights): Unit = {
+    import spark.implicits._
+    Seq((w.b, w.w1, w.w2, w.w3)).toDF("w_bias", "w_stop", "w_len", "w_dis")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String): Weights = {
+    val r = spark.read.parquet(path).first()
+    Weights(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** σ-free model gate: keep docs whose margin z ≥ 0 under `w` — the
+    * serving form of the classifier (exact integer arithmetic over the
+    * same milli features, computed inline so every input column
+    * survives). Empty-token docs score bias-only. */
+  def gateDocs(docs: DataFrame, w: Weights): DataFrame = {
+    val t = split(col("text"), " ")
+    val x1 = expr("""(size(filter(split(text, ' '), x ->
+        x IN ('the','a','and','of','to','in','is'))) * 1000)
+      div size(split(text, ' '))""")
+    val x2 = least(size(t).cast("bigint"), lit(1000L))
+    val x3 = expr("""(size(array_distinct(split(text, ' '))) * 1000)
+      div size(split(text, ' '))""")
+    docs.filter(
+      lit(w.b) * lit(1000L) + lit(w.w1) * x1 +
+        lit(w.w2) * x2 + lit(w.w3) * x3 >= 0)
+  }
+
   /** Train `steps` full-batch GD steps from zero weights; returns the
     * weights plus the confusion counts of the final model (decision at
     * p ≥ ½ ⟺ z ≥ 0 — integer-exact, no σ needed to predict). */
@@ -89,8 +129,7 @@ object Classifier {
                   lrMilli: Long = 100L,
                   targetLang: String = "en"): DataFrame = {
     val feats = features(docs, targetLang)
-    var w = Weights(0L, 0L, 0L, 0L)
-    (0 until steps).foreach(_ => w = step(feats, w, lrMilli))
+    val w = trainWeights(docs, steps, lrMilli, targetLang)
     feats
       .withColumn("pred", (zNano(w) >= 0).cast("int").cast("bigint"))
       .agg(sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),

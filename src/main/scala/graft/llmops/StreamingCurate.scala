@@ -102,8 +102,9 @@ object StreamingCurate {
   /** Per-trigger funnel observability: cumulative per-stage survivor
     * counts across every trigger this JVM has run — the STREAMING
     * companion of the batch `llm_curate_funnel` query (same stage
-    * names: 0_raw → 1_gate → 2_exact → 3_near, plus 1b_bloom when the
-    * benchmark-decontamination stage is on and 4_blocks when the
+    * names: 0_raw → 1_gate → 2_exact → 3_near, plus 1a_model when the
+    * trained-classifier gate is on, 1b_bloom when the benchmark-
+    * decontamination stage is on, and 4_blocks when the
     * paragraph-rewrite stage is on). Scraped through [[MetricsServer]]
     * as `graft_curate_stage_docs_total{stage="..."}` +
     * `graft_curate_triggers_total`, so a gate suddenly dropping most of
@@ -192,9 +193,19 @@ object StreamingCurate {
   def applyBatch(batch: DataFrame, storeDir: String, batchId: Long,
                  blockRewrite: Boolean = false,
                  decontamDir: Option[String] = None,
-                 sketchDir: Option[String] = None): Unit = {
+                 sketchDir: Option[String] = None,
+                 modelDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val gated0 = gate(batch)
+    val gated00 = gate(batch)
+    // optional trained-model gate (Classifier.writeWeights artifact):
+    // keep docs whose margin z >= 0 — a one-row weight read per
+    // trigger (a refreshed model takes effect without restart), then a
+    // pure integer filter, O(batch)
+    val gated0 = modelDir match {
+      case None => gated00
+      case Some(dir) =>
+        Classifier.gateDocs(gated00, Classifier.loadWeights(spark, dir))
+    }
     // optional Bloom decontamination against a persisted benchmark
     // artifact (Dedup.writeBloom): docs whose bloom-positive shingle
     // count crosses the gate threshold never enter the corpus. The bit
@@ -303,7 +314,8 @@ object StreamingCurate {
     // observability; each count is an O(batch) job over checkpointed (or
     // gate-only) plans
     bump("0_raw", batch.count())
-    bump("1_gate", gated0.count())
+    bump("1_gate", gated00.count())
+    if (modelDir.isDefined) bump("1a_model", gated0.count())
     if (decontamDir.isDefined) bump("1b_bloom", gated.count())
     bump("2_exact", newExactKept.count())
     bump("3_near", curated.count())
@@ -319,14 +331,16 @@ object StreamingCurate {
               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
             blockRewrite: Boolean = false,
             decontamDir: Option[String] = None,
-            sketchDir: Option[String] = None)
+            sketchDir: Option[String] = None,
+            modelDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .queryName("graft-curate")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, storeDir, id, blockRewrite, decontamDir, sketchDir) }
+        applyBatch(b, storeDir, id, blockRewrite, decontamDir, sketchDir,
+          modelDir) }
       .start()
 
   /** Maintenance: fold the accumulated per-batch subdirs of each store

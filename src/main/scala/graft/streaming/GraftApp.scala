@@ -34,7 +34,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     dedup rewrite stage backed by a BlockDedupStore at
   *     <store>/blocks; GRAFT_CURATE_DECONTAM=<dir> adds the Bloom
   *     benchmark-decontamination stage served from a bloom-bits
-  *     artifact; GRAFT_CURATE_SKETCH=<dir> folds each trigger's
+  *     artifact; GRAFT_CURATE_MODEL=<dir> adds the trained-
+  *     classifier gate (a classifier-train weight artifact; docs with
+  *     margin z < 0 are dropped); GRAFT_CURATE_SKETCH=<dir> folds each trigger's
   *     ADMITTED docs into a durable SketchStore (per-source length
   *     histogram + distinct-shingle HLL) — running corpus telemetry
   *     without a corpus scan
@@ -112,6 +114,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_REBUILD_IF_DRIFT=<ratio> re-clusters the
   *                   whole store (fresh centroids, reset baseline) when
   *                   the last append drifted past baseline×ratio
+  *     classifier-train train the logistic-regression quality gate on
+  *                   GRAFT_CLF_DOCS parquet (GRAFT_CLF_STEPS, def 3;
+  *                   GRAFT_CLF_LR milli, def 100;
+  *                   GRAFT_CLF_TARGET_LANG, def en) and persist the
+  *                   weight artifact to GRAFT_CLF_OUT — served by the
+  *                   curate intake via GRAFT_CURATE_MODEL
   *     unigram-train train a unigram (SentencePiece-style) segmenter
   *                   vocab on GRAFT_UNIGRAM_DOCS parquet
   *                   (GRAFT_UNIGRAM_VOCAB, def 512;
@@ -225,7 +233,8 @@ object GraftApp {
           graft.llmops.StreamingCurate.start(docs, store, ckpt, trigger,
             blockRewrite = env.get("GRAFT_CURATE_BLOCKS").exists(_.toBoolean),
             decontamDir = env.get("GRAFT_CURATE_DECONTAM"),
-            sketchDir = env.get("GRAFT_CURATE_SKETCH")),
+            sketchDir = env.get("GRAFT_CURATE_SKETCH"),
+            modelDir = env.get("GRAFT_CURATE_MODEL")),
           metrics, listener)
       case None => buildCdc(spark, cfg, env, trigger, captureTransport, ckpt)
     }
@@ -571,6 +580,25 @@ object GraftApp {
         graft.llmops.Bpe.writeTokenizer(spark, out, merges, vocab)
         Seq(s"bpe-train: ${merges.length} merges, " +
           s"|vocab|=${vocab.count()} -> $out")
+      case "classifier-train" =>
+        // train + persist the logistic-regression quality-gate weights
+        // (Classifier.writeWeights artifact; served by the curate
+        // intake via GRAFT_CURATE_MODEL and by Classifier.gateDocs)
+        val docsDir = env.getOrElse("GRAFT_CLF_DOCS",
+          throw new IllegalArgumentException("GRAFT_CLF_DOCS is required"))
+        val out = env.getOrElse("GRAFT_CLF_OUT",
+          throw new IllegalArgumentException("GRAFT_CLF_OUT is required"))
+        val clfSteps = env.get("GRAFT_CLF_STEPS").map(_.toInt).getOrElse(3)
+        val clfLr = env.get("GRAFT_CLF_LR").map(_.toLong).getOrElse(100L)
+        val clfLang = env.getOrElse("GRAFT_CLF_TARGET_LANG", "en")
+        val clfDocs = spark.read.parquet(docsDir)
+        val wts = graft.llmops.Classifier.trainWeights(
+          clfDocs, clfSteps, clfLr, clfLang)
+        graft.llmops.Classifier.writeWeights(spark, out, wts)
+        val kept = graft.llmops.Classifier.gateDocs(clfDocs, wts).count()
+        Seq(s"classifier-train: $clfSteps steps, weights " +
+          s"(${wts.b},${wts.w1},${wts.w2},${wts.w3}), " +
+          s"gate keeps $kept/${clfDocs.count()} -> $out")
       case "unigram-train" =>
         // the unigram sibling of bpe-train: substring-frequency vocab
         // over the capped word dict, persisted for Unigram.loadVocab

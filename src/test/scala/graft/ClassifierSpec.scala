@@ -52,6 +52,65 @@ class ClassifierSpec extends SparkSpecBase {
     assert(w2 != w1)
   }
 
+  test("weight artifact round-trips; gateDocs is the z>=0 predict") {
+    val docs = corpus()
+    val w = Classifier.trainWeights(docs, steps = 3)
+    val dir = java.nio.file.Files.createTempDirectory("clf-w")
+      .toFile.getAbsolutePath + "/weights"
+    Classifier.writeWeights(spark, dir, w)
+    assert(Classifier.loadWeights(spark, dir) == w)
+    // the gate keeps exactly the docs the confusion matrix calls
+    // positive predictions
+    val kept = Classifier.gateDocs(docs, w).count()
+    val rep = Classifier.trainReport(docs, steps = 3).first()
+    assert(kept == rep.getLong(5) + rep.getLong(6), // tp + fp
+      s"gate kept $kept, confusion says ${rep.getLong(5) + rep.getLong(6)}")
+  }
+
+  test("curate intake model stage: below-margin docs never enter, counter publishes") {
+    import graft.llmops.StreamingCurate
+    import spark.implicits._
+    // BOTH classes pass the base quality/language gate (≥20 tokens,
+    // stopword-bearing, predicted en); they differ on the model's
+    // signals — positives diverse, negatives massively repetitive —
+    // so only the TRAINED gate separates them
+    val pos = (0 until 80).map { i =>
+      (i.toLong, "s", "the a and of to in is " +
+        (0 until 15).map(j => s"u${i}x$j").mkString(" "), "en")
+    }
+    val neg = (0 until 80).map { i =>
+      (1000L + i, "s",
+        ("the " * 12).trim + " " + (s"z$i " * 9).trim, "xx")
+    }
+    val docs = (pos ++ neg).toDF("doc_id", "source", "text", "lang")
+    val w = Classifier.trainWeights(docs, steps = 3)
+    // sanity: the base gate alone admits both classes; the model
+    // separates them
+    val baseGate = StreamingCurate.gate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(baseGate.exists(_ < 1000) && baseGate.exists(_ >= 1000),
+      s"base gate must pass both classes: $baseGate")
+    val modelKept = Classifier.gateDocs(StreamingCurate.gate(docs), w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(modelKept.nonEmpty && modelKept.forall(_ < 1000),
+      s"model must keep only positives: $modelKept")
+
+    val mdir = java.nio.file.Files.createTempDirectory("clf-m")
+      .toFile.getAbsolutePath + "/weights"
+    Classifier.writeWeights(spark, mdir, w)
+    val store = java.nio.file.Files.createTempDirectory("clf-store")
+      .toFile.getAbsolutePath
+    StreamingCurate.applyBatch(docs.select("doc_id", "source", "text"),
+      store, 0L, modelDir = Some(mdir))
+    val admitted = StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty && admitted.subsetOf(modelKept),
+      s"model stage leaked: ${admitted -- modelKept}")
+    val snap = StreamingCurate.metricsSnapshot()
+    assert(snap.keys.exists(_.contains("1a_model")),
+      s"model stage counter missing: ${snap.keys}")
+  }
+
   test("features are integer-milli and bounded") {
     val rows = Classifier.features(corpus()).collect()
     assert(rows.nonEmpty)
