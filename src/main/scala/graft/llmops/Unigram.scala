@@ -128,6 +128,40 @@ object Unigram {
     (pieces.result(), score(n))
   }
 
+  /** One hard-EM (Viterbi-EM) refinement: re-estimate piece
+    * frequencies from the CURRENT vocab's own Viterbi segmentations of
+    * the word dict (weighted by word frequency), keeping the piece SET
+    * fixed. Pieces no segmentation uses keep pseudo-frequency 1, so
+    * decoding stays total. This is the alternation SentencePiece runs
+    * (E: best split under the params; M: counts from the splits), and
+    * it carries hard-EM's guarantee — the joint likelihood of
+    * (corpus, best paths) does not decrease across a full cycle
+    * (spec-asserted within integer-rounding slack).
+    *
+    * Scale: the E-step is the same vocabulary-factored mapPartitions
+    * as [[segmentCorpus]] — per-DISTINCT-word DP with the broadcast
+    * vocab; the M-step is one bounded groupBy over emitted pieces
+    * (≤ dict·maxLen rows). Iterate as many rounds as wanted; each is
+    * one dict pass. */
+  def emStep(docs: DataFrame, vocab: Vocab, vocabCap: Int = 1 << 16,
+             textCol: String = "text"): Vocab = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    val obs = Bpe.wordCounts(docs, vocabCap, textCol)
+      .as[(String, Long)].mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { case (w, c) =>
+          segmentWord(w, v)._1.iterator.map(p => (p, c)) }
+      }.toDF("piece", "cnt")
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pieces = vocab.pieces
+      .map(p => Piece(p.piece, math.max(obs.getOrElse(p.piece, 0L), 1L)))
+      .sortBy(p => (p.piece, p.freq))
+    Vocab(pieces, pieces.map(_.freq).sum)
+  }
+
   /** Persist the segmenter artifact: the bounded (piece, freq) table
     * (total re-derives on load as Σ freq — no separate meta to drift).
     * The frozen-tokenizer artifact a serving/emit job mounts, the

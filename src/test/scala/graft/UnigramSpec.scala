@@ -73,6 +73,31 @@ class UnigramSpec extends SparkSpecBase {
     assert(v.pieces.toSeq == v2.pieces.toSeq && v.total == v2.total)
   }
 
+  test("hard-EM round does not decrease the joint likelihood") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dict = graft.llmops.Bpe.wordCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(dict.nonEmpty)
+    // joint NLL of (dict, best paths) in micro-nats under a vocab
+    def nll(v: Vocab): Long =
+      dict.map { case (w, c) => -c * Unigram.segmentWord(w, v)._2 }.sum
+    val v0 = Unigram.trainVocab(docs)
+    val v1 = Unigram.emStep(docs, v0)
+    val v2 = Unigram.emStep(docs, v1)
+    // piece SET is fixed; only frequencies move
+    assert(v1.pieces.map(_.piece).toSeq == v0.pieces.map(_.piece).toSeq)
+    val (n0, n1, n2) = (nll(v0), nll(v1), nll(v2))
+    // hard-EM monotonicity, with slack for integer micro-rounding and
+    // the unused-piece frequency floor (both ≪ 0.1%)
+    assert(n1 <= n0 + n0 / 1000, s"EM round 1 increased NLL: $n0 -> $n1")
+    assert(n2 <= n1 + n1 / 1000, s"EM round 2 increased NLL: $n1 -> $n2")
+    // decoding stays total and deterministic under the refined model
+    dict.foreach { case (w, _) =>
+      val (p, _) = Unigram.segmentWord(w, v2)
+      assert(p.mkString("") == w)
+    }
+  }
+
   test("corpus roll-up equals the per-word decode, fold by occurrence") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50).cache()
