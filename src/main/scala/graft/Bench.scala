@@ -59,7 +59,8 @@ object Bench {
     "llm_rp_ann", "llm_rp_rerank", "llm_kmv_overlap", "llm_split_bycluster",
     "llm_mix_schedule", "llm_exact_quantile",
     "llm_dedup_soft", "llm_hard_negatives", "llm_feature_embed",
-    "llm_lm_kn", "llm_unigram_encode", "llm_quality_classifier")
+    "llm_lm_kn", "llm_unigram_encode", "llm_quality_classifier",
+    "llm_unigram_ids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

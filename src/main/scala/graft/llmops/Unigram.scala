@@ -180,6 +180,44 @@ object Unigram {
     Vocab(rows, rows.map(_.freq).sum)
   }
 
+  /** Dense piece-id table: piece → id, ids 1..|V| in piece sort order
+    * (pieces are unique, so the order is total); id 0 is RESERVED for
+    * the UNK single-char fallback. Driver metadata like the vocab
+    * itself — any engine derives identical ids. */
+  def pieceIds(vocab: Vocab): Map[String, Long] =
+    vocab.pieces.map(_.piece).sorted.zipWithIndex
+      .map { case (p, i) => p -> (i + 1L) }.toMap
+
+  /** Per-doc piece-ID SEQUENCES — the unigram counterpart of
+    * [[Bpe.encodeCorpusIds]], feeding the same
+    * [[Bpe.packSequences]]/emit-shards path. Unknown single-char
+    * pieces emit the reserved UNK id 0 (the decoder's totality rule
+    * carried into the id space — unlike BPE's all-or-nothing word
+    * drop, a unigram segmentation always exists, so no token is ever
+    * silently lost). Vocabulary-factored: DP + id lookup run once per
+    * DISTINCT word against the broadcast vocab; docs reassemble by
+    * word-position sort (the Bpe reassembly idiom). */
+  def encodeCorpusIds(docs: DataFrame, vocab: Vocab, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((vocab, pieceIds(vocab)))
+    val wordIds = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String]
+      .mapPartitions { it =>
+        val (v, m) = bc.value
+        it.map(w => (w, segmentWord(w, v)._1.map(p => m.getOrElse(p, 0L)).toSeq))
+      }.toDF("w", "wids")
+    docs.select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
+      .toDF(idCol, "wp", "w")
+      .filter(length(col("w")) > 0)
+      .join(wordIds, "w")
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("wp"), col("wids"))).as("ws"))
+      .select(col(idCol),
+        flatten(transform(array_sort(col("ws")), s => s.getField("wids"))).as("ids"))
+  }
+
   /** Corpus segmentation, vocabulary-factored: decode each DISTINCT
     * word once (mapPartitions over the word dict with the broadcast
     * vocab — the imperative DP never sees a corpus-sized row count),

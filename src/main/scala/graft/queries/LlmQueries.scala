@@ -1843,7 +1843,26 @@ object LlmQueries {
     // hash. Output: final weights + the confusion matrix (decision
     // z ≥ 0 — integer-exact, no σ at predict time).
     "llm_quality_classifier" -> ((s, d) =>
-      graft.llmops.Classifier.trainReport(documents(s, d), steps = 3)))
+      graft.llmops.Classifier.trainReport(documents(s, d), steps = 3)),
+
+    // Unigram piece-ID sequences — the unigram tokenizer reaching the
+    // trainer: dense piece ids (sort-ordered, 0 = UNK), per-doc
+    // id arrays reassembled vocab-factored, ready for the SAME
+    // packSequences/emit-shards path as BPE ids. The oracle carries
+    // the CHOSEN Viterbi path through the unrolled DP (a list column
+    // riding the argmax), so a single diverging split anywhere in the
+    // corpus breaks the hash.
+    "llm_unigram_ids" -> ((s, d) => {
+      import graft.llmops.Unigram
+      val docs = documents(s, d)
+      Unigram.encodeCorpusIds(docs, Unigram.trainVocab(docs))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          concat_ws("-", transform(slice(col("ids"), 1, 12),
+            _.cast("string"))).as("ids_head"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("ids_sum"))
+        .orderBy("doc_id")
+    }))
 
   /** Shared JL-random-projection CTEs (projection literals identical to
     * the Spark-side `Similarity.rpProject` family): quantized corpus
@@ -2076,28 +2095,30 @@ object LlmQueries {
       |  FROM dw, generate_series(1, $pl) AS gl(l),
       |       generate_series(1, $ml) AS gs(s)
       |  WHERE s + l - 1 <= len(w)),
-      |pieces AS MATERIALIZED (SELECT c.w, c.j, c.i,
+      |pieces AS MATERIALIZED (SELECT c.w, c.j, c.i, c.piece,
       |    COALESCE(lnp.lnp, CASE WHEN c.l = 1
       |      THEN -(SELECT lntot FROM tot) END) AS lnp
       |  FROM cnd c LEFT JOIN lnp ON lnp.piece = c.piece
       |  WHERE lnp.lnp IS NOT NULL OR c.l = 1),
-      |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS np FROM dw),
+      |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS np,
+      |  CAST([] AS VARCHAR[]) AS path FROM dw),
       |""".stripMargin
     (1 to ml).foreach { i =>
       val js = math.max(0, i - pl) until i
       val branches = js.map { j =>
-        s"""    SELECT p.w, d.sc + p.lnp AS sc, d.np + 1 AS np, p.j
+        s"""    SELECT p.w, d.sc + p.lnp AS sc, d.np + 1 AS np, p.j,
+           |      list_append(d.path, p.piece) AS path
            |    FROM pieces p JOIN dp$j d ON p.w = d.w AND p.j = $j AND p.i = $i""".stripMargin
       }.mkString("\n    UNION ALL\n")
-      b ++= s"""dp$i AS MATERIALIZED (SELECT w, sc, np FROM (
-        |  SELECT w, sc, np, row_number() OVER (PARTITION BY w
+      b ++= s"""dp$i AS MATERIALIZED (SELECT w, sc, np, path FROM (
+        |  SELECT w, sc, np, path, row_number() OVER (PARTITION BY w
         |      ORDER BY sc DESC, np ASC, j ASC) AS rn FROM (
         |$branches
         |  )) WHERE rn = 1),
         |""".stripMargin
     }
     val finals = (1 to ml).map(i =>
-      s"  SELECT d.w, d.sc, d.np FROM dp$i d JOIN dw USING (w) WHERE len(w) = $i")
+      s"  SELECT d.w, d.sc, d.np, d.path FROM dp$i d JOIN dw USING (w) WHERE len(w) = $i")
       .mkString("\n  UNION ALL\n")
     b ++= s"""wseg AS (
       |$finals
@@ -2158,6 +2179,26 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_unigram_ids" ->
+      s"""WITH $unigramCtes,
+         |vids AS (SELECT piece,
+         |    CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS pid
+         |  FROM vocab),
+         |wpid AS (SELECT w, list(COALESCE(v.pid, 0) ORDER BY s.i) AS wids
+         |  FROM (SELECT w, unnest(path) AS piece,
+         |        unnest(range(1, len(path)+1)) AS i FROM wseg) s
+         |  LEFT JOIN vids v USING (piece) GROUP BY w),
+         |docw AS (SELECT doc_id, w, wp FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |           unnest(range(1, len(string_split(text, ' '))+1)) AS wp
+         |    FROM documents)
+         |  WHERE len(w) > 0),
+         |useq AS (SELECT doc_id, flatten(list(wids ORDER BY wp)) AS ids
+         |  FROM docw JOIN wpid USING (w) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+         |  array_to_string(ids[1:12], '-') AS ids_head,
+         |  CAST(list_sum(ids) AS BIGINT) AS ids_sum
+         |FROM useq ORDER BY doc_id""".stripMargin,
     "llm_quality_classifier" ->
       s"""WITH $classifierCtes
          |SELECT CAST(3 AS BIGINT) AS steps, wb AS w_bias, w1 AS w_stop,

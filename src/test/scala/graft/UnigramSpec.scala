@@ -98,6 +98,29 @@ class UnigramSpec extends SparkSpecBase {
     }
   }
 
+  test("id emission agrees with the segmenter and feeds packSequences") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100).cache()
+    val v = Unigram.trainVocab(docs)
+    val ids = Unigram.encodeCorpusIds(docs, v).cache()
+    // token accounting: id-array lengths == the segmenter's piece counts
+    val idTok = ids.agg(sum(size(col("ids")))).first().getLong(0)
+    val segTok = Unigram.segmentCorpus(docs, v)
+      .agg(sum("n_pieces")).first().getLong(0)
+    assert(idTok == segTok, s"id emission $idTok vs segmenter $segTok")
+    // the ids DF plugs straight into the BPE packing path, lossless
+    val packed = graft.llmops.Bpe.packSequences(
+      ids.withColumn("source", lit("s")), budget = 128)
+    val packTok = packed.agg(sum(size(col("ids")))).first().getLong(0)
+    assert(packTok == idTok, s"packing lost tokens: $packTok vs $idTok")
+    // an unknown char decodes to the reserved UNK id 0
+    import spark.implicits._
+    val weird = Seq((0L, "ÿq ÿq ÿq")).toDF("doc_id", "text")
+    val wids = Unigram.encodeCorpusIds(weird, v)
+      .select("ids").first().getSeq[Long](0)
+    assert(wids.nonEmpty && wids.contains(0L), s"no UNK id in $wids")
+  }
+
   test("corpus roll-up equals the per-word decode, fold by occurrence") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50).cache()
