@@ -134,7 +134,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   md5-shuffle-assigned to GRAFT_EMIT_SHARDS shards
   *                   (def 64), written shard-partitioned to
   *                   GRAFT_EMIT_OUT — the layout a trainer's loader
-  *                   mounts
+  *                   mounts; GRAFT_EMIT_TOKENIZER_KIND=bpe (default)
+  *                   or unigram selects the tokenizer family the
+  *                   artifact belongs to
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -632,8 +634,20 @@ object GraftApp {
         val budget = env.get("GRAFT_EMIT_BUDGET").map(_.toInt).getOrElse(2048)
         val nShards = env.get("GRAFT_EMIT_SHARDS").map(_.toInt).getOrElse(64)
         val docs = spark.read.parquet(docsDir)
-        val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
-        val ids = graft.llmops.Bpe.encodeCorpusIds(docs, merges, vocab)
+        // tokenizer family: bpe (default; a bpe-train artifact) or
+        // unigram (a unigram-train vocab artifact) — both id streams
+        // feed the identical packing/sharding path
+        val rawIds = env.getOrElse("GRAFT_EMIT_TOKENIZER_KIND", "bpe") match {
+          case "bpe" =>
+            val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
+            graft.llmops.Bpe.encodeCorpusIds(docs, merges, vocab)
+          case "unigram" =>
+            graft.llmops.Unigram.encodeCorpusIds(docs,
+              graft.llmops.Unigram.loadVocab(spark, tok))
+          case k => throw new IllegalArgumentException(
+            s"unknown GRAFT_EMIT_TOKENIZER_KIND $k (bpe|unigram)")
+        }
+        val ids = rawIds
           .withColumn("shard", pmod(graft.llmops.TextOps.tokenHash60(
             concat(lit("shard:"), col("doc_id"))), lit(nShards.toLong)))
         val packed = graft.llmops.Bpe.packSequences(ids, budget,

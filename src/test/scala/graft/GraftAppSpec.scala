@@ -529,6 +529,28 @@ class GraftAppSpec extends SparkSpecBase {
     val one = packed.limit(1).select(col("seq_id").as("doc_id"), col("ids"))
     val txt = graft.llmops.Bpe.decode(one, vocab).head().getString(1)
     assert(txt.nonEmpty && txt.forall(c => "hugspunb".contains(c)))
+
+    // unigram family through the SAME verb: train the segmenter vocab,
+    // emit with GRAFT_EMIT_TOKENIZER_KIND=unigram, conserve tokens
+    val utok = Files.createTempDirectory("app-emit-ug").toFile.getAbsolutePath + "/vocab"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "unigram-train",
+      "GRAFT_UNIGRAM_DOCS" -> docsDir, "GRAFT_UNIGRAM_OUT" -> utok))
+    val uout = Files.createTempDirectory("app-emit-uout").toFile.getAbsolutePath + "/shards"
+    val uLines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "emit-shards", "GRAFT_EMIT_DOCS" -> docsDir,
+      "GRAFT_EMIT_TOKENIZER" -> utok, "GRAFT_EMIT_TOKENIZER_KIND" -> "unigram",
+      "GRAFT_EMIT_OUT" -> uout,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "4"))
+    assert(uLines.exists(_.startsWith("emit-shards:")), uLines.mkString)
+    val uPacked = spark.read.parquet(uout)
+    val uExpect = graft.llmops.Unigram.encodeCorpusIds(
+        spark.read.parquet(docsDir),
+        graft.llmops.Unigram.loadVocab(spark, utok))
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    val uGot = uPacked.agg(sum(size(col("ids")))).head().getLong(0)
+    assert(uGot == uExpect && uGot > 0,
+      s"unigram token conservation: $uGot vs $uExpect")
   }
 
   test("maintenance mode: curate-store fold via env") {
