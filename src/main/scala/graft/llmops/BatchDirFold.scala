@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
   * re-enters through [[heal]] and finishes (committed staging) or
   * discards (partial staging, originals intact).
   */
-private[llmops] object BatchDirFold {
+private[graft] object BatchDirFold {
 
   private def fsOf(spark: SparkSession, dir: Path) =
     dir.getFileSystem(spark.sessionState.newHadoopConf())

@@ -108,7 +108,8 @@ object CdcPipeline {
                      numBuckets: Int = 64,
                      trigger: Trigger = Trigger.AvailableNow(),
                      originFilter: OriginFilter = OriginFilter.Any,
-                     projections: Seq[graft.sinks.ProjectionDef] = Nil): StreamingQuery =
+                     projections: Seq[graft.sinks.ProjectionDef] = Nil,
+                     aggViews: Seq[graft.sinks.AggViewDef] = Nil): StreamingQuery =
     // Transactions are ASSEMBLED before apply: a raw-DML apply would
     // materialize events of a streamed (v2) transaction that later
     // ABORTS — its events precede a later commit boundary, but only the
@@ -116,7 +117,8 @@ object CdcPipeline {
     // the JDBC chain, which routes through the same scaffold).
     startAssembled(envelope, originFilter, "graft-warehouse", checkpointDir,
       trigger) { (batch, batchId) =>
-      applyWarehouseBatch(batch, rootPath, numBuckets, batchId, projections)
+      applyWarehouseBatch(batch, rootPath, numBuckets, batchId, projections,
+        aggViews)
     }
 
   /** F2 gate for the warehouse root: refuses STALE batch replays (an old
@@ -167,7 +169,8 @@ object CdcPipeline {
     * keep serving dropped rows through a secondary path). */
   def applyWarehouseBatch(batch: Dataset[CdcEvent], rootPath: String,
                           numBuckets: Int, batchId: Long,
-                          projections: Seq[graft.sinks.ProjectionDef] = Nil): Unit = {
+                          projections: Seq[graft.sinks.ProjectionDef] = Nil,
+                          aggViews: Seq[graft.sinks.AggViewDef] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     if (batchId <= lastWarehouseBatch(spark, rootPath)) return // stale replay
@@ -239,6 +242,8 @@ object CdcPipeline {
               // every declared secondary layout of the table goes with it
               projections.filter(_.table == name)
                 .foreach(_.sink(rootPath).truncate(spark))
+              aggViews.filter(_.table == name)
+                .foreach(_.sink(rootPath).truncate(spark))
             }
             sink.applyBatch(spark, flat, batchId)
             // declared projections are maintained from the SAME batch:
@@ -251,6 +256,20 @@ object CdcPipeline {
                   element_at(col("__before"), d.indexKey).as("__old_idx")): _*)
               d.sink(rootPath).applyBatch(spark, projFlat, batchId)
             }
+            // declared aggregate views fold the SAME batch as signed
+            // deltas: after-image columns under their names, before-
+            // image under __old_<c> (REPLICA IDENTITY FULL contract)
+            aggViews.filter(_.table == name).foreach { v =>
+              val needed = (v.groupCols ++ v.sumCols).distinct
+              val avFlat = tableEvents.select(
+                Seq(col("op"), col("lsn"),
+                  (coalesce(size(col("before.name")), lit(0)) > 0)
+                    .as("__has_before")) ++
+                  needed.map(c => element_at(col("__after"), c).as(c)) ++
+                  needed.map(c =>
+                    element_at(col("__before"), c).as(s"__old_$c")): _*)
+              v.sink(rootPath).applyBatch(spark, avFlat, batchId)
+            }
           }
         }
         // truncated tables with NO DML in the batch still truncate
@@ -261,6 +280,8 @@ object CdcPipeline {
             new graft.sinks.ParquetReplicaSink(s"$rootPath/$name", Nil, numBuckets)
               .truncate(spark)
             projections.filter(_.table == name)
+              .foreach(_.sink(rootPath).truncate(spark))
+            aggViews.filter(_.table == name)
               .foreach(_.sink(rootPath).truncate(spark))
           }
         }

@@ -114,6 +114,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_REBUILD_IF_DRIFT=<ratio> re-clusters the
   *                   whole store (fresh centroids, reset baseline) when
   *                   the last append drifted past baseline×ratio
+  *     agg-view      heal + fold every GRAFT_AGG_VIEWS-declared
+  *                   incremental aggregate view's delta dirs under
+  *                   GRAFT_WAREHOUSE_DIR and report live group counts
   *     classifier-train train the logistic-regression quality gate on
   *                   GRAFT_CLF_DOCS parquet (GRAFT_CLF_STEPS, def 3;
   *                   GRAFT_CLF_LR milli, def 100;
@@ -153,6 +156,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     layouts the warehouse chain maintains from each batch's
   *     before/after images (primary keys via GRAFT_TABLE_KEYS) and the
   *     op="t" wave truncates with their base table
+  *   GRAFT_AGG_VIEWS — "schema.table:g1,g2>s1,s2;..." declares
+  *     incrementally-maintained aggregate views (per-group COUNT(*) +
+  *     SUM of the listed columns) folded from each batch's
+  *     before/after images as signed deltas; truncate zeroes them via
+  *     an epoch bump; offline upkeep via the agg-view verb
   */
 object GraftApp {
 
@@ -164,6 +172,26 @@ object GraftApp {
         case Array(t, ks) if t.trim == table => ks.split(",").map(_.trim).toSeq
       }.getOrElse(Seq.empty)
     }.getOrElse(Seq.empty)
+
+  /** GRAFT_AGG_VIEWS: "schema.table:g1,g2>s1,s2;..." → declared
+    * incremental aggregate views (group cols > summed cols). */
+  private[graft] def parseAggViews(
+      env: Map[String, String]): Seq[graft.sinks.AggViewDef] =
+    env.get("GRAFT_AGG_VIEWS").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { spec =>
+        spec.split(":", 2) match {
+          case Array(table, rest) if rest.contains(">") =>
+            val Array(gs, ss) = rest.split(">", 2)
+            val groups = gs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val sums = ss.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(groups.nonEmpty,
+              s"agg view '$spec' needs at least one group column")
+            graft.sinks.AggViewDef(table.trim, groups, sums)
+          case _ => throw new IllegalArgumentException(
+            s"GRAFT_AGG_VIEWS entry '$spec' is not schema.table:g1,g2>s1,s2")
+        }
+      }
 
   /** GRAFT_PROJECTIONS: "schema.table:indexKey;..." → declared defs. */
   private def parseProjections(env: Map[String, String],
@@ -298,11 +326,12 @@ object GraftApp {
         // 100 TB path); spill form bounds executor memory for huge txs
         val buckets = env.get("GRAFT_WAREHOUSE_BUCKETS").map(_.toInt).getOrElse(64)
         val projections = parseProjections(env, buckets)
+        val aggViews = parseAggViews(env)
         if (env.get("GRAFT_WAREHOUSE_SPILL").exists(_.toBoolean))
           TxnSpill.startWarehouseSpill(envelope, root, ckpt, buckets,
             trigger, cfg.originFilter, projections)
         else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
-          trigger, cfg.originFilter, projections)
+          trigger, cfg.originFilter, projections, aggViews)
       case None if kafkaBrokers.isDefined =>
         // kafka mode: assembled transactions → Debezium envelope rows →
         // the built-in kafka sink (at-least-once, the reference's own
@@ -582,6 +611,22 @@ object GraftApp {
         graft.llmops.Bpe.writeTokenizer(spark, out, merges, vocab)
         Seq(s"bpe-train: ${merges.length} merges, " +
           s"|vocab|=${vocab.count()} -> $out")
+      case "agg-view" =>
+        // heal + fold every declared incremental aggregate view's delta
+        // dirs, and report the live group counts (the offline
+        // maintenance companion of the warehouse-chain upkeep)
+        val whRoot = env.getOrElse("GRAFT_WAREHOUSE_DIR",
+          throw new IllegalArgumentException(
+            "GRAFT_WAREHOUSE_DIR is required for agg-view"))
+        val views = parseAggViews(env)
+        require(views.nonEmpty, "GRAFT_AGG_VIEWS is required for agg-view")
+        views.map { v =>
+          val sink = v.sink(whRoot)
+          sink.recover(spark)
+          val folded = sink.compact(spark)
+          val groups = sink.read(spark).count()
+          s"agg-view ${v.table}/${v.name}: folded $folded dirs, $groups live groups"
+        }
       case "classifier-train" =>
         // train + persist the logistic-regression quality-gate weights
         // (Classifier.writeWeights artifact; served by the curate

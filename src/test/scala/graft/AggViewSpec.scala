@@ -1,0 +1,168 @@
+package graft
+
+import graft.sinks.{AggViewDef, AggViewSink}
+import graft.model.{CdcColumn, CdcEvent}
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate views (CDC-native IVM): after ANY event
+  * sequence the maintained view equals a direct GROUP BY of the
+  * replica; truncate zeroes with the base table; replay cannot double
+  * count; compact folds and purges netted-out groups. */
+class AggViewSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def ins(lsn: Long, id: Int, grp: String, amt: Int) =
+    CdcEvent("c", lsn, 1L, ts, "public", "t1", Nil,
+      Seq(CdcColumn("id", id.toString), CdcColumn("grp", grp),
+        CdcColumn("amt", amt.toString)), keyColumns = Seq("id"))
+
+  private def upd(lsn: Long, id: Int, og: String, oa: Int, ng: String, na: Int) =
+    CdcEvent("u", lsn, 1L, ts, "public", "t1",
+      Seq(CdcColumn("id", id.toString), CdcColumn("grp", og),
+        CdcColumn("amt", oa.toString)),
+      Seq(CdcColumn("id", id.toString), CdcColumn("grp", ng),
+        CdcColumn("amt", na.toString)), keyColumns = Seq("id"))
+
+  private def del(lsn: Long, id: Int, grp: String, amt: Int) =
+    CdcEvent("d", lsn, 1L, ts, "public", "t1",
+      Seq(CdcColumn("id", id.toString), CdcColumn("grp", grp),
+        CdcColumn("amt", amt.toString)), Nil, keyColumns = Seq("id"))
+
+  private def trunc(lsn: Long) =
+    CdcEvent("t", lsn, 1L, ts, "public", "t1", Nil, Nil,
+      truncateTables = Seq("public.t1"))
+
+  private def viewOf(root: String): (AggViewDef, AggViewSink) = {
+    val d = AggViewDef("public.t1", Seq("grp"), Seq("amt"), numParts = 8)
+    (d, d.sink(root))
+  }
+
+  private def readView(v: AggViewSink): Map[String, (Long, Double)] =
+    v.read(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  private def replicaAgg(root: String): Map[String, (Long, Double)] =
+    spark.read.parquet(s"$root/public.t1")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum(col("amt").cast("double")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("maintained view equals the replica GROUP BY across mixed batches") {
+    val root = java.nio.file.Files.createTempDirectory("aggv").toFile.getAbsolutePath
+    val (d, v) = viewOf(root)
+    // batch 0: inserts across two groups
+    CdcPipeline.applyWarehouseBatch(Seq(
+        ins(1, 1, "a", 10), ins(2, 2, "a", 20), ins(3, 3, "b", 5)).toDS(),
+      root, 4, batchId = 0, aggViews = Seq(d))
+    assert(readView(v) == Map("a" -> (2L, 30.0), "b" -> (1L, 5.0)))
+    assert(readView(v) == replicaAgg(root))
+    // batch 1: update moves id 2 from a to c; delete id 3; insert in b
+    CdcPipeline.applyWarehouseBatch(Seq(
+        upd(4, 2, "a", 20, "c", 25), del(5, 3, "b", 5), ins(6, 4, "b", 7)).toDS(),
+      root, 4, batchId = 1, aggViews = Seq(d))
+    assert(readView(v) == Map("a" -> (1L, 10.0), "b" -> (1L, 7.0),
+      "c" -> (1L, 25.0)))
+    assert(readView(v) == replicaAgg(root))
+    // batch 2: in-place amount update (same group)
+    CdcPipeline.applyWarehouseBatch(Seq(
+        upd(7, 1, "a", 10, "a", 11)).toDS(),
+      root, 4, batchId = 2, aggViews = Seq(d))
+    assert(readView(v) == Map("a" -> (1L, 11.0), "b" -> (1L, 7.0),
+      "c" -> (1L, 25.0)))
+    assert(readView(v) == replicaAgg(root))
+    // pruned probe read agrees with the full read
+    val probed = v.readGroups(spark, Seq("a", "c")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(probed == Map("a" -> (1L, 11.0), "c" -> (1L, 25.0)))
+  }
+
+  test("replayed batch overwrites its own delta dir — no double counts") {
+    val root = java.nio.file.Files.createTempDirectory("aggv-rp").toFile.getAbsolutePath
+    val (d, v) = viewOf(root)
+    def flatOf(events: Seq[CdcEvent]) = {
+      val df = events.toDS().toDF()
+        .withColumn("__after", map_from_arrays(col("after.name"), col("after.value")))
+        .withColumn("__before", map_from_arrays(col("before.name"), col("before.value")))
+      df.select(col("op"), col("lsn"),
+        (coalesce(size(col("before.name")), lit(0)) > 0).as("__has_before"),
+        element_at(col("__after"), "grp").as("grp"),
+        element_at(col("__after"), "amt").as("amt"),
+        element_at(col("__before"), "grp").as("__old_grp"),
+        element_at(col("__before"), "amt").as("__old_amt"))
+    }
+    val b0 = flatOf(Seq(ins(1, 1, "a", 10), ins(2, 2, "b", 3)))
+    v.applyBatch(spark, b0, batchId = 0)
+    v.applyBatch(spark, b0, batchId = 0) // crash-replay of the trigger
+    assert(readView(v) == Map("a" -> (1L, 10.0), "b" -> (1L, 3.0)))
+    // u/d without a before image is refused, not silently mis-summed
+    val noBefore = Seq(
+      CdcEvent("u", 3, 1L, ts, "public", "t1", Nil,
+        Seq(CdcColumn("id", "1"), CdcColumn("grp", "a"),
+          CdcColumn("amt", "11")), keyColumns = Seq("id")))
+    intercept[IllegalArgumentException] {
+      v.applyBatch(spark, flatOf(noBefore), batchId = 1)
+    }
+  }
+
+  test("truncate wave zeroes the view; compact folds and purges dead groups") {
+    val root = java.nio.file.Files.createTempDirectory("aggv-tr").toFile.getAbsolutePath
+    val (d, v) = viewOf(root)
+    CdcPipeline.applyWarehouseBatch(Seq(
+        ins(1, 1, "a", 10), ins(2, 2, "b", 20)).toDS(),
+      root, 4, batchId = 0, aggViews = Seq(d))
+    // truncate, then post-truncate DML in the SAME batch survives
+    CdcPipeline.applyWarehouseBatch(Seq(
+        trunc(3), ins(4, 5, "c", 50)).toDS(),
+      root, 4, batchId = 1, aggViews = Seq(d))
+    assert(readView(v) == Map("c" -> (1L, 50.0)))
+    assert(readView(v) == replicaAgg(root))
+    // net a group to zero across batches, then compact purges it
+    CdcPipeline.applyWarehouseBatch(Seq(
+        ins(5, 6, "dd", 1)).toDS(), root, 4, batchId = 2, aggViews = Seq(d))
+    CdcPipeline.applyWarehouseBatch(Seq(
+        del(6, 6, "dd", 1), ins(7, 7, "c", 2)).toDS(),
+      root, 4, batchId = 3, aggViews = Seq(d))
+    assert(readView(v) == Map("c" -> (2L, 52.0)))
+    // one more batch so the dd-netting dirs are both FOLDABLE (the
+    // newest dir never folds — it may belong to an uncommitted trigger)
+    CdcPipeline.applyWarehouseBatch(Seq(
+        ins(8, 8, "c", 3)).toDS(), root, 4, batchId = 4, aggViews = Seq(d))
+    val folded = v.compact(spark)
+    assert(folded >= 2, s"expected a real fold, got $folded")
+    assert(readView(v) == Map("c" -> (3L, 55.0)))
+    assert(readView(v) == replicaAgg(root))
+    // the netted-out group's rows are physically gone from the folded dirs
+    val e = v.currentEpoch(spark)
+    val raw = spark.read.parquet(s"${d.path(root)}/e$e/b*/part=*")
+    assert(raw.filter(col("grp") === "dd").count() == 0)
+  }
+
+  test("env surface: GRAFT_AGG_VIEWS parses; agg-view verb folds and reports") {
+    val defs = graft.streaming.GraftApp.parseAggViews(Map(
+      "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt; public.t2:a,b>x,y"))
+    assert(defs == Seq(
+      AggViewDef("public.t1", Seq("grp"), Seq("amt")),
+      AggViewDef("public.t2", Seq("a", "b"), Seq("x", "y"))))
+    intercept[IllegalArgumentException] {
+      graft.streaming.GraftApp.parseAggViews(
+        Map("GRAFT_AGG_VIEWS" -> "public.t1:grp"))
+    }
+    val root = java.nio.file.Files.createTempDirectory("aggv-env").toFile.getAbsolutePath
+    val d = defs.head
+    (0 to 2).foreach { b =>
+      CdcPipeline.applyWarehouseBatch(Seq(
+          ins(b * 2 + 1, 10 + b, "g" + (b % 2), b)).toDS(),
+        root, 4, batchId = b, aggViews = Seq(d))
+    }
+    val lines = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "agg-view", "GRAFT_WAREHOUSE_DIR" -> root,
+      "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt"))
+    assert(lines.exists(l => l.startsWith("agg-view public.t1/grp_amt:") &&
+      l.endsWith("2 live groups")), lines.mkString)
+    assert(readView(d.sink(root)) ==
+      Map("g0" -> (2L, 2.0), "g1" -> (1L, 1.0)))
+  }
+}
