@@ -1845,6 +1845,65 @@ object LlmQueries {
     "llm_quality_classifier" -> ((s, d) =>
       graft.llmops.Classifier.trainReport(documents(s, d), steps = 3)),
 
+    // Retrieval MRR: the rank-position companion of llm_ann_recall —
+    // per probe, the reciprocal rank (integer milli) of the FIRST
+    // LSH-retrieved item that the exact top-10 also contains. Recall
+    // says "how much of the truth came back"; MRR says "how early" —
+    // the metric that moves when a rerank stage is worth paying for.
+    // Same bounded probe-sample shape: exact side broadcasts the
+    // sample against one corpus scan, LSH side pays bucket collisions.
+    "llm_ann_mrr" -> ((s, d) => {
+      val k = 10
+      val q = Similarity.quantized(embeddings(s, d))
+      val probes = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
+      val corpus = q.select(col("vec_id").as("cid"), col("qe").as("ce"),
+        col("nq").as("nc"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy(desc("cosine"), col("cid"))
+      val exact = corpus.crossJoin(broadcast(probes))
+        .filter(col("cid") =!= col("pid"))
+        .withColumn("cosine",
+          Similarity.dotQ(col("ce"), col("pe")) * lit(1.0) /
+            sqrt((col("nc") * col("np")).cast("double")))
+        .withColumn("rnk", row_number().over(wP))
+        .filter(col("rnk") <= k)
+        .select("pid", "cid")
+      val lsh = Similarity.signLshTopKBatch(embeddings(s, d),
+        col("vec_id") < 5, k = k).select("pid", "cid", "rank")
+      lsh.join(exact, Seq("pid", "cid"))
+        .groupBy("pid").agg(min("rank").as("first_hit_rank"))
+        .join(probes.select("pid"), Seq("pid"), "right")
+        .select(col("pid").as("probe_id"),
+          coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"))
+        .withColumn("rr_milli",
+          when(col("first_hit_rank") > 0,
+            expr("1000 div first_hit_rank")).otherwise(lit(0L)))
+        .orderBy("probe_id")
+    }),
+
+    // Cluster-balanced sampling: up to 3 docs per IVF cluster by a
+    // deterministic md5 draw — the diversity-preserving sample
+    // (uniform sampling over-represents dense regions; per-cluster
+    // quotas cover the embedding space). Literal-centroid assignment,
+    // one cluster-partitioned WindowGroupLimit — output bounded at
+    // clusters × quota.
+    "llm_cluster_sample" -> ((s, d) => {
+      import graft.expressions.GraftFunctions.md5_prefix60
+      val emb = embeddings(s, d)
+      val (_, assign) = Similarity.ivfIndex(Similarity.quantized(emb))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(col("draw"), col("vec_id"))
+      assign
+        .withColumn("draw",
+          md5_prefix60(concat(lit("cs-"), col("vec_id").cast("string"))))
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .filter(col("pos") <= 3)
+        .select(col("cluster"), col("vec_id"), col("pos"))
+        .orderBy("cluster", "pos")
+    }),
+
     // Unigram piece-ID sequences — the unigram tokenizer reaching the
     // trainer: dense piece ids (sort-ordered, 0 = UNK), per-doc
     // id arrays reassembled vocab-factored, ready for the SAME
@@ -2179,6 +2238,40 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_ann_mrr" ->
+      s"""${lshBatchCtes},
+         |ex AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      list_dot_product(c.qe::BIGINT[], p.qe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(c.nq * p.nq AS DOUBLE)) DESC, c.vec_id) AS rnk
+         |  FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         |ext AS (SELECT pid, cid FROM ex WHERE rnk <= 10),
+         |lshr AS (SELECT pid, cid, rnk FROM (SELECT pid, cid,
+         |    row_number() OVER (PARTITION BY pid ORDER BY
+         |      list_dot_product(np.qe::BIGINT[], nc.qe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(np.nq * nc.nq AS DOUBLE)) DESC, cid) AS rnk
+         |  FROM cand JOIN n np ON pid = np.vec_id JOIN n nc ON cid = nc.vec_id)
+         |  WHERE rnk <= 10),
+         |hits AS (SELECT pid, min(rnk) AS fr
+         |  FROM lshr JOIN ext USING (pid, cid) GROUP BY 1),
+         |pr AS (SELECT DISTINCT vec_id AS pid FROM n WHERE vec_id < 5)
+         |SELECT pr.pid AS probe_id,
+         |  CAST(COALESCE(fr, 0) AS BIGINT) AS first_hit_rank,
+         |  CAST(CASE WHEN COALESCE(fr, 0) > 0 THEN 1000 // fr ELSE 0 END
+         |    AS BIGINT) AS rr_milli
+         |FROM pr LEFT JOIN hits ON pr.pid = hits.pid ORDER BY 1""".stripMargin,
+    "llm_cluster_sample" ->
+      s"""${ivfCtes},
+         |drawn AS (SELECT cluster, vec_id,
+         |    ('0x' || substr(md5('cs-' || CAST(vec_id AS VARCHAR)),1,15))::BIGINT
+         |      AS draw
+         |  FROM asg),
+         |ranked AS (SELECT cluster, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY draw, vec_id) AS BIGINT) AS pos
+         |  FROM drawn)
+         |SELECT cluster, vec_id, pos FROM ranked
+         |WHERE pos <= 3 ORDER BY cluster, pos""".stripMargin,
     "llm_unigram_ids" ->
       s"""WITH $unigramCtes,
          |vids AS (SELECT piece,

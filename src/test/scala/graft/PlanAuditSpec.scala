@@ -713,6 +713,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!collectAll(executed(ug)).exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("ann-mrr, cluster-sample: scale shapes hold") {
+    // llm_ann_mrr: probe sample broadcasts into the exact side; no
+    // cartesian beyond the broadcast; aggregation partial
+    val mrr = q("llm_ann_mrr")
+    mrr.count()
+    val mrrPlan = planString(mrr)
+    assert(mrrPlan.contains("BroadcastExchange") ||
+      mrrPlan.contains("BroadcastNestedLoopJoin"), mrrPlan.take(2000))
+    assert(!mrrPlan.contains("ScalaUDF"), mrrPlan.take(2000))
+
+    // llm_cluster_sample: literal-centroid assignment (no shuffled
+    // cross join), cluster-partitioned WindowGroupLimit quota
+    val cs = q("llm_cluster_sample")
+    cs.count()
+    val csPlan = planString(cs)
+    assert(csPlan.contains("WindowGroupLimit"), csPlan.take(2000))
+    assert(!collectAll(executed(cs)).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("NO registered query plans an unpartitioned window over unbounded input") {
     // An empty-partition-spec WindowExec drags its entire input to one
     // task — a scale-killer that stays invisible at test SF. The one
