@@ -105,22 +105,34 @@ object Classifier {
     Weights(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  /** The margin z (nano units, exact integer) of each doc under `w`,
+    * computed inline over the text column — the σ-free serving
+    * arithmetic shared by [[gateDocs]] and [[scoreDocs]]. */
+  def marginNano(w: Weights): Column = {
+    val x1 = expr("""(size(filter(split(text, ' '), x ->
+        x IN ('the','a','and','of','to','in','is'))) * 1000)
+      div size(split(text, ' '))""")
+    val x2 = least(size(split(col("text"), " ")).cast("bigint"), lit(1000L))
+    val x3 = expr("""(size(array_distinct(split(text, ' '))) * 1000)
+      div size(split(text, ' '))""")
+    lit(w.b) * lit(1000L) + lit(w.w1) * x1 +
+      lit(w.w2) * x2 + lit(w.w3) * x3
+  }
+
   /** σ-free model gate: keep docs whose margin z ≥ 0 under `w` — the
     * serving form of the classifier (exact integer arithmetic over the
     * same milli features, computed inline so every input column
     * survives). Empty-token docs score bias-only. */
-  def gateDocs(docs: DataFrame, w: Weights): DataFrame = {
-    val t = split(col("text"), " ")
-    val x1 = expr("""(size(filter(split(text, ' '), x ->
-        x IN ('the','a','and','of','to','in','is'))) * 1000)
-      div size(split(text, ' '))""")
-    val x2 = least(size(t).cast("bigint"), lit(1000L))
-    val x3 = expr("""(size(array_distinct(split(text, ' '))) * 1000)
-      div size(split(text, ' '))""")
-    docs.filter(
-      lit(w.b) * lit(1000L) + lit(w.w1) * x1 +
-        lit(w.w2) * x2 + lit(w.w3) * x3 >= 0)
-  }
+  def gateDocs(docs: DataFrame, w: Weights): DataFrame =
+    docs.filter(marginNano(w) >= 0)
+
+  /** Per-doc margins + the z ≥ 0 decision — the score DISTRIBUTION a
+    * trimming budget or threshold sweep reads (the gate keeps/drops;
+    * this says by how much). */
+  def scoreDocs(docs: DataFrame, w: Weights,
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), marginNano(w).as("z_nano"))
+      .withColumn("pred", (col("z_nano") >= 0).cast("int").cast("bigint"))
 
   /** Train `steps` full-batch GD steps from zero weights; returns the
     * weights plus the confusion counts of the final model (decision at

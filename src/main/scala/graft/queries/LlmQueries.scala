@@ -1845,6 +1845,18 @@ object LlmQueries {
     "llm_quality_classifier" -> ((s, d) =>
       graft.llmops.Classifier.trainReport(documents(s, d), steps = 3)),
 
+    // Per-doc classifier margins: the score DISTRIBUTION under the
+    // 3-step-trained weights (llm_quality_classifier reports the
+    // confusion; this emits each doc's z — what a threshold sweep or
+    // soft-trim budget actually consumes). Exact integer arithmetic —
+    // the margin needs no σ — so the replayed training loop plus one
+    // projection hash-matches.
+    "llm_clf_margin" -> ((s, d) => {
+      val docs = documents(s, d)
+      val w = graft.llmops.Classifier.trainWeights(docs, steps = 3)
+      graft.llmops.Classifier.scoreDocs(docs, w).orderBy("doc_id")
+    }),
+
     // Retrieval MRR: the rank-position companion of llm_ann_recall —
     // per probe, the reciprocal rank (integer milli) of the FIRST
     // LSH-retrieved item that the exact top-10 also contains. Recall
@@ -2198,7 +2210,7 @@ object LlmQueries {
   private lazy val classifierCtes: String = {
     val (steps, lr) = (3, 100L)
     val b = new StringBuilder
-    b ++= """cf AS (SELECT
+    b ++= """cf AS (SELECT doc_id,
       |    CAST(lang = 'en' AS BIGINT) AS y,
       |    (len(list_filter(string_split(text, ' '), x ->
       |        x IN ('the','a','and','of','to','in','is'))) * 1000)
@@ -2238,6 +2250,13 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_clf_margin" ->
+      s"""WITH $classifierCtes
+         |SELECT doc_id,
+         |  CAST(wb*1000 + w1*x1 + w2*x2 + w3*x3 AS BIGINT) AS z_nano,
+         |  CAST(CASE WHEN wb*1000 + w1*x1 + w2*x2 + w3*x3 >= 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM cf, cw3 ORDER BY doc_id""".stripMargin,
     "llm_ann_mrr" ->
       s"""${lshBatchCtes},
          |ex AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
