@@ -289,6 +289,67 @@ object ScaleProbe {
       base(5)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
     val embs = (base :+ twin).toDF("vec_id", "embedding")
       .repartition(32).localCheckpoint(true)
+    // Incremental aggregate view at volume: mixed-DML batches through
+    // the warehouse apply with a declared per-group COUNT/SUM view —
+    // after EVERY batch the maintained view must equal the replica
+    // GROUP BY exactly (the IVM contract), at O(batch) upkeep.
+    locally {
+      import graft.model.{CdcColumn, CdcEvent}
+      import spark.implicits._
+      val whRoot = java.nio.file.Files.createTempDirectory("scale-agg")
+        .toFile.getAbsolutePath
+      val vdef = graft.sinks.AggViewDef("public.t1", Seq("grp"), Seq("amt"))
+      val tsA = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val live = scala.collection.mutable.HashMap.empty[Long, (String, Long)]
+      var lsn = 0L
+      def nextLsn(): Long = { lsn += 1; lsn }
+      def cdcCols(id: Long, grp: String, amt: Long) =
+        Seq(CdcColumn("id", id.toString), CdcColumn("grp", grp),
+          CdcColumn("amt", amt.toString))
+      val nIns = math.max(nDocs / 4, 2000)
+      val b0 = (0L until nIns).map { i =>
+        val (g, a) = (s"g${i % 16}", i % 97)
+        live(i) = (g, a)
+        CdcEvent("c", nextLsn(), 1L, tsA, "public", "t1", Nil,
+          cdcCols(i, g, a), keyColumns = Seq("id"))
+      }
+      val exp0 = live.toMap // snapshot BEFORE b1's construction mutates live
+      val b1 = (0L until nIns / 2).map { i =>
+        val (og, oa) = live(i)
+        if (i % 5 == 0) { // delete
+          live.remove(i)
+          CdcEvent("d", nextLsn(), 1L, tsA, "public", "t1",
+            cdcCols(i, og, oa), Nil, keyColumns = Seq("id"))
+        } else { // update; every 3rd moves group
+          val ng = if (i % 3 == 0) s"g${(i + 7) % 16}" else og
+          live(i) = (ng, oa + 1)
+          CdcEvent("u", nextLsn(), 1L, tsA, "public", "t1",
+            cdcCols(i, og, oa), cdcCols(i, ng, oa + 1), keyColumns = Seq("id"))
+        }
+      }
+      val exp1 = live.toMap
+      Seq((b0, exp0), (b1, exp1)).zipWithIndex.foreach { case ((events, snap), b) =>
+        t0 = System.nanoTime()
+        graft.streaming.CdcPipeline.applyWarehouseBatch(
+          events.toDS(), whRoot, 8, batchId = b.toLong, aggViews = Seq(vdef))
+        val view = vdef.sink(whRoot).read(spark).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val expect = snap.values.groupBy(_._1).map { case (g, vs) =>
+          g -> (vs.size.toLong, vs.map(_._2).sum.toDouble) }
+        require(view == expect, {
+          val diff = (view.keySet ++ expect.keySet).toSeq.sorted
+            .filter(k => view.get(k) != expect.get(k))
+            .map(k => s"$k: view=${view.get(k)} expect=${expect.get(k)}")
+          s"agg view diverged at batch $b: ${diff.take(4).mkString("; ")}"
+        })
+        println(f"agg-view batch $b: ${events.size} events -> " +
+          f"${view.size} live groups, view == replica fold, in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      val folded = vdef.sink(whRoot).compact(spark)
+      println(s"agg-view compact: folded $folded delta dirs")
+    }
+
     val annRoot = java.nio.file.Files.createTempDirectory("scale-ann")
       .toFile.getAbsolutePath
     val lshIdx = new graft.llmops.AnnIndexStore(s"$annRoot/lsh")
