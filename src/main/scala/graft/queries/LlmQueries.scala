@@ -1916,6 +1916,45 @@ object LlmQueries {
         .orderBy("cluster", "pos")
     }),
 
+    // nDCG@10 completes the retrieval-eval triad (recall: how much
+    // truth; MRR: how early the first hit; nDCG: how well the WHOLE
+    // ranking orders the truth). Binary relevance = membership in the
+    // exact top-10; the 1/log2(i+1) position discounts are micro-
+    // rounded INTEGER LITERALS computed once and shared with the
+    // oracle, so the score is exact integer arithmetic end to end.
+    "llm_ann_ndcg" -> ((s, d) => {
+      val k = 10
+      val w = (1 to k).map(i =>
+        Math.round(1e6 / (Math.log(i + 1) / Math.log(2)))).toArray
+      val idcg = w.sum
+      val q = Similarity.quantized(embeddings(s, d))
+      val probes = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("pid"), col("qe").as("pe"), col("nq").as("np"))
+      val corpus = q.select(col("vec_id").as("cid"), col("qe").as("ce"),
+        col("nq").as("nc"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy(desc("cosine"), col("cid"))
+      val exact = corpus.crossJoin(broadcast(probes))
+        .filter(col("cid") =!= col("pid"))
+        .withColumn("cosine",
+          Similarity.dotQ(col("ce"), col("pe")) * lit(1.0) /
+            sqrt((col("nc") * col("np")).cast("double")))
+        .withColumn("rnk", row_number().over(wP))
+        .filter(col("rnk") <= k)
+        .select("pid", "cid")
+      val lsh = Similarity.signLshTopKBatch(embeddings(s, d),
+        col("vec_id") < 5, k = k).select("pid", "cid", "rank")
+      lsh.join(exact, Seq("pid", "cid"))
+        .withColumn("wgt",
+          element_at(typedLit(w.toSeq), col("rank").cast("int")))
+        .groupBy("pid").agg(sum("wgt").as("dcg_micro"))
+        .join(probes.select("pid"), Seq("pid"), "right")
+        .select(col("pid").as("probe_id"),
+          coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"))
+        .withColumn("ndcg_milli", expr(s"(dcg_micro * 1000) div $idcg"))
+        .orderBy("probe_id")
+    }),
+
     // Unigram piece-ID sequences — the unigram tokenizer reaching the
     // trainer: dense piece ids (sort-ordered, 0 = UNK), per-doc
     // id arrays reassembled vocab-factored, ready for the SAME
@@ -2257,6 +2296,33 @@ object LlmQueries {
          |  CAST(CASE WHEN wb*1000 + w1*x1 + w2*x2 + w3*x3 >= 0
          |    THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM cf, cw3 ORDER BY doc_id""".stripMargin,
+    "llm_ann_ndcg" -> {
+      val k = 10
+      val w = (1 to k).map(i =>
+        Math.round(1e6 / (Math.log(i + 1) / Math.log(2))))
+      val idcg = w.sum
+      s"""${lshBatchCtes},
+         |ex AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      list_dot_product(c.qe::BIGINT[], p.qe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(c.nq * p.nq AS DOUBLE)) DESC, c.vec_id) AS rnk
+         |  FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         |ext AS (SELECT pid, cid FROM ex WHERE rnk <= $k),
+         |lshr AS (SELECT pid, cid, rnk FROM (SELECT pid, cid,
+         |    row_number() OVER (PARTITION BY pid ORDER BY
+         |      list_dot_product(np.qe::BIGINT[], nc.qe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(np.nq * nc.nq AS DOUBLE)) DESC, cid) AS rnk
+         |  FROM cand JOIN n np ON pid = np.vec_id JOIN n nc ON cid = nc.vec_id)
+         |  WHERE rnk <= $k),
+         |dcg AS (SELECT pid, CAST(sum(([${w.mkString(",")}])[rnk]) AS BIGINT)
+         |    AS dcg_micro
+         |  FROM lshr JOIN ext USING (pid, cid) GROUP BY 1),
+         |pr AS (SELECT DISTINCT vec_id AS pid FROM n WHERE vec_id < 5)
+         |SELECT pr.pid AS probe_id,
+         |  CAST(COALESCE(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |  (COALESCE(dcg_micro, 0) * 1000) // $idcg AS ndcg_milli
+         |FROM pr LEFT JOIN dcg ON pr.pid = dcg.pid ORDER BY 1""".stripMargin
+    },
     "llm_ann_mrr" ->
       s"""${lshBatchCtes},
          |ex AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
