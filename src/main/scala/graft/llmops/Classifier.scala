@@ -75,8 +75,12 @@ object Classifier {
     val n = g.getLong(0)
     // HALF_UP on the exact double (away from zero — SQL round()
     // semantics; Math.round rounds negative halves the other way)
+    // lrMilli.toDouble FIRST: a Long×Long product can wrap for corpora
+    // around 1e8 rows (|e|≤1e6 × x≤1000 per row); the quotient is
+    // double-divided anyway, so compute the whole update in floating
+    // point and round once
     def upd(wj: Long, gj: Long): Long =
-      wj - new java.math.BigDecimal(lrMilli * gj / (n * 1000.0 * 1000.0))
+      wj - new java.math.BigDecimal(lrMilli.toDouble * gj / (n * 1000.0 * 1000.0))
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue
     Weights(upd(w.b, g.getLong(1)), upd(w.w1, g.getLong(2)),
       upd(w.w2, g.getLong(3)), upd(w.w3, g.getLong(4)))

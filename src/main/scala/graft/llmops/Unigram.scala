@@ -54,6 +54,25 @@ object Unigram {
 
   def lnMicro(x: Long): Long = Math.round(Math.log(x.toDouble) * 1e6)
 
+  /** Code-point order — equals Spark's UTF8String / DuckDB's UTF-8
+    * binary collation. JVM String order compares UTF-16 code units,
+    * which ranks supplementary-plane pieces BELOW U+E000..U+FFFF ones
+    * (surrogates sort low), so id assignment would silently diverge
+    * between engine and oracle on such vocabularies. */
+  val codePointOrder: Ordering[String] = (a: String, b: String) => {
+    val n = math.min(a.length, b.length)
+    var i = 0; var r = 0
+    while (r == 0 && i < n) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      r = Integer.compare(ca, cb)
+      if (r == 0) i += Character.charCount(ca)
+    }
+    if (r != 0) r else Integer.compare(a.length, b.length)
+  }
+
+  private val pieceOrder: Ordering[Piece] =
+    Ordering.by[Piece, String](_.piece)(codePointOrder)
+
   /** All substrings of length 1..[[MaxPieceLen]] of the dict words,
     * weighted by word frequency — the seed-piece frequency table.
     * Bounded: |dict| · maxWordLen · MaxPieceLen rows pre-aggregation,
@@ -77,7 +96,7 @@ object Unigram {
     val chars = pc.filter(length(col("piece")) === 1)
     val rows = top.union(chars).distinct()
       .collect().map(r => Piece(r.getString(0), r.getLong(1)))
-      .sortBy(p => (p.piece, p.freq))
+      .sorted(pieceOrder)
     Vocab(rows, rows.map(_.freq).sum)
   }
 
@@ -158,7 +177,7 @@ object Unigram {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val pieces = vocab.pieces
       .map(p => Piece(p.piece, math.max(obs.getOrElse(p.piece, 0L), 1L)))
-      .sortBy(p => (p.piece, p.freq))
+      .sorted(pieceOrder)
     Vocab(pieces, pieces.map(_.freq).sum)
   }
 
@@ -176,7 +195,7 @@ object Unigram {
   def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Vocab = {
     val rows = spark.read.parquet(path).collect()
       .map(r => Piece(r.getString(0), r.getLong(1)))
-      .sortBy(p => (p.piece, p.freq))
+      .sorted(pieceOrder)
     Vocab(rows, rows.map(_.freq).sum)
   }
 
@@ -185,7 +204,7 @@ object Unigram {
     * the UNK single-char fallback. Driver metadata like the vocab
     * itself — any engine derives identical ids. */
   def pieceIds(vocab: Vocab): Map[String, Long] =
-    vocab.pieces.map(_.piece).sorted.zipWithIndex
+    vocab.pieces.map(_.piece).sorted(codePointOrder).zipWithIndex
       .map { case (p, i) => p -> (i + 1L) }.toMap
 
   /** Per-doc piece-ID SEQUENCES — the unigram counterpart of

@@ -261,10 +261,14 @@ object CdcPipeline {
             // image under __old_<c> (REPLICA IDENTITY FULL contract)
             aggViews.filter(_.table == name).foreach { v =>
               val needed = (v.groupCols ++ v.sumCols).distinct
+              // "has a before image" means EVERY column the view folds is
+              // present in it — a key-only image (REPLICA IDENTITY
+              // DEFAULT) passes a mere non-empty check and would subtract
+              // from a phantom NULL group with 0 sums
               val avFlat = tableEvents.select(
                 Seq(col("op"), col("lsn"),
-                  (coalesce(size(col("before.name")), lit(0)) > 0)
-                    .as("__has_before")) ++
+                  needed.map(c => array_contains(col("before.name"), c))
+                    .reduce(_ && _).as("__has_before")) ++
                   needed.map(c => element_at(col("__after"), c).as(c)) ++
                   needed.map(c =>
                     element_at(col("__before"), c).as(s"__old_$c")): _*)

@@ -160,7 +160,7 @@ class AggViewSpec extends SparkSpecBase {
     val lines = graft.streaming.GraftApp.maintenance(spark, Map(
       "GRAFT_MAINTENANCE" -> "agg-view", "GRAFT_WAREHOUSE_DIR" -> root,
       "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt"))
-    assert(lines.exists(l => l.startsWith("agg-view public.t1/grp_amt:") &&
+    assert(lines.exists(l => l.startsWith("agg-view public.t1/g_grp__s_amt:") &&
       l.endsWith("2 live groups")), lines.mkString)
     assert(readView(d.sink(root)) ==
       Map("g0" -> (2L, 2.0), "g1" -> (1L, 1.0)))
