@@ -25,6 +25,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       KmvAgg(GraftColumnBridge.expression(c), k).toAggregateExpression())
 
+  /** count_by_key(k) — map<string,bigint> of counts per distinct
+    * non-null key; built for `Dataset.observe` labeled-metric feeds
+    * (bounded key cardinality, map-side combined). */
+  def count_by_key(c: Column): Column =
+    GraftColumnBridge.column(
+      CountByKeyAgg(GraftColumnBridge.expression(c)).toAggregateExpression())
+
   /** dot_q(a, b) — exact integer dot product of two array<bigint>. */
   def dot_q(a: Column, b: Column): Column =
     GraftColumnBridge.column(

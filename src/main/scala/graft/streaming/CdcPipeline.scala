@@ -69,12 +69,19 @@ object CdcPipeline {
   }
 
   /** Shared assembled-apply scaffold: envelope → TxnAssembler → sealed
-    * transactions flattened to DML events → `apply` per micro-batch. */
+    * transactions flattened to DML events → `apply` per micro-batch.
+    *
+    * The event stream carries `observe("graft_cdc")` — max applied LSN,
+    * newest commit timestamp, per-{event_type,table} counts — Spark's
+    * CollectMetrics folds these into the batch's existing pass and
+    * delivers them with the progress event, where [[CdcMetricsListener]]
+    * turns them into the reference's lag/LSN/labeled metrics
+    * (monitoring/metrics.rs:28-57). Zero extra jobs per trigger. */
   private[graft] def startAssembled(
       envelope: DataFrame, originFilter: OriginFilter, name: String,
       checkpointDir: String, trigger: Trigger)(
       apply: (Dataset[CdcEvent], Long) => Unit): StreamingQuery =
-    TxnAssembler.assemble(toAllEvents(envelope, originFilter))
+    TxnAssembler.assemble(observeCdcMetrics(toAllEvents(envelope, originFilter)))
       .writeStream
       .queryName(name)
       .option("checkpointLocation", checkpointDir)
@@ -84,6 +91,27 @@ object CdcPipeline {
           .filter(col("op").isin("c", "u", "d", "t")), batchId)
       }
       .start()
+
+  /** Observed-metrics feed for [[CdcMetricsListener]]: reference label
+    * semantics (metrics_abstraction.rs:186-209) — op mapped to the
+    * event-type name, truncate events labeled with their joined table
+    * list, everything else schema-qualified. */
+  private def observeCdcMetrics(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
+    import org.apache.spark.sql.functions._
+    val eventType = when(col("op") === "c", "insert")
+      .when(col("op") === "u", "update")
+      .when(col("op") === "d", "delete")
+      .when(col("op") === "t", "truncate")
+    val tableName = when(col("op") === "t",
+        array_join(col("truncateTables"), ","))
+      .otherwise(concat_ws(".", col("schema"), col("table")))
+    events.observe("graft_cdc",
+      max(col("lsn")).as("max_lsn"),
+      max(unix_micros(col("commitTs"))).as("max_commit_ts_micros"),
+      graft.expressions.GraftFunctions.count_by_key(
+        when(col("op").isin("c", "u", "d", "t"),
+          concat_ws("\u0001", eventType, tableName))).as("events_by_type"))
+  }
 
   /** Kafka-envelope pipeline: envelope → Debezium topic/key/value rows.
     * Attach .format("kafka") + bootstrap options to go to a real broker;

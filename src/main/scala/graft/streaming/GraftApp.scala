@@ -256,6 +256,7 @@ object GraftApp {
           // curate mode also exposes the per-trigger funnel counters
           else Some(new MetricsServer(listener, metricsPort,
             () => graft.llmops.StreamingCurate.metricsSnapshot()).start())
+        listener.setDestinationConnected("curate-store", connected = true)
         val docs = spark.readStream
           .schema("doc_id LONG, source STRING, text STRING")
           .parquet(docsDir)
@@ -324,6 +325,7 @@ object GraftApp {
       case Some(root) =>
         // warehouse mode: per-table hash-bucketed parquet replicas (the
         // 100 TB path); spill form bounds executor memory for huge txs
+        listener.setDestinationConnected("warehouse", connected = true)
         val buckets = env.get("GRAFT_WAREHOUSE_BUCKETS").map(_.toInt).getOrElse(64)
         val projections = parseProjections(env, buckets)
         val aggViews = parseAggViews(env)
@@ -339,6 +341,7 @@ object GraftApp {
         // honor is documented+tested in sinks/KafkaDelivery). Assembly
         // before publish for the same reason as JDBC: StreamAborted v2
         // transactions must never reach a topic.
+        listener.setDestinationConnected("kafka", connected = true)
         val prefix = env.getOrElse("GRAFT_KAFKA_TOPIC_PREFIX", "cdc")
         val format = env.getOrElse("GRAFT_KAFKA_FORMAT", "kafka")
         CdcPipeline.startAssembled(envelope, cfg.originFilter,
@@ -361,7 +364,8 @@ object GraftApp {
             maxRowsPerInsert = cfg.maxRowsPerInsert,
             bulkInsertThreshold = cfg.bulkInsertThreshold),
           cfg.batchSize)
-        applier.init()
+        applier.init() // throws on unreachable destination → gauge stays absent
+        listener.setDestinationConnected(dialect.name, connected = true)
         // Transaction assembly before apply (same scaffold as startJdbc /
         // startWarehouse): protocol-v2 streamed DML whose transaction later
         // StreamAborts must never reach the destination.
@@ -754,7 +758,10 @@ object GraftApp {
       w.capture.foreach(_.stop())
       w.captureThread.foreach(_.join(30000))
     } finally {
-      try w.query.stop() finally w.metrics.foreach(_.stop())
+      try w.query.stop() finally {
+        w.listener.markDestinationsDisconnected()
+        w.metrics.foreach(_.stop())
+      }
     }
   }
 

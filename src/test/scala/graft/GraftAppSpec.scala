@@ -221,6 +221,77 @@ class GraftAppSpec extends SparkSpecBase {
     } finally GraftApp.shutdown(w)
   }
 
+  test("metrics parity: lag + LSN gauges move across triggers; labeled per-table counters; connection status (E4)") {
+    val wal = Files.createTempDirectory("app-met-wal").toFile.getAbsolutePath
+    val db = Files.createTempDirectory("app-met-db").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("app-met-ckpt").toFile.getAbsolutePath
+    val nowMs = System.currentTimeMillis() - 5000 // committed 5 s ago → lag ≈ 5 s
+    def ins(lsn: Long, txid: Int, table: String, id: String, commit: Boolean) =
+      s"""{"op":"c","lsn":$lsn,"txid":$txid,"commitTsMs":$nowMs,""" +
+        s""""schema":"public","table":"$table","after":[{"name":"id","value":"$id"}],""" +
+        s""""keyColumns":["id"],"commit":$commit}"""
+    def del(lsn: Long, txid: Int, table: String, id: String, commit: Boolean) =
+      s"""{"op":"d","lsn":$lsn,"txid":$txid,"commitTsMs":$nowMs,""" +
+        s""""schema":"public","table":"$table","before":[{"name":"id","value":"$id"}],""" +
+        s""""keyColumns":["id"],"commit":$commit}"""
+    writeSegment(wal, "000001", Seq(
+      ins(1, 1, "t1", "1", commit = false), ins(2, 1, "t1", "2", commit = true)))
+    val url = s"jdbc:derby:$db/app;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE SCHEMA \"public\"")
+    Seq("t1", "t2").foreach(t => c.createStatement().execute(
+      s"""CREATE TABLE "public"."$t" ("id" VARCHAR(32) PRIMARY KEY)"""))
+
+    val env = Map(
+      "GRAFT_WAL_DIR" -> wal, "GRAFT_DEST_URL" -> url,
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "0")
+    val w = GraftApp.build(spark, GraftConfig(), env,
+      Trigger.ProcessingTime(0)) // continuous triggers: the live soak
+    def scrape(): Map[String, Double] = {
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:${w.metrics.get.boundPort}/metrics").toURL.openConnection()
+      new String(conn.getInputStream.readAllBytes()).linesIterator
+        .filterNot(_.startsWith("#")).flatMap { l =>
+          val i = l.lastIndexOf(' ')
+          if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1).toDouble)
+        }.toMap
+    }
+    def awaitLsn(min: Double): Map[String, Double] = {
+      val deadline = System.currentTimeMillis() + 60000
+      var s = scrape()
+      while (s.getOrElse("pg2any_last_processed_lsn", 0.0) < min &&
+             System.currentTimeMillis() < deadline) { Thread.sleep(200); s = scrape() }
+      assert(s("pg2any_last_processed_lsn") >= min,
+        s"gauge never reached $min: ${s.filter(_._1.contains("lsn"))}")
+      s
+    }
+    try {
+      val s1 = awaitLsn(2)
+      assert(s1("pg2any_current_received_lsn") >= 2)
+      assert(s1("pg2any_source_connection_status") == 1.0)
+      assert(s1("""pg2any_destination_connection_status{destination_type="ansi"}""") == 1.0)
+      assert(s1("""pg2any_events_by_type_total{event_type="insert",table_name="public.t1"}""") == 2.0)
+      val lag1 = s1("pg2any_replication_lag_seconds")
+      assert(lag1 > 0 && lag1 < 600, s"lag out of range: $lag1")
+
+      // second transaction lands: every position gauge must MOVE
+      writeSegment(wal, "000002", Seq(
+        ins(3, 2, "t2", "9", commit = false), del(4, 2, "t1", "1", commit = true)))
+      val s2 = awaitLsn(4)
+      assert(s2("pg2any_last_processed_lsn") > s1("pg2any_last_processed_lsn"))
+      assert(s2("pg2any_current_received_lsn") > s1("pg2any_current_received_lsn"))
+      assert(s2("""pg2any_events_by_type_total{event_type="insert",table_name="public.t2"}""") == 1.0)
+      assert(s2("""pg2any_events_by_type_total{event_type="delete",table_name="public.t1"}""") == 1.0)
+      val rs = c.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM \"public\".\"t1\"")
+      rs.next(); assert(rs.getLong(1) == 1) // the delete applied
+    } finally { GraftApp.shutdown(w); c.close() }
+    // connection gauges drop with the wiring
+    val after = w.listener.snapshot()
+    assert(after("pg2any_source_connection_status") == 0.0)
+    assert(after("""pg2any_destination_connection_status{destination_type="ansi"}""") == 0.0)
+  }
+
   test("curate mode: /metrics exposes per-stage funnel counters that climb per trigger") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -60,6 +60,28 @@ class MetricsServerSpec extends SparkSpecBase {
     }
   }
 
+  test("count_by_key folds per-key counts map-side (the labeled-counter feed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = Seq(Some("a"), Some("a"), Some("b"), None, Some("a")).toDF("k")
+      .repartition(4) // counts must merge across partial buffers
+      .agg(graft.expressions.GraftFunctions.count_by_key(col("k")).as("m"))
+      .as[Map[String, Long]].first()
+    assert(m == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("prometheus text rendering: labeled samples share one TYPE family line") {
+    val text = MetricsServer.render(Map(
+      """pg2any_events_by_type_total{event_type="insert",table_name="t1"}""" -> 2.0,
+      """pg2any_events_by_type_total{event_type="delete",table_name="t1"}""" -> 1.0))
+    assert(text.linesIterator.count(_.startsWith("# TYPE")) == 1)
+    assert(text.contains("# TYPE pg2any_events_by_type_total counter"))
+    assert(text.contains(
+      """pg2any_events_by_type_total{event_type="insert",table_name="t1"} 2"""))
+    assert(text.contains(
+      """pg2any_events_by_type_total{event_type="delete",table_name="t1"} 1"""))
+  }
+
   test("prometheus text rendering: counters vs gauges, integer formatting") {
     val text = MetricsServer.render(Map(
       "pg2any_errors_total" -> 3.0, "pg2any_events_per_second" -> 12.5))
