@@ -7,20 +7,23 @@ import org.apache.spark.sql.types._
 
 /** Incrementally-maintained aggregate view (materialized rollup) of a
   * warehouse table — CDC-native incremental view maintenance: per
-  * group, COUNT(*) and SUM of declared numeric columns, folded from
-  * each batch's before/after images as SIGNED DELTAS:
+  * group, COUNT(*), SUM of declared numeric columns, and MIN/MAX of
+  * declared columns, folded from each batch's before/after images as
+  * SIGNED DELTAS:
   *
   *   insert: +after        update: −before, +after      delete: −before
   *
   * A group-value change inside an update needs no special case — its
   * two signed rows simply land in different groups. The view answers
   * "GROUP BY g" dashboards over a replicated table WITHOUT scanning the
-  * replica: maintenance cost is O(batch), read cost is O(groups).
+  * replica: maintenance cost is O(batch), read cost is O(groups) (+
+  * O(live distinct values) for MIN/MAX columns).
   *
   * Layout — the additive-delta pattern [[graft.llmops.SketchStore]]
   * uses for CMS cells:
   *
-  *   root/e<epoch>/b<batchId>/part=P/   (groupCols…, cnt, sum_<c>…)
+  *   root/e<epoch>/b<batchId>/part=P/      (groupCols…, cnt, sum_<c>…)
+  *   root/e<epoch>/mm/b<batchId>/part=P/   (mcol, groupCols…, v, cnt)
   *
   * Per-batch dirs are ADDITIVE: the view's value per group is the sum
   * over the CURRENT epoch's delta dirs, so
@@ -31,22 +34,33 @@ import org.apache.spark.sql.types._
   *  - TRUNCATE = epoch bump (a new empty `e` dir) — the view zeroes
   *    instantly without rewriting the accumulated deltas; compact
   *    physically drops dead epochs;
-  *  - compact folds the current epoch's b-dirs additively through the
-  *    shared [[graft.llmops.BatchDirFold]] crash-safe protocol and
-  *    purges groups whose count netted to zero.
+  *  - compact folds the current epoch's b-dirs (and mm/b-dirs)
+  *    additively through the shared [[graft.llmops.BatchDirFold]]
+  *    crash-safe protocol and purges groups/values netted to zero.
+  *
+  * MIN/MAX under deletes — the classic IVM limitation (retracting the
+  * current extreme needs the runner-up) — is solved with a VALUE
+  * MULTISET: the `mm` tree keeps, per (column, group, value), a signed
+  * occurrence count; a read takes MIN/MAX over values whose net count
+  * is positive, so deleting the maximum naturally surfaces the next
+  * one. State is O(live distinct values per group) — bounded by the
+  * group's row count, usually far smaller — and compact purges values
+  * whose count netted out. NULLs never enter the multiset (SQL MIN/MAX
+  * ignore them; an all-NULL group reads NULL).
   *
   * Correctness contract (spec-asserted): after ANY event sequence the
-  * view equals `SELECT g…, count(*), sum(c)… FROM replica GROUP BY g…`
-  * with cnt=0 groups absent. Updates/deletes REQUIRE the before image
-  * (REPLICA IDENTITY FULL — fail fast otherwise, the
-  * [[ProjectionSink]] discipline: a missing before image would leave
-  * phantom counts behind).
+  * view equals `SELECT g…, count(*), sum(c)…, min(m)…, max(m)… FROM
+  * replica GROUP BY g…` with cnt=0 groups absent. Updates/deletes
+  * REQUIRE the full before image (REPLICA IDENTITY FULL — fail fast
+  * otherwise, the [[ProjectionSink]] discipline: a missing before image
+  * would leave phantom counts behind).
   *
   * Batch contract (built by the warehouse apply): `op, lsn`, each
   * needed column `c` from the AFTER image under its own name and from
   * the BEFORE image as `__old_<c>`, plus `__has_before`. */
 class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
-                  numParts: Int = 64) extends Serializable {
+                  numParts: Int = 64, minMaxCols: Seq[String] = Nil)
+    extends Serializable {
 
   require(groupCols.nonEmpty, "aggregate view needs at least one group column")
 
@@ -56,9 +70,11 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
 
   private def sumName(c: String) = s"sum_$c"
 
+  private def groupKey: Column =
+    concat_ws("\u0001", groupCols.map(c => coalesce(col(c), lit("\u0000"))): _*)
+
   private def partOf: Column =
-    pmod(graft.expressions.GraftFunctions.md5_prefix60(
-      concat_ws("\u0001", groupCols.map(c => coalesce(col(c), lit("\u0000"))): _*)),
+    pmod(graft.expressions.GraftFunctions.md5_prefix60(groupKey),
       lit(numParts.toLong))
 
   // leaf-dir reads carry no part column (the dir IS the partition —
@@ -68,6 +84,11 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
     groupCols.map(c => StructField(c, StringType)) ++
       (StructField("cnt", LongType) +:
         sumCols.map(c => StructField(sumName(c), DoubleType))))
+
+  private def mmSchema: StructType = StructType(
+    StructField("mcol", StringType) +:
+      groupCols.map(c => StructField(c, StringType)) :+
+      StructField("v", DoubleType) :+ StructField("cnt", LongType))
 
   /** Highest epoch dir (0 when none exist yet). */
   def currentEpoch(spark: SparkSession): Long = {
@@ -80,13 +101,15 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
   }
 
   private def epochDir(e: Long) = new Path(root, s"e$e")
+  private def mmDir(e: Long) = new Path(epochDir(e), "mm")
 
-  /** Fold one batch of flattened events into a signed-delta dir. */
+  /** Fold one batch of flattened events into signed-delta dirs. */
   def applyBatch(spark: SparkSession, flat: DataFrame, batchId: Long): Unit = {
     val bad = flat.filter(col("op").isin("u", "d") && !col("__has_before")).count()
     require(bad == 0,
       s"$bad update/delete events lack a before image — the aggregate " +
         "view needs REPLICA IDENTITY FULL to subtract the old values")
+    val e = currentEpoch(spark)
     val plus = flat.filter(col("op").isin("c", "u"))
       .select(groupCols.map(col) ++
         (lit(1L).as("cnt") +:
@@ -104,18 +127,74 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
         sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
       .withColumn("part", partOf.cast("int"))
     delta.write.mode(SaveMode.Overwrite).partitionBy("part")
-      .parquet(new Path(epochDir(currentEpoch(spark)), s"b$batchId").toString)
+      .parquet(new Path(epochDir(e), s"b$batchId").toString)
+    if (minMaxCols.nonEmpty) {
+      // value-multiset deltas: per (column, group, value), net +/- count
+      val plusM = minMaxCols.map { c =>
+        flat.filter(col("op").isin("c", "u"))
+          .select(lit(c).as("mcol") +: groupCols.map(col) :+
+            col(c).cast("double").as("v") :+ lit(1L).as("cnt"): _*)
+      }
+      val minusM = minMaxCols.map { c =>
+        flat.filter(col("op").isin("u", "d"))
+          .select(lit(c).as("mcol") +:
+            groupCols.map(g => col(s"__old_$g").as(g)) :+
+            col(s"__old_$c").cast("double").as("v") :+ lit(-1L).as("cnt"): _*)
+      }
+      (plusM ++ minusM).reduce(_ unionByName _)
+        .filter(col("v").isNotNull) // SQL MIN/MAX ignore NULLs
+        .groupBy(col("mcol") +: groupCols.map(col) :+ col("v"): _*)
+        .agg(sum("cnt").as("cnt"))
+        .withColumn("part", partOf.cast("int"))
+        .write.mode(SaveMode.Overwrite).partitionBy("part")
+        .parquet(new Path(mmDir(e), s"b$batchId").toString)
+    }
+  }
+
+  /** Declare the view over an ALREADY-replicated table: compute the
+    * initial aggregate state from a replica snapshot as the `b-1` delta
+    * dir ("-1" can never collide with a streamed batch id, so the first
+    * trigger's Overwrite-own-dir replay discipline is unaffected).
+    * OFFLINE discipline, same as [[ProjectionSink.bootstrap]]: take the
+    * snapshot with the streaming pipeline stopped — a snapshot racing
+    * live applies would double-count the in-flight batch. */
+  def bootstrap(spark: SparkSession, snapshot: DataFrame): Unit = {
+    (groupCols ++ sumCols ++ minMaxCols).distinct.foreach(c =>
+      require(snapshot.columns.contains(c), s"snapshot lacks view column $c"))
+    val fs = fsOf(spark)
+    if (fs.exists(root)) fs.delete(root, true)
+    val snap = snapshot.select(
+      (groupCols ++ sumCols ++ minMaxCols).distinct.map(c =>
+        col(c).cast("string").as(c)): _*)
+    snap.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.map(c => sum(coalesce(col(c).cast("double"), lit(0.0)))
+          .as(sumName(c))): _*)
+      .withColumn("part", partOf.cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(new Path(epochDir(0), "b-1").toString)
+    if (minMaxCols.nonEmpty) {
+      minMaxCols.map { c =>
+        snap.select(lit(c).as("mcol") +: groupCols.map(col) :+
+          col(c).cast("double").as("v"): _*)
+      }.reduce(_ unionByName _)
+        .filter(col("v").isNotNull)
+        .groupBy(col("mcol") +: groupCols.map(col) :+ col("v"): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("part", partOf.cast("int"))
+        .write.mode(SaveMode.Overwrite).partitionBy("part")
+        .parquet(new Path(mmDir(0), "b-1").toString)
+    }
   }
 
   /** Leaf `part=P` dirs of the current epoch's delta dirs, optionally
     * pruned to probed parts. */
-  private def leafDirs(spark: SparkSession,
+  private def leafDirs(spark: SparkSession, base: Path,
                        parts: Option[Seq[Int]]): Seq[String] = {
     val fs = fsOf(spark)
-    val e = epochDir(currentEpoch(spark))
     val bs =
-      if (!fs.exists(e)) Seq.empty
-      else fs.listStatus(e).toSeq
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
         .map(_.getPath)
     bs.flatMap { b =>
@@ -129,23 +208,16 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
     }
   }
 
-  private def deltasOf(spark: SparkSession, dirs: Seq[String]): DataFrame =
+  private def deltasOf(spark: SparkSession, dirs: Seq[String],
+                       schema: StructType): DataFrame =
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        readSchema)
-    else spark.read.schema(readSchema).parquet(dirs: _*)
+        schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
 
-  private def deltas(spark: SparkSession): DataFrame =
-    deltasOf(spark, leafDirs(spark, None))
-
-  /** The materialized view: one row per live group, with the derived
-    * per-group mean riding along (avg = sum/cnt — free from the
-    * maintained aggregates). COUNT/SUM/AVG are the incrementally-
-    * maintainable family; MIN/MAX are NOT self-maintainable under
-    * deletes (retracting the current extreme needs a rescan — the
-    * classic IVM limitation) and deliberately aren't offered here. */
-  def read(spark: SparkSession): DataFrame =
-    deltas(spark)
+  /** cnt/sum fold + derived means over the given delta dirs. */
+  private def foldBase(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    deltasOf(spark, dirs, readSchema)
       .groupBy(groupCols.map(col): _*)
       .agg(sum("cnt").as("cnt"),
         sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
@@ -153,6 +225,46 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
       .select(groupCols.map(col) ++ (col("cnt") +: sumCols.flatMap(c =>
         Seq(col(sumName(c)),
           (col(sumName(c)) / col("cnt")).as(s"avg_$c")))): _*)
+
+  /** MIN/MAX over net-positive multiset values, one min_/max_ column
+    * pair per declared column, keyed for the null-safe group join. */
+  private def foldMinMax(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val live = deltasOf(spark, dirs, mmSchema)
+      .groupBy(col("mcol") +: groupCols.map(col) :+ col("v"): _*)
+      .agg(sum("cnt").as("n"))
+      .filter(col("n") > 0)
+    live.groupBy(groupCols.map(col): _*)
+      .pivot("mcol", minMaxCols)
+      .agg(min("v").as("mn"), max("v").as("mx"))
+      .withColumn("__gk", groupKey)
+      .select(col("__gk") +: minMaxCols.flatMap(c =>
+        Seq(col(s"${c}_mn").as(s"min_$c"), col(s"${c}_mx").as(s"max_$c"))): _*)
+  }
+
+  private def assemble(spark: SparkSession, baseDirs: Seq[String],
+                       mmDirs: Seq[String]): DataFrame = {
+    val base = foldBase(spark, baseDirs)
+    if (minMaxCols.isEmpty) base
+    else {
+      // null-safe group equality via the hashed key string (group
+      // columns may legitimately hold NULL; a plain equi-join would
+      // drop those groups)
+      base.withColumn("__gk", groupKey)
+        .join(foldMinMax(spark, mmDirs), Seq("__gk"), "left")
+        .drop("__gk")
+    }
+  }
+
+  /** The materialized view: one row per live group, with the derived
+    * per-group mean riding along (avg = sum/cnt — free from the
+    * maintained aggregates) and min_/max_ pairs for each declared
+    * MIN/MAX column (from the value multiset — self-maintaining under
+    * deletes). */
+  def read(spark: SparkSession): DataFrame = {
+    val e = currentEpoch(spark)
+    assemble(spark, leafDirs(spark, epochDir(e), None),
+      leafDirs(spark, mmDir(e), None))
+  }
 
   /** Probed-group read: partition pruning cuts the scan to the probed
     * groups' hash parts (single-group-column views only — a compound
@@ -163,15 +275,12 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
     import spark.implicits._
     val pdf = groups.toDF(groupCols.head).withColumn("part", partOf.cast("int"))
       .select("part").distinct().as[Int].collect().toSeq
-    deltasOf(spark, leafDirs(spark, Some(pdf)))
+    val e = currentEpoch(spark)
+    val baseDirs = leafDirs(spark, epochDir(e), Some(pdf))
+    val mmDirs = leafDirs(spark, mmDir(e), Some(pdf))
+    assemble(spark,
+      baseDirs, mmDirs) // fold below filters to the probed groups
       .filter(col(groupCols.head).isin(groups: _*))
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum("cnt").as("cnt"),
-        sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
-      .filter(col("cnt") =!= 0)
-      .select(groupCols.map(col) ++ (col("cnt") +: sumCols.flatMap(c =>
-        Seq(col(sumName(c)),
-          (col(sumName(c)) / col("cnt")).as(s"avg_$c")))): _*)
   }
 
   /** TRUNCATE: bump the epoch — the view is empty immediately; old
@@ -182,9 +291,10 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
   }
 
   /** Fold the current epoch's delta dirs (all but the newest — it may
-    * belong to an uncommitted trigger) into one, purging groups whose
-    * count netted to zero, and drop dead epochs. Crash-safe via the
-    * shared staged-swap protocol. */
+    * belong to an uncommitted trigger) into one, purging groups (and
+    * multiset values) netted to zero, and drop dead epochs. Crash-safe
+    * via the shared staged-swap protocol; the mm tree folds under its
+    * own marker, so a crash between the two folds heals per-tree. */
   def compact(spark: SparkSession): Int = {
     val fs = fsOf(spark)
     val cur = currentEpoch(spark)
@@ -192,24 +302,38 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("e"))
       .filter(_.getPath.getName.stripPrefix("e").toLong < cur)
       .foreach(s => fs.delete(s.getPath, true))
-    graft.llmops.BatchDirFold.fold(spark, epochDir(cur), (dirs, staged) => {
-      val fs2 = fsOf(spark)
-      val leaves = dirs.flatMap(b => fs2.listStatus(b).toSeq
+    def leavesIn(dirs: Seq[Path]): Seq[String] =
+      dirs.flatMap(b => fsOf(spark).listStatus(b).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
         .map(_.getPath.toString))
-      deltasOf(spark, leaves)
-        .groupBy(groupCols.map(col): _*)
-        .agg(sum("cnt").as("cnt"),
-          sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
-        .filter(col("cnt") =!= 0)
-        .withColumn("part", partOf.cast("int"))
-        .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(staged)
-    })
+    val folded = graft.llmops.BatchDirFold.fold(spark, epochDir(cur),
+      (dirs, staged) => {
+        deltasOf(spark, leavesIn(dirs), readSchema)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum("cnt").as("cnt"),
+            sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
+          .filter(col("cnt") =!= 0)
+          .withColumn("part", partOf.cast("int"))
+          .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(staged)
+      })
+    if (minMaxCols.nonEmpty)
+      graft.llmops.BatchDirFold.fold(spark, mmDir(cur), (dirs, staged) => {
+        deltasOf(spark, leavesIn(dirs), mmSchema)
+          .groupBy(col("mcol") +: groupCols.map(col) :+ col("v"): _*)
+          .agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") =!= 0)
+          .withColumn("part", partOf.cast("int"))
+          .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(staged)
+      })
+    folded
   }
 
   /** Heal an interrupted compact (call at startup). */
-  def recover(spark: SparkSession): Unit =
+  def recover(spark: SparkSession): Unit = {
     graft.llmops.BatchDirFold.heal(spark, epochDir(currentEpoch(spark)))
+    if (minMaxCols.nonEmpty)
+      graft.llmops.BatchDirFold.heal(spark, mmDir(currentEpoch(spark)))
+  }
 }
 
 /** Declared aggregate view, resolved against the warehouse root — the
@@ -217,12 +341,14 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
   * declared view from the same batch, and the truncate wave zeroes it
   * with its base table. */
 final case class AggViewDef(table: String, groupCols: Seq[String],
-                            sumCols: Seq[String], numParts: Int = 64) {
-  // group and sum sections separated so distinct definitions can never
-  // share a delta directory (g|x_y vs g_x|y would collide under a flat
-  // join, silently corrupting both views)
-  def name: String = s"g_${groupCols.mkString("-")}__s_${sumCols.mkString("-")}"
+                            sumCols: Seq[String], numParts: Int = 64,
+                            minMaxCols: Seq[String] = Nil) {
+  // group/sum/minmax sections separated so distinct definitions can
+  // never share a delta directory (g|x_y vs g_x|y would collide under a
+  // flat join, silently corrupting both views)
+  def name: String = s"g_${groupCols.mkString("-")}__s_${sumCols.mkString("-")}" +
+    (if (minMaxCols.isEmpty) "" else s"__m_${minMaxCols.mkString("-")}")
   def path(rootPath: String): String = s"$rootPath/_agg/$table/$name"
   def sink(rootPath: String): AggViewSink =
-    new AggViewSink(path(rootPath), groupCols, sumCols, numParts)
+    new AggViewSink(path(rootPath), groupCols, sumCols, numParts, minMaxCols)
 }

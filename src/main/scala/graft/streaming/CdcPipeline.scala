@@ -288,7 +288,7 @@ object CdcPipeline {
             // deltas: after-image columns under their names, before-
             // image under __old_<c> (REPLICA IDENTITY FULL contract)
             aggViews.filter(_.table == name).foreach { v =>
-              val needed = (v.groupCols ++ v.sumCols).distinct
+              val needed = (v.groupCols ++ v.sumCols ++ v.minMaxCols).distinct
               // "has a before image" means EVERY column the view folds is
               // present in it — a key-only image (REPLICA IDENTITY
               // DEFAULT) passes a mere non-empty check and would subtract

@@ -182,14 +182,19 @@ object GraftApp {
       .map { spec =>
         spec.split(":", 2) match {
           case Array(table, rest) if rest.contains(">") =>
-            val Array(gs, ss) = rest.split(">", 2)
-            val groups = gs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            val sums = ss.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // groups>sums[>minmax] — the third section is optional
+            val sections = rest.split(">", 3)
+            def cols(s: String) =
+              s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val groups = cols(sections(0))
+            val sums = cols(sections(1))
+            val minMax = if (sections.length > 2) cols(sections(2)) else Nil
             require(groups.nonEmpty,
               s"agg view '$spec' needs at least one group column")
-            graft.sinks.AggViewDef(table.trim, groups, sums)
+            graft.sinks.AggViewDef(table.trim, groups, sums,
+              minMaxCols = minMax)
           case _ => throw new IllegalArgumentException(
-            s"GRAFT_AGG_VIEWS entry '$spec' is not schema.table:g1,g2>s1,s2")
+            s"GRAFT_AGG_VIEWS entry '$spec' is not schema.table:g1,g2>s1,s2[>m1,m2]")
         }
       }
 
@@ -717,6 +722,20 @@ object GraftApp {
         Seq(s"emit-shards: ${stats.getLong(0)} sequences " +
           s"(${stats.getLong(2)} full at $budget), " +
           s"${stats.getLong(1)} tokens across $nShards shards -> $out")
+      case "agg-view-bootstrap" =>
+        // declare a view over an ALREADY-replicated table: initial state
+        // from the replica snapshot, then the streaming chain maintains
+        // it incrementally (run offline, like project-bootstrap)
+        val views = parseAggViews(env)
+        require(views.nonEmpty,
+          "GRAFT_AGG_VIEWS is required for agg-view-bootstrap")
+        views.map { v =>
+          val base = new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/${v.table}", keysFor(v.table), buckets)
+          v.sink(whRoot).bootstrap(spark, base.snapshot(spark))
+          val groups = v.sink(whRoot).read(spark).count()
+          s"agg-view-bootstrap ${v.table}/${v.name}: $groups live groups"
+        }
       case "project-bootstrap" =>
         val defs = parseProjections(env, buckets)
         require(defs.nonEmpty,

@@ -140,12 +140,107 @@ class AggViewSpec extends SparkSpecBase {
     assert(raw.filter(col("grp") === "dd").count() == 0)
   }
 
+  test("MIN/MAX view equals replica GROUP BY under a delete-heavy chaos replay (scenario3 shape)") {
+    // the reference's scenario3 (tests/chaos/scenarios/input/
+    // scenario3_input.sql:1-12): mass inserts then mass deletes —
+    // exactly the workload where a max-tracking view must surface the
+    // runner-up after the extreme is retracted
+    val root = java.nio.file.Files.createTempDirectory("aggv-mm").toFile.getAbsolutePath
+    val d = AggViewDef("public.t1", Seq("grp"), Seq("amt"), numParts = 8,
+      minMaxCols = Seq("amt"))
+    val v = d.sink(root)
+    def viewMap() = v.read(spark).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(4), r.getDouble(5))).toMap
+    def replicaMap() = spark.read.parquet(s"$root/public.t1")
+      .groupBy("grp").agg(count(lit(1)).as("cnt"),
+        sum(col("amt").cast("double")).as("s"),
+        min(col("amt").cast("double")).as("mn"),
+        max(col("amt").cast("double")).as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // batch 0: 300 inserts across 3 groups, amounts 1..300
+    CdcPipeline.applyWarehouseBatch(
+      (1 to 300).map(i => ins(i, i, "g" + (i % 3), i)).toDS(),
+      root, 4, batchId = 0, aggViews = Seq(d))
+    assert(v.read(spark).columns.toSeq ==
+      Seq("grp", "cnt", "sum_amt", "avg_amt", "min_amt", "max_amt"))
+    assert(viewMap() == replicaMap())
+    // batch 1: delete the TOP 250 (every group's max retracts repeatedly)
+    CdcPipeline.applyWarehouseBatch(
+      (51 to 300).map(i => del(300L + i, i, "g" + (i % 3), i)).toDS(),
+      root, 4, batchId = 1, aggViews = Seq(d))
+    val m1 = viewMap()
+    assert(m1 == replicaMap())
+    assert(m1("g0")._4 == 48.0 && m1("g1")._4 == 49.0 && m1("g2")._4 == 50.0,
+      s"runner-up max must surface after the extremes retract: $m1")
+    // batch 2: updates move rows across groups and rewrite extremes
+    CdcPipeline.applyWarehouseBatch(
+      (1 to 20).map(i =>
+        upd(700L + i, i, "g" + (i % 3), i, "g" + ((i + 1) % 3), i + 1000)).toDS(),
+      root, 4, batchId = 2, aggViews = Seq(d))
+    assert(viewMap() == replicaMap())
+    // compact (after one more batch so the heavy dirs are foldable):
+    // netted-out multiset values are physically purged
+    CdcPipeline.applyWarehouseBatch(Seq(ins(800, 9001, "g0", 7)).toDS(),
+      root, 4, batchId = 3, aggViews = Seq(d))
+    assert(v.compact(spark) >= 2)
+    assert(viewMap() == replicaMap())
+    val e = v.currentEpoch(spark)
+    val mmRaw = spark.read.parquet(s"${d.path(root)}/e$e/mm/b*/part=*")
+    assert(mmRaw.filter(col("v") === 300.0).count() == 0,
+      "deleted extreme value must be purged from the folded multiset")
+    // probed read carries the min/max columns too
+    val probed = v.readGroups(spark, Seq("g0")).collect().head
+    assert(probed.getDouble(4) == viewMap()("g0")._3)
+  }
+
+  test("bootstrap declares a view over an already-replicated table; incremental applies continue it") {
+    val root = java.nio.file.Files.createTempDirectory("aggv-bs").toFile.getAbsolutePath
+    // history BEFORE the view exists: replica only
+    CdcPipeline.applyWarehouseBatch(Seq(
+        ins(1, 1, "a", 10), ins(2, 2, "a", 20), ins(3, 3, "b", 5)).toDS(),
+      root, 4, batchId = 0)
+    CdcPipeline.applyWarehouseBatch(Seq(
+        del(4, 1, "a", 10), ins(5, 4, "b", 8)).toDS(),
+      root, 4, batchId = 1)
+    // declare the view now: bootstrap from the replica snapshot
+    val d = AggViewDef("public.t1", Seq("grp"), Seq("amt"), numParts = 8,
+      minMaxCols = Seq("amt"))
+    val v = d.sink(root)
+    v.bootstrap(spark, spark.read.parquet(s"$root/public.t1"))
+    def viewMap() = v.read(spark).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(viewMap() == Map("a" -> (1L, 20.0, 20.0, 20.0),
+      "b" -> (2L, 13.0, 5.0, 8.0)))
+    // subsequent CDC batches maintain the bootstrapped state
+    CdcPipeline.applyWarehouseBatch(Seq(
+        upd(6, 2, "a", 20, "b", 21), del(7, 3, "b", 5)).toDS(),
+      root, 4, batchId = 2, aggViews = Seq(d))
+    assert(viewMap() == Map("b" -> (2L, 29.0, 8.0, 21.0)))
+    // the maintenance verb drives the same path from env
+    val root2 = java.nio.file.Files.createTempDirectory("aggv-bs2").toFile.getAbsolutePath
+    CdcPipeline.applyWarehouseBatch(Seq(ins(1, 1, "x", 3)).toDS(),
+      root2, 4, batchId = 0)
+    val lines = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "agg-view-bootstrap",
+      "GRAFT_WAREHOUSE_DIR" -> root2,
+      "GRAFT_TABLE_KEYS" -> "public.t1=id",
+      "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt>amt"))
+    assert(lines.exists(_.contains("1 live groups")), lines.mkString)
+  }
+
   test("env surface: GRAFT_AGG_VIEWS parses; agg-view verb folds and reports") {
     val defs = graft.streaming.GraftApp.parseAggViews(Map(
-      "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt; public.t2:a,b>x,y"))
+      "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt; public.t2:a,b>x,y>x,z"))
     assert(defs == Seq(
       AggViewDef("public.t1", Seq("grp"), Seq("amt")),
-      AggViewDef("public.t2", Seq("a", "b"), Seq("x", "y"))))
+      AggViewDef("public.t2", Seq("a", "b"), Seq("x", "y"),
+        minMaxCols = Seq("x", "z"))))
+    // distinct definitions never share a delta directory
+    assert(defs.map(_.name).distinct.size == defs.size &&
+      defs(1).name == "g_a-b__s_x-y__m_x-z")
     intercept[IllegalArgumentException] {
       graft.streaming.GraftApp.parseAggViews(
         Map("GRAFT_AGG_VIEWS" -> "public.t1:grp"))
