@@ -121,13 +121,7 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
           sumCols.map(c =>
             (-coalesce(col(s"__old_$c").cast("double"), lit(0.0)))
               .as(sumName(c)))): _*)
-    val delta = plus.unionByName(minus)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum("cnt").as("cnt"),
-        sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
-      .withColumn("part", partOf.cast("int"))
-    delta.write.mode(SaveMode.Overwrite).partitionBy("part")
-      .parquet(new Path(epochDir(e), s"b$batchId").toString)
+    applyDelta(spark, plus.unionByName(minus), batchId)
     if (minMaxCols.nonEmpty) {
       // value-multiset deltas: per (column, group, value), net +/- count
       val plusM = minMaxCols.map { c =>
@@ -150,6 +144,19 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
         .parquet(new Path(mmDir(e), s"b$batchId").toString)
     }
   }
+
+  /** Fold an already-SIGNED delta frame (groupCols…, cnt, sum_<c>…,
+    * one row per contribution) into this batch's delta dir — the
+    * lower-level entry [[JoinViewSink]] uses after resolving its group
+    * columns through the dimension join. */
+  def applyDelta(spark: SparkSession, signed: DataFrame, batchId: Long): Unit =
+    signed
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("cnt").as("cnt"),
+        sumCols.map(c => sum(sumName(c)).as(sumName(c))): _*)
+      .withColumn("part", partOf.cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(new Path(epochDir(currentEpoch(spark)), s"b$batchId").toString)
 
   /** Declare the view over an ALREADY-replicated table: compute the
     * initial aggregate state from a replica snapshot as the `b-1` delta

@@ -137,7 +137,8 @@ object CdcPipeline {
                      trigger: Trigger = Trigger.AvailableNow(),
                      originFilter: OriginFilter = OriginFilter.Any,
                      projections: Seq[graft.sinks.ProjectionDef] = Nil,
-                     aggViews: Seq[graft.sinks.AggViewDef] = Nil): StreamingQuery =
+                     aggViews: Seq[graft.sinks.AggViewDef] = Nil,
+                     joinViews: Seq[graft.sinks.JoinViewDef] = Nil): StreamingQuery =
     // Transactions are ASSEMBLED before apply: a raw-DML apply would
     // materialize events of a streamed (v2) transaction that later
     // ABORTS — its events precede a later commit boundary, but only the
@@ -146,7 +147,7 @@ object CdcPipeline {
     startAssembled(envelope, originFilter, "graft-warehouse", checkpointDir,
       trigger) { (batch, batchId) =>
       applyWarehouseBatch(batch, rootPath, numBuckets, batchId, projections,
-        aggViews)
+        aggViews, joinViews)
     }
 
   /** F2 gate for the warehouse root: refuses STALE batch replays (an old
@@ -198,7 +199,8 @@ object CdcPipeline {
   def applyWarehouseBatch(batch: Dataset[CdcEvent], rootPath: String,
                           numBuckets: Int, batchId: Long,
                           projections: Seq[graft.sinks.ProjectionDef] = Nil,
-                          aggViews: Seq[graft.sinks.AggViewDef] = Nil): Unit = {
+                          aggViews: Seq[graft.sinks.AggViewDef] = Nil,
+                          joinViews: Seq[graft.sinks.JoinViewDef] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     if (batchId <= lastWarehouseBatch(spark, rootPath)) return // stale replay
@@ -230,6 +232,16 @@ object CdcPipeline {
         .select(explode(col("truncateTables")).as("tname"), col("lsn"))
         .groupBy("tname").agg(max("lsn").as("maxLsn"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // tables this batch touches (DML or truncate) — decides which
+      // join views can apply incrementally vs must rebuild after
+      val touched: Set[String] = tables.map(row =>
+        Seq(Option(row.getString(0)), Some(row.getString(1)))
+          .flatten.mkString(".")).toSet ++ truncLsn.keySet
+      // a join view rebuilds when its dim changed (re-attributing fact
+      // rows is out of incremental scope) or its fact truncated (the
+      // epoch semantics live in the replica, not the view's fold)
+      val rebuildViews = joinViews.filter(jv =>
+        touched(jv.dimTable) || truncLsn.contains(jv.factTable))
       // Per-table applies are independent (distinct paths, per-key LSN
       // squash inside each) — run them as CONCURRENT Spark jobs so many
       // small tables fill the cluster instead of serializing scheduler
@@ -302,6 +314,22 @@ object CdcPipeline {
                     element_at(col("__before"), c).as(s"__old_$c")): _*)
               v.sink(rootPath).applyBatch(spark, avFlat, batchId)
             }
+            // join views on an UNTOUCHED dim fold this fact batch
+            // incrementally; dim-touched views rebuild after the barrier
+            joinViews.filter(jv => jv.factTable == name &&
+                !rebuildViews.contains(jv)).foreach { jv =>
+              val needed = (jv.factKey +: jv.sumCols).distinct
+              val jvFlat = tableEvents.select(
+                Seq(col("op"), col("lsn"),
+                  needed.map(c => array_contains(col("before.name"), c))
+                    .reduce(_ && _).as("__has_before")) ++
+                  needed.map(c => element_at(col("__after"), c).as(c)) ++
+                  needed.map(c =>
+                    element_at(col("__before"), c).as(s"__old_$c")): _*)
+              val dimSnap = new graft.sinks.ParquetReplicaSink(
+                s"$rootPath/${jv.dimTable}", Nil, numBuckets).snapshot(spark)
+              jv.sink(rootPath).applyBatch(spark, jvFlat, dimSnap, batchId)
+            }
           }
         }
         // truncated tables with NO DML in the batch still truncate
@@ -331,6 +359,23 @@ object CdcPipeline {
           throw e
         }
       } finally pool.shutdown()
+      // dim-touched (or fact-truncated) join views rebuild from the
+      // POST-batch replicas — both sides have landed at this point
+      rebuildViews.foreach { jv =>
+        val hconf = spark.sessionState.newHadoopConf()
+        def snapIfExists(table: String) = {
+          val p = new org.apache.hadoop.fs.Path(s"$rootPath/$table")
+          if (p.getFileSystem(hconf).exists(p))
+            Some(new graft.sinks.ParquetReplicaSink(p.toString, Nil, numBuckets)
+              .snapshot(spark))
+          else None
+        }
+        (snapIfExists(jv.factTable), snapIfExists(jv.dimTable)) match {
+          case (Some(fact), Some(dim)) =>
+            jv.sink(rootPath).rebuild(spark, fact, dim)
+          case _ => () // a side never replicated yet → the view stays empty
+        }
+      }
       writeWarehouseBatch(spark, rootPath, batchId)
     } finally df.unpersist()
   }

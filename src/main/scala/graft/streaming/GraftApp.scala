@@ -198,6 +198,30 @@ object GraftApp {
         }
       }
 
+  /** GRAFT_JOIN_VIEWS: "fact~dim:fk=pk:g1,g2>s1,s2;..." → declared
+    * incrementally-maintained join views. */
+  private[graft] def parseJoinViews(
+      env: Map[String, String]): Seq[graft.sinks.JoinViewDef] =
+    env.get("GRAFT_JOIN_VIEWS").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { spec =>
+        spec.split(":", 3) match {
+          case Array(tbls, keys, gss)
+              if tbls.contains("~") && keys.contains("=") && gss.contains(">") =>
+            val Array(fact, dim) = tbls.split("~", 2).map(_.trim)
+            val Array(fk, pk) = keys.split("=", 2).map(_.trim)
+            val Array(gs, ss) = gss.split(">", 2)
+            def cols(s: String) =
+              s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val groups = cols(gs)
+            require(groups.nonEmpty,
+              s"join view '$spec' needs at least one dim group column")
+            graft.sinks.JoinViewDef(fact, dim, fk, pk, groups, cols(ss))
+          case _ => throw new IllegalArgumentException(
+            s"GRAFT_JOIN_VIEWS entry '$spec' is not fact~dim:fk=pk:g1,g2>s1,s2")
+        }
+      }
+
   /** GRAFT_PROJECTIONS: "schema.table:indexKey;..." → declared defs. */
   private def parseProjections(env: Map[String, String],
                                numBuckets: Int): Seq[graft.sinks.ProjectionDef] =
@@ -338,7 +362,8 @@ object GraftApp {
           TxnSpill.startWarehouseSpill(envelope, root, ckpt, buckets,
             trigger, cfg.originFilter, projections)
         else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
-          trigger, cfg.originFilter, projections, aggViews)
+          trigger, cfg.originFilter, projections, aggViews,
+          parseJoinViews(env))
       case None if kafkaBrokers.isDefined =>
         // kafka mode: assembled transactions → Debezium envelope rows →
         // the built-in kafka sink (at-least-once, the reference's own

@@ -231,6 +231,86 @@ class AggViewSpec extends SparkSpecBase {
     assert(lines.exists(_.contains("1 live groups")), lines.mkString)
   }
 
+  test("join view: incremental fact folds through a broadcast dim; dim change rebuilds; parity holds") {
+    import graft.sinks.JoinViewDef
+    val root = java.nio.file.Files.createTempDirectory("aggv-jv").toFile.getAbsolutePath
+    def dimIns(lsn: Long, id: String, region: String) =
+      CdcEvent("c", lsn, 1L, ts, "public", "dim", Nil,
+        Seq(CdcColumn("id", id), CdcColumn("region", region)),
+        keyColumns = Seq("id"))
+    def dimUpd(lsn: Long, id: String, or: String, nr: String) =
+      CdcEvent("u", lsn, 1L, ts, "public", "dim",
+        Seq(CdcColumn("id", id), CdcColumn("region", or)),
+        Seq(CdcColumn("id", id), CdcColumn("region", nr)),
+        keyColumns = Seq("id"))
+    def fIns(lsn: Long, id: Int, fk: String, amt: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", "fact", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", fk),
+          CdcColumn("amt", amt.toString)), keyColumns = Seq("id"))
+    def fUpd(lsn: Long, id: Int, ofk: String, oa: Int, nfk: String, na: Int) =
+      CdcEvent("u", lsn, 1L, ts, "public", "fact",
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", ofk),
+          CdcColumn("amt", oa.toString)),
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", nfk),
+          CdcColumn("amt", na.toString)), keyColumns = Seq("id"))
+    def fDel(lsn: Long, id: Int, fk: String, amt: Int) =
+      CdcEvent("d", lsn, 1L, ts, "public", "fact",
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", fk),
+          CdcColumn("amt", amt.toString)), Nil, keyColumns = Seq("id"))
+    val jv = JoinViewDef("public.fact", "public.dim", "fk", "id",
+      Seq("region"), Seq("amt"), numParts = 8)
+    def viewMap() = jv.sink(root).read(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def replay() = {
+      val f = spark.read.parquet(s"$root/public.fact")
+        .select(col("fk"), col("amt").cast("double").as("a"))
+      val dm = spark.read.parquet(s"$root/public.dim")
+        .select(col("id").as("pk"), col("region"))
+      f.join(dm, f("fk") === dm("pk")).groupBy("region")
+        .agg(count(lit(1)).as("cnt"), sum("a").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    }
+    // batch 0 touches the dim → rebuild path seeds the view
+    CdcPipeline.applyWarehouseBatch(Seq(
+        dimIns(1, "n1", "east"), dimIns(2, "n2", "west"),
+        fIns(3, 1, "n1", 10), fIns(4, 2, "n2", 20), fIns(5, 3, "n1", 5)).toDS(),
+      root, 4, batchId = 0, joinViews = Seq(jv))
+    assert(viewMap() == Map("east" -> (2L, 15.0), "west" -> (1L, 20.0)))
+    assert(viewMap() == replay())
+    // batch 1: fact-only (dim untouched) → INCREMENTAL: insert, a
+    // cross-dim move, a delete, and an ORPHAN insert (fk misses the dim
+    // — JOIN semantics exclude it on both engines)
+    CdcPipeline.applyWarehouseBatch(Seq(
+        fIns(6, 4, "n2", 7), fUpd(7, 1, "n1", 10, "n2", 11),
+        fDel(8, 3, "n1", 5), fIns(9, 5, "n9", 999)).toDS(),
+      root, 4, batchId = 1, joinViews = Seq(jv))
+    assert(viewMap() == Map("west" -> (3L, 38.0)))
+    assert(viewMap() == replay())
+    // the incremental path really ran: the epoch has a b1 delta dir
+    // (a rebuild would have reset to a lone b-1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val e = new org.apache.hadoop.fs.Path(s"${jv.path(root)}/e0")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(e, "b1")),
+      "fact-only batch must fold incrementally, not rebuild")
+    // batch 2: dim UPDATE (west → north) → documented rebuild,
+    // re-attributing every fact row
+    CdcPipeline.applyWarehouseBatch(Seq(
+        dimUpd(10, "n2", "west", "north")).toDS(),
+      root, 4, batchId = 2, joinViews = Seq(jv))
+    assert(viewMap() == Map("north" -> (3L, 38.0)))
+    assert(viewMap() == replay())
+    // env surface parses
+    val defs = graft.streaming.GraftApp.parseJoinViews(Map(
+      "GRAFT_JOIN_VIEWS" -> "public.fact~public.dim:fk=id:region>amt"))
+    assert(defs == Seq(JoinViewDef("public.fact", "public.dim", "fk", "id",
+      Seq("region"), Seq("amt"))))
+    intercept[IllegalArgumentException] {
+      graft.streaming.GraftApp.parseJoinViews(
+        Map("GRAFT_JOIN_VIEWS" -> "public.fact:fk=id:region>amt"))
+    }
+  }
+
   test("env surface: GRAFT_AGG_VIEWS parses; agg-view verb folds and reports") {
     val defs = graft.streaming.GraftApp.parseAggViews(Map(
       "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt; public.t2:a,b>x,y>x,z"))
