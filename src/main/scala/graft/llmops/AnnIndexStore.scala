@@ -509,6 +509,10 @@ final class AnnIndexStore(root: String) extends Serializable {
     readMeta(probes.sparkSession)("kind") match {
       case "lsh" => lshTopKBatchDistributed(probes, k, radius, where, pairWhere)
       case "ivf" => ivfTopKBatchDistributed(probes, k, nprobe, where, pairWhere)
+      case "ivfpq" => throw new IllegalArgumentException(
+        "ivfpq stores serve via pqTopK (posting lists carry codes, not " +
+          "vectors — a distributed sweep would need the rerank gather " +
+          "inlined; build a plain ivf store for corpus-sized probe sets)")
       case kind => throw new IllegalArgumentException(s"unknown index kind $kind")
     }
 
@@ -611,6 +615,111 @@ final class AnnIndexStore(root: String) extends Serializable {
       "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
   }
 
+  /** Build + persist the IVF-PQ serving index — the compressed tier for
+    * corpora whose full vectors don't fit the serving layer (PQ codes
+    * are mSub small ints per vector vs dim floats: 16–64×). Layout:
+    *
+    *   root/ivf/cluster=C      (vec_id, codes [, metaCols...]) — posting
+    *                            lists carry CODES, not vectors
+    *   root/pq_codebooks       (m, cl, ce, nc) — mSub·ksub metadata rows
+    *   root/ivf_centroids      as writeIvf
+    *   root/vectors/part=P     full-width vectors for the RERANK gather
+    *                            (cheap-and-wide storage tier; only
+    *                            shortlist rows are ever read from it)
+    *
+    * Codebooks train with the ivfIndex discipline (seed = lowest ids,
+    * one integer-exact sum-centroid Lloyd round, cosine assignment) so
+    * the whole build replays in oracle SQL. */
+  def writeIvfPq(embeddings: DataFrame,
+                 nClusters: Int = Similarity.DefaultIvfClusters,
+                 mSub: Int = Similarity.DefaultPqSub,
+                 ksub: Int = Similarity.DefaultPqK,
+                 dim: Int = 64, rounds: Int = 1,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 metaCols: Seq[String] = Nil): Unit = {
+    val spark = embeddings.sparkSession
+    clearMeta(spark)
+    val q = writeVectors(embeddings, idCol, vecCol, metaCols)
+    val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
+    val books = Similarity.pqCodebooks(q, mSub, ksub, dim)
+    val codes = Similarity.pqCodes(q, books, mSub, dim)
+    assign.join(codes, "vec_id").join(q, "vec_id")
+      .select(Seq("vec_id", "codes", "cluster").map(col) ++ metaCols.map(col): _*)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$root/ivf")
+    import spark.implicits._
+    cents.toDF("cluster", "ce", "nc").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/ivf_centroids")
+    books.map(b => (b.m, b.cl, b.ce, b.nc)).toDF("m", "cl", "ce", "nc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/pq_codebooks")
+    val (bm, bp) = driftStats(assign)
+    writeMeta(spark, Map(
+      "kind" -> "ivfpq", "nClusters" -> nClusters.toString,
+      "mSub" -> mSub.toString, "ksub" -> ksub.toString,
+      "dim" -> dim.toString, "numParts" -> NumParts.toString,
+      "metaCols" -> metaCols.mkString(","),
+      "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
+  }
+
+  private def loadBooks(spark: SparkSession): Seq[Similarity.PqCodeword] =
+    spark.read.parquet(s"$root/pq_codebooks").collect()
+      .map(r => Similarity.PqCodeword(r.getInt(0), r.getLong(1),
+        r.getSeq[Long](2), r.getLong(3))).toSeq.sortBy(b => (b.m, b.cl))
+
+  /** Serve one probe from the persisted IVF-PQ index: centroid ranking
+    * prunes to `nprobe` posting dirs; the FIRST pass reads only
+    * (vec_id, codes) of those dirs and ADC-scores against the probe's
+    * LUT (mSub·ksub driver-metadata doubles); the `shortlist` best ids
+    * gather their FULL vectors through the pruned id-part read (the
+    * lshTopK gather idiom) and rerank exactly — reported scores are
+    * true cosines. Per-probe reads, in planned files: nprobe cluster
+    * dirs + O(shortlist parts) of the vectors store (spec-asserted). */
+  def pqTopK(spark: SparkSession, probeId: Long, k: Int,
+             nprobe: Int = Similarity.DefaultIvfProbes,
+             shortlist: Int = 50, where: Option[Column] = None): DataFrame = {
+    // shortlist ids (bounded) come to the driver with their id-hash
+    // parts; the rerank gather is a literal-IN pruned read
+    val ids = pqShortlist(spark, probeId, nprobe, shortlist, where)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    score(gatherVectors(spark, ids), probeVector(spark, probeId), probeId, k)
+  }
+
+  /** The ADC first pass behind [[pqTopK]] — exposed (package-private) so
+    * plan tests can assert its cluster pruning and codes-only read;
+    * output (vec_id, part), the shortlist in ADC order. */
+  private[graft] def pqShortlist(spark: SparkSession, probeId: Long,
+                                 nprobe: Int, shortlist: Int,
+                                 where: Option[Column]): DataFrame = {
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("ivfpq"), s"$root is not an IVF-PQ index")
+    val mSub = meta("mSub").toInt
+    val dim = meta("dim").toInt
+    val dead = tombstoned(spark)
+    require(!dead(probeId), s"probe $probeId is tombstoned")
+    val cents = spark.read.parquet(s"$root/ivf_centroids")
+      .collect()
+      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val pRow = probeVector(spark, probeId).select("qe", "nq").head()
+    val (pe, np) = (pRow.getSeq[Long](0), pRow.getLong(1))
+    val probeClusters = cents
+      .map(c => (Similarity.centroidCos(c.ce, c.nc, pe, np), c.cluster))
+      .sortBy { case (cos, cl) => (-cos, cl) }
+      .take(nprobe).map(_._2)
+    val lut = Similarity.pqLut(pe, loadBooks(spark), mSub, dim)
+    // ADC pass: cluster-pruned, codes-only (column pruning keeps the
+    // wide metadata/vector bytes out of the scan) — the `where` filter
+    // applies here, before the shortlist cut, like every filtered path
+    where.foldLeft(
+        dropDead(spark.read.parquet(s"$root/ivf")
+          .filter(col("cluster").isin(probeClusters: _*))
+          .filter(col("vec_id") =!= probeId), dead))(_.filter(_))
+      .withColumn("adc", Similarity.pqAdcScore(lut))
+      .orderBy(desc("adc"), col("vec_id")).limit(shortlist)
+      .select(col("vec_id"),
+        pmod(hash(col("vec_id")), lit(NumParts)).cast("int").as("part"))
+  }
+
   /** Serve one probe from the persisted IVF index: K centroid scores on
     * the driver pick `nprobe` clusters; the member scan is a literal
     * cluster IN-list — partition pruning reads only those posting dirs,
@@ -677,15 +786,27 @@ final class AnnIndexStore(root: String) extends Serializable {
           .repartition(col("band"), col("part"))
           .write.mode("append").partitionBy("band", "part")
           .parquet(s"$root/lsh_buckets")
-      case "ivf" =>
+      case kind @ ("ivf" | "ivfpq") =>
         val cents = spark.read.parquet(s"$root/ivf_centroids")
           .collect()
           .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
           .toSeq
         val assign = Similarity.assignToCentroids(q, cents, "vec_id")
-        assign.join(q, "vec_id")
-          .select(Seq("vec_id", "qe", "nq", "cluster").map(col) ++
-            metaCols.map(col): _*)
+        val posting =
+          if (kind == "ivf")
+            assign.join(q, "vec_id")
+              .select(Seq("vec_id", "qe", "nq", "cluster").map(col) ++
+                metaCols.map(col): _*)
+          else {
+            // frozen codebooks code the new vectors, same as the frozen
+            // centroids assign them — rebuild when drift warrants
+            val codes = Similarity.pqCodes(q, loadBooks(spark),
+              meta("mSub").toInt, meta("dim").toInt)
+            assign.join(codes, "vec_id").join(q, "vec_id")
+              .select(Seq("vec_id", "codes", "cluster").map(col) ++
+                metaCols.map(col): _*)
+          }
+        posting
           .repartition(col("cluster"))
           .write.mode("append").partitionBy("cluster")
           .parquet(s"$root/ivf")

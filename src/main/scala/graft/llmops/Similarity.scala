@@ -281,6 +281,152 @@ object Similarity {
       .limit(k)
   }
 
+  // ===========================================================================
+  // Product quantization (PQ): the 16–64× serving-tier compression. A
+  // dim-64 quantized vector splits into `mSub` subvectors; per subspace a
+  // small codebook is trained and each vector stores only its per-subspace
+  // CODE — mSub small ints instead of dim floats. ADC (asymmetric distance
+  // computation) scores a candidate by summing the probe's precomputed
+  // per-codeword partials over the candidate's codes, so the first-pass
+  // scan reads codes only; an exact full-width rerank of the shortlist
+  // restores true cosines (the rpRerankTopK idiom — approximation only
+  // chooses WHO gets reranked, never the reported scores).
+  //
+  // Determinism contract (the oracle replays training + serving in SQL):
+  //  - codebooks train exactly like the IVF centroids (ivfIndex): seeds =
+  //    the ksub lowest-id vectors' subvectors, one Lloyd round with
+  //    SUM-centroids — valid because assignment is by COSINE, which is
+  //    scale-invariant, so sum ≡ mean with zero fractional drift;
+  //  - every dot product is an exact integer (< 2^53, so even a double
+  //    accumulator is exact and order-independent); the per-subspace ADC
+  //    partial is one IEEE division dot/sqrt(nc); the ADC total adds the
+  //    mSub partials in FIXED ascending-m order on both engines (never a
+  //    row-order-dependent SUM aggregate).
+  // ===========================================================================
+
+  /** One PQ codeword: subspace `m`, code id `cl` (a seed vec_id), the
+    * sum-subvector and its squared norm. */
+  final case class PqCodeword(m: Int, cl: Long, ce: Seq[Long], nc: Long)
+
+  val DefaultPqSub: Int = 8     // subspaces over dim 64 → 8-dim subvectors
+  val DefaultPqK: Int = 16      // codewords per subspace (256 at prod scale)
+
+  private def subCol(m: Int, dsub: Int): Column =
+    slice(col("qe"), m * dsub + 1, dsub)
+
+  /** Per-subspace code assignment as a PURE PROJECTION over the literal
+    * codebooks (the assignByCentroids idiom, once per subspace): output
+    * (vec_id, codes) with `codes[m+1]` = the argmax-cosine codeword id of
+    * subspace m, ties to the lowest id. */
+  def pqCodes(q: DataFrame, books: Seq[PqCodeword],
+              mSub: Int = DefaultPqSub, dim: Int = 64): DataFrame = {
+    val dsub = dim / mSub
+    val codeCols = (0 until mSub).map { m =>
+      val sv = subCol(m, dsub)
+      val nsv = sqrt(dotQ(sv, sv).cast("double"))
+      val scored = books.filter(_.m == m).map { b =>
+        struct(
+          (dotQ(sv, typedLit(b.ce)) / (nsv * lit(math.sqrt(b.nc.toDouble))))
+            .as("c"),
+          lit(-b.cl).as("negCl"))
+      }
+      (-array_max(array(scored: _*)).getField("negCl")).as(s"c$m")
+    }
+    q.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        array((0 until mSub).map(m => col(s"c$m")): _*).as("codes"))
+  }
+
+  /** Train the PQ codebooks: per subspace, seeds = the `ksub` lowest-id
+    * vectors' subvectors, one integer-exact Lloyd round (sum-centroids,
+    * cosine assignment). Codebooks are driver metadata — mSub·ksub·dsub
+    * longs — exactly like the IVF centroid table. */
+  def pqCodebooks(q: DataFrame, mSub: Int = DefaultPqSub,
+                  ksub: Int = DefaultPqK, dim: Int = 64): Seq[PqCodeword] = {
+    val dsub = dim / mSub
+    val seedRows = q.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"), col("qe")).collect()
+    require(seedRows.nonEmpty, "pqCodebooks: corpus is empty")
+    val seeds = seedRows.toSeq.flatMap { r =>
+      val id = r.getLong(0); val qe = r.getSeq[Long](1)
+      (0 until mSub).map { m =>
+        val sv = qe.slice(m * dsub, (m + 1) * dsub)
+        PqCodeword(m, id, sv, sv.map(x => x * x).sum)
+      }
+    }
+    // one refinement: assigned subvectors re-sum per (m, code) — a
+    // bounded groupBy (≤ mSub·ksub rows), map-side combined
+    val assigned = pqCodes(q, seeds, mSub, dim)
+      .join(q.select("vec_id", "qe"), "vec_id")
+      .select(col("qe"), posexplode(col("codes")))
+      .toDF("qe", "m", "cl")
+    val sums = (1 to dsub).map(i =>
+      sum(element_at(col("qe"), col("m") * dsub + i)).as(s"s$i"))
+    assigned.groupBy("m", "cl").agg(sums.head, sums.tail: _*)
+      .collect().toSeq.map { r =>
+        val ce = (1 to dsub).map(i => r.getLong(1 + i))
+        PqCodeword(r.getInt(0), r.getLong(1), ce, ce.map(x => x * x).sum)
+      }.sortBy(b => (b.m, b.cl))
+  }
+
+  /** The probe's ADC lookup tables: per subspace, codeword id → the
+    * partial score dot(probe_m, ce)/sqrt(nc) — mSub·ksub doubles of
+    * driver metadata, each an exact integer dot followed by one IEEE
+    * division (bit-equal to the SQL replay). */
+  def pqLut(pe: Seq[Long], books: Seq[PqCodeword],
+            mSub: Int = DefaultPqSub, dim: Int = 64): IndexedSeq[Map[Long, Double]] = {
+    val dsub = dim / mSub
+    (0 until mSub).map { m =>
+      val pm = pe.slice(m * dsub, (m + 1) * dsub)
+      books.filter(_.m == m).map { b =>
+        var dp = 0L; var i = 0
+        while (i < dsub) { dp += pm(i) * b.ce(i); i += 1 }
+        b.cl -> dp / math.sqrt(b.nc.toDouble)
+      }.toMap
+    }
+  }
+
+  /** ADC score column over a `codes` frame: the probe's LUT rides as
+    * map literals; the total adds subspace partials in fixed ascending-m
+    * order (deterministic IEEE sum, mirrored by the oracle). */
+  def pqAdcScore(lut: IndexedSeq[Map[Long, Double]]): Column =
+    lut.zipWithIndex.map { case (t, m) =>
+      element_at(typedlit(t), element_at(col("codes"), m + 1))
+    }.reduceLeft(_ + _)
+
+  /** Two-stage PQ-then-rerank ANN over an in-memory corpus: train the
+    * codebooks, code every vector (mSub small ints each), ADC-score the
+    * codes against the probe's LUT, cut a `shortlist` by the approximate
+    * score (distributed TakeOrdered), and rerank only the shortlist at
+    * full width — reported scores are TRUE cosines. The persisted
+    * serving form is [[AnnIndexStore.writeIvfPq]]/[[AnnIndexStore.pqTopK]],
+    * where the first pass reads ONLY the code column of the probed
+    * posting lists. */
+  def pqRerankTopK(embeddings: DataFrame, probeId: Long, k: Int,
+                   shortlist: Int = 50, mSub: Int = DefaultPqSub,
+                   ksub: Int = DefaultPqK, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val q = quantized(embeddings, idCol, vecCol)
+      .withColumnRenamed(idCol, "vec_id")
+    val books = pqCodebooks(q, mSub, ksub)
+    val pe = q.filter(col("vec_id") === probeId).select("qe")
+      .head().getSeq[Long](0)
+    val lut = pqLut(pe, books, mSub)
+    val short = pqCodes(q, books, mSub)
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("adc", pqAdcScore(lut))
+      .orderBy(desc("adc"), col("vec_id")).limit(shortlist)
+      .select("vec_id")
+    val probeF = q.filter(col("vec_id") === probeId)
+      .select(col("qe").as("pe"), col("nq").as("npf"))
+    q.join(short, "vec_id").crossJoin(broadcast(probeF))
+      .withColumn("dp", dotQ(col("qe"), col("pe")))
+      .withColumn("cosine", col("dp") * lit(1.0) /
+        sqrt((col("nq") * col("npf")).cast("double")))
+      .orderBy(desc("cosine"), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("dp"), col("cosine"))
+  }
+
   /** One IVF centroid: (cluster id, sum-vector, its squared norm). */
   final case class IvfCentroid(cluster: Long, ce: Seq[Long], nc: Long)
 

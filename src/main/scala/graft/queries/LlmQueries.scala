@@ -644,6 +644,17 @@ object LlmQueries {
     "llm_quant_ann" -> ((s, d) =>
       Similarity.bruteForceTopK8(embeddings(s, d), probeId = 0, k = 10)),
 
+    // IVF-PQ-style retrieval: per-subspace codebooks (trained with the
+    // ivfIndex seed discipline — integer-exact sum-centroid Lloyd under
+    // cosine assignment), each vector stored as 8 codes, ADC-scored
+    // against the probe's lookup table, then the 50-shortlist reranked
+    // at full width — the 16–64× serving-tier compression next to int8's
+    // 4×. Final scores are TRUE cosines (the rpRerank discipline); the
+    // oracle replays codebook training, coding, ADC and rerank in SQL.
+    "llm_pq_ann" -> ((s, d) =>
+      Similarity.pqRerankTopK(embeddings(s, d), probeId = 0, k = 10,
+        shortlist = 50, mSub = 8, ksub = 16)),
+
     // Corpus clustering analysis: the IVF index's clusters × the labeled
     // embeddings — per-cluster size, dominant label, and purity (does
     // the geometric clustering recover the labeling?). Assignment is the
@@ -3227,6 +3238,71 @@ object LlmQueries {
         |    / sqrt(CAST(n8 * (SELECT np8 FROM probe) AS DOUBLE)) AS cosine8
         |FROM n WHERE vec_id <> 0
         |ORDER BY cosine8 DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_pq_ann" -> {
+      // the PQ training/coding/ADC replay: subspaces → seed codebooks →
+      // one sum-centroid Lloyd round → codes → probe LUT partials →
+      // fixed-order ADC sum → 50-shortlist → exact full-width rerank.
+      // The ADC total adds the 8 subspace partials LEFT-TO-RIGHT —
+      // s0+s1+...+s7, the same IEEE order the Spark projection uses —
+      // never a row-order-dependent SUM aggregate.
+      val sCols = (0 until 8).map(m =>
+        s"max(CASE WHEN m = $m THEN ps END) AS s$m").mkString(",\n    ")
+      val sSum = (0 until 8).map(m => s"s$m").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |subq AS (SELECT vec_id, g.m,
+         |    list_slice(qe, g.m*8 + 1, g.m*8 + 8) AS sv
+         |  FROM q, generate_series(0, 7) AS g(m)),
+         |subn AS (SELECT vec_id, m, sv,
+         |    CAST(list_dot_product(sv::BIGINT[], sv::BIGINT[]) AS BIGINT) AS ns
+         |  FROM subq),
+         |pseeds AS (SELECT m, vec_id AS cl, sv AS ce, ns AS nc FROM subn
+         |  WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16)),
+         |pa0 AS (SELECT vec_id, m, cl FROM (
+         |    SELECT s.vec_id, s.m, p.cl, row_number() OVER (
+         |      PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_dot_product(s.sv::BIGINT[], p.ce::BIGINT[])
+         |          / (sqrt(CAST(s.ns AS DOUBLE)) * sqrt(CAST(p.nc AS DOUBLE))) DESC,
+         |        p.cl) AS rn
+         |    FROM subn s JOIN pseeds p USING (m)) WHERE rn = 1),
+         |pcent AS (SELECT m, cl, list(sm ORDER BY i) AS ce FROM (
+         |    SELECT a.m, a.cl, g.i, CAST(sum(s.sv[g.i]) AS BIGINT) AS sm
+         |    FROM pa0 a JOIN subn s ON a.vec_id = s.vec_id AND a.m = s.m,
+         |      generate_series(1, 8) AS g(i)
+         |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |pcentn AS (SELECT m, cl, ce,
+         |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
+         |  FROM pcent),
+         |codes AS (SELECT vec_id, m, cl FROM (
+         |    SELECT s.vec_id, s.m, c.cl, row_number() OVER (
+         |      PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_dot_product(s.sv::BIGINT[], c.ce::BIGINT[])
+         |          / (sqrt(CAST(s.ns AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC,
+         |        c.cl) AS rn
+         |    FROM subn s JOIN pcentn c USING (m)) WHERE rn = 1),
+         |psub AS (SELECT m, sv AS pv FROM subn WHERE vec_id = 0),
+         |parts AS (SELECT k.vec_id, k.m,
+         |    list_dot_product(p.pv::BIGINT[], c.ce::BIGINT[])
+         |      / sqrt(CAST(c.nc AS DOUBLE)) AS ps
+         |  FROM codes k JOIN pcentn c ON k.m = c.m AND k.cl = c.cl
+         |  JOIN psub p ON p.m = k.m),
+         |adc AS (SELECT vec_id,
+         |    $sCols
+         |  FROM parts GROUP BY vec_id),
+         |short AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+         |  ORDER BY ($sSum) DESC, vec_id LIMIT 50),
+         |n AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+         |  FROM q),
+         |pf AS (SELECT qe AS pe, nq AS npf FROM n WHERE vec_id = 0)
+         |SELECT n.vec_id,
+         |  CAST(list_dot_product(n.qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) AS BIGINT) AS dp,
+         |  list_dot_product(n.qe::BIGINT[], (SELECT pe FROM pf)::BIGINT[]) * 1.0
+         |    / sqrt(CAST(n.nq * (SELECT npf FROM pf) AS DOUBLE)) AS cosine
+         |FROM n JOIN short USING (vec_id)
+         |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
+    },
     "llm_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -114,6 +114,75 @@ class AnnIndexStoreSpec extends SparkSpecBase {
       s"probe fetch must read ONE vectors part dir, scans=$vecScans")
   }
 
+  test("persisted IVF-PQ index: codes-only first pass, pruned reads, exact rerank, recall >= int8") {
+    val df = planted(53, 200)
+    val root = Files.createTempDirectory("ann-pq").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeIvfPq(df, nClusters = 8, mSub = 8, ksub = 16)
+
+    // posting lists carry codes, NOT vectors — the compression point
+    val posting = spark.read.parquet(s"$root/ivf")
+    assert(posting.columns.toSet == Set("vec_id", "codes", "cluster"),
+      s"posting lists must be (vec_id, codes): ${posting.columns.mkString(",")}")
+    assert(posting.select("codes").head().getSeq[Long](0).size == 8)
+
+    // the planted twin survives the ADC shortlist and ranks first with a
+    // TRUE cosine (the rerank is exact)
+    val served = store.pqTopK(spark, probeId = 5L, k = 3, nprobe = 4,
+      shortlist = 30).collect()
+    assert(served.head.getLong(0) == 200L,
+      s"planted twin must rank first: ${served.map(_.getLong(0)).mkString(",")}")
+    val exact = Similarity.bruteForceTopK(df, probeId = 5L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(served.head.getDouble(2) == exact.head._2,
+      "reranked score must be the exact cosine, not an ADC approximation")
+
+    // pruning: the ADC pass plans only nprobe cluster dirs; the rerank
+    // gather plans O(shortlist parts) of the vectors store, never all 64
+    val adcScans = scanFiles(store.pqShortlist(spark, probeId = 5L,
+      nprobe = 4, shortlist = 30, where = None))
+    val ivfTotal = parquetFiles(s"$root/ivf")
+    val memberScan = adcScans.filter(_._1.contains("/ivf")).map(_._2).sum
+    assert(memberScan > 0 && memberScan <= ivfTotal / 2,
+      s"ADC scan must prune to nprobe clusters: planned $memberScan of $ivfTotal")
+    val scans = scanFiles(store.pqTopK(spark, probeId = 5L, k = 3,
+      nprobe = 4, shortlist = 30))
+    val vecTotal = parquetFiles(s"$root/vectors")
+    val gatherScan = scans.filter(_._1.contains("vectors")).map(_._2).max
+    assert(gatherScan < vecTotal,
+      s"rerank gather must prune by shortlist parts: $gatherScan of $vecTotal")
+
+    // recall-vs-int8 on the full serving paths: top-10 against the exact
+    // float ranking. int8 scans everything (recall ~1); PQ reads codes
+    // only and reranks a 30-shortlist — it must stay within 2 hits
+    val truth = Similarity.bruteForceTopK(df, probeId = 7L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val int8 = Similarity.bruteForceTopK8(df, probeId = 7L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = store.pqTopK(spark, probeId = 7L, k = 10, nprobe = 8,
+      shortlist = 60).collect().map(_.getLong(0)).toSet
+    val (r8, rpq) = ((int8 & truth).size, (pq & truth).size)
+    assert(r8 >= 8, s"int8 recall@10 degraded: $r8")
+    assert(rpq >= r8 - 2 && rpq >= 6,
+      s"PQ-rerank recall@10 must track int8: pq=$rpq int8=$r8")
+
+    // append with frozen codebooks: a twin added later is served
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val twin = df.filter(col("vec_id") === 11L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    store.append(Seq((900L, twin.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding"))
+    assert(store.pqTopK(spark, probeId = 11L, k = 1, nprobe = 4, shortlist = 30)
+      .select("vec_id").head().getLong(0) == 900L)
+
+    // a corpus-sized sweep belongs to a plain IVF store — fail fast
+    val err = intercept[IllegalArgumentException] {
+      store.sweepDistributed(df.select("vec_id"), k = 3)
+    }
+    assert(err.getMessage.contains("pqTopK"))
+  }
+
   test("incremental append: new vectors serve from both index kinds without rebuild") {
     import spark.implicits._
     val df = planted(19, 80)
