@@ -128,6 +128,247 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       case None => (batchPayload, true)
     }
 
+  // -------------------------------------------------------------- zone maps
+
+  /** Per-bucket min/max column statistics — the warehouse's zone map.
+    * One JSON sidecar `_graft_zones.json`: bucket → column → [min, max]
+    * (values as strings; the table schema decides compare semantics).
+    * Consulted by [[scan]] and [[retain]] to skip whole bucket dirs with
+    * O(1) metadata — BEFORE any file listing or footer I/O — which
+    * complements the z-order layout (zones skip buckets, parquet
+    * row-group stats then skip pages inside surviving buckets).
+    *
+    * Crash soundness: the STREAMING path ([[applyBatch]]) writes zones
+    * before the data as the WIDENED union old ∪ new — a crash between
+    * the two leaves ranges wider than the contents, which can only
+    * suppress a skip, never cause a wrong one. The offline verbs
+    * (retain/rebucket/truncate) recompute exact ranges AFTER their
+    * rewrite — same one-sided-error argument in the other order. A
+    * column absent from a bucket's entry means it held only NULLs there
+    * (comparisons never match → skippable); a bucket with no entry at
+    * all is always read (legacy/unknown). */
+  private def zonesPath = new Path(path, "_graft_zones.json")
+
+  private[graft] def readZones(spark: SparkSession)
+      : Option[Map[Int, Map[String, (String, String)]]] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(zonesPath)) None
+    else {
+      val in = fs.open(zonesPath)
+      val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      import scala.jdk.CollectionConverters._
+      Some(node.properties().asScala.map { e =>
+        e.getKey.toInt -> e.getValue.properties().asScala.map { c =>
+          c.getKey -> (c.getValue.get(0).asText(), c.getValue.get(1).asText())
+        }.toMap
+      }.toMap)
+    }
+  }
+
+  private def writeZones(spark: SparkSession,
+                         zones: Map[Int, Map[String, (String, String)]]): Unit = {
+    val fs = fsOf(spark)
+    fs.mkdirs(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    zones.toSeq.sortBy(_._1).foreach { case (b, cols) =>
+      val bn = rootNode.putObject(b.toString)
+      cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val arr = bn.putArray(c); arr.add(mn); arr.add(mx)
+      }
+    }
+    val tmp = new Path(path, "_graft_zones.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(zonesPath.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, zonesPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Columns zone stats make sense for: atomic, orderable, compare
+    * semantics reproducible from the string form. */
+  private def zoneCols(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case org.apache.spark.sql.types.StringType => true
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+
+  /** Per-bucket min/max of every zone-eligible column — one partial
+    * aggregation over the (bucket-carrying) frame. */
+  private def statsOf(withBuckets: DataFrame, schema: StructType)
+      : Map[Int, Map[String, (String, String)]] = {
+    val cols = zoneCols(schema).filter(f => withBuckets.columns.contains(f.name))
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(f => Seq(
+      min(col(f.name)).cast("string").as(s"mn_${f.name}"),
+      max(col(f.name)).cast("string").as(s"mx_${f.name}")))
+    withBuckets.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val b = r.getInt(0)
+        b -> cols.flatMap { f =>
+          val mn = r.getAs[String](s"mn_${f.name}")
+          val mx = r.getAs[String](s"mx_${f.name}")
+          if (mn == null || mx == null) None // all-NULL column → no entry
+          else Some(f.name -> (mn, mx))
+        }.toMap
+      }.toMap
+  }
+
+  /** Widened union (per bucket, per column): min of mins, max of maxes
+    * under the column's compare semantics — the only zone update that is
+    * sound to write BEFORE the data. A column present in one side and
+    * absent in the other widens to "unknown" (entry dropped): absence
+    * asserts all-NULL, which the other side contradicts. */
+  private def widen(schema: StructType,
+                    old: Map[Int, Map[String, (String, String)]],
+                    add: Map[Int, Map[String, (String, String)]])
+      : Map[Int, Map[String, (String, String)]] = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    (old.keySet ++ add.keySet).map { b =>
+      (old.get(b), add.get(b)) match {
+        case (Some(o), None) => b -> o
+        case (None, Some(a)) => b -> a
+        case (Some(o), Some(a)) =>
+          b -> (o.keySet & a.keySet).flatMap { c =>
+            types.get(c).map { t =>
+              val (omn, omx) = o(c); val (amn, amx) = a(c)
+              c -> (if (zoneLt(t, omn, amn)) omn else amn,
+                if (zoneLt(t, omx, amx)) amx else omx)
+            }
+          }.toMap
+        case _ => b -> Map.empty[String, (String, String)]
+      }
+    }.toMap
+  }
+
+  private def zoneLt(t: org.apache.spark.sql.types.DataType,
+                     a: String, b: String): Boolean = t match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+    case _ => a < b
+  }
+
+  private def zoneLe(t: org.apache.spark.sql.types.DataType,
+                     a: String, b: String): Boolean =
+    !zoneLt(t, b, a)
+
+  /** Candidate buckets for `pred` per the zone stats: the buckets whose
+    * ranges MAY satisfy it (sound — a skipped bucket provably holds no
+    * matching row). Walks the predicate's Catalyst tree: conjunctions
+    * intersect, disjunctions union, supported leaves are
+    * =, <, <=, >, >=, IN between a stat column and literals of a
+    * matching string/numeric type; anything else is conservatively
+    * "every bucket". None = no zone sidecar yet (no pruning possible). */
+  private[graft] def zoneCandidates(spark: SparkSession,
+                                    pred: org.apache.spark.sql.Column)
+      : Option[Seq[Int]] = {
+    val zonesOpt = readZones(spark)
+    val schemaOpt = readSidecar(spark).map(_._2)
+    (zonesOpt, schemaOpt) match {
+      case (Some(zones), Some(schema)) =>
+        import org.apache.spark.sql.catalyst.expressions._
+        val types = zoneCols(schema).map(f => f.name -> f.dataType).toMap
+        val all = zones.keySet
+        // caller predicates arrive UNRESOLVED (col("x") builds an
+        // UnresolvedAttribute); resolved trees carry AttributeReference
+        object AttrName {
+          def unapply(e: Expression): Option[String] = e match {
+            case a: AttributeReference => Some(a.name)
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              Some(u.name)
+            case _ => None
+          }
+        }
+        def litStr(l: Literal, t: org.apache.spark.sql.types.DataType): Option[String] =
+          if (l.value == null) None
+          else l.dataType match {
+            // only same-family literals: comparing across families would
+            // need Spark's implicit-cast semantics re-implemented
+            case _: org.apache.spark.sql.types.NumericType
+                if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+              Some(l.value.toString)
+            case org.apache.spark.sql.types.StringType
+                if t == org.apache.spark.sql.types.StringType =>
+              Some(l.value.toString)
+            case _ => None
+          }
+        // may bucket b match `col op v`? absence of the col entry means
+        // the bucket's column is all-NULL there → comparisons never match
+        def mayMatch(b: Int, c: String, test: ((String, String)) => Boolean): Boolean =
+          zones(b).get(c) match {
+            case Some(range) => test(range)
+            case None => false
+          }
+        def candsCmp(name: String, v: String, op: String): Set[Int] = {
+          val t = types(name)
+          all.filter(b => mayMatch(b, name, { case (mn, mx) => op match {
+            case "="  => zoneLe(t, mn, v) && zoneLe(t, v, mx)
+            case "<"  => zoneLt(t, mn, v)
+            case "<=" => zoneLe(t, mn, v)
+            case ">"  => zoneLt(t, v, mx)
+            case ">=" => zoneLe(t, v, mx)
+          }}))
+        }
+        def walk(e: Expression): Set[Int] = e match {
+          case And(l, r) => walk(l) & walk(r)
+          case Or(l, r) => walk(l) | walk(r)
+          case cmp: BinaryComparison => (cmp.left, cmp.right) match {
+            case (AttrName(an), l: Literal) if types.contains(an) =>
+              litStr(l, types(an)).map { v =>
+                cmp match {
+                  case _: EqualTo => candsCmp(an, v, "=")
+                  case _: LessThan => candsCmp(an, v, "<")
+                  case _: LessThanOrEqual => candsCmp(an, v, "<=")
+                  case _: GreaterThan => candsCmp(an, v, ">")
+                  case _: GreaterThanOrEqual => candsCmp(an, v, ">=")
+                  case _ => all
+                }
+              }.getOrElse(all)
+            case (l: Literal, AttrName(an)) if types.contains(an) =>
+              litStr(l, types(an)).map { v =>
+                cmp match { // flipped operand order
+                  case _: EqualTo => candsCmp(an, v, "=")
+                  case _: LessThan => candsCmp(an, v, ">")
+                  case _: LessThanOrEqual => candsCmp(an, v, ">=")
+                  case _: GreaterThan => candsCmp(an, v, "<")
+                  case _: GreaterThanOrEqual => candsCmp(an, v, "<=")
+                  case _ => all
+                }
+              }.getOrElse(all)
+            case _ => all
+          }
+          case In(AttrName(an), vs) if types.contains(an) &&
+              vs.forall(_.isInstanceOf[Literal]) =>
+            vs.flatMap(v => litStr(v.asInstanceOf[Literal], types(an)))
+              .map(candsCmp(an, _, "=")).foldLeft(Set.empty[Int])(_ | _)
+          case _ => all
+        }
+        Some(walk(org.apache.spark.sql.GraftColumnBridge.expression(pred))
+          .toSeq.sorted)
+      case _ => None
+    }
+  }
+
+  /** Zone-pruned filtered read — the non-key serving companion of
+    * [[lookup]]: consult the zone sidecar (O(1) metadata), plan ONLY the
+    * candidate bucket dirs, push `pred` into that scan. Falls back to a
+    * full filtered snapshot when no zones exist. */
+  def scan(spark: SparkSession, pred: org.apache.spark.sql.Column): DataFrame =
+    (zoneCandidates(spark, pred), readSidecar(spark)) match {
+      case (Some(cands), Some((_, s))) =>
+        val fs = fsOf(spark)
+        val dirs = cands.map(b => new Path(path, s"bucket=$b"))
+          .filter(fs.exists).map(_.toString)
+        if (dirs.isEmpty) emptyWith(spark, s).filter(pred)
+        else spark.read
+          .schema(StructType(s.fields :+ StructField("bucket", IntegerType)))
+          .option("basePath", path).parquet(dirs: _*)
+          .filter(pred).drop("bucket")
+      case _ => snapshot(spark).filter(pred)
+    }
+
   private def bucketDirs(spark: SparkSession): Seq[Path] = {
     val fs = fsOf(spark)
     if (!fs.exists(root)) Seq.empty
@@ -179,8 +420,11 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     if (touchedDirs.isEmpty) {
       // nothing to merge with: plain insert of the batch winners
       lastPlannedFiles = Nil
-      winners.filter(col("op") =!= "d").drop("op", "lsn")
-        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+      val inserts = winners.filter(col("op") =!= "d").drop("op", "lsn")
+      // zones BEFORE data, widened (see the zone-map soundness note)
+      writeZones(spark, widen(schema,
+        readZones(spark).getOrElse(Map.empty), statsOf(inserts, schema)))
+      inserts.write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
     } else {
       // partition pruning: ONLY touched bucket dirs are listed/opened,
       // and the explicit schema means no footer is read for inference
@@ -209,6 +453,10 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       val materialized = sortedByKey(
         next.repartition(math.max(touched.length, 1), col("bucket")))
         .localCheckpoint(eager = true)
+      // zones BEFORE the rewrite, widened old ∪ next-state: a crash
+      // between the two leaves ranges that are only ever too wide
+      writeZones(spark, widen(schema,
+        readZones(spark).getOrElse(Map.empty), statsOf(materialized, schema)))
       materialized.write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -248,6 +496,7 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     writeSidecar(spark, schema)
     emptyWith(spark, schema).repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=0")
+    writeZones(spark, Map.empty) // exact-after-rewrite (offline order)
   }
 
   // ---------------------------------------------------------------- compact
@@ -329,11 +578,24 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     if (bucketDirs(spark).isEmpty) return Seq.empty
     // probe: which buckets hold matching rows (≤ numBuckets ints —
     // predicate + bucket column both prune/push into the scan)
-    val touched = reader.option("basePath", path).parquet(path)
+    // zone consult FIRST: buckets whose ranges exclude the predicate
+    // never reach the probe scan (O(1) metadata vs O(all footers))
+    val probeDirs = zoneCandidates(spark, pred) match {
+      case Some(cands) =>
+        val ds = cands.map(b => new Path(path, s"bucket=$b"))
+          .filter(fs.exists).map(_.toString)
+        lastProbePlannedBuckets = ds.size
+        ds
+      case None =>
+        lastProbePlannedBuckets = bucketDirs(spark).size
+        Seq(path)
+    }
+    if (probeDirs.isEmpty) return Seq.empty
+    val touched = reader.option("basePath", path).parquet(probeDirs: _*)
       .filter(pred)
       .select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    touched.foreach { b =>
+    val keptStats = touched.map { b =>
       val dir = new Path(path, s"bucket=$b")
       val tmp = new Path(path, s"_compact_bucket=$b")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -341,13 +603,28 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       // not match the deletion predicate) — bare !pred would drop it
       val kept = sortedByKey(
         reader.option("basePath", path).parquet(dir.toString)
-          .filter(!coalesce(pred, lit(false))).drop("bucket").repartition(1))
-      kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          .filter(!coalesce(pred, lit(false))).repartition(1))
+        .localCheckpoint(eager = true)
+      kept.drop("bucket").write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       fs.delete(dir, true)
       fs.rename(tmp, dir)
+      b -> schemaOpt.map(s => statsOf(kept, s).getOrElse(b, Map.empty))
+    }
+    // exact-after-rewrite zone refresh (offline order): shrunk ranges
+    // land only once the kept rows are the bucket's contents
+    schemaOpt.foreach { _ =>
+      readZones(spark).foreach { zones =>
+        writeZones(spark, zones ++ keptStats.collect {
+          case (b, Some(st)) => b -> st
+        })
+      }
     }
     touched.toSeq
   }
+
+  /** Probe-scan bucket-dir count of the last [[retain]] — the zone-skip
+    * contract made observable for tests/ops. */
+  @transient @volatile var lastProbePlannedBuckets: Int = -1
 
   /** Finish (or undo) any compaction swap a crash interrupted. Safe to
     * call any time the table is offline; compact() calls it first. */
@@ -416,6 +693,7 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       // a previous run crashed mid-swap: roll forward
       if (fs.exists(root)) fs.delete(root, true)
       fs.rename(staging, root)
+      next.recomputeZones(spark)
       return next
     }
     if (fs.exists(staging)) fs.delete(staging, true)
@@ -432,6 +710,18 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     fs.create(new Path(staging, "_graft_rebucket_done"), true).close()
     fs.delete(root, true)
     fs.rename(staging, root)
+    next.recomputeZones(spark)
     next
   }
+
+  /** Recompute exact zone stats from the current layout — offline, the
+    * rebucket epilogue and the migration entry for a pre-zones table. */
+  def recomputeZones(spark: SparkSession): Unit =
+    readSidecar(spark).foreach { case (_, s) =>
+      if (bucketDirs(spark).isEmpty) writeZones(spark, Map.empty)
+      else writeZones(spark, statsOf(
+        spark.read
+          .schema(StructType(s.fields :+ StructField("bucket", IntegerType)))
+          .option("basePath", path).parquet(path), s))
+    }
 }

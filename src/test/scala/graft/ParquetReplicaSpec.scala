@@ -827,4 +827,66 @@ class ParquetReplicaSpec extends SparkSpecBase {
       }
     assert(sink.lookup(spark, Seq("42")).collect().head.getInt(1) == 421)
   }
+
+  test("zone maps: O(1) bucket skipping for range predicates on a z-ordered replica; sound everywhere else") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-zones").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 16)
+    // correlate the stat column with the physical layout: region derives
+    // from each row's own hash bucket — the routed-by-the-same-key shape
+    // zone maps exist for (an uncorrelated column degrades to "no skip",
+    // never to a wrong one)
+    val bucketOf = (1 to 400).toDF("id")
+      .withColumn("b", pmod(hash(col("id")), lit(16)))
+      .as[(Int, Int)].collect().toMap
+    val batch = (1 to 400).map(i =>
+      (i, f"r${bucketOf(i)}%02d", i, "c", i.toLong))
+      .toDF("id", "region", "amt", "op", "lsn")
+    sink.applyBatch(spark, batch, 0)
+    // z-ordered layout (force-rewrite every bucket), zones still valid
+    assert(sink.compact(spark, maxFilesPerBucket = 0,
+      zorderBy = Seq("region", "amt")).nonEmpty)
+
+    def dirsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    val full = sink.snapshot(spark)
+    assert(dirsOf(full).size == 16)
+
+    // equality on the layout-correlated column plans exactly ONE dir
+    val eq = sink.scan(spark, col("region") === "r03")
+    assert(dirsOf(eq).size == 1, s"planned ${dirsOf(eq).size} dirs")
+    assert(eq.select("id").as[Int].collect().toSet ==
+      full.filter(col("region") === "r03").select("id").as[Int].collect().toSet)
+
+    // a RANGE predicate skips the buckets whose zones exclude it
+    val rng = sink.scan(spark, col("region") >= "r12")
+    assert(dirsOf(rng).size == 4, s"planned ${dirsOf(rng).size} dirs")
+    assert(rng.count() ==
+      full.filter(col("region") >= "r12").count())
+    // numeric range on an UNCORRELATED int column: no wrong skips
+    val num = sink.scan(spark, col("amt") >= 390 && col("amt") < 395)
+    assert(num.select("id").as[Int].collect().toSet == (390 until 395).toSet)
+
+    // retain consults the zones: the probe scan plans one bucket dir
+    val rewritten = sink.retain(spark, col("region") === "r05")
+    assert(sink.lastProbePlannedBuckets == 1,
+      s"probe planned ${sink.lastProbePlannedBuckets} bucket dirs")
+    assert(rewritten.size == 1)
+    assert(sink.snapshot(spark).filter(col("region") === "r05").count() == 0)
+    assert(sink.snapshot(spark).count() == 400 - bucketOf.values.count(_ == 5))
+    // the retained bucket's zones SHRANK exactly: r05 is now unplannable
+    assert(dirsOf(sink.scan(spark, col("region") === "r05")).isEmpty)
+
+    // widening soundness: a later batch lands new values; they are found
+    val batch2 = (1000 to 1020).map(i => (i, "zz", i, "c", i.toLong))
+      .toDF("id", "region", "amt", "op", "lsn")
+    sink.applyBatch(spark, batch2, 1)
+    assert(sink.scan(spark, col("region") === "zz").count() == 21)
+
+    // truncate zeroes the zones with the data
+    sink.truncate(spark)
+    assert(dirsOf(sink.scan(spark, col("region") === "r03")).isEmpty)
+    assert(sink.scan(spark, col("region") === "r03").count() == 0)
+  }
 }
