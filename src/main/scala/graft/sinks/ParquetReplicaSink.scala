@@ -218,9 +218,10 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
 
   /** Widened union (per bucket, per column): min of mins, max of maxes
     * under the column's compare semantics — the only zone update that is
-    * sound to write BEFORE the data. A column present in one side and
-    * absent in the other widens to "unknown" (entry dropped): absence
-    * asserts all-NULL, which the other side contradicts. */
+    * sound to write BEFORE the data. A column present on only ONE side
+    * keeps that side's range: absence asserts all-NULL there, and NULL
+    * rows cannot extend a min/max range (dropping the entry instead
+    * would flip the bucket to "skippable", an UNSOUND narrowing). */
   private def widen(schema: StructType,
                     old: Map[Int, Map[String, (String, String)]],
                     add: Map[Int, Map[String, (String, String)]])
@@ -231,11 +232,16 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
         case (Some(o), None) => b -> o
         case (None, Some(a)) => b -> a
         case (Some(o), Some(a)) =>
-          b -> (o.keySet & a.keySet).flatMap { c =>
-            types.get(c).map { t =>
-              val (omn, omx) = o(c); val (amn, amx) = a(c)
-              c -> (if (zoneLt(t, omn, amn)) omn else amn,
-                if (zoneLt(t, omx, amx)) amx else omx)
+          b -> (o.keySet | a.keySet).flatMap { c =>
+            (o.get(c), a.get(c)) match {
+              case (Some(r), None) => Some(c -> r)
+              case (None, Some(r)) => Some(c -> r)
+              case (Some((omn, omx)), Some((amn, amx))) =>
+                types.get(c).map { t =>
+                  c -> (if (zoneLt(t, omn, amn)) omn else amn,
+                    if (zoneLt(t, omx, amx)) amx else omx)
+                }
+              case _ => None
             }
           }.toMap
         case _ => b -> Map.empty[String, (String, String)]
@@ -245,9 +251,32 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
 
   private def zoneLt(t: org.apache.spark.sql.types.DataType,
                      a: String, b: String): Boolean = t match {
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType =>
+      // NaN / ±Infinity round-trip through Spark's string cast as
+      // "NaN"/"Infinity"/"-Infinity" — BigDecimal would throw on them.
+      // Double.compare orders NaN greatest, matching Spark's ordering.
+      java.lang.Double.compare(
+        java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b)) < 0
     case _: org.apache.spark.sql.types.NumericType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
-    case _ => a < b
+    case _ => utf8Lt(a, b)
+  }
+
+  /** Unsigned UTF-8 byte-order comparison — Spark's UTF8String orders
+    * strings by UTF-8 bytes (= code-point order), while JVM String '<'
+    * compares UTF-16 code units; the two disagree on supplementary-plane
+    * characters, which would make zone skips unsound. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   private def zoneLe(t: org.apache.spark.sql.types.DataType,
@@ -256,10 +285,17 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
 
   /** Candidate buckets for `pred` per the zone stats: the buckets whose
     * ranges MAY satisfy it (sound — a skipped bucket provably holds no
-    * matching row). Walks the predicate's Catalyst tree: conjunctions
-    * intersect, disjunctions union, supported leaves are
-    * =, <, <=, >, >=, IN between a stat column and literals of a
-    * matching string/numeric type; anything else is conservatively
+    * matching row). The candidate universe is the PHYSICAL bucket dirs:
+    * a bucket with no zone entry (legacy data predating the sidecar, or
+    * an incomplete migration) is always a candidate — only a recorded
+    * entry can prove a skip. The predicate is first RESOLVED by running
+    * Spark's analyzer over an empty frame with the table schema (on
+    * Spark 4, `col(x) === v` builds an `UnresolvedFunction("=")`, never
+    * a `BinaryComparison` — only the analyzed tree carries the real
+    * `EqualTo`/`And`/`In` nodes over `AttributeReference` leaves). Then
+    * conjunctions intersect, disjunctions union, supported leaves are
+    * =, <, <=, >, >=, IN between a stat column and foldable literals of
+    * a matching string/numeric type; anything else is conservatively
     * "every bucket". None = no zone sidecar yet (no pruning possible). */
   private[graft] def zoneCandidates(spark: SparkSession,
                                     pred: org.apache.spark.sql.Column)
@@ -270,14 +306,21 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       case (Some(zones), Some(schema)) =>
         import org.apache.spark.sql.catalyst.expressions._
         val types = zoneCols(schema).map(f => f.name -> f.dataType).toMap
-        val all = zones.keySet
-        // caller predicates arrive UNRESOLVED (col("x") builds an
-        // UnresolvedAttribute); resolved trees carry AttributeReference
+        val all: Set[Int] = bucketDirs(spark)
+          .map(_.getName.stripPrefix("bucket=").toInt).toSet
         object AttrName {
           def unapply(e: Expression): Option[String] = e match {
             case a: AttributeReference => Some(a.name)
-            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              Some(u.name)
+            case _ => None
+          }
+        }
+        // post-analysis literal side: a plain Literal, or any foldable
+        // expression (e.g. a cast the analyzer wrapped around a literal)
+        object FoldedLit {
+          def unapply(e: Expression): Option[Literal] = e match {
+            case l: Literal => Some(l)
+            case _ if e.foldable =>
+              scala.util.Try(Literal.create(e.eval(null), e.dataType)).toOption
             case _ => None
           }
         }
@@ -294,12 +337,16 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
               Some(l.value.toString)
             case _ => None
           }
-        // may bucket b match `col op v`? absence of the col entry means
-        // the bucket's column is all-NULL there → comparisons never match
+        // may bucket b match `col op v`? no entry for the BUCKET means
+        // unknown (always read); an entry missing the COLUMN means the
+        // column is all-NULL there → comparisons never match
         def mayMatch(b: Int, c: String, test: ((String, String)) => Boolean): Boolean =
-          zones(b).get(c) match {
-            case Some(range) => test(range)
-            case None => false
+          zones.get(b) match {
+            case None => true
+            case Some(cols) => cols.get(c) match {
+              case Some(range) => test(range)
+              case None => false
+            }
           }
         def candsCmp(name: String, v: String, op: String): Set[Int] = {
           val t = types(name)
@@ -315,7 +362,7 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
           case And(l, r) => walk(l) & walk(r)
           case Or(l, r) => walk(l) | walk(r)
           case cmp: BinaryComparison => (cmp.left, cmp.right) match {
-            case (AttrName(an), l: Literal) if types.contains(an) =>
+            case (AttrName(an), FoldedLit(l)) if types.contains(an) =>
               litStr(l, types(an)).map { v =>
                 cmp match {
                   case _: EqualTo => candsCmp(an, v, "=")
@@ -326,7 +373,7 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
                   case _ => all
                 }
               }.getOrElse(all)
-            case (l: Literal, AttrName(an)) if types.contains(an) =>
+            case (FoldedLit(l), AttrName(an)) if types.contains(an) =>
               litStr(l, types(an)).map { v =>
                 cmp match { // flipped operand order
                   case _: EqualTo => candsCmp(an, v, "=")
@@ -339,14 +386,24 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
               }.getOrElse(all)
             case _ => all
           }
-          case In(AttrName(an), vs) if types.contains(an) &&
-              vs.forall(_.isInstanceOf[Literal]) =>
-            vs.flatMap(v => litStr(v.asInstanceOf[Literal], types(an)))
+          case In(AttrName(an), vs) if types.contains(an) =>
+            val lits = vs.map { case FoldedLit(l) => Some(l); case _ => None }
+            if (lits.exists(_.isEmpty)) all
+            else lits.flatten.flatMap(litStr(_, types(an)))
               .map(candsCmp(an, _, "=")).foldLeft(Set.empty[Int])(_ | _)
           case _ => all
         }
-        Some(walk(org.apache.spark.sql.GraftColumnBridge.expression(pred))
-          .toSeq.sorted)
+        // resolve through the analyzer: filter an empty frame carrying
+        // the sidecar schema, take the analyzed Filter's condition —
+        // unresolvable predicates (unknown columns…) degrade to "all"
+        val resolved: Option[Expression] = scala.util.Try {
+          emptyWith(spark, schema).filter(pred).queryExecution.analyzed
+            .collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }
+        }.toOption.flatten
+        Some(resolved.fold(all)(walk).toSeq.sorted)
       case _ => None
     }
   }
@@ -496,7 +553,11 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     writeSidecar(spark, schema)
     emptyWith(spark, schema).repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=0")
-    writeZones(spark, Map.empty) // exact-after-rewrite (offline order)
+    // exact-after-rewrite (offline order): the schema-marker bucket gets
+    // a KNOWN-EMPTY entry (no columns = every column all-NULL there) so
+    // scans keep skipping it — a bucket with no entry at all would be
+    // "unknown", which is always read
+    writeZones(spark, Map(0 -> Map.empty))
   }
 
   // ---------------------------------------------------------------- compact

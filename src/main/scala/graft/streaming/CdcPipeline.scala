@@ -326,8 +326,23 @@ object CdcPipeline {
                   needed.map(c => element_at(col("__after"), c).as(c)) ++
                   needed.map(c =>
                     element_at(col("__before"), c).as(s"__old_$c")): _*)
-              val dimSnap = new graft.sinks.ParquetReplicaSink(
-                s"$rootPath/${jv.dimTable}", Nil, numBuckets).snapshot(spark)
+              // a dim that has never replicated = empty snapshot (the
+              // inner join then contributes nothing, matching the replay
+              // semantics) — snapshotting a missing path would throw and
+              // crash-loop the micro-batch on every replay
+              val dimPath = new org.apache.hadoop.fs.Path(
+                s"$rootPath/${jv.dimTable}")
+              val dimSnap =
+                if (dimPath.getFileSystem(spark.sessionState.newHadoopConf())
+                      .exists(dimPath))
+                  new graft.sinks.ParquetReplicaSink(
+                    dimPath.toString, Nil, numBuckets).snapshot(spark)
+                else spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(
+                    (jv.dimKey +: jv.dimGroupCols).distinct.map(c =>
+                      org.apache.spark.sql.types.StructField(c,
+                        org.apache.spark.sql.types.StringType))))
               jv.sink(rootPath).applyBatch(spark, jvFlat, dimSnap, batchId)
             }
           }

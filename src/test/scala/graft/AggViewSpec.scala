@@ -300,6 +300,21 @@ class AggViewSpec extends SparkSpecBase {
       root, 4, batchId = 2, joinViews = Seq(jv))
     assert(viewMap() == Map("north" -> (3L, 38.0)))
     assert(viewMap() == replay())
+    // fact events arriving BEFORE the dim table has ever replicated must
+    // not crash-loop the micro-batch: a missing dim replica is an empty
+    // snapshot (inner join → zero contribution), and the eventual dim
+    // arrival rebuilds to full parity
+    val root3 = java.nio.file.Files.createTempDirectory("aggv-jv-nodim")
+      .toFile.getAbsolutePath
+    CdcPipeline.applyWarehouseBatch(Seq(
+        fIns(1, 1, "n1", 10), fIns(2, 2, "n2", 20)).toDS(),
+      root3, 4, batchId = 0, joinViews = Seq(jv))
+    assert(jv.sink(root3).read(spark).count() == 0)
+    CdcPipeline.applyWarehouseBatch(Seq(dimIns(3, "n1", "east")).toDS(),
+      root3, 4, batchId = 1, joinViews = Seq(jv))
+    assert(jv.sink(root3).read(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap ==
+      Map("east" -> (1L, 10.0)))
     // env surface parses
     val defs = graft.streaming.GraftApp.parseJoinViews(Map(
       "GRAFT_JOIN_VIEWS" -> "public.fact~public.dim:fk=id:region>amt"))

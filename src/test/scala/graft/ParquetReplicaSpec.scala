@@ -889,4 +889,68 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(dirsOf(sink.scan(spark, col("region") === "r03")).isEmpty)
     assert(sink.scan(spark, col("region") === "r03").count() == 0)
   }
+
+  /** Legacy-replica soundness: a table whose bucket dirs PREDATE the zone
+    * sidecar takes one incremental batch — the new zones file then covers
+    * only that batch's buckets, and every OTHER bucket must stay an
+    * always-read candidate (no entry = unknown, never = skippable). */
+  test("zone maps: buckets without a zone entry are always scanned (pre-zones replica)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-zones-legacy").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 16)
+    val bucketOf = (1 to 400).toDF("id")
+      .withColumn("b", pmod(hash(col("id")), lit(16)))
+      .as[(Int, Int)].collect().toMap
+    sink.applyBatch(spark, (1 to 400).map(i =>
+      (i, f"r${bucketOf(i)}%02d", "c", i.toLong))
+      .toDF("id", "region", "op", "lsn"), 0)
+    // simulate the pre-zones era: drop the sidecar the old writer never had
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(path, "_graft_zones.json"), false))
+    // one incremental batch touching a single bucket recreates the zones
+    // file with exactly one entry
+    val oneId = (1 to 400).find(i => bucketOf(i) == 3).get
+    sink.applyBatch(spark,
+      Seq((oneId, "r03", "u", 1000L)).toDF("id", "region", "op", "lsn"), 1)
+    assert(sink.readZones(spark).get.keySet == Set(3))
+    // predicates targeting NON-covered buckets still find every row
+    val full = sink.snapshot(spark)
+    for (r <- Seq("r00", "r07", "r15")) {
+      assert(sink.scan(spark, col("region") === r).count() ==
+        full.filter(col("region") === r).count(), s"region $r")
+    }
+    // and retain still deletes rows living in non-covered buckets
+    assert(sink.retain(spark, col("region") === "r07").nonEmpty)
+    assert(sink.snapshot(spark).filter(col("region") === "r07").count() == 0)
+  }
+
+  /** Non-finite doubles: Spark's min/max over a double column stringifies
+    * NaN/Infinity, which BigDecimal cannot parse — zone maintenance and
+    * consult must survive them (and order NaN greatest, like Spark). */
+  test("zone maps: NaN/Infinity double stats do not break widen, scan, or retain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-zones-nan").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 4)
+    sink.applyBatch(spark, Seq(
+      (1, Double.NaN, "c", 1L), (2, Double.PositiveInfinity, "c", 2L),
+      (3, Double.NegativeInfinity, "c", 3L), (4, 5.0, "c", 4L))
+      .toDF("id", "score", "op", "lsn"), 0)
+    // widen path: a second batch over the same buckets parses "NaN"/"Infinity"
+    sink.applyBatch(spark, Seq((5, 7.5, "c", 5L)).toDF("id", "score", "op", "lsn"), 1)
+    // consult path: zone-pruned scan ≡ full filtered snapshot, whatever
+    // Spark's NaN comparison semantics say (zones order NaN greatest,
+    // which can only suppress a skip, never cause a wrong one)
+    val full = sink.snapshot(spark)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.select("id").as[Int].collect().toSet
+    for (p <- Seq(col("score") > 6.0, col("score") < 0.0, col("score") === 5.0)) {
+      assert(ids(sink.scan(spark, p)) == ids(full.filter(p)), p.toString)
+    }
+    // retain path: probe + exact-after-rewrite stats with non-finite rows
+    sink.retain(spark, col("score") < 0.0)
+    assert(sink.snapshot(spark).count() == 4)
+  }
 }
