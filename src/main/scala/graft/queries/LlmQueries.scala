@@ -1651,6 +1651,26 @@ object LlmQueries {
         .orderBy("label", "rnk")
     }),
 
+    // Shard release manifest (the dataset-versioning record emit-shards
+    // writes, graft.llmops.ShardManifest): per shard, the doc count,
+    // whitespace-token count, and an ORDER-INDEPENDENT content hash —
+    // bit_xor over per-doc md5-prefix hashes of (doc_id, text). One hash
+    // scan + one nShards-sized aggregate, no tokenizer in the loop: the
+    // hash decides which shards an incremental re-emit must rewrite.
+    "llm_shard_manifest" -> ((s, d) => {
+      import graft.expressions.GraftFunctions.md5_prefix60
+      documents(s, d)
+        .select(
+          graft.llmops.ShardManifest.shardOf(col("doc_id"), 16).as("shard"),
+          md5_prefix60(concat(col("doc_id").cast("string"), lit(":"),
+            col("text"))).as("h"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+          expr("bit_xor(h)").as("content_hash"))
+        .orderBy("shard")
+    }),
+
     // Deterministic corpus shuffle + sharding (the training-order step:
     // a reproducible global permutation, materialized as shard files):
     // shard = md5(seed||id) mod 8, within-shard position by a second
@@ -3634,6 +3654,17 @@ object LlmQueries {
         |  FROM sc)
         |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, cm
         |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
+    "llm_shard_manifest" ->
+      """WITH per AS (SELECT
+        |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |      % 16 AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),1,15))::BIGINT
+        |      AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  bit_xor(h) AS content_hash
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_shuffle_shard" ->
       """WITH h AS (SELECT doc_id,
         |    ('0x' || substr(md5('sh42-' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT

@@ -704,6 +704,10 @@ object GraftApp {
         // Deterministic md5 shard assignment decorrelates doc order
         // from source order (the shuffle-shard discipline); packing is
         // per-shard windows only, so shards scale independently.
+        // Every emission writes a release manifest (ShardManifest) and
+        // re-tokenizes ONLY the shards whose content hash moved since
+        // the previous release — a corpus delta touches a few shards,
+        // not the world.
         val docsDir = env.getOrElse("GRAFT_EMIT_DOCS",
           throw new IllegalArgumentException("GRAFT_EMIT_DOCS is required"))
         val tok = env.getOrElse("GRAFT_EMIT_TOKENIZER",
@@ -713,40 +717,162 @@ object GraftApp {
         val budget = env.get("GRAFT_EMIT_BUDGET").map(_.toInt).getOrElse(2048)
         val nShards = env.get("GRAFT_EMIT_SHARDS").map(_.toInt).getOrElse(64)
         val docs = spark.read.parquet(docsDir)
+        import graft.llmops.ShardManifest
         // tokenizer family: bpe (default; a bpe-train artifact) or
         // unigram (a unigram-train vocab artifact) — both id streams
-        // feed the identical packing/sharding path
-        val rawIds = env.getOrElse("GRAFT_EMIT_TOKENIZER_KIND", "bpe") match {
-          case "bpe" =>
-            val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
-            graft.llmops.Bpe.encodeCorpusIds(docs, merges, vocab)
-          case "unigram" =>
-            graft.llmops.Unigram.encodeCorpusIds(docs,
-              graft.llmops.Unigram.loadVocab(spark, tok))
-          case k => throw new IllegalArgumentException(
-            s"unknown GRAFT_EMIT_TOKENIZER_KIND $k (bpe|unigram)")
+        // feed the identical packing/sharding path. The artifact is
+        // loaded ONCE; its content fingerprint stamps the manifest.
+        val (encode, tokFp) =
+          env.getOrElse("GRAFT_EMIT_TOKENIZER_KIND", "bpe") match {
+            case "bpe" =>
+              val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
+              val vrows = vocab.collect()
+                .map(r => s"${r.getString(0)} ${r.getLong(1)}").sorted
+              val fp = ShardManifest.fpOf(Iterator("bpe") ++
+                merges.iterator.map(m => s"${m.a} ${m.b} ${m.rank}") ++
+                vrows.iterator)
+              ((d: org.apache.spark.sql.DataFrame) =>
+                graft.llmops.Bpe.encodeCorpusIds(d, merges, vocab), fp)
+            case "unigram" =>
+              val v = graft.llmops.Unigram.loadVocab(spark, tok)
+              val fp = ShardManifest.fpOf(Iterator("unigram") ++
+                v.pieces.iterator.map(p => s"${p.piece} ${p.freq}"))
+              ((d: org.apache.spark.sql.DataFrame) =>
+                graft.llmops.Unigram.encodeCorpusIds(d, v), fp)
+            case k => throw new IllegalArgumentException(
+              s"unknown GRAFT_EMIT_TOKENIZER_KIND $k (bpe|unigram)")
+          }
+        // shard → (n_docs, content_hash) of the CURRENT corpus: one
+        // hash scan, ≤ nShards driver rows — no tokenizer in the loop
+        val curState: Map[Long, (Long, Long)] =
+          ShardManifest.contentState(docs, nShards).collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        // the previous release is comparable only if the tokenizer,
+        // budget and shard count all match — any of those moving
+        // changes membership or packing geometry everywhere
+        val prevRel = ShardManifest.latestRelease(spark, out)
+        val prevRows: Map[Long, (Long, Long, Long, Long)] = prevRel match {
+          case Some((_, m)) =>
+            val rows = m.collect()
+            val comparable = rows.headOption.forall(r =>
+              r.getAs[Long]("tokenizer_fp") == tokFp &&
+                r.getAs[Long]("budget") == budget.toLong &&
+                r.getAs[Long]("n_shards") == nShards.toLong)
+            if (comparable) rows.map(r => r.getAs[Long]("shard") ->
+              ((r.getAs[Long]("content_hash"), r.getAs[Long]("n_tokens"),
+                r.getAs[Long]("n_seqs"), r.getAs[Long]("n_full")))).toMap
+            else Map.empty
+          case None => Map.empty
         }
-        val ids = rawIds
-          .withColumn("shard", pmod(graft.llmops.TextOps.tokenHash60(
-            concat(lit("shard:"), col("doc_id"))), lit(nShards.toLong)))
-        val packed = graft.llmops.Bpe.packSequences(ids, budget,
-          srcCol = "shard")
-        packed.write.mode("overwrite").partitionBy("shard").parquet(out)
-        // explicit schema + coalesced sums: an empty emission (vocab
-        // covers nothing / empty corpus) must report "0 sequences",
-        // not die on schema inference or a null sum
-        val stats = spark.read
-          .schema("seq_id BIGINT, ids ARRAY<BIGINT>, shard BIGINT")
-          .parquet(out)
-          .agg(count(lit(1)),
-            org.apache.spark.sql.functions.coalesce(
-              sum(size(col("ids"))), lit(0L)),
-            org.apache.spark.sql.functions.coalesce(
-              sum(when(size(col("ids")) === budget, 1L).otherwise(0L)), lit(0L)))
-          .head()
-        Seq(s"emit-shards: ${stats.getLong(0)} sequences " +
-          s"(${stats.getLong(2)} full at $budget), " +
-          s"${stats.getLong(1)} tokens across $nShards shards -> $out")
+        val incremental = prevRows.nonEmpty
+        val changed = curState.keys.filter(sh =>
+          prevRows.get(sh).forall(_._1 != curState(sh)._2)).toSeq.sorted
+        val removed =
+          if (incremental) prevRows.keys.filterNot(curState.contains).toSeq.sorted
+          else Nil
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (changed.nonEmpty) {
+          // re-tokenize + re-pack ONLY the changed shards' docs (a
+          // shard re-packs whole — docs straddle sequence boundaries)
+          val subset =
+            if (incremental)
+              docs.filter(ShardManifest.shardOf(col("doc_id"), nShards)
+                .isin(changed: _*))
+            else docs
+          val ids = encode(subset)
+            .withColumn("shard", ShardManifest.shardOf(col("doc_id"), nShards))
+          val packed = graft.llmops.Bpe.packSequences(ids, budget,
+            srcCol = "shard")
+          if (incremental) {
+            // delete the changed shards' dirs FIRST, then append: the
+            // write recreates exactly the shards with encodable content,
+            // so a shard the delta drained (or a crash mid-write) can
+            // never leave stale rows — re-running the verb self-heals
+            // because the manifest only advances at the very end
+            changed.map(sh => new org.apache.hadoop.fs.Path(out, s"shard=$sh"))
+              .filter(fs.exists).foreach(p => fs.delete(p, true))
+            packed.write.mode("append").partitionBy("shard").parquet(out)
+          } else
+            packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+        } else if (!incremental)
+          // first emission of an empty/uncovered corpus: schema-less
+          // layout, but the manifest below still records release 0
+          fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+        // every removed shard (no docs left): drop the stale dir
+        removed.map(sh => new org.apache.hadoop.fs.Path(out, s"shard=$sh"))
+          .filter(fs.exists).foreach(p => fs.delete(p, true))
+        // fresh per-shard stats: only dirs the write just produced
+        // remain for changed shards, so a drained shard reads as absent
+        val changedDirs = changed.map(sh =>
+            new org.apache.hadoop.fs.Path(out, s"shard=$sh"))
+          .filter(fs.exists).map(_.toString)
+        val shardStats: Map[Long, (Long, Long, Long)] =
+          if (changedDirs.isEmpty) Map.empty
+          else spark.read
+            .schema("seq_id BIGINT, ids ARRAY<BIGINT>, shard BIGINT")
+            .option("basePath", out).parquet(changedDirs: _*)
+            .groupBy("shard")
+            .agg(sum(size(col("ids"))).as("t"), count(lit(1)).as("s"),
+              sum(when(size(col("ids")) === budget, 1L).otherwise(0L)).as("f"))
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+            .toMap
+        // release manifest: changed shards from the fresh stats,
+        // unchanged shards carried forward from the previous release
+        val changedSet = changed.toSet
+        val manifestRows = curState.toSeq.sortBy(_._1).map {
+          case (sh, (nDocs, cHash)) =>
+            val (nToks, nSeqs, nFull) =
+              if (changedSet(sh))
+                shardStats.get(sh).map(t => (t._1, t._2, t._3))
+                  .getOrElse((0L, 0L, 0L))
+              else {
+                val p = prevRows(sh); (p._2, p._3, p._4)
+              }
+            (sh, cHash, nDocs, nToks, nSeqs, nFull,
+              tokFp, budget.toLong, nShards.toLong)
+        }
+        val release = if (incremental) prevRel.get._1 + 1 else 0
+        {
+          import spark.implicits._
+          ShardManifest.writeRelease(spark, out, release,
+            manifestRows.toDF("shard", "content_hash", "n_docs", "n_tokens",
+              "n_seqs", "n_full", "tokenizer_fp", "budget", "n_shards"))
+        }
+        val totSeqs = manifestRows.map(_._5).sum
+        val totFull = manifestRows.map(_._6).sum
+        val totToks = manifestRows.map(_._4).sum
+        Seq(s"emit-shards: $totSeqs sequences " +
+          s"($totFull full at $budget), " +
+          s"$totToks tokens across $nShards shards -> $out; " +
+          s"release $release: rewrote ${changed.size}/${curState.size} " +
+          s"shards, removed ${removed.size}")
+      case "manifest-diff" =>
+        // release diffing over emit-shards manifests: which shards a
+        // trainer must re-fetch between two releases
+        val out = env.getOrElse("GRAFT_EMIT_OUT",
+          throw new IllegalArgumentException("GRAFT_EMIT_OUT is required"))
+        import graft.llmops.ShardManifest
+        val (latest, latestDf) = ShardManifest.latestRelease(spark, out)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no emit-shards manifest under $out"))
+        val to = env.get("GRAFT_MANIFEST_TO").map(_.toInt).getOrElse(latest)
+        val from = env.get("GRAFT_MANIFEST_FROM").map(_.toInt)
+          .getOrElse(math.max(to - 1, 0))
+        val toDf = if (to == latest) latestDf
+          else ShardManifest.readRelease(spark, out, to)
+        val d = ShardManifest.diff(
+          ShardManifest.readRelease(spark, out, from), toDf)
+        val counts = d.groupBy("status").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val shards = d.filter(col("status").isin("added", "removed", "changed"))
+          .orderBy("shard").collect()
+          .map(r => s"${r.getLong(0)}:${r.getString(1)}")
+        Seq(s"manifest-diff $from -> $to: " +
+          Seq("added", "removed", "changed", "unchanged")
+            .map(s => s"$s=${counts.getOrElse(s, 0L)}").mkString(", "),
+          s"manifest-diff shards: ${shards.mkString(" ")}")
       case "agg-view-bootstrap" =>
         // declare a view over an ALREADY-replicated table: initial state
         // from the replica snapshot, then the streaming chain maintains

@@ -624,6 +624,105 @@ class GraftAppSpec extends SparkSpecBase {
       s"unigram token conservation: $uGot vs $uExpect")
   }
 
+  test("emit-shards manifest: release versioning, incremental re-emit, diff parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, sum}
+    import graft.llmops.ShardManifest
+    val words = Seq("hug", "pug", "pun", "bun", "hugs")
+    def mkDocs(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    def corpusRow(i: Long, extra: String = ""): (Long, String) =
+      (i, (0 until 30).map(j => words(((i + j) % 5).toInt)).mkString(" ") + extra)
+    val v1 = (0L until 20L).map(i => corpusRow(i))
+    // v2: doc 3 edited, doc 7 removed, docs 20/21 added
+    val v2 = v1.filterNot(_._1 == 7L).map { case (i, t) =>
+      if (i == 3L) (i, t + " hug hug") else (i, t)
+    } ++ Seq(corpusRow(20L), corpusRow(21L))
+    val docsDir = Files.createTempDirectory("app-mani-docs").toFile.getAbsolutePath
+    mkDocs(v1, docsDir)
+    val tok = Files.createTempDirectory("app-mani-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("app-mani-out").toFile.getAbsolutePath + "/shards"
+    val emitEnv = Map(
+      "GRAFT_MAINTENANCE" -> "emit-shards", "GRAFT_EMIT_DOCS" -> docsDir,
+      "GRAFT_EMIT_TOKENIZER" -> tok, "GRAFT_EMIT_OUT" -> out,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "8")
+    // expected per-shard statuses, computed from the underlying docs'
+    // content state (the llm_dataset_diff discipline lifted to shards)
+    val expDiff = ShardManifest.diff(
+        ShardManifest.contentState(v1.toDF("doc_id", "text"), 8),
+        ShardManifest.contentState(v2.toDF("doc_id", "text"), 8))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nV1 = expDiff.count(_._2 != "added")       // shards populated in v1
+    val nV2 = expDiff.count(_._2 != "removed")     // shards populated in v2
+    val nRewrite = expDiff.values.count(s => s == "changed" || s == "added")
+    val nRemoved = expDiff.values.count(_ == "removed")
+    val unchangedShards = expDiff.collect { case (sh, "unchanged") => sh }.toSet
+    assert(unchangedShards.nonEmpty, s"test needs untouched shards: $expDiff")
+    // release 0: everything rewritten
+    val l0 = GraftApp.maintenance(spark, emitEnv)
+    assert(l0.exists(_.contains(s"release 0: rewrote $nV1/$nV1 shards, removed 0")),
+      l0.mkString)
+    // snapshot the on-disk file state per shard dir
+    def fileState(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new File(out)
+      root.listFiles().filter(_.getName.startsWith("shard=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    }
+    val before = fileState()
+    // release 1: only the touched shards rewrite
+    mkDocs(v2, docsDir)
+    val l1 = GraftApp.maintenance(spark, emitEnv)
+    assert(l1.exists(_.contains(
+      s"release 1: rewrote $nRewrite/$nV2 shards, removed $nRemoved")),
+      l1.mkString)
+    val after = fileState()
+    for (sh <- before.keySet
+         if unchangedShards.contains(sh.stripPrefix("shard=").toLong)) {
+      assert(after(sh) == before(sh), s"untouched $sh was rewritten")
+    }
+    // content parity: the incrementally-updated tree equals a fresh
+    // full emit of v2
+    val out2 = Files.createTempDirectory("app-mani-out2").toFile.getAbsolutePath + "/shards"
+    GraftApp.maintenance(spark, emitEnv ++ Map("GRAFT_EMIT_OUT" -> out2))
+    def treeSet(p: String) = spark.read.parquet(p)
+      .select(col("shard"), col("seq_id"), col("ids"))
+      .collect().map(r => (r.getLong(2), r.getLong(0),
+        r.getSeq[Long](1).mkString(","))).toSet
+    assert(treeSet(out) == treeSet(out2),
+      "incremental tree must equal a fresh full emit")
+    // manifest diff across releases equals the docs-derived expectation
+    val m0 = ShardManifest.readRelease(spark, out, 0)
+    val m1 = ShardManifest.readRelease(spark, out, 1)
+    val gotDiff = ShardManifest.diff(m0, m1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotDiff == expDiff)
+    // the maintenance verb reports the same
+    val dl = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "manifest-diff", "GRAFT_EMIT_OUT" -> out))
+    def n(s: String) = expDiff.values.count(_ == s)
+    assert(dl.exists(_.contains(s"0 -> 1: added=${n("added")}, " +
+      s"removed=${n("removed")}, changed=${n("changed")}, " +
+      s"unchanged=${n("unchanged")}")), dl.mkString)
+    // token conservation still holds after the incremental pass
+    val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
+    val expectTokens = graft.llmops.Bpe.encodeCorpusIds(
+        spark.read.parquet(docsDir), merges, vocab)
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    assert(spark.read.parquet(out).agg(sum(size(col("ids"))))
+      .head().getLong(0) == expectTokens)
+    // a changed packing budget invalidates the release chain: full
+    // rewrite, history restarts at release 0
+    val l2 = GraftApp.maintenance(spark, emitEnv ++
+      Map("GRAFT_EMIT_BUDGET" -> "32"))
+    assert(l2.exists(_.contains(s"release 0: rewrote $nV2/$nV2 shards")),
+      l2.mkString)
+  }
+
   test("maintenance mode: curate-store fold via env") {
     import spark.implicits._
     val store = Files.createTempDirectory("app-maint-cur").toFile.getAbsolutePath
