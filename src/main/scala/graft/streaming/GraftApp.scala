@@ -727,16 +727,16 @@ object GraftApp {
             case "bpe" =>
               val (merges, vocab) = graft.llmops.Bpe.loadTokenizer(spark, tok)
               val vrows = vocab.collect()
-                .map(r => s"${r.getString(0)} ${r.getLong(1)}").sorted
+                .map(r => s"${r.getString(0)}\u0000${r.getLong(1)}").sorted
               val fp = ShardManifest.fpOf(Iterator("bpe") ++
-                merges.iterator.map(m => s"${m.a} ${m.b} ${m.rank}") ++
+                merges.iterator.map(m => s"${m.a}\u0000${m.b}\u0000${m.rank}") ++
                 vrows.iterator)
               ((d: org.apache.spark.sql.DataFrame) =>
                 graft.llmops.Bpe.encodeCorpusIds(d, merges, vocab), fp)
             case "unigram" =>
               val v = graft.llmops.Unigram.loadVocab(spark, tok)
               val fp = ShardManifest.fpOf(Iterator("unigram") ++
-                v.pieces.iterator.map(p => s"${p.piece} ${p.freq}"))
+                v.pieces.iterator.map(p => s"${p.piece}\u0000${p.freq}"))
               ((d: org.apache.spark.sql.DataFrame) =>
                 graft.llmops.Unigram.encodeCorpusIds(d, v), fp)
             case k => throw new IllegalArgumentException(
@@ -834,7 +834,7 @@ object GraftApp {
               tokFp, budget.toLong, nShards.toLong)
         }
         val release = if (incremental) prevRel.get._1 + 1 else 0
-        {
+        locally {
           import spark.implicits._
           ShardManifest.writeRelease(spark, out, release,
             manifestRows.toDF("shard", "content_hash", "n_docs", "n_tokens",

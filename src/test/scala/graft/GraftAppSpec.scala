@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{GraftApp, GraftConfig}
 import org.apache.spark.sql.streaming.Trigger
+import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import java.sql.DriverManager
@@ -690,9 +691,9 @@ class GraftAppSpec extends SparkSpecBase {
     val out2 = Files.createTempDirectory("app-mani-out2").toFile.getAbsolutePath + "/shards"
     GraftApp.maintenance(spark, emitEnv ++ Map("GRAFT_EMIT_OUT" -> out2))
     def treeSet(p: String) = spark.read.parquet(p)
-      .select(col("shard"), col("seq_id"), col("ids"))
-      .collect().map(r => (r.getLong(2), r.getLong(0),
-        r.getSeq[Long](1).mkString(","))).toSet
+      .select(col("shard").cast("long"), col("seq_id"), col("ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).mkString(","))).toSet
     assert(treeSet(out) == treeSet(out2),
       "incremental tree must equal a fresh full emit")
     // manifest diff across releases equals the docs-derived expectation
