@@ -498,21 +498,136 @@ final class AnnIndexStore(root: String) extends Serializable {
       .select("pid", "vec_id", "dp", "cosine", "rank")
   }
 
+  /** CORPUS-SIZED batch retrieval against the persisted IVF-PQ index —
+    * the all-distributed companion of [[pqTopK]], completing the
+    * compressed serving tier for probe sets that are themselves a corpus
+    * (full-corpus near-dup audits, distributed hard-negative mining at
+    * 16–64× less candidate I/O than the plain-IVF sweep).
+    *
+    * The pqTopK pipeline, with every driver-bounded piece re-expressed
+    * distributed:
+    *   - cluster choice: the same literal-centroid (−cos, cluster)
+    *     struct-sort projection as [[ivfTopKBatchDistributed]] —
+    *     bitwise-equal to the driver ranking;
+    *   - the probe LUT: instead of a driver `Map`, each probe row
+    *     carries mSub `map<code,double>` columns computed ONCE per
+    *     probe from the literal codebooks (ksub exact subspace dots per
+    *     probe — the [[Similarity.pqLut]] arithmetic, term for term:
+    *     integer dot then one IEEE division by sqrt(nc)); candidates
+    *     never pay a per-pair full-width dot in the first pass;
+    *   - ADC pass: ONE cluster-keyed shuffle join of the codes-only
+    *     posting lists against the probes' cluster table, scored by
+    *     fixed ascending-m LUT lookups (the [[Similarity.pqAdcScore]]
+    *     sum order), cut to `shortlist` per probe by a pid-partitioned
+    *     window — never a global sort;
+    *   - rerank: the shortlist (|probes|·shortlist rows) joins the
+    *     full-width vectors store on vec_id and reports TRUE cosines,
+    *     top-k per probe. At corpus-sized probe sets the union of
+    *     shortlists approaches the corpus, so one id-keyed shuffle join
+    *     is the proportionate gather; for bounded probe sets the pruned
+    *     driver-side [[pqTopK]] reads only O(shortlist parts).
+    * No probe or candidate data touches the driver (no-LocalRelation
+    * plan contract, spec-asserted); tombstoned probes/candidates yield
+    * no rows. Output as [[ivfTopKBatchDistributed]]; per-pid row parity
+    * with [[pqTopK]] is spec-asserted. `where`/`pairWhere` apply before
+    * the shortlist cut, exactly where [[pqShortlist]] applies its
+    * filter. */
+  def pqTopKBatchDistributed(probes: DataFrame, k: Int,
+                             nprobe: Int = Similarity.DefaultIvfProbes,
+                             shortlist: Int = 50,
+                             where: Option[Column] = None,
+                             pairWhere: Option[Column] = None,
+                             idCol: String = "vec_id"): DataFrame = {
+    val spark = probes.sparkSession
+    val meta = readMeta(spark)
+    require(meta.get("kind").contains("ivfpq"), s"$root is not an IVF-PQ index")
+    val mSub = meta("mSub").toInt
+    val dim = meta("dim").toInt
+    val dsub = dim / mSub
+    val metaCols = metaColsOf(meta)
+    val dead = tombstoned(spark)
+    val books = loadBooks(spark)
+    val cents = spark.read.parquet(s"$root/ivf_centroids")
+      .collect()
+      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val vecs = spark.read.parquet(s"$root/vectors").drop("part")
+    // distinct: duplicate probe ids would corrupt per-probe ranks
+    val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
+    // per-probe LUT columns: subspace m's map is code id → exact integer
+    // dot(probe_m, ce) / sqrt(nc) — the pqLut values, computed from qe
+    // in the same select that renames it away
+    val lutCols = (0 until mSub).map { m =>
+      val bs = books.filter(_.m == m)
+      val pm = slice(col("qe"), m * dsub + 1, dsub)
+      map_from_arrays(
+        array(bs.map(b => lit(b.cl)): _*),
+        array(bs.map(b =>
+          Similarity.dotQ(pm, typedLit(b.ce)) / lit(math.sqrt(b.nc.toDouble))): _*))
+        .as(s"lut$m")
+    }
+    val probeVecs = dropDead(
+        vecs.select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
+          .join(probeIds, "vec_id"), dead)
+      .select(col("vec_id").as("pid") +: col("qe").as("pe") +:
+        col("nq").as("np") +: (lutCols ++
+          metaCols.map(c => col(c).as(s"p_$c"))): _*)
+    // nprobe-best clusters per probe — the ivfTopKBatchDistributed
+    // literal-centroid projection, verbatim arithmetic
+    val scored = cents.map { c =>
+      struct(
+        (-(Similarity.dotQ(col("pe"), typedLit(c.ce)) * lit(1.0) /
+          (lit(math.sqrt(c.nc.toDouble)) * sqrt(col("np").cast("double")))))
+          .as("negCos"),
+        lit(c.cluster).as("cl"))
+    }
+    val pc = probeVecs
+      .select(col("pid"),
+        explode(slice(array_sort(array(scored: _*)), 1, nprobe)).as("pc"))
+      .select(col("pid"), col("pc.cl").as("cluster"))
+    // ADC pass over codes-only posting lists; fixed ascending-m sum
+    // order mirrors pqAdcScore exactly
+    val members = where.foldLeft(
+      dropDead(spark.read.parquet(s"$root/ivf"), dead))(_.filter(_))
+    val adc = (0 until mSub).map(m =>
+        element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
+      .reduceLeft(_ + _)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("adc"), col("vec_id"))
+    val short = pairWhere.foldLeft(
+        members.join(pc, "cluster")
+          .filter(col("vec_id") =!= col("pid"))
+          .join(probeVecs, "pid"))(_.filter(_))
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select("pid", "vec_id", "pe", "np")
+    // full-width rerank of the shortlist: true cosines, top-k per probe
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
+    short.join(vecs.select("vec_id", "qe", "nq"), "vec_id")
+      .withColumn("dp", Similarity.dotQ(col("qe"), col("pe")))
+      .withColumn("cosine",
+        col("dp") * lit(1.0) / sqrt((col("nq") * col("np")).cast("double")))
+      .withColumn("rank", row_number().over(wk).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("pid", "vec_id", "dp", "cosine", "rank")
+  }
+
   /** Kind-dispatching distributed sweep — the operational entry behind
     * the `ann-sweep` maintenance verb: serve a probe DATASET against
     * whichever layout this store holds (LSH → `radius`, IVF →
-    * `nprobe`). Output: (pid, vec_id, dp, cosine, rank). */
+    * `nprobe`, IVF-PQ → `nprobe` + `shortlist`).
+    * Output: (pid, vec_id, dp, cosine, rank). */
   def sweepDistributed(probes: DataFrame, k: Int, radius: Int = 1,
                        nprobe: Int = Similarity.DefaultIvfProbes,
+                       shortlist: Int = 50,
                        where: Option[Column] = None,
                        pairWhere: Option[Column] = None): DataFrame =
     readMeta(probes.sparkSession)("kind") match {
       case "lsh" => lshTopKBatchDistributed(probes, k, radius, where, pairWhere)
       case "ivf" => ivfTopKBatchDistributed(probes, k, nprobe, where, pairWhere)
-      case "ivfpq" => throw new IllegalArgumentException(
-        "ivfpq stores serve via pqTopK (posting lists carry codes, not " +
-          "vectors — a distributed sweep would need the rerank gather " +
-          "inlined; build a plain ivf store for corpus-sized probe sets)")
+      case "ivfpq" =>
+        pqTopKBatchDistributed(probes, k, nprobe, shortlist, where, pairWhere)
       case kind => throw new IllegalArgumentException(s"unknown index kind $kind")
     }
 

@@ -83,7 +83,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   probes = GRAFT_ANN_PROBES parquet of vec_id, or
   *                   "self"/unset = every live id (full-corpus sweep);
   *                   GRAFT_ANN_RADIUS / GRAFT_ANN_NPROBE tune the
-  *                   LSH / IVF candidate widths; GRAFT_ANN_WHERE adds
+  *                   LSH / IVF candidate widths; GRAFT_ANN_SHORTLIST
+  *                   (def 50) sizes the per-probe ADC shortlist of an
+  *                   ivfpq store's rerank; GRAFT_ANN_WHERE adds
   *                   a metadata predicate over the store's metaCols
   *                   (filter-then-score); GRAFT_ANN_PAIR_WHERE adds a
   *                   per-probe PAIR predicate (candidate metaCols vs
@@ -603,6 +605,10 @@ object GraftApp {
             radius = env.get("GRAFT_ANN_RADIUS").map(_.toInt).getOrElse(1),
             nprobe = env.get("GRAFT_ANN_NPROBE").map(_.toInt)
               .getOrElse(graft.llmops.Similarity.DefaultIvfProbes),
+            // ivfpq stores: ADC shortlist width before the full-width
+            // rerank (per probe)
+            shortlist = env.get("GRAFT_ANN_SHORTLIST").map(_.toInt)
+              .getOrElse(50),
             // metadata-filtered sweep: a SQL predicate over the store's
             // declared metaCols (e.g. "label = 3"), applied inside the
             // pruned candidate read — same contract as filtered serving

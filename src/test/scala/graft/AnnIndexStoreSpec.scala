@@ -176,11 +176,47 @@ class AnnIndexStoreSpec extends SparkSpecBase {
     assert(store.pqTopK(spark, probeId = 11L, k = 1, nprobe = 4, shortlist = 30)
       .select("vec_id").head().getLong(0) == 900L)
 
-    // a corpus-sized sweep belongs to a plain IVF store — fail fast
-    val err = intercept[IllegalArgumentException] {
-      store.sweepDistributed(df.select("vec_id"), k = 3)
+  }
+
+  test("distributed PQ batch retrieval: per-probe parity with pqTopK, no driver relations") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val df = planted(61, 150)   // twins: 150 ~ base(5), 151 ~ base(17)
+    val root = Files.createTempDirectory("ann-d-pq").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeIvfPq(df, nClusters = 8, mSub = 8, ksub = 16)
+    // probe set as a DATASET (Range leaf — nothing driver-materialized)
+    val probes = spark.range(0, 152).select(col("id").as("vec_id"))
+    val dist = store.pqTopKBatchDistributed(probes, k = 3, nprobe = 4,
+      shortlist = 30)
+    def leaves(d: DataFrame) = d.queryExecution.optimizedPlan.collectLeaves()
+    assert(!leaves(dist).exists(_.isInstanceOf[LocalRelation]),
+      s"distributed PQ plan must not carry driver-materialized relations:\n" +
+        leaves(dist).map(_.nodeName).mkString(", "))
+    val got = dist.collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(4), r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3, t._4)).toSeq)
+      .toMap
+    assert(got.size == 152, s"every live probe must answer: ${got.size}")
+    // row parity (ids, exact integer dots AND reranked cosines) with the
+    // driver-bounded per-probe form on a probe sample including both twins
+    for (pid <- Seq(0L, 5L, 17L, 42L, 99L, 150L, 151L)) {
+      val want = store.pqTopK(spark, pid, k = 3, nprobe = 4, shortlist = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got(pid) == want, s"PQ distributed/driver parity broke at pid=$pid:" +
+        s"\n dist=${got(pid)}\n want=$want")
     }
-    assert(err.getMessage.contains("pqTopK"))
+    assert(got(5L).head._1 == 150L, "planted twin of 5 must rank first")
+    // the kind dispatcher serves ivfpq now (the ann-sweep verb's path)
+    assert(store.sweepDistributed(probes, k = 3, shortlist = 30)
+      .filter(col("pid") === 17L).collect().head.getLong(1) == 151L)
+    // tombstones: dropped as probe and as candidate
+    store.delete(spark, Seq(150L))
+    val afterDel = store.pqTopKBatchDistributed(probes, k = 5, nprobe = 4,
+      shortlist = 30).collect()
+    assert(!afterDel.exists(_.getLong(1) == 150L), "tombstoned candidate surfaced")
+    assert(!afterDel.exists(_.getLong(0) == 150L), "tombstoned probe produced rows")
   }
 
   test("incremental append: new vectors serve from both index kinds without rebuild") {
