@@ -158,6 +158,20 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
       .write.mode(SaveMode.Overwrite).partitionBy("part")
       .parquet(new Path(epochDir(currentEpoch(spark)), s"b$batchId").toString)
 
+  /** Fold an already-SIGNED value-multiset delta frame (mcol,
+    * groupCols…, v, cnt — one row per contribution, NULL values already
+    * dropped) into this batch's mm delta dir — the MIN/MAX companion of
+    * [[applyDelta]] for callers that resolve their group columns
+    * elsewhere ([[JoinViewSink]]'s dimension join). */
+  def applyMmDelta(spark: SparkSession, signedMm: DataFrame,
+                   batchId: Long): Unit =
+    signedMm
+      .groupBy(col("mcol") +: groupCols.map(col) :+ col("v"): _*)
+      .agg(sum("cnt").as("cnt"))
+      .withColumn("part", partOf.cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(new Path(mmDir(currentEpoch(spark)), s"b$batchId").toString)
+
   /** Declare the view over an ALREADY-replicated table: compute the
     * initial aggregate state from a replica snapshot as the `b-1` delta
     * dir ("-1" can never collide with a streamed batch id, so the first
@@ -273,21 +287,39 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
       leafDirs(spark, mmDir(e), None))
   }
 
-  /** Probed-group read: partition pruning cuts the scan to the probed
-    * groups' hash parts (single-group-column views only — a compound
-    * probe would need the caller to hash the tuple). */
+  /** Probed-group read, single-column form: sugar over
+    * [[readGroupTuples]] for the common one-group-column view. */
   def readGroups(spark: SparkSession, groups: Seq[String]): DataFrame = {
-    require(groupCols.size == 1, "readGroups probes a single-column view")
-    // compute parts via the engine so the hash matches partOf exactly
-    import spark.implicits._
-    val pdf = groups.toDF(groupCols.head).withColumn("part", partOf.cast("int"))
-      .select("part").distinct().as[Int].collect().toSeq
+    require(groupCols.size == 1,
+      s"view groups by ${groupCols.size} columns — probe with " +
+        "readGroupTuples(values in groupCols order)")
+    readGroupTuples(spark, groups.map(Seq(_)))
+  }
+
+  /** Probed-group read, compound-key form: each probe is the group
+    * tuple's values in `groupCols` order. The probe tuples hash through
+    * the SAME groupKey expression the writers used (evaluated by the
+    * engine, so the hash can never drift from partOf), and partition
+    * pruning cuts both the base and mm scans to the probed hash parts —
+    * read cost is O(probed parts), never a view scan. */
+  def readGroupTuples(spark: SparkSession, probes: Seq[Seq[String]]): DataFrame = {
+    require(probes.nonEmpty, "empty probe set")
+    require(probes.forall(_.size == groupCols.size),
+      s"each probe needs ${groupCols.size} values (groupCols order)")
+    import scala.jdk.CollectionConverters._
+    val pdf = spark.createDataFrame(
+      probes.map(p => org.apache.spark.sql.Row.fromSeq(p)).asJava,
+      StructType(groupCols.map(c => StructField(c, StringType))))
+      .select(partOf.cast("int").as("part"), groupKey.as("__gk"))
+      .collect()
+    val parts = pdf.map(_.getInt(0)).distinct.toSeq
+    val keys = pdf.map(_.getString(1)).distinct.toSeq
     val e = currentEpoch(spark)
-    val baseDirs = leafDirs(spark, epochDir(e), Some(pdf))
-    val mmDirs = leafDirs(spark, mmDir(e), Some(pdf))
-    assemble(spark,
-      baseDirs, mmDirs) // fold below filters to the probed groups
-      .filter(col(groupCols.head).isin(groups: _*))
+    assemble(spark, leafDirs(spark, epochDir(e), Some(parts)),
+      leafDirs(spark, mmDir(e), Some(parts)))
+      // fold first, then cut to the probed groups (null-safe via the
+      // same hashed key string the mm join uses)
+      .filter(groupKey.isin(keys: _*))
   }
 
   /** TRUNCATE: bump the epoch — the view is empty immediately; old

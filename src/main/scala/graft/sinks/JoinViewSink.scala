@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained JOIN view: a materialized
   *
-  *   SELECT dim.g…, count(*) , sum(fact.s)…
+  *   SELECT dim.g…, count(*), sum(fact.s)…, min(fact.m)…, max(fact.m)…
   *   FROM fact JOIN dim ON fact.fk = dim.pk GROUP BY dim.g…
   *
   * over two warehouse replicas — the per-nation-revenue shape every CDC
@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
   * [[AggViewSink]]'s crash-safe delta layout, reused whole. */
 class JoinViewSink(path: String, factKey: String, dimKey: String,
                    dimGroupCols: Seq[String], sumCols: Seq[String],
-                   numParts: Int = 64) extends Serializable {
+                   numParts: Int = 64, minMaxCols: Seq[String] = Nil)
+    extends Serializable {
 
-  private val agg = new AggViewSink(path, dimGroupCols, sumCols, numParts)
+  private val agg =
+    new AggViewSink(path, dimGroupCols, sumCols, numParts, minMaxCols)
 
   private def sumName(c: String) = s"sum_$c"
 
@@ -59,24 +61,41 @@ class JoinViewSink(path: String, factKey: String, dimKey: String,
     val dim = broadcast(
       dimSnap.select(col(dimKey).cast("string").as("__pk") +:
         dimGroupCols.map(c => col(c).cast("string").as(c)): _*))
+    def mmName(c: String) = s"__mm_$c"
     val plus = flat.filter(col("op").isin("c", "u"))
       .select(col(factKey).cast("string").as("__fk") +:
         (lit(1L).as("cnt") +:
-          sumCols.map(c =>
-            coalesce(col(c).cast("double"), lit(0.0)).as(sumName(c)))): _*)
+          (sumCols.map(c =>
+            coalesce(col(c).cast("double"), lit(0.0)).as(sumName(c))) ++
+            minMaxCols.map(c => col(c).cast("double").as(mmName(c))))): _*)
     val minus = flat.filter(col("op").isin("u", "d"))
       .select(col(s"__old_$factKey").cast("string").as("__fk") +:
         (lit(-1L).as("cnt") +:
-          sumCols.map(c =>
+          (sumCols.map(c =>
             (-coalesce(col(s"__old_$c").cast("double"), lit(0.0)))
-              .as(sumName(c)))): _*)
+              .as(sumName(c))) ++
+            minMaxCols.map(c =>
+              col(s"__old_$c").cast("double").as(mmName(c))))): _*)
     // inner join per SIDE: unmatched contributions vanish, exactly as
     // they would in the replayed fact-join-dim aggregate
-    val signed = plus.unionByName(minus)
+    val resolved = plus.unionByName(minus)
       .join(dim, col("__fk") === col("__pk"))
+    val signed = resolved
       .select(dimGroupCols.map(col) ++
         (col("cnt") +: sumCols.map(c => col(sumName(c)))): _*)
     agg.applyDelta(spark, signed, batchId)
+    if (minMaxCols.nonEmpty) {
+      // the value multiset resolves through the SAME per-side join: a
+      // +after value counts into the new key's group, a −before value
+      // out of the old key's — the signed cnt doubles as the multiset
+      // occurrence delta
+      val mm = minMaxCols.map(c =>
+          resolved.select(lit(c).as("mcol") +: dimGroupCols.map(col) :+
+            col(mmName(c)).as("v") :+ col("cnt"): _*))
+        .reduce(_ unionByName _)
+        .filter(col("v").isNotNull) // SQL MIN/MAX ignore NULLs
+      agg.applyMmDelta(spark, mm, batchId)
+    }
   }
 
   /** (Re)build from both replicas — the bootstrap AND the documented
@@ -88,15 +107,18 @@ class JoinViewSink(path: String, factKey: String, dimKey: String,
         dimGroupCols.map(c => col(c).cast("string").as(c)): _*))
     val joined = factSnap
       .select(col(factKey).cast("string").as("__fk") +:
-        sumCols.map(c => col(c)): _*)
+        (sumCols ++ minMaxCols).distinct.map(c => col(c)): _*)
       .join(dim, col("__fk") === col("__pk"))
-      .select(dimGroupCols.map(col) ++ sumCols.map(col): _*)
+      .select(dimGroupCols.map(col) ++
+        (sumCols ++ minMaxCols).distinct.map(col): _*)
     agg.bootstrap(spark, joined)
   }
 
   def read(spark: SparkSession): DataFrame = agg.read(spark)
   def readGroups(spark: SparkSession, groups: Seq[String]): DataFrame =
     agg.readGroups(spark, groups)
+  def readGroupTuples(spark: SparkSession, probes: Seq[Seq[String]]): DataFrame =
+    agg.readGroupTuples(spark, probes)
   def truncate(spark: SparkSession): Unit = agg.truncate(spark)
   def compact(spark: SparkSession): Int = agg.compact(spark)
   def recover(spark: SparkSession): Unit = agg.recover(spark)
@@ -108,12 +130,14 @@ class JoinViewSink(path: String, factKey: String, dimKey: String,
 final case class JoinViewDef(factTable: String, dimTable: String,
                              factKey: String, dimKey: String,
                              dimGroupCols: Seq[String], sumCols: Seq[String],
-                             numParts: Int = 64) {
+                             numParts: Int = 64,
+                             minMaxCols: Seq[String] = Nil) {
   def name: String =
     s"d_${dimTable.replace('.', '-')}__k_$factKey-$dimKey" +
-      s"__g_${dimGroupCols.mkString("-")}__s_${sumCols.mkString("-")}"
+      s"__g_${dimGroupCols.mkString("-")}__s_${sumCols.mkString("-")}" +
+      (if (minMaxCols.isEmpty) "" else s"__m_${minMaxCols.mkString("-")}")
   def path(rootPath: String): String = s"$rootPath/_join/$factTable/$name"
   def sink(rootPath: String): JoinViewSink =
     new JoinViewSink(path(rootPath), factKey, dimKey, dimGroupCols, sumCols,
-      numParts)
+      numParts, minMaxCols)
 }

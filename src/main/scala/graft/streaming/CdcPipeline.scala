@@ -318,7 +318,7 @@ object CdcPipeline {
             // incrementally; dim-touched views rebuild after the barrier
             joinViews.filter(jv => jv.factTable == name &&
                 !rebuildViews.contains(jv)).foreach { jv =>
-              val needed = (jv.factKey +: jv.sumCols).distinct
+              val needed = (jv.factKey +: (jv.sumCols ++ jv.minMaxCols)).distinct
               val jvFlat = tableEvents.select(
                 Seq(col("op"), col("lsn"),
                   needed.map(c => array_contains(col("before.name"), c))

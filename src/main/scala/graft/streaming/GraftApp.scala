@@ -200,8 +200,10 @@ object GraftApp {
         }
       }
 
-  /** GRAFT_JOIN_VIEWS: "fact~dim:fk=pk:g1,g2>s1,s2;..." → declared
-    * incrementally-maintained join views. */
+  /** GRAFT_JOIN_VIEWS: "fact~dim:fk=pk:g1,g2>s1,s2[>m1,m2];..." →
+    * declared incrementally-maintained join views (the optional third
+    * section lists fact columns tracked as per-group MIN/MAX through
+    * the value multiset). */
   private[graft] def parseJoinViews(
       env: Map[String, String]): Seq[graft.sinks.JoinViewDef] =
     env.get("GRAFT_JOIN_VIEWS").toSeq
@@ -212,15 +214,19 @@ object GraftApp {
               if tbls.contains("~") && keys.contains("=") && gss.contains(">") =>
             val Array(fact, dim) = tbls.split("~", 2).map(_.trim)
             val Array(fk, pk) = keys.split("=", 2).map(_.trim)
-            val Array(gs, ss) = gss.split(">", 2)
+            // groups>sums[>minmax] — third section optional, as in
+            // GRAFT_AGG_VIEWS
+            val sections = gss.split(">", 3)
             def cols(s: String) =
               s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            val groups = cols(gs)
+            val groups = cols(sections(0))
             require(groups.nonEmpty,
               s"join view '$spec' needs at least one dim group column")
-            graft.sinks.JoinViewDef(fact, dim, fk, pk, groups, cols(ss))
+            graft.sinks.JoinViewDef(fact, dim, fk, pk, groups, cols(sections(1)),
+              minMaxCols = if (sections.length > 2) cols(sections(2)) else Nil)
           case _ => throw new IllegalArgumentException(
-            s"GRAFT_JOIN_VIEWS entry '$spec' is not fact~dim:fk=pk:g1,g2>s1,s2")
+            s"GRAFT_JOIN_VIEWS entry '$spec' is not " +
+              "fact~dim:fk=pk:g1,g2>s1,s2[>m1,m2]")
         }
       }
 

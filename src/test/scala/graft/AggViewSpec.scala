@@ -326,6 +326,96 @@ class AggViewSpec extends SparkSpecBase {
     }
   }
 
+  test("join view MIN/MAX + compound-key probed read under the delete-heavy shape") {
+    import graft.sinks.JoinViewDef
+    val root = java.nio.file.Files.createTempDirectory("aggv-jvmm")
+      .toFile.getAbsolutePath
+    def dimIns(lsn: Long, id: String, region: String, tier: String) =
+      CdcEvent("c", lsn, 1L, ts, "public", "dim", Nil,
+        Seq(CdcColumn("id", id), CdcColumn("region", region),
+          CdcColumn("tier", tier)), keyColumns = Seq("id"))
+    def fIns(lsn: Long, id: Int, fk: String, amt: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", "fact", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", fk),
+          CdcColumn("amt", amt.toString)), keyColumns = Seq("id"))
+    def fUpd(lsn: Long, id: Int, ofk: String, oa: Int, nfk: String, na: Int) =
+      CdcEvent("u", lsn, 1L, ts, "public", "fact",
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", ofk),
+          CdcColumn("amt", oa.toString)),
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", nfk),
+          CdcColumn("amt", na.toString)), keyColumns = Seq("id"))
+    def fDel(lsn: Long, id: Int, fk: String, amt: Int) =
+      CdcEvent("d", lsn, 1L, ts, "public", "fact",
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", fk),
+          CdcColumn("amt", amt.toString)), Nil, keyColumns = Seq("id"))
+    // per-(region, tier) max-order-value — the dashboard shape the
+    // round-8 verdict asked for: MIN/MAX through the dim join AND a
+    // compound (2-column) group
+    val jv = JoinViewDef("public.fact", "public.dim", "fk", "id",
+      Seq("region", "tier"), Seq("amt"), numParts = 8,
+      minMaxCols = Seq("amt"))
+    def viewMap() = jv.sink(root).read(spark).collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6))).toMap
+    def replay() = {
+      val f = spark.read.parquet(s"$root/public.fact")
+        .select(col("fk"), col("amt").cast("double").as("a"))
+      val dm = spark.read.parquet(s"$root/public.dim")
+        .select(col("id").as("pk"), col("region"), col("tier"))
+      f.join(dm, f("fk") === dm("pk")).groupBy("region", "tier")
+        .agg(count(lit(1)).as("cnt"), sum("a").as("s"),
+          min("a").as("mn"), max("a").as("mx"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    }
+    // batch 0 (dim touched → rebuild seeds): 3 dims, 60 facts amts 1..60
+    val fk = (i: Int) => "n" + (i % 3 + 1)
+    CdcPipeline.applyWarehouseBatch(
+      (Seq(dimIns(1, "n1", "east", "gold"), dimIns(2, "n2", "east", "silver"),
+        dimIns(3, "n3", "west", "gold")) ++
+        (1 to 60).map(i => fIns(10L + i, i, fk(i), i))).toDS(),
+      root, 4, batchId = 0, joinViews = Seq(jv))
+    assert(jv.sink(root).read(spark).columns.toSeq ==
+      Seq("region", "tier", "cnt", "sum_amt", "avg_amt", "min_amt", "max_amt"))
+    assert(viewMap() == replay())
+    // batch 1, fact-only → INCREMENTAL: delete the top 40 (every
+    // group's max retracts repeatedly), move one row across dims,
+    // orphan insert contributes nothing
+    CdcPipeline.applyWarehouseBatch(
+      ((21 to 60).map(i => fDel(100L + i, i, fk(i), i)) ++
+        Seq(fUpd(200, 1, "n2", 1, "n3", 500), fIns(201, 900, "n9", 999))).toDS(),
+      root, 4, batchId = 1, joinViews = Seq(jv))
+    val m1 = viewMap()
+    assert(m1 == replay())
+    assert(m1(("west", "gold"))._4 == 500.0 &&
+      m1(("east", "silver"))._4 == 19.0,
+      s"runner-up max must surface after the extremes retract: $m1")
+    // the incremental path really ran (a rebuild would reset to b-1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${jv.path(root)}/e0/b1")),
+      "fact-only batch must fold incrementally, not rebuild")
+    // compound-key probed read: the probe tuple hashes through the same
+    // groupKey as the writers; values carry min/max
+    val probed = jv.sink(root).readGroupTuples(spark,
+      Seq(Seq("east", "silver"), Seq("west", "gold"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6))).toMap
+    assert(probed.keySet == Set(("east", "silver"), ("west", "gold")))
+    assert(probed(("east", "silver")) == m1(("east", "silver")))
+    assert(probed(("west", "gold")) == m1(("west", "gold")))
+    // the single-column sugar fails fast on a compound view
+    val err = intercept[IllegalArgumentException] {
+      jv.sink(root).readGroups(spark, Seq("east"))
+    }
+    assert(err.getMessage.contains("readGroupTuples"))
+    // env surface: the optional third section declares MIN/MAX columns
+    val defs = graft.streaming.GraftApp.parseJoinViews(Map(
+      "GRAFT_JOIN_VIEWS" -> "public.fact~public.dim:fk=id:region,tier>amt>amt"))
+    assert(defs == Seq(JoinViewDef("public.fact", "public.dim", "fk", "id",
+      Seq("region", "tier"), Seq("amt"), minMaxCols = Seq("amt"))))
+  }
+
   test("env surface: GRAFT_AGG_VIEWS parses; agg-view verb folds and reports") {
     val defs = graft.streaming.GraftApp.parseAggViews(Map(
       "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt; public.t2:a,b>x,y>x,z"))
