@@ -418,13 +418,21 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
         val fs = fsOf(spark)
         val dirs = cands.map(b => new Path(path, s"bucket=$b"))
           .filter(fs.exists).map(_.toString)
+        lastScanPlannedBuckets = dirs.size
         if (dirs.isEmpty) emptyWith(spark, s).filter(pred)
         else spark.read
           .schema(StructType(s.fields :+ StructField("bucket", IntegerType)))
           .option("basePath", path).parquet(dirs: _*)
           .filter(pred).drop("bucket")
-      case _ => snapshot(spark).filter(pred)
+      case _ =>
+        lastScanPlannedBuckets = bucketDirs(spark).size
+        snapshot(spark).filter(pred)
     }
+
+  /** Planned bucket-dir count of the last [[scan]] — the zone-skip
+    * contract made observable (the [[lastProbePlannedBuckets]] idiom
+    * for the serving read). */
+  @transient @volatile var lastScanPlannedBuckets: Int = -1
 
   private def bucketDirs(spark: SparkSession): Seq[Path] = {
     val fs = fsOf(spark)

@@ -43,6 +43,41 @@ class ScaleShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("zone-consulted scan plans a fraction of the bucket dirs (skip ratio observable)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("shape-zones")
+      .toFile.getAbsolutePath + "/t1"
+    val sink = new graft.sinks.ParquetReplicaSink(path, Seq("id"), numBuckets = 16)
+    // layout-correlated stat column (the shape zone maps exist for):
+    // region derives from the row's own hash bucket
+    val bucketOf = (1 to 800).toDF("id")
+      .withColumn("b", pmod(hash(col("id")), lit(16)))
+      .as[(Int, Int)].collect().toMap
+    sink.applyBatch(spark, (1 to 800).map(i =>
+        (i, f"r${bucketOf(i)}%02d", i, "c", i.toLong))
+      .toDF("id", "region", "amt", "op", "lsn"), 0)
+    // chaos-shaped churn: a delete-heavy second batch (scenario3) must
+    // leave the zones sound (widened, never wrong)
+    sink.applyBatch(spark, (600 to 800).map(i =>
+        (i, f"r${bucketOf(i)}%02d", i, "d", 1000L + i))
+      .toDF("id", "region", "amt", "op", "lsn"), 1)
+    val total = 16
+    // equality on the correlated column: 1/16 of the layout planned
+    assert(sink.scan(spark, col("region") === "r07").count() ==
+      (1 to 599).count(bucketOf(_) == 7))
+    assert(sink.lastScanPlannedBuckets == 1,
+      s"zone skip ratio broke: planned ${sink.lastScanPlannedBuckets}/$total")
+    // range: strictly fewer than all bucket dirs
+    sink.scan(spark, col("region") >= "r12").count()
+    assert(sink.lastScanPlannedBuckets < total && sink.lastScanPlannedBuckets > 0,
+      s"range scan must skip buckets: planned ${sink.lastScanPlannedBuckets}/$total")
+    // weakly-correlated column: any skip must still find the row (no
+    // wrong skips — the row count IS the soundness check), and the
+    // counter records what was actually planned
+    assert(sink.scan(spark, col("amt") === 17).count() == 1)
+    assert(sink.lastScanPlannedBuckets > 0 && sink.lastScanPlannedBuckets <= total)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the third leg of the 100 TB join toolkit (broadcast for small dims,
     // bucketing for co-location): when a scaling dim carries a selective
