@@ -655,6 +655,26 @@ object LlmQueries {
       Similarity.pqRerankTopK(embeddings(s, d), probeId = 0, k = 10,
         shortlist = 50, mSub = 8, ksub = 16)),
 
+    // Distributed batch PQ retrieval against the PERSISTED IVF-PQ
+    // serving index (AnnIndexStore.pqTopKBatchDistributed): top-5 for a
+    // probe SET in one all-distributed plan — per-probe ADC lookup
+    // tables ride as map columns, the codes-only posting lists shuffle-
+    // join once, shortlists cut per-probe windows, and the full-width
+    // rerank reports true cosines. nprobe covers every cluster here so
+    // the oracle replays the PQ arm (codebooks → codes → per-probe ADC
+    // → shortlist → rerank) without the IVF pruning choice; cluster-
+    // pruned serving parity is pinned by AnnIndexStoreSpec instead.
+    "llm_pq_sweep" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("pq-sweep")
+        .toFile.getAbsolutePath + "/idx"
+      val store = new graft.llmops.AnnIndexStore(dir)
+      store.writeIvfPq(embeddings(s, d), nClusters = 16, mSub = 8, ksub = 16)
+      import s.implicits._
+      val probes = (0L until 4L).toDF("vec_id")
+      store.pqTopKBatchDistributed(probes, k = 5, nprobe = 16, shortlist = 50)
+        .orderBy("pid", "rank")
+    }),
+
     // Corpus clustering analysis: the IVF index's clusters × the labeled
     // embeddings — per-cluster size, dominant label, and purity (does
     // the geometric clustering recover the labeling?). Assignment is the
@@ -3322,6 +3342,81 @@ object LlmQueries {
          |    / sqrt(CAST(n.nq * (SELECT npf FROM pf) AS DOUBLE)) AS cosine
          |FROM n JOIN short USING (vec_id)
          |ORDER BY cosine DESC, n.vec_id LIMIT 10""".stripMargin
+    },
+    "llm_pq_sweep" -> {
+      // the llm_pq_ann replay generalized to a probe SET: shared
+      // codebook training/coding CTEs, then per-probe LUT partials,
+      // per-probe shortlist windows and a per-probe rerank window. The
+      // ADC total keeps the fixed left-to-right subspace sum order.
+      val sCols = (0 until 8).map(m =>
+        s"max(CASE WHEN m = $m THEN ps END) AS s$m").mkString(",\n    ")
+      val sSum = (0 until 8).map(m => s"s$m").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |    [CAST(round(x*1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |subq AS (SELECT vec_id, g.m,
+         |    list_slice(qe, g.m*8 + 1, g.m*8 + 8) AS sv
+         |  FROM q, generate_series(0, 7) AS g(m)),
+         |subn AS (SELECT vec_id, m, sv,
+         |    CAST(list_dot_product(sv::BIGINT[], sv::BIGINT[]) AS BIGINT) AS ns
+         |  FROM subq),
+         |pseeds AS (SELECT m, vec_id AS cl, sv AS ce, ns AS nc FROM subn
+         |  WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16)),
+         |pa0 AS (SELECT vec_id, m, cl FROM (
+         |    SELECT s.vec_id, s.m, p.cl, row_number() OVER (
+         |      PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_dot_product(s.sv::BIGINT[], p.ce::BIGINT[])
+         |          / (sqrt(CAST(s.ns AS DOUBLE)) * sqrt(CAST(p.nc AS DOUBLE))) DESC,
+         |        p.cl) AS rn
+         |    FROM subn s JOIN pseeds p USING (m)) WHERE rn = 1),
+         |pcent AS (SELECT m, cl, list(sm ORDER BY i) AS ce FROM (
+         |    SELECT a.m, a.cl, g.i, CAST(sum(s.sv[g.i]) AS BIGINT) AS sm
+         |    FROM pa0 a JOIN subn s ON a.vec_id = s.vec_id AND a.m = s.m,
+         |      generate_series(1, 8) AS g(i)
+         |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |pcentn AS (SELECT m, cl, ce,
+         |    CAST(list_dot_product(ce::BIGINT[], ce::BIGINT[]) AS BIGINT) AS nc
+         |  FROM pcent),
+         |codes AS (SELECT vec_id, m, cl FROM (
+         |    SELECT s.vec_id, s.m, c.cl, row_number() OVER (
+         |      PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_dot_product(s.sv::BIGINT[], c.ce::BIGINT[])
+         |          / (sqrt(CAST(s.ns AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) DESC,
+         |        c.cl) AS rn
+         |    FROM subn s JOIN pcentn c USING (m)) WHERE rn = 1),
+         |probes AS (SELECT CAST(x AS BIGINT) AS pid
+         |  FROM (VALUES (0),(1),(2),(3)) v(x)),
+         |psub AS (SELECT pr.pid, s.m, s.sv AS pv
+         |  FROM subn s JOIN probes pr ON s.vec_id = pr.pid),
+         |parts AS (SELECT p.pid, k.vec_id, k.m,
+         |    list_dot_product(p.pv::BIGINT[], c.ce::BIGINT[])
+         |      / sqrt(CAST(c.nc AS DOUBLE)) AS ps
+         |  FROM codes k JOIN pcentn c ON k.m = c.m AND k.cl = c.cl
+         |  JOIN psub p ON p.m = k.m
+         |  WHERE k.vec_id <> p.pid),
+         |adc AS (SELECT pid, vec_id,
+         |    $sCols
+         |  FROM parts GROUP BY pid, vec_id),
+         |short AS (SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+         |      ORDER BY ($sSum) DESC, vec_id) AS rn FROM adc) WHERE rn <= 50),
+         |n AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT) AS nq
+         |  FROM q),
+         |pv AS (SELECT pr.pid, n.qe AS pe, n.nq AS np
+         |  FROM n JOIN probes pr ON n.vec_id = pr.pid)
+         |SELECT pid, vec_id, dp, cosine, rank FROM (
+         |  SELECT s.pid, s.vec_id,
+         |    CAST(list_dot_product(n.qe::BIGINT[], pv.pe::BIGINT[]) AS BIGINT) AS dp,
+         |    list_dot_product(n.qe::BIGINT[], pv.pe::BIGINT[]) * 1.0
+         |      / sqrt(CAST(n.nq * pv.np AS DOUBLE)) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY s.pid
+         |      ORDER BY list_dot_product(n.qe::BIGINT[], pv.pe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(n.nq * pv.np AS DOUBLE)) DESC, s.vec_id)
+         |      AS BIGINT) AS rank
+         |  FROM short s JOIN n USING (vec_id) JOIN pv ON pv.pid = s.pid)
+         |WHERE rank <= 5
+         |ORDER BY pid, rank""".stripMargin
     },
     "llm_multimodal_meta" ->
       """SELECT doc_id,

@@ -807,10 +807,22 @@ object GraftApp {
             packed.write.mode("append").partitionBy("shard").parquet(out)
           } else
             packed.write.mode("overwrite").partitionBy("shard").parquet(out)
-        } else if (!incremental)
-          // first emission of an empty/uncovered corpus: schema-less
-          // layout, but the manifest below still records release 0
-          fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+        } else if (!incremental) {
+          // first emission of a NEW CHAIN over an empty/uncovered
+          // corpus: leftovers of a previous (non-comparable) chain —
+          // stale shard dirs and the _manifest release history — must
+          // not survive into release 0, or latestRelease would resolve
+          // to the old chain's max release on the next run (the
+          // changed-shards path is safe because its static overwrite
+          // replaces the whole out dir)
+          val outPath = new org.apache.hadoop.fs.Path(out)
+          if (fs.exists(outPath))
+            fs.listStatus(outPath).toSeq
+              .filter(st => st.getPath.getName.startsWith("shard=") ||
+                st.getPath.getName == "_manifest")
+              .foreach(st => fs.delete(st.getPath, true))
+          fs.mkdirs(outPath)
+        }
         // every removed shard (no docs left): drop the stale dir
         removed.map(sh => new org.apache.hadoop.fs.Path(out, s"shard=$sh"))
           .filter(fs.exists).foreach(p => fs.delete(p, true))

@@ -722,6 +722,21 @@ class GraftAppSpec extends SparkSpecBase {
       Map("GRAFT_EMIT_BUDGET" -> "32"))
     assert(l2.exists(_.contains(s"release 0: rewrote $nV2/$nV2 shards")),
       l2.mkString)
+    // a new chain over an EMPTY corpus must not inherit stale shard
+    // dirs or the old _manifest history — latestRelease would otherwise
+    // resolve to the stale chain's max release on the next run
+    val emptyDocs = Files.createTempDirectory("app-mani-empty")
+      .toFile.getAbsolutePath
+    mkDocs(Seq.empty, emptyDocs)
+    val l3 = GraftApp.maintenance(spark, emitEnv ++ Map(
+      "GRAFT_EMIT_DOCS" -> emptyDocs, "GRAFT_EMIT_BUDGET" -> "16"))
+    assert(l3.exists(_.contains("release 0: rewrote 0/0 shards, removed 0")),
+      l3.mkString)
+    assert(!new File(out).listFiles().exists(_.getName.startsWith("shard=")),
+      "stale shard dirs must not survive a new-chain empty emit")
+    val rel = ShardManifest.latestRelease(spark, out)
+    assert(rel.exists(r => r._1 == 0L && r._2.count() == 0),
+      "fresh chain must restart the release history at an empty 0")
   }
 
   test("maintenance mode: curate-store fold via env") {
