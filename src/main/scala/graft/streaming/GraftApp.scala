@@ -117,8 +117,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   whole store (fresh centroids, reset baseline) when
   *                   the last append drifted past baseline×ratio
   *     agg-view      heal + fold every GRAFT_AGG_VIEWS-declared
-  *                   incremental aggregate view's delta dirs under
-  *                   GRAFT_WAREHOUSE_DIR and report live group counts
+  *                   incremental aggregate view's AND every
+  *                   GRAFT_JOIN_VIEWS-declared join view's delta dirs
+  *                   under GRAFT_WAREHOUSE_DIR and report live group
+  *                   counts; GRAFT_AGG_PROBE="v1,v2;..." also serves a
+  *                   partition-pruned probed read per matching-arity
+  *                   view (tuples in group-column order)
   *     classifier-train train the logistic-regression quality gate on
   *                   GRAFT_CLF_DOCS parquet (GRAFT_CLF_STEPS, def 3;
   *                   GRAFT_CLF_LR milli, def 100;
@@ -658,20 +662,48 @@ object GraftApp {
         Seq(s"bpe-train: ${merges.length} merges, " +
           s"|vocab|=${vocab.count()} -> $out")
       case "agg-view" =>
-        // heal + fold every declared incremental aggregate view's delta
-        // dirs, and report the live group counts (the offline
-        // maintenance companion of the warehouse-chain upkeep)
+        // heal + fold every declared incremental aggregate AND join
+        // view's delta dirs, and report the live group counts (the
+        // offline maintenance companion of the warehouse-chain upkeep);
+        // GRAFT_AGG_PROBE="v1,v2;..." additionally serves a probed
+        // (partition-pruned) read of each aggregate view — tuples in
+        // groupCols order, ';' between probes
         val whRoot = env.getOrElse("GRAFT_WAREHOUSE_DIR",
           throw new IllegalArgumentException(
             "GRAFT_WAREHOUSE_DIR is required for agg-view"))
         val views = parseAggViews(env)
-        require(views.nonEmpty, "GRAFT_AGG_VIEWS is required for agg-view")
-        views.map { v =>
+        val jviews = parseJoinViews(env)
+        require(views.nonEmpty || jviews.nonEmpty,
+          "GRAFT_AGG_VIEWS or GRAFT_JOIN_VIEWS is required for agg-view")
+        val probeTuples = env.get("GRAFT_AGG_PROBE").toSeq
+          .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim).toSeq)
+        def probeLines(name: String,
+                       read: Seq[Seq[String]] => org.apache.spark.sql.DataFrame,
+                       arity: Int): Seq[String] =
+          if (probeTuples.isEmpty || probeTuples.exists(_.size != arity)) Nil
+          else read(probeTuples).collect().toSeq.map(r =>
+            s"agg-view probe $name: " +
+              r.toSeq.map(v => Option(v).map(_.toString).getOrElse("null"))
+                .mkString(", "))
+        views.flatMap { v =>
           val sink = v.sink(whRoot)
           sink.recover(spark)
           val folded = sink.compact(spark)
           val groups = sink.read(spark).count()
-          s"agg-view ${v.table}/${v.name}: folded $folded dirs, $groups live groups"
+          (s"agg-view ${v.table}/${v.name}: folded $folded dirs, " +
+            s"$groups live groups") +:
+            probeLines(s"${v.table}/${v.name}",
+              sink.readGroupTuples(spark, _), v.groupCols.size)
+        } ++ jviews.flatMap { jv =>
+          val sink = jv.sink(whRoot)
+          sink.recover(spark)
+          val folded = sink.compact(spark)
+          val groups = sink.read(spark).count()
+          (s"join-view ${jv.factTable}~${jv.dimTable}/${jv.name}: " +
+            s"folded $folded dirs, $groups live groups") +:
+            probeLines(s"${jv.factTable}~${jv.dimTable}",
+              sink.readGroupTuples(spark, _), jv.dimGroupCols.size)
         }
       case "classifier-train" =>
         // train + persist the logistic-regression quality-gate weights

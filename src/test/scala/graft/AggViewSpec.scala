@@ -444,5 +444,38 @@ class AggViewSpec extends SparkSpecBase {
       l.endsWith("2 live groups")), lines.mkString)
     assert(readView(d.sink(root)) ==
       Map("g0" -> (2L, 2.0), "g1" -> (1L, 1.0)))
+    // probed serving from env: GRAFT_AGG_PROBE prunes to the probe's
+    // hash parts and prints the row
+    val probed = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "agg-view", "GRAFT_WAREHOUSE_DIR" -> root,
+      "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt",
+      "GRAFT_AGG_PROBE" -> "g1"))
+    assert(probed.exists(_.startsWith("agg-view probe public.t1/g_grp__s_amt: g1, 1")),
+      probed.mkString("\n"))
+    // join views fold + report through the same verb (empty agg list OK)
+    val jvRoot = java.nio.file.Files.createTempDirectory("aggv-env-jv")
+      .toFile.getAbsolutePath
+    def dimIns(lsn: Long, id: String, region: String) =
+      CdcEvent("c", lsn, 1L, ts, "public", "dim", Nil,
+        Seq(CdcColumn("id", id), CdcColumn("region", region)),
+        keyColumns = Seq("id"))
+    def fIns(lsn: Long, id: Int, fk: String, amt: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", "fact", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk", fk),
+          CdcColumn("amt", amt.toString)), keyColumns = Seq("id"))
+    val jvSpec = "public.fact~public.dim:fk=id:region>amt"
+    val jv = graft.streaming.GraftApp.parseJoinViews(
+      Map("GRAFT_JOIN_VIEWS" -> jvSpec)).head
+    CdcPipeline.applyWarehouseBatch(Seq(
+        dimIns(1, "n1", "east"), fIns(2, 1, "n1", 10), fIns(3, 2, "n1", 5)).toDS(),
+      jvRoot, 4, batchId = 0, joinViews = Seq(jv))
+    val jvLines = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "agg-view", "GRAFT_WAREHOUSE_DIR" -> jvRoot,
+      "GRAFT_JOIN_VIEWS" -> jvSpec, "GRAFT_AGG_PROBE" -> "east"))
+    assert(jvLines.exists(l => l.startsWith("join-view public.fact~public.dim/") &&
+      l.endsWith("1 live groups")), jvLines.mkString("\n"))
+    assert(jvLines.exists(_.startsWith(
+      "agg-view probe public.fact~public.dim: east, 2")),
+      jvLines.mkString("\n"))
   }
 }
