@@ -982,7 +982,9 @@ final class AnnIndexStore(root: String) extends Serializable {
     * appends between rebuilds). */
   def rebuildIvf(spark: SparkSession, rounds: Int = 1): Unit = {
     val meta = readMeta(spark)
-    require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
+    val kind = meta("kind")
+    require(kind == "ivf" || kind == "ivfpq",
+      s"$root is not an IVF-family index")
     val (nClusters, dim) = (meta("nClusters").toInt, meta("dim").toInt)
     val dead = tombstoned(spark)
     // sever lineage from the dirs being overwritten; vectors/ itself is
@@ -991,21 +993,43 @@ final class AnnIndexStore(root: String) extends Serializable {
     val q = dropDead(spark.read.parquet(s"$root/vectors").drop("part"), dead)
       .localCheckpoint(true)
     val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
-    assign.join(q, "vec_id")
-      .select(Seq("vec_id", "qe", "nq", "cluster").map(col) ++
-        metaCols.map(col): _*)
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$root/ivf")
     import spark.implicits._
+    val kindMeta: Map[String, String] =
+      if (kind == "ivf") {
+        assign.join(q, "vec_id")
+          .select(Seq("vec_id", "qe", "nq", "cluster").map(col) ++
+            metaCols.map(col): _*)
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$root/ivf")
+        Map.empty
+      } else {
+        // the compressed tier re-trains its codebooks over the SAME
+        // drifted corpus the fresh centroids describe, then re-codes —
+        // a rebuild that kept stale codebooks would fix cluster recall
+        // while leaving the ADC ranking trained on the old distribution
+        val (mSub, ksub) = (meta("mSub").toInt, meta("ksub").toInt)
+        val books = Similarity.pqCodebooks(q, mSub, ksub, dim)
+        val codes = Similarity.pqCodes(q, books, mSub, dim)
+        assign.join(codes, "vec_id").join(q, "vec_id")
+          .select(Seq("vec_id", "codes", "cluster").map(col) ++
+            metaCols.map(col): _*)
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$root/ivf")
+        books.map(b => (b.m, b.cl, b.ce, b.nc)).toDF("m", "cl", "ce", "nc")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/pq_codebooks")
+        Map("mSub" -> mSub.toString, "ksub" -> ksub.toString)
+      }
     cents.toDF("cluster", "ce", "nc").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/ivf_centroids")
     val (bm, bp) = driftStats(assign)
     writeMeta(spark, Map(
-      "kind" -> "ivf", "nClusters" -> nClusters.toString,
+      "kind" -> kind, "nClusters" -> nClusters.toString,
       "dim" -> dim.toString, "numParts" -> NumParts.toString,
       "metaCols" -> metaCols.mkString(","),
-      "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
+      "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f") ++
+      kindMeta)
   }
 
   /** Maintenance: fold the files `append` accumulates back to ~one per

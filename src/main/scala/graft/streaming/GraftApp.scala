@@ -114,8 +114,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   id,id,… retracts vectors (tombstone + physical
   *                   fold); reports IVF centroid-drift telemetry;
   *                   GRAFT_ANN_REBUILD_IF_DRIFT=<ratio> re-clusters the
-  *                   whole store (fresh centroids, reset baseline) when
-  *                   the last append drifted past baseline×ratio
+  *                   whole store (fresh centroids — ivfpq stores also
+  *                   retrain their codebooks and re-code; baseline
+  *                   reset) when the last append drifted past
+  *                   baseline×ratio
   *     agg-view      heal + fold every GRAFT_AGG_VIEWS-declared
   *                   incremental aggregate view's AND every
   *                   GRAFT_JOIN_VIEWS-declared join view's delta dirs

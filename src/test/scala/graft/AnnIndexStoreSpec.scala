@@ -512,6 +512,37 @@ class AnnIndexStoreSpec extends SparkSpecBase {
     assert(store.driftReport(spark).exists(_.startsWith("drift: appends=2")))
   }
 
+  test("ivfpq drift rebuild: fresh centroids AND retrained codebooks, serving intact") {
+    import spark.implicits._
+    val df = planted(43, 90)   // twins: 90 ~ base(5), 91 ~ base(17)
+    val root = Files.createTempDirectory("ann-pq-rb").toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeIvfPq(df, nClusters = 8, mSub = 8, ksub = 16)
+    val booksBefore = spark.read.parquet(s"$root/pq_codebooks").collect()
+      .map(_.toString).toSet
+    // a shifted-distribution append: drift telemetry records it
+    val rnd = new scala.util.Random(11)
+    store.append((400L until 430L).map(i =>
+        (i, Array.fill(64)((rnd.nextGaussian() + 3.0).toFloat)))
+      .toDF("vec_id", "embedding"))
+    assert(store.driftReport(spark).isDefined)
+    store.rebuildIvf(spark)
+    // kind + PQ geometry survive; drift baseline reset; codebooks
+    // RETRAINED over the drifted corpus (not carried stale)
+    assert(store.driftReport(spark).isEmpty, "rebuild must reset the baseline")
+    val booksAfter = spark.read.parquet(s"$root/pq_codebooks").collect()
+      .map(_.toString).toSet
+    assert(booksAfter != booksBefore,
+      "rebuild must retrain the codebooks over the drifted corpus")
+    // both serving forms still work and find the planted twin
+    assert(store.pqTopK(spark, probeId = 5L, k = 1, nprobe = 8, shortlist = 30)
+      .head().getLong(0) == 90L)
+    assert(store.pqTopKBatchDistributed(
+        spark.range(0, 92).select(col("id").as("vec_id")),
+        k = 1, nprobe = 8, shortlist = 30)
+      .filter(col("pid") === 17L).head().getLong(1) == 91L)
+  }
+
   test("crashed rebuild: old _meta is dropped first, serving fails fast") {
     val df = planted(13, 40)
     val root = Files.createTempDirectory("ann-meta").toFile.getAbsolutePath + "/idx"
