@@ -110,6 +110,44 @@ object CdcQueries {
         .orderBy("user_id")
     }),
 
+    // SCD2 version history (sinks.HistorySink semantics, batch-shaped):
+    // each c/u event opens a version valid until the key's next change;
+    // a delete closes without opening (tombstones participate in the
+    // interval derivation, then drop out). One window, one shuffle —
+    // the 100 TB shape of "full audit history from a change stream".
+    "cdc_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      events(s, d).withColumn("op", opCol)
+        .filter(col("op").isin("c", "u", "d"))
+        .withColumn("valid_from", col("event_id"))
+        .withColumn("valid_to",
+          coalesce(lead("event_id", 1).over(w), lit(-1L)))
+        .withColumn("is_current",
+          (col("valid_to") === -1L && col("op") =!= "d").cast("int"))
+        .filter(col("op") =!= "d")
+        .select(col("user_id"), col("op"), col("valid_from"), col("valid_to"),
+          cents(col("value")).as("value_cents"), col("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // Time travel over the same chains: the replica state AS OF the
+    // median LSN — the version whose interval covers it, tombstones
+    // excluded (sinks.HistorySink.asOf, batch-shaped; boundary via a
+    // broadcast scalar, never a driver collect).
+    "cdc_time_travel" -> ((s, d) => {
+      val e = events(s, d).withColumn("op", opCol)
+        .filter(col("op").isin("c", "u", "d"))
+      val boundary = e.agg(expr("max(event_id) div 2").as("asof_lsn"))
+      val w = Window.partitionBy("user_id").orderBy(desc("event_id"))
+      e.crossJoin(broadcast(boundary))
+        .filter(col("event_id") <= col("asof_lsn"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .select(col("user_id"), col("event_id").as("valid_from"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     // P2+P8+P9 INSERT rendering through the native cdc_to_sql Catalyst
     // expression — no object-serialization boundary, stays inside
     // WholeStageCodegen (the oracle reconstructs the same string
@@ -356,6 +394,32 @@ object CdcQueries {
          |  FROM dml)
          |SELECT user_id, event_id AS last_event,
          |  CAST(round(value*100) AS BIGINT) AS last_value_cents, n_changes
+         |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+    "cdc_scd2" ->
+      s"""WITH dml AS (
+         |  SELECT user_id, event_id, value, $opSql AS op FROM events
+         |  WHERE $opSql IN ('c','u','d')),
+         |v AS (
+         |  SELECT user_id, op, event_id AS valid_from,
+         |    COALESCE(lead(event_id) OVER (PARTITION BY user_id
+         |      ORDER BY event_id), -1) AS valid_to, value
+         |  FROM dml)
+         |SELECT user_id, op, valid_from, valid_to,
+         |  CAST(round(value*100) AS BIGINT) AS value_cents,
+         |  CASE WHEN valid_to = -1 AND op <> 'd' THEN 1 ELSE 0 END AS is_current
+         |FROM v WHERE op <> 'd' ORDER BY user_id, valid_from""".stripMargin,
+    "cdc_time_travel" ->
+      s"""WITH dml AS (
+         |  SELECT user_id, event_id, value, $opSql AS op FROM events
+         |  WHERE $opSql IN ('c','u','d')),
+         |ranked AS (
+         |  SELECT user_id, event_id, op, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn
+         |  FROM dml
+         |  WHERE event_id <= (SELECT max(event_id) // 2 FROM dml))
+         |SELECT user_id, event_id AS valid_from,
+         |  CAST(round(value*100) AS BIGINT) AS value_cents
          |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
     "cdc_p2_render_insert" ->
       """SELECT event_id,

@@ -138,7 +138,8 @@ object CdcPipeline {
                      originFilter: OriginFilter = OriginFilter.Any,
                      projections: Seq[graft.sinks.ProjectionDef] = Nil,
                      aggViews: Seq[graft.sinks.AggViewDef] = Nil,
-                     joinViews: Seq[graft.sinks.JoinViewDef] = Nil): StreamingQuery =
+                     joinViews: Seq[graft.sinks.JoinViewDef] = Nil,
+                     historyTables: Seq[String] = Nil): StreamingQuery =
     // Transactions are ASSEMBLED before apply: a raw-DML apply would
     // materialize events of a streamed (v2) transaction that later
     // ABORTS — its events precede a later commit boundary, but only the
@@ -147,7 +148,7 @@ object CdcPipeline {
     startAssembled(envelope, originFilter, "graft-warehouse", checkpointDir,
       trigger) { (batch, batchId) =>
       applyWarehouseBatch(batch, rootPath, numBuckets, batchId, projections,
-        aggViews, joinViews)
+        aggViews, joinViews, historyTables)
     }
 
   /** F2 gate for the warehouse root: refuses STALE batch replays (an old
@@ -200,7 +201,8 @@ object CdcPipeline {
                           numBuckets: Int, batchId: Long,
                           projections: Seq[graft.sinks.ProjectionDef] = Nil,
                           aggViews: Seq[graft.sinks.AggViewDef] = Nil,
-                          joinViews: Seq[graft.sinks.JoinViewDef] = Nil): Unit = {
+                          joinViews: Seq[graft.sinks.JoinViewDef] = Nil,
+                          historyTables: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     if (batchId <= lastWarehouseBatch(spark, rootPath)) return // stale replay
@@ -264,12 +266,13 @@ object CdcPipeline {
             val keys = row.getSeq[String](3)
             val name = Seq(Option(sch), Some(tbl)).flatten.mkString(".")
             val cut = truncLsn.get(name)
-            val tableEvents = df
+            val tableEventsAll = df
               .filter(col("schema") <=> lit(sch) && col("table") === tbl &&
-                col("op").isin("c", "u", "d") &&
-                // pre-truncate DML is dead on arrival — the truncate
-                // wipes it; only post-truncate changes apply
-                cut.map(l => col("lsn") > l).getOrElse(lit(true)))
+                col("op").isin("c", "u", "d"))
+            val tableEvents = tableEventsAll
+              // pre-truncate DML is dead on arrival — the truncate
+              // wipes it; only post-truncate changes apply
+              .filter(cut.map(l => col("lsn") > l).getOrElse(lit(true)))
             val flatCols = cols.map(c =>
               coalesce(element_at(col("__after"), c),
                 element_at(col("__before"), c)).as(c))
@@ -313,6 +316,18 @@ object CdcPipeline {
                   needed.map(c =>
                     element_at(col("__before"), c).as(s"__old_$c")): _*)
               v.sink(rootPath).applyBatch(spark, avFlat, batchId)
+            }
+            // declared SCD2 histories version EVERY event of the batch —
+            // including same-batch pre-truncate DML, which the replica
+            // drops as dead-on-arrival but the audit trail must keep
+            // (the truncate marker closes those intervals at its LSN)
+            if (historyTables.contains(name)) {
+              val hist = new graft.sinks.HistorySink(
+                s"$rootPath/_history/$name", keys, numBuckets)
+              hist.applyBatch(spark,
+                tableEventsAll.select(col("op") +: col("lsn") +: flatCols: _*),
+                batchId)
+              cut.foreach(l => hist.truncate(spark, l, batchId))
             }
             // join views on an UNTOUCHED dim fold this fact batch
             // incrementally; dim-touched views rebuild after the barrier
@@ -358,6 +373,9 @@ object CdcPipeline {
               .foreach(_.sink(rootPath).truncate(spark))
             aggViews.filter(_.table == name)
               .foreach(_.sink(rootPath).truncate(spark))
+            if (historyTables.contains(name))
+              new graft.sinks.HistorySink(s"$rootPath/_history/$name", Nil,
+                numBuckets).truncate(spark, truncLsn(name), batchId)
           }
         }
         try scala.concurrent.Await.result(

@@ -125,6 +125,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   counts; GRAFT_AGG_PROBE="v1,v2;..." also serves a
   *                   partition-pruned probed read per matching-arity
   *                   view (tuples in group-column order)
+  *     history       heal + fold every GRAFT_HISTORY_TABLES-declared
+  *                   SCD2 history store under GRAFT_WAREHOUSE_DIR and
+  *                   report version/current counts; GRAFT_HISTORY_ASOF=
+  *                   <lsn> adds the time-travel row count at that LSN,
+  *                   GRAFT_HISTORY_PROBE="k1,k2" prints one key's
+  *                   partition-pruned version chain
   *     classifier-train train the logistic-regression quality gate on
   *                   GRAFT_CLF_DOCS parquet (GRAFT_CLF_STEPS, def 3;
   *                   GRAFT_CLF_LR milli, def 100;
@@ -169,6 +175,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     SUM of the listed columns) folded from each batch's
   *     before/after images as signed deltas; truncate zeroes them via
   *     an epoch bump; offline upkeep via the agg-view verb
+  *   GRAFT_HISTORY_TABLES — "schema.table[:k1,k2];..." declares SCD2
+  *     version histories ([[graft.sinks.HistorySink]]) the warehouse
+  *     chain appends under <root>/_history/ (audit trail + as-of-LSN
+  *     time travel; truncate caps intervals via a marker, never a
+  *     rewrite); offline upkeep/serving via the history verb (keys
+  *     resolve from the store meta)
   */
 object GraftApp {
 
@@ -233,6 +245,24 @@ object GraftApp {
           case _ => throw new IllegalArgumentException(
             s"GRAFT_JOIN_VIEWS entry '$spec' is not " +
               "fact~dim:fk=pk:g1,g2>s1,s2[>m1,m2]")
+        }
+      }
+
+  /** GRAFT_HISTORY_TABLES: "schema.table[:k1,k2];..." → tables whose
+    * SCD2 version history ([[graft.sinks.HistorySink]]) the warehouse
+    * chain maintains under `<root>/_history/`. Key columns are OPTIONAL
+    * everywhere once the store exists (its meta records them; a
+    * declaration is cross-checked against it) — the streaming side
+    * learns them from each batch's keyColumns. */
+  private[graft] def parseHistoryTables(
+      env: Map[String, String]): Seq[(String, Seq[String])] =
+    env.get("GRAFT_HISTORY_TABLES").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { spec =>
+        spec.split(":", 2) match {
+          case Array(table, ks) =>
+            (table.trim, ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          case Array(table) => (table.trim, Seq.empty[String])
         }
       }
 
@@ -377,7 +407,7 @@ object GraftApp {
             trigger, cfg.originFilter, projections)
         else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
           trigger, cfg.originFilter, projections, aggViews,
-          parseJoinViews(env))
+          parseJoinViews(env), parseHistoryTables(env).map(_._1))
       case None if kafkaBrokers.isDefined =>
         // kafka mode: assembled transactions → Debezium envelope rows →
         // the built-in kafka sink (at-least-once, the reference's own
@@ -706,6 +736,43 @@ object GraftApp {
             s"folded $folded dirs, $groups live groups") +:
             probeLines(s"${jv.factTable}~${jv.dimTable}",
               sink.readGroupTuples(spark, _), jv.dimGroupCols.size)
+        }
+      case "history" =>
+        // heal + fold every GRAFT_HISTORY_TABLES-declared SCD2 history
+        // store (keys required here — see parseHistoryTables) and
+        // report version/current counts; GRAFT_HISTORY_ASOF=<lsn> adds
+        // the time-travel row count at that LSN,
+        // GRAFT_HISTORY_PROBE="k1,k2" prints one key's version chain
+        val whRoot = env.getOrElse("GRAFT_WAREHOUSE_DIR",
+          throw new IllegalArgumentException(
+            "GRAFT_WAREHOUSE_DIR is required for history"))
+        val declared = parseHistoryTables(env)
+        require(declared.nonEmpty, "GRAFT_HISTORY_TABLES is required for history")
+        declared.flatMap { case (table, hkeys) =>
+          // keys usually come from the store's _graft_history.json meta;
+          // a :k1,k2 declaration is only needed (and then cross-checked)
+          // for stores predating the meta
+          val hist = new graft.sinks.HistorySink(
+            s"$whRoot/_history/$table", hkeys)
+          hist.heal(spark)
+          val folded = hist.compact(spark)
+          val h = hist.history(spark).cache()
+          val (versions, current) =
+            try (h.count(),
+              h.filter(org.apache.spark.sql.functions.col("is_current")).count())
+            finally h.unpersist()
+          val asOfLine = env.get("GRAFT_HISTORY_ASOF").map(_.toLong).map(l =>
+            s"history $table asof $l: ${hist.asOf(spark, l).count()} rows")
+          val probeLine = env.get("GRAFT_HISTORY_PROBE").map { p =>
+            val key = p.split(",").map(_.trim).toSeq
+            val chain = hist.probe(spark, key).collect().toSeq.map(r =>
+              r.toSeq.map(v => Option(v).map(_.toString).getOrElse("null"))
+                .mkString(","))
+            s"history $table probe ${key.mkString(",")}: " +
+              chain.mkString(" | ")
+          }
+          (s"history $table: folded $folded dirs, $versions versions, " +
+            s"$current current") +: (asOfLine.toSeq ++ probeLine.toSeq)
         }
       case "classifier-train" =>
         // train + persist the logistic-regression quality-gate weights
