@@ -61,7 +61,8 @@ object Bench {
     "llm_dedup_soft", "llm_hard_negatives", "llm_feature_embed",
     "llm_lm_kn", "llm_unigram_encode", "llm_quality_classifier",
     "llm_unigram_ids", "llm_ann_mrr", "llm_cluster_sample", "llm_clf_margin",
-    "llm_ann_ndcg", "llm_shard_manifest", "llm_pq_sweep")
+    "llm_ann_ndcg", "llm_shard_manifest", "llm_pq_sweep",
+    "cdc_scd2", "cdc_time_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -279,14 +279,31 @@ class HistorySink(path: String, keyCols: Seq[String], numParts: Int = 64)
   /** Fold all-but-newest b-dirs into one, materializing `valid_to`
     * across the folded batch boundaries (the shared crash-safe staging
     * protocol — [[graft.llmops.BatchDirFold]]); truncate markers fold
-    * to their distinct union. Returns dirs folded. */
-  def compact(spark: SparkSession): Int = {
+    * to their distinct union. Returns dirs folded.
+    *
+    * `retainBelow`: age out audit history — drop versions whose
+    * validity ENDED at or before the horizon LSN (truncate caps
+    * count as endings). Per key that is a contiguous chain PREFIX
+    * (valid_to is monotone along a chain), so the remaining suffix's
+    * intervals — and every `asOf(l)` with `l >= horizon` — are
+    * untouched; states before the horizon become unreconstructable,
+    * which is the point. Open versions and un-closed tombstones are
+    * never dropped. */
+  def compact(spark: SparkSession, retainBelow: Option[Long] = None): Int = {
     val (n, keys) = resolved(spark)
+    val truncs = truncLsns(spark)
     val folded = graft.llmops.BatchDirFold.fold(spark, root,
       (dirs, staged) =>
         dirs.map(readDir(spark, _, None))
           .reduce(_.unionByName(_, allowMissingColumns = true))
           .withColumn("valid_to", lead("valid_from", 1).over(keyWindow(keys)))
+          .filter(retainBelow.map(h =>
+              // judged on the EFFECTIVE end (truncate caps included):
+              // a version the truncate killed before the horizon is
+              // as dead as one a successor closed
+              least(col("valid_to"), truncCap(truncs)).isNull ||
+                least(col("valid_to"), truncCap(truncs)) > h)
+            .getOrElse(lit(true)))
           .withColumn("part", partOf(n, keys).cast("int"))
           .write.mode(SaveMode.Overwrite).partitionBy("part")
           .parquet(staged))

@@ -130,7 +130,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   report version/current counts; GRAFT_HISTORY_ASOF=
   *                   <lsn> adds the time-travel row count at that LSN,
   *                   GRAFT_HISTORY_PROBE="k1,k2" prints one key's
-  *                   partition-pruned version chain
+  *                   partition-pruned version chain,
+  *                   GRAFT_HISTORY_RETAIN_BELOW=<lsn> ages out versions
+  *                   whose validity ended at/before the horizon (asOf
+  *                   at/after it is untouched)
   *     classifier-train train the logistic-regression quality gate on
   *                   GRAFT_CLF_DOCS parquet (GRAFT_CLF_STEPS, def 3;
   *                   GRAFT_CLF_LR milli, def 100;
@@ -755,7 +758,8 @@ object GraftApp {
           val hist = new graft.sinks.HistorySink(
             s"$whRoot/_history/$table", hkeys)
           hist.heal(spark)
-          val folded = hist.compact(spark)
+          val folded = hist.compact(spark,
+            env.get("GRAFT_HISTORY_RETAIN_BELOW").map(_.toLong))
           val h = hist.history(spark).cache()
           val (versions, current) =
             try (h.count(),

@@ -166,7 +166,7 @@ class ChaosSpec extends SparkSpecBase {
       val q = CdcPipeline.startWarehouse(
         spark.readStream.format("graft.sources.cdcwal.CdcWalSource")
           .option("path", dir).load(),
-        root, ckpt, numBuckets = 8)
+        root, ckpt, numBuckets = 8, historyTables = Seq("t1"))
       q.awaitTermination()
     }
 
@@ -189,10 +189,11 @@ class ChaosSpec extends SparkSpecBase {
     CdcPipeline.applyWarehouseBatch(toEvents(txs.take(6).flatten).toDS(),
       root, 8, batchId = 0)
     // crash-before-gate: gate lost, LATEST wave re-applied with its own
-    // batchId — the MERGE apply itself must be idempotent
+    // batchId — the MERGE apply itself must be idempotent (and the
+    // history's Overwrite-own-dir discipline with it)
     java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_graft_last_batch"))
     CdcPipeline.applyWarehouseBatch(toEvents(txs.drop(24).flatten).toDS(),
-      root, 8, batchId = 4)
+      root, 8, batchId = 4, historyTables = Seq("t1"))
 
     val got = spark.read.option("mergeSchema", "true").parquet(s"$root/t1")
       .drop("bucket").collect()
@@ -201,5 +202,38 @@ class ChaosSpec extends SparkSpecBase {
     assert(got.size == expected.size,
       s"row count: got ${got.size}, expected ${expected.size}")
     assert(got == expected)
+
+    // SCD2 history through the SAME chaos (restarts, pure replay,
+    // truncate wave, crash-before-gate replay): every committed DML
+    // event is exactly one version, and time travel reconstructs any
+    // prefix state — including across the truncate
+    val hist = new graft.sinks.HistorySink(s"$root/_history/t1", Nil)
+    def foldAt(l: Long): Map[Int, Int] = {
+      val m = scala.collection.mutable.Map.empty[Int, Int]
+      txs.flatten.filter(_.lsn <= l).foreach { e =>
+        e.op match {
+          case "c" | "u" => m(e.id) = e.v
+          case "d" => m.remove(e.id)
+          case _ => m.clear()
+        }
+      }
+      m.toMap
+    }
+    def asOfMap(l: Long): Map[Int, Int] =
+      hist.asOf(spark, l).collect().map(r =>
+        r.getString(r.fieldIndex("id")).toInt ->
+          r.getString(r.fieldIndex("val")).toInt).toMap
+    val truncAt = txs.flatten.find(_.op == "t").get.lsn
+    val versions = hist.history(spark).count()
+    assert(versions == lsn - 1, // every event except the truncate marker
+      s"expected ${lsn - 1} versions (one per DML event), got $versions")
+    for (l <- Seq(truncAt - 1, truncAt, lsn / 3, lsn))
+      assert(asOfMap(l) == foldAt(l), s"asOf($l) diverges from event fold")
+    // compaction folds the accumulated batch dirs without changing any
+    // of it
+    assert(hist.compact(spark) > 0)
+    assert(hist.history(spark).count() == versions)
+    for (l <- Seq(truncAt - 1, lsn))
+      assert(asOfMap(l) == foldAt(l), s"post-compact asOf($l) diverges")
   }
 }

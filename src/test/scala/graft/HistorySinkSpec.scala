@@ -173,6 +173,33 @@ class HistorySinkSpec extends SparkSpecBase {
     assert(parts > 1, "test needs multiple parts to prove pruning")
   }
 
+  test("retention: compact(retainBelow) drops only pre-horizon chain prefixes") {
+    val root = java.nio.file.Files.createTempDirectory("hist-r").toFile.getAbsolutePath
+    val h = sinkOf(root)
+    // id 1: c@1→4, u@4→6, u@6 open; id 2: c@2→5, d@5 tombstone;
+    // id 3: c@3 open from the start; id 4: c@7 late insert
+    CdcPipeline.applyWarehouseBatch(
+      Seq(ins(1, 1, 10), ins(2, 2, 20), ins(3, 3, 30)).toDS(),
+      root, 4, batchId = 0, historyTables = hist)
+    CdcPipeline.applyWarehouseBatch(
+      Seq(upd(4, 1, 10, 11), del(5, 2, 20)).toDS(),
+      root, 4, batchId = 1, historyTables = hist)
+    CdcPipeline.applyWarehouseBatch(
+      Seq(upd(6, 1, 11, 12), ins(7, 4, 40)).toDS(),
+      root, 4, batchId = 2, historyTables = hist)
+    val tipBefore = stateOf(h.asOf(spark, 7))
+    val at5 = stateOf(h.asOf(spark, 5))
+    // horizon 5: drops id1 c@1 (ended 4) and id2 c@2 (ended 5); keeps
+    // id1 u@4 (ends 6 > 5), the un-closed d@5 tombstone, all open rows
+    assert(h.compact(spark, retainBelow = Some(5L)) > 0)
+    assert(chains(h).map(t => (t._1, t._2, t._3)) == Set(
+      ("1", "u", 4L), ("1", "u", 6L), ("2", "d", 5L),
+      ("3", "c", 3L), ("4", "c", 7L)))
+    // every state at/after the horizon is untouched
+    assert(stateOf(h.asOf(spark, 7)) == tipBefore)
+    assert(stateOf(h.asOf(spark, 5)) == at5)
+  }
+
   test("history verb: heal+fold, counts, asof and probe read-outs from env") {
     val root = java.nio.file.Files.createTempDirectory("hist-v").toFile.getAbsolutePath
     CdcPipeline.applyWarehouseBatch(
