@@ -350,6 +350,68 @@ object ScaleProbe {
       println(s"agg-view compact: folded $folded delta dirs")
     }
 
+    // SCD2 history at volume: blind O(batch) appends through the
+    // warehouse apply with a declared history, then merge-on-read
+    // serving — a bulk batch, a churn batch, and a SMALL working-set
+    // batch (the steady-state shape: serving must not re-derive the
+    // whole store for a 1% delta); time travel + probe served from the
+    // folded base.
+    locally {
+      import graft.model.{CdcColumn, CdcEvent}
+      import spark.implicits._
+      val whRoot = java.nio.file.Files.createTempDirectory("scale-hist")
+        .toFile.getAbsolutePath
+      val tsH = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      var lsn = 0L
+      def nextLsn(): Long = { lsn += 1; lsn }
+      def cols(id: Long, v: Long) =
+        Seq(CdcColumn("id", id.toString), CdcColumn("v", v.toString))
+      val nKeys = math.max(nDocs / 4, 2000).toLong
+      val b0 = (0L until nKeys).map(i => CdcEvent("c", nextLsn(), 1L, tsH,
+        "public", "t1", Nil, cols(i, i), keyColumns = Seq("id")))
+      val b1 = (0L until nKeys / 2).map { i =>
+        if (i % 5 == 0) CdcEvent("d", nextLsn(), 1L, tsH, "public", "t1",
+          cols(i, i), Nil, keyColumns = Seq("id"))
+        else CdcEvent("u", nextLsn(), 1L, tsH, "public", "t1",
+          cols(i, i), cols(i, i + 1000), keyColumns = Seq("id"))
+      }
+      val tipAfterB1 = lsn
+      val b2 = (0L until nKeys / 100).map { i => // 1% working set
+        val id = i * 100 + 1
+        CdcEvent("u", nextLsn(), 1L, tsH, "public", "t1",
+          cols(id, id + 1000), cols(id, id + 2000), keyColumns = Seq("id"))
+      }
+      val hist = Seq("public.t1")
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (events, b) =>
+        t0 = System.nanoTime()
+        graft.streaming.CdcPipeline.applyWarehouseBatch(
+          events.toDS(), whRoot, 8, batchId = b.toLong, historyTables = hist)
+        println(f"history batch $b: ${events.size} events appended in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      val hs = new graft.sinks.HistorySink(s"$whRoot/_history/public.t1", Nil)
+      t0 = System.nanoTime()
+      val foldedH = hs.compact(spark)
+      println(f"history compact: folded $foldedH dirs in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      t0 = System.nanoTime()
+      val liveNow = hs.asOf(spark, lsn).count()
+      val expLive = nKeys - nKeys / 2 / 5 // minus the deletes
+      require(liveNow == expLive, s"asOf(tip)=$liveNow, expected $expLive")
+      println(f"history asOf tip: $liveNow rows (== replica) in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      t0 = System.nanoTime()
+      val mid = hs.asOf(spark, tipAfterB1).count()
+      require(mid == expLive, s"asOf(mid)=$mid, expected $expLive")
+      println(f"history asOf mid-stream: $mid rows in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      t0 = System.nanoTime()
+      val chain = hs.probe(spark, Seq("101")).collect()
+      require(chain.length == 3, s"key 101 chain: ${chain.length} versions")
+      println(f"history probe key 101: ${chain.length} versions in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s (part-pruned)")
+    }
+
     val annRoot = java.nio.file.Files.createTempDirectory("scale-ann")
       .toFile.getAbsolutePath
     val lshIdx = new graft.llmops.AnnIndexStore(s"$annRoot/lsh")

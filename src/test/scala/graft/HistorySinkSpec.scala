@@ -171,6 +171,32 @@ class HistorySinkSpec extends SparkSpecBase {
     val parts = new java.io.File(s"$root/_history/public.t1/b0").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("part="))
     assert(parts > 1, "test needs multiple parts to prove pruning")
+    // ...asserted on the EXECUTED plan: the probe's scans plan strictly
+    // fewer files than a full history read (partition pruning is real,
+    // not an API promise)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      def all(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: all(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          p +: all(r.child)
+        case _ => (p +: p.children.flatMap(all)) ++ p.subqueries.flatMap(all)
+      }
+      all(plan)
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value }.sum
+    }
+    val probedFiles = plannedFiles(h.probe(spark, Seq("7")))
+    val fullFiles = plannedFiles(h.history(spark))
+    assert(probedFiles > 0 && probedFiles < fullFiles,
+      s"probe planned $probedFiles files vs full $fullFiles — no pruning")
   }
 
   test("retention: compact(retainBelow) drops only pre-horizon chain prefixes") {
