@@ -168,6 +168,41 @@ class HistorySink(path: String, keyCols: Seq[String], numParts: Int = 64)
       .parquet(new Path(root, s"b$batchId").toString)
   }
 
+  /** Declare history over an ALREADY-replicated table: seed one open
+    * `op='c'` version per snapshot row at `asOfLsn` (the replication
+    * position the snapshot was taken at) as the `b-1` dir — "-1" can
+    * never collide with a streamed batch id, so the first trigger's
+    * Overwrite-own-dir replay discipline is unaffected (the
+    * [[AggViewSink.bootstrap]] idiom). History BEFORE the bootstrap
+    * point does not exist (it was never captured); every state from
+    * `asOfLsn` on is reconstructable. OFFLINE discipline: snapshot
+    * with the streaming pipeline stopped. */
+  def bootstrap(spark: SparkSession, snapshot: DataFrame,
+                asOfLsn: Long): Unit = {
+    require(keyCols.nonEmpty, "bootstrap needs the table's key columns")
+    keyCols.foreach(k => require(snapshot.columns.contains(k),
+      s"snapshot lacks key column $k"))
+    val fs = fsOf(spark)
+    if (fs.exists(root)) fs.delete(root, true)
+    writeMeta(spark)
+    snapshot
+      .select(snapshot.columns.map(c => col(c).cast("string").as(c)): _*)
+      .withColumn("op", lit("c"))
+      .withColumn("valid_from", lit(asOfLsn))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("part", partOf(numParts, keyCols).cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(new Path(root, "b-1").toString)
+  }
+
+  /** Incremental re-fetch for downstream consumers: every version
+    * OPENED after `sinceLsn` (the shard-manifest-diff pattern — a
+    * consumer that processed history up to L asks only for what L
+    * did not cover). Intervals and `is_current` are final with
+    * respect to the whole store, not the slice. */
+  def changes(spark: SparkSession, sinceLsn: Long): DataFrame =
+    history(spark).filter(col("valid_from") > sinceLsn)
+
   /** Record a TRUNCATE at `lsn`: one marker row, zero data rewritten.
     * Reads cap every interval spanning `lsn`; versions opened after it
     * (same or later batches) are unaffected. */

@@ -134,6 +134,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_HISTORY_RETAIN_BELOW=<lsn> ages out versions
   *                   whose validity ended at/before the horizon (asOf
   *                   at/after it is untouched)
+  *     history-bootstrap declare SCD2 history over an ALREADY-replicated
+  *                   table: seed one open version per replica row at
+  *                   GRAFT_HISTORY_BOOTSTRAP_LSN (the snapshot's
+  *                   replication position); the streaming chain appends
+  *                   from there
   *     classifier-train train the logistic-regression quality gate on
   *                   GRAFT_CLF_DOCS parquet (GRAFT_CLF_STEPS, def 3;
   *                   GRAFT_CLF_LR milli, def 100;
@@ -1015,6 +1020,28 @@ object GraftApp {
           v.sink(whRoot).bootstrap(spark, base.snapshot(spark))
           val groups = v.sink(whRoot).read(spark).count()
           s"agg-view-bootstrap ${v.table}/${v.name}: $groups live groups"
+        }
+      case "history-bootstrap" =>
+        // declare SCD2 history over an ALREADY-replicated table: seed
+        // one open version per replica row at the snapshot's
+        // replication position (GRAFT_HISTORY_BOOTSTRAP_LSN), then the
+        // streaming chain appends (run offline, like project-bootstrap)
+        val declared = parseHistoryTables(env)
+        require(declared.nonEmpty,
+          "GRAFT_HISTORY_TABLES is required for history-bootstrap")
+        val bootLsn = env.getOrElse("GRAFT_HISTORY_BOOTSTRAP_LSN",
+          throw new IllegalArgumentException(
+            "GRAFT_HISTORY_BOOTSTRAP_LSN (the snapshot's replication " +
+              "position) is required for history-bootstrap")).toLong
+        declared.map { case (table, hkeys) =>
+          val keys = if (hkeys.nonEmpty) hkeys else keysFor(table)
+          val base = new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/$table", keys, buckets)
+          val hist = new graft.sinks.HistorySink(
+            s"$whRoot/_history/$table", keys, buckets)
+          hist.bootstrap(spark, base.snapshot(spark), bootLsn)
+          val seeded = hist.history(spark).count()
+          s"history-bootstrap $table: $seeded versions seeded at lsn $bootLsn"
         }
       case "project-bootstrap" =>
         val defs = parseProjections(env, buckets)

@@ -226,6 +226,42 @@ class HistorySinkSpec extends SparkSpecBase {
     assert(stateOf(h.asOf(spark, 5)) == at5)
   }
 
+  test("bootstrap seeds open versions from a replica snapshot; changes() slices") {
+    val root = java.nio.file.Files.createTempDirectory("hist-b").toFile.getAbsolutePath
+    // an already-replicated table (no history yet): 3 live rows at lsn 10
+    CdcPipeline.applyWarehouseBatch(
+      Seq(ins(8, 1, 10), ins(9, 2, 20), ins(10, 3, 30)).toDS(),
+      root, 4, batchId = 0)
+    val lines = graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "history-bootstrap",
+      "GRAFT_WAREHOUSE_DIR" -> root,
+      "GRAFT_WAREHOUSE_BUCKETS" -> "4",
+      "GRAFT_HISTORY_TABLES" -> "public.t1:id",
+      "GRAFT_HISTORY_BOOTSTRAP_LSN" -> "10"))
+    assert(lines.contains(
+      "history-bootstrap public.t1: 3 versions seeded at lsn 10"), lines)
+    // the chain continues from the bootstrap point
+    CdcPipeline.applyWarehouseBatch(
+      Seq(upd(11, 1, 10, 11), del(12, 3, 30)).toDS(),
+      root, 4, batchId = 1, historyTables = hist)
+    val h = sinkOf(root)
+    assert(stateOf(h.asOf(spark, 10)) ==
+      Set(("1", "10"), ("2", "20"), ("3", "30")))
+    assert(stateOf(h.asOf(spark, 12)) == Set(("1", "11"), ("2", "20")))
+    assert(stateOf(h.asOf(spark, 12)) ==
+      stateOf(spark.read.parquet(s"$root/public.t1")))
+    // incremental re-fetch: only versions opened after the consumer's
+    // high-water mark, with store-final intervals
+    val delta = h.changes(spark, 10).collect()
+      .map(r => (r.getString(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("op")),
+        r.getLong(r.fieldIndex("valid_from")))).toSet
+    assert(delta == Set(("1", "u", 11L), ("3", "d", 12L)))
+    // the bootstrap row the update closed shows the closure
+    val closed = h.probe(spark, Seq("1")).collect().head
+    assert(closed.getLong(closed.fieldIndex("valid_to")) == 11L)
+  }
+
   test("history verb: heal+fold, counts, asof and probe read-outs from env") {
     val root = java.nio.file.Files.createTempDirectory("hist-v").toFile.getAbsolutePath
     CdcPipeline.applyWarehouseBatch(
