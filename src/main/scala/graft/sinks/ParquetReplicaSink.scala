@@ -105,11 +105,13 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
   }
 
   /** Sidecar schema unified with this batch's columns. Returns
-    * (schema, evolved?) — evolved means the sidecar must be rewritten.
+    * (schema, evolved?, added column names) — evolved means the sidecar
+    * must be rewritten (a superset of added.nonEmpty: the one-time
+    * legacy/fresh migrations rewrite without necessarily adding).
     * A legacy table without a sidecar pays ONE mergeSchema inference and
     * is migrated on its next batch. */
-  private def unifiedSchema(spark: SparkSession,
-                            batchPayload: StructType): (StructType, Boolean) =
+  private def unifiedSchema(spark: SparkSession, batchPayload: StructType)
+      : (StructType, Boolean, Seq[String]) =
     readSidecar(spark) match {
       case Some((n, s)) =>
         require(n == numBuckets,
@@ -117,16 +119,70 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
             s"with $numBuckets — run rebucket() instead of mixing hash layouts")
         val known = s.fieldNames.toSet
         val added = batchPayload.fields.filterNot(f => known.contains(f.name))
-        (StructType(s.fields ++ added), added.nonEmpty)
+        (StructType(s.fields ++ added), added.nonEmpty,
+          added.map(_.name).toSeq)
       case None if bucketDirs(spark).nonEmpty =>
         // pre-sidecar table: one-time full inference, then self-migrate
         val inferred = StructType(spark.read.option("mergeSchema", "true")
           .parquet(path).drop("bucket").schema)
         val known = inferred.fieldNames.toSet
         val added = batchPayload.fields.filterNot(f => known.contains(f.name))
-        (StructType(inferred.fields ++ added), true)
-      case None => (batchPayload, true)
+        (StructType(inferred.fields ++ added), true, added.map(_.name).toSeq)
+      case None =>
+        // a FRESH table's first batch: every column is new
+        (batchPayload, true, batchPayload.fieldNames.toSeq)
     }
+
+  // ----------------------------------------------------------- schema log
+
+  /** Append-only audit of sidecar widenings: one entry per batch that
+    * ADDED columns — (batchId, the batch's max LSN, added names, the
+    * full column list after). "When did column X appear" without
+    * replaying the stream. Idempotent under replay: an entry keyed by
+    * the same batchId is replaced, and the log is written tmp+rename
+    * like its sidecar siblings. Bounded by the number of schema
+    * CHANGES, not batches — schema drift is rare by nature. */
+  private def schemaLogPath = new Path(path, "_graft_schema_log.json")
+
+  /** (batchId, maxLsn, addedCols, columnsAfter) entries, batch order. */
+  def schemaLog(spark: SparkSession): Seq[(Long, Long, Seq[String], Seq[String])] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(schemaLogPath)) Seq.empty
+    else {
+      val in = fs.open(schemaLogPath)
+      val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      import scala.jdk.CollectionConverters._
+      node.get("entries").elements().asScala.map { e =>
+        (e.get("batchId").asLong(), e.get("lsn").asLong(),
+          e.get("added").elements().asScala.map(_.asText()).toSeq,
+          e.get("columns").elements().asScala.map(_.asText()).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+  }
+
+  private def appendSchemaLog(spark: SparkSession, batchId: Long, lsn: Long,
+                              added: Seq[String], schema: StructType): Unit = {
+    val entries = schemaLog(spark).filterNot(_._1 == batchId) :+
+      ((batchId, lsn, added, schema.fieldNames.toSeq))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    val arr = rootNode.putArray("entries")
+    entries.sortBy(_._1).foreach { case (b, l, a, cs) =>
+      val e = arr.addObject()
+      e.put("batchId", b); e.put("lsn", l)
+      val aa = e.putArray("added"); a.foreach(aa.add)
+      val ca = e.putArray("columns"); cs.foreach(ca.add)
+    }
+    val fs = fsOf(spark)
+    fs.mkdirs(root)
+    val tmp = new Path(path, "_graft_schema_log.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(schemaLogPath.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, schemaLogPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   // -------------------------------------------------------------- zone maps
 
@@ -470,9 +526,16 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       .drop("__rn"))
 
     val batchPayload = StructType(winners.drop("op", "lsn", "bucket").schema)
-    val (schema, evolved) = unifiedSchema(spark, batchPayload)
+    val (schema, evolved, added) = unifiedSchema(spark, batchPayload)
     // widen the sidecar BEFORE touching data (see class doc)
     if (evolved) writeSidecar(spark, schema)
+    if (added.nonEmpty) {
+      // audit the widening; max(lsn) is one tiny job on the batch and
+      // only ever runs on a schema-change batch
+      val maxLsn = Option(batch.agg(max("lsn")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
+      appendSchemaLog(spark, batchId, maxLsn, added, schema)
+    }
 
     // ≤ numBuckets ints — bounded driver collect, not data-sized
     val touched = winners.select("bucket").distinct()

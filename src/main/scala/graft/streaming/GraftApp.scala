@@ -134,6 +134,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_HISTORY_RETAIN_BELOW=<lsn> ages out versions
   *                   whose validity ended at/before the horizon (asOf
   *                   at/after it is untouched)
+  *     schema-log    print every replica's schema-drift audit (one
+  *                   entry per sidecar widening: batch, max LSN, added
+  *                   columns, resulting schema)
   *     history-bootstrap declare SCD2 history over an ALREADY-replicated
   *                   table: seed one open version per replica row at
   *                   GRAFT_HISTORY_BOOTSTRAP_LSN (the snapshot's
@@ -527,6 +530,18 @@ object GraftApp {
             s"${done.size} buckets"
         }
         tables ++ projections
+      case "schema-log" =>
+        // schema-drift audit: every sidecar widening each replica ever
+        // recorded — batch, max LSN, added columns, resulting schema
+        tableDirs(whRoot).flatMap { t =>
+          val log = new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/$t", keysFor(t), buckets).schemaLog(spark)
+          if (log.isEmpty) Seq(s"schema-log $t: no recorded changes")
+          else log.map { case (b, l, a, cs) =>
+            s"schema-log $t: batch $b lsn $l added ${a.mkString(",")} " +
+              s"-> ${cs.mkString(",")}"
+          }
+        }
       case "retain" =>
         val table = env.getOrElse("GRAFT_RETAIN_TABLE",
           throw new IllegalArgumentException("GRAFT_RETAIN_TABLE is required"))

@@ -178,6 +178,18 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(got("1") == ("a2", Some("y")))
     assert(got("3") == ("c", Some("x")))
     assert(got("2") == ("b", None), "pre-evolution row backfills null")
+    // the schema log audits both widenings — the fresh table's full
+    // initial set, then the drift — with the evolving batch's max LSN
+    assert(sink.schemaLog(spark) == Seq(
+      (0L, 2L, Seq("id", "val"), Seq("id", "val")),
+      (1L, 4L, Seq("extra"), Seq("id", "val", "extra"))))
+    // replayed evolving batch replaces its entry instead of duplicating
+    sink.applyBatch(spark, b2, 1)
+    assert(sink.schemaLog(spark).size == 2, "replay must not duplicate log")
+    // a no-drift batch adds nothing
+    sink.applyBatch(spark,
+      Seq(("4", "d", "z", "c", 5L)).toDF("id", "val", "extra", "op", "lsn"), 2)
+    assert(sink.schemaLog(spark).size == 2)
   }
 
   test("warehouse path discards aborted streamed transactions") {
