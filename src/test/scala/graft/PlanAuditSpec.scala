@@ -166,6 +166,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(shuffles.size <= 3, s"sessionization shuffles: ${shuffles.size}")
   }
 
+  test("scd2/time-travel: one key shuffle; the asof boundary broadcasts") {
+    // cdc_scd2 is one window over the key clustering + the final
+    // presentation sort — interval derivation must not add shuffles
+    val s = q("cdc_scd2")
+    s.count()
+    val sShuffles = collectAll(executed(s)).collect { case e: ShuffleExchangeExec => e }
+    assert(sShuffles.size <= 2, s"scd2 shuffles: ${sShuffles.size}")
+    // cdc_time_travel's scalar boundary joins as a broadcast (1 row),
+    // never a shuffled cartesian
+    val t = q("cdc_time_travel")
+    t.count()
+    val all = collectAll(executed(t))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "time travel has a cartesian product")
+    // minimal plan = the boundary's single-partition max + the key
+    // window + the presentation sort
+    val tShuffles = all.collect { case e: ShuffleExchangeExec => e }
+    assert(tShuffles.size <= 3, s"time-travel shuffles: ${tShuffles.size}")
+  }
+
   test("stratified sampling is a pure scan-side filter (no shuffle before agg)") {
     val d = q("llm_sample_stratified")
     d.count()
