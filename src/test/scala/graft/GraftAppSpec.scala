@@ -120,6 +120,7 @@ class GraftAppSpec extends SparkSpecBase {
     val env = Map(
       "GRAFT_WAL_DIR" -> wal, "GRAFT_WAREHOUSE_DIR" -> root,
       "GRAFT_WAREHOUSE_BUCKETS" -> "4",
+      "GRAFT_HISTORY_TABLES" -> "public.t1",
       "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "-1")
     val w = GraftApp.build(spark, GraftConfig(), env, Trigger.AvailableNow())
     try {
@@ -128,6 +129,12 @@ class GraftAppSpec extends SparkSpecBase {
         s"$root/public.t1", Seq("id"), 4).snapshot(spark)
         .select("id").collect().map(_.getString(0)).toSet
       assert(ids == Set("1", "2", "3"))
+      // the env-declared SCD2 history rode the same stream: one open
+      // version per row, time travel at the tip equals the replica
+      val hist = new graft.sinks.HistorySink(s"$root/_history/public.t1", Nil)
+      val asOfIds = hist.asOf(spark, Long.MaxValue)
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(asOfIds == ids, "history tip must equal the replica")
     } finally GraftApp.shutdown(w)
   }
 
