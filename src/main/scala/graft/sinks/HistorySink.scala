@@ -271,12 +271,20 @@ class HistorySink(path: String, keyCols: Seq[String], numParts: Int = 64)
     if (dirs.size == 1) return finalize(spark, base)
     val fresh = dirs.tail.map(readDir(spark, _, parts))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    val freshKeys = fresh.select(keys.map(col): _*).distinct()
+    // the working-set key filter broadcasts only when it is actually
+    // small (the steady, post-compact case — counting it costs one job
+    // over the fresh dirs alone); a bulk-load-sized fresh set instead
+    // leaves the join strategy to AQE, which would otherwise OOM the
+    // executors materializing a forced broadcast
+    val freshKeys0 = fresh.select(keys.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val freshKeys =
+      if (freshKeys0.count() <= 1000000) broadcast(freshKeys0) else freshKeys0
     val keyEq = (l: DataFrame, r: DataFrame) =>
       keys.map(k => l(k) <=> r(k)).reduce(_ && _)
-    val untouched = base.join(broadcast(freshKeys),
+    val untouched = base.join(freshKeys,
       keyEq(base, freshKeys), "left_anti")
-    val touched = base.join(broadcast(freshKeys),
+    val touched = base.join(freshKeys,
         keyEq(base, freshKeys), "left_semi")
       .unionByName(fresh, allowMissingColumns = true)
       .withColumn("valid_to", lead("valid_from", 1).over(keyWindow(keys)))
