@@ -297,7 +297,14 @@ object Bpe {
     * output joined with a shard column): concatenate each shard's docs in
     * id order and cut every `budget` tokens — docs STRADDLE sequence
     * boundaries (standard trainer packing), so every sequence except a
-    * shard's last is exactly full. Output: (srcCol, seq_id, ids).
+    * shard's last is exactly full. Output: (srcCol, seq_id, ids, spans)
+    * where `spans` is the ordered list of document extents inside the
+    * sequence — `struct(doc_id, off, len)`, offsets 0-based, contiguous,
+    * Σ len = |ids|. The spans column is what lets a trainer build the
+    * block-diagonal attention mask (no cross-document attention) and
+    * the loss mask at document boundaries without re-deriving packing;
+    * it also addresses each packed slice back to its source document
+    * for audit/decontamination after the fact.
     *
     * Scale factoring: packing is inherently sequential, so the scale
     * unit is the shard — one window partition per `srcCol` computes
@@ -305,6 +312,7 @@ object Bpe {
     * per-doc explode over the ≤ ⌈len/budget⌉+1 sequences the doc
     * overlaps, with the overlapping id slice carried along; sequences
     * reassemble with a (shard, seq) groupBy + ordered array flatten.
+    * The spans ride the SAME parts aggregate — no extra shuffle.
     * No corpus-sized imperative pass, no global order — the same
     * shard-window discipline as the `llm_pack` budget report. */
   def packSequences(docIds: DataFrame, budget: Int,
@@ -331,9 +339,18 @@ object Bpe {
         (col("frm") - col("start") + 1).cast("int"),
         (col("to") - col("frm")).cast("int")))
       .groupBy(srcCol, "seq_id")
-      .agg(collect_list(struct(col("start"), col("sl"))).as("parts"))
+      // `start` leads the struct so array_sort orders parts by corpus
+      // position (unique within a sequence — comparison never falls
+      // through to the later fields)
+      .agg(collect_list(struct(col("start"), col("sl"),
+        col(idCol).as("did"),
+        (col("frm") - col("seq_id") * B).as("off"),
+        (col("to") - col("frm")).as("slen"))).as("parts"))
       .select(col(srcCol), col("seq_id"),
         flatten(transform(array_sort(col("parts")), s => s.getField("sl")))
-          .as("ids"))
+          .as("ids"),
+        transform(array_sort(col("parts")), p =>
+          struct(p.getField("did").as("doc_id"), p.getField("off").as("off"),
+            p.getField("slen").as("len"))).as("spans"))
   }
 }

@@ -814,6 +814,30 @@ object LlmQueries {
         .orderBy("source", "seq_id")
     }),
 
+    // Packed-sequence DOC SPANS — the attention/loss-mask side of the
+    // trainer hand-off: per sequence, the ordered (doc_id, off, len)
+    // extents that tile it. A trainer uses these to build the
+    // block-diagonal attention mask (no cross-document attention) and
+    // to zero the loss at document boundaries; they also address every
+    // packed slice back to its source doc for post-hoc audit. The spans
+    // ride packSequences' existing parts aggregate — zero extra
+    // shuffles at any scale.
+    "llm_pack_spans" -> ((s, d) => {
+      import graft.llmops.Bpe
+      Bpe.packSequences(
+          bpeSeq(s, d).join(documents(s, d).select("doc_id", "source"), "doc_id"),
+          budget = 256)
+        .select(col("source"), col("seq_id"),
+          size(col("spans")).cast("long").as("n_spans"),
+          concat_ws("|", transform(col("spans"), p =>
+            concat_ws(":", p.getField("doc_id").cast("string"),
+              p.getField("off").cast("string"),
+              p.getField("len").cast("string")))).as("spans_str"),
+          expr("aggregate(spans, 0L, (a, x) -> a + x.len)").as("span_tokens"),
+          size(col("ids")).cast("long").as("n_ids"))
+        .orderBy("source", "seq_id")
+    }),
+
     // Eval-set contamination: docs whose shingle overlap with the
     // "held-out" set (doc_id < 20 stands in for an eval benchmark)
     // crosses the threshold — the decontamination gate every training
@@ -2508,6 +2532,37 @@ object LlmQueries {
          |  array_to_string(ids[1:8], '-') AS ids_head,
          |  CAST(list_sum(ids) AS BIGINT) AS ids_sum
          |FROM pk ORDER BY source, seq_id""".stripMargin
+    },
+    "llm_pack_spans" -> {
+      val B = 256
+      s"""WITH $bpeSeqCtes,
+         |pk0 AS (
+         |  SELECT d.source, b.doc_id, b.ids, len(b.ids)::BIGINT AS l
+         |  FROM bseq b JOIN documents d USING (doc_id)
+         |  WHERE len(b.ids) > 0),
+         |pk1 AS (
+         |  SELECT source, doc_id, ids, l,
+         |    (sum(l) OVER (PARTITION BY source ORDER BY doc_id
+         |                 ROWS UNBOUNDED PRECEDING) - l)::BIGINT AS start
+         |  FROM pk0),
+         |pk2 AS (
+         |  SELECT source, doc_id, l, start,
+         |    unnest(range((start // $B)::BIGINT,
+         |                 ((start + l - 1) // $B + 1)::BIGINT)) AS seq_id
+         |  FROM pk1),
+         |pk3 AS (
+         |  SELECT source, seq_id, start, doc_id,
+         |    (greatest(start, seq_id * $B) - seq_id * $B)::BIGINT AS off,
+         |    (least(start + l, (seq_id + 1) * $B)
+         |     - greatest(start, seq_id * $B))::BIGINT AS len
+         |  FROM pk2)
+         |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+         |  count(*)::BIGINT AS n_spans,
+         |  string_agg(doc_id || ':' || off || ':' || len, '|'
+         |             ORDER BY start) AS spans_str,
+         |  CAST(sum(len) AS BIGINT) AS span_tokens,
+         |  CAST(sum(len) AS BIGINT) AS n_ids
+         |FROM pk3 GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
     },
     "llm_bpe_encode" ->
       s"""WITH $bpeSeqCtes

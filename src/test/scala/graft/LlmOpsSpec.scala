@@ -1366,6 +1366,39 @@ class LlmOpsSpec extends SparkSpecBase {
       assert(repacked == streams(src), s"$src: packing mangled the stream")
     }
 
+    // spans: the ordered doc extents inside each sequence must tile it
+    // exactly (off contiguous from 0, Σ len = |ids|), and re-slicing the
+    // packed ids by span then concatenating per doc across sequences
+    // must reproduce every doc's id stream — the attention/loss-mask
+    // contract a trainer builds from
+    val withSpans = Bpe.packSequences(perDoc, budget = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2),
+        r.getSeq[org.apache.spark.sql.Row](3)))
+    withSpans.foreach { case (src, sid, ids, spans) =>
+      var off = 0L
+      spans.foreach { sp =>
+        assert(sp.getLong(1) == off, s"$src/$sid: span offsets not contiguous")
+        assert(sp.getLong(2) > 0, s"$src/$sid: empty span")
+        off += sp.getLong(2)
+      }
+      assert(off == ids.length, s"$src/$sid: spans do not tile the sequence")
+    }
+    val docStream = perDoc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reassembled = withSpans
+      .flatMap { case (_, sid, ids, spans) =>
+        spans.map(sp => (sp.getLong(0), sid, sp.getLong(1),
+          ids.slice(sp.getLong(1).toInt, (sp.getLong(1) + sp.getLong(2)).toInt)))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).flatMap(_._4).toSeq).toMap
+    assert(reassembled.keySet ==
+      docStream.collect { case (d, ids) if ids.nonEmpty => d }.toSet,
+      "span doc coverage")
+    reassembled.foreach { case (did, seq) =>
+      assert(seq == docStream(did), s"doc $did: span reassembly mangled ids")
+    }
+
     // boundary budgets: 1 (every token its own sequence), 7 (straddles
     // everywhere), and larger-than-any-shard (exactly one sequence per
     // shard) — the same invariants must hold at each
