@@ -352,11 +352,21 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     * conjunctions intersect, disjunctions union, supported leaves are
     * =, <, <=, >, >=, IN between a stat column and foldable literals of
     * a matching string/numeric type; anything else is conservatively
-    * "every bucket". None = no zone sidecar yet (no pruning possible). */
+    * "every bucket". Equality/IN leaves on a bloom-declared column
+    * additionally test the per-bucket bloom ([[bloomMay]]) — the range
+    * and membership prunes intersect. None = neither sidecar yet (no
+    * pruning possible). */
   private[graft] def zoneCandidates(spark: SparkSession,
                                     pred: org.apache.spark.sql.Column)
       : Option[Seq[Int]] = {
-    val zonesOpt = readZones(spark)
+    val zonesOpt0 = readZones(spark)
+    val bloomsOpt = readBlooms(spark)
+    // blooms alone still prune equalities: an absent zone sidecar
+    // degrades to the empty map (every bucket range-unknown)
+    val zonesOpt =
+      if (zonesOpt0.isEmpty && bloomsOpt.isDefined)
+        Some(Map.empty[Int, Map[String, (String, String)]])
+      else zonesOpt0
     val schemaOpt = readSidecar(spark).map(_._2)
     (zonesOpt, schemaOpt) match {
       case (Some(zones), Some(schema)) =>
@@ -406,13 +416,16 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
           }
         def candsCmp(name: String, v: String, op: String): Set[Int] = {
           val t = types(name)
-          all.filter(b => mayMatch(b, name, { case (mn, mx) => op match {
+          val ranged = all.filter(b => mayMatch(b, name, { case (mn, mx) => op match {
             case "="  => zoneLe(t, mn, v) && zoneLe(t, v, mx)
             case "<"  => zoneLt(t, mn, v)
             case "<=" => zoneLe(t, mn, v)
             case ">"  => zoneLt(t, v, mx)
             case ">=" => zoneLe(t, v, mx)
           }}))
+          // equality also consults the bloom index (range ∩ membership)
+          if (op == "=") ranged.filter(bloomMay(bloomsOpt, _, name, v))
+          else ranged
         }
         def walk(e: Expression): Set[Int] = e match {
           case And(l, r) => walk(l) & walk(r)
@@ -549,9 +562,10 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       // nothing to merge with: plain insert of the batch winners
       lastPlannedFiles = Nil
       val inserts = winners.filter(col("op") =!= "d").drop("op", "lsn")
-      // zones BEFORE data, widened (see the zone-map soundness note)
+      // zones + blooms BEFORE data, widened/OR'd (soundness notes above)
       writeZones(spark, widen(schema,
         readZones(spark).getOrElse(Map.empty), statsOf(inserts, schema)))
+      maintainBlooms(spark, inserts)
       inserts.write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
     } else {
       // partition pruning: ONLY touched bucket dirs are listed/opened,
@@ -581,10 +595,11 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
       val materialized = sortedByKey(
         next.repartition(math.max(touched.length, 1), col("bucket")))
         .localCheckpoint(eager = true)
-      // zones BEFORE the rewrite, widened old ∪ next-state: a crash
-      // between the two leaves ranges that are only ever too wide
+      // zones + blooms BEFORE the rewrite, widened/OR'd old ∪ next-state:
+      // a crash between the two leaves stats that are only ever too wide
       writeZones(spark, widen(schema,
         readZones(spark).getOrElse(Map.empty), statsOf(materialized, schema)))
+      maintainBlooms(spark, materialized)
       materialized.write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -629,6 +644,9 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     // scans keep skipping it — a bucket with no entry at all would be
     // "unknown", which is always read
     writeZones(spark, Map(0 -> Map.empty))
+    // same for a declared bloom index: one recorded-but-empty bucket
+    readBlooms(spark).foreach(bi =>
+      writeBlooms(spark, bi.copy(buckets = Map(0 -> Map.empty))))
   }
 
   // ---------------------------------------------------------------- compact
@@ -822,10 +840,13 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     val next = new ParquetReplicaSink(path, keyCols, newNumBuckets)
     if (fs.exists(staging) &&
         fs.exists(new Path(staging, "_graft_rebucket_done"))) {
-      // a previous run crashed mid-swap: roll forward
+      // a previous run crashed mid-swap: roll forward (carrying the
+      // bloom declaration out of whichever root survives)
+      val decl = readBlooms(spark)
       if (fs.exists(root)) fs.delete(root, true)
       fs.rename(staging, root)
       next.recomputeZones(spark)
+      decl.foreach(bi => next.buildBlooms(spark, bi.cols, bi.m, bi.k))
       return next
     }
     if (fs.exists(staging)) fs.delete(staging, true)
@@ -840,9 +861,13 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
     new ParquetReplicaSink(staging.toString, keyCols, newNumBuckets)
       .writeSidecar(spark, schema)
     fs.create(new Path(staging, "_graft_rebucket_done"), true).close()
+    // the staging dir has no bloom sidecar — capture the declaration
+    // before the old root (and its sidecar) goes away, rebuild after
+    val bloomDecl = readBlooms(spark)
     fs.delete(root, true)
     fs.rename(staging, root)
     next.recomputeZones(spark)
+    bloomDecl.foreach(bi => next.buildBlooms(spark, bi.cols, bi.m, bi.k))
     next
   }
 
@@ -856,4 +881,214 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
           .schema(StructType(s.fields :+ StructField("bucket", IntegerType)))
           .option("basePath", path).parquet(path), s))
     }
+
+  // ------------------------------------------------------ bloom skip index
+
+  /** Per-bucket Bloom filters over DECLARED columns — the EQUALITY
+    * companion of the zone maps. Zones prune ranges, but only when the
+    * column's values correlate with the bucket layout; a point predicate
+    * on a layout-UNcorrelated high-cardinality column (an order number,
+    * a request id, an email hash) spans every bucket's min/max and zones
+    * prune nothing. A per-bucket bloom answers "does bucket b possibly
+    * contain value v" from O(1) sidecar metadata: `col = v` / `IN (…)`
+    * predicates on a declared column skip every bucket whose filter
+    * provably excludes the value — at 100 TB, a point lookup on a
+    * non-key column plans a handful of bucket dirs instead of the table.
+    *
+    * One JSON sidecar `_graft_blooms.json`: `{m, k, cols, buckets:
+    * {bucket → {col → hex bitset}}}`. m bits (multiple of 64) per
+    * (bucket, column), k deterministic salted-md5 positions per value —
+    * the same hash family on the distributed write side (Spark md5 over
+    * the value's string cast) and the driver consult side
+    * (MessageDigest over the literal's rendering), so membership tests
+    * are exact re-computations, never approximations of each other.
+    * Eligible column types are strings and integral numerics only:
+    * their Spark `CAST(… AS STRING)` and the literal's `toString` agree
+    * byte-for-byte, which float/decimal renderings do not guarantee
+    * (floats stay zone-served).
+    *
+    * Soundness discipline (the zone-map argument, specialized to sets):
+    * the streaming path ([[applyBatch]]) ORs the batch's bits in BEFORE
+    * writing data — a crash between the two leaves bits that are only
+    * ever EXTRA, which can suppress a skip, never cause a wrong one.
+    * Updates/deletes leave stale bits (same one-sided error);
+    * [[recomputeBlooms]] / the `bloom-build` verb restore exactness
+    * offline. A column absent from a bucket's entry means no non-NULL
+    * value of it was ever recorded there → equality cannot match →
+    * skippable; a bucket with no entry at all is always read. */
+  private def bloomsPath = new Path(path, "_graft_blooms.json")
+
+  private[graft] case class BloomIndex(m: Int, k: Int, cols: Seq[String],
+      buckets: Map[Int, Map[String, Array[Long]]])
+
+  private def bloomEligible(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Distributed k salted positions of a column value — md5 of
+    * "salt:value", first 60 bits, mod m. */
+  private def bloomPosExpr(salt: Int, c: org.apache.spark.sql.Column, m: Int)
+      : org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt:"), c.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(m.toLong))
+
+  /** Driver-side replay of [[bloomPosExpr]] for a rendered literal. */
+  private def bloomPositions(v: String, m: Int, k: Int): Seq[Int] =
+    (0 until k).map { salt =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$v".getBytes(UTF_8))
+      val hex = md.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % m).toInt
+    }
+
+  private[graft] def readBlooms(spark: SparkSession): Option[BloomIndex] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(bloomsPath)) None
+    else {
+      val in = fs.open(bloomsPath)
+      val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      import scala.jdk.CollectionConverters._
+      val m = node.get("m").asInt(); val k = node.get("k").asInt()
+      val cols = node.get("cols").elements().asScala.map(_.asText()).toSeq
+      val buckets = node.get("buckets").properties().asScala.map { e =>
+        e.getKey.toInt -> e.getValue.properties().asScala.map { c =>
+          c.getKey -> c.getValue.asText().grouped(16)
+            .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+        }.toMap
+      }.toMap
+      Some(BloomIndex(m, k, cols, buckets))
+    }
+  }
+
+  private def writeBlooms(spark: SparkSession, bi: BloomIndex): Unit = {
+    val fs = fsOf(spark)
+    fs.mkdirs(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("m", bi.m); rootNode.put("k", bi.k)
+    val ca = rootNode.putArray("cols")
+    bi.cols.foreach(ca.add)
+    val bn = rootNode.putObject("buckets")
+    bi.buckets.toSeq.sortBy(_._1).foreach { case (b, cols) =>
+      val cn = bn.putObject(b.toString)
+      cols.toSeq.sortBy(_._1).foreach { case (c, words) =>
+        cn.put(c, words.map(w => f"$w%016x").mkString)
+      }
+    }
+    val tmp = new Path(path, "_graft_blooms.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(bloomsPath.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, bloomsPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Per-(bucket, column) bloom words of `withBuckets` — one partial
+    * aggregation (explode factor k per declared column), collected as
+    * ≤ buckets × cols × m/64 longs: bounded metadata, never data-sized. */
+  private def bloomWordsOf(withBuckets: DataFrame, cols: Seq[String],
+      m: Int, k: Int): Map[Int, Map[String, Array[Long]]] = {
+    val present = cols.filter(withBuckets.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val exploded = present.map { c =>
+      withBuckets.filter(col(c).isNotNull)
+        .select(col("bucket"), lit(c).as("__c"),
+          explode(array((0 until k).map(bloomPosExpr(_, col(c), m)): _*))
+            .as("__p"))
+    }.reduce(_ unionByName _)
+    exploded
+      .select(col("bucket"), col("__c"), expr("__p div 64").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").as("__b"))
+      .groupBy("bucket", "__c", "__w")
+      .agg(expr("bit_or(__b)").as("__bits"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) =>
+        b -> rows.toSeq.groupBy(_.getString(1)).map { case (c, rs) =>
+          val words = new Array[Long](m / 64)
+          rs.foreach(r => words(r.getLong(2).toInt) |= r.getLong(3))
+          c -> words
+        }
+      }
+  }
+
+  /** Declare + exactly build the bloom index over `cols` — offline, the
+    * entry point (and the staleness reset, see class doc). Rejects
+    * non-existent or non-eligible columns loudly rather than recording
+    * an index that could never prune soundly. */
+  def buildBlooms(spark: SparkSession, cols: Seq[String],
+                  m: Int = 4096, k: Int = 3): Unit = {
+    require(cols.nonEmpty, "buildBlooms: at least one column")
+    require(m > 0 && m % 64 == 0, s"buildBlooms: m=$m must be a multiple of 64")
+    require(k >= 1, s"buildBlooms: k=$k")
+    val schema = readSidecar(spark).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"buildBlooms: $path has no schema sidecar"))
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach { c =>
+      val t = types.getOrElse(c, throw new IllegalArgumentException(
+        s"buildBlooms: unknown column $c"))
+      require(bloomEligible(t),
+        s"buildBlooms: $c is $t — only string/integral columns have a " +
+          "reproducible string rendering (floats stay zone-served)")
+    }
+    val buckets =
+      if (bucketDirs(spark).isEmpty) Map.empty[Int, Map[String, Array[Long]]]
+      else bloomWordsOf(
+        spark.read
+          .schema(StructType(schema.fields :+ StructField("bucket", IntegerType)))
+          .option("basePath", path).parquet(path), cols, m, k)
+    writeBlooms(spark, BloomIndex(m, k, cols, buckets))
+  }
+
+  /** OR the batch's values into the index BEFORE the caller writes data
+    * (the widen-before-write soundness order). No-op without a declared
+    * index. `withBuckets` must carry the bucket column. */
+  private def maintainBlooms(spark: SparkSession, withBuckets: DataFrame): Unit =
+    readBlooms(spark).foreach { bi =>
+      val add = bloomWordsOf(withBuckets, bi.cols, bi.m, bi.k)
+      if (add.nonEmpty) {
+        val merged = (bi.buckets.keySet ++ add.keySet).map { b =>
+          val o = bi.buckets.getOrElse(b, Map.empty[String, Array[Long]])
+          val a = add.getOrElse(b, Map.empty[String, Array[Long]])
+          b -> (o.keySet ++ a.keySet).map { c =>
+            c -> ((o.get(c), a.get(c)) match {
+              case (Some(x), Some(y)) => x.zip(y).map(t => t._1 | t._2)
+              case (Some(x), None) => x
+              case (None, y) => y.get
+            })
+          }.toMap
+        }.toMap
+        writeBlooms(spark, bi.copy(buckets = merged))
+      }
+    }
+
+  /** Exact rebuild from the current layout with the declared cols/m/k —
+    * offline; drops the stale bits updates/deletes/retain left behind. */
+  def recomputeBlooms(spark: SparkSession): Unit =
+    readBlooms(spark).foreach(bi => buildBlooms(spark, bi.cols, bi.m, bi.k))
+
+  /** May bucket `b` contain `v` in column `c`? Sidecar absent / column
+    * undeclared / bucket unrecorded → unknown (true). */
+  private def bloomMay(bloomsOpt: Option[BloomIndex], b: Int, c: String,
+                       v: String): Boolean = bloomsOpt match {
+    case None => true
+    case Some(bi) =>
+      if (!bi.cols.contains(c)) true
+      else bi.buckets.get(b) match {
+        case None => true
+        case Some(cm) => cm.get(c) match {
+          case None => false // no non-NULL value of c ever landed in b
+          case Some(words) => bloomPositions(v, bi.m, bi.k)
+            .forall(p => ((words(p / 64) >>> (p % 64)) & 1L) == 1L)
+        }
+      }
+  }
 }

@@ -562,6 +562,24 @@ object GraftApp {
         new graft.sinks.ParquetReplicaSink(s"$whRoot/$table", keys, buckets)
           .rebucket(spark, to)
         Seq(s"rebucket $table: -> $to buckets")
+      case "bloom-build" =>
+        // declare + exactly (re)build per-bucket bloom skip indexes:
+        // the equality companion of the zone maps for point predicates
+        // on layout-uncorrelated columns. Re-running the verb is also
+        // the staleness reset after heavy update/delete churn.
+        val specs = env.getOrElse("GRAFT_BLOOM_TABLES",
+          throw new IllegalArgumentException(
+            "GRAFT_BLOOM_TABLES is required (table:col1+col2,...)"))
+        val m = env.get("GRAFT_BLOOM_BITS").map(_.toInt).getOrElse(4096)
+        val k = env.get("GRAFT_BLOOM_HASHES").map(_.toInt).getOrElse(3)
+        specs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { sp =>
+          val Array(t, cs) = sp.split(":", 2)
+          val cols = cs.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq
+          new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/$t", keysFor(t), buckets)
+            .buildBlooms(spark, cols, m, k)
+          s"bloom-build $t: ${cols.mkString("+")} m=$m k=$k"
+        }
       case "spill" =>
         val spillDir = s"$whRoot/_txspill"
         val maxFiles = env.get("GRAFT_SPILL_MAX_FILES").map(_.toInt).getOrElse(16)

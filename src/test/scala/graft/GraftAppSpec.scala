@@ -408,6 +408,18 @@ class GraftAppSpec extends SparkSpecBase {
     // retention deleted the matching rows, kept the rest
     val vals = sink.snapshot(spark).select("val").as[Int].collect()
     assert(vals.forall(_ < 900) && vals.length == 100 - 11 + 6)
+
+    // bloom-build: declare a point-lookup skip index from env alone;
+    // the next scan on the declared column plans ~one bucket dir
+    val bloomLines = GraftApp.maintenance(spark, env ++ Map(
+      "GRAFT_MAINTENANCE" -> "bloom-build",
+      "GRAFT_BLOOM_TABLES" -> "public.t1:id"))
+    assert(bloomLines.exists(_.startsWith("bloom-build public.t1: id")),
+      bloomLines.mkString("; "))
+    assert(sink.scan(spark, col("id") === 77).count() == 1)
+    assert(sink.lastScanPlannedBuckets == 1,
+      s"bloom-build verb: planned ${sink.lastScanPlannedBuckets}")
+
     // the folded spill txid still seals completely afterwards
     val sealedTx = TxnSpill.resolve(Seq(CdcEvent(
       graft.streaming.TxnAssembler.Ctl.StreamCommit, 1000L, 7L, ts, null, null,

@@ -965,4 +965,90 @@ class ParquetReplicaSpec extends SparkSpecBase {
     sink.retain(spark, col("score") < 0.0)
     assert(sink.snapshot(spark).count() == 4)
   }
+
+  /** Bloom skip index: zones prune ranges on layout-correlated columns;
+    * a point predicate on a layout-UNcorrelated high-cardinality column
+    * spans every bucket's min/max and zones prune nothing — the
+    * per-bucket bloom is what turns that lookup into ~one planned dir. */
+  test("bloom skip index: equality on an uncorrelated column plans one bucket; maintained online, exact after recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-blooms").toFile.getAbsolutePath + "/t1"
+    val sink = new ParquetReplicaSink(path, Seq("id"), numBuckets = 16)
+    // ref is unique per row and UNRELATED to hash(id): every bucket's
+    // [min, max] ref range overlaps every other's, so zone consult
+    // alone cannot skip an equality on it
+    val batch = (1 to 400).map(i => (i, f"ref$i%05d", i.toLong * 10, "c", i.toLong))
+      .toDF("id", "ref", "amt", "op", "lsn")
+    sink.applyBatch(spark, batch, 0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.select("id").as[Int].collect().toSet
+    // pre-bloom baseline: the equality scan reads many buckets
+    sink.scan(spark, col("ref") === "ref00042").count()
+    assert(sink.lastScanPlannedBuckets > 8,
+      s"uncorrelated equality should not zone-prune: ${sink.lastScanPlannedBuckets}")
+
+    sink.buildBlooms(spark, Seq("ref"))
+    // declared + built: the same point predicate plans exactly one dir
+    val eq = sink.scan(spark, col("ref") === "ref00042")
+    assert(ids(eq) == Set(42))
+    assert(sink.lastScanPlannedBuckets == 1,
+      s"bloom should plan 1 bucket: ${sink.lastScanPlannedBuckets}")
+    // absent value: no bucket's filter admits it — zero dirs, empty result
+    assert(sink.scan(spark, col("ref") === "no-such-ref").count() == 0)
+    assert(sink.lastScanPlannedBuckets == 0,
+      s"absent value planned ${sink.lastScanPlannedBuckets}")
+    // IN-list: union of per-value candidates
+    val inq = sink.scan(spark, col("ref").isin("ref00007", "ref00300"))
+    assert(ids(inq) == Set(7, 300))
+    assert(sink.lastScanPlannedBuckets <= 2)
+    // conjunction: bloom ∩ zone candidates stay sound
+    assert(ids(sink.scan(spark, col("ref") === "ref00042" && col("amt") > 0L)) ==
+      Set(42))
+
+    // streaming maintenance: a new value's bits OR in BEFORE its data
+    // lands, so the very next scan finds it
+    sink.applyBatch(spark,
+      Seq((1001, "fresh-ref", 5L, "c", 1001L)).toDF("id", "ref", "amt", "op", "lsn"), 1)
+    assert(ids(sink.scan(spark, col("ref") === "fresh-ref")) == Set(1001))
+
+    // an update leaves the OLD value's bits stale — sound (reads a
+    // bucket, finds nothing), and recomputeBlooms drops them
+    sink.applyBatch(spark,
+      Seq((42, "moved-ref", 420L, "u", 2000L)).toDF("id", "ref", "amt", "op", "lsn"), 2)
+    assert(sink.scan(spark, col("ref") === "ref00042").count() == 0)
+    assert(ids(sink.scan(spark, col("ref") === "moved-ref")) == Set(42))
+    sink.recomputeBlooms(spark)
+    assert(sink.scan(spark, col("ref") === "ref00042").count() == 0)
+    assert(sink.lastScanPlannedBuckets == 0,
+      s"recompute left stale bits: planned ${sink.lastScanPlannedBuckets}")
+    assert(ids(sink.scan(spark, col("ref") === "moved-ref")) == Set(42))
+
+    // the full scan surface is unchanged: pruned reads ≡ filtered snapshot
+    val cur = sink.snapshot(spark)
+    for (p <- Seq(col("ref") === "ref00100", col("ref") >= "ref00390",
+        col("amt") === 1000L)) {
+      assert(ids(sink.scan(spark, p)) == ids(cur.filter(p)), p.toString)
+    }
+
+    // rebucket carries the declaration across the layout swap
+    val next = sink.rebucket(spark, 8)
+    assert(ids(next.scan(spark, col("ref") === "ref00100")) == Set(100))
+    assert(next.lastScanPlannedBuckets == 1,
+      s"post-rebucket planned ${next.lastScanPlannedBuckets}")
+
+    // truncate resets the index with the data
+    next.truncate(spark)
+    assert(next.scan(spark, col("ref") === "ref00100").count() == 0)
+    assert(next.lastScanPlannedBuckets == 0)
+
+    // declarations are validated loudly: unknown and non-renderable
+    // (float) columns are refused
+    intercept[IllegalArgumentException](sink.buildBlooms(spark, Seq("nope")))
+    val fpath = Files.createTempDirectory("graft-blooms-f").toFile.getAbsolutePath + "/t2"
+    val fsink = new ParquetReplicaSink(fpath, Seq("id"), numBuckets = 2)
+    fsink.applyBatch(spark,
+      Seq((1, 1.5d, "c", 1L)).toDF("id", "score", "op", "lsn"), 0)
+    intercept[IllegalArgumentException](fsink.buildBlooms(spark, Seq("score")))
+  }
 }
