@@ -78,6 +78,29 @@ class ScaleShapeSpec extends SparkSpecBase {
     assert(sink.lastScanPlannedBuckets > 0 && sink.lastScanPlannedBuckets <= total)
   }
 
+  test("bloom-consulted point lookup plans ~1 of 64 bucket dirs on an uncorrelated column") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("shape-blooms")
+      .toFile.getAbsolutePath + "/t1"
+    val sink = new graft.sinks.ParquetReplicaSink(path, Seq("id"), numBuckets = 64)
+    // high-cardinality column with NO relation to the key layout: the
+    // shape zone maps cannot serve (every bucket's range overlaps), the
+    // shape the bloom index exists for
+    sink.applyBatch(spark, (1 to 3000).map(i =>
+        (i, f"ord-$i%06d", "c", i.toLong))
+      .toDF("id", "order_ref", "op", "lsn"), 0)
+    sink.buildBlooms(spark, Seq("order_ref"))
+    assert(sink.scan(spark, col("order_ref") === "ord-001234").count() == 1)
+    assert(sink.lastScanPlannedBuckets <= 2,
+      s"bloom point plan broke: planned ${sink.lastScanPlannedBuckets}/64")
+    // online maintenance keeps the contract across a later batch
+    sink.applyBatch(spark, Seq((9001, "ord-late", "c", 9001L))
+      .toDF("id", "order_ref", "op", "lsn"), 1)
+    assert(sink.scan(spark, col("order_ref") === "ord-late").count() == 1)
+    assert(sink.lastScanPlannedBuckets <= 2,
+      s"post-batch bloom plan: ${sink.lastScanPlannedBuckets}/64")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the third leg of the 100 TB join toolkit (broadcast for small dims,
     // bucketing for co-location): when a scaling dim carries a selective
