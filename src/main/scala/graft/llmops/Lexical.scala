@@ -1,0 +1,92 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval — the keyword-search modality next to the
+  * embedding stack ([[Similarity]]): term-match ranking over an
+  * inverted-index join, the other half every hybrid-search pipeline
+  * fuses with ANN (reciprocal-rank fusion). A training-data engine
+  * needs it for corpus search, eval-query retrieval baselines, and as
+  * the lexical leg of hard-negative mining.
+  *
+  * Integer-exact scoring: BM25's floats (idf, the length norm) are
+  * fixed-point — idf micro-rounded immediately after the one `ln`
+  * (the llm_lm_score idiom), k1/b carried in milli units, and every
+  * division an integer `div` — so both engines produce bit-identical
+  * scores and the ranking is engine-reproducible, never
+  * float-accumulation-ordered.
+  *
+  * Scale shape: one corpus explode → (doc, term, tf) partial-aggregated
+  * postings (the inverted index); query terms broadcast against it, so
+  * the scored candidate set is the postings of the QUERY's terms, never
+  * query × corpus; df/idf is computed only for those terms; per-query
+  * top-k is a rank window (WindowGroupLimit — a k-row heap per task).
+  * No global sort, no driver-side scoring.
+  */
+object Lexical {
+
+  /** Inverted postings: one row per (doc, term) with the term frequency
+    * — [[TextOps.tokens]] tokenization (shared with the tfidf/LM
+    * family, so lexical scores and quality signals agree on what a
+    * token is). */
+  def postings(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Per-doc token length (the BM25 length-norm input). */
+  def docLens(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+
+  /** BM25 top-k per query. `queries` carries (qid, term) rows — term
+    * multiplicity is ignored (distinct query terms score once, the
+    * common simplification). Scoring follows the standard BM25+idf
+    * form, idf = ln((N+1)/(df+0.5)) kept rational as (2N+2)/(2df+1):
+    *
+    *   score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * with k1/b in MILLI units and idf in MICRO units, every step an
+    * integer op after the single rounded ln. Returns
+    * (qid, rank, doc_id, score_micro), rank ≤ k by (score desc, doc
+    * asc). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1Milli: Long = 1200L, bMilli: Long = 750L,
+               textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val lens = docLens(docs, textCol, idCol)
+    val st = lens.agg(count(lit(1)).as("n"), sum("dl").as("tot")).first()
+    val n = st.getLong(0)
+    val avgdlMilli = math.max(st.getLong(1) * 1000L / math.max(n, 1L), 1L)
+    val q = queries.select(col("qid"), col("term")).distinct()
+    // candidate postings = the query terms' posting lists only — the
+    // tiny term set broadcasts, the corpus side stays one scan
+    val cand = postings(docs, textCol, idCol)
+      .join(broadcast(q.select("term").distinct()), "term")
+    val dfT = cand.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro",
+        round(log((lit(2.0) * n + 2) / (col("df") * 2 + 1)) * 1e6)
+          .cast("bigint"))
+      .select("term", "idf_micro")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score_micro"), col("doc_id"))
+    q.join(cand, "term")
+      .join(broadcast(dfT), "term")
+      .join(lens, "doc_id")
+      .withColumn("ratio_milli", expr(s"(dl * 1000000) div $avgdlMilli"))
+      .withColumn("norm_milli",
+        expr(s"(1000 - $bMilli) + ($bMilli * ratio_milli) div 1000"))
+      .withColumn("denom_milli",
+        expr(s"tf * 1000 + ($k1Milli * norm_milli) div 1000"))
+      .withColumn("contrib_micro",
+        expr(s"(idf_micro * tf * (1000 + $k1Milli)) div denom_milli"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("contrib_micro").as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score_micro")
+  }
+}

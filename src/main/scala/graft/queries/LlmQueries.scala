@@ -1574,6 +1574,64 @@ object LlmQueries {
         .orderBy("source", "rank")
     }),
 
+    // BM25 lexical retrieval — the keyword-search modality next to the
+    // ANN stack: probe queries (the first 6 tokens of docs 1/5/9)
+    // ranked against the corpus through the inverted-index join, scores
+    // integer-exact (idf micro-rounded after the one ln, k1/b in milli,
+    // integer divs). At 100 TB: query terms broadcast against one
+    // postings scan — candidates are the query terms' posting lists,
+    // never query × corpus; per-query top-k is a WindowGroupLimit.
+    "llm_bm25" -> ((s, d) => {
+      import graft.llmops.Lexical
+      val docs = documents(s, d)
+      val queries = docs.filter(col("doc_id").isin(1L, 5L, 9L))
+        .select(col("doc_id").as("qid"), explode(slice(toks, 1, 6)).as("term"))
+      Lexical.bm25TopK(docs, queries, k = 10).orderBy("qid", "rank")
+    }),
+
+    // Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
+    // ranking and the exact embedding-cosine ranking for the same
+    // probes (vec_id i is doc i's embedding): rrf = Σ 1/(60 + rank)
+    // over both top-20 lists, in integer micro units. The fusion the
+    // production RAG/retrieval stack serves — lexical catches exact
+    // terms ANN blurs, ANN catches paraphrase BM25 misses. Each leg
+    // keeps its own bounded shape; the fusion is a (qid, doc) outer
+    // join of two ≤ 20-row-per-query lists.
+    "llm_hybrid_rrf" -> ((s, d) => {
+      import graft.llmops.{Lexical, Similarity}
+      val docs = documents(s, d)
+      val pids = Seq(1L, 5L, 9L)
+      val queries = docs.filter(col("doc_id").isin(pids: _*))
+        .select(col("doc_id").as("qid"), explode(slice(toks, 1, 6)).as("term"))
+      val lex = Lexical.bm25TopK(docs, queries, k = 20)
+        .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+      val qn = Similarity.quantized(embeddings(s, d))
+      val probes = qn.filter(col("vec_id").isin(pids: _*))
+        .select(col("vec_id").as("qid"), col("qe").as("pe"),
+          col("nq").as("np"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cosine"), col("doc_id"))
+      val sem = qn
+        .select(col("vec_id").as("doc_id"), col("qe").as("ce"),
+          col("nq").as("nc"))
+        .crossJoin(broadcast(probes))
+        .withColumn("cosine", Similarity.dotQ(col("ce"), col("pe")) *
+          lit(1.0) / sqrt((col("nc") * col("np")).cast("double")))
+        .withColumn("sem_rank", row_number().over(wS))
+        .filter(col("sem_rank") <= 20)
+        .select("qid", "doc_id", "sem_rank")
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("rrf_micro"), col("doc_id"))
+      lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+            "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)"))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "doc_id", "rrf_micro", "lex_rank", "sem_rank")
+        .orderBy("qid", "rank")
+    }),
+
     // Block-level exact dedup (the CCNet paragraph-dedup analog with
     // deterministic 16-token block boundaries — the corpus here is flat
     // token text, so fixed blocks stand in for '\n\n' paragraphs): each
@@ -2086,6 +2144,43 @@ object LlmQueries {
        |  FROM q),
        |pf AS (SELECT qe AS pe, nq AS npf FROM n WHERE vec_id = 0)""".stripMargin
   }
+
+  /** Shared BM25 CTEs (tokenization, postings, probe queries, the
+    * integer-exact scoring chain) — ends in `bmr` = (qid, doc_id,
+    * score_micro, rank), the full ranking; consumers cut their own k.
+    * Mirrors [[graft.llmops.Lexical.bm25TopK]] constant-for-constant:
+    * probes = first 6 tokens of docs 1/5/9, k1=1.2, b=0.75,
+    * idf = ln((2N+2)/(2df+1)) micro-rounded. */
+  private val bm25Ctes: String =
+    """bl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+      |  FROM documents),
+      |bst AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM bl),
+      |bav AS (SELECT greatest((tot * 1000) // greatest(n, 1), 1)
+      |    AS avgdl_milli, n FROM bst),
+      |bp AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |     FROM documents)
+      |  GROUP BY 1, 2),
+      |bq AS (SELECT DISTINCT qid, term FROM
+      |    (SELECT doc_id AS qid,
+      |       unnest(string_split(text, ' ')[1:6]) AS term
+      |     FROM documents WHERE doc_id IN (1, 5, 9))),
+      |bdf AS (SELECT p.term, count(*)::BIGINT AS df FROM bp p
+      |  WHERE p.term IN (SELECT term FROM bq) GROUP BY 1),
+      |bidf AS (SELECT term, CAST(round(ln((2.0 * (SELECT n FROM bav) + 2)
+      |    / (2 * df + 1)) * 1000000) AS BIGINT) AS idf_micro FROM bdf),
+      |bsc AS (SELECT q.qid, p.doc_id,
+      |    CAST(sum((i.idf_micro * p.tf * 2200)
+      |      // (p.tf * 1000 + (1200 * ((1000 - 750)
+      |        + (750 * ((l.dl * 1000000)
+      |           // (SELECT avgdl_milli FROM bav))) // 1000)) // 1000))
+      |      AS BIGINT) AS score_micro
+      |  FROM bq q JOIN bp p USING (term) JOIN bidf i ON i.term = q.term
+      |    JOIN bl l ON l.doc_id = p.doc_id
+      |  GROUP BY 1, 2),
+      |bmr AS (SELECT qid, doc_id, score_micro, row_number() OVER
+      |    (PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rank
+      |  FROM bsc)""".stripMargin
 
   /** Shared banded-hyperplane-LSH candidate CTEs (plane literals
     * identical to the Spark-side HyperplaneBuckets family). */
@@ -3726,6 +3821,45 @@ object LlmQueries {
         |  FROM sc)
         |SELECT label, pred, count(*) AS n
         |FROM r WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "llm_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, rank, doc_id, score_micro FROM bmr
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "llm_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |hq AS (SELECT vec_id,
+         |    [CAST(round(x * 1000) AS BIGINT) for x in embedding] AS qe
+         |  FROM embeddings),
+         |hn AS (SELECT vec_id, qe,
+         |    CAST(list_dot_product(qe::BIGINT[], qe::BIGINT[]) AS BIGINT)
+         |      AS nq
+         |  FROM hq),
+         |hpr AS (SELECT vec_id AS qid, qe AS pe, nq AS np FROM hn
+         |  WHERE vec_id IN (1, 5, 9)),
+         |hsem AS (SELECT p.qid, c.vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      list_dot_product(c.qe::BIGINT[], p.pe::BIGINT[]) * 1.0
+         |        / sqrt(CAST(c.nq * p.np AS DOUBLE)) DESC,
+         |      c.vec_id) AS sem_rank
+         |  FROM hn c, hpr p),
+         |hsemt AS (SELECT qid, doc_id, sem_rank FROM hsem
+         |  WHERE sem_rank <= 20),
+         |hlex AS (SELECT qid, doc_id, rank AS lex_rank FROM bmr
+         |  WHERE rank <= 20),
+         |hf AS (SELECT coalesce(l.qid, s.qid) AS qid,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    l.lex_rank, s.sem_rank,
+         |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+         |      + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT)
+         |      AS rrf_micro
+         |  FROM hlex l FULL OUTER JOIN hsemt s
+         |    ON l.qid = s.qid AND l.doc_id = s.doc_id),
+         |hr AS (SELECT qid, doc_id, rrf_micro, lex_rank, sem_rank,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_micro DESC, doc_id) AS rank
+         |  FROM hf)
+         |SELECT qid, rank, doc_id, rrf_micro, lex_rank, sem_rank FROM hr
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "llm_tfidf" ->
       """WITH tr AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |            FROM documents),

@@ -1499,4 +1499,45 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(top.count() == 5)
     assert(top.select("vec_id").collect().forall(_.getLong(0) != probe))
   }
+
+  test("BM25 lexical retrieval: term-match candidates only, rare-term weighting, deterministic integer scores") {
+    import graft.llmops.Lexical
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta common common common"),
+      (1L, "alpha common common"),
+      (2L, "beta beta beta common"),
+      (3L, "common common common common"),
+      (4L, "zeta common")).toDF("doc_id", "text")
+    val q = Seq((100L, "alpha"), (100L, "beta"), (101L, "zeta"))
+      .toDF("qid", "term")
+    val r = Lexical.bm25TopK(docs, q, k = 5).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+
+    // only docs containing a query term appear — doc 3 matches nothing
+    val byQ = r.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byQ(100L).map(_._3).toSet == Set(0L, 1L, 2L),
+      s"qid 100 candidates: ${byQ(100L).mkString(",")}")
+    assert(byQ(101L).map(_._3).toSeq == Seq(4L))
+    // the doc matching BOTH query terms outranks single-term matches
+    assert(byQ(100L).head._3 == 0L, s"top for 100: ${byQ(100L).head}")
+    // ranks are dense from 1, scores positive and non-increasing
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).toSeq == (1 to rows.size).toSeq)
+      assert(rows.forall(_._4 > 0))
+      assert(rows.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4; case _ => true })
+    }
+    // rare-term idf: "zeta" (df=1) scores doc 4 above what the common
+    // term could contribute anywhere — its one match beats every
+    // single-common-term score would (compare alpha-only doc 1's score
+    // when alpha has df=2)
+    val zetaScore = byQ(101L).head._4
+    assert(zetaScore > byQ(100L).find(_._3 == 1L).get._4,
+      "df=1 term should outscore a df=2 term at similar tf/len")
+    // deterministic: a re-run reproduces scores bit-for-bit
+    val r2 = Lexical.bm25TopK(docs, q, k = 5).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == r2.toSeq)
+  }
 }
