@@ -60,12 +60,22 @@ object Lexical {
     val lens = docLens(docs, textCol, idCol)
     val st = lens.agg(count(lit(1)).as("n"), sum("dl").as("tot")).first()
     val n = st.getLong(0)
-    val avgdlMilli = math.max(st.getLong(1) * 1000L / math.max(n, 1L), 1L)
+    scoreBm25(queries, postings(docs, textCol, idCol), lens,
+      n, st.getLong(1), k, k1Milli, bMilli)
+  }
+
+  /** The shared scoring tail: `cand0` = (term, doc_id, tf) postings
+    * (full or index-pruned — [[TextIndexStore]] serves the pruned
+    * form), `lens` = (doc_id, dl) covering at least the candidate
+    * docs, `n`/`totTokens` the corpus-wide stats the caller owns. */
+  private[llmops] def scoreBm25(queries: DataFrame, cand0: DataFrame,
+      lens: DataFrame, n: Long, totTokens: Long, k: Int,
+      k1Milli: Long, bMilli: Long): DataFrame = {
+    val avgdlMilli = math.max(totTokens * 1000L / math.max(n, 1L), 1L)
     val q = queries.select(col("qid"), col("term")).distinct()
     // candidate postings = the query terms' posting lists only — the
     // tiny term set broadcasts, the corpus side stays one scan
-    val cand = postings(docs, textCol, idCol)
-      .join(broadcast(q.select("term").distinct()), "term")
+    val cand = cand0.join(broadcast(q.select("term").distinct()), "term")
     val dfT = cand.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf_micro",
         round(log((lit(2.0) * n + 2) / (col("df") * 2 + 1)) * 1e6)

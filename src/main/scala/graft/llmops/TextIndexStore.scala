@@ -1,0 +1,181 @@
+package graft.llmops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Durable BM25 inverted index — the persisted serving form of
+  * [[Lexical.bm25TopK]], the lexical sibling of [[AnnIndexStore]]: a
+  * corpus search surface that outlives the session, restarts from
+  * object storage, and serves each query by reading ONLY the query
+  * terms' posting lists.
+  *
+  * Layout: `path/batch=B/part=P/…` parquet postings
+  * `(term, doc_id, tf, dl)` with `part = pmod(hash(term), numParts)` —
+  * the doc length rides each posting row (the Lucene norms-in-posting
+  * idiom) so serving never touches a second per-doc table. Corpus-wide
+  * stats live as per-batch rows under `_stats/batch=B` — additive
+  * (n_docs, n_tokens), so the store total is one tiny sum and a
+  * replayed batch OVERWRITES its own stats row instead of
+  * double-counting.
+  *
+  * Serving ([[search]]): the probe's distinct terms (driver-bounded —
+  * query strings, not corpus data) hash to their parts; only those
+  * `part=P` dirs of each batch are read (Catalyst partition pruning —
+  * `lastPlannedDirs` pins the contract), df comes exact from the pruned
+  * read (a term's postings live entirely in its part), and the scoring
+  * tail is the SAME integer-exact chain as the batch operator — a
+  * store-served ranking equals the one-shot ranking bit-for-bit.
+  *
+  * Intake contract: doc_ids are NEW per batch (the intake dedups
+  * upstream, as with [[LshIndexStore]]); re-adding an id would inflate
+  * df/tf. Replay-idempotent by construction: `addBatch` deletes +
+  * dynamically overwrites its own `batch=B` dirs and stats row, marker
+  * after data. [[compact]] folds batch dirs into `batch=0` with the
+  * family's committed-staging swap so planning stops growing with
+  * trigger count.
+  */
+class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
+
+  /** Posting part-dirs planned by the last [[search]] — the
+    * O(query terms) read contract made observable. */
+  @transient @volatile var lastPlannedDirs: Seq[String] = Nil
+
+  private def root = new Path(path)
+  private def fsOf(spark: SparkSession) =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val rowSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType)))
+
+  private def batchDirs(spark: SparkSession): Seq[Path] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+  }
+
+  private def markerPath(batchId: Long) = new Path(path, s"_applied/$batchId")
+
+  /** One pass to postings with the doc length denormalized onto every
+    * row. */
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("ts"))
+      .withColumn("dl", size(col("ts")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+
+  /** Add a batch of NEW docs. Replay-safe: deletes + dynamically
+    * overwrites this batch's own dirs and stats row; marker after
+    * data. */
+  def addBatch(spark: SparkSession, docs: DataFrame, batchId: Long,
+               textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val fs = fsOf(spark)
+    val post = postingsOf(docs, textCol, idCol)
+    fs.delete(new Path(path, s"batch=$batchId"), true)
+    post
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(batchId).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
+      .repartition(numParts, col("part"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "part")
+      .parquet(path)
+    // per-batch additive stats — replay overwrites its own row
+    val st = docs
+      .select(size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens")).first()
+    import spark.implicits._
+    Seq((st.getLong(0), Option(st.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)))
+      .toDF("n_docs", "n_tokens")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_stats/batch=$batchId")
+    fs.create(markerPath(batchId), true).close()
+  }
+
+  /** (N docs, total tokens) over every batch — a #batches-row read. */
+  def stats(spark: SparkSession): (Long, Long) = {
+    val p = new Path(path, "_stats")
+    if (!fsOf(spark).exists(p)) (0L, 0L)
+    else {
+      val r = spark.read.option("basePath", s"$path/_stats").parquet(p.toString)
+        .agg(sum("n_docs"), sum("n_tokens")).first()
+      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+  }
+
+  /** BM25 top-k per query against the stored index. `queries` carries
+    * (qid, term); only the query terms' `part=` dirs are read. The
+    * ranking is bit-identical to [[Lexical.bm25TopK]] over the same
+    * corpus. */
+  def search(spark: SparkSession, queries: DataFrame, k: Int,
+             k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val fs = fsOf(spark)
+    val terms = queries.select("term").distinct()
+    // driver-bounded: query terms are the probe's own words
+    val parts = terms
+      .select(pmod(hash(col("term")), lit(numParts)).as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val dirs = for {
+      b <- batchDirs(spark)
+      p <- parts.toSeq.sorted
+      d = new Path(b, s"part=$p") if fs.exists(d)
+    } yield d.toString
+    lastPlannedDirs = dirs
+    val (n, tot) = stats(spark)
+    val cand =
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          rowSchema)
+      else spark.read.schema(StructType(rowSchema.fields ++ Seq(
+          StructField("batch", LongType), StructField("part", IntegerType))))
+        .option("basePath", path).parquet(dirs: _*)
+        .select("term", "doc_id", "tf", "dl")
+    Lexical.scoreBm25(queries, cand.select("term", "doc_id", "tf"),
+      cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli)
+  }
+
+  /** Offline maintenance: fold all batch dirs into `batch=0` (planning
+    * stops growing with trigger count). Committed-staging swap; an
+    * interrupted swap rolls forward on the next call. Run with no
+    * concurrent addBatch. */
+  def compact(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    val staging = new Path(root.getParent, root.getName + "._text_compact")
+    val done = new Path(staging, "_graft_compact_done")
+    if (fs.exists(staging) && fs.exists(done)) { // crashed mid-swap
+      if (fs.exists(root)) fs.delete(root, true)
+      fs.rename(staging, root)
+      return
+    }
+    if (batchDirs(spark).isEmpty) return
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val (n, tot) = stats(spark)
+    spark.read.schema(StructType(rowSchema.fields ++ Seq(
+        StructField("batch", LongType), StructField("part", IntegerType))))
+      .option("basePath", path).parquet(path)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(0L).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
+      .repartition(numParts, col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
+      .parquet(staging.toString)
+    import spark.implicits._
+    Seq((n, tot)).toDF("n_docs", "n_tokens")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/_stats/batch=0")
+    val applied = new Path(path, "_applied")
+    if (fs.exists(applied))
+      org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
+        new Path(staging, "_applied"), false,
+        spark.sessionState.newHadoopConf())
+    fs.create(done, true).close()
+    fs.delete(root, true)
+    fs.rename(staging, root)
+  }
+}

@@ -562,6 +562,30 @@ object GraftApp {
         new graft.sinks.ParquetReplicaSink(s"$whRoot/$table", keys, buckets)
           .rebucket(spark, to)
         Seq(s"rebucket $table: -> $to buckets")
+      case "text-index" =>
+        // durable BM25 inverted index: build/append a batch of docs,
+        // optionally fold batch dirs, optionally serve a probe query —
+        // the lexical sibling of the ann-index/ann-sweep verbs
+        val docsDir = env.getOrElse("GRAFT_TEXT_DOCS",
+          throw new IllegalArgumentException("GRAFT_TEXT_DOCS is required"))
+        val outDir = env.getOrElse("GRAFT_TEXT_OUT",
+          throw new IllegalArgumentException("GRAFT_TEXT_OUT is required"))
+        val tParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64)
+        val tBatch = env.get("GRAFT_TEXT_BATCH").map(_.toLong).getOrElse(0L)
+        val tStore = new graft.llmops.TextIndexStore(outDir, tParts)
+        tStore.addBatch(spark, spark.read.parquet(docsDir), tBatch)
+        if (env.get("GRAFT_TEXT_COMPACT").exists(_ == "1")) tStore.compact(spark)
+        val (tn, tt) = tStore.stats(spark)
+        val qLine = env.get("GRAFT_TEXT_QUERY").map { words =>
+          import spark.implicits._
+          val q = words.split("\\s+").toSeq.map(("q", _)).toDF("qid", "term")
+          val hits = tStore.search(spark, q, k = 5).collect()
+            .map(r => s"${r.getLong(2)}:${r.getLong(3)}")
+          s"text-index query [$words]: ${hits.mkString(" ")} " +
+            s"(${tStore.lastPlannedDirs.size} part dirs planned)"
+        }
+        Seq(s"text-index: batch $tBatch -> $outDir " +
+          s"($tn docs, $tt tokens, $tParts parts)") ++ qLine.toSeq
       case "bloom-build" =>
         // declare + exactly (re)build per-bucket bloom skip indexes:
         // the equality companion of the zone maps for point predicates

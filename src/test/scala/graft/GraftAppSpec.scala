@@ -420,6 +420,20 @@ class GraftAppSpec extends SparkSpecBase {
     assert(sink.lastScanPlannedBuckets == 1,
       s"bloom-build verb: planned ${sink.lastScanPlannedBuckets}")
 
+    // text-index: build the durable BM25 index + serve a probe from env
+    val tDocs = s"$root/_textdocs"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60).write.mode("overwrite").parquet(tDocs)
+    val probeWord = spark.read.parquet(tDocs)
+      .selectExpr("split(text, ' ')[0] AS w").first().getString(0)
+    val tLines = GraftApp.maintenance(spark, env ++ Map(
+      "GRAFT_MAINTENANCE" -> "text-index",
+      "GRAFT_TEXT_DOCS" -> tDocs, "GRAFT_TEXT_OUT" -> s"$root/_textidx",
+      "GRAFT_TEXT_PARTS" -> "8", "GRAFT_TEXT_QUERY" -> probeWord))
+    assert(tLines.exists(_.startsWith("text-index: batch 0")), tLines.mkString("; "))
+    assert(tLines.exists(l => l.contains("text-index query") && l.contains(":")),
+      tLines.mkString("; "))
+
     // the folded spill txid still seals completely afterwards
     val sealedTx = TxnSpill.resolve(Seq(CdcEvent(
       graft.streaming.TxnAssembler.Ctl.StreamCommit, 1000L, 7L, ts, null, null,

@@ -1540,4 +1540,45 @@ class LlmOpsSpec extends SparkSpecBase {
       .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
     assert(r.toSeq == r2.toSeq)
   }
+
+  test("TextIndexStore: pruned serving equals the batch ranking; replay and compact safe") {
+    import graft.llmops.{Lexical, TextIndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("text-idx")
+      .toFile.getAbsolutePath + "/idx"
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200).cache()
+    val docsA = all.filter(col("doc_id") < 120)
+    val docsB = all.filter(col("doc_id") >= 120)
+    val store = new TextIndexStore(dir, numParts = 16)
+    store.addBatch(spark, docsA, 0)
+    store.addBatch(spark, docsB, 1)
+    val queries = all.filter(col("doc_id").isin(3L, 17L))
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 6)).as("term"))
+      .cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batchR = rows(Lexical.bm25TopK(all, queries, k = 10))
+    assert(batchR.nonEmpty)
+    val served = rows(store.search(spark, queries, k = 10))
+    assert(served == batchR, "store-served ranking must equal the batch ranking")
+    // planning: only the query terms' parts of each batch dir are read
+    val qParts = queries.select(
+        pmod(hash(col("term")), lit(16)).as("p"))
+      .distinct().count().toInt
+    assert(store.lastPlannedDirs.nonEmpty &&
+      store.lastPlannedDirs.size <= 2 * qParts,
+      s"planned ${store.lastPlannedDirs.size} dirs for $qParts term parts")
+    assert(store.lastPlannedDirs.forall(_.contains("part=")))
+    // replaying a batch overwrites its own dirs — results unchanged
+    store.addBatch(spark, docsB, 1)
+    assert(rows(store.search(spark, queries, k = 10)) == batchR)
+    // compaction folds to batch=0; ranking and stats unchanged
+    store.compact(spark)
+    assert(rows(store.search(spark, queries, k = 10)) == batchR)
+    assert(store.lastPlannedDirs.nonEmpty &&
+      store.lastPlannedDirs.forall(_.contains("batch=0")))
+    all.unpersist(); queries.unpersist()
+  }
 }
