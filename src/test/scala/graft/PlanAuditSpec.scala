@@ -207,6 +207,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!planString(d).contains("ScalaUDF"))
   }
 
+  test("bm25 and hybrid fusion: query terms and idf broadcast; no cartesian beyond the probe broadcast") {
+    val d = q("llm_bm25")
+    d.count()
+    val all = collectAll(executed(d))
+    // the query-term restriction and the idf table must both broadcast
+    // against the postings scan — the corpus side never shuffles to
+    // meet a tiny side
+    assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "query terms + idf should broadcast-join the postings")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!planString(d).contains("ScalaUDF"))
+    val h = q("llm_hybrid_rrf")
+    h.count()
+    val hs = planString(h)
+    // the semantic leg's probe set broadcasts (deliberate bounded
+    // cross: 3 probes × corpus); no UDFs anywhere
+    assert(hs.contains("BroadcastNestedLoopJoin") || hs.contains("BroadcastHashJoin"))
+    assert(!hs.contains("ScalaUDF"))
+  }
+
   test("mixing and repetition queries: per-source windows, no global single partition") {
     for (name <- Seq("llm_mix", "llm_quality_rep")) {
       val d = q(name)
