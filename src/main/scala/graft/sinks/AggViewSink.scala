@@ -46,11 +46,15 @@ import org.apache.spark.sql.types._
   * one. State is O(live distinct values per group) — bounded by the
   * group's row count, usually far smaller — and compact purges values
   * whose count netted out. NULLs never enter the multiset (SQL MIN/MAX
-  * ignore them; an all-NULL group reads NULL).
+  * ignore them; an all-NULL group reads NULL). The same multiset also
+  * yields EXACT per-group COUNT DISTINCT for free (`distinct_<c>` in
+  * the read): the live value count, correct under deletes — the other
+  * aggregate classic IVM can't retract.
   *
   * Correctness contract (spec-asserted): after ANY event sequence the
-  * view equals `SELECT g…, count(*), sum(c)…, min(m)…, max(m)… FROM
-  * replica GROUP BY g…` with cnt=0 groups absent. Updates/deletes
+  * view equals `SELECT g…, count(*), sum(c)…, min(m)…, max(m)…,
+  * count(DISTINCT m)… FROM replica GROUP BY g…` with cnt=0 groups
+  * absent. Updates/deletes
   * REQUIRE the full before image (REPLICA IDENTITY FULL — fail fast
   * otherwise, the [[ProjectionSink]] discipline: a missing before image
   * would leave phantom counts behind).
@@ -256,10 +260,14 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
       .filter(col("n") > 0)
     live.groupBy(groupCols.map(col): _*)
       .pivot("mcol", minMaxCols)
-      .agg(min("v").as("mn"), max("v").as("mx"))
+      // the live (net-positive) value count IS the exact per-group
+      // COUNT DISTINCT — maintained under deletes for free, since the
+      // multiset already nets every value's +/- history
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("nd"))
       .withColumn("__gk", groupKey)
       .select(col("__gk") +: minMaxCols.flatMap(c =>
-        Seq(col(s"${c}_mn").as(s"min_$c"), col(s"${c}_mx").as(s"max_$c"))): _*)
+        Seq(col(s"${c}_mn").as(s"min_$c"), col(s"${c}_mx").as(s"max_$c"),
+          coalesce(col(s"${c}_nd"), lit(0L)).as(s"distinct_$c"))): _*)
   }
 
   private def assemble(spark: SparkSession, baseDirs: Seq[String],
@@ -278,9 +286,9 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
 
   /** The materialized view: one row per live group, with the derived
     * per-group mean riding along (avg = sum/cnt — free from the
-    * maintained aggregates) and min_/max_ pairs for each declared
-    * MIN/MAX column (from the value multiset — self-maintaining under
-    * deletes). */
+    * maintained aggregates) and min_/max_/distinct_ triples for each
+    * declared MIN/MAX column (from the value multiset —
+    * self-maintaining under deletes, distinct counts exact). */
   def read(spark: SparkSession): DataFrame = {
     val e = currentEpoch(spark)
     assemble(spark, leafDirs(spark, epochDir(e), None),

@@ -151,20 +151,23 @@ class AggViewSpec extends SparkSpecBase {
     val v = d.sink(root)
     def viewMap() = v.read(spark).collect().map(r =>
       r.getString(0) -> (r.getLong(1), r.getDouble(2),
-        r.getDouble(4), r.getDouble(5))).toMap
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
     def replicaMap() = spark.read.parquet(s"$root/public.t1")
       .groupBy("grp").agg(count(lit(1)).as("cnt"),
         sum(col("amt").cast("double")).as("s"),
         min(col("amt").cast("double")).as("mn"),
-        max(col("amt").cast("double")).as("mx"))
+        max(col("amt").cast("double")).as("mx"),
+        countDistinct(col("amt").cast("double")).as("nd"))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
     // batch 0: 300 inserts across 3 groups, amounts 1..300
     CdcPipeline.applyWarehouseBatch(
       (1 to 300).map(i => ins(i, i, "g" + (i % 3), i)).toDS(),
       root, 4, batchId = 0, aggViews = Seq(d))
     assert(v.read(spark).columns.toSeq ==
-      Seq("grp", "cnt", "sum_amt", "avg_amt", "min_amt", "max_amt"))
+      Seq("grp", "cnt", "sum_amt", "avg_amt", "min_amt", "max_amt",
+        "distinct_amt"))
     assert(viewMap() == replicaMap())
     // batch 1: delete the TOP 250 (every group's max retracts repeatedly)
     CdcPipeline.applyWarehouseBatch(
@@ -174,6 +177,9 @@ class AggViewSpec extends SparkSpecBase {
     assert(m1 == replicaMap())
     assert(m1("g0")._4 == 48.0 && m1("g1")._4 == 49.0 && m1("g2")._4 == 50.0,
       s"runner-up max must surface after the extremes retract: $m1")
+    // exact COUNT DISTINCT shrank with the deletes (17/17/16 live values)
+    assert(m1("g0")._5 == 16L && m1("g1")._5 == 17L && m1("g2")._5 == 17L,
+      s"distinct counts must retract with deletes: $m1")
     // batch 2: updates move rows across groups and rewrite extremes
     CdcPipeline.applyWarehouseBatch(
       (1 to 20).map(i =>
@@ -376,7 +382,8 @@ class AggViewSpec extends SparkSpecBase {
         (1 to 60).map(i => fIns(10L + i, i, fk(i), i))).toDS(),
       root, 4, batchId = 0, joinViews = Seq(jv))
     assert(jv.sink(root).read(spark).columns.toSeq ==
-      Seq("region", "tier", "cnt", "sum_amt", "avg_amt", "min_amt", "max_amt"))
+      Seq("region", "tier", "cnt", "sum_amt", "avg_amt", "min_amt", "max_amt",
+        "distinct_amt"))
     assert(viewMap() == replay())
     // batch 1, fact-only → INCREMENTAL: delete the top 40 (every
     // group's max retracts repeatedly), move one row across dims,
