@@ -3,7 +3,7 @@ package graft.streaming
 import graft.dialect.Dialect
 import graft.render.RenderContext
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, concat, count, lit, pmod, size, sum, when}
+import org.apache.spark.sql.functions.{col, concat, count, desc, expr, lit, pmod, size, sum, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** E1/E2 app runner — the `run_cdc_app` analog (reference app.rs:51-234,
@@ -586,6 +586,45 @@ object GraftApp {
         }
         Seq(s"text-index: batch $tBatch -> $outDir " +
           s"($tn docs, $tt tokens, $tParts parts)") ++ qLine.toSeq
+      case "hybrid-search" =>
+        // persisted hybrid retrieval: the durable BM25 text index and
+        // the persisted ANN vector index serve the SAME probe doc
+        // (lexical query = its first 6 tokens, semantic query = its
+        // stored embedding), fused by reciprocal rank Σ 1/(60+rank)
+        // in integer micro units — the llm_hybrid_rrf chain over the
+        // part-pruned/cluster-pruned serving tiers
+        val hText = env.getOrElse("GRAFT_TEXT_OUT",
+          throw new IllegalArgumentException("GRAFT_TEXT_OUT is required"))
+        val hAnn = env.getOrElse("GRAFT_ANN_DIR",
+          throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
+        val hDocs = env.getOrElse("GRAFT_HYBRID_DOCS",
+          throw new IllegalArgumentException("GRAFT_HYBRID_DOCS is required"))
+        val hProbe = env.getOrElse("GRAFT_HYBRID_PROBE",
+          throw new IllegalArgumentException(
+            "GRAFT_HYBRID_PROBE (a doc id present in both indexes) " +
+              "is required")).toLong
+        val hK = env.get("GRAFT_HYBRID_K").map(_.toInt).getOrElse(5)
+        val hParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64)
+        val hStore = new graft.llmops.TextIndexStore(hText, hParts)
+        val hIdx = new graft.llmops.AnnIndexStore(hAnn)
+        import spark.implicits._
+        val hTextRow = spark.read.parquet(hDocs)
+          .filter(col("doc_id") === hProbe).select("text").head().getString(0)
+        val hQ = hTextRow.split("\\s+").take(6).toSeq
+          .map((hProbe, _)).toDF("qid", "term")
+        val hLex = hStore.search(spark, hQ, k = 20)
+          .select(col("doc_id"), col("rank").as("lex_rank"))
+        val hSem = hIdx.sweepDistributed(Seq(hProbe).toDF("vec_id"), k = 20)
+          .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+        val hTop = hLex.join(hSem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+              "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)"))
+          .orderBy(desc("rrf_micro"), col("doc_id")).limit(hK)
+          .collect()
+          .map(r => s"${r.getAs[Long]("doc_id")}:${r.getAs[Long]("rrf_micro")}")
+        Seq(s"hybrid-search probe $hProbe: top-$hK ${hTop.mkString(" ")} " +
+          s"(text index planned ${hStore.lastPlannedDirs.size} part dirs)")
       case "bloom-build" =>
         // declare + exactly (re)build per-bucket bloom skip indexes:
         // the equality companion of the zone maps for point predicates

@@ -434,6 +434,31 @@ class GraftAppSpec extends SparkSpecBase {
     assert(tLines.exists(l => l.contains("text-index query") && l.contains(":")),
       tLines.mkString("; "))
 
+    // hybrid-search: fuse the text index with a persisted ANN index
+    // over the same ids — both serving tiers answer, the fused top-5
+    // comes back as id:rrf pairs in non-increasing rrf order
+    val hRnd = new scala.util.Random(7)
+    val hIds = spark.read.parquet(tDocs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val hEmb = hIds.toSeq.map(i => (i, Array.fill(64)(hRnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val hAnnDir = s"$root/_hybann"
+    new graft.llmops.AnnIndexStore(hAnnDir).writeLsh(hEmb)
+    val hLines = GraftApp.maintenance(spark, env ++ Map(
+      "GRAFT_MAINTENANCE" -> "hybrid-search",
+      "GRAFT_TEXT_OUT" -> s"$root/_textidx", "GRAFT_TEXT_PARTS" -> "8",
+      "GRAFT_ANN_DIR" -> hAnnDir, "GRAFT_HYBRID_DOCS" -> tDocs,
+      "GRAFT_HYBRID_PROBE" -> hIds.head.toString))
+    val hLine = hLines.find(_.startsWith(s"hybrid-search probe ${hIds.head}: top-5 "))
+    assert(hLine.isDefined, hLines.mkString("; "))
+    val hPairs = hLine.get.split("top-5 ")(1).split(" \\(")(0)
+      .split(" ").toSeq.map { t =>
+        val Array(i, s) = t.split(":"); (i.toLong, s.toLong)
+      }
+    assert(hPairs.size == 5 && hPairs.forall(_._2 > 0), hLine.get)
+    assert(hPairs.map(_._2) == hPairs.map(_._2).sorted.reverse,
+      s"fused scores must be non-increasing: $hPairs")
+
     // the folded spill txid still seals completely afterwards
     val sealedTx = TxnSpill.resolve(Seq(CdcEvent(
       graft.streaming.TxnAssembler.Ctl.StreamCommit, 1000L, 7L, ts, null, null,

@@ -1581,4 +1581,37 @@ class LlmOpsSpec extends SparkSpecBase {
       store.lastPlannedDirs.forall(_.contains("batch=0")))
     all.unpersist(); queries.unpersist()
   }
+
+  test("TextIndexStore: streaming intake via foreachBatch equals the batch build") {
+    import graft.llmops.{Lexical, TextIndexStore}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("text-idx-stream")
+      .toFile.getAbsolutePath + "/idx"
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+      .as[(Long, String)].collect().toSeq
+    val store = new TextIndexStore(dir, numParts = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        store.addBatch(spark, batch, id)
+      }
+      .option("checkpointLocation", dir + "_ckpt")
+      .start()
+    try {
+      mem.addData(all.take(60): _*); q.processAllAvailable()
+      mem.addData(all.drop(60): _*); q.processAllAvailable()
+    } finally q.stop()
+    val queries = Seq((0L, all.head._2.split(" ").head),
+      (1L, all(70)._2.split(" ").head)).toDF("qid", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batchDf = all.toDF("doc_id", "text")
+    assert(rows(store.search(spark, queries, k = 10)) ==
+      rows(Lexical.bm25TopK(batchDf, queries, k = 10)),
+      "streamed index must serve the batch-identical ranking")
+  }
 }
