@@ -48,7 +48,8 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
 
   private val rowSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
-    StructField("tf", LongType), StructField("dl", LongType)))
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("pos", ArrayType(LongType))))
 
   private def batchDirs(spark: SparkSession): Seq[Path] = {
     val fs = fsOf(spark)
@@ -60,17 +61,21 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
 
   private def markerPath(batchId: Long) = new Path(path, s"_applied/$batchId")
 
-  /** One pass to postings with the doc length denormalized onto every
-    * row. */
+  /** One pass to POSITIONAL postings with the doc length denormalized
+    * onto every row: `pos` carries the term's sorted 1-based token
+    * positions (tf = |pos|) — what [[phraseSearch]] verifies adjacency
+    * against without ever re-reading a document. */
   private def postingsOf(docs: DataFrame, textCol: String, idCol: String)
       : DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("ts"))
       .withColumn("dl", size(col("ts")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("ts")).as(Seq("p", "term")))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"),
+        sort_array(collect_list(col("p").cast("long") + 1)).as("pos"))
 
   /** Add a batch of NEW docs. Replay-safe: deletes + dynamically
     * overwrites this batch's own dirs and stats row; marker after
@@ -81,7 +86,7 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     val post = postingsOf(docs, textCol, idCol)
     fs.delete(new Path(path, s"batch=$batchId"), true)
     post
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
         lit(batchId).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
       .repartition(numParts, col("part"))
       .write.mode(SaveMode.Overwrite)
@@ -111,14 +116,11 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     }
   }
 
-  /** BM25 top-k per query against the stored index. `queries` carries
-    * (qid, term); only the query terms' `part=` dirs are read. The
-    * ranking is bit-identical to [[Lexical.bm25TopK]] over the same
-    * corpus. */
-  def search(spark: SparkSession, queries: DataFrame, k: Int,
-             k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+  /** The pruned posting read every serve path shares: only the probe
+    * terms' `part=` dirs of each batch are listed/opened. */
+  private def prunedPostings(spark: SparkSession, terms: DataFrame)
+      : DataFrame = {
     val fs = fsOf(spark)
-    val terms = queries.select("term").distinct()
     // driver-bounded: query terms are the probe's own words
     val parts = terms
       .select(pmod(hash(col("term")), lit(numParts)).as("p"))
@@ -129,17 +131,53 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
       d = new Path(b, s"part=$p") if fs.exists(d)
     } yield d.toString
     lastPlannedDirs = dirs
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        rowSchema)
+    else spark.read.schema(StructType(rowSchema.fields ++ Seq(
+        StructField("batch", LongType), StructField("part", IntegerType))))
+      .option("basePath", path).parquet(dirs: _*)
+      .select(rowSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** BM25 top-k per query against the stored index. `queries` carries
+    * (qid, term); only the query terms' `part=` dirs are read. The
+    * ranking is bit-identical to [[Lexical.bm25TopK]] over the same
+    * corpus. */
+  def search(spark: SparkSession, queries: DataFrame, k: Int,
+             k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
     val (n, tot) = stats(spark)
-    val cand =
-      if (dirs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          rowSchema)
-      else spark.read.schema(StructType(rowSchema.fields ++ Seq(
-          StructField("batch", LongType), StructField("part", IntegerType))))
-        .option("basePath", path).parquet(dirs: _*)
-        .select("term", "doc_id", "tf", "dl")
+    val cand = prunedPostings(spark, queries.select("term").distinct())
     Lexical.scoreBm25(queries, cand.select("term", "doc_id", "tf"),
       cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli)
+  }
+
+  /** Exact phrase search from the positional postings: docs containing
+    * `phrase` as ADJACENT tokens, with the occurrence count — no
+    * document is ever re-read, adjacency is verified inside the index.
+    * Planning reads only the phrase terms' part dirs; candidates are
+    * the docs carrying ALL phrase terms (an inner join chain over the
+    * ≤|phrase| posting frames), and the position arrays decide
+    * adjacency: an occurrence is a position p of word 0 with word i at
+    * p+i for every slot. Returns (doc_id, n_occ), n_occ > 0. */
+  def phraseSearch(spark: SparkSession, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: at least two words")
+    import spark.implicits._
+    val post = prunedPostings(spark,
+      phrase.distinct.toDF("term")).select("term", "doc_id", "pos")
+    val slots = phrase.zipWithIndex
+    val joined = slots.map { case (w, i) =>
+      post.filter(col("term") === w)
+        .select(col("doc_id"), col("pos").as(s"pos_$i"))
+    }.reduce(_.join(_, "doc_id"))
+    val adjacency = (1 until phrase.size)
+      .map(i => s"array_contains(pos_$i, p + $i)").mkString(" AND ")
+    joined
+      .withColumn("n_occ",
+        expr(s"CAST(size(filter(pos_0, p -> $adjacency)) AS BIGINT)"))
+      .filter(col("n_occ") > 0)
+      .select("doc_id", "n_occ")
+      .orderBy("doc_id")
   }
 
   /** Offline maintenance: fold all batch dirs into `batch=0` (planning
@@ -161,7 +199,7 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     spark.read.schema(StructType(rowSchema.fields ++ Seq(
         StructField("batch", LongType), StructField("part", IntegerType))))
       .option("basePath", path).parquet(path)
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
         lit(0L).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
       .repartition(numParts, col("part"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")

@@ -838,6 +838,27 @@ object LlmQueries {
         .orderBy("source", "seq_id")
     }),
 
+    // Exact PHRASE occurrence counting — the adjacency query token-set
+    // retrieval (BM25, tfidf) cannot answer: docs containing doc 1's
+    // leading bigram as ADJACENT tokens, with the occurrence count.
+    // One scan, a per-row higher-order filter over token positions —
+    // no shuffle, no join, no UDF; the PERSISTED serving form is
+    // TextIndexStore.phraseSearch (positional postings, part-pruned).
+    "llm_phrase" -> ((s, d) => {
+      val docs = documents(s, d)
+      val ph = docs.filter(col("doc_id") === 1)
+        .select(toks.as("t")).first().getSeq[String](0)
+      val (w1, w2) = (ph(0), ph(1))
+      docs.select(col("doc_id"), toks.as("t"))
+        .withColumn("n_occ", size(filter(
+          sequence(lit(1), size(col("t")) - 1),
+          i => col("t")(i - 1) === lit(w1) && col("t")(i) === lit(w2)))
+          .cast("long"))
+        .filter(col("n_occ") > 0)
+        .select("doc_id", "n_occ")
+        .orderBy("doc_id")
+    }),
+
     // Eval-set contamination: docs whose shingle overlap with the
     // "held-out" set (doc_id < 20 stands in for an eval benchmark)
     // crosses the threshold — the decontamination gate every training
@@ -3821,6 +3842,16 @@ object LlmQueries {
         |  FROM sc)
         |SELECT label, pred, count(*) AS n
         |FROM r WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "llm_phrase" ->
+      """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |ph AS (SELECT t[1] AS w1, t[2] AS w2 FROM ts WHERE doc_id = 1),
+        |occ AS (SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(t)),
+        |      i -> t[i] = w1 AND t[i + 1] = w2)) AS BIGINT) AS n_occ
+        |  FROM ts, ph)
+        |SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+        |ORDER BY doc_id""".stripMargin,
     "llm_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT qid, rank, doc_id, score_micro FROM bmr

@@ -1543,6 +1543,7 @@ class LlmOpsSpec extends SparkSpecBase {
 
   test("TextIndexStore: pruned serving equals the batch ranking; replay and compact safe") {
     import graft.llmops.{Lexical, TextIndexStore}
+    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("text-idx")
       .toFile.getAbsolutePath + "/idx"
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -1579,6 +1580,30 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(rows(store.search(spark, queries, k = 10)) == batchR)
     assert(store.lastPlannedDirs.nonEmpty &&
       store.lastPlannedDirs.forall(_.contains("batch=0")))
+
+    // phrase search: positional postings answer adjacency without
+    // re-reading any document — parity with a direct scan count
+    val ph = all.filter(col("doc_id") === 3)
+      .select(split(col("text"), " ").as("t")).first().getSeq[String](0)
+    val phrase = Seq(ph(0), ph(1))
+    val direct = all.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_occ", size(filter(
+        sequence(lit(1), size(col("t")) - 1),
+        i => col("t")(i - 1) === lit(phrase.head) &&
+          col("t")(i) === lit(phrase(1)))).cast("long"))
+      .filter(col("n_occ") > 0)
+      .select("doc_id", "n_occ")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val served2 = store.phraseSearch(spark, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(served2 == direct,
+      s"phrase serving diverged: $served2 vs $direct")
+    assert(direct.nonEmpty, "probe phrase should occur at least in doc 3")
+    // planning stays bounded by the phrase terms' parts
+    val phParts = phrase.distinct.toDF("term")
+      .select(pmod(hash(col("term")), lit(16)).as("p")).distinct().count().toInt
+    assert(store.lastPlannedDirs.size <= phParts,
+      s"phrase planned ${store.lastPlannedDirs.size} dirs for $phParts parts")
     all.unpersist(); queries.unpersist()
   }
 
