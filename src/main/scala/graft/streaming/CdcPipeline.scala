@@ -139,7 +139,8 @@ object CdcPipeline {
                      projections: Seq[graft.sinks.ProjectionDef] = Nil,
                      aggViews: Seq[graft.sinks.AggViewDef] = Nil,
                      joinViews: Seq[graft.sinks.JoinViewDef] = Nil,
-                     historyTables: Seq[String] = Nil): StreamingQuery =
+                     historyTables: Seq[String] = Nil,
+                     starViews: Seq[graft.sinks.StarViewDef] = Nil): StreamingQuery =
     // Transactions are ASSEMBLED before apply: a raw-DML apply would
     // materialize events of a streamed (v2) transaction that later
     // ABORTS — its events precede a later commit boundary, but only the
@@ -148,7 +149,7 @@ object CdcPipeline {
     startAssembled(envelope, originFilter, "graft-warehouse", checkpointDir,
       trigger) { (batch, batchId) =>
       applyWarehouseBatch(batch, rootPath, numBuckets, batchId, projections,
-        aggViews, joinViews, historyTables)
+        aggViews, joinViews, historyTables, starViews)
     }
 
   /** F2 gate for the warehouse root: refuses STALE batch replays (an old
@@ -202,7 +203,8 @@ object CdcPipeline {
                           projections: Seq[graft.sinks.ProjectionDef] = Nil,
                           aggViews: Seq[graft.sinks.AggViewDef] = Nil,
                           joinViews: Seq[graft.sinks.JoinViewDef] = Nil,
-                          historyTables: Seq[String] = Nil): Unit = {
+                          historyTables: Seq[String] = Nil,
+                          starViews: Seq[graft.sinks.StarViewDef] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     if (batchId <= lastWarehouseBatch(spark, rootPath)) return // stale replay
@@ -244,6 +246,11 @@ object CdcPipeline {
       // epoch semantics live in the replica, not the view's fold)
       val rebuildViews = joinViews.filter(jv =>
         touched(jv.dimTable) || truncLsn.contains(jv.factTable))
+      // a star view rebuilds when ANY of its dims changed (same
+      // re-attribution argument, per spoke) or its fact truncated
+      val rebuildStars = starViews.filter(sv =>
+        sv.dims.exists(d => touched(d.dimTable)) ||
+          truncLsn.contains(sv.factTable))
       // Per-table applies are independent (distinct paths, per-key LSN
       // squash inside each) — run them as CONCURRENT Spark jobs so many
       // small tables fill the cluster instead of serializing scheduler
@@ -360,6 +367,37 @@ object CdcPipeline {
                         org.apache.spark.sql.types.StringType))))
               jv.sink(rootPath).applyBatch(spark, jvFlat, dimSnap, batchId)
             }
+            // star views on UNTOUCHED dims fold this fact batch
+            // incrementally, resolving through EVERY dim's snapshot;
+            // any-dim-touched views rebuild after the barrier
+            starViews.filter(sv => sv.factTable == name &&
+                !rebuildStars.contains(sv)).foreach { sv =>
+              val needed = (sv.dims.map(_.factKey) ++ sv.sumCols ++
+                sv.minMaxCols).distinct
+              val svFlat = tableEvents.select(
+                Seq(col("op"), col("lsn"),
+                  needed.map(c => array_contains(col("before.name"), c))
+                    .reduce(_ && _).as("__has_before")) ++
+                  needed.map(c => element_at(col("__after"), c).as(c)) ++
+                  needed.map(c =>
+                    element_at(col("__before"), c).as(s"__old_$c")): _*)
+              val snaps = sv.dims.map { d =>
+                val p = new org.apache.hadoop.fs.Path(
+                  s"$rootPath/${d.dimTable}")
+                d.dimTable -> (
+                  if (p.getFileSystem(spark.sessionState.newHadoopConf())
+                        .exists(p))
+                    new graft.sinks.ParquetReplicaSink(
+                      p.toString, Nil, numBuckets).snapshot(spark)
+                  else spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    org.apache.spark.sql.types.StructType(
+                      (d.dimKey +: d.groupCols).distinct.map(c =>
+                        org.apache.spark.sql.types.StructField(c,
+                          org.apache.spark.sql.types.StringType)))))
+              }.toMap
+              sv.sink(rootPath).applyBatch(spark, svFlat, snaps, batchId)
+            }
           }
         }
         // truncated tables with NO DML in the batch still truncate
@@ -407,6 +445,31 @@ object CdcPipeline {
           case (Some(fact), Some(dim)) =>
             jv.sink(rootPath).rebuild(spark, fact, dim)
           case _ => () // a side never replicated yet → the view stays empty
+        }
+      }
+      // any-dim-touched (or fact-truncated) star views rebuild the same
+      // way; a never-replicated dim joins as an empty snapshot (inner
+      // join → empty view, matching the replay semantics)
+      rebuildStars.foreach { sv =>
+        val hconf = spark.sessionState.newHadoopConf()
+        def snapIfExists(table: String) = {
+          val p = new org.apache.hadoop.fs.Path(s"$rootPath/$table")
+          if (p.getFileSystem(hconf).exists(p))
+            Some(new graft.sinks.ParquetReplicaSink(p.toString, Nil, numBuckets)
+              .snapshot(spark))
+          else None
+        }
+        snapIfExists(sv.factTable).foreach { fact =>
+          val snaps = sv.dims.map { d =>
+            d.dimTable -> snapIfExists(d.dimTable).getOrElse(
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(
+                  (d.dimKey +: d.groupCols).distinct.map(c =>
+                    org.apache.spark.sql.types.StructField(c,
+                      org.apache.spark.sql.types.StringType)))))
+          }.toMap
+          sv.sink(rootPath).rebuild(spark, fact, snaps)
         }
       }
       writeWarehouseBatch(spark, rootPath, batchId)

@@ -259,6 +259,40 @@ object GraftApp {
         }
       }
 
+  /** GRAFT_STAR_VIEWS: "fact~dim1:fk1=pk1:g1,g2~dim2:fk2=pk2:g3>s1[>m1];
+    * ..." → declared star-schema join views: the fact and one or more
+    * `dim:fk=pk:groupCols` spokes, then the sum columns, then the
+    * optional MIN/MAX columns (the GRAFT_JOIN_VIEWS sections,
+    * generalized to N dims). */
+  private[graft] def parseStarViews(
+      env: Map[String, String]): Seq[graft.sinks.StarViewDef] =
+    env.get("GRAFT_STAR_VIEWS").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { spec =>
+        def cols(s: String) =
+          s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sections = spec.split(">", 3)
+        require(sections.length >= 2 && sections(0).contains("~"),
+          s"GRAFT_STAR_VIEWS entry '$spec' is not " +
+            "fact~dim:fk=pk:g1,g2[~dim2:fk2=pk2:g3]>s1,s2[>m1,m2]")
+        val tbls = sections(0).split("~").map(_.trim)
+        val fact = tbls.head
+        val dims = tbls.tail.toSeq.map { ds =>
+          ds.split(":", 3) match {
+            case Array(dim, keys, gs) if keys.contains("=") =>
+              val Array(fk, pk) = keys.split("=", 2).map(_.trim)
+              val groups = cols(gs)
+              require(groups.nonEmpty,
+                s"star view dim '$ds' needs at least one group column")
+              graft.sinks.StarDim(dim.trim, fk, pk, groups)
+            case _ => throw new IllegalArgumentException(
+              s"GRAFT_STAR_VIEWS dim '$ds' is not dim:fk=pk:g1,g2")
+          }
+        }
+        graft.sinks.StarViewDef(fact, dims, cols(sections(1)),
+          minMaxCols = if (sections.length > 2) cols(sections(2)) else Nil)
+      }
+
   /** GRAFT_HISTORY_TABLES: "schema.table[:k1,k2];..." → tables whose
     * SCD2 version history ([[graft.sinks.HistorySink]]) the warehouse
     * chain maintains under `<root>/_history/`. Key columns are OPTIONAL
@@ -418,7 +452,8 @@ object GraftApp {
             trigger, cfg.originFilter, projections)
         else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
           trigger, cfg.originFilter, projections, aggViews,
-          parseJoinViews(env), parseHistoryTables(env).map(_._1))
+          parseJoinViews(env), parseHistoryTables(env).map(_._1),
+          parseStarViews(env))
       case None if kafkaBrokers.isDefined =>
         // kafka mode: assembled transactions → Debezium envelope rows →
         // the built-in kafka sink (at-least-once, the reference's own
@@ -809,8 +844,10 @@ object GraftApp {
             "GRAFT_WAREHOUSE_DIR is required for agg-view"))
         val views = parseAggViews(env)
         val jviews = parseJoinViews(env)
-        require(views.nonEmpty || jviews.nonEmpty,
-          "GRAFT_AGG_VIEWS or GRAFT_JOIN_VIEWS is required for agg-view")
+        val sviews = parseStarViews(env)
+        require(views.nonEmpty || jviews.nonEmpty || sviews.nonEmpty,
+          "GRAFT_AGG_VIEWS, GRAFT_JOIN_VIEWS or GRAFT_STAR_VIEWS is " +
+            "required for agg-view")
         val probeTuples = env.get("GRAFT_AGG_PROBE").toSeq
           .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
           .map(_.split(",").map(_.trim).toSeq)
@@ -840,6 +877,15 @@ object GraftApp {
             s"folded $folded dirs, $groups live groups") +:
             probeLines(s"${jv.factTable}~${jv.dimTable}",
               sink.readGroupTuples(spark, _), jv.dimGroupCols.size)
+        } ++ sviews.flatMap { sv =>
+          val sink = sv.sink(whRoot)
+          sink.recover(spark)
+          val folded = sink.compact(spark)
+          val groups = sink.read(spark).count()
+          (s"star-view ${sv.factTable}/${sv.name}: " +
+            s"folded $folded dirs, $groups live groups") +:
+            probeLines(s"${sv.factTable}/star",
+              sink.readGroupTuples(spark, _), sink.groupCols.size)
         }
       case "history" =>
         // heal + fold every GRAFT_HISTORY_TABLES-declared SCD2 history

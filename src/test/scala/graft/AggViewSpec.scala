@@ -423,6 +423,118 @@ class AggViewSpec extends SparkSpecBase {
       Seq("region", "tier"), Seq("amt"), minMaxCols = Seq("amt"))))
   }
 
+  test("star view: two-dim join view equals the N-way replay; fact-incremental, any-dim rebuild") {
+    import graft.sinks.{StarDim, StarViewDef}
+    val root = java.nio.file.Files.createTempDirectory("starv").toFile.getAbsolutePath
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def d1Ins(lsn: Long, id: String, region: String) =
+      CdcEvent("c", lsn, 1L, ts, "public", "dim1", Nil,
+        Seq(CdcColumn("id", id), CdcColumn("region", region)),
+        keyColumns = Seq("id"))
+    def d2Ins(lsn: Long, id: String, channel: String) =
+      CdcEvent("c", lsn, 1L, ts, "public", "dim2", Nil,
+        Seq(CdcColumn("id", id), CdcColumn("channel", channel)),
+        keyColumns = Seq("id"))
+    def fIns(lsn: Long, id: Int, fk1: String, fk2: String, amt: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", "fact", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk1", fk1),
+          CdcColumn("fk2", fk2), CdcColumn("amt", amt.toString)),
+        keyColumns = Seq("id"))
+    def fUpd(lsn: Long, id: Int, o: (String, String, Int),
+             n: (String, String, Int)) =
+      CdcEvent("u", lsn, 1L, ts, "public", "fact",
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk1", o._1),
+          CdcColumn("fk2", o._2), CdcColumn("amt", o._3.toString)),
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk1", n._1),
+          CdcColumn("fk2", n._2), CdcColumn("amt", n._3.toString)),
+        keyColumns = Seq("id"))
+    def fDel(lsn: Long, id: Int, fk1: String, fk2: String, amt: Int) =
+      CdcEvent("d", lsn, 1L, ts, "public", "fact",
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk1", fk1),
+          CdcColumn("fk2", fk2), CdcColumn("amt", amt.toString)), Nil,
+        keyColumns = Seq("id"))
+    // per-(region, channel) revenue — the orders × customer-geo ×
+    // sales-channel star dashboard: group columns from TWO dims
+    val sv = StarViewDef("public.fact", Seq(
+        StarDim("public.dim1", "fk1", "id", Seq("region")),
+        StarDim("public.dim2", "fk2", "id", Seq("channel"))),
+      Seq("amt"), numParts = 8, minMaxCols = Seq("amt"))
+    def viewMap() = sv.sink(root).read(spark).collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6),
+          r.getLong(7))).toMap
+    def replay() = {
+      val f = spark.read.parquet(s"$root/public.fact")
+        .select(col("fk1"), col("fk2"), col("amt").cast("double").as("a"))
+      val dm1 = spark.read.parquet(s"$root/public.dim1")
+        .select(col("id").as("pk1"), col("region"))
+      val dm2 = spark.read.parquet(s"$root/public.dim2")
+        .select(col("id").as("pk2"), col("channel"))
+      f.join(dm1, f("fk1") === dm1("pk1"))
+        .join(dm2, f("fk2") === dm2("pk2"))
+        .groupBy("region", "channel")
+        .agg(count(lit(1)).as("cnt"), sum("a").as("s"),
+          min("a").as("mn"), max("a").as("mx"),
+          countDistinct("a").as("nd"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6))).toMap
+    }
+    // batch 0 (both dims touched → rebuild seeds the view)
+    val fk1 = (i: Int) => "n" + (i % 3 + 1)
+    val fk2 = (i: Int) => "c" + (i % 2 + 1)
+    CdcPipeline.applyWarehouseBatch(
+      (Seq(d1Ins(1, "n1", "east"), d1Ins(2, "n2", "east"),
+        d1Ins(3, "n3", "west"),
+        d2Ins(4, "c1", "web"), d2Ins(5, "c2", "store")) ++
+        (1 to 60).map(i => fIns(10L + i, i, fk1(i), fk2(i), i))).toDS(),
+      root, 4, batchId = 0, starViews = Seq(sv))
+    assert(sv.sink(root).read(spark).columns.toSeq ==
+      Seq("region", "channel", "cnt", "sum_amt", "avg_amt", "min_amt",
+        "max_amt", "distinct_amt"))
+    assert(viewMap() == replay())
+    // batch 1, fact-only → INCREMENTAL: deletes retract extremes, an
+    // update moves a row across BOTH dims, orphans (either key missing
+    // its dim) contribute nothing
+    CdcPipeline.applyWarehouseBatch(
+      ((31 to 60).map(i => fDel(100L + i, i, fk1(i), fk2(i), i)) ++
+        Seq(fUpd(200, 1, ("n2", "c2", 1), ("n3", "c1", 500)),
+          fIns(201, 900, "n9", "c1", 999),
+          fIns(202, 901, "n1", "c9", 888))).toDS(),
+      root, 4, batchId = 1, starViews = Seq(sv))
+    val m1 = viewMap()
+    assert(m1 == replay(), s"incremental star fold diverged: $m1 vs ${replay()}")
+    // the incremental path really ran (a rebuild would reset to b-1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${sv.path(root)}/e0/b1")),
+      "fact-only batch must fold incrementally, not rebuild")
+    // batch 2: a change to ONE dim (dim2) re-attributes every fact row
+    // of that key → rebuild, still exact
+    CdcPipeline.applyWarehouseBatch(
+      Seq(CdcEvent("u", 300L, 1L, ts, "public", "dim2",
+        Seq(CdcColumn("id", "c1"), CdcColumn("channel", "web")),
+        Seq(CdcColumn("id", "c1"), CdcColumn("channel", "mobile")),
+        keyColumns = Seq("id"))).toDS(),
+      root, 4, batchId = 2, starViews = Seq(sv))
+    assert(viewMap() == replay(), "dim change must rebuild the star view")
+    assert(viewMap().keySet.exists(_._2 == "mobile"))
+    // compound probed read across dims
+    val probed = sv.sink(root).readGroupTuples(spark,
+      Seq(Seq("west", "mobile"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(probed.keySet == Set(("west", "mobile")))
+    assert(probed(("west", "mobile")) == viewMap()(("west", "mobile"))._1)
+    // env surface
+    val defs = graft.streaming.GraftApp.parseStarViews(Map(
+      "GRAFT_STAR_VIEWS" ->
+        "public.fact~public.dim1:fk1=id:region~public.dim2:fk2=id:channel>amt>amt"))
+    assert(defs == Seq(StarViewDef("public.fact", Seq(
+      StarDim("public.dim1", "fk1", "id", Seq("region")),
+      StarDim("public.dim2", "fk2", "id", Seq("channel"))),
+      Seq("amt"), minMaxCols = Seq("amt"))))
+  }
+
   test("env surface: GRAFT_AGG_VIEWS parses; agg-view verb folds and reports") {
     val defs = graft.streaming.GraftApp.parseAggViews(Map(
       "GRAFT_AGG_VIEWS" -> "public.t1:grp>amt; public.t2:a,b>x,y>x,z"))
