@@ -1075,6 +1075,50 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
   def recomputeBlooms(spark: SparkSession): Unit =
     readBlooms(spark).foreach(bi => buildBlooms(spark, bi.cols, bi.m, bi.k))
 
+  // ------------------------------------------------------------ ANALYZE
+
+  /** ANALYZE-style table statistics: row count plus per-column distinct
+    * and null counts, persisted as `_graft_stats.json` — the planner
+    * food a warehouse grows around (is this dim broadcastable? is that
+    * column worth a bloom index? how selective is a point predicate?).
+    * ONE scan: every column's NDV rides Spark's HLL++ partial aggregate
+    * (order-insensitive register maxes — deterministic for a given
+    * table), nulls are a count-when. Run offline (the `stats` verb);
+    * numbers describe the scan-time snapshot. */
+  def tableStats(spark: SparkSession)
+      : (Long, Seq[(String, Long, Long)]) = {
+    val schema = readSidecar(spark).map(_._2)
+      .getOrElse(StructType(snapshot(spark).schema))
+    val snap = snapshot(spark)
+    val aggs = schema.fields.toSeq.flatMap(f => Seq(
+      approx_count_distinct(col(f.name)).as(s"ndv_${f.name}"),
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nul_${f.name}")))
+    val r = snap.agg(count(lit(1)).as("rows"), aggs: _*).first()
+    val rows = r.getAs[Long]("rows")
+    val cols = schema.fields.toSeq.map(f =>
+      (f.name, r.getAs[Long](s"ndv_${f.name}"),
+        Option(r.getAs[Any](s"nul_${f.name}")).map(_.asInstanceOf[Long])
+          .getOrElse(0L)))
+    // persist for planners/operators (atomic rename, the sidecar idiom)
+    val fs = fsOf(spark)
+    fs.mkdirs(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("rows", rows)
+    val cn = rootNode.putObject("columns")
+    cols.foreach { case (c, ndv, nulls) =>
+      val o = cn.putObject(c); o.put("ndv", ndv); o.put("nulls", nulls)
+    }
+    val statsPath = new Path(path, "_graft_stats.json")
+    val tmp = new Path(path, "_graft_stats.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(statsPath.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, statsPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    (rows, cols)
+  }
+
   /** May bucket `b` contain `v` in column `c`? Sidecar absent / column
     * undeclared / bucket unrecorded → unknown (true). */
   private def bloomMay(bloomsOpt: Option[BloomIndex], b: Int, c: String,

@@ -597,6 +597,26 @@ object GraftApp {
         new graft.sinks.ParquetReplicaSink(s"$whRoot/$table", keys, buckets)
           .rebucket(spark, to)
         Seq(s"rebucket $table: -> $to buckets")
+      case "stats" =>
+        // ANALYZE wave: per-table row counts + per-column NDV/null
+        // stats (one scan each, persisted as _graft_stats.json), plus
+        // the skip-index inventory (buckets, zone/bloom sidecars) —
+        // the numbers broadcast and bloom-declaration decisions read
+        tableDirs(whRoot).map { t =>
+          val sink = new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/$t", keysFor(t), buckets)
+          val (rows, cols) = sink.tableStats(spark)
+          val fs = fsOf(new Path(s"$whRoot/$t"))
+          val nBuckets = fs.listStatus(new Path(s"$whRoot/$t")).count(s =>
+            s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          val zones = fs.exists(new Path(s"$whRoot/$t/_graft_zones.json"))
+          val blooms = fs.exists(new Path(s"$whRoot/$t/_graft_blooms.json"))
+          val colStr = cols.map { case (c, ndv, nulls) =>
+            s"$c=$ndv" + (if (nulls > 0) s"/${nulls}null" else "")
+          }.mkString(", ")
+          s"stats $t: $rows rows, $nBuckets buckets, " +
+            s"zones=$zones blooms=$blooms; ndv $colStr"
+        }
       case "text-index" =>
         // durable BM25 inverted index: build/append a batch of docs,
         // optionally fold batch dirs, optionally serve a probe query —

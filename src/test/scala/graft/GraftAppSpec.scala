@@ -420,6 +420,18 @@ class GraftAppSpec extends SparkSpecBase {
     assert(sink.lastScanPlannedBuckets == 1,
       s"bloom-build verb: planned ${sink.lastScanPlannedBuckets}")
 
+    // stats: ANALYZE wave — row count, per-column NDV/nulls, sidecar
+    // inventory; the artifact persists on the table
+    val sLines = GraftApp.maintenance(spark, env +
+      ("GRAFT_MAINTENANCE" -> "stats"))
+    val sLine = sLines.find(_.startsWith("stats public.t1:"))
+    assert(sLine.isDefined, sLines.mkString("; "))
+    assert(sLine.get.contains("95 rows"), sLine.get) // 100 - 11 + 6
+    assert(sLine.get.contains("zones=true"), sLine.get)
+    assert(sLine.get.contains("blooms=true"), sLine.get)
+    assert(sLine.get.contains("id="), sLine.get)
+    assert(new java.io.File(s"$root/public.t1/_graft_stats.json").exists())
+
     // text-index: build the durable BM25 index + serve a probe from env
     val tDocs = s"$root/_textdocs"
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
