@@ -158,6 +158,24 @@ object LlmQueries {
         .localCheckpoint(true)
     })
 
+  /** Frozen unigram vocab + IVF assignment, one derivation per corpus
+    * dir — the same serving-vs-building split as [[bpeSeq]]/[[ccOf]]:
+    * production trains the segmenter / builds the IVF index once and
+    * every consumer reads the frozen artifact. */
+  private val unigramVocabMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.llmops.Unigram.Vocab]
+  private def unigramVocab(s: SparkSession, d: String)
+      : graft.llmops.Unigram.Vocab =
+    unigramVocabMemo.getOrElseUpdate(d,
+      graft.llmops.Unigram.trainVocab(documents(s, d)))
+
+  private val ivfAssignMemo = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+  private def ivfAssign(s: SparkSession, d: String): DataFrame =
+    ivfAssignMemo.getOrElseUpdate(d,
+      Similarity.ivfIndex(Similarity.quantized(embeddings(s, d)))._2
+        .localCheckpoint(true))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per normalized-text hash. At 100 TB this
     // is one hash-shuffle on a 32-hex key; the min(doc_id) keeps choice
@@ -718,7 +736,7 @@ object LlmQueries {
     // cross join); stats are one groupBy + a cluster-partitioned window.
     "llm_cluster_stats" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val (_, assign) = Similarity.ivfIndex(Similarity.quantized(emb))
+      val assign = ivfAssign(s, d)
       val byLab = assign
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
         .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
@@ -2010,8 +2028,8 @@ object LlmQueries {
     // the identical (score desc, pieces asc, start asc) tie-break.
     "llm_unigram_encode" -> ((s, d) => {
       import graft.llmops.Unigram
-      val docs = documents(s, d)
-      Unigram.segmentCorpus(docs, Unigram.trainVocab(docs)).orderBy("doc_id")
+      Unigram.segmentCorpus(documents(s, d), unigramVocab(s, d))
+        .orderBy("doc_id")
     }),
 
     // Train a model IN the engine: fastText/DCLM-style logistic-
@@ -2085,8 +2103,7 @@ object LlmQueries {
     // clusters × quota.
     "llm_cluster_sample" -> ((s, d) => {
       import graft.expressions.GraftFunctions.md5_prefix60
-      val emb = embeddings(s, d)
-      val (_, assign) = Similarity.ivfIndex(Similarity.quantized(emb))
+      val assign = ivfAssign(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster")
         .orderBy(col("draw"), col("vec_id"))
@@ -2147,8 +2164,7 @@ object LlmQueries {
     // corpus breaks the hash.
     "llm_unigram_ids" -> ((s, d) => {
       import graft.llmops.Unigram
-      val docs = documents(s, d)
-      Unigram.encodeCorpusIds(docs, Unigram.trainVocab(docs))
+      Unigram.encodeCorpusIds(documents(s, d), unigramVocab(s, d))
         .select(col("doc_id"),
           size(col("ids")).cast("long").as("n_ids"),
           concat_ws("-", transform(slice(col("ids"), 1, 12),
