@@ -32,9 +32,12 @@ import org.apache.spark.sql.types._
   * upstream, as with [[LshIndexStore]]); re-adding an id would inflate
   * df/tf. Replay-idempotent by construction: `addBatch` deletes +
   * dynamically overwrites its own `batch=B` dirs and stats row, marker
-  * after data. [[compact]] folds batch dirs into `batch=0` with the
-  * family's committed-staging swap so planning stops growing with
-  * trigger count.
+  * after data. [[delete]] retracts documents without touching a
+  * posting (tombstones + exact stat adjustment through the per-batch
+  * `_lens` table — a post-delete ranking equals a fresh build over the
+  * survivors bit-for-bit). [[compact]] folds batch dirs into `batch=0`
+  * with the family's committed-staging swap so planning stops growing
+  * with trigger count, purging tombstoned postings physically.
   */
 class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
 
@@ -93,15 +96,81 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "part")
       .parquet(path)
+    // per-batch (doc, length) table — what lets [[delete]] adjust the
+    // corpus stats exactly without touching a posting; replay
+    // overwrites its own dir like everything else
+    val lens = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+    lens.write.mode(SaveMode.Overwrite).parquet(s"$path/_lens/batch=$batchId")
     // per-batch additive stats — replay overwrites its own row
-    val st = docs
-      .select(size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens")).first()
+    val st = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+      .first()
     import spark.implicits._
     Seq((st.getLong(0), Option(st.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)))
       .toDF("n_docs", "n_tokens")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_stats/batch=$batchId")
     fs.create(markerPath(batchId), true).close()
+  }
+
+  // ------------------------------------------------------------ retraction
+
+  private def tombDir = new Path(path, "_tombstones")
+
+  /** Retract documents (the GDPR/curation delete): ids land in a
+    * tombstone set consulted by every serve path — no rebuild, no
+    * posting rewrite at delete time; [[compact]] purges them
+    * physically. Corpus stats (N, avgdl) adjust EXACTLY through the
+    * per-batch `_lens` table and df shrinks with the filtered
+    * candidates, so a post-delete ranking equals a fresh build over the
+    * surviving docs bit-for-bit (spec-asserted). */
+  def delete(spark: SparkSession, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    val fs = fsOf(spark)
+    fs.mkdirs(tombDir)
+    val next = fs.listStatus(tombDir).length
+    import spark.implicits._
+    ids.toDF("doc_id").coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(tombDir, s"d$next").toString)
+  }
+
+  /** The dead set — driver-bounded (deletes are retractions, not a
+    * corpus); empty when no tombstones exist. */
+  private def tombstoned(spark: SparkSession): Set[Long] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(tombDir)) Set.empty
+    else {
+      val dirs = fs.listStatus(tombDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) Set.empty
+      else spark.read.parquet(dirs: _*).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+  }
+
+  private def dropDead(spark: SparkSession, df: DataFrame,
+                       dead: Set[Long]): DataFrame =
+    if (dead.isEmpty) df
+    else {
+      import spark.implicits._
+      df.join(broadcast(dead.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+    }
+
+  /** (live N, live total tokens): the stored additive stats minus the
+    * tombstoned docs' contribution from `_lens`. */
+  private def liveStats(spark: SparkSession, dead: Set[Long]): (Long, Long) = {
+    val (n, tot) = stats(spark)
+    val lensPath = new Path(path, "_lens")
+    if (dead.isEmpty || !fsOf(spark).exists(lensPath)) (n, tot)
+    else {
+      import spark.implicits._
+      val r = spark.read.option("basePath", s"$path/_lens")
+        .parquet(lensPath.toString)
+        .join(broadcast(dead.toSeq.toDF("doc_id")), "doc_id")
+        .agg(count(lit(1)).as("nd"), sum("dl").as("td")).first()
+      (n - r.getLong(0),
+        tot - Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
   }
 
   /** (N docs, total tokens) over every batch — a #batches-row read. */
@@ -146,8 +215,10 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     * corpus. */
   def search(spark: SparkSession, queries: DataFrame, k: Int,
              k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
-    val (n, tot) = stats(spark)
-    val cand = prunedPostings(spark, queries.select("term").distinct())
+    val dead = tombstoned(spark)
+    val (n, tot) = liveStats(spark, dead)
+    val cand = dropDead(spark,
+      prunedPostings(spark, queries.select("term").distinct()), dead)
     Lexical.scoreBm25(queries, cand.select("term", "doc_id", "tf"),
       cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli)
   }
@@ -163,8 +234,9 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
   def phraseSearch(spark: SparkSession, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "phraseSearch: at least two words")
     import spark.implicits._
-    val post = prunedPostings(spark,
-      phrase.distinct.toDF("term")).select("term", "doc_id", "pos")
+    val post = dropDead(spark,
+      prunedPostings(spark, phrase.distinct.toDF("term")),
+      tombstoned(spark)).select("term", "doc_id", "pos")
     val slots = phrase.zipWithIndex
     val joined = slots.map { case (w, i) =>
       post.filter(col("term") === w)
@@ -195,18 +267,38 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     }
     if (batchDirs(spark).isEmpty) return
     if (fs.exists(staging)) fs.delete(staging, true)
-    val (n, tot) = stats(spark)
-    spark.read.schema(StructType(rowSchema.fields ++ Seq(
-        StructField("batch", LongType), StructField("part", IntegerType))))
-      .option("basePath", path).parquet(path)
+    // tombstoned docs are PURGED here: postings and lens rows dropped,
+    // stats recomputed from the surviving lens table, tombstones gone
+    val dead = tombstoned(spark)
+    dropDead(spark,
+      spark.read.schema(StructType(rowSchema.fields ++ Seq(
+          StructField("batch", LongType), StructField("part", IntegerType))))
+        .option("basePath", path).parquet(path), dead)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
         lit(0L).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
       .repartition(numParts, col("part"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
       .parquet(staging.toString)
+    val lensPath = new Path(path, "_lens")
+    val liveLens =
+      if (fs.exists(lensPath))
+        dropDead(spark, spark.read.option("basePath", s"$path/_lens")
+          .parquet(lensPath.toString).select("doc_id", "dl"), dead)
+          .localCheckpoint(true)
+      else null
     import spark.implicits._
-    Seq((n, tot)).toDF("n_docs", "n_tokens")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/_stats/batch=0")
+    if (liveLens != null) {
+      liveLens.write.mode(SaveMode.Overwrite).parquet(s"$staging/_lens/batch=0")
+      val st = liveLens.agg(count(lit(1)).as("n"), sum("dl").as("t")).first()
+      Seq((st.getLong(0),
+          Option(st.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)))
+        .toDF("n_docs", "n_tokens")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/_stats/batch=0")
+    } else {
+      val (n, tot) = liveStats(spark, dead)
+      Seq((n, tot)).toDF("n_docs", "n_tokens")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/_stats/batch=0")
+    }
     val applied = new Path(path, "_applied")
     if (fs.exists(applied))
       org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,

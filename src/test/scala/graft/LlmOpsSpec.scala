@@ -1607,6 +1607,53 @@ class LlmOpsSpec extends SparkSpecBase {
     all.unpersist(); queries.unpersist()
   }
 
+  test("TextIndexStore: retraction — post-delete ranking equals a fresh build over survivors") {
+    import graft.llmops.{Lexical, TextIndexStore}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("text-idx-del")
+      .toFile.getAbsolutePath + "/idx"
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200).cache()
+    val store = new TextIndexStore(dir, numParts = 16)
+    store.addBatch(spark, all.filter(col("doc_id") < 120), 0)
+    store.addBatch(spark, all.filter(col("doc_id") >= 120), 1)
+    // probe with the VICTIM's own leading tokens, so the deleted doc
+    // would otherwise dominate the ranking
+    val queries = all.filter(col("doc_id") === 3L)
+      .select(lit(0L).as("qid"),
+        explode(slice(split(col("text"), " "), 1, 6)).as("term"))
+      .cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(store.search(spark, queries, k = 10)) ==
+      rows(Lexical.bm25TopK(all, queries, k = 10)),
+      "pre-delete serving must match the full build")
+    store.delete(spark, Seq(3L, 130L))
+    val live = all.filter(!col("doc_id").isin(3L, 130L))
+    val served = rows(store.search(spark, queries, k = 10))
+    // the dead doc vanishes AND every score re-derives against the
+    // live N/avgdl/df — bit-parity with a fresh build over survivors
+    assert(served == rows(Lexical.bm25TopK(live, queries, k = 10)),
+      "post-delete ranking must equal a fresh build over survivors")
+    assert(!served.exists(r => r._3 == 3L || r._3 == 130L))
+    // phrase search excludes the dead doc too
+    val ph = all.filter(col("doc_id") === 3L)
+      .select(split(col("text"), " ").as("t")).first().getSeq[String](0)
+    assert(!store.phraseSearch(spark, Seq(ph(0), ph(1)))
+      .collect().map(_.getLong(0)).contains(3L))
+    // compact purges physically: tombstones gone, parity holds
+    store.compact(spark)
+    assert(!new java.io.File(dir, "_tombstones").exists(),
+      "compact must clear the tombstone set")
+    assert(rows(store.search(spark, queries, k = 10)) == served)
+    val allPostDocs = spark.read.parquet(dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!allPostDocs.contains(3L) && !allPostDocs.contains(130L),
+      "compact must purge tombstoned postings")
+    all.unpersist(); queries.unpersist()
+  }
+
   test("TextIndexStore: streaming intake via foreachBatch equals the batch build") {
     import graft.llmops.{Lexical, TextIndexStore}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
