@@ -527,6 +527,34 @@ object ScaleProbe {
     require(afterCompact != nVecs.toLong, "purged twin resurfaced after compact")
     println(f"ann retraction: delete + filtered serve + compacted purge in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s (post-delete top-1 = $afterDel)")
+
+    // durable BM25 text index at corpus volume: build over the full
+    // synthetic corpus, then point-serve — the planned-dir count must
+    // stay bounded by the query terms' parts however many docs the
+    // index holds, and the planted near-copy must rank right behind
+    // its original on the original's own tokens
+    t0 = System.nanoTime()
+    val tiDir = java.nio.file.Files.createTempDirectory("scale-text")
+      .toFile.getAbsolutePath + "/idx"
+    val tiStore = new graft.llmops.TextIndexStore(tiDir, numParts = 64)
+    tiStore.addBatch(spark, docs, 0)
+    println(f"text index: ${docs.count()} docs indexed in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    // probe = doc 98's leading 6 tokens; doc 99 is its planted
+    // near-copy (one token changed) — both must lead the ranking
+    val tiQ = docs.filter(col("doc_id") === 98L)
+      .select(lit(0L).as("qid"),
+        explode(slice(split(col("text"), " "), 1, 6)).as("term"))
+    val tiTop = tiStore.search(spark, tiQ, k = 5).collect()
+      .sortBy(_.getInt(1)).map(_.getLong(2))
+    require(tiTop.take(2).toSet == Set(98L, 99L),
+      s"original+near-copy must lead the BM25 ranking: ${tiTop.toSeq}")
+    require(tiStore.lastPlannedDirs.size <= 6,
+      s"text search planned ${tiStore.lastPlannedDirs.size} dirs for <=6 terms")
+    println(f"text search: top-5 ${tiTop.mkString(",")} in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"(${tiStore.lastPlannedDirs.size} part dirs planned of 64)")
     spark.stop()
   }
 }
