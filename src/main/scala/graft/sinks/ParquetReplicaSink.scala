@@ -46,7 +46,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * pruning; plain parquet + explicit buckets reproduces the same pruning
   * with no table-format dependency.
   */
-class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 64)
+class ParquetReplicaSink(path: String, keyCols: Seq[String],
+                         numBuckets: Int = 64,
+                         declaredBlooms: Seq[String] = Nil)
     extends Serializable {
 
   /** Test/ops instrumentation: data files planned for read by the last
@@ -616,6 +618,19 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String], numBuckets: Int = 6
           .write.mode(SaveMode.Overwrite).parquet(s"$path/bucket=$b")
       }
     }
+    // declarative bloom auto-init (streaming chains declare columns up
+    // front — GRAFT_WAREHOUSE_BLOOMS — instead of running the offline
+    // verb once): the first batch after which EVERY declared column
+    // exists in the schema builds the index exactly over the table;
+    // maintainBlooms keeps it fresh from then on. Built AFTER the data
+    // so the initial build covers this batch too. An undeclared column
+    // waits (schema evolution may add it later); an ineligible type
+    // fails fast — that is a configuration error, not drift.
+    if (declaredBlooms.nonEmpty && readBlooms(spark).isEmpty)
+      readSidecar(spark).map(_._2).foreach { sc =>
+        if (declaredBlooms.forall(sc.fieldNames.contains))
+          buildBlooms(spark, declaredBlooms)
+      }
   }
 
   // --------------------------------------------------------------- truncate

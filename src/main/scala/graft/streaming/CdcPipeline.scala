@@ -140,7 +140,9 @@ object CdcPipeline {
                      aggViews: Seq[graft.sinks.AggViewDef] = Nil,
                      joinViews: Seq[graft.sinks.JoinViewDef] = Nil,
                      historyTables: Seq[String] = Nil,
-                     starViews: Seq[graft.sinks.StarViewDef] = Nil): StreamingQuery =
+                     starViews: Seq[graft.sinks.StarViewDef] = Nil,
+                     bloomCols: Map[String, Seq[String]] = Map.empty)
+      : StreamingQuery =
     // Transactions are ASSEMBLED before apply: a raw-DML apply would
     // materialize events of a streamed (v2) transaction that later
     // ABORTS — its events precede a later commit boundary, but only the
@@ -149,7 +151,7 @@ object CdcPipeline {
     startAssembled(envelope, originFilter, "graft-warehouse", checkpointDir,
       trigger) { (batch, batchId) =>
       applyWarehouseBatch(batch, rootPath, numBuckets, batchId, projections,
-        aggViews, joinViews, historyTables, starViews)
+        aggViews, joinViews, historyTables, starViews, bloomCols)
     }
 
   /** F2 gate for the warehouse root: refuses STALE batch replays (an old
@@ -204,7 +206,9 @@ object CdcPipeline {
                           aggViews: Seq[graft.sinks.AggViewDef] = Nil,
                           joinViews: Seq[graft.sinks.JoinViewDef] = Nil,
                           historyTables: Seq[String] = Nil,
-                          starViews: Seq[graft.sinks.StarViewDef] = Nil): Unit = {
+                          starViews: Seq[graft.sinks.StarViewDef] = Nil,
+                          bloomCols: Map[String, Seq[String]] = Map.empty)
+      : Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     if (batchId <= lastWarehouseBatch(spark, rootPath)) return // stale replay
@@ -286,7 +290,8 @@ object CdcPipeline {
             val flat = tableEvents
               .select(col("op") +: col("lsn") +: flatCols: _*)
             val sink = new graft.sinks.ParquetReplicaSink(
-              s"$rootPath/$name", keys, numBuckets)
+              s"$rootPath/$name", keys, numBuckets,
+              declaredBlooms = bloomCols.getOrElse(name, Nil))
             if (cut.isDefined) {
               sink.truncate(spark)
               // every declared secondary layout of the table goes with it

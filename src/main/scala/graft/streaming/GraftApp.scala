@@ -293,6 +293,24 @@ object GraftApp {
           minMaxCols = if (sections.length > 2) cols(sections(2)) else Nil)
       }
 
+  /** GRAFT_WAREHOUSE_BLOOMS: "table:col1+col2,..." → per-table bloom
+    * skip-index declarations for the STREAMING warehouse chain (the
+    * `bloom-build` verb's syntax): the chain auto-builds each index on
+    * the first batch that covers the declared columns and maintains it
+    * online from then on. */
+  private[graft] def parseWarehouseBlooms(
+      env: Map[String, String]): Map[String, Seq[String]] =
+    env.get("GRAFT_WAREHOUSE_BLOOMS").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { sp =>
+        sp.split(":", 2) match {
+          case Array(t, cs) =>
+            t.trim -> cs.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq
+          case _ => throw new IllegalArgumentException(
+            s"GRAFT_WAREHOUSE_BLOOMS entry '$sp' is not table:col1+col2")
+        }
+      }.toMap
+
   /** GRAFT_HISTORY_TABLES: "schema.table[:k1,k2];..." → tables whose
     * SCD2 version history ([[graft.sinks.HistorySink]]) the warehouse
     * chain maintains under `<root>/_history/`. Key columns are OPTIONAL
@@ -453,7 +471,7 @@ object GraftApp {
         else CdcPipeline.startWarehouse(envelope, root, ckpt, buckets,
           trigger, cfg.originFilter, projections, aggViews,
           parseJoinViews(env), parseHistoryTables(env).map(_._1),
-          parseStarViews(env))
+          parseStarViews(env), parseWarehouseBlooms(env))
       case None if kafkaBrokers.isDefined =>
         // kafka mode: assembled transactions → Debezium envelope rows →
         // the built-in kafka sink (at-least-once, the reference's own

@@ -121,12 +121,14 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_WAL_DIR" -> wal, "GRAFT_WAREHOUSE_DIR" -> root,
       "GRAFT_WAREHOUSE_BUCKETS" -> "4",
       "GRAFT_HISTORY_TABLES" -> "public.t1",
+      "GRAFT_WAREHOUSE_BLOOMS" -> "public.t1:id",
       "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_METRICS_PORT" -> "-1")
     val w = GraftApp.build(spark, GraftConfig(), env, Trigger.AvailableNow())
     try {
       w.query.awaitTermination()
-      val ids = new graft.sinks.ParquetReplicaSink(
-        s"$root/public.t1", Seq("id"), 4).snapshot(spark)
+      val sink = new graft.sinks.ParquetReplicaSink(
+        s"$root/public.t1", Seq("id"), 4)
+      val ids = sink.snapshot(spark)
         .select("id").collect().map(_.getString(0)).toSet
       assert(ids == Set("1", "2", "3"))
       // the env-declared SCD2 history rode the same stream: one open
@@ -135,6 +137,14 @@ class GraftAppSpec extends SparkSpecBase {
       val asOfIds = hist.asOf(spark, Long.MaxValue)
         .select("id").collect().map(_.getString(0)).toSet
       assert(asOfIds == ids, "history tip must equal the replica")
+      // the env-declared bloom index auto-built on the covering batch:
+      // a point lookup plans only the value's bucket
+      assert(new java.io.File(s"$root/public.t1/_graft_blooms.json").exists(),
+        "declared bloom index must auto-build with the stream")
+      assert(sink.scan(spark,
+        org.apache.spark.sql.functions.col("id") === "2").count() == 1)
+      assert(sink.lastScanPlannedBuckets == 1,
+        s"streamed bloom plan: ${sink.lastScanPlannedBuckets}")
     } finally GraftApp.shutdown(w)
   }
 
