@@ -24,7 +24,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     per-table hash-bucketed parquet (the 100 TB path) instead of a
   *     JDBC destination; GRAFT_WAREHOUSE_BUCKETS (default 64) sizes the
   *     layout, GRAFT_WAREHOUSE_SPILL=true routes through the disk-spill
-  *     sealer for arbitrarily large streamed transactions
+  *     sealer for arbitrarily large streamed transactions;
+  *     GRAFT_STAR_VIEWS declares N-dim star join views (see
+  *     parseStarViews), GRAFT_WAREHOUSE_BLOOMS declares per-table
+  *     bloom skip indexes the chain auto-builds + maintains
   *   GRAFT_CURATE_DIR   — training-data intake mode: stream document
   *     parquet (doc_id, source, text) from this directory through the
   *     curation pipeline (quality/language gates, exact + LSH near
@@ -104,6 +107,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_BLOOM_K / GRAFT_BLOOM_SHINGLE tune the
   *                   filter, defaults 65536/4/3); the curate intake
   *                   serves it via GRAFT_CURATE_DECONTAM=<dir>
+  *     bloom-build   declare + exactly (re)build per-bucket bloom SKIP
+  *                   indexes on warehouse tables (GRAFT_BLOOM_TABLES=
+  *                   "table:col1+col2,..."; GRAFT_BLOOM_BITS/
+  *                   GRAFT_BLOOM_HASHES, def 4096/3) — point
+  *                   predicates on the declared columns then plan ~1
+  *                   bucket dir; also the staleness reset after
+  *                   update/delete churn (streaming chains can declare
+  *                   via GRAFT_WAREHOUSE_BLOOMS instead)
+  *     stats         ANALYZE wave: per-table row counts + per-column
+  *                   NDV/null stats (persisted _graft_stats.json) and
+  *                   the skip-index inventory
+  *     text-index    build/append a durable BM25 inverted index
+  *                   (GRAFT_TEXT_DOCS → GRAFT_TEXT_OUT;
+  *                   GRAFT_TEXT_PARTS def 64, GRAFT_TEXT_BATCH def 0,
+  *                   GRAFT_TEXT_COMPACT=1 folds batch dirs,
+  *                   GRAFT_TEXT_QUERY serves a probe from the
+  *                   part-pruned postings)
+  *     hybrid-search reciprocal-rank fusion of the text index
+  *                   (GRAFT_TEXT_OUT) and a persisted ANN index
+  *                   (GRAFT_ANN_DIR) for one probe doc
+  *                   (GRAFT_HYBRID_PROBE, text from GRAFT_HYBRID_DOCS;
+  *                   GRAFT_HYBRID_K def 5)
   *     bpe-train     train a BPE tokenizer on GRAFT_BPE_DOCS parquet
   *                   (GRAFT_BPE_MERGES, def 200; GRAFT_BPE_VOCAB_CAP,
   *                   def 65536; GRAFT_BPE_TEXT_COL, def text) and
@@ -119,8 +144,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   reset) when the last append drifted past
   *                   baseline×ratio
   *     agg-view      heal + fold every GRAFT_AGG_VIEWS-declared
-  *                   incremental aggregate view's AND every
-  *                   GRAFT_JOIN_VIEWS-declared join view's delta dirs
+  *                   incremental aggregate view's, every
+  *                   GRAFT_JOIN_VIEWS-declared join view's AND every
+  *                   GRAFT_STAR_VIEWS-declared star view's delta dirs
   *                   under GRAFT_WAREHOUSE_DIR and report live group
   *                   counts; GRAFT_AGG_PROBE="v1,v2;..." also serves a
   *                   partition-pruned probed read per matching-arity
