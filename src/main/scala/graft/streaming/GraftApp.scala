@@ -191,6 +191,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   mounts; GRAFT_EMIT_TOKENIZER_KIND=bpe (default)
   *                   or unigram selects the tokenizer family the
   *                   artifact belongs to
+  *     release       one-command training-data release over
+  *                   GRAFT_RELEASE_DOCS: quality/lang gate (+ optional
+  *                   GRAFT_RELEASE_MODEL classifier gate), exact dedup,
+  *                   near-dedup at GRAFT_RELEASE_JACCARD (def 0.8),
+  *                   optional GRAFT_RELEASE_BLOOM decontamination
+  *                   (GRAFT_RELEASE_MINSHARED, def 3), then the curated
+  *                   corpus is frozen at GRAFT_RELEASE_OUT/docs and
+  *                   emit-shards runs against it (manifest +
+  *                   changed-shards-only re-tokenization; pass the
+  *                   GRAFT_EMIT_TOKENIZER[_KIND]/BUDGET/SHARDS knobs
+  *                   through); per-release funnel report under
+  *                   GRAFT_RELEASE_OUT/_report
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -1213,6 +1225,101 @@ object GraftApp {
           Seq("added", "removed", "changed", "unchanged")
             .map(s => s"$s=${counts.getOrElse(s, 0L)}").mkString(", "),
           s"manifest-diff shards: ${shards.mkString(" ")}")
+      case "release" =>
+        // ONE-COMMAND training-data release — the composition every
+        // curated-corpus run executes, as a single crash-safe verb:
+        //   quality/lang gate (+ optional trained-model gate)
+        //     -> exact dedup (min-id per content hash)
+        //     -> LSH near-dedup verified by exact Jaccard
+        //     -> optional Bloom decontamination (persisted artifact)
+        //     -> frozen curated corpus at $out/docs (the trainer's
+        //        re-fetch contract)
+        //     -> incremental shard emission with release manifest
+        //        (delegates to emit-shards: only shards whose content
+        //        hash moved are re-tokenized)
+        // plus a per-release funnel report at $out/_report. Every stage
+        // is the SAME operator the standalone oracle-checked queries
+        // pin (StreamingCurate.gate == llm_curate's gate; Dedup.exact /
+        // nearDedup == llm_dedup_*), so the verb cannot drift from the
+        // verified semantics. Scale shape: each stage is one bounded
+        // pass over a shrinking corpus (gate is a codegen'd scan,
+        // dedup shuffles on hash keys / LSH buckets — never all-pairs),
+        // and re-releasing an updated corpus re-tokenizes only the
+        // changed shards.
+        val docsDir = env.getOrElse("GRAFT_RELEASE_DOCS",
+          throw new IllegalArgumentException("GRAFT_RELEASE_DOCS is required"))
+        val relOut = env.getOrElse("GRAFT_RELEASE_OUT",
+          throw new IllegalArgumentException("GRAFT_RELEASE_OUT is required"))
+        val thr = env.get("GRAFT_RELEASE_JACCARD").map(_.toDouble)
+          .getOrElse(0.8)
+        val raw = spark.read.parquet(docsDir)
+        val nRaw = raw.count()
+        // materialize the regex-heavy gate once for the multi-branch
+        // read (same discipline as llm_curate); optional model gate
+        // mirrors the streaming intake exactly
+        val gated0 = graft.llmops.StreamingCurate.gate(raw)
+        val gated = (env.get("GRAFT_RELEASE_MODEL") match {
+          case None => gated0
+          case Some(dir) => graft.llmops.Classifier.gateDocs(gated0,
+            graft.llmops.Classifier.loadWeights(spark, dir))
+        }).localCheckpoint(false)
+        val nGated = gated.count()
+        val keepExact = graft.llmops.Dedup.exact(gated)
+          .select(col("keep_id").as("doc_id"))
+        val exactKept = gated.join(keepExact, "doc_id")
+        val nExact = exactKept.count()
+        val near = graft.llmops.Dedup.nearDedup(exactKept, thr)
+        val nNear = near.count()
+        val fin = env.get("GRAFT_RELEASE_BLOOM") match {
+          case None => near
+          case Some(bdir) =>
+            val minShared = env.get("GRAFT_RELEASE_MINSHARED")
+              .map(_.toInt).getOrElse(3)
+            val flagged = graft.llmops.Dedup
+              .bloomContaminationFrom(spark, bdir, near, minShared)
+              .select("doc_id")
+            near.join(flagged, Seq("doc_id"), "left_anti")
+        }
+        // freeze the curated corpus: overwrite is atomic-enough here
+        // because emit-shards re-reads it and only advances its own
+        // manifest at the very end — a crash between the two leaves
+        // the previous release fully servable
+        val curDocsDir = s"$relOut/docs"
+        fin.select(col("doc_id"), col("source"), col("text"))
+          .write.mode("overwrite").parquet(curDocsDir)
+        val cur = spark.read.parquet(curDocsDir)
+        val nFinal = cur.count()
+        // token side: delegate to emit-shards (incremental manifest,
+        // changed-shards-only re-tokenization — reuse, not re-impl)
+        val emitLines = maintenance(spark, env ++ Map(
+          "GRAFT_MAINTENANCE" -> "emit-shards",
+          "GRAFT_EMIT_DOCS" -> curDocsDir,
+          "GRAFT_EMIT_OUT" -> s"$relOut/shards"))
+        val relId = graft.llmops.ShardManifest
+          .latestRelease(spark, s"$relOut/shards").map(_._1).getOrElse(0)
+        // per-release funnel report: stage totals + per-source kept
+        // counts; O(sources) rows, overwritten idempotently per release
+        locally {
+          import spark.implicits._
+          val perSource = cur.groupBy("source")
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => ("final", r.getString(0), r.getLong(1))).toSeq
+          val stages = Seq(
+            ("raw", "*", nRaw), ("gated", "*", nGated),
+            ("exact_dedup", "*", nExact), ("near_dedup", "*", nNear),
+            ("final", "*", nFinal)) ++ perSource
+          // release id rides the partition dir (release=N), not a data
+          // column — a parent-dir read recovers it as the partition col
+          val repDir = s"$relOut/_report/release=$relId"
+          val fs = new org.apache.hadoop.fs.Path(repDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(new org.apache.hadoop.fs.Path(repDir)))
+            fs.delete(new org.apache.hadoop.fs.Path(repDir), true)
+          stages.toDF("stage", "source", "n_docs")
+            .coalesce(1).write.parquet(repDir)
+        }
+        Seq(s"release $relId: raw=$nRaw gated=$nGated exact=$nExact " +
+          s"near=$nNear final=$nFinal -> $curDocsDir") ++ emitLines
       case "agg-view-bootstrap" =>
         // declare a view over an ALREADY-replicated table: initial state
         // from the replica snapshot, then the streaming chain maintains

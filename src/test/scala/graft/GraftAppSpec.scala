@@ -1005,4 +1005,81 @@ class GraftAppSpec extends SparkSpecBase {
       c.close()
     }
   }
+
+  test("maintenance mode: release runs the full curation funnel to shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one doc per funnel fate: gate drops (language, length), exact
+    // dedup drops the higher-id copy, near-dedup drops the 1-word
+    // variant, bloom decontam drops the benchmark-quoting doc
+    def en(words: Seq[String]): String =
+      ("the start and more of it" +: words).mkString(" ")
+    val filler = (0 until 24).map(i => s"w$i")
+    val baseA = en(filler.map(w => s"a$w"))
+    val baseB = en(filler.map(w => s"b$w"))
+    val baseBNear = baseB.split(" ").dropRight(1).mkString(" ") + " zz"
+    val benchPhrase = "golden eval answer tokens appear verbatim here"
+    val contaminated = en(filler.take(16).map(w => s"c$w") :+ benchPhrase)
+    val baseD = en(filler.map(w => s"d$w"))
+    val german = ("der anfang und mehr die sache " +
+      (0 until 20).map(i => s"der g$i und die").mkString(" "))
+    val docs = Seq(
+      (0L, "web", baseA), (1L, "web", baseA), // exact-dup pair
+      (2L, "web", baseB), (3L, "books", baseBNear), // near-dup pair
+      (4L, "web", german), (5L, "web", "too short"),
+      (6L, "books", contaminated), (7L, "books", baseD))
+    val docsDir = Files.createTempDirectory("rel-docs").toFile.getAbsolutePath
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    // benchmark artifact for decontamination
+    val benchDir = Files.createTempDirectory("rel-bench").toFile.getAbsolutePath
+    Seq((100L, s"the question and the $benchPhrase of the benchmark"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(benchDir)
+    val bloomDir = Files.createTempDirectory("rel-bloom")
+      .toFile.getAbsolutePath + "/bloom"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bloom-bits", "GRAFT_BLOOM_BENCH" -> benchDir,
+      "GRAFT_BLOOM_OUT" -> bloomDir))
+    // tokenizer artifact
+    val tok = Files.createTempDirectory("rel-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("rel-out").toFile.getAbsolutePath + "/rel"
+    val relEnv = Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> docsDir,
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_RELEASE_BLOOM" -> bloomDir,
+      "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "4")
+    val lines = GraftApp.maintenance(spark, relEnv)
+    assert(lines.exists(_.startsWith(
+      "release 0: raw=8 gated=6 exact=5 near=4 final=3")),
+      lines.mkString("\n"))
+    // the frozen corpus holds exactly the survivors
+    val kept = spark.read.parquet(s"$out/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L, 7L), s"kept $kept")
+    // shards + manifest landed (release 0), sequences respect budget
+    val packed = spark.read.parquet(s"$out/shards")
+    assert(packed.count() > 0)
+    assert(packed.selectExpr("max(size(ids))").head().getInt(0) <= 64)
+    // funnel report rows agree with the reported line
+    val rep = spark.read.parquet(s"$out/_report")
+      .filter(col("source") === "*")
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(rep == Map("raw" -> 8L, "gated" -> 6L, "exact_dedup" -> 5L,
+      "near_dedup" -> 4L, "final" -> 3L), s"report $rep")
+    val bySource = spark.read.parquet(s"$out/_report")
+      .filter(col("source") =!= "*" && col("stage") === "final")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(bySource == Map("web" -> 2L, "books" -> 1L), s"by source $bySource")
+    // unchanged corpus re-release: manifest advances, zero shards
+    // re-tokenized (the incremental contract end-to-end)
+    val lines2 = GraftApp.maintenance(spark, relEnv)
+    assert(lines2.exists(l => l.startsWith("release 1: raw=8") ||
+      l.contains("release 1:")), lines2.mkString("\n"))
+    assert(lines2.exists(_.contains("rewrote 0/")), lines2.mkString("\n"))
+  }
 }
