@@ -1081,5 +1081,30 @@ class GraftAppSpec extends SparkSpecBase {
     assert(lines2.exists(l => l.startsWith("release 1: raw=8") ||
       l.contains("release 1:")), lines2.mkString("\n"))
     assert(lines2.exists(_.contains("rewrote 0/")), lines2.mkString("\n"))
+    // model-gate arm: GRAFT_RELEASE_MODEL layers the trained classifier
+    // over the heuristic gate — the verb's gated count must equal the
+    // direct composition of the same oracle-pinned operators
+    val clfDocsDir = Files.createTempDirectory("rel-clfdocs")
+      .toFile.getAbsolutePath
+    docs.map { case (id, src, text) =>
+      (id, src, text, if (text.startsWith("der ")) "de" else "en") }
+      .toDF("doc_id", "source", "text", "lang")
+      .write.mode("overwrite").parquet(clfDocsDir)
+    val clf = Files.createTempDirectory("rel-clf").toFile.getAbsolutePath + "/clf"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "classifier-train",
+      "GRAFT_CLF_DOCS" -> clfDocsDir, "GRAFT_CLF_OUT" -> clf))
+    val outM = Files.createTempDirectory("rel-outm").toFile.getAbsolutePath + "/rel"
+    val linesM = GraftApp.maintenance(spark,
+      relEnv ++ Map("GRAFT_RELEASE_OUT" -> outM, "GRAFT_RELEASE_MODEL" -> clf))
+    val expGated = graft.llmops.Classifier.gateDocs(
+      graft.llmops.StreamingCurate.gate(spark.read.parquet(docsDir)),
+      graft.llmops.Classifier.loadWeights(spark, clf)).count()
+    val gotGated = linesM.collectFirst {
+      case l if l.startsWith("release 0:") =>
+        "gated=(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+    }.get
+    assert(gotGated == expGated,
+      s"model-gated=$gotGated expected=$expGated\n" + linesM.mkString("\n"))
   }
 }
