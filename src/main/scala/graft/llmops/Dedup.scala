@@ -65,29 +65,74 @@ object Dedup {
         (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*)
   }
 
-  /** LSH banding: bands of `rowsPerBand` signatures → bucket ids. */
+  /** LSH banding: bands of `rowsPerBand` signatures → bucket ids.
+    * `carry` names extra signature-frame columns to keep on each row. */
   def lshBuckets(sigs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
-                 idCol: String = "doc_id"): DataFrame = {
+                 idCol: String = "doc_id",
+                 carry: Seq[String] = Nil): DataFrame = {
     val bands = k / rowsPerBand
     val bucketCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       // "-" separator: (12,345) must not collide with (123,45)
       concat_ws("-", lit(b) +: parts: _*)
     }
-    sigs.select(col(idCol), explode(array(bucketCols: _*)).as("bucket"))
+    sigs.select(col(idCol) +: explode(array(bucketCols: _*)).as("bucket") +:
+      carry.map(col): _*)
   }
 
-  /** Candidate near-dup pairs (a<b) from shared LSH buckets. */
+  /** Candidate near-dup pairs (a<b) from shared LSH buckets.
+    *
+    * Hot-bucket cap: the bucket self-join is quadratic WITHIN a bucket,
+    * and real web corpora have degenerate buckets (boilerplate-heavy
+    * templates that survive exact dedup land thousands of near-identical
+    * docs in one band bucket) — at 100 TB one such bucket emits O(n²)
+    * pairs and everything downstream (overlap join, Jaccard verify)
+    * inherits the blowup. Buckets of ≤ `maxBucket` docs keep the exact
+    * all-pairs join (output identical to the uncapped operator — the
+    * oracle contract). Buckets ABOVE the cap switch to a sorted
+    * neighborhood: docs are ordered by (full signature, id) so
+    * near-identical docs are adjacent, and each doc pairs with only its
+    * `hotWindow` predecessors — ≤ n·hotWindow pairs instead of n²/2.
+    * For the degenerate case that motivates the cap (a bucket of
+    * near-identical docs, i.e. equal signatures) the chain pairs every
+    * doc with its id-predecessor, so greedy min-id dedup and connected
+    * components both reach the SAME result as the uncapped join; for a
+    * mixed oversized bucket recall degrades gracefully with distance in
+    * signature order (the standard sorted-neighborhood trade, Hernández
+    * & Stolfo's merge/purge). Cost of the capped path is one
+    * bucket-partitioned window sort (spill-backed, O(n log n)) — never
+    * a quadratic join. Mirrors the streaming path's per-bucket state cap
+    * (StreamingDedup.maxPerBucket); reference analog: the bounded-packet
+    * discipline of pg2any's coalescing (`coalescing.rs:915-944`). */
   def minhashCandidates(df: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
                         shingleN: Int = 3, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val buckets = lshBuckets(
-      minhashSignatures(df, k, shingleN, idCol, textCol), k, rowsPerBand, idCol)
-    val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
+                        textCol: String = "text", maxBucket: Int = 256,
+                        hotWindow: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(df, k, shingleN, idCol, textCol)
+    val sigKey = concat_ws("-", (0 until k).map(i => col(s"mh$i")): _*)
+    val buckets = lshBuckets(sigs.withColumn("__sk", sigKey), k, rowsPerBand, idCol,
+        carry = Seq("__sk"))
+      .localCheckpoint(false) // small/hot split + self-join reuse it
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy("bucket")
+    val sized = buckets.withColumn("__n", count(lit(1)).over(byBucket))
+    val small = sized.filter(col("__n") <= maxBucket).select(col(idCol), col("bucket"))
+    val a = small.as("a"); val b = small.as("b")
+    val fullPairs = a.join(b, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
-      .distinct()
+    val hot = sized.filter(col("__n") > maxBucket)
+      .withColumn("__rn", row_number().over(byBucket.orderBy(col("__sk"), col(idCol))))
+      .select(col(idCol), col("bucket"), col("__rn"))
+    val probes = hot.filter(col("__rn") > 1)
+      .select(col(idCol).as("__ib"), col("bucket"),
+        explode(sequence(greatest(col("__rn") - hotWindow, lit(1)),
+          col("__rn") - 1)).as("__rn"))
+    val hotPairs = probes
+      .join(hot.withColumnRenamed(idCol, "__ia"), Seq("bucket", "__rn"))
+      .select(least(col("__ia"), col("__ib")).as("da"),
+        greatest(col("__ia"), col("__ib")).as("db"))
+    fullPairs.union(hotPairs).distinct()
   }
 
   /** Shared shingle-overlap core: (da, db, inter, sza, szb) for every

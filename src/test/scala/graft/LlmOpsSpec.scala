@@ -457,6 +457,42 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(expectedDrops > 0, "should find near-dups in test data")
   }
 
+  test("hot-bucket cap bounds LSH pair generation and keeps the dedup result") {
+    import spark.implicits._
+    // planted degenerate bucket: 2000 docs with identical text — identical
+    // signatures, so every band bucket holds all 2000 (the boilerplate-
+    // template failure mode that survives nothing but the cap). Uncapped,
+    // the bucket self-join would emit ~2M pairs; capped it must stay
+    // ≤ n·hotWindow while the dedup END STATE is unchanged.
+    val hotText = (1 to 40).map(i => s"tmpl$i").mkString(" ")
+    val hot = (1L to 2000L).map(i => (i, hotText))
+    val tail = (10001L to 10005L).map(i =>
+      (i, (1 to 30).map(j => s"u${i}w$j").mkString(" ")))
+    val df = (hot ++ tail).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, maxBucket = 64, hotWindow = 8)
+      .localCheckpoint()
+    val n = cands.count()
+    assert(n <= 2000L * 8, s"pair count $n must be bounded by n*hotWindow")
+    assert(n >= 1999L, s"chain must connect the hot bucket, got $n")
+    // the chain keeps the cluster one connected component
+    val comps = Dedup.connectedComponents(cands)
+      .agg(countDistinct("comp")).head().getLong(0)
+    assert(comps == 1L, s"hot bucket must stay one component, got $comps")
+    // greedy min-id dedup end state identical to the uncapped semantics:
+    // only the min-id template survives (default maxBucket=256 engages)
+    val kept = Dedup.nearDedup(df, 0.8).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept == (Set(1L) ++ tail.map(_._1)), s"kept=$kept")
+  }
+
+  test("capped candidates equal uncapped on a corpus with no hot buckets") {
+    val uncapped = Dedup.minhashCandidates(docs, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidates(docs) // default cap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
   test("containment catches an embedded document that jaccard misses") {
     import graft.llmops.Dedup
     import spark.implicits._
