@@ -197,7 +197,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   near-dedup at GRAFT_RELEASE_JACCARD (def 0.8),
   *                   optional GRAFT_RELEASE_BLOOM decontamination
   *                   (GRAFT_RELEASE_MINSHARED, def 3), then the curated
-  *                   corpus is frozen at GRAFT_RELEASE_OUT/docs and
+  *                   corpus is frozen crash-safely at
+  *                   GRAFT_RELEASE_OUT/docs/v<N> (CURRENT pointer;
+  *                   previous version retained — resolve via
+  *                   VersionedDir.currentPath) and
   *                   emit-shards runs against it (manifest +
   *                   changed-shards-only re-tokenization; pass the
   *                   GRAFT_EMIT_TOKENIZER[_KIND]/BUDGET/SHARDS knobs
@@ -1280,13 +1283,19 @@ object GraftApp {
               .select("doc_id")
             near.join(flagged, Seq("doc_id"), "left_anti")
         }
-        // freeze the curated corpus: overwrite is atomic-enough here
-        // because emit-shards re-reads it and only advances its own
-        // manifest at the very end — a crash between the two leaves
-        // the previous release fully servable
-        val curDocsDir = s"$relOut/docs"
-        fin.select(col("doc_id"), col("source"), col("text"))
-          .write.mode("overwrite").parquet(curDocsDir)
+        // freeze the curated corpus CRASH-SAFELY: versioned
+        // docs/v<N> + an atomically-swung CURRENT pointer
+        // (VersionedDir), never a destructive overwrite of the live
+        // dir — a crash anywhere mid-release leaves the PREVIOUS
+        // release's frozen docs complete and resolvable (retain=2
+        // keeps it on disk even after the pointer advances), and the
+        // shard manifest only moves at the very end of emit-shards,
+        // so the prior release stays fully servable end-to-end
+        val curDocsDir = graft.llmops.VersionedDir.versionPath(
+          s"$relOut/docs",
+          graft.llmops.VersionedDir.publish(spark, s"$relOut/docs",
+            dir => fin.select(col("doc_id"), col("source"), col("text"))
+              .write.mode("overwrite").parquet(dir)))
         val cur = spark.read.parquet(curDocsDir)
         val nFinal = cur.count()
         // token side: delegate to emit-shards (incremental manifest,
