@@ -55,28 +55,38 @@ object Lexical {
     * asc). */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                k1Milli: Long = 1200L, bMilli: Long = 750L,
-               textCol: String = "text", idCol: String = "doc_id")
+               textCol: String = "text", idCol: String = "doc_id",
+               maxDfPermille: Long = 1000L)
       : DataFrame = {
     val lens = docLens(docs, textCol, idCol)
     val st = lens.agg(count(lit(1)).as("n"), sum("dl").as("tot")).first()
     val n = st.getLong(0)
     scoreBm25(queries, postings(docs, textCol, idCol), lens,
-      n, st.getLong(1), k, k1Milli, bMilli)
+      n, st.getLong(1), k, k1Milli, bMilli, maxDfPermille)
   }
 
   /** The shared scoring tail: `cand0` = (term, doc_id, tf) postings
     * (full or index-pruned — [[TextIndexStore]] serves the pruned
     * form), `lens` = (doc_id, dl) covering at least the candidate
-    * docs, `n`/`totTokens` the corpus-wide stats the caller owns. */
+    * docs, `n`/`totTokens` the corpus-wide stats the caller owns.
+    *
+    * `maxDfPermille` is the stopword df-cap: a query term whose df
+    * exceeds maxDfPermille·N/1000 is SKIPPED (its idf is near zero, its
+    * posting list is near corpus-sized — at 100 TB a single "the" in a
+    * query would otherwise score the whole corpus). 1000 = off (df ≤ N
+    * always); the standard serving default is 600. The same integer
+    * predicate (1000·df ≤ cap·N) runs on both engines, so capped
+    * rankings stay oracle-exact. */
   private[llmops] def scoreBm25(queries: DataFrame, cand0: DataFrame,
       lens: DataFrame, n: Long, totTokens: Long, k: Int,
-      k1Milli: Long, bMilli: Long): DataFrame = {
+      k1Milli: Long, bMilli: Long, maxDfPermille: Long = 1000L): DataFrame = {
     val avgdlMilli = math.max(totTokens * 1000L / math.max(n, 1L), 1L)
     val q = queries.select(col("qid"), col("term")).distinct()
     // candidate postings = the query terms' posting lists only — the
     // tiny term set broadcasts, the corpus side stays one scan
     val cand = cand0.join(broadcast(q.select("term").distinct()), "term")
     val dfT = cand.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(lit(1000L) * col("df") <= lit(maxDfPermille) * lit(n))
       .withColumn("idf_micro",
         round(log((lit(2.0) * n + 2) / (col("df") * 2 + 1)) * 1e6)
           .cast("bigint"))

@@ -86,16 +86,29 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
   def addBatch(spark: SparkSession, docs: DataFrame, batchId: Long,
                textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val fs = fsOf(spark)
-    val post = postingsOf(docs, textCol, idCol)
+    val post = postingsOf(docs, textCol, idCol).localCheckpoint(false)
     fs.delete(new Path(path, s"batch=$batchId"), true)
     post
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
         lit(batchId).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
       .repartition(numParts, col("part"))
+      // term-sorted within each part file: parquet row-group min/max on
+      // `term` then SKIPS the heavy lists of terms a serve read filters
+      // out (the df-cap's physical teeth below dir-level pruning)
+      .sortWithinPartitions("part", "term")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "part")
       .parquet(path)
+    // per-batch (term, df) summary — vocabulary-sized, part-partitioned
+    // like the postings, so a serve read prices each probe term (df-cap
+    // decision) from O(probe parts) tiny rows WITHOUT opening a single
+    // posting list; replay overwrites its own dir like everything else
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("part", pmod(hash(col("term")), lit(numParts)))
+      .repartition(numParts, col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(s"$path/_df/batch=$batchId")
     // per-batch (doc, length) table — what lets [[delete]] adjust the
     // corpus stats exactly without touching a posting; replay
     // overwrites its own dir like everything else
@@ -185,15 +198,23 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     }
   }
 
+  /** (term, part) of each probe term — driver-bounded: query terms are
+    * the probe's own words, never corpus data. */
+  private def termParts(spark: SparkSession, terms: DataFrame)
+      : Seq[(String, Int)] =
+    terms.select(col("term"),
+        pmod(hash(col("term")), lit(numParts)).as("p"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toSeq
+
   /** The pruned posting read every serve path shares: only the probe
-    * terms' `part=` dirs of each batch are listed/opened. */
-  private def prunedPostings(spark: SparkSession, terms: DataFrame)
+    * terms' `part=` dirs of each batch are listed/opened, and the
+    * pushed `term IN (…)` predicate lets parquet row-group min/max on
+    * the term-sorted files skip every other term's rows inside them. */
+  private def prunedPostings(spark: SparkSession, tp: Seq[(String, Int)])
       : DataFrame = {
     val fs = fsOf(spark)
-    // driver-bounded: query terms are the probe's own words
-    val parts = terms
-      .select(pmod(hash(col("term")), lit(numParts)).as("p"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val parts = tp.map(_._2).toSet
     val dirs = for {
       b <- batchDirs(spark)
       p <- parts.toSeq.sorted
@@ -206,21 +227,68 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     else spark.read.schema(StructType(rowSchema.fields ++ Seq(
         StructField("batch", LongType), StructField("part", IntegerType))))
       .option("basePath", path).parquet(dirs: _*)
+      .filter(col("term").isin(tp.map(_._1): _*))
       .select(rowSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Stored df per probe term from the `_df` summaries — O(probe
+    * parts) tiny reads, no posting list opened. Includes
+    * not-yet-compacted tombstoned docs (an upper bound on live df:
+    * deletes only shrink df, so a cap decision made on it is
+    * conservative only in the window before [[compact]] purges). */
+  private def storedDf(spark: SparkSession, tp: Seq[(String, Int)])
+      : Map[String, Long] = {
+    val fs = fsOf(spark)
+    val dfRoot = new Path(path, "_df")
+    if (!fs.exists(dfRoot)) return Map.empty
+    val batches = fs.listStatus(dfRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    val parts = tp.map(_._2).toSet
+    val dirs = for {
+      b <- batches
+      p <- parts.toSeq.sorted
+      d = new Path(b, s"part=$p") if fs.exists(d)
+    } yield d.toString
+    if (dirs.isEmpty) Map.empty
+    else spark.read
+      .schema("term STRING, df BIGINT, batch BIGINT, part INT")
+      .option("basePath", s"$path/_df").parquet(dirs: _*)
+      .filter(col("term").isin(tp.map(_._1): _*))
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** BM25 top-k per query against the stored index. `queries` carries
     * (qid, term); only the query terms' `part=` dirs are read. The
     * ranking is bit-identical to [[Lexical.bm25TopK]] over the same
-    * corpus. */
+    * corpus (same `maxDfPermille`, no deletes pending).
+    *
+    * `maxDfPermille` < 1000 bounds the READ, not just the scoring: the
+    * `_df` summary prices every probe term first (O(probe parts) tiny
+    * rows), terms over the cap never reach the posting read — a
+    * stopword in the query can never trigger a corpus-sized scan — and
+    * the surviving terms' read skips the dropped terms' row groups via
+    * the pushed IN predicate over term-sorted files. [[Lexical
+    * .scoreBm25]] re-applies the cap on live df, so the ranking
+    * semantics stay exact. */
   def search(spark: SparkSession, queries: DataFrame, k: Int,
-             k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+             k1Milli: Long = 1200L, bMilli: Long = 750L,
+             maxDfPermille: Long = 1000L): DataFrame = {
     val dead = tombstoned(spark)
     val (n, tot) = liveStats(spark, dead)
-    val cand = dropDead(spark,
-      prunedPostings(spark, queries.select("term").distinct()), dead)
+    val tp0 = termParts(spark, queries.select("term").distinct())
+    val tp =
+      if (maxDfPermille >= 1000L) tp0
+      else {
+        val dfs = storedDf(spark, tp0)
+        tp0.filter { case (t, _) =>
+          1000L * dfs.getOrElse(t, 0L) <= maxDfPermille * n }
+      }
+    val cand = dropDead(spark, prunedPostings(spark, tp), dead)
     Lexical.scoreBm25(queries, cand.select("term", "doc_id", "tf"),
-      cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli)
+      cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli,
+      maxDfPermille)
   }
 
   /** Exact phrase search from the positional postings: docs containing
@@ -234,8 +302,10 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
   def phraseSearch(spark: SparkSession, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "phraseSearch: at least two words")
     import spark.implicits._
+    // no df-cap for phrases: a stopword inside a phrase is a REQUIRED
+    // slot (positions must verify adjacency), the Lucene behavior
     val post = dropDead(spark,
-      prunedPostings(spark, phrase.distinct.toDF("term")),
+      prunedPostings(spark, termParts(spark, phrase.distinct.toDF("term"))),
       tombstoned(spark)).select("term", "doc_id", "pos")
     val slots = phrase.zipWithIndex
     val joined = slots.map { case (w, i) =>
@@ -270,15 +340,25 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     // tombstoned docs are PURGED here: postings and lens rows dropped,
     // stats recomputed from the surviving lens table, tombstones gone
     val dead = tombstoned(spark)
-    dropDead(spark,
+    val folded = dropDead(spark,
       spark.read.schema(StructType(rowSchema.fields ++ Seq(
           StructField("batch", LongType), StructField("part", IntegerType))))
         .option("basePath", path).parquet(path), dead)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
         lit(0L).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
       .repartition(numParts, col("part"))
+      .sortWithinPartitions("part", "term")
+      .localCheckpoint(false)
+    folded
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
       .parquet(staging.toString)
+    // folded df summary: tombstone-purged, so the serve-time cap
+    // decision is exact again after every compact
+    folded.groupBy("term", "part").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), col("part"))
+      .repartition(numParts, col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(s"$staging/_df/batch=0")
     val lensPath = new Path(path, "_lens")
     val liveLens =
       if (fs.exists(lensPath))

@@ -1643,7 +1643,8 @@ object LlmQueries {
       val docs = documents(s, d)
       val queries = docs.filter(col("doc_id").isin(1L, 5L, 9L))
         .select(col("doc_id").as("qid"), explode(slice(toks, 1, 6)).as("term"))
-      Lexical.bm25TopK(docs, queries, k = 10).orderBy("qid", "rank")
+      Lexical.bm25TopK(docs, queries, k = 10, maxDfPermille = 900L)
+        .orderBy("qid", "rank")
     }),
 
     // Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
@@ -1660,7 +1661,7 @@ object LlmQueries {
       val pids = Seq(1L, 5L, 9L)
       val queries = docs.filter(col("doc_id").isin(pids: _*))
         .select(col("doc_id").as("qid"), explode(slice(toks, 1, 6)).as("term"))
-      val lex = Lexical.bm25TopK(docs, queries, k = 20)
+      val lex = Lexical.bm25TopK(docs, queries, k = 20, maxDfPermille = 900L)
         .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
       val qn = Similarity.quantized(embeddings(s, d))
       val probes = qn.filter(col("vec_id").isin(pids: _*))
@@ -2205,7 +2206,10 @@ object LlmQueries {
     * score_micro, rank), the full ranking; consumers cut their own k.
     * Mirrors [[graft.llmops.Lexical.bm25TopK]] constant-for-constant:
     * probes = first 6 tokens of docs 1/5/9, k1=1.2, b=0.75,
-    * idf = ln((2N+2)/(2df+1)) micro-rounded. */
+    * idf = ln((2N+2)/(2df+1)) micro-rounded, stopword df-cap 900‰
+    * (terms in >90% of docs skipped; this synthetic corpus's tiny
+    * vocabulary puts ordinary terms at 75-80% df, so the usual 600‰
+    * serving default would empty the probe set). */
   private val bm25Ctes: String =
     """bl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
       |  FROM documents),
@@ -2221,7 +2225,8 @@ object LlmQueries {
       |       unnest(string_split(text, ' ')[1:6]) AS term
       |     FROM documents WHERE doc_id IN (1, 5, 9))),
       |bdf AS (SELECT p.term, count(*)::BIGINT AS df FROM bp p
-      |  WHERE p.term IN (SELECT term FROM bq) GROUP BY 1),
+      |  WHERE p.term IN (SELECT term FROM bq) GROUP BY 1
+      |  HAVING 1000 * count(*) <= 900 * (SELECT n FROM bav)),
       |bidf AS (SELECT term, CAST(round(ln((2.0 * (SELECT n FROM bav) + 2)
       |    / (2 * df + 1)) * 1000000) AS BIGINT) AS idf_micro FROM bdf),
       |bsc AS (SELECT q.qid, p.doc_id,

@@ -123,7 +123,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_TEXT_PARTS def 64, GRAFT_TEXT_BATCH def 0,
   *                   GRAFT_TEXT_COMPACT=1 folds batch dirs,
   *                   GRAFT_TEXT_QUERY serves a probe from the
-  *                   part-pruned postings)
+  *                   part-pruned postings;
+  *                   GRAFT_TEXT_DFCAP_PERMILLE def 600 skips
+  *                   stopword terms before any posting read)
   *     hybrid-search reciprocal-rank fusion of the text index
   *                   (GRAFT_TEXT_OUT) and a persisted ANN index
   *                   (GRAFT_ANN_DIR) for one probe doc
@@ -570,6 +572,14 @@ object GraftApp {
     t
   }
 
+  /** Serving-side BM25 stopword df-cap (permille of corpus docs) —
+    * default 600: a query term in >60% of documents contributes ~zero
+    * idf but a corpus-sized posting read, so the text-index/
+    * hybrid-search verbs skip it unless GRAFT_TEXT_DFCAP_PERMILLE
+    * overrides (1000 = off, the raw-library default). */
+  private def dfCapPermille(env: Map[String, String]): Long =
+    env.get("GRAFT_TEXT_DFCAP_PERMILLE").map(_.toLong).getOrElse(600L)
+
   /** OFFLINE maintenance: run the env-selected verbs (class doc lists
     * them) and return one human-readable summary line per action taken.
     * Every verb already carries its own crash-safety (committed-staging
@@ -693,7 +703,8 @@ object GraftApp {
         val qLine = env.get("GRAFT_TEXT_QUERY").map { words =>
           import spark.implicits._
           val q = words.split("\\s+").toSeq.map(("q", _)).toDF("qid", "term")
-          val hits = tStore.search(spark, q, k = 5).collect()
+          val hits = tStore.search(spark, q, k = 5,
+              maxDfPermille = dfCapPermille(env)).collect()
             .map(r => s"${r.getLong(2)}:${r.getLong(3)}")
           s"text-index query [$words]: ${hits.mkString(" ")} " +
             s"(${tStore.lastPlannedDirs.size} part dirs planned)"
@@ -726,7 +737,8 @@ object GraftApp {
           .filter(col("doc_id") === hProbe).select("text").head().getString(0)
         val hQ = hTextRow.split("\\s+").take(6).toSeq
           .map((hProbe, _)).toDF("qid", "term")
-        val hLex = hStore.search(spark, hQ, k = 20)
+        val hLex = hStore.search(spark, hQ, k = 20,
+            maxDfPermille = dfCapPermille(env))
           .select(col("doc_id"), col("rank").as("lex_rank"))
         val hSem = hIdx.sweepDistributed(Seq(hProbe).toDF("vec_id"), k = 20)
           .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))

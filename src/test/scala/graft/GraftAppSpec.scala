@@ -448,13 +448,27 @@ class GraftAppSpec extends SparkSpecBase {
       .select("doc_id", "text").limit(60).write.mode("overwrite").parquet(tDocs)
     val probeWord = spark.read.parquet(tDocs)
       .selectExpr("split(text, ' ')[0] AS w").first().getString(0)
+    // cap 1000 = off: this synthetic corpus's tiny vocabulary puts
+    // every term at 75-80% df, which the default 600‰ serving cap
+    // would rightly price out
     val tLines = GraftApp.maintenance(spark, env ++ Map(
       "GRAFT_MAINTENANCE" -> "text-index",
       "GRAFT_TEXT_DOCS" -> tDocs, "GRAFT_TEXT_OUT" -> s"$root/_textidx",
-      "GRAFT_TEXT_PARTS" -> "8", "GRAFT_TEXT_QUERY" -> probeWord))
+      "GRAFT_TEXT_PARTS" -> "8", "GRAFT_TEXT_QUERY" -> probeWord,
+      "GRAFT_TEXT_DFCAP_PERMILLE" -> "1000"))
     assert(tLines.exists(_.startsWith("text-index: batch 0")), tLines.mkString("; "))
-    assert(tLines.exists(l => l.contains("text-index query") && l.contains(":")),
-      tLines.mkString("; "))
+    val tHit = tLines.find(l => l.contains("text-index query"))
+    assert(tHit.exists(_.contains(s"$probeWord]: ")), tLines.mkString("; "))
+    assert(tHit.exists(l => l.split("]: ")(1).trim.split(" ")(0).contains(":")),
+      s"uncapped query must return hits: $tHit")
+    // default serving cap (600‰): the same probe word is a stopword
+    // here — priced out by the _df summary, zero posting dirs planned
+    val tCapped = GraftApp.maintenance(spark, env ++ Map(
+      "GRAFT_MAINTENANCE" -> "text-index",
+      "GRAFT_TEXT_DOCS" -> tDocs, "GRAFT_TEXT_OUT" -> s"$root/_textidx",
+      "GRAFT_TEXT_PARTS" -> "8", "GRAFT_TEXT_QUERY" -> probeWord))
+    assert(tCapped.exists(_.contains("(0 part dirs planned)")),
+      s"default df-cap must skip the stopword read: ${tCapped.mkString("; ")}")
 
     // hybrid-search: fuse the text index with a persisted ANN index
     // over the same ids — both serving tiers answer, the fused top-5
@@ -470,7 +484,8 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_MAINTENANCE" -> "hybrid-search",
       "GRAFT_TEXT_OUT" -> s"$root/_textidx", "GRAFT_TEXT_PARTS" -> "8",
       "GRAFT_ANN_DIR" -> hAnnDir, "GRAFT_HYBRID_DOCS" -> tDocs,
-      "GRAFT_HYBRID_PROBE" -> hIds.head.toString))
+      "GRAFT_HYBRID_PROBE" -> hIds.head.toString,
+      "GRAFT_TEXT_DFCAP_PERMILLE" -> "1000"))
     val hLine = hLines.find(_.startsWith(s"hybrid-search probe ${hIds.head}: top-5 "))
     assert(hLine.isDefined, hLines.mkString("; "))
     val hPairs = hLine.get.split("top-5 ")(1).split(" \\(")(0)

@@ -1643,6 +1643,62 @@ class LlmOpsSpec extends SparkSpecBase {
     all.unpersist(); queries.unpersist()
   }
 
+  test("TextIndexStore df-cap: a planted stopword never reaches the posting read") {
+    import graft.llmops.{Lexical, TextIndexStore}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("text-idx-cap")
+      .toFile.getAbsolutePath + "/idx"
+    // planted high-df term: "zz" is in EVERY doc (df = N); "needle"
+    // only in two; per-doc rare terms pad the vocabulary
+    val docs = (0L until 100L).map { i =>
+      val needle = if (i == 7 || i == 42) " needle" else ""
+      (i, s"zz r${i}a r${i}b r${i}c$needle")
+    }.toDF("doc_id", "text")
+    val store = new TextIndexStore(dir, numParts = 16)
+    store.addBatch(spark, docs, 0)
+    val q = Seq((1L, "zz"), (1L, "needle")).toDF("qid", "term")
+    // capped serve: the stopword is priced out by the _df summary and
+    // its part dir is never planned — only the needle's part is read
+    val capped = store.search(spark, q, k = 10, maxDfPermille = 600L)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    val needleParts = Seq("needle").toDF("term")
+      .select(pmod(hash(col("term")), lit(16)).as("p"))
+      .distinct().collect().map(r => s"part=${r.getInt(0)}").toSet
+    assert(store.lastPlannedDirs.nonEmpty &&
+      store.lastPlannedDirs.map(_.split("/").last).toSet == needleParts,
+      s"capped plan must read only the surviving term's parts: " +
+        s"${store.lastPlannedDirs}")
+    // capped ranking equals the batch operator under the same cap
+    val batchCapped = Lexical
+      .bm25TopK(docs, q, k = 10, maxDfPermille = 600L)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(capped.sortBy(_._2) == batchCapped.sortBy(_._2))
+    assert(capped.map(_._3).toSet == Set(7L, 42L),
+      s"only needle docs may score: $capped")
+    // a query of ONLY the stopword plans zero posting dirs
+    val only = store.search(spark,
+      Seq((2L, "zz")).toDF("qid", "term"), k = 10, maxDfPermille = 600L)
+    assert(only.isEmpty && store.lastPlannedDirs.isEmpty,
+      s"stopword-only query must read nothing: ${store.lastPlannedDirs}")
+    // cap off (default): the stopword's part IS planned and every doc
+    // scores — the cap is a serve-time policy, not an index mutation
+    val uncapped = store.search(spark, q, k = 200).collect()
+    assert(uncapped.length == 100)
+    val allParts = Seq("zz", "needle").toDF("term")
+      .select(pmod(hash(col("term")), lit(16)).as("p"))
+      .distinct().collect().map(r => s"part=${r.getInt(0)}").toSet
+    assert(store.lastPlannedDirs.map(_.split("/").last).toSet == allParts)
+    // the cap survives compaction (the folded _df stays exact)
+    store.compact(spark)
+    val capped2 = store.search(spark, q, k = 10, maxDfPermille = 600L)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(capped2.sortBy(_._2) == batchCapped.sortBy(_._2))
+    assert(store.lastPlannedDirs.map(_.split("/").last).toSet == needleParts)
+  }
+
   test("TextIndexStore: retraction — post-delete ranking equals a fresh build over survivors") {
     import graft.llmops.{Lexical, TextIndexStore}
     import spark.implicits._
