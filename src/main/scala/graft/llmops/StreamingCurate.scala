@@ -194,7 +194,9 @@ object StreamingCurate {
                  blockRewrite: Boolean = false,
                  decontamDir: Option[String] = None,
                  sketchDir: Option[String] = None,
-                 modelDir: Option[String] = None): Unit = {
+                 modelDir: Option[String] = None,
+                 jaccard: Double = 0.8,
+                 decontamMinShared: Int = 3): Unit = {
     val spark = batch.sparkSession
     val gated00 = gate(batch)
     // optional trained-model gate (Classifier.writeWeights artifact):
@@ -215,7 +217,8 @@ object StreamingCurate {
     val gated = decontamDir match {
       case None => gated0
       case Some(dir) =>
-        val flagged = Dedup.bloomContaminationFrom(spark, dir, gated0)
+        val flagged = Dedup.bloomContaminationFrom(spark, dir, gated0,
+          minShared = decontamMinShared)
         gated0.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     }
     // exact dedup: min doc_id per hash WITHIN the batch, then drop any
@@ -265,7 +268,7 @@ object StreamingCurate {
     lastTextDirsPlanned = textDirs
     val corpus = storeText
       .unionByName(newExactKept.select("doc_id", "text"))
-    val verified = Dedup.ngramJaccard(corpus, 0.8, candidates = Some(cands))
+    val verified = Dedup.ngramJaccard(corpus, jaccard, candidates = Some(cands))
     val drops = verified.select(col("db").as("doc_id")).distinct()
     val curated = newExactKept.join(drops, Seq("doc_id"), "left_anti")
 

@@ -77,11 +77,16 @@ private[graft] object VersionedDir {
     val fs = fsOf(spark, rootPath)
     val prev = current(spark, root)
     val next = prev.getOrElse(0L) + 1L
-    // sweep orphan pointer tmps from crashed swings before reusing names
-    if (fs.exists(rootPath))
+    // sweep orphan pointer tmps from crashed swings before reusing
+    // names, and clear a crashed partial v<next> wholesale — writers
+    // that assemble the dir file-by-file (copies + multiple commits)
+    // must start from an empty slot, not merge with dead leftovers
+    if (fs.exists(rootPath)) {
       fs.listStatus(rootPath).toSeq
         .filter(_.getPath.getName.startsWith("_CURRENT."))
         .foreach(s => fs.delete(s.getPath, false))
+      fs.delete(new Path(rootPath, s"v$next"), true)
+    }
     write(versionPath(root, next))
     require(fs.exists(new Path(rootPath, s"v$next/_SUCCESS")),
       s"publish write for $root/v$next did not commit (_SUCCESS missing)")

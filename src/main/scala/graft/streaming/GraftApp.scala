@@ -3,7 +3,7 @@ package graft.streaming
 import graft.dialect.Dialect
 import graft.render.RenderContext
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, concat, count, desc, expr, lit, pmod, size, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, concat, count, desc, expr, lit, pmod, size, sum, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** E1/E2 app runner — the `run_cdc_app` analog (reference app.rs:51-234,
@@ -193,18 +193,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   mounts; GRAFT_EMIT_TOKENIZER_KIND=bpe (default)
   *                   or unigram selects the tokenizer family the
   *                   artifact belongs to
-  *     release       one-command training-data release over
-  *                   GRAFT_RELEASE_DOCS: quality/lang gate (+ optional
-  *                   GRAFT_RELEASE_MODEL classifier gate), exact dedup,
-  *                   near-dedup at GRAFT_RELEASE_JACCARD (def 0.8),
+  *     release       one-command INCREMENTAL training-data release
+  *                   over GRAFT_RELEASE_DOCS: never-processed docs run
+  *                   the streaming-intake funnel (quality/lang gate +
+  *                   optional GRAFT_RELEASE_MODEL classifier gate +
   *                   optional GRAFT_RELEASE_BLOOM decontamination
-  *                   (GRAFT_RELEASE_MINSHARED, def 3), then the curated
-  *                   corpus is frozen crash-safely at
-  *                   GRAFT_RELEASE_OUT/docs/v<N> (CURRENT pointer;
-  *                   previous version retained — resolve via
-  *                   VersionedDir.currentPath) and
-  *                   emit-shards runs against it (manifest +
-  *                   changed-shards-only re-tokenization; pass the
+  *                   (GRAFT_RELEASE_MINSHARED def 3), exact dedup,
+  *                   near-dedup at GRAFT_RELEASE_JACCARD def 0.8)
+  *                   against the persisted dedup stores — O(delta),
+  *                   part-pruned; removed doc_ids retract. The curated
+  *                   corpus freezes crash-safely at
+  *                   GRAFT_RELEASE_OUT/docs/v<N>/seg=K (CURRENT
+  *                   pointer; untouched segments byte-copy from the
+  *                   previous version, which stays retained — resolve
+  *                   via VersionedDir.currentPath) and emit-shards
+  *                   runs against it (manifest + changed-shards-only
+  *                   re-tokenization; pass the
   *                   GRAFT_EMIT_TOKENIZER[_KIND]/BUDGET/SHARDS knobs
   *                   through); per-release funnel report under
   *                   GRAFT_RELEASE_OUT/_report
@@ -1241,73 +1245,147 @@ object GraftApp {
             .map(s => s"$s=${counts.getOrElse(s, 0L)}").mkString(", "),
           s"manifest-diff shards: ${shards.mkString(" ")}")
       case "release" =>
-        // ONE-COMMAND training-data release — the composition every
-        // curated-corpus run executes, as a single crash-safe verb:
-        //   quality/lang gate (+ optional trained-model gate)
-        //     -> exact dedup (min-id per content hash)
-        //     -> LSH near-dedup verified by exact Jaccard
-        //     -> optional Bloom decontamination (persisted artifact)
-        //     -> frozen curated corpus at $out/docs (the trainer's
-        //        re-fetch contract)
-        //     -> incremental shard emission with release manifest
-        //        (delegates to emit-shards: only shards whose content
-        //        hash moved are re-tokenized)
-        // plus a per-release funnel report at $out/_report. Every stage
-        // is the SAME operator the standalone oracle-checked queries
-        // pin (StreamingCurate.gate == llm_curate's gate; Dedup.exact /
-        // nearDedup == llm_dedup_*), so the verb cannot drift from the
-        // verified semantics. Scale shape: each stage is one bounded
-        // pass over a shrinking corpus (gate is a codegen'd scan,
-        // dedup shuffles on hash keys / LSH buckets — never all-pairs),
-        // and re-releasing an updated corpus re-tokenizes only the
-        // changed shards.
+        // ONE-COMMAND INCREMENTAL training-data release — the curated-
+        // release funnel as a single crash-safe, delta-paying verb. The
+        // funnel IS the streaming-intake operator
+        // (StreamingCurate.applyBatch: quality/lang gate -> optional
+        // trained-model gate -> optional Bloom decontamination -> exact
+        // dedup -> LSH near-dedup, Jaccard-verified against the
+        // persisted seen/bucket/text stores), so a re-release over an
+        // updated corpus pays O(delta): only never-processed docs are
+        // gated/deduped (store reads part-pruned to the delta's keys),
+        // removed docs retract from the frozen corpus, and only changed
+        // shards re-tokenize. Identity contract: doc_ids are stable and
+        // immutable (an edited doc is a new id — the shard manifest's
+        // content-hash convention); dedup memory is append-biased (a
+        // doc dropped as a near-dup of a later-removed doc stays
+        // dropped until re-submitted with a new id).
+        // Layout under GRAFT_RELEASE_OUT:
+        //   docs/v<N>/seg=K  crash-safe frozen corpus (VersionedDir):
+        //     new version = previous version's segs BYTE-copied
+        //     (server-side copy on object stores — no decode, no
+        //     shuffle), segs holding removed docs rebuilt filtered,
+        //     plus one fresh seg of this release's curated additions
+        //   _curate/         StreamingCurate dedup stores + the
+        //     processed/retracted id ledgers (delta detection)
+        //   shards/ _report/ as before (emit-shards delegation; the
+        //     funnel report now derives from applyBatch's own stage
+        //     counters + parquet metadata — no corpus-sized driver
+        //     count() actions remain)
         val docsDir = env.getOrElse("GRAFT_RELEASE_DOCS",
           throw new IllegalArgumentException("GRAFT_RELEASE_DOCS is required"))
         val relOut = env.getOrElse("GRAFT_RELEASE_OUT",
           throw new IllegalArgumentException("GRAFT_RELEASE_OUT is required"))
         val thr = env.get("GRAFT_RELEASE_JACCARD").map(_.toDouble)
           .getOrElse(0.8)
+        val relMinShared = env.get("GRAFT_RELEASE_MINSHARED")
+          .map(_.toInt).getOrElse(3)
+        val curStore = s"$relOut/_curate"
+        val docsRoot = s"$relOut/docs"
+        import graft.llmops.VersionedDir
+        val relFs = new Path(relOut)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val prevV = VersionedDir.current(spark, docsRoot)
+        val relBatch = prevV.getOrElse(0L)
         val raw = spark.read.parquet(docsDir)
         val nRaw = raw.count()
-        // materialize the regex-heavy gate once for the multi-branch
-        // read (same discipline as llm_curate); optional model gate
-        // mirrors the streaming intake exactly
-        val gated0 = graft.llmops.StreamingCurate.gate(raw)
-        val gated = (env.get("GRAFT_RELEASE_MODEL") match {
-          case None => gated0
-          case Some(dir) => graft.llmops.Classifier.gateDocs(gated0,
-            graft.llmops.Classifier.loadWeights(spark, dir))
-        }).localCheckpoint(false)
-        val nGated = gated.count()
-        val keepExact = graft.llmops.Dedup.exact(gated)
-          .select(col("keep_id").as("doc_id"))
-        val exactKept = gated.join(keepExact, "doc_id")
-        val nExact = exactKept.count()
-        val near = graft.llmops.Dedup.nearDedup(exactKept, thr)
-        val nNear = near.count()
-        val fin = env.get("GRAFT_RELEASE_BLOOM") match {
-          case None => near
-          case Some(bdir) =>
-            val minShared = env.get("GRAFT_RELEASE_MINSHARED")
-              .map(_.toInt).getOrElse(3)
-            val flagged = graft.llmops.Dedup
-              .bloomContaminationFrom(spark, bdir, near, minShared)
-              .select("doc_id")
-            near.join(flagged, Seq("doc_id"), "left_anti")
+        // delta detection: ids-only and column-pruned — the only
+        // full-corpus touch is a doc_id scan, never a payload shuffle
+        def idLedger(kind: String): org.apache.spark.sql.DataFrame = {
+          val dir = new Path(curStore, kind)
+          val dirs =
+            if (!relFs.exists(dir)) Seq.empty[String]
+            else relFs.listStatus(dir).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+              .map(_.getPath.toString)
+          if (dirs.isEmpty)
+            spark.range(0).select(col("id").as("doc_id"))
+          else spark.read.schema("doc_id LONG").parquet(dirs: _*)
         }
-        // freeze the curated corpus CRASH-SAFELY: versioned
-        // docs/v<N> + an atomically-swung CURRENT pointer
-        // (VersionedDir), never a destructive overwrite of the live
-        // dir — a crash anywhere mid-release leaves the PREVIOUS
-        // release's frozen docs complete and resolvable (retain=2
-        // keeps it on disk even after the pointer advances), and the
-        // shard manifest only moves at the very end of emit-shards,
-        // so the prior release stays fully servable end-to-end
-        val curDocsDir = graft.llmops.VersionedDir.versionPath(
-          s"$relOut/docs",
-          graft.llmops.VersionedDir.publish(spark, s"$relOut/docs",
-            dir => fin.select(col("doc_id"), col("source"), col("text"))
-              .write.mode("overwrite").parquet(dir)))
+        val rawIds = raw.select(col("doc_id").cast("long").as("doc_id"))
+        val liveLedger = idLedger("processed")
+          .join(idLedger("retracted"), Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
+        val newIds = rawIds.join(liveLedger, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val removedIds = liveLedger.join(rawIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val nNew = newIds.count(); val nRemoved = removedIds.count()
+        // delta payload fetch: broadcast the id set while driver-safe
+        // so the raw scan stays shuffle-free; id-hash join beyond that
+        val newDocs =
+          if (nNew <= 4000000L) raw.join(broadcast(newIds), "doc_id")
+          else raw.join(newIds, "doc_id")
+        // ONE applyBatch over the delta — the same operator the
+        // oracle-pinned llm_curate queries and the streaming intake
+        // run; its per-stage counters ARE the funnel report (snapshot
+        // diff), each an O(delta) job over checkpointed plans
+        val mBefore = graft.llmops.StreamingCurate.metricsSnapshot()
+        if (nNew > 0)
+          graft.llmops.StreamingCurate.applyBatch(newDocs, curStore, relBatch,
+            decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
+            modelDir = env.get("GRAFT_RELEASE_MODEL"),
+            jaccard = thr, decontamMinShared = relMinShared)
+        val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
+        def stageN(st: String): Long = {
+          val k = "graft_curate_stage_docs_total{stage=\"" + st + "\"}"
+          (mAfter.getOrElse(k, 0.0) - mBefore.getOrElse(k, 0.0)).toLong
+        }
+        // assemble + publish docs v<next>: the PREVIOUS version is the
+        // canonical corpus (all prior retractions already applied, and
+        // independent of any curate-store fold), so untouched segments
+        // never decode — they byte-copy
+        val affectedSegs: Set[String] =
+          if (nRemoved == 0 || prevV.isEmpty) Set.empty
+          else {
+            val pp = VersionedDir.versionPath(docsRoot, prevV.get)
+            spark.read.option("basePath", pp).parquet(pp)
+              .select("seg", "doc_id")
+              .join(removedIds, Seq("doc_id"))
+              .select("seg").distinct().collect()
+              .map(_.get(0).toString).toSet
+          }
+        val newV = VersionedDir.publish(spark, docsRoot, dir => {
+          val conf = spark.sessionState.newHadoopConf()
+          prevV.foreach { pv =>
+            val prevPath = new Path(VersionedDir.versionPath(docsRoot, pv))
+            relFs.listStatus(prevPath).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+              .foreach { segDir =>
+                val name = segDir.getPath.getName
+                if (affectedSegs.contains(name.stripPrefix("seg=")))
+                  spark.read.parquet(segDir.getPath.toString)
+                    .join(removedIds, Seq("doc_id"), "left_anti")
+                    .write.mode("overwrite").parquet(s"$dir/$name")
+                else
+                  org.apache.hadoop.fs.FileUtil.copy(relFs, segDir.getPath,
+                    relFs, new Path(s"$dir/$name"), false, true, conf)
+              }
+          }
+          val freshSrc = new Path(s"$curStore/curated/b$relBatch")
+          if (nNew > 0 && relFs.exists(freshSrc))
+            spark.read.schema("doc_id LONG, source STRING, text STRING")
+              .parquet(freshSrc.toString)
+              .write.mode("overwrite").parquet(s"$dir/seg=$relBatch")
+          else if (prevV.isEmpty)
+            // first release of an empty/fully-gated corpus: a
+            // schema-carrying empty segment keeps the version readable
+            spark.range(0).select(col("id").as("doc_id"),
+                lit("").as("source"), lit("").as("text"))
+              .write.mode("overwrite").parquet(s"$dir/seg=0")
+          relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
+        })
+        val curDocsDir = VersionedDir.versionPath(docsRoot, newV)
+        // durable delta ledgers AFTER the publish: a crash in between
+        // re-derives the same end state (the seen store suppresses a
+        // re-curated delta; its ledger rows land with the retry's
+        // batch id)
+        if (nNew > 0)
+          newIds.write.mode("overwrite")
+            .parquet(s"$curStore/processed/b$relBatch")
+        if (nRemoved > 0)
+          removedIds.write.mode("overwrite")
+            .parquet(s"$curStore/retracted/b$relBatch")
         val cur = spark.read.parquet(curDocsDir)
         val nFinal = cur.count()
         // token side: delegate to emit-shards (incremental manifest,
@@ -1318,29 +1396,44 @@ object GraftApp {
           "GRAFT_EMIT_OUT" -> s"$relOut/shards"))
         val relId = graft.llmops.ShardManifest
           .latestRelease(spark, s"$relOut/shards").map(_._1).getOrElse(0)
-        // per-release funnel report: stage totals + per-source kept
-        // counts; O(sources) rows, overwritten idempotently per release
+        // per-release funnel report: raw/new/removed from the ids pass,
+        // stage survivors from applyBatch's counters, final + per-source
+        // from the assembled version (parquet metadata / one pruned
+        // column scan) — no corpus-sized driver action anywhere
         locally {
           import spark.implicits._
           val perSource = cur.groupBy("source")
             .agg(count(lit(1)).as("n")).collect()
             .map(r => ("final", r.getString(0), r.getLong(1))).toSeq
+          val modelStage =
+            if (env.contains("GRAFT_RELEASE_MODEL"))
+              Seq(("model", "*", stageN("1a_model"))) else Seq.empty
+          val bloomStage =
+            if (env.contains("GRAFT_RELEASE_BLOOM"))
+              Seq(("bloom", "*", stageN("1b_bloom"))) else Seq.empty
           val stages = Seq(
-            ("raw", "*", nRaw), ("gated", "*", nGated),
-            ("exact_dedup", "*", nExact), ("near_dedup", "*", nNear),
-            ("final", "*", nFinal)) ++ perSource
+            ("raw", "*", nRaw), ("new", "*", nNew),
+            ("removed", "*", nRemoved),
+            ("gated", "*", stageN("1_gate"))) ++ modelStage ++ bloomStage ++
+            Seq(("exact_dedup", "*", stageN("2_exact")),
+              ("near_dedup", "*", stageN("3_near")),
+              ("final", "*", nFinal)) ++ perSource
           // release id rides the partition dir (release=N), not a data
           // column — a parent-dir read recovers it as the partition col
           val repDir = s"$relOut/_report/release=$relId"
-          val fs = new org.apache.hadoop.fs.Path(repDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          if (fs.exists(new org.apache.hadoop.fs.Path(repDir)))
-            fs.delete(new org.apache.hadoop.fs.Path(repDir), true)
+          if (relFs.exists(new Path(repDir)))
+            relFs.delete(new Path(repDir), true)
           stages.toDF("stage", "source", "n_docs")
             .coalesce(1).write.parquet(repDir)
         }
-        Seq(s"release $relId: raw=$nRaw gated=$nGated exact=$nExact " +
-          s"near=$nNear final=$nFinal -> $curDocsDir") ++ emitLines
+        Seq(s"release $relId: raw=$nRaw new=$nNew removed=$nRemoved " +
+          s"gated=${stageN("1_gate")}" +
+          (if (env.contains("GRAFT_RELEASE_MODEL"))
+            s" model=${stageN("1a_model")}" else "") +
+          (if (env.contains("GRAFT_RELEASE_BLOOM"))
+            s" bloom=${stageN("1b_bloom")}" else "") +
+          s" exact=${stageN("2_exact")} near=${stageN("3_near")} " +
+          s"final=$nFinal -> $curDocsDir") ++ emitLines
       case "agg-view-bootstrap" =>
         // declare a view over an ALREADY-replicated table: initial state
         // from the replica snapshot, then the streaming chain maintains

@@ -1067,8 +1067,11 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_EMIT_TOKENIZER" -> tok,
       "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "4")
     val lines = GraftApp.maintenance(spark, relEnv)
+    // incremental funnel stage order = the streaming intake's (bloom
+    // decontamination BEFORE dedup: a contaminated doc never enters the
+    // corpus or suppresses anything)
     assert(lines.exists(_.startsWith(
-      "release 0: raw=8 gated=6 exact=5 near=4 final=3")),
+      "release 0: raw=8 new=8 removed=0 gated=6 bloom=5 exact=4 near=3 final=3")),
       lines.mkString("\n"))
     // the frozen corpus holds exactly the survivors, resolved through
     // the versioned CURRENT pointer (crash-safe freeze)
@@ -1087,8 +1090,9 @@ class GraftAppSpec extends SparkSpecBase {
       .filter(col("source") === "*")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs"))
       .toMap
-    assert(rep == Map("raw" -> 8L, "gated" -> 6L, "exact_dedup" -> 5L,
-      "near_dedup" -> 4L, "final" -> 3L), s"report $rep")
+    assert(rep == Map("raw" -> 8L, "new" -> 8L, "removed" -> 0L,
+      "gated" -> 6L, "bloom" -> 5L, "exact_dedup" -> 4L,
+      "near_dedup" -> 3L, "final" -> 3L), s"report $rep")
     val bySource = spark.read.parquet(s"$out/_report")
       .filter(col("source") =!= "*" && col("stage") === "final")
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs"))
@@ -1119,6 +1123,13 @@ class GraftAppSpec extends SparkSpecBase {
     assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$docsV1/_SUCCESS")),
       "previous release docs must stay servable after the next publish")
     assert(spark.read.parquet(docsV1).count() == 3)
+    // the unchanged re-release byte-copied its segment: identical file
+    // names, no rewrite
+    val segFiles = (d: String) => hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$d/seg=0")).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).sorted.toSeq
+    assert(segFiles(docsV2) == segFiles(docsV1),
+      "unchanged segment must byte-copy, not rewrite")
     // crash mid-pointer-swing (CURRENT deleted, rename pending): the
     // reader falls back to the max COMPLETE version
     hfs.delete(new org.apache.hadoop.fs.Path(s"$out/docs/CURRENT"), false)
@@ -1145,9 +1156,62 @@ class GraftAppSpec extends SparkSpecBase {
       graft.llmops.Classifier.loadWeights(spark, clf)).count()
     val gotGated = linesM.collectFirst {
       case l if l.startsWith("release 0:") =>
-        "gated=(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+        "model=(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
     }.get
     assert(gotGated == expGated,
       s"model-gated=$gotGated expected=$expGated\n" + linesM.mkString("\n"))
+
+    // INCREMENTAL re-release: +2 new docs (one unique, one near-dup of
+    // an ADMITTED doc) and -1 removed doc. The funnel must pay
+    // O(delta): only the new docs gate/dedup (store reads part-pruned
+    // to the delta's keys), the removed doc retracts from the frozen
+    // corpus, and segments it does not touch byte-copy unrebuilt.
+    import graft.llmops.StreamingCurate
+    val fresh = en(filler.map(w => s"e$w"))
+    val nearOfD = baseD.split(" ").dropRight(1).mkString(" ") + " qq"
+    val docs3 = docs.filterNot(_._1 == 0L) ++ Seq(
+      (20L, "web", fresh), (21L, "books", nearOfD))
+    val docsDir3 = Files.createTempDirectory("rel-docs3")
+      .toFile.getAbsolutePath
+    docs3.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir3)
+    val lines3 = GraftApp.maintenance(spark,
+      relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir3))
+    assert(lines3.exists(_.startsWith(
+      "release 2: raw=9 new=2 removed=1 gated=2 bloom=2 exact=2 near=1 final=3")),
+      lines3.mkString("\n"))
+    // the delta's dedup reads were part-pruned, never store-sized:
+    // <= (delta hash parts) x (prior batch dirs) leaf dirs planned
+    assert(StreamingCurate.lastSeenDirsPlanned.size <= 2,
+      s"seen store read must be O(delta): ${StreamingCurate.lastSeenDirsPlanned}")
+    assert(StreamingCurate.lastBucketDirsPlanned.nonEmpty &&
+      StreamingCurate.lastBucketDirsPlanned.size <= 8,
+      s"bucket store read must be O(delta): ${StreamingCurate.lastBucketDirsPlanned.size}")
+    // end state: removed doc 0 gone, unique 20 admitted, near-dup 21
+    // dropped against the STORE (doc 7 was admitted two releases ago)
+    val docsV3 = VersionedDir.currentPath(spark, s"$out/docs").get
+    assert(docsV3.endsWith("/v3"), docsV3)
+    val kept3 = spark.read.parquet(docsV3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept3 == Seq(2L, 7L, 20L), s"kept $kept3")
+    // the previous version stays servable (retain=2)
+    assert(spark.read.parquet(docsV2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 7L))
+    // a re-submitted id is new again after retraction: re-release with
+    // doc 0 restored re-curates ONLY it
+    val docsDir4 = Files.createTempDirectory("rel-docs4")
+      .toFile.getAbsolutePath
+    (docs3 :+ (0L, "web", baseA)).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir4)
+    val lines4 = GraftApp.maintenance(spark,
+      relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir4))
+    // doc 0 was exact-KEPT in release 0, and retraction does not
+    // rewrite dedup memory (the append-biased contract): the
+    // re-submitted doc is suppressed as an exact dup of its own ghost,
+    // so the corpus stays at 3 — re-admitting retracted CONTENT needs
+    // a fresh curate store (documented in SCALING.md)
+    assert(lines4.exists(_.startsWith(
+      "release 3: raw=10 new=1 removed=0 gated=1 bloom=1 exact=0 near=0 final=3")),
+      lines4.mkString("\n"))
   }
 }
