@@ -153,6 +153,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   counts; GRAFT_AGG_PROBE="v1,v2;..." also serves a
   *                   partition-pruned probed read per matching-arity
   *                   view (tuples in group-column order)
+  *     agg-view-bootstrap  declare agg/join/star views over
+  *                   ALREADY-replicated tables: seed from the replica
+  *                   snapshots (join/star seed through the sink's
+  *                   broadcast-join rebuild), then the streaming chain
+  *                   maintains them incrementally
   *     history       heal + fold every GRAFT_HISTORY_TABLES-declared
   *                   SCD2 history store under GRAFT_WAREHOUSE_DIR and
   *                   report version/current counts; GRAFT_HISTORY_ASOF=
@@ -1435,18 +1440,37 @@ object GraftApp {
           s" exact=${stageN("2_exact")} near=${stageN("3_near")} " +
           s"final=$nFinal -> $curDocsDir") ++ emitLines
       case "agg-view-bootstrap" =>
-        // declare a view over an ALREADY-replicated table: initial state
-        // from the replica snapshot, then the streaming chain maintains
-        // it incrementally (run offline, like project-bootstrap)
+        // declare a view over ALREADY-replicated tables: initial state
+        // from the replica snapshots, then the streaming chain
+        // maintains it incrementally (run offline, like
+        // project-bootstrap). Aggregate views seed from one snapshot;
+        // join/star views seed through their sink's rebuild — the same
+        // broadcast-join chain the any-dim-change recovery runs.
         val views = parseAggViews(env)
-        require(views.nonEmpty,
-          "GRAFT_AGG_VIEWS is required for agg-view-bootstrap")
+        val jviews = parseJoinViews(env)
+        val sviews = parseStarViews(env)
+        require(views.nonEmpty || jviews.nonEmpty || sviews.nonEmpty,
+          "GRAFT_AGG_VIEWS, GRAFT_JOIN_VIEWS or GRAFT_STAR_VIEWS is " +
+            "required for agg-view-bootstrap")
+        def snapOf(table: String) =
+          new graft.sinks.ParquetReplicaSink(
+            s"$whRoot/$table", keysFor(table), buckets).snapshot(spark)
         views.map { v =>
-          val base = new graft.sinks.ParquetReplicaSink(
-            s"$whRoot/${v.table}", keysFor(v.table), buckets)
-          v.sink(whRoot).bootstrap(spark, base.snapshot(spark))
+          v.sink(whRoot).bootstrap(spark, snapOf(v.table))
           val groups = v.sink(whRoot).read(spark).count()
           s"agg-view-bootstrap ${v.table}/${v.name}: $groups live groups"
+        } ++ jviews.map { jv =>
+          jv.sink(whRoot).rebuild(spark, snapOf(jv.factTable),
+            snapOf(jv.dimTable))
+          val groups = jv.sink(whRoot).read(spark).count()
+          s"join-view-bootstrap ${jv.factTable}~${jv.dimTable}/${jv.name}: " +
+            s"$groups live groups"
+        } ++ sviews.map { sv =>
+          sv.sink(whRoot).rebuild(spark, snapOf(sv.factTable),
+            sv.dims.map(d => d.dimTable -> snapOf(d.dimTable)).toMap)
+          val groups = sv.sink(whRoot).read(spark).count()
+          s"star-view-bootstrap ${sv.factTable}/${sv.name}: " +
+            s"$groups live groups"
         }
       case "history-bootstrap" =>
         // declare SCD2 history over an ALREADY-replicated table: seed

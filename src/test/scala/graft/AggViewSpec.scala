@@ -597,4 +597,72 @@ class AggViewSpec extends SparkSpecBase {
       "agg-view probe public.fact~public.dim: east, 2")),
       jvLines.mkString("\n"))
   }
+
+  test("agg-view-bootstrap verb seeds join and star views from replica snapshots") {
+    import graft.sinks.{StarDim, StarViewDef}
+    val root = java.nio.file.Files.createTempDirectory("view-boot")
+      .toFile.getAbsolutePath
+    def dIns(lsn: Long, table: String, id: String, g: (String, String)) =
+      CdcEvent("c", lsn, 1L, ts, "public", table, Nil,
+        Seq(CdcColumn("id", id), CdcColumn(g._1, g._2)),
+        keyColumns = Seq("id"))
+    def fIns(lsn: Long, id: Int, fk1: String, fk2: String, amt: Int) =
+      CdcEvent("c", lsn, 1L, ts, "public", "fact", Nil,
+        Seq(CdcColumn("id", id.toString), CdcColumn("fk1", fk1),
+          CdcColumn("fk2", fk2), CdcColumn("amt", amt.toString)),
+        keyColumns = Seq("id"))
+    // replicate dims + fact with NO views declared (the pre-existing
+    // warehouse a view is later added to)
+    CdcPipeline.applyWarehouseBatch(
+      (Seq(dIns(1, "dim1", "n1", "region" -> "east"),
+        dIns(2, "dim1", "n2", "region" -> "west"),
+        dIns(3, "dim2", "c1", "channel" -> "web"),
+        dIns(4, "dim2", "c2", "channel" -> "store")) ++
+        (1 to 20).map(i =>
+          fIns(10L + i, i, "n" + (i % 2 + 1), "c" + (i % 2 + 1), i))).toDS(),
+      root, 4, batchId = 0)
+    val svSpec = "public.fact~public.dim1:fk1=id:region" +
+      "~public.dim2:fk2=id:channel>amt"
+    val jvSpec = "public.fact~public.dim1:fk1=id:region>amt"
+    val env = Map(
+      "GRAFT_MAINTENANCE" -> "agg-view-bootstrap",
+      "GRAFT_WAREHOUSE_DIR" -> root, "GRAFT_WAREHOUSE_BUCKETS" -> "4",
+      "GRAFT_TABLE_KEYS" ->
+        "public.fact=id;public.dim1=id;public.dim2=id",
+      "GRAFT_JOIN_VIEWS" -> jvSpec, "GRAFT_STAR_VIEWS" -> svSpec)
+    val lines = graft.streaming.GraftApp.maintenance(spark, env)
+    assert(lines.exists(l => l.startsWith("join-view-bootstrap public.fact~public.dim1/")
+      && l.endsWith("2 live groups")), lines.mkString("\n"))
+    assert(lines.exists(l => l.startsWith("star-view-bootstrap public.fact/")
+      && l.endsWith("2 live groups")), lines.mkString("\n"))
+    val sv = graft.streaming.GraftApp.parseStarViews(
+      Map("GRAFT_STAR_VIEWS" -> svSpec)).head
+    def svMap() = sv.sink(root).read(spark).collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def replay() = {
+      val f = spark.read.parquet(s"$root/public.fact")
+        .select(col("fk1"), col("fk2"), col("amt").cast("double").as("a"))
+      val dm1 = spark.read.parquet(s"$root/public.dim1")
+        .select(col("id").as("pk1"), col("region"))
+      val dm2 = spark.read.parquet(s"$root/public.dim2")
+        .select(col("id").as("pk2"), col("channel"))
+      f.join(dm1, f("fk1") === dm1("pk1"))
+        .join(dm2, f("fk2") === dm2("pk2"))
+        .groupBy("region", "channel")
+        .agg(count(lit(1)).as("cnt"), sum("a").as("s"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+    }
+    assert(svMap() == replay(), s"bootstrap diverged: ${svMap()}")
+    // the streaming chain continues INCREMENTALLY from the seeded
+    // state: a fact-only batch folds a delta, no rebuild
+    CdcPipeline.applyWarehouseBatch(
+      Seq(fIns(100, 900, "n1", "c2", 500)).toDS(),
+      root, 4, batchId = 1, starViews = Seq(sv))
+    assert(svMap() == replay(), "post-bootstrap incremental fold diverged")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${sv.path(root)}/e0/b1")),
+      "fact-only batch after bootstrap must fold incrementally")
+  }
 }
