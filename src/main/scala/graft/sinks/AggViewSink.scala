@@ -278,9 +278,16 @@ class AggViewSink(path: String, groupCols: Seq[String], sumCols: Seq[String],
       // null-safe group equality via the hashed key string (group
       // columns may legitimately hold NULL; a plain equi-join would
       // drop those groups)
-      base.withColumn("__gk", groupKey)
+      val joined = base.withColumn("__gk", groupKey)
         .join(foldMinMax(spark, mmDirs), Seq("__gk"), "left")
         .drop("__gk")
+      // a live group whose tracked values are all NULL never enters the
+      // mm fold at all, so the left join leaves its distinct_<c> NULL —
+      // but count(DISTINCT m) over an all-NULL group is 0, and the view
+      // contract is equality with that replay
+      minMaxCols.foldLeft(joined)((acc, c) =>
+        acc.withColumn(s"distinct_$c",
+          coalesce(col(s"distinct_$c"), lit(0L))))
     }
   }
 

@@ -855,13 +855,16 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String],
     val next = new ParquetReplicaSink(path, keyCols, newNumBuckets)
     if (fs.exists(staging) &&
         fs.exists(new Path(staging, "_graft_rebucket_done"))) {
-      // a previous run crashed mid-swap: roll forward (carrying the
-      // bloom declaration out of whichever root survives)
-      val decl = readBlooms(spark)
+      // a previous run crashed mid-swap: roll forward. The bloom
+      // declaration rides INSIDE the committed staging dir (copied
+      // before the done marker), so it survives even the window where
+      // the old root is already deleted — read it after the rename and
+      // rebuild against the new layout.
       if (fs.exists(root)) fs.delete(root, true)
       fs.rename(staging, root)
       next.recomputeZones(spark)
-      decl.foreach(bi => next.buildBlooms(spark, bi.cols, bi.m, bi.k))
+      next.readBlooms(spark)
+        .foreach(bi => next.buildBlooms(spark, bi.cols, bi.m, bi.k))
       return next
     }
     if (fs.exists(staging)) fs.delete(staging, true)
@@ -875,9 +878,21 @@ class ParquetReplicaSink(path: String, keyCols: Seq[String],
     // staging sidecar + done-marker make the staging dir self-contained
     new ParquetReplicaSink(staging.toString, keyCols, newNumBuckets)
       .writeSidecar(spark, schema)
+    // carry the bloom DECLARATION into staging BEFORE the done marker:
+    // the roll-forward's crash window sits between delete(root) and
+    // rename, where the old root's _graft_blooms.json is already gone —
+    // without this the declared skip index would silently vanish on
+    // recovery (pruning degrades until someone re-runs bloom-build).
+    // Declaration ONLY (empty buckets map): the old payloads address
+    // the OLD bucket layout, and an empty map means "every bucket is
+    // read" — sound at worst-slow until the rebuild below (or the
+    // roll-forward's) restores exact bits for the new layout.
+    readBlooms(spark).foreach { bi =>
+      val st = new ParquetReplicaSink(staging.toString, keyCols, newNumBuckets)
+      st.writeBlooms(spark, st.BloomIndex(bi.m, bi.k, bi.cols, Map.empty))
+    }
     fs.create(new Path(staging, "_graft_rebucket_done"), true).close()
-    // the staging dir has no bloom sidecar — capture the declaration
-    // before the old root (and its sidecar) goes away, rebuild after
+    // capture the declaration for the rebuild after the swap
     val bloomDecl = readBlooms(spark)
     fs.delete(root, true)
     fs.rename(staging, root)

@@ -199,6 +199,19 @@ class AggViewSpec extends SparkSpecBase {
     // probed read carries the min/max columns too
     val probed = v.readGroups(spark, Seq("g0")).collect().head
     assert(probed.getDouble(4) == viewMap()("g0")._3)
+    // a live group whose tracked values are ALL NULL: count(DISTINCT)
+    // over it is 0, not NULL — the group never enters the mm fold, so
+    // the 0 must come from the assemble-side coalesce
+    CdcPipeline.applyWarehouseBatch(Seq(
+        CdcEvent("c", 900L, 1L, ts, "public", "t1", Nil,
+          Seq(CdcColumn("id", "9100"), CdcColumn("grp", "gnull"),
+            CdcColumn("amt", null)), keyColumns = Seq("id"))).toDS(),
+      root, 4, batchId = 4, aggViews = Seq(d))
+    val gn = v.read(spark).filter(col("grp") === "gnull").collect().head
+    assert(gn.getLong(6) == 0L,
+      s"all-NULL group's distinct_amt must be 0, got $gn")
+    assert(gn.isNullAt(4) && gn.isNullAt(5),
+      s"all-NULL group's min/max stay NULL: $gn")
   }
 
   test("bootstrap declares a view over an already-replicated table; incremental applies continue it") {

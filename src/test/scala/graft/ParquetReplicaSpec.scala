@@ -1042,6 +1042,44 @@ class ParquetReplicaSpec extends SparkSpecBase {
     assert(next.scan(spark, col("ref") === "ref00100").count() == 0)
     assert(next.lastScanPlannedBuckets == 0)
 
+    // rebucket crash roll-forward: the window AFTER the done marker
+    // with the old root already deleted. The declaration rides inside
+    // the committed staging (declaration-ONLY — stale payloads for the
+    // old layout would skip wrongly; an empty buckets map reads
+    // everything), so recovery rebuilds the skip index instead of
+    // silently dropping it.
+    next.applyBatch(spark,
+      Seq((7, "refX", 5L, "c", 3000L)).toDF("id", "ref", "amt", "op", "lsn"), 3)
+    next.buildBlooms(spark, Seq("ref"), 4096, 3)
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stagingP = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path).getParent, "t1._rebucket")
+    hfs.rename(new org.apache.hadoop.fs.Path(path), stagingP)
+    // what the pre-marker step leaves in staging: the declaration with
+    // an empty payload
+    locally {
+      val o = hfs.create(
+        new org.apache.hadoop.fs.Path(stagingP, "_graft_blooms.json"), true)
+      o.write("""{"m":4096,"k":3,"cols":["ref"],"buckets":{}}"""
+        .getBytes("UTF-8"))
+      o.close()
+    }
+    hfs.create(new org.apache.hadoop.fs.Path(stagingP,
+      "_graft_rebucket_done"), true).close()
+    val rolled = next.rebucket(spark, 8)
+    assert(ids(rolled.scan(spark, col("ref") === "refX")) == Set(7),
+      "roll-forward must restore the table")
+    // the declaration survived the crash window AND the payload was
+    // rebuilt for the new layout (not left as the empty staging copy)
+    val rb = rolled.readBlooms(spark)
+    assert(rb.exists(bi => bi.cols == Seq("ref") && bi.buckets.nonEmpty),
+      s"roll-forward must rebuild the declared bloom index: $rb")
+    assert(rolled.scan(spark, col("ref") === "absent-ref").count() == 0)
+    assert(rolled.lastScanPlannedBuckets <= 1,
+      "rebuilt blooms must prune a missing value (only the truncate-era " +
+        s"marker bucket may plan): ${rolled.lastScanPlannedBuckets}")
+
     // declarations are validated loudly: unknown and non-renderable
     // (float) columns are refused
     intercept[IllegalArgumentException](sink.buildBlooms(spark, Seq("nope")))
