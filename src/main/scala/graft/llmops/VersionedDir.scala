@@ -69,12 +69,49 @@ private[graft] object VersionedDir {
 
   /** Publish the next version: `write(dir)` must leave a
     * Spark-committed dir (with `_SUCCESS`) at `dir`; the pointer swings
-    * only after it returns. Returns the published version id. */
+    * only after it returns. Returns the published version id.
+    *
+    * Single-publisher guard: a create-exclusive `_LEASE` file is taken
+    * before any slot is claimed, so two publishers racing on the same
+    * root cannot both compute `next = current + 1` and clobber each
+    * other's version dir — the loser fails cleanly with the winner's
+    * version and retention intact. The lease is released in a finally
+    * (a FAILED write never wedges the root); a publisher that crashes
+    * hard leaves a stale lease that the next publish breaks once it is
+    * older than `leaseTtlMs` (a crashed holder cannot still be
+    * writing after that long; its partial v-dir has no `_SUCCESS` and
+    * is reclaimed as before). */
   def publish(spark: SparkSession, root: String,
-              write: String => Unit, retain: Int = 2): Long = {
+              write: String => Unit, retain: Int = 2,
+              leaseTtlMs: Long = 15L * 60 * 1000): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
+    fs.mkdirs(rootPath)
+    val lease = new Path(rootPath, "_LEASE")
+    def tryAcquire(): Boolean =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry
+      if (age < leaseTtlMs)
+        throw new IllegalStateException(
+          s"another publisher holds $lease (age ${age}ms < ttl ${leaseTtlMs}ms); " +
+            "concurrent publish refused")
+      fs.delete(lease, false) // stale lease from a crashed publisher
+      if (!tryAcquire())
+        throw new IllegalStateException(
+          s"lost the race re-acquiring $lease after breaking a stale lease")
+    }
+    try publishLocked(spark, fs, rootPath, root, write, retain)
+    finally fs.delete(lease, false)
+  }
+
+  private def publishLocked(spark: SparkSession, fs: FileSystem,
+                            rootPath: Path, root: String,
+                            write: String => Unit, retain: Int): Long = {
     val prev = current(spark, root)
     val next = prev.getOrElse(0L) + 1L
     // sweep orphan pointer tmps from crashed swings before reusing

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.llmops.VersionedDir
+
+/** The versioned-publish protocol's single-publisher guard: two
+  * publishers racing on one root must not clobber each other — the
+  * loser fails cleanly, the winner's version and retention survive,
+  * and a stale lease from a crashed publisher never wedges the root. */
+class VersionedDirSpec extends SparkSpecBase {
+
+  private def newRoot(): String =
+    Files.createTempDirectory("vdir").toFile.getAbsolutePath + "/docs"
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeV(n: Long)(dir: String): Unit = {
+    spark.range(n).select(col("id"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("a concurrent publisher fails cleanly; the holder's publish is intact") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    assert(VersionedDir.publish(spark, root, writeV(3)) == 1L)
+    // simulate publisher A mid-publish: its lease is on disk
+    fs.create(new Path(root, "_LEASE"), false).close()
+    val e = intercept[IllegalStateException] {
+      VersionedDir.publish(spark, root, writeV(99))
+    }
+    assert(e.getMessage.contains("concurrent publish refused"), e.getMessage)
+    // the loser touched nothing: v1 is still CURRENT and complete
+    assert(VersionedDir.current(spark, root).contains(1L))
+    assert(spark.read.parquet(VersionedDir.currentPath(spark, root).get)
+      .count() == 3L)
+    // holder finishes (its own publish path releases the lease); here A
+    // "completes" by dropping the lease, and the next publisher proceeds
+    fs.delete(new Path(root, "_LEASE"), false)
+    assert(VersionedDir.publish(spark, root, writeV(5)) == 2L)
+    assert(spark.read.parquet(VersionedDir.currentPath(spark, root).get)
+      .count() == 5L)
+  }
+
+  test("a stale lease from a crashed publisher is broken, not a deadlock") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    assert(VersionedDir.publish(spark, root, writeV(2)) == 1L)
+    // crashed publisher: lease left behind, no process holds it
+    val lease = new Path(root, "_LEASE")
+    fs.create(lease, false).close()
+    fs.setTimes(lease, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    // over the ttl -> broken and the publish proceeds
+    assert(VersionedDir.publish(spark, root, writeV(4)) == 2L)
+    assert(spark.read.parquet(VersionedDir.currentPath(spark, root).get)
+      .count() == 4L)
+    // the winner released its own lease on the way out
+    assert(!fs.exists(lease))
+  }
+
+  test("a failed write releases the lease so a retry can proceed") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    intercept[RuntimeException] {
+      VersionedDir.publish(spark, root,
+        _ => throw new RuntimeException("writer died"))
+    }
+    assert(!fs.exists(new Path(root, "_LEASE")),
+      "a failed publish must not wedge the root")
+    assert(VersionedDir.publish(spark, root, writeV(1)) == 1L)
+  }
+}
