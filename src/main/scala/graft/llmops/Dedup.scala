@@ -80,54 +80,109 @@ object Dedup {
       carry.map(col): _*)
   }
 
+  /** Sort tasks that carried the last hot-bucket neighborhood sort —
+    * the "one degenerate bucket must not serialize on one core"
+    * contract made observable (spec-pinned). */
+  @volatile var lastHotSortTasks: Int = 0
+
   /** Candidate near-dup pairs (a<b) from shared LSH buckets.
     *
-    * Hot-bucket cap: the bucket self-join is quadratic WITHIN a bucket,
-    * and real web corpora have degenerate buckets (boilerplate-heavy
-    * templates that survive exact dedup land thousands of near-identical
-    * docs in one band bucket) — at 100 TB one such bucket emits O(n²)
-    * pairs and everything downstream (overlap join, Jaccard verify)
-    * inherits the blowup. Buckets of ≤ `maxBucket` docs keep the exact
-    * all-pairs join (output identical to the uncapped operator — the
-    * oracle contract). Buckets ABOVE the cap switch to a sorted
-    * neighborhood: docs are ordered by (full signature, id) so
-    * near-identical docs are adjacent, and each doc pairs with only its
-    * `hotWindow` predecessors — ≤ n·hotWindow pairs instead of n²/2.
-    * For the degenerate case that motivates the cap (a bucket of
-    * near-identical docs, i.e. equal signatures) the chain pairs every
-    * doc with its id-predecessor, so greedy min-id dedup and connected
-    * components both reach the SAME result as the uncapped join; for a
-    * mixed oversized bucket recall degrades gracefully with distance in
+    * The DEFAULT (`maxBucket = Int.MaxValue`) is the exact all-pairs
+    * bucket self-join — output is the textbook LSH candidate set, the
+    * semantics the DuckDB oracle replays for the `llm_dedup_near`
+    * family. Pass a finite `maxBucket` at scale-sensitive call sites
+    * (the release funnel, corpora with template boilerplate) to cap
+    * hot buckets: the self-join is quadratic WITHIN a bucket, and real
+    * web corpora have degenerate buckets (boilerplate templates that
+    * survive exact dedup land thousands of near-identical docs in one
+    * band bucket) — at 100 TB one such bucket emits O(n²) pairs and
+    * everything downstream (overlap join, Jaccard verify) inherits the
+    * blowup. Buckets of ≤ `maxBucket` docs keep the exact all-pairs
+    * join; buckets ABOVE it switch to a sorted neighborhood: docs are
+    * ordered by (full signature, id) so near-identical docs are
+    * adjacent, and each doc pairs with only its `hotWindow`
+    * predecessors — ≤ n·hotWindow pairs instead of n²/2. For the
+    * degenerate case that motivates the cap (a bucket of near-identical
+    * docs, i.e. equal signatures) the chain pairs every doc with its
+    * id-predecessor, so greedy min-id dedup and connected components
+    * both reach the SAME result as the uncapped join; for a mixed
+    * oversized bucket recall degrades gracefully with distance in
     * signature order (the standard sorted-neighborhood trade, Hernández
-    * & Stolfo's merge/purge). Cost of the capped path is one
-    * bucket-partitioned window sort (spill-backed, O(n log n)) — never
-    * a quadratic join. Mirrors the streaming path's per-bucket state cap
-    * (StreamingDedup.maxPerBucket); reference analog: the bounded-packet
-    * discipline of pg2any's coalescing (`coalescing.rs:915-944`). */
+    * & Stolfo's merge/purge).
+    *
+    * The capped path never gathers a bucket into one task: bucket
+    * sizes come from a partial-aggregated groupBy (not a windowed
+    * count), and the neighborhood order is a DISTRIBUTED range sort on
+    * (bucket, signature, id) with a contiguous global rank from
+    * `zipWithIndex` (per-partition offsets — O(#partitions) driver
+    * metadata) instead of a per-bucket `row_number` window, so a
+    * 100M-doc degenerate bucket sorts across the cluster rather than
+    * serializing on a single core. Within a bucket the global ranks
+    * are contiguous (the sort leads with the bucket), so rank-window
+    * pairing joined back on (bucket, rank) emits exactly the pairs the
+    * single-task window produced. Mirrors the streaming path's
+    * per-bucket state cap (StreamingDedup.maxPerBucket); reference
+    * analog: the bounded-packet discipline of pg2any's coalescing
+    * (`coalescing.rs:915-944`). */
   def minhashCandidates(df: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
                         shingleN: Int = 3, idCol: String = "doc_id",
-                        textCol: String = "text", maxBucket: Int = 256,
+                        textCol: String = "text",
+                        maxBucket: Int = Int.MaxValue,
                         hotWindow: Int = 8): DataFrame = {
     val sigs = minhashSignatures(df, k, shingleN, idCol, textCol)
+    if (maxBucket == Int.MaxValue) {
+      // exact path: no sizing pass, no signature carry — one self-join
+      val buckets = lshBuckets(sigs, k, rowsPerBand, idCol)
+        .localCheckpoint(false) // both self-join sides reuse it
+      val a = buckets.as("a"); val b = buckets.as("b")
+      return a.join(b, col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+        .distinct()
+    }
+    val spark = df.sparkSession
     val sigKey = concat_ws("-", (0 until k).map(i => col(s"mh$i")): _*)
     val buckets = lshBuckets(sigs.withColumn("__sk", sigKey), k, rowsPerBand, idCol,
         carry = Seq("__sk"))
       .localCheckpoint(false) // small/hot split + self-join reuse it
-    import org.apache.spark.sql.expressions.Window
-    val byBucket = Window.partitionBy("bucket")
-    val sized = buckets.withColumn("__n", count(lit(1)).over(byBucket))
+    // bucket sizes via partial-aggregated groupBy + join (AQE-splittable)
+    // — a windowed count would gather each bucket into ONE task first
+    val sized = buckets.join(
+      buckets.groupBy("bucket").agg(count(lit(1)).as("__n")), "bucket")
     val small = sized.filter(col("__n") <= maxBucket).select(col(idCol), col("bucket"))
     val a = small.as("a"); val b = small.as("b")
     val fullPairs = a.join(b, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
-    val hot = sized.filter(col("__n") > maxBucket)
-      .withColumn("__rn", row_number().over(byBucket.orderBy(col("__sk"), col(idCol))))
+    // hot path: distributed neighborhood sort. Range-partition on the
+    // full sort key so even a single degenerate bucket (equal __sk)
+    // spreads across tasks by id, then assign a contiguous global rank.
+    // explicit partition count: an AQE-coalesced range shuffle would
+    // re-serialize a small-but-degenerate bucket onto one task
+    val hotSorted = sized.filter(col("__n") > maxBucket)
+      .select(col(idCol), col("bucket"), col("__sk"))
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col("bucket"), col("__sk"), col(idCol))
+      .sortWithinPartitions("bucket", "__sk", idCol)
+    val hotSchema = org.apache.spark.sql.types.StructType(
+      hotSorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "__rn", org.apache.spark.sql.types.LongType))
+    val ranked = hotSorted.rdd.zipWithIndex
+    lastHotSortTasks = ranked.getNumPartitions
+    val hot = spark.createDataFrame(
+        ranked.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, hotSchema)
       .select(col(idCol), col("bucket"), col("__rn"))
-    val probes = hot.filter(col("__rn") > 1)
+      .localCheckpoint(false) // probe + anchor sides reuse it
+    val probes = hot.filter(col("__rn") >= 1)
       .select(col(idCol).as("__ib"), col("bucket"),
-        explode(sequence(greatest(col("__rn") - hotWindow, lit(1)),
+        explode(sequence(greatest(col("__rn") - hotWindow, lit(0L)),
           col("__rn") - 1)).as("__rn"))
+    // the join key (bucket, __rn) is high-cardinality even inside one
+    // bucket, so the pairing shuffle spreads a hot bucket too; ranks
+    // that fall before the bucket's first row belong to the PREVIOUS
+    // bucket and the bucket equality drops them
     val hotPairs = probes
       .join(hot.withColumnRenamed(idCol, "__ia"), Seq("bucket", "__rn"))
       .select(least(col("__ia"), col("__ib")).as("da"),
@@ -426,10 +481,18 @@ object Dedup {
     * then keep min-id per duplicate component (greedy: a doc is dropped
     * if any smaller-id doc is near-identical — one pass, no iterative
     * connected components; good enough for dedup where clusters are
-    * small and transitivity holds at high thresholds). */
+    * small and transitivity holds at high thresholds).
+    *
+    * `maxBucket` defaults to the EXACT all-pairs candidate semantics
+    * (the oracle contract); scale-sensitive callers opt into the
+    * hot-bucket sorted-neighborhood cap explicitly — see
+    * [[minhashCandidates]]. */
   def nearDedup(df: DataFrame, threshold: Double = 0.8,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cands = minhashCandidates(df, idCol = idCol, textCol = textCol)
+                idCol: String = "doc_id", textCol: String = "text",
+                maxBucket: Int = Int.MaxValue,
+                hotWindow: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, idCol = idCol, textCol = textCol,
+      maxBucket = maxBucket, hotWindow = hotWindow)
     val verified = ngramJaccard(df, threshold, idCol = idCol, textCol = textCol,
       candidates = Some(cands))
     val drops = verified.select(col("db").as(idCol)).distinct()

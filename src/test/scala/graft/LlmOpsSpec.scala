@@ -474,21 +474,27 @@ class LlmOpsSpec extends SparkSpecBase {
     val n = cands.count()
     assert(n <= 2000L * 8, s"pair count $n must be bounded by n*hotWindow")
     assert(n >= 1999L, s"chain must connect the hot bucket, got $n")
+    // the neighborhood sort is DISTRIBUTED: the degenerate bucket's
+    // rows spread across >1 sort task (range partitioning on the full
+    // (bucket, signature, id) key), never serializing on one core
+    assert(Dedup.lastHotSortTasks > 1,
+      s"hot-bucket sort ran on ${Dedup.lastHotSortTasks} task(s)")
     // the chain keeps the cluster one connected component
     val comps = Dedup.connectedComponents(cands)
       .agg(countDistinct("comp")).head().getLong(0)
     assert(comps == 1L, s"hot bucket must stay one component, got $comps")
     // greedy min-id dedup end state identical to the uncapped semantics:
-    // only the min-id template survives (default maxBucket=256 engages)
-    val kept = Dedup.nearDedup(df, 0.8).select("doc_id").as[Long]
-      .collect().toSet
+    // only the min-id template survives (explicit opt-in cap — the
+    // library DEFAULT is the exact all-pairs oracle semantics)
+    val kept = Dedup.nearDedup(df, 0.8, maxBucket = 256)
+      .select("doc_id").as[Long].collect().toSet
     assert(kept == (Set(1L) ++ tail.map(_._1)), s"kept=$kept")
   }
 
   test("capped candidates equal uncapped on a corpus with no hot buckets") {
-    val uncapped = Dedup.minhashCandidates(docs, maxBucket = Int.MaxValue)
+    val uncapped = Dedup.minhashCandidates(docs) // default = exact all-pairs
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val capped = Dedup.minhashCandidates(docs) // default cap
+    val capped = Dedup.minhashCandidates(docs, maxBucket = 256)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == uncapped)
   }
