@@ -232,10 +232,12 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
   }
 
   /** Stored df per probe term from the `_df` summaries — O(probe
-    * parts) tiny reads, no posting list opened. Includes
-    * not-yet-compacted tombstoned docs (an upper bound on live df:
-    * deletes only shrink df, so a cap decision made on it is
-    * conservative only in the window before [[compact]] purges). */
+    * parts) tiny reads, no posting list opened. Counts
+    * not-yet-compacted tombstoned docs, so it is only an upper bound
+    * on live df while deletes are pending — [[search]] bypasses the
+    * prefilter in that window (a stale-high df must never skip a term
+    * whose LIVE df is under the cap) and [[compact]] makes it exact
+    * again. */
   private def storedDf(spark: SparkSession, tp: Seq[(String, Int)])
       : Map[String, Long] = {
     val fs = fsOf(spark)
@@ -271,7 +273,15 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     * the surviving terms' read skips the dropped terms' row groups via
     * the pushed IN predicate over term-sorted files. [[Lexical
     * .scoreBm25]] re-applies the cap on live df, so the ranking
-    * semantics stay exact. */
+    * semantics stay exact.
+    *
+    * While deletes are PENDING (tombstones present, [[compact]] not yet
+    * run) the stored df is an upper bound that over-counts dead docs,
+    * so the prefilter could skip a term whose LIVE df is under the cap
+    * — a silent ranking divergence from the exact semantics. In that
+    * window the prefilter is bypassed (postings read for every probe
+    * term; scoreBm25's live-df cap keeps the ranking exact) and
+    * compaction restores the zero-read pricing. */
   def search(spark: SparkSession, queries: DataFrame, k: Int,
              k1Milli: Long = 1200L, bMilli: Long = 750L,
              maxDfPermille: Long = 1000L): DataFrame = {
@@ -279,7 +289,7 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     val (n, tot) = liveStats(spark, dead)
     val tp0 = termParts(spark, queries.select("term").distinct())
     val tp =
-      if (maxDfPermille >= 1000L) tp0
+      if (maxDfPermille >= 1000L || dead.nonEmpty) tp0
       else {
         val dfs = storedDf(spark, tp0)
         tp0.filter { case (t, _) =>

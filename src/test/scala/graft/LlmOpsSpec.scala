@@ -1705,6 +1705,46 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(store.lastPlannedDirs.map(_.split("/").last).toSet == needleParts)
   }
 
+  test("TextIndexStore df-cap: pending deletes bypass the stale stored-df prefilter") {
+    import graft.llmops.{Lexical, TextIndexStore}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("text-idx-cap-del")
+      .toFile.getAbsolutePath + "/idx"
+    // "mid" is in docs 0..69 (stored df = 70/100 > the 600‰ cap);
+    // deleting docs 0..39 drops its LIVE df to 30/60 = 500‰ — under
+    // the cap, so the exact semantics must SCORE it post-delete even
+    // though the stale stored df says "skip"
+    val docs = (0L until 100L).map { i =>
+      val mid = if (i < 70) " mid" else ""
+      (i, s"r${i}a r${i}b r${i}c$mid")
+    }.toDF("doc_id", "text")
+    val store = new TextIndexStore(dir, numParts = 16)
+    store.addBatch(spark, docs, 0)
+    store.delete(spark, (0L until 40L).toSeq)
+    val live = docs.filter(col("doc_id") >= 40L)
+    val q = Seq((1L, "mid"), (1L, "r44a")).toDF("qid", "term")
+    def served() = store.search(spark, q, k = 50, maxDfPermille = 600L)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .toSeq.sortBy(_._2)
+    val exact = Lexical.bm25TopK(live, q, k = 50, maxDfPermille = 600L)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .toSeq.sortBy(_._2)
+    // in the pre-compact window the prefilter is bypassed (capped
+    // ranking stays bit-identical to the live-corpus batch operator);
+    // "mid" docs must appear — the stale-df skip would silently drop them
+    assert(served() == exact, "capped ranking must stay exact with tombstones")
+    assert(exact.exists(_._3 == 45L), s"mid docs must score: $exact")
+    // compact purges the tombstones; the prefilter re-engages with the
+    // now-exact df and the ranking is unchanged
+    store.compact(spark)
+    assert(served() == exact)
+    // and a term that IS over the live cap prices out to zero dirs again
+    val only = store.search(spark,
+      Seq((2L, "mid")).toDF("qid", "term"), k = 10, maxDfPermille = 400L)
+    assert(only.isEmpty && store.lastPlannedDirs.isEmpty,
+      s"post-compact stopword query must read nothing: ${store.lastPlannedDirs}")
+  }
+
   test("TextIndexStore: retraction — post-delete ranking equals a fresh build over survivors") {
     import graft.llmops.{Lexical, TextIndexStore}
     import spark.implicits._
