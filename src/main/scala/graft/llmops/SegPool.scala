@@ -1,0 +1,124 @@
+package graft.llmops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-indirection layout for the release verb's frozen corpus —
+  * the Delta/Iceberg snapshot idiom applied to [[VersionedDir]]'s
+  * pointer discipline so a version REFERENCES its segments instead of
+  * containing them:
+  *
+  * {{{
+  *   docs/
+  *     _segs/s<K>-v<N>/   segment K's parquet as (re)built by version N
+  *     v<N>/MANIFEST      seg -> pool path lines; _SUCCESS after
+  *     CURRENT            VersionedDir pointer
+  * }}}
+  *
+  * A release writes ONLY the rebuilt/fresh segments' bytes into the
+  * shared `_segs/` pool and a tiny MANIFEST naming every segment of the
+  * version — unchanged segments are carried as manifest lines pointing
+  * at the PREVIOUS version's pool dirs, so a +1% incremental release
+  * moves O(changed segments) bytes instead of streaming the whole
+  * corpus through the driver (the `FileUtil.copy`-per-segment freeze
+  * this replaces was O(corpus) driver I/O per publish, on every
+  * filesystem). Retention GC is refcount-by-manifest: after a publish
+  * prunes old version dirs, [[gc]] deletes every pool dir referenced by
+  * no surviving version's manifest. Crash windows inherit VersionedDir's
+  * matrix — pool writes land before MANIFEST, MANIFEST before
+  * `_SUCCESS`, and an uncommitted version neither resolves nor protects
+  * its orphaned pool dirs from the next successful publish's GC.
+  * Reference analog: pg2any's "trust tracked state, never re-read"
+  * finalize (`storage/uncompressed.rs:70-84`) — the O(1) publish comes
+  * from pointing at bytes already on disk, not from moving them.
+  */
+private[graft] object SegPool {
+
+  val ManifestName = "MANIFEST"
+
+  /** Pool path (relative to the docs root) for segment `seg` as
+    * (re)built by version `v` — version-stamped so a rebuild never
+    * overwrites a dir an older retained version still references. */
+  def poolRel(seg: String, v: Long): String = s"_segs/s$seg-v$v"
+
+  /** Write a version's manifest: one `seg<TAB>relPath` line per
+    * segment. A driver-side O(#segments) metadata write. */
+  def writeManifest(fs: FileSystem, versionDir: String,
+                    entries: Seq[(String, String)]): Unit = {
+    val out = fs.create(new Path(versionDir, ManifestName), true)
+    try out.write(entries.map { case (s, rel) => s"$s\t$rel" }
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** (seg, relPath) entries of a version's manifest. */
+  def readManifest(fs: FileSystem, versionDir: String): Seq[(String, String)] = {
+    val in = fs.open(new Path(versionDir, ManifestName))
+    val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(seg, rel) = line.split("\t", 2)
+      (seg, rel)
+    }
+  }
+
+  /** Read a docs dir, resolving a MANIFEST if present (a SegPool
+    * version dir) and falling back to a plain parquet read otherwise —
+    * so every consumer (emit-shards, reports, specs) accepts both a
+    * frozen release version and an ordinary parquet directory.
+    * Manifest reads merge schemas across segments: a multimodal corpus
+    * may widen its schema over releases. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(p, ManifestName))) spark.read.parquet(dir)
+    else {
+      val root = p.getParent // docs root: versions sit directly under it
+      val dirs = readManifest(fs, dir).map { case (_, rel) =>
+        new Path(root, rel).toString }
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+  }
+
+  /** Total rows of a manifest version from parquet FOOTERS only —
+    * O(#files) driver metadata reads, no Spark job, no column scan. */
+  def rowCount(spark: SparkSession, versionDir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(versionDir)
+    val fs = p.getFileSystem(conf)
+    val root = p.getParent
+    readManifest(fs, versionDir).map { case (_, rel) =>
+      val d = new Path(root, rel)
+      fs.listStatus(d).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf))
+          try rd.getRecordCount finally rd.close()
+        }.sum
+    }.sum
+  }
+
+  /** Refcount GC: delete every `_segs/` pool dir that no EXISTING
+    * version dir's manifest references (run after a publish, whose
+    * retention pruning is what drops references). Versions without a
+    * manifest (a crashed partial write) protect nothing — their
+    * orphaned pool dirs are exactly the garbage this reclaims. Returns
+    * the deleted pool dir names. */
+  def gc(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val segsDir = new Path(rootPath, "_segs")
+    if (!fs.exists(segsDir)) return Nil
+    val referenced = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .filter(s => fs.exists(new Path(s.getPath, ManifestName)))
+      .flatMap(s => readManifest(fs, s.getPath.toString))
+      .map { case (_, rel) => new Path(rootPath, rel).getName }
+      .toSet
+    fs.listStatus(segsDir).toSeq
+      .filter(s => !referenced.contains(s.getPath.getName))
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+  }
+}

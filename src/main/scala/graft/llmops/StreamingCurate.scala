@@ -53,9 +53,18 @@ import org.apache.spark.sql.types._
   */
 object StreamingCurate {
 
+  /** Non-core input columns in their original order — the multimodal
+    * carry set: a training corpus's image/audio payloads and metadata
+    * structs ride every stage untouched while gating/dedup read only
+    * `text`. */
+  private def extraCols(docs: DataFrame): Seq[String] =
+    docs.columns.toSeq.filterNot(Set("doc_id", "source", "text"))
+
   /** The batch curation gate — quality (length, stopword ratio) +
     * language-ID (en) — EXACTLY the expressions `llm_curate` uses (the
-    * batch query calls this function, so they cannot drift). */
+    * batch query calls this function, so they cannot drift). Gates on
+    * `text` only; any OTHER input column (binary payloads, metadata
+    * structs — the multimodal carry) passes through untouched. */
   def gate(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val stop = Seq("the", "a", "and", "of", "to", "in", "is")
@@ -77,7 +86,8 @@ object StreamingCurate {
       .filter(col("n_tokens") >= 20 &&
         col("n_stop") * lit(1.0) / col("n_tokens") >= 0.05 &&
         col("pred") === "en")
-      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+      .select(col("doc_id").cast("long").as("doc_id") +: col("source") +:
+        col("text") +: extraCols(docs).map(col): _*)
   }
 
   private val seenSchema = StructType(Seq(
@@ -133,7 +143,8 @@ object StreamingCurate {
     * never the current batch's own output, so a crash-replay recomputes
     * from the same inputs. */
   private def readPrior(spark: SparkSession, dir: Path, batchId: Long,
-                        schema: StructType): DataFrame = {
+                        schema: StructType,
+                        dynamic: Boolean = false): DataFrame = {
     BatchDirFold.heal(spark, dir) // an interrupted fold may hold the only copy
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val dirs =
@@ -145,6 +156,9 @@ object StreamingCurate {
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (dynamic) // dynamic-schema kind: curated carries the
+      // multimodal extras, which may widen across batches
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
@@ -282,16 +296,21 @@ object StreamingCurate {
       .write.mode("overwrite").partitionBy("part").parquet(out("text"))
     newBuckets.select(col("bucket"), col("doc_id"), partOf(col("bucket")).as("part"))
       .write.mode("overwrite").partitionBy("part").parquet(out("buckets"))
+    // curated emission carries the full input row — core columns first,
+    // then the multimodal extras (binary payloads, metadata structs)
+    // the gates never touched
+    val extras = extraCols(batch)
+    val outCols = Seq("doc_id", "source", "text") ++ extras
     val emitted =
-      if (!blockRewrite) curated.select("doc_id", "source", "text")
+      if (!blockRewrite) curated.select(outCols.map(col): _*)
       else {
         val rew = new BlockDedupStore(s"$storeDir/blocks")
           .addBatch(spark, curated.select("doc_id", "text"), batchId)
-        curated.select("doc_id", "source")
+        curated.select(col("doc_id") +: col("source") +: extras.map(col): _*)
           .join(rew.filter(col("n_kept") > 0)
             .select(col("doc_id"), col("kept_text").as("text")), "doc_id")
       }
-    emitted.select("doc_id", "source", "text")
+    emitted.select(outCols.map(col): _*)
       .write.mode("overwrite").parquet(out("curated"))
 
     // optional corpus telemetry: fold the ADMITTED batch into a durable
@@ -376,9 +395,13 @@ object StreamingCurate {
                 .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
                 .map(_.getPath.toString))
             else folded.map(_.toString)
-          val merged = spark.read.schema(schema)
-            .parquet(inputDirs: _*)
-            .select(schema.fieldNames.map(col): _*)
+          // curated is dynamic-schema (multimodal extras); the keyed
+          // kinds are fixed-frame
+          val merged =
+            if (kind == "curated")
+              spark.read.option("mergeSchema", "true").parquet(inputDirs: _*)
+            else spark.read.schema(schema).parquet(inputDirs: _*)
+              .select(schema.fieldNames.map(col): _*)
           // partitioned kinds keep their part=P pruning layout across folds
           val writer = partKey match {
             case Some(key) =>
@@ -391,10 +414,11 @@ object StreamingCurate {
         })
       }.toMap
 
-  /** All curated docs admitted so far. */
+  /** All curated docs admitted so far (schema-merged: the multimodal
+    * extras may widen across batches). */
   def curated(spark: SparkSession, storeDir: String): DataFrame =
     readPrior(spark, new Path(storeDir, "curated"), Long.MaxValue,
-      curatedSchema)
+      curatedSchema, dynamic = true)
 
   /** The batch `llm_curate` per-source stats over the curated stream
     * state — comparable 1:1 with the batch query's output. */

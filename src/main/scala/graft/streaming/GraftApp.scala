@@ -3,7 +3,7 @@ package graft.streaming
 import graft.dialect.Dialect
 import graft.render.RenderContext
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{broadcast, col, concat, count, desc, expr, lit, pmod, size, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, concat, count, desc, expr, lit, max, pmod, size, sum, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** E1/E2 app runner — the `run_cdc_app` analog (reference app.rs:51-234,
@@ -206,12 +206,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   (GRAFT_RELEASE_MINSHARED def 3), exact dedup,
   *                   near-dedup at GRAFT_RELEASE_JACCARD def 0.8)
   *                   against the persisted dedup stores — O(delta),
-  *                   part-pruned; removed doc_ids retract. The curated
-  *                   corpus freezes crash-safely at
-  *                   GRAFT_RELEASE_OUT/docs/v<N>/seg=K (CURRENT
-  *                   pointer; untouched segments byte-copy from the
-  *                   previous version, which stays retained — resolve
-  *                   via VersionedDir.currentPath) and emit-shards
+  *                   part-pruned; removed doc_ids retract; non-core
+  *                   columns (multimodal payloads/metadata) ride
+  *                   through. The curated corpus freezes crash-safely
+  *                   at GRAFT_RELEASE_OUT/docs/v<N>/MANIFEST (CURRENT
+  *                   pointer; untouched segments are REFERENCED from
+  *                   the docs/_segs pool — zero bytes copied — with
+  *                   the previous version retained; zero-delta
+  *                   releases publish no new version; resolve via
+  *                   VersionedDir.currentPath + SegPool.readDocs) and
+  *                   emit-shards
   *                   runs against it (manifest + changed-shards-only
   *                   re-tokenization; pass the
   *                   GRAFT_EMIT_TOKENIZER[_KIND]/BUDGET/SHARDS knobs
@@ -246,6 +250,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     resolve from the store meta)
   */
 object GraftApp {
+
+  /** Per-stage wall times of the last `release` run (delta_detect /
+    * apply_delta / freeze / emit_shards) — the verb's end-to-end cost
+    * made observable for ScaleProbe and round-over-round comparison. */
+  @volatile var lastReleaseStageSecs: Seq[(String, Double)] = Nil
+
+  /** The last freeze's plan: (segments rebuilt — their pool dirs were
+    * read and rewritten, O(changed)) vs (segments referenced — their
+    * pool dirs were neither read nor written). The spec-pinned
+    * O(changed segments) publish contract. */
+  @volatile var lastFreezePlan: (Seq[String], Seq[String]) = (Nil, Nil)
 
   /** GRAFT_TABLE_KEYS: "c1,c2" for every table, or "tbl=c1,c2;tbl2=c3". */
   private def tableKeys(env: Map[String, String], table: String): Seq[String] =
@@ -706,7 +721,8 @@ object GraftApp {
         val tParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64)
         val tBatch = env.get("GRAFT_TEXT_BATCH").map(_.toLong).getOrElse(0L)
         val tStore = new graft.llmops.TextIndexStore(outDir, tParts)
-        tStore.addBatch(spark, spark.read.parquet(docsDir), tBatch)
+        tStore.addBatch(spark, graft.llmops.SegPool.readDocs(spark, docsDir),
+          tBatch)
         if (env.get("GRAFT_TEXT_COMPACT").exists(_ == "1")) tStore.compact(spark)
         val (tn, tt) = tStore.stats(spark)
         val qLine = env.get("GRAFT_TEXT_QUERY").map { words =>
@@ -742,7 +758,7 @@ object GraftApp {
         val hStore = new graft.llmops.TextIndexStore(hText, hParts)
         val hIdx = new graft.llmops.AnnIndexStore(hAnn)
         import spark.implicits._
-        val hTextRow = spark.read.parquet(hDocs)
+        val hTextRow = graft.llmops.SegPool.readDocs(spark, hDocs)
           .filter(col("doc_id") === hProbe).select("text").head().getString(0)
         val hQ = hTextRow.split("\\s+").take(6).toSeq
           .map((hProbe, _)).toDF("qid", "term")
@@ -924,7 +940,7 @@ object GraftApp {
         val nMerges = env.get("GRAFT_BPE_MERGES").map(_.toInt).getOrElse(200)
         val cap = env.get("GRAFT_BPE_VOCAB_CAP").map(_.toInt).getOrElse(1 << 16)
         val textCol = env.getOrElse("GRAFT_BPE_TEXT_COL", "text")
-        val docs = spark.read.parquet(docsDir)
+        val docs = graft.llmops.SegPool.readDocs(spark, docsDir)
         val dict = graft.llmops.Bpe.wordCounts(docs, cap, textCol).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq
         val merges = graft.llmops.Bpe.train(dict, nMerges)
@@ -1036,7 +1052,7 @@ object GraftApp {
         val clfSteps = env.get("GRAFT_CLF_STEPS").map(_.toInt).getOrElse(3)
         val clfLr = env.get("GRAFT_CLF_LR").map(_.toLong).getOrElse(100L)
         val clfLang = env.getOrElse("GRAFT_CLF_TARGET_LANG", "en")
-        val clfDocs = spark.read.parquet(docsDir)
+        val clfDocs = graft.llmops.SegPool.readDocs(spark, docsDir)
         val wts = graft.llmops.Classifier.trainWeights(
           clfDocs, clfSteps, clfLr, clfLang)
         graft.llmops.Classifier.writeWeights(spark, out, wts)
@@ -1057,7 +1073,7 @@ object GraftApp {
           .getOrElse(1 << 16)
         val uText = env.getOrElse("GRAFT_UNIGRAM_TEXT_COL", "text")
         val uVocab = graft.llmops.Unigram.trainVocab(
-          spark.read.parquet(docsDir), vSize, uCap, uText)
+          graft.llmops.SegPool.readDocs(spark, docsDir), vSize, uCap, uText)
         graft.llmops.Unigram.writeVocab(spark, out, uVocab)
         Seq(s"unigram-train: |pieces|=${uVocab.pieces.length}, " +
           s"total=${uVocab.total} -> $out")
@@ -1080,7 +1096,9 @@ object GraftApp {
           throw new IllegalArgumentException("GRAFT_EMIT_OUT is required"))
         val budget = env.get("GRAFT_EMIT_BUDGET").map(_.toInt).getOrElse(2048)
         val nShards = env.get("GRAFT_EMIT_SHARDS").map(_.toInt).getOrElse(64)
-        val docs = spark.read.parquet(docsDir)
+        // MANIFEST-aware: a frozen release version resolves through its
+        // segment manifest; a plain parquet dir reads directly
+        val docs = graft.llmops.SegPool.readDocs(spark, docsDir)
         import graft.llmops.ShardManifest
         // tokenizer family: bpe (default; a bpe-train artifact) or
         // unigram (a unigram-train vocab artifact) — both id streams
@@ -1260,23 +1278,31 @@ object GraftApp {
         // updated corpus pays O(delta): only never-processed docs are
         // gated/deduped (store reads part-pruned to the delta's keys),
         // removed docs retract from the frozen corpus, and only changed
-        // shards re-tokenize. Identity contract: doc_ids are stable and
-        // immutable (an edited doc is a new id — the shard manifest's
-        // content-hash convention); dedup memory is append-biased (a
-        // doc dropped as a near-dup of a later-removed doc stays
-        // dropped until re-submitted with a new id).
+        // shards re-tokenize. Non-core input columns (image/audio
+        // payloads, metadata structs — the multimodal carry) ride the
+        // whole funnel untouched and land in the frozen corpus.
+        // Identity contract: doc_ids are stable and immutable (an
+        // edited doc is a new id — the shard manifest's content-hash
+        // convention); dedup memory is append-biased (a doc dropped as
+        // a near-dup of a later-removed doc stays dropped until
+        // re-submitted with a new id); a RETRACTED id that reappears is
+        // re-classified as new exactly once (its later processed-ledger
+        // entry outranks the retraction).
         // Layout under GRAFT_RELEASE_OUT:
-        //   docs/v<N>/seg=K  crash-safe frozen corpus (VersionedDir):
-        //     new version = previous version's segs BYTE-copied
-        //     (server-side copy on object stores — no decode, no
-        //     shuffle), segs holding removed docs rebuilt filtered,
-        //     plus one fresh seg of this release's curated additions
+        //   docs/v<N>/MANIFEST  crash-safe frozen corpus (VersionedDir
+        //     + SegPool manifest indirection): a version LISTS its
+        //     segments; unchanged segments are REFERENCED from the
+        //     shared docs/_segs pool (zero bytes moved), segments
+        //     holding removed docs rebuild filtered, one fresh pool
+        //     seg holds this release's curated additions; refcount GC
+        //     reclaims pool dirs no retained version references. A
+        //     zero-delta re-release publishes NO new version.
         //   _curate/         StreamingCurate dedup stores + the
         //     processed/retracted id ledgers (delta detection)
         //   shards/ _report/ as before (emit-shards delegation; the
-        //     funnel report now derives from applyBatch's own stage
-        //     counters + parquet metadata — no corpus-sized driver
-        //     count() actions remain)
+        //     funnel report derives from applyBatch's own stage
+        //     counters + parquet footer metadata — no corpus-sized
+        //     driver count() actions remain)
         val docsDir = env.getOrElse("GRAFT_RELEASE_DOCS",
           throw new IllegalArgumentException("GRAFT_RELEASE_DOCS is required"))
         val relOut = env.getOrElse("GRAFT_RELEASE_OUT",
@@ -1287,35 +1313,59 @@ object GraftApp {
           .map(_.toInt).getOrElse(3)
         val curStore = s"$relOut/_curate"
         val docsRoot = s"$relOut/docs"
-        import graft.llmops.VersionedDir
+        import graft.llmops.{SegPool, VersionedDir}
         val relFs = new Path(relOut)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val prevV = VersionedDir.current(spark, docsRoot)
         val relBatch = prevV.getOrElse(0L)
-        val raw = spark.read.parquet(docsDir)
-        val nRaw = raw.count()
+        val raw = graft.llmops.SegPool.readDocs(spark, docsDir)
+        val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+        def staged[T](name: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          stageSecs(name) = (System.nanoTime() - t0) / 1e9
+          r
+        }
         // delta detection: ids-only and column-pruned — the only
-        // full-corpus touch is a doc_id scan, never a payload shuffle
+        // full-corpus touch is ONE doc_id scan (checkpointed; nRaw
+        // rides it), never a payload read. Ledgers carry their batch
+        // id so a retracted-then-resubmitted doc is live again the
+        // moment a LATER release re-processes it — classified as new
+        // exactly once, no perpetual reprocessing, no ledger rewrite.
         def idLedger(kind: String): org.apache.spark.sql.DataFrame = {
           val dir = new Path(curStore, kind)
           val dirs =
-            if (!relFs.exists(dir)) Seq.empty[String]
+            if (!relFs.exists(dir)) Seq.empty
             else relFs.listStatus(dir).toSeq
               .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-              .map(_.getPath.toString)
+              .map(s => (s.getPath.getName.stripPrefix("b").toLong,
+                s.getPath.toString))
           if (dirs.isEmpty)
-            spark.range(0).select(col("id").as("doc_id"))
-          else spark.read.schema("doc_id LONG").parquet(dirs: _*)
+            spark.range(0).select(col("id").as("doc_id"), lit(0L).as("b"))
+          else dirs.map { case (b, d) =>
+            spark.read.schema("doc_id LONG").parquet(d)
+              .select(col("doc_id"), lit(b).as("b"))
+          }.reduce(_ unionByName _)
         }
-        val rawIds = raw.select(col("doc_id").cast("long").as("doc_id"))
-        val liveLedger = idLedger("processed")
-          .join(idLedger("retracted"), Seq("doc_id"), "left_anti")
-          .localCheckpoint(false)
-        val newIds = rawIds.join(liveLedger, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val removedIds = liveLedger.join(rawIds, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val nNew = newIds.count(); val nRemoved = removedIds.count()
+        val (rawIds, nRaw, liveLedger, newIds, removedIds, nNew, nRemoved) =
+          staged("delta_detect") {
+            val rawIds = raw.select(col("doc_id").cast("long").as("doc_id"))
+              .localCheckpoint(false)
+            val nRaw = rawIds.count()
+            val liveLedger = idLedger("processed")
+              .groupBy("doc_id").agg(max("b").as("pb"))
+              .join(idLedger("retracted")
+                .groupBy("doc_id").agg(max("b").as("rb")),
+                Seq("doc_id"), "left")
+              .filter(col("rb").isNull || col("pb") > col("rb"))
+              .select("doc_id").localCheckpoint(false)
+            val newIds = rawIds.join(liveLedger, Seq("doc_id"), "left_anti")
+              .localCheckpoint(true)
+            val removedIds = liveLedger.join(rawIds, Seq("doc_id"), "left_anti")
+              .localCheckpoint(true)
+            (rawIds, nRaw, liveLedger, newIds, removedIds,
+              newIds.count(), removedIds.count())
+          }
         // delta payload fetch: broadcast the id set while driver-safe
         // so the raw scan stays shuffle-free; id-hash join beyond that
         val newDocs =
@@ -1326,60 +1376,88 @@ object GraftApp {
         // run; its per-stage counters ARE the funnel report (snapshot
         // diff), each an O(delta) job over checkpointed plans
         val mBefore = graft.llmops.StreamingCurate.metricsSnapshot()
-        if (nNew > 0)
-          graft.llmops.StreamingCurate.applyBatch(newDocs, curStore, relBatch,
-            decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
-            modelDir = env.get("GRAFT_RELEASE_MODEL"),
-            jaccard = thr, decontamMinShared = relMinShared)
+        staged("apply_delta") {
+          if (nNew > 0)
+            graft.llmops.StreamingCurate.applyBatch(newDocs, curStore, relBatch,
+              decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
+              modelDir = env.get("GRAFT_RELEASE_MODEL"),
+              jaccard = thr, decontamMinShared = relMinShared)
+        }
         val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
         def stageN(st: String): Long = {
           val k = "graft_curate_stage_docs_total{stage=\"" + st + "\"}"
           (mAfter.getOrElse(k, 0.0) - mBefore.getOrElse(k, 0.0)).toLong
         }
-        // assemble + publish docs v<next>: the PREVIOUS version is the
-        // canonical corpus (all prior retractions already applied, and
-        // independent of any curate-store fold), so untouched segments
-        // never decode — they byte-copy
+        // assemble + publish docs v<next> as a MANIFEST version
+        // (SegPool): the PREVIOUS version is the canonical corpus (all
+        // prior retractions already applied, and independent of any
+        // curate-store fold). Untouched segments are REFERENCED from
+        // the shared pool — zero bytes move for them, on any
+        // filesystem; only segments holding removed docs rebuild
+        // (filtered, distributed) and one fresh pool seg lands the
+        // delta's curated additions. A zero-delta re-release publishes
+        // nothing at all.
         val affectedSegs: Set[String] =
           if (nRemoved == 0 || prevV.isEmpty) Set.empty
+          else SegPool
+            .readDocs(spark, VersionedDir.versionPath(docsRoot, prevV.get))
+            .select("seg", "doc_id")
+            .join(removedIds, Seq("doc_id"))
+            .select("seg").distinct().collect()
+            .map(_.get(0).toString).toSet
+        val skipPublish = nNew == 0 && nRemoved == 0 && prevV.nonEmpty
+        val newV = staged("freeze") {
+          if (skipPublish) prevV.get
           else {
-            val pp = VersionedDir.versionPath(docsRoot, prevV.get)
-            spark.read.option("basePath", pp).parquet(pp)
-              .select("seg", "doc_id")
-              .join(removedIds, Seq("doc_id"))
-              .select("seg").distinct().collect()
-              .map(_.get(0).toString).toSet
-          }
-        val newV = VersionedDir.publish(spark, docsRoot, dir => {
-          val conf = spark.sessionState.newHadoopConf()
-          prevV.foreach { pv =>
-            val prevPath = new Path(VersionedDir.versionPath(docsRoot, pv))
-            relFs.listStatus(prevPath).toSeq
-              .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-              .foreach { segDir =>
-                val name = segDir.getPath.getName
-                if (affectedSegs.contains(name.stripPrefix("seg=")))
-                  spark.read.parquet(segDir.getPath.toString)
-                    .join(removedIds, Seq("doc_id"), "left_anti")
-                    .write.mode("overwrite").parquet(s"$dir/$name")
-                else
-                  org.apache.hadoop.fs.FileUtil.copy(relFs, segDir.getPath,
-                    relFs, new Path(s"$dir/$name"), false, true, conf)
+            val published = VersionedDir.publish(spark, docsRoot, dir => {
+              val v = new Path(dir).getName.stripPrefix("v").toLong
+              val entries =
+                scala.collection.mutable.LinkedHashMap[String, String]()
+              val rebuilt = Seq.newBuilder[String]
+              val referenced = Seq.newBuilder[String]
+              prevV.foreach { pv =>
+                SegPool.readManifest(relFs,
+                  VersionedDir.versionPath(docsRoot, pv)).foreach {
+                  case (seg, rel) =>
+                    if (affectedSegs.contains(seg)) {
+                      val dstRel = SegPool.poolRel(seg, v)
+                      spark.read.parquet(s"$docsRoot/$rel")
+                        .join(removedIds, Seq("doc_id"), "left_anti")
+                        .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
+                      entries += seg -> dstRel
+                      rebuilt += seg
+                    } else { // referenced, not copied — never read
+                      entries += seg -> rel
+                      referenced += seg
+                    }
+                }
               }
+              lastFreezePlan = (rebuilt.result(), referenced.result())
+              val freshSrc = new Path(s"$curStore/curated/b$relBatch")
+              if (nNew > 0 && relFs.exists(freshSrc)) {
+                val dstRel = SegPool.poolRel(relBatch.toString, v)
+                // no pinned schema: the multimodal extras ride along
+                spark.read.parquet(freshSrc.toString)
+                  .withColumn("seg", lit(relBatch))
+                  .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
+                entries += relBatch.toString -> dstRel
+              } else if (prevV.isEmpty) {
+                // first release of an empty/fully-gated corpus: a
+                // schema-carrying empty segment keeps the version readable
+                val dstRel = SegPool.poolRel("0", v)
+                spark.range(0).select(col("id").as("doc_id"),
+                    lit("").as("source"), lit("").as("text"),
+                    lit(0L).as("seg"))
+                  .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
+                entries += "0" -> dstRel
+              }
+              SegPool.writeManifest(relFs, dir, entries.toSeq)
+              relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
+            })
+            SegPool.gc(spark, docsRoot) // pool dirs no version references
+            published
           }
-          val freshSrc = new Path(s"$curStore/curated/b$relBatch")
-          if (nNew > 0 && relFs.exists(freshSrc))
-            spark.read.schema("doc_id LONG, source STRING, text STRING")
-              .parquet(freshSrc.toString)
-              .write.mode("overwrite").parquet(s"$dir/seg=$relBatch")
-          else if (prevV.isEmpty)
-            // first release of an empty/fully-gated corpus: a
-            // schema-carrying empty segment keeps the version readable
-            spark.range(0).select(col("id").as("doc_id"),
-                lit("").as("source"), lit("").as("text"))
-              .write.mode("overwrite").parquet(s"$dir/seg=0")
-          relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
-        })
+        }
         val curDocsDir = VersionedDir.versionPath(docsRoot, newV)
         // durable delta ledgers AFTER the publish: a crash in between
         // re-derives the same end state (the seen store suppresses a
@@ -1391,14 +1469,19 @@ object GraftApp {
         if (nRemoved > 0)
           removedIds.write.mode("overwrite")
             .parquet(s"$curStore/retracted/b$relBatch")
-        val cur = spark.read.parquet(curDocsDir)
-        val nFinal = cur.count()
+        // final corpus size from parquet FOOTERS (driver metadata, no
+        // job); per-source rows below are the one pruned column scan
+        val nFinal = SegPool.rowCount(spark, curDocsDir)
+        val cur = SegPool.readDocs(spark, curDocsDir)
         // token side: delegate to emit-shards (incremental manifest,
         // changed-shards-only re-tokenization — reuse, not re-impl)
-        val emitLines = maintenance(spark, env ++ Map(
-          "GRAFT_MAINTENANCE" -> "emit-shards",
-          "GRAFT_EMIT_DOCS" -> curDocsDir,
-          "GRAFT_EMIT_OUT" -> s"$relOut/shards"))
+        val emitLines = staged("emit_shards") {
+          maintenance(spark, env ++ Map(
+            "GRAFT_MAINTENANCE" -> "emit-shards",
+            "GRAFT_EMIT_DOCS" -> curDocsDir,
+            "GRAFT_EMIT_OUT" -> s"$relOut/shards"))
+        }
+        lastReleaseStageSecs = stageSecs.toSeq
         val relId = graft.llmops.ShardManifest
           .latestRelease(spark, s"$relOut/shards").map(_._1).getOrElse(0)
         // per-release funnel report: raw/new/removed from the ids pass,
@@ -1438,7 +1521,11 @@ object GraftApp {
           (if (env.contains("GRAFT_RELEASE_BLOOM"))
             s" bloom=${stageN("1b_bloom")}" else "") +
           s" exact=${stageN("2_exact")} near=${stageN("3_near")} " +
-          s"final=$nFinal -> $curDocsDir") ++ emitLines
+          s"final=$nFinal -> $curDocsDir",
+          "release stages: " + stageSecs.map { case (s, t) =>
+            f"$s=$t%.1fs" }.mkString(" ") +
+            (if (skipPublish) " (zero delta: no new docs version)" else "")
+        ) ++ emitLines
       case "agg-view-bootstrap" =>
         // declare a view over ALREADY-replicated tables: initial state
         // from the replica snapshots, then the streaming chain

@@ -555,6 +555,69 @@ object ScaleProbe {
     println(f"text search: top-5 ${tiTop.mkString(",")} in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
       f"(${tiStore.lastPlannedDirs.size} part dirs planned of 64)")
+    // release verb END-TO-END: a cold release over a 20k-doc corpus,
+    // then (1) a +1% adds-only incremental and (2) a removal
+    // incremental — per-stage wall times (delta_detect / apply_delta /
+    // freeze / emit_shards) so the verb's cost is measurable
+    // round-over-round, plus hard checks on the freeze plan: an
+    // adds-only release REFERENCES every prior segment (zero bytes
+    // moved), a removal rebuilds ONLY the segments holding removed
+    // docs.
+    import graft.streaming.GraftApp
+    def relCorpus(n: Long, offset: Long) = spark.range(n)
+      .select((col("id") + offset).as("doc_id"), lit("probe").as("source"),
+        expr("""concat('the quick brown fox and the lazy dog of the old town ',
+          concat_ws(' ', transform(sequence(0, 29), p ->
+            concat('rtok', CAST(CAST(conv(substr(md5(concat(CAST(id AS STRING),
+              '_r_', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)
+              % 50000 AS STRING)))))""").as("text"))
+    def relDir(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"scale-rel-$tag").toFile.getAbsolutePath
+    val relRaw1 = relDir("raw1")
+    relCorpus(20000, 0).write.mode("overwrite").parquet(relRaw1)
+    val relTok = relDir("tok") + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> relRaw1,
+      "GRAFT_BPE_OUT" -> relTok, "GRAFT_BPE_MERGES" -> "3"))
+    val relOut = relDir("out") + "/rel"
+    val relEnv = Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_OUT" -> relOut,
+      "GRAFT_EMIT_TOKENIZER" -> relTok, "GRAFT_EMIT_BUDGET" -> "512",
+      "GRAFT_EMIT_SHARDS" -> "16")
+    def stagesStr = GraftApp.lastReleaseStageSecs
+      .map { case (s, t) => f"$s=$t%.1fs" }.mkString(" ")
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> relRaw1))
+    println(f"release cold (20k docs): ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"[$stagesStr]")
+    // +1% adds: the freeze must REFERENCE the prior segment — no
+    // rebuild, no copy
+    val relRaw2 = relDir("raw2")
+    spark.read.parquet(relRaw1).unionByName(relCorpus(200, 20000))
+      .write.mode("overwrite").parquet(relRaw2)
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> relRaw2))
+    val incSecs = (System.nanoTime() - t0) / 1e9
+    println(f"release +1%% incremental: $incSecs%.1f s [$stagesStr] " +
+      s"(freeze plan rebuilt=${GraftApp.lastFreezePlan._1} " +
+      s"referenced=${GraftApp.lastFreezePlan._2})")
+    require(GraftApp.lastFreezePlan._1.isEmpty &&
+      GraftApp.lastFreezePlan._2.nonEmpty,
+      s"adds-only freeze must reference, never rebuild: ${GraftApp.lastFreezePlan}")
+    // removal: only the segment holding the removed docs rebuilds;
+    // the fresh +1% segment is referenced untouched
+    val relRaw3 = relDir("raw3")
+    spark.read.parquet(relRaw2).filter(col("doc_id") >= 100)
+      .write.mode("overwrite").parquet(relRaw3)
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> relRaw3))
+    println(f"release removal incremental: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"[$stagesStr] (freeze plan rebuilt=${GraftApp.lastFreezePlan._1} " +
+      s"referenced=${GraftApp.lastFreezePlan._2})")
+    require(GraftApp.lastFreezePlan._1 == Seq("0") &&
+      GraftApp.lastFreezePlan._2.contains("1"),
+      s"removal must rebuild only the holding seg: ${GraftApp.lastFreezePlan}")
+
     spark.stop()
   }
 }
