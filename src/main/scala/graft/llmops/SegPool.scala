@@ -104,8 +104,12 @@ private[graft] object SegPool {
     * version dir's manifest references (run after a publish, whose
     * retention pruning is what drops references). Versions without a
     * manifest (a crashed partial write) protect nothing — their
-    * orphaned pool dirs are exactly the garbage this reclaims. Returns
-    * the deleted pool dir names. */
+    * orphaned pool dirs are exactly the garbage this reclaims.
+    * Sub-segment aware: a partitioned fresh-batch parent
+    * (`f<B>-v<N>/segp=P` entries) is kept while ANY child is
+    * referenced, with unreferenced children deleted individually —
+    * rebuild granularity equals reclaim granularity. Returns the
+    * deleted pool paths (relative to `_segs/`). */
   def gc(spark: SparkSession, root: String): Seq[String] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -115,10 +119,21 @@ private[graft] object SegPool {
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
       .filter(s => fs.exists(new Path(s.getPath, ManifestName)))
       .flatMap(s => readManifest(fs, s.getPath.toString))
-      .map { case (_, rel) => new Path(rootPath, rel).getName }
+      .map { case (_, rel) => rel.stripPrefix("_segs/") }
       .toSet
-    fs.listStatus(segsDir).toSeq
-      .filter(s => !referenced.contains(s.getPath.getName))
-      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+    fs.listStatus(segsDir).toSeq.flatMap { top =>
+      val name = top.getPath.getName
+      if (referenced.contains(name)) Nil
+      else if (referenced.exists(_.startsWith(name + "/"))) {
+        // partially referenced parent: reclaim only dead children
+        fs.listStatus(top.getPath).toSeq
+          .filter(c => c.isDirectory &&
+            !referenced.contains(s"$name/${c.getPath.getName}"))
+          .map { c =>
+            fs.delete(c.getPath, true); s"$name/${c.getPath.getName}" }
+      } else {
+        fs.delete(top.getPath, true); Seq(name)
+      }
+    }
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.dialect.Dialect
 import graft.render.RenderContext
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{broadcast, col, concat, count, desc, expr, lit, max, pmod, size, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, concat, concat_ws, count, desc, expr, hash, lit, max, pmod, size, sum, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** E1/E2 app runner — the `run_cdc_app` analog (reference app.rs:51-234,
@@ -1435,19 +1435,48 @@ object GraftApp {
               lastFreezePlan = (rebuilt.result(), referenced.result())
               val freshSrc = new Path(s"$curStore/curated/b$relBatch")
               if (nNew > 0 && relFs.exists(freshSrc)) {
-                val dstRel = SegPool.poolRel(relBatch.toString, v)
+                // bounded SUB-SEGMENTS: a cold release's fresh seg is
+                // the whole corpus, and segment granularity is the
+                // rebuild granularity — one removed doc must not
+                // rebuild a corpus-sized segment later. Batches above
+                // GRAFT_RELEASE_SEG_ROWS (def 4M rows) split by
+                // doc_id hash into S dirs of one partitioned write;
+                // each sub-seg is its own manifest entry, so a
+                // retraction rebuilds O(removed × seg_rows) bytes.
+                val segRows = env.get("GRAFT_RELEASE_SEG_ROWS")
+                  .map(_.toLong).getOrElse(4000000L)
+                val nFresh = stageN("3_near")
+                val nSub = math.min(512L,
+                  math.max(1L, (nFresh + segRows - 1) / segRows)).toInt
                 // no pinned schema: the multimodal extras ride along
-                spark.read.parquet(freshSrc.toString)
-                  .withColumn("seg", lit(relBatch))
-                  .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
-                entries += relBatch.toString -> dstRel
+                val freshDocs = spark.read.parquet(freshSrc.toString)
+                if (nSub == 1) {
+                  val dstRel = SegPool.poolRel(relBatch.toString, v)
+                  freshDocs.withColumn("seg", lit(relBatch.toString))
+                    .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
+                  entries += relBatch.toString -> dstRel
+                } else {
+                  val parent = s"_segs/f$relBatch-v$v"
+                  freshDocs
+                    .withColumn("segp", pmod(hash(col("doc_id")), lit(nSub)))
+                    .withColumn("seg",
+                      concat_ws(".", lit(relBatch.toString), col("segp")))
+                    .repartition(col("segp"))
+                    .write.mode("overwrite").partitionBy("segp")
+                    .parquet(s"$docsRoot/$parent")
+                  (0 until nSub).foreach { p =>
+                    val rel = s"$parent/segp=$p"
+                    if (relFs.exists(new Path(s"$docsRoot/$rel")))
+                      entries += s"$relBatch.$p" -> rel
+                  }
+                }
               } else if (prevV.isEmpty) {
                 // first release of an empty/fully-gated corpus: a
                 // schema-carrying empty segment keeps the version readable
                 val dstRel = SegPool.poolRel("0", v)
                 spark.range(0).select(col("id").as("doc_id"),
                     lit("").as("source"), lit("").as("text"),
-                    lit(0L).as("seg"))
+                    lit("0").as("seg"))
                   .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
                 entries += "0" -> dstRel
               }

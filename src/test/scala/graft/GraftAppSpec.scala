@@ -1268,6 +1268,78 @@ class GraftAppSpec extends SparkSpecBase {
       "a resubmitted id must not trigger perpetual reprocessing")
   }
 
+  test("release splits a large fresh batch into bounded sub-segments; " +
+      "removal rebuilds only the holding one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{SegPool, VersionedDir}
+    // 8 unique gate-passing docs with a 3-row sub-seg budget -> the
+    // fresh batch splits into ceil(8/3) = 3 hash sub-segments; segment
+    // granularity IS rebuild granularity, so a later single-doc
+    // removal must rebuild exactly one of them
+    def en(tag: String): String =
+      ("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")).mkString(" ")
+    val docs = (0L until 8L).map(i => (i, "web", en(s"u$i")))
+    val docsDir = Files.createTempDirectory("ss-docs").toFile.getAbsolutePath
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val tok = Files.createTempDirectory("ss-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("ss-out").toFile.getAbsolutePath + "/rel"
+    val relEnv = Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> docsDir,
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_RELEASE_SEG_ROWS" -> "3",
+      "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2")
+    GraftApp.maintenance(spark, relEnv)
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = VersionedDir.currentPath(spark, s"$out/docs").get
+    val m1 = SegPool.readManifest(hfs, v1)
+    assert(m1.size >= 2 && m1.forall(_._1.startsWith("0.")),
+      s"fresh batch must split into sub-segs: $m1")
+    assert(m1.forall(_._2.startsWith("_segs/f0-v1/segp=")), s"$m1")
+    assert(SegPool.readDocs(spark, v1).count() == 8L)
+    // remove ONE doc; only its holding sub-seg may rebuild
+    val victimSeg = SegPool.readDocs(spark, v1)
+      .filter(col("doc_id") === 0L).select("seg").head().getString(0)
+    val docsDir2 = Files.createTempDirectory("ss-docs2").toFile.getAbsolutePath
+    docs.filterNot(_._1 == 0L).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir2)
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir2))
+    assert(GraftApp.lastFreezePlan._1 == Seq(victimSeg),
+      s"only the holding sub-seg may rebuild: ${GraftApp.lastFreezePlan} " +
+        s"(victim in $victimSeg)")
+    assert(GraftApp.lastFreezePlan._2.sorted ==
+      m1.map(_._1).filterNot(_ == victimSeg).sorted,
+      s"all other sub-segs referenced: ${GraftApp.lastFreezePlan}")
+    val v2 = VersionedDir.currentPath(spark, s"$out/docs").get
+    assert(SegPool.readDocs(spark, v2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L until 8L).toSeq)
+    // +1 doc release prunes v1 (retain=2) -> the rebuilt-away child of
+    // the f0-v1 parent is reclaimed INDIVIDUALLY; referenced siblings
+    // and the parent survive (reclaim granularity = rebuild granularity)
+    val docsDir3 = Files.createTempDirectory("ss-docs3").toFile.getAbsolutePath
+    (docs.filterNot(_._1 == 0L) :+ ((50L, "web", en("w"))))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir3)
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir3))
+    val v3 = VersionedDir.currentPath(spark, s"$out/docs").get
+    assert(v3.endsWith("/v3"), v3)
+    val parent = new org.apache.hadoop.fs.Path(s"$out/docs/_segs/f0-v1")
+    assert(hfs.exists(parent), "partially-referenced parent must survive GC")
+    val deadChild = new org.apache.hadoop.fs.Path(parent,
+      s"segp=${victimSeg.stripPrefix("0.")}")
+    assert(!hfs.exists(deadChild),
+      s"the rebuilt-away sub-seg must be reclaimed: $deadChild")
+    assert(SegPool.readDocs(spark, v3).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L until 8L) :+ 50L).toSeq)
+  }
+
   test("release carries multimodal columns byte-intact into the frozen corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
