@@ -204,7 +204,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   optional GRAFT_RELEASE_MODEL classifier gate +
   *                   optional GRAFT_RELEASE_BLOOM decontamination
   *                   (GRAFT_RELEASE_MINSHARED def 3), exact dedup,
-  *                   near-dedup at GRAFT_RELEASE_JACCARD def 0.8)
+  *                   near-dedup at GRAFT_RELEASE_JACCARD def 0.8,
+  *                   optional GRAFT_RELEASE_BLOCKS=1 paragraph-dedup
+  *                   rewrite, optional GRAFT_RELEASE_SKETCH=<dir>
+  *                   corpus-telemetry sketch store)
   *                   against the persisted dedup stores — O(delta),
   *                   part-pruned; removed doc_ids retract; non-core
   *                   columns (multimodal payloads/metadata) ride
@@ -1379,7 +1382,9 @@ object GraftApp {
         staged("apply_delta") {
           if (nNew > 0)
             graft.llmops.StreamingCurate.applyBatch(newDocs, curStore, relBatch,
+              blockRewrite = env.get("GRAFT_RELEASE_BLOCKS").contains("1"),
               decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
+              sketchDir = env.get("GRAFT_RELEASE_SKETCH"),
               modelDir = env.get("GRAFT_RELEASE_MODEL"),
               jaccard = thr, decontamMinShared = relMinShared)
         }
@@ -1528,13 +1533,16 @@ object GraftApp {
           val bloomStage =
             if (env.contains("GRAFT_RELEASE_BLOOM"))
               Seq(("bloom", "*", stageN("1b_bloom"))) else Seq.empty
+          val blocksStage =
+            if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
+              Seq(("blocks", "*", stageN("4_blocks"))) else Seq.empty
           val stages = Seq(
             ("raw", "*", nRaw), ("new", "*", nNew),
             ("removed", "*", nRemoved),
             ("gated", "*", stageN("1_gate"))) ++ modelStage ++ bloomStage ++
             Seq(("exact_dedup", "*", stageN("2_exact")),
-              ("near_dedup", "*", stageN("3_near")),
-              ("final", "*", nFinal)) ++ perSource
+              ("near_dedup", "*", stageN("3_near"))) ++ blocksStage ++
+            Seq(("final", "*", nFinal)) ++ perSource
           // release id rides the partition dir (release=N), not a data
           // column — a parent-dir read recovers it as the partition col
           val repDir = s"$relOut/_report/release=$relId"
@@ -1549,8 +1557,10 @@ object GraftApp {
             s" model=${stageN("1a_model")}" else "") +
           (if (env.contains("GRAFT_RELEASE_BLOOM"))
             s" bloom=${stageN("1b_bloom")}" else "") +
-          s" exact=${stageN("2_exact")} near=${stageN("3_near")} " +
-          s"final=$nFinal -> $curDocsDir",
+          s" exact=${stageN("2_exact")} near=${stageN("3_near")}" +
+          (if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
+            s" blocks=${stageN("4_blocks")}" else "") +
+          s" final=$nFinal -> $curDocsDir",
           "release stages: " + stageSecs.map { case (s, t) =>
             f"$s=$t%.1fs" }.mkString(" ") +
             (if (skipPublish) " (zero delta: no new docs version)" else "")

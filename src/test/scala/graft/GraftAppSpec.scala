@@ -1340,6 +1340,47 @@ class GraftAppSpec extends SparkSpecBase {
       ((1L until 8L) :+ 50L).toSeq)
   }
 
+  test("release optional stages: block-dedup rewrite + sketch telemetry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{SegPool, VersionedDir}
+    // 16-token blocks with embedded stopwords so the gate admits them;
+    // doc 1 shares blocks 2,3 with doc 0 -> the rewrite keeps only its
+    // unique leading block (not a near-dup: jaccard ~0.5 < 0.8)
+    def block(i: Int): String =
+      s"the quick brown fox and the lazy dog of old town b$i x$i y$i z$i w$i"
+    val docs = Seq(
+      (0L, "web", Seq(1, 2, 3).map(block).mkString(" ")),
+      (1L, "web", Seq(9, 2, 3).map(block).mkString(" ")))
+    val docsDir = Files.createTempDirectory("blk-docs").toFile.getAbsolutePath
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val tok = Files.createTempDirectory("blk-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("blk-out").toFile.getAbsolutePath + "/rel"
+    val sk = Files.createTempDirectory("blk-sk").toFile.getAbsolutePath + "/sk"
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> docsDir,
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_RELEASE_BLOCKS" -> "1",
+      "GRAFT_RELEASE_SKETCH" -> sk, "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    assert(lines.exists(l => l.contains("blocks=2") && l.contains("final=2")),
+      lines.mkString("\n"))
+    val v1 = VersionedDir.currentPath(spark, s"$out/docs").get
+    val byId = SegPool.readDocs(spark, v1).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(0L) == docs.head._3, "block owner must keep its full text")
+    assert(byId(1L).contains("b9") && !byId(1L).contains("b2") &&
+      !byId(1L).contains("b3"),
+      s"doc 1 must be rewritten to its unique block: ${byId(1L)}")
+    // sketch telemetry folded exactly the admitted (rewritten) corpus
+    val skDocs = new graft.llmops.SketchStore(sk).histCells(spark)
+      .agg(org.apache.spark.sql.functions.sum(col("c"))).first().getLong(0)
+    assert(skDocs == 2L, s"sketch store must cover the admitted docs: $skDocs")
+  }
+
   test("release carries multimodal columns byte-intact into the frozen corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
