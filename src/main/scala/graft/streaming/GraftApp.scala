@@ -1412,8 +1412,12 @@ object GraftApp {
             .map(_.get(0).toString).toSet
         val skipPublish = nNew == 0 && nRemoved == 0 && prevV.nonEmpty
         val newV = staged("freeze") {
-          if (skipPublish) prevV.get
-          else {
+          if (skipPublish) {
+            // still reclaim orphans a crashed earlier publish may have
+            // left in the pool — gc needs only the live manifests
+            SegPool.gc(spark, docsRoot)
+            prevV.get
+          } else {
             val published = VersionedDir.publish(spark, docsRoot, dir => {
               val v = new Path(dir).getName.stripPrefix("v").toLong
               val entries =
@@ -1450,7 +1454,10 @@ object GraftApp {
                 // retraction rebuilds O(removed × seg_rows) bytes.
                 val segRows = env.get("GRAFT_RELEASE_SEG_ROWS")
                   .map(_.toLong).getOrElse(4000000L)
-                val nFresh = stageN("3_near")
+                val nFresh = // the batch's emitted-docs counter
+                  if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
+                    stageN("4_blocks")
+                  else stageN("3_near")
                 val nSub = math.min(512L,
                   math.max(1L, (nFresh + segRows - 1) / segRows)).toInt
                 // no pinned schema: the multimodal extras ride along
