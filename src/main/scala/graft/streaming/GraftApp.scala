@@ -207,7 +207,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   near-dedup at GRAFT_RELEASE_JACCARD def 0.8,
   *                   optional GRAFT_RELEASE_BLOCKS=1 paragraph-dedup
   *                   rewrite, optional GRAFT_RELEASE_SKETCH=<dir>
-  *                   corpus-telemetry sketch store)
+  *                   corpus-telemetry sketch store; deltas above
+  *                   GRAFT_RELEASE_BATCH_DOCS run as bounded
+  *                   sequential id-ordered intake chunks — identical
+  *                   end state, bounded working set)
   *                   against the persisted dedup stores — O(delta),
   *                   part-pruned; removed doc_ids retract; non-core
   *                   columns (multimodal payloads/metadata) ride
@@ -1374,19 +1377,57 @@ object GraftApp {
         val newDocs =
           if (nNew <= 4000000L) raw.join(broadcast(newIds), "doc_id")
           else raw.join(newIds, "doc_id")
-        // ONE applyBatch over the delta — the same operator the
+        // the delta runs through applyBatch — the same operator the
         // oracle-pinned llm_curate queries and the streaming intake
         // run; its per-stage counters ARE the funnel report (snapshot
-        // diff), each an O(delta) job over checkpointed plans
+        // diff). Deltas above GRAFT_RELEASE_BATCH_DOCS (def 5M docs —
+        // a COLD release's delta is the whole corpus) split into
+        // bounded sequential intake chunks in ascending doc_id order:
+        // the streaming-parity contract makes the end state IDENTICAL
+        // to the one-shot batch (earlier chunks become store-side for
+        // later ones), while the within-chunk LSH self-join, the
+        // Jaccard-verify working set and executor memory are bounded
+        // by the chunk size at ANY corpus size. Chunk boundaries come
+        // from the materialized id set (deterministic sort +
+        // zipWithIndex, O(chunks) driver values), so a crash-retry
+        // replays the same chunks into the same b-dirs. Store batch
+        // ids are relBatch*65536 + chunk — monotonic across releases,
+        // so prior-release reads and the current-batch-exclusion rule
+        // are untouched. Each chunk re-scans the raw corpus with its
+        // id-range pushed down (an id-clustered raw layout prunes it
+        // to ~the chunk; the alternative — materializing the whole
+        // delta's payload — is the corpus-sized write this verb
+        // avoids).
+        val relBatchDocs = env.get("GRAFT_RELEASE_BATCH_DOCS")
+          .map(_.toLong).getOrElse(5000000L)
+        val nChunks = math.min(65536L,
+          math.max(1L, (nNew + relBatchDocs - 1) / relBatchDocs)).toInt
+        val chunkBounds: Seq[Long] =
+          if (nChunks == 1) Seq.empty
+          else {
+            import spark.implicits._
+            newIds.orderBy("doc_id").select("doc_id").as[Long].rdd
+              .zipWithIndex
+              .filter { case (_, i) => i > 0 && i % relBatchDocs == 0 }
+              .map(_._1).collect().toSeq.sorted
+          }
+        val chunkBase = relBatch * 65536L
         val mBefore = graft.llmops.StreamingCurate.metricsSnapshot()
         staged("apply_delta") {
-          if (nNew > 0)
-            graft.llmops.StreamingCurate.applyBatch(newDocs, curStore, relBatch,
+          if (nNew > 0) (0 until nChunks).foreach { i =>
+            val lo = if (i == 0) None else Some(chunkBounds(i - 1))
+            val hi = if (i == nChunks - 1) None else Some(chunkBounds(i))
+            val chunk = newDocs.filter(
+              lo.map(col("doc_id") >= _).getOrElse(lit(true)) &&
+                hi.map(col("doc_id") < _).getOrElse(lit(true)))
+            graft.llmops.StreamingCurate.applyBatch(chunk, curStore,
+              chunkBase + i,
               blockRewrite = env.get("GRAFT_RELEASE_BLOCKS").contains("1"),
               decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
               sketchDir = env.get("GRAFT_RELEASE_SKETCH"),
               modelDir = env.get("GRAFT_RELEASE_MODEL"),
               jaccard = thr, decontamMinShared = relMinShared)
+          }
         }
         val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
         def stageN(st: String): Long = {
@@ -1442,8 +1483,10 @@ object GraftApp {
                 }
               }
               lastFreezePlan = (rebuilt.result(), referenced.result())
-              val freshSrc = new Path(s"$curStore/curated/b$relBatch")
-              if (nNew > 0 && relFs.exists(freshSrc)) {
+              val freshDirs = (0 until nChunks)
+                .map(i => new Path(s"$curStore/curated/b${chunkBase + i}"))
+                .filter(relFs.exists(_)).map(_.toString)
+              if (nNew > 0 && freshDirs.nonEmpty) {
                 // bounded SUB-SEGMENTS: a cold release's fresh seg is
                 // the whole corpus, and segment granularity is the
                 // rebuild granularity — one removed doc must not
@@ -1461,7 +1504,9 @@ object GraftApp {
                 val nSub = math.min(512L,
                   math.max(1L, (nFresh + segRows - 1) / segRows)).toInt
                 // no pinned schema: the multimodal extras ride along
-                val freshDocs = spark.read.parquet(freshSrc.toString)
+                // (merged across chunk dirs)
+                val freshDocs = spark.read.option("mergeSchema", "true")
+                  .parquet(freshDirs: _*)
                 if (nSub == 1) {
                   val dstRel = SegPool.poolRel(relBatch.toString, v)
                   freshDocs.withColumn("seg", lit(relBatch.toString))

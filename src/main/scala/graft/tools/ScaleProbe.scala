@@ -587,9 +587,12 @@ object ScaleProbe {
     def stagesStr = GraftApp.lastReleaseStageSecs
       .map { case (s, t) => f"$s=$t%.1fs" }.mkString(" ")
     t0 = System.nanoTime()
-    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> relRaw1))
+    val coldLines =
+      GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> relRaw1))
     println(f"release cold (20k docs): ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       s"[$stagesStr]")
+    val coldFunnel = coldLines.find(_.startsWith("release 0:"))
+      .get.split(" -> ").head
     // +1% adds: the freeze must REFERENCE the prior segment — no
     // rebuild, no copy
     val relRaw2 = relDir("raw2")
@@ -617,6 +620,21 @@ object ScaleProbe {
     require(GraftApp.lastFreezePlan._1 == Seq("0") &&
       GraftApp.lastFreezePlan._2.contains("1"),
       s"removal must rebuild only the holding seg: ${GraftApp.lastFreezePlan}")
+    // chunked COLD release: the same 20k-doc corpus through 3 bounded
+    // sequential intake chunks — identical funnel end state to the
+    // one-shot cold release (the streaming-parity contract at volume),
+    // with the within-chunk LSH working set bounded by the chunk size
+    val relOutC = relDir("outc") + "/rel"
+    t0 = System.nanoTime()
+    val chunkLines = GraftApp.maintenance(spark, relEnv ++ Map(
+      "GRAFT_RELEASE_OUT" -> relOutC, "GRAFT_RELEASE_DOCS" -> relRaw1,
+      "GRAFT_RELEASE_BATCH_DOCS" -> "8000"))
+    val chunkFunnel = chunkLines.find(_.startsWith("release 0:"))
+      .get.split(" -> ").head
+    println(f"release cold CHUNKED (3x~6.7k docs): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr]")
+    require(chunkFunnel == coldFunnel,
+      s"chunked cold release must equal one-shot:\n$chunkFunnel\n$coldFunnel")
 
     spark.stop()
   }

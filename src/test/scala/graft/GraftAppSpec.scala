@@ -1340,6 +1340,61 @@ class GraftAppSpec extends SparkSpecBase {
       ((1L until 8L) :+ 50L).toSeq)
   }
 
+  test("chunked release: a delta above the batch cap lands the same end " +
+      "state as one shot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{SegPool, VersionedDir}
+    // 9 docs: 7 unique survivors + an exact-dup pair ACROSS chunk
+    // boundaries + a near-dup pair across chunk boundaries — the
+    // cross-chunk store-side dedup must reproduce the one-shot result
+    // (the streaming-parity contract, now load-bearing for cold
+    // releases whose delta is the whole corpus)
+    def en(tag: String): String =
+      ("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")).mkString(" ")
+    val near = en("u1").split(" ").dropRight(1).mkString(" ") + " zz"
+    val docs = (0L until 7L).map(i => (i, "web", en(s"u$i"))) ++ Seq(
+      (7L, "web", en("u2")), // exact dup of doc 2 (chunk 2 vs chunk 0)
+      (8L, "web", near)) // near dup of doc 1 (chunk 2 vs chunk 0)
+    val docsDir = Files.createTempDirectory("ch-docs").toFile.getAbsolutePath
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val tok = Files.createTempDirectory("ch-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    def runRel(tag: String, extra: Map[String, String]): (Seq[String], String) = {
+      val out = Files.createTempDirectory(s"ch-out-$tag")
+        .toFile.getAbsolutePath + "/rel"
+      val lines = GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> docsDir,
+        "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2") ++ extra)
+      (lines, out)
+    }
+    val (oneShot, _) = runRel("one", Map.empty)
+    val (chunked, outC) = runRel("chunk",
+      Map("GRAFT_RELEASE_BATCH_DOCS" -> "4"))
+    // identical funnel line (raw/new/gated/exact/near/final all equal)
+    val relLine = (ls: Seq[String]) => ls.find(_.startsWith("release 0:"))
+      .get.split(" -> ").head
+    assert(relLine(chunked) == relLine(oneShot),
+      s"chunked funnel must equal one-shot:\n${relLine(chunked)}\n${relLine(oneShot)}")
+    assert(relLine(chunked).contains("final=7"), relLine(chunked))
+    // identical kept set, and the store really ran 3 chunks (b-dirs
+    // 0, 1, 2 under curated/ — ids chunkBase + i)
+    val v1 = VersionedDir.currentPath(spark, s"$outC/docs").get
+    assert(SegPool.readDocs(spark, v1).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 7L).toSeq)
+    val hfs = new org.apache.hadoop.fs.Path(outC)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bDirs = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$outC/_curate/curated"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(bDirs == Seq("b0", "b1", "b2"), s"chunk dirs: $bDirs")
+  }
+
   test("release optional stages: block-dedup rewrite + sketch telemetry") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
