@@ -85,6 +85,32 @@ object Dedup {
     * contract made observable (spec-pinned). */
   @volatile var lastHotSortTasks: Int = 0
 
+  /** Contiguous global rank over `sortCols` WITHOUT a single-task
+    * window: a distributed range sort (explicit partition count so AQE
+    * cannot re-coalesce a small-but-degenerate key group onto one
+    * task) + `zipWithIndex` (per-partition offsets — O(#partitions)
+    * driver metadata). Rows sharing a leading key are contiguous in
+    * the rank, so per-key ranks are rank differences — the scalable
+    * replacement for `row_number().over(partitionBy(key))`, whose
+    * window gathers each key group into ONE task. Returns the frame
+    * with a `__rn` LONG column; sets [[lastHotSortTasks]]. */
+  private[graft] def globalRank(df: DataFrame,
+                                sortCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__rn", org.apache.spark.sql.types.LongType))
+    val ranked = sorted.rdd.zipWithIndex
+    lastHotSortTasks = ranked.getNumPartitions
+    spark.createDataFrame(
+      ranked.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+  }
+
   /** Candidate near-dup pairs (a<b) from shared LSH buckets.
     *
     * The DEFAULT (`maxBucket = Int.MaxValue`) is the exact all-pairs
@@ -154,25 +180,13 @@ object Dedup {
     val fullPairs = a.join(b, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
-    // hot path: distributed neighborhood sort. Range-partition on the
-    // full sort key so even a single degenerate bucket (equal __sk)
-    // spreads across tasks by id, then assign a contiguous global rank.
-    // explicit partition count: an AQE-coalesced range shuffle would
-    // re-serialize a small-but-degenerate bucket onto one task
-    val hotSorted = sized.filter(col("__n") > maxBucket)
-      .select(col(idCol), col("bucket"), col("__sk"))
-      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
-        col("bucket"), col("__sk"), col(idCol))
-      .sortWithinPartitions("bucket", "__sk", idCol)
-    val hotSchema = org.apache.spark.sql.types.StructType(
-      hotSorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(
-          "__rn", org.apache.spark.sql.types.LongType))
-    val ranked = hotSorted.rdd.zipWithIndex
-    lastHotSortTasks = ranked.getNumPartitions
-    val hot = spark.createDataFrame(
-        ranked.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, hotSchema)
+    // hot path: distributed neighborhood sort — a contiguous global
+    // rank over (bucket, signature, id) spreads even a single
+    // degenerate bucket (equal __sk) across tasks by id
+    val hot = globalRank(
+        sized.filter(col("__n") > maxBucket)
+          .select(col(idCol), col("bucket"), col("__sk")),
+        Seq("bucket", "__sk", idCol))
       .select(col(idCol), col("bucket"), col("__rn"))
       .localCheckpoint(false) // probe + anchor sides reuse it
     val probes = hot.filter(col("__rn") >= 1)

@@ -203,14 +203,27 @@ object StreamingCurate {
     * `storeDir/blocks`, sharing the store's replay discipline — a
     * replayed trigger recomputes the same rewrite from durable
     * ownership). Docs whose every block is already owned elsewhere
-    * vanish from the curated set. */
+    * vanish from the curated set.
+    *
+    * `maxPerBucket` (None = unbounded, the batch-parity default) caps
+    * how many doc_ids the PERSISTED bucket index keeps per LSH bucket:
+    * a degenerate template bucket otherwise accumulates every admitted
+    * doc forever, and each later batch's store-side candidate join
+    * grows with it. With the cap, later docs in an over-cap bucket are
+    * checked against the cap-many EARLIEST admitted members — for the
+    * template buckets that motivate it (near-identical docs) any
+    * member kills the dup, so drops are preserved; recall for mixed
+    * over-cap buckets degrades by design (the same trade as
+    * [[StreamingDedup]]'s maxPerBucket, which this mirrors). Exact
+    * dedup and the within-batch candidate join are unaffected. */
   def applyBatch(batch: DataFrame, storeDir: String, batchId: Long,
                  blockRewrite: Boolean = false,
                  decontamDir: Option[String] = None,
                  sketchDir: Option[String] = None,
                  modelDir: Option[String] = None,
                  jaccard: Double = 0.8,
-                 decontamMinShared: Int = 3): Unit = {
+                 decontamMinShared: Int = 3,
+                 maxPerBucket: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     val gated00 = gate(batch)
     // optional trained-model gate (Classifier.writeWeights artifact):
@@ -294,7 +307,28 @@ object StreamingCurate {
     newExactKept
       .select(col("doc_id"), col("text"), partOf(col("doc_id")).as("part"))
       .write.mode("overwrite").partitionBy("part").parquet(out("text"))
-    newBuckets.select(col("bucket"), col("doc_id"), partOf(col("bucket")).as("part"))
+    // bucket-index write, optionally capped per bucket: rows beyond
+    // (cap - already-stored) in doc_id order are not persisted. The
+    // rank is Dedup.globalRank (distributed range sort + zipWithIndex)
+    // minus the bucket's min rank — never a single-task window, so a
+    // degenerate chunk-sized bucket caps without serializing.
+    val bucketsToStore = maxPerBucket match {
+      case None => newBuckets
+      case Some(k) =>
+        val have = storeBuckets.groupBy("bucket")
+          .agg(count(lit(1)).as("__have"))
+        val ranked = Dedup.globalRank(
+          newBuckets.select("bucket", "doc_id"), Seq("bucket", "doc_id"))
+        ranked
+          .join(ranked.groupBy("bucket").agg(min("__rn").as("__min")),
+            "bucket")
+          .join(have, Seq("bucket"), "left")
+          .filter(col("__rn") - col("__min") <
+            lit(k.toLong) - coalesce(col("__have"), lit(0L)))
+          .select("bucket", "doc_id")
+    }
+    bucketsToStore
+      .select(col("bucket"), col("doc_id"), partOf(col("bucket")).as("part"))
       .write.mode("overwrite").partitionBy("part").parquet(out("buckets"))
     // curated emission carries the full input row — core columns first,
     // then the multimodal extras (binary payloads, metadata structs)

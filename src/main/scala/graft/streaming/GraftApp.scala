@@ -1426,7 +1426,8 @@ object GraftApp {
               decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
               sketchDir = env.get("GRAFT_RELEASE_SKETCH"),
               modelDir = env.get("GRAFT_RELEASE_MODEL"),
-              jaccard = thr, decontamMinShared = relMinShared)
+              jaccard = thr, decontamMinShared = relMinShared,
+              maxPerBucket = env.get("GRAFT_RELEASE_MAXBUCKET").map(_.toInt))
           }
         }
         val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()

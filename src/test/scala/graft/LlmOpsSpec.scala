@@ -1100,6 +1100,45 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(replay == kept, s"replay must converge: $replay vs $kept")
   }
 
+  test("curate maxPerBucket: the persisted bucket index stays bounded, " +
+      "template dups still drop") {
+    import graft.llmops.StreamingCurate
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("curate-cap")
+      .toFile.getAbsolutePath + "/store"
+    // 30 near-identical template docs (shared 24-token body + one
+    // unique trailing token -> distinct hashes, same LSH buckets)
+    def tmpl(i: Long): String =
+      ("the start and more of it" +:
+        (0 until 24).map(j => s"t$j") :+ s"u$i").mkString(" ")
+    val b0 = (0L until 30L).map(i => (i, "s", tmpl(i)))
+      .toDF("doc_id", "source", "text")
+    StreamingCurate.applyBatch(b0, store, 0L, maxPerBucket = Some(4))
+    // within-batch near-dedup is uncapped: only the min-id survives
+    val kept0 = StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept0 == Set(0L), s"kept $kept0")
+    // the PERSISTED index holds at most 4 doc_ids per bucket (the
+    // uncapped write would store all 30 exact-kept docs per band)
+    val perBucket = spark.read
+      .schema("bucket STRING, doc_id LONG")
+      .parquet((0 until StreamingCurate.NumParts)
+        .map(p => s"$store/buckets/b0/part=$p")
+        .filter(d => new java.io.File(d).exists()): _*)
+      .groupBy("bucket").count().agg(org.apache.spark.sql.functions
+        .max("count")).first().getLong(0)
+    assert(perBucket <= 4L, s"bucket index must stay capped: $perBucket")
+    // a LATER batch of the same template is still fully dropped: the
+    // cap-many earliest members are enough to kill template dups
+    val b1 = (100L until 110L).map(i => (i, "s", tmpl(i)))
+      .toDF("doc_id", "source", "text")
+    StreamingCurate.applyBatch(b1, store, 1L, maxPerBucket = Some(4))
+    val kept1 = StreamingCurate.curated(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(0L),
+      s"template dups must drop against the capped index: $kept1")
+  }
+
   test("multimodal stub (video kinds): schema, batch shape, determinism") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "video", "source",
       "application/octet-stream")
