@@ -446,7 +446,39 @@ object StreamingCurate {
           }
           writer.mode("overwrite").parquet(staged)
         })
-      }.toMap
+      }.toMap ++ foldLedgers(spark, storeDir)
+
+  private val ledgerSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("b", LongType)))
+
+  /** Fold the `release` verb's delta id ledgers (`processed/b<R>`,
+    * `retracted/b<R>` — one dir per release) through the same
+    * [[BatchDirFold]] protocol, so delta detection stays a 2-3-child
+    * plan after years of nightly releases instead of unioning one
+    * DataFrame per release ever run. Liveness is decided by ORDER
+    * (`max(processed.b) > max(retracted.b)`), so the fold must not
+    * collapse rows onto the merged dir's name: the release batch id is
+    * materialized as a per-row `b` column (legacy dirs that predate the
+    * column get it from their dir name at fold time), and the ledger
+    * reader coalesces the column with the dir name — fold-transparent
+    * either way. A no-op for plain streaming-intake stores (no ledger
+    * dirs). */
+  private def foldLedgers(spark: SparkSession,
+                          storeDir: String): Map[String, Int] =
+    Seq("processed", "retracted").filter { kind =>
+      val dir = new Path(storeDir, kind)
+      dir.getFileSystem(spark.sessionState.newHadoopConf()).exists(dir)
+    }.map { kind =>
+      kind -> BatchDirFold.fold(spark, new Path(storeDir, kind),
+        (folded, staged) => {
+          folded.map { b =>
+            val dirB = b.getName.stripPrefix("b").toLong
+            spark.read.schema(ledgerSchema).parquet(b.toString)
+              .select(col("doc_id"), coalesce(col("b"), lit(dirB)).as("b"))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(staged)
+        })
+    }.toMap
 
   /** All curated docs admitted so far (schema-merged: the multimodal
     * extras may widen across batches). */

@@ -71,7 +71,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   (GRAFT_SPILL_MAX_FILES, default 16) and reap
   *                   abandoned txids below GRAFT_SPILL_WATERMARK (if set)
   *     curate-store  fold the curation store's per-batch dirs
-  *                   (GRAFT_CURATE_STORE)
+  *                   (GRAFT_CURATE_STORE); on a `release` verb's store
+  *                   this also folds the processed/retracted delta id
+  *                   ledgers (per-row batch id keeps liveness ordering
+  *                   exact across the merge)
   *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR;
   *                   GRAFT_INDEX_PARTS if the store was built with a
   *                   non-default part count — the folded layout must
@@ -1338,8 +1341,17 @@ object GraftApp {
         // id so a retracted-then-resubmitted doc is live again the
         // moment a LATER release re-processes it — classified as new
         // exactly once, no perpetual reprocessing, no ledger rewrite.
+        // Ledger dirs carry the release batch id BOTH as the dir name
+        // and as a per-row `b` column: `curate-store` compaction folds
+        // old dirs together (BatchDirFold), and only the per-row id
+        // keeps processed-vs-retracted ORDERING exact across the merge
+        // (a doc processed at b0 and retracted at b5 must not read as
+        // processed-at-the-fold-dir's-name > 5 and resurrect). The
+        // coalesce covers pre-column legacy dirs.
         def idLedger(kind: String): org.apache.spark.sql.DataFrame = {
           val dir = new Path(curStore, kind)
+          // an interrupted ledger fold may hold the only copy in _fold
+          graft.llmops.BatchDirFold.heal(spark, dir)
           val dirs =
             if (!relFs.exists(dir)) Seq.empty
             else relFs.listStatus(dir).toSeq
@@ -1349,8 +1361,10 @@ object GraftApp {
           if (dirs.isEmpty)
             spark.range(0).select(col("id").as("doc_id"), lit(0L).as("b"))
           else dirs.map { case (b, d) =>
-            spark.read.schema("doc_id LONG").parquet(d)
-              .select(col("doc_id"), lit(b).as("b"))
+            spark.read.schema("doc_id LONG, b LONG").parquet(d)
+              .select(col("doc_id"),
+                org.apache.spark.sql.functions.coalesce(col("b"), lit(b))
+                  .as("b"))
           }.reduce(_ unionByName _)
         }
         val (rawIds, nRaw, liveLedger, newIds, removedIds, nNew, nRemoved) =
@@ -1551,10 +1565,10 @@ object GraftApp {
         // re-curated delta; its ledger rows land with the retry's
         // batch id)
         if (nNew > 0)
-          newIds.write.mode("overwrite")
+          newIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
             .parquet(s"$curStore/processed/b$relBatch")
         if (nRemoved > 0)
-          removedIds.write.mode("overwrite")
+          removedIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
             .parquet(s"$curStore/retracted/b$relBatch")
         // final corpus size from parquet FOOTERS (driver metadata, no
         // job); per-source rows below are the one pruned column scan

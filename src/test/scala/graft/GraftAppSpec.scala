@@ -1266,6 +1266,67 @@ class GraftAppSpec extends SparkSpecBase {
       lines5.mkString("\n"))
     assert(VersionedDir.currentPath(spark, s"$out/docs").get == docsV3,
       "a resubmitted id must not trigger perpetual reprocessing")
+
+    // LEDGER FOLD: after years of nightly releases the processed/
+    // retracted ledgers are one b-dir each per release; curate-store
+    // compaction folds them — and liveness ordering must come from the
+    // PER-ROW batch id, not the merged dir's name. Engineer the
+    // corrupting shape: doc 7 processed at b0, retracted at b3, then
+    // two more releases push the processed fold name to b4 > 3. A
+    // name-derived fold would resurrect doc 7; the per-row id keeps it
+    // dead.
+    val docsDir5 = Files.createTempDirectory("rel-docs5")
+      .toFile.getAbsolutePath
+    val docs5 = docs3.filterNot(_._1 == 7L) :+ (0L, "web", baseA)
+    docs5.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir5)
+    val lines6 = GraftApp.maintenance(spark,
+      relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir5))
+    assert(lines6.exists(_.startsWith(
+      "release 5: raw=9 new=0 removed=1 gated=0 bloom=0 exact=0 near=0 final=2")),
+      lines6.mkString("\n"))
+    val docsDir6 = Files.createTempDirectory("rel-docs6")
+      .toFile.getAbsolutePath
+    val docs6 = docs5 :+ (30L, "web", en(filler.map(w => s"h$w")))
+    docs6.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir6)
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir6))
+    val docsDir7 = Files.createTempDirectory("rel-docs7")
+      .toFile.getAbsolutePath
+    val docs7 = docs6 :+ (31L, "web", en(filler.map(w => s"j$w")))
+    docs7.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir7)
+    val lines8 = GraftApp.maintenance(spark,
+      relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir7))
+    assert(lines8.exists(_.startsWith(
+      "release 7: raw=11 new=1 removed=0 gated=1 bloom=1 exact=1 near=1 final=4")),
+      lines8.mkString("\n"))
+    // processed now holds b0,b1,b2,b4,b5; retracted b1,b3. The fold
+    // merges every processed dir but the newest into b4 — ABOVE doc
+    // 7's b3 retraction.
+    val foldLine = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "curate-store",
+      "GRAFT_CURATE_STORE" -> s"$out/_curate")).head
+    assert(foldLine.contains("processed=4"), foldLine)
+    val procDirs = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$out/_curate/processed"))
+      .map(_.getPath.getName).filter(_.startsWith("b")).sorted.toSeq
+    assert(procDirs == Seq("b4", "b5"),
+      s"processed ledger must fold to two dirs: $procDirs")
+    // post-fold delta detection over the SAME corpus: doc 7 (processed
+    // b0 < retracted b3, both now living under fold dir b4) must stay
+    // dead — zero delta, no resurrect-retract churn, no new version
+    val lines9 = GraftApp.maintenance(spark,
+      relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir7))
+    assert(lines9.exists(_.startsWith(
+      "release 8: raw=11 new=0 removed=0")), lines9.mkString("\n"))
+    assert(lines9.exists(_.contains("zero delta: no new docs version")),
+      lines9.mkString("\n"))
+    assert(SegPool.readDocs(spark,
+        VersionedDir.currentPath(spark, s"$out/docs").get)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 20L, 30L, 31L),
+      "folded ledgers must preserve exact liveness ordering")
   }
 
   test("release splits a large fresh batch into bounded sub-segments; " +
