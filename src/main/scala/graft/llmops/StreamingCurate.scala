@@ -461,7 +461,11 @@ object StreamingCurate {
     * materialized as a per-row `b` column (legacy dirs that predate the
     * column get it from their dir name at fold time), and the ledger
     * reader coalesces the column with the dir name — fold-transparent
-    * either way. A no-op for plain streaming-intake stores (no ledger
+    * either way. Liveness only ever consumes `max(b)` per doc_id, so
+    * the fold collapses to exactly that — a resubmitted id's older
+    * rows drop, the merged ledger holds one row per id ever seen, and
+    * the per-release liveness aggregation reads mostly-pre-reduced
+    * input. A no-op for plain streaming-intake stores (no ledger
     * dirs). */
   private def foldLedgers(spark: SparkSession,
                           storeDir: String): Map[String, Int] =
@@ -476,6 +480,7 @@ object StreamingCurate {
             spark.read.schema(ledgerSchema).parquet(b.toString)
               .select(col("doc_id"), coalesce(col("b"), lit(dirB)).as("b"))
           }.reduce(_ unionByName _)
+            .groupBy("doc_id").agg(max("b").as("b"))
             .write.mode("overwrite").parquet(staged)
         })
     }.toMap

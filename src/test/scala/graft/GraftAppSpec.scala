@@ -1313,6 +1313,15 @@ class GraftAppSpec extends SparkSpecBase {
       .map(_.getPath.getName).filter(_.startsWith("b")).sorted.toSeq
     assert(procDirs == Seq("b4", "b5"),
       s"processed ledger must fold to two dirs: $procDirs")
+    // the fold collapses to max(b) per id: one row per doc ever seen,
+    // with the resubmitted doc 0 keeping its LATEST processed batch
+    val foldedLedger = spark.read.parquet(s"$out/_curate/processed/b4")
+    assert(foldedLedger.count() ==
+      foldedLedger.select("doc_id").distinct().count(),
+      "folded ledger must hold one row per doc_id")
+    assert(foldedLedger.filter(col("doc_id") === 0L)
+      .head().getAs[Long]("b") == 2L,
+      "resubmitted id must keep its latest processed batch across the fold")
     // post-fold delta detection over the SAME corpus: doc 7 (processed
     // b0 < retracted b3, both now living under fold dir b4) must stay
     // dead — zero delta, no resurrect-retract churn, no new version
