@@ -1481,20 +1481,43 @@ object GraftApp {
               val rebuilt = Seq.newBuilder[String]
               val referenced = Seq.newBuilder[String]
               prevV.foreach { pv =>
-                SegPool.readManifest(relFs,
-                  VersionedDir.versionPath(docsRoot, pv)).foreach {
-                  case (seg, rel) =>
-                    if (affectedSegs.contains(seg)) {
-                      val dstRel = SegPool.poolRel(seg, v)
-                      spark.read.parquet(s"$docsRoot/$rel")
-                        .join(removedIds, Seq("doc_id"), "left_anti")
-                        .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
-                      entries += seg -> dstRel
-                      rebuilt += seg
-                    } else { // referenced, not copied — never read
+                val manifest = SegPool.readManifest(relFs,
+                  VersionedDir.versionPath(docsRoot, pv))
+                val (affected, untouched) =
+                  manifest.partition { case (seg, _) =>
+                    affectedSegs.contains(seg) }
+                if (affected.nonEmpty) {
+                  // ONE distributed job rebuilds every affected
+                  // segment: rows carry their `seg` column, so a
+                  // single anti-join + one partitioned write lands all
+                  // rebuilt segs in parallel — a wide retraction (a
+                  // whole source GDPR-deleted out of thousands of
+                  // segments) costs one shuffle, not one sequential
+                  // Spark job per segment. Per-task volume stays
+                  // bounded: segments are capped at
+                  // GRAFT_RELEASE_SEG_ROWS by fresh-batch
+                  // sub-segmentation.
+                  val parent = s"_segs/r$relBatch-v$v"
+                  spark.read.option("mergeSchema", "true")
+                    .parquet(affected.map {
+                      case (_, rel) => s"$docsRoot/$rel" }: _*)
+                    .join(removedIds, Seq("doc_id"), "left_anti")
+                    .withColumn("segp", col("seg"))
+                    .repartition(col("segp"))
+                    .write.mode("overwrite").partitionBy("segp")
+                    .parquet(s"$docsRoot/$parent")
+                  affected.foreach { case (seg, _) =>
+                    val rel = s"$parent/segp=$seg"
+                    // a fully-retracted segment writes no partition
+                    // dir — it simply leaves the manifest
+                    if (relFs.exists(new Path(s"$docsRoot/$rel")))
                       entries += seg -> rel
-                      referenced += seg
-                    }
+                    rebuilt += seg
+                  }
+                }
+                untouched.foreach { case (seg, rel) =>
+                  entries += seg -> rel // referenced, never read
+                  referenced += seg
                 }
               }
               lastFreezePlan = (rebuilt.result(), referenced.result())
@@ -1542,9 +1565,12 @@ object GraftApp {
                       entries += s"$relBatch.$p" -> rel
                   }
                 }
-              } else if (prevV.isEmpty) {
-                // first release of an empty/fully-gated corpus: a
-                // schema-carrying empty segment keeps the version readable
+              }
+              if (entries.isEmpty) {
+                // an empty/fully-gated first release, or a release
+                // that retracted every remaining doc: a
+                // schema-carrying empty segment keeps the version
+                // readable
                 val dstRel = SegPool.poolRel("0", v)
                 spark.range(0).select(col("id").as("doc_id"),
                     lit("").as("source"), lit("").as("text"),

@@ -1235,6 +1235,9 @@ class GraftAppSpec extends SparkSpecBase {
     assert(docsV3.endsWith("/v3"), docsV3)
     val m2 = SegPool.readManifest(hfs, docsV2).toMap
     val m3 = SegPool.readManifest(hfs, docsV3).toMap
+    // removals rebuild through ONE partitioned job: the rebuilt seg
+    // lands as a segp= child of the release's r<batch>-v<N> parent
+    assert(m2("0").matches("_segs/r\\d+-v2/segp=0"), m2.toString)
     m2.foreach { case (seg, rel) =>
       assert(m3(seg) == rel,
         s"unchanged seg $seg must be referenced, not rewritten: " +
@@ -1250,7 +1253,7 @@ class GraftAppSpec extends SparkSpecBase {
     assert(!poolDirs.contains("s0-v1"),
       s"v1-only pool dir must be GC'd after retention pruning: $poolDirs")
     assert(m3.values.forall(rel =>
-        poolDirs.contains(rel.stripPrefix("_segs/"))),
+        poolDirs.contains(rel.stripPrefix("_segs/").split("/")(0))),
       s"every referenced pool dir must survive GC: $m3 vs $poolDirs")
     assert(SegPool.readDocs(spark, docsV3).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 7L, 20L))
