@@ -1411,6 +1411,34 @@ class GraftAppSpec extends SparkSpecBase {
     assert(SegPool.readDocs(spark, v3).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq ==
       ((1L until 8L) :+ 50L).toSeq)
+    // WIDE retraction: two docs in two DIFFERENT segments removed by
+    // one release — both holding segs rebuild, and through ONE
+    // partitioned job (rebuilt entries land under the same
+    // r<batch>-v4 pool parent), never one sequential job per segment
+    val segOf = SegPool.readDocs(spark, v3).select("doc_id", "seg")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vA = 1L
+    val vB = segOf.keys.filter(id => segOf(id) != segOf(vA)).min
+    val keep = ((1L until 8L) :+ 50L).filterNot(id => id == vA || id == vB)
+    val docsDir4 = Files.createTempDirectory("ss-docs4").toFile.getAbsolutePath
+    keep.map(id =>
+        if (id == 50L) (50L, "web", en("w")) else (id, "web", en(s"u$id")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir4)
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir4))
+    assert(GraftApp.lastFreezePlan._1.toSet == Set(segOf(vA), segOf(vB)),
+      s"both holding segs must rebuild: ${GraftApp.lastFreezePlan}")
+    val v4 = VersionedDir.currentPath(spark, s"$out/docs").get
+    assert(v4.endsWith("/v4"), v4)
+    val m4 = SegPool.readManifest(hfs, v4).toMap
+    Seq(vA, vB).foreach { id =>
+      m4.get(segOf(id)).foreach(rel =>
+        assert(rel.matches("_segs/r\\d+-v4/segp=.*"),
+          s"wide retraction must rebuild through one partitioned job: $rel"))
+    }
+    assert(SegPool.readDocs(spark, v4).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == keep.sorted,
+      "wide retraction must drop exactly the removed docs")
   }
 
   test("chunked release: a delta above the batch cap lands the same end " +
