@@ -485,6 +485,121 @@ object StreamingCurate {
         })
     }.toMap
 
+  /** Fate probe — "why is doc X (not) in the corpus": one row per
+    * requested id describing what the curation stores know about it.
+    * Store reads follow the intake's own pruning discipline: the two
+    * membership checks are ids-only column-pruned scans, and every
+    * hash/bucket/text probe is part-pruned by the probe's OWN keys
+    * (O(probe), not O(store)) — the same `readPriorParts` machinery
+    * `applyBatch` plans its delta reads with. With the doc's raw text
+    * supplied the probe recomputes the gate verdict, content hash and
+    * LSH buckets using the intake's own operators, so the answer names
+    * the exact stage that dropped the doc and the exact prior doc that
+    * displaced it (exact hash owner / minimum Jaccard-verified
+    * near-dup, the greedy min-id rule the funnel applies).
+    *
+    * Columns: doc_id, curated, exact_kept, content_hash (stored hash
+    * for kept ids, recomputed when `raw` is given), gate_pass,
+    * bloom_flagged, exact_dup_of, near_dup_of (the last four null
+    * without `raw`; the gate/bloom verdicts honor the same optional
+    * model/decontam artifacts the funnel ran with). */
+  def explainDocs(spark: SparkSession, storeDir: String, ids: Seq[Long],
+                  raw: Option[DataFrame] = None,
+                  jaccard: Double = 0.8,
+                  decontamDir: Option[String] = None,
+                  decontamMinShared: Int = 3,
+                  modelDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val idDf = ids.toDF("doc_id")
+    val allParts = (0 until NumParts).toSet
+    val curatedIds = curated(spark, storeDir)
+      .join(idDf, Seq("doc_id")).select("doc_id").distinct()
+      .withColumn("curated", lit(true))
+    val (seenAll, _) = readPriorParts(spark, new Path(storeDir, "seen"),
+      Long.MaxValue, allParts, seenSchema)
+    val kept = seenAll.join(idDf, Seq("doc_id"))
+      .groupBy("doc_id").agg(first("content_hash").as("kept_hash"))
+      .withColumn("exact_kept", lit(true))
+    val base = idDf
+      .join(curatedIds, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("curated"), lit(false)).as("curated"),
+        coalesce(col("exact_kept"), lit(false)).as("exact_kept"),
+        col("kept_hash"))
+    raw match {
+      case None =>
+        base.select(col("doc_id"), col("curated"), col("exact_kept"),
+          col("kept_hash").as("content_hash"),
+          lit(null).cast("boolean").as("gate_pass"),
+          lit(null).cast("boolean").as("bloom_flagged"),
+          lit(null).cast("long").as("exact_dup_of"),
+          lit(null).cast("long").as("near_dup_of"))
+      case Some(rawDocs) =>
+        val rawSub = rawDocs
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("text"))
+          .join(idDf, Seq("doc_id")).localCheckpoint(false)
+        val inRaw = rawSub.select("doc_id").withColumn("__inraw", lit(true))
+        val gatePass = (modelDir match {
+          case None => gate(rawSub)
+          case Some(dir) =>
+            Classifier.gateDocs(gate(rawSub), Classifier.loadWeights(spark, dir))
+        }).select("doc_id").withColumn("__gate", lit(true))
+        val bloomed = (decontamDir match {
+          case None => spark.range(0).select(col("id").as("doc_id"))
+          case Some(dir) => Dedup.bloomContaminationFrom(spark, dir, rawSub,
+            minShared = decontamMinShared).select("doc_id")
+        }).withColumn("__bloom", lit(true))
+        val hashed = rawSub
+          .withColumn("content_hash", TextOps.contentHash(col("text")))
+          .localCheckpoint(false) // feeds the part list and two joins
+        val (seenByHash, _) = readPriorParts(spark, new Path(storeDir, "seen"),
+          Long.MaxValue, touchedParts(hashed, col("content_hash")), seenSchema)
+        val exactDup = hashed.as("p")
+          .join(seenByHash.as("s"),
+            col("p.content_hash") === col("s.content_hash") &&
+              col("p.doc_id") =!= col("s.doc_id"))
+          .groupBy(col("p.doc_id").as("doc_id"))
+          .agg(min(col("s.doc_id")).as("exact_dup_of"))
+        // near: the probe's buckets against the store's, smaller-id
+        // prior docs only (the funnel's greedy min-id drop rule), then
+        // EXACT Jaccard over text parts pruned to the candidate ids
+        val probeBuckets = Dedup.lshBuckets(Dedup.minhashSignatures(rawSub))
+          .localCheckpoint(false)
+        val (storeBuckets, _) = readPriorParts(spark,
+          new Path(storeDir, "buckets"), Long.MaxValue,
+          touchedParts(probeBuckets, col("bucket")), bucketSchema)
+        val cands = storeBuckets.as("a")
+          .join(probeBuckets.as("b"), col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct().localCheckpoint(false)
+        val (storeText, _) = readPriorParts(spark, new Path(storeDir, "text"),
+          Long.MaxValue, touchedParts(cands, col("da")), textSchema)
+        val corpus = storeText.unionByName(rawSub.select("doc_id", "text"))
+        val nearDup = Dedup.ngramJaccard(corpus, jaccard,
+            candidates = Some(cands))
+          .groupBy(col("db").as("doc_id"))
+          .agg(min("da").as("near_dup_of"))
+        base
+          .join(inRaw, Seq("doc_id"), "left")
+          .join(gatePass, Seq("doc_id"), "left")
+          .join(bloomed, Seq("doc_id"), "left")
+          .join(hashed.select(col("doc_id"),
+            col("content_hash").as("__hash")), Seq("doc_id"), "left")
+          .join(exactDup, Seq("doc_id"), "left")
+          .join(nearDup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("curated"), col("exact_kept"),
+            coalesce(col("__hash"), col("kept_hash")).as("content_hash"),
+            when(col("__inraw"), coalesce(col("__gate"), lit(false)))
+              .as("gate_pass"),
+            when(col("__inraw"), coalesce(col("__bloom"), lit(false)))
+              .as("bloom_flagged"),
+            col("exact_dup_of"), col("near_dup_of"))
+    }
+  }
+
   /** All curated docs admitted so far (schema-merged: the multimodal
     * extras may widen across batches). */
   def curated(spark: SparkSession, storeDir: String): DataFrame =

@@ -75,6 +75,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   this also folds the processed/retracted delta id
   *                   ledgers (per-row batch id keeps liveness ordering
   *                   exact across the merge)
+  *     doc-fate      "why is doc X (not) in the corpus": per-id fate
+  *                   report over a curation store / release root
+  *                   (GRAFT_DOC_IDS=1,2,...; GRAFT_CURATE_STORE or
+  *                   GRAFT_RELEASE_OUT; optional GRAFT_FATE_DOCS raw
+  *                   corpus names the dropping stage + displacing doc,
+  *                   honoring GRAFT_RELEASE_BLOOM/_MODEL/_JACCARD)
   *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR;
   *                   GRAFT_INDEX_PARTS if the store was built with a
   *                   non-default part count — the folded layout must
@@ -816,6 +822,79 @@ object GraftApp {
         val folded = graft.llmops.StreamingCurate.compactStore(spark, store)
         Seq(s"curate-store: folded " +
           folded.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }.mkString(","))
+      case "doc-fate" =>
+        // "why is doc X (not) in the corpus" — a diagnostic probe over
+        // a curation store, plus the release ledgers / frozen-corpus
+        // membership when the store belongs to a `release` root.
+        // Store probes use the intake's own part-pruned planning
+        // (O(probe)); the membership checks are ids-only column scans.
+        // With GRAFT_FATE_DOCS (the raw corpus) the report names the
+        // dropping stage and the displacing doc exactly.
+        val ids = env.getOrElse("GRAFT_DOC_IDS",
+          throw new IllegalArgumentException("GRAFT_DOC_IDS is required"))
+          .split(",").map(_.trim.toLong).toSeq
+        val relOut = env.get("GRAFT_RELEASE_OUT")
+        val store = env.get("GRAFT_CURATE_STORE")
+          .orElse(relOut.map(o => s"$o/_curate"))
+          .getOrElse(throw new IllegalArgumentException(
+            "GRAFT_CURATE_STORE or GRAFT_RELEASE_OUT is required"))
+        val raw = env.get("GRAFT_FATE_DOCS")
+          .map(d => graft.llmops.SegPool.readDocs(spark, d))
+        val fate = graft.llmops.StreamingCurate.explainDocs(spark, store,
+            ids, raw,
+            jaccard = env.get("GRAFT_RELEASE_JACCARD").map(_.toDouble)
+              .getOrElse(0.8),
+            decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
+            decontamMinShared = env.get("GRAFT_RELEASE_MINSHARED")
+              .map(_.toInt).getOrElse(3),
+            modelDir = env.get("GRAFT_RELEASE_MODEL"))
+          .collect().map(r => r.getLong(0) -> r).toMap
+        val fateFs = new Path(store)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        def ledgerSide(kind: String): Map[Long, Long] = {
+          val dir = new Path(store, kind)
+          graft.llmops.BatchDirFold.heal(spark, dir)
+          if (!fateFs.exists(dir)) Map.empty
+          else {
+            val dirs = fateFs.listStatus(dir).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+              .map(s => (s.getPath.getName.stripPrefix("b").toLong,
+                s.getPath.toString))
+            if (dirs.isEmpty) Map.empty
+            else dirs.map { case (b, d) =>
+              spark.read.schema("doc_id LONG, b LONG").parquet(d)
+                .select(col("doc_id"),
+                  org.apache.spark.sql.functions.coalesce(col("b"), lit(b))
+                    .as("b"))
+            }.reduce(_ unionByName _)
+              .filter(col("doc_id").isin(ids: _*))
+              .groupBy("doc_id").agg(max("b").as("b"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          }
+        }
+        val pLed = ledgerSide("processed")
+        val rLed = ledgerSide("retracted")
+        val segOf: Map[Long, String] = relOut.flatMap { o =>
+          graft.llmops.VersionedDir.currentPath(spark, s"$o/docs").map { vd =>
+            graft.llmops.SegPool.readDocs(spark, vd)
+              .select("doc_id", "seg").filter(col("doc_id").isin(ids: _*))
+              .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          }
+        }.getOrElse(Map.empty)
+        ids.map { id =>
+          val pb = pLed.get(id); val rb = rLed.get(id)
+          val f = fate(id)
+          def opt(i: Int): String = Option(f.get(i)).map(_.toString)
+            .getOrElse("-")
+          s"doc-fate $id: " +
+            s"processed_b=${pb.map(_.toString).getOrElse("-")} " +
+            s"retracted_b=${rb.map(_.toString).getOrElse("-")} " +
+            s"live=${pb.exists(p => rb.forall(p > _))} " +
+            s"curated=${f.getBoolean(1)} exact_kept=${f.getBoolean(2)} " +
+            s"content_hash=${opt(3)} gate_pass=${opt(4)} " +
+            s"bloom_flagged=${opt(5)} exact_dup_of=${opt(6)} " +
+            s"near_dup_of=${opt(7)} seg=${segOf.getOrElse(id, "-")}"
+        }
       case "lsh-index" =>
         val dir = env.getOrElse("GRAFT_INDEX_DIR",
           throw new IllegalArgumentException("GRAFT_INDEX_DIR is required"))

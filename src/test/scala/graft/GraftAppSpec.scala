@@ -1441,6 +1441,79 @@ class GraftAppSpec extends SparkSpecBase {
       "wide retraction must drop exactly the removed docs")
   }
 
+  test("doc-fate explains keepers, per-stage drops, and retractions") {
+    import spark.implicits._
+    def en(words: Seq[String]): String =
+      ("the start and more of it" +: words).mkString(" ")
+    val filler = (0 until 24).map(i => s"w$i")
+    val baseA = en(filler.map(w => s"fa$w"))
+    val baseB = en(filler.map(w => s"fb$w"))
+    val baseBNear = baseB.split(" ").dropRight(1).mkString(" ") + " zz"
+    val benchPhrase = "fate eval answer tokens appear verbatim here"
+    val contaminated = en(filler.take(16).map(w => s"fc$w") :+ benchPhrase)
+    val baseD = en(filler.map(w => s"fd$w"))
+    val german = ("der anfang und mehr die sache " +
+      (0 until 20).map(i => s"der fg$i und die").mkString(" "))
+    val docs = Seq(
+      (0L, "web", baseA), (1L, "web", baseA), // exact-dup pair
+      (2L, "web", baseB), (3L, "books", baseBNear), // near-dup pair
+      (4L, "web", german), // gate drop
+      (6L, "books", contaminated), // bloom drop
+      (7L, "books", baseD)) // kept, then retracted
+    val docsDir = Files.createTempDirectory("fate-docs").toFile.getAbsolutePath
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val benchDir = Files.createTempDirectory("fate-bench")
+      .toFile.getAbsolutePath
+    Seq((100L, s"the question and the $benchPhrase of the benchmark"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(benchDir)
+    val bloomDir = Files.createTempDirectory("fate-bloom")
+      .toFile.getAbsolutePath + "/bloom"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bloom-bits", "GRAFT_BLOOM_BENCH" -> benchDir,
+      "GRAFT_BLOOM_OUT" -> bloomDir))
+    val tok = Files.createTempDirectory("fate-tok")
+      .toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("fate-out")
+      .toFile.getAbsolutePath + "/rel"
+    val relEnv = Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> docsDir,
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_RELEASE_BLOOM" -> bloomDir,
+      "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2")
+    GraftApp.maintenance(spark, relEnv)
+    val docsDir2 = Files.createTempDirectory("fate-docs2")
+      .toFile.getAbsolutePath
+    docs.filterNot(_._1 == 7L).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir2)
+    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir2))
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "doc-fate", "GRAFT_RELEASE_OUT" -> out,
+      "GRAFT_DOC_IDS" -> "0,1,3,4,6,7,99",
+      "GRAFT_FATE_DOCS" -> docsDir, "GRAFT_RELEASE_BLOOM" -> bloomDir))
+    def fline(id: Long): String =
+      lines.find(_.startsWith(s"doc-fate $id:"))
+        .getOrElse(fail(s"no line for $id in\n${lines.mkString("\n")}"))
+    assert(fline(0).contains("curated=true") &&
+      fline(0).contains("exact_kept=true") &&
+      fline(0).contains("live=true") && !fline(0).contains("seg=-"), fline(0))
+    assert(fline(1).contains("exact_dup_of=0") &&
+      fline(1).contains("curated=false") &&
+      fline(1).contains("gate_pass=true"), fline(1))
+    assert(fline(3).contains("near_dup_of=2") &&
+      fline(3).contains("curated=false"), fline(3))
+    assert(fline(4).contains("gate_pass=false"), fline(4))
+    assert(fline(6).contains("bloom_flagged=true") &&
+      fline(6).contains("curated=false"), fline(6))
+    assert(fline(7).contains("live=false") && fline(7).contains("seg=-") &&
+      fline(7).contains("retracted_b=1"), fline(7))
+    assert(fline(99).contains(
+      "processed_b=- retracted_b=- live=false curated=false"), fline(99))
+  }
+
   test("chunked release: a delta above the batch cap lands the same end " +
       "state as one shot") {
     import spark.implicits._
