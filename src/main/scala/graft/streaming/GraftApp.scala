@@ -1553,6 +1553,12 @@ object GraftApp {
             SegPool.gc(spark, docsRoot)
             prevV.get
           } else {
+            // GRAFT_RELEASE_RETAIN (def 2): how many doc versions stay
+            // servable — consumers pinned N releases back trade
+            // storage (shared pool segs refcount, so the cost is only
+            // the rebuilt/fresh deltas between retained versions)
+            val relRetain = env.get("GRAFT_RELEASE_RETAIN")
+              .map(_.toInt).getOrElse(2)
             val published = VersionedDir.publish(spark, docsRoot, dir => {
               val v = new Path(dir).getName.stripPrefix("v").toLong
               val entries =
@@ -1659,7 +1665,7 @@ object GraftApp {
               }
               SegPool.writeManifest(relFs, dir, entries.toSeq)
               relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
-            })
+            }, retain = relRetain)
             SegPool.gc(spark, docsRoot) // pool dirs no version references
             published
           }

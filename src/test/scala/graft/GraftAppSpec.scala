@@ -1489,7 +1489,14 @@ class GraftAppSpec extends SparkSpecBase {
       .toFile.getAbsolutePath
     docs.filterNot(_._1 == 7L).toDF("doc_id", "source", "text")
       .write.mode("overwrite").parquet(docsDir2)
-    GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir2))
+    // retention knob rides through to the publish: retain=1 prunes v1
+    // the moment v2 lands (default 2 would have kept it servable)
+    GraftApp.maintenance(spark, relEnv +
+      ("GRAFT_RELEASE_DOCS" -> docsDir2) + ("GRAFT_RELEASE_RETAIN" -> "1"))
+    val hfsF = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!hfsF.exists(new org.apache.hadoop.fs.Path(s"$out/docs/v1")),
+      "GRAFT_RELEASE_RETAIN=1 must prune the previous version")
     val lines = GraftApp.maintenance(spark, Map(
       "GRAFT_MAINTENANCE" -> "doc-fate", "GRAFT_RELEASE_OUT" -> out,
       "GRAFT_DOC_IDS" -> "0,1,3,4,6,7,99",
