@@ -52,13 +52,17 @@ private[graft] object SegPool {
     finally out.close()
   }
 
-  /** (seg, relPath) entries of a version's manifest. */
+  /** (seg, relPath) entries of a version's manifest. A torn final line
+    * (a publisher crashed mid-flush; such a dir has no `_SUCCESS` and
+    * is reclaimed by the next publish) is skipped, never a crash. */
   def readManifest(fs: FileSystem, versionDir: String): Seq[(String, String)] = {
     val in = fs.open(new Path(versionDir, ManifestName))
     val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(seg, rel) = line.split("\t", 2)
-      (seg, rel)
+    txt.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", 2) match {
+        case Array(seg, rel) => Some((seg, rel))
+        case _ => None // torn tail of an uncommitted write
+      }
     }
   }
 
@@ -87,17 +91,24 @@ private[graft] object SegPool {
     val p = new Path(versionDir)
     val fs = p.getFileSystem(conf)
     val root = p.getParent
-    readManifest(fs, versionDir).map { case (_, rel) =>
-      val d = new Path(root, rel)
-      fs.listStatus(d).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map { f =>
+    def footerSum(dir: Path, recursive: Boolean): Long = {
+      val it = fs.listFiles(dir, recursive)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile
               .fromStatus(f, conf))
-          try rd.getRecordCount finally rd.close()
-        }.sum
-    }.sum
+          try total += rd.getRecordCount finally rd.close()
+        }
+      }
+      total
+    }
+    if (!fs.exists(new Path(p, ManifestName)))
+      footerSum(p, recursive = true) // legacy seg=K / plain parquet dir
+    else readManifest(fs, versionDir)
+      .map { case (_, rel) => footerSum(new Path(root, rel), false) }.sum
   }
 
   /** Refcount GC: delete every `_segs/` pool dir that no EXISTING
@@ -115,9 +126,14 @@ private[graft] object SegPool {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val segsDir = new Path(rootPath, "_segs")
     if (!fs.exists(segsDir)) return Nil
+    // only COMMITTED versions (`_SUCCESS` present) protect pool dirs: a
+    // crashed partial publish's manifest may be torn, its version dir
+    // is reclaimed by the next publish, and its fresh pool dirs are
+    // exactly the orphans this pass exists to collect
     val referenced = fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .filter(s => fs.exists(new Path(s.getPath, ManifestName)))
+      .filter(s => fs.exists(new Path(s.getPath, ManifestName)) &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
       .flatMap(s => readManifest(fs, s.getPath.toString))
       .map { case (_, rel) => rel.stripPrefix("_segs/") }
       .toSet

@@ -69,23 +69,27 @@ object StreamingCurate {
     val toks = TextOps.tokens(col("text"))
     val stop = Seq("the", "a", "and", "of", "to", "in", "is")
     def cnt(m: String): Column = size(split(col("text"), m)) - 1
+    // internals are __-prefixed so a multimodal carry column with a
+    // plausible name (n_tokens, pred, …) is never silently replaced by
+    // a gate intermediate on its way through the funnel
     docs
-      .withColumn("n_tokens", size(toks))
-      .withColumn("n_stop",
+      .withColumn("__n_tokens", size(toks))
+      .withColumn("__n_stop",
         size(filter(toks, t => t.isin(stop.map(lit(_)): _*))))
-      .withColumn("s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
-      .withColumn("s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
-      .withColumn("s_fr", cnt(" le ") + cnt(" et ") + cnt(" la "))
-      .withColumn("s_es", cnt(" el ") + cnt(" los ") + cnt(" las "))
-      .withColumn("pred",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
-          && col("s_en") >= col("s_es"), "en")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-          .when(col("s_fr") >= col("s_es"), "fr")
+      .withColumn("__s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
+      .withColumn("__s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
+      .withColumn("__s_fr", cnt(" le ") + cnt(" et ") + cnt(" la "))
+      .withColumn("__s_es", cnt(" el ") + cnt(" los ") + cnt(" las "))
+      .withColumn("__pred",
+        when(col("__s_en") >= col("__s_de") && col("__s_en") >= col("__s_fr")
+          && col("__s_en") >= col("__s_es"), "en")
+          .when(col("__s_de") >= col("__s_fr") &&
+            col("__s_de") >= col("__s_es"), "de")
+          .when(col("__s_fr") >= col("__s_es"), "fr")
           .otherwise("es"))
-      .filter(col("n_tokens") >= 20 &&
-        col("n_stop") * lit(1.0) / col("n_tokens") >= 0.05 &&
-        col("pred") === "en")
+      .filter(col("__n_tokens") >= 20 &&
+        col("__n_stop") * lit(1.0) / col("__n_tokens") >= 0.05 &&
+        col("__pred") === "en")
       .select(col("doc_id").cast("long").as("doc_id") +: col("source") +:
         col("text") +: extraCols(docs).map(col): _*)
   }
@@ -252,19 +256,23 @@ object StreamingCurate {
     // hash the store has already admitted. The anti-join reads ONLY the
     // seen-store parts the batch's own hashes can land in — an equal
     // prior hash is in the same part, so the pruning is lossless.
+    // the working hash is __-prefixed (like every gate intermediate):
+    // a multimodal carry column named content_hash must reach the
+    // curated corpus untouched, not replaced by the funnel's own hash
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("content_hash").orderBy("doc_id")
+      .partitionBy("__content_hash").orderBy("doc_id")
     val batchKept = gated
-      .withColumn("content_hash", TextOps.contentHash(col("text")))
+      .withColumn("__content_hash", TextOps.contentHash(col("text")))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
       .localCheckpoint(false) // feeds the part-list and the anti-join
-    val hashParts = touchedParts(batchKept, col("content_hash"))
+    val hashParts = touchedParts(batchKept, col("__content_hash"))
     val (seen, seenDirs) = readPriorParts(
       spark, new Path(storeDir, "seen"), batchId, hashParts, seenSchema)
     lastSeenDirsPlanned = seenDirs
     val newExactKept = batchKept
-      .join(seen.select("content_hash"), Seq("content_hash"), "left_anti")
+      .join(seen.select(col("content_hash").as("__content_hash")),
+        Seq("__content_hash"), "left_anti")
       .localCheckpoint(false) // feeds buckets, verify, and three writes
 
     // near-dedup: candidates = bucket collisions (new×store ∪ new×new),
@@ -302,7 +310,8 @@ object StreamingCurate {
     // per-batch dirs, Overwrite: replay rewrites, never duplicates
     def out(kind: String) = s"$storeDir/$kind/b$batchId"
     newExactKept
-      .select(col("doc_id"), col("content_hash"), partOf(col("content_hash")).as("part"))
+      .select(col("doc_id"), col("__content_hash").as("content_hash"),
+        partOf(col("__content_hash")).as("part"))
       .write.mode("overwrite").partitionBy("part").parquet(out("seen"))
     newExactKept
       .select(col("doc_id"), col("text"), partOf(col("doc_id")).as("part"))
@@ -319,6 +328,7 @@ object StreamingCurate {
           .agg(count(lit(1)).as("__have"))
         val ranked = Dedup.globalRank(
           newBuckets.select("bucket", "doc_id"), Seq("bucket", "doc_id"))
+          .localCheckpoint(false) // rank + per-bucket-min sides reuse it
         ranked
           .join(ranked.groupBy("bucket").agg(min("__rn").as("__min")),
             "bucket")

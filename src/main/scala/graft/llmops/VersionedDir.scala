@@ -81,32 +81,104 @@ private[graft] object VersionedDir {
     * older than `leaseTtlMs` (a crashed holder cannot still be
     * writing after that long; its partial v-dir has no `_SUCCESS` and
     * is reclaimed as before). */
-  def publish(spark: SparkSession, root: String,
-              write: String => Unit, retain: Int = 2,
-              leaseTtlMs: Long = 15L * 60 * 1000): Long = {
-    require(retain >= 1, "retain must keep at least the current version")
+  val DefaultLeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Take the root's `_LEASE` (create-exclusive, a random holder token
+    * inside). None when a LIVE holder exists; a stale lease (older
+    * than ttl — its holder crashed, or lost the heartbeat that keeps a
+    * live holder's lease fresh) is broken and re-acquired. */
+  private def acquire(fs: FileSystem, lease: Path,
+                      leaseTtlMs: Long): Option[String] = {
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(token.getBytes(UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) Some(token)
+    else {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry
+      if (age < leaseTtlMs) None
+      else { // stale lease from a crashed publisher
+        fs.delete(lease, false)
+        if (tryCreate()) Some(token) else None // raced: the other won
+      }
+    }
+  }
+
+  /** Delete the lease ONLY if it still carries our token: a slow
+    * holder whose lease was broken must not remove the breaker's. */
+  private def releaseLease(fs: FileSystem, lease: Path,
+                           token: String): Unit = {
+    val mine =
+      try {
+        val in = fs.open(lease)
+        try new String(in.readAllBytes(), UTF_8) == token finally in.close()
+      } catch { case _: java.io.IOException => false }
+    if (mine) fs.delete(lease, false)
+  }
+
+  /** Keep a live holder's lease fresh: touch its mtime every ttl/3 so
+    * only a CRASHED holder ever goes stale — a slow publish (a huge
+    * distributed freeze) holds the lease for as long as it runs. */
+  private def heartbeat(fs: FileSystem, lease: Path,
+                        periodMs: Long): Thread = {
+    val t = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(periodMs)
+        try fs.setTimes(lease, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () } // released under us
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$lease")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Run `f` while holding the root's publish lease — for maintenance
+    * that must not overlap a publisher (e.g. pool GC, which would
+    * reclaim a concurrent publisher's not-yet-manifested segment
+    * writes as orphans). Throws if a live holder exists. */
+  def withLease[T](spark: SparkSession, root: String,
+                   leaseTtlMs: Long = DefaultLeaseTtlMs)(f: => T): T = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     fs.mkdirs(rootPath)
     val lease = new Path(rootPath, "_LEASE")
-    def tryAcquire(): Boolean =
-      try { fs.create(lease, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
-      val age = try System.currentTimeMillis() -
-        fs.getFileStatus(lease).getModificationTime
-      catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry
-      if (age < leaseTtlMs)
-        throw new IllegalStateException(
-          s"another publisher holds $lease (age ${age}ms < ttl ${leaseTtlMs}ms); " +
-            "concurrent publish refused")
-      fs.delete(lease, false) // stale lease from a crashed publisher
-      if (!tryAcquire())
-        throw new IllegalStateException(
-          s"lost the race re-acquiring $lease after breaking a stale lease")
+    val token = acquire(fs, lease, leaseTtlMs).getOrElse(
+      throw new IllegalStateException(
+        s"another publisher holds $lease; concurrent publish refused"))
+    val hb = heartbeat(fs, lease, math.max(1000L, leaseTtlMs / 3))
+    try f
+    finally { hb.interrupt(); releaseLease(fs, lease, token) }
+  }
+
+  /** Best-effort [[withLease]]: None (skipped) when a live holder has
+    * the lease, instead of throwing — for optional maintenance that
+    * the next run will redo anyway. */
+  def tryWithLease[T](spark: SparkSession, root: String,
+                      leaseTtlMs: Long = DefaultLeaseTtlMs)
+                     (f: => T): Option[T] =
+    try Some(withLease(spark, root, leaseTtlMs)(f))
+    catch { case _: IllegalStateException => None }
+
+  def publish(spark: SparkSession, root: String,
+              write: String => Unit, retain: Int = 2,
+              leaseTtlMs: Long = DefaultLeaseTtlMs,
+              andThen: Long => Unit = _ => ()): Long = {
+    require(retain >= 1, "retain must keep at least the current version")
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    withLease(spark, root, leaseTtlMs) {
+      val v = publishLocked(spark, fs, rootPath, root, write, retain)
+      // still under the lease: post-publish maintenance that must not
+      // overlap the NEXT publisher (pool GC after retention pruning)
+      andThen(v)
+      v
     }
-    try publishLocked(spark, fs, rootPath, root, write, retain)
-    finally fs.delete(lease, false)
   }
 
   private def publishLocked(spark: SparkSession, fs: FileSystem,

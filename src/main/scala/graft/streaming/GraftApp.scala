@@ -877,7 +877,10 @@ object GraftApp {
         val segOf: Map[Long, String] = relOut.flatMap { o =>
           graft.llmops.VersionedDir.currentPath(spark, s"$o/docs").map { vd =>
             graft.llmops.SegPool.readDocs(spark, vd)
-              .select("doc_id", "seg").filter(col("doc_id").isin(ids: _*))
+              // cast: a legacy (pre-manifest) root's seg partition
+              // column type-infers as INT
+              .select(col("doc_id"), col("seg").cast("string").as("seg"))
+              .filter(col("doc_id").isin(ids: _*))
               .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
           }
         }.getOrElse(Map.empty)
@@ -1549,8 +1552,13 @@ object GraftApp {
         val newV = staged("freeze") {
           if (skipPublish) {
             // still reclaim orphans a crashed earlier publish may have
-            // left in the pool — gc needs only the live manifests
-            SegPool.gc(spark, docsRoot)
+            // left in the pool — under the publish lease (gc must
+            // never race a concurrent publisher's not-yet-manifested
+            // pool writes), best-effort: a held lease means a live
+            // publisher whose own gc will sweep these orphans
+            VersionedDir.tryWithLease(spark, docsRoot) {
+              SegPool.gc(spark, docsRoot)
+            }
             prevV.get
           } else {
             // GRAFT_RELEASE_RETAIN (def 2): how many doc versions stay
@@ -1566,43 +1574,68 @@ object GraftApp {
               val rebuilt = Seq.newBuilder[String]
               val referenced = Seq.newBuilder[String]
               prevV.foreach { pv =>
-                val manifest = SegPool.readManifest(relFs,
-                  VersionedDir.versionPath(docsRoot, pv))
-                val (affected, untouched) =
-                  manifest.partition { case (seg, _) =>
-                    affectedSegs.contains(seg) }
-                if (affected.nonEmpty) {
-                  // ONE distributed job rebuilds every affected
-                  // segment: rows carry their `seg` column, so a
-                  // single anti-join + one partitioned write lands all
-                  // rebuilt segs in parallel — a wide retraction (a
-                  // whole source GDPR-deleted out of thousands of
-                  // segments) costs one shuffle, not one sequential
-                  // Spark job per segment. Per-task volume stays
-                  // bounded: segments are capped at
-                  // GRAFT_RELEASE_SEG_ROWS by fresh-batch
-                  // sub-segmentation.
-                  val parent = s"_segs/r$relBatch-v$v"
-                  spark.read.option("mergeSchema", "true")
-                    .parquet(affected.map {
-                      case (_, rel) => s"$docsRoot/$rel" }: _*)
+                val pvDir = VersionedDir.versionPath(docsRoot, pv)
+                if (!relFs.exists(new Path(pvDir, SegPool.ManifestName))) {
+                  // pre-manifest root (legacy v<N>/seg=K layout, the
+                  // byte-copy era): ONE-TIME migration — the whole
+                  // legacy version rewrites into the shared pool as
+                  // one partitioned job (removed ids filtered on the
+                  // way), and this version onward is pure manifest
+                  // indirection. O(corpus) once, never again.
+                  val parent = s"_segs/m$relBatch-v$v"
+                  spark.read.parquet(pvDir)
+                    .withColumn("seg", col("seg").cast("string"))
                     .join(removedIds, Seq("doc_id"), "left_anti")
                     .withColumn("segp", col("seg"))
                     .repartition(col("segp"))
                     .write.mode("overwrite").partitionBy("segp")
                     .parquet(s"$docsRoot/$parent")
-                  affected.foreach { case (seg, _) =>
-                    val rel = s"$parent/segp=$seg"
-                    // a fully-retracted segment writes no partition
-                    // dir — it simply leaves the manifest
-                    if (relFs.exists(new Path(s"$docsRoot/$rel")))
-                      entries += seg -> rel
-                    rebuilt += seg
+                  relFs.listStatus(new Path(pvDir)).toSeq
+                    .map(_.getPath.getName).filter(_.startsWith("seg="))
+                    .map(_.stripPrefix("seg=")).sorted.foreach { k =>
+                      val rel = s"$parent/segp=$k"
+                      if (relFs.exists(new Path(s"$docsRoot/$rel")))
+                        entries += k -> rel
+                      rebuilt += k
+                    }
+                } else {
+                  val manifest = SegPool.readManifest(relFs, pvDir)
+                  val (affected, untouched) =
+                    manifest.partition { case (seg, _) =>
+                      affectedSegs.contains(seg) }
+                  if (affected.nonEmpty) {
+                    // ONE distributed job rebuilds every affected
+                    // segment: rows carry their `seg` column, so a
+                    // single anti-join + one partitioned write lands all
+                    // rebuilt segs in parallel — a wide retraction (a
+                    // whole source GDPR-deleted out of thousands of
+                    // segments) costs one shuffle, not one sequential
+                    // Spark job per segment. Per-task volume stays
+                    // bounded: segments are capped at
+                    // GRAFT_RELEASE_SEG_ROWS by fresh-batch
+                    // sub-segmentation.
+                    val parent = s"_segs/r$relBatch-v$v"
+                    spark.read.option("mergeSchema", "true")
+                      .parquet(affected.map {
+                        case (_, rel) => s"$docsRoot/$rel" }: _*)
+                      .join(removedIds, Seq("doc_id"), "left_anti")
+                      .withColumn("segp", col("seg"))
+                      .repartition(col("segp"))
+                      .write.mode("overwrite").partitionBy("segp")
+                      .parquet(s"$docsRoot/$parent")
+                    affected.foreach { case (seg, _) =>
+                      val rel = s"$parent/segp=$seg"
+                      // a fully-retracted segment writes no partition
+                      // dir — it simply leaves the manifest
+                      if (relFs.exists(new Path(s"$docsRoot/$rel")))
+                        entries += seg -> rel
+                      rebuilt += seg
+                    }
                   }
-                }
-                untouched.foreach { case (seg, rel) =>
-                  entries += seg -> rel // referenced, never read
-                  referenced += seg
+                  untouched.foreach { case (seg, rel) =>
+                    entries += seg -> rel // referenced, never read
+                    referenced += seg
+                  }
                 }
               }
               lastFreezePlan = (rebuilt.result(), referenced.result())
@@ -1665,8 +1698,13 @@ object GraftApp {
               }
               SegPool.writeManifest(relFs, dir, entries.toSeq)
               relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
-            }, retain = relRetain)
-            SegPool.gc(spark, docsRoot) // pool dirs no version references
+            }, retain = relRetain,
+              leaseTtlMs = env.get("GRAFT_RELEASE_LEASE_MS").map(_.toLong)
+                .getOrElse(graft.llmops.VersionedDir.DefaultLeaseTtlMs),
+              // gc INSIDE the publish lease: reclaiming pool dirs no
+              // retained version references must not race the next
+              // publisher's not-yet-manifested segment writes
+              andThen = _ => SegPool.gc(spark, docsRoot))
             published
           }
         }

@@ -1441,6 +1441,88 @@ class GraftAppSpec extends SparkSpecBase {
       "wide retraction must drop exactly the removed docs")
   }
 
+  test("pool gc ignores uncommitted versions and torn manifest lines") {
+    import org.apache.spark.sql.functions.lit
+    import graft.llmops.SegPool
+    val root = Files.createTempDirectory("gc-root")
+      .toFile.getAbsolutePath + "/docs"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // committed v1 references s0-v1
+    spark.range(3).toDF("doc_id").withColumn("seg", lit("0"))
+      .write.parquet(s"$root/_segs/s0-v1")
+    SegPool.writeManifest(hfs, s"$root/v1", Seq("0" -> "_segs/s0-v1"))
+    hfs.create(new org.apache.hadoop.fs.Path(s"$root/v1/_SUCCESS"), true)
+      .close()
+    // crashed v2: torn manifest tail, NO _SUCCESS — an uncommitted
+    // version protects nothing, and its fresh pool dir is an orphan
+    spark.range(2).toDF("doc_id").withColumn("seg", lit("1"))
+      .write.parquet(s"$root/_segs/s1-v2")
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$root/v2/MANIFEST"), true)
+    out.write("0\t_segs/s0-v1\n1\t_segs/s1-v2\n12".getBytes("UTF-8"))
+    out.close()
+    val deleted = SegPool.gc(spark, root)
+    assert(deleted.toSet == Set("s1-v2"), deleted.toString)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$root/_segs/s0-v1")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/_segs/s1-v2")))
+    // a torn final line is skipped, never a MatchError
+    assert(SegPool.readManifest(hfs, s"$root/v2").map(_._1) == Seq("0", "1"))
+  }
+
+  test("release migrates a pre-manifest legacy root in one job") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.llmops.{SegPool, VersionedDir}
+    def en(tag: String): String =
+      ("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")).mkString(" ")
+    val docs = (0L until 6L).map(i => (i, "web", en(s"lg$i")))
+    val out = Files.createTempDirectory("lg-out")
+      .toFile.getAbsolutePath + "/rel"
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // build the LEGACY layout a pre-manifest release left behind:
+    // docs/v1/seg=K partition dirs (seg only in the dir name), a bare
+    // CURRENT pointer, and doc_id-only ledger dirs
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("seg", pmod(col("doc_id"), lit(2)).cast("string"))
+      .write.partitionBy("seg").parquet(s"$out/docs/v1")
+    val cur = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$out/docs/CURRENT"), true)
+    cur.write("1".getBytes("UTF-8")); cur.close()
+    docs.map(_._1).toDF("doc_id")
+      .write.parquet(s"$out/_curate/processed/b0")
+    val docsDir = Files.createTempDirectory("lg-docs")
+      .toFile.getAbsolutePath
+    docs.filterNot(_._1 == 3L).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val tok = Files.createTempDirectory("lg-tok")
+      .toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    // re-release over the legacy root with one removal: the freeze
+    // migrates every legacy segment into the pool (one partitioned
+    // job), filters the removed doc, and publishes a manifest version
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> docsDir,
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    assert(lines.exists(_.contains("new=0 removed=1")), lines.mkString("\n"))
+    val v2 = VersionedDir.currentPath(spark, s"$out/docs").get
+    assert(v2.endsWith("/v2"), v2)
+    val m2 = SegPool.readManifest(hfs, v2)
+    assert(m2.nonEmpty && m2.forall(_._2.matches("_segs/m1-v2/segp=.*")),
+      s"legacy segments must migrate into the pool: $m2")
+    assert(SegPool.readDocs(spark, v2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 4L, 5L), "removal must apply during migration")
+    // the legacy version dir itself is untouched (still servable)
+    assert(hfs.exists(
+      new org.apache.hadoop.fs.Path(s"$out/docs/v1/seg=0")))
+  }
+
   test("doc-fate explains keepers, per-stage drops, and retractions") {
     import spark.implicits._
     def en(words: Seq[String]): String =
@@ -1631,7 +1713,13 @@ class GraftAppSpec extends SparkSpecBase {
       (1L, "web", en("b"), Array[Byte](9, 9), MmMeta(16000, "audio")),
       (2L, "web", "too short", Array[Byte](7), MmMeta(1, "gated-away")))
     val docsDir = Files.createTempDirectory("mm-docs").toFile.getAbsolutePath
+    // carry columns whose names collide with funnel INTERNALS
+    // (content_hash, n_tokens, pred): the gates' working columns are
+    // __-prefixed, so the user's values must come out verbatim
     rows.toDF("doc_id", "source", "text", "payload", "meta")
+      .withColumn("content_hash", col("doc_id").cast("string"))
+      .withColumn("n_tokens", col("doc_id") * 1000)
+      .withColumn("pred", col("doc_id").cast("string"))
       .write.mode("overwrite").parquet(docsDir)
     val tok = Files.createTempDirectory("mm-tok").toFile.getAbsolutePath + "/tok"
     GraftApp.maintenance(spark, Map(
@@ -1652,6 +1740,13 @@ class GraftAppSpec extends SparkSpecBase {
       (0L, Seq[Byte](1, 2, 3, -5), 640, "image"),
       (1L, Seq[Byte](9, 9), 16000, "audio")),
       s"multimodal columns must survive the funnel byte-intact: $frozen")
+    val collide = SegPool.readDocs(spark, v1)
+      .select("doc_id", "content_hash", "n_tokens", "pred")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(collide == Seq((0L, "0", 0L, "0"), (1L, "1", 1000L, "1")),
+      s"carry columns named like funnel internals must pass verbatim: " +
+        collide.toString)
     // incremental: a later delta's payloads land next to the old ones
     // (schema-merged read across pool segments)
     val docsDir2 = Files.createTempDirectory("mm-docs2").toFile.getAbsolutePath

@@ -71,4 +71,33 @@ class VersionedDirSpec extends SparkSpecBase {
       "a failed publish must not wedge the root")
     assert(VersionedDir.publish(spark, root, writeV(1)) == 1L)
   }
+
+  test("a broken slow holder cannot remove the breaker's lease (token)") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    val lease = new Path(root, "_LEASE")
+    VersionedDir.withLease(spark, root) {
+      // mid-run, a breaker decided we were stale and replaced our
+      // lease with its own token — our release must NOT delete it
+      fs.delete(lease, false)
+      fs.create(lease, false).close()
+    }
+    assert(fs.exists(lease),
+      "the breaker's lease must survive the displaced holder's release")
+    fs.delete(lease, false)
+    // normal case: a holder's own lease is released on the way out
+    VersionedDir.withLease(spark, root)(())
+    assert(!fs.exists(lease))
+  }
+
+  test("andThen runs inside the publish lease") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    var heldDuringAndThen = false
+    VersionedDir.publish(spark, root, writeV(2),
+      andThen = _ => heldDuringAndThen = fs.exists(new Path(root, "_LEASE")))
+    assert(heldDuringAndThen,
+      "post-publish maintenance must run under the lease")
+    assert(!fs.exists(new Path(root, "_LEASE")))
+  }
 }
