@@ -138,10 +138,17 @@ private[graft] object VersionedDir {
     t
   }
 
+  /** Thrown when the root's lease has a live holder — distinct from
+    * any IllegalStateException the guarded work itself may raise, so
+    * [[tryWithLease]] skips ONLY on contention. */
+  final class LeaseHeldException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Run `f` while holding the root's publish lease — for maintenance
     * that must not overlap a publisher (e.g. pool GC, which would
     * reclaim a concurrent publisher's not-yet-manifested segment
-    * writes as orphans). Throws if a live holder exists. */
+    * writes as orphans). Throws [[LeaseHeldException]] if a live
+    * holder exists. */
   def withLease[T](spark: SparkSession, root: String,
                    leaseTtlMs: Long = DefaultLeaseTtlMs)(f: => T): T = {
     val rootPath = new Path(root)
@@ -149,7 +156,7 @@ private[graft] object VersionedDir {
     fs.mkdirs(rootPath)
     val lease = new Path(rootPath, "_LEASE")
     val token = acquire(fs, lease, leaseTtlMs).getOrElse(
-      throw new IllegalStateException(
+      throw new LeaseHeldException(
         s"another publisher holds $lease; concurrent publish refused"))
     val hb = heartbeat(fs, lease, math.max(1000L, leaseTtlMs / 3))
     try f
@@ -163,7 +170,7 @@ private[graft] object VersionedDir {
                       leaseTtlMs: Long = DefaultLeaseTtlMs)
                      (f: => T): Option[T] =
     try Some(withLease(spark, root, leaseTtlMs)(f))
-    catch { case _: IllegalStateException => None }
+    catch { case _: LeaseHeldException => None }
 
   def publish(spark: SparkSession, root: String,
               write: String => Unit, retain: Int = 2,

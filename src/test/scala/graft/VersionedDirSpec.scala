@@ -90,6 +90,25 @@ class VersionedDirSpec extends SparkSpecBase {
     assert(!fs.exists(lease))
   }
 
+  test("tryWithLease skips on contention only, never on real failures") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    fs.mkdirs(new Path(root))
+    fs.create(new Path(root, "_LEASE"), false).close() // live holder
+    assert(VersionedDir.tryWithLease(spark, root)(42).isEmpty,
+      "a held lease must skip the work")
+    fs.delete(new Path(root, "_LEASE"), false)
+    assert(VersionedDir.tryWithLease(spark, root)(42).contains(42))
+    // an IllegalStateException raised by the WORK is not contention
+    intercept[IllegalStateException] {
+      VersionedDir.tryWithLease(spark, root) {
+        throw new IllegalStateException("real failure inside")
+      }
+    }
+    assert(!fs.exists(new Path(root, "_LEASE")),
+      "the lease releases even when the work fails")
+  }
+
   test("andThen runs inside the publish lease") {
     val root = newRoot()
     val fs = fsOf(root)
