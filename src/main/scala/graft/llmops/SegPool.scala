@@ -52,16 +52,21 @@ private[graft] object SegPool {
     finally out.close()
   }
 
-  /** (seg, relPath) entries of a version's manifest. A torn final line
-    * (a publisher crashed mid-flush; such a dir has no `_SUCCESS` and
-    * is reclaimed by the next publish) is skipped, never a crash. */
+  /** (seg, relPath) entries of a version's manifest. STRICT: a line
+    * without a tab fails loud — every reader of a manifest reads a
+    * COMMITTED version (gc and the pointer heal are `_SUCCESS`-gated;
+    * a crashed publisher's torn manifest lives in a dir no reader
+    * resolves), so an unparseable line in a committed manifest is
+    * corruption, and dropping it silently would let gc reclaim a LIVE
+    * segment's pool dir. */
   def readManifest(fs: FileSystem, versionDir: String): Seq[(String, String)] = {
     val in = fs.open(new Path(versionDir, ManifestName))
     val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+    txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
       line.split("\t", 2) match {
-        case Array(seg, rel) => Some((seg, rel))
-        case _ => None // torn tail of an uncommitted write
+        case Array(seg, rel) => (seg, rel)
+        case _ => throw new IllegalStateException(
+          s"corrupt manifest line in $versionDir: '$line'")
       }
     }
   }

@@ -102,9 +102,19 @@ private[graft] object VersionedDir {
         fs.getFileStatus(lease).getModificationTime
       catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry
       if (age < leaseTtlMs) None
-      else { // stale lease from a crashed publisher
-        fs.delete(lease, false)
-        if (tryCreate()) Some(token) else None // raced: the other won
+      else {
+        // stale lease from a crashed publisher: break it by ATOMIC
+        // RENAME to a tombstone — of two racing breakers exactly one
+        // rename succeeds, so the loser can never delete the winner's
+        // freshly created lease (the delete-then-create TOCTOU)
+        val tomb = new Path(lease.getParent, s"_LEASE.broken.$token")
+        val broke = try fs.rename(lease, tomb)
+        catch { case _: java.io.IOException => false }
+        if (!broke) None // the other breaker won
+        else {
+          fs.delete(tomb, false)
+          if (tryCreate()) Some(token) else None // a third arrived first
+        }
       }
     }
   }
@@ -121,16 +131,22 @@ private[graft] object VersionedDir {
     if (mine) fs.delete(lease, false)
   }
 
-  /** Keep a live holder's lease fresh: touch its mtime every ttl/3 so
-    * only a CRASHED holder ever goes stale — a slow publish (a huge
-    * distributed freeze) holds the lease for as long as it runs. */
-  private def heartbeat(fs: FileSystem, lease: Path,
+  /** Keep a live holder's lease fresh every ttl/3 so only a CRASHED
+    * holder ever goes stale — a slow publish (a huge distributed
+    * freeze) holds the lease for as long as it runs. The refresh
+    * REWRITES the lease file (same token) rather than `setTimes`:
+    * object stores ship the base FileSystem's no-op setTimes, and a
+    * silent no-op here would resurrect the exact concurrent-publish
+    * corruption the heartbeat closes. */
+  private def heartbeat(fs: FileSystem, lease: Path, token: String,
                         periodMs: Long): Thread = {
     val t = new Thread(() => {
       try while (!Thread.currentThread().isInterrupted) {
         Thread.sleep(periodMs)
-        try fs.setTimes(lease, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () } // released under us
+        try {
+          val out = fs.create(lease, true)
+          try out.write(token.getBytes(UTF_8)) finally out.close()
+        } catch { case _: java.io.IOException => () } // released under us
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-$lease")
     t.setDaemon(true)
@@ -144,13 +160,14 @@ private[graft] object VersionedDir {
   final class LeaseHeldException(msg: String)
     extends IllegalStateException(msg)
 
-  /** Run `f` while holding the root's publish lease — for maintenance
-    * that must not overlap a publisher (e.g. pool GC, which would
-    * reclaim a concurrent publisher's not-yet-manifested segment
-    * writes as orphans). Throws [[LeaseHeldException]] if a live
-    * holder exists. */
-  def withLease[T](spark: SparkSession, root: String,
-                   leaseTtlMs: Long = DefaultLeaseTtlMs)(f: => T): T = {
+  /** Acquire → heartbeat → run `f` (with a still-held fence callback)
+    * → release. The fence re-reads the lease token with a short retry
+    * (the heartbeat's rewrite is not atomic on every filesystem), so a
+    * displaced-but-alive holder can notice it was broken BEFORE making
+    * anything visible. */
+  private def withLeaseImpl[T](spark: SparkSession, root: String,
+                               leaseTtlMs: Long)
+                              (f: (() => Boolean) => T): T = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     fs.mkdirs(rootPath)
@@ -158,10 +175,29 @@ private[graft] object VersionedDir {
     val token = acquire(fs, lease, leaseTtlMs).getOrElse(
       throw new LeaseHeldException(
         s"another publisher holds $lease; concurrent publish refused"))
-    val hb = heartbeat(fs, lease, math.max(1000L, leaseTtlMs / 3))
-    try f
+    val stillHeld = () => {
+      def readTok(): Option[String] =
+        try {
+          val in = fs.open(lease)
+          try Some(new String(in.readAllBytes(), UTF_8)) finally in.close()
+        } catch { case _: java.io.IOException => None }
+      (0 until 3).exists { i =>
+        readTok().contains(token) || { Thread.sleep(50L << i); false }
+      }
+    }
+    val hb = heartbeat(fs, lease, token, math.max(1000L, leaseTtlMs / 3))
+    try f(stillHeld)
     finally { hb.interrupt(); releaseLease(fs, lease, token) }
   }
+
+  /** Run `f` while holding the root's publish lease — for maintenance
+    * that must not overlap a publisher (e.g. pool GC, which would
+    * reclaim a concurrent publisher's not-yet-manifested segment
+    * writes as orphans). Throws [[LeaseHeldException]] if a live
+    * holder exists. */
+  def withLease[T](spark: SparkSession, root: String,
+                   leaseTtlMs: Long = DefaultLeaseTtlMs)(f: => T): T =
+    withLeaseImpl(spark, root, leaseTtlMs)(_ => f)
 
   /** Best-effort [[withLease]]: None (skipped) when a live holder has
     * the lease, instead of throwing — for optional maintenance that
@@ -179,8 +215,9 @@ private[graft] object VersionedDir {
     require(retain >= 1, "retain must keep at least the current version")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    withLease(spark, root, leaseTtlMs) {
-      val v = publishLocked(spark, fs, rootPath, root, write, retain)
+    withLeaseImpl(spark, root, leaseTtlMs) { stillHeld =>
+      val v = publishLocked(spark, fs, rootPath, root, write, retain,
+        stillHeld)
       // still under the lease: post-publish maintenance that must not
       // overlap the NEXT publisher (pool GC after retention pruning)
       andThen(v)
@@ -190,7 +227,8 @@ private[graft] object VersionedDir {
 
   private def publishLocked(spark: SparkSession, fs: FileSystem,
                             rootPath: Path, root: String,
-                            write: String => Unit, retain: Int): Long = {
+                            write: String => Unit, retain: Int,
+                            stillHeld: () => Boolean = () => true): Long = {
     val prev = current(spark, root)
     val next = prev.getOrElse(0L) + 1L
     // sweep orphan pointer tmps from crashed swings before reusing
@@ -206,6 +244,13 @@ private[graft] object VersionedDir {
     write(versionPath(root, next))
     require(fs.exists(new Path(rootPath, s"v$next/_SUCCESS")),
       s"publish write for $root/v$next did not commit (_SUCCESS missing)")
+    // commit-point fence: a holder suspended past the ttl and broken
+    // by another publisher must abort BEFORE swinging the pointer —
+    // its writes stay invisible and the breaker's publish stands
+    if (!stillHeld())
+      throw new IllegalStateException(
+        s"publish lease for $root was broken before the pointer swing; " +
+          "aborting without publishing")
     val tmp = new Path(rootPath, s"_CURRENT.$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes(UTF_8)) finally out.close()

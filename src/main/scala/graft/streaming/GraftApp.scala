@@ -1540,8 +1540,14 @@ object GraftApp {
         // (filtered, distributed) and one fresh pool seg lands the
         // delta's curated additions. A zero-delta re-release publishes
         // nothing at all.
+        // which segments hold removed docs — skipped for a legacy
+        // (pre-manifest) previous version, whose migration rebuilds
+        // every segment unconditionally anyway
         val affectedSegs: Set[String] =
-          if (nRemoved == 0 || prevV.isEmpty) Set.empty
+          if (nRemoved == 0 || prevV.isEmpty ||
+              !relFs.exists(new Path(
+                VersionedDir.versionPath(docsRoot, prevV.get),
+                SegPool.ManifestName))) Set.empty
           else SegPool
             .readDocs(spark, VersionedDir.versionPath(docsRoot, prevV.get))
             .select("seg", "doc_id")
@@ -1549,6 +1555,12 @@ object GraftApp {
             .select("seg").distinct().collect()
             .map(_.get(0).toString).toSet
         val skipPublish = nNew == 0 && nRemoved == 0 && prevV.nonEmpty
+        // one ttl for EVERY lease touch of this root — the zero-delta
+        // gc must judge staleness by the same clock as the publisher
+        // it might be racing, or it would break a live long-freeze
+        // holder's lease with the default
+        val relLeaseMs = env.get("GRAFT_RELEASE_LEASE_MS").map(_.toLong)
+          .getOrElse(graft.llmops.VersionedDir.DefaultLeaseTtlMs)
         val newV = staged("freeze") {
           if (skipPublish) {
             // still reclaim orphans a crashed earlier publish may have
@@ -1556,7 +1568,7 @@ object GraftApp {
             // never race a concurrent publisher's not-yet-manifested
             // pool writes), best-effort: a held lease means a live
             // publisher whose own gc will sweep these orphans
-            VersionedDir.tryWithLease(spark, docsRoot) {
+            VersionedDir.tryWithLease(spark, docsRoot, relLeaseMs) {
               SegPool.gc(spark, docsRoot)
             }
             prevV.get
@@ -1583,7 +1595,7 @@ object GraftApp {
                   // way), and this version onward is pure manifest
                   // indirection. O(corpus) once, never again.
                   val parent = s"_segs/m$relBatch-v$v"
-                  spark.read.parquet(pvDir)
+                  spark.read.option("mergeSchema", "true").parquet(pvDir)
                     .withColumn("seg", col("seg").cast("string"))
                     .join(removedIds, Seq("doc_id"), "left_anti")
                     .withColumn("segp", col("seg"))
@@ -1699,8 +1711,7 @@ object GraftApp {
               SegPool.writeManifest(relFs, dir, entries.toSeq)
               relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
             }, retain = relRetain,
-              leaseTtlMs = env.get("GRAFT_RELEASE_LEASE_MS").map(_.toLong)
-                .getOrElse(graft.llmops.VersionedDir.DefaultLeaseTtlMs),
+              leaseTtlMs = relLeaseMs,
               // gc INSIDE the publish lease: reclaiming pool dirs no
               // retained version references must not race the next
               // publisher's not-yet-manifested segment writes

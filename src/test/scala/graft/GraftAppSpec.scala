@@ -1466,8 +1466,12 @@ class GraftAppSpec extends SparkSpecBase {
     assert(deleted.toSet == Set("s1-v2"), deleted.toString)
     assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$root/_segs/s0-v1")))
     assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/_segs/s1-v2")))
-    // a torn final line is skipped, never a MatchError
-    assert(SegPool.readManifest(hfs, s"$root/v2").map(_._1) == Seq("0", "1"))
+    // direct read of the torn manifest fails LOUD (corruption in a
+    // committed manifest must never silently drop a live segment);
+    // gc above never opened it — uncommitted dirs are _SUCCESS-gated
+    intercept[IllegalStateException] {
+      SegPool.readManifest(hfs, s"$root/v2")
+    }
   }
 
   test("release migrates a pre-manifest legacy root in one job") {

@@ -109,6 +109,29 @@ class VersionedDirSpec extends SparkSpecBase {
       "the lease releases even when the work fails")
   }
 
+  test("a displaced holder aborts before the pointer swing") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    assert(VersionedDir.publish(spark, root, writeV(1)) == 1L)
+    val lease = new Path(root, "_LEASE")
+    val e = intercept[IllegalStateException] {
+      VersionedDir.publish(spark, root, { dir =>
+        writeV(5)(dir)
+        // a breaker decided we were stale and replaced our lease
+        // while the freeze was running
+        fs.delete(lease, false)
+        val out = fs.create(lease, false)
+        out.write("breaker".getBytes("UTF-8")); out.close()
+      })
+    }
+    assert(e.getMessage.contains("before the pointer swing"), e.getMessage)
+    // nothing became visible: the pointer still resolves v1, and the
+    // breaker's lease survives our abort
+    assert(VersionedDir.currentPath(spark, root).get.endsWith("/v1"))
+    assert(fs.exists(lease))
+    fs.delete(lease, false)
+  }
+
   test("andThen runs inside the publish lease") {
     val root = newRoot()
     val fs = fsOf(root)
