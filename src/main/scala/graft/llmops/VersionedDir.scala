@@ -110,10 +110,28 @@ private[graft] object VersionedDir {
         val tomb = new Path(lease.getParent, s"_LEASE.broken.$token")
         val broke = try fs.rename(lease, tomb)
         catch { case _: java.io.IOException => false }
-        if (!broke) None // the other breaker won
-        else {
-          fs.delete(tomb, false)
-          if (tryCreate()) Some(token) else None // a third arrived first
+        if (!broke) {
+          // rename failed: either another breaker won, or the holder
+          // RELEASED between our create attempt and now — a free path
+          // must not read as contention
+          val vanished = try !fs.exists(lease)
+          catch { case _: java.io.IOException => false }
+          if (vanished && tryCreate()) Some(token) else None
+        } else {
+          // our staleness judgment itself races: if what we renamed
+          // is FRESH (a breaker-or-new-holder lease created after we
+          // measured age), hand it back and stand down
+          val tombAge = try System.currentTimeMillis() -
+            fs.getFileStatus(tomb).getModificationTime
+          catch { case _: java.io.IOException => Long.MaxValue }
+          if (tombAge < leaseTtlMs) {
+            try fs.rename(tomb, lease)
+            catch { case _: java.io.IOException => () }
+            None
+          } else {
+            fs.delete(tomb, false)
+            if (tryCreate()) Some(token) else None // a third arrived first
+          }
         }
       }
     }
@@ -141,11 +159,22 @@ private[graft] object VersionedDir {
   private def heartbeat(fs: FileSystem, lease: Path, token: String,
                         periodMs: Long): Thread = {
     val t = new Thread(() => {
-      try while (!Thread.currentThread().isInterrupted) {
+      var live = true
+      try while (live && !Thread.currentThread().isInterrupted) {
         Thread.sleep(periodMs)
         try {
-          val out = fs.create(lease, true)
-          try out.write(token.getBytes(UTF_8)) finally out.close()
+          // refresh ONLY while the lease is still ours: a displaced
+          // holder's heartbeat must never write its token back over
+          // the breaker's lease (that would defeat the fence), and it
+          // stops permanently once it sees another token
+          val in = fs.open(lease)
+          val mine = try new String(in.readAllBytes(), UTF_8) == token
+            finally in.close()
+          if (!mine) live = false
+          else {
+            val out = fs.create(lease, true)
+            try out.write(token.getBytes(UTF_8)) finally out.close()
+          }
         } catch { case _: java.io.IOException => () } // released under us
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-$lease")
@@ -181,13 +210,29 @@ private[graft] object VersionedDir {
           val in = fs.open(lease)
           try Some(new String(in.readAllBytes(), UTF_8)) finally in.close()
         } catch { case _: java.io.IOException => None }
-      (0 until 3).exists { i =>
-        readTok().contains(token) || { Thread.sleep(50L << i); false }
+      // only a POSITIVE foreign token means displaced. A transient
+      // read failure (store throttling at the worst moment) must not
+      // abort a completed multi-hour freeze — on persistent read
+      // errors fall open to the lease's own guarantee, like the
+      // pre-fence behavior
+      val verdicts = (0 until 3).iterator.map { i =>
+        val v = readTok(); if (v.isEmpty) Thread.sleep(50L << i); v
+      }.flatten
+      verdicts.nextOption() match {
+        case Some(t) => t == token
+        case None => true // unreadable: cannot disprove ownership
       }
     }
     val hb = heartbeat(fs, lease, token, math.max(1000L, leaseTtlMs / 3))
     try f(stillHeld)
-    finally { hb.interrupt(); releaseLease(fs, lease, token) }
+    finally {
+      // join BEFORE releasing: an in-flight heartbeat rewrite after
+      // the delete would resurrect an orphan lease and wedge the root
+      // for a full ttl
+      hb.interrupt()
+      try hb.join(10000L) catch { case _: InterruptedException => () }
+      releaseLease(fs, lease, token)
+    }
   }
 
   /** Run `f` while holding the root's publish lease — for maintenance
@@ -201,11 +246,12 @@ private[graft] object VersionedDir {
 
   /** Best-effort [[withLease]]: None (skipped) when a live holder has
     * the lease, instead of throwing — for optional maintenance that
-    * the next run will redo anyway. */
+    * the next run will redo anyway. `f` receives the still-held fence
+    * so destructive work can re-check ownership right before acting. */
   def tryWithLease[T](spark: SparkSession, root: String,
                       leaseTtlMs: Long = DefaultLeaseTtlMs)
-                     (f: => T): Option[T] =
-    try Some(withLease(spark, root, leaseTtlMs)(f))
+                     (f: (() => Boolean) => T): Option[T] =
+    try Some(withLeaseImpl(spark, root, leaseTtlMs)(f))
     catch { case _: LeaseHeldException => None }
 
   def publish(spark: SparkSession, root: String,
@@ -219,8 +265,11 @@ private[graft] object VersionedDir {
       val v = publishLocked(spark, fs, rootPath, root, write, retain,
         stillHeld)
       // still under the lease: post-publish maintenance that must not
-      // overlap the NEXT publisher (pool GC after retention pruning)
-      andThen(v)
+      // overlap the NEXT publisher (pool GC after retention pruning).
+      // Re-fenced: a holder displaced right after its swing must not
+      // run destructive gc against the breaker's in-flight writes —
+      // the skipped sweep is redone by the next publish
+      if (stillHeld()) andThen(v)
       v
     }
   }
@@ -228,7 +277,7 @@ private[graft] object VersionedDir {
   private def publishLocked(spark: SparkSession, fs: FileSystem,
                             rootPath: Path, root: String,
                             write: String => Unit, retain: Int,
-                            stillHeld: () => Boolean = () => true): Long = {
+                            stillHeld: () => Boolean): Long = {
     val prev = current(spark, root)
     val next = prev.getOrElse(0L) + 1L
     // sweep orphan pointer tmps from crashed swings before reusing
@@ -237,7 +286,8 @@ private[graft] object VersionedDir {
     // must start from an empty slot, not merge with dead leftovers
     if (fs.exists(rootPath)) {
       fs.listStatus(rootPath).toSeq
-        .filter(_.getPath.getName.startsWith("_CURRENT."))
+        .filter(s => s.getPath.getName.startsWith("_CURRENT.") ||
+          s.getPath.getName.startsWith("_LEASE.broken."))
         .foreach(s => fs.delete(s.getPath, false))
       fs.delete(new Path(rootPath, s"v$next"), true)
     }

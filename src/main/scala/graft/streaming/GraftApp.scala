@@ -1569,7 +1569,7 @@ object GraftApp {
             // pool writes), best-effort: a held lease means a live
             // publisher whose own gc will sweep these orphans
             VersionedDir.tryWithLease(spark, docsRoot, relLeaseMs) {
-              SegPool.gc(spark, docsRoot)
+              still => if (still()) SegPool.gc(spark, docsRoot)
             }
             prevV.get
           } else {

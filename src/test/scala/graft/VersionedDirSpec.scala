@@ -95,18 +95,39 @@ class VersionedDirSpec extends SparkSpecBase {
     val fs = fsOf(root)
     fs.mkdirs(new Path(root))
     fs.create(new Path(root, "_LEASE"), false).close() // live holder
-    assert(VersionedDir.tryWithLease(spark, root)(42).isEmpty,
+    assert(VersionedDir.tryWithLease(spark, root)(_ => 42).isEmpty,
       "a held lease must skip the work")
     fs.delete(new Path(root, "_LEASE"), false)
-    assert(VersionedDir.tryWithLease(spark, root)(42).contains(42))
+    assert(VersionedDir.tryWithLease(spark, root)(_ => 42).contains(42))
     // an IllegalStateException raised by the WORK is not contention
     intercept[IllegalStateException] {
-      VersionedDir.tryWithLease(spark, root) {
+      VersionedDir.tryWithLease(spark, root) { _ =>
         throw new IllegalStateException("real failure inside")
       }
     }
     assert(!fs.exists(new Path(root, "_LEASE")),
       "the lease releases even when the work fails")
+  }
+
+  test("a displaced holder's heartbeat never rewrites the breaker's lease") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    val lease = new Path(root, "_LEASE")
+    VersionedDir.withLease(spark, root, leaseTtlMs = 3000L) {
+      // a breaker replaced our lease; our heartbeat (1 s period at
+      // this ttl) must see the foreign token and stop, not clobber it
+      fs.delete(lease, false)
+      val out = fs.create(lease, false)
+      out.write("breaker".getBytes("UTF-8")); out.close()
+      Thread.sleep(2500L)
+      val in = fs.open(lease)
+      val content =
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      assert(content == "breaker",
+        "heartbeat must stop once the lease carries another token")
+    }
+    assert(fs.exists(lease), "the breaker's lease survives our release")
+    fs.delete(lease, false)
   }
 
   test("a displaced holder aborts before the pointer swing") {
