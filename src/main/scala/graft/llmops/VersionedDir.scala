@@ -107,6 +107,12 @@ private[graft] object VersionedDir {
         // RENAME to a tombstone — of two racing breakers exactly one
         // rename succeeds, so the loser can never delete the winner's
         // freshly created lease (the delete-then-create TOCTOU)
+        def readAt(p: Path): Option[String] =
+          try {
+            val in = fs.open(p)
+            try Some(new String(in.readAllBytes(), UTF_8)) finally in.close()
+          } catch { case _: java.io.IOException => None }
+        val staleTok = readAt(lease) // the token we judged stale
         val tomb = new Path(lease.getParent, s"_LEASE.broken.$token")
         val broke = try fs.rename(lease, tomb)
         catch { case _: java.io.IOException => false }
@@ -118,15 +124,19 @@ private[graft] object VersionedDir {
           catch { case _: java.io.IOException => false }
           if (vanished && tryCreate()) Some(token) else None
         } else {
-          // our staleness judgment itself races: if what we renamed
-          // is FRESH (a breaker-or-new-holder lease created after we
-          // measured age), hand it back and stand down
-          val tombAge = try System.currentTimeMillis() -
-            fs.getFileStatus(tomb).getModificationTime
-          catch { case _: java.io.IOException => Long.MaxValue }
-          if (tombAge < leaseTtlMs) {
-            try fs.rename(tomb, lease)
-            catch { case _: java.io.IOException => () }
+          // our staleness judgment itself races: revalidate by
+          // CONTENT (rename-invariant — object-store renames are
+          // copy+delete and reset mtime, so an mtime check would make
+          // a stale lease unbreakable there). If what we renamed no
+          // longer carries the token we judged stale, a new holder
+          // raced in: hand its lease back and stand down; if the
+          // hand-back loses a further race (a third acquirer took the
+          // path), drop the tomb — that holder will fence-abort.
+          val fresh = staleTok.isEmpty || !readAt(tomb).exists(_ == staleTok.get)
+          if (fresh) {
+            val handedBack = try fs.rename(tomb, lease)
+            catch { case _: java.io.IOException => false }
+            if (!handedBack) fs.delete(tomb, false)
             None
           } else {
             fs.delete(tomb, false)
@@ -166,7 +176,13 @@ private[graft] object VersionedDir {
           // refresh ONLY while the lease is still ours: a displaced
           // holder's heartbeat must never write its token back over
           // the breaker's lease (that would defeat the fence), and it
-          // stops permanently once it sees another token
+          // stops permanently once it sees another token. The
+          // check-then-write NARROWS the overwrite window to one
+          // read-to-write gap, it cannot close it (no CAS on a
+          // filesystem); the commit-point fence is the backstop. A
+          // MISSING lease is deliberately not re-created: it may mean
+          // we were broken-and-swept, and the fence fails closed on a
+          // persistently missing lease.
           val in = fs.open(lease)
           val mine = try new String(in.readAllBytes(), UTF_8) == token
             finally in.close()
@@ -205,23 +221,47 @@ private[graft] object VersionedDir {
       throw new LeaseHeldException(
         s"another publisher holds $lease; concurrent publish refused"))
     val stillHeld = () => {
-      def readTok(): Option[String] =
+      // verdict rules, in order of evidence strength:
+      //  - our own token on ANY read        -> held
+      //  - a STABLE foreign token (the last retry still reads one,
+      //    ruling out torn bytes from our own heartbeat's non-atomic
+      //    rewrite)                          -> displaced
+      //  - persistently MISSING (FNF x3)     -> displaced: the lease
+      //    is definitively gone (broken and already swept), not
+      //    throttled — fail closed
+      //  - transient read ERRORS only        -> fail open to the
+      //    lease's own guarantee; a throttling burst at the commit
+      //    point must not discard a completed multi-hour freeze
+      sealed trait R
+      case object Mine extends R; case class Foreign(t: String) extends R
+      case object Missing extends R; case object Err extends R
+      def readTok(): R =
         try {
           val in = fs.open(lease)
-          try Some(new String(in.readAllBytes(), UTF_8)) finally in.close()
-        } catch { case _: java.io.IOException => None }
-      // only a POSITIVE foreign token means displaced. A transient
-      // read failure (store throttling at the worst moment) must not
-      // abort a completed multi-hour freeze — on persistent read
-      // errors fall open to the lease's own guarantee, like the
-      // pre-fence behavior
-      val verdicts = (0 until 3).iterator.map { i =>
-        val v = readTok(); if (v.isEmpty) Thread.sleep(50L << i); v
-      }.flatten
-      verdicts.nextOption() match {
-        case Some(t) => t == token
-        case None => true // unreadable: cannot disprove ownership
+          val t = try new String(in.readAllBytes(), UTF_8) finally in.close()
+          if (t == token) Mine
+          else if (t.isEmpty) Err // mid-rewrite truncation: in flux
+          else Foreign(t)
+        } catch {
+          case _: java.io.FileNotFoundException => Missing
+          case _: java.io.IOException => Err
+        }
+      var i = 0
+      var out: Option[Boolean] = None
+      var last: R = Err
+      while (i < 3 && out.isEmpty) {
+        last = readTok()
+        last match {
+          case Mine => out = Some(true)
+          case _ if i < 2 => Thread.sleep(50L << i)
+          case _ => ()
+        }
+        i += 1
       }
+      out.getOrElse(last match {
+        case Foreign(_) | Missing => false
+        case _ => true
+      })
     }
     val hb = heartbeat(fs, lease, token, math.max(1000L, leaseTtlMs / 3))
     try f(stillHeld)
@@ -263,7 +303,7 @@ private[graft] object VersionedDir {
     val fs = fsOf(spark, rootPath)
     withLeaseImpl(spark, root, leaseTtlMs) { stillHeld =>
       val v = publishLocked(spark, fs, rootPath, root, write, retain,
-        stillHeld)
+        stillHeld, leaseTtlMs)
       // still under the lease: post-publish maintenance that must not
       // overlap the NEXT publisher (pool GC after retention pruning).
       // Re-fenced: a holder displaced right after its swing must not
@@ -277,7 +317,8 @@ private[graft] object VersionedDir {
   private def publishLocked(spark: SparkSession, fs: FileSystem,
                             rootPath: Path, root: String,
                             write: String => Unit, retain: Int,
-                            stillHeld: () => Boolean): Long = {
+                            stillHeld: () => Boolean,
+                            leaseTtlMs: Long): Long = {
     val prev = current(spark, root)
     val next = prev.getOrElse(0L) + 1L
     // sweep orphan pointer tmps from crashed swings before reusing
@@ -285,9 +326,17 @@ private[graft] object VersionedDir {
     // that assemble the dir file-by-file (copies + multiple commits)
     // must start from an empty slot, not merge with dead leftovers
     if (fs.exists(rootPath)) {
+      val now = System.currentTimeMillis()
       fs.listStatus(rootPath).toSeq
-        .filter(s => s.getPath.getName.startsWith("_CURRENT.") ||
-          s.getPath.getName.startsWith("_LEASE.broken."))
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith("_CURRENT.") ||
+            // only AGED tombstones: a fresh one may belong to a
+            // concurrent breaker mid-revalidation — deleting it under
+            // its feet would let it mis-read its rename as stale
+            (n.startsWith("_LEASE.broken.") &&
+              now - s.getModificationTime >= leaseTtlMs)
+        }
         .foreach(s => fs.delete(s.getPath, false))
       fs.delete(new Path(rootPath, s"v$next"), true)
     }
