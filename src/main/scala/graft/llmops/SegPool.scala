@@ -39,8 +39,13 @@ private[graft] object SegPool {
 
   /** Pool path (relative to the docs root) for segment `seg` as
     * (re)built by version `v` — version-stamped so a rebuild never
-    * overwrites a dir an older retained version still references. */
-  def poolRel(seg: String, v: Long): String = s"_segs/s$seg-v$v"
+    * overwrites a dir an older retained version still references, and
+    * nonce-stamped per publish ATTEMPT ([[VersionedDir.stagedNonce]])
+    * so a displaced-but-alive publisher's writes can never land on the
+    * committed attempt's pool dirs (losers are unreferenced by any
+    * manifest and reclaimed by [[gc]]). */
+  def poolRel(seg: String, v: Long, nonce: String): String =
+    s"_segs/s$seg-v$v-$nonce"
 
   /** Write a version's manifest: one `seg<TAB>relPath` line per
     * segment. A driver-side O(#segments) metadata write. */
@@ -69,6 +74,45 @@ private[graft] object SegPool {
           s"corrupt manifest line in $versionDir: '$line'")
       }
     }
+  }
+
+  val SourcesName = "SOURCES"
+
+  /** Write a version's per-segment source counts: one
+    * `seg<TAB>source<TAB>n` line per (segment, source) pair, next to
+    * the MANIFEST. Written at freeze time from the segments being
+    * written ANYWAY (rebuilt/fresh parents) plus the previous version's
+    * carried-forward rows, so the per-release report never scans the
+    * assembled corpus — the funnel's per-source counts become one
+    * driver-side metadata read. Fields are URL-encoded so a source tag
+    * containing a tab or newline cannot tear the format. */
+  def writeSources(fs: FileSystem, versionDir: String,
+                   rows: Seq[(String, String, Long)]): Unit = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, UTF_8)
+    val out = fs.create(new Path(versionDir, SourcesName), true)
+    try out.write(rows.map { case (seg, src, n) =>
+      s"${enc(seg)}\t${enc(src)}\t$n" }.mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** (seg, source, n) rows of a version's SOURCES sidecar; None when
+    * the version predates the sidecar (legacy — callers fall back to
+    * one pruned column scan). Strict like [[readManifest]]: a torn
+    * line in a committed sidecar is corruption, not noise. */
+  def readSources(fs: FileSystem,
+                  versionDir: String): Option[Seq[(String, String, Long)]] = {
+    val p = new Path(versionDir, SourcesName)
+    if (!fs.exists(p)) return None
+    def dec(s: String) = java.net.URLDecoder.decode(s, UTF_8)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    Some(txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t", 3) match {
+        case Array(seg, src, n) => (dec(seg), dec(src), n.toLong)
+        case _ => throw new IllegalStateException(
+          s"corrupt SOURCES line in $versionDir: '$line'")
+      }
+    })
   }
 
   /** Read a docs dir, resolving a MANIFEST if present (a SegPool

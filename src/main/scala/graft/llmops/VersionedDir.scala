@@ -29,13 +29,41 @@ import org.apache.spark.sql.SparkSession
   *     against a complete dir and a rolled-back consumer (e.g. a shard
   *     manifest still referencing the prior release) stays servable.
   *
-  * Crash matrix: during v<N> write → CURRENT untouched, partial dir has
-  * no `_SUCCESS`, reclaimed next publish. After write, before swing →
-  * CURRENT still names v<N-1> (complete). During swing → fallback
-  * resolves v<N> (complete). After swing → done; at worst an orphan
-  * `_CURRENT.<N>` tmp remains, swept by the next publish.
+  * Crash matrix: during the staged write → CURRENT untouched, the
+  * attempt-unique `_v<N>-<nonce>` staging dir has no committed rename,
+  * swept (age-gated) by the next publish. After the staging rename,
+  * before swing → CURRENT still names v<N-1> (complete). During swing →
+  * fallback resolves v<N> (complete). After swing → done; at worst an
+  * orphan `_CURRENT.<N>` tmp remains, swept by the next publish.
+  *
+  * **Filesystem requirements.** Mutual exclusion and the commit rename
+  * assume atomic `create(…, overwrite=false)` and atomic `rename` —
+  * true on HDFS, local filesystems, and ABFS. On a raw object store
+  * without those primitives (e.g. S3A, where create-exclusive is
+  * HEAD+PUT and rename is copy+delete) the lease is only ADVISORY: two
+  * acquirers can both "win". Run the root on a strongly-consistent
+  * filesystem, or front the store with a layer providing conditional
+  * writes (S3 If-None-Match / a commit service) before relying on the
+  * single-publisher guarantee there.
   */
 private[graft] object VersionedDir {
+
+  /** Publish-protocol observability: how often leases were taken,
+    * contended, broken as stale, how often a displaced holder's
+    * heartbeat stood down, and how often the commit-point fence
+    * aborted a publish — the counters a nightly-release operator
+    * watches to notice contention (exposed via the /metrics server
+    * next to the curate funnel counters). */
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def bump(name: String): Unit =
+    counters.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+  def metricsSnapshot(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    counters.asScala.map { case (k, v) =>
+      s"graft_publish_${k}_total" -> v.get.toDouble }.toMap
+  }
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -68,8 +96,15 @@ private[graft] object VersionedDir {
     current(spark, root).map(v => versionPath(root, v))
 
   /** Publish the next version: `write(dir)` must leave a
-    * Spark-committed dir (with `_SUCCESS`) at `dir`; the pointer swings
-    * only after it returns. Returns the published version id.
+    * Spark-committed dir (with `_SUCCESS`) at `dir`. `dir` is an
+    * ATTEMPT-UNIQUE staging path (`_v<N>-<nonce>`, see
+    * [[stagedVersion]]/[[stagedNonce]]): only after the write commits
+    * AND the commit-point fence confirms the lease is still held does
+    * the staging dir atomically rename to `v<N>` and the pointer
+    * swing — so a displaced-but-alive holder's writes can never
+    * overwrite a committed version's files (they land in its own
+    * orphan staging dir, swept age-gated by the next publish).
+    * Returns the published version id.
     *
     * Single-publisher guard: a create-exclusive `_LEASE` file is taken
     * before any slot is claimed, so two publishers racing on the same
@@ -96,7 +131,7 @@ private[graft] object VersionedDir {
         try out.write(token.getBytes(UTF_8)) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (tryCreate()) Some(token)
+    if (tryCreate()) { bump("lease_acquired"); Some(token) }
     else {
       val age = try System.currentTimeMillis() -
         fs.getFileStatus(lease).getModificationTime
@@ -122,7 +157,8 @@ private[graft] object VersionedDir {
           // must not read as contention
           val vanished = try !fs.exists(lease)
           catch { case _: java.io.IOException => false }
-          if (vanished && tryCreate()) Some(token) else None
+          if (vanished && tryCreate()) { bump("lease_acquired"); Some(token) }
+          else None
         } else {
           // our staleness judgment itself races: revalidate by
           // CONTENT (rename-invariant — object-store renames are
@@ -140,7 +176,9 @@ private[graft] object VersionedDir {
             None
           } else {
             fs.delete(tomb, false)
-            if (tryCreate()) Some(token) else None // a third arrived first
+            bump("lease_broken")
+            if (tryCreate()) { bump("lease_acquired"); Some(token) }
+            else None // a third arrived first
           }
         }
       }
@@ -186,7 +224,7 @@ private[graft] object VersionedDir {
           val in = fs.open(lease)
           val mine = try new String(in.readAllBytes(), UTF_8) == token
             finally in.close()
-          if (!mine) live = false
+          if (!mine) { bump("heartbeat_displaced"); live = false }
           else {
             val out = fs.create(lease, true)
             try out.write(token.getBytes(UTF_8)) finally out.close()
@@ -217,9 +255,11 @@ private[graft] object VersionedDir {
     val fs = fsOf(spark, rootPath)
     fs.mkdirs(rootPath)
     val lease = new Path(rootPath, "_LEASE")
-    val token = acquire(fs, lease, leaseTtlMs).getOrElse(
+    val token = acquire(fs, lease, leaseTtlMs).getOrElse {
+      bump("lease_contended")
       throw new LeaseHeldException(
-        s"another publisher holds $lease; concurrent publish refused"))
+        s"another publisher holds $lease; concurrent publish refused")
+    }
     val stillHeld = () => {
       // verdict rules, in order of evidence strength:
       //  - our own token on ANY read        -> held
@@ -294,6 +334,47 @@ private[graft] object VersionedDir {
     try Some(withLeaseImpl(spark, root, leaseTtlMs)(f))
     catch { case _: LeaseHeldException => None }
 
+  /** [[withLease]] that ALSO hands `f` the still-held fence — for a
+    * publisher that does long preparatory work (a chunked release
+    * intake) under ONE lease spanning snapshot → intake → publish, so
+    * no second publisher can interleave between its version snapshot
+    * and its pointer swing. Pair with [[publishHeld]] for the publish
+    * step; re-check the fence between long stages so a displaced
+    * holder stops writing at the next stage boundary. */
+  def withLeaseFenced[T](spark: SparkSession, root: String,
+                         leaseTtlMs: Long = DefaultLeaseTtlMs)
+                        (f: (() => Boolean) => T): T =
+    withLeaseImpl(spark, root, leaseTtlMs)(f)
+
+  /** [[publish]] for a caller ALREADY inside [[withLeaseFenced]] on the
+    * same root (publish itself would re-acquire and self-conflict).
+    * `stillHeld` must be the fence that [[withLeaseFenced]] provided. */
+  def publishHeld(spark: SparkSession, root: String,
+                  write: String => Unit, retain: Int,
+                  stillHeld: () => Boolean,
+                  leaseTtlMs: Long = DefaultLeaseTtlMs): Long = {
+    require(retain >= 1, "retain must keep at least the current version")
+    val rootPath = new Path(root)
+    publishLocked(spark, fsOf(spark, rootPath), rootPath, root, write,
+      retain, stillHeld, leaseTtlMs)
+  }
+
+  /** Version number of a staged publish dir (`_v<N>-<nonce>`), as
+    * handed to the `write` callback. */
+  def stagedVersion(stageDir: String): Long = {
+    val n = new Path(stageDir).getName.stripPrefix("_v")
+    n.substring(0, n.lastIndexOf('-')).toLong
+  }
+
+  /** Attempt nonce of a staged publish dir — embed it in every path
+    * the write callback creates OUTSIDE the staging dir (shared pool
+    * parents), so a displaced-but-alive holder's writes can never land
+    * on a committed attempt's paths. */
+  def stagedNonce(stageDir: String): String = {
+    val n = new Path(stageDir).getName
+    n.substring(n.lastIndexOf('-') + 1)
+  }
+
   def publish(spark: SparkSession, root: String,
               write: String => Unit, retain: Int = 2,
               leaseTtlMs: Long = DefaultLeaseTtlMs,
@@ -321,35 +402,44 @@ private[graft] object VersionedDir {
                             leaseTtlMs: Long): Long = {
     val prev = current(spark, root)
     val next = prev.getOrElse(0L) + 1L
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     // sweep orphan pointer tmps from crashed swings before reusing
-    // names, and clear a crashed partial v<next> wholesale — writers
-    // that assemble the dir file-by-file (copies + multiple commits)
-    // must start from an empty slot, not merge with dead leftovers
+    // names, plus AGED staging dirs and lease tombstones: a fresh
+    // tombstone may belong to a concurrent breaker mid-revalidation,
+    // and a fresh staging dir to a just-displaced zombie mid-write —
+    // age-gating keeps both sweeps off live actors' feet
     if (fs.exists(rootPath)) {
       val now = System.currentTimeMillis()
       fs.listStatus(rootPath).toSeq
         .filter { s =>
           val n = s.getPath.getName
           n.startsWith("_CURRENT.") ||
-            // only AGED tombstones: a fresh one may belong to a
-            // concurrent breaker mid-revalidation — deleting it under
-            // its feet would let it mis-read its rename as stale
-            (n.startsWith("_LEASE.broken.") &&
+            ((n.startsWith("_LEASE.broken.") || n.startsWith("_v")) &&
               now - s.getModificationTime >= leaseTtlMs)
         }
-        .foreach(s => fs.delete(s.getPath, false))
-      fs.delete(new Path(rootPath, s"v$next"), true)
+        .foreach(s => fs.delete(s.getPath, true))
     }
-    write(versionPath(root, next))
-    require(fs.exists(new Path(rootPath, s"v$next/_SUCCESS")),
-      s"publish write for $root/v$next did not commit (_SUCCESS missing)")
+    // ATTEMPT-UNIQUE staging: the write lands in _v<next>-<nonce>, a
+    // path no other attempt (a zombie displaced mid-freeze, a breaker
+    // re-running the same slot) ever computes — commit is one rename
+    val stage = new Path(rootPath, s"_v$next-$nonce")
+    write(stage.toString)
+    require(fs.exists(new Path(stage, "_SUCCESS")),
+      s"publish write for $stage did not commit (_SUCCESS missing)")
     // commit-point fence: a holder suspended past the ttl and broken
-    // by another publisher must abort BEFORE swinging the pointer —
-    // its writes stay invisible and the breaker's publish stands
-    if (!stillHeld())
+    // by another publisher must abort BEFORE making anything visible —
+    // its staging dir stays an orphan and the breaker's publish stands
+    if (!stillHeld()) {
+      bump("fence_abort")
       throw new IllegalStateException(
         s"publish lease for $root was broken before the pointer swing; " +
           "aborting without publishing")
+    }
+    // the fence passed, so we own the slot: clear dead debris at the
+    // final name (a pre-staging-era partial write), then commit
+    fs.delete(new Path(rootPath, s"v$next"), true)
+    require(fs.rename(stage, new Path(rootPath, s"v$next")),
+      s"commit rename $stage -> $root/v$next failed")
     val tmp = new Path(rootPath, s"_CURRENT.$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes(UTF_8)) finally out.close()
@@ -358,6 +448,15 @@ private[graft] object VersionedDir {
     fs.rename(tmp, cur)
     committedVersions(fs, rootPath).filter(_ <= next - retain)
       .foreach(v => fs.delete(new Path(rootPath, s"v$v"), true))
+    bump("publish")
     next
+  }
+
+  /** All committed (complete, `_SUCCESS`-marked) versions still on
+    * disk, ascending — the retained history a diagnostic (doc-fate's
+    * per-version membership) walks. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    committedVersions(fsOf(spark, rootPath), rootPath)
   }
 }

@@ -277,6 +277,13 @@ object GraftApp {
     * O(changed segments) publish contract. */
   @volatile var lastFreezePlan: (Seq[String], Seq[String]) = (Nil, Nil)
 
+  /** Whether the last release's per-source report had to SCAN the
+    * assembled corpus (true only for versions predating the SOURCES
+    * sidecar) instead of folding the sidecar's per-seg counts on the
+    * driver. Spec-pinned false on the sidecar path: the report stage
+    * must launch no job over the corpus. */
+  @volatile var lastReportScan: Boolean = false
+
   /** GRAFT_TABLE_KEYS: "c1,c2" for every table, or "tbl=c1,c2;tbl2=c3". */
   private def tableKeys(env: Map[String, String], table: String): Seq[String] =
     env.get("GRAFT_TABLE_KEYS").map { s =>
@@ -472,8 +479,13 @@ object GraftApp {
         val metrics =
           if (metricsPort < 0) None
           // curate mode also exposes the per-trigger funnel counters
+          // and the publish-lease protocol counters (leases acquired/
+          // contended/broken, heartbeat displacements, fence aborts) —
+          // the signal an operator running nightly releases watches to
+          // notice publisher contention
           else Some(new MetricsServer(listener, metricsPort,
-            () => graft.llmops.StreamingCurate.metricsSnapshot()).start())
+            () => graft.llmops.StreamingCurate.metricsSnapshot() ++
+              graft.llmops.VersionedDir.metricsSnapshot()).start())
         listener.setDestinationConnected("curate-store", connected = true)
         val docs = spark.readStream
           .schema("doc_id LONG, source STRING, text STRING")
@@ -1380,19 +1392,23 @@ object GraftApp {
         // re-classified as new exactly once (its later processed-ledger
         // entry outranks the retraction).
         // Layout under GRAFT_RELEASE_OUT:
-        //   docs/v<N>/MANIFEST  crash-safe frozen corpus (VersionedDir
-        //     + SegPool manifest indirection): a version LISTS its
-        //     segments; unchanged segments are REFERENCED from the
-        //     shared docs/_segs pool (zero bytes moved), segments
-        //     holding removed docs rebuild filtered, one fresh pool
-        //     seg holds this release's curated additions; refcount GC
-        //     reclaims pool dirs no retained version references. A
-        //     zero-delta re-release publishes NO new version.
+        //   docs/v<N>/MANIFEST+SOURCES  crash-safe frozen corpus
+        //     (VersionedDir + SegPool manifest indirection): a version
+        //     LISTS its segments; unchanged segments are REFERENCED
+        //     from the shared docs/_segs pool (zero bytes moved),
+        //     segments holding removed docs rebuild filtered, one fresh
+        //     pool seg holds this release's curated additions; SOURCES
+        //     carries per-seg (source, n) rows so the funnel report is
+        //     metadata-only; refcount GC reclaims pool dirs no retained
+        //     version references. A zero-delta re-release publishes NO
+        //     new version.
         //   _curate/         StreamingCurate dedup stores + the
-        //     processed/retracted id ledgers (delta detection)
+        //     processed/retracted id ledgers (delta detection);
+        //     _curate/_delta stages a chunked release's delta payload
+        //     (one raw-corpus read total, reclaimed after intake)
         //   shards/ _report/ as before (emit-shards delegation; the
         //     funnel report derives from applyBatch's own stage
-        //     counters + parquet footer metadata — no corpus-sized
+        //     counters + the SOURCES sidecar — no corpus-sized
         //     driver count() actions remain)
         val docsDir = env.getOrElse("GRAFT_RELEASE_DOCS",
           throw new IllegalArgumentException("GRAFT_RELEASE_DOCS is required"))
@@ -1407,391 +1423,501 @@ object GraftApp {
         import graft.llmops.{SegPool, VersionedDir}
         val relFs = new Path(relOut)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val prevV = VersionedDir.current(spark, docsRoot)
-        val relBatch = prevV.getOrElse(0L)
-        val raw = graft.llmops.SegPool.readDocs(spark, docsDir)
-        val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-        def staged[T](name: String)(f: => T): T = {
-          val t0 = System.nanoTime()
-          val r = f
-          stageSecs(name) = (System.nanoTime() - t0) / 1e9
-          r
-        }
-        // delta detection: ids-only and column-pruned — the only
-        // full-corpus touch is ONE doc_id scan (checkpointed; nRaw
-        // rides it), never a payload read. Ledgers carry their batch
-        // id so a retracted-then-resubmitted doc is live again the
-        // moment a LATER release re-processes it — classified as new
-        // exactly once, no perpetual reprocessing, no ledger rewrite.
-        // Ledger dirs carry the release batch id BOTH as the dir name
-        // and as a per-row `b` column: `curate-store` compaction folds
-        // old dirs together (BatchDirFold), and only the per-row id
-        // keeps processed-vs-retracted ORDERING exact across the merge
-        // (a doc processed at b0 and retracted at b5 must not read as
-        // processed-at-the-fold-dir's-name > 5 and resurrect). The
-        // coalesce covers pre-column legacy dirs.
-        def idLedger(kind: String): org.apache.spark.sql.DataFrame = {
-          val dir = new Path(curStore, kind)
-          // an interrupted ledger fold may hold the only copy in _fold
-          graft.llmops.BatchDirFold.heal(spark, dir)
-          val dirs =
-            if (!relFs.exists(dir)) Seq.empty
-            else relFs.listStatus(dir).toSeq
-              .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-              .map(s => (s.getPath.getName.stripPrefix("b").toLong,
-                s.getPath.toString))
-          if (dirs.isEmpty)
-            spark.range(0).select(col("id").as("doc_id"), lit(0L).as("b"))
-          else dirs.map { case (b, d) =>
-            spark.read.schema("doc_id LONG, b LONG").parquet(d)
-              .select(col("doc_id"),
-                org.apache.spark.sql.functions.coalesce(col("b"), lit(b))
-                  .as("b"))
-          }.reduce(_ unionByName _)
-        }
-        val (rawIds, nRaw, liveLedger, newIds, removedIds, nNew, nRemoved) =
-          staged("delta_detect") {
-            val rawIds = raw.select(col("doc_id").cast("long").as("doc_id"))
-              .localCheckpoint(false)
-            val nRaw = rawIds.count()
-            val liveLedger = idLedger("processed")
-              .groupBy("doc_id").agg(max("b").as("pb"))
-              .join(idLedger("retracted")
-                .groupBy("doc_id").agg(max("b").as("rb")),
-                Seq("doc_id"), "left")
-              .filter(col("rb").isNull || col("pb") > col("rb"))
-              .select("doc_id").localCheckpoint(false)
-            val newIds = rawIds.join(liveLedger, Seq("doc_id"), "left_anti")
-              .localCheckpoint(true)
-            val removedIds = liveLedger.join(rawIds, Seq("doc_id"), "left_anti")
-              .localCheckpoint(true)
-            (rawIds, nRaw, liveLedger, newIds, removedIds,
-              newIds.count(), removedIds.count())
-          }
-        // delta payload fetch: broadcast the id set while driver-safe
-        // so the raw scan stays shuffle-free; id-hash join beyond that
-        val newDocs =
-          if (nNew <= 4000000L) raw.join(broadcast(newIds), "doc_id")
-          else raw.join(newIds, "doc_id")
-        // the delta runs through applyBatch — the same operator the
-        // oracle-pinned llm_curate queries and the streaming intake
-        // run; its per-stage counters ARE the funnel report (snapshot
-        // diff). Deltas above GRAFT_RELEASE_BATCH_DOCS (def 5M docs —
-        // a COLD release's delta is the whole corpus) split into
-        // bounded sequential intake chunks in ascending doc_id order:
-        // the streaming-parity contract makes the end state IDENTICAL
-        // to the one-shot batch (earlier chunks become store-side for
-        // later ones), while the within-chunk LSH self-join, the
-        // Jaccard-verify working set and executor memory are bounded
-        // by the chunk size at ANY corpus size. Chunk boundaries come
-        // from the materialized id set (deterministic sort +
-        // zipWithIndex, O(chunks) driver values), so a crash-retry
-        // replays the same chunks into the same b-dirs. Store batch
-        // ids are relBatch*65536 + chunk — monotonic across releases,
-        // so prior-release reads and the current-batch-exclusion rule
-        // are untouched. Each chunk re-scans the raw corpus with its
-        // id-range pushed down (an id-clustered raw layout prunes it
-        // to ~the chunk; the alternative — materializing the whole
-        // delta's payload — is the corpus-sized write this verb
-        // avoids).
-        val relBatchDocs = env.get("GRAFT_RELEASE_BATCH_DOCS")
-          .map(_.toLong).getOrElse(5000000L)
-        val nChunks = math.min(65536L,
-          math.max(1L, (nNew + relBatchDocs - 1) / relBatchDocs)).toInt
-        val chunkBounds: Seq[Long] =
-          if (nChunks == 1) Seq.empty
-          else {
-            import spark.implicits._
-            newIds.orderBy("doc_id").select("doc_id").as[Long].rdd
-              .zipWithIndex
-              .filter { case (_, i) => i > 0 && i % relBatchDocs == 0 }
-              .map(_._1).collect().toSeq.sorted
-          }
-        val chunkBase = relBatch * 65536L
-        val mBefore = graft.llmops.StreamingCurate.metricsSnapshot()
-        staged("apply_delta") {
-          if (nNew > 0) (0 until nChunks).foreach { i =>
-            val lo = if (i == 0) None else Some(chunkBounds(i - 1))
-            val hi = if (i == nChunks - 1) None else Some(chunkBounds(i))
-            val chunk = newDocs.filter(
-              lo.map(col("doc_id") >= _).getOrElse(lit(true)) &&
-                hi.map(col("doc_id") < _).getOrElse(lit(true)))
-            graft.llmops.StreamingCurate.applyBatch(chunk, curStore,
-              chunkBase + i,
-              blockRewrite = env.get("GRAFT_RELEASE_BLOCKS").contains("1"),
-              decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
-              sketchDir = env.get("GRAFT_RELEASE_SKETCH"),
-              modelDir = env.get("GRAFT_RELEASE_MODEL"),
-              jaccard = thr, decontamMinShared = relMinShared,
-              maxPerBucket = env.get("GRAFT_RELEASE_MAXBUCKET").map(_.toInt))
-          }
-        }
-        val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
-        def stageN(st: String): Long = {
-          val k = "graft_curate_stage_docs_total{stage=\"" + st + "\"}"
-          (mAfter.getOrElse(k, 0.0) - mBefore.getOrElse(k, 0.0)).toLong
-        }
-        // assemble + publish docs v<next> as a MANIFEST version
-        // (SegPool): the PREVIOUS version is the canonical corpus (all
-        // prior retractions already applied, and independent of any
-        // curate-store fold). Untouched segments are REFERENCED from
-        // the shared pool — zero bytes move for them, on any
-        // filesystem; only segments holding removed docs rebuild
-        // (filtered, distributed) and one fresh pool seg lands the
-        // delta's curated additions. A zero-delta re-release publishes
-        // nothing at all.
-        // which segments hold removed docs — skipped for a legacy
-        // (pre-manifest) previous version, whose migration rebuilds
-        // every segment unconditionally anyway
-        val affectedSegs: Set[String] =
-          if (nRemoved == 0 || prevV.isEmpty ||
-              !relFs.exists(new Path(
-                VersionedDir.versionPath(docsRoot, prevV.get),
-                SegPool.ManifestName))) Set.empty
-          else SegPool
-            .readDocs(spark, VersionedDir.versionPath(docsRoot, prevV.get))
-            .select("seg", "doc_id")
-            .join(removedIds, Seq("doc_id"))
-            .select("seg").distinct().collect()
-            .map(_.get(0).toString).toSet
-        val skipPublish = nNew == 0 && nRemoved == 0 && prevV.nonEmpty
-        // one ttl for EVERY lease touch of this root — the zero-delta
-        // gc must judge staleness by the same clock as the publisher
-        // it might be racing, or it would break a live long-freeze
-        // holder's lease with the default
+        // one ttl for EVERY lease touch of this root — every actor on
+        // the root must judge staleness by the same clock, or a gc/
+        // publisher would break a live long-freeze holder's lease
         val relLeaseMs = env.get("GRAFT_RELEASE_LEASE_MS").map(_.toLong)
           .getOrElse(graft.llmops.VersionedDir.DefaultLeaseTtlMs)
-        val newV = staged("freeze") {
-          if (skipPublish) {
-            // still reclaim orphans a crashed earlier publish may have
-            // left in the pool — under the publish lease (gc must
-            // never race a concurrent publisher's not-yet-manifested
-            // pool writes), best-effort: a held lease means a live
-            // publisher whose own gc will sweep these orphans
-            VersionedDir.tryWithLease(spark, docsRoot, relLeaseMs) {
-              still => if (still()) SegPool.gc(spark, docsRoot)
+        // ONE publish lease spans the whole verb — previous-version
+        // snapshot, delta detection, chunked intake, freeze, ledgers:
+        // the snapshot (and the batch/ledger ids derived from it) can
+        // never go stale against a concurrent publisher, because two
+        // releases on one root serialize UP FRONT — the loser fails
+        // cleanly (LeaseHeldException, retryable) before touching any
+        // store, instead of publishing a manifest derived from a stale
+        // lineage or overwriting the winner's ledger dirs. The lease
+        // heartbeat keeps a multi-hour run fresh; long stages re-check
+        // the fence so a displaced-but-alive holder stops writing at
+        // the next stage boundary instead of racing its breaker.
+        def relFence(relHeld: () => Boolean, at: String): Unit =
+          if (!relHeld()) throw new IllegalStateException(
+            s"release lease for $docsRoot was broken ($at); aborting")
+        VersionedDir.withLeaseFenced(spark, docsRoot, relLeaseMs) { relHeld =>
+          val prevV = VersionedDir.current(spark, docsRoot)
+          val relBatch = prevV.getOrElse(0L)
+          val raw = graft.llmops.SegPool.readDocs(spark, docsDir)
+          val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+          def staged[T](name: String)(f: => T): T = {
+            val t0 = System.nanoTime()
+            val r = f
+            stageSecs(name) = (System.nanoTime() - t0) / 1e9
+            r
+          }
+          // delta detection: ids-only and column-pruned — the only
+          // full-corpus touch is ONE doc_id scan (checkpointed; nRaw
+          // rides it), never a payload read. Ledgers carry their batch
+          // id so a retracted-then-resubmitted doc is live again the
+          // moment a LATER release re-processes it — classified as new
+          // exactly once, no perpetual reprocessing, no ledger rewrite.
+          // Ledger dirs carry the release batch id BOTH as the dir name
+          // and as a per-row `b` column: `curate-store` compaction folds
+          // old dirs together (BatchDirFold), and only the per-row id
+          // keeps processed-vs-retracted ORDERING exact across the merge
+          // (a doc processed at b0 and retracted at b5 must not read as
+          // processed-at-the-fold-dir's-name > 5 and resurrect). The
+          // coalesce covers pre-column legacy dirs.
+          def idLedger(kind: String): org.apache.spark.sql.DataFrame = {
+            val dir = new Path(curStore, kind)
+            // an interrupted ledger fold may hold the only copy in _fold
+            graft.llmops.BatchDirFold.heal(spark, dir)
+            val dirs =
+              if (!relFs.exists(dir)) Seq.empty
+              else relFs.listStatus(dir).toSeq
+                .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+                .map(s => (s.getPath.getName.stripPrefix("b").toLong,
+                  s.getPath.toString))
+            if (dirs.isEmpty)
+              spark.range(0).select(col("id").as("doc_id"), lit(0L).as("b"))
+            else dirs.map { case (b, d) =>
+              spark.read.schema("doc_id LONG, b LONG").parquet(d)
+                .select(col("doc_id"),
+                  org.apache.spark.sql.functions.coalesce(col("b"), lit(b))
+                    .as("b"))
+            }.reduce(_ unionByName _)
+          }
+          val (rawIds, nRaw, liveLedger, newIds, removedIds, nNew, nRemoved) =
+            staged("delta_detect") {
+              val rawIds = raw.select(col("doc_id").cast("long").as("doc_id"))
+                .localCheckpoint(false)
+              val nRaw = rawIds.count()
+              val liveLedger = idLedger("processed")
+                .groupBy("doc_id").agg(max("b").as("pb"))
+                .join(idLedger("retracted")
+                  .groupBy("doc_id").agg(max("b").as("rb")),
+                  Seq("doc_id"), "left")
+                .filter(col("rb").isNull || col("pb") > col("rb"))
+                .select("doc_id").localCheckpoint(false)
+              val newIds = rawIds.join(liveLedger, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              val removedIds = liveLedger.join(rawIds, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              (rawIds, nRaw, liveLedger, newIds, removedIds,
+                newIds.count(), removedIds.count())
             }
-            prevV.get
-          } else {
-            // GRAFT_RELEASE_RETAIN (def 2): how many doc versions stay
-            // servable — consumers pinned N releases back trade
-            // storage (shared pool segs refcount, so the cost is only
-            // the rebuilt/fresh deltas between retained versions)
-            val relRetain = env.get("GRAFT_RELEASE_RETAIN")
-              .map(_.toInt).getOrElse(2)
-            val published = VersionedDir.publish(spark, docsRoot, dir => {
-              val v = new Path(dir).getName.stripPrefix("v").toLong
-              val entries =
-                scala.collection.mutable.LinkedHashMap[String, String]()
-              val rebuilt = Seq.newBuilder[String]
-              val referenced = Seq.newBuilder[String]
-              prevV.foreach { pv =>
-                val pvDir = VersionedDir.versionPath(docsRoot, pv)
-                if (!relFs.exists(new Path(pvDir, SegPool.ManifestName))) {
-                  // pre-manifest root (legacy v<N>/seg=K layout, the
-                  // byte-copy era): ONE-TIME migration — the whole
-                  // legacy version rewrites into the shared pool as
-                  // one partitioned job (removed ids filtered on the
-                  // way), and this version onward is pure manifest
-                  // indirection. O(corpus) once, never again.
-                  val parent = s"_segs/m$relBatch-v$v"
-                  spark.read.option("mergeSchema", "true").parquet(pvDir)
-                    .withColumn("seg", col("seg").cast("string"))
-                    .join(removedIds, Seq("doc_id"), "left_anti")
-                    .withColumn("segp", col("seg"))
-                    .repartition(col("segp"))
-                    .write.mode("overwrite").partitionBy("segp")
-                    .parquet(s"$docsRoot/$parent")
-                  relFs.listStatus(new Path(pvDir)).toSeq
-                    .map(_.getPath.getName).filter(_.startsWith("seg="))
-                    .map(_.stripPrefix("seg=")).sorted.foreach { k =>
-                      val rel = s"$parent/segp=$k"
-                      if (relFs.exists(new Path(s"$docsRoot/$rel")))
-                        entries += k -> rel
-                      rebuilt += k
-                    }
-                } else {
-                  val manifest = SegPool.readManifest(relFs, pvDir)
-                  val (affected, untouched) =
-                    manifest.partition { case (seg, _) =>
-                      affectedSegs.contains(seg) }
-                  if (affected.nonEmpty) {
-                    // ONE distributed job rebuilds every affected
-                    // segment: rows carry their `seg` column, so a
-                    // single anti-join + one partitioned write lands all
-                    // rebuilt segs in parallel — a wide retraction (a
-                    // whole source GDPR-deleted out of thousands of
-                    // segments) costs one shuffle, not one sequential
-                    // Spark job per segment. Per-task volume stays
-                    // bounded: segments are capped at
-                    // GRAFT_RELEASE_SEG_ROWS by fresh-batch
-                    // sub-segmentation.
-                    val parent = s"_segs/r$relBatch-v$v"
-                    spark.read.option("mergeSchema", "true")
-                      .parquet(affected.map {
-                        case (_, rel) => s"$docsRoot/$rel" }: _*)
+          // the delta runs through applyBatch — the same operator the
+          // oracle-pinned llm_curate queries and the streaming intake
+          // run; its per-stage counters ARE the funnel report (snapshot
+          // diff). Deltas above GRAFT_RELEASE_BATCH_DOCS (def 5M docs —
+          // a COLD release's delta is the whole corpus) split into
+          // bounded sequential intake chunks in ascending doc_id order:
+          // the streaming-parity contract makes the end state IDENTICAL
+          // to the one-shot batch (earlier chunks become store-side for
+          // later ones), while the within-chunk LSH self-join, the
+          // Jaccard-verify working set and executor memory are bounded
+          // by the chunk size at ANY corpus size. Store batch ids are
+          // relBatch*65536 + chunk — monotonic across releases, so
+          // prior-release reads and the current-batch-exclusion rule
+          // are untouched.
+          //
+          // The chunked path reads the raw corpus exactly ONCE: the
+          // delta's payload is materialized one time under
+          // _curate/_delta, chunk-partitioned by ascending doc_id rank
+          // (deterministic sort + zipWithIndex, so a crash-retry
+          // rewrites the same chunks and replays the same b-dirs), and
+          // every chunk then opens only its own __chunk=i files — the
+          // per-chunk cost is O(chunk) on ANY raw layout, id-clustered
+          // or not. A cold release over a non-clustered 100 TB corpus
+          // therefore pays one corpus read + one delta write, never
+          // nChunks corpus scans; the single-chunk common case skips
+          // the staging write entirely and joins the raw scan directly.
+          val relBatchDocs = env.get("GRAFT_RELEASE_BATCH_DOCS")
+            .map(_.toLong).getOrElse(5000000L)
+          val nChunks = math.min(65536L,
+            math.max(1L, (nNew + relBatchDocs - 1) / relBatchDocs)).toInt
+          val chunkBase = relBatch * 65536L
+          val deltaDir = s"$curStore/_delta"
+          val chunkDocs: Int => org.apache.spark.sql.DataFrame =
+            if (nChunks == 1) {
+              // broadcast the id set while driver-safe so the raw scan
+              // stays shuffle-free; id-hash join beyond that
+              val newDocs =
+                if (nNew <= 4000000L) raw.join(broadcast(newIds), "doc_id")
+                else raw.join(newIds, "doc_id")
+              _ => newDocs
+            } else {
+              staged("delta_stage") {
+                import spark.implicits._
+                val idChunks = newIds.orderBy("doc_id").select("doc_id")
+                  .as[Long].rdd.zipWithIndex()
+                  .map { case (id, i) =>
+                    (id, math.min(i / relBatchDocs, nChunks - 1L).toInt) }
+                  .toDF("doc_id", "__chunk")
+                // repartition by (chunk, id-salt): one shuffle pass (a
+                // range partitioner would sample-scan the join twice),
+                // each chunk spread over `slots` tasks so a 5M-doc
+                // chunk never funnels through one writer, and each
+                // task writes into exactly one __chunk dir
+                val shuf = spark.conf
+                  .get("spark.sql.shuffle.partitions").toInt
+                val nParts = math.max(shuf, nChunks)
+                val slots = math.max(1, nParts / nChunks)
+                raw.join(idChunks, "doc_id")
+                  .repartition(nParts, col("__chunk"),
+                    pmod(hash(col("doc_id")), lit(slots)))
+                  .write.mode("overwrite").partitionBy("__chunk")
+                  .parquet(deltaDir)
+              }
+              i => spark.read.option("mergeSchema", "true")
+                .parquet(s"$deltaDir/__chunk=$i")
+            }
+          val mBefore = graft.llmops.StreamingCurate.metricsSnapshot()
+          staged("apply_delta") {
+            if (nNew > 0) (0 until nChunks).foreach { i =>
+              // a displaced holder stops at the next chunk boundary —
+              // its breaker is replaying the same chunks into the same
+              // b-dirs, and two writers must not race one dir longer
+              // than a chunk
+              relFence(relHeld, s"before intake chunk $i")
+              graft.llmops.StreamingCurate.applyBatch(chunkDocs(i), curStore,
+                chunkBase + i,
+                blockRewrite = env.get("GRAFT_RELEASE_BLOCKS").contains("1"),
+                decontamDir = env.get("GRAFT_RELEASE_BLOOM"),
+                sketchDir = env.get("GRAFT_RELEASE_SKETCH"),
+                modelDir = env.get("GRAFT_RELEASE_MODEL"),
+                jaccard = thr, decontamMinShared = relMinShared,
+                maxPerBucket = env.get("GRAFT_RELEASE_MAXBUCKET").map(_.toInt))
+            }
+          }
+          // the staged delta is intake scratch — reclaim it now; a
+          // crash before this point rewrites it wholesale on retry
+          if (nChunks > 1) relFs.delete(new Path(deltaDir), true)
+          val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
+          def stageN(st: String): Long = {
+            val k = "graft_curate_stage_docs_total{stage=\"" + st + "\"}"
+            (mAfter.getOrElse(k, 0.0) - mBefore.getOrElse(k, 0.0)).toLong
+          }
+          // assemble + publish docs v<next> as a MANIFEST version
+          // (SegPool): the PREVIOUS version is the canonical corpus (all
+          // prior retractions already applied, and independent of any
+          // curate-store fold). Untouched segments are REFERENCED from
+          // the shared pool — zero bytes move for them, on any
+          // filesystem; only segments holding removed docs rebuild
+          // (filtered, distributed) and one fresh pool seg lands the
+          // delta's curated additions. A zero-delta re-release publishes
+          // nothing at all.
+          // which segments hold removed docs — skipped for a legacy
+          // (pre-manifest) previous version, whose migration rebuilds
+          // every segment unconditionally anyway
+          val affectedSegs: Set[String] =
+            if (nRemoved == 0 || prevV.isEmpty ||
+                !relFs.exists(new Path(
+                  VersionedDir.versionPath(docsRoot, prevV.get),
+                  SegPool.ManifestName))) Set.empty
+            else SegPool
+              .readDocs(spark, VersionedDir.versionPath(docsRoot, prevV.get))
+              .select("seg", "doc_id")
+              .join(removedIds, Seq("doc_id"))
+              .select("seg").distinct().collect()
+              .map(_.get(0).toString).toSet
+          val skipPublish = nNew == 0 && nRemoved == 0 && prevV.nonEmpty
+          val newV = staged("freeze") {
+            if (skipPublish) {
+              // still reclaim orphans a crashed earlier publish may have
+              // left in the pool — already under the verb's lease (gc
+              // must never race a publisher's not-yet-manifested pool
+              // writes); re-check the fence right before destructive
+              // work, a displaced run's skipped sweep is redone later
+              if (relHeld()) SegPool.gc(spark, docsRoot)
+              prevV.get
+            } else {
+              // GRAFT_RELEASE_RETAIN (def 2): how many doc versions stay
+              // servable — consumers pinned N releases back trade
+              // storage (shared pool segs refcount, so the cost is only
+              // the rebuilt/fresh deltas between retained versions)
+              val relRetain = env.get("GRAFT_RELEASE_RETAIN")
+                .map(_.toInt).getOrElse(2)
+              val published = VersionedDir.publishHeld(spark, docsRoot, dir => {
+                // `dir` is the ATTEMPT-UNIQUE staging path (_v<N>-<nonce>);
+                // the nonce rides every pool parent this attempt writes,
+                // so a displaced-but-alive publisher can never overwrite
+                // a committed attempt's segment dirs — its orphans are
+                // unreferenced by any manifest and reclaimed by gc
+                val v = VersionedDir.stagedVersion(dir)
+                val nonce = VersionedDir.stagedNonce(dir)
+                val entries =
+                  scala.collection.mutable.LinkedHashMap[String, String]()
+                val rebuilt = Seq.newBuilder[String]
+                val referenced = Seq.newBuilder[String]
+                // per-seg (source, n) rows for the SOURCES sidecar: the
+                // segments being WRITTEN are scanned right here (they
+                // are O(changed) and freshly hot), untouched segments
+                // carry their rows forward from the previous sidecar —
+                // the release report then never scans the corpus
+                val srcRows = Seq.newBuilder[(String, String, Long)]
+                def hasParquet(dir: String): Boolean = {
+                  val it = relFs.listFiles(new Path(dir), true)
+                  var found = false
+                  while (!found && it.hasNext)
+                    found = it.next().getPath.getName.endsWith(".parquet")
+                  found
+                }
+                def srcCounts(in: Seq[String]): Seq[(String, String, Long)] = {
+                  // a fully-retracted rebuild leaves a dataless parent
+                  // (just _SUCCESS) — nothing to count, nothing to read
+                  val dirs = in.filter(hasParquet)
+                  if (dirs.isEmpty) Seq.empty
+                  else spark.read.option("mergeSchema", "true")
+                    .parquet(dirs: _*)
+                    .select(col("seg").cast("string").as("seg"), col("source"))
+                    .groupBy("seg", "source")
+                    .agg(count(lit(1)).as("n"))
+                    .collect()
+                    .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+                    .toSeq
+                }
+                prevV.foreach { pv =>
+                  val pvDir = VersionedDir.versionPath(docsRoot, pv)
+                  if (!relFs.exists(new Path(pvDir, SegPool.ManifestName))) {
+                    // pre-manifest root (legacy v<N>/seg=K layout, the
+                    // byte-copy era): ONE-TIME migration — the whole
+                    // legacy version rewrites into the shared pool as
+                    // one partitioned job (removed ids filtered on the
+                    // way), and this version onward is pure manifest
+                    // indirection. O(corpus) once, never again.
+                    val parent = s"_segs/m$relBatch-v$v-$nonce"
+                    spark.read.option("mergeSchema", "true").parquet(pvDir)
+                      .withColumn("seg", col("seg").cast("string"))
                       .join(removedIds, Seq("doc_id"), "left_anti")
                       .withColumn("segp", col("seg"))
                       .repartition(col("segp"))
                       .write.mode("overwrite").partitionBy("segp")
                       .parquet(s"$docsRoot/$parent")
-                    affected.foreach { case (seg, _) =>
-                      val rel = s"$parent/segp=$seg"
-                      // a fully-retracted segment writes no partition
-                      // dir — it simply leaves the manifest
-                      if (relFs.exists(new Path(s"$docsRoot/$rel")))
-                        entries += seg -> rel
-                      rebuilt += seg
+                    relFs.listStatus(new Path(pvDir)).toSeq
+                      .map(_.getPath.getName).filter(_.startsWith("seg="))
+                      .map(_.stripPrefix("seg=")).sorted.foreach { k =>
+                        val rel = s"$parent/segp=$k"
+                        if (relFs.exists(new Path(s"$docsRoot/$rel")))
+                          entries += k -> rel
+                        rebuilt += k
+                      }
+                    srcRows ++= srcCounts(Seq(s"$docsRoot/$parent"))
+                  } else {
+                    val manifest = SegPool.readManifest(relFs, pvDir)
+                    val (affected, untouched) =
+                      manifest.partition { case (seg, _) =>
+                        affectedSegs.contains(seg) }
+                    if (affected.nonEmpty) {
+                      // ONE distributed job rebuilds every affected
+                      // segment: rows carry their `seg` column, so a
+                      // single anti-join + one partitioned write lands all
+                      // rebuilt segs in parallel — a wide retraction (a
+                      // whole source GDPR-deleted out of thousands of
+                      // segments) costs one shuffle, not one sequential
+                      // Spark job per segment. Per-task volume stays
+                      // bounded: segments are capped at
+                      // GRAFT_RELEASE_SEG_ROWS by fresh-batch
+                      // sub-segmentation.
+                      val parent = s"_segs/r$relBatch-v$v-$nonce"
+                      spark.read.option("mergeSchema", "true")
+                        .parquet(affected.map {
+                          case (_, rel) => s"$docsRoot/$rel" }: _*)
+                        .join(removedIds, Seq("doc_id"), "left_anti")
+                        .withColumn("segp", col("seg"))
+                        .repartition(col("segp"))
+                        .write.mode("overwrite").partitionBy("segp")
+                        .parquet(s"$docsRoot/$parent")
+                      affected.foreach { case (seg, _) =>
+                        val rel = s"$parent/segp=$seg"
+                        // a fully-retracted segment writes no partition
+                        // dir — it simply leaves the manifest
+                        if (relFs.exists(new Path(s"$docsRoot/$rel")))
+                          entries += seg -> rel
+                        rebuilt += seg
+                      }
+                      srcRows ++= srcCounts(Seq(s"$docsRoot/$parent"))
+                    }
+                    untouched.foreach { case (seg, rel) =>
+                      entries += seg -> rel // referenced, never read
+                      referenced += seg
+                    }
+                    // carried-forward source counts for the untouched
+                    // segs; a previous version that predates the
+                    // sidecar pays ONE (seg, source)-pruned scan of its
+                    // untouched dirs — the legacy bridge, once
+                    val untouchedSet = untouched.map(_._1).toSet
+                    SegPool.readSources(relFs, pvDir) match {
+                      case Some(rows) =>
+                        srcRows ++= rows.filter(r => untouchedSet(r._1))
+                      case None =>
+                        srcRows ++= srcCounts(untouched.map {
+                          case (_, rel) => s"$docsRoot/$rel" })
                     }
                   }
-                  untouched.foreach { case (seg, rel) =>
-                    entries += seg -> rel // referenced, never read
-                    referenced += seg
+                }
+                lastFreezePlan = (rebuilt.result(), referenced.result())
+                val freshDirs = (0 until nChunks)
+                  .map(i => new Path(s"$curStore/curated/b${chunkBase + i}"))
+                  .filter(relFs.exists(_)).map(_.toString)
+                if (nNew > 0 && freshDirs.nonEmpty) {
+                  // bounded SUB-SEGMENTS: a cold release's fresh seg is
+                  // the whole corpus, and segment granularity is the
+                  // rebuild granularity — one removed doc must not
+                  // rebuild a corpus-sized segment later. Batches above
+                  // GRAFT_RELEASE_SEG_ROWS (def 4M rows) split by
+                  // doc_id hash into S dirs of one partitioned write;
+                  // each sub-seg is its own manifest entry, so a
+                  // retraction rebuilds O(removed × seg_rows) bytes.
+                  val segRows = env.get("GRAFT_RELEASE_SEG_ROWS")
+                    .map(_.toLong).getOrElse(4000000L)
+                  val nFresh = // the batch's emitted-docs counter
+                    if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
+                      stageN("4_blocks")
+                    else stageN("3_near")
+                  val nSub = math.min(512L,
+                    math.max(1L, (nFresh + segRows - 1) / segRows)).toInt
+                  // no pinned schema: the multimodal extras ride along
+                  // (merged across chunk dirs)
+                  val freshDocs = spark.read.option("mergeSchema", "true")
+                    .parquet(freshDirs: _*)
+                  if (nSub == 1) {
+                    val dstRel = SegPool.poolRel(relBatch.toString, v, nonce)
+                    freshDocs.withColumn("seg", lit(relBatch.toString))
+                      .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
+                    entries += relBatch.toString -> dstRel
+                    srcRows ++= srcCounts(Seq(s"$docsRoot/$dstRel"))
+                  } else {
+                    val parent = s"_segs/f$relBatch-v$v-$nonce"
+                    freshDocs
+                      .withColumn("segp", pmod(hash(col("doc_id")), lit(nSub)))
+                      .withColumn("seg",
+                        concat_ws(".", lit(relBatch.toString), col("segp")))
+                      .repartition(col("segp"))
+                      .write.mode("overwrite").partitionBy("segp")
+                      .parquet(s"$docsRoot/$parent")
+                    (0 until nSub).foreach { p =>
+                      val rel = s"$parent/segp=$p"
+                      if (relFs.exists(new Path(s"$docsRoot/$rel")))
+                        entries += s"$relBatch.$p" -> rel
+                    }
+                    srcRows ++= srcCounts(Seq(s"$docsRoot/$parent"))
                   }
                 }
-              }
-              lastFreezePlan = (rebuilt.result(), referenced.result())
-              val freshDirs = (0 until nChunks)
-                .map(i => new Path(s"$curStore/curated/b${chunkBase + i}"))
-                .filter(relFs.exists(_)).map(_.toString)
-              if (nNew > 0 && freshDirs.nonEmpty) {
-                // bounded SUB-SEGMENTS: a cold release's fresh seg is
-                // the whole corpus, and segment granularity is the
-                // rebuild granularity — one removed doc must not
-                // rebuild a corpus-sized segment later. Batches above
-                // GRAFT_RELEASE_SEG_ROWS (def 4M rows) split by
-                // doc_id hash into S dirs of one partitioned write;
-                // each sub-seg is its own manifest entry, so a
-                // retraction rebuilds O(removed × seg_rows) bytes.
-                val segRows = env.get("GRAFT_RELEASE_SEG_ROWS")
-                  .map(_.toLong).getOrElse(4000000L)
-                val nFresh = // the batch's emitted-docs counter
-                  if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
-                    stageN("4_blocks")
-                  else stageN("3_near")
-                val nSub = math.min(512L,
-                  math.max(1L, (nFresh + segRows - 1) / segRows)).toInt
-                // no pinned schema: the multimodal extras ride along
-                // (merged across chunk dirs)
-                val freshDocs = spark.read.option("mergeSchema", "true")
-                  .parquet(freshDirs: _*)
-                if (nSub == 1) {
-                  val dstRel = SegPool.poolRel(relBatch.toString, v)
-                  freshDocs.withColumn("seg", lit(relBatch.toString))
+                if (entries.isEmpty) {
+                  // an empty/fully-gated first release, or a release
+                  // that retracted every remaining doc: a
+                  // schema-carrying empty segment keeps the version
+                  // readable
+                  val dstRel = SegPool.poolRel("0", v, nonce)
+                  spark.range(0).select(col("id").as("doc_id"),
+                      lit("").as("source"), lit("").as("text"),
+                      lit("0").as("seg"))
                     .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
-                  entries += relBatch.toString -> dstRel
-                } else {
-                  val parent = s"_segs/f$relBatch-v$v"
-                  freshDocs
-                    .withColumn("segp", pmod(hash(col("doc_id")), lit(nSub)))
-                    .withColumn("seg",
-                      concat_ws(".", lit(relBatch.toString), col("segp")))
-                    .repartition(col("segp"))
-                    .write.mode("overwrite").partitionBy("segp")
-                    .parquet(s"$docsRoot/$parent")
-                  (0 until nSub).foreach { p =>
-                    val rel = s"$parent/segp=$p"
-                    if (relFs.exists(new Path(s"$docsRoot/$rel")))
-                      entries += s"$relBatch.$p" -> rel
-                  }
+                  entries += "0" -> dstRel
                 }
-              }
-              if (entries.isEmpty) {
-                // an empty/fully-gated first release, or a release
-                // that retracted every remaining doc: a
-                // schema-carrying empty segment keeps the version
-                // readable
-                val dstRel = SegPool.poolRel("0", v)
-                spark.range(0).select(col("id").as("doc_id"),
-                    lit("").as("source"), lit("").as("text"),
-                    lit("0").as("seg"))
-                  .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
-                entries += "0" -> dstRel
-              }
-              SegPool.writeManifest(relFs, dir, entries.toSeq)
-              relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
-            }, retain = relRetain,
-              leaseTtlMs = relLeaseMs,
-              // gc INSIDE the publish lease: reclaiming pool dirs no
-              // retained version references must not race the next
-              // publisher's not-yet-manifested segment writes
-              andThen = _ => SegPool.gc(spark, docsRoot))
-            published
+                SegPool.writeManifest(relFs, dir, entries.toSeq)
+                SegPool.writeSources(relFs, dir, srcRows.result())
+                relFs.create(new Path(s"$dir/_SUCCESS"), true).close()
+              }, retain = relRetain, stillHeld = relHeld,
+                leaseTtlMs = relLeaseMs)
+              // gc still INSIDE the verb's lease (and fenced): pool dirs
+              // no retained version references — including a displaced
+              // attempt's orphaned nonce dirs — must not be reclaimed
+              // while racing another publisher's in-flight writes
+              if (relHeld()) SegPool.gc(spark, docsRoot)
+              published
+            }
           }
+          val curDocsDir = VersionedDir.versionPath(docsRoot, newV)
+          // durable delta ledgers AFTER the publish: a crash in between
+          // re-derives the same end state (the seen store suppresses a
+          // re-curated delta; its ledger rows land with the retry's
+          // batch id). Fenced: ledger dirs are deterministic
+          // (processed/b<relBatch>), so a displaced holder must not
+          // overwrite the breaker's
+          relFence(relHeld, "before the ledger writes")
+          if (nNew > 0)
+            newIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
+              .parquet(s"$curStore/processed/b$relBatch")
+          if (nRemoved > 0)
+            removedIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
+              .parquet(s"$curStore/retracted/b$relBatch")
+          // final corpus size + per-source rows from the SOURCES
+          // sidecar the freeze wrote next to the manifest — one driver
+          // metadata read, zero jobs, zero corpus bytes. A version that
+          // predates the sidecar (legacy root, or a zero-delta release
+          // resolving an old version) falls back to parquet footers +
+          // one pruned column scan.
+          val srcSidecar = SegPool.readSources(relFs, curDocsDir)
+          val nFinal = srcSidecar.map(_.map(_._3).sum)
+            .getOrElse(SegPool.rowCount(spark, curDocsDir))
+          // token side: delegate to emit-shards (incremental manifest,
+          // changed-shards-only re-tokenization — reuse, not re-impl)
+          val emitLines = staged("emit_shards") {
+            maintenance(spark, env ++ Map(
+              "GRAFT_MAINTENANCE" -> "emit-shards",
+              "GRAFT_EMIT_DOCS" -> curDocsDir,
+              "GRAFT_EMIT_OUT" -> s"$relOut/shards"))
+          }
+          lastReleaseStageSecs = stageSecs.toSeq
+          val relId = graft.llmops.ShardManifest
+            .latestRelease(spark, s"$relOut/shards").map(_._1).getOrElse(0)
+          // per-release funnel report: raw/new/removed from the ids pass,
+          // stage survivors from applyBatch's counters, final +
+          // per-source folded down from the SOURCES sidecar — the report
+          // stage launches NO job over the assembled corpus (legacy
+          // pre-sidecar versions keep the one pruned column scan)
+          locally {
+            import spark.implicits._
+            val perSource = srcSidecar match {
+              case Some(rows) =>
+                lastReportScan = false
+                rows.groupBy(_._2).toSeq.map { case (src, rs) =>
+                  ("final", src, rs.map(_._3).sum) }.sortBy(_._2)
+              case None =>
+                lastReportScan = true
+                SegPool.readDocs(spark, curDocsDir).groupBy("source")
+                  .agg(count(lit(1)).as("n")).collect()
+                  .map(r => ("final", r.getString(0), r.getLong(1))).toSeq
+            }
+            val modelStage =
+              if (env.contains("GRAFT_RELEASE_MODEL"))
+                Seq(("model", "*", stageN("1a_model"))) else Seq.empty
+            val bloomStage =
+              if (env.contains("GRAFT_RELEASE_BLOOM"))
+                Seq(("bloom", "*", stageN("1b_bloom"))) else Seq.empty
+            val blocksStage =
+              if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
+                Seq(("blocks", "*", stageN("4_blocks"))) else Seq.empty
+            val stages = Seq(
+              ("raw", "*", nRaw), ("new", "*", nNew),
+              ("removed", "*", nRemoved),
+              ("gated", "*", stageN("1_gate"))) ++ modelStage ++ bloomStage ++
+              Seq(("exact_dedup", "*", stageN("2_exact")),
+                ("near_dedup", "*", stageN("3_near"))) ++ blocksStage ++
+              Seq(("final", "*", nFinal)) ++ perSource
+            // release id rides the partition dir (release=N), not a data
+            // column — a parent-dir read recovers it as the partition col
+            val repDir = s"$relOut/_report/release=$relId"
+            if (relFs.exists(new Path(repDir)))
+              relFs.delete(new Path(repDir), true)
+            stages.toDF("stage", "source", "n_docs")
+              .coalesce(1).write.parquet(repDir)
+          }
+          Seq(s"release $relId: raw=$nRaw new=$nNew removed=$nRemoved " +
+            s"gated=${stageN("1_gate")}" +
+            (if (env.contains("GRAFT_RELEASE_MODEL"))
+              s" model=${stageN("1a_model")}" else "") +
+            (if (env.contains("GRAFT_RELEASE_BLOOM"))
+              s" bloom=${stageN("1b_bloom")}" else "") +
+            s" exact=${stageN("2_exact")} near=${stageN("3_near")}" +
+            (if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
+              s" blocks=${stageN("4_blocks")}" else "") +
+            s" final=$nFinal -> $curDocsDir",
+            "release stages: " + stageSecs.map { case (s, t) =>
+              f"$s=$t%.1fs" }.mkString(" ") +
+              (if (skipPublish) " (zero delta: no new docs version)" else "")
+          ) ++ emitLines
         }
-        val curDocsDir = VersionedDir.versionPath(docsRoot, newV)
-        // durable delta ledgers AFTER the publish: a crash in between
-        // re-derives the same end state (the seen store suppresses a
-        // re-curated delta; its ledger rows land with the retry's
-        // batch id)
-        if (nNew > 0)
-          newIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
-            .parquet(s"$curStore/processed/b$relBatch")
-        if (nRemoved > 0)
-          removedIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
-            .parquet(s"$curStore/retracted/b$relBatch")
-        // final corpus size from parquet FOOTERS (driver metadata, no
-        // job); per-source rows below are the one pruned column scan
-        val nFinal = SegPool.rowCount(spark, curDocsDir)
-        val cur = SegPool.readDocs(spark, curDocsDir)
-        // token side: delegate to emit-shards (incremental manifest,
-        // changed-shards-only re-tokenization — reuse, not re-impl)
-        val emitLines = staged("emit_shards") {
-          maintenance(spark, env ++ Map(
-            "GRAFT_MAINTENANCE" -> "emit-shards",
-            "GRAFT_EMIT_DOCS" -> curDocsDir,
-            "GRAFT_EMIT_OUT" -> s"$relOut/shards"))
-        }
-        lastReleaseStageSecs = stageSecs.toSeq
-        val relId = graft.llmops.ShardManifest
-          .latestRelease(spark, s"$relOut/shards").map(_._1).getOrElse(0)
-        // per-release funnel report: raw/new/removed from the ids pass,
-        // stage survivors from applyBatch's counters, final + per-source
-        // from the assembled version (parquet metadata / one pruned
-        // column scan) — no corpus-sized driver action anywhere
-        locally {
-          import spark.implicits._
-          val perSource = cur.groupBy("source")
-            .agg(count(lit(1)).as("n")).collect()
-            .map(r => ("final", r.getString(0), r.getLong(1))).toSeq
-          val modelStage =
-            if (env.contains("GRAFT_RELEASE_MODEL"))
-              Seq(("model", "*", stageN("1a_model"))) else Seq.empty
-          val bloomStage =
-            if (env.contains("GRAFT_RELEASE_BLOOM"))
-              Seq(("bloom", "*", stageN("1b_bloom"))) else Seq.empty
-          val blocksStage =
-            if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
-              Seq(("blocks", "*", stageN("4_blocks"))) else Seq.empty
-          val stages = Seq(
-            ("raw", "*", nRaw), ("new", "*", nNew),
-            ("removed", "*", nRemoved),
-            ("gated", "*", stageN("1_gate"))) ++ modelStage ++ bloomStage ++
-            Seq(("exact_dedup", "*", stageN("2_exact")),
-              ("near_dedup", "*", stageN("3_near"))) ++ blocksStage ++
-            Seq(("final", "*", nFinal)) ++ perSource
-          // release id rides the partition dir (release=N), not a data
-          // column — a parent-dir read recovers it as the partition col
-          val repDir = s"$relOut/_report/release=$relId"
-          if (relFs.exists(new Path(repDir)))
-            relFs.delete(new Path(repDir), true)
-          stages.toDF("stage", "source", "n_docs")
-            .coalesce(1).write.parquet(repDir)
-        }
-        Seq(s"release $relId: raw=$nRaw new=$nNew removed=$nRemoved " +
-          s"gated=${stageN("1_gate")}" +
-          (if (env.contains("GRAFT_RELEASE_MODEL"))
-            s" model=${stageN("1a_model")}" else "") +
-          (if (env.contains("GRAFT_RELEASE_BLOOM"))
-            s" bloom=${stageN("1b_bloom")}" else "") +
-          s" exact=${stageN("2_exact")} near=${stageN("3_near")}" +
-          (if (env.get("GRAFT_RELEASE_BLOCKS").contains("1"))
-            s" blocks=${stageN("4_blocks")}" else "") +
-          s" final=$nFinal -> $curDocsDir",
-          "release stages: " + stageSecs.map { case (s, t) =>
-            f"$s=$t%.1fs" }.mkString(" ") +
-            (if (skipPublish) " (zero delta: no new docs version)" else "")
-        ) ++ emitLines
       case "agg-view-bootstrap" =>
         // declare a view over ALREADY-replicated tables: initial state
         // from the replica snapshots, then the streaming chain

@@ -1196,13 +1196,14 @@ class GraftAppSpec extends SparkSpecBase {
     assert(SegPool.readDocs(spark, docsV1).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 7L))
     // MANIFEST indirection: the version dir carries NO segment data
-    // (only the manifest + commit marker) — a release writes the
-    // rebuilt/fresh segments into the shared pool and references the
-    // rest, so publish I/O is O(changed segments), never O(corpus)
+    // (only the manifest, the SOURCES report sidecar and the commit
+    // marker) — a release writes the rebuilt/fresh segments into the
+    // shared pool and references the rest, so publish I/O is
+    // O(changed segments), never O(corpus)
     val v2Files = hfs.listStatus(new org.apache.hadoop.fs.Path(docsV2))
       .map(_.getPath.getName).sorted.toSeq
-    assert(v2Files == Seq("MANIFEST", "_SUCCESS"),
-      s"version dir must hold only the manifest: $v2Files")
+    assert(v2Files == Seq("MANIFEST", "SOURCES", "_SUCCESS"),
+      s"version dir must hold only metadata: $v2Files")
     // crash mid-pointer-swing (CURRENT deleted, rename pending): the
     // reader falls back to the max COMPLETE version
     hfs.delete(new org.apache.hadoop.fs.Path(s"$out/docs/CURRENT"), false)
@@ -1237,7 +1238,7 @@ class GraftAppSpec extends SparkSpecBase {
     val m3 = SegPool.readManifest(hfs, docsV3).toMap
     // removals rebuild through ONE partitioned job: the rebuilt seg
     // lands as a segp= child of the release's r<batch>-v<N> parent
-    assert(m2("0").matches("_segs/r\\d+-v2/segp=0"), m2.toString)
+    assert(m2("0").matches("_segs/r\\d+-v2-[0-9a-f]+/segp=0"), m2.toString)
     m2.foreach { case (seg, rel) =>
       assert(m3(seg) == rel,
         s"unchanged seg $seg must be referenced, not rewritten: " +
@@ -1250,7 +1251,7 @@ class GraftAppSpec extends SparkSpecBase {
     val poolDirs = hfs.listStatus(
         new org.apache.hadoop.fs.Path(s"$out/docs/_segs"))
       .map(_.getPath.getName).toSet
-    assert(!poolDirs.contains("s0-v1"),
+    assert(!poolDirs.exists(_.startsWith("s0-v1")),
       s"v1-only pool dir must be GC'd after retention pruning: $poolDirs")
     assert(m3.values.forall(rel =>
         poolDirs.contains(rel.stripPrefix("_segs/").split("/")(0))),
@@ -1374,7 +1375,7 @@ class GraftAppSpec extends SparkSpecBase {
     val m1 = SegPool.readManifest(hfs, v1)
     assert(m1.size >= 2 && m1.forall(_._1.startsWith("0.")),
       s"fresh batch must split into sub-segs: $m1")
-    assert(m1.forall(_._2.startsWith("_segs/f0-v1/segp=")), s"$m1")
+    assert(m1.forall(_._2.matches("_segs/f0-v1-[0-9a-f]+/segp=\\d+")), s"$m1")
     assert(SegPool.readDocs(spark, v1).count() == 8L)
     // remove ONE doc; only its holding sub-seg may rebuild
     val victimSeg = SegPool.readDocs(spark, v1)
@@ -1402,7 +1403,9 @@ class GraftAppSpec extends SparkSpecBase {
     GraftApp.maintenance(spark, relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir3))
     val v3 = VersionedDir.currentPath(spark, s"$out/docs").get
     assert(v3.endsWith("/v3"), v3)
-    val parent = new org.apache.hadoop.fs.Path(s"$out/docs/_segs/f0-v1")
+    // the nonce-stamped fresh parent's real name comes from the manifest
+    val parent = new org.apache.hadoop.fs.Path(s"$out/docs/" +
+      m1.head._2.split("/segp=").head)
     assert(hfs.exists(parent), "partially-referenced parent must survive GC")
     val deadChild = new org.apache.hadoop.fs.Path(parent,
       s"segp=${victimSeg.stripPrefix("0.")}")
@@ -1433,7 +1436,7 @@ class GraftAppSpec extends SparkSpecBase {
     val m4 = SegPool.readManifest(hfs, v4).toMap
     Seq(vA, vB).foreach { id =>
       m4.get(segOf(id)).foreach(rel =>
-        assert(rel.matches("_segs/r\\d+-v4/segp=.*"),
+        assert(rel.matches("_segs/r\\d+-v4-[0-9a-f]+/segp=.*"),
           s"wide retraction must rebuild through one partitioned job: $rel"))
     }
     assert(SegPool.readDocs(spark, v4).select("doc_id")
@@ -1517,7 +1520,8 @@ class GraftAppSpec extends SparkSpecBase {
     val v2 = VersionedDir.currentPath(spark, s"$out/docs").get
     assert(v2.endsWith("/v2"), v2)
     val m2 = SegPool.readManifest(hfs, v2)
-    assert(m2.nonEmpty && m2.forall(_._2.matches("_segs/m1-v2/segp=.*")),
+    assert(m2.nonEmpty &&
+      m2.forall(_._2.matches("_segs/m1-v2-[0-9a-f]+/segp=.*")),
       s"legacy segments must migrate into the pool: $m2")
     assert(SegPool.readDocs(spark, v2).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq ==

@@ -22,16 +22,22 @@ class VersionedDirSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(dir)
   }
 
+  private def counter(name: String): Double =
+    VersionedDir.metricsSnapshot().getOrElse(s"graft_publish_${name}_total", 0.0)
+
   test("a concurrent publisher fails cleanly; the holder's publish is intact") {
     val root = newRoot()
     val fs = fsOf(root)
     assert(VersionedDir.publish(spark, root, writeV(3)) == 1L)
     // simulate publisher A mid-publish: its lease is on disk
     fs.create(new Path(root, "_LEASE"), false).close()
+    val contendedBefore = counter("lease_contended")
     val e = intercept[IllegalStateException] {
       VersionedDir.publish(spark, root, writeV(99))
     }
     assert(e.getMessage.contains("concurrent publish refused"), e.getMessage)
+    assert(counter("lease_contended") == contendedBefore + 1,
+      "contention must surface as a metric, not only an exception")
     // the loser touched nothing: v1 is still CURRENT and complete
     assert(VersionedDir.current(spark, root).contains(1L))
     assert(spark.read.parquet(VersionedDir.currentPath(spark, root).get)
@@ -53,7 +59,10 @@ class VersionedDirSpec extends SparkSpecBase {
     fs.create(lease, false).close()
     fs.setTimes(lease, System.currentTimeMillis() - 60L * 60 * 1000, -1)
     // over the ttl -> broken and the publish proceeds
+    val brokenBefore = counter("lease_broken")
     assert(VersionedDir.publish(spark, root, writeV(4)) == 2L)
+    assert(counter("lease_broken") == brokenBefore + 1,
+      "a stale-lease break must increment the broken counter")
     assert(spark.read.parquet(VersionedDir.currentPath(spark, root).get)
       .count() == 4L)
     // the winner released its own lease on the way out
@@ -113,6 +122,7 @@ class VersionedDirSpec extends SparkSpecBase {
     val root = newRoot()
     val fs = fsOf(root)
     val lease = new Path(root, "_LEASE")
+    val displacedBefore = counter("heartbeat_displaced")
     VersionedDir.withLease(spark, root, leaseTtlMs = 3000L) {
       // a breaker replaced our lease; our heartbeat (1 s period at
       // this ttl) must see the foreign token and stop, not clobber it
@@ -127,6 +137,8 @@ class VersionedDirSpec extends SparkSpecBase {
         "heartbeat must stop once the lease carries another token")
     }
     assert(fs.exists(lease), "the breaker's lease survives our release")
+    assert(counter("heartbeat_displaced") >= displacedBefore + 1,
+      "a displaced heartbeat must increment its counter")
     fs.delete(lease, false)
   }
 
@@ -135,6 +147,7 @@ class VersionedDirSpec extends SparkSpecBase {
     val fs = fsOf(root)
     assert(VersionedDir.publish(spark, root, writeV(1)) == 1L)
     val lease = new Path(root, "_LEASE")
+    val abortsBefore = counter("fence_abort")
     val e = intercept[IllegalStateException] {
       VersionedDir.publish(spark, root, { dir =>
         writeV(5)(dir)
@@ -146,11 +159,57 @@ class VersionedDirSpec extends SparkSpecBase {
       })
     }
     assert(e.getMessage.contains("before the pointer swing"), e.getMessage)
+    assert(counter("fence_abort") == abortsBefore + 1,
+      "a fence abort must increment its counter")
     // nothing became visible: the pointer still resolves v1, and the
     // breaker's lease survives our abort
     assert(VersionedDir.currentPath(spark, root).get.endsWith("/v1"))
     assert(fs.exists(lease))
     fs.delete(lease, false)
+  }
+
+  test("a displaced holder's late writes never touch the breaker's " +
+      "committed version (attempt-unique staging)") {
+    val root = newRoot()
+    val fs = fsOf(root)
+    assert(VersionedDir.publish(spark, root, writeV(1)) == 1L)
+    val lease = new Path(root, "_LEASE")
+    var zombieStage: String = null
+    intercept[IllegalStateException] {
+      VersionedDir.publish(spark, root, { dir =>
+        zombieStage = dir
+        writeV(5)(dir)
+        // the breaker judged us stale mid-freeze and ran a COMPLETE
+        // publish of the same slot (v2): its own staging dir, rename,
+        // pointer swing, its own lease
+        fs.delete(lease, false)
+        val out = fs.create(lease, false)
+        out.write("breaker".getBytes("UTF-8")); out.close()
+        writeV(7)(s"$root/_v2-breaker1")
+        assert(fs.rename(new Path(s"$root/_v2-breaker1"),
+          new Path(s"$root/v2")))
+        val cur = fs.create(new Path(root, "CURRENT"), true)
+        cur.write("2".getBytes("UTF-8")); cur.close()
+        // the zombie resumes and keeps WRITING after the breaker has
+        // committed — every byte must land in its own staging dir, at
+        // a path the breaker never computes
+        writeV(9)(dir)
+      })
+    }
+    // the breaker's v2 is untouched by the zombie's late writes...
+    assert(spark.read.parquet(s"$root/v2").count() == 7L,
+      "the committed version must survive a zombie's late writes")
+    // ...which are stranded in the zombie's own attempt-unique staging
+    assert(zombieStage != null && new Path(zombieStage).getName
+      .startsWith("_v2-"), zombieStage)
+    assert(spark.read.parquet(zombieStage).count() == 9L)
+    assert(VersionedDir.current(spark, root).contains(2L))
+    fs.delete(lease, false)
+    // the orphan staging dir is swept (age-gated) by a later publish
+    fs.setTimes(new Path(zombieStage), 1000L, -1)
+    assert(VersionedDir.publish(spark, root, writeV(3)) == 3L)
+    assert(!fs.exists(new Path(zombieStage)),
+      "an aged orphan staging dir must be swept by the next publish")
   }
 
   test("andThen runs inside the publish lease") {
