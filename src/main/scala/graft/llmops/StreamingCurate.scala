@@ -123,8 +123,10 @@ object StreamingCurate {
     * as `graft_curate_stage_docs_total{stage="..."}` +
     * `graft_curate_triggers_total`, so a gate suddenly dropping most of
     * its input pages someone MID-RUN — the incident the batch query
-    * only explains after the fact. Counts are O(batch) jobs taken after
-    * the trigger's writes commit (checkpointed inputs, no store reads). */
+    * only explains after the fact. Counts ride the trigger's single
+    * pass as observe() metrics (plus parquet footers for just-written
+    * stages) and are folded in only after the durable writes commit —
+    * zero extra jobs, no store reads. */
   private val stageDocs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val triggersTotal = new java.util.concurrent.atomic.AtomicLong(0)
@@ -142,6 +144,24 @@ object StreamingCurate {
   }
 
   private def partOf(c: Column): Column = pmod(hash(c), lit(NumParts))
+
+  /** Funnel-stage counters riding the single pass: `observed` attaches
+    * a named `count(*)` observe() (CollectMetrics) at a point in the
+    * plan; `observedMetric` reads it back SYNCHRONOUSLY from the
+    * executed plan's accumulators (`queryExecution.observedMetrics`)
+    * once an EAGER checkpoint has materialized that plan. No listener
+    * bus, no waiting, zero extra jobs — the stage counts are collected
+    * by the same action that materializes the batch (they used to
+    * re-execute a plan prefix as one count() job per stage). The
+    * fallback count() fires only if a metric went missing from the
+    * executed plan — counters are spec-pinned exact, never
+    * best-effort. */
+  private def observed(df: DataFrame, stage: String): DataFrame =
+    df.observe(s"__funnel_$stage", count(lit(1)).as("n"))
+  private def observedMetric(executed: DataFrame, stage: String,
+                             fallback: => Long): Long =
+    executed.queryExecution.observedMetrics.get(s"__funnel_$stage")
+      .map(_.getLong(0)).getOrElse(fallback)
 
   /** Read every PRIOR batch's subdir of `dir` (b<k> with k < batchId) —
     * never the current batch's own output, so a crash-replay recomputes
@@ -229,28 +249,37 @@ object StreamingCurate {
                  decontamMinShared: Int = 3,
                  maxPerBucket: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
-    val gated00 = gate(batch)
+    // stage counters ride the single pass as observe() boundary
+    // metrics — attached at each gate's output and collected by the
+    // eager checkpoint below, never by separate count() jobs
+    val gated00 = gate(observed(batch, "0_raw"))
+    val gated00o = observed(gated00, "1_gate")
     // optional trained-model gate (Classifier.writeWeights artifact):
     // keep docs whose margin z >= 0 — a one-row weight read per
     // trigger (a refreshed model takes effect without restart), then a
     // pure integer filter, O(batch)
     val gated0 = modelDir match {
-      case None => gated00
+      case None => gated00o
       case Some(dir) =>
-        Classifier.gateDocs(gated00, Classifier.loadWeights(spark, dir))
+        observed(Classifier.gateDocs(gated00o,
+          Classifier.loadWeights(spark, dir)), "1a_model")
     }
     // optional Bloom decontamination against a persisted benchmark
     // artifact (Dedup.writeBloom): docs whose bloom-positive shingle
     // count crosses the gate threshold never enter the corpus. The bit
     // table is bounded (≤ m rows) however large the benchmark union —
     // re-read per trigger so a refreshed artifact takes effect without
-    // a restart; the read is O(bits), not O(benchmark).
+    // a restart; the read is O(bits), not O(benchmark). The flagged
+    // branch re-executes the observed gate subtree: a duplicated
+    // CollectMetrics node counts the same rows in both branches, so
+    // the by-name metric read stays exact (scratch-verified).
     val gated = decontamDir match {
       case None => gated0
       case Some(dir) =>
         val flagged = Dedup.bloomContaminationFrom(spark, dir, gated0,
           minShared = decontamMinShared)
-        gated0.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+        observed(gated0.join(flagged.select("doc_id"),
+          Seq("doc_id"), "left_anti"), "1b_bloom")
     }
     // exact dedup: min doc_id per hash WITHIN the batch, then drop any
     // hash the store has already admitted. The anti-join reads ONLY the
@@ -261,19 +290,25 @@ object StreamingCurate {
     // curated corpus untouched, not replaced by the funnel's own hash
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__content_hash").orderBy("doc_id")
-    val batchKept = gated
+    val preKept = gated
       .withColumn("__content_hash", TextOps.contentHash(col("text")))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
-      .localCheckpoint(false) // feeds the part-list and the anti-join
+    // EAGER: feeds the part-list and the anti-join either way, and the
+    // boundary observations above fire with THIS materialization (a
+    // lazy checkpoint's metrics report before any task has run);
+    // preKept keeps the executed plan for the synchronous metric reads
+    val batchKept = preKept.localCheckpoint(true)
     val hashParts = touchedParts(batchKept, col("__content_hash"))
     val (seen, seenDirs) = readPriorParts(
       spark, new Path(storeDir, "seen"), batchId, hashParts, seenSchema)
     lastSeenDirsPlanned = seenDirs
-    val newExactKept = batchKept
+    val preExact = observed(batchKept
       .join(seen.select(col("content_hash").as("__content_hash")),
-        Seq("__content_hash"), "left_anti")
-      .localCheckpoint(false) // feeds buckets, verify, and three writes
+        Seq("__content_hash"), "left_anti"), "2_exact")
+    // eager for the same reason: feeds buckets, verify, and three
+    // writes either way, and executes its own 2_exact observation
+    val newExactKept = preExact.localCheckpoint(true)
 
     // near-dedup: candidates = bucket collisions (new×store ∪ new×new),
     // verified by EXACT n-gram Jaccard — same predicate as the batch path
@@ -376,17 +411,28 @@ object StreamingCurate {
         "source", col("shingle"), batchId)
     }
 
-    // funnel counters LAST — the trigger's durable writes never wait on
-    // observability; each count is an O(batch) job over checkpointed (or
-    // gate-only) plans
-    bump("0_raw", batch.count())
-    bump("1_gate", gated00.count())
-    if (modelDir.isDefined) bump("1a_model", gated0.count())
-    if (decontamDir.isDefined) bump("1b_bloom", gated.count())
-    bump("2_exact", newExactKept.count())
-    bump("3_near", curated.count())
+    // funnel counters LAST — the trigger's durable writes never wait
+    // on observability. Every value is already paid for: the gate and
+    // exact stages come off the two eager checkpoints' executed-plan
+    // accumulators (synchronous reads, no listener bus), the near
+    // stage off the parquet footers of the curated rows this trigger
+    // just wrote — ZERO extra jobs per trigger (this block used to
+    // re-execute a plan prefix as one count() job per stage). The
+    // fallbacks never fire unless a metric vanished from the plan.
+    bump("0_raw", observedMetric(preKept, "0_raw", batch.count()))
+    bump("1_gate", observedMetric(preKept, "1_gate", gated00.count()))
+    if (modelDir.isDefined)
+      bump("1a_model", observedMetric(preKept, "1a_model", gated0.count()))
+    if (decontamDir.isDefined)
+      bump("1b_bloom", observedMetric(preKept, "1b_bloom", gated.count()))
+    bump("2_exact", observedMetric(preExact, "2_exact", newExactKept.count()))
+    // blockRewrite emits REWRITTEN rows to out("curated"), so the
+    // pre-rewrite near count needs its own (opt-in path) job there
+    bump("3_near",
+      if (!blockRewrite) SegPool.rowCount(spark, out("curated"))
+      else curated.count())
     if (blockRewrite)
-      bump("4_blocks", spark.read.parquet(out("curated")).count())
+      bump("4_blocks", SegPool.rowCount(spark, out("curated")))
     triggersTotal.incrementAndGet()
   }
 

@@ -1033,6 +1033,81 @@ class LlmOpsSpec extends SparkSpecBase {
       s"decontam stage counter missing: ${snap.keys}")
   }
 
+  test("applyBatch funnel counters ride the single pass: exact values, " +
+      "no per-stage count jobs") {
+    import graft.llmops.StreamingCurate
+    import spark.implicits._
+    // one doc per funnel fate (the GraftAppSpec release fixture):
+    // raw=8 -> gate=6 -> bloom=5 -> exact=4 -> near=3
+    def en(words: Seq[String]): String =
+      ("the start and more of it" +: words).mkString(" ")
+    val filler = (0 until 24).map(i => s"w$i")
+    val baseA = en(filler.map(w => s"ja$w"))
+    val baseB = en(filler.map(w => s"jb$w"))
+    val baseBNear = baseB.split(" ").dropRight(1).mkString(" ") + " zz"
+    val benchPhrase = "jobs eval answer tokens appear verbatim here"
+    val contaminated = en(filler.take(16).map(w => s"jc$w") :+ benchPhrase)
+    val german = ("der anfang und mehr die sache " +
+      (0 until 20).map(i => s"der jg$i und die").mkString(" "))
+    val batch = Seq(
+      (0L, "web", baseA), (1L, "web", baseA),
+      (2L, "web", baseB), (3L, "books", baseBNear),
+      (4L, "web", german), (5L, "web", "too short"),
+      (6L, "books", contaminated), (7L, "books", en(filler.map(w => s"jd$w"))))
+      .toDF("doc_id", "source", "text")
+    val benchDir = java.nio.file.Files.createTempDirectory("jobs-bench")
+      .toFile.getAbsolutePath + "/bench"
+    Seq((100L, s"the question and the $benchPhrase of the benchmark"))
+      .toDF("doc_id", "text").write.parquet(benchDir)
+    val bloomDir = java.nio.file.Files.createTempDirectory("jobs-bloom")
+      .toFile.getAbsolutePath + "/bloom"
+    graft.streaming.GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bloom-bits",
+      "GRAFT_BLOOM_BENCH" -> benchDir, "GRAFT_BLOOM_OUT" -> bloomDir))
+    val store = java.nio.file.Files.createTempDirectory("jobs-store")
+      .toFile.getAbsolutePath
+    def stage(m: Map[String, Double], st: String): Long =
+      m.getOrElse("graft_curate_stage_docs_total{stage=\"" + st + "\"}", 0.0)
+        .toLong
+    val before = StreamingCurate.metricsSnapshot()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val nJobs = try {
+      StreamingCurate.applyBatch(batch, store, 0L,
+        decontamDir = Some(bloomDir))
+      // the listener bus is async: wait for the counter to go quiet
+      var last = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(150L)
+        val cur = jobs.get()
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+      jobs.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+    // exact per-stage values from the observe() metrics — including
+    // the bloom arm, whose flagged branch re-executes the observed
+    // gate subtree (a duplicated metrics node must not double-count)
+    val after = StreamingCurate.metricsSnapshot()
+    def delta(st: String): Long = stage(after, st) - stage(before, st)
+    assert(delta("0_raw") == 8L, s"raw ${delta("0_raw")}")
+    assert(delta("1_gate") == 6L, s"gate ${delta("1_gate")}")
+    assert(delta("1b_bloom") == 5L, s"bloom ${delta("1b_bloom")}")
+    assert(delta("2_exact") == 4L, s"exact ${delta("2_exact")}")
+    assert(delta("3_near") == 3L, s"near ${delta("3_near")}")
+    // the counters rode the pass: the whole trigger (gates + dedup +
+    // four store writes + their store reads) measured 33 jobs on this
+    // fixture, vs 58 with the old one-count()-job-per-stage tail — the
+    // bound sits between the two so a counter regressing back to
+    // per-stage jobs fails here
+    assert(nJobs <= 40, s"applyBatch ran $nJobs jobs — the funnel " +
+      "counters must not re-execute plan prefixes as count() jobs")
+  }
+
   test("curate sketch telemetry: store equals batch sketches over the admitted corpus") {
     import graft.llmops.{Sketch, SketchStore, StreamingCurate, TextOps}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
