@@ -896,11 +896,43 @@ object GraftApp {
               .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
           }
         }.getOrElse(Map.empty)
+        // per-version membership across the RETAINED history — "doc X
+        // was in v5-v7, retracted in release 8". Versions mostly SHARE
+        // pool dirs (manifest indirection), so each distinct pool dir
+        // is probed ONCE (ids-filtered, doc_id-only) and membership is
+        // a driver-side fold of manifest lines over the probe hits:
+        // O(distinct pool dirs) ≈ O(current + rebuilt deltas) reads,
+        // never #versions × corpus. A legacy (pre-manifest) version
+        // probes its own dir as one unit.
+        val versionsOf: Map[Long, Seq[Long]] = relOut.map { o =>
+          val docsRoot = s"$o/docs"
+          val vs = graft.llmops.VersionedDir.versions(spark, docsRoot)
+          val relToVs: Map[String, Seq[Long]] = vs.flatMap { v =>
+            val vd = graft.llmops.VersionedDir.versionPath(docsRoot, v)
+            if (fateFs.exists(new Path(vd, graft.llmops.SegPool.ManifestName)))
+              graft.llmops.SegPool.readManifest(fateFs, vd)
+                .map { case (_, rel) => s"$docsRoot/$rel" -> v }
+            else Seq(vd -> v) // legacy layout: the version dir itself
+          }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted }
+          val hits: Map[String, Set[Long]] = relToVs.keys.toSeq.sorted.map {
+            dir =>
+              dir -> spark.read.parquet(dir).select("doc_id")
+                .filter(col("doc_id").isin(ids: _*))
+                .collect().map(_.getLong(0)).toSet
+          }.toMap
+          ids.map { id =>
+            id -> relToVs.toSeq.collect {
+              case (dir, vers) if hits(dir)(id) => vers
+            }.flatten.distinct.sorted
+          }.toMap
+        }.getOrElse(Map.empty)
         ids.map { id =>
           val pb = pLed.get(id); val rb = rLed.get(id)
           val f = fate(id)
           def opt(i: Int): String = Option(f.get(i)).map(_.toString)
             .getOrElse("-")
+          val vstr = versionsOf.get(id).filter(_.nonEmpty)
+            .map(_.mkString(",")).getOrElse("-")
           s"doc-fate $id: " +
             s"processed_b=${pb.map(_.toString).getOrElse("-")} " +
             s"retracted_b=${rb.map(_.toString).getOrElse("-")} " +
@@ -908,7 +940,8 @@ object GraftApp {
             s"curated=${f.getBoolean(1)} exact_kept=${f.getBoolean(2)} " +
             s"content_hash=${opt(3)} gate_pass=${opt(4)} " +
             s"bloom_flagged=${opt(5)} exact_dup_of=${opt(6)} " +
-            s"near_dup_of=${opt(7)} seg=${segOf.getOrElse(id, "-")}"
+            s"near_dup_of=${opt(7)} seg=${segOf.getOrElse(id, "-")} " +
+            s"versions=$vstr"
         }
       case "lsh-index" =>
         val dir = env.getOrElse("GRAFT_INDEX_DIR",

@@ -635,6 +635,43 @@ object ScaleProbe {
       f"${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr]")
     require(chunkFunnel == coldFunnel,
       s"chunked cold release must equal one-shot:\n$chunkFunnel\n$coldFunnel")
+    // WIDE retraction: a whole source GDPR-deleted out of a corpus
+    // frozen as many hash sub-segments — every holding sub-seg
+    // rebuilds, but through ONE partitioned job (the r<batch>-v<N>
+    // pool parent), so the wall time is one shuffle of the affected
+    // bytes, never one sequential Spark job per segment
+    val relRawW = relDir("raww")
+    relCorpus(20000, 40000)
+      .withColumn("source",
+        when(col("doc_id") % 10 === 0, lit("purged")).otherwise(lit("kept")))
+      .write.mode("overwrite").parquet(relRawW)
+    val relOutW = relDir("outw") + "/rel"
+    val wideEnv = relEnv ++ Map("GRAFT_RELEASE_OUT" -> relOutW,
+      "GRAFT_RELEASE_SEG_ROWS" -> "2000") // ~10 sub-segs at 20k docs
+    GraftApp.maintenance(spark, wideEnv + ("GRAFT_RELEASE_DOCS" -> relRawW))
+    val nSubSegs = graft.llmops.SegPool.readManifest(
+      new org.apache.hadoop.fs.Path(relOutW).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      graft.llmops.VersionedDir.currentPath(spark, s"$relOutW/docs").get).size
+    val relRawW2 = relDir("raww2")
+    spark.read.parquet(relRawW).filter(col("source") =!= "purged")
+      .write.mode("overwrite").parquet(relRawW2)
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, wideEnv + ("GRAFT_RELEASE_DOCS" -> relRawW2))
+    println(f"release WIDE retraction (2k docs of 20k, " +
+      f"${GraftApp.lastFreezePlan._1.size}/$nSubSegs sub-segs rebuilt, " +
+      f"one job): ${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr]")
+    require(GraftApp.lastFreezePlan._1.size >= 5,
+      "a hash-spread source must span (and rebuild) many sub-segs: " +
+        s"${GraftApp.lastFreezePlan}")
+    locally {
+      val vCur = graft.llmops.VersionedDir
+        .currentPath(spark, s"$relOutW/docs").get
+      val left = graft.llmops.SegPool.readDocs(spark, vCur)
+      require(left.filter(col("source") === "purged").count() == 0,
+        "wide retraction must drop the whole source")
+      require(left.count() == 18000, "kept docs must survive")
+    }
 
     spark.stop()
   }

@@ -1609,6 +1609,56 @@ class GraftAppSpec extends SparkSpecBase {
       fline(7).contains("retracted_b=1"), fline(7))
     assert(fline(99).contains(
       "processed_b=- retracted_b=- live=false curated=false"), fline(99))
+    // version history comes from RETAINED manifests only: retain=1
+    // pruned v1, so doc 0 reads as v2-only and the retracted doc 7
+    // has no surviving version
+    assert(fline(0).endsWith("versions=2"), fline(0))
+    assert(fline(7).endsWith("versions=-"), fline(7))
+  }
+
+  test("doc-fate names the retained versions a doc was in — probed " +
+      "once per distinct pool dir") {
+    import spark.implicits._
+    def en(tag: String): String =
+      ("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")).mkString(" ")
+    val docs = Seq((0L, "web", en("va")), (1L, "web", en("vb")),
+      (2L, "books", en("vc")))
+    val docsDir = Files.createTempDirectory("vfate-docs").toFile.getAbsolutePath
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val tok = Files.createTempDirectory("vfate-tok")
+      .toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> docsDir,
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("vfate-out")
+      .toFile.getAbsolutePath + "/rel"
+    val relEnv = Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> docsDir,
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2")
+    GraftApp.maintenance(spark, relEnv) // v1: 0, 1, 2
+    val docsDir2 = Files.createTempDirectory("vfate-docs2")
+      .toFile.getAbsolutePath
+    docs.filterNot(_._1 == 1L).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir2)
+    GraftApp.maintenance(spark, // v2: doc 1 retracted, v1 retained
+      relEnv + ("GRAFT_RELEASE_DOCS" -> docsDir2))
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "doc-fate", "GRAFT_RELEASE_OUT" -> out,
+      "GRAFT_DOC_IDS" -> "0,1,99"))
+    def fline(id: Long): String =
+      lines.find(_.startsWith(s"doc-fate $id:"))
+        .getOrElse(fail(s"no line for $id in\n${lines.mkString("\n")}"))
+    // the survivor spans both retained versions; the retracted doc
+    // answers "was in v1, retracted in release 1"; an unknown id has
+    // no history at all
+    assert(fline(0).endsWith("versions=1,2"), fline(0))
+    assert(fline(1).endsWith("versions=1") &&
+      fline(1).contains("retracted_b=1") && fline(1).contains("live=false"),
+      fline(1))
+    assert(fline(99).endsWith("versions=-"), fline(99))
   }
 
   test("chunked release: a delta above the batch cap lands the same end " +
