@@ -133,6 +133,20 @@ private[graft] object SegPool {
     }
   }
 
+  /** Whether `dir` holds any parquet data file (recursive) — the guard
+    * before reading a just-written dir that may be dataless (a rebuild
+    * whose every row was retracted leaves only `_SUCCESS`). Shares the
+    * recursive *.parquet walk convention with [[rowCount]]. */
+  def hasParquet(fs: FileSystem, dir: String): Boolean = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
   /** Total rows of a manifest version from parquet FOOTERS only —
     * O(#files) driver metadata reads, no Spark job, no column scan. */
   def rowCount(spark: SparkSession, versionDir: String): Long = {

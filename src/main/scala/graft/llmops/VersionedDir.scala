@@ -452,11 +452,15 @@ private[graft] object VersionedDir {
     next
   }
 
-  /** All committed (complete, `_SUCCESS`-marked) versions still on
-    * disk, ascending — the retained history a diagnostic (doc-fate's
-    * per-version membership) walks. */
+  /** All PUBLISHED versions still on disk, ascending — the retained
+    * history a diagnostic (doc-fate's per-version membership) walks.
+    * Capped at the current pointer: a version whose commit rename
+    * landed but whose pointer swing crashed is complete on disk yet
+    * was never announced — the next publish deletes and rewrites that
+    * slot, so history must not report it. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val rootPath = new Path(root)
-    committedVersions(fsOf(spark, rootPath), rootPath)
+    val cur = current(spark, root).getOrElse(return Seq.empty)
+    committedVersions(fsOf(spark, rootPath), rootPath).filter(_ <= cur)
   }
 }

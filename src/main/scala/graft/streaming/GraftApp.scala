@@ -899,32 +899,52 @@ object GraftApp {
         // per-version membership across the RETAINED history — "doc X
         // was in v5-v7, retracted in release 8". Versions mostly SHARE
         // pool dirs (manifest indirection), so each distinct pool dir
-        // is probed ONCE (ids-filtered, doc_id-only) and membership is
-        // a driver-side fold of manifest lines over the probe hits:
-        // O(distinct pool dirs) ≈ O(current + rebuilt deltas) reads,
-        // never #versions × corpus. A legacy (pre-manifest) version
-        // probes its own dir as one unit.
+        // is probed ONCE (ids-filtered, doc_id-only, tagged with its
+        // dir as a literal and unioned into ONE Spark job — hundreds of
+        // sub-seg dirs over several retained versions must not become
+        // hundreds of sequential jobs) and membership is a driver-side
+        // fold of manifest lines over the probe hits: O(distinct pool
+        // dirs) bytes ≈ O(current + rebuilt deltas), never
+        // #versions × corpus. A legacy (pre-manifest) version probes
+        // its own dir as one unit. The probe takes no lease, so a
+        // CONCURRENT release's retention pruning/GC can delete a listed
+        // dir mid-probe — one re-list-and-retry absorbs that; the
+        // diagnostic must not block (or be blocked by) the nightly
+        // publish.
         val versionsOf: Map[Long, Seq[Long]] = relOut.map { o =>
           val docsRoot = s"$o/docs"
-          val vs = graft.llmops.VersionedDir.versions(spark, docsRoot)
-          val relToVs: Map[String, Seq[Long]] = vs.flatMap { v =>
-            val vd = graft.llmops.VersionedDir.versionPath(docsRoot, v)
-            if (fateFs.exists(new Path(vd, graft.llmops.SegPool.ManifestName)))
-              graft.llmops.SegPool.readManifest(fateFs, vd)
-                .map { case (_, rel) => s"$docsRoot/$rel" -> v }
-            else Seq(vd -> v) // legacy layout: the version dir itself
-          }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted }
-          val hits: Map[String, Set[Long]] = relToVs.keys.toSeq.sorted.map {
-            dir =>
-              dir -> spark.read.parquet(dir).select("doc_id")
-                .filter(col("doc_id").isin(ids: _*))
-                .collect().map(_.getLong(0)).toSet
-          }.toMap
-          ids.map { id =>
-            id -> relToVs.toSeq.collect {
-              case (dir, vers) if hits(dir)(id) => vers
-            }.flatten.distinct.sorted
-          }.toMap
+          val docsFs = new Path(docsRoot)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          def probe(): Map[Long, Seq[Long]] = {
+            val vs = graft.llmops.VersionedDir.versions(spark, docsRoot)
+            val relToVs: Map[String, Seq[Long]] = vs.flatMap { v =>
+              val vd = graft.llmops.VersionedDir.versionPath(docsRoot, v)
+              if (docsFs.exists(
+                  new Path(vd, graft.llmops.SegPool.ManifestName)))
+                graft.llmops.SegPool.readManifest(docsFs, vd)
+                  .map { case (_, rel) => s"$docsRoot/$rel" -> v }
+              else Seq(vd -> v) // legacy layout: the version dir itself
+            }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted }
+            val hitRows = relToVs.keys.toSeq.sorted
+              .filter(d => docsFs.exists(new Path(d)))
+              .map { dir =>
+                spark.read.parquet(dir)
+                  .select(col("doc_id").cast("long").as("doc_id"))
+                  .filter(col("doc_id").isin(ids: _*))
+                  .withColumn("__dir", lit(dir))
+              }
+              .reduceOption(_ unionByName _)
+              .map(_.collect()).getOrElse(Array.empty)
+            val hits = hitRows.groupBy(_.getString(1))
+              .map { case (d, rs) => d -> rs.map(_.getLong(0)).toSet }
+            ids.map { id =>
+              id -> relToVs.toSeq.collect {
+                case (dir, vers) if hits.getOrElse(dir, Set.empty)(id) => vers
+              }.flatten.distinct.sorted
+            }.toMap
+          }
+          try probe()
+          catch { case _: Exception => probe() } // lost a race: re-list
         }.getOrElse(Map.empty)
         ids.map { id =>
           val pb = pLed.get(id); val rb = rLed.get(id)
@@ -1621,9 +1641,12 @@ object GraftApp {
                 maxPerBucket = env.get("GRAFT_RELEASE_MAXBUCKET").map(_.toInt))
             }
           }
-          // the staged delta is intake scratch — reclaim it now; a
-          // crash before this point rewrites it wholesale on retry
-          if (nChunks > 1) relFs.delete(new Path(deltaDir), true)
+          // the staged delta is intake scratch — reclaim it now
+          // UNCONDITIONALLY: a crashed chunked attempt retried with a
+          // raised batch cap lands on the single-chunk arm, which must
+          // still sweep the (corpus-sized) leftover staging
+          if (relFs.exists(new Path(deltaDir)))
+            relFs.delete(new Path(deltaDir), true)
           val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
           def stageN(st: String): Long = {
             val k = "graft_curate_stage_docs_total{stage=\"" + st + "\"}"
@@ -1687,17 +1710,10 @@ object GraftApp {
                 // carry their rows forward from the previous sidecar —
                 // the release report then never scans the corpus
                 val srcRows = Seq.newBuilder[(String, String, Long)]
-                def hasParquet(dir: String): Boolean = {
-                  val it = relFs.listFiles(new Path(dir), true)
-                  var found = false
-                  while (!found && it.hasNext)
-                    found = it.next().getPath.getName.endsWith(".parquet")
-                  found
-                }
                 def srcCounts(in: Seq[String]): Seq[(String, String, Long)] = {
                   // a fully-retracted rebuild leaves a dataless parent
                   // (just _SUCCESS) — nothing to count, nothing to read
-                  val dirs = in.filter(hasParquet)
+                  val dirs = in.filter(SegPool.hasParquet(relFs, _))
                   if (dirs.isEmpty) Seq.empty
                   else spark.read.option("mergeSchema", "true")
                     .parquet(dirs: _*)
@@ -1716,10 +1732,17 @@ object GraftApp {
                     // legacy version rewrites into the shared pool as
                     // one partitioned job (removed ids filtered on the
                     // way), and this version onward is pure manifest
-                    // indirection. O(corpus) once, never again.
+                    // indirection. O(corpus) once, never again. Legacy
+                    // seg names are user-chosen strings, so they move
+                    // into an `m`-prefixed namespace: a legacy segment
+                    // literally named "1" must not collide with (and be
+                    // silently overwritten by) this release's fresh seg
+                    // key relBatch="1" in the entries map — fresh keys
+                    // are always numeric/dotted, never m-prefixed.
                     val parent = s"_segs/m$relBatch-v$v-$nonce"
                     spark.read.option("mergeSchema", "true").parquet(pvDir)
-                      .withColumn("seg", col("seg").cast("string"))
+                      .withColumn("seg",
+                        concat(lit("m"), col("seg").cast("string")))
                       .join(removedIds, Seq("doc_id"), "left_anti")
                       .withColumn("segp", col("seg"))
                       .repartition(col("segp"))
@@ -1728,10 +1751,10 @@ object GraftApp {
                     relFs.listStatus(new Path(pvDir)).toSeq
                       .map(_.getPath.getName).filter(_.startsWith("seg="))
                       .map(_.stripPrefix("seg=")).sorted.foreach { k =>
-                        val rel = s"$parent/segp=$k"
+                        val rel = s"$parent/segp=m$k"
                         if (relFs.exists(new Path(s"$docsRoot/$rel")))
-                          entries += k -> rel
-                        rebuilt += k
+                          entries += s"m$k" -> rel
+                        rebuilt += s"m$k"
                       }
                     srcRows ++= srcCounts(Seq(s"$docsRoot/$parent"))
                   } else {
@@ -1884,7 +1907,11 @@ object GraftApp {
           val nFinal = srcSidecar.map(_.map(_._3).sum)
             .getOrElse(SegPool.rowCount(spark, curDocsDir))
           // token side: delegate to emit-shards (incremental manifest,
-          // changed-shards-only re-tokenization — reuse, not re-impl)
+          // changed-shards-only re-tokenization — reuse, not re-impl).
+          // Fenced first: shards/ and _report/ paths are deterministic,
+          // and re-tokenization is the verb's longest stage — a
+          // displaced holder must not race its breaker there
+          relFence(relHeld, "before emit-shards")
           val emitLines = staged("emit_shards") {
             maintenance(spark, env ++ Map(
               "GRAFT_MAINTENANCE" -> "emit-shards",
@@ -1898,7 +1925,9 @@ object GraftApp {
           // stage survivors from applyBatch's counters, final +
           // per-source folded down from the SOURCES sidecar — the report
           // stage launches NO job over the assembled corpus (legacy
-          // pre-sidecar versions keep the one pruned column scan)
+          // pre-sidecar versions keep the one pruned column scan).
+          // Fenced like every deterministic-path write stage.
+          relFence(relHeld, "before the report write")
           locally {
             import spark.implicits._
             val perSource = srcSidecar match {

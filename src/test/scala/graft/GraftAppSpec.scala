@@ -308,10 +308,16 @@ class GraftAppSpec extends SparkSpecBase {
         .executeQuery("SELECT COUNT(*) FROM \"public\".\"t1\"")
       rs.next(); assert(rs.getLong(1) == 1) // the delete applied
     } finally { GraftApp.shutdown(w); c.close() }
-    // connection gauges drop with the wiring
-    val after = w.listener.snapshot()
-    assert(after("pg2any_source_connection_status") == 0.0)
-    assert(after("""pg2any_destination_connection_status{destination_type="ansi"}""") == 0.0)
+    // connection gauges drop with the wiring (the status flip rides an
+    // async listener event after query.stop() — poll briefly, don't
+    // race it)
+    def gauge(k: String): Double = w.listener.snapshot()(k)
+    val deadline = System.currentTimeMillis() + 10000L
+    while (System.currentTimeMillis() < deadline &&
+        gauge("pg2any_source_connection_status") != 0.0)
+      Thread.sleep(100L)
+    assert(gauge("pg2any_source_connection_status") == 0.0)
+    assert(gauge("""pg2any_destination_connection_status{destination_type="ansi"}""") == 0.0)
   }
 
   test("curate mode: /metrics exposes per-stage funnel counters that climb per trigger") {
