@@ -943,8 +943,14 @@ object GraftApp {
               }.flatten.distinct.sorted
             }.toMap
           }
+          // retry ONLY the GC-race signatures (a listed dir pruned
+          // under the probe); deterministic failures — e.g. a corrupt
+          // committed manifest — must surface on first throw
           try probe()
-          catch { case _: Exception => probe() } // lost a race: re-list
+          catch {
+            case _: java.io.FileNotFoundException => probe()
+            case _: org.apache.spark.sql.AnalysisException => probe()
+          }
         }.getOrElse(Map.empty)
         ids.map { id =>
           val pb = pLed.get(id); val rb = rLed.get(id)
@@ -1588,7 +1594,22 @@ object GraftApp {
           val nChunks = math.min(65536L,
             math.max(1L, (nNew + relBatchDocs - 1) / relBatchDocs)).toInt
           val chunkBase = relBatch * 65536L
-          val deltaDir = s"$curStore/_delta"
+          // the delta staging is ATTEMPT-UNIQUE like the pool parents:
+          // a displaced-but-alive holder's staging writes and its
+          // end-of-intake delete must never touch the breaker's
+          // in-flight staging (same zombie model as the freeze). Any
+          // `_delta-*` leftover belongs to a dead or displaced attempt
+          // — we hold the verb lease — so sweep them up front (a
+          // zombie mid-write into its own leftover just fails sooner).
+          val deltaDir =
+            s"$curStore/_delta-${java.util.UUID.randomUUID().toString.take(8)}"
+          locally {
+            val cs = new Path(curStore)
+            if (relFs.exists(cs))
+              relFs.listStatus(cs).toSeq
+                .filter(_.getPath.getName.startsWith("_delta"))
+                .foreach(s => relFs.delete(s.getPath, true))
+          }
           val chunkDocs: Int => org.apache.spark.sql.DataFrame =
             if (nChunks == 1) {
               // broadcast the id set while driver-safe so the raw scan
@@ -1641,11 +1662,12 @@ object GraftApp {
                 maxPerBucket = env.get("GRAFT_RELEASE_MAXBUCKET").map(_.toInt))
             }
           }
-          // the staged delta is intake scratch — reclaim it now
-          // UNCONDITIONALLY: a crashed chunked attempt retried with a
-          // raised batch cap lands on the single-chunk arm, which must
-          // still sweep the (corpus-sized) leftover staging
-          if (relFs.exists(new Path(deltaDir)))
+          // reclaim this attempt's staging now (fenced — a displaced
+          // holder must delete nothing); a crashed attempt's leftover
+          // — even one retried onto the single-chunk arm with a raised
+          // batch cap — is swept by the next run's up-front `_delta-*`
+          // sweep above
+          if (relHeld() && relFs.exists(new Path(deltaDir)))
             relFs.delete(new Path(deltaDir), true)
           val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
           def stageN(st: String): Long = {

@@ -1080,14 +1080,7 @@ class LlmOpsSpec extends SparkSpecBase {
     val nJobs = try {
       StreamingCurate.applyBatch(batch, store, 0L,
         decontamDir = Some(bloomDir))
-      // the listener bus is async: wait for the counter to go quiet
-      var last = -1; var same = 0
-      while (same < 3) {
-        Thread.sleep(150L)
-        val cur = jobs.get()
-        if (cur == last) same += 1 else { same = 0; last = cur }
-      }
-      jobs.get()
+      awaitQuiet(jobs.get()) // the listener bus is async
     } finally spark.sparkContext.removeSparkListener(l)
     // exact per-stage values from the observe() metrics — including
     // the bloom arm, whose flagged branch re-executes the observed

@@ -26,11 +26,14 @@ class ReleaseScaleSpec extends SparkSpecBase {
     val l = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit = {
-        val hit = qe.analyzed.collectFirst {
+        // exhaustive inner match: a non-file LogicalRelation earlier in
+        // the traversal must fall through to the file scans behind it,
+        // not MatchError out of the listener
+        val hit = qe.analyzed.collect {
           case lr: LogicalRelation => lr.relation match {
-            case h: HadoopFsRelation
-              if h.location.rootPaths.exists(_.toString.contains(marker)) =>
-              true
+            case h: HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains(marker))
+            case _ => false
           }
         }.contains(true)
         if (hit) scans.incrementAndGet()
@@ -41,15 +44,7 @@ class ReleaseScaleSpec extends SparkSpecBase {
     spark.listenerManager.register(l)
     try {
       work
-      // the listener bus is async: wait for the counter to go quiet
-      var last = -1
-      var same = 0
-      while (same < 3) {
-        Thread.sleep(200L)
-        val cur = scans.get()
-        if (cur == last) same += 1 else { same = 0; last = cur }
-      }
-      scans.get()
+      awaitQuiet(scans.get()) // the listener bus is async
     } finally spark.listenerManager.unregister(l)
   }
 

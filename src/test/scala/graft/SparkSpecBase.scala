@@ -6,6 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session per suite (guide: lazy val, not per test). */
 trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpecBase.session
+
+  /** Wait for an async listener-bus-fed counter to go quiet: returns
+    * its value once `read` is unchanged across `stablePolls`
+    * consecutive `pollMs` sleeps. Shared by the job-count and
+    * scan-count specs so the drain heuristic lives in one place. */
+  def awaitQuiet(read: => Int, pollMs: Long = 200L,
+                 stablePolls: Int = 3): Int = {
+    var last = -1
+    var same = 0
+    while (same < stablePolls) {
+      Thread.sleep(pollMs)
+      val cur = read
+      if (cur == last) same += 1 else { same = 0; last = cur }
+    }
+    read
+  }
 }
 
 object SparkSpecBase {
