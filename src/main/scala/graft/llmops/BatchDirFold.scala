@@ -77,12 +77,25 @@ private[graft] object BatchDirFold {
     * highest FOLDED id. `writeStaged(foldedDirs, stagedPath)` must
     * produce a Spark-committed dir (with `_SUCCESS`). Returns the
     * number of dirs folded (0 when there is nothing to fold — fewer
-    * than two foldable dirs). */
+    * than two foldable dirs).
+    *
+    * `excludeFrom` widens rule 1 from "the newest dir" to "every dir
+    * at or above this id": a `release`-verb store's batch ids live in
+    * per-release ranges (`relBatch*65536 + chunk`) whose commit point
+    * is the id ledger, written after publish — so every id at or above
+    * `currentVersion*65536` is a REPLAYABLE (possibly crashed) attempt
+    * that its owning release will Overwrite or reclaim. Folding such a
+    * dir would carry uncommitted rows under a committed-looking name,
+    * and the owner's range sweep would then delete committed history
+    * along with the orphan. Callers without release semantics keep the
+    * default (fold everything but the newest). */
   def fold(spark: SparkSession, dir: Path,
-           writeStaged: (Seq[Path], String) => Unit): Int = {
+           writeStaged: (Seq[Path], String) => Unit,
+           excludeFrom: Long = Long.MaxValue): Int = {
     val fs = fsOf(spark, dir)
     heal(spark, dir)
     val parts = bDirs(spark, dir)
+      .filter(_.getPath.getName.stripPrefix("b").toLong < excludeFrom)
     val foldable = parts.dropRight(1) // newest may be replayed: never fold
     if (foldable.size <= 1) 0
     else {

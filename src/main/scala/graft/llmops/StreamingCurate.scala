@@ -466,8 +466,16 @@ object StreamingCurate {
     * folded dir and the current-batch-exclusion rule is untouched. Run
     * OFFLINE (between streaming runs — same discipline as
     * ParquetReplicaSink.compact); interrupted swaps heal on the next
-    * fold OR the next store read. Returns folded dir counts per kind. */
-  def compactStore(spark: SparkSession, storeDir: String): Map[String, Int] =
+    * fold OR the next store read. Returns folded dir counts per kind.
+    *
+    * `excludeFrom` (release stores): batch ids at or above it are an
+    * UNCOMMITTED release range — a crashed attempt's replayable writes
+    * that the owning release will Overwrite or reclaim
+    * ([[reclaimBatchRange]]). They must never fold under a
+    * committed-looking name; the `curate-store` verb derives the bound
+    * from the sibling docs root's current version. */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   excludeFrom: Long = Long.MaxValue): Map[String, Int] =
     Seq(("seen", seenSchema, Some("content_hash")),
       ("text", textSchema, Some("doc_id")),
       ("buckets", bucketSchema, Some("bucket")),
@@ -501,8 +509,59 @@ object StreamingCurate {
             case None => merged.write
           }
           writer.mode("overwrite").parquet(staged)
-        })
-      }.toMap ++ foldLedgers(spark, storeDir)
+        }, excludeFrom)
+        // ledger dirs are named by RELEASE id (b<relBatch>), not chunk
+        // id — scale the bound down. (An uncommitted ledger dir cannot
+        // actually exist — ledgers land after the publish that advances
+        // the version — so this is belt-and-braces symmetry.)
+      }.toMap ++ foldLedgers(spark, storeDir,
+        if (excludeFrom == Long.MaxValue) Long.MaxValue
+        else excludeFrom / 65536L)
+
+  /** Reclaim every per-batch dir in an UNCOMMITTED release batch-id
+    * range `[lo, hiExclusive)` — minus `keep` — across the store kinds
+    * (`seen/text/buckets/curated` b-dirs, `blocks` batch dirs + their
+    * applied markers) and an optional SketchStore's kinds. The
+    * `release` verb owns the invariant that makes this safe: batch ids
+    * are `relBatch*65536 + chunk`, `relBatch` advances with every
+    * committed publish, and the id ledger (the delta's commit point)
+    * lands after the publish — so nothing inside the CURRENT release's
+    * range is durable state, only a crashed or displaced attempt's
+    * replayable writes. Those must not survive: a retry that chunks
+    * DIFFERENTLY (the raw corpus moved under the crash, or the batch
+    * cap changed) never Overwrites the orphan ids, future releases
+    * would read them as committed prior state, and — worst case — a
+    * doc that left the raw corpus under the crash and is later
+    * resubmitted anti-joins against a leftover seen row and silently
+    * never reaches any frozen version. Returns the number of dirs (and
+    * block markers) removed. */
+  def reclaimBatchRange(spark: SparkSession, storeDir: String,
+                        lo: Long, hiExclusive: Long,
+                        keep: Set[Long] = Set.empty,
+                        sketchDir: Option[String] = None): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    def inRange(id: Long) = id >= lo && id < hiExclusive && !keep(id)
+    def sweep(root: String, kinds: Seq[String], prefix: String): Int =
+      kinds.map { kind =>
+        val dir = new Path(new Path(root), kind)
+        val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) 0
+        else fs.listStatus(dir).toSeq
+          .filter(s => s.getPath.getName.startsWith(prefix))
+          .flatMap(s => scala.util.Try(
+            s.getPath.getName.stripPrefix(prefix).toLong).toOption
+            .map(id => (s.getPath, id)))
+          .count { case (p, id) =>
+            if (inRange(id)) { fs.delete(p, true); true } else false }
+      }.sum
+    sweep(storeDir, Seq("seen", "text", "buckets", "curated"), "b") +
+      // blocks: the marker must go WITH the data — a surviving
+      // `_applied/<id>` would make the owning replay skip its rewrite
+      sweep(s"$storeDir/blocks", Seq("_applied"), "") +
+      sweep(storeDir, Seq("blocks"), "batch=") +
+      sketchDir.map(d =>
+        sweep(d, Seq("kmv", "hll", "hist", "cms"), "b")).getOrElse(0)
+  }
 
   private val ledgerSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("b", LongType)))
@@ -523,8 +582,8 @@ object StreamingCurate {
     * the per-release liveness aggregation reads mostly-pre-reduced
     * input. A no-op for plain streaming-intake stores (no ledger
     * dirs). */
-  private def foldLedgers(spark: SparkSession,
-                          storeDir: String): Map[String, Int] =
+  private def foldLedgers(spark: SparkSession, storeDir: String,
+                          excludeFrom: Long = Long.MaxValue): Map[String, Int] =
     Seq("processed", "retracted").filter { kind =>
       val dir = new Path(storeDir, kind)
       dir.getFileSystem(spark.sessionState.newHadoopConf()).exists(dir)
@@ -538,7 +597,7 @@ object StreamingCurate {
           }.reduce(_ unionByName _)
             .groupBy("doc_id").agg(max("b").as("b"))
             .write.mode("overwrite").parquet(staged)
-        })
+        }, excludeFrom)
     }.toMap
 
   /** Fate probe — "why is doc X (not) in the corpus": one row per

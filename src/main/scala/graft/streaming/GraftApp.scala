@@ -284,6 +284,13 @@ object GraftApp {
     * must launch no job over the corpus. */
   @volatile var lastReportScan: Boolean = false
 
+  /** How many store dirs the last release's up-front RANGE RECLAIM
+    * removed — leftovers of a crashed/displaced attempt of the same
+    * release (batch ids in [relBatch*65536, +65536) with no committed
+    * ledger). Spec-pinned: a leftover seen row must never anti-join a
+    * resubmitted doc out of every future frozen version. */
+  @volatile var lastRangeSwept: Int = 0
+
   /** GRAFT_TABLE_KEYS: "c1,c2" for every table, or "tbl=c1,c2;tbl2=c3". */
   private def tableKeys(env: Map[String, String], table: String): Seq[String] =
     env.get("GRAFT_TABLE_KEYS").map { s =>
@@ -831,7 +838,18 @@ object GraftApp {
       case "curate-store" =>
         val store = env.getOrElse("GRAFT_CURATE_STORE",
           throw new IllegalArgumentException("GRAFT_CURATE_STORE is required"))
-        val folded = graft.llmops.StreamingCurate.compactStore(spark, store)
+        // a release root's store (`<out>/_curate` beside `<out>/docs`):
+        // batch ids at or above currentVersion*65536 belong to the
+        // NEXT release — possibly a crashed attempt's replayable
+        // leftovers that its retry will reclaim. The fold must not
+        // merge them under a committed-looking name (the retry's range
+        // sweep would then delete committed history with the orphan).
+        val docsRoot = s"${new Path(store).getParent}/docs"
+        val excludeFrom = graft.llmops.VersionedDir
+          .current(spark, docsRoot)
+          .map(_ * 65536L).getOrElse(Long.MaxValue)
+        val folded = graft.llmops.StreamingCurate
+          .compactStore(spark, store, excludeFrom)
         Seq(s"curate-store: folded " +
           folded.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }.mkString(","))
       case "doc-fate" =>
@@ -1610,6 +1628,25 @@ object GraftApp {
                 .filter(_.getPath.getName.startsWith("_delta"))
                 .foreach(s => relFs.delete(s.getPath, true))
           }
+          // RANGE RECLAIM: store b-dirs inside this release's batch-id
+          // range [chunkBase, chunkBase+65536) can only be a crashed or
+          // displaced attempt of THIS release — relBatch advances with
+          // every committed publish and the id ledger (the delta's
+          // commit point) lands after it, so nothing in an uncommitted
+          // range is durable state. Leftovers must not survive into
+          // this attempt: a retry that chunks DIFFERENTLY (the raw
+          // corpus moved under the crash, or GRAFT_RELEASE_BATCH_DOCS
+          // changed) never Overwrites the orphan ids, future releases
+          // would read them as committed prior state, and — worst case
+          // — a doc that left raw under the crash and is later
+          // resubmitted anti-joins against a leftover seen row and
+          // silently never reaches any frozen version. We hold the verb
+          // lease; the offline curate-store fold excludes this range
+          // for the same reason.
+          val rangeHi = chunkBase + 65536L
+          lastRangeSwept = graft.llmops.StreamingCurate.reclaimBatchRange(
+            spark, curStore, chunkBase, rangeHi,
+            sketchDir = env.get("GRAFT_RELEASE_SKETCH"))
           val chunkDocs: Int => org.apache.spark.sql.DataFrame =
             if (nChunks == 1) {
               // broadcast the id set while driver-safe so the raw scan
@@ -1669,6 +1706,16 @@ object GraftApp {
           // sweep above
           if (relHeld() && relFs.exists(new Path(deltaDir)))
             relFs.delete(new Path(deltaDir), true)
+          // residue sweep: a displaced zombie stops at its next chunk
+          // boundary, so it may land ONE more chunk's store dirs after
+          // the up-front sweep; reclaim everything in the range that is
+          // not this attempt's own chunk set (fenced — a displaced run
+          // must delete nothing)
+          if (relHeld())
+            graft.llmops.StreamingCurate.reclaimBatchRange(
+              spark, curStore, chunkBase, rangeHi,
+              keep = (0 until nChunks).map(chunkBase + _.toLong).toSet,
+              sketchDir = env.get("GRAFT_RELEASE_SKETCH"))
           val mAfter = graft.llmops.StreamingCurate.metricsSnapshot()
           def stageN(st: String): Long = {
             val k = "graft_curate_stage_docs_total{stage=\"" + st + "\"}"

@@ -1829,4 +1829,65 @@ class GraftAppSpec extends SparkSpecBase {
       (1L, Seq[Byte](9, 9), "audio"),
       (5L, Seq[Byte](42), "video")), s"got $frozen2")
   }
+
+  test("release range reclaim: a crashed chunked attempt's store " +
+      "leftovers cannot exile a resubmitted doc from every future version") {
+    import spark.implicits._
+    import graft.llmops.{SegPool, StreamingCurate, VersionedDir}
+    import org.apache.hadoop.fs.Path
+    def en(tag: String): String =
+      ("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")).mkString(" ")
+    val docsA = Seq((1L, "web", en("ra")), (2L, "web", en("rb")))
+    val docX = (100L, "web", en("rx"))
+    val docC = (3L, "web", en("rc"))
+    def writeRaw(rows: Seq[(Long, String, String)]): String = {
+      val d = Files.createTempDirectory("rrc-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("rrc-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> writeRaw(docsA),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("rrc-out").toFile.getAbsolutePath + "/rel"
+    def release(raw: String): Seq[String] = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> raw,
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    // release 1 (relBatch 0) commits v1
+    release(writeRaw(docsA))
+    // a CRASHED chunked attempt of release 2 (relBatch 1) processed doc
+    // X at chunk 3 and died before its ledger: store dirs at b(65536+3)
+    // exist, nothing is committed. (X was in raw during that attempt.)
+    StreamingCurate.applyBatch(
+      Seq(docX).toDF("doc_id", "source", "text"), s"$out/_curate", 65536L + 3)
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    val leftover = new Path(s"$out/_curate/seen/b65539")
+    assert(fs.exists(leftover), "crashed-attempt fixture missing")
+    // the offline fold must NOT merge the uncommitted range under a
+    // committed-looking name (the retry's sweep would then delete
+    // committed history along with the orphan)
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "curate-store",
+      "GRAFT_CURATE_STORE" -> s"$out/_curate"))
+    assert(fs.exists(leftover),
+      "curate-store fold must exclude the uncommitted release range")
+    // the RETRY of release 2: X left the raw corpus under the crash and
+    // doc C arrived — a different delta, a different chunking, so the
+    // leftover ids would never be Overwritten. The range owner reclaims
+    // them up front instead.
+    release(writeRaw(docsA :+ docC))
+    assert(GraftApp.lastRangeSwept > 0,
+      "the retry must sweep its range's leftover dirs")
+    assert(!fs.exists(leftover), "leftover must be reclaimed")
+    // ... so when X is RESUBMITTED in release 3, no orphan seen row
+    // anti-joins it away: it reaches the frozen corpus
+    release(writeRaw(docsA ++ Seq(docC, docX)))
+    val cur = VersionedDir.currentPath(spark, s"$out/docs").get
+    val kept = SegPool.readDocs(spark, cur)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 100L),
+      s"resubmitted doc must reach the corpus, kept=$kept")
+  }
 }
