@@ -147,6 +147,20 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
       .parquet(new Path(tombDir, s"d$next").toString)
   }
 
+  /** Distributed retraction: the id set never collects to the driver
+    * on the WRITE path (a wide retraction — a whole source — lands as
+    * a parquet tombstone dir straight from the cluster). The serve-time
+    * dead set stays driver-bounded like every tombstone read; follow a
+    * wide retraction with [[compact]] to purge it physically. */
+  def delete(spark: SparkSession, ids: DataFrame): Unit = {
+    val fs = fsOf(spark)
+    fs.mkdirs(tombDir)
+    val next = fs.listStatus(tombDir).length
+    ids.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(tombDir, s"d$next").toString)
+  }
+
   /** The dead set — driver-bounded (deletes are retractions, not a
     * corpus); empty when no tombstones exist. */
   private def tombstoned(spark: SparkSession): Set[Long] = {

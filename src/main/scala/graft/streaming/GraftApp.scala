@@ -135,6 +135,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   part-pruned postings;
   *                   GRAFT_TEXT_DFCAP_PERMILLE def 600 skips
   *                   stopword terms before any posting read)
+  *     text-index-sync  bring a release root's BM25 index
+  *                   (`<GRAFT_RELEASE_OUT>/_text_index`) up to the
+  *                   corpus' CURRENT version: manifest-diff
+  *                   incremental (untouched segments never read),
+  *                   rebuild fallback once the synced version left
+  *                   retention; GRAFT_TEXT_COMPACT=1 purges tombstones
+  *                   — the standalone form of GRAFT_RELEASE_TEXT_INDEX=1
   *     hybrid-search reciprocal-rank fusion of the text index
   *                   (GRAFT_TEXT_OUT) and a persisted ANN index
   *                   (GRAFT_ANN_DIR) for one probe doc
@@ -235,7 +242,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   re-tokenization; pass the
   *                   GRAFT_EMIT_TOKENIZER[_KIND]/BUDGET/SHARDS knobs
   *                   through); per-release funnel report under
-  *                   GRAFT_RELEASE_OUT/_report
+  *                   GRAFT_RELEASE_OUT/_report;
+  *                   GRAFT_RELEASE_TEXT_INDEX=1 keeps the BM25 index
+  *                   at GRAFT_RELEASE_OUT/_text_index in exact sync
+  *                   with the frozen corpus (manifest-diff
+  *                   incremental; GRAFT_RELEASE_TEXT_COMPACT=1 purges
+  *                   retraction tombstones physically)
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -290,6 +302,13 @@ object GraftApp {
     * ledger). Spec-pinned: a leftover seen row must never anti-join a
     * resubmitted doc out of every future frozen version. */
   @volatile var lastRangeSwept: Int = 0
+
+  /** The last release's text-index sync report (None when
+    * GRAFT_RELEASE_TEXT_INDEX is off). Spec-pinned: untouched segments
+    * are SKIPPED (never read) and a synced index ranks identically to
+    * a fresh build over the current corpus. */
+  @volatile var lastIndexSync:
+      Option[graft.llmops.CorpusIndexSync.SyncReport] = None
 
   /** GRAFT_TABLE_KEYS: "c1,c2" for every table, or "tbl=c1,c2;tbl2=c3". */
   private def tableKeys(env: Map[String, String], table: String): Seq[String] =
@@ -770,6 +789,22 @@ object GraftApp {
         }
         Seq(s"text-index: batch $tBatch -> $outDir " +
           s"($tn docs, $tt tokens, $tParts parts)") ++ qLine.toSeq
+      case "text-index-sync" =>
+        // bring a release root's BM25 index up to the corpus' CURRENT
+        // version (manifest-diff incremental; rebuild fallback) — the
+        // standalone form of GRAFT_RELEASE_TEXT_INDEX=1, for ops that
+        // run search maintenance on its own schedule
+        val sOut = env.getOrElse("GRAFT_RELEASE_OUT",
+          throw new IllegalArgumentException("GRAFT_RELEASE_OUT is required"))
+        val sParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64)
+        val r = graft.llmops.CorpusIndexSync.sync(
+          spark, s"$sOut/docs", s"$sOut/_text_index", sParts)
+        if (env.get("GRAFT_TEXT_COMPACT").contains("1"))
+          new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
+            .compact(spark)
+        Seq(s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
+          s"v${r.to} +${r.added} -${r.removed} " +
+          s"(${r.segsSkipped} segs untouched)")
       case "hybrid-search" =>
         // persisted hybrid retrieval: the durable BM25 text index and
         // the persisted ANN vector index serve the SAME probe doc
@@ -1966,6 +2001,28 @@ object GraftApp {
           if (nRemoved > 0)
             removedIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
               .parquet(s"$curStore/retracted/b$relBatch")
+          // GRAFT_RELEASE_TEXT_INDEX=1: keep the serving-side BM25
+          // index (`_text_index` beside `docs/`) in exact sync with
+          // CURRENT at O(changed segments) — manifest diff, additions
+          // as one addBatch(batchId = version), retractions as
+          // tombstones with exact stat adjustment. Runs on the
+          // zero-delta path too: that is the CATCH-UP (a release that
+          // ran without the flag, or a sync that crashed after the
+          // ledgers, is brought current by one diff spanning the gap).
+          // GRAFT_RELEASE_TEXT_COMPACT=1 purges tombstones physically
+          // after a wide retraction.
+          if (env.get("GRAFT_RELEASE_TEXT_INDEX").contains("1")) {
+            relFence(relHeld, "before the text-index sync")
+            val tiParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt)
+              .getOrElse(64)
+            lastIndexSync = Some(staged("text_index") {
+              graft.llmops.CorpusIndexSync.sync(
+                spark, docsRoot, s"$relOut/_text_index", tiParts)
+            })
+            if (env.get("GRAFT_RELEASE_TEXT_COMPACT").contains("1"))
+              new graft.llmops.TextIndexStore(s"$relOut/_text_index", tiParts)
+                .compact(spark)
+          }
           // final corpus size + per-source rows from the SOURCES
           // sidecar the freeze wrote next to the manifest — one driver
           // metadata read, zero jobs, zero corpus bytes. A version that
@@ -2047,7 +2104,11 @@ object GraftApp {
             "release stages: " + stageSecs.map { case (s, t) =>
               f"$s=$t%.1fs" }.mkString(" ") +
               (if (skipPublish) " (zero delta: no new docs version)" else "")
-          ) ++ emitLines
+          ) ++ lastIndexSync.filter(_ =>
+            env.get("GRAFT_RELEASE_TEXT_INDEX").contains("1")).map(r =>
+            s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
+              s"v${r.to} +${r.added} -${r.removed} " +
+              s"(${r.segsSkipped} segs untouched)").toSeq ++ emitLines
         }
       case "agg-view-bootstrap" =>
         // declare a view over ALREADY-replicated tables: initial state

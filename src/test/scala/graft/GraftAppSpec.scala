@@ -1890,4 +1890,95 @@ class GraftAppSpec extends SparkSpecBase {
     assert(kept == Seq(1L, 2L, 3L, 100L),
       s"resubmitted doc must reach the corpus, kept=$kept")
   }
+
+  test("release text-index sync: manifest-diff incremental, bit-exact " +
+      "parity with a fresh build, catch-up across a skipped release") {
+    import spark.implicits._
+    import graft.llmops.{CorpusIndexSync, SegPool, TextIndexStore, VersionedDir}
+    def en(tag: String, zebras: Int): String =
+      (("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")) ++
+        Seq.fill(zebras)("zebra")).mkString(" ")
+    val d1 = (1L, "web", en("ia", 3))
+    val d2 = (2L, "web", en("ib", 1))
+    val d3 = (3L, "web", en("ic", 0))
+    val d5 = (5L, "web", en("ie", 2))
+    val d7 = (7L, "web", en("ig", 4))
+    def writeRaw(rows: Seq[(Long, String, String)]): String = {
+      val d = Files.createTempDirectory("tis-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("tis-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train",
+      "GRAFT_BPE_DOCS" -> writeRaw(Seq(d1, d2, d3)),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("tis-out").toFile.getAbsolutePath + "/rel"
+    def release(raw: Seq[(Long, String, String)],
+                index: Boolean): Seq[String] =
+      GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(raw),
+        "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+        // retain 3 versions: the v2->v4 catch-up below needs v2's
+        // manifest still on disk (out of retention => rebuild fallback,
+        // asserted at the end)
+        "GRAFT_RELEASE_RETAIN" -> "3",
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2") ++
+        (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1") else Map.empty))
+    // release 1: cold build
+    release(Seq(d1, d2, d3), index = true)
+    assert(GraftApp.lastIndexSync.exists(_.mode == "rebuild"),
+      s"${GraftApp.lastIndexSync}")
+    // release 2: pure addition — the prior segment is untouched and
+    // must be SKIPPED (never read) by the diff
+    release(Seq(d1, d2, d3, d5), index = true)
+    val s2 = GraftApp.lastIndexSync.get
+    assert(s2.mode == "diff" && s2.added == 1 && s2.removed == 0 &&
+      s2.segsSkipped >= 1, s"$s2")
+    // release 3 WITHOUT the flag (doc 2 retracted): the index goes
+    // stale at v2 while the corpus moves to v3
+    release(Seq(d1, d3, d5), index = false)
+    // release 4 WITH the flag (doc 7 added): one diff spans the gap —
+    // the retraction of release 3 and the addition of release 4
+    release(Seq(d1, d3, d5, d7), index = true)
+    val s4 = GraftApp.lastIndexSync.get
+    assert(s4.mode == "diff" && s4.added == 1 && s4.removed == 1 &&
+      s4.segsSkipped >= 1, s"$s4")
+    // bit-exact parity: the synced index must rank identically to a
+    // fresh build over the current frozen corpus (stats N/avgdl
+    // included — retraction adjusts them exactly via _lens)
+    val curDir = VersionedDir.currentPath(spark, s"$out/docs").get
+    val freshDir = Files.createTempDirectory("tis-fresh")
+      .toFile.getAbsolutePath + "/idx"
+    val fresh = new TextIndexStore(freshDir, 64)
+    fresh.addBatch(spark,
+      SegPool.readDocs(spark, curDir).select("doc_id", "text"), 0L)
+    val synced = new TextIndexStore(s"$out/_text_index", 64)
+    val q = Seq(("q", "zebra"), ("q", "ie3")).toDF("qid", "term")
+    def hits(ix: TextIndexStore): Seq[(String, Int, Long, Long)] =
+      ix.search(spark, q, k = 10).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    val (hs, hf) = (hits(synced), hits(fresh))
+    assert(hs == hf, s"synced $hs\nfresh $hf")
+    assert(hs.map(_._3).toSet == Set(1L, 5L, 7L), s"live zebra docs: $hs")
+    // the standalone verb is a no-op when already current
+    val lines = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "text-index-sync", "GRAFT_RELEASE_OUT" -> out))
+    assert(lines.exists(_.contains("noop")), lines.mkString("\n"))
+    assert(CorpusIndexSync.syncedVersion(spark, s"$out/_text_index")
+      .contains(4L))
+    // a gap whose old manifest left retention falls back to the full
+    // rebuild — and the rebuilt index still ranks identically
+    val mfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mk = new org.apache.hadoop.fs.Path(s"$out/_text_index/_corpus_version")
+    val mo = mfs.create(mk, true)
+    try mo.write("1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mo.close() // v1 is GC'd (retain 3 of 4): forces the fallback
+    val r = CorpusIndexSync.sync(spark, s"$out/docs", s"$out/_text_index", 64)
+    assert(r.mode == "rebuild", s"$r")
+    assert(hits(new TextIndexStore(s"$out/_text_index", 64)) == hf)
+  }
 }
