@@ -57,12 +57,39 @@ object CorpusIndexSync {
     }
   }
 
+  /** Rebuilds are STAGED: the new index builds beside the live one
+    * (`<idx>._rebuild`), gets its version marker last, and only then
+    * swaps in — the live index keeps serving through a multi-hour
+    * rebuild, and a crash at any point leaves either the old index
+    * (incomplete staging, discarded) or a promotable complete staging
+    * (healed here on the next sync). */
+  private def rebuildStagePath(idxPath: String) = new Path(idxPath + "._rebuild")
+
+  private def healRebuild(spark: SparkSession, idxPath: String): Unit = {
+    val stage = rebuildStagePath(idxPath)
+    val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(stage)) return
+    val stageMarker = new Path(stage, "_corpus_version")
+    if (!fs.exists(stageMarker)) { fs.delete(stage, true); return }
+    val in = fs.open(stageMarker)
+    val stageV = try new String(in.readAllBytes(), UTF_8).trim.toLong
+      finally in.close()
+    // promote only a staging NEWER than the live index (a crash
+    // between delete and rename left no live index at all — promote)
+    if (syncedVersion(spark, idxPath).forall(_ < stageV)) {
+      val live = new Path(idxPath)
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.rename(stage, live)
+    } else fs.delete(stage, true)
+  }
+
   /** Bring the index at `idxPath` up to the corpus' CURRENT version.
     * No-op when already there or when no version is published yet. */
   def sync(spark: SparkSession, docsRoot: String, idxPath: String,
            numParts: Int = 64): SyncReport = {
     val fs = new Path(docsRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    healRebuild(spark, idxPath) // a crashed swap's complete staging wins
     val cur = VersionedDir.current(spark, docsRoot).getOrElse(
       return SyncReport(None, -1L, "noop", 0, 0, 0L, 0L))
     val curDir = VersionedDir.versionPath(docsRoot, cur)
@@ -127,15 +154,24 @@ object CorpusIndexSync {
         segsSkipped = skipped, added = nAdd, removed = nDel)
     }).getOrElse {
       // cold build, or the synced version's manifest left retention:
-      // wipe and rebuild from the current corpus — O(corpus), the
-      // documented fallback
-      val ip = new Path(idxPath)
-      val ifs = ip.getFileSystem(spark.sessionState.newHadoopConf())
-      if (ifs.exists(ip)) ifs.delete(ip, true)
+      // rebuild from the current corpus — O(corpus), the documented
+      // fallback. STAGED: the live index serves untouched until the
+      // complete staging (marker last) swaps in; the delete→rename
+      // window is healed by the next sync's healRebuild
+      val stage = rebuildStagePath(idxPath)
+      val ifs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+      if (ifs.exists(stage)) ifs.delete(stage, true)
+      val sIdx = new TextIndexStore(stage.toString, numParts)
       val docs = SegPool.readDocs(spark, curDir).select("doc_id", "text")
-      idx.addBatch(spark, docs, batchId = cur)
+      sIdx.addBatch(spark, docs, batchId = cur)
+      val n = sIdx.stats(spark)._1
+      val out = ifs.create(new Path(stage, "_corpus_version"), true)
+      try out.write(cur.toString.getBytes(UTF_8)) finally out.close()
+      val live = new Path(idxPath)
+      if (ifs.exists(live)) ifs.delete(live, true)
+      ifs.rename(stage, live)
       SyncReport(synced, cur, "rebuild", segsRead = -1, segsSkipped = 0,
-        added = idx.stats(spark)._1, removed = 0L)
+        added = n, removed = 0L)
     }
     // commit marker LAST: a crash anywhere above re-enters the whole
     // diff idempotently (addBatch Overwrites its own batch dir; the

@@ -1943,8 +1943,15 @@ object GraftApp {
                     val dstRel = SegPool.poolRel(relBatch.toString, v, nonce)
                     freshDocs.withColumn("seg", lit(relBatch.toString))
                       .write.mode("overwrite").parquet(s"$docsRoot/$dstRel")
-                    entries += relBatch.toString -> dstRel
-                    srcRows ++= srcCounts(Seq(s"$docsRoot/$dstRel"))
+                    // a delta whose every doc the funnel dropped leaves
+                    // a dataless dir (just _SUCCESS): register no entry
+                    // — a manifest must never reference nothing (the
+                    // orphan dir is GC'd) — mirroring the sub-seg and
+                    // rebuild arms' existence checks
+                    if (SegPool.hasParquet(relFs, s"$docsRoot/$dstRel")) {
+                      entries += relBatch.toString -> dstRel
+                      srcRows ++= srcCounts(Seq(s"$docsRoot/$dstRel"))
+                    }
                   } else {
                     val parent = s"_segs/f$relBatch-v$v-$nonce"
                     freshDocs

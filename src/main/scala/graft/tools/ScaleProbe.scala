@@ -564,11 +564,16 @@ object ScaleProbe {
     // moved), a removal rebuilds ONLY the segments holding removed
     // docs.
     import graft.streaming.GraftApp
+    // texts derive from doc_id (id + offset), NOT the range id — an
+    // offset batch must be fresh CONTENT, or the funnel exact-drops it
+    // as a duplicate of the base corpus and the "+N docs" rows measure
+    // nothing
     def relCorpus(n: Long, offset: Long) = spark.range(n)
       .select((col("id") + offset).as("doc_id"), lit("probe").as("source"),
-        expr("""concat('the quick brown fox and the lazy dog of the old town ',
+        expr(s"""concat('the quick brown fox and the lazy dog of the old town ',
           concat_ws(' ', transform(sequence(0, 29), p ->
-            concat('rtok', CAST(CAST(conv(substr(md5(concat(CAST(id AS STRING),
+            concat('rtok', CAST(CAST(conv(substr(md5(concat(
+              CAST(id + $offset AS STRING),
               '_r_', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)
               % 50000 AS STRING)))))""").as("text"))
     def relDir(tag: String) = java.nio.file.Files
@@ -635,6 +640,29 @@ object ScaleProbe {
       f"${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr]")
     require(chunkFunnel == coldFunnel,
       s"chunked cold release must equal one-shot:\n$chunkFunnel\n$coldFunnel")
+    // release-synced text index: a cold sync REBUILDS over the current
+    // corpus once; the next release's sync is a manifest DIFF — prior
+    // segments skipped (never read), cost bounded by the delta
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "text-index-sync", "GRAFT_RELEASE_OUT" -> relOut))
+    val syncCold = graft.llmops.CorpusIndexSync
+      .syncedVersion(spark, s"$relOut/_text_index")
+    println(f"text-index sync cold (~20k docs rebuild -> v${syncCold.get}): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val relRaw4 = relDir("raw4")
+    spark.read.parquet(relRaw3).unionByName(relCorpus(200, 20200))
+      .write.mode("overwrite").parquet(relRaw4)
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, relEnv ++ Map(
+      "GRAFT_RELEASE_DOCS" -> relRaw4, "GRAFT_RELEASE_TEXT_INDEX" -> "1"))
+    val sr = GraftApp.lastIndexSync.get
+    println(f"text-index sync diff (+200 docs with the release): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr] " +
+      s"(mode=${sr.mode} +${sr.added} -${sr.removed} " +
+      s"${sr.segsSkipped} segs untouched)")
+    require(sr.mode == "diff" && sr.added == 200 && sr.segsSkipped >= 2,
+      s"release sync must diff, not rebuild: $sr")
     // WIDE retraction: a whole source GDPR-deleted out of a corpus
     // frozen as many hash sub-segments — every holding sub-seg
     // rebuilds, but through ONE partitioned job (the r<batch>-v<N>

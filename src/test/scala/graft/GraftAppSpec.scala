@@ -1980,5 +1980,25 @@ class GraftAppSpec extends SparkSpecBase {
     val r = CorpusIndexSync.sync(spark, s"$out/docs", s"$out/_text_index", 64)
     assert(r.mode == "rebuild", s"$r")
     assert(hits(new TextIndexStore(s"$out/_text_index", 64)) == hf)
+    // staged-rebuild heal: an INCOMPLETE staging (no marker — a crash
+    // mid-build) is discarded by the next sync
+    val stage = new org.apache.hadoop.fs.Path(s"$out/_text_index._rebuild")
+    mfs.mkdirs(stage)
+    val r2 = CorpusIndexSync.sync(spark, s"$out/docs", s"$out/_text_index", 64)
+    assert(r2.mode == "noop" && !mfs.exists(stage), s"$r2")
+    // …a COMPLETE staging newer than the live index (a crash between
+    // the swap's delete and rename, or just before it) promotes: the
+    // healed index is the staged one, already at the current version
+    org.apache.hadoop.fs.FileUtil.copy(
+      mfs, new org.apache.hadoop.fs.Path(s"$out/_text_index"),
+      mfs, stage, false, spark.sessionState.newHadoopConf())
+    val mo2 = mfs.create(mk, true) // live marker forced stale
+    try mo2.write("1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mo2.close()
+    val r3 = CorpusIndexSync.sync(spark, s"$out/docs", s"$out/_text_index", 64)
+    assert(r3.mode == "noop" && !mfs.exists(stage), s"$r3")
+    assert(CorpusIndexSync.syncedVersion(spark, s"$out/_text_index")
+      .contains(4L))
+    assert(hits(new TextIndexStore(s"$out/_text_index", 64)) == hf)
   }
 }
