@@ -22,18 +22,30 @@ import org.apache.spark.sql.functions._
   *   - same rel            → untouched: not read, not written;
   *   - rel changed         → rebuilt (a retraction filtered it):
   *                           removed = old∖new, added = new∖old;
-  *   - key gone / key new  → whole segment removed / added.
+  *   - key gone / key new  → whole segment removed / added;
+  *   - id on BOTH sides    → REPLACED (retracted, later resubmitted
+  *                           edited under its stable id): live, but its
+  *                           old postings are tombstoned and compacted
+  *                           away BEFORE the re-add — tombstones are
+  *                           global by doc_id and would shadow the
+  *                           fresh postings too. The same compact
+  *                           clears an EARLIER sync's tombstone a
+  *                           resurrected id would stay dead under.
+  *                           Rare path, priced only when it happens.
   * Additions land as one `addBatch(batchId = targetVersion)` (Overwrite
-  * — a crashed sync's retry rewrites its own dir); removals land as a
-  * tombstone dir (duplicate-tolerant set) with corpus stats adjusted
-  * exactly through the store's `_lens` table, so a synced index ranks
-  * bit-identically to a fresh build over the current corpus
-  * (spec-pinned). The `_corpus_version` marker commits LAST: any crash
-  * before it re-enters the whole diff idempotently; a release that ran
-  * WITHOUT the index flag is caught up by the next sync in one diff
-  * spanning the gap (manifests for both ends must still be retained —
-  * GRAFT_RELEASE_RETAIN — else the sync falls back to a full rebuild,
-  * the documented cold path). */
+  * — a crashed sync's retry rewrites its own dir, and batches ABOVE the
+  * synced version are reclaimed up front: they can only be a crashed
+  * attempt, and a retry targeting a later version would otherwise
+  * double-index their docs); removals land as a tombstone dir
+  * (duplicate-tolerant set) with corpus stats adjusted exactly through
+  * the store's `_lens` table, so a synced index ranks bit-identically
+  * to a fresh build over the current corpus (spec-pinned). The
+  * `_corpus_version` marker commits LAST: any crash before it
+  * re-enters the whole diff idempotently; a release that ran WITHOUT
+  * the index flag is caught up by the next sync in one diff spanning
+  * the gap (manifests for both ends must still be retained —
+  * GRAFT_RELEASE_RETAIN — else the sync falls back to a STAGED full
+  * rebuild, the documented cold path). */
 object CorpusIndexSync {
 
   /** What a sync did: `mode` ∈ noop | diff | rebuild; `segsSkipped`
@@ -132,6 +144,11 @@ object CorpusIndexSync {
           case (None, Some(b)) => addRels += b
         }
       }
+      // a CRASHED sync attempt (marker never advanced) may have left
+      // committed index batches above the synced version; they must go
+      // before this diff applies, or its adds double-index those docs
+      // under a second batch id
+      idx.reclaimBatchesAbove(spark, from)
       // changed segments: a rebuild only ever filters, so added∖old is
       // empty in practice — computed anyway, bounded by the changed
       // segments' own rows (never the corpus)
@@ -141,12 +158,44 @@ object CorpusIndexSync {
         .unionByName(changedNewDf
           .join(changedOldDf.select("doc_id"), Seq("doc_id"), "left_anti"))
         .localCheckpoint(true)
-      val removed = readRels(delRels.result()).select("doc_id")
+      // a doc RETRACTED and later RESUBMITTED EDITED under its stable
+      // id (byte-identical resubmission never reaches the corpus — the
+      // funnel's append-biased seen store suppresses it) appears on
+      // BOTH sides of a gap-spanning diff: old seg rebuilt without it,
+      // fresh seg carrying the new content. It is LIVE, but its OLD
+      // postings must be physically purged before the re-add —
+      // tombstones are global by doc_id and would shadow the fresh
+      // postings too.
+      val removedRaw = readRels(delRels.result()).select("doc_id")
         .unionByName(changedOldDf.select("doc_id")
           .join(changedNewDf.select("doc_id"), Seq("doc_id"), "left_anti"))
         .localCheckpoint(true)
-      val (nAdd, nDel) = (added.count(), removed.count())
-      if (nAdd > 0) idx.addBatch(spark, added, batchId = cur)
+      val replaced = removedRaw
+        .join(added.select("doc_id"), Seq("doc_id")).localCheckpoint(true)
+      val removed = removedRaw
+        .join(added.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val (nAdd, nDel, nRep) =
+        (added.count(), removed.count(), replaced.count())
+      if (nAdd > 0) {
+        // replacement and resurrection both need the shadowing state
+        // gone BEFORE the add: tombstone the replaced ids' old
+        // postings, then one compact purges them physically and clears
+        // the whole dead set (including an EARLIER sync's tombstone a
+        // resurrected id would otherwise stay shadowed by). Rare path
+        // (edited resubmission), priced at one index fold only when it
+        // actually happens.
+        val dead = idx.deadSet(spark)
+        val resurrecting = dead.nonEmpty && {
+          import spark.implicits._
+          added.select("doc_id")
+            .join(broadcast(dead.toSeq.toDF("doc_id")), "doc_id")
+            .limit(1).count() > 0
+        }
+        if (nRep > 0) idx.delete(spark, replaced)
+        if (nRep > 0 || resurrecting) idx.compact(spark)
+        idx.addBatch(spark, added, batchId = cur)
+      }
       if (nDel > 0) idx.delete(spark, removed)
       SyncReport(synced, cur, "diff",
         segsRead = changedOld.size + changedNew.size + addRels.result().size

@@ -161,6 +161,40 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
       .parquet(new Path(tombDir, s"d$next").toString)
   }
 
+  /** The current tombstone set — for callers (CorpusIndexSync) that
+    * must detect a RESURRECTION (a tombstoned id about to be re-added:
+    * the global dead set would shadow the fresh postings until a
+    * [[compact]] purges it). */
+  private[llmops] def deadSet(spark: SparkSession): Set[Long] =
+    tombstoned(spark)
+
+  /** Reclaim every per-batch artifact with id above `lo` — postings,
+    * `_df`/`_lens`/`_stats` rows and the applied marker. A versioned
+    * syncer's commit point is its OWN marker, written after the batch:
+    * batch ids above the synced version can only be a crashed sync
+    * attempt's writes, and they must not survive into a retry that
+    * targets a LATER version (its adds would then double-index the
+    * crashed batch's docs under a second id — stats and scores both
+    * wrong). The same uncommitted-range-reclaim principle as the
+    * release stores' [[StreamingCurate.reclaimBatchRange]]. */
+  def reclaimBatchesAbove(spark: SparkSession, lo: Long): Int = {
+    val fs = fsOf(spark)
+    def sweep(parent: Path, prefix: String): Int =
+      if (!fs.exists(parent)) 0
+      else fs.listStatus(parent).toSeq
+        .filter(_.getPath.getName.startsWith(prefix))
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix(prefix).toLong).toOption
+          .map(id => (s.getPath, id)))
+        .count { case (p, id) =>
+          if (id > lo) { fs.delete(p, true); true } else false }
+    sweep(root, "batch=") +
+      sweep(new Path(path, "_df"), "batch=") +
+      sweep(new Path(path, "_lens"), "batch=") +
+      sweep(new Path(path, "_stats"), "batch=") +
+      sweep(new Path(path, "_applied"), "")
+  }
+
   /** The dead set — driver-bounded (deletes are retractions, not a
     * corpus); empty when no tombstones exist. */
   private def tombstoned(spark: SparkSession): Set[Long] = {
@@ -407,6 +441,14 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     if (fs.exists(applied))
       org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
         new Path(staging, "_applied"), false,
+        spark.sessionState.newHadoopConf())
+    // the CorpusIndexSync version marker must survive the swap — a
+    // compact that dropped it would force the next sync into a full
+    // rebuild (syncedVersion None), silently re-paying the corpus
+    val marker = new Path(path, "_corpus_version")
+    if (fs.exists(marker))
+      org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
+        new Path(staging, "_corpus_version"), false,
         spark.sessionState.newHadoopConf())
     fs.create(done, true).close()
     fs.delete(root, true)

@@ -2001,4 +2001,99 @@ class GraftAppSpec extends SparkSpecBase {
       .contains(4L))
     assert(hits(new TextIndexStore(s"$out/_text_index", 64)) == hf)
   }
+
+  test("release text-index sync: crashed-attempt reclaim, " +
+      "retract-resubmit across a gap, resurrection past old tombstones") {
+    import spark.implicits._
+    import graft.llmops.{CorpusIndexSync, SegPool, TextIndexStore, VersionedDir}
+    def en(tag: String, zebras: Int): String =
+      (("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")) ++
+        Seq.fill(zebras)("zebra")).mkString(" ")
+    val dA = (1L, "web", en("ja", 3)); val dB = (2L, "web", en("jb", 1))
+    val dC = (3L, "web", en("jc", 0)); val dD = (5L, "web", en("jd", 2))
+    val dE = (6L, "web", en("je", 5)); val dF = (7L, "web", en("jf", 4))
+    def writeRaw(rows: Seq[(Long, String, String)]): String = {
+      val d = Files.createTempDirectory("tir-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("tir-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train",
+      "GRAFT_BPE_DOCS" -> writeRaw(Seq(dA, dB, dC)),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("tir-out").toFile.getAbsolutePath + "/rel"
+    def release(raw: Seq[(Long, String, String)], index: Boolean): Unit =
+      GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(raw),
+        "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+        "GRAFT_RELEASE_RETAIN" -> "8", // keep manifests for the gap diffs
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2") ++
+        (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1") else Map.empty))
+    val idxDir = s"$out/_text_index"
+    val q = Seq(("q", "zebra")).toDF("qid", "term")
+    def hits(ix: TextIndexStore): Seq[(String, Int, Long, Long)] =
+      ix.search(spark, q, k = 10).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    def freshParity(): Unit = {
+      val curDir = VersionedDir.currentPath(spark, s"$out/docs").get
+      val fd = Files.createTempDirectory("tir-fresh")
+        .toFile.getAbsolutePath + "/idx"
+      val fresh = new TextIndexStore(fd, 64)
+      fresh.addBatch(spark,
+        SegPool.readDocs(spark, curDir).select("doc_id", "text"), 0L)
+      val (hs, hf) = (hits(new TextIndexStore(idxDir, 64)), hits(fresh))
+      assert(hs == hf, s"synced $hs\nfresh $hf")
+    }
+    // v1 synced; v2 published WITHOUT the flag, then a CRASHED sync
+    // attempt at v2: its addBatch committed (batch=2) but the marker
+    // never advanced
+    release(Seq(dA, dB, dC), index = true)
+    release(Seq(dA, dB, dC, dD), index = false)
+    new TextIndexStore(idxDir, 64).addBatch(spark,
+      Seq(dD).toDF("doc_id", "source", "text"), batchId = 2L)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/batch=2")))
+    // the next real sync (v1 -> v3) must reclaim the crashed batch
+    // BEFORE adding, or doc D double-indexes under batch=3 (stats and
+    // scores both diverge from a fresh build)
+    release(Seq(dA, dB, dC, dD, dE), index = true)
+    val s3 = GraftApp.lastIndexSync.get
+    assert(s3.mode == "diff" && s3.added == 2, s"$s3")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/batch=2")),
+      "crashed sync attempt's batch must be reclaimed")
+    freshParity()
+    // retract-resubmit ACROSS A GAP (flag off for both middle
+    // releases): doc B leaves at v4 and returns EDITED at v5 under its
+    // stable id (byte-identical resubmission is suppressed by the
+    // append-biased seen store — the documented GDPR-sticky trade; an
+    // edited resubmission passes the funnel as new content). One diff
+    // (v3 -> v6) sees id 2 on BOTH sides and must keep it live.
+    val dB2 = (2L, "web", en("kb", 2))
+    release(Seq(dA, dC, dD, dE), index = false) // v4: B retracted
+    release(Seq(dA, dB2, dC, dD, dE), index = false) // v5: B resubmitted
+    release(Seq(dA, dB2, dC, dD, dE, dF), index = true) // v6: +F, sync
+    val s6 = GraftApp.lastIndexSync.get
+    assert(s6.mode == "diff", s"$s6")
+    val zs = hits(new TextIndexStore(idxDir, 64)).map(_._3).toSet
+    assert(zs.contains(2L), s"resubmitted doc must stay live: $zs")
+    freshParity()
+    // RESURRECTION past an old tombstone: F retracted WITH the flag
+    // (tombstoned by that sync), then resubmitted edited — the sync
+    // must compact the shadowing tombstone away before re-adding
+    val dF2 = (7L, "web", en("kf", 6))
+    release(Seq(dA, dB2, dC, dD, dE), index = true) // v7: F tombstoned
+    assert(GraftApp.lastIndexSync.exists(_.removed == 1))
+    assert(!hits(new TextIndexStore(idxDir, 64)).map(_._3).toSet.contains(7L))
+    release(Seq(dA, dB2, dC, dD, dE, dF2), index = true) // v8: F returns
+    val z8 = hits(new TextIndexStore(idxDir, 64)).map(_._3).toSet
+    assert(z8.contains(7L), s"resurrected doc must rank again: $z8")
+    freshParity()
+    // the marker survived the in-sync compact: next sync is a noop
+    val rN = CorpusIndexSync.sync(spark, s"$out/docs", idxDir, 64)
+    assert(rN.mode == "noop", s"$rN")
+  }
 }
