@@ -67,15 +67,38 @@ final class AnnIndexStore(root: String) extends Serializable {
     ids.toDF("vec_id").coalesce(1)
       .write.mode(if (fs.exists(tombPath)) "append" else "overwrite")
       .parquet(tombPath.toString)
+    foldTombs(spark)
+    tombCache = null // invalidate the memoized serve-path set
+  }
+
+  /** Distributed retraction: the id set never collects to the driver on
+    * the WRITE path — a wide retraction (a whole source, a gap-spanning
+    * corpus-sync removal) lands as a parquet tombstone dir straight
+    * from the cluster, and the physical purge ([[compact]]) removes it
+    * by anti-join, also driver-free. Only the SERVE-time filter
+    * memoizes a driver set (retractions between compacts are bounded by
+    * the same maintenance cadence that bounds append file counts) —
+    * follow a wide retraction with [[compact]] to purge it physically,
+    * as with [[TextIndexStore.delete]]. */
+  def delete(spark: SparkSession, ids: DataFrame): Unit = {
+    healTombFold(spark)
+    val fs = fsOf(spark)
+    ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      .write.mode(if (fs.exists(tombPath)) "append" else "overwrite")
+      .parquet(tombPath.toString)
+    foldTombs(spark)
+    tombCache = null
+  }
+
+  private def foldTombs(spark: SparkSession): Unit =
     if (tombFiles(spark).size > AnnIndexStore.MaxTombstoneFiles) {
+      val fs = fsOf(spark)
       val staged = new Path(root, "_tombstones_fold")
       spark.read.parquet(tombFiles(spark): _*).distinct()
         .coalesce(1).write.mode("overwrite").parquet(staged.toString)
       fs.delete(tombPath, true)
       fs.rename(staged, tombPath)
     }
-    tombCache = null // invalidate the memoized serve-path set
-  }
 
   /** The tombstone dir's data files. Reads go through this explicit
     * file list because the dir itself is underscore-prefixed (hidden
@@ -127,6 +150,36 @@ final class AnnIndexStore(root: String) extends Serializable {
       loaded
     }
   }
+
+  /** The tombstones as a DataFrame (None when none exist). The PURGE
+    * paths ([[compact]], [[rebuildIvf]]) anti-join against this instead
+    * of collecting a driver set, so a wide retraction — written
+    * distributed by the DataFrame [[delete]] — purges without ever
+    * touching driver memory; only the serve-time filter keeps the
+    * memoized bounded set. */
+  private def deadDf(spark: SparkSession): Option[DataFrame] = {
+    healTombFold(spark)
+    if (!fsOf(spark).exists(tombPath)) None
+    else {
+      val files = tombFiles(spark)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*).select("vec_id"))
+    }
+  }
+
+  private def dropDeadDf(df: DataFrame, dead: Option[DataFrame]): DataFrame =
+    dead.fold(df)(d => df.join(d, Seq("vec_id"), "left_anti"))
+
+  /** Any of `ids` currently tombstoned — the corpus-sync's RESURRECTION
+    * probe (a doc about to be re-added whose old tombstone would shadow
+    * the fresh rows until a [[compact]] purges it). One ids-only join
+    * against the tombstone files, never a driver set. */
+  private[llmops] def anyTombstoned(spark: SparkSession,
+                                    ids: DataFrame): Boolean =
+    deadDf(spark).exists(_
+      .join(ids.select(col(ids.columns.head).cast("long").as("vec_id")),
+        Seq("vec_id"))
+      .limit(1).count() > 0)
 
   /** Rebuild barrier: a (re)build over an existing root first DROPS the
     * old _meta, so a crash mid-build leaves a meta-less root that every
@@ -986,11 +1039,11 @@ final class AnnIndexStore(root: String) extends Serializable {
     require(kind == "ivf" || kind == "ivfpq",
       s"$root is not an IVF-family index")
     val (nClusters, dim) = (meta("nClusters").toInt, meta("dim").toInt)
-    val dead = tombstoned(spark)
+    val dead = deadDf(spark)
     // sever lineage from the dirs being overwritten; vectors/ itself is
     // only read, but ivfIndex consumes q several times
     val metaCols = metaColsOf(meta)
-    val q = dropDead(spark.read.parquet(s"$root/vectors").drop("part"), dead)
+    val q = dropDeadDf(spark.read.parquet(s"$root/vectors").drop("part"), dead)
       .localCheckpoint(true)
     val (cents, assign) = Similarity.ivfIndex(q, nClusters, dim, "vec_id", rounds)
     import spark.implicits._
@@ -1047,7 +1100,7 @@ final class AnnIndexStore(root: String) extends Serializable {
   def compact(spark: SparkSession): Unit = {
     val fs = fsOf(spark)
     val kind = readMeta(spark)("kind")
-    val dead = tombstoned(spark)
+    val dead = deadDf(spark)
     val layouts: Seq[(String, Seq[String])] =
       ("vectors", Seq("part")) +: (kind match {
         case "lsh" => Seq(("lsh_buckets", Seq("band", "part")))
@@ -1064,7 +1117,7 @@ final class AnnIndexStore(root: String) extends Serializable {
         } else fs.delete(staged, true)
       }
       if (fs.exists(dir)) {
-        val df = dropDead(spark.read.parquet(dir.toString), dead)
+        val df = dropDeadDf(spark.read.parquet(dir.toString), dead)
         df.repartition(partCols.map(col): _*)
           .write.mode("overwrite").partitionBy(partCols: _*)
           .parquet(staged.toString)

@@ -1,11 +1,12 @@
 package graft.llmops
 
 import java.nio.charset.StandardCharsets.UTF_8
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Keeps a durable [[TextIndexStore]] in exact sync with a
+/** Keeps the durable SERVING indexes — the BM25 [[TextIndexStore]] and
+  * the vector [[AnnIndexStore]] — in exact sync with a
   * manifest-versioned frozen corpus (VersionedDir + SegPool) at
   * O(changed segments) cost — the serving-side sibling of the release
   * freeze's "reference, don't rewrite" discipline.
@@ -32,15 +33,36 @@ import org.apache.spark.sql.functions._
   *                           clears an EARLIER sync's tombstone a
   *                           resurrected id would stay dead under.
   *                           Rare path, priced only when it happens.
-  * Additions land as one `addBatch(batchId = targetVersion)` (Overwrite
-  * — a crashed sync's retry rewrites its own dir, and batches ABOVE the
-  * synced version are reclaimed up front: they can only be a crashed
-  * attempt, and a retry targeting a later version would otherwise
-  * double-index their docs); removals land as a tombstone dir
-  * (duplicate-tolerant set) with corpus stats adjusted exactly through
-  * the store's `_lens` table, so a synced index ranks bit-identically
-  * to a fresh build over the current corpus (spec-pinned). The
-  * `_corpus_version` marker commits LAST: any crash before it
+  *
+  * Text index ([[sync]]): additions land as one
+  * `addBatch(batchId = targetVersion)` (Overwrite — a crashed sync's
+  * retry rewrites its own dir, and batches ABOVE the synced version are
+  * reclaimed up front: they can only be a crashed attempt, and a retry
+  * targeting a later version would otherwise double-index their docs);
+  * removals land as a tombstone dir (duplicate-tolerant set) with
+  * corpus stats adjusted exactly through the store's `_lens` table, so
+  * a synced index ranks bit-identically to a fresh build over the
+  * current corpus (spec-pinned).
+  *
+  * ANN index ([[syncAnn]]): the vector store has no per-batch dirs (its
+  * appends interleave into hash/bucket layouts), so idempotency comes
+  * from an ATTEMPT LEDGER instead: the ids about to be appended are
+  * recorded under `_sync_attempt/v<target>` BEFORE the append, and a
+  * retry that finds a ledger ABOVE the synced version tombstones
+  * exactly those ids and compacts them out before re-applying — a
+  * crashed append can never double-serve a vector. A ledger at or below
+  * the synced version is a committed sync's leftover (crash between the
+  * marker write and the ledger cleanup) and is simply dropped — its ids
+  * are live by design and must NOT be purged. Removals ride the
+  * DataFrame tombstone write (distributed — a wide retraction never
+  * collects to the driver); a synced LSH index serves bit-identically
+  * to a fresh build with the same hyperplane family (quantization and
+  * bucketing are deterministic — spec-pinned); an IVF-family index
+  * assigns appends to its FROZEN centroids, so sync keeps it exact on
+  * membership while rank parity is governed by the store's own drift
+  * telemetry (rebuild when exceeded — `ann-index` verb discipline).
+  *
+  * The `_corpus_version` marker commits LAST: any crash before it
   * re-enters the whole diff idempotently; a release that ran WITHOUT
   * the index flag is caught up by the next sync in one diff spanning
   * the gap (manifests for both ends must still be retained —
@@ -69,6 +91,14 @@ object CorpusIndexSync {
     }
   }
 
+  private def writeMarker(spark: SparkSession, idxPath: String,
+                          v: Long): Unit = {
+    val mp = markerPath(idxPath)
+    val mfs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = mfs.create(mp, true)
+    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+  }
+
   /** Rebuilds are STAGED: the new index builds beside the live one
     * (`<idx>._rebuild`), gets its version marker last, and only then
     * swaps in — the live index keeps serving through a multi-hour
@@ -95,12 +125,106 @@ object CorpusIndexSync {
     } else fs.delete(stage, true)
   }
 
-  /** Bring the index at `idxPath` up to the corpus' CURRENT version.
-    * No-op when already there or when no version is published yet. */
-  def sync(spark: SparkSession, docsRoot: String, idxPath: String,
-           numParts: Int = 64): SyncReport = {
+  /** Swap a COMPLETE staged rebuild (marker already inside) into place. */
+  private def promoteRebuild(fs: FileSystem, idxPath: String): Unit = {
+    val live = new Path(idxPath)
+    if (fs.exists(live)) fs.delete(live, true)
+    fs.rename(rebuildStagePath(idxPath), live)
+  }
+
+  /** The doc-level delta between two manifests, with segment-level
+    * pruning: `added` carries `cols`, `removed`/`replaced` are id-only;
+    * all three are materialized (localCheckpoint) so callers apply them
+    * without re-reading the corpus. */
+  private case class Delta(added: DataFrame, removed: DataFrame,
+                           replaced: DataFrame,
+                           segsRead: Int, segsSkipped: Int,
+                           nAdd: Long, nDel: Long, nRep: Long)
+
+  private def manifestOf(spark: SparkSession, docsRoot: String,
+                         v: Long): Option[Map[String, String]] = {
     val fs = new Path(docsRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    val d = VersionedDir.versionPath(docsRoot, v)
+    if (!fs.exists(new Path(d, SegPool.ManifestName))) None
+    else Some(SegPool.readManifest(fs, d).toMap)
+  }
+
+  /** Read pool dirs pruned to `cols` ("doc_id" first) — pool dirs may
+    * differ in multimodal extras, so each is pruned BEFORE the union;
+    * `empty` supplies the zero-segment frame (schema-typed by caller). */
+  private def readRels(spark: SparkSession, docsRoot: String,
+                       rels: Seq[String], cols: Seq[String],
+                       empty: => DataFrame): DataFrame = {
+    val fs = new Path(docsRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = rels.map(r => s"$docsRoot/$r")
+      .filter(SegPool.hasParquet(fs, _))
+    if (live.isEmpty) empty
+    else live.map(d => spark.read.parquet(d).select(cols.map(col): _*))
+      .reduce(_ unionByName _)
+  }
+
+  private def manifestDelta(spark: SparkSession, docsRoot: String,
+                            oldM: Map[String, String],
+                            newM: Map[String, String],
+                            cols: Seq[String],
+                            empty: => DataFrame): Delta = {
+    val keys = (oldM.keySet ++ newM.keySet).toSeq.sorted
+    val addRels = Seq.newBuilder[String]
+    val delRels = Seq.newBuilder[String]
+    var changedOld = Seq.empty[String]
+    var changedNew = Seq.empty[String]
+    var skipped = 0
+    keys.foreach { k =>
+      (oldM.get(k), newM.get(k)) match {
+        case (Some(a), Some(b)) if a == b => skipped += 1
+        case (Some(a), Some(b)) =>
+          changedOld :+= a; changedNew :+= b
+        case (Some(a), None) => delRels += a
+        case (None, Some(b)) => addRels += b
+        case (None, None) => () // unreachable: keys = old ∪ new
+      }
+    }
+    // changed segments: a rebuild only ever filters, so added∖old is
+    // empty in practice — computed anyway, bounded by the changed
+    // segments' own rows (never the corpus)
+    val changedOldDf = readRels(spark, docsRoot, changedOld, cols, empty)
+    val changedNewDf = readRels(spark, docsRoot, changedNew, cols, empty)
+    val added = readRels(spark, docsRoot, addRels.result(), cols, empty)
+      .unionByName(changedNewDf
+        .join(changedOldDf.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .localCheckpoint(true)
+    // a doc RETRACTED and later RESUBMITTED EDITED under its stable
+    // id (byte-identical resubmission never reaches the corpus — the
+    // funnel's append-biased seen store suppresses it) appears on
+    // BOTH sides of a gap-spanning diff: old seg rebuilt without it,
+    // fresh seg carrying the new content. It is LIVE, but its OLD
+    // postings must be physically purged before the re-add —
+    // tombstones are global by doc_id and would shadow the fresh
+    // postings too.
+    val removedRaw = readRels(spark, docsRoot, delRels.result(), cols, empty)
+      .select("doc_id")
+      .unionByName(changedOldDf.select("doc_id")
+        .join(changedNewDf.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .localCheckpoint(true)
+    val replaced = removedRaw
+      .join(added.select("doc_id"), Seq("doc_id")).localCheckpoint(true)
+    val removed = removedRaw
+      .join(added.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    Delta(added, removed, replaced,
+      segsRead = changedOld.size + changedNew.size + addRels.result().size
+        + delRels.result().size,
+      segsSkipped = skipped,
+      nAdd = added.count(), nDel = removed.count(), nRep = replaced.count())
+  }
+
+  /** Bring the BM25 index at `idxPath` up to the corpus' CURRENT
+    * version. No-op when already there or when no version is published
+    * yet. */
+  def sync(spark: SparkSession, docsRoot: String, idxPath: String,
+           numParts: Int = 64): SyncReport = {
     healRebuild(spark, idxPath) // a crashed swap's complete staging wins
     val cur = VersionedDir.current(spark, docsRoot).getOrElse(
       return SyncReport(None, -1L, "noop", 0, 0, 0L, 0L))
@@ -109,75 +233,21 @@ object CorpusIndexSync {
     if (synced.contains(cur))
       return SyncReport(synced, cur, "noop", 0, 0, 0L, 0L)
     val idx = new TextIndexStore(idxPath, numParts)
-    def manifestOf(v: Long): Option[Map[String, String]] = {
-      val d = VersionedDir.versionPath(docsRoot, v)
-      if (!fs.exists(new Path(d, SegPool.ManifestName))) None
-      else Some(SegPool.readManifest(fs, d).toMap)
-    }
-    def readRels(rels: Seq[String]): DataFrame = {
-      // docs are read per-rel and pruned to (doc_id, text) before the
-      // union — pool dirs may differ in multimodal extras
-      val live = rels.map(r => s"$docsRoot/$r")
-        .filter(SegPool.hasParquet(fs, _))
-      if (live.isEmpty)
-        spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
-      else live.map(d => spark.read.parquet(d).select("doc_id", "text"))
-        .reduce(_ unionByName _)
-    }
+    def emptyText =
+      spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
     val report = (for {
       from <- synced
-      oldM <- manifestOf(from) // None once the version left retention
-      newM <- manifestOf(cur)
+      oldM <- manifestOf(spark, docsRoot, from) // None once out of retention
+      newM <- manifestOf(spark, docsRoot, cur)
     } yield {
-      val keys = (oldM.keySet ++ newM.keySet).toSeq.sorted
-      val addRels = Seq.newBuilder[String]
-      val delRels = Seq.newBuilder[String]
-      var changedOld = Seq.empty[String]
-      var changedNew = Seq.empty[String]
-      var skipped = 0
-      keys.foreach { k =>
-        (oldM.get(k), newM.get(k)) match {
-          case (Some(a), Some(b)) if a == b => skipped += 1
-          case (Some(a), Some(b)) =>
-            changedOld :+= a; changedNew :+= b
-          case (Some(a), None) => delRels += a
-          case (None, Some(b)) => addRels += b
-        }
-      }
       // a CRASHED sync attempt (marker never advanced) may have left
       // committed index batches above the synced version; they must go
       // before this diff applies, or its adds double-index those docs
       // under a second batch id
       idx.reclaimBatchesAbove(spark, from)
-      // changed segments: a rebuild only ever filters, so added∖old is
-      // empty in practice — computed anyway, bounded by the changed
-      // segments' own rows (never the corpus)
-      val changedOldDf = readRels(changedOld)
-      val changedNewDf = readRels(changedNew)
-      val added = readRels(addRels.result())
-        .unionByName(changedNewDf
-          .join(changedOldDf.select("doc_id"), Seq("doc_id"), "left_anti"))
-        .localCheckpoint(true)
-      // a doc RETRACTED and later RESUBMITTED EDITED under its stable
-      // id (byte-identical resubmission never reaches the corpus — the
-      // funnel's append-biased seen store suppresses it) appears on
-      // BOTH sides of a gap-spanning diff: old seg rebuilt without it,
-      // fresh seg carrying the new content. It is LIVE, but its OLD
-      // postings must be physically purged before the re-add —
-      // tombstones are global by doc_id and would shadow the fresh
-      // postings too.
-      val removedRaw = readRels(delRels.result()).select("doc_id")
-        .unionByName(changedOldDf.select("doc_id")
-          .join(changedNewDf.select("doc_id"), Seq("doc_id"), "left_anti"))
-        .localCheckpoint(true)
-      val replaced = removedRaw
-        .join(added.select("doc_id"), Seq("doc_id")).localCheckpoint(true)
-      val removed = removedRaw
-        .join(added.select("doc_id"), Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val (nAdd, nDel, nRep) =
-        (added.count(), removed.count(), replaced.count())
-      if (nAdd > 0) {
+      val d = manifestDelta(spark, docsRoot, oldM, newM,
+        Seq("doc_id", "text"), emptyText)
+      if (d.nAdd > 0) {
         // replacement and resurrection both need the shadowing state
         // gone BEFORE the add: tombstone the replaced ids' old
         // postings, then one compact purges them physically and clears
@@ -188,19 +258,17 @@ object CorpusIndexSync {
         val dead = idx.deadSet(spark)
         val resurrecting = dead.nonEmpty && {
           import spark.implicits._
-          added.select("doc_id")
+          d.added.select("doc_id")
             .join(broadcast(dead.toSeq.toDF("doc_id")), "doc_id")
             .limit(1).count() > 0
         }
-        if (nRep > 0) idx.delete(spark, replaced)
-        if (nRep > 0 || resurrecting) idx.compact(spark)
-        idx.addBatch(spark, added, batchId = cur)
+        if (d.nRep > 0) idx.delete(spark, d.replaced)
+        if (d.nRep > 0 || resurrecting) idx.compact(spark)
+        idx.addBatch(spark, d.added, batchId = cur)
       }
-      if (nDel > 0) idx.delete(spark, removed)
-      SyncReport(synced, cur, "diff",
-        segsRead = changedOld.size + changedNew.size + addRels.result().size
-          + delRels.result().size,
-        segsSkipped = skipped, added = nAdd, removed = nDel)
+      if (d.nDel > 0) idx.delete(spark, d.removed)
+      SyncReport(synced, cur, "diff", segsRead = d.segsRead,
+        segsSkipped = d.segsSkipped, added = d.nAdd, removed = d.nDel)
     }).getOrElse {
       // cold build, or the synced version's manifest left retention:
       // rebuild from the current corpus — O(corpus), the documented
@@ -214,21 +282,141 @@ object CorpusIndexSync {
       val docs = SegPool.readDocs(spark, curDir).select("doc_id", "text")
       sIdx.addBatch(spark, docs, batchId = cur)
       val n = sIdx.stats(spark)._1
-      val out = ifs.create(new Path(stage, "_corpus_version"), true)
-      try out.write(cur.toString.getBytes(UTF_8)) finally out.close()
-      val live = new Path(idxPath)
-      if (ifs.exists(live)) ifs.delete(live, true)
-      ifs.rename(stage, live)
+      writeMarker(spark, stage.toString, cur)
+      promoteRebuild(ifs, idxPath)
       SyncReport(synced, cur, "rebuild", segsRead = -1, segsSkipped = 0,
         added = n, removed = 0L)
     }
     // commit marker LAST: a crash anywhere above re-enters the whole
     // diff idempotently (addBatch Overwrites its own batch dir; the
     // tombstone set tolerates duplicates)
-    val mp = markerPath(idxPath)
-    val mfs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = mfs.create(mp, true)
-    try out.write(cur.toString.getBytes(UTF_8)) finally out.close()
+    writeMarker(spark, idxPath, cur)
+    report
+  }
+
+  // ------------------------------------------------------------------
+  // ANN index sync
+  // ------------------------------------------------------------------
+
+  private def attemptRoot(idxPath: String) = new Path(idxPath, "_sync_attempt")
+
+  /** The attempt ledgers under the index (version → ids dir). */
+  private def attemptLedgers(fs: FileSystem,
+                             idxPath: String): Seq[(Long, Path)] = {
+    val root = attemptRoot(idxPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("v").toLong).toOption
+        .map(_ -> s.getPath))
+  }
+
+  /** Bring the vector index at `idxPath` up to the corpus' CURRENT
+    * version. The corpus must carry `embedCol` (array&lt;float&gt; —
+    * the multimodal carry: embeddings ride the release funnel as a
+    * non-core column and land in the frozen segments byte-intact);
+    * a corpus without it fails fast. `kind` selects the cold-build
+    * layout: "lsh" (default — deterministic bucketing, bit-exact parity
+    * with a fresh build) or "ivf" (`nClusters`; appends assign to the
+    * frozen centroids — run rebuild-on-drift via the `ann-index` verb). */
+  def syncAnn(spark: SparkSession, docsRoot: String, idxPath: String,
+              embedCol: String = "embedding", kind: String = "lsh",
+              nClusters: Int = Similarity.DefaultIvfClusters): SyncReport = {
+    require(kind == "lsh" || kind == "ivf", s"unknown ann sync kind $kind")
+    val fs = new Path(idxPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    healRebuild(spark, idxPath)
+    val cur = VersionedDir.current(spark, docsRoot).getOrElse(
+      return SyncReport(None, -1L, "noop", 0, 0, 0L, 0L))
+    val curDir = VersionedDir.versionPath(docsRoot, cur)
+    val synced = syncedVersion(spark, idxPath)
+    val idx = new AnnIndexStore(idxPath)
+    // settle attempt ledgers FIRST (even on the noop path): a ledger at
+    // or below the synced version is a COMMITTED sync's leftover (crash
+    // between the marker write and the ledger cleanup) — its ids are
+    // live by design, drop the ledger and nothing else. A ledger ABOVE
+    // the synced version is a crashed attempt whose append may have
+    // landed: tombstone exactly its recorded ids and compact them out
+    // (physical purge — appends interleave into the hash/bucket
+    // layouts, so unlike the text index there is no batch dir to drop),
+    // then re-enter the diff cleanly. Tombstone-of-absent-id is
+    // harmless; the compact also clears it.
+    val metaExists = fs.exists(new Path(idxPath, "_meta"))
+    val ledgers = attemptLedgers(fs, idxPath)
+    val (committedL, crashedL) =
+      ledgers.partition(_._1 <= synced.getOrElse(-1L))
+    committedL.foreach { case (_, p) => fs.delete(p, true) }
+    crashedL.foreach { case (_, p) =>
+      // metaExists guard: append requires _meta, so a ledger beside a
+      // meta-less root records an append that can never have landed
+      if (metaExists && SegPool.hasParquet(fs, p.toString)) {
+        idx.delete(spark, spark.read.parquet(p.toString))
+        idx.compact(spark)
+      }
+      fs.delete(p, true)
+    }
+    if (synced.contains(cur))
+      return SyncReport(synced, cur, "noop", 0, 0, 0L, 0L)
+    def emptyVec = spark.range(0).select(col("id").as("doc_id"),
+      lit(null).cast("array<float>").as(embedCol))
+    def coldDocs(): DataFrame = {
+      val docs = SegPool.readDocs(spark, curDir)
+      require(docs.columns.contains(embedCol),
+        s"corpus $curDir carries no '$embedCol' column — the ANN sync " +
+          "indexes the embedding column the release funnel carries " +
+          "(set GRAFT_ANN_EMBED_COL to its name)")
+      docs.select(col("doc_id"), col(embedCol))
+    }
+    val report = (for {
+      from <- synced
+      if metaExists // marker without a built store: rebuild
+      oldM <- manifestOf(spark, docsRoot, from) // None once out of retention
+      newM <- manifestOf(spark, docsRoot, cur)
+    } yield {
+      val d = manifestDelta(spark, docsRoot, oldM, newM,
+        Seq("doc_id", embedCol), emptyVec)
+      if (d.nAdd > 0) {
+        // purge shadowing state before the add (replacement +
+        // resurrection, as in the text sync) — both checks distributed
+        val resurrecting = idx.anyTombstoned(spark, d.added.select("doc_id"))
+        if (d.nRep > 0) idx.delete(spark, d.replaced)
+        if (d.nRep > 0 || resurrecting) idx.compact(spark)
+        // ATTEMPT LEDGER before the append: a crash mid-append leaves
+        // the ids on record, and the retry purges exactly them
+        val ledger = new Path(attemptRoot(idxPath), s"v$cur")
+        d.added.select("doc_id").write.mode("overwrite")
+          .parquet(ledger.toString)
+        idx.append(d.added, idCol = "doc_id", vecCol = embedCol)
+      }
+      if (d.nDel > 0) idx.delete(spark, d.removed)
+      SyncReport(synced, cur, "diff", segsRead = d.segsRead,
+        segsSkipped = d.segsSkipped, added = d.nAdd, removed = d.nDel)
+    }).getOrElse {
+      // cold build / out-of-retention / missing store: staged rebuild
+      val stage = rebuildStagePath(idxPath)
+      if (fs.exists(stage)) fs.delete(stage, true)
+      val docs = coldDocs().localCheckpoint(true)
+      val sIdx = new AnnIndexStore(stage.toString)
+      if (kind == "lsh")
+        sIdx.writeLsh(docs, idCol = "doc_id", vecCol = embedCol)
+      else {
+        val dim = docs.select(size(col(embedCol))).head().getInt(0)
+        sIdx.writeIvf(docs, nClusters = nClusters, dim = dim,
+          idCol = "doc_id", vecCol = embedCol)
+      }
+      val n = docs.count()
+      writeMarker(spark, stage.toString, cur)
+      promoteRebuild(fs, idxPath)
+      SyncReport(synced, cur, "rebuild", segsRead = -1, segsSkipped = 0,
+        added = n, removed = 0L)
+    }
+    // commit marker LAST, then drop this sync's ledger — a crash
+    // between the two leaves a committed-leftover ledger the next
+    // entry drops without purging
+    writeMarker(spark, idxPath, cur)
+    val ledger = new Path(attemptRoot(idxPath), s"v$cur")
+    if (fs.exists(ledger)) fs.delete(ledger, true)
     report
   }
 }

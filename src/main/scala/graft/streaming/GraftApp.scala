@@ -142,11 +142,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   rebuild fallback once the synced version left
   *                   retention; GRAFT_TEXT_COMPACT=1 purges tombstones
   *                   — the standalone form of GRAFT_RELEASE_TEXT_INDEX=1
+  *     ann-index-sync  bring a release root's vector index
+  *                   (`<GRAFT_RELEASE_OUT>/_ann_index`) up to the
+  *                   corpus' CURRENT version: same manifest diff over
+  *                   the embedding column the funnel carries
+  *                   (GRAFT_ANN_EMBED_COL def `embedding`); cold builds
+  *                   pick GRAFT_ANN_SYNC_KIND (lsh def | ivf);
+  *                   GRAFT_ANN_COMPACT=1 purges tombstones — the
+  *                   standalone form of GRAFT_RELEASE_ANN_INDEX=1
   *     hybrid-search reciprocal-rank fusion of the text index
   *                   (GRAFT_TEXT_OUT) and a persisted ANN index
   *                   (GRAFT_ANN_DIR) for one probe doc
   *                   (GRAFT_HYBRID_PROBE, text from GRAFT_HYBRID_DOCS;
-  *                   GRAFT_HYBRID_K def 5)
+  *                   GRAFT_HYBRID_K def 5). With GRAFT_RELEASE_OUT set
+  *                   instead, all three default to the release root's
+  *                   synced `_text_index`/`_ann_index`/current docs —
+  *                   version-consistent hybrid serving over the frozen
+  *                   corpus (the synced versions are reported)
   *     bpe-train     train a BPE tokenizer on GRAFT_BPE_DOCS parquet
   *                   (GRAFT_BPE_MERGES, def 200; GRAFT_BPE_VOCAB_CAP,
   *                   def 65536; GRAFT_BPE_TEXT_COL, def text) and
@@ -308,6 +320,12 @@ object GraftApp {
     * are SKIPPED (never read) and a synced index ranks identically to
     * a fresh build over the current corpus. */
   @volatile var lastIndexSync:
+      Option[graft.llmops.CorpusIndexSync.SyncReport] = None
+
+  /** The last release's ANN-index sync report (None when
+    * GRAFT_RELEASE_ANN_INDEX is off). Same pins as [[lastIndexSync]],
+    * for the vector side. */
+  @volatile var lastAnnSync:
       Option[graft.llmops.CorpusIndexSync.SyncReport] = None
 
   /** GRAFT_TABLE_KEYS: "c1,c2" for every table, or "tbl=c1,c2;tbl2=c3". */
@@ -805,6 +823,24 @@ object GraftApp {
         Seq(s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
           s"v${r.to} +${r.added} -${r.removed} " +
           s"(${r.segsSkipped} segs untouched)")
+      case "ann-index-sync" =>
+        // bring a release root's vector index up to the corpus' CURRENT
+        // version (manifest-diff incremental over the carried embedding
+        // column; staged-rebuild fallback) — the standalone form of
+        // GRAFT_RELEASE_ANN_INDEX=1
+        val aOut = env.getOrElse("GRAFT_RELEASE_OUT",
+          throw new IllegalArgumentException("GRAFT_RELEASE_OUT is required"))
+        val r = graft.llmops.CorpusIndexSync.syncAnn(
+          spark, s"$aOut/docs", s"$aOut/_ann_index",
+          embedCol = env.getOrElse("GRAFT_ANN_EMBED_COL", "embedding"),
+          kind = env.getOrElse("GRAFT_ANN_SYNC_KIND", "lsh"),
+          nClusters = env.get("GRAFT_ANN_SYNC_CLUSTERS").map(_.toInt)
+            .getOrElse(graft.llmops.Similarity.DefaultIvfClusters))
+        if (env.get("GRAFT_ANN_COMPACT").contains("1"))
+          new graft.llmops.AnnIndexStore(s"$aOut/_ann_index").compact(spark)
+        Seq(s"ann-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
+          s"v${r.to} +${r.added} -${r.removed} " +
+          s"(${r.segsSkipped} segs untouched)")
       case "hybrid-search" =>
         // persisted hybrid retrieval: the durable BM25 text index and
         // the persisted ANN vector index serve the SAME probe doc
@@ -812,12 +848,20 @@ object GraftApp {
         // stored embedding), fused by reciprocal rank Σ 1/(60+rank)
         // in integer micro units — the llm_hybrid_rrf chain over the
         // part-pruned/cluster-pruned serving tiers
-        val hText = env.getOrElse("GRAFT_TEXT_OUT",
-          throw new IllegalArgumentException("GRAFT_TEXT_OUT is required"))
-        val hAnn = env.getOrElse("GRAFT_ANN_DIR",
-          throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
-        val hDocs = env.getOrElse("GRAFT_HYBRID_DOCS",
-          throw new IllegalArgumentException("GRAFT_HYBRID_DOCS is required"))
+        // release-rooted mode: with GRAFT_RELEASE_OUT set, serve from
+        // the root's SYNCED indexes over its CURRENT frozen version —
+        // version-consistent hybrid retrieval (explicit env still wins)
+        val hRel = env.get("GRAFT_RELEASE_OUT")
+        def hOr(key: String, rel: String => String): String =
+          env.get(key).orElse(hRel.map(rel)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$key (or GRAFT_RELEASE_OUT) is required"))
+        val hText = hOr("GRAFT_TEXT_OUT", o => s"$o/_text_index")
+        val hAnn = hOr("GRAFT_ANN_DIR", o => s"$o/_ann_index")
+        val hDocs = hOr("GRAFT_HYBRID_DOCS", o =>
+          graft.llmops.VersionedDir.currentPath(spark, s"$o/docs")
+            .getOrElse(throw new IllegalArgumentException(
+              s"no published docs version under $o/docs")))
         val hProbe = env.getOrElse("GRAFT_HYBRID_PROBE",
           throw new IllegalArgumentException(
             "GRAFT_HYBRID_PROBE (a doc id present in both indexes) " +
@@ -844,7 +888,14 @@ object GraftApp {
           .collect()
           .map(r => s"${r.getAs[Long]("doc_id")}:${r.getAs[Long]("rrf_micro")}")
         Seq(s"hybrid-search probe $hProbe: top-$hK ${hTop.mkString(" ")} " +
-          s"(text index planned ${hStore.lastPlannedDirs.size} part dirs)")
+          s"(text index planned ${hStore.lastPlannedDirs.size} part dirs)") ++
+          hRel.toSeq.map { _ =>
+            val tv = graft.llmops.CorpusIndexSync.syncedVersion(spark, hText)
+            val av = graft.llmops.CorpusIndexSync.syncedVersion(spark, hAnn)
+            s"hybrid-search synced versions: text=" +
+              s"${tv.map(v => s"v$v").getOrElse("unsynced")} ann=" +
+              s"${av.map(v => s"v$v").getOrElse("unsynced")}"
+          }
       case "bloom-build" =>
         // declare + exactly (re)build per-bucket bloom skip indexes:
         // the equality companion of the zone maps for point predicates
@@ -2030,6 +2081,28 @@ object GraftApp {
               new graft.llmops.TextIndexStore(s"$relOut/_text_index", tiParts)
                 .compact(spark)
           }
+          // GRAFT_RELEASE_ANN_INDEX=1: the vector-side sibling — keep
+          // the ANN serving index (`_ann_index` beside `docs/`) in sync
+          // with CURRENT at O(changed segments) over the embedding
+          // column the funnel carries (GRAFT_ANN_EMBED_COL def
+          // `embedding`, an array<float> riding the multimodal carry).
+          // Same catch-up semantics on the zero-delta path;
+          // GRAFT_RELEASE_ANN_COMPACT=1 purges tombstones physically
+          // after a wide retraction.
+          if (env.get("GRAFT_RELEASE_ANN_INDEX").contains("1")) {
+            relFence(relHeld, "before the ann-index sync")
+            lastAnnSync = Some(staged("ann_index") {
+              graft.llmops.CorpusIndexSync.syncAnn(
+                spark, docsRoot, s"$relOut/_ann_index",
+                embedCol = env.getOrElse("GRAFT_ANN_EMBED_COL", "embedding"),
+                kind = env.getOrElse("GRAFT_ANN_SYNC_KIND", "lsh"),
+                nClusters = env.get("GRAFT_ANN_SYNC_CLUSTERS").map(_.toInt)
+                  .getOrElse(graft.llmops.Similarity.DefaultIvfClusters))
+            })
+            if (env.get("GRAFT_RELEASE_ANN_COMPACT").contains("1"))
+              new graft.llmops.AnnIndexStore(s"$relOut/_ann_index")
+                .compact(spark)
+          }
           // final corpus size + per-source rows from the SOURCES
           // sidecar the freeze wrote next to the manifest — one driver
           // metadata read, zero jobs, zero corpus bytes. A version that
@@ -2114,6 +2187,11 @@ object GraftApp {
           ) ++ lastIndexSync.filter(_ =>
             env.get("GRAFT_RELEASE_TEXT_INDEX").contains("1")).map(r =>
             s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
+              s"v${r.to} +${r.added} -${r.removed} " +
+              s"(${r.segsSkipped} segs untouched)").toSeq ++
+          lastAnnSync.filter(_ =>
+            env.get("GRAFT_RELEASE_ANN_INDEX").contains("1")).map(r =>
+            s"ann-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
               s"v${r.to} +${r.added} -${r.removed} " +
               s"(${r.segsSkipped} segs untouched)").toSeq ++ emitLines
         }

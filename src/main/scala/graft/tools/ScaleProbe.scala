@@ -575,7 +575,14 @@ object ScaleProbe {
             concat('rtok', CAST(CAST(conv(substr(md5(concat(
               CAST(id + $offset AS STRING),
               '_r_', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)
-              % 50000 AS STRING)))))""").as("text"))
+              % 50000 AS STRING)))))""").as("text"),
+        // deterministic 16-dim embedding rides the funnel as a non-core
+        // column (the multimodal carry) — the ann-index sync rows below
+        // index it straight out of the frozen segments
+        expr(s"""transform(sequence(0, 15), j -> CAST(
+          (CAST(conv(substr(md5(concat(CAST(id + $offset AS STRING),
+            '_e_', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2000
+            - 1000) / 1000.0 AS FLOAT))""").as("embedding"))
     def relDir(tag: String) = java.nio.file.Files
       .createTempDirectory(s"scale-rel-$tag").toFile.getAbsolutePath
     val relRaw1 = relDir("raw1")
@@ -663,6 +670,30 @@ object ScaleProbe {
       s"${sr.segsSkipped} segs untouched)")
     require(sr.mode == "diff" && sr.added == 200 && sr.segsSkipped >= 2,
       s"release sync must diff, not rebuild: $sr")
+    // release-synced ANN index: cold sync REBUILDS (staged) once over
+    // the current corpus' carried embedding column; the next release's
+    // sync is a manifest DIFF — prior segments skipped (never read),
+    // cost bounded by the delta
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> relOut))
+    val annCold = graft.llmops.CorpusIndexSync
+      .syncedVersion(spark, s"$relOut/_ann_index")
+    println(f"ann-index sync cold (~20k docs lsh rebuild -> v${annCold.get}): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val relRaw5 = relDir("raw5")
+    spark.read.parquet(relRaw4).unionByName(relCorpus(200, 60000))
+      .write.mode("overwrite").parquet(relRaw5)
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, relEnv ++ Map(
+      "GRAFT_RELEASE_DOCS" -> relRaw5, "GRAFT_RELEASE_ANN_INDEX" -> "1"))
+    val ar = GraftApp.lastAnnSync.get
+    println(f"ann-index sync diff (+200 docs with the release): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr] " +
+      s"(mode=${ar.mode} +${ar.added} -${ar.removed} " +
+      s"${ar.segsSkipped} segs untouched)")
+    require(ar.mode == "diff" && ar.added == 200 && ar.segsSkipped >= 3,
+      s"release ann sync must diff, not rebuild: $ar")
     // WIDE retraction: a whole source GDPR-deleted out of a corpus
     // frozen as many hash sub-segments — every holding sub-seg
     // rebuilds, but through ONE partitioned job (the r<batch>-v<N>

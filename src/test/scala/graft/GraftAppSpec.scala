@@ -2096,4 +2096,225 @@ class GraftAppSpec extends SparkSpecBase {
     val rN = CorpusIndexSync.sync(spark, s"$out/docs", idxDir, 64)
     assert(rN.mode == "noop", s"$rN")
   }
+
+  test("release ann-index sync: manifest-diff over the carried embedding " +
+      "column, LSH parity with a fresh build, attempt-ledger crash fencing") {
+    import spark.implicits._
+    import graft.llmops.{AnnIndexStore, CorpusIndexSync, SegPool, VersionedDir}
+    def en(tag: String, zebras: Int): String =
+      (("the start and more of it" +:
+        (0 until 24).map(i => s"$tag$i")) ++
+        Seq.fill(zebras)("zebra")).mkString(" ")
+    // 8-dim deterministic embeddings: same `dir` ⇒ near-twins whose
+    // sign-LSH buckets are IDENTICAL (the jitter component never flips
+    // sign(Σ r·v) against the 100f spine), different `dir` ⇒ orthogonal
+    // (no bucket collisions at 2^-bits per band) — candidate sets are
+    // exact and deterministic
+    def vec(dir: Int, jit: Int): Seq[Float] =
+      (0 until 8).map(j =>
+        (if (j == dir % 8) 100f else 0f) +
+          (if (j == (dir * 3 + 1) % 8) jit.toFloat else 0f)).toSeq
+    type Doc = (Long, String, String, Seq[Float])
+    val dA: Doc = (1L, "web", en("ka", 3), vec(0, 1))
+    val dB: Doc = (2L, "web", en("kb", 1), vec(0, 2)) // twin of A
+    val dC: Doc = (3L, "web", en("kc", 0), vec(1, 1))
+    val dD: Doc = (5L, "web", en("kd", 2), vec(2, 1))
+    val dF: Doc = (7L, "web", en("kf", 4), vec(3, 1))
+    val dB2: Doc = (2L, "web", en("lb", 2), vec(2, 3)) // edited: twin of D
+    val dF2: Doc = (7L, "web", en("lf", 1), vec(1, 4)) // edited: twin of C
+    def writeRaw(rows: Seq[(Long, String, String, Seq[Float])]): String = {
+      val d = Files.createTempDirectory("ais-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text", "embedding")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("ais-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train",
+      "GRAFT_BPE_DOCS" -> writeRaw(Seq(dA, dB, dC)),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("ais-out").toFile.getAbsolutePath + "/rel"
+    def release(raw: Seq[Doc], index: Boolean): Seq[String] =
+      GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(raw),
+        "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+        "GRAFT_RELEASE_RETAIN" -> "9", // keep manifests for the gap diffs
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2") ++
+        (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1",
+          "GRAFT_RELEASE_ANN_INDEX" -> "1") else Map.empty))
+    val idxDir = s"$out/_ann_index"
+    def topK(probe: Long, k: Int = 4): Seq[Long] =
+      new AnnIndexStore(idxDir)
+        .sweepDistributed(Seq(probe).toDF("vec_id"), k)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    def vecIds(): Set[Long] =
+      spark.read.parquet(s"$idxDir/vectors").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    def freshParity(probes: Seq[Long]): Unit = {
+      val curDir = VersionedDir.currentPath(spark, s"$out/docs").get
+      val fd = Files.createTempDirectory("ais-fresh")
+        .toFile.getAbsolutePath + "/idx"
+      val fresh = new AnnIndexStore(fd)
+      fresh.writeLsh(SegPool.readDocs(spark, curDir)
+        .select("doc_id", "embedding"), idCol = "doc_id")
+      def hits(ix: AnnIndexStore): Seq[(Long, Long, Long, Long)] =
+        ix.sweepDistributed(probes.toDF("vec_id"), k = 5).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+          .toSeq.sorted
+      val (hs, hf) = (hits(new AnnIndexStore(idxDir)), hits(fresh))
+      assert(hs == hf, s"synced $hs\nfresh $hf")
+    }
+    // v1: cold build through the release flag (staged rebuild)
+    release(Seq(dA, dB, dC), index = true)
+    assert(GraftApp.lastAnnSync.exists(r => r.mode == "rebuild" && r.added == 3),
+      s"${GraftApp.lastAnnSync}")
+    assert(CorpusIndexSync.syncedVersion(spark, idxDir).contains(1L))
+    assert(topK(1L).headOption.contains(2L),
+      s"twin must rank first: ${topK(1L)}")
+    // v2: pure addition — the prior segment is untouched (skipped)
+    release(Seq(dA, dB, dC, dD), index = true)
+    val s2 = GraftApp.lastAnnSync.get
+    assert(s2.mode == "diff" && s2.added == 1 && s2.removed == 0 &&
+      s2.segsSkipped >= 1, s"$s2")
+    freshParity(Seq(1L, 3L, 5L))
+    // v3 WITHOUT the flag retracts the twin; v4 WITH it adds F — one
+    // diff spans the gap (retraction + addition)
+    release(Seq(dA, dC, dD), index = false)
+    release(Seq(dA, dC, dD, dF), index = true)
+    val s4 = GraftApp.lastAnnSync.get
+    assert(s4.mode == "diff" && s4.added == 1 && s4.removed == 1, s"$s4")
+    assert(!topK(1L).contains(2L),
+      s"retracted twin must not serve: ${topK(1L)}")
+    // tombstoned but not yet compacted (the physical purge is the
+    // opt-in GRAFT_RELEASE_ANN_COMPACT) — parity must hold regardless
+    freshParity(Seq(1L, 3L, 5L, 7L))
+    // standalone verb: noop once current
+    val nl = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> out))
+    assert(nl.exists(_.contains("noop")), nl.mkString("\n"))
+    // v5: B RESUBMITTED EDITED (new vector, twin of D) — resurrection
+    // past the v4 tombstone: the sync compacts the shadow away before
+    // the re-add, so the NEW vector serves
+    release(Seq(dA, dB2, dC, dD, dF), index = true)
+    assert(GraftApp.lastAnnSync.exists(r => r.mode == "diff" && r.added == 1),
+      s"${GraftApp.lastAnnSync}")
+    assert(topK(5L).headOption.contains(2L),
+      s"resurrected doc must serve its NEW vector: ${topK(5L)}")
+    freshParity(Seq(1L, 2L, 3L, 5L, 7L))
+    // v6/v7 WITHOUT the flag: F retracted, then resubmitted edited
+    // (now the twin of C) — the v5→v7 catch-up diff (zero-delta release
+    // WITH the flag) sees id 7 on BOTH sides (REPLACED): old rows are
+    // purged before the re-add
+    release(Seq(dA, dB2, dC, dD), index = false)
+    release(Seq(dA, dB2, dC, dD, dF2), index = false)
+    release(Seq(dA, dB2, dC, dD, dF2), index = true) // zero delta: catch-up
+    val s8 = GraftApp.lastAnnSync.get
+    assert(s8.mode == "diff" && s8.added == 1 && s8.removed == 0 &&
+      s8.to == 7L, s"$s8")
+    assert(topK(3L).headOption.contains(7L),
+      s"replaced doc must serve its NEW vector: ${topK(3L)}")
+    freshParity(Seq(1L, 2L, 3L, 5L, 7L))
+    // CRASHED-ATTEMPT ledger: a fake attempt appended id 100 (twin of
+    // A) and left its ledger ABOVE the synced version — the next sync
+    // entry purges exactly those rows (tombstone + compact) before
+    // anything else, even on the noop path
+    val store = new AnnIndexStore(idxDir)
+    store.append(Seq((100L, vec(0, 3))).toDF("doc_id", "embedding"),
+      idCol = "doc_id")
+    Seq(100L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$idxDir/_sync_attempt/v99")
+    assert(vecIds().contains(100L))
+    val cl = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> out))
+    assert(cl.exists(_.contains("noop")), cl.mkString("\n"))
+    assert(!vecIds().contains(100L),
+      "crashed attempt's appended vectors must purge")
+    assert(!topK(1L).contains(100L))
+    // COMMITTED-LEFTOVER ledger (crash between the marker write and the
+    // ledger cleanup): dropped WITHOUT purging — its ids are live
+    Seq(7L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$idxDir/_sync_attempt/v7")
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> out))
+    val fs2 = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs2.exists(
+      new org.apache.hadoop.fs.Path(s"$idxDir/_sync_attempt/v7")))
+    assert(vecIds().contains(7L),
+      "a committed sync's leftover ledger must NOT purge live rows")
+    assert(topK(3L).headOption.contains(7L))
+    // release-rooted hybrid-search: version-consistent serving from the
+    // synced index pair over the current frozen version
+    val hl = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "hybrid-search", "GRAFT_RELEASE_OUT" -> out,
+      "GRAFT_HYBRID_PROBE" -> "1"))
+    assert(hl.exists(_.contains("synced versions: text=v7 ann=v7")),
+      hl.mkString("\n"))
+    // a synced version whose manifest is GONE (out of retention /
+    // unknown): staged rebuild fallback — and the rebuilt index still
+    // serves identically
+    val mo = fs2.create(
+      new org.apache.hadoop.fs.Path(s"$idxDir/_corpus_version"), true)
+    try mo.write("0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mo.close()
+    val rr = CorpusIndexSync.syncAnn(spark, s"$out/docs", idxDir)
+    assert(rr.mode == "rebuild", s"$rr")
+    freshParity(Seq(1L, 2L, 3L, 5L, 7L))
+  }
+
+  test("ann-index sync: ivf cold build + diff appends against frozen " +
+      "centroids keep membership exact") {
+    import spark.implicits._
+    import graft.llmops.{AnnIndexStore, CorpusIndexSync, SegPool, VersionedDir}
+    def en(tag: String): String =
+      ("the start and more of it" +: (0 until 24).map(i => s"$tag$i"))
+        .mkString(" ")
+    def vec(dir: Int, jit: Int): Seq[Float] =
+      (0 until 8).map(j =>
+        (if (j == dir % 8) 100f else 0f) +
+          (if (j == (dir * 3 + 1) % 8) jit.toFloat else 0f)).toSeq
+    type Doc = (Long, String, String, Seq[Float])
+    val rows1: Seq[Doc] = Seq(
+      (1L, "web", en("ma"), vec(0, 1)), (2L, "web", en("mb"), vec(0, 2)),
+      (3L, "web", en("mc"), vec(1, 1)), (4L, "web", en("md"), vec(1, 2)))
+    val add: Doc = (9L, "web", en("me"), vec(0, 3))
+    def writeRaw(rows: Seq[(Long, String, String, Seq[Float])]): String = {
+      val d = Files.createTempDirectory("aiv-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text", "embedding")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("aiv-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> writeRaw(rows1),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("aiv-out").toFile.getAbsolutePath + "/rel"
+    def release(raw: Seq[Doc]): Unit =
+      GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(raw),
+        "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+        "GRAFT_RELEASE_ANN_INDEX" -> "1", "GRAFT_ANN_SYNC_KIND" -> "ivf",
+        "GRAFT_ANN_SYNC_CLUSTERS" -> "2",
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    release(rows1)
+    assert(GraftApp.lastAnnSync.exists(_.mode == "rebuild"),
+      s"${GraftApp.lastAnnSync}")
+    val idx = new AnnIndexStore(s"$out/_ann_index")
+    assert(idx.liveIds(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // diff append: the new vector assigns to the FROZEN centroids and
+    // serves (membership exact; rank drift governed by the store's own
+    // telemetry, not the sync)
+    release(rows1 :+ add)
+    assert(GraftApp.lastAnnSync.exists(r => r.mode == "diff" && r.added == 1),
+      s"${GraftApp.lastAnnSync}")
+    assert(idx.liveIds(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L, 9L))
+    val top = idx.sweepDistributed(Seq(9L).toDF("vec_id"), k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(top.headOption.contains(1L) || top.headOption.contains(2L),
+      s"appended twin must serve from its cluster: $top")
+    assert(CorpusIndexSync.syncedVersion(spark, s"$out/_ann_index")
+      .contains(2L))
+  }
 }
