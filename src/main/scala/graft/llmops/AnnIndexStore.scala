@@ -684,6 +684,22 @@ final class AnnIndexStore(root: String) extends Serializable {
       case kind => throw new IllegalArgumentException(s"unknown index kind $kind")
     }
 
+  /** Which of `ids` are LIVE in the store — the doc-fate membership
+    * probe: each id reads only its own `vectors/part=` dir
+    * (constant-folded hash bucket, as [[probeVector]]), minus the
+    * tombstone set. */
+  def hasDocs(spark: SparkSession, ids: Seq[Long]): Set[Long] = {
+    if (ids.isEmpty || !fsOf(spark).exists(new Path(root, "vectors")))
+      return Set.empty
+    val dead = tombstoned(spark)
+    spark.read.parquet(s"$root/vectors")
+      .filter(ids.map(id =>
+        col("part") === pmod(hash(lit(id)), lit(NumParts)) &&
+          col("vec_id") === id).reduce(_ || _))
+      .select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet -- dead
+  }
+
   /** Every live (non-tombstoned) id in the store — the "self" probe set
     * of a full-corpus sweep (self-join contamination / near-dup audit). */
   def liveIds(spark: SparkSession): DataFrame =

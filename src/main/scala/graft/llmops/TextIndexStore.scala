@@ -234,6 +234,19 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     }
   }
 
+  /** Which of `ids` are LIVE in the index (present in any batch's
+    * `_lens` doc table and not tombstoned) — the doc-fate membership
+    * probe: one ids-filtered two-column scan of the doc-length table,
+    * never a posting read. */
+  def hasDocs(spark: SparkSession, ids: Seq[Long]): Set[Long] = {
+    val lensPath = new Path(path, "_lens")
+    if (ids.isEmpty || !fsOf(spark).exists(lensPath)) return Set.empty
+    val dead = tombstoned(spark)
+    spark.read.option("basePath", s"$path/_lens").parquet(lensPath.toString)
+      .select(col("doc_id")).filter(col("doc_id").isin(ids: _*))
+      .distinct().collect().map(_.getLong(0)).toSet -- dead
+  }
+
   /** (N docs, total tokens) over every batch — a #batches-row read. */
   def stats(spark: SparkSession): (Long, Long) = {
     val p = new Path(path, "_stats")

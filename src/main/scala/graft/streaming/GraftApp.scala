@@ -80,7 +80,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   (GRAFT_DOC_IDS=1,2,...; GRAFT_CURATE_STORE or
   *                   GRAFT_RELEASE_OUT; optional GRAFT_FATE_DOCS raw
   *                   corpus names the dropping stage + displacing doc,
-  *                   honoring GRAFT_RELEASE_BLOOM/_MODEL/_JACCARD)
+  *                   honoring GRAFT_RELEASE_BLOOM/_MODEL/_JACCARD;
+  *                   when the release root carries synced serving
+  *                   indexes, the line also answers "is it SEARCHABLE"
+  *                   — text_index/ann_index membership at their synced
+  *                   versions, part-pruned probes)
   *     lsh-index     compact the durable dedup index (GRAFT_INDEX_DIR;
   *                   GRAFT_INDEX_PARTS if the store was built with a
   *                   non-default part count — the folded layout must
@@ -838,9 +842,19 @@ object GraftApp {
             .getOrElse(graft.llmops.Similarity.DefaultIvfClusters))
         if (env.get("GRAFT_ANN_COMPACT").contains("1"))
           new graft.llmops.AnnIndexStore(s"$aOut/_ann_index").compact(spark)
+        // drift-gated IVF rebuild, same knob as the ann-index verb: an
+        // lsh-kind store never records drift, so the check is a no-op
+        val annDriftLine = env.get("GRAFT_ANN_REBUILD_IF_DRIFT")
+          .map(_.toDouble).map { ratio =>
+            val st = new graft.llmops.AnnIndexStore(s"$aOut/_ann_index")
+            if (st.driftExceeds(spark, ratio)) {
+              st.rebuildIvf(spark)
+              s"ann-index sync: rebuilt ivf (drift exceeded x$ratio)"
+            } else s"ann-index sync: drift within x$ratio - no rebuild"
+          }
         Seq(s"ann-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
           s"v${r.to} +${r.added} -${r.removed} " +
-          s"(${r.segsSkipped} segs untouched)")
+          s"(${r.segsSkipped} segs untouched)") ++ annDriftLine.toSeq
       case "hybrid-search" =>
         // persisted hybrid retrieval: the durable BM25 text index and
         // the persisted ANN vector index serve the SAME probe doc
@@ -1056,6 +1070,26 @@ object GraftApp {
             case _: org.apache.spark.sql.AnalysisException => probe()
           }
         }.getOrElse(Map.empty)
+        // synced-index membership (when the release root carries synced
+        // serving indexes): is the doc actually SEARCHABLE right now —
+        // text probe = one ids-filtered scan of the index's doc-length
+        // table, ann probe = part-pruned vector reads; both minus
+        // tombstones, each tagged with its synced corpus version
+        def idxMembership(sub: String, probe: String => Set[Long])
+            : Option[(Long, Set[Long])] =
+          relOut.map(o => s"$o/$sub").flatMap { d =>
+            graft.llmops.CorpusIndexSync.syncedVersion(spark, d)
+              .map(v => v -> probe(d))
+          }
+        val textIdxM = idxMembership("_text_index", d =>
+          new graft.llmops.TextIndexStore(d,
+            env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64))
+            .hasDocs(spark, ids))
+        val annIdxM = idxMembership("_ann_index", d =>
+          new graft.llmops.AnnIndexStore(d).hasDocs(spark, ids))
+        def idxStr(m: Option[(Long, Set[Long])], id: Long): String =
+          m.map { case (v, s) => s"v$v:${if (s(id)) "in" else "out"}" }
+            .getOrElse("-")
         ids.map { id =>
           val pb = pLed.get(id); val rb = rLed.get(id)
           val f = fate(id)
@@ -1071,7 +1105,9 @@ object GraftApp {
             s"content_hash=${opt(3)} gate_pass=${opt(4)} " +
             s"bloom_flagged=${opt(5)} exact_dup_of=${opt(6)} " +
             s"near_dup_of=${opt(7)} seg=${segOf.getOrElse(id, "-")} " +
-            s"versions=$vstr"
+            s"versions=$vstr " +
+            s"text_index=${idxStr(textIdxM, id)} " +
+            s"ann_index=${idxStr(annIdxM, id)}"
         }
       case "lsh-index" =>
         val dir = env.getOrElse("GRAFT_INDEX_DIR",
@@ -2102,6 +2138,13 @@ object GraftApp {
             if (env.get("GRAFT_RELEASE_ANN_COMPACT").contains("1"))
               new graft.llmops.AnnIndexStore(s"$relOut/_ann_index")
                 .compact(spark)
+            // drift-gated IVF rebuild inside the nightly release (same
+            // knob as the ann-index verb; no-op for lsh-kind stores)
+            env.get("GRAFT_ANN_REBUILD_IF_DRIFT").map(_.toDouble)
+              .foreach { ratio =>
+                val st = new graft.llmops.AnnIndexStore(s"$relOut/_ann_index")
+                if (st.driftExceeds(spark, ratio)) st.rebuildIvf(spark)
+              }
           }
           // final corpus size + per-source rows from the SOURCES
           // sidecar the freeze wrote next to the manifest — one driver

@@ -1618,8 +1618,8 @@ class GraftAppSpec extends SparkSpecBase {
     // version history comes from RETAINED manifests only: retain=1
     // pruned v1, so doc 0 reads as v2-only and the retracted doc 7
     // has no surviving version
-    assert(fline(0).endsWith("versions=2"), fline(0))
-    assert(fline(7).endsWith("versions=-"), fline(7))
+    assert(fline(0).contains(" versions=2 "), fline(0))
+    assert(fline(7).contains(" versions=- "), fline(7))
   }
 
   test("doc-fate names the retained versions a doc was in — probed " +
@@ -1660,11 +1660,11 @@ class GraftAppSpec extends SparkSpecBase {
     // the survivor spans both retained versions; the retracted doc
     // answers "was in v1, retracted in release 1"; an unknown id has
     // no history at all
-    assert(fline(0).endsWith("versions=1,2"), fline(0))
-    assert(fline(1).endsWith("versions=1") &&
+    assert(fline(0).contains(" versions=1,2 "), fline(0))
+    assert(fline(1).contains(" versions=1 ") &&
       fline(1).contains("retracted_b=1") && fline(1).contains("live=false"),
       fline(1))
-    assert(fline(99).endsWith("versions=-"), fline(99))
+    assert(fline(99).contains(" versions=- "), fline(99))
   }
 
   test("chunked release: a delta above the batch cap lands the same end " +
@@ -2243,6 +2243,17 @@ class GraftAppSpec extends SparkSpecBase {
     assert(vecIds().contains(7L),
       "a committed sync's leftover ledger must NOT purge live rows")
     assert(topK(3L).headOption.contains(7L))
+    // doc-fate reports synced-index membership: the live probe doc is
+    // SEARCHABLE in both synced indexes at the current version; the
+    // purged fake id is not
+    val fl = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "doc-fate", "GRAFT_RELEASE_OUT" -> out,
+      "GRAFT_DOC_IDS" -> "1,100"))
+    val f1 = fl.find(_.startsWith("doc-fate 1:")).get
+    assert(f1.contains("text_index=v7:in") && f1.contains("ann_index=v7:in"),
+      f1)
+    val f100 = fl.find(_.startsWith("doc-fate 100:")).get
+    assert(f100.contains("ann_index=v7:out"), f100)
     // release-rooted hybrid-search: version-consistent serving from the
     // synced index pair over the current frozen version
     val hl = GraftApp.maintenance(spark, Map(
