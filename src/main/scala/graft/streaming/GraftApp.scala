@@ -819,11 +819,20 @@ object GraftApp {
         val sOut = env.getOrElse("GRAFT_RELEASE_OUT",
           throw new IllegalArgumentException("GRAFT_RELEASE_OUT is required"))
         val sParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64)
-        val r = graft.llmops.CorpusIndexSync.sync(
-          spark, s"$sOut/docs", s"$sOut/_text_index", sParts)
-        if (env.get("GRAFT_TEXT_COMPACT").contains("1"))
-          new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
-            .compact(spark)
+        // under the root's publish lease: a release's own in-lease sync
+        // (or another standalone sync) must never interleave appends
+        // into the same index — the loser fails fast and retryable
+        // (LeaseHeldException), exactly like a concurrent release
+        val r = graft.llmops.VersionedDir.withLeaseFenced(spark,
+          s"$sOut/docs", env.get("GRAFT_RELEASE_LEASE_MS").map(_.toLong)
+            .getOrElse(graft.llmops.VersionedDir.DefaultLeaseTtlMs)) { _ =>
+          val rep = graft.llmops.CorpusIndexSync.sync(
+            spark, s"$sOut/docs", s"$sOut/_text_index", sParts)
+          if (env.get("GRAFT_TEXT_COMPACT").contains("1"))
+            new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
+              .compact(spark)
+          rep
+        }
         Seq(s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
           s"v${r.to} +${r.added} -${r.removed} " +
           s"(${r.segsSkipped} segs untouched)")
@@ -834,24 +843,32 @@ object GraftApp {
         // GRAFT_RELEASE_ANN_INDEX=1
         val aOut = env.getOrElse("GRAFT_RELEASE_OUT",
           throw new IllegalArgumentException("GRAFT_RELEASE_OUT is required"))
-        val r = graft.llmops.CorpusIndexSync.syncAnn(
-          spark, s"$aOut/docs", s"$aOut/_ann_index",
-          embedCol = env.getOrElse("GRAFT_ANN_EMBED_COL", "embedding"),
-          kind = env.getOrElse("GRAFT_ANN_SYNC_KIND", "lsh"),
-          nClusters = env.get("GRAFT_ANN_SYNC_CLUSTERS").map(_.toInt)
-            .getOrElse(graft.llmops.Similarity.DefaultIvfClusters))
-        if (env.get("GRAFT_ANN_COMPACT").contains("1"))
-          new graft.llmops.AnnIndexStore(s"$aOut/_ann_index").compact(spark)
-        // drift-gated IVF rebuild, same knob as the ann-index verb: an
-        // lsh-kind store never records drift, so the check is a no-op
-        val annDriftLine = env.get("GRAFT_ANN_REBUILD_IF_DRIFT")
-          .map(_.toDouble).map { ratio =>
-            val st = new graft.llmops.AnnIndexStore(s"$aOut/_ann_index")
-            if (st.driftExceeds(spark, ratio)) {
-              st.rebuildIvf(spark)
-              s"ann-index sync: rebuilt ivf (drift exceeded x$ratio)"
-            } else s"ann-index sync: drift within x$ratio - no rebuild"
-          }
+        // under the root's publish lease, as text-index-sync: concurrent
+        // appenders into one vector index must serialize
+        val (r, annDriftLine) = graft.llmops.VersionedDir.withLeaseFenced(
+          spark, s"$aOut/docs",
+          env.get("GRAFT_RELEASE_LEASE_MS").map(_.toLong)
+            .getOrElse(graft.llmops.VersionedDir.DefaultLeaseTtlMs)) { _ =>
+          val rep = graft.llmops.CorpusIndexSync.syncAnn(
+            spark, s"$aOut/docs", s"$aOut/_ann_index",
+            embedCol = env.getOrElse("GRAFT_ANN_EMBED_COL", "embedding"),
+            kind = env.getOrElse("GRAFT_ANN_SYNC_KIND", "lsh"),
+            nClusters = env.get("GRAFT_ANN_SYNC_CLUSTERS").map(_.toInt)
+              .getOrElse(graft.llmops.Similarity.DefaultIvfClusters))
+          if (env.get("GRAFT_ANN_COMPACT").contains("1"))
+            new graft.llmops.AnnIndexStore(s"$aOut/_ann_index").compact(spark)
+          // drift-gated IVF rebuild, same knob as the ann-index verb: an
+          // lsh-kind store never records drift, so the check is a no-op
+          val drift = env.get("GRAFT_ANN_REBUILD_IF_DRIFT")
+            .map(_.toDouble).map { ratio =>
+              val st = new graft.llmops.AnnIndexStore(s"$aOut/_ann_index")
+              if (st.driftExceeds(spark, ratio)) {
+                st.rebuildIvf(spark)
+                s"ann-index sync: rebuilt ivf (drift exceeded x$ratio)"
+              } else s"ann-index sync: drift within x$ratio - no rebuild"
+            }
+          (rep, drift)
+        }
         Seq(s"ann-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
           s"v${r.to} +${r.added} -${r.removed} " +
           s"(${r.segsSkipped} segs untouched)") ++ annDriftLine.toSeq

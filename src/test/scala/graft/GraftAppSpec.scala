@@ -2271,6 +2271,19 @@ class GraftAppSpec extends SparkSpecBase {
     val rr = CorpusIndexSync.syncAnn(spark, s"$out/docs", idxDir)
     assert(rr.mode == "rebuild", s"$rr")
     freshParity(Seq(1L, 2L, 3L, 5L, 7L))
+    // standalone syncs SERIALIZE under the root's publish lease: with
+    // the lease held (a concurrent release or sync), the verbs fail
+    // fast and retryable instead of interleaving appends into one index
+    graft.llmops.VersionedDir.withLeaseFenced(spark, s"$out/docs") { _ =>
+      intercept[graft.llmops.VersionedDir.LeaseHeldException] {
+        GraftApp.maintenance(spark, Map(
+          "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> out))
+      }
+      intercept[graft.llmops.VersionedDir.LeaseHeldException] {
+        GraftApp.maintenance(spark, Map(
+          "GRAFT_MAINTENANCE" -> "text-index-sync", "GRAFT_RELEASE_OUT" -> out))
+      }
+    }
   }
 
   test("ann-index sync: ivf cold build + diff appends against frozen " +
