@@ -79,12 +79,16 @@ object Lexical {
     * rankings stay oracle-exact. */
   private[llmops] def scoreBm25(queries: DataFrame, cand0: DataFrame,
       lens: DataFrame, n: Long, totTokens: Long, k: Int,
-      k1Milli: Long, bMilli: Long, maxDfPermille: Long = 1000L): DataFrame = {
+      k1Milli: Long, bMilli: Long, maxDfPermille: Long = 1000L,
+      hint: DataFrame => DataFrame = broadcast): DataFrame = {
     val avgdlMilli = math.max(totTokens * 1000L / math.max(n, 1L), 1L)
     val q = queries.select(col("qid"), col("term")).distinct()
     // candidate postings = the query terms' posting lists only — the
-    // tiny term set broadcasts, the corpus side stays one scan
-    val cand = cand0.join(broadcast(q.select("term").distinct()), "term")
+    // tiny term set broadcasts, the corpus side stays one scan. A
+    // CORPUS-SIZED query set (TextIndexStore.searchDistributed) passes
+    // hint = identity: same arithmetic, shuffle joins instead of
+    // driver broadcasts — the ranking is bit-identical by construction
+    val cand = cand0.join(hint(q.select("term").distinct()), "term")
     val dfT = cand.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(lit(1000L) * col("df") <= lit(maxDfPermille) * lit(n))
       .withColumn("idf_micro",
@@ -94,7 +98,7 @@ object Lexical {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score_micro"), col("doc_id"))
     q.join(cand, "term")
-      .join(broadcast(dfT), "term")
+      .join(hint(dfT), "term")
       .join(lens, "doc_id")
       .withColumn("ratio_milli", expr(s"(dl * 1000000) div $avgdlMilli"))
       .withColumn("norm_milli",

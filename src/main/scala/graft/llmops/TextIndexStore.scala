@@ -362,6 +362,62 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
       maxDfPermille)
   }
 
+  /** CORPUS-SIZED batch retrieval — the lexical sibling of
+    * [[AnnIndexStore.sweepDistributed]]. [[search]] is built for
+    * bounded query batches: it collects the probe terms to the driver
+    * to PRUNE the posting read to their part dirs. When the query set
+    * is itself a corpus (every doc queries its own lead terms — RAG
+    * eval, contamination sweeps, hybrid sweeps), that collect is the
+    * scale limit, so this form keeps everything on the cluster: ONE
+    * scan of the postings (term-joined against the distinct query
+    * terms — shuffle joins, AQE-planned; no driver term list, no
+    * broadcast of corpus-derived data) through the SAME integer scoring
+    * chain ([[Lexical.scoreBm25]] with shuffle hints), ending in a
+    * per-qid window top-k. Ranking is bit-identical to [[search]] over
+    * the same queries (spec-pinned).
+    *
+    * The df-cap prices terms from the `_df` summary as a DISTRIBUTED
+    * anti-join (over-cap terms leave the query set before the postings
+    * join — a stopword shared by every query must never explode
+    * queries × corpus); as in [[search]], the prefilter is bypassed
+    * while deletes are pending (stored df is an upper bound) and
+    * [[Lexical.scoreBm25]]'s live-df cap keeps the ranking exact. */
+  def searchDistributed(queries: DataFrame, k: Int,
+                        k1Milli: Long = 1200L, bMilli: Long = 750L,
+                        maxDfPermille: Long = 1000L): DataFrame = {
+    val spark = queries.sparkSession
+    val dead = tombstoned(spark)
+    val (n, tot) = liveStats(spark, dead)
+    val dirs = batchDirs(spark).map(_.toString)
+    if (dirs.isEmpty) // empty frame, qid typed as the caller's
+      return queries.select(col("qid")).limit(0)
+        .withColumn("rank", lit(0))
+        .withColumn("doc_id", lit(0L))
+        .withColumn("score_micro", lit(0L))
+    val fs = fsOf(spark)
+    val dfRoot = new Path(path, "_df")
+    val q =
+      if (maxDfPermille >= 1000L || dead.nonEmpty || !fs.exists(dfRoot))
+        queries
+      else {
+        val overCap = spark.read
+          .schema("term STRING, df BIGINT, batch BIGINT, part INT")
+          .option("basePath", s"$path/_df").parquet(dfRoot.toString)
+          .groupBy("term").agg(sum("df").as("df"))
+          .filter(lit(1000L) * col("df") > lit(maxDfPermille) * lit(n))
+          .select("term")
+        queries.join(overCap, Seq("term"), "left_anti")
+      }
+    val cand = dropDead(spark, spark.read
+      .schema(StructType(rowSchema.fields ++ Seq(
+        StructField("batch", LongType), StructField("part", IntegerType))))
+      .option("basePath", path).parquet(dirs: _*)
+      .select(rowSchema.fieldNames.map(col).toSeq: _*), dead)
+    Lexical.scoreBm25(q, cand.select("term", "doc_id", "tf"),
+      cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli,
+      maxDfPermille, hint = identity)
+  }
+
   /** Exact phrase search from the positional postings: docs containing
     * `phrase` as ADJACENT tokens, with the occurrence count — no
     * document is ever re-read, adjacency is verified inside the index.

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.dialect.Dialect
 import graft.render.RenderContext
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{broadcast, col, concat, concat_ws, count, desc, expr, hash, lit, max, pmod, size, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, concat, concat_ws, count, countDistinct, desc, explode, expr, hash, lit, max, pmod, size, slice, sum, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** E1/E2 app runner — the `run_cdc_app` analog (reference app.rs:51-234,
@@ -163,6 +163,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   synced `_text_index`/`_ann_index`/current docs —
   *                   version-consistent hybrid serving over the frozen
   *                   corpus (the synced versions are reported)
+  *     hybrid-sweep  the CORPUS-SIZED form: every probe id
+  *                   (GRAFT_HYBRID_PROBES parquet, or "self" = every
+  *                   live vector) queries both tiers in one
+  *                   distributed plan each (searchDistributed +
+  *                   sweepDistributed), RRF-fused per probe →
+  *                   GRAFT_HYBRID_OUT parquet; same root defaults as
+  *                   hybrid-search
   *     bpe-train     train a BPE tokenizer on GRAFT_BPE_DOCS parquet
   *                   (GRAFT_BPE_MERGES, def 200; GRAFT_BPE_VOCAB_CAP,
   *                   def 65536; GRAFT_BPE_TEXT_COL, def text) and
@@ -927,6 +934,67 @@ object GraftApp {
               s"${tv.map(v => s"v$v").getOrElse("unsynced")} ann=" +
               s"${av.map(v => s"v$v").getOrElse("unsynced")}"
           }
+      case "hybrid-sweep" =>
+        // CORPUS-SIZED hybrid retrieval: every probe doc queries BOTH
+        // persisted serving tiers in one distributed plan each —
+        // TextIndexStore.searchDistributed (lexical: the doc's first 6
+        // tokens, derived on the cluster) + AnnIndexStore
+        // .sweepDistributed (semantic: its stored vector) — fused by
+        // the same RRF arithmetic as hybrid-search, per-probe window
+        // top-k, written to parquet. No probe, term or candidate data
+        // touches the driver: the RAG-eval / contamination-audit shape
+        // at corpus scale (probes = a parquet of ids, or "self" =
+        // every live vector).
+        val wRel = env.get("GRAFT_RELEASE_OUT")
+        def wOr(key: String, rel: String => String): String =
+          env.get(key).orElse(wRel.map(rel)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$key (or GRAFT_RELEASE_OUT) is required"))
+        val wText = wOr("GRAFT_TEXT_OUT", o => s"$o/_text_index")
+        val wAnn = wOr("GRAFT_ANN_DIR", o => s"$o/_ann_index")
+        val wDocs = wOr("GRAFT_HYBRID_DOCS", o =>
+          graft.llmops.VersionedDir.currentPath(spark, s"$o/docs")
+            .getOrElse(throw new IllegalArgumentException(
+              s"no published docs version under $o/docs")))
+        val wOut = env.getOrElse("GRAFT_HYBRID_OUT",
+          throw new IllegalArgumentException("GRAFT_HYBRID_OUT is required"))
+        val wK = env.get("GRAFT_HYBRID_K").map(_.toInt).getOrElse(5)
+        val wStore = new graft.llmops.TextIndexStore(wText,
+          env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64))
+        val wIdx = new graft.llmops.AnnIndexStore(wAnn)
+        val wProbes = env.get("GRAFT_HYBRID_PROBES") match {
+          case None | Some("self") => wIdx.liveIds(spark)
+          case Some(p) =>
+            val df = spark.read.parquet(p)
+            df.select(col(df.columns.head).cast("long").as("vec_id"))
+        }
+        val wQueries = graft.llmops.SegPool.readDocs(spark, wDocs)
+          .select(col("doc_id").cast("long").as("vec_id"), col("text"))
+          .join(wProbes, "vec_id")
+          .select(col("vec_id").as("qid"),
+            explode(slice(graft.llmops.TextOps.tokens(col("text")), 1, 6))
+              .as("term"))
+        val wLex = wStore.searchDistributed(wQueries, k = 20,
+            maxDfPermille = dfCapPermille(env))
+          .select(col("qid"), col("doc_id"),
+            col("rank").cast("long").as("lex_rank"))
+        val wSem = wIdx.sweepDistributed(wProbes, k = 20)
+          .select(col("pid").as("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("sem_rank"))
+        val wWin = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("rrf_micro"), col("doc_id"))
+        wLex.join(wSem, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+              "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)"))
+          .withColumn("rank",
+            org.apache.spark.sql.functions.row_number().over(wWin))
+          .filter(col("rank") <= wK)
+          .select("qid", "rank", "doc_id", "rrf_micro", "lex_rank", "sem_rank")
+          .write.mode("overwrite").parquet(wOut)
+        val wN = spark.read.parquet(wOut)
+          .select(countDistinct(col("qid"))).first().getLong(0)
+        Seq(s"hybrid-sweep: $wN probes fused top-$wK -> $wOut")
       case "bloom-build" =>
         // declare + exactly (re)build per-bucket bloom skip indexes:
         // the equality companion of the zone maps for point predicates

@@ -2261,6 +2261,33 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_HYBRID_PROBE" -> "1"))
     assert(hl.exists(_.contains("synced versions: text=v7 ann=v7")),
       hl.mkString("\n"))
+    // hybrid-sweep: the corpus-sized batch form (probes = every live
+    // vector, both tiers distributed) fuses BIT-IDENTICALLY to the
+    // single-probe verb for the same probe. Of the 5 live probes, doc 1
+    // fuses EMPTY (its twin is retracted and its lead terms are all
+    // df-capped) — the reported count is probes WITH results, 4
+    val swOut = Files.createTempDirectory("ais-sweep")
+      .toFile.getAbsolutePath + "/out"
+    val swl = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "hybrid-sweep", "GRAFT_RELEASE_OUT" -> out,
+      "GRAFT_HYBRID_OUT" -> swOut))
+    assert(swl.exists(_.startsWith("hybrid-sweep: 4 probes")),
+      swl.mkString("\n"))
+    val swDf = spark.read.parquet(swOut)
+    def swRows(qid: Long): Seq[String] = swDf
+      .filter(org.apache.spark.sql.functions.col("qid") === qid)
+      .orderBy("rank").collect()
+      .map(r => s"${r.getAs[Long]("doc_id")}:${r.getAs[Long]("rrf_micro")}")
+      .toSeq
+    assert(swRows(1L).isEmpty)
+    val hl3 = GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "hybrid-search", "GRAFT_RELEASE_OUT" -> out,
+      "GRAFT_HYBRID_PROBE" -> "3"))
+    val single = hl3.find(_.startsWith("hybrid-search probe 3:")).get
+    val expect = single.split("top-5 ")(1).split(" \\(")(0)
+      .split(" ").filter(_.nonEmpty).toSeq
+    assert(expect.nonEmpty && swRows(3L) == expect,
+      s"sweep ${swRows(3L)} vs single-probe $expect")
     // a synced version whose manifest is GONE (out of retention /
     // unknown): staged rebuild fallback — and the rebuilt index still
     // serves identically

@@ -1756,6 +1756,53 @@ class LlmOpsSpec extends SparkSpecBase {
     all.unpersist(); queries.unpersist()
   }
 
+  test("TextIndexStore.searchDistributed: corpus-sized serving equals " +
+      "search bit-for-bit — capped, pending-delete window, post-compact") {
+    import graft.llmops.TextIndexStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("text-idx-dist")
+      .toFile.getAbsolutePath + "/idx"
+    // planted stopword "zz" in every doc (the df-cap must drop it from
+    // the query set BEFORE the postings join — the queries × corpus
+    // blowup guard), shared mid-df terms, per-doc rare terms
+    val docs = (0L until 120L).map { i =>
+      val shared = s"g${i % 7}"
+      (i, s"zz $shared r${i}a r${i}b r${i}c")
+    }.toDF("doc_id", "text").cache()
+    val store = new TextIndexStore(dir, numParts = 16)
+    store.addBatch(spark, docs.filter(col("doc_id") < 60), 0)
+    store.addBatch(spark, docs.filter(col("doc_id") >= 60), 1)
+    // EVERY doc queries its own lead terms — the corpus-sized shape
+    val queries = docs.select(col("doc_id").as("qid"),
+      explode(slice(split(col("text"), " "), 1, 3)).as("term")).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def parity(cap: Long): Unit = {
+      val d = rows(store.searchDistributed(queries, k = 5,
+        maxDfPermille = cap))
+      val s = rows(store.search(spark, queries, k = 5, maxDfPermille = cap))
+      assert(d.nonEmpty && d == s, s"cap=$cap\ndistributed ${d.take(5)}…\n" +
+        s"driver-pruned ${s.take(5)}…")
+    }
+    parity(1000L) // uncapped
+    parity(600L)  // stopword priced out pre-join on both paths
+    // pending deletes: both paths bypass the stale stored-df prefilter
+    // and stay equal (live-df cap keeps the ranking exact)
+    store.delete(spark, Seq(3L))
+    parity(600L)
+    // compact purges, restores the prefilter — still equal, and the
+    // retracted doc serves from neither path
+    store.compact(spark)
+    parity(600L)
+    assert(!rows(store.searchDistributed(queries, k = 5,
+      maxDfPermille = 600L)).exists(_._3 == 3L))
+    // an empty index serves an empty frame with the caller's qid type
+    val empty = new TextIndexStore(dir + ".none", numParts = 16)
+    assert(empty.searchDistributed(queries, k = 5).isEmpty)
+    docs.unpersist(); queries.unpersist()
+  }
+
   test("TextIndexStore df-cap: a planted stopword never reaches the posting read") {
     import graft.llmops.{Lexical, TextIndexStore}
     import spark.implicits._
