@@ -189,6 +189,12 @@ final class AnnIndexStore(root: String) extends Serializable {
   private def clearMeta(spark: SparkSession): Unit = {
     val fs = fsOf(spark)
     if (fs.exists(metaPath)) fs.delete(metaPath, false)
+    // a full (re)build starts a fresh intake history: stale applied
+    // markers must not no-op a future addBatch that reuses a batch id
+    Seq("_applied", "_intake").foreach { d =>
+      val p = new Path(root, d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   private def writeMeta(spark: SparkSession, kv: Map[String, String]): Unit = {
@@ -1004,6 +1010,53 @@ final class AnnIndexStore(root: String) extends Serializable {
           "drift_last_mean" -> f"$m%.6f", "drift_last_p95" -> f"$p%.6f"))
       case k => throw new IllegalArgumentException(s"unknown index kind $k")
     }
+  }
+
+  /** Replay-IDEMPOTENT append — the streaming-intake form, the
+    * [[TextIndexStore.addBatch]] contract mapped onto a store with no
+    * per-batch dirs (appends interleave into the hash/bucket layouts,
+    * so "Overwrite your own dir" is not available). Protocol, the
+    * corpus-sync's attempt ledger generalized to batch ids:
+    *
+    *   `_applied/b<id>`  empty marker, written LAST — the commit point;
+    *                     a batch id that already applied is a NO-OP
+    *   `_intake/b<id>`   the batch's ids, written BEFORE the append —
+    *                     a batch that CRASHED mid-append tombstones
+    *                     exactly these ids and compacts them out before
+    *                     re-appending (physical purge; rare, crash-only)
+    *
+    * Run it under `foreachBatch` and a replayed trigger after any crash
+    * lands each vector exactly once (spec-pinned: streamed ≡ one-shot
+    * build, double-apply no-op, crashed-append heal). The store must be
+    * built first ([[writeLsh]]/[[writeIvf]]/[[writeIvfPq]] — usually
+    * over the first batch); single-writer discipline as for every
+    * mutation here. */
+  def addBatch(embeddings: DataFrame, batchId: Long,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    val fs = fsOf(spark)
+    require(fs.exists(metaPath),
+      s"$root has no _meta — build the store (writeLsh/writeIvf) before " +
+        "streaming addBatch intake")
+    val applied = new Path(root, s"_applied/b$batchId")
+    val ledger = new Path(root, s"_intake/b$batchId")
+    if (fs.exists(applied)) { // committed: replay is a no-op
+      if (fs.exists(ledger)) fs.delete(ledger, true) // post-commit crash
+      return
+    }
+    if (fs.exists(ledger) && SegPool.hasParquet(fs, ledger.toString)) {
+      delete(spark, spark.read.parquet(ledger.toString))
+      compact(spark)
+    }
+    // pin the batch so the recorded ids are EXACTLY the appended ids
+    // (a recomputed non-deterministic input must not diverge between
+    // the ledger write and the append)
+    val e = embeddings.localCheckpoint(true)
+    e.select(col(idCol).cast("long").as("vec_id"))
+      .write.mode("overwrite").parquet(ledger.toString)
+    append(e, idCol, vecCol)
+    fs.create(applied, true).close()
+    fs.delete(ledger, true)
   }
 
   /** Mean / p95 cosine DISTANCE (1 − cos) of an assignment to its

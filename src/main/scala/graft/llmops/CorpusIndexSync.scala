@@ -318,12 +318,14 @@ object CorpusIndexSync {
     * non-core column and land in the frozen segments byte-intact);
     * a corpus without it fails fast. `kind` selects the cold-build
     * layout: "lsh" (default — deterministic bucketing, bit-exact parity
-    * with a fresh build) or "ivf" (`nClusters`; appends assign to the
-    * frozen centroids — run rebuild-on-drift via the `ann-index` verb). */
+    * with a fresh build), "ivf" or "ivfpq" (`nClusters`; appends assign
+    * — and for ivfpq, code — against the frozen build artifacts: run
+    * rebuild-on-drift via the `ann-index` verb / the sync's drift knob). */
   def syncAnn(spark: SparkSession, docsRoot: String, idxPath: String,
               embedCol: String = "embedding", kind: String = "lsh",
               nClusters: Int = Similarity.DefaultIvfClusters): SyncReport = {
-    require(kind == "lsh" || kind == "ivf", s"unknown ann sync kind $kind")
+    require(kind == "lsh" || kind == "ivf" || kind == "ivfpq",
+      s"unknown ann sync kind $kind")
     val fs = new Path(idxPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     healRebuild(spark, idxPath)
@@ -402,8 +404,12 @@ object CorpusIndexSync {
         sIdx.writeLsh(docs, idCol = "doc_id", vecCol = embedCol)
       else {
         val dim = docs.select(size(col(embedCol))).head().getInt(0)
-        sIdx.writeIvf(docs, nClusters = nClusters, dim = dim,
-          idCol = "doc_id", vecCol = embedCol)
+        if (kind == "ivf")
+          sIdx.writeIvf(docs, nClusters = nClusters, dim = dim,
+            idCol = "doc_id", vecCol = embedCol)
+        else
+          sIdx.writeIvfPq(docs, nClusters = nClusters, dim = dim,
+            idCol = "doc_id", vecCol = embedCol)
       }
       val n = docs.count()
       writeMarker(spark, stage.toString, cur)

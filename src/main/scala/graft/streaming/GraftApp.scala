@@ -151,7 +151,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   corpus' CURRENT version: same manifest diff over
   *                   the embedding column the funnel carries
   *                   (GRAFT_ANN_EMBED_COL def `embedding`); cold builds
-  *                   pick GRAFT_ANN_SYNC_KIND (lsh def | ivf);
+  *                   pick GRAFT_ANN_SYNC_KIND (lsh def | ivf | ivfpq);
   *                   GRAFT_ANN_COMPACT=1 purges tombstones — the
   *                   standalone form of GRAFT_RELEASE_ANN_INDEX=1
   *     hybrid-search reciprocal-rank fusion of the text index

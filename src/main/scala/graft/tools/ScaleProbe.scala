@@ -694,6 +694,40 @@ object ScaleProbe {
       s"${ar.segsSkipped} segs untouched)")
     require(ar.mode == "diff" && ar.added == 200 && ar.segsSkipped >= 3,
       s"release ann sync must diff, not rebuild: $ar")
+    // CORPUS-SIZED lexical serving: every doc queries 3 of its own rare
+    // tokens against the synced text index — searchDistributed's one
+    // postings scan + shuffle joins (no driver term list), per-qid
+    // window top-k; compared against nothing driver-side, the require
+    // is shape: every probe doc must rank ITSELF first on its own rare
+    // terms
+    locally {
+      val vCur = graft.llmops.VersionedDir
+        .currentPath(spark, s"$relOut/docs").get
+      val tIdx = new graft.llmops.TextIndexStore(s"$relOut/_text_index", 64)
+      val sweepQ = graft.llmops.SegPool.readDocs(spark, vCur)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 13, 3)).as("term"))
+      t0 = System.nanoTime()
+      val top1 = tIdx.searchDistributed(sweepQ, k = 1, maxDfPermille = 600L)
+      val nSelf = top1.filter(col("qid") === col("doc_id")).count()
+      val nQ = top1.count()
+      println(f"text sweep distributed (~20k docs x 3 rare terms, top-1): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"($nSelf/$nQ probes rank themselves first)")
+      require(nQ > 15000 && nSelf * 100 >= nQ * 95,
+        s"rare-term self-retrieval must dominate: $nSelf/$nQ")
+    }
+    // corpus-sized HYBRID sweep: every live vector probes both synced
+    // tiers, RRF-fused per probe to parquet — the RAG-eval shape
+    locally {
+      val hybOut = relDir("hyb") + "/out"
+      t0 = System.nanoTime()
+      val hl = GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "hybrid-sweep", "GRAFT_RELEASE_OUT" -> relOut,
+        "GRAFT_HYBRID_PROBES" -> "self", "GRAFT_HYBRID_OUT" -> hybOut))
+      println(f"hybrid sweep (self = every live vector, both tiers): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s — ${hl.head}")
+    }
     // WIDE retraction: a whole source GDPR-deleted out of a corpus
     // frozen as many hash sub-segments — every holding sub-seg
     // rebuilds, but through ONE partitioned job (the r<batch>-v<N>

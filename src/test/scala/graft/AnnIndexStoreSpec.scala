@@ -687,4 +687,67 @@ class AnnIndexStoreSpec extends SparkSpecBase {
       store.ivfTopK(spark, probeId = 1L, k = 1)
     }
   }
+
+  test("addBatch streaming intake: exactly-once under replay and a " +
+      "crashed append; streamed store equals the one-shot build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val df = planted(11, 90).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val root = Files.createTempDirectory("ann-intake")
+      .toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    // build over the first slice, stream the rest through foreachBatch
+    store.writeLsh(df.take(30).toDF("vec_id", "embedding"))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        store.addBatch(b, id)
+      }
+      .option("checkpointLocation", root + "_ckpt")
+      .start()
+    try {
+      mem.addData(df.slice(30, 60): _*); q.processAllAvailable()
+      mem.addData(df.drop(60): _*); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = Files.createTempDirectory("ann-intake-one")
+      .toFile.getAbsolutePath + "/idx"
+    val one = new AnnIndexStore(oneShot)
+    one.writeLsh(df.toDF("vec_id", "embedding"))
+    val probes = Seq(5L, 17L, 90L, 91L).toDF("vec_id")
+    def hits(ix: AnnIndexStore): Seq[(Long, Long, Long, Long)] =
+      ix.sweepDistributed(probes, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toSeq.sorted
+    assert(hits(store).nonEmpty && hits(store) == hits(one),
+      "streamed intake must serve the one-shot-built ranking")
+    // REPLAY of an applied batch id is a no-op (the crash-replay shape
+    // foreachBatch delivers): vector count and ranking unchanged
+    val nVec = spark.read.parquet(s"$root/vectors").count()
+    store.addBatch(df.slice(30, 60).toDF("vec_id", "embedding"), 0L)
+    assert(spark.read.parquet(s"$root/vectors").count() == nVec)
+    assert(hits(store) == hits(one))
+    // CRASHED append: ledger written, rows landed, NO applied marker —
+    // the retry purges the recorded ids before re-appending, so the
+    // batch lands exactly once
+    val extra = Seq((200L, df.head._2.map(x => x + 0.01f).toSeq))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    extra.toDF("vec_id", "embedding")
+      .select(col("vec_id")).write.mode("overwrite")
+      .parquet(s"$root/_intake/b9")
+    new AnnIndexStore(root) // fresh instance: no memoized tombstones
+      .append(extra.toDF("vec_id", "embedding"))
+    store.addBatch(extra.toDF("vec_id", "embedding"), 9L)
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter(col("vec_id") === 200L).count() == 1,
+      "crashed-append retry must land the vector exactly once")
+    // a full rebuild resets the intake history: the old applied marker
+    // must not no-op a fresh chain's batch 0
+    store.writeLsh(df.take(30).toDF("vec_id", "embedding"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_applied")))
+    store.addBatch(df.slice(30, 60).toDF("vec_id", "embedding"), 0L)
+    assert(spark.read.parquet(s"$root/vectors").count() == 60)
+  }
 }

@@ -2367,5 +2367,26 @@ class GraftAppSpec extends SparkSpecBase {
       s"appended twin must serve from its cluster: $top")
     assert(CorpusIndexSync.syncedVersion(spark, s"$out/_ann_index")
       .contains(2L))
+    // ivfpq kind: cold build trains codebooks, diff appends CODE
+    // against the frozen artifacts — membership exact, serving works
+    val outPq = Files.createTempDirectory("aiv-outpq")
+      .toFile.getAbsolutePath + "/rel"
+    def releasePq(raw: Seq[Doc]): Unit =
+      GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(raw),
+        "GRAFT_RELEASE_OUT" -> outPq, "GRAFT_EMIT_TOKENIZER" -> tok,
+        "GRAFT_RELEASE_ANN_INDEX" -> "1", "GRAFT_ANN_SYNC_KIND" -> "ivfpq",
+        "GRAFT_ANN_SYNC_CLUSTERS" -> "2",
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    releasePq(rows1)
+    assert(GraftApp.lastAnnSync.exists(_.mode == "rebuild"))
+    releasePq(rows1 :+ add)
+    assert(GraftApp.lastAnnSync.exists(r => r.mode == "diff" && r.added == 1),
+      s"${GraftApp.lastAnnSync}")
+    val pqIdx = new AnnIndexStore(s"$outPq/_ann_index")
+    assert(pqIdx.liveIds(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L, 9L))
+    assert(pqIdx.sweepDistributed(Seq(9L).toDF("vec_id"), k = 2)
+      .count() > 0, "ivfpq synced store must serve")
   }
 }
