@@ -1647,6 +1647,26 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // CORPUS-SIZED lexical sweep — EVERY doc queries 3 of its own
+    // mid-doc terms against the persisted text index through
+    // `searchDistributed` (one postings scan, shuffle joins, no driver
+    // term list — the shape `search`'s driver-collected term pruning
+    // cannot reach). The oracle recomputes the identical integer BM25
+    // chain over the same query derivation, so the distributed serving
+    // tier is oracle-checked end to end, index build included.
+    "llm_bm25_sweep" -> ((s, d) => {
+      import graft.llmops.TextIndexStore
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("bm25-sweep")
+        .toFile.getAbsolutePath + "/idx"
+      val store = new TextIndexStore(dir, numParts = 16)
+      store.addBatch(s, docs.select("doc_id", "text"), 0L)
+      val queries = docs.select(col("doc_id").as("qid"),
+        explode(slice(toks, 7, 3)).as("term"))
+      store.searchDistributed(queries, k = 3, maxDfPermille = 900L)
+        .orderBy("qid", "rank")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
     // ranking and the exact embedding-cosine ranking for the same
     // probes (vec_id i is doc i's embedding): rrf = Σ 1/(60 + rank)
@@ -2210,8 +2230,13 @@ object LlmQueries {
     * (terms in >90% of docs skipped; this synthetic corpus's tiny
     * vocabulary puts ordinary terms at 75-80% df, so the usual 600‰
     * serving default would empty the probe set). */
-  private val bm25Ctes: String =
-    """bl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+  /** The integer-exact BM25 CTE chain, parameterized by the query
+    * derivation (which docs query, which token slice) — shared by the
+    * bounded probes (llm_bm25/llm_hybrid_rrf) and the corpus-sized
+    * sweep (llm_bm25_sweep, every doc querying its own terms). */
+  private def bm25CtesFor(qidWhere: String, sliceLo: Int,
+                          sliceHi: Int): String =
+    s"""bl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
       |  FROM documents),
       |bst AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM bl),
       |bav AS (SELECT greatest((tot * 1000) // greatest(n, 1), 1)
@@ -2222,8 +2247,8 @@ object LlmQueries {
       |  GROUP BY 1, 2),
       |bq AS (SELECT DISTINCT qid, term FROM
       |    (SELECT doc_id AS qid,
-      |       unnest(string_split(text, ' ')[1:6]) AS term
-      |     FROM documents WHERE doc_id IN (1, 5, 9))),
+      |       unnest(string_split(text, ' ')[$sliceLo:$sliceHi]) AS term
+      |     FROM documents $qidWhere)),
       |bdf AS (SELECT p.term, count(*)::BIGINT AS df FROM bp p
       |  WHERE p.term IN (SELECT term FROM bq) GROUP BY 1
       |  HAVING 1000 * count(*) <= 900 * (SELECT n FROM bav)),
@@ -2241,6 +2266,9 @@ object LlmQueries {
       |bmr AS (SELECT qid, doc_id, score_micro, row_number() OVER
       |    (PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rank
       |  FROM bsc)""".stripMargin
+
+  private val bm25Ctes: String =
+    bm25CtesFor("WHERE doc_id IN (1, 5, 9)", 1, 6)
 
   /** Shared banded-hyperplane-LSH candidate CTEs (plane literals
     * identical to the Spark-side HyperplaneBuckets family). */
@@ -3895,6 +3923,10 @@ object LlmQueries {
       s"""WITH $bm25Ctes
          |SELECT qid, rank, doc_id, score_micro FROM bmr
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "llm_bm25_sweep" ->
+      s"""WITH ${bm25CtesFor("", 7, 9)}
+         |SELECT qid, rank, doc_id, score_micro FROM bmr
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "llm_hybrid_rrf" ->
       s"""WITH $bm25Ctes,
          |hq AS (SELECT vec_id,
