@@ -63,7 +63,7 @@ object Bench {
     "llm_unigram_ids", "llm_ann_mrr", "llm_cluster_sample", "llm_clf_margin",
     "llm_ann_ndcg", "llm_shard_manifest", "llm_pq_sweep",
     "cdc_scd2", "cdc_time_travel", "llm_pack_spans", "llm_bm25",
-    "llm_hybrid_rrf", "llm_phrase", "llm_bm25_sweep")
+    "llm_hybrid_rrf", "llm_phrase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -408,11 +408,19 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
           .select("term")
         queries.join(overCap, Seq("term"), "left_anti")
       }
+    // materialize the term-joined candidate postings ONCE: the scoring
+    // chain consumes them in three branches (df aggregation, the main
+    // score join, the lens projection) — without the bounded path's
+    // broadcasts each branch would otherwise re-run the whole
+    // postings ⋈ terms join tree
     val cand = dropDead(spark, spark.read
       .schema(StructType(rowSchema.fields ++ Seq(
         StructField("batch", LongType), StructField("part", IntegerType))))
       .option("basePath", path).parquet(dirs: _*)
       .select(rowSchema.fieldNames.map(col).toSeq: _*), dead)
+      .join(q.select("term").distinct(), "term")
+      .drop("pos")
+      .localCheckpoint(false)
     Lexical.scoreBm25(q, cand.select("term", "doc_id", "tf"),
       cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli,
       maxDfPermille, hint = identity)

@@ -300,7 +300,12 @@ object LlmQueries {
 
     // MinHash + LSH banding: 8 md5-minhashes, 4 bands of 2 → candidate
     // pairs from shared buckets. This is the scale path: cost is linear
-    // in docs + bucket-local joins, no all-pairs comparison.
+    // in docs + bucket-local joins, no all-pairs comparison. The
+    // default maxBucket here (and in every batch llm_dedup_* query) is
+    // EXACT within-bucket pairing — the oracle contract; a real web
+    // corpus with degenerate template buckets must opt into the cap
+    // (the release funnel does, via GRAFT_RELEASE_MAXBUCKET, with the
+    // distributed hot-bucket rank handling the overflow).
     "llm_dedup_minhash" -> ((s, d) => {
       Dedup.minhashCandidates(documents(s, d), k = 8, rowsPerBand = 2)
         .orderBy("da", "db")
@@ -1647,13 +1652,18 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
-    // CORPUS-SIZED lexical sweep — EVERY doc queries 3 of its own
+    // Batch lexical sweep — every 10th doc queries 3 of its own
     // mid-doc terms against the persisted text index through
     // `searchDistributed` (one postings scan, shuffle joins, no driver
     // term list — the shape `search`'s driver-collected term pruning
     // cannot reach). The oracle recomputes the identical integer BM25
     // chain over the same query derivation, so the distributed serving
-    // tier is oracle-checked end to end, index build included.
+    // tier is oracle-checked end to end, index build included. The
+    // probe subset bounds the q ⋈ postings fan-out HERE only because
+    // the synthetic corpus has a ~30-word vocabulary (every term sits
+    // in ~half the docs, so the df-cap cannot prune); the genuinely
+    // corpus-sized load — 20k probes over zipf-ish rare terms, 99%
+    // self-retrieval — is ScaleProbe's `text sweep distributed` row.
     "llm_bm25_sweep" -> ((s, d) => {
       import graft.llmops.TextIndexStore
       val docs = documents(s, d)
@@ -1661,8 +1671,9 @@ object LlmQueries {
         .toFile.getAbsolutePath + "/idx"
       val store = new TextIndexStore(dir, numParts = 16)
       store.addBatch(s, docs.select("doc_id", "text"), 0L)
-      val queries = docs.select(col("doc_id").as("qid"),
-        explode(slice(toks, 7, 3)).as("term"))
+      val queries = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(slice(toks, 7, 3)).as("term"))
       store.searchDistributed(queries, k = 3, maxDfPermille = 900L)
         .orderBy("qid", "rank")
     }),
@@ -3924,7 +3935,7 @@ object LlmQueries {
          |SELECT qid, rank, doc_id, score_micro FROM bmr
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "llm_bm25_sweep" ->
-      s"""WITH ${bm25CtesFor("", 7, 9)}
+      s"""WITH ${bm25CtesFor("WHERE doc_id % 10 = 0", 7, 9)}
          |SELECT qid, rank, doc_id, score_micro FROM bmr
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "llm_hybrid_rrf" ->
