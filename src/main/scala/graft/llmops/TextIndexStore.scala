@@ -295,10 +295,10 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
   /** Stored df per probe term from the `_df` summaries — O(probe
     * parts) tiny reads, no posting list opened. Counts
     * not-yet-compacted tombstoned docs, so it is only an upper bound
-    * on live df while deletes are pending — [[search]] bypasses the
-    * prefilter in that window (a stale-high df must never skip a term
-    * whose LIVE df is under the cap) and [[compact]] makes it exact
-    * again. */
+    * on live df while deletes are pending — the serve paths subtract
+    * the dead count as slack in that window (stored df − |dead| lower-
+    * bounds live df, so a stale-high df can never skip a term whose
+    * LIVE df is under the cap) and [[compact]] makes it exact again. */
   private def storedDf(spark: SparkSession, tp: Seq[(String, Int)])
       : Map[String, Long] = {
     val fs = fsOf(spark)
@@ -338,11 +338,13 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     *
     * While deletes are PENDING (tombstones present, [[compact]] not yet
     * run) the stored df is an upper bound that over-counts dead docs,
-    * so the prefilter could skip a term whose LIVE df is under the cap
-    * — a silent ranking divergence from the exact semantics. In that
-    * window the prefilter is bypassed (postings read for every probe
-    * term; scoreBm25's live-df cap keeps the ranking exact) and
-    * compaction restores the zero-read pricing. */
+    * so a naive prefilter could skip a term whose LIVE df is under the
+    * cap — a silent ranking divergence from the exact semantics. In
+    * that window the prefilter subtracts the dead count as SLACK:
+    * stored df − |dead| lower-bounds live df, so only terms provably
+    * over the cap are skipped (scoreBm25's live-df cap keeps the
+    * ranking exact for the rest) and the stopword guard never
+    * disengages; compaction restores the slack-free pricing. */
   def search(spark: SparkSession, queries: DataFrame, k: Int,
              k1Milli: Long = 1200L, bMilli: Long = 750L,
              maxDfPermille: Long = 1000L): DataFrame = {
@@ -350,11 +352,22 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     val (n, tot) = liveStats(spark, dead)
     val tp0 = termParts(spark, queries.select("term").distinct())
     val tp =
-      if (maxDfPermille >= 1000L || dead.nonEmpty) tp0
+      if (maxDfPermille >= 1000L) tp0
       else {
+        // stored df over-counts tombstoned docs — an UPPER bound on
+        // live df while deletes are pending. Live df is in turn
+        // ≥ stored df − |dead|, so dropping only terms over the cap by
+        // MORE than the dead count stays exact (scoreBm25 re-applies
+        // the live-df cap on the survivors) while keeping the stopword
+        // guard ENGAGED in the pre-compact window: a blanket bypass
+        // would let a single pending retraction re-admit every
+        // stopword's posting read — and re-explode a corpus-sized
+        // query set by queries × corpus. Compaction restores slack 0.
+        val slack = dead.size.toLong
         val dfs = storedDf(spark, tp0)
         tp0.filter { case (t, _) =>
-          1000L * dfs.getOrElse(t, 0L) <= maxDfPermille * n }
+          1000L * math.max(dfs.getOrElse(t, 0L) - slack, 0L) <=
+            maxDfPermille * n }
       }
     val cand = dropDead(spark, prunedPostings(spark, tp), dead)
     Lexical.scoreBm25(queries, cand.select("term", "doc_id", "tf"),
@@ -379,8 +392,9 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     * The df-cap prices terms from the `_df` summary as a DISTRIBUTED
     * anti-join (over-cap terms leave the query set before the postings
     * join — a stopword shared by every query must never explode
-    * queries × corpus); as in [[search]], the prefilter is bypassed
-    * while deletes are pending (stored df is an upper bound) and
+    * queries × corpus); as in [[search]], pending deletes widen the
+    * threshold by the dead count (stored df − |dead| lower-bounds live
+    * df) so the guard stays engaged AND sound, and
     * [[Lexical.scoreBm25]]'s live-df cap keeps the ranking exact. */
   def searchDistributed(queries: DataFrame, k: Int,
                         k1Milli: Long = 1200L, bMilli: Long = 750L,
@@ -397,14 +411,20 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     val fs = fsOf(spark)
     val dfRoot = new Path(path, "_df")
     val q =
-      if (maxDfPermille >= 1000L || dead.nonEmpty || !fs.exists(dfRoot))
-        queries
+      if (maxDfPermille >= 1000L || !fs.exists(dfRoot)) queries
       else {
+        // slack-adjusted as in [[search]]: stored df − |dead| lower-
+        // bounds live df, so the anti-join stays SOUND with tombstones
+        // pending — critical here, where the query set is itself a
+        // corpus and an un-dropped stopword multiplies the join by
+        // queries × corpus
+        val slack = dead.size.toLong
         val overCap = spark.read
           .schema("term STRING, df BIGINT, batch BIGINT, part INT")
           .option("basePath", s"$path/_df").parquet(dfRoot.toString)
           .groupBy("term").agg(sum("df").as("df"))
-          .filter(lit(1000L) * col("df") > lit(maxDfPermille) * lit(n))
+          .filter(lit(1000L) * (col("df") - lit(slack)) >
+            lit(maxDfPermille) * lit(n))
           .select("term")
         queries.join(overCap, Seq("term"), "left_anti")
       }

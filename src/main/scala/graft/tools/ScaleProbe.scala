@@ -685,8 +685,12 @@ object ScaleProbe {
     spark.read.parquet(relRaw4).unionByName(relCorpus(200, 60000))
       .write.mode("overwrite").parquet(relRaw5)
     t0 = System.nanoTime()
+    // both flags from here on: an unsynced release whose gap outlives
+    // GRAFT_RELEASE_RETAIN correctly forces the rebuild fallback
+    // (spec-pinned) — the probe rows measure the DIFF path
     GraftApp.maintenance(spark, relEnv ++ Map(
-      "GRAFT_RELEASE_DOCS" -> relRaw5, "GRAFT_RELEASE_ANN_INDEX" -> "1"))
+      "GRAFT_RELEASE_DOCS" -> relRaw5, "GRAFT_RELEASE_ANN_INDEX" -> "1",
+      "GRAFT_RELEASE_TEXT_INDEX" -> "1"))
     val ar = GraftApp.lastAnnSync.get
     println(f"ann-index sync diff (+200 docs with the release): " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr] " +
@@ -694,6 +698,21 @@ object ScaleProbe {
       s"${ar.segsSkipped} segs untouched)")
     require(ar.mode == "diff" && ar.added == 200 && ar.segsSkipped >= 3,
       s"release ann sync must diff, not rebuild: $ar")
+    // retraction sync: drop the +200 batch again — BOTH synced indexes
+    // must take the removal as a diff (tombstones + exact stat
+    // adjustment), never a rebuild, with the untouched segments skipped
+    t0 = System.nanoTime()
+    GraftApp.maintenance(spark, relEnv ++ Map(
+      "GRAFT_RELEASE_DOCS" -> relRaw4, "GRAFT_RELEASE_TEXT_INDEX" -> "1",
+      "GRAFT_RELEASE_ANN_INDEX" -> "1"))
+    val trm = GraftApp.lastIndexSync.get
+    val arm = GraftApp.lastAnnSync.get
+    println(f"index sync retraction (-200 docs, text+ann with the release): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr] " +
+      s"(text ${trm.mode} -${trm.removed}, ann ${arm.mode} -${arm.removed})")
+    require(trm.mode == "diff" && trm.removed == 200 &&
+      arm.mode == "diff" && arm.removed == 200,
+      s"retraction must sync as a diff on both indexes: $trm / $arm")
     // CORPUS-SIZED lexical serving: every doc queries 3 of its own rare
     // tokens against the synced text index — searchDistributed's one
     // postings scan + shuffle joins (no driver term list), per-qid

@@ -2188,7 +2188,10 @@ class GraftAppSpec extends SparkSpecBase {
     // tombstoned but not yet compacted (the physical purge is the
     // opt-in GRAFT_RELEASE_ANN_COMPACT) — parity must hold regardless
     freshParity(Seq(1L, 3L, 5L, 7L))
-    // standalone verb: noop once current
+    // standalone verb: noop once current. The retracted twin stays
+    // tombstone-dead-but-physically-present here ON PURPOSE — the v5
+    // resurrection arm below must find the shadowing tombstone (the
+    // opt-in GRAFT_ANN_COMPACT purge path is pinned in the ivf test)
     val nl = GraftApp.maintenance(spark, Map(
       "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> out))
     assert(nl.exists(_.contains("noop")), nl.mkString("\n"))
@@ -2388,5 +2391,29 @@ class GraftAppSpec extends SparkSpecBase {
       Set(1L, 2L, 3L, 4L, 9L))
     assert(pqIdx.sweepDistributed(Seq(9L).toDF("vec_id"), k = 2)
       .count() > 0, "ivfpq synced store must serve")
+    // retraction sync + the opt-in physical purge: the removed doc's
+    // rows are tombstone-dead after the sync, GONE after
+    // GRAFT_ANN_COMPACT=1 on the verb
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" ->
+        writeRaw(rows1.tail :+ add),
+      "GRAFT_RELEASE_OUT" -> outPq, "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_RELEASE_ANN_INDEX" -> "1", "GRAFT_ANN_SYNC_KIND" -> "ivfpq",
+      "GRAFT_ANN_SYNC_CLUSTERS" -> "2",
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    assert(GraftApp.lastAnnSync.exists(r => r.mode == "diff" &&
+      r.removed == 1), s"${GraftApp.lastAnnSync}")
+    val vecOne = (id: Long) => spark.read.parquet(s"$outPq/_ann_index/vectors")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === id).count()
+    assert(vecOne(1L) == 1, "tombstoned but physically present pre-compact")
+    // fresh instance: the sync wrote tombstones through its own store
+    // handle, so pqIdx's memoized serve-path set is stale by design
+    assert(new AnnIndexStore(s"$outPq/_ann_index").liveIds(spark)
+      .collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L, 9L), "retracted id must not serve")
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> outPq,
+      "GRAFT_ANN_COMPACT" -> "1"))
+    assert(vecOne(1L) == 0, "compact must purge the tombstoned rows")
   }
 }

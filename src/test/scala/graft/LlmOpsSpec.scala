@@ -1859,7 +1859,8 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(store.lastPlannedDirs.map(_.split("/").last).toSet == needleParts)
   }
 
-  test("TextIndexStore df-cap: pending deletes bypass the stale stored-df prefilter") {
+  test("TextIndexStore df-cap: pending deletes widen the stored-df " +
+      "prefilter by the dead count — exact AND still stopword-guarded") {
     import graft.llmops.{Lexical, TextIndexStore}
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("text-idx-cap-del")
@@ -1867,10 +1868,16 @@ class LlmOpsSpec extends SparkSpecBase {
     // "mid" is in docs 0..69 (stored df = 70/100 > the 600‰ cap);
     // deleting docs 0..39 drops its LIVE df to 30/60 = 500‰ — under
     // the cap, so the exact semantics must SCORE it post-delete even
-    // though the stale stored df says "skip"
+    // though the stale stored df says "skip" (70 − 40 dead = 30 slack-
+    // adjusted ≤ cap, so the widened prefilter keeps it). "zz" is a
+    // planted stopword in EVERY doc: its slack-adjusted df (100 − 40 =
+    // 60 = 1000‰ of live) stays provably over the cap, so it must be
+    // priced out BEFORE any posting read even while tombstones pend —
+    // a blanket prefilter bypass would re-admit every stopword scan
+    // (and re-explode a corpus-sized query set by queries × corpus)
     val docs = (0L until 100L).map { i =>
       val mid = if (i < 70) " mid" else ""
-      (i, s"r${i}a r${i}b r${i}c$mid")
+      (i, s"zz r${i}a r${i}b r${i}c$mid")
     }.toDF("doc_id", "text")
     val store = new TextIndexStore(dir, numParts = 16)
     store.addBatch(spark, docs, 0)
@@ -1883,11 +1890,24 @@ class LlmOpsSpec extends SparkSpecBase {
     val exact = Lexical.bm25TopK(live, q, k = 50, maxDfPermille = 600L)
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
       .toSeq.sortBy(_._2)
-    // in the pre-compact window the prefilter is bypassed (capped
+    // in the pre-compact window the prefilter widens by |dead| (capped
     // ranking stays bit-identical to the live-corpus batch operator);
     // "mid" docs must appear — the stale-df skip would silently drop them
     assert(served() == exact, "capped ranking must stay exact with tombstones")
     assert(exact.exists(_._3 == 45L), s"mid docs must score: $exact")
+    // the planted stopword is PRE-DROPPED with tombstones pending: a
+    // zz-only query plans zero posting dirs
+    val zzOnly = store.search(spark,
+      Seq((3L, "zz")).toDF("qid", "term"), k = 10, maxDfPermille = 600L)
+    assert(zzOnly.isEmpty && store.lastPlannedDirs.isEmpty,
+      "stopword must stay priced out in the pre-compact window: " +
+        s"${store.lastPlannedDirs}")
+    // and the distributed path drops it from the query set the same way
+    val dzz = store.searchDistributed(
+      Seq((3L, "zz"), (1L, "r44a")).toDF("qid", "term"),
+      k = 10, maxDfPermille = 600L).collect()
+    assert(dzz.nonEmpty && dzz.forall(_.getLong(0) == 1L),
+      s"distributed sweep must pre-drop the stopword query: ${dzz.toSeq}")
     // compact purges the tombstones; the prefilter re-engages with the
     // now-exact df and the ranking is unchanged
     store.compact(spark)
