@@ -270,7 +270,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   at GRAFT_RELEASE_OUT/_text_index in exact sync
   *                   with the frozen corpus (manifest-diff
   *                   incremental; GRAFT_RELEASE_TEXT_COMPACT=1 purges
-  *                   retraction tombstones physically)
+  *                   retraction tombstones physically);
+  *                   GRAFT_RELEASE_ANN_INDEX=1 does the same for the
+  *                   vector index at _ann_index over the carried
+  *                   embedding column (GRAFT_ANN_EMBED_COL;
+  *                   GRAFT_ANN_SYNC_KIND lsh|ivf|ivfpq,
+  *                   GRAFT_RELEASE_ANN_COMPACT=1,
+  *                   GRAFT_ANN_REBUILD_IF_DRIFT=<r>)
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
