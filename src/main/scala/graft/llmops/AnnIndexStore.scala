@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   * Build once offline, serve many: the same discipline as
   * [[LshIndexStore]] (dedup) and the warehouse replica.
   */
-final class AnnIndexStore(root: String) extends Serializable {
+final class AnnIndexStore(root: String,
+                          serveDeadBound: Long = AnnIndexStore.ServeDeadBound)
+    extends Serializable {
 
   import AnnIndexStore.NumParts
 
@@ -90,15 +92,41 @@ final class AnnIndexStore(root: String) extends Serializable {
     tombCache = null
   }
 
-  private def foldTombs(spark: SparkSession): Unit =
-    if (tombFiles(spark).size > AnnIndexStore.MaxTombstoneFiles) {
+  /** Fold the one-file-per-delete appends into a deduped set. The
+    * write is AQE-sized, NOT `coalesce(1)`: a wide retraction's id set
+    * must never funnel through a single task (the same no-driver-width
+    * rule as the purge paths — here it was a single-WRITER width). The
+    * trigger therefore measures APPENDS SINCE THE LAST FOLD (file
+    * count minus the `_nfolded` marker's recorded output size), not
+    * the absolute file count — a folded wide set legitimately spans
+    * many files and must not re-fold O(n) on every subsequent delete. */
+  private def foldTombs(spark: SparkSession): Unit = {
+    val files = tombFiles(spark)
+    if (files.size > AnnIndexStore.MaxTombstoneFiles + foldedFiles(spark)) {
       val fs = fsOf(spark)
       val staged = new Path(root, "_tombstones_fold")
-      spark.read.parquet(tombFiles(spark): _*).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      spark.read.parquet(files: _*).distinct()
+        .write.mode("overwrite").parquet(staged.toString)
+      val nOut = fs.listStatus(staged).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val out = fs.create(new Path(staged, "_nfolded"), true)
+      try out.write(nOut.toString.getBytes(UTF_8)) finally out.close()
       fs.delete(tombPath, true)
       fs.rename(staged, tombPath)
     }
+  }
+
+  /** The last fold's recorded output file count (0 before any fold). */
+  private def foldedFiles(spark: SparkSession): Int = {
+    val p = new Path(tombPath, "_nfolded")
+    val fs = fsOf(spark)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), UTF_8).trim.toInt
+      finally in.close()
+    }
+  }
 
   /** The tombstone dir's data files. Reads go through this explicit
     * file list because the dir itself is underscore-prefixed (hidden
@@ -124,32 +152,69 @@ final class AnnIndexStore(root: String) extends Serializable {
     }
   }
 
-  /** Memoized tombstone set: loaded from disk at most once per store
-    * instance between mutations (delete/compact through THIS instance
-    * invalidate it; external writers need a fresh instance, the same
-    * single-writer discipline every maintenance verb here assumes).
-    * Serving a batch of probes re-reads nothing. */
-  @transient @volatile private var tombCache: Set[Long] = _
+  /** Memoized serve-time dead state: (distinct dead count, the id set
+    * iff it fits under [[AnnIndexStore.ServeDeadBound]]) — loaded from
+    * disk at most once per store instance between mutations
+    * (delete/compact through THIS instance invalidate it; external
+    * writers need a fresh instance, the same single-writer discipline
+    * every maintenance verb here assumes). Serving a batch of probes
+    * re-reads nothing. A WIDE pending retraction (count over the
+    * bound) never collects: the serve paths switch to distributed
+    * anti-joins until [[compact]] clears it. */
+  @transient @volatile private var tombCache: (Long, Option[Set[Long]]) = _
   /** Observability for the spec: physical tombstone loads performed. */
   @transient private[graft] var tombLoads: Int = 0
 
-  /** The current tombstone set (empty when none have been written). */
-  private def tombstoned(spark: SparkSession): Set[Long] = {
+  private def deadInfo(spark: SparkSession): (Long, Option[Set[Long]]) = {
     val cached = tombCache
     if (cached != null) cached
     else {
       healTombFold(spark)
       val files =
         if (!fsOf(spark).exists(tombPath)) Seq.empty else tombFiles(spark)
-      val loaded =
-        if (files.isEmpty) Set.empty[Long]
-        else spark.read.parquet(files: _*)
-          .collect().map(_.getLong(0)).toSet
+      val info =
+        if (files.isEmpty) (0L, Some(Set.empty[Long]))
+        else {
+          val d = spark.read.parquet(files: _*).distinct()
+          val n = d.count()
+          if (n <= serveDeadBound)
+            (n, Some(d.collect().map(_.getLong(0)).toSet))
+          else (n, None)
+        }
       tombLoads += 1
-      tombCache = loaded
-      loaded
+      tombCache = info
+      info
     }
   }
+
+  /** Distinct pending-tombstone count — the auto-compact trigger and
+    * the `graft_index_tombstones` gauge read this; one memoized
+    * metadata-sized job, never an id collect. */
+  def tombstoneCount(spark: SparkSession): Long = deadInfo(spark)._1
+
+  /** Serve-path tombstone filter: an IN-set exclusion on the memoized
+    * bounded dead list (a no-op when nothing is tombstoned), or a
+    * distributed anti-join when the pending dead set exceeds the bound
+    * (wide retraction awaiting its compact). */
+  private def dropDead(spark: SparkSession, df: DataFrame): DataFrame =
+    deadInfo(spark) match {
+      case (0L, _) => df
+      case (_, Some(s)) => df.filter(!col("vec_id").isin(s.toSeq: _*))
+      case (_, None) => dropDeadDf(df, deadDf(spark))
+    }
+
+  /** Eager probe-liveness gate for the driver-bounded serve forms:
+    * set membership under the bound, a distributed ids-only join above
+    * it — the probe list itself is driver-bounded by contract. */
+  private def requireLiveProbes(spark: SparkSession, ids: Seq[Long]): Unit =
+    deadInfo(spark)._2 match {
+      case Some(s) => require(!ids.exists(s),
+        s"probe set contains tombstoned ids: ${ids.filter(s).take(5)}")
+      case None =>
+        import spark.implicits._
+        require(!anyTombstoned(spark, ids.toDF("vec_id")),
+          "probe set contains tombstoned ids")
+    }
 
   /** The tombstones as a DataFrame (None when none exist). The PURGE
     * paths ([[compact]], [[rebuildIvf]]) anti-join against this instead
@@ -168,7 +233,12 @@ final class AnnIndexStore(root: String) extends Serializable {
   }
 
   private def dropDeadDf(df: DataFrame, dead: Option[DataFrame]): DataFrame =
-    dead.fold(df)(d => df.join(d, Seq("vec_id"), "left_anti"))
+    // re-select in the caller's column order: a USING-column join moves
+    // the join key FIRST in its output, which silently corrupts
+    // positional consumers (lshTopKBatch reads pairs by index)
+    dead.fold(df)(d => df.join(d.select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+      .select(df.columns.map(col).toSeq: _*))
 
   /** Any of `ids` currently tombstoned — the corpus-sync's RESURRECTION
     * probe (a doc about to be re-added whose old tombstone would shadow
@@ -268,11 +338,12 @@ final class AnnIndexStore(root: String) extends Serializable {
     * construction). */
   def lshTopK(spark: SparkSession, probeId: Long, k: Int,
               radius: Int = 1, where: Option[Column] = None): DataFrame = {
-    val dead = tombstoned(spark)
-    require(!dead(probeId), s"probe $probeId is tombstoned")
+    requireLiveProbes(spark, Seq(probeId))
     val probe = probeVector(spark, probeId)
-    val cand = lshCandidates(spark, probeId, radius).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).filterNot(p => dead(p._1))
+    // dead candidates drop BEFORE the collect, so the driver only ever
+    // sees the live bounded candidate set
+    val cand = dropDead(spark, lshCandidates(spark, probeId, radius))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
     // metadata filter: the vectors store carries the declared metaCols,
     // so the predicate lands on the (already bounded) candidate gather
     // BEFORE scoring — filtered ANN may return < k when the filter is
@@ -377,17 +448,15 @@ final class AnnIndexStore(root: String) extends Serializable {
         col("bucket").isin(buckets: _*)
     }.reduce(_ || _)
     val ballDf = ball.toSeq.toDF("pid", "band", "bucket")
-    val dead = tombstoned(spark)
-    require(!probeIds.exists(dead), "probe set contains tombstoned ids")
-    val pairs = spark.read.parquet(s"$root/lsh_buckets")
-      .filter(pred)
-      .join(broadcast(ballDf), Seq("band", "bucket"))
-      .filter(col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id"),
-        pmod(hash(col("vec_id")), lit(NumParts)).cast("int").as("part"))
+    requireLiveProbes(spark, probeIds)
+    val pairs = dropDead(spark, spark.read.parquet(s"$root/lsh_buckets")
+        .filter(pred)
+        .join(broadcast(ballDf), Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          pmod(hash(col("vec_id")), lit(NumParts)).cast("int").as("part")))
       .distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      .filterNot(p => dead(p._2))
     val pairsDf = pairs.toSeq.toDF("pid", "vec_id", "part")
     // metadata filter on the gathered candidates (they carry metaCols),
     // before scoring/ranking — same contract as lshTopK's `where`
@@ -450,15 +519,14 @@ final class AnnIndexStore(root: String) extends Serializable {
     val bits = meta("bitsPerBand").toInt
     val seed = meta("seed").toLong
     val metaCols = metaColsOf(meta)
-    val dead = tombstoned(spark)
     val vecs = spark.read.parquet(s"$root/vectors").drop("part")
     // distinct: a caller-supplied probe Dataset may carry duplicate ids,
     // which would duplicate every candidate row and corrupt the
     // per-probe rank numbering
     val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
-    val probeVecs = dropDead(
+    val probeVecs = dropDead(spark,
         vecs.select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
-          .join(probeIds, "vec_id"), dead)
+          .join(probeIds, "vec_id"))
       .select(col("vec_id").as("pid") +: col("qe").as("pe") +:
         col("nq").as("np") +: metaCols.map(c => col(c).as(s"p_$c")): _*)
     // slim (pid, band, bucket) before the ball explosion so the wide
@@ -476,7 +544,7 @@ final class AnnIndexStore(root: String) extends Serializable {
       .join(ball, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("pid"))
       .select("pid", "vec_id").distinct()
-    val candVecs = where.foldLeft(dropDead(vecs, dead))(_.filter(_))
+    val candVecs = where.foldLeft(dropDead(spark, vecs))(_.filter(_))
       .select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
@@ -514,16 +582,15 @@ final class AnnIndexStore(root: String) extends Serializable {
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
     val metaCols = metaColsOf(meta)
-    val dead = tombstoned(spark)
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
       .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val vecs = spark.read.parquet(s"$root/vectors").drop("part")
     // distinct: duplicate probe ids would corrupt per-probe ranks
     val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
-    val probeVecs = dropDead(
+    val probeVecs = dropDead(spark,
         vecs.select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
-          .join(probeIds, "vec_id"), dead)
+          .join(probeIds, "vec_id"))
       .select(col("vec_id").as("pid") +: col("qe").as("pe") +:
         col("nq").as("np") +: metaCols.map(c => col(c).as(s"p_$c")): _*)
     // (−cos, cluster) structs over the literal centroids: ascending
@@ -542,7 +609,7 @@ final class AnnIndexStore(root: String) extends Serializable {
         explode(slice(array_sort(array(scored: _*)), 1, nprobe)).as("pc"))
       .select(col("pid"), col("pc.cl").as("cluster"))
     val members = where.foldLeft(
-      dropDead(spark.read.parquet(s"$root/ivf"), dead))(_.filter(_))
+      dropDead(spark, spark.read.parquet(s"$root/ivf")))(_.filter(_))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
     pairWhere.foldLeft(
@@ -604,7 +671,6 @@ final class AnnIndexStore(root: String) extends Serializable {
     val dim = meta("dim").toInt
     val dsub = dim / mSub
     val metaCols = metaColsOf(meta)
-    val dead = tombstoned(spark)
     val books = loadBooks(spark)
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
@@ -624,9 +690,9 @@ final class AnnIndexStore(root: String) extends Serializable {
           Similarity.dotQ(pm, typedLit(b.ce)) / lit(math.sqrt(b.nc.toDouble))): _*))
         .as(s"lut$m")
     }
-    val probeVecs = dropDead(
+    val probeVecs = dropDead(spark,
         vecs.select((Seq("vec_id", "qe", "nq") ++ metaCols).map(col): _*)
-          .join(probeIds, "vec_id"), dead)
+          .join(probeIds, "vec_id"))
       .select(col("vec_id").as("pid") +: col("qe").as("pe") +:
         col("nq").as("np") +: (lutCols ++
           metaCols.map(c => col(c).as(s"p_$c"))): _*)
@@ -646,7 +712,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     // ADC pass over codes-only posting lists; fixed ascending-m sum
     // order mirrors pqAdcScore exactly
     val members = where.foldLeft(
-      dropDead(spark.read.parquet(s"$root/ivf"), dead))(_.filter(_))
+      dropDead(spark, spark.read.parquet(s"$root/ivf")))(_.filter(_))
     val adc = (0 until mSub).map(m =>
         element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
       .reduceLeft(_ + _)
@@ -691,26 +757,40 @@ final class AnnIndexStore(root: String) extends Serializable {
     }
 
   /** Which of `ids` are LIVE in the store — the doc-fate membership
-    * probe: each id reads only its own `vectors/part=` dir
-    * (constant-folded hash bucket, as [[probeVector]]), minus the
-    * tombstone set. */
+    * probe: a `part IN (…) AND vec_id IN (…)` predicate (partition
+    * pruning still reads only the ids' own `vectors/part=` dirs, the id
+    * IN-list prunes rows inside them) instead of a reduced OR chain — a
+    * long id list as a deep OR expression risks Catalyst planner stack
+    * depth and defeats pruning. Tombstones excluded by anti-join BEFORE
+    * the collect. */
   def hasDocs(spark: SparkSession, ids: Seq[Long]): Set[Long] = {
     if (ids.isEmpty || !fsOf(spark).exists(new Path(root, "vectors")))
       return Set.empty
-    val dead = tombstoned(spark)
-    spark.read.parquet(s"$root/vectors")
-      .filter(ids.map(id =>
-        col("part") === pmod(hash(lit(id)), lit(NumParts)) &&
-          col("vec_id") === id).reduce(_ || _))
-      .select("vec_id").distinct()
-      .collect().map(_.getLong(0)).toSet -- dead
+    import spark.implicits._
+    // the ids' part buckets via the same engine hash the writer used —
+    // one local job over the driver-bounded id list, never a corpus read
+    val parts = ids.toDF("id")
+      .select(pmod(hash(col("id")), lit(NumParts)).cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    dropDeadDf(
+      spark.read.parquet(s"$root/vectors")
+        .filter(col("part").isin(parts: _*) && col("vec_id").isin(ids: _*))
+        .select("vec_id").distinct(),
+      deadDf(spark))
+      .collect().map(_.getLong(0)).toSet
   }
 
   /** Every live (non-tombstoned) id in the store — the "self" probe set
     * of a full-corpus sweep (self-join contamination / near-dup audit). */
   def liveIds(spark: SparkSession): DataFrame =
-    dropDead(spark.read.parquet(s"$root/vectors").select("vec_id"),
-      tombstoned(spark))
+    dropDead(spark, spark.read.parquet(s"$root/vectors").select("vec_id"))
+
+  /** Stored vector rows (tombstoned INCLUDED) — the auto-compact
+    * trigger's denominator. A zero-column count over parquet resolves
+    * from footer row counts, never a data read. */
+  def vectorCount(spark: SparkSession): Long =
+    if (!fsOf(spark).exists(new Path(root, "vectors"))) 0L
+    else spark.read.parquet(s"$root/vectors").count()
 
   /** Batch retrieval against the persisted IVF index: top-k for every
     * probe in ONE serving plan. Centroid ranking stays driver-side (the
@@ -728,8 +808,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
     require(probeIds.nonEmpty, "empty probe set")
-    val dead = tombstoned(spark)
-    require(!probeIds.exists(dead), "probe set contains tombstoned ids")
+    requireLiveProbes(spark, probeIds)
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
       .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
@@ -744,9 +823,9 @@ final class AnnIndexStore(root: String) extends Serializable {
     val pvDf = probes.toSeq.toDF("pid", "pe", "np")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(desc("cosine"), col("vec_id"))
-    where.foldLeft(dropDead(spark.read.parquet(s"$root/ivf")
-        .filter(col("cluster").isin(probeClusters.map(_._2).distinct: _*)),
-        dead))(_.filter(_))
+    where.foldLeft(dropDead(spark, spark.read.parquet(s"$root/ivf")
+        .filter(col("cluster").isin(probeClusters.map(_._2).distinct: _*))))(
+        _.filter(_))
       .join(broadcast(pcDf), Seq("cluster"))
       .filter(col("vec_id") =!= col("pid"))
       .join(broadcast(pvDf), "pid")
@@ -757,12 +836,6 @@ final class AnnIndexStore(root: String) extends Serializable {
       .filter(col("rank") <= k)
       .select("pid", "vec_id", "dp", "cosine", "rank")
   }
-
-  /** Tombstone filter for streaming-shaped reads (IVF members, whose
-    * posting lists carry vectors): an IN-set exclusion on the bounded
-    * dead-id list — a no-op when nothing is tombstoned. */
-  private def dropDead(df: DataFrame, dead: Set[Long]): DataFrame =
-    if (dead.isEmpty) df else df.filter(!col("vec_id").isin(dead.toSeq: _*))
 
   /** Pruned multi-probe fetch: each probe id contributes a
     * constant-folded (part, vec_id) equality pair, so the batch fetch
@@ -885,8 +958,7 @@ final class AnnIndexStore(root: String) extends Serializable {
     require(meta.get("kind").contains("ivfpq"), s"$root is not an IVF-PQ index")
     val mSub = meta("mSub").toInt
     val dim = meta("dim").toInt
-    val dead = tombstoned(spark)
-    require(!dead(probeId), s"probe $probeId is tombstoned")
+    requireLiveProbes(spark, Seq(probeId))
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
       .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
@@ -901,9 +973,9 @@ final class AnnIndexStore(root: String) extends Serializable {
     // wide metadata/vector bytes out of the scan) — the `where` filter
     // applies here, before the shortlist cut, like every filtered path
     where.foldLeft(
-        dropDead(spark.read.parquet(s"$root/ivf")
+        dropDead(spark, spark.read.parquet(s"$root/ivf")
           .filter(col("cluster").isin(probeClusters: _*))
-          .filter(col("vec_id") =!= probeId), dead))(_.filter(_))
+          .filter(col("vec_id") =!= probeId)))(_.filter(_))
       .withColumn("adc", Similarity.pqAdcScore(lut))
       .orderBy(desc("adc"), col("vec_id")).limit(shortlist)
       .select(col("vec_id"),
@@ -919,8 +991,7 @@ final class AnnIndexStore(root: String) extends Serializable {
               where: Option[Column] = None): DataFrame = {
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
-    val dead = tombstoned(spark)
-    require(!dead(probeId), s"probe $probeId is tombstoned")
+    requireLiveProbes(spark, Seq(probeId))
     val cents = spark.read.parquet(s"$root/ivf_centroids")
       .collect()
       .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
@@ -939,7 +1010,7 @@ final class AnnIndexStore(root: String) extends Serializable {
           .filter(col("cluster").isin(probeClusters: _*))
           .filter(col("vec_id") =!= probeId)
           .drop("cluster"))(_.filter(_))
-    score(dropDead(members, dead), probe, probeId, k)
+    score(dropDead(spark, members), probe, probeId, k)
   }
 
   /** Incremental intake: add a batch of new vectors to the persisted
@@ -1229,7 +1300,17 @@ object AnnIndexStore {
   val NumParts = 64
 
   /** Fold threshold for the one-file-per-delete tombstone appends: past
-    * this many files the dir is rewritten to one file inside delete(),
-    * bounding both the file count and the (memoized) load cost. */
+    * this many files SINCE THE LAST FOLD the dir is rewritten (deduped,
+    * AQE-sized) inside delete(), bounding both the file count and the
+    * (memoized) load cost. */
   val MaxTombstoneFiles = 8
+
+  /** Serve-path dead-set bound: at or under this many pending
+    * tombstones the serve filter memoizes a driver id set (the cheap
+    * steady-state — retractions between compacts are
+    * maintenance-bounded); above it — a wide retraction awaiting its
+    * compact — every serve anti-joins the tombstone files distributed
+    * instead, so no retraction width can ever materialize on the
+    * driver (the [[TextIndexStore.DefaultServeDeadBound]] twin). */
+  val ServeDeadBound = 1000000L
 }

@@ -72,10 +72,15 @@ object CorpusIndexSync {
 
   /** What a sync did: `mode` ∈ noop | diff | rebuild; `segsSkipped`
     * counts untouched segments (never read — the O(changed) claim,
-    * spec-pinned); added/removed are doc counts. */
+    * spec-pinned); added/removed are doc counts. `skippedNullEmbed`
+    * (ANN sync only) counts docs the delta carried with a NULL
+    * embedding — they cannot be indexed (no quantizable vector) and
+    * would otherwise be silently unsearchable while reported live, so
+    * the sync skips them VISIBLY instead. */
   case class SyncReport(from: Option[Long], to: Long, mode: String,
                         segsRead: Int, segsSkipped: Int,
-                        added: Long, removed: Long)
+                        added: Long, removed: Long,
+                        skippedNullEmbed: Long = 0L)
 
   private def markerPath(idxPath: String) =
     new Path(idxPath, "_corpus_version")
@@ -106,10 +111,23 @@ object CorpusIndexSync {
     * (incomplete staging, discarded) or a promotable complete staging
     * (healed here on the next sync). */
   private def rebuildStagePath(idxPath: String) = new Path(idxPath + "._rebuild")
+  private def oldAsidePath(idxPath: String) = new Path(idxPath + "._old")
 
   private def healRebuild(spark: SparkSession, idxPath: String): Unit = {
     val stage = rebuildStagePath(idxPath)
     val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+    // rename-aside leftovers first: beside a live index the aside is a
+    // completed swap's sweep debt (drop it); with no live index and no
+    // COMPLETE staging it is the old index caught mid-swap — restore
+    // it (a complete staging instead promotes below, and the staging
+    // is always newer than the aside by the promote precondition)
+    val aside = oldAsidePath(idxPath)
+    if (fs.exists(aside)) {
+      if (fs.exists(new Path(idxPath)) ||
+          fs.exists(new Path(stage, "_corpus_version")))
+        fs.delete(aside, true)
+      else fs.rename(aside, new Path(idxPath))
+    }
     if (!fs.exists(stage)) return
     val stageMarker = new Path(stage, "_corpus_version")
     if (!fs.exists(stageMarker)) { fs.delete(stage, true); return }
@@ -117,19 +135,27 @@ object CorpusIndexSync {
     val stageV = try new String(in.readAllBytes(), UTF_8).trim.toLong
       finally in.close()
     // promote only a staging NEWER than the live index (a crash
-    // between delete and rename left no live index at all — promote)
-    if (syncedVersion(spark, idxPath).forall(_ < stageV)) {
-      val live = new Path(idxPath)
-      if (fs.exists(live)) fs.delete(live, true)
-      fs.rename(stage, live)
-    } else fs.delete(stage, true)
+    // mid-swap left no live index at all — promote)
+    if (syncedVersion(spark, idxPath).forall(_ < stageV))
+      promoteRebuild(fs, idxPath)
+    else fs.delete(stage, true)
   }
 
-  /** Swap a COMPLETE staged rebuild (marker already inside) into place. */
+  /** Swap a COMPLETE staged rebuild (marker already inside) into place
+    * — READER-SAFE: rename-aside (live → `._old`, staging → live,
+    * sweep `._old`), never delete-then-rename. A concurrent serve's
+    * unreadable window is two back-to-back atomic renames (O(1) on
+    * the namenode), not a recursive delete of the whole old index
+    * (O(files) — minutes at corpus scale, during which every reader
+    * found no index). Crash anywhere: [[healRebuild]] restores the
+    * aside when no live/staging supersedes it, or sweeps it. */
   private def promoteRebuild(fs: FileSystem, idxPath: String): Unit = {
     val live = new Path(idxPath)
-    if (fs.exists(live)) fs.delete(live, true)
+    val aside = oldAsidePath(idxPath)
+    if (fs.exists(aside)) fs.delete(aside, true) // prior swap's debt
+    if (fs.exists(live)) fs.rename(live, aside)
     fs.rename(rebuildStagePath(idxPath), live)
+    if (fs.exists(aside)) fs.delete(aside, true)
   }
 
   /** The doc-level delta between two manifests, with segment-level
@@ -254,14 +280,9 @@ object CorpusIndexSync {
         // the whole dead set (including an EARLIER sync's tombstone a
         // resurrected id would otherwise stay shadowed by). Rare path
         // (edited resubmission), priced at one index fold only when it
-        // actually happens.
-        val dead = idx.deadSet(spark)
-        val resurrecting = dead.nonEmpty && {
-          import spark.implicits._
-          d.added.select("doc_id")
-            .join(broadcast(dead.toSeq.toDF("doc_id")), "doc_id")
-            .limit(1).count() > 0
-        }
+        // actually happens. Probe is distributed (one ids-only join) —
+        // a wide pending retraction never collects to the driver here.
+        val resurrecting = idx.anyTombstoned(spark, d.added.select("doc_id"))
         if (d.nRep > 0) idx.delete(spark, d.replaced)
         if (d.nRep > 0 || resurrecting) idx.compact(spark)
         idx.addBatch(spark, d.added, batchId = cur)
@@ -378,32 +399,58 @@ object CorpusIndexSync {
     } yield {
       val d = manifestDelta(spark, docsRoot, oldM, newM,
         Seq("doc_id", embedCol), emptyVec)
+      // a doc riding the funnel WITHOUT an embedding (null column)
+      // has no quantizable vector: appended it would count as live
+      // (hasDocs/doc-fate) yet never be retrievable — skip it VISIBLY
+      // (reported below) instead of indexing it silently-unsearchable
+      val addable =
+        if (d.nAdd == 0) d.added
+        else d.added.filter(col(embedCol).isNotNull).localCheckpoint(true)
+      val nAddable = if (d.nAdd == 0) 0L else addable.count()
       if (d.nAdd > 0) {
         // purge shadowing state before the add (replacement +
         // resurrection, as in the text sync) — both checks distributed
-        val resurrecting = idx.anyTombstoned(spark, d.added.select("doc_id"))
+        val resurrecting = idx.anyTombstoned(spark, addable.select("doc_id"))
         if (d.nRep > 0) idx.delete(spark, d.replaced)
         if (d.nRep > 0 || resurrecting) idx.compact(spark)
-        // ATTEMPT LEDGER before the append: a crash mid-append leaves
-        // the ids on record, and the retry purges exactly them
-        val ledger = new Path(attemptRoot(idxPath), s"v$cur")
-        d.added.select("doc_id").write.mode("overwrite")
-          .parquet(ledger.toString)
-        idx.append(d.added, idCol = "doc_id", vecCol = embedCol)
+        if (nAddable > 0) {
+          // ATTEMPT LEDGER before the append: a crash mid-append leaves
+          // the ids on record, and the retry purges exactly them
+          val ledger = new Path(attemptRoot(idxPath), s"v$cur")
+          addable.select("doc_id").write.mode("overwrite")
+            .parquet(ledger.toString)
+          idx.append(addable, idCol = "doc_id", vecCol = embedCol)
+        }
       }
       if (d.nDel > 0) idx.delete(spark, d.removed)
       SyncReport(synced, cur, "diff", segsRead = d.segsRead,
-        segsSkipped = d.segsSkipped, added = d.nAdd, removed = d.nDel)
+        segsSkipped = d.segsSkipped, added = nAddable, removed = d.nDel,
+        skippedNullEmbed = d.nAdd - nAddable)
     }).getOrElse {
       // cold build / out-of-retention / missing store: staged rebuild
       val stage = rebuildStagePath(idxPath)
       if (fs.exists(stage)) fs.delete(stage, true)
-      val docs = coldDocs().localCheckpoint(true)
+      val raw = coldDocs()
+      // count(col) skips nulls: total + indexable in ONE pass, then the
+      // null-embedding docs are excluded (and reported) as on the diff
+      // path
+      val cnt = raw.agg(count(lit(1)).as("all"),
+        count(col(embedCol)).as("nonnull")).first()
+      val (nAll, n) = (cnt.getLong(0), cnt.getLong(1))
+      val docs = raw.filter(col(embedCol).isNotNull).localCheckpoint(true)
       val sIdx = new AnnIndexStore(stage.toString)
       if (kind == "lsh")
         sIdx.writeLsh(docs, idCol = "doc_id", vecCol = embedCol)
       else {
-        val dim = docs.select(size(col(embedCol))).head().getInt(0)
+        // an empty (or all-null-embedding) corpus has no row to derive
+        // dim from — fail with the actual condition, not an opaque
+        // NoSuchElementException from head()
+        val first = docs.select(size(col(embedCol))).limit(1).collect()
+        require(first.nonEmpty,
+          s"ann sync ($kind): corpus $curDir has no doc with a non-null " +
+            s"'$embedCol' embedding — cannot derive the vector dim for " +
+            "an IVF-family cold build")
+        val dim = first(0).getInt(0)
         if (kind == "ivf")
           sIdx.writeIvf(docs, nClusters = nClusters, dim = dim,
             idCol = "doc_id", vecCol = embedCol)
@@ -411,11 +458,10 @@ object CorpusIndexSync {
           sIdx.writeIvfPq(docs, nClusters = nClusters, dim = dim,
             idCol = "doc_id", vecCol = embedCol)
       }
-      val n = docs.count()
       writeMarker(spark, stage.toString, cur)
       promoteRebuild(fs, idxPath)
       SyncReport(synced, cur, "rebuild", segsRead = -1, segsSkipped = 0,
-        added = n, removed = 0L)
+        added = n, removed = 0L, skippedNullEmbed = nAll - n)
     }
     // commit marker LAST, then drop this sync's ledger — a crash
     // between the two leaves a committed-leftover ledger the next

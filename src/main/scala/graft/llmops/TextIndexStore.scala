@@ -39,7 +39,9 @@ import org.apache.spark.sql.types._
   * with the family's committed-staging swap so planning stops growing
   * with trigger count, purging tombstoned postings physically.
   */
-class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
+class TextIndexStore(path: String, numParts: Int = 64,
+                     serveDeadBound: Long = TextIndexStore.DefaultServeDeadBound)
+    extends Serializable {
 
   /** Posting part-dirs planned by the last [[search]] — the
     * O(query terms) read contract made observable. */
@@ -145,6 +147,7 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     import spark.implicits._
     ids.toDF("doc_id").coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new Path(tombDir, s"d$next").toString)
+    deadCache = null
   }
 
   /** Distributed retraction: the id set never collects to the driver
@@ -159,14 +162,20 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     ids.select(col("doc_id").cast("long").as("doc_id"))
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(tombDir, s"d$next").toString)
+    deadCache = null
   }
 
-  /** The current tombstone set — for callers (CorpusIndexSync) that
-    * must detect a RESURRECTION (a tombstoned id about to be re-added:
-    * the global dead set would shadow the fresh postings until a
-    * [[compact]] purges it). */
-  private[llmops] def deadSet(spark: SparkSession): Set[Long] =
-    tombstoned(spark)
+  /** Any of `ids` currently tombstoned — the corpus-sync's RESURRECTION
+    * probe (a tombstoned id about to be re-added: the global dead set
+    * would shadow the fresh postings until a [[compact]] purges it).
+    * One ids-only join against the tombstone dirs, never a driver set
+    * (as [[AnnIndexStore.anyTombstoned]]). */
+  private[llmops] def anyTombstoned(spark: SparkSession,
+                                    ids: DataFrame): Boolean =
+    deadDf(spark).exists(_
+      .join(ids.select(col(ids.columns.head).cast("long").as("doc_id")),
+        Seq("doc_id"))
+      .limit(1).count() > 0)
 
   /** Reclaim every per-batch artifact with id above `lo` — postings,
     * `_df`/`_lens`/`_stats` rows and the applied marker. A versioned
@@ -195,39 +204,96 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
       sweep(new Path(path, "_applied"), "")
   }
 
-  /** The dead set — driver-bounded (deletes are retractions, not a
-    * corpus); empty when no tombstones exist. */
-  private def tombstoned(spark: SparkSession): Set[Long] = {
+  /** The tombstones as a DataFrame (None when none exist) — what every
+    * PURGE path ([[compact]], [[liveStats]]) joins against instead of
+    * collecting a driver set: a whole-source retraction's dead set is
+    * corpus-sized exactly when compact must clear it, and compact is
+    * the one operation that must not OOM the driver then (the
+    * [[AnnIndexStore.deadDf]] discipline). Rows are NOT deduped here;
+    * consumers that need a set `.distinct()` it. */
+  private def deadDf(spark: SparkSession): Option[DataFrame] = {
     val fs = fsOf(spark)
-    if (!fs.exists(tombDir)) Set.empty
+    if (!fs.exists(tombDir)) None
     else {
       val dirs = fs.listStatus(tombDir).toSeq.filter(_.isDirectory)
         .map(_.getPath.toString)
-      if (dirs.isEmpty) Set.empty
-      else spark.read.parquet(dirs: _*).select("doc_id")
-        .collect().map(_.getLong(0)).toSet
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs: _*).select("doc_id"))
     }
   }
 
-  private def dropDead(spark: SparkSession, df: DataFrame,
-                       dead: Set[Long]): DataFrame =
-    if (dead.isEmpty) df
+  private def dropDeadDf(df: DataFrame,
+                         dead: Option[DataFrame]): DataFrame =
+    // re-select in the caller's column order: a USING-column join moves
+    // the join key FIRST in its output — positional consumers downstream
+    // must never see a reordered frame
+    dead.fold(df)(d => df.join(d.distinct(), Seq("doc_id"), "left_anti")
+      .select(df.columns.map(col).toSeq: _*))
+
+  /** Memoized serve-time dead state: (distinct dead count, the id set
+    * iff it fits under `serveDeadBound`). The count prices the df-cap
+    * slack and decides the serve filter's shape — a bounded set rides
+    * the driver and broadcasts (the cheap steady-state: retractions
+    * between compacts are maintenance-bounded), while a WIDE pending
+    * retraction serves by distributed anti-join until [[compact]]
+    * clears it, never materializing on the driver. Mutations through
+    * this instance invalidate the memo (single-writer discipline, as
+    * [[AnnIndexStore]]). */
+  @transient @volatile private var deadCache: (Long, Option[Set[Long]]) = _
+  /** Observability for the spec: driver collects of the tombstone set
+    * actually performed (only the bounded serve path ever does one). */
+  @transient private[graft] var driverDeadLoads: Int = 0
+
+  private def deadInfo(spark: SparkSession): (Long, Option[Set[Long]]) = {
+    val cached = deadCache
+    if (cached != null) cached
     else {
-      import spark.implicits._
-      df.join(broadcast(dead.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+      val info = deadDf(spark) match {
+        case None => (0L, Some(Set.empty[Long]))
+        case Some(df) =>
+          val d = df.distinct()
+          val n = d.count()
+          if (n <= serveDeadBound) {
+            driverDeadLoads += 1
+            (n, Some(d.collect().map(_.getLong(0)).toSet))
+          } else (n, None)
+      }
+      deadCache = info
+      info
+    }
+  }
+
+  /** Distinct pending-tombstone count — the auto-compact trigger and
+    * the `graft_index_tombstones` gauge read this; one memoized
+    * metadata-sized job, never an id collect. */
+  def tombstoneCount(spark: SparkSession): Long = deadInfo(spark)._1
+
+  /** Serve-path tombstone filter: broadcast anti-join on the memoized
+    * bounded set, or a distributed anti-join when the pending dead set
+    * exceeds `serveDeadBound` (wide retraction awaiting compact). */
+  private def dropDead(spark: SparkSession, df: DataFrame): DataFrame =
+    deadInfo(spark) match {
+      case (0L, _) => df
+      case (_, Some(s)) =>
+        import spark.implicits._
+        df.join(broadcast(s.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+          .select(df.columns.map(col).toSeq: _*)
+      case (_, None) => dropDeadDf(df, deadDf(spark))
     }
 
   /** (live N, live total tokens): the stored additive stats minus the
-    * tombstoned docs' contribution from `_lens`. */
-  private def liveStats(spark: SparkSession, dead: Set[Long]): (Long, Long) = {
+    * tombstoned docs' contribution from `_lens` — one join against the
+    * tombstone dirs, driver-free at any retraction width (AQE
+    * broadcasts the build side itself when it is small). */
+  private def liveStats(spark: SparkSession,
+                        dead: Option[DataFrame]): (Long, Long) = {
     val (n, tot) = stats(spark)
     val lensPath = new Path(path, "_lens")
     if (dead.isEmpty || !fsOf(spark).exists(lensPath)) (n, tot)
     else {
-      import spark.implicits._
       val r = spark.read.option("basePath", s"$path/_lens")
         .parquet(lensPath.toString)
-        .join(broadcast(dead.toSeq.toDF("doc_id")), "doc_id")
+        .join(dead.get.distinct(), "doc_id")
         .agg(count(lit(1)).as("nd"), sum("dl").as("td")).first()
       (n - r.getLong(0),
         tot - Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
@@ -241,10 +307,14 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
   def hasDocs(spark: SparkSession, ids: Seq[Long]): Set[Long] = {
     val lensPath = new Path(path, "_lens")
     if (ids.isEmpty || !fsOf(spark).exists(lensPath)) return Set.empty
-    val dead = tombstoned(spark)
-    spark.read.option("basePath", s"$path/_lens").parquet(lensPath.toString)
-      .select(col("doc_id")).filter(col("doc_id").isin(ids: _*))
-      .distinct().collect().map(_.getLong(0)).toSet -- dead
+    // tombstones excluded by anti-join BEFORE the collect: only the
+    // (ids-bounded) live membership ever reaches the driver
+    dropDeadDf(
+      spark.read.option("basePath", s"$path/_lens").parquet(lensPath.toString)
+        .select(col("doc_id")).filter(col("doc_id").isin(ids: _*))
+        .distinct(),
+      deadDf(spark))
+      .collect().map(_.getLong(0)).toSet
   }
 
   /** (N docs, total tokens) over every batch — a #batches-row read. */
@@ -348,8 +418,9 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
   def search(spark: SparkSession, queries: DataFrame, k: Int,
              k1Milli: Long = 1200L, bMilli: Long = 750L,
              maxDfPermille: Long = 1000L): DataFrame = {
-    val dead = tombstoned(spark)
-    val (n, tot) = liveStats(spark, dead)
+    val nDead = deadInfo(spark)._1
+    val (n, tot) =
+      liveStats(spark, if (nDead == 0L) None else deadDf(spark))
     val tp0 = termParts(spark, queries.select("term").distinct())
     val tp =
       if (maxDfPermille >= 1000L) tp0
@@ -363,13 +434,13 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
         // would let a single pending retraction re-admit every
         // stopword's posting read — and re-explode a corpus-sized
         // query set by queries × corpus. Compaction restores slack 0.
-        val slack = dead.size.toLong
+        val slack = nDead
         val dfs = storedDf(spark, tp0)
         tp0.filter { case (t, _) =>
           1000L * math.max(dfs.getOrElse(t, 0L) - slack, 0L) <=
             maxDfPermille * n }
       }
-    val cand = dropDead(spark, prunedPostings(spark, tp), dead)
+    val cand = dropDead(spark, prunedPostings(spark, tp))
     Lexical.scoreBm25(queries, cand.select("term", "doc_id", "tf"),
       cand.select("doc_id", "dl").distinct(), n, tot, k, k1Milli, bMilli,
       maxDfPermille)
@@ -400,8 +471,9 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
                         k1Milli: Long = 1200L, bMilli: Long = 750L,
                         maxDfPermille: Long = 1000L): DataFrame = {
     val spark = queries.sparkSession
-    val dead = tombstoned(spark)
-    val (n, tot) = liveStats(spark, dead)
+    val nDead = deadInfo(spark)._1
+    val (n, tot) =
+      liveStats(spark, if (nDead == 0L) None else deadDf(spark))
     val dirs = batchDirs(spark).map(_.toString)
     if (dirs.isEmpty) // empty frame, qid typed as the caller's
       return queries.select(col("qid")).limit(0)
@@ -418,7 +490,7 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
         // pending — critical here, where the query set is itself a
         // corpus and an un-dropped stopword multiplies the join by
         // queries × corpus
-        val slack = dead.size.toLong
+        val slack = nDead
         val overCap = spark.read
           .schema("term STRING, df BIGINT, batch BIGINT, part INT")
           .option("basePath", s"$path/_df").parquet(dfRoot.toString)
@@ -437,7 +509,7 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
       .schema(StructType(rowSchema.fields ++ Seq(
         StructField("batch", LongType), StructField("part", IntegerType))))
       .option("basePath", path).parquet(dirs: _*)
-      .select(rowSchema.fieldNames.map(col).toSeq: _*), dead)
+      .select(rowSchema.fieldNames.map(col).toSeq: _*))
       .join(q.select("term").distinct(), "term")
       .drop("pos")
       .localCheckpoint(false)
@@ -460,8 +532,8 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     // no df-cap for phrases: a stopword inside a phrase is a REQUIRED
     // slot (positions must verify adjacency), the Lucene behavior
     val post = dropDead(spark,
-      prunedPostings(spark, termParts(spark, phrase.distinct.toDF("term"))),
-      tombstoned(spark)).select("term", "doc_id", "pos")
+      prunedPostings(spark, termParts(spark, phrase.distinct.toDF("term"))))
+      .select("term", "doc_id", "pos")
     val slots = phrase.zipWithIndex
     val joined = slots.map { case (w, i) =>
       post.filter(col("term") === w)
@@ -493,9 +565,13 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     if (batchDirs(spark).isEmpty) return
     if (fs.exists(staging)) fs.delete(staging, true)
     // tombstoned docs are PURGED here: postings and lens rows dropped,
-    // stats recomputed from the surviving lens table, tombstones gone
-    val dead = tombstoned(spark)
-    val folded = dropDead(spark,
+    // stats recomputed from the surviving lens table, tombstones gone.
+    // The dead set stays a DataFrame end-to-end — anti-joins, never a
+    // driver collect: a whole-source retraction's compact is exactly
+    // when this set is corpus-sized, and compact is the one operation
+    // that must clear it (the AnnIndexStore.deadDf discipline)
+    val dead = deadDf(spark).map(_.distinct().localCheckpoint(false))
+    val folded = dropDeadDf(
       spark.read.schema(StructType(rowSchema.fields ++ Seq(
           StructField("batch", LongType), StructField("part", IntegerType))))
         .option("basePath", path).parquet(path), dead)
@@ -517,7 +593,7 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     val lensPath = new Path(path, "_lens")
     val liveLens =
       if (fs.exists(lensPath))
-        dropDead(spark, spark.read.option("basePath", s"$path/_lens")
+        dropDeadDf(spark.read.option("basePath", s"$path/_lens")
           .parquet(lensPath.toString).select("doc_id", "dl"), dead)
           .localCheckpoint(true)
       else null
@@ -550,5 +626,17 @@ class TextIndexStore(path: String, numParts: Int = 64) extends Serializable {
     fs.create(done, true).close()
     fs.delete(root, true)
     fs.rename(staging, root)
+    deadCache = null // tombstones purged with the swap
   }
+}
+
+object TextIndexStore {
+  /** Serve-path dead-set bound: at or under this many pending
+    * tombstones the serve filter memoizes a driver id set and
+    * broadcasts it (retractions between compacts are bounded by the
+    * same maintenance cadence that bounds append file counts); above
+    * it — a wide retraction awaiting its compact — every serve
+    * anti-joins the tombstone dirs distributed instead, so no
+    * retraction width can ever materialize on the driver. */
+  val DefaultServeDeadBound = 1000000L
 }

@@ -269,14 +269,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_RELEASE_TEXT_INDEX=1 keeps the BM25 index
   *                   at GRAFT_RELEASE_OUT/_text_index in exact sync
   *                   with the frozen corpus (manifest-diff
-  *                   incremental; GRAFT_RELEASE_TEXT_COMPACT=1 purges
-  *                   retraction tombstones physically);
+  *                   incremental);
   *                   GRAFT_RELEASE_ANN_INDEX=1 does the same for the
   *                   vector index at _ann_index over the carried
   *                   embedding column (GRAFT_ANN_EMBED_COL;
   *                   GRAFT_ANN_SYNC_KIND lsh|ivf|ivfpq,
-  *                   GRAFT_RELEASE_ANN_COMPACT=1,
-  *                   GRAFT_ANN_REBUILD_IF_DRIFT=<r>)
+  *                   GRAFT_ANN_REBUILD_IF_DRIFT=<r>).
+  *                   Retraction tombstones are purged physically by a
+  *                   SIZE-TRIGGERED auto-compact (pending >
+  *                   GRAFT_INDEX_AUTOCOMPACT_REMOVED, default 100000,
+  *                   or > GRAFT_INDEX_AUTOCOMPACT_PCT percent of
+  *                   stored docs, default 10 — the df-cap's slack must
+  *                   not degrade to no-term-over-cap);
+  *                   GRAFT_RELEASE_{TEXT,ANN}_COMPACT=1 forces, =0
+  *                   disables; pending counts exported as
+  *                   graft_index_tombstones_{text,ann}
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -546,7 +553,8 @@ object GraftApp {
           // notice publisher contention
           else Some(new MetricsServer(listener, metricsPort,
             () => graft.llmops.StreamingCurate.metricsSnapshot() ++
-              graft.llmops.VersionedDir.metricsSnapshot()).start())
+              graft.llmops.VersionedDir.metricsSnapshot() ++
+              graft.llmops.IndexMetrics.metricsSnapshot()).start())
         listener.setDestinationConnected("curate-store", connected = true)
         val docs = spark.readStream
           .schema("doc_id LONG, source STRING, text STRING")
@@ -915,10 +923,16 @@ object GraftApp {
         val hStore = new graft.llmops.TextIndexStore(hText, hParts)
         val hIdx = new graft.llmops.AnnIndexStore(hAnn)
         import spark.implicits._
-        val hTextRow = graft.llmops.SegPool.readDocs(spark, hDocs)
-          .filter(col("doc_id") === hProbe).select("text").head().getString(0)
-        val hQ = hTextRow.split("\\s+").take(6).toSeq
-          .map((hProbe, _)).toDF("qid", "term")
+        // query terms via TextOps.tokens — the SAME tokenization the
+        // index and hybrid-sweep use (a \s+ split would derive a
+        // different term set on irregularly-spaced text, silently
+        // breaking the sweep≡single-probe parity and missing index
+        // tokens entirely)
+        val hQ = graft.llmops.SegPool.readDocs(spark, hDocs)
+          .filter(col("doc_id") === hProbe)
+          .select(lit(hProbe).as("qid"),
+            explode(slice(graft.llmops.TextOps.tokens(col("text")), 1, 6))
+              .as("term"))
         val hLex = hStore.search(spark, hQ, k = 20,
             maxDfPermille = dfCapPermille(env))
           .select(col("doc_id"), col("rank").as("lex_rank"))
@@ -2186,6 +2200,26 @@ object GraftApp {
           if (nRemoved > 0)
             removedIds.withColumn("b", lit(relBatch)).write.mode("overwrite")
               .parquet(s"$curStore/retracted/b$relBatch")
+          // Tombstone-pressure discipline for BOTH synced indexes:
+          // pending (uncompacted) retractions widen the BM25 df-cap's
+          // slack (stored df − |dead| lower-bounds live df) — past a
+          // point NO term prices over the cap and every stopword's
+          // corpus-sized posting read is silently re-admitted. So the
+          // release verb compacts BY DEFAULT when pending tombstones
+          // exceed GRAFT_INDEX_AUTOCOMPACT_REMOVED (default 100000)
+          // or GRAFT_INDEX_AUTOCOMPACT_PCT percent of stored docs
+          // (default 10); GRAFT_RELEASE_{TEXT,ANN}_COMPACT=1 still
+          // forces, =0 disables even the auto trigger. The pending
+          // count is exported as graft_index_tombstones_{text,ann}
+          // next to the lease counters.
+          val acRemoved = env.get("GRAFT_INDEX_AUTOCOMPACT_REMOVED")
+            .map(_.toLong).getOrElse(100000L)
+          val acPct = env.get("GRAFT_INDEX_AUTOCOMPACT_PCT")
+            .map(_.toLong).getOrElse(10L)
+          def compactDue(flag: Option[String], pending: Long,
+                         stored: Long): Boolean =
+            flag.contains("1") || (!flag.contains("0") && pending > 0 &&
+              (pending > acRemoved || pending * 100L > acPct * stored))
           // GRAFT_RELEASE_TEXT_INDEX=1: keep the serving-side BM25
           // index (`_text_index` beside `docs/`) in exact sync with
           // CURRENT at O(changed segments) — manifest diff, additions
@@ -2194,8 +2228,6 @@ object GraftApp {
           // zero-delta path too: that is the CATCH-UP (a release that
           // ran without the flag, or a sync that crashed after the
           // ledgers, is brought current by one diff spanning the gap).
-          // GRAFT_RELEASE_TEXT_COMPACT=1 purges tombstones physically
-          // after a wide retraction.
           if (env.get("GRAFT_RELEASE_TEXT_INDEX").contains("1")) {
             relFence(relHeld, "before the text-index sync")
             val tiParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt)
@@ -2204,18 +2236,25 @@ object GraftApp {
               graft.llmops.CorpusIndexSync.sync(
                 spark, docsRoot, s"$relOut/_text_index", tiParts)
             })
-            if (env.get("GRAFT_RELEASE_TEXT_COMPACT").contains("1"))
+            val tStore =
               new graft.llmops.TextIndexStore(s"$relOut/_text_index", tiParts)
-                .compact(spark)
+            val tPending = tStore.tombstoneCount(spark)
+            graft.llmops.IndexMetrics.set(
+              "graft_index_tombstones_text", tPending.toDouble)
+            if (compactDue(env.get("GRAFT_RELEASE_TEXT_COMPACT"),
+                tPending, tStore.stats(spark)._1)) {
+              staged("text_compact")(tStore.compact(spark))
+              graft.llmops.IndexMetrics.set("graft_index_tombstones_text", 0.0)
+            }
           }
           // GRAFT_RELEASE_ANN_INDEX=1: the vector-side sibling — keep
           // the ANN serving index (`_ann_index` beside `docs/`) in sync
           // with CURRENT at O(changed segments) over the embedding
           // column the funnel carries (GRAFT_ANN_EMBED_COL def
           // `embedding`, an array<float> riding the multimodal carry).
-          // Same catch-up semantics on the zero-delta path;
-          // GRAFT_RELEASE_ANN_COMPACT=1 purges tombstones physically
-          // after a wide retraction.
+          // Same catch-up semantics on the zero-delta path; compaction
+          // follows the shared auto-trigger above (explicit
+          // GRAFT_RELEASE_ANN_COMPACT=1 forces, =0 disables).
           if (env.get("GRAFT_RELEASE_ANN_INDEX").contains("1")) {
             relFence(relHeld, "before the ann-index sync")
             lastAnnSync = Some(staged("ann_index") {
@@ -2226,9 +2265,15 @@ object GraftApp {
                 nClusters = env.get("GRAFT_ANN_SYNC_CLUSTERS").map(_.toInt)
                   .getOrElse(graft.llmops.Similarity.DefaultIvfClusters))
             })
-            if (env.get("GRAFT_RELEASE_ANN_COMPACT").contains("1"))
-              new graft.llmops.AnnIndexStore(s"$relOut/_ann_index")
-                .compact(spark)
+            val aStore = new graft.llmops.AnnIndexStore(s"$relOut/_ann_index")
+            val aPending = aStore.tombstoneCount(spark)
+            graft.llmops.IndexMetrics.set(
+              "graft_index_tombstones_ann", aPending.toDouble)
+            if (compactDue(env.get("GRAFT_RELEASE_ANN_COMPACT"),
+                aPending, aStore.vectorCount(spark))) {
+              staged("ann_compact")(aStore.compact(spark))
+              graft.llmops.IndexMetrics.set("graft_index_tombstones_ann", 0.0)
+            }
             // drift-gated IVF rebuild inside the nightly release (same
             // knob as the ann-index verb; no-op for lsh-kind stores)
             env.get("GRAFT_ANN_REBUILD_IF_DRIFT").map(_.toDouble)

@@ -1925,7 +1925,11 @@ class GraftAppSpec extends SparkSpecBase {
         // asserted at the end)
         "GRAFT_RELEASE_RETAIN" -> "3",
         "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2") ++
-        (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1") else Map.empty))
+        // auto-compact opted OUT: these arms pin the pending-tombstone
+        // window across releases (the default auto-compact would purge
+        // it; its own arm lives in the auto-compact test)
+        (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1",
+          "GRAFT_RELEASE_TEXT_COMPACT" -> "0") else Map.empty))
     // release 1: cold build
     release(Seq(d1, d2, d3), index = true)
     assert(GraftApp.lastIndexSync.exists(_.mode == "rebuild"),
@@ -2030,7 +2034,10 @@ class GraftAppSpec extends SparkSpecBase {
         "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
         "GRAFT_RELEASE_RETAIN" -> "8", // keep manifests for the gap diffs
         "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2") ++
-        (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1") else Map.empty))
+        // auto-compact opted OUT: the retract-resubmit arms need the
+        // tombstone window to survive across releases
+        (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1",
+          "GRAFT_RELEASE_TEXT_COMPACT" -> "0") else Map.empty))
     val idxDir = s"$out/_text_index"
     val q = Seq(("q", "zebra")).toDF("qid", "term")
     def hits(ix: TextIndexStore): Seq[(String, Int, Long, Long)] =
@@ -2140,8 +2147,12 @@ class GraftAppSpec extends SparkSpecBase {
         "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
         "GRAFT_RELEASE_RETAIN" -> "9", // keep manifests for the gap diffs
         "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2") ++
+        // auto-compact opted OUT: the resurrection arm below must find
+        // the v4 tombstone still shadowing at v5
         (if (index) Map("GRAFT_RELEASE_TEXT_INDEX" -> "1",
-          "GRAFT_RELEASE_ANN_INDEX" -> "1") else Map.empty))
+          "GRAFT_RELEASE_ANN_INDEX" -> "1",
+          "GRAFT_RELEASE_TEXT_COMPACT" -> "0",
+          "GRAFT_RELEASE_ANN_COMPACT" -> "0") else Map.empty))
     val idxDir = s"$out/_ann_index"
     def topK(probe: Long, k: Int = 4): Seq[Long] =
       new AnnIndexStore(idxDir)
@@ -2400,6 +2411,9 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_RELEASE_OUT" -> outPq, "GRAFT_EMIT_TOKENIZER" -> tok,
       "GRAFT_RELEASE_ANN_INDEX" -> "1", "GRAFT_ANN_SYNC_KIND" -> "ivfpq",
       "GRAFT_ANN_SYNC_CLUSTERS" -> "2",
+      // pin the pre-compact window (the default auto-compact would
+      // purge this small corpus' retraction immediately)
+      "GRAFT_RELEASE_ANN_COMPACT" -> "0",
       "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
     assert(GraftApp.lastAnnSync.exists(r => r.mode == "diff" &&
       r.removed == 1), s"${GraftApp.lastAnnSync}")
@@ -2415,5 +2429,206 @@ class GraftAppSpec extends SparkSpecBase {
       "GRAFT_MAINTENANCE" -> "ann-index-sync", "GRAFT_RELEASE_OUT" -> outPq,
       "GRAFT_ANN_COMPACT" -> "1"))
     assert(vecOne(1L) == 0, "compact must purge the tombstoned rows")
+  }
+
+  test("release auto-compact: tombstone buildup triggers the physical " +
+      "purge by default, gauges exported, parity preserved") {
+    import spark.implicits._
+    import graft.llmops.{AnnIndexStore, IndexMetrics, SegPool, TextIndexStore,
+      VersionedDir}
+    def en(tag: String, zebras: Int): String =
+      (("the start and more of it" +: (0 until 24).map(i => s"$tag$i")) ++
+        Seq.fill(zebras)("zebra")).mkString(" ")
+    def vec(dir: Int, jit: Int): Seq[Float] =
+      (0 until 8).map(j =>
+        (if (j == dir % 8) 100f else 0f) +
+          (if (j == (dir * 3 + 1) % 8) jit.toFloat else 0f)).toSeq
+    type Doc = (Long, String, String, Seq[Float])
+    val docs: Seq[Doc] = Seq(
+      (1L, "web", en("na", 3), vec(0, 1)), (2L, "web", en("nb", 1), vec(0, 2)),
+      (3L, "web", en("nc", 0), vec(1, 1)), (4L, "web", en("nd", 2), vec(1, 2)),
+      (5L, "web", en("ne", 1), vec(2, 1)), (6L, "web", en("nf", 2), vec(2, 2)))
+    def writeRaw(rows: Seq[(Long, String, String, Seq[Float])]): String = {
+      val d = Files.createTempDirectory("ac-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text", "embedding")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("ac-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> writeRaw(docs),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("ac-out").toFile.getAbsolutePath + "/rel"
+    def release(raw: Seq[Doc]): Unit =
+      GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(raw),
+        "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+        // NO compact flag anywhere: the size-triggered default must act
+        "GRAFT_RELEASE_TEXT_INDEX" -> "1", "GRAFT_RELEASE_ANN_INDEX" -> "1",
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    release(docs) // v1: cold sync, nothing pending
+    // v2: 2 of 6 docs retracted — over the default 10% pct trigger, so
+    // BOTH indexes must auto-compact inside the release (no flag set)
+    release(docs.filterNot(d => d._1 == 2L || d._1 == 5L))
+    assert(GraftApp.lastIndexSync.exists(_.removed == 2),
+      s"${GraftApp.lastIndexSync}")
+    assert(GraftApp.lastAnnSync.exists(_.removed == 2),
+      s"${GraftApp.lastAnnSync}")
+    assert(!new File(s"$out/_text_index/_tombstones").exists(),
+      "text auto-compact must purge the pending tombstones")
+    assert(!new File(s"$out/_ann_index/_tombstones").exists(),
+      "ann auto-compact must purge the pending tombstones")
+    // slack-free df pricing: zero pending dead means the df-cap
+    // prefilter prices with slack 0 again
+    val tStore = new TextIndexStore(s"$out/_text_index", 64)
+    assert(tStore.tombstoneCount(spark) == 0L)
+    assert(new AnnIndexStore(s"$out/_ann_index").tombstoneCount(spark) == 0L)
+    val m = IndexMetrics.metricsSnapshot()
+    assert(m.get("graft_index_tombstones_text").contains(0.0), s"$m")
+    assert(m.get("graft_index_tombstones_ann").contains(0.0), s"$m")
+    // ranking parity with a fresh build over the current corpus
+    val curDir = VersionedDir.currentPath(spark, s"$out/docs").get
+    val fd = Files.createTempDirectory("ac-fresh").toFile.getAbsolutePath + "/idx"
+    val fresh = new TextIndexStore(fd, 64)
+    fresh.addBatch(spark,
+      SegPool.readDocs(spark, curDir).select("doc_id", "text"), 0L)
+    val q = Seq(("q", "zebra")).toDF("qid", "term")
+    def hits(ix: TextIndexStore) =
+      ix.search(spark, q, k = 10).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    assert(hits(tStore) == hits(fresh))
+    // physically gone, not just filtered
+    assert(spark.read.parquet(s"$out/_text_index").select("doc_id")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(2L, 5L))
+      .isEmpty)
+  }
+
+  test("staged-rebuild promote is reader-safe: every crash state of the " +
+      "rename-aside swap heals to a readable, current index") {
+    import spark.implicits._
+    import graft.llmops.{CorpusIndexSync, TextIndexStore}
+    def en(tag: String): String =
+      (("the start and more of it" +: (0 until 24).map(i => s"$tag$i")) ++
+        Seq("zebra")).mkString(" ")
+    val docs = Seq((1L, "web", en("pa")), (2L, "web", en("pb")),
+      (3L, "web", en("pc")))
+    def writeRaw(rows: Seq[(Long, String, String)]): String = {
+      val d = Files.createTempDirectory("pr-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("pr-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> writeRaw(docs),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("pr-out").toFile.getAbsolutePath + "/rel"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(docs),
+      "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_RELEASE_TEXT_INDEX" -> "1",
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    val idx = s"$out/_text_index"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val q = Seq(("q", "zebra")).toDF("qid", "term")
+    def hits(): Seq[Long] =
+      new TextIndexStore(idx, 64).search(spark, q, k = 10)
+        .collect().map(_.getLong(2)).toSeq.sorted
+    val expected = hits()
+    assert(expected == Seq(1L, 2L, 3L))
+    def sync() = CorpusIndexSync.sync(spark, s"$out/docs", idx, 64)
+    // STATE 1 — crash between `stage→live` and the `._old` sweep:
+    // live present, aside leftover. Heal sweeps the aside, live intact.
+    fs.mkdirs(p(s"$idx._old/junk"))
+    assert(sync().mode == "noop")
+    assert(!fs.exists(p(s"$idx._old")) && hits() == expected)
+    // STATE 2 — crash between `live→._old` and `stage→live`: no live,
+    // complete staging + aside. Heal promotes the staging (newer by
+    // the promote precondition) and drops the aside.
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(idx), fs, p(s"$idx._rebuild"),
+      false, conf)
+    assert(fs.rename(p(idx), p(s"$idx._old")))
+    assert(sync().mode == "noop")
+    assert(fs.exists(p(idx)) && !fs.exists(p(s"$idx._old")) &&
+      !fs.exists(p(s"$idx._rebuild")))
+    assert(hits() == expected)
+    // STATE 3 — aside exists with NO live and NO promotable staging
+    // (the swap's first rename happened, the staging then vanished or
+    // never completed): heal RESTORES the old index instead of leaving
+    // no index at all — the delete-then-rename design could not.
+    assert(fs.rename(p(idx), p(s"$idx._old")))
+    assert(sync().mode == "noop")
+    assert(fs.exists(p(idx)) && !fs.exists(p(s"$idx._old")))
+    assert(hits() == expected)
+    // STATE 4 — aside + INCOMPLETE staging (no marker): the staging is
+    // discarded, the aside restored.
+    assert(fs.rename(p(idx), p(s"$idx._old")))
+    fs.mkdirs(p(s"$idx._rebuild/half"))
+    assert(sync().mode == "noop")
+    assert(fs.exists(p(idx)) && !fs.exists(p(s"$idx._old")) &&
+      !fs.exists(p(s"$idx._rebuild")))
+    assert(hits() == expected)
+  }
+
+  test("ann sync: null-embedding docs are skipped VISIBLY, empty-corpus " +
+      "ivf cold build fails fast with the actual condition") {
+    import spark.implicits._
+    import graft.llmops.{AnnIndexStore, CorpusIndexSync}
+    def en(tag: String): String =
+      ("the start and more of it" +: (0 until 24).map(i => s"$tag$i"))
+        .mkString(" ")
+    def vec(dir: Int): Seq[Float] =
+      (0 until 8).map(j => if (j == dir % 8) 100f else 0f)
+    type Doc = (Long, String, String, Seq[Float])
+    val withNull: Seq[Doc] = Seq(
+      (1L, "web", en("qa"), vec(0)), (2L, "web", en("qb"), vec(1)),
+      (3L, "web", en("qc"), null)) // rode the funnel without an embedding
+    def writeRaw(rows: Seq[(Long, String, String, Seq[Float])]): String = {
+      val d = Files.createTempDirectory("ne-raw").toFile.getAbsolutePath
+      rows.toDF("doc_id", "source", "text", "embedding")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    val tok = Files.createTempDirectory("ne-tok").toFile.getAbsolutePath + "/tok"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "bpe-train", "GRAFT_BPE_DOCS" -> writeRaw(withNull),
+      "GRAFT_BPE_OUT" -> tok, "GRAFT_BPE_MERGES" -> "3"))
+    val out = Files.createTempDirectory("ne-out").toFile.getAbsolutePath + "/rel"
+    def release(raw: Seq[Doc]): Unit =
+      GraftApp.maintenance(spark, Map(
+        "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(raw),
+        "GRAFT_RELEASE_OUT" -> out, "GRAFT_EMIT_TOKENIZER" -> tok,
+        "GRAFT_RELEASE_ANN_INDEX" -> "1",
+        "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    // cold build: the null-embed doc is counted out loud, not indexed
+    // as silently-unsearchable
+    release(withNull)
+    val r1 = GraftApp.lastAnnSync.get
+    assert(r1.mode == "rebuild" && r1.added == 2 && r1.skippedNullEmbed == 1,
+      s"$r1")
+    val store = new AnnIndexStore(s"$out/_ann_index")
+    assert(store.liveIds(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L), "the null-embed doc must not be reported live")
+    // diff path: another null-embed doc arrives — same visible skip
+    release(withNull :+ (4L, "web", en("qd"), null.asInstanceOf[Seq[Float]]))
+    val r2 = GraftApp.lastAnnSync.get
+    assert(r2.mode == "diff" && r2.added == 0 && r2.skippedNullEmbed == 1,
+      s"$r2")
+    // ivf cold build over a corpus with NO usable embedding: a clear
+    // require, not an opaque NoSuchElementException from head()
+    val allNull: Seq[Doc] = Seq(
+      (1L, "web", en("ra"), null.asInstanceOf[Seq[Float]]))
+    val out2 = Files.createTempDirectory("ne-out2").toFile.getAbsolutePath + "/rel"
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "release", "GRAFT_RELEASE_DOCS" -> writeRaw(allNull),
+      "GRAFT_RELEASE_OUT" -> out2, "GRAFT_EMIT_TOKENIZER" -> tok,
+      "GRAFT_EMIT_BUDGET" -> "64", "GRAFT_EMIT_SHARDS" -> "2"))
+    val err = intercept[IllegalArgumentException] {
+      CorpusIndexSync.syncAnn(spark, s"$out2/docs", s"$out2/_ann_index",
+        kind = "ivf", nClusters = 2)
+    }
+    assert(err.getMessage.contains("no doc with a non-null"), err.getMessage)
   }
 }
