@@ -108,22 +108,35 @@ object Bench {
     val measured = headline.filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    (1 to 5).foreach { _ =>
-      measured.foreach { name =>
-        SparkEntry.queries.get(name).foreach { fn =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            times(name) = times.getOrElse(name, Nil) :+
-              (System.nanoTime() - t0) / 1e9
-          } catch {
-            case t: Throwable =>
-              errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
-                .replaceAll("[\"\\n\\r]", " ").take(200)
-          }
+    def measureOnce(name: String): Unit =
+      SparkEntry.queries.get(name).foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          times(name) = times.getOrElse(name, Nil) :+
+            (System.nanoTime() - t0) / 1e9
+        } catch {
+          case t: Throwable =>
+            errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
+              .replaceAll("[\"\\n\\r]", " ").take(200)
         }
       }
+    val runT0 = System.nanoTime()
+    (1 to 5).foreach { _ => measured.foreach(measureOnce) }
+    // Spread-sanity pass: a query whose five interleaved passes
+    // disagree >5× was measured through a foreign load spike — a
+    // regression gate trusting that median would flag phantom 3–6×
+    // "regressions" (or hide real ones). Re-measure just those queries
+    // with three more passes; the median over all samples then discards
+    // the contended ones. The artifact records who was re-measured, so
+    // a noisy run is visible IN the evidence rather than silently
+    // blessed.
+    val remeasured = measured.filter { name =>
+      val ts = times.getOrElse(name, Nil)
+      ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 5.0
     }
+    remeasured.foreach { name => (1 to 3).foreach(_ => measureOnce(name)) }
+    val runSecs = (System.nanoTime() - runT0) / 1e9
     val results = measured.filter(SparkEntry.queries.contains).map { name =>
       val ts = times.getOrElse(name, Nil).sorted
       name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
@@ -143,16 +156,32 @@ object Bench {
     val r1 = results.filter(r => round1Set.contains(r._1))
       .map(_._2).filter(_ >= 0).sum
     val totalAll = results.map(_._2).filter(_ >= 0).sum
+    val remJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Load warning: compare this run's wall clock to the previous
+    // committed artifact's — a machine busy with other work inflates
+    // the whole sweep (the round-13 artifact ran 2.5× its norm and its
+    // numbers were garbage). The warning goes to stderr AND rides the
+    // artifact, so a gate reading it knows the evidence is suspect.
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")).toAbsolutePath
+    val prevRunSecs = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(outPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "\"run_secs\":([0-9.]+)".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+    val loaded = prevRunSecs.exists(p => runSecs > 2.0 * p)
+    if (loaded) System.err.println(
+      f"bench: LOAD WARNING — run took $runSecs%.0f s vs previous " +
+        f"${prevRunSecs.get}%.0f s (>2x): this machine was busy, do not " +
+        "trust these numbers for a regression gate")
     val line =
-      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"remeasured":$remJson,"run_secs":$runSecs%.1f,"load_warning":$loaded,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the artifact as a FILE (atomic rename), so a stdout
     // capture that keeps only the tail can never truncate the queries
-    // map. SPARK_GRAFT_BENCH_OUT overrides the default path.
-    // toAbsolutePath: a bare-filename override has a null getParent,
-    // which would NPE the temp-file creation below
-    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")).toAbsolutePath
+    // map. SPARK_GRAFT_BENCH_OUT overrides the default path
+    // (toAbsolutePath above: a bare-filename override has a null
+    // getParent, which would NPE the temp-file creation below).
     try {
       val tmp = java.nio.file.Files.createTempFile(
         outPath.getParent, ".bench", ".json.tmp")

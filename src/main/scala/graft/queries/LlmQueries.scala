@@ -1678,6 +1678,30 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Post-retraction serving on the WIDE tombstone path: the store
+    // takes a distributed DataFrame retraction (every doc_id ≡ 3 mod 7
+    // — a "whole source" leaves the corpus), and serves through the
+    // anti-join dead filter (serveDeadBound = 0 forces the path a
+    // 10%-of-20B GDPR retraction would take: no driver id set
+    // anywhere). The oracle recomputes the identical integer BM25
+    // chain over the SURVIVOR corpus, so the pending-window claim —
+    // post-delete ranking ≡ fresh build over survivors, stats adjusted
+    // exactly through _lens, df-cap slack never skipping an under-cap
+    // term — is hash-checked end to end, not just spec-asserted.
+    "llm_bm25_retract" -> ((s, d) => {
+      import graft.llmops.TextIndexStore
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("bm25-retract")
+        .toFile.getAbsolutePath + "/idx"
+      val store = new TextIndexStore(dir, numParts = 16, serveDeadBound = 0L)
+      store.addBatch(s, docs.select("doc_id", "text"), 0L)
+      store.delete(s, docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      val queries = docs.filter(col("doc_id").isin(1L, 5L, 9L))
+        .select(col("doc_id").as("qid"), explode(slice(toks, 1, 6)).as("term"))
+      store.search(s, queries, k = 10, maxDfPermille = 900L)
+        .orderBy("qid", "rank")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
     // ranking and the exact embedding-cosine ranking for the same
     // probes (vec_id i is doc i's embedding): rrf = Σ 1/(60 + rank)
@@ -2246,15 +2270,15 @@ object LlmQueries {
     * bounded probes (llm_bm25/llm_hybrid_rrf) and the corpus-sized
     * sweep (llm_bm25_sweep, every doc querying its own terms). */
   private def bm25CtesFor(qidWhere: String, sliceLo: Int,
-                          sliceHi: Int): String =
+                          sliceHi: Int, docsWhere: String = ""): String =
     s"""bl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
-      |  FROM documents),
+      |  FROM documents $docsWhere),
       |bst AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM bl),
       |bav AS (SELECT greatest((tot * 1000) // greatest(n, 1), 1)
       |    AS avgdl_milli, n FROM bst),
       |bp AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM
       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |     FROM documents)
+      |     FROM documents $docsWhere)
       |  GROUP BY 1, 2),
       |bq AS (SELECT DISTINCT qid, term FROM
       |    (SELECT doc_id AS qid,
@@ -3938,6 +3962,11 @@ object LlmQueries {
       s"""WITH ${bm25CtesFor("WHERE doc_id % 10 = 0", 7, 9)}
          |SELECT qid, rank, doc_id, score_micro FROM bmr
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "llm_bm25_retract" ->
+      s"""WITH ${bm25CtesFor("WHERE doc_id IN (1, 5, 9)", 1, 6,
+             "WHERE doc_id % 7 <> 3")}
+         |SELECT qid, rank, doc_id, score_micro FROM bmr
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "llm_hybrid_rrf" ->
       s"""WITH $bm25Ctes,
          |hq AS (SELECT vec_id,

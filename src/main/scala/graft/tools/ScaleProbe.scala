@@ -528,6 +528,56 @@ object ScaleProbe {
     println(f"ann retraction: delete + filtered serve + compacted purge in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s (post-delete top-1 = $afterDel)")
 
+    // IVF drift → recall evidence: appended vectors from 32 modes the
+    // frozen centroids never saw. recall@10 (vs an exhaustive
+    // all-cluster scan of the SAME store) degrades at bounded nprobe,
+    // and the drift-warranted rebuildIvf must restore it. The row also
+    // calibrates GRAFT_ANN_REBUILD_IF_DRIFT: on near-orthogonal data
+    // the mean-distance baseline is already ~0.68, so a real ~0.3
+    // recall loss moves the telemetry RATIO only a few percent — the
+    // gate must be set ~1.03–1.05, not a comfortable-looking 1.5
+    // (which would never fire). Asserted: the small ratio trips, the
+    // rebuild restores recall.
+    locally {
+      val dIdx = new graft.llmops.AnnIndexStore(s"$annRoot/ivfdrift")
+      t0 = System.nanoTime()
+      dIdx.writeIvf(embs, nClusters = 64)
+      val modes = (0 until 32).map(_ =>
+        Array.fill(64)(2f * rnd.nextGaussian().toFloat))
+      val drifted = (0 until 2000).map { i =>
+        val m = modes(i % 32)
+        (200000L + i,
+          m.map(x => x + rnd.nextGaussian().toFloat))
+      }
+      dIdx.append(drifted.toDF("vec_id", "embedding"))
+      def recall(nprobe: Int, probes: Seq[Long]): Double = {
+        def top(np: Int): Map[Long, Set[Long]] =
+          dIdx.ivfTopKBatch(spark, probes, k = 10, nprobe = np)
+            .select("pid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+            .view.mapValues(_.map(_._2).toSet).toMap
+        val (ap, ex) = (top(nprobe), top(64))
+        probes.map(p => (ap.getOrElse(p, Set.empty) intersect
+          ex.getOrElse(p, Set.empty)).size / 10.0).sum / probes.size
+      }
+      val drProbes = (200000L until 200020L).toSeq
+      val recPre = recall(4, drProbes)
+      val gate = dIdx.driftExceeds(spark, 1.02)
+      t0 = System.nanoTime()
+      dIdx.rebuildIvf(spark)
+      val rebuildSecs = (System.nanoTime() - t0) / 1e9
+      val recPost = recall(4, drProbes)
+      println(f"ann ivf drift: recall@10(nprobe=4/64) pre=$recPre%.2f " +
+        f"post-rebuild=$recPost%.2f (rebuild $rebuildSecs%.1f s; " +
+        s"${dIdx.driftReport(spark).getOrElse("telemetry reset")}; " +
+        s"ratio-1.02 gate tripped pre-rebuild: $gate)")
+      require(gate,
+        "a recall-degrading drifted append must trip the ~1.02 ratio gate " +
+          "(evidence for the GRAFT_ANN_REBUILD_IF_DRIFT default)")
+      require(recPost >= 0.9 && recPost > recPre,
+        f"rebuild must restore bounded-nprobe recall: $recPre%.2f -> $recPost%.2f")
+    }
+
     // durable BM25 text index at corpus volume: build over the full
     // synthetic corpus, then point-serve — the planned-dir count must
     // stay bounded by the query terms' parts however many docs the
@@ -765,11 +815,20 @@ object ScaleProbe {
       new org.apache.hadoop.fs.Path(relOutW).getFileSystem(
         spark.sessionState.newHadoopConf()),
       graft.llmops.VersionedDir.currentPath(spark, s"$relOutW/docs").get).size
+    // text index synced at v1 so the wide retraction below lands as a
+    // 2000-id tombstone diff — the compact row then times the
+    // driver-free physical purge over it
+    GraftApp.maintenance(spark, Map(
+      "GRAFT_MAINTENANCE" -> "text-index-sync", "GRAFT_RELEASE_OUT" -> relOutW))
     val relRawW2 = relDir("raww2")
     spark.read.parquet(relRawW).filter(col("source") =!= "purged")
       .write.mode("overwrite").parquet(relRawW2)
     t0 = System.nanoTime()
-    GraftApp.maintenance(spark, wideEnv + ("GRAFT_RELEASE_DOCS" -> relRawW2))
+    GraftApp.maintenance(spark, wideEnv +
+      ("GRAFT_RELEASE_DOCS" -> relRawW2) +
+      ("GRAFT_RELEASE_TEXT_INDEX" -> "1") +
+      // auto-compact held off: the compact is timed as its own row
+      ("GRAFT_RELEASE_TEXT_COMPACT" -> "0"))
     println(f"release WIDE retraction (2k docs of 20k, " +
       f"${GraftApp.lastFreezePlan._1.size}/$nSubSegs sub-segs rebuilt, " +
       f"one job): ${(System.nanoTime() - t0) / 1e9}%.1f s [$stagesStr]")
@@ -783,6 +842,27 @@ object ScaleProbe {
       require(left.filter(col("source") === "purged").count() == 0,
         "wide retraction must drop the whole source")
       require(left.count() == 18000, "kept docs must survive")
+    }
+    // the text-index WIDE-RETRACTION purge: 2000 pending tombstones
+    // (the sync's diff wrote them distributed) fold out of the postings
+    // by anti-join — no driver id set at any width (spec-pinned in
+    // WideRetractionSpec; this row is the wall-clock evidence)
+    locally {
+      val wIdx = new graft.llmops.TextIndexStore(s"$relOutW/_text_index", 64)
+      val wr = GraftApp.lastIndexSync.get
+      require(wr.mode == "diff" && wr.removed == 2000,
+        s"wide retraction must sync as a 2000-id tombstone diff: $wr")
+      val pending = wIdx.tombstoneCount(spark)
+      require(pending == 2000L, s"pending tombstones: $pending")
+      t0 = System.nanoTime()
+      wIdx.compact(spark)
+      println(f"text-index wide-retraction compact (2000 of 20000 dead, " +
+        f"driver-free anti-join purge): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      require(wIdx.tombstoneCount(spark) == 0L, "compact must clear the set")
+      val wDead = spark.read.parquet(s"$relOutW/_text_index")
+        .select("doc_id").distinct()
+        .filter(col("doc_id") % 10 === 0).count()
+      require(wDead == 0, s"purged docs still in the postings: $wDead")
     }
 
     spark.stop()
