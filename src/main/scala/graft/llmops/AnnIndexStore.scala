@@ -169,6 +169,7 @@ final class AnnIndexStore(root: String,
     val cached = tombCache
     if (cached != null) cached
     else {
+      healPurge(spark) // a fresh instance's first load heals a crashed purge
       healTombFold(spark)
       val files =
         if (!fsOf(spark).exists(tombPath)) Seq.empty else tombFiles(spark)
@@ -1225,6 +1226,168 @@ final class AnnIndexStore(root: String,
       kindMeta)
   }
 
+  // ------------------------------------------------------- selective purge
+
+  private def purgeStageOf(layout: String) = new Path(root, s"_purge_$layout")
+  private def purgeDoneOf(stage: Path) = new Path(stage, "_graft_purge_done")
+
+  /** (affected dirs, untouched dirs) across layouts of the last
+    * [[purge]] — the selectivity contract made observable. */
+  @transient @volatile var lastPurge: (Int, Int) = (0, 0)
+  /** Test hook: simulate a crash right after a layout's commit marker
+    * lands (staging complete, no swap) — the window [[healPurge]] must
+    * roll forward from. */
+  @transient private[graft] var crashAfterCommit = false
+
+  /** SELECTIVE physical purge — clear the pending tombstones by
+    * rewriting ONLY the partition dirs that actually hold dead rows,
+    * leaving every other dir's files byte-untouched ([[compact]]'s
+    * whole-layout rewrite stays the file-count maintenance). Dead ids
+    * hash straight to their `vectors/part=P` dirs (no scan at all);
+    * the bucket/cluster layouts locate their affected dirs with one
+    * column-pruned membership scan (vec_id + partition values — dir
+    * names, not payload) that is read-only and tiny next to the
+    * rewrite it avoids. A bounded or cluster-localized retraction then
+    * rewrites a handful of dirs; a uniform corpus-wide one naturally
+    * degrades to the full rewrite it genuinely needs.
+    *
+    * Driver-free like [[compact]]: the dead set anti-joins, only
+    * partition VALUES collect (≤ dir-count rows, metadata). Crash-safe
+    * per layout via a committed-staging manifest that rolls FORWARD
+    * ([[healPurge]] — also run at the first tombstone load of a fresh
+    * instance); tombstones clear only after the LAST layout, so any
+    * crash window keeps the serve-time filter engaged and rankings
+    * exact. Offline discipline as [[compact]]. Returns (affected,
+    * untouched) dir counts. */
+  def purge(spark: SparkSession): (Int, Int) = {
+    healPurge(spark)
+    val fs = fsOf(spark)
+    val dead0 = deadDf(spark)
+    if (dead0.isEmpty) { lastPurge = (0, 0); return lastPurge }
+    val dead = dead0.get.distinct().localCheckpoint(false)
+    val kind = readMeta(spark)("kind")
+    val layouts: Seq[(String, Seq[String])] =
+      ("vectors", Seq("part")) +: (kind match {
+        case "lsh" => Seq(("lsh_buckets", Seq("band", "part")))
+        case _ => Seq(("ivf", Seq("cluster")))
+      })
+    var aff = 0
+    var unt = 0
+    layouts.foreach { case (name, partCols) =>
+      if (!crashAfterCommit || aff == 0) {
+        val (a, u) = purgeLayout(spark, dead, name, partCols)
+        aff += a; unt += u
+      }
+    }
+    lastPurge = (aff, unt)
+    if (crashAfterCommit) return lastPurge // test hook: die pre-swap
+    fs.delete(tombPath, true)
+    tombCache = null
+    lastPurge
+  }
+
+  /** The layout's leaf partition dirs as relative paths
+    * (`part=3`, `band=1/part=2`, `cluster=7`). */
+  private def leafDirs(spark: SparkSession, dir: Path,
+                       partCols: Seq[String]): Seq[String] = {
+    val fs = fsOf(spark)
+    partCols.foldLeft(Seq((dir, ""))) { case (parents, c) =>
+      parents.flatMap { case (p, rel) =>
+        fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(c + "="))
+          .map(s => (s.getPath,
+            if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName))
+      }
+    }.map(_._2)
+  }
+
+  private def purgeLayout(spark: SparkSession, dead: DataFrame,
+                          name: String, partCols: Seq[String]): (Int, Int) = {
+    val fs = fsOf(spark)
+    val dir = new Path(root, name)
+    if (!fs.exists(dir)) return (0, 0)
+    val all = leafDirs(spark, dir, partCols)
+    // WHICH dirs hold dead rows: vectors parts come straight from the
+    // id hash (zero reads); bucket/cluster layouts from one
+    // column-pruned membership scan. Collected rows are partition
+    // VALUES — bounded by the dir count, never row data.
+    val affected: Seq[String] = (
+      if (name == "vectors")
+        dead.select(pmod(hash(col("vec_id")), lit(NumParts)).cast("int")
+            .as("part"))
+          .distinct().collect().map(r => s"part=${r.getInt(0)}").toSeq
+      else
+        spark.read.parquet(dir.toString)
+          .select((partCols :+ "vec_id").map(col): _*)
+          .join(dead, "vec_id")
+          .select(partCols.map(col): _*).distinct().collect()
+          .map(r => partCols.zipWithIndex
+            .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")).toSeq
+      ).filter(all.toSet).sorted
+    if (affected.isEmpty) return (0, all.size)
+    val stage = purgeStageOf(name)
+    if (fs.exists(stage)) fs.delete(stage, true)
+    dropDeadDf(spark.read.option("basePath", dir.toString)
+        .parquet(affected.map(rel => new Path(dir, rel).toString): _*),
+        Some(dead))
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(stage.toString)
+    // commit: the marker records affected dirs AND which were staged —
+    // the swap (or a post-crash heal) is a pure function of it: staged
+    // promotes, affected-but-unstaged (every row died) deletes
+    val staged = affected.filter(rel => fs.exists(new Path(stage, rel)))
+    val out = fs.create(purgeDoneOf(stage), true)
+    try out.write((affected.mkString(",") + "\n" + staged.mkString("\n"))
+      .getBytes(UTF_8))
+    finally out.close()
+    if (crashAfterCommit) return (affected.size, all.size - affected.size)
+    finishLayoutSwap(spark, name)
+    (affected.size, all.size - affected.size)
+  }
+
+  /** Complete a COMMITTED layout swap from its marker — idempotent
+    * roll-forward (same discipline as [[TextIndexStore]]'s purge). */
+  private def finishLayoutSwap(spark: SparkSession, name: String): Unit = {
+    val fs = fsOf(spark)
+    val stage = purgeStageOf(name)
+    val dir = new Path(root, name)
+    val in = fs.open(purgeDoneOf(stage))
+    val lines = try new String(in.readAllBytes(), UTF_8).split("\n").toSeq
+      finally in.close()
+    val affected = lines.head.split(",").filter(_.nonEmpty).toSeq
+    val staged = lines.tail.filter(_.nonEmpty).toSet
+    affected.foreach { rel =>
+      val tgt = new Path(dir, rel)
+      val src = new Path(stage, rel)
+      if (staged(rel)) {
+        if (fs.exists(src)) { // not yet promoted
+          if (fs.exists(tgt)) fs.delete(tgt, true)
+          fs.mkdirs(tgt.getParent)
+          fs.rename(src, tgt)
+        }
+      } else if (fs.exists(tgt)) fs.delete(tgt, true) // dir fully dead
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Heal interrupted [[purge]] swaps: committed staging rolls forward,
+    * uncommitted is discarded (tombstones are intact either way, so
+    * serving never depended on the purge finishing). Tombstones left by
+    * a crash between the last swap and their delete stay pending —
+    * harmless (the serve filter keeps dropping them) — and clear on the
+    * next purge/compact. */
+  private def healPurge(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    Seq("vectors", "lsh_buckets", "ivf").foreach { name =>
+      val stage = purgeStageOf(name)
+      if (fs.exists(stage)) {
+        if (fs.exists(purgeDoneOf(stage))) finishLayoutSwap(spark, name)
+        else fs.delete(stage, true)
+      }
+    }
+  }
+
   /** Maintenance: fold the files `append` accumulates back to ~one per
     * partition dir (k appends leave k files per touched dir; serving
     * correctness is unaffected but open/list overhead grows), and
@@ -1236,8 +1399,11 @@ final class AnnIndexStore(root: String,
     * a crash leaves either the old files or the folded copy, and
     * re-running compact first heals an interrupted swap (committed
     * staging rolls FORWARD over a partially-deleted original, as
-    * everywhere else in this library). */
+    * everywhere else in this library). For a purge-only maintenance
+    * pass prefer [[purge]] — it rewrites only the dirs holding dead
+    * rows. */
   def compact(spark: SparkSession): Unit = {
+    healPurge(spark)
     val fs = fsOf(spark)
     val kind = readMeta(spark)("kind")
     val dead = deadDf(spark)

@@ -248,9 +248,12 @@ object CorpusIndexSync {
 
   /** Bring the BM25 index at `idxPath` up to the corpus' CURRENT
     * version. No-op when already there or when no version is published
-    * yet. */
+    * yet. `storePositions = false` builds/maintains a position-free
+    * index (BM25-only serving at roughly half the bytes; phrase search
+    * off) — the flag only seeds a FRESH index, the store's own
+    * `_posmode` marker is the truth thereafter. */
   def sync(spark: SparkSession, docsRoot: String, idxPath: String,
-           numParts: Int = 64): SyncReport = {
+           numParts: Int = 64, storePositions: Boolean = true): SyncReport = {
     healRebuild(spark, idxPath) // a crashed swap's complete staging wins
     val cur = VersionedDir.current(spark, docsRoot).getOrElse(
       return SyncReport(None, -1L, "noop", 0, 0, 0L, 0L))
@@ -258,7 +261,8 @@ object CorpusIndexSync {
     val synced = syncedVersion(spark, idxPath)
     if (synced.contains(cur))
       return SyncReport(synced, cur, "noop", 0, 0, 0L, 0L)
-    val idx = new TextIndexStore(idxPath, numParts)
+    val idx = new TextIndexStore(idxPath, numParts,
+      storePositions = storePositions)
     def emptyText =
       spark.range(0).select(col("id").as("doc_id"), lit("").as("text"))
     val report = (for {
@@ -276,15 +280,17 @@ object CorpusIndexSync {
       if (d.nAdd > 0) {
         // replacement and resurrection both need the shadowing state
         // gone BEFORE the add: tombstone the replaced ids' old
-        // postings, then one compact purges them physically and clears
-        // the whole dead set (including an EARLIER sync's tombstone a
-        // resurrected id would otherwise stay shadowed by). Rare path
-        // (edited resubmission), priced at one index fold only when it
-        // actually happens. Probe is distributed (one ids-only join) —
-        // a wide pending retraction never collects to the driver here.
+        // postings, then one SELECTIVE purge removes them physically
+        // and clears the whole dead set (including an EARLIER sync's
+        // tombstone a resurrected id would otherwise stay shadowed by)
+        // — only the batches holding those docs rewrite, not the whole
+        // index (a handful of edited resubmissions must not fold a
+        // corpus-sized index). Probe is distributed (one ids-only
+        // join) — a wide pending retraction never collects to the
+        // driver here.
         val resurrecting = idx.anyTombstoned(spark, d.added.select("doc_id"))
         if (d.nRep > 0) idx.delete(spark, d.replaced)
-        if (d.nRep > 0 || resurrecting) idx.compact(spark)
+        if (d.nRep > 0 || resurrecting) idx.purge(spark)
         idx.addBatch(spark, d.added, batchId = cur)
       }
       if (d.nDel > 0) idx.delete(spark, d.removed)
@@ -299,7 +305,8 @@ object CorpusIndexSync {
       val stage = rebuildStagePath(idxPath)
       val ifs = stage.getFileSystem(spark.sessionState.newHadoopConf())
       if (ifs.exists(stage)) ifs.delete(stage, true)
-      val sIdx = new TextIndexStore(stage.toString, numParts)
+      val sIdx = new TextIndexStore(stage.toString, numParts,
+        storePositions = storePositions)
       val docs = SegPool.readDocs(spark, curDir).select("doc_id", "text")
       sIdx.addBatch(spark, docs, batchId = cur)
       val n = sIdx.stats(spark)._1
@@ -375,7 +382,10 @@ object CorpusIndexSync {
       // meta-less root records an append that can never have landed
       if (metaExists && SegPool.hasParquet(fs, p.toString)) {
         idx.delete(spark, spark.read.parquet(p.toString))
-        idx.compact(spark)
+        // SELECTIVE: a crashed attempt's ids live in a handful of
+        // hash/bucket dirs — purge rewrites only those, never the
+        // whole store
+        idx.purge(spark)
       }
       fs.delete(p, true)
     }
@@ -412,7 +422,7 @@ object CorpusIndexSync {
         // resurrection, as in the text sync) — both checks distributed
         val resurrecting = idx.anyTombstoned(spark, addable.select("doc_id"))
         if (d.nRep > 0) idx.delete(spark, d.replaced)
-        if (d.nRep > 0 || resurrecting) idx.compact(spark)
+        if (d.nRep > 0 || resurrecting) idx.purge(spark)
         if (nAddable > 0) {
           // ATTEMPT LEDGER before the append: a crash mid-append leaves
           // the ids on record, and the retry purges exactly them

@@ -40,7 +40,8 @@ import org.apache.spark.sql.types._
   * with trigger count, purging tombstoned postings physically.
   */
 class TextIndexStore(path: String, numParts: Int = 64,
-                     serveDeadBound: Long = TextIndexStore.DefaultServeDeadBound)
+                     serveDeadBound: Long = TextIndexStore.DefaultServeDeadBound,
+                     storePositions: Boolean = true)
     extends Serializable {
 
   /** Posting part-dirs planned by the last [[search]] — the
@@ -51,10 +52,48 @@ class TextIndexStore(path: String, numParts: Int = 64,
   private def fsOf(spark: SparkSession) =
     root.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private val rowSchema = StructType(Seq(
+  private val baseFields = Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
-    StructField("tf", LongType), StructField("dl", LongType),
-    StructField("pos", ArrayType(LongType))))
+    StructField("tf", LongType), StructField("dl", LongType))
+  private val posSchema = StructType(baseFields :+
+    StructField("pos", ArrayType(LongType)))
+  private val noPosSchema = StructType(baseFields)
+
+  // ------------------------------------------------------- position mode
+
+  private def posModePath = new Path(path, "_posmode")
+
+  /** Whether THIS store's postings carry positions — the disk marker
+    * (written by the first addBatch) is the truth for an existing
+    * index; the constructor flag only seeds a fresh one. Memoized: the
+    * mode of an index never changes after its first batch. */
+  @transient @volatile private var posModeCache: java.lang.Boolean = _
+  private def positionsStored(spark: SparkSession): Boolean = {
+    val c = posModeCache
+    if (c != null) return c.booleanValue()
+    val fs = fsOf(spark)
+    val mode =
+      if (!fs.exists(posModePath)) storePositions
+      else {
+        val in = fs.open(posModePath)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim == "1"
+        finally in.close()
+      }
+    posModeCache = java.lang.Boolean.valueOf(mode)
+    mode
+  }
+
+  /** The stored posting schema: positional (default — [[phraseSearch]]
+    * verifies adjacency inside the index) or position-FREE
+    * (`storePositions = false`): positions are the bulk of a positional
+    * index's bytes, and a BM25/sweep-only serving tier never reads them
+    * — the Lucene `IndexOptions.DOCS_AND_FREQS` storage knob. The
+    * BM25 ranking chain is byte-identical in either mode (spec-pinned);
+    * only [[phraseSearch]] requires positions and fails fast without
+    * them. */
+  private def rowSchema(spark: SparkSession): StructType =
+    if (positionsStored(spark)) posSchema else noPosSchema
 
   private def batchDirs(spark: SparkSession): Seq[Path] = {
     val fs = fsOf(spark)
@@ -66,33 +105,58 @@ class TextIndexStore(path: String, numParts: Int = 64,
 
   private def markerPath(batchId: Long) = new Path(path, s"_applied/$batchId")
 
-  /** One pass to POSITIONAL postings with the doc length denormalized
-    * onto every row: `pos` carries the term's sorted 1-based token
-    * positions (tf = |pos|) — what [[phraseSearch]] verifies adjacency
-    * against without ever re-reading a document. */
-  private def postingsOf(docs: DataFrame, textCol: String, idCol: String)
-      : DataFrame =
-    docs
+  /** One pass to postings with the doc length denormalized onto every
+    * row. In positional mode `pos` carries the term's sorted 1-based
+    * token positions (tf = |pos|) — what [[phraseSearch]] verifies
+    * adjacency against without ever re-reading a document; in
+    * position-free mode the column (and its collect_list shuffle
+    * weight) is never built. */
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String,
+                         withPos: Boolean): DataFrame = {
+    val exploded = docs
       .select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("ts"))
       .withColumn("dl", size(col("ts")).cast("long"))
       .select(col("doc_id"), col("dl"),
         posexplode(col("ts")).as(Seq("p", "term")))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first("dl").as("dl"),
+    if (withPos)
+      exploded.agg(count(lit(1)).as("tf"), first("dl").as("dl"),
         sort_array(collect_list(col("p").cast("long") + 1)).as("pos"))
+    else
+      exploded.agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+  }
 
   /** Add a batch of NEW docs. Replay-safe: deletes + dynamically
     * overwrites this batch's own dirs and stats row; marker after
     * data. */
   def addBatch(spark: SparkSession, docs: DataFrame, batchId: Long,
                textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    healPurge(spark)
     val fs = fsOf(spark)
-    val post = postingsOf(docs, textCol, idCol).localCheckpoint(false)
+    // position mode is fixed at the FIRST batch: the disk marker is the
+    // truth thereafter — a handle opened with the other flag fails fast
+    // instead of silently writing a mixed-schema index
+    if (fs.exists(posModePath))
+      require(positionsStored(spark) == storePositions,
+        s"$path was built with storePositions=${positionsStored(spark)}; " +
+          s"this handle says $storePositions — position mode is fixed at " +
+          "the first batch")
+    else {
+      val out = fs.create(posModePath, true)
+      try out.write((if (storePositions) "1" else "0")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      posModeCache = java.lang.Boolean.valueOf(storePositions)
+    }
+    val withPos = positionsStored(spark)
+    val post = postingsOf(docs, textCol, idCol, withPos).localCheckpoint(false)
     fs.delete(new Path(path, s"batch=$batchId"), true)
     post
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
-        lit(batchId).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
+      .select((baseFields.map(f => col(f.name)) ++
+          (if (withPos) Seq(col("pos")) else Nil)) ++ Seq(
+        lit(batchId).as("batch"),
+        pmod(hash(col("term")), lit(numParts)).as("part")): _*)
       .repartition(numParts, col("part"))
       // term-sorted within each part file: parquet row-group min/max on
       // `term` then SKIPS the heavy lists of terms a serve read filters
@@ -141,6 +205,7 @@ class TextIndexStore(path: String, numParts: Int = 64,
     * surviving docs bit-for-bit (spec-asserted). */
   def delete(spark: SparkSession, ids: Seq[Long]): Unit = {
     if (ids.isEmpty) return
+    healPurge(spark)
     val fs = fsOf(spark)
     fs.mkdirs(tombDir)
     val next = fs.listStatus(tombDir).length
@@ -156,6 +221,7 @@ class TextIndexStore(path: String, numParts: Int = 64,
     * dead set stays driver-bounded like every tombstone read; follow a
     * wide retraction with [[compact]] to purge it physically. */
   def delete(spark: SparkSession, ids: DataFrame): Unit = {
+    healPurge(spark)
     val fs = fsOf(spark)
     fs.mkdirs(tombDir)
     val next = fs.listStatus(tombDir).length
@@ -305,6 +371,7 @@ class TextIndexStore(path: String, numParts: Int = 64,
     * probe: one ids-filtered two-column scan of the doc-length table,
     * never a posting read. */
   def hasDocs(spark: SparkSession, ids: Seq[Long]): Set[Long] = {
+    healPurge(spark)
     val lensPath = new Path(path, "_lens")
     if (ids.isEmpty || !fsOf(spark).exists(lensPath)) return Set.empty
     // tombstones excluded by anti-join BEFORE the collect: only the
@@ -352,14 +419,15 @@ class TextIndexStore(path: String, numParts: Int = 64,
       d = new Path(b, s"part=$p") if fs.exists(d)
     } yield d.toString
     lastPlannedDirs = dirs
+    val schema = rowSchema(spark)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        rowSchema)
-    else spark.read.schema(StructType(rowSchema.fields ++ Seq(
+        schema)
+    else spark.read.schema(StructType(schema.fields ++ Seq(
         StructField("batch", LongType), StructField("part", IntegerType))))
       .option("basePath", path).parquet(dirs: _*)
       .filter(col("term").isin(tp.map(_._1): _*))
-      .select(rowSchema.fieldNames.map(col).toSeq: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Stored df per probe term from the `_df` summaries — O(probe
@@ -418,6 +486,7 @@ class TextIndexStore(path: String, numParts: Int = 64,
   def search(spark: SparkSession, queries: DataFrame, k: Int,
              k1Milli: Long = 1200L, bMilli: Long = 750L,
              maxDfPermille: Long = 1000L): DataFrame = {
+    healPurge(spark)
     val nDead = deadInfo(spark)._1
     val (n, tot) =
       liveStats(spark, if (nDead == 0L) None else deadDf(spark))
@@ -471,6 +540,7 @@ class TextIndexStore(path: String, numParts: Int = 64,
                         k1Milli: Long = 1200L, bMilli: Long = 750L,
                         maxDfPermille: Long = 1000L): DataFrame = {
     val spark = queries.sparkSession
+    healPurge(spark)
     val nDead = deadInfo(spark)._1
     val (n, tot) =
       liveStats(spark, if (nDead == 0L) None else deadDf(spark))
@@ -505,11 +575,12 @@ class TextIndexStore(path: String, numParts: Int = 64,
     // score join, the lens projection) — without the bounded path's
     // broadcasts each branch would otherwise re-run the whole
     // postings ⋈ terms join tree
+    val schema = rowSchema(spark)
     val cand = dropDead(spark, spark.read
-      .schema(StructType(rowSchema.fields ++ Seq(
+      .schema(StructType(schema.fields ++ Seq(
         StructField("batch", LongType), StructField("part", IntegerType))))
       .option("basePath", path).parquet(dirs: _*)
-      .select(rowSchema.fieldNames.map(col).toSeq: _*))
+      .select(schema.fieldNames.map(col).toSeq: _*))
       .join(q.select("term").distinct(), "term")
       .drop("pos")
       .localCheckpoint(false)
@@ -528,6 +599,10 @@ class TextIndexStore(path: String, numParts: Int = 64,
     * p+i for every slot. Returns (doc_id, n_occ), n_occ > 0. */
   def phraseSearch(spark: SparkSession, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "phraseSearch: at least two words")
+    healPurge(spark)
+    require(positionsStored(spark),
+      s"$path was built with storePositions=false — phrase search needs " +
+        "positional postings; rebuild the index with storePositions=true")
     import spark.implicits._
     // no df-cap for phrases: a stopword inside a phrase is a REQUIRED
     // slot (positions must verify adjacency), the Lucene behavior
@@ -549,11 +624,240 @@ class TextIndexStore(path: String, numParts: Int = 64,
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- selective purge
+
+  private def purgeStage = new Path(root, "_purge_stage")
+  private def purgeDone = new Path(purgeStage, "_graft_purge_done")
+
+  /** (affected batches, untouched batches) of the last [[purge]] — the
+    * selectivity contract made observable for specs and probes. */
+  @transient @volatile var lastPurge: (Int, Int) = (0, 0)
+  /** Test hook: simulate a crash immediately after the purge's commit
+    * marker lands (staging complete, no swap performed) — the window
+    * [[healPurge]] must roll forward from. */
+  @transient private[graft] var crashAfterCommit = false
+
+  /** SELECTIVE physical purge — the maintenance the 100 TB retraction
+    * path actually wants. [[compact]] clears tombstones by rewriting
+    * the WHOLE index (it also folds batch dirs — a different job);
+    * but a retraction is usually LOCALIZED: a source leaves the
+    * corpus, and that source arrived in specific ingest batches
+    * (corpus-sync retractions are per-release batches by
+    * construction). The per-batch `_lens` doc tables pinpoint exactly
+    * which batches hold dead docs — ONE metadata-sized join — so this
+    * purge rewrites ONLY those batches' postings/`_df`/`_lens`/
+    * `_stats` and leaves every other batch's files byte-untouched
+    * (spec-pinned: paths and mtimes identical). Lucene's
+    * per-segment-delete discipline, mapped onto the batch-dir layout;
+    * the reference's consumer likewise applies deletes as bounded
+    * per-table statements, never a full-destination rewrite
+    * (pg2any-lib/src/coalescing.rs:1045-1076).
+    *
+    * Driver-free like [[compact]]: the dead set stays a DataFrame
+    * end-to-end (anti-joins); only the affected BATCH IDS collect —
+    * O(#batches) rows, metadata. Crash-safe: all staged writes land
+    * under `_purge_stage`, a commit marker records the affected
+    * batches and staged subdirs, the swap rolls FORWARD from the
+    * marker ([[healPurge]], also invoked from every serve entry at
+    * one `exists` probe), and tombstones clear only after the last
+    * swap — in every intermediate window the serve-time tombstone
+    * filter plus `_lens`-exact [[liveStats]] keep rankings identical
+    * to a fresh build over the survivors. A batch whose docs ALL died
+    * is removed outright (no empty dirs). Offline discipline like
+    * [[compact]]: no concurrent addBatch/purge.
+    *
+    * Returns (affected, untouched) batch counts. */
+  def purge(spark: SparkSession): (Int, Int) = {
+    healPurge(spark)
+    val fs = fsOf(spark)
+    val batches = batchDirs(spark)
+      .map(_.getName.stripPrefix("batch=").toLong).sorted
+    val dead = deadDf(spark).map(_.distinct().localCheckpoint(false))
+    if (dead.isEmpty || batches.isEmpty) {
+      lastPurge = (0, batches.size); return lastPurge
+    }
+    val lensRoot = new Path(path, "_lens")
+    // WHICH batches hold dead docs: one join against the per-batch doc
+    // tables — the collected result is batch IDS (≤ #batches rows),
+    // never doc ids
+    val affected: Seq[Long] =
+      if (!fs.exists(lensRoot)) batches
+      else spark.read.option("basePath", s"$path/_lens")
+        .parquet(lensRoot.toString)
+        .join(dead.get, "doc_id")
+        // partition discovery types the batch dir value as INT
+        .select(col("batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+    if (affected.isEmpty) {
+      // tombstoned ids not in the index (already purged / never added):
+      // nothing to rewrite, the tombstones are spent
+      fs.delete(tombDir, true)
+      deadCache = null
+      lastPurge = (0, batches.size)
+      return lastPurge
+    }
+    val stage = purgeStage
+    if (fs.exists(stage)) fs.delete(stage, true)
+    val fullSchema = StructType(rowSchema(spark).fields ++ Seq(
+      StructField("batch", LongType), StructField("part", IntegerType)))
+    // 1) purged postings for the affected batches only — an all-dead
+    //    batch simply produces no staged dir
+    val postDirs = affected.map(b => new Path(root, s"batch=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (postDirs.nonEmpty)
+      dropDeadDf(spark.read.schema(fullSchema)
+          .option("basePath", path).parquet(postDirs: _*), dead)
+        .repartition(col("batch"), col("part"))
+        .sortWithinPartitions("batch", "part", "term")
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
+        .parquet(stage.toString)
+    // 2) their df summaries, recomputed from the staged postings (so
+    //    the serve-time cap pricing is exact again for these batches)
+    val stagedPost = affected.map(b => new Path(stage, s"batch=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (stagedPost.nonEmpty)
+      spark.read.schema(fullSchema).option("basePath", stage.toString)
+        .parquet(stagedPost: _*)
+        .groupBy("batch", "part", "term").agg(count(lit(1)).as("df"))
+        .select(col("term"), col("df"), col("batch"), col("part"))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
+        .parquet(s"$stage/_df")
+    // 3) purged doc tables + exact per-batch stats over the survivors
+    val lensDirs = affected.map(b => new Path(lensRoot, s"batch=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (lensDirs.nonEmpty) {
+      val liveLens = dropDeadDf(
+        spark.read.option("basePath", s"$path/_lens").parquet(lensDirs: _*)
+          .select("doc_id", "dl", "batch"), dead)
+        .localCheckpoint(false)
+      liveLens.write.mode(SaveMode.Overwrite).partitionBy("batch")
+        .parquet(s"$stage/_lens")
+      liveLens.groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+        .select(col("n_docs"), col("n_tokens"), col("batch"))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch")
+        .parquet(s"$stage/_stats")
+    }
+    // 4) commit: the marker records the affected batches AND which
+    //    subdirs were staged — the swap (and any post-crash heal) is a
+    //    pure function of this manifest, so it rolls forward
+    //    idempotently: staged → promote, affected-but-unstaged
+    //    (all-dead) → delete
+    val staged = purgeSubs(affected).filter(s => fs.exists(new Path(stage, s)))
+    val out = fs.create(purgeDone, true)
+    try out.write((affected.mkString(",") + "\n" + staged.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    lastPurge = (affected.size, batches.size - affected.size)
+    if (crashAfterCommit) return lastPurge // test hook: die pre-swap
+    finishPurgeSwap(spark)
+    lastPurge
+  }
+
+  private def purgeSubs(affected: Seq[Long]): Seq[String] =
+    affected.flatMap(b => Seq(
+      s"batch=$b", s"_df/batch=$b", s"_lens/batch=$b", s"_stats/batch=$b"))
+
+  /** Complete a COMMITTED purge swap from its marker manifest —
+    * idempotent roll-forward: a staged subdir still present is
+    * promoted (delete target, rename staged in), one already renamed
+    * away is done, an affected-but-never-staged subdir (its batch
+    * died entirely) has its target removed. Tombstones clear LAST:
+    * until then every serve filters the dead set, so any crash window
+    * serves exactly. */
+  private def finishPurgeSwap(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    val stage = purgeStage
+    val in = fs.open(purgeDone)
+    val lines =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      finally in.close()
+    val affected = lines.head.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    val staged = lines.tail.filter(_.nonEmpty).toSet
+    purgeSubs(affected).foreach { sub =>
+      val tgt = new Path(path, sub)
+      val src = new Path(stage, sub)
+      if (staged(sub)) {
+        if (fs.exists(src)) { // not yet promoted
+          if (fs.exists(tgt)) fs.delete(tgt, true)
+          fs.mkdirs(tgt.getParent)
+          fs.rename(src, tgt)
+        } // else: promoted by a previous (crashed) pass — done
+      } else if (fs.exists(tgt)) fs.delete(tgt, true) // batch fully dead
+    }
+    fs.delete(tombDir, true)
+    fs.delete(stage, true)
+    deadCache = null
+  }
+
+  /** Heal an interrupted [[purge]]: committed staging (marker present)
+    * rolls forward, uncommitted staging is discarded (tombstones are
+    * still in place — serving never needed the purge for correctness).
+    * One `exists` probe when idle; called from every serve entry. */
+  private def healPurge(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    if (!fs.exists(purgeStage)) return
+    if (fs.exists(purgeDone)) finishPurgeSwap(spark)
+    else fs.delete(purgeStage, true)
+  }
+
+  /** BATCHED exact phrase retrieval — many phrases against the index in
+    * ONE plan (the phrase analog of the ANN store's batch forms).
+    * `phrases` carries (qid, slot, term): one row per phrase word,
+    * `slot` its 0-based position, one phrase per qid, length ≥ 1.
+    * Planning reads only the phrase vocabulary's part dirs (the
+    * vocabulary is driver-bounded probe data, as in [[search]]); the
+    * per-(qid, doc) adjacency check folds each candidate's ≤|phrase|
+    * position arrays into a slot map and counts the word-0 positions
+    * whose successors land in every later slot's array — the same
+    * verification as [[phraseSearch]], vectorized across phrases, with
+    * candidates bounded by docs carrying ALL the phrase's words.
+    * Returns (qid, doc_id, n_occ), n_occ > 0. */
+  def phraseSearchBatch(spark: SparkSession, phrases: DataFrame): DataFrame = {
+    healPurge(spark)
+    require(positionsStored(spark),
+      s"$path was built with storePositions=false — phrase search needs " +
+        "positional postings; rebuild the index with storePositions=true")
+    val ph = phrases.select(col("qid"), col("slot").cast("int").as("slot"),
+        col("term").cast("string").as("term"))
+      .localCheckpoint(false) // consumed by the slot count AND the join
+    val nSlots = ph.groupBy("qid")
+      .agg((max("slot") + 1).cast("int").as("n"))
+    // no df-cap, as in phraseSearch: a stopword inside a phrase is a
+    // REQUIRED positional slot
+    val post = dropDead(spark,
+      prunedPostings(spark, termParts(spark, ph.select("term").distinct())))
+      .select("term", "doc_id", "pos")
+    ph.join(post, "term")
+      .groupBy("qid", "doc_id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("pos"))))
+        .as("m"))
+      .join(nSlots, "qid")
+      // candidates = docs carrying every slot's word
+      .filter(size(map_keys(col("m"))) === col("n"))
+      .withColumn("n_occ",
+        // single-word phrase: the occurrence count is just tf (|pos|);
+        // the general form's sequence(1, n-1) would run BACKWARDS at
+        // n = 1 and probe a slot that does not exist
+        when(col("n") === 1,
+          expr("CAST(size(element_at(m, 0)) AS BIGINT)"))
+        .otherwise(expr(
+          """CAST(size(filter(element_at(m, 0), p ->
+            |  forall(sequence(1L, CAST(n AS BIGINT) - 1L), i ->
+            |    array_contains(element_at(m, CAST(i AS INT)), p + i))))
+            |AS BIGINT)""".stripMargin)))
+      .filter(col("n_occ") > 0)
+      .select("qid", "doc_id", "n_occ")
+  }
+
   /** Offline maintenance: fold all batch dirs into `batch=0` (planning
     * stops growing with trigger count). Committed-staging swap; an
     * interrupted swap rolls forward on the next call. Run with no
-    * concurrent addBatch. */
+    * concurrent addBatch. For a purge-only maintenance pass prefer
+    * [[purge]] — it rewrites only the batches that hold dead docs. */
   def compact(spark: SparkSession): Unit = {
+    healPurge(spark)
     val fs = fsOf(spark)
     val staging = new Path(root.getParent, root.getName + "._text_compact")
     val done = new Path(staging, "_graft_compact_done")
@@ -571,12 +875,14 @@ class TextIndexStore(path: String, numParts: Int = 64,
     // when this set is corpus-sized, and compact is the one operation
     // that must clear it (the AnnIndexStore.deadDf discipline)
     val dead = deadDf(spark).map(_.distinct().localCheckpoint(false))
+    val schema = rowSchema(spark)
     val folded = dropDeadDf(
-      spark.read.schema(StructType(rowSchema.fields ++ Seq(
+      spark.read.schema(StructType(schema.fields ++ Seq(
           StructField("batch", LongType), StructField("part", IntegerType))))
         .option("basePath", path).parquet(path), dead)
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
-        lit(0L).as("batch"), pmod(hash(col("term")), lit(numParts)).as("part"))
+      .select(schema.fieldNames.map(col) ++ Seq(
+        lit(0L).as("batch"),
+        pmod(hash(col("term")), lit(numParts)).as("part")): _*)
       .repartition(numParts, col("part"))
       .sortWithinPartitions("part", "term")
       .localCheckpoint(false)
@@ -622,6 +928,12 @@ class TextIndexStore(path: String, numParts: Int = 64,
     if (fs.exists(marker))
       org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
         new Path(staging, "_corpus_version"), false,
+        spark.sessionState.newHadoopConf())
+    // the position-mode marker likewise: losing it would let a handle
+    // with the other flag silently mix schemas after the compact
+    if (fs.exists(posModePath))
+      org.apache.hadoop.fs.FileUtil.copy(fs, posModePath, fs,
+        new Path(staging, "_posmode"), false,
         spark.sessionState.newHadoopConf())
     fs.create(done, true).close()
     fs.delete(root, true)

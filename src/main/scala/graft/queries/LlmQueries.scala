@@ -1702,6 +1702,55 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Post-PURGE serving: the same wide retraction as llm_bm25_retract,
+    // but cleared by the SELECTIVE physical purge before serving — only
+    // the batches holding dead docs rewrite (here both, by id parity),
+    // untouched batches keep their files (SelectivePurgeSpec pins the
+    // byte-identity; this query hash-pins the semantics). The oracle is
+    // a fresh BM25 over the survivor corpus, so "purged index ≡ fresh
+    // build, stats and df pricing slack-free again" is checked end to
+    // end through the on-disk maintenance path a nightly 100 TB release
+    // actually runs (release verb auto-trigger → store.purge).
+    "llm_bm25_purged" -> ((s, d) => {
+      import graft.llmops.TextIndexStore
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("bm25-purged")
+        .toFile.getAbsolutePath + "/idx"
+      val store = new TextIndexStore(dir, numParts = 16, serveDeadBound = 0L)
+      store.addBatch(s, docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text"), 0L)
+      store.addBatch(s, docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text"), 1L)
+      store.delete(s, docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      store.purge(s)
+      val queries = docs.filter(col("doc_id").isin(1L, 5L, 9L))
+        .select(col("doc_id").as("qid"), explode(slice(toks, 1, 6)).as("term"))
+      store.search(s, queries, k = 10, maxDfPermille = 900L)
+        .orderBy("qid", "rank")
+    }),
+
+    // BATCHED phrase retrieval: every 25th doc probes the index with a
+    // 3-word phrase from its own mid-text (tokens 4-6) — ONE plan for
+    // the whole probe set (phraseSearchBatch: slot-mapped positional
+    // join + a per-(qid, doc) adjacency fold), vs phraseSearch's
+    // one-phrase-at-a-time form. The oracle replays the exact
+    // positional adjacency count per (probe, doc) pair, so the batched
+    // candidates-carry-all-slots + successor-position verification is
+    // hash-checked end to end, index build included.
+    "llm_phrase_sweep" -> ((s, d) => {
+      import graft.llmops.TextIndexStore
+      val docs = documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("phrase-sweep")
+        .toFile.getAbsolutePath + "/idx"
+      val store = new TextIndexStore(dir, numParts = 16)
+      store.addBatch(s, docs.select("doc_id", "text"), 0L)
+      val phrases = docs
+        .filter(col("doc_id") % 25 === 0 && size(toks) >= 6)
+        .select(col("doc_id").as("qid"),
+          posexplode(slice(toks, 4, 3)).as(Seq("slot", "term")))
+      store.phraseSearchBatch(s, phrases).orderBy("qid", "doc_id")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
     // ranking and the exact embedding-cosine ranking for the same
     // probes (vec_id i is doc i's embedding): rrf = Σ 1/(60 + rank)
@@ -3967,6 +4016,23 @@ object LlmQueries {
              "WHERE doc_id % 7 <> 3")}
          |SELECT qid, rank, doc_id, score_micro FROM bmr
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "llm_bm25_purged" ->
+      s"""WITH ${bm25CtesFor("WHERE doc_id IN (1, 5, 9)", 1, 6,
+             "WHERE doc_id % 7 <> 3")}
+         |SELECT qid, rank, doc_id, score_micro FROM bmr
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "llm_phrase_sweep" ->
+      """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |ph AS (SELECT doc_id AS qid, t[4] AS w1, t[5] AS w2, t[6] AS w3
+        |       FROM ts WHERE doc_id % 25 = 0 AND len(t) >= 6),
+        |occ AS (SELECT ph.qid, ts.doc_id,
+        |    CAST(len(list_filter(range(1, len(ts.t) - 1),
+        |      i -> ts.t[i] = ph.w1 AND ts.t[i + 1] = ph.w2
+        |        AND ts.t[i + 2] = ph.w3)) AS BIGINT) AS n_occ
+        |  FROM ts, ph)
+        |SELECT qid, doc_id, n_occ FROM occ WHERE n_occ > 0
+        |ORDER BY qid, doc_id""".stripMargin,
     "llm_hybrid_rrf" ->
       s"""WITH $bm25Ctes,
          |hq AS (SELECT vec_id,

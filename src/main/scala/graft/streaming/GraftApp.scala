@@ -276,14 +276,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_ANN_SYNC_KIND lsh|ivf|ivfpq,
   *                   GRAFT_ANN_REBUILD_IF_DRIFT=<r>).
   *                   Retraction tombstones are purged physically by a
-  *                   SIZE-TRIGGERED auto-compact (pending >
+  *                   SIZE-TRIGGERED auto-trigger (pending >
   *                   GRAFT_INDEX_AUTOCOMPACT_REMOVED, default 100000,
   *                   or > GRAFT_INDEX_AUTOCOMPACT_PCT percent of
   *                   stored docs, default 10 — the df-cap's slack must
-  *                   not degrade to no-term-over-cap);
-  *                   GRAFT_RELEASE_{TEXT,ANN}_COMPACT=1 forces, =0
-  *                   disables; pending counts exported as
-  *                   graft_index_tombstones_{text,ann}
+  *                   not degrade to no-term-over-cap). The auto path
+  *                   runs the SELECTIVE purge (only batches/dirs
+  *                   holding dead rows rewrite — store.purge);
+  *                   GRAFT_RELEASE_{TEXT,ANN}_COMPACT=1 forces the
+  *                   full fold-compact, =0 disables both; pending
+  *                   counts exported as graft_index_tombstones_{text,ann}
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -816,7 +818,10 @@ object GraftApp {
           throw new IllegalArgumentException("GRAFT_TEXT_OUT is required"))
         val tParts = env.get("GRAFT_TEXT_PARTS").map(_.toInt).getOrElse(64)
         val tBatch = env.get("GRAFT_TEXT_BATCH").map(_.toLong).getOrElse(0L)
-        val tStore = new graft.llmops.TextIndexStore(outDir, tParts)
+        // GRAFT_TEXT_POSITIONS=0: position-free postings (BM25-only
+        // serving at roughly half the index bytes; phrase search off)
+        val tStore = new graft.llmops.TextIndexStore(outDir, tParts,
+          storePositions = !env.get("GRAFT_TEXT_POSITIONS").contains("0"))
         tStore.addBatch(spark, graft.llmops.SegPool.readDocs(spark, docsDir),
           tBatch)
         if (env.get("GRAFT_TEXT_COMPACT").exists(_ == "1")) tStore.compact(spark)
@@ -848,10 +853,15 @@ object GraftApp {
           s"$sOut/docs", env.get("GRAFT_RELEASE_LEASE_MS").map(_.toLong)
             .getOrElse(graft.llmops.VersionedDir.DefaultLeaseTtlMs)) { _ =>
           val rep = graft.llmops.CorpusIndexSync.sync(
-            spark, s"$sOut/docs", s"$sOut/_text_index", sParts)
+            spark, s"$sOut/docs", s"$sOut/_text_index", sParts,
+            storePositions = !env.get("GRAFT_TEXT_POSITIONS").contains("0"))
           if (env.get("GRAFT_TEXT_COMPACT").contains("1"))
             new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
               .compact(spark)
+          else if (env.get("GRAFT_TEXT_PURGE").contains("1"))
+            // selective: only the batches holding dead docs rewrite
+            new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
+              .purge(spark)
           rep
         }
         Seq(s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
@@ -878,6 +888,9 @@ object GraftApp {
               .getOrElse(graft.llmops.Similarity.DefaultIvfClusters))
           if (env.get("GRAFT_ANN_COMPACT").contains("1"))
             new graft.llmops.AnnIndexStore(s"$aOut/_ann_index").compact(spark)
+          else if (env.get("GRAFT_ANN_PURGE").contains("1"))
+            // selective: only the dirs holding dead rows rewrite
+            new graft.llmops.AnnIndexStore(s"$aOut/_ann_index").purge(spark)
           // drift-gated IVF rebuild, same knob as the ann-index verb: an
           // lsh-kind store never records drift, so the check is a no-op
           val drift = env.get("GRAFT_ANN_REBUILD_IF_DRIFT")
@@ -2234,16 +2247,25 @@ object GraftApp {
               .getOrElse(64)
             lastIndexSync = Some(staged("text_index") {
               graft.llmops.CorpusIndexSync.sync(
-                spark, docsRoot, s"$relOut/_text_index", tiParts)
+                spark, docsRoot, s"$relOut/_text_index", tiParts,
+                // GRAFT_TEXT_POSITIONS=0 seeds a position-free index
+                // (the store's _posmode marker rules once built)
+                storePositions = !env.get("GRAFT_TEXT_POSITIONS")
+                  .contains("0"))
             })
             val tStore =
               new graft.llmops.TextIndexStore(s"$relOut/_text_index", tiParts)
             val tPending = tStore.tombstoneCount(spark)
             graft.llmops.IndexMetrics.set(
               "graft_index_tombstones_text", tPending.toDouble)
-            if (compactDue(env.get("GRAFT_RELEASE_TEXT_COMPACT"),
-                tPending, tStore.stats(spark)._1)) {
-              staged("text_compact")(tStore.compact(spark))
+            // explicit =1 forces the full fold-compact; the AUTO
+            // pressure trigger runs the SELECTIVE purge instead —
+            // only the batches holding dead docs rewrite, the rest of
+            // the index stays byte-untouched (TextIndexStore.purge)
+            val tFlag = env.get("GRAFT_RELEASE_TEXT_COMPACT")
+            if (compactDue(tFlag, tPending, tStore.stats(spark)._1)) {
+              if (tFlag.contains("1")) staged("text_compact")(tStore.compact(spark))
+              else staged("text_purge")(tStore.purge(spark))
               graft.llmops.IndexMetrics.set("graft_index_tombstones_text", 0.0)
             }
           }
@@ -2269,9 +2291,13 @@ object GraftApp {
             val aPending = aStore.tombstoneCount(spark)
             graft.llmops.IndexMetrics.set(
               "graft_index_tombstones_ann", aPending.toDouble)
-            if (compactDue(env.get("GRAFT_RELEASE_ANN_COMPACT"),
-                aPending, aStore.vectorCount(spark))) {
-              staged("ann_compact")(aStore.compact(spark))
+            // same split as the text side: explicit =1 → full
+            // fold-compact, auto pressure trigger → selective purge
+            // (only the dirs holding dead rows rewrite)
+            val aFlag = env.get("GRAFT_RELEASE_ANN_COMPACT")
+            if (compactDue(aFlag, aPending, aStore.vectorCount(spark))) {
+              if (aFlag.contains("1")) staged("ann_compact")(aStore.compact(spark))
+              else staged("ann_purge")(aStore.purge(spark))
               graft.llmops.IndexMetrics.set("graft_index_tombstones_ann", 0.0)
             }
             // drift-gated IVF rebuild inside the nightly release (same

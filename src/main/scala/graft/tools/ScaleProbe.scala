@@ -864,6 +864,65 @@ object ScaleProbe {
         .filter(col("doc_id") % 10 === 0).count()
       require(wDead == 0, s"purged docs still in the postings: $wDead")
     }
+    // SELECTIVE purge vs full compact at the SAME retraction: when the
+    // dead docs are confined to one ingest batch of ten (the common
+    // shape — a source leaves, and sources arrive in specific release
+    // batches), purge must cost O(affected batch) — it rewrites ONE
+    // batch's postings/df/lens/stats and leaves the other nine
+    // byte-untouched — while compact rewrites the whole index. Same
+    // survivors, bit-identical ranking (required below).
+    locally {
+      val corpus = relCorpus(20000, 200000).select("doc_id", "text")
+        .localCheckpoint(true)
+      val pDir = relDir("selpurge") + "/idx"
+      val cDir = relDir("selcompact") + "/idx"
+      val pIdx = new graft.llmops.TextIndexStore(pDir, 64, serveDeadBound = 0L)
+      val cIdx = new graft.llmops.TextIndexStore(cDir, 64, serveDeadBound = 0L)
+      (0 until 10).foreach { b =>
+        val part = corpus.filter(col("doc_id") % 10 === b)
+        pIdx.addBatch(spark, part, b)
+        cIdx.addBatch(spark, part, b)
+      }
+      val deadW = corpus.filter(col("doc_id") % 10 === 7).select("doc_id")
+      pIdx.delete(spark, deadW)
+      cIdx.delete(spark, deadW)
+      t0 = System.nanoTime()
+      val (aff, unt) = pIdx.purge(spark)
+      val purgeSecs = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      cIdx.compact(spark)
+      val compactSecs = (System.nanoTime() - t0) / 1e9
+      println(f"text-index SELECTIVE purge (2k dead confined to 1 of 10 " +
+        f"batches): purge=$purgeSecs%.1f s ($aff batch rewritten, $unt " +
+        f"untouched) vs full compact=$compactSecs%.1f s " +
+        f"(x${compactSecs / math.max(purgeSecs, 0.001)}%.1f)")
+      require(aff == 1 && unt == 9, s"selectivity: ($aff, $unt)")
+      val qp = corpus.filter(col("doc_id").isin(200003L, 200015L))
+        .select(col("doc_id").as("qid"),
+          explode(expr("slice(split(text, ' '), 12, 3)")).as("term"))
+        .localCheckpoint(true)
+      def rows(ix: graft.llmops.TextIndexStore) =
+        ix.search(spark, qp, k = 10, maxDfPermille = 900L).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSeq.sorted
+      require(rows(pIdx) == rows(cIdx),
+        "selective purge and full compact must serve identically")
+      // the ANN sibling: a 5-id retraction touches ≤5 of 64 vector part
+      // dirs (ids hash straight to their dirs — zero discovery reads)
+      // plus only the bucket dirs holding those ids; everything else
+      // stays byte-untouched (SelectivePurgeSpec pins the inventory)
+      val aDir = relDir("annselp") + "/idx"
+      val aIdx = new graft.llmops.AnnIndexStore(aDir, serveDeadBound = 0L)
+      aIdx.writeLsh(relCorpus(20000, 200000).select("doc_id", "embedding"),
+        idCol = "doc_id")
+      aIdx.delete(spark, Seq(200011L, 200012L, 200013L, 200014L, 200016L))
+      t0 = System.nanoTime()
+      val (aAff, aUnt) = aIdx.purge(spark)
+      println(f"ann-index SELECTIVE purge (5 dead of 20k): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"($aAff dirs rewritten, $aUnt untouched)")
+      require(aAff < aUnt, s"a 5-id purge must leave most dirs: ($aAff, $aUnt)")
+    }
 
     spark.stop()
   }
