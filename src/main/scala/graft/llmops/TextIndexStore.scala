@@ -743,28 +743,129 @@ class TextIndexStore(path: String, numParts: Int = 64,
     //    pure function of this manifest, so it rolls forward
     //    idempotently: staged → promote, affected-but-unstaged
     //    (all-dead) → delete
-    val staged = purgeSubs(affected).filter(s => fs.exists(new Path(stage, s)))
-    val out = fs.create(purgeDone, true)
-    try out.write((affected.mkString(",") + "\n" + staged.mkString("\n"))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    commitSwapMarker(spark, affected, clearTombs = true)
     lastPurge = (affected.size, batches.size - affected.size)
     if (crashAfterCommit) return lastPurge // test hook: die pre-swap
     finishPurgeSwap(spark)
     lastPurge
   }
 
+  /** Write the staged-swap commit marker: whether the swap retires the
+    * tombstones (purge: yes — the dead are physically gone everywhere;
+    * fold: no — unfolded batches may still hold dead docs), the
+    * affected batch ids, and which of their subdirs were staged. */
+  private def commitSwapMarker(spark: SparkSession, affected: Seq[Long],
+                               clearTombs: Boolean): Unit = {
+    val fs = fsOf(spark)
+    val staged = purgeSubs(affected)
+      .filter(s => fs.exists(new Path(purgeStage, s)))
+    val out = fs.create(purgeDone, true)
+    try out.write(((if (clearTombs) "clear" else "keep") + "\n" +
+        affected.mkString(",") + "\n" + staged.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** (folded batches, kept batches) of the last [[fold]]. */
+  @transient @volatile var lastFold: (Int, Int) = (0, 0)
+
+  /** TIERED batch fold — the LSM answer to batch-count growth. The
+    * release sync appends ONE batch per version, so a year of nightly
+    * releases leaves hundreds of `batch=` dirs in every serve plan;
+    * [[compact]]'s remedy rewrites the WHOLE index. This fold merges
+    * only the SMALLEST batches (sizes from directory metadata, zero
+    * data reads) into one batch dir until at most `keepBatches`
+    * remain, leaving every large batch's files byte-untouched — the
+    * rewrite cost is the folded bytes, which a small-batches-first
+    * policy keeps near the minimum possible. The merged dir takes the
+    * LARGEST folded id, so the crashed-sync invariant (`batch id >
+    * synced version ⟺ uncommitted attempt`,
+    * [[reclaimBatchesAbove]]) survives folding.
+    *
+    * Pending tombstones are NOT cleared (unfolded batches may still
+    * hold dead docs) — but the folded subset is purged in passing
+    * (anti-join; its `_df`/`_lens`/`_stats` rebuilt live-exact), which
+    * only tightens the serve-time df-cap slack. Same committed-staging
+    * manifest + roll-forward heal as [[purge]]; offline discipline as
+    * [[compact]]. Returns (folded, kept) batch counts. */
+  def fold(spark: SparkSession, keepBatches: Int): (Int, Int) = {
+    require(keepBatches >= 1, s"keepBatches must be >= 1: $keepBatches")
+    healPurge(spark)
+    val fs = fsOf(spark)
+    val dirs = batchDirs(spark)
+    if (dirs.size <= keepBatches) {
+      lastFold = (0, dirs.size); return lastFold
+    }
+    val sized = dirs.map(p =>
+      (p.getName.stripPrefix("batch=").toLong,
+        fs.getContentSummary(p).getLength))
+    // fold the smallest (size - keep + 1) batches into ONE
+    val folded = sized.sortBy { case (id, len) => (len, id) }
+      .take(sized.size - keepBatches + 1).map(_._1).sorted
+    val target = folded.max
+    val dead = deadDf(spark).map(_.distinct().localCheckpoint(false))
+    val stage = purgeStage
+    if (fs.exists(stage)) fs.delete(stage, true)
+    val fullSchema = StructType(rowSchema(spark).fields ++ Seq(
+      StructField("batch", LongType), StructField("part", IntegerType)))
+    // merged postings under the target id — tombstoned docs of the
+    // folded subset drop in passing (their stats rebuild below)
+    val postDirs = folded.map(b => new Path(root, s"batch=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (postDirs.nonEmpty)
+      dropDeadDf(spark.read.schema(fullSchema)
+          .option("basePath", path).parquet(postDirs: _*), dead)
+        .select(rowSchema(spark).fieldNames.map(col) ++ Seq(
+          lit(target).as("batch"),
+          pmod(hash(col("term")), lit(numParts)).as("part")): _*)
+        .repartition(numParts, col("part"))
+        .sortWithinPartitions("part", "term")
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
+        .parquet(stage.toString)
+    val stagedTarget = new Path(stage, s"batch=$target")
+    if (fs.exists(stagedTarget))
+      spark.read.schema(fullSchema).option("basePath", stage.toString)
+        .parquet(stagedTarget.toString)
+        .groupBy("batch", "part", "term").agg(count(lit(1)).as("df"))
+        .select(col("term"), col("df"), col("batch"), col("part"))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
+        .parquet(s"$stage/_df")
+    val lensDirs = folded.map(b => new Path(path, s"_lens/batch=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (lensDirs.nonEmpty) {
+      val liveLens = dropDeadDf(
+        spark.read.option("basePath", s"$path/_lens").parquet(lensDirs: _*)
+          .select("doc_id", "dl"), dead)
+        .withColumn("batch", lit(target))
+        .localCheckpoint(false)
+      liveLens.write.mode(SaveMode.Overwrite).partitionBy("batch")
+        .parquet(s"$stage/_lens")
+      liveLens.groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+        .select(col("n_docs"), col("n_tokens"), col("batch"))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch")
+        .parquet(s"$stage/_stats")
+    }
+    commitSwapMarker(spark, folded, clearTombs = false)
+    lastFold = (folded.size, sized.size - folded.size)
+    if (crashAfterCommit) return lastFold // test hook: die pre-swap
+    finishPurgeSwap(spark)
+    lastFold
+  }
+
   private def purgeSubs(affected: Seq[Long]): Seq[String] =
     affected.flatMap(b => Seq(
       s"batch=$b", s"_df/batch=$b", s"_lens/batch=$b", s"_stats/batch=$b"))
 
-  /** Complete a COMMITTED purge swap from its marker manifest —
-    * idempotent roll-forward: a staged subdir still present is
-    * promoted (delete target, rename staged in), one already renamed
-    * away is done, an affected-but-never-staged subdir (its batch
-    * died entirely) has its target removed. Tombstones clear LAST:
-    * until then every serve filters the dead set, so any crash window
-    * serves exactly. */
+  /** Complete a COMMITTED staged swap ([[purge]] or [[fold]]) from its
+    * marker manifest — idempotent roll-forward: a staged subdir still
+    * present is promoted (delete target, rename staged in), one
+    * already renamed away is done, an affected-but-never-staged subdir
+    * (its batch died entirely, or was folded into another id) has its
+    * target removed. Tombstones clear LAST and only when the marker
+    * says so (purge: the dead are physically gone everywhere; fold:
+    * unfolded batches may still hold dead docs): until then every
+    * serve filters the dead set, so any crash window serves exactly. */
   private def finishPurgeSwap(spark: SparkSession): Unit = {
     val fs = fsOf(spark)
     val stage = purgeStage
@@ -773,8 +874,9 @@ class TextIndexStore(path: String, numParts: Int = 64,
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
       finally in.close()
-    val affected = lines.head.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-    val staged = lines.tail.filter(_.nonEmpty).toSet
+    val clearTombs = lines.head == "clear"
+    val affected = lines(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    val staged = lines.drop(2).filter(_.nonEmpty).toSet
     purgeSubs(affected).foreach { sub =>
       val tgt = new Path(path, sub)
       val src = new Path(stage, sub)
@@ -784,9 +886,9 @@ class TextIndexStore(path: String, numParts: Int = 64,
           fs.mkdirs(tgt.getParent)
           fs.rename(src, tgt)
         } // else: promoted by a previous (crashed) pass — done
-      } else if (fs.exists(tgt)) fs.delete(tgt, true) // batch fully dead
+      } else if (fs.exists(tgt)) fs.delete(tgt, true) // dead or folded away
     }
-    fs.delete(tombDir, true)
+    if (clearTombs) fs.delete(tombDir, true)
     fs.delete(stage, true)
     deadCache = null
   }

@@ -862,6 +862,9 @@ object GraftApp {
             // selective: only the batches holding dead docs rewrite
             new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
               .purge(spark)
+          env.get("GRAFT_TEXT_FOLD_BATCHES").map(_.toInt).foreach(n =>
+            new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
+              .fold(spark, n))
           rep
         }
         Seq(s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
@@ -2267,6 +2270,14 @@ object GraftApp {
               if (tFlag.contains("1")) staged("text_compact")(tStore.compact(spark))
               else staged("text_purge")(tStore.purge(spark))
               graft.llmops.IndexMetrics.set("graft_index_tombstones_text", 0.0)
+            }
+            // GRAFT_TEXT_FOLD_BATCHES=N: tiered batch fold — when the
+            // per-release sync batches exceed N, merge the SMALLEST
+            // down to N dirs (large batches stay byte-untouched), so
+            // serve planning stays bounded across years of nightly
+            // releases without compact's full rewrite
+            env.get("GRAFT_TEXT_FOLD_BATCHES").map(_.toInt).foreach { n =>
+              staged("text_fold")(tStore.fold(spark, n))
             }
           }
           // GRAFT_RELEASE_ANN_INDEX=1: the vector-side sibling — keep
