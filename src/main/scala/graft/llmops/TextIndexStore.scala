@@ -924,13 +924,54 @@ class TextIndexStore(path: String, numParts: Int = 64,
     val ph = phrases.select(col("qid"), col("slot").cast("int").as("slot"),
         col("term").cast("string").as("term"))
       .localCheckpoint(false) // consumed by the slot count AND the join
-    val nSlots = ph.groupBy("qid")
-      .agg((max("slot") + 1).cast("int").as("n"))
     // no df-cap, as in phraseSearch: a stopword inside a phrase is a
     // REQUIRED positional slot
     val post = dropDead(spark,
       prunedPostings(spark, termParts(spark, ph.select("term").distinct())))
       .select("term", "doc_id", "pos")
+    phraseAdjacency(ph, post)
+  }
+
+  /** CORPUS-SIZED batched phrase retrieval — the phrase sibling of
+    * [[searchDistributed]]: when the phrase set is itself a corpus
+    * (every doc probing its own n-grams — contamination sweeps, exact
+    * span audits), [[phraseSearchBatch]]'s driver-collected term
+    * pruning is the scale limit, so this form keeps everything on the
+    * cluster: ONE scan of the positional postings term-joined against
+    * the distinct phrase words (shuffle joins, no driver term list —
+    * row-group term min/max still skips inside files), then the SAME
+    * per-(qid, doc) slot-map adjacency fold. Results are identical to
+    * [[phraseSearchBatch]] over the same phrases (spec-pinned). */
+  def phraseSearchDistributed(phrases: DataFrame): DataFrame = {
+    val spark = phrases.sparkSession
+    healPurge(spark)
+    require(positionsStored(spark),
+      s"$path was built with storePositions=false — phrase search needs " +
+        "positional postings; rebuild the index with storePositions=true")
+    val ph = phrases.select(col("qid"), col("slot").cast("int").as("slot"),
+        col("term").cast("string").as("term"))
+      .localCheckpoint(false)
+    val dirs = batchDirs(spark).map(_.toString)
+    if (dirs.isEmpty)
+      return ph.select(col("qid")).limit(0)
+        .withColumn("doc_id", lit(0L)).withColumn("n_occ", lit(0L))
+    val schema = rowSchema(spark)
+    val post = dropDead(spark, spark.read
+        .schema(StructType(schema.fields ++ Seq(
+          StructField("batch", LongType), StructField("part", IntegerType))))
+        .option("basePath", path).parquet(dirs: _*)
+        .select("term", "doc_id", "pos"))
+      .join(ph.select("term").distinct(), "term")
+    phraseAdjacency(ph, post)
+  }
+
+  /** The shared adjacency tail of both batched phrase forms: fold each
+    * candidate's ≤|phrase| position arrays into a slot map, keep docs
+    * carrying ALL slots, count word-0 positions whose successors land
+    * in every later slot's array. */
+  private def phraseAdjacency(ph: DataFrame, post: DataFrame): DataFrame = {
+    val nSlots = ph.groupBy("qid")
+      .agg((max("slot") + 1).cast("int").as("n"))
     ph.join(post, "term")
       .groupBy("qid", "doc_id")
       .agg(map_from_entries(collect_list(struct(col("slot"), col("pos"))))

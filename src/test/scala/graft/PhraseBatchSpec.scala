@@ -61,6 +61,11 @@ class PhraseBatchSpec extends SparkSpecBase {
     // every probe self-matches
     probeIds.foreach(p => assert(batch.exists(r => r._1 == p && r._2 == p),
       s"probe $p must match itself"))
+    // the corpus-sized form (no driver term list) returns the same rows
+    val dist = store.phraseSearchDistributed(phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(dist == batch,
+      "phraseSearchDistributed must match phraseSearchBatch exactly")
     // retraction: a tombstoned doc leaves every phrase's result
     val victim = batch.head._2
     store.delete(spark, Seq(victim))
@@ -68,6 +73,9 @@ class PhraseBatchSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(after == batch.filterNot(_._2 == victim),
       "tombstoned docs must drop from the batched results")
+    assert(store.phraseSearchDistributed(phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      == after, "the distributed form honors tombstones too")
     docs.unpersist()
   }
 }
