@@ -65,6 +65,38 @@ object Bench {
     "cdc_scd2", "cdc_time_travel", "llm_pack_spans", "llm_bm25",
     "llm_hybrid_rrf", "llm_phrase")
 
+  /** Honest-run history from the previous artifact: its `honest_runs`
+    * list if present, else its own `run_secs` when it was NOT
+    * load-warned. The load-warning norm is the MIN over this window —
+    * comparing against just the previous run_secs let one contaminated
+    * artifact (2.4× the norm in round 14) raise the bar for its
+    * successor, silently blessing a moderately-loaded run. */
+  private[graft] def honestRuns(prevJson: Option[String]): Seq[Double] =
+    prevJson.toSeq.flatMap { txt =>
+      val listed = "\"honest_runs\":\\[([0-9.,Ee+-]*)\\]".r
+        .findFirstMatchIn(txt)
+        .map(_.group(1).split(",").filter(_.nonEmpty).toSeq
+          .flatMap(s => scala.util.Try(s.toDouble).toOption))
+      listed.getOrElse {
+        val warned = "\"load_warning\":(true|false)".r
+          .findFirstMatchIn(txt).exists(_.group(1) == "true")
+        if (warned) Seq.empty
+        else "\"run_secs\":([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).toSeq
+      }
+    }
+
+  /** This run is suspect when it took >2× the best recent honest run. */
+  private[graft] def loadWarn(honest: Seq[Double], runSecs: Double): Boolean =
+    honest.nonEmpty && runSecs > 2.0 * honest.min
+
+  /** Roll the honest window forward: a clean run joins it (last 5 kept,
+    * so a genuinely slower machine ages the old fast norm out), a
+    * load-warned run never does. */
+  private[graft] def nextHonestRuns(honest: Seq[Double], runSecs: Double,
+                                    loaded: Boolean): Seq[Double] =
+    (if (loaded) honest else honest :+ runSecs).takeRight(5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -157,25 +189,32 @@ object Bench {
       .map(_._2).filter(_ >= 0).sum
     val totalAll = results.map(_._2).filter(_ >= 0).sum
     val remJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Load warning: compare this run's wall clock to the previous
-    // committed artifact's — a machine busy with other work inflates
-    // the whole sweep (the round-13 artifact ran 2.5× its norm and its
-    // numbers were garbage). The warning goes to stderr AND rides the
-    // artifact, so a gate reading it knows the evidence is suspect.
+    // Load warning: compare this run's wall clock to the MIN of the
+    // last few honest (not-load-warned) runs — a machine busy with
+    // other work inflates the whole sweep (the round-13 artifact ran
+    // 2.5× its norm and its numbers were garbage). Comparing against
+    // just the previous artifact let one contaminated run raise the
+    // bar 2.4× for its successor; the honest-runs window keeps the
+    // norm honest (and ages out after 5 runs, so a genuinely slower
+    // machine eventually stops warning). The warning goes to stderr
+    // AND rides the artifact, so a gate reading it knows the evidence
+    // is suspect.
     val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")).toAbsolutePath
-    val prevRunSecs = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(outPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      "\"run_secs\":([0-9.]+)".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
-    } catch { case _: Throwable => None }
-    val loaded = prevRunSecs.exists(p => runSecs > 2.0 * p)
+    val prevJson = try Some(new String(
+      java.nio.file.Files.readAllBytes(outPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => None }
+    val honest = honestRuns(prevJson)
+    val loaded = loadWarn(honest, runSecs)
     if (loaded) System.err.println(
-      f"bench: LOAD WARNING — run took $runSecs%.0f s vs previous " +
-        f"${prevRunSecs.get}%.0f s (>2x): this machine was busy, do not " +
-        "trust these numbers for a regression gate")
+      f"bench: LOAD WARNING — run took $runSecs%.0f s vs best recent " +
+        f"honest run ${honest.min}%.0f s (>2x): this machine was busy, " +
+        "do not trust these numbers for a regression gate")
+    val honestJson = nextHonestRuns(honest, runSecs, loaded)
+      .map(v => f"$v%.1f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"remeasured":$remJson,"run_secs":$runSecs%.1f,"load_warning":$loaded,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"remeasured":$remJson,"run_secs":$runSecs%.1f,"load_warning":$loaded,"honest_runs":$honestJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the artifact as a FILE (atomic rename), so a stdout
     // capture that keeps only the tail can never truncate the queries

@@ -193,14 +193,21 @@ final class AnnIndexStore(root: String,
     * metadata-sized job, never an id collect. */
   def tombstoneCount(spark: SparkSession): Long = deadInfo(spark)._1
 
-  /** Serve-path tombstone filter: an IN-set exclusion on the memoized
+  /** Serve-path tombstone filter: a broadcast anti-join on the memoized
     * bounded dead list (a no-op when nothing is tombstoned), or a
     * distributed anti-join when the pending dead set exceeds the bound
-    * (wide retraction awaiting its compact). */
+    * (wide retraction awaiting its compact). The bounded arm is a
+    * one-column broadcast DataFrame, NOT an `isin` literal list: at the
+    * ServeDeadBound ceiling an In over ~1M Literal children is built and
+    * serialized on the driver for every serve plan, while the broadcast
+    * ships the same ids once as data ([[TextIndexStore]]'s form). */
   private def dropDead(spark: SparkSession, df: DataFrame): DataFrame =
     deadInfo(spark) match {
       case (0L, _) => df
-      case (_, Some(s)) => df.filter(!col("vec_id").isin(s.toSeq: _*))
+      case (_, Some(s)) =>
+        import spark.implicits._
+        df.join(broadcast(s.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
+          .select(df.columns.map(col).toSeq: _*)
       case (_, None) => dropDeadDf(df, deadDf(spark))
     }
 

@@ -651,7 +651,7 @@ class TextIndexStore(path: String, numParts: Int = 64,
     * per-segment-delete discipline, mapped onto the batch-dir layout;
     * the reference's consumer likewise applies deletes as bounded
     * per-table statements, never a full-destination rewrite
-    * (pg2any-lib/src/coalescing.rs:1045-1076).
+    * (pg2any-lib/src/destinations/coalescing.rs:1045-1076).
     *
     * Driver-free like [[compact]]: the dead set stays a DataFrame
     * end-to-end (anti-joins); only the affected BATCH IDS collect —
@@ -720,6 +720,13 @@ class TextIndexStore(path: String, numParts: Int = 64,
         .parquet(stagedPost: _*)
         .groupBy("batch", "part", "term").agg(count(lit(1)).as("df"))
         .select(col("term"), col("df"), col("batch"), col("part"))
+        // re-key on the write partitions: the groupBy leaves each
+        // shuffle partition holding terms of EVERY (batch, part), so a
+        // bare partitionBy write would spray ~#shuffle-partitions small
+        // files into every part dir — breaking addBatch's
+        // one-file-per-part discipline that storedDf's pruned reads rely
+        // on (hash on the composite key lands each dir in one task)
+        .repartition(col("batch"), col("part"))
         .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
         .parquet(s"$stage/_df")
     // 3) purged doc tables + exact per-batch stats over the survivors
@@ -828,6 +835,8 @@ class TextIndexStore(path: String, numParts: Int = 64,
         .parquet(stagedTarget.toString)
         .groupBy("batch", "part", "term").agg(count(lit(1)).as("df"))
         .select(col("term"), col("df"), col("batch"), col("part"))
+        // one file per part dir, as in [[purge]]'s df rebuild
+        .repartition(col("batch"), col("part"))
         .write.mode(SaveMode.Overwrite).partitionBy("batch", "part")
         .parquet(s"$stage/_df")
     val lensDirs = folded.map(b => new Path(path, s"_lens/batch=$b"))

@@ -2,6 +2,11 @@ package graft
 
 import java.nio.file.Files
 import graft.llmops.{AnnIndexStore, TextIndexStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 
 /** Wide-retraction scale contract for BOTH serving indexes: the
@@ -145,6 +150,66 @@ class WideRetractionSpec extends SparkSpecBase {
     val post = store.lshTopK(spark, probeId = 6L, k = 1000)
       .collect().map(_.getLong(0))
     assert(post.toSeq == served.toSeq, "post-compact serve must be identical")
+  }
+
+  test("AnnIndexStore bounded serve filter: a broadcast anti-join, never " +
+      "a dead-set-sized In literal list") {
+    import spark.implicits._
+    def executed(df: DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      // descend into AQE query stages and reused exchanges too — the
+      // join under test materializes behind them
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => p.children
+      }
+      (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val df = (0L until 2400L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("ann-bounded-plan")
+      .toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root) // default bound: memoized-set path
+    store.writeLsh(df)
+    // 2000 pending dead ids — bounded (under the 1M default), but far
+    // past anything a per-plan literal In should ever carry: at the 1M
+    // ceiling the old `isin` form built and serialized a million
+    // Literal children on the driver for EVERY serve plan
+    store.delete(spark, spark.range(400L, 2400L).select($"id".as("vec_id")))
+    val rows = store.lshTopK(spark, probeId = 6L, k = 10).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) < 400L),
+      "dead candidates must not serve")
+    // the driver-bounded form's dead filter runs in its internal
+    // candidate job; the distributed batch form keeps the WHOLE serve
+    // lazy, so its returned plan carries the filter — assert there
+    val served = store.lshTopKBatchDistributed(
+      Seq(6L, 8L).toDF("vec_id"), k = 10)
+    val batchRows = served.collect()
+    assert(batchRows.nonEmpty &&
+      batchRows.forall(_.getLong(1) < 400L), "dead served in batch form")
+    val ps = nodes(executed(served))
+    assert(ps.exists {
+      case b: BroadcastHashJoinExec => b.joinType.toString == "LeftAnti"
+      case _ => false
+    }, "the bounded dead filter must ride as a broadcast LeftAnti join:\n" +
+      executed(served).toString.take(4000))
+    // probe bucket-ball/ids IN-lists are query-bounded and stay; the
+    // DEAD set must never appear as one
+    val bigIns = ps.flatMap(_.expressions).flatMap(_.collect {
+      case i: In if i.list.size > 1000 => s"In(${i.list.size})"
+      case s: InSet if s.hset.size > 1000 => s"InSet(${s.hset.size})"
+    })
+    assert(bigIns.isEmpty,
+      s"dead-set-sized IN literals in the serve plan: $bigIns")
   }
 
   test("AnnIndexStore tombstone fold: AQE-sized (no single-task funnel) " +
