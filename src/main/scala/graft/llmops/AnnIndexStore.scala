@@ -1342,12 +1342,20 @@ final class AnnIndexStore(root: String,
       .parquet(stage.toString)
     // commit: the marker records affected dirs AND which were staged —
     // the swap (or a post-crash heal) is a pure function of it: staged
-    // promotes, affected-but-unstaged (every row died) deletes
+    // promotes, affected-but-unstaged (every row died) deletes. ATOMIC
+    // as in TextIndexStore.commitSwapMarker: temp write + rename is the
+    // commit point (a torn marker read as committed could delete a
+    // LIVE dir whose rel path was truncated), and the '#end' terminator
+    // lets the read side reject a torn legacy manifest as uncommitted.
     val staged = affected.filter(rel => fs.exists(new Path(stage, rel)))
-    val out = fs.create(purgeDoneOf(stage), true)
-    try out.write((affected.mkString(",") + "\n" + staged.mkString("\n"))
-      .getBytes(UTF_8))
+    val tmp = new Path(stage, "_graft_purge_done.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(((affected.mkString(",") +: staged) :+ "#end")
+      .mkString("\n").getBytes(UTF_8))
     finally out.close()
+    if (fs.exists(purgeDoneOf(stage))) fs.delete(purgeDoneOf(stage), false)
+    require(fs.rename(tmp, purgeDoneOf(stage)),
+      s"purge commit rename failed for layout $name")
     if (crashAfterCommit) return (affected.size, all.size - affected.size)
     finishLayoutSwap(spark, name)
     (affected.size, all.size - affected.size)
@@ -1362,8 +1370,14 @@ final class AnnIndexStore(root: String,
     val in = fs.open(purgeDoneOf(stage))
     val lines = try new String(in.readAllBytes(), UTF_8).split("\n").toSeq
       finally in.close()
+    // a manifest without the terminator (0-byte / torn legacy write) is
+    // NOT a commit: discard the staging instead of rolling it forward —
+    // tombstones are intact, so serving never needed this swap
+    if (lines.size < 2 || lines.last != "#end") {
+      fs.delete(stage, true); return
+    }
     val affected = lines.head.split(",").filter(_.nonEmpty).toSeq
-    val staged = lines.tail.filter(_.nonEmpty).toSet
+    val staged = lines.tail.dropRight(1).filter(_.nonEmpty).toSet
     affected.foreach { rel =>
       val tgt = new Path(dir, rel)
       val src = new Path(stage, rel)

@@ -65,7 +65,15 @@ class TextIndexStore(path: String, numParts: Int = 64,
 
   /** Whether THIS store's postings carry positions — the disk marker
     * (written by the first addBatch) is the truth for an existing
-    * index; the constructor flag only seeds a fresh one. Memoized: the
+    * index; when the marker is ABSENT but batch dirs exist (an index
+    * built before the marker existed), the mode is INFERRED from the
+    * stored schema itself (a `pos` column in any batch ⇒ positional):
+    * letting the constructor flag decide there would serve a positional
+    * legacy index as position-free the day a deployment flips
+    * GRAFT_TEXT_POSITIONS=0 — refusing phraseSearch despite positions
+    * on disk, and worse, stamping `_posmode=0` at the next addBatch so
+    * the next compact silently DROPS every stored position. The
+    * constructor flag only seeds a truly empty index. Memoized: the
     * mode of an index never changes after its first batch. */
   @transient @volatile private var posModeCache: java.lang.Boolean = _
   private def positionsStored(spark: SparkSession): Boolean = {
@@ -73,12 +81,16 @@ class TextIndexStore(path: String, numParts: Int = 64,
     if (c != null) return c.booleanValue()
     val fs = fsOf(spark)
     val mode =
-      if (!fs.exists(posModePath)) storePositions
-      else {
+      if (fs.exists(posModePath)) {
         val in = fs.open(posModePath)
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim == "1"
         finally in.close()
+      } else batchDirs(spark) match {
+        case Seq() => storePositions
+        case dirs => // legacy index: the footer schema is the truth
+          spark.read.parquet(dirs.head.toString)
+            .schema.fieldNames.contains("pos")
       }
     posModeCache = java.lang.Boolean.valueOf(mode)
     mode
@@ -134,22 +146,24 @@ class TextIndexStore(path: String, numParts: Int = 64,
                textCol: String = "text", idCol: String = "doc_id"): Unit = {
     healPurge(spark)
     val fs = fsOf(spark)
-    // position mode is fixed at the FIRST batch: the disk marker is the
-    // truth thereafter — a handle opened with the other flag fails fast
-    // instead of silently writing a mixed-schema index
-    if (fs.exists(posModePath))
-      require(positionsStored(spark) == storePositions,
-        s"$path was built with storePositions=${positionsStored(spark)}; " +
-          s"this handle says $storePositions — position mode is fixed at " +
-          "the first batch")
-    else {
+    // position mode is fixed at the FIRST batch: the disk state — the
+    // marker, or for a pre-marker legacy index the stored schema
+    // itself — is the truth thereafter; a handle opened with the other
+    // flag fails fast instead of silently writing a mixed-schema index
+    // (or, for a legacy index, stamping the wrong mode and letting the
+    // next compact drop every stored position)
+    val withPos = positionsStored(spark)
+    require(withPos == storePositions,
+      s"$path was built with storePositions=$withPos; " +
+        s"this handle says $storePositions — position mode is fixed at " +
+        "the first batch")
+    if (!fs.exists(posModePath)) {
       val out = fs.create(posModePath, true)
-      try out.write((if (storePositions) "1" else "0")
+      try out.write((if (withPos) "1" else "0")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      posModeCache = java.lang.Boolean.valueOf(storePositions)
+      posModeCache = java.lang.Boolean.valueOf(withPos)
     }
-    val withPos = positionsStored(spark)
     val post = postingsOf(docs, textCol, idCol, withPos).localCheckpoint(false)
     fs.delete(new Path(path, s"batch=$batchId"), true)
     post
@@ -760,17 +774,33 @@ class TextIndexStore(path: String, numParts: Int = 64,
   /** Write the staged-swap commit marker: whether the swap retires the
     * tombstones (purge: yes — the dead are physically gone everywhere;
     * fold: no — unfolded batches may still hold dead docs), the
-    * affected batch ids, and which of their subdirs were staged. */
+    * affected batch ids, and which of their subdirs were staged.
+    *
+    * ATOMIC: the manifest lands at a temp path and RENAMES into place —
+    * the rename is the commit point. The marker's existence means
+    * "committed", so a torn write must be impossible: a crash mid-write
+    * of a direct create would leave a 0-byte marker (every serve's
+    * healPurge then throws parsing it — store unserveable) or a
+    * truncated affected-id ("12" torn to "1") that the roll-forward
+    * would act on by deleting a LIVE batch dir as affected-but-unstaged.
+    * The `#end` terminator guards the read side independently:
+    * [[finishPurgeSwap]] treats a manifest without it as uncommitted
+    * staging and discards it, never rolls it forward. */
   private def commitSwapMarker(spark: SparkSession, affected: Seq[Long],
                                clearTombs: Boolean): Unit = {
     val fs = fsOf(spark)
     val staged = purgeSubs(affected)
       .filter(s => fs.exists(new Path(purgeStage, s)))
-    val out = fs.create(purgeDone, true)
-    try out.write(((if (clearTombs) "clear" else "keep") + "\n" +
-        affected.mkString(",") + "\n" + staged.mkString("\n"))
+    val lines = Seq(if (clearTombs) "clear" else "keep",
+      affected.mkString(",")) ++ staged :+ "#end"
+    val tmp = new Path(purgeStage, "_graft_purge_done.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(purgeDone)) fs.delete(purgeDone, false)
+    require(fs.rename(tmp, purgeDone),
+      s"purge commit rename failed: $tmp -> $purgeDone")
   }
 
   /** (folded batches, kept batches) of the last [[fold]]. */
@@ -883,9 +913,21 @@ class TextIndexStore(path: String, numParts: Int = 64,
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
       finally in.close()
+    // manifest validation: only a complete, terminator-carrying,
+    // parseable manifest is a commit. Anything else (a 0-byte or torn
+    // marker from a legacy non-atomic writer, a corrupted file) is
+    // treated as UNCOMMITTED staging and discarded — tombstones are
+    // still in place, so serving never depended on this swap; rolling
+    // a torn manifest forward could instead delete live batch dirs.
+    val affectedOpt =
+      if (lines.size < 3 || lines.last != "#end" ||
+          !Set("clear", "keep")(lines.head)) None
+      else scala.util.Try(
+        lines(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq).toOption
+    if (affectedOpt.isEmpty) { fs.delete(stage, true); return }
     val clearTombs = lines.head == "clear"
-    val affected = lines(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-    val staged = lines.drop(2).filter(_.nonEmpty).toSet
+    val affected = affectedOpt.get
+    val staged = lines.drop(2).dropRight(1).filter(_.nonEmpty).toSet
     purgeSubs(affected).foreach { sub =>
       val tgt = new Path(path, sub)
       val src = new Path(stage, sub)

@@ -150,6 +150,84 @@ class SelectivePurgeSpec extends SparkSpecBase {
     assert(reopened.tombstoneCount(spark) == 0L)
   }
 
+  test("a torn commit marker (0-byte or truncated) is discarded as " +
+      "uncommitted staging — never rolled forward") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("text-purge-torn")
+      .toFile.getAbsolutePath + "/idx"
+    val docs = (0L until 40L).map(i => (i, s"tt v${i}a v${i}b"))
+      .toDF("doc_id", "text")
+    val store = new TextIndexStore(dir, numParts = 8)
+    store.addBatch(spark, docs.filter(col("doc_id") < 20), 0)
+    store.addBatch(spark, docs.filter(col("doc_id") >= 20), 1)
+    // rare per-doc terms: "tt" rides every doc and the 900-permille
+    // df-cap would drop it
+    val q = Seq(("q", "v3a"), ("q", "v25a")).toDF("qid", "term")
+    val before = hits(store, q)
+    assert(before.map(_._3).toSet == Set(3L, 25L))
+    val liveInv = inventory(new java.io.File(dir, "batch=1"))
+    // CRASH SIMULATION 1: a 0-byte marker (writer died right at the
+    // create) inside a stage left behind — the pre-atomic writer could
+    // leave exactly this; every serve entry heals, so a parse throw
+    // here would make the store unserveable until manual cleanup
+    val stage = new java.io.File(dir, "_purge_stage")
+    assert(stage.mkdirs())
+    assert(new java.io.File(stage, "_graft_purge_done").createNewFile())
+    val served0 = hits(new TextIndexStore(dir, numParts = 8), q)
+    assert(served0 == before, "serve must heal past a 0-byte marker")
+    assert(!stage.exists(), "0-byte-marker staging must be discarded")
+    // CRASH SIMULATION 2: a truncated manifest whose affected-id list
+    // tore ("12" -> "1", terminator lost). Rolling it forward would
+    // delete LIVE batch=1 as affected-but-unstaged — silent data loss.
+    assert(stage.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(stage, "_graft_purge_done").toPath,
+      "clear\n1".getBytes("UTF-8"))
+    val served1 = hits(new TextIndexStore(dir, numParts = 8), q)
+    assert(served1 == before, "serve must heal past a torn manifest")
+    assert(!stage.exists(), "torn-manifest staging must be discarded")
+    assert(inventory(new java.io.File(dir, "batch=1")) == liveInv,
+      "a torn manifest must never delete a live batch dir")
+    // ...and a REAL purge on the same store still commits atomically
+    // (manifest rename + terminator) and completes
+    store.delete(spark, Seq(25L))
+    assert(store.purge(spark) == ((1, 1)))
+    val after = hits(new TextIndexStore(dir, numParts = 8), q)
+    assert(after.nonEmpty && !after.exists(_._3 == 25L))
+  }
+
+  test("AnnIndexStore: a torn layout marker is discarded, live dirs " +
+      "survive, serving heals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val df = (0L until 80L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("ann-purge-torn")
+      .toFile.getAbsolutePath + "/idx"
+    val store = new AnnIndexStore(root)
+    store.writeLsh(df)
+    val before = store.lshTopK(spark, probeId = 6L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val vecInv = inventory(new java.io.File(root, "vectors"))
+    // 0-byte marker in a leftover vectors stage: the heal at the next
+    // tombstone load must discard it, not throw or roll forward
+    val stage = new java.io.File(root, "_purge_vectors")
+    assert(stage.mkdirs())
+    assert(new java.io.File(stage, "_graft_purge_done").createNewFile())
+    val healed = new AnnIndexStore(root)
+    healed.delete(spark, Seq(79L)) // forces the tombstone-load heal path
+    val served = healed.lshTopK(spark, probeId = 6L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!stage.exists(), "torn ANN staging must be discarded")
+    assert(inventory(new java.io.File(root, "vectors")) == vecInv,
+      "a torn layout marker must never touch live dirs")
+    assert(served.nonEmpty && !served.contains(79L) &&
+      served.filterNot(_ == 79L) == before.filterNot(_ == 79L)
+        .take(served.size),
+      s"healed serve must match pre-crash minus the delete: " +
+        s"$before -> $served")
+  }
+
   test("AnnIndexStore purge (lsh): only dirs holding dead rows rewrite; " +
       "serve parity; tombstones cleared") {
     import spark.implicits._

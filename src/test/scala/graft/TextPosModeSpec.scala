@@ -99,4 +99,44 @@ class TextPosModeSpec extends SparkSpecBase {
     }
     assert(err2.getMessage.contains("storePositions=false"))
   }
+
+  test("legacy index without a _posmode marker: the mode is inferred " +
+      "from the stored schema, never the handle's flag") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("posmode-legacy")
+      .toFile.getAbsolutePath + "/idx"
+    val docs = (0L until 30L).map(i => (i, s"leg a${i}p a${i}q"))
+      .toDF("doc_id", "text")
+    new TextIndexStore(dir, numParts = 8).addBatch(spark, docs, 0)
+    // simulate a pre-marker index: the batch dirs carry positions but
+    // no _posmode file exists (built before the marker was introduced)
+    assert(new java.io.File(dir, "_posmode").delete())
+    // a deployment that has since flipped GRAFT_TEXT_POSITIONS=0 opens
+    // it with storePositions=false — the stored schema must win: the
+    // index still serves phrases...
+    val flipped = new TextIndexStore(dir, numParts = 8,
+      storePositions = false)
+    val hits = flipped.phraseSearch(spark, Seq("leg", "a4p"))
+      .collect().map(_.getLong(0))
+    assert(hits.toSeq == Seq(4L),
+      "a positional legacy index must keep serving phrases")
+    // ...and the mismatched handle must FAIL an append instead of
+    // stamping _posmode=0 (which would let the next compact silently
+    // drop every stored position)
+    val err = intercept[IllegalArgumentException] {
+      flipped.addBatch(spark, Seq((100L, "leg zz1 zz2"))
+        .toDF("doc_id", "text"), 1)
+    }
+    assert(err.getMessage.contains("position mode is fixed"), err.getMessage)
+    assert(!new java.io.File(dir, "_posmode").exists(),
+      "a refused append must not stamp the marker")
+    // a matching handle appends fine and re-stamps the inferred mode
+    val right = new TextIndexStore(dir, numParts = 8)
+    right.addBatch(spark, Seq((100L, "leg zz1 zz2")).toDF("doc_id", "text"), 1)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_posmode").toPath)).trim
+    assert(marker == "1", s"re-stamped marker must be positional: $marker")
+    assert(right.phraseSearch(spark, Seq("zz1", "zz2")).collect()
+      .map(_.getLong(0)).toSeq == Seq(100L))
+  }
 }
