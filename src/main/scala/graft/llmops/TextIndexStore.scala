@@ -2,6 +2,7 @@ package graft.llmops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -397,6 +398,10 @@ class TextIndexStore(path: String, numParts: Int = 64,
       deadDf(spark))
       .collect().map(_.getLong(0)).toSet
   }
+
+  /** Number of `batch=` dirs in the serve plan — the release verb's
+    * auto-fold trigger reads this (one directory listing, no data). */
+  def batchCount(spark: SparkSession): Int = batchDirs(spark).size
 
   /** (N docs, total tokens) over every batch — a #batches-row read. */
   def stats(spark: SparkSession): (Long, Long) = {
@@ -972,15 +977,20 @@ class TextIndexStore(path: String, numParts: Int = 64,
     require(positionsStored(spark),
       s"$path was built with storePositions=false — phrase search needs " +
         "positional postings; rebuild the index with storePositions=true")
+    import spark.implicits._
     val ph = phrases.select(col("qid"), col("slot").cast("int").as("slot"),
         col("term").cast("string").as("term"))
       .localCheckpoint(false) // consumed by the slot count AND the join
     // no df-cap, as in phraseSearch: a stopword inside a phrase is a
-    // REQUIRED positional slot
-    val post = dropDead(spark,
-      prunedPostings(spark, termParts(spark, ph.select("term").distinct())))
-      .select("term", "doc_id", "pos")
-    phraseAdjacency(ph, post)
+    // REQUIRED positional slot — but the READ/shuffle volume is bounded
+    // rarest-slot-first below, so the stopword's corpus-sized posting
+    // list never rides a shuffle with its position arrays
+    val tp = termParts(spark, ph.select("term").distinct())
+    val pruned = prunedPostings(spark, tp)
+    phraseRarestFirst(spark, ph,
+      postIds = dropDead(spark, pruned.select("term", "doc_id")),
+      postPos = pruned.select("term", "doc_id", "pos"),
+      dfPrice = storedDf(spark, tp).toSeq.toDF("term", "df"))
   }
 
   /** CORPUS-SIZED batched phrase retrieval — the phrase sibling of
@@ -1007,28 +1017,98 @@ class TextIndexStore(path: String, numParts: Int = 64,
       return ph.select(col("qid")).limit(0)
         .withColumn("doc_id", lit(0L)).withColumn("n_occ", lit(0L))
     val schema = rowSchema(spark)
-    val post = dropDead(spark, spark.read
-        .schema(StructType(schema.fields ++ Seq(
-          StructField("batch", LongType), StructField("part", IntegerType))))
-        .option("basePath", path).parquet(dirs: _*)
-        .select("term", "doc_id", "pos"))
+    val full = spark.read
+      .schema(StructType(schema.fields ++ Seq(
+        StructField("batch", LongType), StructField("part", IntegerType))))
+      .option("basePath", path).parquet(dirs: _*)
+    // ids restricted to the phrase vocabulary by a SHUFFLE join (no
+    // driver term list — the contract of this form); the position
+    // column is read only by the survivor fetch inside the shared tail
+    val postIds = dropDead(spark, full.select("term", "doc_id"))
       .join(ph.select("term").distinct(), "term")
-    phraseAdjacency(ph, post)
+    phraseRarestFirst(spark, ph,
+      postIds = postIds,
+      postPos = full.select("term", "doc_id", "pos"),
+      dfPrice = dfSummaryAll(spark))
   }
 
-  /** The shared adjacency tail of both batched phrase forms: fold each
-    * candidate's ≤|phrase| position arrays into a slot map, keep docs
-    * carrying ALL slots, count word-0 positions whose successors land
-    * in every later slot's array. */
-  private def phraseAdjacency(ph: DataFrame, post: DataFrame): DataFrame = {
+  /** Per-term stored df over ALL batches as a DataFrame — the
+    * distributed (vocabulary-sized, never collected) sibling of
+    * [[storedDf]], for the corpus-sized phrase form's slot pricing. */
+  private def dfSummaryAll(spark: SparkSession): DataFrame = {
+    val dfRoot = new Path(path, "_df")
+    if (!fsOf(spark).exists(dfRoot))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("term", StringType),
+          StructField("df", LongType))))
+    else spark.read
+      .schema("term STRING, df BIGINT, batch BIGINT, part INT")
+      .option("basePath", s"$path/_df").parquet(dfRoot.toString)
+      .groupBy("term").agg(sum("df").as("df"))
+  }
+
+  /** The shared RAREST-SLOT-FIRST tail of both batched phrase forms —
+    * Lucene's df-ordered conjunction mapped onto the batch layout.
+    * Phrases are df-cap-exempt by design (a stopword inside a phrase is
+    * a REQUIRED positional slot), so a naive plan that joins every
+    * slot's full posting list WITH its position arrays before the
+    * adjacency fold shuffles Σ_phrase Σ_slot df(term) pos-array rows —
+    * the one serving shape whose worst case was not locality-bounded at
+    * 100×. Instead:
+    *
+    *   1. price each phrase's slots from the `_df` summary (stored df:
+    *      an upper bound while deletes are pending — a pure ordering
+    *      HEURISTIC, any order is correct);
+    *   2. candidates = ids-only postings of each phrase's RAREST slot —
+    *      Σ_phrase min_slot df rows, no `pos` read or moved;
+    *   3. verify the remaining slots by ids only, with the posting read
+    *      restricted to the candidate docs map-side (broadcast when the
+    *      candidate set is bounded): a stopword slot contributes its
+    *      candidate-doc rows, never its corpus df;
+    *   4. fetch position arrays ONLY for the surviving (qid, doc) pairs
+    *      and run the slot-map adjacency fold on them.
+    *
+    * The broadcast/shuffle choice is decided by ONE count of the
+    * candidate set ([[TextIndexStore.PhraseBroadcastBound]]); above the
+    * bound every restriction stays a distributed join — same results,
+    * spec-pinned. */
+  private def phraseRarestFirst(spark: SparkSession, ph: DataFrame,
+                                postIds: DataFrame, postPos: DataFrame,
+                                dfPrice: DataFrame): DataFrame = {
     val nSlots = ph.groupBy("qid")
       .agg((max("slot") + 1).cast("int").as("n"))
-    ph.join(post, "term")
+    val ranked = ph.join(dfPrice, Seq("term"), "left")
+      .na.fill(0L, Seq("df")) // a term absent from the index: df 0 —
+                              // its (empty) slot is the cheapest anchor
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("df"), col("slot"))))
+      .localCheckpoint(false)
+    val cand = postIds
+      .join(ranked.filter(col("rnk") === 1).select("qid", "term"), "term")
+      .select("qid", "doc_id")
+      .localCheckpoint(false)
+    val b: DataFrame => DataFrame =
+      if (cand.count() <= TextIndexStore.PhraseBroadcastBound) broadcast
+      else identity
+    val rest = ranked.filter(col("rnk") > 1).select("qid", "slot", "term")
+    val found = postIds.join(b(cand.select("doc_id").distinct()), "doc_id")
+      .join(rest, "term")
+      .join(b(cand), Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id").agg(countDistinct("slot").as("f"))
+    val survivors = cand.join(nSlots, "qid")
+      .join(found, Seq("qid", "doc_id"), "left")
+      .filter(coalesce(col("f"), lit(0L)) === col("n").cast("long") - 1L)
+      .select("qid", "doc_id")
+      .localCheckpoint(false)
+    postPos.join(b(survivors.select("doc_id").distinct()), "doc_id")
+      .join(ph, "term")
+      .join(b(survivors), Seq("qid", "doc_id"), "left_semi")
       .groupBy("qid", "doc_id")
       .agg(map_from_entries(collect_list(struct(col("slot"), col("pos"))))
         .as("m"))
       .join(nSlots, "qid")
-      // candidates = docs carrying every slot's word
+      // belt-and-braces: survivors carry all slots by construction
       .filter(size(map_keys(col("m"))) === col("n"))
       .withColumn("n_occ",
         // single-word phrase: the occurrence count is just tf (|pos|);
@@ -1145,4 +1225,20 @@ object TextIndexStore {
     * anti-joins the tombstone dirs distributed instead, so no
     * retraction width can ever materialize on the driver. */
   val DefaultServeDeadBound = 1000000L
+
+  /** Default serve-plan batch-dir bound for the release verb's
+    * AUTO-fold (GRAFT_TEXT_FOLD_BATCHES overrides, =0 opts out): each
+    * release sync appends one batch dir, and without a default a year
+    * of nightly releases on default config leaves ~365 dirs in every
+    * serve plan. 32 keeps planning flat while the smallest-first fold
+    * policy keeps the rewrite cost near minimum. */
+  val DefaultFoldBatches = 32
+
+  /** Phrase candidate sets at or under this many (qid, doc) rows ride
+    * the rarest-slot-first plan as BROADCASTS (the remaining-slot and
+    * position fetches then filter map-side — zero corpus-volume
+    * shuffles); above it every restriction stays a distributed join —
+    * identical results, spec-pinned. ~16 bytes/row: the ceiling is a
+    * ~16 MB broadcast, comfortably under executor budgets. */
+  val PhraseBroadcastBound = 1000000L
 }

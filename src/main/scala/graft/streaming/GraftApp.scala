@@ -144,8 +144,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   corpus' CURRENT version: manifest-diff
   *                   incremental (untouched segments never read),
   *                   rebuild fallback once the synced version left
-  *                   retention; GRAFT_TEXT_COMPACT=1 purges tombstones
-  *                   — the standalone form of GRAFT_RELEASE_TEXT_INDEX=1
+  *                   retention; GRAFT_TEXT_COMPACT=1 purges tombstones;
+  *                   batch dirs AUTO-fold past GRAFT_TEXT_FOLD_AUTO_MAX
+  *                   (32; GRAFT_TEXT_FOLD_BATCHES=N forces, =0 opts
+  *                   out) — the standalone form of
+  *                   GRAFT_RELEASE_TEXT_INDEX=1
   *     ann-index-sync  bring a release root's vector index
   *                   (`<GRAFT_RELEASE_OUT>/_ann_index`) up to the
   *                   corpus' CURRENT version: same manifest diff over
@@ -286,6 +289,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                   GRAFT_RELEASE_{TEXT,ANN}_COMPACT=1 forces the
   *                   full fold-compact, =0 disables both; pending
   *                   counts exported as graft_index_tombstones_{text,ann}
+  *                   — LIVE callback gauges read at scrape time, so a
+  *                   delete between releases moves the value with no
+  *                   verb running; text batch dirs auto-fold past
+  *                   GRAFT_TEXT_FOLD_AUTO_MAX (32) as in text-index-sync
   *     project-bootstrap  (re)build every GRAFT_PROJECTIONS-declared
   *                   projection from its base replica's snapshot — how
   *                   a projection is added to an existing warehouse
@@ -702,6 +709,25 @@ object GraftApp {
   private def dfCapPermille(env: Map[String, String]): Long =
     env.get("GRAFT_TEXT_DFCAP_PERMILLE").map(_.toLong).getOrElse(600L)
 
+  /** The tiered-fold bound for a synced text index — the shared knob
+    * pattern of the release verb and the standalone sync verb:
+    * GRAFT_TEXT_FOLD_BATCHES=N forces the bound, =0 opts out, UNSET
+    * auto-folds once the serve plan's batch-dir count exceeds
+    * GRAFT_TEXT_FOLD_AUTO_MAX (default
+    * [[graft.llmops.TextIndexStore.DefaultFoldBatches]]) — default-on
+    * with opt-out, like the tombstone auto-purge. `batchCount` is only
+    * evaluated on the auto path (one directory listing). */
+  private def textFoldBound(env: Map[String, String],
+                            batchCount: => Int): Option[Int] =
+    env.get("GRAFT_TEXT_FOLD_BATCHES").map(_.toInt) match {
+      case Some(0) => None // explicit opt-out
+      case Some(n) => Some(n)
+      case None =>
+        val cap = env.get("GRAFT_TEXT_FOLD_AUTO_MAX").map(_.toInt)
+          .getOrElse(graft.llmops.TextIndexStore.DefaultFoldBatches)
+        if (batchCount > cap) Some(cap) else None
+    }
+
   /** OFFLINE maintenance: run the env-selected verbs (class doc lists
     * them) and return one human-readable summary line per action taken.
     * Every verb already carries its own crash-safety (committed-staging
@@ -862,9 +888,10 @@ object GraftApp {
             // selective: only the batches holding dead docs rewrite
             new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
               .purge(spark)
-          env.get("GRAFT_TEXT_FOLD_BATCHES").map(_.toInt).foreach(n =>
+          val foldStore =
             new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
-              .fold(spark, n))
+          textFoldBound(env, foldStore.batchCount(spark))
+            .foreach(n => foldStore.fold(spark, n))
           rep
         }
         Seq(s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
@@ -2259,8 +2286,15 @@ object GraftApp {
             val tStore =
               new graft.llmops.TextIndexStore(s"$relOut/_text_index", tiParts)
             val tPending = tStore.tombstoneCount(spark)
-            graft.llmops.IndexMetrics.set(
-              "graft_index_tombstones_text", tPending.toDouble)
+            // LIVE gauge: evaluated at scrape time over a fresh handle,
+            // so the exported pressure tracks deletes landing BETWEEN
+            // releases instead of freezing at this verb's reading (the
+            // read is the store's memoized metadata-sized count)
+            val tiPath = s"$relOut/_text_index"
+            graft.llmops.IndexMetrics.gauge("graft_index_tombstones_text") {
+              new graft.llmops.TextIndexStore(tiPath, tiParts)
+                .tombstoneCount(spark).toDouble
+            }
             // explicit =1 forces the full fold-compact; the AUTO
             // pressure trigger runs the SELECTIVE purge instead —
             // only the batches holding dead docs rewrite, the rest of
@@ -2269,16 +2303,19 @@ object GraftApp {
             if (compactDue(tFlag, tPending, tStore.stats(spark)._1)) {
               if (tFlag.contains("1")) staged("text_compact")(tStore.compact(spark))
               else staged("text_purge")(tStore.purge(spark))
-              graft.llmops.IndexMetrics.set("graft_index_tombstones_text", 0.0)
             }
-            // GRAFT_TEXT_FOLD_BATCHES=N: tiered batch fold — when the
-            // per-release sync batches exceed N, merge the SMALLEST
-            // down to N dirs (large batches stay byte-untouched), so
-            // serve planning stays bounded across years of nightly
-            // releases without compact's full rewrite
-            env.get("GRAFT_TEXT_FOLD_BATCHES").map(_.toInt).foreach { n =>
-              staged("text_fold")(tStore.fold(spark, n))
-            }
+            // Tiered batch fold — when the per-release sync batches
+            // exceed the bound, merge the SMALLEST down to it (large
+            // batches stay byte-untouched), so serve planning stays
+            // bounded across years of nightly releases without
+            // compact's full rewrite. DEFAULT-ON with opt-out, like the
+            // auto-purge: GRAFT_TEXT_FOLD_BATCHES=N forces the bound,
+            // =0 opts out, UNSET folds once the dir count exceeds
+            // GRAFT_TEXT_FOLD_AUTO_MAX (default 32) — a year of nightly
+            // releases on default config must not leave ~365 batch dirs
+            // in every serve plan
+            textFoldBound(env, tStore.batchCount(spark))
+              .foreach(n => staged("text_fold")(tStore.fold(spark, n)))
           }
           // GRAFT_RELEASE_ANN_INDEX=1: the vector-side sibling — keep
           // the ANN serving index (`_ann_index` beside `docs/`) in sync
@@ -2300,8 +2337,12 @@ object GraftApp {
             })
             val aStore = new graft.llmops.AnnIndexStore(s"$relOut/_ann_index")
             val aPending = aStore.tombstoneCount(spark)
-            graft.llmops.IndexMetrics.set(
-              "graft_index_tombstones_ann", aPending.toDouble)
+            // LIVE gauge, as on the text side
+            val annPath = s"$relOut/_ann_index"
+            graft.llmops.IndexMetrics.gauge("graft_index_tombstones_ann") {
+              new graft.llmops.AnnIndexStore(annPath)
+                .tombstoneCount(spark).toDouble
+            }
             // same split as the text side: explicit =1 → full
             // fold-compact, auto pressure trigger → selective purge
             // (only the dirs holding dead rows rewrite)
@@ -2309,7 +2350,6 @@ object GraftApp {
             if (compactDue(aFlag, aPending, aStore.vectorCount(spark))) {
               if (aFlag.contains("1")) staged("ann_compact")(aStore.compact(spark))
               else staged("ann_purge")(aStore.purge(spark))
-              graft.llmops.IndexMetrics.set("graft_index_tombstones_ann", 0.0)
             }
             // drift-gated IVF rebuild inside the nightly release (same
             // knob as the ann-index verb; no-op for lsh-kind stores)

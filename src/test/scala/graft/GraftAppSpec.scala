@@ -2502,6 +2502,14 @@ class GraftAppSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$out/_text_index").select("doc_id")
       .filter(org.apache.spark.sql.functions.col("doc_id").isin(2L, 5L))
       .isEmpty)
+    // LIVE gauges: a delete landing BETWEEN releases moves the scraped
+    // value immediately — no verb runs, the callback reads the store's
+    // current tombstone count at snapshot time
+    new TextIndexStore(s"$out/_text_index", 64).delete(spark, Seq(1L))
+    new AnnIndexStore(s"$out/_ann_index").delete(spark, Seq(3L))
+    val m2 = IndexMetrics.metricsSnapshot()
+    assert(m2.get("graft_index_tombstones_text").contains(1.0), s"$m2")
+    assert(m2.get("graft_index_tombstones_ann").contains(1.0), s"$m2")
   }
 
   test("staged-rebuild promote is reader-safe: every crash state of the " +

@@ -78,4 +78,47 @@ class PhraseBatchSpec extends SparkSpecBase {
       == after, "the distributed form honors tombstones too")
     docs.unpersist()
   }
+
+  test("rarest-slot-first: a planted stopword slot never shuffles its " +
+      "corpus-sized posting list") {
+    import spark.implicits._
+    // every doc carries the stopword "zz" SIX times (heavy pos arrays);
+    // "rarewordq" lives in exactly two docs, once adjacent to zz
+    val n = 4000
+    val docs = (0L until n.toLong).map { i =>
+      val rare = if (i == 7L) "rarewordq zz" else s"f${i}a f${i}b"
+      (i, s"zz zz zz zz zz $rare")
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("phrase-rarest")
+      .toFile.getAbsolutePath + "/idx"
+    val store = new TextIndexStore(dir, numParts = 8)
+    store.addBatch(spark, docs, 0)
+    val phrases = Seq((1L, 0, "rarewordq"), (1L, 1, "zz"))
+      .toDF("qid", "slot", "term")
+    // count the rows every shuffle in the serve actually moves — the
+    // scale contract a correctness diff cannot see: the old plan
+    // joined the stopword's FULL posting list (with pos arrays) into
+    // the adjacency fold, shuffling >= n rows; rarest-first bounds the
+    // shuffled volume by the rare slot's df plus survivor rows
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val rows =
+      try {
+        val r = store.phraseSearchBatch(spark, phrases).collect()
+        awaitQuiet(recs.get().toInt) // listener bus is async
+        r
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 7L, 1L)), "the planted adjacency must be found")
+    assert(recs.get() < n / 4,
+      s"phrase serve shuffled ${recs.get()} rows — the stopword slot's " +
+        s"posting list (df=$n) must not ride a shuffle")
+  }
 }
