@@ -605,6 +605,39 @@ object ScaleProbe {
     println(f"text search: top-5 ${tiTop.mkString(",")} in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
       f"(${tiStore.lastPlannedDirs.size} part dirs planned of 64)")
+
+    // STOPWORD-BEARING phrase sweep at corpus volume: every phrase
+    // pairs "zz" (df = corpus size — phrases are df-cap-exempt, a
+    // stopword is a REQUIRED positional slot) with a unique anchor
+    // token. The rarest-slot-first plan must anchor candidates on the
+    // unique slot and fetch position arrays only for survivors — the
+    // stopword's corpus-sized posting list never rides a shuffle
+    // (PhraseBatchSpec pins the shuffled-row bound; this row times the
+    // shape at 20k docs × 2000 phrases).
+    locally {
+      val pn = 20000
+      val phDocs = spark.range(pn).select(col("id").as("doc_id"),
+        expr("""concat('zz head', CAST(id AS STRING),
+                ' zz tail', CAST(id AS STRING), ' zz zz filler')""")
+          .as("text"))
+      val phDir = java.nio.file.Files.createTempDirectory("scale-phrase")
+        .toFile.getAbsolutePath + "/idx"
+      val phIdx = new graft.llmops.TextIndexStore(phDir, numParts = 64)
+      phIdx.addBatch(spark, phDocs, 0)
+      val phr = spark.range(2000).select(col("id").as("qid"),
+          posexplode(array(lit("zz"),
+            concat(lit("head"), col("id").cast("string")))))
+        .toDF("qid", "slot", "term")
+      t0 = System.nanoTime()
+      val sweep = phIdx.phraseSearchDistributed(phr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val sweepSecs = (System.nanoTime() - t0) / 1e9
+      require(sweep.length == 2000 &&
+        sweep.forall { case (q, d, n) => q == d && n == 1L },
+        s"each phrase must match exactly its own doc: got ${sweep.length}")
+      println(f"phrase sweep (2000 stopword-bearing phrases over 20k " +
+        f"docs, distributed rarest-slot-first): $sweepSecs%.1f s")
+    }
     // release verb END-TO-END: a cold release over a 20k-doc corpus,
     // then (1) a +1% adds-only incremental and (2) a removal
     // incremental — per-stage wall times (delta_detect / apply_delta /
@@ -796,6 +829,106 @@ object ScaleProbe {
         "GRAFT_HYBRID_PROBES" -> "self", "GRAFT_HYBRID_OUT" -> hybOut))
       println(f"hybrid sweep (self = every live vector, both tiers): " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s — ${hl.head}")
+    }
+    // IVF-PQ SYNCED-STORE drift → recall: the standalone drift row
+    // above calibrates the rebuild gate on a hand-built IVF store; this
+    // row walks the path production actually runs —
+    // CorpusIndexSync.syncAnn(kind=ivfpq) across DRIFTING releases
+    // (appends assign + code against the frozen centroids/codebooks),
+    // then the sync verb's GRAFT_ANN_REBUILD_IF_DRIFT rebuild — and
+    // requires recall@10 restored, so the knob's ~1.02 default stays
+    // evidence-based end-to-end on the release path.
+    locally {
+      def ivfCorpus(n: Long, offset: Long, drifted: Boolean) = {
+        // base docs: unstructured per-doc random vectors (every doc
+        // its own direction — like real embedding corpora, and what
+        // keeps the lowest-id k-means seeding representative). Drifted
+        // docs: 32 hash-random mode centers FARTHER OUT than anything
+        // the frozen build saw, plus noise — same-mode neighbors (the
+        // cosine ground truth) SCATTER across the frozen clusters, so
+        // bounded-nprobe recall genuinely degrades until the rebuild
+        // re-clusters (the standalone drift row's geometry, walked
+        // through the release path)
+        val signal =
+          if (!drifted) "0.0"
+          else
+            s"(CAST(conv(substr(md5(concat('m', " +
+              s"CAST((id + $offset) % 32 AS STRING), '_', " +
+              "CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % 8000 " +
+              "- 4000) / 1000.0"
+        val noiseScale = if (drifted) 4000 else 4000
+        spark.range(n).select((col("id") + offset).as("doc_id"),
+          lit("probe").as("source"),
+          expr(s"""concat('the quick brown fox and the lazy dog of the old town ',
+            concat_ws(' ', transform(sequence(0, 29), p ->
+              concat('vtok', CAST(CAST(conv(substr(md5(concat(
+                CAST(id + $offset AS STRING),
+                '_v_', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)
+                % 50000 AS STRING)))))""").as("text"),
+          expr(s"""transform(sequence(0, 15), j -> CAST($signal +
+            (CAST(conv(substr(md5(concat(CAST(id + $offset AS STRING),
+              '_w_', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT)
+              % $noiseScale - ${noiseScale / 2}) / 1000.0 AS FLOAT))""")
+            .as("embedding"))
+      }
+      val ivfOut = relDir("ivfpq") + "/rel"
+      def annSync(extra: (String, String)*): Seq[String] =
+        GraftApp.maintenance(spark, Map(
+          "GRAFT_MAINTENANCE" -> "ann-index-sync",
+          "GRAFT_RELEASE_OUT" -> ivfOut,
+          "GRAFT_ANN_SYNC_KIND" -> "ivfpq",
+          "GRAFT_ANN_SYNC_CLUSTERS" -> "64") ++ extra)
+      val ivfRaw1 = relDir("ivfraw1")
+      ivfCorpus(4000, 0, drifted = false)
+        .write.mode("overwrite").parquet(ivfRaw1)
+      GraftApp.maintenance(spark, relEnv ++ Map(
+        "GRAFT_RELEASE_OUT" -> ivfOut, "GRAFT_RELEASE_DOCS" -> ivfRaw1))
+      t0 = System.nanoTime()
+      annSync()
+      println(f"ann-index sync cold (4k docs ivfpq rebuild): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // two drifting releases: each appends 1000 two-hot docs
+      (1 to 2).foreach { r =>
+        val raw = relDir(s"ivfraw${r + 1}")
+        ivfCorpus(4000, 0, drifted = false)
+          .unionByName(ivfCorpus(r * 1000L, 100000L, drifted = true))
+          .write.mode("overwrite").parquet(raw)
+        GraftApp.maintenance(spark, relEnv ++ Map(
+          "GRAFT_RELEASE_OUT" -> ivfOut, "GRAFT_RELEASE_DOCS" -> raw))
+        annSync()
+      }
+      def recall(np: Int): Double = {
+        val st = new graft.llmops.AnnIndexStore(s"$ivfOut/_ann_index")
+        val probes = (100000L until 100030L).toSeq
+        // the ivfpq serve path: ADC shortlist + exact rerank; the
+        // exhaustive arm probes ALL clusters with the same shortlist,
+        // so the recall delta isolates the cluster pruning the drift
+        // gate protects
+        def top(n: Int): Map[Long, Set[Long]] =
+          st.pqTopKBatchDistributed(probes.toDF("vec_id"), k = 10,
+              nprobe = n, shortlist = 100)
+            .select("pid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+            .view.mapValues(_.map(_._2).toSet).toMap
+        val (ap, ex) = (top(np), top(64))
+        probes.map(p => (ap.getOrElse(p, Set.empty) intersect
+          ex.getOrElse(p, Set.empty)).size / 10.0).sum / probes.size
+      }
+      val recPre = recall(4)
+      t0 = System.nanoTime()
+      val rebLines = annSync("GRAFT_ANN_REBUILD_IF_DRIFT" -> "1.02")
+      val rebSecs = (System.nanoTime() - t0) / 1e9
+      val recPost = recall(4)
+      println(f"ann ivfpq SYNCED drift: recall@10(nprobe=4/64) " +
+        f"pre=$recPre%.2f post-release-rebuild=$recPost%.2f " +
+        f"(rebuild $rebSecs%.1f s; ${rebLines.mkString("; ")})")
+      require(rebLines.exists(_.contains("rebuilt ivf")),
+        "drifted synced appends must trip the x1.02 gate on the " +
+          s"release path: $rebLines")
+      require(recPost >= 0.9 && recPost >= recPre + 0.05,
+        f"release-verb rebuild must restore a REAL recall loss " +
+          f"(drifted appends must degrade bounded-nprobe recall first): " +
+          f"$recPre%.2f -> $recPost%.2f")
     }
     // WIDE retraction: a whole source GDPR-deleted out of a corpus
     // frozen as many hash sub-segments — every holding sub-seg
