@@ -618,27 +618,15 @@ class TextIndexStore(path: String, numParts: Int = 64,
     * p+i for every slot. Returns (doc_id, n_occ), n_occ > 0. */
   def phraseSearch(spark: SparkSession, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "phraseSearch: at least two words")
-    healPurge(spark)
-    require(positionsStored(spark),
-      s"$path was built with storePositions=false — phrase search needs " +
-        "positional postings; rebuild the index with storePositions=true")
     import spark.implicits._
-    // no df-cap for phrases: a stopword inside a phrase is a REQUIRED
-    // slot (positions must verify adjacency), the Lucene behavior
-    val post = dropDead(spark,
-      prunedPostings(spark, termParts(spark, phrase.distinct.toDF("term"))))
-      .select("term", "doc_id", "pos")
-    val slots = phrase.zipWithIndex
-    val joined = slots.map { case (w, i) =>
-      post.filter(col("term") === w)
-        .select(col("doc_id"), col("pos").as(s"pos_$i"))
-    }.reduce(_.join(_, "doc_id"))
-    val adjacency = (1 until phrase.size)
-      .map(i => s"array_contains(pos_$i, p + $i)").mkString(" AND ")
-    joined
-      .withColumn("n_occ",
-        expr(s"CAST(size(filter(pos_0, p -> $adjacency)) AS BIGINT)"))
-      .filter(col("n_occ") > 0)
+    // the single-phrase form IS the batch form with one qid — same
+    // rarest-slot-first read bounds (a stopword slot contributes its
+    // candidate-doc rows, never its corpus-sized pos-bearing posting
+    // list), same slot-map adjacency fold; parity with the historical
+    // per-slot join chain is spec-pinned (PhraseBatchSpec's loop arm)
+    phraseSearchBatch(spark,
+        phrase.zipWithIndex.map { case (w, i) => (0L, i, w) }
+          .toDF("qid", "slot", "term"))
       .select("doc_id", "n_occ")
       .orderBy("doc_id")
   }

@@ -894,6 +894,12 @@ object GraftApp {
             .foreach(n => foldStore.fold(spark, n))
           rep
         }
+        // the standalone ops path points the live pressure gauge at
+        // this index too (the release verb does the same)
+        graft.llmops.IndexMetrics.gauge("graft_index_tombstones_text") {
+          new graft.llmops.TextIndexStore(s"$sOut/_text_index", sParts)
+            .tombstoneCount(spark).toDouble
+        }
         Seq(s"text-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
           s"v${r.to} +${r.added} -${r.removed} " +
           s"(${r.segsSkipped} segs untouched)")
@@ -932,6 +938,12 @@ object GraftApp {
               } else s"ann-index sync: drift within x$ratio - no rebuild"
             }
           (rep, drift)
+        }
+        // live pressure gauge for the standalone ops path, as on the
+        // text side
+        graft.llmops.IndexMetrics.gauge("graft_index_tombstones_ann") {
+          new graft.llmops.AnnIndexStore(s"$aOut/_ann_index")
+            .tombstoneCount(spark).toDouble
         }
         Seq(s"ann-index sync: ${r.mode} v${r.from.getOrElse(-1L)}->" +
           s"v${r.to} +${r.added} -${r.removed} " +
