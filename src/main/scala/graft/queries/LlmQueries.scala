@@ -897,12 +897,20 @@ object LlmQueries {
       val ph = docs.filter(col("doc_id") === 1)
         .select(toks.as("t")).first().getSeq[String](0)
       val (w1, w2) = (ph(0), ph(1))
+      // posexplode + codegen'd element_at successor probe — the same
+      // bulk path as TextOps.shingleRows. The previous higher-order
+      // `size(filter(sequence…))` form is CodegenFallback (interpreted
+      // per row, and CollapseProject evaluated it TWICE: once inlined in
+      // the pushed filter, once in the projection) — measured 4.4 s vs
+      // ~1 s at sf0.1. Occurrence count per doc is identical: position i
+      // matches iff t[i]=w1 ∧ t[i+1]=w2 (element_at past the end yields
+      // null ⇒ no match), and only docs with ≥1 match survive the
+      // groupBy, exactly like the old `n_occ > 0` filter.
       docs.select(col("doc_id"), toks.as("t"))
-        .withColumn("n_occ", size(filter(
-          sequence(lit(1), size(col("t")) - 1),
-          i => col("t")(i - 1) === lit(w1) && col("t")(i) === lit(w2)))
-          .cast("long"))
-        .filter(col("n_occ") > 0)
+        .select(col("doc_id"), col("t"), posexplode(col("t")))
+        .filter(col("col") === lit(w1) &&
+          element_at(col("t"), col("pos") + 2) === lit(w2))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
         .select("doc_id", "n_occ")
         .orderBy("doc_id")
     }),

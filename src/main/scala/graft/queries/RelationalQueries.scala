@@ -426,19 +426,35 @@ object RelationalQueries {
     // whole exists/not-exists chain costs one fact shuffle plus the
     // final per-supplier aggregation. No correlated per-row subqueries.
     "q20_waiting_supplier" -> ((s, d) => {
-      val l = lineitem(s, d)
+      // One fact shuffle, zero fact self-joins: collapse lines to
+      // per-(order, supplier) max-ship rows first (the repartition's
+      // orderkey clustering satisfies the grouping), then derive the
+      // order-level facts — order max ship, supplier count, at-max
+      // supplier count — as partition-frame windows over those collapsed
+      // rows. The previous join formulation referenced the fact three
+      // times (exists + uniqueness as groupBy⋈join⋈semi-join), which
+      // planned THREE lineitem scans and rebuilt the aggregation chain
+      // inside the semi join's broadcast subtree; the window form keeps
+      // the whole exists/not-exists derivation in the single
+      // orderkey-clustered stage. Semantics unchanged: a collapsed row
+      // sits at the order max iff any of its lines did, n_supp =
+      // countDistinct(l_suppkey) = count of collapsed rows, and "sole
+      // latest shipper" = exactly one collapsed row at the max.
+      val per = lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(col("l_suppkey").isNotNull)
         .repartition(col("l_orderkey"))
-      val om = l.groupBy("l_orderkey")
-        .agg(max("l_shipdate").as("max_ship"),
-          countDistinct("l_suppkey").as("n_supp"))
-        .filter(col("n_supp") >= 2)
-      val atMax = l.join(om, "l_orderkey")
-        .filter(col("l_shipdate") === col("max_ship"))
-        .select("l_orderkey", "l_suppkey").distinct()
-      val sole = atMax.groupBy("l_orderkey")
-        .agg(count(lit(1)).as("n_max")).filter(col("n_max") === 1)
-      atMax.join(sole, Seq("l_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max("l_shipdate").as("sup_max"))
+      val w = Window.partitionBy("l_orderkey")
+      per
+        .withColumn("max_ship", max("sup_max").over(w))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_max",
+          sum(when(col("sup_max") === col("max_ship"), 1L).otherwise(0L))
+            .over(w))
+        .filter(col("n_supp") >= 2 && col("sup_max") === col("max_ship") &&
+          col("n_max") === 1)
         .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
         .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name"), col("numwait"))
