@@ -32,6 +32,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       CountByKeyAgg(GraftColumnBridge.expression(c)).toAggregateExpression())
 
+  /** token_set_count(str, words) — count of single-space-delimited
+    * tokens equal to one of `words`; the codegen'd form of
+    * size(filter(split(str, " "), t => t.isin(words))). */
+  def token_set_count(c: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(
+      TokenSetCount(GraftColumnBridge.expression(c.cast("string")), words))
+
   /** dot_q(a, b) — exact integer dot product of two array<bigint>. */
   def dot_q(a: Column, b: Column): Column =
     GraftColumnBridge.column(

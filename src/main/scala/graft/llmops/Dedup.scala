@@ -27,6 +27,22 @@ object Dedup {
       .withColumnRenamed("__h", "content_hash")
   }
 
+  /** The KEPT ROWS of exact dedup — `df` minus every row whose content
+    * hash has a smaller id. Same keep rule as [[exact]], computed as a
+    * min-id window over ONE content-hash shuffle instead of
+    * groupBy + join-back: the join form reshuffles the full rows on
+    * `idCol` (and the keep side again) once the keep set outgrows a
+    * broadcast, so at corpus scale this is one full-row exchange
+    * instead of three. */
+  def exactKept(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.contentHash(col(textCol)))
+    df.withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
   /** Mersenne prime 2^31-1: the affine minhash family modulus. */
   val MinhashP: Long = 2147483647L
   /** Fixed affine coefficients (a_i, b_i) — one cheap integer hash per
@@ -223,8 +239,10 @@ object Dedup {
     val cands = candidates.map(_.localCheckpoint(false))
     val sh = cands match {
       case Some(c) =>
+        // no distinct: a left-semi probe is insensitive to duplicate
+        // build keys, so the dedup aggregation was a pure extra stage
         val candDocs = c.select(col("da").as(idCol))
-          .union(c.select(col("db").as(idCol))).distinct()
+          .union(c.select(col("db").as(idCol)))
         allSh.join(candDocs, Seq(idCol), "left_semi")
       case None => allSh
     }
@@ -509,7 +527,8 @@ object Dedup {
       maxBucket = maxBucket, hotWindow = hotWindow)
     val verified = ngramJaccard(df, threshold, idCol = idCol, textCol = textCol,
       candidates = Some(cands))
-    val drops = verified.select(col("db").as(idCol)).distinct()
+    // no distinct: left-anti is insensitive to duplicate build keys
+    val drops = verified.select(col("db").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")
   }
 

@@ -66,16 +66,19 @@ object StreamingCurate {
     * `text` only; any OTHER input column (binary payloads, metadata
     * structs — the multimodal carry) passes through untouched. */
   def gate(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
     val stop = Seq("the", "a", "and", "of", "to", "in", "is")
-    def cnt(m: String): Column = size(split(col("text"), m)) - 1
+    def cnt(m: String): Column = TextOps.occurrences(col("text"), m)
     // internals are __-prefixed so a multimodal carry column with a
     // plausible name (n_tokens, pred, …) is never silently replaced by
-    // a gate intermediate on its way through the funnel
+    // a gate intermediate on its way through the funnel.
+    // Counting shapes (guide §4): token/stopword/marker counts run as
+    // codegen'd byte passes (tokenCount/stopTokenCount/occurrences) —
+    // the previous size(filter(split…)) stop count was an interpreted
+    // higher-order function evaluated per token per row, the dominant
+    // per-row cost of this gate.
     docs
-      .withColumn("__n_tokens", size(toks))
-      .withColumn("__n_stop",
-        size(filter(toks, t => t.isin(stop.map(lit(_)): _*))))
+      .withColumn("__n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("__n_stop", TextOps.stopTokenCount(col("text"), stop))
       .withColumn("__s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
       .withColumn("__s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
       .withColumn("__s_fr", cnt(" le ") + cnt(" et ") + cnt(" la "))

@@ -54,9 +54,27 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0)))
 
-  /** Count non-overlapping occurrences of a literal marker. */
+  /** Token count of the whitespace tokenization WITHOUT materializing
+    * the token array: split-by-single-space yields (#spaces + 1) parts
+    * (empties kept), so the count is a replace + two length scans —
+    * all codegen'd, no per-row array allocation. ≡ size(tokens(text)). */
+  def tokenCount(text: Column): Column =
+    length(text) - length(replace(text, lit(" "), lit(""))) + 1
+
+  /** Count of whitespace tokens equal to one of `words` — the native
+    * codegen'd form of size(filter(tokens(text), t => t.isin(words))),
+    * whose higher-order filter is CodegenFallback (interpreted per
+    * token per row). */
+  def stopTokenCount(text: Column, words: Seq[String]): Column =
+    graft.expressions.GraftFunctions.token_set_count(text, words)
+
+  /** Count non-overlapping occurrences of a literal marker. The
+    * replace + length form scans the text without allocating the split
+    * array; left-to-right non-overlapping consumption is identical to
+    * `size(split(text, quote(marker))) - 1`. */
   def occurrences(text: Column, marker: String): Column =
-    size(split(text, java.util.regex.Pattern.quote(marker))) - 1
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
+      lit(marker.length)).cast("int")
 
   /** Marker-vocabulary language scores; deterministic priority argmax.
     * langs maps code → padded stopword markers (" the "). */

@@ -256,8 +256,13 @@ object LlmQueries {
       val sk = sh.groupBy("source")
         .agg(Sketch.kmvSketch(col("shingle"), 256).as("sk"))
       val est = Sketch.kmvPairOverlap(sk, "source")
+      // lazy checkpoint: dSet feeds three subtrees (sizes + both self-
+      // join sides) — without it each reference re-runs the full
+      // shingle explode + distinct. Bounded at |distinct (source,
+      // shingle-hash)| rows, the same exact-audit table the query
+      // already materializes through its self-join shuffle.
       val dSet = sh.select(col("source"), Sketch.hash48(col("shingle")).as("h"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val sizes = dSet.groupBy("source").agg(count(lit(1)).as("sz"))
       val xi = dSet.as("a")
         .join(dSet.as("b"),
@@ -965,9 +970,9 @@ object LlmQueries {
       // branch (lazy: first action triggers it)
       val filtered = graft.llmops.StreamingCurate.gate(documents(s, d))
         .localCheckpoint(false)
-      val keepExact = Dedup.exact(filtered)
-        .select(col("keep_id").as("doc_id"))
-      val exactKept = filtered.join(keepExact, "doc_id")
+      // min-id-per-hash keep via Dedup.exactKept: one content-hash
+      // window pass instead of groupBy + join-back (guide §2.4)
+      val exactKept = Dedup.exactKept(filtered)
       val kept = Dedup.nearDedup(exactKept, 0.8)
       kept
         .withColumn("ws_tokens", size(toks))
@@ -994,9 +999,8 @@ object LlmQueries {
       val raw = documents(s, d)
       val filtered = graft.llmops.StreamingCurate.gate(raw)
         .localCheckpoint(false)
-      val keepExact = Dedup.exact(filtered)
-        .select(col("keep_id").as("doc_id"))
-      val exactKept = filtered.join(keepExact, "doc_id")
+      // same exactKept window form as llm_curate (shared operator)
+      val exactKept = Dedup.exactKept(filtered)
         .localCheckpoint(false)
       val nearKept = Dedup.nearDedup(exactKept, 0.8)
       def stage(name: String, df: DataFrame) =
@@ -1012,7 +1016,8 @@ object LlmQueries {
 
     // Language ID: stopword-marker scoring with deterministic priority.
     "llm_lang_id" -> ((s, d) => {
-      def cnt(m: String): Column = size(split(col("text"), m)) - 1
+      // replace+length marker count — no per-marker split array
+      def cnt(m: String): Column = TextOps.occurrences(col("text"), m)
       documents(s, d)
         .withColumn("s_en", cnt(" the ") + cnt(" and ") + cnt(" of "))
         .withColumn("s_de", cnt(" der ") + cnt(" und ") + cnt(" die "))
@@ -1032,10 +1037,10 @@ object LlmQueries {
     // Quality scoring: token/char ratios and a bucketed score.
     "llm_quality" -> ((s, d) => {
       val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+      // codegen'd counting shapes — see StreamingCurate.gate
       documents(s, d)
-        .withColumn("n_tokens", size(toks))
-        .withColumn("n_stop",
-          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .withColumn("n_stop", TextOps.stopTokenCount(col("text"), stop))
         .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_tokens"))
         .withColumn("avg_tok_len",
           (length(col("text")) - col("n_tokens") + 1) * lit(1.0) / col("n_tokens"))
@@ -1064,9 +1069,9 @@ object LlmQueries {
       val allW = rnW.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
       val kept = col("rn") * 5 <= col("n_src")
       documents(s, d)
-        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("bigint"))
         .withColumn("n_stop",
-          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("bigint"))
+          TextOps.stopTokenCount(col("text"), stop).cast("bigint"))
         .withColumn("score",
           expr("n_stop * 10000 div n_tokens") * 1000000L + col("n_tokens"))
         .withColumn("rn", row_number().over(rnW).cast("bigint"))
