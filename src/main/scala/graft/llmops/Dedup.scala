@@ -546,7 +546,16 @@ object Dedup {
     * |tokens|; the only shuffle is the per-doc window partition.
     * Returns (idCol, m) — the doc's fingerprint set. */
   def winnowFingerprints(df: DataFrame, shingleN: Int = 3, w: Int = 4,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowRaw(df, shingleN, w, idCol, textCol)
+      .select(col(idCol), col("m")).distinct()
+
+  /** Pre-distinct winnowing rows (idCol, m) — the shared core of
+    * [[winnowFingerprints]] and [[winnowPairs]], which dedups under a
+    * DIFFERENT partitioning (by fingerprint, so the whole pair chain
+    * rides one exchange). */
+  private def winnowRaw(df: DataFrame, shingleN: Int, w: Int,
+                        idCol: String, textCol: String): DataFrame = {
     val base = df
       .select(col(idCol), split(col(textCol), " ").as("__t"))
       .select(col(idCol), col("__t"), posexplode(col("__t")))
@@ -560,7 +569,7 @@ object Dedup {
     hashed
       .withColumn("m", min("h").over(win))
       .filter(col("pos") >= w - 1) // full windows only
-      .select(col(idCol), col("m")).distinct()
+      .select(col(idCol), col("m"))
   }
 
   /** Winnowing candidate pairs: docs sharing ≥ `minShared` fingerprints.
@@ -571,11 +580,25 @@ object Dedup {
   def winnowPairs(df: DataFrame, dfCap: Int = 50, minShared: Int = 2,
                   shingleN: Int = 3, w: Int = 4,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = winnowFingerprints(df, shingleN, w, idCol, textCol)
-      .localCheckpoint(false) // both join sides + df-filter reuse it
-    val rare = fps.groupBy("m").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("m")
-    val idx = fps.join(rare, "m")
+    // Dedup FIRST (map-side partial agg keeps the shuffle at the
+    // distinct-fingerprint volume — guide §2.3), then ONE
+    // fingerprint-keyed exchange of the deduped rows: the df-cap count
+    // becomes a partition-frame window and the inverted-index
+    // self-join reuses the same clustering (guide §2.4). The previous
+    // form paid a groupBy(m) aggregation plus a join reshuffle here;
+    // at corpus scale that join is a sort-merge that sorts BOTH sides
+    // on m anyway — the window sorts the one table once.
+    // checkpoint AFTER the df-cap cut: both self-join sides read the
+    // already-filtered snapshot (window computed once), and the
+    // snapshot keeps the hash(m) partitioning, so the self-join below
+    // needs no exchange
+    val idx = winnowFingerprints(df, shingleN, w, idCol, textCol)
+      .repartition(col("m"))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("m")))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+      .localCheckpoint(false)
     idx.select(col("m"), col(idCol).as("da"))
       .join(idx.select(col("m"), col(idCol).as("db")), "m")
       .filter(col("da") < col("db"))

@@ -59,10 +59,17 @@ object Lexical {
                maxDfPermille: Long = 1000L)
       : DataFrame = {
     val lens = docLens(docs, textCol, idCol)
-    val st = lens.agg(count(lit(1)).as("n"), sum("dl").as("tot")).first()
-    val n = st.getLong(0)
-    scoreBm25(queries, postings(docs, textCol, idCol), lens,
-      n, st.getLong(1), k, k1Milli, bMilli, maxDfPermille)
+    // Corpus stats ride the plan as a 1-row broadcast instead of a
+    // driver-collected pre-action: the previous `.first()` forced a
+    // separate full doc-length pass (its own job) before the scoring
+    // plan even started (guide §5: the driver does no data work in a
+    // query path). Same integer arithmetic, on stat COLUMNS.
+    val stats = lens.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+      .withColumn("avgdl_milli",
+        greatest(expr("tot * 1000 div greatest(n, 1)"), lit(1L)))
+      .select("n", "avgdl_milli")
+    scoreBm25Stats(queries, postings(docs, textCol, idCol), lens, stats,
+      k, k1Milli, bMilli, maxDfPermille)
   }
 
   /** The shared scoring tail: `cand0` = (term, doc_id, tf) postings
@@ -81,7 +88,24 @@ object Lexical {
       lens: DataFrame, n: Long, totTokens: Long, k: Int,
       k1Milli: Long, bMilli: Long, maxDfPermille: Long = 1000L,
       hint: DataFrame => DataFrame = broadcast): DataFrame = {
+    // literal-stats form for callers that OWN the corpus stats (the
+    // persisted TextIndexStore serves them from its _lens summary):
+    // a 1-row local relation delegates to the column-stats scorer
     val avgdlMilli = math.max(totTokens * 1000L / math.max(n, 1L), 1L)
+    val stats = queries.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(avgdlMilli).as("avgdl_milli"))
+    scoreBm25Stats(queries, cand0, lens, stats, k, k1Milli, bMilli,
+      maxDfPermille, hint)
+  }
+
+  /** [[scoreBm25]] with the corpus stats as a 1-row DataFrame
+    * (n, avgdl_milli) cross-joined into the term table — lets a caller
+    * keep stat derivation INSIDE the one query plan instead of
+    * collecting it first. */
+  private[llmops] def scoreBm25Stats(queries: DataFrame, cand0: DataFrame,
+      lens: DataFrame, stats: DataFrame, k: Int,
+      k1Milli: Long, bMilli: Long, maxDfPermille: Long = 1000L,
+      hint: DataFrame => DataFrame = broadcast): DataFrame = {
     val q = queries.select(col("qid"), col("term")).distinct()
     // candidate postings = the query terms' posting lists only — the
     // tiny term set broadcasts, the corpus side stays one scan. A
@@ -90,17 +114,18 @@ object Lexical {
     // driver broadcasts — the ranking is bit-identical by construction
     val cand = cand0.join(hint(q.select("term").distinct()), "term")
     val dfT = cand.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(lit(1000L) * col("df") <= lit(maxDfPermille) * lit(n))
+      .crossJoin(broadcast(stats))
+      .filter(lit(1000L) * col("df") <= lit(maxDfPermille) * col("n"))
       .withColumn("idf_micro",
-        round(log((lit(2.0) * n + 2) / (col("df") * 2 + 1)) * 1e6)
+        round(log((lit(2.0) * col("n") + lit(2)) / (col("df") * 2 + 1)) * 1e6)
           .cast("bigint"))
-      .select("term", "idf_micro")
+      .select("term", "idf_micro", "avgdl_milli")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score_micro"), col("doc_id"))
     q.join(cand, "term")
       .join(hint(dfT), "term")
       .join(lens, "doc_id")
-      .withColumn("ratio_milli", expr(s"(dl * 1000000) div $avgdlMilli"))
+      .withColumn("ratio_milli", expr("(dl * 1000000) div avgdl_milli"))
       .withColumn("norm_milli",
         expr(s"(1000 - $bMilli) + ($bMilli * ratio_milli) div 1000"))
       .withColumn("denom_milli",

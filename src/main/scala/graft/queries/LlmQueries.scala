@@ -537,10 +537,18 @@ object LlmQueries {
           when(col("b") < 90, "train").when(col("b") < 95, "val")
             .otherwise("test"))
         .select("doc_id", "split")
+      // Dedup first (map-side partial agg — guide §2.3), then one
+      // shingle-keyed exchange of the deduped rows: the df-cap count
+      // becomes a partition-frame window (instead of groupBy +
+      // join-back, which sort-merges both sides on shingle at scale)
+      // and the train×eval self-join reuses the clustering (§2.4).
       val sh = TextOps.shingleRows(documents(s, d), 3)
-      val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .repartition(col("shingle"))
+      val shf = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
         .filter(col("df") <= 50)
-      val shf = sh.join(dfCap.select("shingle"), "shingle")
+        .drop("df")
         .join(sp, "doc_id")
       val train = shf.filter(col("split") === "train")
         .select(col("doc_id").as("train_id"), col("shingle"))
@@ -2105,7 +2113,13 @@ object LlmQueries {
         .filter(col("i") < size(col("t")) - 1)
         .select(col("doc_id"), col("w"),
           element_at(col("t"), col("i") + 2).as("nxt"))
+      // lazy checkpoint: the bigram-type model table feeds FOUR
+      // subtrees (cc, n1n, tt, the scoring join) — each reference
+      // otherwise re-runs its post-shuffle aggregation over the corpus
+      // bigram scan. It is the model artifact itself (|bigram types|
+      // rows), exactly what a production KN trainer materializes.
       val cb = bg.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
+        .localCheckpoint(false)
       // one pass over the bigram-type table yields C(w) and N1+(w,·)
       val cc = cb.groupBy("w")
         .agg(sum("cb").as("cc"), count(lit(1)).as("n1w"))
