@@ -590,9 +590,7 @@ final class AnnIndexStore(root: String,
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
     val metaCols = metaColsOf(meta)
-    val cents = spark.read.parquet(s"$root/ivf_centroids")
-      .collect()
-      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val cents = loadCents(spark)
     val vecs = spark.read.parquet(s"$root/vectors").drop("part")
     // distinct: duplicate probe ids would corrupt per-probe ranks
     val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
@@ -680,9 +678,7 @@ final class AnnIndexStore(root: String,
     val dsub = dim / mSub
     val metaCols = metaColsOf(meta)
     val books = loadBooks(spark)
-    val cents = spark.read.parquet(s"$root/ivf_centroids")
-      .collect()
-      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val cents = loadCents(spark)
     val vecs = spark.read.parquet(s"$root/vectors").drop("part")
     // distinct: duplicate probe ids would corrupt per-probe ranks
     val probeIds = probes.select(col(idCol).cast("long").as("vec_id")).distinct()
@@ -817,9 +813,7 @@ final class AnnIndexStore(root: String,
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
     require(probeIds.nonEmpty, "empty probe set")
     requireLiveProbes(spark, probeIds)
-    val cents = spark.read.parquet(s"$root/ivf_centroids")
-      .collect()
-      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val cents = loadCents(spark)
     val probes = probeVectors(spark, probeIds).select("vec_id", "qe", "nq")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val probeClusters = probes.flatMap { case (pid, pe, np) =>
@@ -933,10 +927,53 @@ final class AnnIndexStore(root: String,
       "drift_build_mean" -> f"$bm%.6f", "drift_build_p95" -> f"$bp%.6f"))
   }
 
-  private def loadBooks(spark: SparkSession): Seq[Similarity.PqCodeword] =
-    spark.read.parquet(s"$root/pq_codebooks").collect()
-      .map(r => Similarity.PqCodeword(r.getInt(0), r.getLong(1),
-        r.getSeq[Long](2), r.getLong(3))).toSeq.sortBy(b => (b.m, b.cl))
+  /** Index-ARTIFACT memo (centroids / codebooks): K-row driver tables
+    * re-collected on every serve call before this — a parquet read +
+    * collect JOB per query. Keyed on the artifact directory's file
+    * listing (name, length, mtime): every rewrite
+    * (writeIvf/writeIvfPq/rebuildIvf) emits fresh part file names, so
+    * a rewrite can never serve a stale memo — the same
+    * memoize-with-invalidation discipline as tombCache. These are
+    * index metadata, not query results: the driver-run rule (every
+    * invocation computes from the parquet inputs) is untouched, the
+    * serve plan just stops re-reading a constant artifact. */
+  @transient @volatile private var centsCache
+      : (String, Array[Similarity.IvfCentroid]) = _
+  @transient @volatile private var booksCache
+      : (String, Seq[Similarity.PqCodeword]) = _
+
+  private def dirKey(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    fsOf(spark).listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  private[llmops] def loadCents(spark: SparkSession): Array[Similarity.IvfCentroid] = {
+    val key = dirKey(spark, s"$root/ivf_centroids")
+    val c = centsCache
+    if (c != null && c._1 == key) c._2
+    else {
+      val arr = spark.read.parquet(s"$root/ivf_centroids").collect()
+        .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1),
+          r.getLong(2)))
+      centsCache = (key, arr)
+      arr
+    }
+  }
+
+  private def loadBooks(spark: SparkSession): Seq[Similarity.PqCodeword] = {
+    val key = dirKey(spark, s"$root/pq_codebooks")
+    val c = booksCache
+    if (c != null && c._1 == key) c._2
+    else {
+      val books = spark.read.parquet(s"$root/pq_codebooks").collect()
+        .map(r => Similarity.PqCodeword(r.getInt(0), r.getLong(1),
+          r.getSeq[Long](2), r.getLong(3))).toSeq.sortBy(b => (b.m, b.cl))
+      booksCache = (key, books)
+      books
+    }
+  }
 
   /** Serve one probe from the persisted IVF-PQ index: centroid ranking
     * prunes to `nprobe` posting dirs; the FIRST pass reads only
@@ -967,9 +1004,7 @@ final class AnnIndexStore(root: String,
     val mSub = meta("mSub").toInt
     val dim = meta("dim").toInt
     requireLiveProbes(spark, Seq(probeId))
-    val cents = spark.read.parquet(s"$root/ivf_centroids")
-      .collect()
-      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val cents = loadCents(spark)
     val pRow = probeVector(spark, probeId).select("qe", "nq").head()
     val (pe, np) = (pRow.getSeq[Long](0), pRow.getLong(1))
     val probeClusters = cents
@@ -1000,9 +1035,7 @@ final class AnnIndexStore(root: String,
     val meta = readMeta(spark)
     require(meta.get("kind").contains("ivf"), s"$root is not an IVF index")
     requireLiveProbes(spark, Seq(probeId))
-    val cents = spark.read.parquet(s"$root/ivf_centroids")
-      .collect()
-      .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val cents = loadCents(spark)
     val probe = probeVector(spark, probeId)
     val pRow = probe.select("qe", "nq").head()
     val (pe, np) = (pRow.getSeq[Long](0), pRow.getLong(1))
@@ -1056,10 +1089,7 @@ final class AnnIndexStore(root: String,
           .write.mode("append").partitionBy("band", "part")
           .parquet(s"$root/lsh_buckets")
       case kind @ ("ivf" | "ivfpq") =>
-        val cents = spark.read.parquet(s"$root/ivf_centroids")
-          .collect()
-          .map(r => Similarity.IvfCentroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-          .toSeq
+        val cents = loadCents(spark).toSeq
         val assign = Similarity.assignToCentroids(q, cents, "vec_id")
         val posting =
           if (kind == "ivf")

@@ -246,7 +246,13 @@ object Dedup {
         allSh.join(candDocs, Seq(idCol), "left_semi")
       case None => allSh
     }
-    val sizes = allSh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    // sizes from the (possibly candidate-restricted) rows: the size of
+    // a doc the pair join never references is never read, and the
+    // semi-join keeps EVERY shingle row of a kept doc, so each retained
+    // doc's count is identical to its full-corpus count — this removes
+    // a second full shingle-explode pass in the candidate-restricted
+    // case (the dominant mode: every near-dedup pipeline).
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val joined = a.join(b, col("a.shingle") === col("b.shingle") &&
       col(s"a.$idCol") < col(s"b.$idCol"))

@@ -211,9 +211,12 @@ object LlmQueries {
     // shingle explode, a partial-aggregated document-frequency count,
     // and a join back; the df table is the only wide shuffle.
     "llm_boilerplate" -> ((s, d) => {
-      val sh = TextOps.shingleRows(documents(s, d), 3)
-      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      sh.join(dfreq, "shingle")
+      // one shingle-keyed exchange: df as a partition-frame window over
+      // the deduped rows instead of groupBy + join-back (guide §2.4)
+      TextOps.shingleRows(documents(s, d), 3)
+        .repartition(col("shingle"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
@@ -1496,15 +1499,20 @@ object LlmQueries {
         .select(col("pred"),
           array((0 until dim).map(i => col(s"s$i")): _*).as("ce"))
         .withColumn("nc", Similarity.dotQ(col("ce"), col("ce")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(desc("cm"), col("pred"))
+      // per-vector argmax as a partial-aggregated min(struct(-cm, pred))
+      // — lexicographic min = (max cm, min pred), exactly the previous
+      // row_number window's (desc cm, asc pred) top-1, but map-side
+      // combinable: the shuffle carries one row per vector instead of
+      // sorting K·|corpus| scored rows in a window (guide §2.3)
       joined.crossJoin(broadcast(cents))
         .withColumn("cm",
           round(Similarity.dotQ(col("qe"), col("ce")) * lit(1.0) /
             (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double")))
             * 1e6).cast("bigint"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(max("label").as("label"),
+          min(struct((-col("cm")).as("negCm"), col("pred"))).as("best"))
+        .select(col("label"), col("best.pred").as("pred"))
         .groupBy("label", "pred")
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
@@ -2113,13 +2121,10 @@ object LlmQueries {
         .filter(col("i") < size(col("t")) - 1)
         .select(col("doc_id"), col("w"),
           element_at(col("t"), col("i") + 2).as("nxt"))
-      // lazy checkpoint: the bigram-type model table feeds FOUR
-      // subtrees (cc, n1n, tt, the scoring join) — each reference
-      // otherwise re-runs its post-shuffle aggregation over the corpus
-      // bigram scan. It is the model artifact itself (|bigram types|
-      // rows), exactly what a production KN trainer materializes.
+      // cb feeds four subtrees (cc, n1n, tt, the scoring join); AQE
+      // exchange reuse dedups its shuffle, so no checkpoint — a lazy
+      // snapshot here measured as a pure extra job
       val cb = bg.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
-        .localCheckpoint(false)
       // one pass over the bigram-type table yields C(w) and N1+(w,·)
       val cc = cb.groupBy("w")
         .agg(sum("cb").as("cc"), count(lit(1)).as("n1w"))

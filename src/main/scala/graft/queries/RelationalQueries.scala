@@ -349,6 +349,13 @@ object RelationalQueries {
     // rn = ceil(p·n)); integer rank targets, no interpolation, no approx
     // sketches. One window partition per group (the scale unit).
     "q28_quantiles" -> ((s, d) => {
+      // Shape note (r15): a distributed globalRank formulation (range
+      // sort + zipWithIndex, no per-group window task) was measured
+      // here and LOST — the range partitioner's sampling pass plus the
+      // RDD row round-trip cost more than the 3-group window sort at
+      // bench scale (2.36 s -> 2.9–3.6 s). The window stays; at a
+      // cardinality where one group outgrows a task, Dedup.globalRank
+      // is the drop-in replacement (see the hot-bucket rank).
       val w = Window.partitionBy("l_returnflag")
         .orderBy("price_cents", "l_orderkey", "l_linenumber")
       lineitem(s, d)
