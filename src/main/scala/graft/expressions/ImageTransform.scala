@@ -1,0 +1,128 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst form of [[graft.operators.ColumnTransforms.imageColumn]]:
+  * one pass over a CDC envelope image column
+  * (array<struct<name:string, value:string, isBinary:boolean>>) that
+  * drops excluded columns and rewrites transformed values. The
+  * previous `filter` + `transform` higher-order pair is
+  * CodegenFallback — interpreted per element per row, measured as
+  * ~60% of cdc_transforms' wall time (2.06 s → 0.8 s floor without
+  * it at sf0.1). Semantics are element-for-element identical,
+  * including the null corners of the HOF form: with exclusions
+  * configured, a null element or null name is DROPPED (the
+  * `!name.isin(...)` predicate evaluates to null); with only
+  * transforms, a null element becomes an all-null struct (the
+  * rebuild-from-getField behavior).
+  *
+  * `kinds`: 1 = Uppercase, 2 = Lowercase, 3 = StaticValue(statics(i)),
+  * 4 = Nullify (matching ColumnTransform; Identity entries are simply
+  * omitted — same result as the folded CASE).
+  */
+case class ImageTransform(child: Expression, excluded: Seq[String],
+                          tNames: Seq[String], tKinds: Seq[Int],
+                          tStatics: Seq[Option[String]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType match {
+      case ArrayType(st: StructType, _) =>
+        st.length == 3 &&
+          st(0).name == "name" && st(0).dataType == StringType &&
+          st(1).name == "value" && st(1).dataType == StringType &&
+          st(2).name == "isBinary" && st(2).dataType == BooleanType
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "image_transform requires array<struct<name:string,value:string," +
+        s"isBinary:boolean>>, got ${child.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "image_transform"
+
+  @transient private lazy val spec = new ImageTransform.Spec(
+    excluded.map(UTF8String.fromString).toArray,
+    tNames.map(UTF8String.fromString).toArray,
+    tKinds.toArray,
+    tStatics.map(_.map(UTF8String.fromString).orNull).toArray)
+
+  protected override def nullSafeEval(input: Any): Any =
+    ImageTransform.applySpec(input.asInstanceOf[ArrayData], spec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("imgSpec", spec,
+      classOf[ImageTransform.Spec].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ImageTransform.applySpec($c, $specRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageTransform =
+    copy(child = newChild)
+}
+
+object ImageTransform {
+  final class Spec(val excluded: Array[UTF8String],
+                   val names: Array[UTF8String],
+                   val kinds: Array[Int],
+                   val statics: Array[UTF8String]) extends Serializable {
+    val hasExcl: Boolean = excluded.nonEmpty
+    val hasTrans: Boolean = names.nonEmpty
+  }
+
+  private def indexOf(arr: Array[UTF8String], s: UTF8String): Int = {
+    var i = 0
+    while (i < arr.length) {
+      if (arr(i).equals(s)) return i
+      i += 1
+    }
+    -1
+  }
+
+  def applySpec(arr: ArrayData, spec: Spec): ArrayData = {
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val row = if (arr.isNullAt(i)) null else arr.getStruct(i, 3)
+      val name = if (row == null || row.isNullAt(0)) null
+                 else row.getUTF8String(0)
+      val keep = !spec.hasExcl ||
+        (name != null && indexOf(spec.excluded, name) < 0)
+      if (keep) {
+        if (!spec.hasTrans) {
+          out.append(if (row == null) null else row.copy())
+        } else if (row == null) {
+          // HOF transform on a null struct rebuilt an all-null struct
+          out.append(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](null, null, null)))
+        } else {
+          val value = if (row.isNullAt(1)) null else row.getUTF8String(1)
+          val t = if (name == null) -1 else indexOf(spec.names, name)
+          val nv: UTF8String =
+            if (t < 0) { if (value == null) null else value.clone() }
+            else spec.kinds(t) match {
+              case 1 => if (value == null) null else value.toUpperCase
+              case 2 => if (value == null) null else value.toLowerCase
+              case 3 => spec.statics(t)
+              case _ => null // 4 = Nullify
+            }
+          val isBin: Any = if (row.isNullAt(2)) null else row.getBoolean(2)
+          out.append(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              if (name == null) null else name.clone(), nv, isBin)))
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -52,30 +52,26 @@ object ColumnTransforms {
     * are rejected here. */
   def imageColumn(img: org.apache.spark.sql.Column,
                   m: TableMapping): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
     require(!m.transforms.values.exists(_.isInstanceOf[ColumnTransform.Fn]),
       "Fn transforms are event-level only (arbitrary Scala cannot codegen)")
-    val kept =
-      if (m.excludedColumns.isEmpty) img
-      else filter(img, c =>
-        !c.getField("name").isin(m.excludedColumns.toSeq.map(lit(_)): _*))
-    if (m.transforms.isEmpty) kept
-    else transform(kept, c => {
-      val value = m.transforms.foldLeft(c.getField("value")) {
-        case (acc, (name, t)) =>
-          val applied = t match {
-            case ColumnTransform.Identity => c.getField("value")
-            case ColumnTransform.Uppercase => upper(c.getField("value"))
-            case ColumnTransform.Lowercase => lower(c.getField("value"))
-            case ColumnTransform.StaticValue(v) => lit(v)
-            case ColumnTransform.Nullify => lit(null).cast("string")
-            case ColumnTransform.Fn(_) => c.getField("value") // unreachable
-          }
-          when(c.getField("name") === name, applied).otherwise(acc)
-      }
-      struct(c.getField("name").as("name"), value.as("value"),
-        c.getField("isBinary").as("isBinary"))
-    })
+    if (m.excludedColumns.isEmpty && m.transforms.isEmpty) return img
+    // one native codegen'd pass (graft.expressions.ImageTransform) —
+    // the previous `filter` + `transform` higher-order pair was
+    // CodegenFallback, interpreted per element per row (~60% of
+    // cdc_transforms' wall time at sf0.1); element semantics are
+    // identical, null corners included
+    val specs = m.transforms.toSeq.collect {
+      case (n, ColumnTransform.Uppercase) => (n, 1, None)
+      case (n, ColumnTransform.Lowercase) => (n, 2, None)
+      case (n, ColumnTransform.StaticValue(v)) => (n, 3, Option(v))
+      case (n, ColumnTransform.Nullify) => (n, 4, None)
+      // Identity entries fold to the element's own value — omit
+    }
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.ImageTransform(
+        org.apache.spark.sql.GraftColumnBridge.expression(img),
+        m.excludedColumns.toSeq, specs.map(_._1), specs.map(_._2),
+        specs.map(_._3)))
   }
 
   private def transformImage(cols: Seq[CdcColumn], m: TableMapping): Seq[CdcColumn] =
