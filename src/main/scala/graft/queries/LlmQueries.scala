@@ -982,8 +982,13 @@ object LlmQueries {
       val filtered = graft.llmops.StreamingCurate.gate(documents(s, d))
         .localCheckpoint(false)
       // min-id-per-hash keep via Dedup.exactKept: one content-hash
-      // window pass instead of groupBy + join-back (guide §2.4)
-      val exactKept = Dedup.exactKept(filtered)
+      // window pass instead of groupBy + join-back (guide §2.4).
+      // Checkpointed like llm_curate_funnel's: the exact-kept corpus
+      // feeds four subtrees (candidate chain, shingle verify, anti-join
+      // left side, final stats) — without the snapshot each re-runs
+      // the gate+window prefix (funnel measured faster than curate on
+      // less work until this matched).
+      val exactKept = Dedup.exactKept(filtered).localCheckpoint(false)
       val kept = Dedup.nearDedup(exactKept, 0.8)
       kept
         .withColumn("ws_tokens", size(toks))
