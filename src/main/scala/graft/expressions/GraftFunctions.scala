@@ -18,6 +18,12 @@ object GraftFunctions {
     GraftColumnBridge.column(
       MinHashAgg(GraftColumnBridge.expression(c), k).toAggregateExpression())
 
+  /** simhash_agg(baseHash) — 60-bit sign-packed simhash in one native
+    * aggregate (per-bit ±1 sums in a primitive long[60] buffer). */
+  def simhash_agg(c: Column): Column =
+    GraftColumnBridge.column(
+      SimHashAgg(GraftColumnBridge.expression(c)).toAggregateExpression())
+
   /** kmv_agg(hash, k) — KMV cardinality sketch: the k smallest distinct
     * hashes as an ascending array<bigint> (bounded O(k) partial state,
     * map-side combined). */

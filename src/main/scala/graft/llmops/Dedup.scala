@@ -305,13 +305,13 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", TextOps.tokenHash60(col("tok")))
-    val bitAggs = (0 until 60).map(i =>
-      sum(expr(s"CAST((h >> $i) & 1 AS INT) * 2 - 1")).as(s"b$i"))
-    tok.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col(idCol),
-        (0 until 60).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-          .as("simhash"))
+    // one native TypedImperativeAggregate (primitive long[60] buffer)
+    // replaces 60 per-bit sum() columns — 60 expression evals per token
+    // row collapsed into one; bit-identical packing (sign of each ±1
+    // sum), see graft.expressions.SimHashAgg
+    tok.groupBy(idCol)
+      .agg(graft.expressions.GraftFunctions.simhash_agg(col("h"))
+        .as("simhash"))
   }
 
   /** Hamming distance between two simhash columns (near-dup test). */
