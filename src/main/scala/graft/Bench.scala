@@ -97,6 +97,23 @@ object Bench {
                                     loaded: Boolean): Seq[Double] =
     (if (loaded) honest else honest :+ runSecs).takeRight(5)
 
+  /** COMPACT summary line, printed LAST on stdout. The full line (with
+    * the 125-entry queries map, spread, remeasured, honest_runs) is
+    * ~6 KB; a harness that keeps only a bounded stdout tail (the driver
+    * keeps 2000 chars) always lost its head — every BENCH_r11..r15
+    * artifact has `parsed: null`. This line carries the gate totals in
+    * ≤ ~300 chars so it survives any tail window; the per-query map
+    * stays in the full line above it AND in the BENCH_LAST.json file
+    * artifact (atomic rename), which is the canonical per-query record.
+    * Error messages are capped at 60 chars here (full text in the file). */
+  private[graft] def compactLine(r1: Double, totalAll: Double,
+      runSecs: Double, loaded: Boolean,
+      errors: collection.Map[String, String], sfDir: String): String = {
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.take(60) + "\"" }.mkString("{", ",", "}")
+    f"""{"metric":"total","value":$r1%.3f,"unit":"sec","total_all":$totalAll%.3f,"run_secs":$runSecs%.1f,"load_warning":$loaded,"errors":$errJson,"sf":"$sfDir","queries_file":"BENCH_LAST.json"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -216,6 +233,12 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$r1%.3f,"unit":"sec","queries":$qs,"total_all":$totalAll%.3f,"spread":$spreadJson,"remeasured":$remJson,"run_secs":$runSecs%.1f,"load_warning":$loaded,"honest_runs":$honestJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // Compact duplicate of the headline numbers, printed AFTER the full
+    // line so a bounded stdout-tail capture always holds one complete,
+    // parseable JSON line (see compactLine). Same measurements, zero
+    // methodology change; the full line above and BENCH_LAST.json keep
+    // the complete per-query map.
+    println(compactLine(r1, totalAll, runSecs, loaded, errors, sfDir))
     // Also persist the artifact as a FILE (atomic rename), so a stdout
     // capture that keeps only the tail can never truncate the queries
     // map. SPARK_GRAFT_BENCH_OUT overrides the default path

@@ -61,6 +61,13 @@ object GraftFunctions {
   def quantize8(v: Column): Column =
     GraftColumnBridge.column(Quantize8(GraftColumnBridge.expression(v)))
 
+  /** quantize_milli(v, scale) — fixed-scale integer quantization of an
+    * array<float> embedding; the codegen'd form of
+    * transform(v, x => round(x * scale).cast("bigint")). */
+  def quantize_milli(v: Column, scale: Int): Column =
+    GraftColumnBridge.column(
+      QuantizeMilli(GraftColumnBridge.expression(v), scale))
+
   /** cdc_to_sql(eventStruct, dialect) — render a CDC envelope struct to
     * destination SQL (null for non-DML). */
   def cdc_to_sql(event: Column, dialect: String): Column =
@@ -114,6 +121,10 @@ object GraftFunctions {
       "hyperplane_buckets", hyperplaneBucketsFromExprs, "built-in")
     reg.createOrReplaceTempFunction(
       "quantize8", exprs => Quantize8(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quantize_milli",
+      exprs => QuantizeMilli(exprs.head, litLong(exprs(1), "scale").toInt),
+      "built-in")
   }
 }
 

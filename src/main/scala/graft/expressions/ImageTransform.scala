@@ -46,7 +46,18 @@ case class ImageTransform(child: Expression, excluded: Seq[String],
         s"isBinary:boolean>>, got ${child.dataType.catalogString}")
   }
 
-  override def dataType: DataType = child.dataType
+  // The transforms path can write null into any field (a null element
+  // rebuilds as an all-null struct; Nullify writes a null value), so
+  // the output struct's fields must be nullable even when the child
+  // declares them non-nullable — exactly the nullability the previous
+  // filter+transform HOF pair inferred. Keeping `child.dataType`
+  // verbatim let a consumer's UnsafeProjection trust a nullable=false
+  // field that can in fact be null.
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(st: StructType, cn) =>
+      ArrayType(StructType(st.fields.map(_.copy(nullable = true))), cn)
+    case other => other
+  }
   override def prettyName: String = "image_transform"
 
   @transient private lazy val spec = new ImageTransform.Spec(

@@ -115,7 +115,80 @@ case class Quantize8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native milli-quantization of an `array<float>` embedding:
+  * `q_i = cast(round(x_i * scale) as bigint)` — the codegen'd form of
+  * `transform(v, x => round(x * scale).cast("bigint"))`, whose
+  * ArrayTransform higher-order function is CodegenFallback (interpreted
+  * per element per row, with a scala BigDecimal allocated per element by
+  * Round). It sits under EVERY ANN query and both embedding stores.
+  *
+  * Bit parity with the HOF form (QuantizeMilliParitySpec pins it on the
+  * .5 boundaries): the multiply is FLOAT (Spark coerces int·float to
+  * float), Round(FloatType, 0) is BigDecimal(f.toDouble).setScale(0,
+  * HALF_UP).toFloat with NaN/Infinity passed through (verified against
+  * spark-catalyst 4.1.2's RoundBase), and Cast(float → bigint) is the
+  * saturating toLong with NaN → 0. HALF_UP on a non-negative scale-0
+  * BigDecimal is half-away-from-zero; every x.5 this can see is exactly
+  * representable (|p| < 2^24 has exact .5 floats, |p| ≥ 2^24 floats are
+  * integral), so floor-based half-away-from-zero on the promoted double
+  * reproduces the BigDecimal path exactly, without the allocation.
+  * Null elements stay null (transform's lambda yields null). */
+case class QuantizeMilli(child: Expression, scale: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantize_milli requires array<float> input, got ${other.catalogString}")
+    }
+
+  // element nullability mirrors the HOF form: round(cast(...)) of a
+  // nullable element is nullable, of a non-nullable element is not
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case other => other
+  }
+  override def prettyName: String = "quantize_milli"
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOpsUtil.quantizeMilli(input.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.VectorOpsUtil.quantizeMilli($c, $scale)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeMilli =
+    copy(child = newChild)
+}
+
 object VectorOpsUtil {
+
+  def quantizeMilli(v: ArrayData, scale: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    val scaleF = scale.toFloat
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val p = v.getFloat(i) * scaleF // float multiply, like the coerced HOF
+        out(i) =
+          if (java.lang.Float.isNaN(p)) 0L // round keeps NaN; cast → 0
+          else {
+            val d = p.toDouble // exact promotion
+            val ad = Math.abs(d)
+            val fl = Math.floor(ad)
+            // half away from zero; for ±Infinity (NaN - Inf >= .5 is
+            // false) this falls through to fl = ±Inf and toLong
+            // saturates exactly like Cast(float → bigint)
+            val r = if (ad - fl >= 0.5d) fl + 1.0d else fl
+            (if (d < 0) -r else r).toLong
+          }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   def quantize8(v: ArrayData): ArrayData = {
     val n = v.numElements()

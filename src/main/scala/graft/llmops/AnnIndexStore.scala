@@ -868,6 +868,12 @@ final class AnnIndexStore(root: String,
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$root/ivf")
     import spark.implicits._
+    // INVARIANT (loadCents memo): every overwrite of ivf_centroids /
+    // pq_codebooks must emit FRESH part file names — Spark's parquet
+    // writer stamps a new UUID per write, which is what keys the
+    // centroid/codebook memo's invalidation (dirKey). A writer that
+    // produced deterministic part names with unchanged lengths inside
+    // mtime granularity would silently serve a stale memo.
     cents.toDF("cluster", "ce", "nc").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/ivf_centroids")
     // build-time assignment quality: the baseline the per-append drift
@@ -914,6 +920,8 @@ final class AnnIndexStore(root: String,
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$root/ivf")
     import spark.implicits._
+    // fresh-part-names invariant: see the note in writeIvf — these
+    // overwrites key the loadCents/loadBooks memo invalidation
     cents.toDF("cluster", "ce", "nc").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/ivf_centroids")
     books.map(b => (b.m, b.cl, b.ce, b.nc)).toDF("m", "cl", "ce", "nc")
@@ -1252,6 +1260,8 @@ final class AnnIndexStore(root: String,
           .coalesce(1).write.mode("overwrite").parquet(s"$root/pq_codebooks")
         Map("mSub" -> mSub.toString, "ksub" -> ksub.toString)
       }
+    // fresh-part-names invariant: see the note in writeIvf — this
+    // overwrite keys the loadCents memo invalidation
     cents.toDF("cluster", "ce", "nc").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/ivf_centroids")
     val (bm, bp) = driftStats(assign)

@@ -231,24 +231,34 @@ object Dedup {
   private def pairOverlap(df: DataFrame, shingleN: Int, idCol: String,
                           textCol: String,
                           candidates: Option[DataFrame]): DataFrame = {
-    val allSh = TextOps.shingleRows(df, shingleN, idCol, textCol)
     // With candidates, the inverted-index self-join runs over candidate
-    // docs ONLY (semi-join the shingle rows first) — at scale the
-    // candidate set is a vanishing fraction of the corpus, and joining
-    // the full index just to semi-filter afterwards would dominate the
-    // whole pipeline. Sizes still come from the full rows (unchanged).
-    // lazy checkpoint: the candidate pipeline (usually the whole
+    // docs ONLY — at scale the candidate set is a vanishing fraction of
+    // the corpus, and joining the full index just to semi-filter
+    // afterwards would dominate the whole pipeline. The semi-join is
+    // applied to the DOC rows, BELOW the shingle explode: a per-doc
+    // restriction commutes with a per-doc explode+distinct, so the
+    // result is identical to restricting the exploded rows, but the
+    // explode (and the shingle distinct's exchange) runs over candidate
+    // docs instead of the whole corpus — Catalyst does not push a
+    // semi-join through a Generate, so the r15 shape re-exploded and
+    // re-deduped the FULL corpus once per reference (3× in the plan).
+    // lazy checkpoints: the candidate pipeline (usually the whole
     // minhash+LSH chain) is referenced twice below (doc semi-join +
-    // pair semi-join); without it each reference re-evaluates the chain
+    // pair semi-join), and `sh` three times (sizes + both self-join
+    // sides); without the snapshots each reference re-evaluates its
+    // chain.
     val cands = candidates.map(_.localCheckpoint(false))
     val sh = cands match {
       case Some(c) =>
-        // no distinct: a left-semi probe is insensitive to duplicate
-        // build keys, so the dedup aggregation was a pure extra stage
+        // no distinct on candDocs: a left-semi probe is insensitive to
+        // duplicate build keys, so the dedup aggregation was a pure
+        // extra stage
         val candDocs = c.select(col("da").as(idCol))
           .union(c.select(col("db").as(idCol)))
-        allSh.join(candDocs, Seq(idCol), "left_semi")
-      case None => allSh
+        TextOps.shingleRows(df.join(candDocs, Seq(idCol), "left_semi"),
+            shingleN, idCol, textCol)
+          .localCheckpoint(false)
+      case None => TextOps.shingleRows(df, shingleN, idCol, textCol)
     }
     // sizes from the (possibly candidate-restricted) rows: the size of
     // a doc the pair join never references is never read, and the

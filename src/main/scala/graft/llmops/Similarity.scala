@@ -34,9 +34,16 @@ object Similarity {
   val DefaultBands: Int = 10
   val DefaultBitsPerBand: Int = 10
 
-  /** array<float> → array<bigint> milli-quantized. */
+  /** array<float> → array<bigint> milli-quantized. Native codegen'd
+    * expression (graft.expressions.QuantizeMilli) — the previous
+    * `transform(v, x => round(x * scale).cast("bigint"))` HOF is
+    * CodegenFallback, interpreted per element per row with a BigDecimal
+    * allocation inside Round; it sat under every ANN query and both
+    * embedding stores. Bit parity (float multiply, HALF_UP on the
+    * float→double chain, saturating cast) is pinned by
+    * QuantizeMilliParitySpec on the .5 boundaries. */
   def quantize(v: Column, scale: Int = 1000): Column =
-    transform(v, x => round(x * scale).cast("bigint"))
+    GraftFunctions.quantize_milli(v, scale)
 
   /** Exact integer dot product of two quantized vectors (codegen'd). */
   def dotQ(a: Column, b: Column): Column = GraftFunctions.dot_q(a, b)

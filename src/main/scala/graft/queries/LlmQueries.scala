@@ -922,8 +922,13 @@ object LlmQueries {
       // matches iff t[i]=w1 ∧ t[i+1]=w2 (element_at past the end yields
       // null ⇒ no match), and only docs with ≥1 match survive the
       // groupBy, exactly like the old `n_occ > 0` filter.
+      // the pos bound keeps element_at in range (same pattern as
+      // TextOps.shingleRows): redundant under ansi=false (out-of-bounds
+      // yields null ⇒ predicate false) but required for a caller
+      // session with ANSI on, where element_at past the end throws
       docs.select(col("doc_id"), toks.as("t"))
         .select(col("doc_id"), col("t"), posexplode(col("t")))
+        .filter(col("pos") < size(col("t")) - 1)
         .filter(col("col") === lit(w1) &&
           element_at(col("t"), col("pos") + 2) === lit(w2))
         .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
