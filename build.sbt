@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the report (-oD), so slow suites are visible
+// in any captured log without external timing.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,3 +31,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Run each test SUITE in its own forked JVM and several suites at a
+// time: the 45 suites are dominated by a handful of long streaming /
+// store-crash arms, and the sequential single-JVM run (42-63 min)
+// overran the driver's verify window (VERIFY_r15 tests_ok=false with
+// zero failures in the tail). Suites already isolate operationally —
+// per-suite random temp dirs, ephemeral ports (MetricsServer binds
+// port 0), and the shared SparkSession is a lazy singleton PER JVM —
+// so suite-level JVM isolation is safe where in-JVM thread parallelism
+// would not be (several suites count global listener-bus events).
+// Heap: 3g per test JVM (suites are small-data; the 8g default is for
+// runMain tools), bounded by GRAFT_TEST_FORKS concurrent JVMs.
+val testForks = sys.env.getOrElse("GRAFT_TEST_FORKS", "6").toInt
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.filterNot(_.startsWith("-Xmx")) :+
+    s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "3g")}"
+  (Test / definedTests).value.map { t =>
+    Tests.Group(t.name, Seq(t),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts.toVector)))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testForks))

@@ -68,6 +68,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       QuantizeMilli(GraftColumnBridge.expression(v), scale))
 
+  /** min_shingle_md5(text, n) — minimum md5 hex over the word n-gram
+    * shingles; the codegen'd form of
+    * array_min(transform(shingles(text, n), sh => md5(sh))). */
+  def min_shingle_md5(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      MinShingleMd5(GraftColumnBridge.expression(text.cast("string")), n))
+
   /** cdc_to_sql(eventStruct, dialect) — render a CDC envelope struct to
     * destination SQL (null for non-DML). */
   def cdc_to_sql(event: Column, dialect: String): Column =

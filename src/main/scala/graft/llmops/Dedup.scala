@@ -170,7 +170,15 @@ object Dedup {
                         shingleN: Int = 3, idCol: String = "doc_id",
                         textCol: String = "text",
                         maxBucket: Int = Int.MaxValue,
-                        hotWindow: Int = 8): DataFrame = {
+                        hotWindow: Int = 8,
+                        dedupPairs: Boolean = true): DataFrame = {
+    // dedupPairs=false skips the final pair `distinct()` (one exchange
+    // + its AQE stage) for consumers that only ever SEMI-join against
+    // the candidate set (nearDedup, the clustering backbone): a
+    // left-semi probe is insensitive to duplicate build keys, so the
+    // multi-band duplicates are harmless there. Consumers that COUNT
+    // or EMIT pairs (llm_dedup_minhash, llm_dup_matrix,
+    // llm_edit_distance) keep the default distinct set.
     val sigs = minhashSignatures(df, k, shingleN, idCol, textCol)
     if (maxBucket == Int.MaxValue) {
       // exact path: no sizing pass, no signature carry — one self-join.
@@ -181,10 +189,10 @@ object Dedup {
       val buckets = lshBuckets(sigs, k, rowsPerBand, idCol)
         .localCheckpoint(false) // both self-join sides reuse it
       val a = buckets.as("a"); val b = buckets.as("b")
-      return a.join(b, col("a.bucket") === col("b.bucket") &&
+      val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
-        .distinct()
+      return if (dedupPairs) pairs.distinct() else pairs
     }
     val spark = df.sparkSession
     val sigKey = concat_ws("-", (0 until k).map(i => col(s"mh$i")): _*)
@@ -221,7 +229,8 @@ object Dedup {
       .join(hot.withColumnRenamed(idCol, "__ia"), Seq("bucket", "__rn"))
       .select(least(col("__ia"), col("__ib")).as("da"),
         greatest(col("__ia"), col("__ib")).as("db"))
-    fullPairs.union(hotPairs).distinct()
+    val pairs = fullPairs.union(hotPairs)
+    if (dedupPairs) pairs.distinct() else pairs
   }
 
   /** Shared shingle-overlap core: (da, db, inter, sza, szb) for every
@@ -258,7 +267,19 @@ object Dedup {
         TextOps.shingleRows(df.join(candDocs, Seq(idCol), "left_semi"),
             shingleN, idCol, textCol)
           .localCheckpoint(false)
-      case None => TextOps.shingleRows(df, shingleN, idCol, textCol)
+      case None =>
+        // full-index path (small corpora only): ONE shingle-keyed
+        // exchange — multiset rows repartition by shingle and the
+        // (id, shingle) distinct runs partition-local on top of it
+        // (HashPartitioning(shingle) satisfies the clustering); the
+        // snapshot keeps the three references below (sizes + both
+        // self-join sides) from re-running the explode, and preserves
+        // the shingle partitioning so the self-join plans without a
+        // further exchange.
+        TextOps.shingleRows(df, shingleN, idCol, textCol, dedup = false)
+          .repartition(col("shingle"))
+          .dropDuplicates(idCol, "shingle")
+          .localCheckpoint(false)
     }
     // sizes from the (possibly candidate-restricted) rows: the size of
     // a doc the pair join never references is never read, and the
@@ -337,9 +358,14 @@ object Dedup {
                     textCol: String = "text"): DataFrame = {
     val evalSh = TextOps.shingleRows(evalDocs, shingleN, idCol, textCol)
       .select("shingle").distinct()
-    // shingleRows dedup=true → (id, shingle) distinct, so count = distinct overlap
-    TextOps.shingleRows(df, shingleN, idCol, textCol)
+    // corpus side dedup=false + distinct AFTER the broadcast join: the
+    // eval side is distinct, so the inner join keeps corpus-row
+    // multiplicity and distinct∘join ≡ join∘distinct — but the distinct
+    // exchange now carries only the MATCHED rows (the eval overlap)
+    // instead of the whole corpus's (id, shingle) set
+    TextOps.shingleRows(df, shingleN, idCol, textCol, dedup = false)
       .join(broadcast(evalSh), "shingle")
+      .select(col(idCol), col("shingle")).distinct()
       .groupBy(idCol).agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
   }
@@ -377,7 +403,11 @@ object Dedup {
                          mBits: Int = 1 << 16, kHashes: Int = 4,
                          shingleN: Int = 3, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
-    TextOps.shingleRows(df, shingleN, idCol, textCol)
+    // dedup=false: the groupBy(id, shingle) below already collapses
+    // duplicate shingles (countDistinct over r is insensitive to
+    // repeated (shingle, r) rows), so the pre-join per-corpus distinct
+    // was a redundant full exchange — the partial agg dedups map-side
+    TextOps.shingleRows(df, shingleN, idCol, textCol, dedup = false)
       .select(col(idCol), col("shingle"),
         posexplode(array((0 until kHashes).map(r =>
           bloomPos(col("shingle"), r, mBits)): _*)).as(Seq("r", "bit")))
@@ -543,8 +573,11 @@ object Dedup {
                 idCol: String = "doc_id", textCol: String = "text",
                 maxBucket: Int = Int.MaxValue,
                 hotWindow: Int = 8): DataFrame = {
+    // dedupPairs=false: every consumer below is a semi-join, so the
+    // candidate distinct's exchange is pure overhead (see
+    // minhashCandidates)
     val cands = minhashCandidates(df, idCol = idCol, textCol = textCol,
-      maxBucket = maxBucket, hotWindow = hotWindow)
+      maxBucket = maxBucket, hotWindow = hotWindow, dedupPairs = false)
     val verified = ngramJaccard(df, threshold, idCol = idCol, textCol = textCol,
       candidates = Some(cands))
     // no distinct: left-anti is insensitive to duplicate build keys

@@ -68,7 +68,20 @@ object Lexical {
       .withColumn("avgdl_milli",
         greatest(expr("tot * 1000 div greatest(n, 1)"), lit(1L)))
       .select("n", "avgdl_milli")
-    scoreBm25Stats(queries, postings(docs, textCol, idCol), lens, stats,
+    // Prune the exploded token rows to the QUERY's terms BEFORE the
+    // (doc, term) aggregation (guide §3.2 pre-filter / §2.3 shuffle
+    // fewer bytes): the join key is a grouping key, so
+    // groupBy∘join ≡ join∘groupBy and the candidate postings are
+    // row-identical to `postings(docs) ⋈ terms` — but the tf exchange
+    // carries only the query terms' token rows instead of the whole
+    // corpus vocabulary. This is the batch-side analog of the
+    // TextIndexStore's index-pruned serving path.
+    val qTerms = broadcast(queries.select(col("term")).distinct())
+    val cand = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .join(qTerms, "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    scoreBm25Stats(queries, cand, lens, stats,
       k, k1Milli, bMilli, maxDfPermille)
   }
 

@@ -101,7 +101,12 @@ object TextOps {
   /** Rolling-window min-hash fingerprint over shingles
     * (winnowing-lite): min(md5(shingle)). */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), sh => md5(sh)))
+    // native codegen'd expression — the HOF form
+    // array_min(transform(shingles(text, n), sh => md5(sh))) is
+    // interpreted twice over (the shingles construction AND the md5
+    // map), ~10 s for a single llm_fingerprint scan at sf0.1; parity
+    // (incl. empty-token and <n-token docs) pinned in LlmOpsSpec
+    graft.expressions.GraftFunctions.min_shingle_md5(text, n)
 
   /** PII patterns — RE2-compatible subset (no backrefs/lookarounds) so
     * the same patterns run under Spark (java.util.regex) and DuckDB. */

@@ -131,8 +131,10 @@ object LlmQueries {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     ccMemo.getOrElseUpdate(d, {
       val docs = documents(s, d)
+      // dedupPairs=false: ngramJaccard only semi-joins the candidates,
+      // so the pair distinct's exchange is skippable (same verified set)
       val verified = Dedup.ngramJaccard(docs, 0.8,
-          candidates = Some(Dedup.minhashCandidates(docs)))
+          candidates = Some(Dedup.minhashCandidates(docs, dedupPairs = false)))
         .select("da", "db").localCheckpoint(true)
       (verified, Dedup.connectedComponents(verified).localCheckpoint(true))
     })
@@ -211,10 +213,18 @@ object LlmQueries {
     // shingle explode, a partial-aggregated document-frequency count,
     // and a join back; the df table is the only wide shuffle.
     "llm_boilerplate" -> ((s, d) => {
-      // one shingle-keyed exchange: df as a partition-frame window over
-      // the deduped rows instead of groupBy + join-back (guide §2.4)
-      TextOps.shingleRows(documents(s, d), 3)
+      // ONE shingle-keyed exchange total before the per-doc agg: the
+      // multiset rows repartition by shingle first, and because
+      // HashPartitioning(shingle) satisfies the (doc_id, shingle)
+      // clustering, the distinct AND the df window both run
+      // partition-local on top of it — the old shape paid a second
+      // full exchange for shingleRows' distinct before repartitioning
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange). df as a partition-frame window, not groupBy +
+      // join-back.
+      TextOps.shingleRows(documents(s, d), 3, dedup = false)
         .repartition(col("shingle"))
+        .dropDuplicates("doc_id", "shingle")
         .withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
         .groupBy("doc_id")
@@ -540,13 +550,17 @@ object LlmQueries {
           when(col("b") < 90, "train").when(col("b") < 95, "val")
             .otherwise("test"))
         .select("doc_id", "split")
-      // Dedup first (map-side partial agg — guide §2.3), then one
-      // shingle-keyed exchange of the deduped rows: the df-cap count
-      // becomes a partition-frame window (instead of groupBy +
-      // join-back, which sort-merges both sides on shingle at scale)
-      // and the train×eval self-join reuses the clustering (§2.4).
-      val sh = TextOps.shingleRows(documents(s, d), 3)
+      // ONE shingle-keyed exchange: multiset rows repartition by
+      // shingle, then the (doc, shingle) distinct runs partition-local
+      // on top of it (HashPartitioning(shingle) satisfies the
+      // clustering — the old dedup-first shape paid a separate distinct
+      // exchange before repartitioning), the df-cap count is a
+      // partition-frame window (instead of groupBy + join-back, which
+      // sort-merges both sides on shingle at scale), and the
+      // train×eval self-join reuses the clustering (§2.4).
+      val sh = TextOps.shingleRows(documents(s, d), 3, dedup = false)
         .repartition(col("shingle"))
+        .dropDuplicates("doc_id", "shingle")
       val shf = sh
         .withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -962,9 +976,14 @@ object LlmQueries {
       val corpus = docs.filter(col("doc_id") >= 20)
       val flagged = Dedup.bloomContamination(
         corpus, Dedup.bloomBits(bench), minShared = 3)
-      val exact = TextOps.shingleRows(corpus, 3)
+      // corpus side dedup=false + distinct after the broadcast join:
+      // same contamination-shape rewrite as Dedup.contamination — the
+      // distinct exchange carries only bench-matched rows, not the
+      // whole corpus's (doc, shingle) set
+      val exact = TextOps.shingleRows(corpus, 3, dedup = false)
         .join(broadcast(TextOps.shingleRows(bench, 3)
           .select("shingle").distinct()), "shingle")
+        .select("doc_id", "shingle").distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
       flagged.join(exact, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_exact"))
@@ -1401,9 +1420,16 @@ object LlmQueries {
     // doc ever compares against another directly. Docs below 3 tokens
     // have no shingles and drop out on both engines.
     "llm_novelty" -> ((s, d) => {
-      val sh = TextOps.shingleRows(documents(s, d), n = 3)
-      val firstOwner = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-      sh.join(firstOwner, "shingle")
+      // ONE shingle-keyed exchange (guide §2.4): repartition the
+      // multiset rows by shingle, dedup partition-local, and take the
+      // first owner as a partition-frame window MIN — the old
+      // groupBy(shingle) + join-back re-shuffled the deduped rows and
+      // sort-merged them against their own aggregate.
+      TextOps.shingleRows(documents(s, d), n = 3, dedup = false)
+        .repartition(col("shingle"))
+        .dropDuplicates("doc_id", "shingle")
+        .withColumn("first_doc", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -2131,10 +2157,17 @@ object LlmQueries {
         .filter(col("i") < size(col("t")) - 1)
         .select(col("doc_id"), col("w"),
           element_at(col("t"), col("i") + 2).as("nxt"))
-      // cb feeds four subtrees (cc, n1n, tt, the scoring join); AQE
-      // exchange reuse dedups its shuffle, so no checkpoint — a lazy
-      // snapshot here measured as a pure extra job
-      val cb = bg.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
+      // ONE bigram-row exchange for the whole model: repartition on
+      // (w, nxt) — that clustering satisfies BOTH the (w, nxt) model
+      // aggregation and the (doc, w, nxt) per-doc aggregation (subset
+      // key), and the scoring join on (w, nxt) is co-partitioned, so
+      // neither aggregate nor the join plans its own exchange; AQE
+      // exchange reuse shares the one shuffle between the two readers.
+      // The old shape shuffled the bigram rows twice (once per grouping
+      // key). cb feeds four subtrees; no checkpoint — a lazy snapshot
+      // here measured as a pure extra job (r15).
+      val bgP = bg.repartition(col("w"), col("nxt"))
+      val cb = bgP.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
       // one pass over the bigram-type table yields C(w) and N1+(w,·)
       val cc = cb.groupBy("w")
         .agg(sum("cb").as("cc"), count(lit(1)).as("n1w"))
@@ -2142,7 +2175,7 @@ object LlmQueries {
       val tt = cb.agg(count(lit(1)).as("tt"))
       val lnMicro = (c: Column) =>
         round(log(c.cast("double")) * 1e6).cast("bigint")
-      bg.groupBy("doc_id", "w", "nxt").agg(count(lit(1)).as("cnt"))
+      bgP.groupBy("doc_id", "w", "nxt").agg(count(lit(1)).as("cnt"))
         .join(cb, Seq("w", "nxt"))
         .join(cc, Seq("w"))
         .join(n1n, Seq("nxt"))

@@ -515,6 +515,29 @@ object ScaleProbe {
     println(f"ann ivf hard-negative sweep: 10000 probes, $hnRows rows, " +
       f"0 same-label in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // timed-cold serving vs memoized serving: the centroid/codebook
+    // memo (AnnIndexStore.loadCents/loadBooks) means a store INSTANCE's
+    // first serve pays the two index-metadata collect jobs and later
+    // serves don't — so a bench median over repeated passes reports
+    // steady-state serving. This row prices that claim in evidence: a
+    // FRESH instance (cold memo, same on-disk index) vs the same
+    // instance's second serve. Both compute the ranking from parquet;
+    // only the K-row metadata collects differ.
+    val pqColdIdx = new graft.llmops.AnnIndexStore(s"$annRoot/pqcold")
+    pqColdIdx.writeIvfPq(embs, nClusters = 64)
+    def pqServe(st: graft.llmops.AnnIndexStore): (Double, Long) = {
+      val t = System.nanoTime()
+      val n = st.pqTopK(spark, probeId = 5L, k = 10, nprobe = 8).count()
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    val fresh = new graft.llmops.AnnIndexStore(s"$annRoot/pqcold")
+    val (coldS, coldN) = pqServe(fresh)   // first serve: metadata collects
+    val (warmS, warmN) = pqServe(fresh)   // memoized metadata, same plan
+    require(coldN == warmN, s"cold/warm serve row counts differ: $coldN/$warmN")
+    println(f"ann ivfpq serve cold-vs-memoized (fresh store instance): " +
+      f"cold first-serve $coldS%.2f s, memoized second-serve $warmS%.2f s " +
+      f"($coldN rows each; delta = centroid+codebook collect jobs)")
+
     // retraction: tombstone the planted twin — it must vanish from
     // serving immediately, and compact must purge it physically
     t0 = System.nanoTime()
