@@ -2157,17 +2157,20 @@ object LlmQueries {
         .filter(col("i") < size(col("t")) - 1)
         .select(col("doc_id"), col("w"),
           element_at(col("t"), col("i") + 2).as("nxt"))
-      // ONE bigram-row exchange for the whole model: repartition on
-      // (w, nxt) — that clustering satisfies BOTH the (w, nxt) model
-      // aggregation and the (doc, w, nxt) per-doc aggregation (subset
-      // key), and the scoring join on (w, nxt) is co-partitioned, so
-      // neither aggregate nor the join plans its own exchange; AQE
-      // exchange reuse shares the one shuffle between the two readers.
-      // The old shape shuffled the bigram rows twice (once per grouping
-      // key). cb feeds four subtrees; no checkpoint — a lazy snapshot
-      // here measured as a pure extra job (r15).
-      val bgP = bg.repartition(col("w"), col("nxt"))
-      val cb = bgP.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
+      // cb feeds four subtrees (cc, n1n, tt, the scoring join); AQE
+      // exchange reuse dedups its shuffle, so no checkpoint — a lazy
+      // snapshot here measured as a pure extra job (r15). This shape
+      // is already byte-minimal and two r16 "one exchange" rewrites
+      // MEASURED WORSE and were reverted: (a) a shared
+      // repartition(w, nxt) feeding both groupBys ships the RAW bigram
+      // rows (forfeits both partial aggs — shufR 5.5 → 17 MB at
+      // sf0.1); (b) deriving cb from the per-doc table turns the
+      // scoring join's broadcast into a sort-merge that re-shuffles
+      // the per-doc rows on (w, nxt) (shufR 5.5 → 15 MB). The original
+      // pays ONE full-row exchange (the per-doc groupBy) — cb's
+      // exchange ships only map-side-combined bigram TYPES, and the
+      // scoring join broadcasts cb.
+      val cb = bg.groupBy("w", "nxt").agg(count(lit(1)).as("cb"))
       // one pass over the bigram-type table yields C(w) and N1+(w,·)
       val cc = cb.groupBy("w")
         .agg(sum("cb").as("cc"), count(lit(1)).as("n1w"))
@@ -2175,7 +2178,7 @@ object LlmQueries {
       val tt = cb.agg(count(lit(1)).as("tt"))
       val lnMicro = (c: Column) =>
         round(log(c.cast("double")) * 1e6).cast("bigint")
-      bgP.groupBy("doc_id", "w", "nxt").agg(count(lit(1)).as("cnt"))
+      bg.groupBy("doc_id", "w", "nxt").agg(count(lit(1)).as("cnt"))
         .join(cb, Seq("w", "nxt"))
         .join(cc, Seq("w"))
         .join(n1n, Seq("nxt"))
